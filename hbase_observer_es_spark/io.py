@@ -1,0 +1,55 @@
+"""Table loading for the /root/testdata parquet fixtures (schemas: FIXTURES.md).
+
+All reads go through ``table()`` so every operator gets the same columnar scan path:
+``spark.read.parquet`` → Catalyst pushes filters/pruning into the scan. At 100 TB the
+only change is the path (a partitioned table / catalog name) — operators never care.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table.
+
+    Plain ``spark.read.parquet`` keeps predicate pushdown / column pruning intact —
+    wrapping or caching here would defeat Catalyst's scan pruning.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; we read nanos as long and truncate to microseconds — exactly what
+    DuckDB does when it reads the same file, so both engines see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    apply_runtime_conf(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,45 @@
+"""Central query registry: aggregates QUERIES/ORACLES from every operator module.
+
+``__spark_entry__.py`` (the driver contract) is a thin shim over this. Modules are
+imported lazily-but-eagerly here; a module that fails to import should fail loudly —
+silent partial registries would under-report coverage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "hbase_observer_es_spark.operators.relational",
+    "hbase_observer_es_spark.operators.scalar",
+)
+
+
+def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    import importlib
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            if name in queries:
+                raise ValueError(f"duplicate query name {name!r} from {modname}")
+            queries[name] = fn
+        oracles.update(getattr(mod, "ORACLES", {}))
+    unknown = set(oracles) - set(queries)
+    if unknown:
+        raise ValueError(f"oracle without query: {sorted(unknown)}")
+    return queries, oracles
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what we'd set on a real cluster: AQE on (runtime join
+strategy + skew handling), Arrow on (vectorized pandas-UDF exchange), UTC session
+timezone (so timestamp semantics match the DuckDB oracle and are cluster-TZ-independent).
+On a 1000-executor cluster only master/shuffle-partitions change; the query code is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+RUNTIME_CONF = {
+    # AQE: runtime coalesce of shuffle partitions, broadcast-join demotion/promotion,
+    # and skew-join splitting — the scale-out safety net for every join/agg here.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for pandas UDF / toPandas exchange (10-100x row-at-a-time).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp interpretation, independent of machine TZ.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (e.g. the driver's)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some harnesses
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "hbase-observer-es-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Sized for local fixtures; on a cluster this scales with cores (or is left
+        # to AQE's coalesce). Never hardcode per-query.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,104 @@
+"""Local re-implementation of the driver's Spark-vs-DuckDB comparison.
+
+Mimics `/root/repo/__spark_entry__.py`'s documented contract: run the Spark query and
+the DuckDB oracle on the same parquet tables, compare row count, schema (column names,
+sorted), and order-insensitive values. We compare values EXACTLY (stringified) — if
+exact comparison passes here, any reasonable value-hash passes in the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    """Normalize a cell to a hashable, engine-independent representation."""
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        # repr() is shortest-roundtrip for python floats — identical doubles on both
+        # sides produce identical strings.
+        return repr(v)
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(_norm_cell(x)) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return f"{type(v).__name__}:{v}"
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    row_count_spark: int
+    row_count_oracle: int
+    schema_spark: list[str] = field(default_factory=list)
+    schema_oracle: list[str] = field(default_factory=list)
+    detail: str = ""
+
+
+def _rows_to_multiset(cols: list[str], rows: list[tuple]) -> dict:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out: dict = {}
+    for r in rows:
+        key = tuple(_norm_cell(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    rel = con.execute(sql)
+    o_cols = [d[0] for d in rel.description]
+    o_rows = rel.fetchall()
+
+    res = CompareResult(
+        name=name,
+        ok=True,
+        row_count_spark=len(s_rows),
+        row_count_oracle=len(o_rows),
+        schema_spark=sorted(s_cols),
+        schema_oracle=sorted(o_cols),
+    )
+    if len(s_rows) != len(o_rows):
+        res.ok = False
+        res.detail = f"row count {len(s_rows)} != {len(o_rows)}"
+        return res
+    if sorted(s_cols) != sorted(o_cols):
+        res.ok = False
+        res.detail = f"schema {sorted(s_cols)} != {sorted(o_cols)}"
+        return res
+    ms, mo = _rows_to_multiset(s_cols, s_rows), _rows_to_multiset(o_cols, o_rows)
+    if ms != mo:
+        res.ok = False
+        only_s = [k for k in ms if ms[k] != mo.get(k, 0)][:3]
+        only_o = [k for k in mo if mo[k] != ms.get(k, 0)][:3]
+        res.detail = f"value mismatch; spark-side sample={only_s} oracle-side sample={only_o}"
+    return res
