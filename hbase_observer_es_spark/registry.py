@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "hbase_observer_es_spark.operators.relational",
     "hbase_observer_es_spark.operators.scalar",
+    "hbase_observer_es_spark.operators.cdc",
 )
 
 
