@@ -1,0 +1,306 @@
+"""Deduplication suite for LLM-data pipelines over `documents` (north-star).
+
+Four levels, all UDF-free (higher-order functions inside whole-stage codegen):
+
+* exact           — hash-groupBy on content (q_dedup_exact)
+* exact-similarity— all-pairs token-set Jaccard (q_dedup_jaccard): the ground truth,
+                    quadratic — only viable inside small buckets
+* MinHash + LSH   — q_dedup_minhash: shingle → k minhashes → band → bucket-join →
+                    verify. THE 100 TB path: candidate generation is a shuffle on
+                    band signatures (linear), verification only touches candidates.
+* SimHash         — q_dedup_simhash: 16-bit frequency-weighted fingerprint per doc;
+                    equal fingerprints ⇒ near-dup buckets.
+
+Shingle note: fixture vocabulary is tiny (~60 words), so shingles here are unigram
+token sets — with real corpora you'd raise SHINGLE_N; the pipeline shape is identical.
+
+All hashes are an engine-neutral polynomial rolling hash (base 31 mod 1e9+7) so the
+DuckDB oracle can mirror the *entire* LSH pipeline, not just the final answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from .text import MOD
+
+# 16 fixed universal-hash permutations (a*h + b) mod MOD, 4 bands × 4 rows.
+PERM_A = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+PERM_B = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+N_BANDS, BAND_ROWS = 4, 4
+JACCARD_THRESHOLD = 0.9
+
+
+# ---------------------------------------------------------------------------
+# shared expressions (Spark) and SQL fragments (DuckDB) — kept side by side so
+# the two pipelines cannot drift.
+# ---------------------------------------------------------------------------
+
+
+def _tok_set() -> Column:
+    return F.array_distinct(F.split(F.col("text"), " "))
+
+
+_SQL_TOK_SET = "list_distinct(string_split(text, ' '))"
+
+
+def _rollhash(c: Column) -> Column:
+    """Polynomial rolling hash of one token — nested fold over its characters."""
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(MOD),
+    )
+
+
+_SQL_ROLLHASH = (
+    "list_reduce(list_transform(string_split({tok}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % " + str(MOD) + ")"
+)
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+_SQL_JACCARD = (
+    "CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_exact
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text. One shuffle on the
+    content hash; at 100 TB group on md5(text) instead of raw text to bound key
+    width (same plan shape)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_jaccard — exact all-pairs ground truth
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (≥ 0.9). Quadratic self-join — the
+    correctness baseline that q_dedup_minhash approximates with linear work."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), _tok_set().alias("tk")
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("tk").alias("a_tk"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("tk").alias("b_tk"))
+    j = _jaccard(F.col("a_tk"), F.col("b_tk"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOK_SET} AS tk FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       {_SQL_JACCARD.format(a='a.tk', b='b.tk')} AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE {_SQL_JACCARD.format(a='a.tk', b='b.tk')} >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_minhash — MinHash + LSH banding, then exact verification
+# ---------------------------------------------------------------------------
+
+
+def _perm_lambda(pa: int, pb: int):
+    # closure factory: PySpark inspects lambda arity, so the permutation constants
+    # must be captured by closure, not by default args
+    return lambda h: (F.lit(pa) * h + F.lit(pb)) % F.lit(MOD)
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.array_min(F.transform(F.col("hs"), _perm_lambda(pa, pb))).alias(f"mh{i}")
+        for i, (pa, pb) in enumerate(zip(PERM_A, PERM_B))
+    ]
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified against exact Jaccard (≥ 0.9).
+
+    Pipeline: token-set → per-token rolling hash → 16 permuted minhashes →
+    4 bands of 4 → shuffle on (band, signature) → candidate pairs from shared
+    buckets → exact Jaccard verify on candidates only.
+
+    Scale: every stage is linear except the within-bucket pair expansion, which
+    LSH keeps tiny by construction. This is the standard web-scale dedup plan
+    (the quadratic q_dedup_jaccard exists only to prove this one correct).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", _tok_set().alias("tk"))
+    hashed = d.select(
+        "doc_id", "tk", F.transform(F.col("tk"), _rollhash).alias("hs")
+    )
+    minh = hashed.select("doc_id", "tk", *_minhash_cols())
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{bi * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            ).alias("sig"),
+        )
+        for bi in range(N_BANDS)
+    ]
+    bands = minh.select(
+        "doc_id", "tk", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "tk", "band.band_id", "band.sig")
+
+    a = bands.select(
+        F.col("band_id"), F.col("sig"),
+        F.col("doc_id").alias("a_id"), F.col("tk").alias("a_tk"),
+    )
+    b = bands.select(
+        F.col("band_id").alias("band_id_b"), F.col("sig").alias("sig_b"),
+        F.col("doc_id").alias("b_id"), F.col("tk").alias("b_tk"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band_id == b.band_id_b) & (a.sig == b.sig_b) & (a.a_id < b.b_id),
+        )
+        .select("a_id", "b_id", "a_tk", "b_tk")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    j = _jaccard(F.col("a_tk"), F.col("b_tk"))
+    return (
+        cand.select("a_id", "b_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _sql_minhash_pipeline() -> str:
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({pa} * h + {pb}) % {MOD})) AS mh{i}"
+        for i, (pa, pb) in enumerate(zip(PERM_A, PERM_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, tk, {bi} AS band_id, {sig} AS sig FROM minh".format(
+            bi=bi,
+            sig=" || '-' || ".join(
+                f"CAST(mh{bi * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+            ),
+        )
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOK_SET} AS tk FROM documents),
+hashed AS (SELECT doc_id, tk,
+                  list_transform(tk, t -> {_SQL_ROLLHASH.format(tok='t')}) AS hs
+           FROM toks),
+minh AS (SELECT doc_id, tk, {mh_exprs} FROM hashed),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tk AS a_tk, b.tk AS b_tk
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, {_SQL_JACCARD.format(a='a_tk', b='b_tk')} AS jaccard
+FROM cand
+WHERE {_SQL_JACCARD.format(a='a_tk', b='b_tk')} >= {JACCARD_THRESHOLD}
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash_pipeline()
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_simhash — 16-bit frequency-weighted fingerprint
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per token-occurrence hash, each bit votes ±1 weighted by term
+    frequency; fingerprint bit b = 1 iff the vote sum is positive. Near-dup docs
+    land on fingerprints within small Hamming distance; equal fingerprints form
+    dedup buckets directly. One explode + one groupBy — linear, map-side combined."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    hashed = tok.select("doc_id", _rollhash(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hashed AS (
+    SELECT doc_id, {_SQL_ROLLHASH.format(tok='t')} AS h FROM tok WHERE t <> ''
+),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_jaccard": q_dedup_jaccard,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_dedup_jaccard": SQL_DEDUP_JACCARD,
+    "q_dedup_minhash": SQL_DEDUP_MINHASH,
+    "q_dedup_simhash": SQL_DEDUP_SIMHASH,
+}

@@ -1,0 +1,209 @@
+"""Similarity search over `embeddings` (north-star): brute-force k-NN, threshold
+pair mining, and an IVF-bucketed approximate path for scale.
+
+The vector math is pure higher-order-function folds (zip_with + aggregate) —
+JVM-side, no UDF, and the fold order (left-to-right, zero init) matches DuckDB's
+list_reduce exactly, so cosine values are bit-identical across engines.
+
+Scale posture: brute-force k-NN is O(n·d) per probe — fine for one probe, wrong for
+many. q_sim_ivf is the scale path: partition vectors by coarse cluster (the fixture's
+`label` plays the IVF cell id; with raw data you'd k-means first), route each probe to
+its nearest centroid(s), search only those cells. Same two-stage shape as FAISS-IVF,
+expressed as joins + aggs. An embedding-heavy deployment would add a pandas_udf
+(numpy BLAS) scorer per partition — plumbing identical, see operators/udf_surface.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+PROBE_VEC_ID = 0
+PAIR_COS_THRESHOLD = 0.3  # fixture labels are loose clusters (within-label p99 ≈ .3)
+K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left fold — bit-identical to DuckDB's list_reduce mirror."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_SQL_DOT.format(a=a, b=a)})"
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_SQL_DOT.format(a=a, b=b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine neighbors of the probe vector (vec_id=0).
+
+    The probe is broadcast (1 row) against the full table — a map-only scan, then
+    TakeOrdered for top-k. No shuffle of the big side; at 100 TB this is one pass.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    cos = _cosine(F.col("embedding"), F.col("probe_emb"))
+    return (
+        e.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .join(F.broadcast(probe))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+SQL_SIM_KNN = f"""
+WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id, label,
+       {_sql_cosine('embedding', 'probe_emb')} AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {K}
+"""
+
+
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs above a cosine threshold, restricted to within-label —
+    the blocked form of all-pairs similarity: the label bucket bounds the quadratic
+    blowup exactly like an LSH/IVF cell would at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    cos = _cosine(F.col("a_emb"), F.col("b_emb"))
+    return (
+        a.join(b, (a.label == b.label_b) & (a.a_id < b.b_id))
+        .select("label", "a_id", "b_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= PAIR_COS_THRESHOLD)
+    )
+
+
+SQL_SIM_PAIRS = f"""
+SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+       {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {PAIR_COS_THRESHOLD}
+"""
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: route the probe to its nearest cell centroid, then exact
+    top-k inside that cell only — the linear-scan cost drops to |cell|.
+
+    Centroids are element-wise means per label, computed with decimal-exact sums
+    (posexplode → per-dimension agg → reassemble) so the routing decision is
+    deterministic across engines. Two tiny shuffles + one cell scan.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    # per-dimension decimal-exact mean per label
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    best = (
+        cent.join(F.broadcast(probe))
+        .select(
+            "label",
+            _cosine(F.col("centroid"), F.col("probe_emb")).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), F.asc("label"))
+        .limit(1)
+        .select(F.col("label").alias("best_label"))
+    )
+    cos = _cosine(F.col("embedding"), F.col("probe_emb"))
+    return (
+        e.join(F.broadcast(best), e.label == F.col("best_label"))
+        .join(F.broadcast(probe))
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+SQL_SIM_IVF = f"""
+WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+dims AS (
+    SELECT label, i - 1 AS dim, embedding[i] AS val
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (
+    SELECT label,
+           list(m ORDER BY dim) AS centroid
+    FROM (
+        SELECT label, dim,
+               CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        FROM dims GROUP BY label, dim
+    )
+    GROUP BY label
+),
+best AS (
+    SELECT label AS best_label
+    FROM cent, probe
+    ORDER BY {_sql_cosine('centroid', 'probe_emb')} DESC, label ASC
+    LIMIT 1
+)
+SELECT vec_id, label, {_sql_cosine('embedding', 'probe_emb')} AS cos_sim
+FROM embeddings, probe, best
+WHERE label = best_label AND vec_id <> {PROBE_VEC_ID}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {K}
+"""
+
+
+QUERIES = {
+    "q_sim_knn": q_sim_knn,
+    "q_sim_pairs": q_sim_pairs,
+    "q_sim_ivf": q_sim_ivf,
+}
+
+ORACLES = {
+    "q_sim_knn": SQL_SIM_KNN,
+    "q_sim_pairs": SQL_SIM_PAIRS,
+    "q_sim_ivf": SQL_SIM_IVF,
+}

@@ -1,0 +1,262 @@
+"""Text analysis for LLM-data pipelines over `documents` (north-star operators).
+
+The reference's system answers full-text queries only after shipping docs to
+Elasticsearch (README.md:3 in /root/reference); ES tokenizes and scores server-side.
+Here tokenization and scoring are native columnar expressions — every operator is a
+JVM-side higher-order function (split/transform/filter/aggregate), no Python UDFs, so
+the hot path stays inside whole-stage codegen and scales linearly with executors.
+
+Operators: term frequencies (ES terms-agg analogue), per-language stats, heuristic
+language ID (stopword n-gram scoring), quality scoring (length/stopword/uniqueness
+ratios), token counting (whitespace + regex token models), rolling-hash document
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+# Tiny public stopword seeds per language — enough for a deterministic heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "en", "que"),
+}
+
+MOD = 1_000_000_007
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term frequencies — the ES `terms` aggregation, Spark-native.
+
+    explode → groupBy(token) is a map-side-combinable count; the top-20 is a
+    TakeOrdered over the (small) distinct-token space, not a global sort of rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_TOKENS = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc counts, char volume, token volume)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(_tokens())).cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+SQL_TEXT_LANG = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def _stop_score(lang: str) -> Column:
+    words = list(STOPWORDS[lang])
+    return F.size(
+        F.filter(_tokens(), lambda t: t.isin(*words))
+    ).cast("bigint")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit scoring with a fixed arg-max order.
+
+    Deliberately simple and fully deterministic — the point is the shape (per-doc
+    vectorized scoring + tie-broken argmax), which is how a real n-gram LID model
+    runs at scale. A model-backed scorer would swap in as a pandas UDF."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _stop_score("en").alias("s_en"),
+        _stop_score("de").alias("s_de"),
+        _stop_score("fr").alias("s_fr"),
+        _stop_score("es").alias("s_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def _sql_stop_score(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({inlist}))) AS BIGINT)"
+    )
+
+
+SQL_TEXT_LANGID = f"""
+SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM (
+    SELECT doc_id, lang,
+           {_sql_stop_score('en')} AS s_en,
+           {_sql_stop_score('de')} AS s_de,
+           {_sql_stop_score('fr')} AS s_fr,
+           {_sql_stop_score('es')} AS s_es
+    FROM documents
+)
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, unique-token ratio, stopword ratio, mean token
+    length — the standard pre-training corpus filters, as pure columnar math."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*list(STOPWORDS["en"])))
+    ).cast("bigint")
+    uniq_ratio = n_uniq.cast("double") / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    mean_tok_len = (
+        (F.col("n_chars").cast("double") - (n_tok.cast("double") - F.lit(1.0)))
+        / n_tok.cast("double")
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        ((uniq_ratio * F.lit(0.6)) + (stop_ratio * F.lit(0.4))).alias("quality"),
+    )
+
+
+_SQL_NTOK = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+_SQL_NUNIQ = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+_SQL_NSTOP = _sql_stop_score("en")
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       n_tokens, n_unique,
+       uniq_ratio, stop_ratio,
+       (CAST(n_chars AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0))
+           / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+       (uniq_ratio * 0.6) + (stop_ratio * 0.4) AS quality
+FROM (
+    SELECT doc_id, n_chars, n_tokens, n_unique, n_stop,
+           CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+    FROM (
+        SELECT doc_id, n_chars,
+               {_SQL_NTOK} AS n_tokens,
+               {_SQL_NUNIQ} AS n_unique,
+               {_SQL_NSTOP} AS n_stop
+        FROM documents
+    )
+)
+"""
+
+
+def q_text_tokcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under two tokenizer models: whitespace and a BPE-ish regex
+    ([a-z]+ runs | digit runs | single other non-space) — regexp_count stays JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("n_re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_text"),
+    )
+
+
+SQL_TEXT_TOKCOUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+           AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_text
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (base 31, mod 1e9+7) over the characters of each
+    document — a deterministic content fingerprint computed as a higher-order fold,
+    no UDF. Equal docs ⇒ equal fingerprints across engines and runs."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c) % F.lit(MOD),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"), F.md5("text").alias("md5_hex"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       CAST(list_reduce(
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+           (acc, c) -> (acc * 31 + c) % {MOD}) AS BIGINT) AS fingerprint,
+       md5(text) AS md5_hex
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_text_tokens": q_text_tokens,
+    "q_text_lang": q_text_lang,
+    "q_text_langid": q_text_langid,
+    "q_text_quality": q_text_quality,
+    "q_text_tokcount": q_text_tokcount,
+    "q_text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "q_text_tokens": SQL_TEXT_TOKENS,
+    "q_text_lang": SQL_TEXT_LANG,
+    "q_text_langid": SQL_TEXT_LANGID,
+    "q_text_quality": SQL_TEXT_QUALITY,
+    "q_text_tokcount": SQL_TEXT_TOKCOUNT,
+    "q_text_fingerprint": SQL_TEXT_FINGERPRINT,
+}

@@ -17,6 +17,9 @@ _MODULES = (
     "hbase_observer_es_spark.operators.relational",
     "hbase_observer_es_spark.operators.scalar",
     "hbase_observer_es_spark.operators.cdc",
+    "hbase_observer_es_spark.operators.text",
+    "hbase_observer_es_spark.operators.dedup",
+    "hbase_observer_es_spark.operators.similarity",
 )
 
 
