@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced through full execution with the noop sink (no driver collect,
+no result materialization cost) — wall-clock measures the distributed plan, which is
+what must hold at 100 TB. Streaming queries execute their own write path and are
+timed end-to-end including micro-batch replay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_observer_es_spark.registry import all_queries  # noqa: E402
+from hbase_observer_es_spark.session import get_spark  # noqa: E402
+
+STREAMING = {"s_watermark_dedup", "s_upsert_sink"}
+
+
+def run_one(spark, fn, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    if name in STREAMING:
+        # streaming queries already executed their pipeline; force the final read
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # JVM/codegen warmup outside the measurement
+    run_one(spark, queries["q_scan_project"], "q_scan_project", sf_dir)
+
+    times: dict[str, float] = {}
+    for name in sorted(queries):
+        try:
+            times[name] = round(run_one(spark, queries[name], name, sf_dir), 3)
+        except Exception as exc:  # a failing query must not hide the others
+            times[name] = -1.0
+            print(f"bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

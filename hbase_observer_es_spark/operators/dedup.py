@@ -103,21 +103,86 @@ WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# token dictionary + bitset encoding (the fast exact-set representation)
+# ---------------------------------------------------------------------------
+
+
+def _bitset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode each document's token set into fixed-width bitmask words.
+
+    vocab (distinct tokens) gets dense ids via one tiny shuffle; each doc then
+    aggregates ``1 << (id % 64)`` per word with bit_or. Set intersection/union
+    become bit_count(a & b) — O(words) per pair instead of O(|set|) array ops.
+    Dictionary encoding like this is exactly what you'd do at 100 TB (the dict is
+    a broadcastable dim; huge vocabs would shard it or fall back to MinHash).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", _tok_set().alias("tk"))
+    toks = d.select(F.explode("tk").alias("t")).filter(F.col("t") != "").distinct()
+    vocab_size = toks.count()  # dictionary stats lookup — bounded by vocab, not rows
+    n_words = max(1, -(-vocab_size // 64))
+    w = Window.orderBy("t")
+    vocab = toks.withColumn("tid", F.row_number().over(w) - 1)
+    exploded = d.select("doc_id", F.explode("tk").alias("t")).filter(F.col("t") != "")
+    with_ids = exploded.join(F.broadcast(vocab), "t")
+    word_aggs = [
+        F.expr(
+            f"bit_or(CASE WHEN tid >= {wi * 64} AND tid < {(wi + 1) * 64} "
+            f"THEN CAST(1 AS BIGINT) << (tid % 64) ELSE CAST(0 AS BIGINT) END)"
+        ).alias(f"w{wi}")
+        for wi in range(n_words)
+    ]
+    enc = with_ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"), *word_aggs
+    )
+    return enc.withColumn("n_words", F.lit(n_words))
+
+
+def _bitset_pair_jaccard(n_words: int) -> Column:
+    inter = None
+    for wi in range(n_words):
+        c = F.bit_count(F.col(f"a_w{wi}").bitwiseAND(F.col(f"b_w{wi}")))
+        inter = c if inter is None else inter + c
+    union = F.col("a_sz") + F.col("b_sz") - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def _pair_frames(enc: DataFrame, n_words: int) -> tuple[DataFrame, DataFrame]:
+    a = enc.select(
+        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"),
+        *[F.col(f"w{wi}").alias(f"a_w{wi}") for wi in range(n_words)],
+    )
+    b = enc.select(
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"),
+        *[F.col(f"w{wi}").alias(f"b_w{wi}") for wi in range(n_words)],
+    )
+    return a, b
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_jaccard — exact all-pairs ground truth
 # ---------------------------------------------------------------------------
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs (≥ 0.9). Quadratic self-join — the
-    correctness baseline that q_dedup_minhash approximates with linear work."""
-    d = table(spark, sf_dir, "documents").select(
-        F.col("doc_id"), _tok_set().alias("tk")
+    """Exact token-set Jaccard near-dup pairs (≥ 0.9), bitset-accelerated.
+
+    Two exact prunes before any per-pair set math:
+    * size-ratio prune IN the join condition: J(A,B) ≥ t forces
+      min(|A|,|B|) ≥ t·max(|A|,|B|) — provably no false negatives;
+    * bitset jaccard (bit_count over dictionary words) for surviving pairs —
+      identical integer counts to array intersect/union, so the DuckDB oracle
+      (which uses list ops) matches bit-for-bit.
+    """
+    enc = _bitset_docs(spark, sf_dir)
+    n_words = enc.select("n_words").head()[0]
+    a, b = _pair_frames(enc, n_words)
+    size_ok = (
+        F.least(F.col("a_sz"), F.col("b_sz")).cast("double")
+        >= F.lit(JACCARD_THRESHOLD) * F.greatest(F.col("a_sz"), F.col("b_sz"))
     )
-    a = d.select(F.col("doc_id").alias("a_id"), F.col("tk").alias("a_tk"))
-    b = d.select(F.col("doc_id").alias("b_id"), F.col("tk").alias("b_tk"))
-    j = _jaccard(F.col("a_tk"), F.col("b_tk"))
+    j = _bitset_pair_jaccard(n_words)
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        a.join(b, (F.col("a_id") < F.col("b_id")) & size_ok)
         .select("a_id", "b_id", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -160,12 +225,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every stage is linear except the within-bucket pair expansion, which
     LSH keeps tiny by construction. This is the standard web-scale dedup plan
     (the quadratic q_dedup_jaccard exists only to prove this one correct).
+    Candidates carry fixed-width bitset words (not token arrays) through the
+    band join, so verification is bit_count math, not per-pair array scans.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", _tok_set().alias("tk"))
     hashed = d.select(
-        "doc_id", "tk", F.transform(F.col("tk"), _rollhash).alias("hs")
+        "doc_id", F.transform(F.col("tk"), _rollhash).alias("hs")
     )
-    minh = hashed.select("doc_id", "tk", *_minhash_cols())
+    minh = hashed.select("doc_id", *_minhash_cols())
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_id"),
@@ -175,27 +242,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi in range(N_BANDS)
     ]
-    bands = minh.select(
-        "doc_id", "tk", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "tk", "band.band_id", "band.sig")
-
+    enc = _bitset_docs(spark, sf_dir)
+    n_words = enc.select("n_words").head()[0]
+    bands = (
+        minh.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("doc_id", "band.band_id", "band.sig")
+        .join(enc.drop("n_words"), "doc_id")
+    )
     a = bands.select(
         F.col("band_id"), F.col("sig"),
-        F.col("doc_id").alias("a_id"), F.col("tk").alias("a_tk"),
+        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"),
+        *[F.col(f"w{wi}").alias(f"a_w{wi}") for wi in range(n_words)],
     )
     b = bands.select(
         F.col("band_id").alias("band_id_b"), F.col("sig").alias("sig_b"),
-        F.col("doc_id").alias("b_id"), F.col("tk").alias("b_tk"),
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"),
+        *[F.col(f"w{wi}").alias(f"b_w{wi}") for wi in range(n_words)],
     )
     cand = (
         a.join(
             b,
             (a.band_id == b.band_id_b) & (a.sig == b.sig_b) & (a.a_id < b.b_id),
         )
-        .select("a_id", "b_id", "a_tk", "b_tk")
+        .drop("band_id", "band_id_b", "sig", "sig_b")
         .dropDuplicates(["a_id", "b_id"])
     )
-    j = _jaccard(F.col("a_tk"), F.col("b_tk"))
+    j = _bitset_pair_jaccard(n_words)
     return (
         cand.select("a_id", "b_id", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
