@@ -11,8 +11,11 @@ Four levels, all UDF-free (higher-order functions inside whole-stage codegen):
 * SimHash         — q_dedup_simhash: 16-bit frequency-weighted fingerprint per doc;
                     equal fingerprints ⇒ near-dup buckets.
 
-Shingle note: fixture vocabulary is tiny (~60 words), so shingles here are unigram
-token sets — with real corpora you'd raise SHINGLE_N; the pipeline shape is identical.
+Shingle note: the fixture vocabulary is tiny (~31 words), which makes unigram
+token sets non-discriminative (random docs reach Jaccard 0.9). q_dedup_jaccard
+keeps token-set semantics as the exact baseline; q_dedup_minhash shingles on word
+TRIGRAMS (order-sensitive, high-cardinality) — the standard web-dedup choice, and
+the only one whose LSH buckets stay small on low-entropy text.
 
 All hashes are an engine-neutral polynomial rolling hash (base 31 mod 1e9+7) so the
 DuckDB oracle can mirror the *entire* LSH pipeline, not just the final answer.
@@ -215,24 +218,53 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified against exact Jaccard (≥ 0.9).
+SHINGLE_N = 3
 
-    Pipeline: token-set → per-token rolling hash → 16 permuted minhashes →
-    4 bands of 4 → shuffle on (band, signature) → candidate pairs from shared
-    buckets → exact Jaccard verify on candidates only.
 
-    Scale: every stage is linear except the within-bucket pair expansion, which
-    LSH keeps tiny by construction. This is the standard web-scale dedup plan
-    (the quadratic q_dedup_jaccard exists only to prove this one correct).
-    Candidates carry fixed-width bitset words (not token arrays) through the
-    band join, so verification is bit_count math, not per-pair array scans.
+def _shingle_hashes() -> Column:
+    """Distinct word-trigram shingles of `text`, each rolling-hashed to a long.
+
+    slice() clips at the sequence end, so docs shorter than SHINGLE_N tokens
+    degrade to one shorter shingle instead of erroring — mirrored in SQL.
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", _tok_set().alias("tk"))
-    hashed = d.select(
-        "doc_id", F.transform(F.col("tk"), _rollhash).alias("hs")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N))
     )
-    minh = hashed.select("doc_id", *_minhash_cols())
+    return F.array_distinct(F.transform(shingles, _rollhash))
+
+
+_SQL_SHINGLE_HASHES = (
+    "list_distinct(list_transform("
+    "  list_transform(generate_series(1, greatest(len({tk}) - 2, 1)),"
+    "                 i -> array_to_string({tk}[i:i+2], ' ')),"
+    "  s -> " + _SQL_ROLLHASH.format(tok="s") + "))"
+)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over word-trigram shingles, ≥ 0.9 Jaccard.
+
+    Pipeline: trigram shingle set → rolling hash per shingle → 16 permuted
+    minhashes → 4 bands of 4 → shuffle on (band, signature) → candidate pairs
+    from shared buckets → size-ratio prune → exact shingle-Jaccard verify on
+    candidates only.
+
+    Scale notes (the 100 TB plan):
+    * candidate generation is linear — one shuffle keyed on band signature;
+    * the pair join carries ONLY (doc_id, doc_id); shingle arrays are attached
+      after dropDuplicates via joins on the (small) per-doc shingle frame, so
+      the widest rows never ride through the pair-dedup shuffle;
+    * the size-ratio prune (min ≥ t·max) is exact — no false negatives;
+    * trigram shingles keep buckets discriminative even on low-entropy text
+      (unigram sets over a 31-word vocab put 77% of docs in one bucket).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _shingle_hashes().alias("hs")
+    )
+    minh = d.select("doc_id", *_minhash_cols())
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_id"),
@@ -242,34 +274,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi in range(N_BANDS)
     ]
-    enc = _bitset_docs(spark, sf_dir)
-    n_words = enc.select("n_words").head()[0]
-    bands = (
-        minh.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
-        .select("doc_id", "band.band_id", "band.sig")
-        .join(enc.drop("n_words"), "doc_id")
-    )
-    a = bands.select(
-        F.col("band_id"), F.col("sig"),
-        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"),
-        *[F.col(f"w{wi}").alias(f"a_w{wi}") for wi in range(n_words)],
-    )
-    b = bands.select(
-        F.col("band_id").alias("band_id_b"), F.col("sig").alias("sig_b"),
-        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"),
-        *[F.col(f"w{wi}").alias(f"b_w{wi}") for wi in range(n_words)],
-    )
+    bands = minh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(
             b,
-            (a.band_id == b.band_id_b) & (a.sig == b.sig_b) & (a.a_id < b.b_id),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .drop("band_id", "band_id_b", "sig", "sig_b")
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    j = _bitset_pair_jaccard(n_words)
+    hs = d.select("doc_id", "hs", F.size("hs").alias("sz"))
+    pairs = (
+        cand.join(hs.select(F.col("doc_id").alias("a_id"),
+                            F.col("hs").alias("a_hs"),
+                            F.col("sz").alias("a_sz")), "a_id")
+        .join(hs.select(F.col("doc_id").alias("b_id"),
+                        F.col("hs").alias("b_hs"),
+                        F.col("sz").alias("b_sz")), "b_id")
+        .filter(
+            F.least(F.col("a_sz"), F.col("b_sz")).cast("double")
+            >= F.lit(JACCARD_THRESHOLD) * F.greatest(F.col("a_sz"), F.col("b_sz"))
+        )
+    )
+    j = _jaccard(F.col("a_hs"), F.col("b_hs"))
     return (
-        cand.select("a_id", "b_id", j.alias("jaccard"))
+        pairs.select("a_id", "b_id", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -280,7 +315,7 @@ def _sql_minhash_pipeline() -> str:
         for i, (pa, pb) in enumerate(zip(PERM_A, PERM_B))
     )
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, tk, {bi} AS band_id, {sig} AS sig FROM minh".format(
+        "SELECT doc_id, hs, {bi} AS band_id, {sig} AS sig FROM minh".format(
             bi=bi,
             sig=" || '-' || ".join(
                 f"CAST(mh{bi * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
@@ -289,20 +324,20 @@ def _sql_minhash_pipeline() -> str:
         for bi in range(N_BANDS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOK_SET} AS tk FROM documents),
-hashed AS (SELECT doc_id, tk,
-                  list_transform(tk, t -> {_SQL_ROLLHASH.format(tok='t')}) AS hs
-           FROM toks),
-minh AS (SELECT doc_id, tk, {mh_exprs} FROM hashed),
+WITH toksf AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS tk
+               FROM documents),
+shing AS (SELECT doc_id, {_SQL_SHINGLE_HASHES.format(tk='tk')} AS hs FROM toksf),
+minh AS (SELECT doc_id, hs, {mh_exprs} FROM shing),
 bands AS ({band_selects}),
 cand AS (
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.tk AS a_tk, b.tk AS b_tk
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.hs AS a_hs, b.hs AS b_hs
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
-SELECT a_id, b_id, {_SQL_JACCARD.format(a='a_tk', b='b_tk')} AS jaccard
+SELECT a_id, b_id, {_SQL_JACCARD.format(a='a_hs', b='b_hs')} AS jaccard
 FROM cand
-WHERE {_SQL_JACCARD.format(a='a_tk', b='b_tk')} >= {JACCARD_THRESHOLD}
+WHERE {_SQL_JACCARD.format(a='a_hs', b='b_hs')} >= {JACCARD_THRESHOLD}
 """
 
 
