@@ -1,0 +1,195 @@
+"""Full-text search surface — the capability the reference delegates to Elasticsearch.
+
+The reference syncs HBase rows into ES *so that ES can answer search queries over
+them* (/root/reference/README.md:3; ES 6.3 dependency at /root/reference/pom.xml:35-46).
+This module owns that delegated surface natively: relevance-scored multi-term match
+(ES `match` + top-k), positional phrase match (ES `match_phrase`), and multi-key point
+lookup (ES `mget`). SURVEY.md §2-B is the capability tether.
+
+Determinism note (drives the scoring design): the oracle compares doubles by exact
+shortest-roundtrip repr, so every float op must be bit-identical between Spark (JVM)
+and DuckDB (C). `ln`/`log` are only ~1-ulp accurate in both and NOT guaranteed to
+agree, so BM25's usual log-idf is replaced by the rational idf
+``(N - df + 0.5) / (df + 0.5)`` — same monotonicity, only IEEE-exact ops
+(+ - * /) in a fixed association order mirrored in the SQL.
+
+Scale (100 TB): corpus stats (N, avgdl, per-term df) are one map-side-combined
+aggregate producing ONE row, broadcast back onto the scan; scoring is pure
+whole-stage-codegen column math; the top-k is a TakeOrdered (per-partition heap +
+driver merge of k rows), never a global sort. Point lookup is a pushed-down IN
+filter — partition/row-group pruning on a key-sorted layout makes it an index seek.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+# Fixed query: three mid-frequency fixture-vocabulary terms (TESTDATA.md documents).
+QUERY_TERMS = ("vector", "merge", "stream")
+K1 = 1.2
+B = 0.75
+TOP_K = 10
+
+PHRASE = ("row", "fast")
+
+MGET_KEYS = (7, 42, 191, 404, 777)
+
+
+def _toks() -> Column:
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored full-text match (rational idf), top-10 — ES `match` query analogue.
+
+    score(d) = Σ_t idf_t · cnt_t·(k1+1) / (cnt_t + k1·(1−b + b·dl/avgdl))
+    with idf_t = (N − df_t + 0.5)/(df_t + 0.5); k1=1.2, b=0.75.
+    """
+    d = table(spark, sf_dir, "documents")
+
+    def cnt(w: str) -> Column:
+        # nested def, not a default-arg lambda: a 2-param lambda would be treated
+        # as filter's (element, index) form and shadow the captured term.
+        return F.size(F.filter(_toks(), lambda t: t == w))
+
+    cnt_cols = [cnt(w).alias(f"c{i}") for i, w in enumerate(QUERY_TERMS)]
+    cnts = d.select("doc_id", F.size(_toks()).alias("dl"), *cnt_cols)
+    stats = cnts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"c{i}") > 0).cast("bigint")).cast("double").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    scored = cnts.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int) -> Column:
+        cnt = F.col(f"c{i}").cast("double")
+        dl = F.col("dl").cast("double")
+        idf = (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
+        denom = cnt + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.col("avgdl"))
+        return idf * (cnt * F.lit(K1 + 1.0)) / denom
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _sql_term_score(i: int) -> str:
+    return (
+        f"((n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (CAST(c{i} AS DOUBLE) * {K1 + 1.0})"
+        f" / (CAST(c{i} AS DOUBLE) + {K1} * ({1.0 - B} + {B} * CAST(dl AS DOUBLE) / avgdl))"
+    )
+
+
+def _sql_cnt(w: str) -> str:
+    return f"len(list_filter(tk, t -> t = '{w}'))"
+
+
+SQL_SEARCH_BM25 = f"""
+WITH tks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents
+),
+cnts AS (
+    SELECT doc_id, len(tk) AS dl,
+           {", ".join(f"{_sql_cnt(w)} AS c{i}" for i, w in enumerate(QUERY_TERMS))}
+    FROM tks
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN c{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+               for i in range(len(QUERY_TERMS))
+           )}
+    FROM cnts
+)
+SELECT doc_id,
+       {" + ".join(_sql_term_score(i) for i in range(len(QUERY_TERMS)))} AS score
+FROM cnts, stats
+WHERE {" + ".join(_sql_term_score(i) for i in range(len(QUERY_TERMS)))} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase match — ES `match_phrase` analogue, overlap-safe.
+
+    Counts token positions i where tokens[i..i+1] equals the phrase — integer
+    index arithmetic over the token array (no regex), so adjacent/overlapping
+    occurrences count exactly and both engines agree bit-for-bit.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    w0, w1 = PHRASE
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0)))
+    hits = F.size(
+        F.filter(
+            idx,
+            lambda i: (F.element_at(tk, i) == w0) & (F.element_at(tk, i + 1) == w1),
+        )
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "lang", hits.alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+SQL_SEARCH_PHRASE = f"""
+SELECT doc_id, lang, n_hits FROM (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(
+               generate_series(1, greatest(len(tk) - 1, 0)),
+               i -> tk[i] = '{PHRASE[0]}' AND tk[i + 1] = '{PHRASE[1]}'
+           )) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents)
+)
+WHERE n_hits > 0
+"""
+
+
+def q_get_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key point lookup — ES `mget` / HBase `Get` analogue.
+
+    A pushed-down IN filter + narrow projection: `.explain` shows the predicate in
+    PushedFilters and a 4-column ReadSchema, so a key-sorted/bucketed layout turns
+    this into row-group pruning (the columnar stand-in for HBase's rowkey seek,
+    HbaseDataSyncEsObserver.java:71 doc-id semantics).
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey").isin(*MGET_KEYS)).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+SQL_GET_BY_KEY = f"""
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_custkey IN ({", ".join(str(k) for k in MGET_KEYS)})
+"""
+
+
+QUERIES = {
+    "q_search_bm25": q_search_bm25,
+    "q_search_phrase": q_search_phrase,
+    "q_get_by_key": q_get_by_key,
+}
+
+ORACLES = {
+    "q_search_bm25": SQL_SEARCH_BM25,
+    "q_search_phrase": SQL_SEARCH_PHRASE,
+    "q_get_by_key": SQL_GET_BY_KEY,
+}
