@@ -221,26 +221,42 @@ def _minhash_cols() -> list[Column]:
 SHINGLE_N = 3
 
 
-def _shingle_hashes() -> Column:
-    """Distinct word-trigram shingles of `text`, each rolling-hashed to a long.
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): distinct word-trigram shingle hashes, as pure int64 math.
 
+    Each token is char-folded to a rolling hash ONCE; a shingle hash is then a
+    3-element integer fold over consecutive token hashes ((acc*31 + h) % MOD).
+    The token-hash array is hoisted into its OWN projection: an expression nested
+    inside the shingle lambda would be re-evaluated for every shingle index
+    (lambda bodies get no subexpression reuse), which profiled 8× slower; as a
+    multi-referenced named column, CollapseProject keeps it computed once per row.
     slice() clips at the sequence end, so docs shorter than SHINGLE_N tokens
     degrade to one shorter shingle instead of erroring — mirrored in SQL.
     """
+    d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N))
+    th_df = d.select("doc_id", F.transform(toks, _rollhash).alias("th"))
+    th = F.col("th")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(th) - (SHINGLE_N - 1), F.lit(1))
     )
-    return F.array_distinct(F.transform(shingles, _rollhash))
+    shingle = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(th, i, SHINGLE_N),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + x) % F.lit(MOD),
+        ),
+    )
+    return th_df.select("doc_id", F.array_distinct(shingle).alias("hs"))
 
 
+# expects {th} = a column of per-token rolling hashes (list_transform + rollhash);
+# list_reduce has no init arg but f(h1, h2) == fold-from-0 since 0*31 + h1 = h1.
 _SQL_SHINGLE_HASHES = (
     "list_distinct(list_transform("
-    "  list_transform(generate_series(1, greatest(len({tk}) - 2, 1)),"
-    "                 i -> array_to_string({tk}[i:i+2], ' ')),"
-    "  s -> " + _SQL_ROLLHASH.format(tok="s") + "))"
+    "  generate_series(1, greatest(len({th}) - 2, 1)),"
+    f"  i -> list_reduce({{th}}[i:i+2], (acc, x) -> (acc * 31 + x) % {MOD})))"
 )
 
 
@@ -261,9 +277,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     * trigram shingles keep buckets discriminative even on low-entropy text
       (unigram sets over a 31-word vocab put 77% of docs in one bucket).
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", _shingle_hashes().alias("hs")
-    )
+    d = _shingled_docs(spark, sf_dir)
     minh = d.select("doc_id", *_minhash_cols())
     band_structs = [
         F.struct(
@@ -327,7 +341,10 @@ def _sql_minhash_pipeline() -> str:
 WITH toksf AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), t -> t <> '') AS tk
                FROM documents),
-shing AS (SELECT doc_id, {_SQL_SHINGLE_HASHES.format(tk='tk')} AS hs FROM toksf),
+thash AS (SELECT doc_id,
+                 list_transform(tk, t -> {_SQL_ROLLHASH.format(tok='t')}) AS th
+          FROM toksf),
+shing AS (SELECT doc_id, {_SQL_SHINGLE_HASHES.format(th='th')} AS hs FROM thash),
 minh AS (SELECT doc_id, hs, {mh_exprs} FROM shing),
 bands AS ({band_selects}),
 cand AS (

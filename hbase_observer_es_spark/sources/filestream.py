@@ -11,13 +11,13 @@ here each staged file plays one such arrival burst, replayed by
 from __future__ import annotations
 
 import glob
+import math
 import os
 import shutil
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 REPO_ROOT = Path(__file__).resolve().parents[2]
 SCRATCH = REPO_ROOT / ".scratch"
@@ -38,27 +38,31 @@ def stage_ordered_batches(
     """Write ``df`` as ``n_batches`` parquet files in ``order_col`` order with
     strictly increasing mtimes, so the file source replays them as ordered
     micro-batches. Driver-side loop over n_batches (a handful) only — the data
-    itself never passes through the driver."""
+    itself never passes through the driver.
+
+    One single-task sorted write split by ``maxRecordsPerFile``: the writer's
+    sequential c-file counter encodes row order, so the batch split falls out of
+    ONE job with no window/ntile pass (global sort on one task: fine at staging
+    scale, never a production pattern — SURVEY.md §7 scale posture). Ties in
+    ``order_col`` are broken by the remaining columns for a deterministic split.
+    """
     stream_dir = os.path.join(out_dir, "stream")
     os.makedirs(stream_dir, exist_ok=True)
-    # ntile over a global sort: fine at staging scale (test input), never a
-    # production pattern — noted per SURVEY.md §7 scale posture.
-    w = Window.orderBy(order_col, *[c for c in df.columns if c != order_col])
-    sliced = df.withColumn("__b", F.ntile(n_batches).over(w))
-    for i in range(1, n_batches + 1):
-        tmp = os.path.join(out_dir, f"tmp_{i}")
-        (
-            sliced.filter(F.col("__b") == i)
-            .drop("__b")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    per_file = max(1, math.ceil(df.count() / n_batches))
+    tmp = os.path.join(out_dir, "tmp_stage")
+    (
+        df.coalesce(1)
+        .sortWithinPartitions(order_col, *[c for c in df.columns if c != order_col])
+        .write.option("maxRecordsPerFile", per_file)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    # same task uuid, zero-padded c-index ⇒ name order == row order
+    for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))), 1):
         dst = os.path.join(stream_dir, f"batch-{i:04d}.parquet")
         shutil.move(part, dst)
-        shutil.rmtree(tmp)
         os.utime(dst, (time.time() + i, time.time() + i))
+    shutil.rmtree(tmp)
     return stream_dir
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,23 @@ from ..io import table
 from ..sources.filestream import read_stream, scratch_dir, stage_ordered_batches
 
 N_BATCHES = 4
+
+# State-store partition count for the streaming queries. The shuffle-partition
+# setting at FIRST batch is baked into the checkpoint as the state partition
+# count; 8 is sized to fixture micro-batches (50 k rows) where per-partition
+# state-commit overhead dominates. At 100 TB raise it with the key cardinality —
+# it is a fresh-checkpoint-time knob, not a code change.
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,15 +76,16 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream(spark, stream_dir, e.schema)
     deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
     qname = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(out, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -109,13 +128,14 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(old, ignore_errors=True)
 
     stream = read_stream(spark, stream_dir, mut.schema)
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", os.path.join(out, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert state_holder["path"] is not None
     return spark.read.parquet(state_holder["path"]).select(
         "row_key", "qualifier", "value", "ts"
