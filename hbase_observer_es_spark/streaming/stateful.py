@@ -32,7 +32,7 @@ import shutil
 import uuid
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.cdc import SQL_CDC_TOMBSTONE, apply_tombstones, mutations
@@ -146,12 +146,116 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UPSERT_SINK = SQL_CDC_TOMBSTONE
 
 
+# ---------------------------------------------------------------------------
+# s_stateful_profile — custom stateful operator via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_PROFILE_OUT = (
+    "user_id long, n_events long, vmin double, vmax double, last_ts timestamp"
+)
+_PROFILE_STATE = "n_events long, vmin double, vmax double, last_us long"
+
+
+def _profile_update(key, pdfs, state):
+    """Arrow-batched per-user state update. State metrics are deliberately
+    order-independent (count/min/max) so the final state is exact regardless of
+    micro-batch split — no float-summation order dependence to drift from the
+    batch oracle."""
+    import pandas as pd
+
+    if state.exists:
+        n, vmin, vmax, last_us = state.get
+    else:
+        n, vmin, vmax, last_us = 0, None, None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        bmin = float(pdf["value"].min())
+        bmax = float(pdf["value"].max())
+        bus = int(pdf["ts"].max().value // 1_000)
+        vmin = bmin if vmin is None else min(vmin, bmin)
+        vmax = bmax if vmax is None else max(vmax, bmax)
+        last_us = bus if last_us is None else max(last_us, bus)
+    state.update((n, vmin, vmax, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "vmin": [vmin],
+            "vmax": [vmax],
+            "last_ts": [pd.to_datetime(last_us, unit="us")],
+        }
+    )
+
+
+def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running profile via
+    applyInPandasWithState (count, min/max value, last event time).
+
+    This is the escape hatch for operators Spark's built-in streaming aggs can't
+    express — arbitrary per-key state with Arrow-batched Python logic. Each
+    micro-batch emits the group's updated profile; the final emission per user
+    (the one with the highest n_events — strictly increasing per emission) must
+    equal the batch GROUP BY, which is the oracle.
+
+    Scale: state is partitioned by user_id in the state store; Arrow transfer is
+    per-group-batch, not per-row; watermark-driven timeouts (GroupStateTimeout)
+    would bound state for unbounded key spaces — not needed for the fixture's
+    closed key set.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    run = f"s_stateful_profile_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    e = table(spark, sf_dir, "events")
+    stream_dir = stage_ordered_batches(e, out, N_BATCHES)
+
+    stream = read_stream(spark, stream_dir, e.schema)
+    profiled = stream.groupBy("user_id").applyInPandasWithState(
+        _profile_update,
+        outputStructType=_PROFILE_OUT,
+        stateStructType=_PROFILE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"profile_{uuid.uuid4().hex[:8]}"
+    with _state_shuffle(spark):
+        q = (
+            profiled.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.table(qname)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "vmin", "vmax", "last_ts")
+    )
+
+
+SQL_STATEFUL_PROFILE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "s_watermark_dedup": s_watermark_dedup,
     "s_upsert_sink": s_upsert_sink,
+    "s_stateful_profile": s_stateful_profile,
 }
 
 ORACLES = {
     "s_watermark_dedup": SQL_WATERMARK_DEDUP,
     "s_upsert_sink": SQL_UPSERT_SINK,
+    "s_stateful_profile": SQL_STATEFUL_PROFILE,
 }
