@@ -21,6 +21,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.dedup",
     "hbase_observer_es_spark.operators.similarity",
     "hbase_observer_es_spark.operators.search",
+    "hbase_observer_es_spark.operators.scale_joins",
     "hbase_observer_es_spark.operators.udf_surface",
     "hbase_observer_es_spark.operators.multimodal",
     "hbase_observer_es_spark.streaming.windows",
