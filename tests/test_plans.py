@@ -1,0 +1,121 @@
+"""Physical-plan assertions: the scale posture, checked in CI.
+
+Correctness says the right rows come out; these tests pin HOW — the plan
+properties that decide whether the same query survives a 1000-executor,
+100 TB run: broadcast where a side is small, predicate pushdown into the
+parquet scan, no exchange on co-located (bucketed) joins, map-side partial
+aggregation, and whole-stage codegen on hot paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hbase_observer_es_spark.registry import all_queries
+
+from .conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan_of(spark, name: str) -> str:
+    """Plan AFTER execution — AQE only materializes codegen stages and final
+    join strategies once the query has run."""
+    df = QUERIES[name](spark, SF_ORACLE)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_columns(plan: str) -> list[list[str]]:
+    """Column lists of each FileScan ([c1,c2,...] right after the scan node) —
+    ReadSchema is truncated in plan strings, the bracket list is not."""
+    return [
+        m.group(1).split(",")
+        for m in re.finditer(r"FileScan parquet [^\[]*\[([^\]]*)\]", plan)
+    ]
+
+
+def test_broadcast_join_broadcasts(spark):
+    plan = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    # nation/region are tiny dims — the star join must not shuffle them
+    plan = plan_of(spark, "q_join_star")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_point_lookup_pushes_filter(spark):
+    plan = plan_of(spark, "q_get_by_key")
+    assert re.search(r"PushedFilters: \[.*In\(c_custkey", plan), plan
+
+
+def test_point_lookup_prunes_columns(spark):
+    # 4-column projection must reach the scan, not read all 8 customer columns
+    plan = plan_of(spark, "q_get_by_key")
+    cols = scan_columns(plan)
+    assert cols and len(cols[0]) == 4, plan
+
+
+def test_filter_pred_pushdown(spark):
+    plan = plan_of(spark, "q_filter_pred")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
+        "FileScan"
+    )[1].split("ReadSchema")[0], plan
+
+
+def test_bucketed_join_no_exchange_below_join(spark):
+    plan = plan_of(spark, "q_join_bucketed")
+    assert "Bucketed: true" in plan, plan
+    join_sub = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_sub, plan
+
+
+def test_agg_group_partial_aggregation(spark):
+    # map-side combine: a partial_* aggregate must appear below the exchange
+    plan = plan_of(spark, "q_agg_group")
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_agg_group_codegen(spark):
+    plan = final_plan_of(spark, "q_agg_group")
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan
+
+
+def test_scan_project_prunes(spark):
+    plan = plan_of(spark, "q_scan_project")
+    cols = scan_columns(plan)
+    # lineitem has 16 columns; the projection must read far fewer
+    assert cols and len(cols[0]) <= 6, plan
+
+
+def test_topk_is_take_ordered(spark):
+    # global top-10 must be TakeOrderedAndProject (per-partition heap + driver
+    # merge of k rows), never a full global sort
+    plan = plan_of(spark, "q_sort_limit")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_knn_is_take_ordered(spark):
+    plan = plan_of(spark, "q_sim_knn")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_agg_group", "q_join_star", "q_filter_pred", "q_win_rank", "q_dedup_minhash"],
+)
+def test_no_rdd_fallback(spark, name):
+    # DataFrame-native plans only: no RDD scans / Python row-at-a-time maps in
+    # the relational and dedup hot paths
+    plan = plan_of(spark, name)
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
