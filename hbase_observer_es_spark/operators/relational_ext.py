@@ -1,0 +1,167 @@
+"""Relational surface extensions: grouping sets, exact order statistics,
+decorrelated scalar subquery, time-range window frames.
+
+Rounds out SURVEY.md §2-B's delegated-query closure beyond the §2-C core:
+ES-style stats aggregations (percentiles), multi-dimensional bucket combos
+(grouping sets = the general form of the terms-agg matrix), and range-framed
+event analytics. All pure built-ins, all whole-stage codegen.
+
+Determinism: percentile/median are selection+single-interpolation (one IEEE op
+on two order statistics) — verified bit-identical between Spark and DuckDB's
+quantile_cont. Averages go through the decimal-sum discipline (functions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dsum, sql_dsum
+from ..io import table
+
+
+def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize.
+
+    Sets: (status), (priority), () — the "give me each dimension's totals plus
+    the grand total" shape ES needs several requests for. grouping_id
+    disambiguates the NULL-as-aggregated rows. One shuffle; Spark expands sets
+    map-side (Expand node), partial aggregation still applies.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+SQL_AGG_GROUPINGSETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 order prices per priority — the ES `percentiles` agg,
+    exact instead of t-digest. Selection + one interpolation op: deterministic
+    cross-engine (verified vs quantile_cont). At 100 TB swap the exact sort-based
+    percentile for approx_percentile and drop the oracle to rows-only — the
+    query shape is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.median("o_totalprice").alias("med_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_AGG_PERCENTILE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       median(o_totalprice) AS med_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated the Spark way: orders costing
+    more than 1.5× their customer's average order.
+
+    A per-row correlated subquery would rescan orders per order; the windowed
+    form computes every customer's average in ONE pass over the orders shuffle
+    partitioned by custkey — the plan Catalyst's decorrelation rewrites toward,
+    written directly. Average uses the decimal-sum discipline for cross-engine
+    determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+SQL_SUBQUERY_SCALAR = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+    FROM orders
+)
+WHERE o_totalprice > 1.5 * cust_avg
+"""
+
+
+def q_win_rangeframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, events and value-sum in the trailing
+    hour — the sliding-lookback analytic tumbling windows can't express.
+
+    The frame is RANGE over event-time micros, so ts-ties are peers (identical
+    in both engines); the partition shuffle is by user_id only."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+SQL_WIN_RANGEFRAME = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES = {
+    "q_agg_groupingsets": q_agg_groupingsets,
+    "q_agg_percentile": q_agg_percentile,
+    "q_subquery_scalar": q_subquery_scalar,
+    "q_win_rangeframe": q_win_rangeframe,
+}
+
+ORACLES = {
+    "q_agg_groupingsets": SQL_AGG_GROUPINGSETS,
+    "q_agg_percentile": SQL_AGG_PERCENTILE,
+    "q_subquery_scalar": SQL_SUBQUERY_SCALAR,
+    "q_win_rangeframe": SQL_WIN_RANGEFRAME,
+}

@@ -15,6 +15,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "hbase_observer_es_spark.operators.relational",
+    "hbase_observer_es_spark.operators.relational_ext",
     "hbase_observer_es_spark.operators.scalar",
     "hbase_observer_es_spark.operators.cdc",
     "hbase_observer_es_spark.operators.text",
