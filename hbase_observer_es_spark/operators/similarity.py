@@ -202,14 +202,39 @@ LIMIT {K}
 """
 
 
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: the survivor set under keep-lowest-id.
+
+    q_sim_pairs mines the near-dup pairs; this applies the dedup policy — drop
+    every vector that has a same-label neighbor with a smaller id above the
+    threshold (the transitive-closure-free greedy used by big corpus dedups:
+    each duplicate names at least one earlier survivor-or-duplicate it matches).
+    One anti-join over the (small) duplicate-id set; the quadratic part is the
+    label-blocked pair mining, bounded exactly as at 100 TB by the block size.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dups = q_sim_pairs(spark, sf_dir).select(F.col("b_id").alias("vec_id")).distinct()
+    return e.join(dups, "vec_id", "left_anti").select("vec_id", "label")
+
+
+SQL_DEDUP_EMBED = f"""
+WITH pairs AS ({SQL_SIM_PAIRS})
+SELECT vec_id, label
+FROM embeddings
+WHERE vec_id NOT IN (SELECT b_id FROM pairs)
+"""
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_pairs": q_sim_pairs,
     "q_sim_ivf": q_sim_ivf,
+    "q_dedup_embed": q_dedup_embed,
 }
 
 ORACLES = {
     "q_sim_knn": SQL_SIM_KNN,
     "q_sim_pairs": SQL_SIM_PAIRS,
     "q_sim_ivf": SQL_SIM_IVF,
+    "q_dedup_embed": SQL_DEDUP_EMBED,
 }
