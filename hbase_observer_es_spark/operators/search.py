@@ -48,15 +48,15 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(d) = Σ_t idf_t · cnt_t·(k1+1) / (cnt_t + k1·(1−b + b·dl/avgdl))
     with idf_t = (N − df_t + 0.5)/(df_t + 0.5); k1=1.2, b=0.75.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select("doc_id", _toks().alias("tk"))
 
     def cnt(w: str) -> Column:
         # nested def, not a default-arg lambda: a 2-param lambda would be treated
         # as filter's (element, index) form and shadow the captured term.
-        return F.size(F.filter(_toks(), lambda t: t == w))
+        return F.size(F.filter(F.col("tk"), lambda t: t == w))
 
     cnt_cols = [cnt(w).alias(f"c{i}") for i, w in enumerate(QUERY_TERMS)]
-    cnts = d.select("doc_id", F.size(_toks()).alias("dl"), *cnt_cols)
+    cnts = d.select("doc_id", F.size(F.col("tk")).alias("dl"), *cnt_cols)
     stats = cnts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
@@ -131,18 +131,28 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences count exactly and both engines agree bit-for-bit.
     """
     d = table(spark, sf_dir, "documents")
-    tk = _toks()
     w0, w1 = PHRASE
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0)))
-    hits = F.size(
-        F.filter(
-            idx,
-            lambda i: (F.element_at(tk, i) == w0) & (F.element_at(tk, i + 1) == w1),
-        )
-    ).cast("bigint")
+    # hoist the token array into a named column: an expression nested in the
+    # index lambda below would re-split the text per index element (see
+    # dedup._shingled_docs for the profiled 8× cost of that mistake)
+    dd = d.select("doc_id", "lang", _toks().alias("tk"))
+    tk = F.col("tk")
+    # greatest(...,1) not 0: sequence(1,0) DESCENDS in Spark but is empty in
+    # DuckDB; try_element_at makes the one-token-doc probe null-safe (ANSI mode
+    # throws on out-of-bounds element_at)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+    hit_positions = F.filter(
+        idx,
+        lambda i: (F.try_element_at(tk, i) == w0)
+        & (F.try_element_at(tk, i + 1) == w1),
+    )
+    # explode hits + re-aggregate instead of filter(n_hits > 0): a filter on the
+    # computed column would be pushed below the projection and re-expand the
+    # whole expression (re-splitting text per index element) in the Filter node
     return (
-        d.select("doc_id", "lang", hits.alias("n_hits"))
-        .filter(F.col("n_hits") > 0)
+        dd.select("doc_id", "lang", F.explode(hit_positions).alias("pos"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
 
 
@@ -150,7 +160,7 @@ SQL_SEARCH_PHRASE = f"""
 SELECT doc_id, lang, n_hits FROM (
     SELECT doc_id, lang,
            CAST(len(list_filter(
-               generate_series(1, greatest(len(tk) - 1, 0)),
+               generate_series(1, greatest(len(tk) - 1, 1)),
                i -> tk[i] = '{PHRASE[0]}' AND tk[i + 1] = '{PHRASE[1]}'
            )) AS BIGINT) AS n_hits
     FROM (SELECT doc_id, lang,
