@@ -27,8 +27,11 @@ ReentrantLock buffer (ElasticsearchBulkOperator.java:47) cannot have.
 
 from __future__ import annotations
 
+import datetime
+import glob
 import os
 import shutil
+import time
 import uuid
 from contextlib import contextmanager
 
@@ -248,14 +251,85 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# s_win_stream — true readStream twin of s_win_tumbling (append + watermark)
+# ---------------------------------------------------------------------------
+
+
+def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a REAL stream, append mode.
+
+    The batch twin (s_win_tumbling) runs the same expressions over the static
+    table; here the windows accumulate across micro-batches and each window is
+    emitted exactly once when the watermark passes its end — the production
+    late-data discipline. A far-future sentinel event in a final micro-batch
+    pushes the watermark past every real window so the append-mode output
+    converges to exactly the batch result (the sentinel's own window stays
+    un-emitted in state, and is excluded by event_type).
+
+    Scale: state is one row per (window, event_type); the watermark bounds it —
+    windows older than the lateness horizon are evicted on emission.
+    """
+    from ..functions import dsum
+
+    run = f"s_win_stream_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    e = table(spark, sf_dir, "events")
+    stream_dir = stage_ordered_batches(e, out, N_BATCHES)
+
+    max_ts = e.agg(F.max("ts").alias("m")).head()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
+        schema=e.schema,
+    )
+    sent_path = os.path.join(stream_dir, "batch-9999.parquet")
+    tmp = os.path.join(out, "tmp_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], sent_path)
+    shutil.rmtree(tmp)
+    os.utime(sent_path, (time.time() + 99, time.time() + 99))
+
+    stream = read_stream(spark, stream_dir, e.schema)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    qname = f"winstream_{uuid.uuid4().hex[:8]}"
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).filter(F.col("event_type") != "sentinel")
+
+
+# append-mode stream must converge to exactly the batch tumbling-window result
+from .windows import SQL_WIN_TUMBLING as SQL_WIN_STREAM  # noqa: E402
+
+
 QUERIES = {
     "s_watermark_dedup": s_watermark_dedup,
     "s_upsert_sink": s_upsert_sink,
     "s_stateful_profile": s_stateful_profile,
+    "s_win_stream": s_win_stream,
 }
 
 ORACLES = {
     "s_watermark_dedup": SQL_WATERMARK_DEDUP,
     "s_upsert_sink": SQL_UPSERT_SINK,
     "s_stateful_profile": SQL_STATEFUL_PROFILE,
+    "s_win_stream": SQL_WIN_STREAM,
 }
