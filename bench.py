@@ -22,17 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hbase_observer_es_spark.registry import all_queries  # noqa: E402
 from hbase_observer_es_spark.session import get_spark  # noqa: E402
 
-STREAMING = {"s_watermark_dedup", "s_upsert_sink"}
-
-
 def run_one(spark, fn, name: str, sf_dir: str) -> float:
+    """Wall-clock of building + fully executing the plan into the noop sink.
+    Streaming queries (s_*) execute their own micro-batch pipeline inside fn;
+    their final-result read is included the same way."""
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    if name in STREAMING:
-        # streaming queries already executed their pipeline; force the final read
-        df.write.format("noop").mode("overwrite").save()
-    else:
-        df.write.format("noop").mode("overwrite").save()
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -44,8 +40,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    # JVM/codegen warmup outside the measurement
+    # JVM/codegen warmup outside the measurement: one scan-shaped and one
+    # join+agg-shaped query warm the codegen/shuffle/broadcast machinery
     run_one(spark, queries["q_scan_project"], "q_scan_project", sf_dir)
+    run_one(spark, queries["q_join_star"], "q_join_star", sf_dir)
 
     times: dict[str, float] = {}
     for name in sorted(queries):
