@@ -15,6 +15,8 @@ expressed as joins + aggs. An embedding-heavy deployment would add a pandas_udf
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -225,11 +227,46 @@ WHERE vec_id NOT IN (SELECT b_id FROM pairs)
 """
 
 
+def q_sim_knn_pudf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN scored by a numpy pandas_udf — the production BLAS path.
+
+    Same query shape as q_sim_knn; the cosine runs as `M @ q` over whole Arrow
+    batches (one GEMV per batch) instead of a per-row JVM fold. This is what an
+    embedding-heavy deployment runs at 100 TB: Arrow amortizes the JVM↔Python
+    hop, BLAS amortizes the flops. The probe is ONE vector fetched driver-side
+    (the only acceptable collect: k rows / single probe, never the corpus).
+
+    Rows-only check by design: BLAS pairwise summation reorders the float adds,
+    so scores differ from the SQL mirror in final ulps — the plumbing and the
+    neighbor set are what this query pins down, not fold-order-identical floats.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding").head()[0]
+    q = np.asarray(probe, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def cos(emb):
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series((M @ q) / (np.linalg.norm(M, axis=1) * qn))
+
+    return (
+        e.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", "label", cos("embedding").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_pairs": q_sim_pairs,
     "q_sim_ivf": q_sim_ivf,
     "q_dedup_embed": q_dedup_embed,
+    # rows-only by design (BLAS float reordering) — no ORACLES entry
+    "q_sim_knn_pudf": q_sim_knn_pudf,
 }
 
 ORACLES = {
