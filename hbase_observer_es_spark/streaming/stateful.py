@@ -38,7 +38,8 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.cdc import SQL_CDC_TOMBSTONE, apply_tombstones, mutations
+from ..operators.cdc import SQL_CDC_TOMBSTONE, mutations
+from ..sinks.keyed_parquet import KeyedParquetSink
 from ..io import table
 from ..sources.filestream import read_stream, scratch_dir, stage_ordered_batches
 
@@ -108,41 +109,17 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     mut = mutations(spark, sf_dir)
     stream_dir = stage_ordered_batches(mut, out, N_BATCHES)
 
-    state_holder = {"path": None}
-    cell_schema = "row_key string, qualifier string, value string, ts timestamp"
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        if state_holder["path"] is None:
-            state = s.createDataFrame([], cell_schema)
-        else:
-            state = s.read.parquet(state_holder["path"])
-        # existing cells re-enter the merge as upserts at their original ts;
-        # batch deletes with newer ts tombstone them (arrival-order semantics)
-        combined = state.withColumn("op", F.lit("upsert")).unionByName(
-            batch_df.select("row_key", "qualifier", "value", "ts", "op")
-        )
-        new_state = apply_tombstones(combined)
-        new_path = os.path.join(out, f"state_{batch_id}")
-        new_state.write.mode("overwrite").parquet(new_path)
-        old = state_holder["path"]
-        state_holder["path"] = new_path
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
-
+    sink = KeyedParquetSink(out)
     stream = read_stream(spark, stream_dir, mut.schema)
     with _state_shuffle(spark):
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(sink.merge_batch)
             .option("checkpointLocation", os.path.join(out, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    assert state_holder["path"] is not None
-    return spark.read.parquet(state_holder["path"]).select(
-        "row_key", "qualifier", "value", "ts"
-    )
+    return sink.read(spark).select("row_key", "qualifier", "value", "ts")
 
 
 # the streaming sink must converge to exactly the batch tombstone snapshot
