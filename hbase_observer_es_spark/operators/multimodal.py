@@ -118,12 +118,66 @@ FROM documents
 """
 
 
+FRAME_STRIDE = 2
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_hash long"
+
+
+def q_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: ONE payload row → MANY frame rows via mapInPandas.
+
+    The shape real frame extraction needs — the Python iterator yields more rows
+    than it receives (strided sample of each clip's n_frames), with a per-frame
+    feature column. Row counts change inside the UDF, so this is mapInPandas
+    territory (a pandas_udf must stay 1:1). The frame decode itself is the same
+    deterministic fake as q_mm_decode (no codec libs in the container); the
+    batch shape, schema, and fan-out plumbing are the real thing.
+
+    Scale: fan-out happens executor-side per Arrow batch — no shuffle, no
+    explode of materialized frame arrays through the JVM; downstream operators
+    see a plain (doc_id, frame_idx)-keyed frame table.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                first = b[0] if b else 0
+                n_frames = 1 + (first % 8)
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_hash"].append((first * 31 + idx * 7) % 256)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(sample_batches, FRAME_SCHEMA)
+
+
+SQL_MM_FRAMESAMPLE = f"""
+SELECT doc_id,
+       unnest(generate_series(0, nf - 1, {FRAME_STRIDE})) AS frame_idx,
+       CAST((fb * 31 + unnest(generate_series(0, nf - 1, {FRAME_STRIDE})) * 7) % 256
+            AS BIGINT) AS frame_hash
+FROM (
+    SELECT doc_id,
+           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS fb,
+           1 + (ascii(substring(text, 1, 1)) % 8) AS nf
+    FROM documents
+)
+"""
+
+
 QUERIES = {
     "q_mm_decode": q_mm_decode,
     "q_mm_meta": q_mm_meta,
+    "q_mm_framesample": q_mm_framesample,
 }
 
 ORACLES = {
     "q_mm_decode": SQL_MM_DECODE,
     "q_mm_meta": SQL_MM_META,
+    "q_mm_framesample": SQL_MM_FRAMESAMPLE,
 }
