@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import davg, dsum, sql_davg, sql_dsum
+from ..functions import davg, dsum, lavg, lsum, sql_davg, sql_dsum, sql_lavg, sql_lsum
 from ..io import table
 
 # ---------------------------------------------------------------------------
@@ -358,16 +358,21 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
+            # linear 2dp/4dp columns take the long-cents path (lsum/lavg):
+            # range-bounded so the integer sum holds even at 100 TB row counts,
+            # and ~5× faster than the widened-decimal accumulator (functions.py)
+            lsum("l_quantity", "sum_qty"),
+            lsum("l_extendedprice", "sum_base_price"),
+            # products keep the 128-bit decimal accumulator — their scaled-int
+            # sums (4dp/6dp × price magnitude) would overflow int64 at scale.
             # scale covers the exact decimal width of each product (2dp inputs:
             # disc = 2dp*2dp = 4dp, charge = 6dp) — neither engine ever rounds,
             # so Spark's HALF_UP and DuckDB's half-even can't diverge.
             dsum(disc, "sum_disc_price", scale=4),
             dsum(charge, "sum_charge", scale=6),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc", scale=4),
+            lavg("l_quantity", "avg_qty"),
+            lavg("l_extendedprice", "avg_price"),
+            lavg("l_discount", "avg_disc", scale=4),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -375,13 +380,13 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AGG_GROUP = f"""
 SELECT l_returnflag, l_linestatus,
-       {sql_dsum("l_quantity", "sum_qty")},
-       {sql_dsum("l_extendedprice", "sum_base_price")},
+       {sql_lsum("l_quantity", "sum_qty")},
+       {sql_lsum("l_extendedprice", "sum_base_price")},
        {sql_dsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price", scale=4)},
        {sql_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge", scale=6)},
-       {sql_davg("l_quantity", "avg_qty")},
-       {sql_davg("l_extendedprice", "avg_price")},
-       {sql_davg("l_discount", "avg_disc", scale=4)},
+       {sql_lavg("l_quantity", "avg_qty")},
+       {sql_lavg("l_extendedprice", "avg_price")},
+       {sql_lavg("l_discount", "avg_disc", scale=4)},
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
