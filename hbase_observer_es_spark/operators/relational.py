@@ -9,7 +9,9 @@ so Catalyst gets predicate pushdown / column pruning / join planning for free.
 Scale notes (100 TB posture) are per-query in docstrings. Shared rules:
 * dimension tables (region/nation/customer at TPC-H ratios) are broadcast explicitly;
 * fact-fact joins carry an equality key so they hash/sort-merge partition cleanly;
-* aggregates use decimal-cast sums (functions.dsum) — deterministic AND still
+* float aggregates are order-independent by construction: long-cents sums
+  (functions.lsum) for range-bounded 2dp money columns, 128-bit decimal sums
+  (functions.dsum) where scaled-int would overflow at 100 TB row counts — both
   map-side-partial-aggregated inside whole-stage codegen;
 * every LIMIT is tie-broken by a unique key so results are stable under any
   partitioning.
@@ -327,8 +329,8 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity", "sum_qty"),
-        davg("l_extendedprice", "avg_price"),
+        lsum("l_quantity", "sum_qty"),
+        lavg("l_extendedprice", "avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.min("l_shipdate").alias("min_shipdate"),
@@ -338,8 +340,8 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AGG_GLOBAL = f"""
 SELECT COUNT(*) AS n_rows,
-       {sql_dsum("l_quantity", "sum_qty")},
-       {sql_davg("l_extendedprice", "avg_price")},
+       {sql_lsum("l_quantity", "sum_qty")},
+       {sql_lavg("l_extendedprice", "avg_price")},
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price,
        MIN(l_shipdate) AS min_shipdate,
@@ -436,7 +438,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "revenue"),
+            lsum("o_totalprice", "revenue"),
             F.grouping("c_mktsegment").cast("bigint").alias("g_mkt"),
             F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
         )
@@ -446,7 +448,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_ROLLUP = f"""
 SELECT c_mktsegment, o_orderstatus,
        COUNT(*) AS n_orders,
-       {sql_dsum("o_totalprice", "revenue")},
+       {sql_lsum("o_totalprice", "revenue")},
        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_mkt,
        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
 FROM orders JOIN customer ON o_custkey = c_custkey

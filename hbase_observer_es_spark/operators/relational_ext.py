@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsum, sql_dsum
+from ..functions import lsum, sql_lsum
 from ..io import table
 
 
@@ -38,7 +38,7 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "total_price"),
+            lsum("o_totalprice", "total_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
@@ -48,7 +48,7 @@ SQL_AGG_GROUPINGSETS = f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
        COUNT(*) AS n_orders,
-       {sql_dsum("o_totalprice", "total_price")}
+       {sql_lsum("o_totalprice", "total_price")}
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """

@@ -22,7 +22,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dsum, sql_dsum
+from ..functions import lsum, sql_lsum
 from ..io import table
 from ..sources.filestream import SCRATCH
 
@@ -57,7 +57,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum("l_extendedprice", "revenue"),
+            lsum("l_extendedprice", "revenue"),
         )
     )
 
@@ -65,7 +65,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_SALTED = f"""
 SELECT s_nationkey,
        COUNT(*) AS n_items,
-       {sql_dsum("l_extendedprice", "revenue")}
+       {sql_lsum("l_extendedprice", "revenue")}
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """
@@ -109,14 +109,14 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "total_price"),
+        lsum("o_totalprice", "total_price"),
     )
 
 
 SQL_JOIN_BUCKETED = f"""
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       {sql_dsum("o_totalprice", "total_price")}
+       {sql_lsum("o_totalprice", "total_price")}
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
