@@ -66,6 +66,34 @@ def stage_ordered_batches(
     return stream_dir
 
 
+def stage_cached(df: DataFrame, cache_key: str, out_dir: str, n_batches: int) -> str:
+    """``stage_ordered_batches`` with a process-level cache.
+
+    Several streaming queries replay the SAME deterministic input (e.g. the
+    events table split 4 ways); the sorted staging write is the expensive part,
+    so it runs once per (cache_key, n_batches) and each run gets an isolated
+    COPY of the staged files (small — fixture scale) with fresh mtimes. Callers
+    must pass a cache_key that uniquely identifies df's content (e.g. table name
+    + sf_dir); a sloppy key silently replays the wrong data.
+    """
+    safe = "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in cache_key)
+    cache = SCRATCH / "staged" / f"{safe}-{n_batches}"
+    if not cache.exists():
+        build = str(cache) + ".build"
+        shutil.rmtree(build, ignore_errors=True)
+        staged = stage_ordered_batches(df, build, n_batches)
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        shutil.move(staged, str(cache))
+        shutil.rmtree(build, ignore_errors=True)
+    stream_dir = os.path.join(out_dir, "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    for i, src in enumerate(sorted(glob.glob(str(cache / "batch-*.parquet"))), 1):
+        dst = os.path.join(stream_dir, os.path.basename(src))
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return stream_dir
+
+
 def read_stream(spark: SparkSession, stream_dir: str, schema) -> DataFrame:
     return (
         spark.readStream.schema(schema)
