@@ -23,6 +23,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.similarity",
     "hbase_observer_es_spark.operators.search",
     "hbase_observer_es_spark.operators.scale_joins",
+    "hbase_observer_es_spark.operators.scale_scan",
     "hbase_observer_es_spark.operators.udf_surface",
     "hbase_observer_es_spark.operators.multimodal",
     "hbase_observer_es_spark.streaming.windows",

@@ -79,6 +79,12 @@ def test_bucketed_join_no_exchange_below_join(spark):
     assert "Exchange" not in join_sub, plan
 
 
+def test_scan_pruned_partition_filter(spark):
+    # the date predicate must prune partition DIRECTORIES, not filter rows
+    plan = plan_of(spark, "q_scan_pruned")
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date", plan), plan
+
+
 def test_agg_group_partial_aggregation(spark):
     # map-side combine: a partial_* aggregate must appear below the exchange
     plan = plan_of(spark, "q_agg_group")
