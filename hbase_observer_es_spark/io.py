@@ -53,3 +53,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ad-hoc ``spark.sql``.
+
+    The reference's end users query through the ES search API; this engine's
+    equivalent ad-hoc surface is Spark SQL itself — after this call any ANSI
+    query over the ten tables runs through the same pruned/pushed-down scans the
+    operator modules use (views are lazy; no materialization happens here).
+    """
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
