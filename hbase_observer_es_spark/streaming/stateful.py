@@ -297,11 +297,75 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .windows import SQL_WIN_TUMBLING as SQL_WIN_STREAM  # noqa: E402
 
 
+def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under a TRUE stream — the merging-interval state path.
+
+    Unlike tumbling windows (fixed assignment), streaming session windows MERGE
+    state: a new event can fuse two open sessions of the same user into one.
+    Same convergence scheme as s_win_stream: watermarked append mode + a
+    far-future sentinel to flush every real session; result must equal the batch
+    gap-islands oracle (s_win_session's SQL). The sentinel's own session stays
+    open in state and its user is excluded.
+
+    Scale: state per (user, open session interval), merged within key partitions
+    and evicted when the watermark passes a session's close — the bounded-state
+    form of per-entity sessionization at 100 TB/day.
+    """
+    from ..functions import dsum
+
+    run = f"s_session_stream_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    e = table(spark, sf_dir, "events")
+    stream_dir = stage_cached(e, f"events-{sf_dir}", out, N_BATCHES)
+
+    max_ts = e.agg(F.max("ts").alias("m")).head()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
+        schema=e.schema,
+    )
+    sent_path = os.path.join(stream_dir, "batch-9999.parquet")
+    tmp = os.path.join(out, "tmp_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], sent_path)
+    shutil.rmtree(tmp)
+    os.utime(sent_path, (time.time() + 99, time.time() + 99))
+
+    stream = read_stream(spark, stream_dir, e.schema)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    qname = f"sessstream_{uuid.uuid4().hex[:8]}"
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).filter(F.col("user_id") != -1)
+
+
+from .windows import SQL_WIN_SESSION as SQL_SESSION_STREAM  # noqa: E402
+
+
 QUERIES = {
     "s_watermark_dedup": s_watermark_dedup,
     "s_upsert_sink": s_upsert_sink,
     "s_stateful_profile": s_stateful_profile,
     "s_win_stream": s_win_stream,
+    "s_session_stream": s_session_stream,
 }
 
 ORACLES = {
@@ -309,4 +373,5 @@ ORACLES = {
     "s_upsert_sink": SQL_UPSERT_SINK,
     "s_stateful_profile": SQL_STATEFUL_PROFILE,
     "s_win_stream": SQL_WIN_STREAM,
+    "s_session_stream": SQL_SESSION_STREAM,
 }
