@@ -16,7 +16,6 @@ ingest.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,13 +23,13 @@ from pyspark.sql import functions as F
 
 from ..functions import dsum, sql_dsum
 from ..io import table
-from ..sources.filestream import SCRATCH
+from ..sources.filestream import SCRATCH, source_fingerprint
 
 PRUNE_DATE = "2024-01-01"
 
 
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    key = source_fingerprint(sf_dir, "events")
     path = SCRATCH / "warehouse" / f"events_by_date_{key}"
     done = path / "_STAGED"
     if not done.exists():

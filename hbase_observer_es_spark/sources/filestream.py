@@ -11,6 +11,7 @@ here each staged file plays one such arrival burst, replayed by
 from __future__ import annotations
 
 import glob
+import hashlib
 import math
 import os
 import shutil
@@ -64,6 +65,16 @@ def stage_ordered_batches(
         os.utime(dst, (time.time() + i, time.time() + i))
     shutil.rmtree(tmp)
     return stream_dir
+
+
+def source_fingerprint(sf_dir: str, table_name: str) -> str:
+    """Cache key component tied to the source parquet's identity AND content
+    (path + mtime + size): regenerated testdata at the same path invalidates
+    every cache derived from it instead of silently serving stale batches."""
+    p = os.path.join(sf_dir, f"{table_name}.parquet")
+    st = os.stat(p)
+    digest = hashlib.sha1(f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()
+    return f"{table_name}-{digest[:12]}"
 
 
 def stage_cached(df: DataFrame, cache_key: str, out_dir: str, n_batches: int) -> str:

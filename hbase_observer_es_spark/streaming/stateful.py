@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..operators.cdc import SQL_CDC_TOMBSTONE, mutations
 from ..sinks.keyed_parquet import KeyedParquetSink
 from ..io import table
-from ..sources.filestream import read_stream, scratch_dir, stage_cached
+from ..sources.filestream import read_stream, scratch_dir, source_fingerprint, stage_cached
 
 N_BATCHES = 4
 
@@ -75,7 +75,7 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
     doubled = e.unionByName(e)
-    stream_dir = stage_cached(doubled, f"events2x-{sf_dir}", out, N_BATCHES)
+    stream_dir = stage_cached(doubled, "2x-" + source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
     stream = read_stream(spark, stream_dir, e.schema)
     deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
@@ -107,7 +107,7 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"s_upsert_sink_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     mut = mutations(spark, sf_dir)
-    stream_dir = stage_cached(mut, f"mutations-{sf_dir}", out, N_BATCHES)
+    stream_dir = stage_cached(mut, "mut-" + source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
     sink = KeyedParquetSink(out)
     stream = read_stream(spark, stream_dir, mut.schema)
@@ -187,7 +187,7 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"s_stateful_profile_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
-    stream_dir = stage_cached(e, f"events-{sf_dir}", out, N_BATCHES)
+    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
     stream = read_stream(spark, stream_dir, e.schema)
     profiled = stream.groupBy("user_id").applyInPandasWithState(
@@ -252,7 +252,7 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"s_win_stream_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
-    stream_dir = stage_cached(e, f"events-{sf_dir}", out, N_BATCHES)
+    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
     max_ts = e.agg(F.max("ts").alias("m")).head()[0]
     sentinel = spark.createDataFrame(
@@ -316,7 +316,7 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"s_session_stream_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
-    stream_dir = stage_cached(e, f"events-{sf_dir}", out, N_BATCHES)
+    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
     max_ts = e.agg(F.max("ts").alias("m")).head()[0]
     sentinel = spark.createDataFrame(
