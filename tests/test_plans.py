@@ -20,17 +20,21 @@ from .conftest import SF_ORACLE
 QUERIES = all_queries()
 
 
+from hbase_observer_es_spark.plans.inspect import plan_facts, plan_string
+
+
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_ORACLE)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_string(QUERIES[name](spark, SF_ORACLE))
 
 
 def final_plan_of(spark, name: str) -> str:
     """Plan AFTER execution — AQE only materializes codegen stages and final
     join strategies once the query has run."""
-    df = QUERIES[name](spark, SF_ORACLE)
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_string(QUERIES[name](spark, SF_ORACLE), executed=True)
+
+
+def facts_of(spark, name: str):
+    return plan_facts(QUERIES[name](spark, SF_ORACLE))
 
 
 def scan_columns(plan: str) -> list[list[str]]:
@@ -43,14 +47,12 @@ def scan_columns(plan: str) -> list[list[str]]:
 
 
 def test_broadcast_join_broadcasts(spark):
-    plan = plan_of(spark, "q_join_broadcast")
-    assert "BroadcastHashJoin" in plan, plan
+    assert facts_of(spark, "q_join_broadcast").broadcast_joins >= 1
 
 
 def test_star_join_broadcasts_dims(spark):
     # nation/region are tiny dims — the star join must not shuffle them
-    plan = plan_of(spark, "q_join_star")
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert facts_of(spark, "q_join_star").broadcast_joins >= 2
 
 
 def test_point_lookup_pushes_filter(spark):
@@ -122,6 +124,5 @@ def test_knn_is_take_ordered(spark):
 def test_no_rdd_fallback(spark, name):
     # DataFrame-native plans only: no RDD scans / Python row-at-a-time maps in
     # the relational and dedup hot paths
-    plan = plan_of(spark, name)
-    assert "Scan ExistingRDD" not in plan, plan
-    assert "BatchEvalPython" not in plan, plan
+    f = facts_of(spark, name)
+    assert not f.rdd_scan and not f.python_eval, name
