@@ -152,11 +152,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+PAGE_SIZE = 20
+# the cursor: (o_totalprice, o_orderkey) of the last row of the previous page —
+# a fixed literal here; a service would thread the previous response's last row
+CURSOR_PRICE = 450000.0
+CURSOR_KEY = 0
+
+
+def q_page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination — ES `search_after`, Spark-native.
+
+    OFFSET pagination re-sorts and skips N rows per page (O(pages²) total work
+    and unstable under concurrent writes); keyset pagination pushes the cursor
+    as a PREDICATE, so every page is a filter + TakeOrdered over a shrinking
+    tail — constant work per page at any depth, stable under a unique total
+    order. The tuple comparison (price, key) strictly-after the cursor is the
+    lexicographic one, spelled out so both engines agree on ties.
+    """
+    o = table(spark, sf_dir, "orders")
+    after_cursor = (F.col("o_totalprice") < F.lit(CURSOR_PRICE)) | (
+        (F.col("o_totalprice") == F.lit(CURSOR_PRICE))
+        & (F.col("o_orderkey") > F.lit(CURSOR_KEY))
+    )
+    return (
+        o.filter(after_cursor)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(PAGE_SIZE)
+    )
+
+
+SQL_PAGE_KEYSET = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice < {CURSOR_PRICE}
+   OR (o_totalprice = {CURSOR_PRICE} AND o_orderkey > {CURSOR_KEY})
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {PAGE_SIZE}
+"""
+
+
 QUERIES = {
     "q_agg_groupingsets": q_agg_groupingsets,
     "q_agg_percentile": q_agg_percentile,
     "q_subquery_scalar": q_subquery_scalar,
     "q_win_rangeframe": q_win_rangeframe,
+    "q_page_keyset": q_page_keyset,
 }
 
 ORACLES = {
@@ -164,4 +205,5 @@ ORACLES = {
     "q_agg_percentile": SQL_AGG_PERCENTILE,
     "q_subquery_scalar": SQL_SUBQUERY_SCALAR,
     "q_win_rangeframe": SQL_WIN_RANGEFRAME,
+    "q_page_keyset": SQL_PAGE_KEYSET,
 }

@@ -21,6 +21,9 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batches for pandas UDF / toPandas exchange (10-100x row-at-a-time).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # MIN/MAX/COUNT over parquet without filters answer from footer statistics —
+    # a pure-metadata scan when a query qualifies (e.g. unfiltered global aggs).
+    "spark.sql.parquet.aggregatePushDown": "true",
     # Deterministic timestamp interpretation, independent of machine TZ.
     "spark.sql.session.timeZone": "UTC",
 }
