@@ -1,0 +1,59 @@
+"""Edge behavior: pagination continuity, empty-input operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_observer_es_spark.io import table
+from hbase_observer_es_spark.operators.cdc import (
+    apply_tombstones,
+    latest_cell_state,
+    merge_documents,
+    pivot_cells,
+)
+from hbase_observer_es_spark.operators.relational_ext import PAGE_SIZE
+
+from .conftest import SF_ORACLE
+
+MUT_SCHEMA = "row_key string, qualifier string, value string, op string, ts timestamp"
+
+
+def test_keyset_pages_tile_the_total_order(spark):
+    """Page 1 (no cursor) + page 2 (cursor = page 1's last row) must equal the
+    top-2N of the total order — the invariant that makes keyset pagination a
+    correct replacement for OFFSET."""
+    o = table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    total = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    page1 = total.limit(PAGE_SIZE).collect()
+    last = page1[-1]
+    after = (F.col("o_totalprice") < last.o_totalprice) | (
+        (F.col("o_totalprice") == last.o_totalprice)
+        & (F.col("o_orderkey") > last.o_orderkey)
+    )
+    page2 = (
+        o.filter(after)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(PAGE_SIZE)
+        .collect()
+    )
+    expect = total.limit(2 * PAGE_SIZE).collect()
+    assert [tuple(r) for r in page1 + page2] == [tuple(r) for r in expect]
+
+
+def test_cdc_operators_on_empty_log(spark):
+    empty = spark.createDataFrame([], MUT_SCHEMA)
+    assert latest_cell_state(empty).count() == 0
+    assert apply_tombstones(empty).count() == 0
+    assert merge_documents(empty).count() == 0
+    assert pivot_cells(empty).count() == 0
+
+
+def test_delete_only_log(spark):
+    import datetime as dt
+
+    only_deletes = spark.createDataFrame(
+        [("k", "q", None, "delete", dt.datetime(2024, 1, 1))], MUT_SCHEMA
+    )
+    assert apply_tombstones(only_deletes).count() == 0
