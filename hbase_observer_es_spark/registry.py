@@ -26,6 +26,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.scale_scan",
     "hbase_observer_es_spark.operators.udf_surface",
     "hbase_observer_es_spark.operators.multimodal",
+    "hbase_observer_es_spark.operators.pipeline",
     "hbase_observer_es_spark.streaming.windows",
     "hbase_observer_es_spark.streaming.stateful",
 )
