@@ -98,25 +98,51 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocked form of all-pairs similarity: the label bucket bounds the quadratic
     blowup exactly like an LSH/IVF cell would at 100 TB.
 
-    Norms are computed once per vector BEFORE the pair join (one fold per row,
-    not three folds per pair) — same doubles as the oracle's per-pair recompute,
-    at a third of the flops."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "label", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"),
-    )
-    b = e.select(
-        F.col("label").alias("label_b"), F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"),
-    )
-    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
-    return (
-        a.join(b, (a.label == b.label_b) & (a.a_id < b.b_id))
-        .select("label", "a_id", "b_id", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= PAIR_COS_THRESHOLD)
+    Implementation: applyInPandas per label block, with the FOLD-EXACT numpy
+    trick — accumulate the dot product dimension-by-dimension (vectorized across
+    all pairs at once, sequential across dims), which performs float adds in the
+    exact (0+p₁)+p₂+… association of the JVM fold and the SQL list_reduce mirror,
+    so every cosine is bit-identical to the oracle while the block's whole pair
+    matrix costs 64 vectorized ops instead of |pairs|·64 interpreted lambda steps
+    (profiled ~10×; a plain `M @ q` BLAS product would be faster still but
+    reorders the adds — see q_sim_knn_pudf for that rows-only variant).
+    At 100 TB blocks come from LSH/IVF cells; a block must fit one task."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+
+    def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"label": [], "a_id": [], "b_id": [], "cos_sim": []}
+            ).astype({"label": "int32", "a_id": "int64", "b_id": "int64",
+                      "cos_sim": "float64"})
+        ai, bi = np.triu_indices(n, k=1)
+        dot = np.zeros(len(ai))
+        sq = np.zeros(n)
+        for d in range(M.shape[1]):  # dim-sequential: fold-exact association
+            col = M[:, d]
+            dot = dot + col[ai] * col[bi]
+            sq = sq + col * col
+        nrm = np.sqrt(sq)
+        cos = dot / (nrm[ai] * nrm[bi])
+        keep = cos >= PAIR_COS_THRESHOLD
+        return pd.DataFrame(
+            {
+                "label": np.full(int(keep.sum()), pdf["label"].iloc[0], dtype="int32"),
+                "a_id": ids[ai[keep]],
+                "b_id": ids[bi[keep]],
+                "cos_sim": cos[keep],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        pairs_of, "label int, a_id long, b_id long, cos_sim double"
     )
 
 
