@@ -415,11 +415,108 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+# ---------------------------------------------------------------------------
+# q_dedup_clusters — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components of the MinHash pair graph, by
+    iterative min-label propagation — the Spark iterative-algorithm pattern.
+
+    Pair lists (q_dedup_minhash) overcount: A~B and B~C may be one duplicate
+    group. Components give the dedup unit directly; the cluster representative
+    (min doc_id) is the survivor. The loop repeats `label ← min(label,
+    neighbors' labels)` until a fixpoint; each iteration is two shuffles
+    (join + groupBy) over the EDGE set only, and the iteration count is the
+    graph diameter (tiny for near-dup graphs — duplicates cluster densely).
+    The per-iteration convergence check collects ONE scalar; node/edge data
+    never touches the driver. At web scale this exact loop is large-star/
+    small-star (the alternating variant keeps chains shallow); the fixture
+    graph's diameter doesn't need it.
+
+    Oracle: recursive-CTE transitive closure in DuckDB — same fixpoint, so the
+    iterative result is hash-checked, not rows-only.
+    """
+    pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b_id == labels.node)
+            .groupBy("a_id")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        d.join(labels, d.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    result = out.withColumn(
+        "is_survivor", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
+    )
+    edges.unpersist()
+    return result
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH.strip().rstrip()}),
+edges AS (
+    SELECT a_id AS u, b_id AS v FROM pairs
+    UNION ALL
+    SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+    SELECT u AS node, LEAST(u, MIN(v)) AS label FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(l.label, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(l.label, d.doc_id)) AS is_survivor
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+"""
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -427,4 +524,5 @@ ORACLES = {
     "q_dedup_jaccard": SQL_DEDUP_JACCARD,
     "q_dedup_minhash": SQL_DEDUP_MINHASH,
     "q_dedup_simhash": SQL_DEDUP_SIMHASH,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
 }
