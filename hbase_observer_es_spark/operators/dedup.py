@@ -448,32 +448,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.b_id == labels.node)
-            .groupBy("a_id")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+    # the iterating frames are edge-count sized (tiny next to the corpus) — run
+    # the loop at a narrow shuffle width instead of the corpus-sized default
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.b_id == labels.node)
+                .groupBy("a_id")
+                .agg(F.min("label").alias("nmin"))
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            # one join serves both the update and the convergence check
+            joined = (
+                labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("old_label"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = joined.filter(F.col("label") != F.col("old_label")).count()
+            labels.unpersist()
+            labels = joined.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     d = table(spark, sf_dir, "documents").select("doc_id")
     out = (
         d.join(labels, d.doc_id == labels.node, "left")
