@@ -420,13 +420,30 @@ GROUP BY n_name
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (ES `cardinality` agg analogue).
 
-    Sketch values are engine-specific → rows-only check (no oracle). At 100 TB this
-    is THE distinct-count you run: fixed memory per partition, mergeable sketches.
-    """
+    At 100 TB this is THE distinct-count you run: fixed memory per partition,
+    mergeable sketches. Sketch values are engine-specific, so the oracle-facing
+    output checks the sketch against its own accuracy contract instead of its
+    raw value: `approx_ok` asserts |approx − exact| ≤ 5·rsd·exact (HLL++ error
+    is ~rsd·exact at 1σ; 5σ never trips in practice). The DuckDB twin emits the
+    exact count and a literal TRUE, so rows/schema/hash all verify — the sketch
+    is exercised by Spark and validated to tolerance, not hash-compared."""
     e = table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 5 * 0.02 * exact.cast("double")
+        ).alias("approx_ok"),
     )
+
+
+SQL_AGG_APPROX = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,7 +728,7 @@ ORACLES = {
     "q_agg_global": SQL_AGG_GLOBAL,
     "q_agg_group": SQL_AGG_GROUP,
     "q_agg_distinct": SQL_AGG_DISTINCT,
-    # q_agg_approx: sketch — rows-only, no oracle by design
+    "q_agg_approx": SQL_AGG_APPROX,
     "q_agg_rollup": SQL_AGG_ROLLUP,
     "q_agg_cube": SQL_AGG_CUBE,
     "q_win_rank": SQL_WIN_RANK,

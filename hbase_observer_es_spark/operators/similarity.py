@@ -269,9 +269,11 @@ def q_sim_knn_pudf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop, BLAS amortizes the flops. The probe is ONE vector fetched driver-side
     (the only acceptable collect: k rows / single probe, never the corpus).
 
-    Rows-only check by design: BLAS pairwise summation reorders the float adds,
-    so scores differ from the SQL mirror in final ulps — the plumbing and the
-    neighbor set are what this query pins down, not fold-order-identical floats.
+    BLAS pairwise summation reorders the float adds, so raw scores differ from
+    the SQL mirror in final ulps — the oracle therefore compares the NEIGHBOR
+    SET, not the scores: the top-k is computed with BLAS, then projected to
+    (vec_id, label) sorted by id. Ulp noise can't flip set membership unless
+    ranks k/k+1 are within float epsilon, which the fixture is nowhere near.
     """
     import numpy as np
 
@@ -290,7 +292,23 @@ def q_sim_knn_pudf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cos("embedding").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(K)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     )
+
+
+SQL_SIM_KNN_PUDF = f"""
+WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+topk AS (
+    SELECT vec_id, label,
+           {_sql_cosine('embedding', 'probe_emb')} AS cos_sim
+    FROM embeddings, probe
+    WHERE vec_id <> {PROBE_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {K}
+)
+SELECT vec_id, label FROM topk ORDER BY vec_id
+"""
 
 
 QUERIES = {
@@ -298,7 +316,6 @@ QUERIES = {
     "q_sim_pairs": q_sim_pairs,
     "q_sim_ivf": q_sim_ivf,
     "q_dedup_embed": q_dedup_embed,
-    # rows-only by design (BLAS float reordering) — no ORACLES entry
     "q_sim_knn_pudf": q_sim_knn_pudf,
 }
 
@@ -307,4 +324,6 @@ ORACLES = {
     "q_sim_pairs": SQL_SIM_PAIRS,
     "q_sim_ivf": SQL_SIM_IVF,
     "q_dedup_embed": SQL_DEDUP_EMBED,
+    # neighbor-set projection — set membership is ulp-stable even though BLAS scores aren't
+    "q_sim_knn_pudf": SQL_SIM_KNN_PUDF,
 }

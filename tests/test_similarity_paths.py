@@ -10,6 +10,6 @@ from .conftest import SF_ORACLE
 
 
 def test_numpy_knn_matches_jvm_fold(spark):
-    jvm = [(r.vec_id, r.label) for r in q_sim_knn(spark, SF_ORACLE).collect()]
+    jvm = sorted((r.vec_id, r.label) for r in q_sim_knn(spark, SF_ORACLE).collect())
     np_ = [(r.vec_id, r.label) for r in q_sim_knn_pudf(spark, SF_ORACLE).collect()]
-    assert jvm == np_
+    assert jvm == np_  # pudf output is already vec_id-sorted (oracle contract)
