@@ -21,10 +21,22 @@ maintained by micro-batch merges:
 
 The per-batch "which partitions are touched" set is collected driver-side — it
 is metadata bounded by n_partitions, never data.
+
+Restart durability: the partition→current-version map is persisted to
+``_MANIFEST.json`` in the table directory after every merge (atomic
+write-then-rename, the same recipe Structured Streaming's own commit log uses),
+and loaded on construction. A driver restart therefore resumes from the last
+COMPLETED batch: Structured Streaming replays any in-flight batch from its
+checkpoint, the idempotent merge absorbs the replay, and the manifest repoint
+is the commit point — a crash before the rename leaves the previous manifest
+(and its version directories) fully readable. This is the durable analogue of
+the reference's retry-requeue (ElasticsearchBulkOperator.java:114-137), made
+exactly-once across restarts rather than at-least-once within a process.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,11 +56,52 @@ class KeyedParquetSink:
     the stable crc32 partitioner keeps every key's history in one partition.
     """
 
+    MANIFEST = "_MANIFEST.json"
+
     def __init__(self, base_dir: str, n_partitions: int = 8):
         self.base_dir = base_dir
         self.n_partitions = n_partitions
         # key-partition id -> path of its current version directory
         self._current: dict[int, str] = {}
+        self._load_manifest()
+
+    # -- durability ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, self.MANIFEST)
+
+    def _load_manifest(self) -> None:
+        try:
+            with open(self._manifest_path()) as f:
+                doc = json.load(f)
+        except FileNotFoundError:
+            return
+        if doc.get("n_partitions") != self.n_partitions:
+            raise ValueError(
+                f"manifest at {self.base_dir} was written with "
+                f"n_partitions={doc.get('n_partitions')}, sink configured with "
+                f"{self.n_partitions}; repartitioning state requires a rebuild"
+            )
+        # paths are stored relative to base_dir so the table directory is relocatable
+        self._current = {
+            int(k): os.path.join(self.base_dir, rel)
+            for k, rel in doc["current"].items()
+        }
+
+    def _save_manifest(self) -> None:
+        doc = {
+            "n_partitions": self.n_partitions,
+            "current": {
+                str(k): os.path.relpath(p, self.base_dir)
+                for k, p in self._current.items()
+            },
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())  # atomic commit point
 
     def _pcol(self):
         return F.pmod(
@@ -82,6 +135,7 @@ class KeyedParquetSink:
             else:
                 # every key in this partition is tombstoned — partition is empty
                 self._current.pop(k, None)
+        self._save_manifest()
 
     def read(self, spark: SparkSession) -> DataFrame:
         if not self._current:

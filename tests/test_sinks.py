@@ -50,6 +50,63 @@ def test_tombstone_empties_partition(spark):
     assert sink.read(spark).count() == 0
 
 
+def test_restart_recovers_manifest(spark):
+    """Exactly-once across driver restarts: a NEW sink object over the same
+    base_dir resumes from the persisted manifest — the round-1 gap where a
+    restart silently emptied read()."""
+    out = scratch_dir("sink_restart_test")
+    sink = KeyedParquetSink(out, n_partitions=8)
+    sink.merge_batch(
+        spark.createDataFrame(
+            [(f"k{i}", "q", str(i), _t(i), "upsert") for i in range(10)], SCHEMA
+        ),
+        0,
+    )
+    sink.merge_batch(
+        spark.createDataFrame(
+            [("k3", "q", "updated", _t(50), "upsert"),
+             ("k7", "q", None, _t(51), "delete")],
+            SCHEMA,
+        ),
+        1,
+    )
+    expected = sorted(tuple(r) for r in sink.read(spark).collect())
+
+    # driver restart: fresh object, same directory
+    sink2 = KeyedParquetSink(out, n_partitions=8)
+    assert sink2._current == sink._current
+    assert sorted(tuple(r) for r in sink2.read(spark).collect()) == expected
+
+    # checkpoint replays the last batch, then new work arrives — state converges
+    sink2.merge_batch(
+        spark.createDataFrame(
+            [("k3", "q", "updated", _t(50), "upsert"),
+             ("k7", "q", None, _t(51), "delete")],
+            SCHEMA,
+        ),
+        1,
+    )
+    sink2.merge_batch(
+        spark.createDataFrame([("k9", "q", "post-restart", _t(60), "upsert")], SCHEMA),
+        2,
+    )
+    rows = {(r.row_key): r.value for r in sink2.read(spark).collect()}
+    assert rows["k3"] == "updated" and rows["k9"] == "post-restart"
+    assert "k7" not in rows and len(rows) == 9
+
+
+def test_restart_rejects_repartition(spark):
+    out = scratch_dir("sink_repartition_test")
+    sink = KeyedParquetSink(out, n_partitions=8)
+    sink.merge_batch(
+        spark.createDataFrame([("a", "q", "1", _t(1), "upsert")], SCHEMA), 0
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="n_partitions"):
+        KeyedParquetSink(out, n_partitions=4)
+
+
 def test_replay_idempotent(spark):
     out = scratch_dir("sink_replay_test")
     sink = KeyedParquetSink(out, n_partitions=4)
