@@ -416,6 +416,83 @@ SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_simhash_near — Hamming-distance neighborhoods via bit-banding
+# ---------------------------------------------------------------------------
+
+HAM_BANDS, HAM_BAND_BITS, HAM_MAX = 4, 4, 3
+
+
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs whose SimHash fingerprints differ in ≤ HAM_MAX bits —
+    the Hamming neighborhood q_dedup_simhash's equal-fingerprint buckets miss.
+
+    Same LSH shape as MinHash banding, applied to BITS: split the 16-bit
+    fingerprint into 4 bands of 4 bits and bucket-join per band. Pigeonhole
+    makes this EXACT for d ≤ 3: a pair differing in ≤ 3 bits must agree on at
+    least one of the 4 bands, so every qualifying pair surfaces as a candidate;
+    `bit_count(xor) ≤ d` then verifies candidates only. Candidate generation is
+    one shuffle on (band, 4-bit value) — linear in docs; the verify join carries
+    (doc_id, fingerprint) pairs only. At 100 TB you'd widen to 64-bit SimHash
+    with 8×8 banding (exact for d ≤ 7) — identical plan shape.
+    """
+    fps = q_dedup_simhash(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), b * HAM_BAND_BITS)
+            .bitwiseAND(F.lit((1 << HAM_BAND_BITS) - 1))
+            .alias("band_val"),
+        )
+        for b in range(HAM_BANDS)
+    ]
+    bands = fps.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
+    fb = fps.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"))
+    ham = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).cast("int")
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= HAM_MAX)
+    )
+
+
+SQL_DEDUP_SIMHASH_NEAR = f"""
+WITH fps AS ({SQL_DEDUP_SIMHASH.strip()}),
+bands AS (
+    SELECT doc_id,
+           b.band_id,
+           (simhash >> (b.band_id * {HAM_BAND_BITS})) & {(1 << HAM_BAND_BITS) - 1} AS band_val
+    FROM fps, (SELECT unnest(range({HAM_BANDS})) AS band_id) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fps fa ON c.a_id = fa.doc_id
+JOIN fps fb ON c.b_id = fb.doc_id
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {HAM_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_clusters — connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
@@ -431,7 +508,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join + groupBy) over the EDGE set only, and the iteration count is the
     graph diameter (tiny for near-dup graphs — duplicates cluster densely).
     The per-iteration convergence check collects ONE scalar; node/edge data
-    never touches the driver. At web scale this exact loop is large-star/
+    never touches the driver. Each iteration's label frame is eagerly
+    localCheckpoint-ed: the materialized RDD becomes the next iteration's
+    input, so plan depth stays O(1) instead of nesting one join+window per
+    loop — without truncation a 100×-diameter graph would blow the optimizer
+    up long before the data hurts. At web scale this exact loop is large-star/
     small-star (the alternating variant keeps chains shallow); the fixture
     graph's diameter doesn't need it.
 
@@ -453,13 +534,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        prev = labels  # persisted initial frame; later, the previous checkpoint
         while True:
             neighbor_min = (
                 edges.join(labels, edges.b_id == labels.node)
                 .groupBy("a_id")
                 .agg(F.min("label").alias("nmin"))
             )
-            # one join serves both the update and the convergence check
+            # one join serves both the update and the convergence check;
+            # eager localCheckpoint materializes it AND truncates lineage
             joined = (
                 labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
                 .select(
@@ -469,10 +552,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
+            # prev is fully consumed once joined is materialized — safe to drop
+            # (no-op for checkpointed frames, which free on GC; real for the
+            # initial persisted frame)
+            prev.unpersist()
+            prev = joined
             changed = joined.filter(F.col("label") != F.col("old_label")).count()
-            labels.unpersist()
             labels = joined.select("node", "label")
             if changed == 0:
                 break
@@ -520,6 +607,7 @@ QUERIES = {
     "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_near": q_dedup_simhash_near,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -528,5 +616,6 @@ ORACLES = {
     "q_dedup_jaccard": SQL_DEDUP_JACCARD,
     "q_dedup_minhash": SQL_DEDUP_MINHASH,
     "q_dedup_simhash": SQL_DEDUP_SIMHASH,
+    "q_dedup_simhash_near": SQL_DEDUP_SIMHASH_NEAR,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
 }

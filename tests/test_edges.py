@@ -57,3 +57,27 @@ def test_delete_only_log(spark):
         [("k", "q", None, "delete", dt.datetime(2024, 1, 1))], MUT_SCHEMA
     )
     assert apply_tombstones(only_deletes).count() == 0
+
+
+def test_simhash_near_banding_is_exact(spark):
+    """Pigeonhole guarantee: 4 bands over 16 bits find EVERY pair with
+    Hamming ≤ 3 — compare against brute-force all-pairs xor."""
+    from itertools import combinations
+
+    from hbase_observer_es_spark.operators.dedup import (
+        HAM_MAX,
+        q_dedup_simhash,
+        q_dedup_simhash_near,
+    )
+    from .conftest import SF_ORACLE
+
+    fps = {r.doc_id: r.simhash for r in q_dedup_simhash(spark, SF_ORACLE).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= HAM_MAX
+    }
+    banded = {
+        (r.a_id, r.b_id) for r in q_dedup_simhash_near(spark, SF_ORACLE).collect()
+    }
+    assert banded == brute

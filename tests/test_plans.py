@@ -126,3 +126,21 @@ def test_no_rdd_fallback(spark, name):
     # the relational and dedup hot paths
     f = facts_of(spark, name)
     assert not f.rdd_scan and not f.python_eval, name
+
+
+def test_clusters_plan_depth_bounded(spark):
+    # the iterative label-propagation loop localCheckpoints each round, so the
+    # RETURNED frame's plan must be one documents-join over a materialized RDD
+    # scan — not a join nest proportional to the iteration count
+    df = QUERIES["q_dedup_clusters"](spark, SF_ORACLE)
+    f = plan_facts(df)
+    assert f.rdd_scan, "labels should come from a localCheckpoint (RDD scan)"
+    plan = plan_string(df)
+    assert plan.count("Join") <= 2, plan
+
+
+def test_simhash_near_is_banded_not_allpairs(spark):
+    # candidate generation must be an equi-join on (band_id, band_val), never a
+    # cartesian/broadcast-nested-loop over the corpus
+    plan = plan_of(spark, "q_dedup_simhash_near")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
