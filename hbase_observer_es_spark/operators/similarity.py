@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -155,20 +155,13 @@ WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {PAIR_COS_THRESHOLD}
 """
 
 
-def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: route the probe to its nearest cell centroid, then exact
-    top-k inside that cell only — the linear-scan cost drops to |cell|.
-
-    Centroids are element-wise means per label, computed with decimal-exact sums
-    (posexplode → per-dimension agg → reassemble) so the routing decision is
-    deterministic across engines. Two tiny shuffles + one cell scan.
-    """
-    e = table(spark, sf_dir, "embeddings")
-    # per-dimension decimal-exact mean per label
-    dims = e.select(
-        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
-    )
-    cent = (
+def _centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid): element-wise means per label, computed with
+    decimal-exact sums (posexplode → per-dimension agg → reassemble) so the
+    routing decision is deterministic across engines. Two tiny shuffles, output
+    bounded by |cells| — always broadcastable."""
+    dims = e.select("label", F.posexplode(F.col("embedding")).alias("dim", "val"))
+    return (
         dims.groupBy("label", "dim")
         .agg(
             (
@@ -183,6 +176,31 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+_SQL_CENT_CTES = """
+dims AS (
+    SELECT label, i - 1 AS dim, embedding[i] AS val
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (
+    SELECT label,
+           list(m ORDER BY dim) AS centroid
+    FROM (
+        SELECT label, dim,
+               CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        FROM dims GROUP BY label, dim
+    )
+    GROUP BY label
+)"""
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: route the probe to its nearest cell centroid, then exact
+    top-k inside that cell only — the linear-scan cost drops to |cell|.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = _centroids(e)
     probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
         F.col("embedding").alias("probe_emb")
     )
@@ -209,20 +227,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIM_IVF = f"""
 WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
-dims AS (
-    SELECT label, i - 1 AS dim, embedding[i] AS val
-    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-),
-cent AS (
-    SELECT label,
-           list(m ORDER BY dim) AS centroid
-    FROM (
-        SELECT label, dim,
-               CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
-        FROM dims GROUP BY label, dim
-    )
-    GROUP BY label
-),
+{_SQL_CENT_CTES},
 best AS (
     SELECT label AS best_label
     FROM cent, probe
@@ -234,6 +239,96 @@ FROM embeddings, probe, best
 WHERE label = best_label AND vec_id <> {PROBE_VEC_ID}
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {K}
+"""
+
+
+PROBE_MOD = 25  # probe set = every 25th vector — a stand-in probes table
+
+
+def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-probe IVF ANN: top-k for MANY probes at once — the form a
+    training-data pipeline actually runs (millions of queries, not one).
+
+    Same two building blocks as q_sim_ivf, turned into set operations:
+    * routing is probes ⋈ broadcast(centroids) — the centroid table is bounded
+      by |cells|, so routing is map-side at any probe count; row_number picks
+      each probe's best cell;
+    * scoring joins each probe against ONLY its cell's vectors. Here the routed
+      probe set is small → broadcast; at 100 TB with huge probe sets you'd
+      shuffle both sides on the cell id instead — co-partitioned equi-join,
+      same plan shape, never all-pairs;
+    * per-probe top-k is one window over the cell-scored rows (cells bound the
+      rows per probe, so the window partitions stay small).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    routed = probes.join(F.broadcast(_centroids(e))).select(
+        "probe_id",
+        "probe_emb",
+        "label",
+        _cosine(F.col("centroid"), F.col("probe_emb")).alias("c_cos"),
+    )
+    w_route = Window.partitionBy("probe_id").orderBy(F.desc("c_cos"), F.asc("label"))
+    best = (
+        routed.withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "probe_emb", F.col("label").alias("cell"))
+    )
+    scored = (
+        e.join(F.broadcast(best), e.label == F.col("cell"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            _cosine(F.col("embedding"), F.col("probe_emb")).alias("cos_sim"),
+        )
+    )
+    w_topk = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_topk))
+        .filter(F.col("rk") <= K)
+        .select("probe_id", "vec_id", "label", "cos_sim")
+    )
+
+
+SQL_SIM_IVF_BATCH = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_emb
+    FROM embeddings WHERE vec_id % {PROBE_MOD} = 0
+),
+{_SQL_CENT_CTES},
+routed AS (
+    SELECT probe_id, probe_emb, label,
+           {_sql_cosine('centroid', 'probe_emb')} AS c_cos
+    FROM probes, cent
+),
+best AS (
+    SELECT probe_id, probe_emb, label AS cell
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY c_cos DESC, label ASC
+        ) AS rn
+        FROM routed
+    )
+    WHERE rn = 1
+),
+scored AS (
+    SELECT b.probe_id, e.vec_id, e.label,
+           {_sql_cosine('e.embedding', 'b.probe_emb')} AS cos_sim
+    FROM embeddings e JOIN best b ON e.label = b.cell
+    WHERE e.vec_id <> b.probe_id
+)
+SELECT probe_id, vec_id, label, cos_sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {K}
 """
 
 
@@ -315,6 +410,7 @@ QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_pairs": q_sim_pairs,
     "q_sim_ivf": q_sim_ivf,
+    "q_sim_ivf_batch": q_sim_ivf_batch,
     "q_dedup_embed": q_dedup_embed,
     "q_sim_knn_pudf": q_sim_knn_pudf,
 }
@@ -323,6 +419,7 @@ ORACLES = {
     "q_sim_knn": SQL_SIM_KNN,
     "q_sim_pairs": SQL_SIM_PAIRS,
     "q_sim_ivf": SQL_SIM_IVF,
+    "q_sim_ivf_batch": SQL_SIM_IVF_BATCH,
     "q_dedup_embed": SQL_DEDUP_EMBED,
     # neighbor-set projection — set membership is ulp-stable even though BLAS scores aren't
     "q_sim_knn_pudf": SQL_SIM_KNN_PUDF,

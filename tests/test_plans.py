@@ -144,3 +144,13 @@ def test_simhash_near_is_banded_not_allpairs(spark):
     # cartesian/broadcast-nested-loop over the corpus
     plan = plan_of(spark, "q_dedup_simhash_near")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_batch_broadcasts_centroids_and_probes(spark):
+    # routing cross-scores probes against the broadcast (|cells|-bounded)
+    # centroid table; cell scoring is a broadcast HASH join on the cell id —
+    # the corpus side never shuffles and nothing sort-merges
+    plan = plan_of(spark, "q_sim_ivf_batch")
+    f = facts_of(spark, "q_sim_ivf_batch")
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0, plan
+    assert "CartesianProduct" not in plan, plan
