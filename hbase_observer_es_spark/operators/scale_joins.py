@@ -17,14 +17,12 @@ never (bucketing).
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import lsum, sql_lsum
 from ..io import table
-from ..sources.filestream import SCRATCH
+from ..sources.filestream import SCRATCH, source_fingerprint
 
 N_SALTS = 8
 N_BUCKETS = 8
@@ -71,40 +69,61 @@ GROUP BY s_nationkey
 """
 
 
+def _ensure_bucketed(
+    spark: SparkSession, sf_dir: str, src: str, cols: list[str], bucket_key: str
+) -> str:
+    """Create-or-reuse a bucketed copy of ``src``, keyed by the source parquet's
+    content fingerprint — the one-time ingest shuffle is paid once per source
+    version, not once per query. Reuse has two tiers: the session catalog (warm
+    call in the same process), then the on-disk files (fresh session over the
+    same scratch warehouse — re-registered as an external bucketed table, since
+    bucket ids live in file names and survive the catalog)."""
+    key = source_fingerprint(sf_dir, src)
+    name = f"bucketdemo.{src}_b_{key.replace('-', '_')}"
+    if spark.catalog.tableExists(name):
+        return name
+    wh = SCRATCH / "warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{wh.as_posix()}'")
+    df = table(spark, sf_dir, src).select(*cols)
+    loc = wh / name.split(".", 1)[1]
+    if (loc / "_SUCCESS").exists():
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({bucket_key}) SORTED BY ({bucket_key}) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc.as_posix()}'"
+        )
+    else:
+        (
+            df.write.bucketBy(N_BUCKETS, bucket_key)
+            .sortBy(bucket_key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via bucketed tables.
 
-    Writes orders and customer bucketed by the join key (one-time pre-shuffle),
-    then joins the bucketed tables: Spark's bucketing makes the sort-merge join
-    read matching buckets directly — `.explain` shows NO Exchange on either side.
-    This is the steady-state discipline for a fact table joined on the same key
-    by every query: pay the shuffle once at ingest, never again. The bucketed
-    copies live under the repo-local scratch warehouse (a real deployment uses
-    the catalog's managed location).
+    Joins orders and customer copies bucketed by the join key: Spark's bucketing
+    makes the sort-merge join read matching buckets directly — `.explain` shows
+    NO Exchange on either side. This is the steady-state discipline for a fact
+    table joined on the same key by every query: pay the shuffle once at ingest,
+    never again. The bucketed copies are cached by source fingerprint (see
+    _ensure_bucketed), so repeated invocations measure the JOIN, not the ingest.
     """
-    wh = SCRATCH / "warehouse"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{wh.as_posix()}'")
-    for t in ("orders_b", "customer_b"):
-        # a fresh in-memory catalog doesn't know about leftover managed-table
-        # dirs from earlier sessions — drop both the entry and the location
-        spark.sql(f"DROP TABLE IF EXISTS bucketdemo.{t}")
-        shutil.rmtree(wh / t, ignore_errors=True)
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    (
-        o.write.bucketBy(N_BUCKETS, "o_custkey")
-        .sortBy("o_custkey")
-        .mode("overwrite")
-        .saveAsTable("bucketdemo.orders_b")
+    ob = spark.table(
+        _ensure_bucketed(
+            spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"],
+            "o_custkey",
+        )
     )
-    (
-        c.write.bucketBy(N_BUCKETS, "c_custkey")
-        .sortBy("c_custkey")
-        .mode("overwrite")
-        .saveAsTable("bucketdemo.customer_b")
+    cb = spark.table(
+        _ensure_bucketed(
+            spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"], "c_custkey"
+        )
     )
-    ob = spark.table("bucketdemo.orders_b")
-    cb = spark.table("bucketdemo.customer_b")
     # hint off broadcast so the plan demonstrates the exchange-free sort-merge join
     joined = ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
     return joined.groupBy("c_mktsegment").agg(

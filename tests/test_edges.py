@@ -81,3 +81,31 @@ def test_simhash_near_banding_is_exact(spark):
         (r.a_id, r.b_id) for r in q_dedup_simhash_near(spark, SF_ORACLE).collect()
     }
     assert banded == brute
+
+
+def test_bucketed_tables_reused_from_disk(spark):
+    """Fresh-session reuse: dropping the catalog entries (keeping files) must
+    re-register the bucketed copies as external tables, not rewrite them —
+    and the join result must be unchanged."""
+    from hbase_observer_es_spark.operators.scale_joins import q_join_bucketed
+    from .conftest import SF_ORACLE
+
+    first = sorted(tuple(r) for r in q_join_bucketed(spark, SF_ORACLE).collect())
+    tables = [
+        t.name for t in spark.catalog.listTables("bucketdemo") if "_b_" in t.name
+    ]
+    assert tables, "bucketed tables should be registered"
+    mtimes = {}
+    from hbase_observer_es_spark.sources.filestream import SCRATCH
+    import os
+
+    for t in tables:
+        loc = SCRATCH / "warehouse" / t
+        mtimes[t] = os.stat(loc / "_SUCCESS").st_mtime_ns
+        spark.sql(f"DROP TABLE bucketdemo.{t}")  # catalog gone, files stay
+
+    again = sorted(tuple(r) for r in q_join_bucketed(spark, SF_ORACLE).collect())
+    assert again == first
+    for t in tables:
+        loc = SCRATCH / "warehouse" / t
+        assert os.stat(loc / "_SUCCESS").st_mtime_ns == mtimes[t], "files rewritten"
