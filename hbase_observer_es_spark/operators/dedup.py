@@ -419,23 +419,88 @@ SQL_DEDUP_SIMHASH = _sql_simhash()
 # q_dedup_simhash_near — Hamming-distance neighborhoods via bit-banding
 # ---------------------------------------------------------------------------
 
-HAM_BANDS, HAM_BAND_BITS, HAM_MAX = 4, 4, 3
+NEAR_BITS = 60  # wide fingerprint for banding; see entropy note in _simhash_wide
+HAM_BANDS, HAM_BAND_BITS, HAM_MAX = 4, 15, 3
+# second universal hash extending the 30-bit rolling hash to 60 usable bits
+_H2_A, _H2_B = 1_000_003, 12345
+
+
+def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60-bit frequency-weighted SimHash.
+
+    The 16-bit fingerprint q_dedup_simhash buckets on is far too narrow for
+    Hamming BANDING — 4-bit band values put ~1/16 of the whole corpus in every
+    bucket, and candidate generation degenerates toward all-pairs (measured
+    ~10× the corpus-linear cost at sf0.1). Width is what makes SimHash LSH
+    work; production uses 64 bits. The rolling token hash only carries ~30 bits
+    of entropy (mod 1e9+7), so bits 30..59 vote from a second universal hash
+    h2 = (a·h1 + b) mod M — independent in the same sense as the MinHash
+    permutation family above.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    hashed = tok.select("doc_id", _rollhash(F.col("t")).alias("h1")).withColumn(
+        "h2", (F.lit(_H2_A) * F.col("h1") + F.lit(_H2_B)) % F.lit(MOD)
+    )
+    def bit(b: int) -> Column:
+        src, off = ("h1", b) if b < 30 else ("h2", b - 30)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(NEAR_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(NEAR_BITS):
+        c = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = c if fp is None else fp + c
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def _sql_simhash_wide() -> str:
+    votes = ", ".join(
+        "SUM(CASE WHEN ({src} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}".format(
+            src="h1" if b < 30 else "h2", off=b if b < 30 else b - 30, b=b
+        )
+        for b in range(NEAR_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(NEAR_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h1s AS (
+    SELECT doc_id, {_SQL_ROLLHASH.format(tok='t')} AS h1 FROM tok WHERE t <> ''
+),
+hashed AS (SELECT doc_id, h1, ({_H2_A} * h1 + {_H2_B}) % {MOD} AS h2 FROM h1s),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
 
 
 def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs whose SimHash fingerprints differ in ≤ HAM_MAX bits —
     the Hamming neighborhood q_dedup_simhash's equal-fingerprint buckets miss.
 
-    Same LSH shape as MinHash banding, applied to BITS: split the 16-bit
-    fingerprint into 4 bands of 4 bits and bucket-join per band. Pigeonhole
-    makes this EXACT for d ≤ 3: a pair differing in ≤ 3 bits must agree on at
-    least one of the 4 bands, so every qualifying pair surfaces as a candidate;
-    `bit_count(xor) ≤ d` then verifies candidates only. Candidate generation is
-    one shuffle on (band, 4-bit value) — linear in docs; the verify join carries
-    (doc_id, fingerprint) pairs only. At 100 TB you'd widen to 64-bit SimHash
-    with 8×8 banding (exact for d ≤ 7) — identical plan shape.
+    Same LSH shape as MinHash banding, applied to BITS: split the 60-bit
+    fingerprint (_simhash_wide) into 4 bands of 15 bits and bucket-join per
+    band. Pigeonhole makes this EXACT for d ≤ 3: a pair differing in ≤ 3 bits
+    must agree on at least one of the 4 bands, so every qualifying pair
+    surfaces as a candidate; `bit_count(xor) ≤ d` then verifies candidates
+    only. Candidate generation is one shuffle on (band, 15-bit value) — linear
+    in docs, and 2^15 band values keep buckets near-singleton so the candidate
+    set stays ~|true pairs|; the verify join carries (doc_id, fingerprint)
+    pairs only.
     """
-    fps = q_dedup_simhash(spark, sf_dir)
+    # the fingerprint frame feeds three plan branches (banding + both sides of
+    # the verify join); cache it or the explode+60-vote agg runs three times.
+    # 2 longs/doc — safely cacheable (and spillable) at any corpus size.
+    fps = _simhash_wide(spark, sf_dir).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -471,7 +536,7 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_SIMHASH_NEAR = f"""
-WITH fps AS ({SQL_DEDUP_SIMHASH.strip()}),
+WITH fps AS ({_sql_simhash_wide().strip()}),
 bands AS (
     SELECT doc_id,
            b.band_id,

@@ -60,18 +60,18 @@ def test_delete_only_log(spark):
 
 
 def test_simhash_near_banding_is_exact(spark):
-    """Pigeonhole guarantee: 4 bands over 16 bits find EVERY pair with
-    Hamming ≤ 3 — compare against brute-force all-pairs xor."""
+    """Pigeonhole guarantee: 4 bands over the 60-bit fingerprint find EVERY
+    pair with Hamming ≤ 3 — compare against brute-force all-pairs xor."""
     from itertools import combinations
 
     from hbase_observer_es_spark.operators.dedup import (
         HAM_MAX,
-        q_dedup_simhash,
+        _simhash_wide,
         q_dedup_simhash_near,
     )
     from .conftest import SF_ORACLE
 
-    fps = {r.doc_id: r.simhash for r in q_dedup_simhash(spark, SF_ORACLE).collect()}
+    fps = {r.doc_id: r.simhash for r in _simhash_wide(spark, SF_ORACLE).collect()}
     brute = {
         (a, b)
         for a, b in combinations(sorted(fps), 2)
