@@ -171,6 +171,54 @@ WHERE n_hits > 0
 """
 
 
+# "sart" is within one edit of BOTH "part" and "sort" in the fixture vocabulary —
+# the expansion genuinely fans out, as an ES fuzzy query's term enumeration does.
+FUZZY_TERM = "sart"
+MAX_EDITS = 1
+
+
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term match — ES `fuzzy` query analogue (edit distance ≤ 1).
+
+    ES expands a fuzzy term against the index's term dictionary, then runs the
+    expanded disjunction. Same two stages here: (1) the token DICTIONARY
+    (distinct tokens — vocabulary-sized, tiny next to the corpus) is filtered by
+    levenshtein ≤ MAX_EDITS; (2) the surviving variants broadcast-join back
+    onto the exploded corpus tokens, grouped per doc. The expensive corpus side
+    never computes an edit distance — at 100 TB the distance runs |vocab| times,
+    not |tokens| times, exactly like ES's dictionary-then-postings order.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("t"))
+    vocab = tok.select("t").distinct()
+    expanded = vocab.filter(F.levenshtein(F.col("t"), F.lit(FUZZY_TERM)) <= MAX_EDITS)
+    return (
+        tok.join(F.broadcast(expanded), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_sort(F.collect_set("t")).alias("variants"),
+        )
+    )
+
+
+SQL_SEARCH_FUZZY = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+    FROM documents
+),
+expanded AS (
+    SELECT t FROM (SELECT DISTINCT t FROM tok)
+    WHERE levenshtein(t, '{FUZZY_TERM}') <= {MAX_EDITS}
+)
+SELECT doc_id,
+       COUNT(*) AS n_hits,
+       list(DISTINCT t ORDER BY t) AS variants
+FROM tok JOIN expanded USING (t)
+GROUP BY doc_id
+"""
+
+
 def q_get_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key point lookup — ES `mget` / HBase `Get` analogue.
 
@@ -195,11 +243,13 @@ WHERE c_custkey IN ({", ".join(str(k) for k in MGET_KEYS)})
 QUERIES = {
     "q_search_bm25": q_search_bm25,
     "q_search_phrase": q_search_phrase,
+    "q_search_fuzzy": q_search_fuzzy,
     "q_get_by_key": q_get_by_key,
 }
 
 ORACLES = {
     "q_search_bm25": SQL_SEARCH_BM25,
     "q_search_phrase": SQL_SEARCH_PHRASE,
+    "q_search_fuzzy": SQL_SEARCH_FUZZY,
     "q_get_by_key": SQL_GET_BY_KEY,
 }
