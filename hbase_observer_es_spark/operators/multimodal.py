@@ -170,14 +170,83 @@ FROM (
 """
 
 
+RESIZE_TARGET = 224  # fit-longest-side target, the usual vision-model input size
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: decode → aspect-preserving fit-to-224 → re-encode
+    metadata, in ONE mapInPandas pass (decode + transform fused per Arrow batch
+    — at 100 TB you never shuffle decoded pixels between stages).
+
+    The pixel work is the same deterministic fake codec as q_mm_decode (no
+    media libs in this container); the resize arithmetic is integer-exact
+    (floor division, longest side → RESIZE_TARGET, other side scaled
+    proportionally with a ≥1 clamp), so the DuckDB oracle mirrors it digit for
+    digit. Swap `_fake_decode` + the arithmetic for PIL `Image.resize` and the
+    plumbing — batch iterator, schema, 1:1 row mapping — is unchanged.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "out_w", "out_h",
+                                    "out_pixels", "checksum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, _nf, _fmt = _fake_decode(b)
+                longest = max(w, h)
+                ow = max(1, (w * RESIZE_TARGET) // longest)
+                oh = max(1, (h * RESIZE_TARGET) // longest)
+                first = b[0] if b else 0
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["out_pixels"].append(ow * oh)
+                rows["checksum"].append((first * ow + oh) % 997)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        resize_batches,
+        "doc_id long, width long, height long, out_w long, out_h long,"
+        " out_pixels long, checksum long",
+    )
+
+
+SQL_MM_RESIZE = f"""
+WITH dec AS (
+    SELECT doc_id,
+           CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS fb,
+           CAST(64 + (octet_length(encode(text)) % 576) AS BIGINT) AS w,
+           CAST(64 + ((octet_length(encode(text)) * 31 + ascii(substring(text, 1, 1))) % 416)
+                AS BIGINT) AS h
+    FROM documents
+),
+fit AS (
+    SELECT doc_id, fb, w, h,
+           greatest(1, (w * {RESIZE_TARGET}) // greatest(w, h)) AS ow,
+           greatest(1, (h * {RESIZE_TARGET}) // greatest(w, h)) AS oh
+    FROM dec
+)
+SELECT doc_id, w AS width, h AS height, ow AS out_w, oh AS out_h,
+       ow * oh AS out_pixels, (fb * ow + oh) % 997 AS checksum
+FROM fit
+"""
+
+
 QUERIES = {
     "q_mm_decode": q_mm_decode,
     "q_mm_meta": q_mm_meta,
     "q_mm_framesample": q_mm_framesample,
+    "q_mm_resize": q_mm_resize,
 }
 
 ORACLES = {
     "q_mm_decode": SQL_MM_DECODE,
     "q_mm_meta": SQL_MM_META,
     "q_mm_framesample": SQL_MM_FRAMESAMPLE,
+    "q_mm_resize": SQL_MM_RESIZE,
 }

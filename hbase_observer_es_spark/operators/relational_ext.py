@@ -192,12 +192,51 @@ LIMIT {PAGE_SIZE}
 """
 
 
+HIST_INTERVAL = 50_000  # ES histogram agg `interval` over o_totalprice
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval numeric histogram — the ES `histogram` bucket aggregation
+    (the numeric sibling of date_histogram, which s_win_tumbling covers).
+
+    Bucket key is ES's convention: floor(value / interval) * interval. One
+    map-side-combined groupBy; bucket count is bounded by value range /
+    interval, so the result is always small regardless of row count — the
+    classic 100 TB dashboard aggregation. Sums go through the scaled-long
+    discipline (functions.lsum) so the double aggregate is order-independent
+    and hash-matches DuckDB.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.floor(F.col("o_totalprice") / F.lit(HIST_INTERVAL)) * F.lit(HIST_INTERVAL)
+    ).cast("double")
+    return (
+        o.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            lsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+SQL_AGG_HISTOGRAM = f"""
+SELECT CAST(floor(o_totalprice / {HIST_INTERVAL}) * {HIST_INTERVAL} AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n_orders,
+       {sql_lsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY bucket_lo
+ORDER BY bucket_lo
+"""
+
+
 QUERIES = {
     "q_agg_groupingsets": q_agg_groupingsets,
     "q_agg_percentile": q_agg_percentile,
     "q_subquery_scalar": q_subquery_scalar,
     "q_win_rangeframe": q_win_rangeframe,
     "q_page_keyset": q_page_keyset,
+    "q_agg_histogram": q_agg_histogram,
 }
 
 ORACLES = {
@@ -206,4 +245,5 @@ ORACLES = {
     "q_subquery_scalar": SQL_SUBQUERY_SCALAR,
     "q_win_rangeframe": SQL_WIN_RANGEFRAME,
     "q_page_keyset": SQL_PAGE_KEYSET,
+    "q_agg_histogram": SQL_AGG_HISTOGRAM,
 }

@@ -22,7 +22,7 @@ filter — partition/row-group pruning on a key-sorted layout makes it an index 
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -219,6 +219,96 @@ GROUP BY doc_id
 """
 
 
+MLT_DOC_ID = 7
+MLT_MAX_QUERY_TERMS = 8  # ES more_like_this max_query_terms: keep the rarest terms
+MLT_MIN_DF = 2  # ES min_doc_freq: drop hapax terms (often typos/noise)
+
+
+def q_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this — ES `more_like_this` analogue: find the docs most similar
+    to a probe document by its most discriminative terms.
+
+    ES's three stages, Spark-native:
+    1. term selection: the probe doc's distinct terms ranked by rarity
+       (df ASC, term ASC), keeping MLT_MAX_QUERY_TERMS with df ≥ MLT_MIN_DF —
+       the `max_query_terms`/`min_doc_freq` controls;
+    2. the selected terms (a ≤8-row dim) broadcast-join back onto the corpus
+       doc-term pairs — the corpus side is touched once, no per-doc probe scan;
+    3. per-doc score = Σ rational idf over shared terms, summed as a sorted
+       fold (collect_list → array_sort → aggregate) so the float addition
+       order is fixed and bit-identical to the oracle's ordered list_reduce —
+       a groupBy SUM over doubles would be partition-order-dependent.
+
+    Scale: df table and stats are vocabulary-/1-row-sized broadcasts; scoring is
+    one shuffle on doc_id bounded by docs-containing-selected-terms; top-k is
+    TakeOrdered.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_toks()).alias("tk")
+    )
+    pairs = d.select("doc_id", F.explode("tk").alias("t"))
+    stats = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfs = pairs.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    w_rare = Window.orderBy(F.asc("df"), F.asc("t"))  # vocabulary-sized window
+    selected = (
+        pairs.filter(F.col("doc_id") == MLT_DOC_ID)
+        .join(dfs, "t")
+        .filter(F.col("df") >= MLT_MIN_DF)
+        .withColumn("rn", F.row_number().over(w_rare))
+        .filter(F.col("rn") <= MLT_MAX_QUERY_TERMS)
+        .select("t", "df")
+    )
+    idf = (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    matched = (
+        pairs.filter(F.col("doc_id") != MLT_DOC_ID)
+        .join(F.broadcast(selected), "t")
+        .join(F.broadcast(stats))
+        .select("doc_id", "t", idf.alias("idf"))
+    )
+    score = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("t", "idf"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["idf"],
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+SQL_SEARCH_MLT = f"""
+WITH d AS (
+    SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+    FROM documents
+),
+pairs AS (SELECT doc_id, unnest(tk) AS t FROM d),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+dfs AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM pairs GROUP BY t),
+sel AS (
+    SELECT t, df FROM (
+        SELECT p.t, f.df,
+               row_number() OVER (ORDER BY f.df ASC, p.t ASC) AS rn
+        FROM pairs p JOIN dfs f USING (t)
+        WHERE p.doc_id = {MLT_DOC_ID} AND f.df >= {MLT_MIN_DF}
+    )
+    WHERE rn <= {MLT_MAX_QUERY_TERMS}
+),
+m AS (
+    SELECT p.doc_id, p.t, (n - df + 0.5) / (df + 0.5) AS idf
+    FROM pairs p JOIN sel USING (t), stats
+    WHERE p.doc_id <> {MLT_DOC_ID}
+)
+SELECT doc_id, COUNT(*) AS n_terms,
+       list_reduce(list_prepend(0.0, list(idf ORDER BY t ASC)), (acc, x) -> acc + x) AS score
+FROM m
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def q_get_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key point lookup — ES `mget` / HBase `Get` analogue.
 
@@ -244,6 +334,7 @@ QUERIES = {
     "q_search_bm25": q_search_bm25,
     "q_search_phrase": q_search_phrase,
     "q_search_fuzzy": q_search_fuzzy,
+    "q_search_mlt": q_search_mlt,
     "q_get_by_key": q_get_by_key,
 }
 
@@ -251,5 +342,6 @@ ORACLES = {
     "q_search_bm25": SQL_SEARCH_BM25,
     "q_search_phrase": SQL_SEARCH_PHRASE,
     "q_search_fuzzy": SQL_SEARCH_FUZZY,
+    "q_search_mlt": SQL_SEARCH_MLT,
     "q_get_by_key": SQL_GET_BY_KEY,
 }

@@ -332,6 +332,106 @@ WHERE rk <= {K}
 """
 
 
+# --- random-hyperplane LSH (SimHash-for-vectors) -----------------------------
+#
+# P(bit agrees) = 1 - angle/π, so near-identical vectors agree on almost every
+# bit and banding finds them with high probability while random pairs share a
+# 4-bit band only ~1/16 of the time. Hyperplane weights are a deterministic
+# integer hash of (plane, dim) — no RNG — baked as literals into BOTH the Spark
+# expressions and the oracle SQL, so signatures are bit-identical across engines
+# (the dot products are the same left folds as _dot).
+LSH_PLANES = 16
+LSH_BAND_BITS = 4
+LSH_BANDS = LSH_PLANES // LSH_BAND_BITS
+EMB_DIM = 64  # fixture embedding width (FIXTURES.md); weights are per-dim literals
+
+
+def _lsh_weights(p: int) -> list[float]:
+    return [
+        float(((p * 73856093 + d * 19349663) % 2001) - 1000) for d in range(EMB_DIM)
+    ]
+
+
+def _lsh_band_cols(emb: Column) -> list[Column]:
+    """The LSH_BANDS band values of a vector's LSH signature, as columns."""
+    bits = []
+    for p in range(LSH_PLANES):
+        w = F.array(*[F.lit(x) for x in _lsh_weights(p)])
+        bits.append((_dot(emb, w) >= 0).cast("int"))
+    return [
+        sum(
+            (bits[b * LSH_BAND_BITS + i] * F.lit(1 << i))
+            for i in range(LSH_BAND_BITS)
+        ).alias(f"b{b}")
+        for b in range(LSH_BANDS)
+    ]
+
+
+def _sql_lsh_band(b: int) -> str:
+    terms = []
+    for i in range(LSH_BAND_BITS):
+        p = b * LSH_BAND_BITS + i
+        wlit = "[" + ", ".join(repr(x) for x in _lsh_weights(p)) + "]"
+        dot = _SQL_DOT.format(a="embedding", b=wlit)
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << i}")
+    return " + ".join(terms)
+
+
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the hash-routing sibling of q_sim_ivf's cell-routing.
+
+    Candidate set = vectors sharing at least one signature band with the probe;
+    exact cosine re-ranks the candidates and keeps the top-k. With a 1-row
+    probe the band test is a broadcast filter (map-only over the corpus — the
+    OR never becomes an all-pairs join); the many-probe form exploded on
+    (band_idx, band_value) is an equi-join on bucket keys, the same shape as
+    minhash LSH (operators/dedup.py) and q_sim_ivf_batch's routing join.
+
+    Approximation is by design: recall depends on how strongly neighbors beat
+    the 1 - angle/π coin flip; misses are possible and the oracle mirrors the
+    same bucketing, so correctness is checked exactly while the operator stays
+    honestly approximate (like ES ANN / FAISS-LSH).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", "label", "embedding", *_lsh_band_cols(F.col("embedding")))
+    probe = sigs.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb"),
+        *[F.col(f"b{b}").alias(f"p{b}") for b in range(LSH_BANDS)],
+    )
+    band_match = None
+    for b in range(LSH_BANDS):
+        m = F.col(f"b{b}") == F.col(f"p{b}")
+        band_match = m if band_match is None else (band_match | m)
+    cos = _cosine(F.col("embedding"), F.col("probe_emb"))
+    return (
+        sigs.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .join(F.broadcast(probe), band_match)
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+SQL_SIM_LSH = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           {", ".join(f"{_sql_lsh_band(b)} AS b{b}" for b in range(LSH_BANDS))}
+    FROM embeddings
+),
+probe AS (
+    SELECT embedding AS probe_emb,
+           {", ".join(f"b{b} AS p{b}" for b in range(LSH_BANDS))}
+    FROM sigs WHERE vec_id = {PROBE_VEC_ID}
+)
+SELECT vec_id, label, {_sql_cosine('embedding', 'probe_emb')} AS cos_sim
+FROM sigs, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+  AND ({" OR ".join(f"b{b} = p{b}" for b in range(LSH_BANDS))})
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {K}
+"""
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup DEDUP: the survivor set under keep-lowest-id.
 
@@ -411,6 +511,7 @@ QUERIES = {
     "q_sim_pairs": q_sim_pairs,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_batch": q_sim_ivf_batch,
+    "q_sim_lsh": q_sim_lsh,
     "q_dedup_embed": q_dedup_embed,
     "q_sim_knn_pudf": q_sim_knn_pudf,
 }
@@ -420,6 +521,7 @@ ORACLES = {
     "q_sim_pairs": SQL_SIM_PAIRS,
     "q_sim_ivf": SQL_SIM_IVF,
     "q_sim_ivf_batch": SQL_SIM_IVF_BATCH,
+    "q_sim_lsh": SQL_SIM_LSH,
     "q_dedup_embed": SQL_DEDUP_EMBED,
     # neighbor-set projection — set membership is ulp-stable even though BLAS scores aren't
     "q_sim_knn_pudf": SQL_SIM_KNN_PUDF,

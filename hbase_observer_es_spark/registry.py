@@ -29,8 +29,8 @@ _MODULES = (
     "hbase_observer_es_spark.streaming.windows",
     "hbase_observer_es_spark.streaming.stateful",
     "hbase_observer_es_spark.operators.dedup",
-    "hbase_observer_es_spark.operators.relational",
     "hbase_observer_es_spark.operators.relational_ext",
+    "hbase_observer_es_spark.operators.relational",
     "hbase_observer_es_spark.operators.scalar",
     "hbase_observer_es_spark.operators.cdc",
     "hbase_observer_es_spark.operators.text",
