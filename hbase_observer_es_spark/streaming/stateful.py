@@ -31,7 +31,6 @@ import datetime
 import glob
 import os
 import shutil
-import time
 import uuid
 from contextlib import contextmanager
 
@@ -237,16 +236,44 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def _stage_with_sentinel(spark: SparkSession, e: DataFrame, sf_dir: str, out: str) -> str:
+    """Stage the events table as micro-batches with a far-future sentinel event
+    APPENDED TO THE LAST batch file (not a batch of its own).
+
+    The watermark advances after the batch that contains the sentinel; the
+    final no-data micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``,
+    on by default) then emits every closed window. Folding the sentinel into the
+    last data batch saves one full state-commit cycle per query versus shipping
+    it as its own micro-batch — at fixture scale that fixed cost dominates.
+    """
+    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
+    max_ts = e.agg(F.max("ts").alias("m")).head()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
+        schema=e.schema,
+    )
+    last = sorted(glob.glob(os.path.join(stream_dir, "batch-*.parquet")))[-1]
+    mtime = os.stat(last).st_mtime
+    tmp = os.path.join(out, "tmp_sentinel")
+    spark.read.parquet(last).unionByName(sentinel).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], last)
+    shutil.rmtree(tmp)
+    os.utime(last, (mtime, mtime))
+    return stream_dir
+
+
 def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation over a REAL stream, append mode.
 
     The batch twin (s_win_tumbling) runs the same expressions over the static
     table; here the windows accumulate across micro-batches and each window is
     emitted exactly once when the watermark passes its end — the production
-    late-data discipline. A far-future sentinel event in a final micro-batch
-    pushes the watermark past every real window so the append-mode output
-    converges to exactly the batch result (the sentinel's own window stays
-    un-emitted in state, and is excluded by event_type).
+    late-data discipline. A far-future sentinel event folded into the final
+    micro-batch pushes the watermark past every real window so the append-mode
+    output converges to exactly the batch result (the sentinel's own window
+    stays un-emitted in state, and is excluded by event_type).
 
     Scale: state is one row per (window, event_type); the watermark bounds it —
     windows older than the lateness horizon are evicted on emission.
@@ -256,19 +283,7 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"s_win_stream_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
-    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
-
-    max_ts = e.agg(F.max("ts").alias("m")).head()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
-        schema=e.schema,
-    )
-    sent_path = os.path.join(stream_dir, "batch-9999.parquet")
-    tmp = os.path.join(out, "tmp_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], sent_path)
-    shutil.rmtree(tmp)
-    os.utime(sent_path, (time.time() + 99, time.time() + 99))
+    stream_dir = _stage_with_sentinel(spark, e, sf_dir, out)
 
     stream = read_stream(spark, stream_dir, e.schema)
     agg = (
@@ -320,19 +335,7 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"s_session_stream_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
-    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
-
-    max_ts = e.agg(F.max("ts").alias("m")).head()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
-        schema=e.schema,
-    )
-    sent_path = os.path.join(stream_dir, "batch-9999.parquet")
-    tmp = os.path.join(out, "tmp_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], sent_path)
-    shutil.rmtree(tmp)
-    os.utime(sent_path, (time.time() + 99, time.time() + 99))
+    stream_dir = _stage_with_sentinel(spark, e, sf_dir, out)
 
     stream = read_stream(spark, stream_dir, e.schema)
     agg = (
