@@ -230,6 +230,65 @@ ORDER BY bucket_lo
 """
 
 
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended stats bundle — ES `extended_stats` aggregation: count, avg,
+    variance, stddev, min, max per bucket, with DETERMINISTIC float results.
+
+    Spark's stddev/var_pop use streaming one-pass algorithms whose float
+    rounding depends on partition merge order; here variance comes from the
+    textbook sufficient statistics instead — exact decimal sums of x and x²
+    (inputs are 2dp ⇒ squares are 4dp, both summed exactly), combined in ONE
+    fixed-order double expression mirrored verbatim in the oracle:
+    var = (S2 − S1²/n)/n, clamped at 0 for cancellation, std = √var (sqrt is
+    correctly rounded, so it can't drift). Same one-shuffle map-side-combined
+    plan as any groupBy agg — sufficient statistics ARE the partial aggregate.
+    """
+    from ..functions import dsum
+
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "s1"),
+        dsum(F.col("value") * F.col("value"), "s2", scale=4),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    n = F.col("n_events").cast("double")
+    var = F.greatest(
+        (F.col("s2") - (F.col("s1") * F.col("s1")) / n) / n, F.lit(0.0)
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        (F.col("s1") / n).alias("avg_value"),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("std_pop"),
+        "vmin",
+        "vmax",
+    )
+
+
+SQL_AGG_STATS = """
+WITH g AS (
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, n_events,
+       s1 / n AS avg_value,
+       greatest((s2 - (s1 * s1) / n) / n, 0.0) AS var_pop,
+       sqrt(greatest((s2 - (s1 * s1) / n) / n, 0.0)) AS std_pop,
+       vmin, vmax
+FROM g
+"""
+
+
 QUERIES = {
     "q_agg_groupingsets": q_agg_groupingsets,
     "q_agg_percentile": q_agg_percentile,
@@ -237,6 +296,7 @@ QUERIES = {
     "q_win_rangeframe": q_win_rangeframe,
     "q_page_keyset": q_page_keyset,
     "q_agg_histogram": q_agg_histogram,
+    "q_agg_stats": q_agg_stats,
 }
 
 ORACLES = {
@@ -246,4 +306,5 @@ ORACLES = {
     "q_win_rangeframe": SQL_WIN_RANGEFRAME,
     "q_page_keyset": SQL_PAGE_KEYSET,
     "q_agg_histogram": SQL_AGG_HISTOGRAM,
+    "q_agg_stats": SQL_AGG_STATS,
 }

@@ -367,12 +367,80 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .windows import SQL_WIN_SESSION as SQL_SESSION_STREAM  # noqa: E402
 
 
+def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — two live streams joined on a key plus an
+    event-time band, the streaming twin of the batch q_join_range.
+
+    Both sides carry a watermark and the join condition bounds b.ts within
+    (a.ts, a.ts + 10 min], which is what lets Spark DERIVE the state retention:
+    an a-side row is held only until the b-side watermark passes a.ts + 10 min,
+    then evicted — bounded state at any stream length, no manual TTL. Matches
+    emit as soon as both sides have arrived (inner join, append mode), so no
+    sentinel is needed; the result must equal the batch range join exactly.
+
+    Scale: state is partitioned by user_id; the interval bound keeps per-key
+    state to a 10-minute window of rows — the 100 TB/day form of correlating
+    two event feeds (clicks⋈impressions, order⋈shipment) without a batch join
+    over unbounded history.
+    """
+    run = f"s_join_stream_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    e = table(spark, sf_dir, "events")
+    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
+
+    a = (
+        read_stream(spark, stream_dir, e.schema)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        read_stream(spark, stream_dir, e.schema)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (a.user_id == b.b_user)
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
+    qname = f"joinstream_{uuid.uuid4().hex[:8]}"
+    with _state_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+from ..operators.relational import SQL_JOIN_RANGE as SQL_JOIN_STREAM  # noqa: E402
+
+
 QUERIES = {
     "s_watermark_dedup": s_watermark_dedup,
     "s_upsert_sink": s_upsert_sink,
     "s_stateful_profile": s_stateful_profile,
     "s_win_stream": s_win_stream,
     "s_session_stream": s_session_stream,
+    "s_join_stream": s_join_stream,
 }
 
 ORACLES = {
@@ -381,4 +449,5 @@ ORACLES = {
     "s_stateful_profile": SQL_STATEFUL_PROFILE,
     "s_win_stream": SQL_WIN_STREAM,
     "s_session_stream": SQL_SESSION_STREAM,
+    "s_join_stream": SQL_JOIN_STREAM,
 }
