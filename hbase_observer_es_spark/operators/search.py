@@ -309,6 +309,77 @@ LIMIT {TOP_K}
 """
 
 
+SIG_FG_LANG = "de"  # foreground slice: one language vs the whole corpus
+SIG_MIN_FG_DF = 3  # ES significant_terms min_doc_count
+SIG_TOP_K = 10
+
+
+def q_search_sigterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant terms — ES `significant_terms` aggregation: which terms are
+    over-represented in a foreground slice relative to the whole corpus.
+
+    Scoring is ES's JLH heuristic, (fg% − bg%) · (fg% / bg%) — pure +−×/ on
+    count-derived doubles in one fixed association order, so scores are
+    bit-identical across engines (no log-likelihood, which would hit the
+    libm-vs-JVM `ln` drift documented in the module header). min_doc_count
+    filters noise terms exactly as ES does.
+
+    Scale: ONE pass over doc-term pairs with a conditional count for the
+    foreground — the background df and foreground df come out of the same
+    map-side-combined groupBy; corpus totals are a broadcast 1-row aggregate.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(_toks()).alias("tk")
+    )
+    pairs = d.select("lang", F.explode("tk").alias("t"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("bg_n"),
+        F.count(F.when(F.col("lang") == SIG_FG_LANG, 1)).cast("double").alias("fg_n"),
+    )
+    dfs = pairs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("bg_df"),
+        F.count(F.when(F.col("lang") == SIG_FG_LANG, 1)).alias("fg_df"),
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n")
+    bg_pct = F.col("bg_df").cast("double") / F.col("bg_n")
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        dfs.filter(F.col("fg_df") >= SIG_MIN_FG_DF)
+        .join(F.broadcast(stats))
+        .select(F.col("t").alias("term"), "fg_df", "bg_df", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(SIG_TOP_K)
+    )
+
+
+SQL_SEARCH_SIGTERMS = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+    FROM documents
+),
+pairs AS (SELECT lang, unnest(tk) AS t FROM d),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS bg_n,
+           CAST(COUNT(CASE WHEN lang = '{SIG_FG_LANG}' THEN 1 END) AS DOUBLE) AS fg_n
+    FROM d
+),
+dfs AS (
+    SELECT t,
+           COUNT(*) AS bg_df,
+           COUNT(CASE WHEN lang = '{SIG_FG_LANG}' THEN 1 END) AS fg_df
+    FROM pairs GROUP BY t
+)
+SELECT t AS term, fg_df, bg_df,
+       ((CAST(fg_df AS DOUBLE) / fg_n) - (CAST(bg_df AS DOUBLE) / bg_n))
+       * ((CAST(fg_df AS DOUBLE) / fg_n) / (CAST(bg_df AS DOUBLE) / bg_n)) AS score
+FROM dfs, stats
+WHERE fg_df >= {SIG_MIN_FG_DF}
+ORDER BY score DESC, term ASC
+LIMIT {SIG_TOP_K}
+"""
+
+
 def q_get_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key point lookup — ES `mget` / HBase `Get` analogue.
 
@@ -335,6 +406,7 @@ QUERIES = {
     "q_search_phrase": q_search_phrase,
     "q_search_fuzzy": q_search_fuzzy,
     "q_search_mlt": q_search_mlt,
+    "q_search_sigterms": q_search_sigterms,
     "q_get_by_key": q_get_by_key,
 }
 
@@ -343,5 +415,6 @@ ORACLES = {
     "q_search_phrase": SQL_SEARCH_PHRASE,
     "q_search_fuzzy": SQL_SEARCH_FUZZY,
     "q_search_mlt": SQL_SEARCH_MLT,
+    "q_search_sigterms": SQL_SEARCH_SIGTERMS,
     "q_get_by_key": SQL_GET_BY_KEY,
 }

@@ -246,20 +246,34 @@ def _stage_with_sentinel(spark: SparkSession, e: DataFrame, sf_dir: str, out: st
     last data batch saves one full state-commit cycle per query versus shipping
     it as its own micro-batch — at fixture scale that fixed cost dominates.
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
     max_ts = e.agg(F.max("ts").alias("m")).head()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
-        schema=e.schema,
-    )
     last = sorted(glob.glob(os.path.join(stream_dir, "batch-*.parquet")))[-1]
     mtime = os.stat(last).st_mtime
-    tmp = os.path.join(out, "tmp_sentinel")
-    spark.read.parquet(last).unionByName(sentinel).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], last)
-    shutil.rmtree(tmp)
+    # append driver-side with pyarrow: one row into an existing file — going
+    # through a Spark job here would rewrite the whole batch through a single
+    # task (measured ~2s/query at sf0.1 for a 1-row append)
+    tbl = pq.read_table(last)
+    sent_vals = {
+        "event_id": -1,
+        "ts": max_ts + datetime.timedelta(days=10),
+        "user_id": -1,
+        "event_type": "sentinel",
+        "value": 0.0,
+        "props": "{}",
+    }
+    sentinel = pa.Table.from_pydict(
+        {f.name: pa.array([sent_vals[f.name]], type=f.type) for f in tbl.schema},
+        schema=tbl.schema,
+    )
+    # int96 timestamps to match the Spark-written sibling batches — Spark's
+    # streaming parquet reader rejects arrow's default INT64-nanos encoding
+    pq.write_table(
+        pa.concat_tables([tbl, sentinel]), last, use_deprecated_int96_timestamps=True
+    )
     os.utime(last, (mtime, mtime))
     return stream_dir
 
