@@ -154,3 +154,45 @@ def test_ivf_batch_broadcasts_centroids_and_probes(spark):
     f = facts_of(spark, "q_sim_ivf_batch")
     assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_histogram_partial_agg_and_pruned_scan(spark):
+    # bucket agg must combine map-side and read ONLY the bucketed column
+    plan = plan_of(spark, "q_agg_histogram")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    cols = scan_columns(plan)
+    assert cols and len(cols[0]) == 1, plan
+
+
+def test_stats_is_one_shuffle_partial_agg(spark):
+    # sufficient statistics ARE the partial aggregate: map-side combine, and
+    # no second pass over the data for the variance arithmetic
+    plan = plan_of(spark, "q_agg_stats")
+    assert "partial_sum" in plan, plan
+    f = facts_of(spark, "q_agg_stats")
+    assert f.exchanges <= 2, plan  # one agg shuffle (+AQE read), nothing else
+
+
+def test_mlt_broadcasts_term_dim(spark):
+    # the selected-terms dim and the 1-row stats must broadcast; the corpus
+    # doc-term side must never sort-merge against them
+    f = facts_of(spark, "q_search_mlt")
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0
+    assert f.take_ordered  # top-k is a heap, not a global sort
+
+
+def test_sigterms_single_pass_no_sortmerge(spark):
+    # fg and bg document frequencies come from ONE conditional-count groupBy;
+    # corpus totals join as a broadcast 1-row frame
+    f = facts_of(spark, "q_search_sigterms")
+    assert f.sortmerge_joins == 0
+    assert f.take_ordered
+
+
+def test_lsh_probe_is_broadcast_filter(spark):
+    # the 1-row probe broadcast-nested-loop joins (an OR of band equalities is
+    # not hashable) — but the corpus side must stay un-shuffled: no sort-merge,
+    # no exchange besides the top-k machinery
+    f = facts_of(spark, "q_sim_lsh")
+    assert f.sortmerge_joins == 0
+    assert f.take_ordered
