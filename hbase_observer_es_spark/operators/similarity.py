@@ -347,9 +347,19 @@ EMB_DIM = 64  # fixture embedding width (FIXTURES.md); weights are per-dim liter
 
 
 def _lsh_weights(p: int) -> list[float]:
-    return [
-        float(((p * 73856093 + d * 19349663) % 2001) - 1000) for d in range(EMB_DIM)
-    ]
+    # murmur-style avalanche per (plane, dim): an affine formula here makes the
+    # per-dim step constant mod the range, which leaves half the planes
+    # constant-sign (dead signature bits) and all planes correlated — caught by
+    # tests/test_banding_properties.py. Runs only at plan-build time; the
+    # results are baked as literals into both engines' expressions.
+    out = []
+    for d in range(EMB_DIM):
+        h = (p * 0x9E3779B1 + d * 0x85EBCA77) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0xC2B2AE3D) & 0xFFFFFFFF
+        h ^= h >> 16
+        out.append(float((h % 2001) - 1000))
+    return out
 
 
 def _lsh_band_cols(emb: Column) -> list[Column]:
