@@ -11,6 +11,11 @@ NotImplementedError behind an import guard, and ``q_mm_decode`` uses a
 deterministic fake decode with the identical plumbing.
 
 Fixture note: `documents.text` UTF-8 bytes stand in for the binary payload.
+The fake codec's `first_byte` is the payload's first BYTE (Python `b[0]`) while
+the oracle uses `ascii()` — the first CHARACTER's codepoint. These agree only
+because the fixture corpus is ASCII (verified: 0 docs where octet_length ≠
+length at every SF). A non-ASCII corpus would need the oracle switched to a
+byte-level accessor; the operator side is already byte-true.
 """
 
 from __future__ import annotations

@@ -49,14 +49,12 @@ def test_hamming_banding_is_exact_for_max_distance(fp, flip):
     assert any(a == b for a, b in zip(_bands(fp), _bands(other)))
 
 
-@given(st.integers(min_value=4, max_value=NEAR_BITS))
-@settings(max_examples=60)
-def test_hamming_banding_sharp_at_bands(d):
-    """The guarantee is sharp: at distance ≥ HAM_BANDS one flip per band evades
-    every bucket — documents why HAM_MAX is 3 and not 4."""
-    if d < HAM_BANDS:
-        return
-    fp = 0
+@given(st.integers(min_value=0, max_value=(1 << NEAR_BITS) - 1))
+@settings(max_examples=100)
+def test_hamming_banding_sharp_at_bands(fp):
+    """The guarantee is sharp: at distance HAM_BANDS, one flip per band evades
+    every bucket — documents why HAM_MAX is HAM_BANDS−1 and not HAM_BANDS.
+    Checked from an arbitrary starting fingerprint, not just zero."""
     other = fp
     for b in range(HAM_BANDS):  # one flipped bit inside each band
         other ^= 1 << (b * HAM_BAND_BITS)
@@ -79,20 +77,39 @@ def test_lsh_weights_deterministic_and_spread():
         assert any(x > 0 for x in w) and any(x < 0 for x in w)
 
 
-@given(
-    st.lists(
-        st.floats(min_value=-10, max_value=10, allow_nan=False),
-        min_size=EMB_DIM,
-        max_size=EMB_DIM,
-    )
-)
-@settings(max_examples=100)
-def test_lsh_identical_vectors_always_collide(vec):
-    """A vector always lands in its own bucket on every band: sign(w·v) is a
-    pure function, so exact duplicates can never be missed — the property that
-    makes LSH a sound DEDUP primitive even though neighbor recall is
-    probabilistic."""
-    sigs = [sum(w * x for w, x in zip(_lsh_weights(p), vec)) >= 0
-            for p in range(LSH_PLANES)]
-    assert sigs == [sum(w * x for w, x in zip(_lsh_weights(p), vec)) >= 0
-                    for p in range(LSH_PLANES)]
+def _py_bands(vec: list[float]) -> list[int]:
+    """Independent Python mirror of _lsh_band_cols: left fold from 0.0 over
+    per-dim products — the association order both engines use."""
+    bits = []
+    for p in range(LSH_PLANES):
+        acc = 0.0
+        for w, x in zip(_lsh_weights(p), vec):
+            acc = acc + (x * w)
+        bits.append(1 if acc >= 0 else 0)
+    return [
+        sum(bits[b * LSH_BAND_BITS + i] << i for i in range(LSH_BAND_BITS))
+        for b in range(LSH_BANDS)
+    ]
+
+
+def test_lsh_spark_bands_match_python_mirror(spark):
+    """The Spark-side signature (fold expressions over baked weight literals)
+    must agree bit-for-bit with an independent Python computation — the parity
+    that makes exact duplicates impossible to miss (same payload ⇒ same bucket
+    on every band) and keeps the oracle's SQL mirror honest."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_es_spark.io import table
+    from hbase_observer_es_spark.operators.similarity import _lsh_band_cols
+
+    from .conftest import SF_ORACLE
+
+    e = table(spark, SF_ORACLE, "embeddings").orderBy("vec_id").limit(20)
+    rows = e.select(
+        "vec_id", "embedding", *_lsh_band_cols(F.col("embedding"))
+    ).collect()
+    assert rows
+    for r in rows:
+        expect = _py_bands([float(x) for x in r.embedding])
+        got = [r[f"b{b}"] for b in range(LSH_BANDS)]
+        assert got == expect, r.vec_id

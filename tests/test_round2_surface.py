@@ -47,16 +47,18 @@ def test_mlt_excludes_probe_and_bounds_terms(spark):
 def test_lsh_scores_are_exact_cosines(spark):
     """LSH may MISS neighbors (bucketing is approximate) but must never
     mis-score one: every returned cos_sim equals the exact brute-force cosine
-    for that vec_id, and ranks no higher than the true top-k."""
-    exact = {
-        r.vec_id: r.cos_sim
-        for r in q_sim_knn(spark, SF_ORACLE).collect()  # true top-K
-    }
+    for that vec_id, and the LSH ranking is elementwise dominated by the true
+    top-k (a max over a candidate SUBSET can never beat the full-corpus max)."""
+    exact_rows = q_sim_knn(spark, SF_ORACLE).collect()  # true top-K, desc
+    exact = {r.vec_id: r.cos_sim for r in exact_rows}
     lsh = q_sim_lsh(spark, SF_ORACLE).collect()
     assert 0 < len(lsh) <= K
     for r in lsh:
         if r.vec_id in exact:
             assert r.cos_sim == exact[r.vec_id]  # bit-identical, same fold
+    # rank-i LSH score can never exceed rank-i exact score
+    for i, r in enumerate(lsh):
+        assert r.cos_sim <= exact_rows[i].cos_sim
 
 
 def test_stats_matches_builtin_variance(spark):
