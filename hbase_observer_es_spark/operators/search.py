@@ -380,6 +380,45 @@ LIMIT {SIG_TOP_K}
 """
 
 
+SUGGEST_PREFIX = "s"  # matches several fixture-vocabulary terms (scan, spark, …)
+SUGGEST_K = 8
+
+
+def q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion — ES `completion` suggester analogue: terms starting
+    with the typed prefix, ranked by corpus frequency.
+
+    ES backs this with a dedicated FST index; the Spark-native form is a
+    pushable prefix filter over the exploded token stream plus one map-side-
+    combined count. The result is vocabulary-bounded (tiny) at any corpus
+    size, and on a token-sorted layout the prefix predicate is a range scan —
+    the columnar stand-in for the FST walk.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_toks()).alias("t"))
+    return (
+        tok.filter(F.col("t").startswith(SUGGEST_PREFIX))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("t").alias("suggestion"), "freq")
+        .orderBy(F.desc("freq"), F.asc("suggestion"))
+        .limit(SUGGEST_K)
+    )
+
+
+SQL_SEARCH_SUGGEST = f"""
+SELECT t AS suggestion, COUNT(*) AS freq
+FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+    FROM documents
+)
+WHERE t LIKE '{SUGGEST_PREFIX}%'
+GROUP BY t
+ORDER BY freq DESC, suggestion ASC
+LIMIT {SUGGEST_K}
+"""
+
+
 def q_get_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key point lookup — ES `mget` / HBase `Get` analogue.
 
@@ -407,6 +446,7 @@ QUERIES = {
     "q_search_fuzzy": q_search_fuzzy,
     "q_search_mlt": q_search_mlt,
     "q_search_sigterms": q_search_sigterms,
+    "q_search_suggest": q_search_suggest,
     "q_get_by_key": q_get_by_key,
 }
 
@@ -416,5 +456,6 @@ ORACLES = {
     "q_search_fuzzy": SQL_SEARCH_FUZZY,
     "q_search_mlt": SQL_SEARCH_MLT,
     "q_search_sigterms": SQL_SEARCH_SIGTERMS,
+    "q_search_suggest": SQL_SEARCH_SUGGEST,
     "q_get_by_key": SQL_GET_BY_KEY,
 }
