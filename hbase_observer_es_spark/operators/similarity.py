@@ -442,6 +442,114 @@ LIMIT {K}
 """
 
 
+def q_sim_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-probe LSH ANN — the bucket-join form of q_sim_lsh, for MANY probes.
+
+    Candidate generation becomes a pure equi-join: both sides explode their
+    signatures to (band_idx, band_value) rows and meet on the bucket key —
+    exactly MinHash LSH's candidate shape (operators/dedup.py) and the hash-
+    routing counterpart of q_sim_ivf_batch's centroid join. A probe and corpus
+    vector meet once per shared band, so candidates are deduped on
+    (probe, vec) before the exact cosine re-rank; per-probe top-k is a window
+    over candidate rows only.
+
+    Scale: the join shuffles on (band_idx, band_value) — linear in corpus +
+    probes, never all-pairs; bucket skew (a hot band value) is AQE skew-join
+    territory, and adding planes/bands tightens buckets at the cost of recall,
+    the standard LSH dial. Here the probe side is small so Spark broadcasts
+    it; with millions of probes the same plan degrades gracefully to a
+    co-partitioned shuffle join on the bucket key.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    # hoist the L2 norm to a per-VECTOR column: the candidate join fans each
+    # vector out to many pairs, and recomputing the norm fold per pair tripled
+    # the scoring cost (measured 17s -> ~6s at sf0.1). Same value, same fold —
+    # the oracle hoists identically.
+    sigs = e.select(
+        "vec_id", "label", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        *_lsh_band_cols(F.col("embedding")),
+    )
+    bands_arr = F.array(
+        *[F.struct(F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv"))
+          for b in range(LSH_BANDS)]
+    )
+    corpus = sigs.select(
+        "vec_id", "label", "embedding", "nrm", F.explode(bands_arr).alias("band")
+    ).select("vec_id", "label", "embedding", "nrm", "band.bi", "band.bv")
+    probes = (
+        sigs.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_emb"),
+                F.col("nrm").alias("probe_nrm"),
+                F.explode(bands_arr).alias("band"))
+        .select("probe_id", "probe_emb", "probe_nrm", "band.bi", "band.bv")
+    )
+    cand = (
+        corpus.join(probes, ["bi", "bv"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "probe_emb", "probe_nrm", "vec_id", "label",
+                "embedding", "nrm")
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    # scoring stays a JVM fold: a fold-exact numpy pandas_udf was tried and
+    # LOST here (~5.2s vs ~4.4s warm at sf0.1) — unlike q_sim_pairs, where the
+    # pair matrix is built INSIDE the UDF, the candidate join has already
+    # expanded the pairs, so the Arrow hop would ship 2×64 doubles per pair
+    # (~250 MB at sf0.1) just to save interpreted adds. The hoisted norms keep
+    # it one fold per pair.
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("embedding"), F.col("probe_emb"))
+            / (F.col("nrm") * F.col("probe_nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .select("probe_id", "vec_id", "label", "cos_sim")
+    )
+
+
+SQL_SIM_LSH_BATCH = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           {_sql_norm('embedding')} AS nrm,
+           {", ".join(f"{_sql_lsh_band(b)} AS b{b}" for b in range(LSH_BANDS))}
+    FROM embeddings
+),
+probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_emb, nrm AS probe_nrm,
+           {", ".join(f"b{b} AS p{b}" for b in range(LSH_BANDS))}
+    FROM sigs WHERE vec_id % {PROBE_MOD} = 0
+),
+cand AS (
+    SELECT p.probe_id, p.probe_emb, p.probe_nrm, s.vec_id, s.label,
+           s.embedding, s.nrm
+    FROM sigs s JOIN probes p
+      ON ({" OR ".join(f"s.b{b} = p.p{b}" for b in range(LSH_BANDS))})
+    WHERE s.vec_id <> p.probe_id
+),
+scored AS (
+    SELECT probe_id, vec_id, label,
+           {_SQL_DOT.format(a='embedding', b='probe_emb')} / (nrm * probe_nrm) AS cos_sim
+    FROM cand
+)
+SELECT probe_id, vec_id, label, cos_sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {K}
+"""
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup DEDUP: the survivor set under keep-lowest-id.
 
@@ -522,6 +630,7 @@ QUERIES = {
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_batch": q_sim_ivf_batch,
     "q_sim_lsh": q_sim_lsh,
+    "q_sim_lsh_batch": q_sim_lsh_batch,
     "q_dedup_embed": q_dedup_embed,
     "q_sim_knn_pudf": q_sim_knn_pudf,
 }
@@ -532,6 +641,7 @@ ORACLES = {
     "q_sim_ivf": SQL_SIM_IVF,
     "q_sim_ivf_batch": SQL_SIM_IVF_BATCH,
     "q_sim_lsh": SQL_SIM_LSH,
+    "q_sim_lsh_batch": SQL_SIM_LSH_BATCH,
     "q_dedup_embed": SQL_DEDUP_EMBED,
     # neighbor-set projection — set membership is ulp-stable even though BLAS scores aren't
     "q_sim_knn_pudf": SQL_SIM_KNN_PUDF,
