@@ -277,7 +277,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     * trigram shingles keep buckets discriminative even on low-entropy text
       (unigram sets over a 31-word vocab put 77% of docs in one bucket).
     """
-    d = _shingled_docs(spark, sf_dir)
+    # the shingle frame feeds FOUR plan branches (both sides of the bucket
+    # self-join and both verify joins); unpersisted, the shingle+rollhash
+    # pipeline re-executes per branch (measured ~1.1s/run at sf0.1). One
+    # (doc_id, hs) row per doc — MEMORY_AND_DISK-safe at fixture scale; at
+    # 100 TB you'd materialize it to a table once per corpus snapshot instead.
+    d = _shingled_docs(spark, sf_dir).persist()
     minh = d.select("doc_id", *_minhash_cols())
     band_structs = [
         F.struct(
