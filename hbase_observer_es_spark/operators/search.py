@@ -197,7 +197,9 @@ def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
-            F.array_sort(F.collect_set("t")).alias("variants"),
+            # comma-joined string, not array<string>: scalar columns keep the
+            # result canonicalizer-friendly (arrays are unhashable downstream)
+            F.array_join(F.array_sort(F.collect_set("t")), ",").alias("variants"),
         )
     )
 
@@ -213,7 +215,7 @@ expanded AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_hits,
-       list(DISTINCT t ORDER BY t) AS variants
+       string_agg(DISTINCT t, ',' ORDER BY t) AS variants
 FROM tok JOIN expanded USING (t)
 GROUP BY doc_id
 """

@@ -27,9 +27,13 @@ Restart durability: the partition→current-version map is persisted to
 write-then-rename, the same recipe Structured Streaming's own commit log uses),
 and loaded on construction. A driver restart therefore resumes from the last
 COMPLETED batch: Structured Streaming replays any in-flight batch from its
-checkpoint, the idempotent merge absorbs the replay, and the manifest repoint
-is the commit point — a crash before the rename leaves the previous manifest
-(and its version directories) fully readable. This is the durable analogue of
+checkpoint, and the manifest carries a ``last_applied`` batch-id watermark
+that splits the replay into two safe cases — a replayed COMMITTED batch
+(batch_id <= last_applied) is a pure no-op, never re-reading or rewriting the
+live version it produced; a replayed UNCOMMITTED batch (crash before the
+manifest rename) re-merges from the previous committed versions and overwrites
+only its own never-referenced v{batch_id} directory. Either way a crash leaves
+the current manifest (and every directory it points to) fully readable. This is the durable analogue of
 the reference's retry-requeue (ElasticsearchBulkOperator.java:114-137), made
 exactly-once across restarts rather than at-least-once within a process.
 """
@@ -63,6 +67,12 @@ class KeyedParquetSink:
         self.n_partitions = n_partitions
         # key-partition id -> path of its current version directory
         self._current: dict[int, str] = {}
+        # highest batch_id whose merge COMMITTED (manifest renamed). Replays of
+        # batches <= this are no-ops: without the guard, a replayed batch would
+        # overwrite the live v{batch_id} directory while reading old_paths that
+        # point INSIDE it — the overwrite deletes the data mid-read and leaves
+        # the manifest referencing a destroyed version.
+        self._last_applied: int = -1
         self._load_manifest()
 
     # -- durability ---------------------------------------------------------
@@ -87,10 +97,12 @@ class KeyedParquetSink:
             int(k): os.path.join(self.base_dir, rel)
             for k, rel in doc["current"].items()
         }
+        self._last_applied = int(doc.get("last_applied", -1))
 
     def _save_manifest(self) -> None:
         doc = {
             "n_partitions": self.n_partitions,
+            "last_applied": self._last_applied,
             "current": {
                 str(k): os.path.relpath(p, self.base_dir)
                 for k, p in self._current.items()
@@ -109,12 +121,20 @@ class KeyedParquetSink:
         ).cast("int")
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_applied:
+            # checkpoint replay of a committed batch: true idempotent no-op.
+            # Re-running the merge would be both wasteful and UNSAFE — the
+            # overwrite of v{batch_id} deletes the very directories the
+            # manifest-loaded old_paths read from (see _last_applied above).
+            return
         s = batch_df.sparkSession
         b = batch_df.select("row_key", "qualifier", "value", "ts", "op").withColumn(
             "_p", self._pcol()
         )
         affected = sorted(r._p for r in b.select("_p").distinct().collect())
         if not affected:
+            self._last_applied = batch_id
+            self._save_manifest()
             return
         old_paths = [self._current[k] for k in affected if k in self._current]
         if old_paths:
@@ -135,6 +155,7 @@ class KeyedParquetSink:
             else:
                 # every key in this partition is tombstoned — partition is empty
                 self._current.pop(k, None)
+        self._last_applied = batch_id
         self._save_manifest()
 
     def read(self, spark: SparkSession) -> DataFrame:

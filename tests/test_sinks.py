@@ -107,6 +107,44 @@ def test_restart_rejects_repartition(spark):
         KeyedParquetSink(out, n_partitions=4)
 
 
+def test_replay_committed_batch_is_noop(spark):
+    """Replaying a COMMITTED batch under its ORIGINAL batch_id (what a
+    checkpoint restart does) must be a no-op. Without the last_applied
+    watermark, the replay overwrote the live v{batch_id} directory while its
+    old_paths read from INSIDE that directory — destroying the version the
+    manifest points to (observable with AQE off, or on a crash mid-replay)."""
+    import os
+
+    out = scratch_dir("sink_replay_committed_test")
+    sink = KeyedParquetSink(out, n_partitions=4)
+    sink.merge_batch(
+        spark.createDataFrame(
+            [(f"k{i}", "q", str(i), _t(i), "upsert") for i in range(8)], SCHEMA
+        ),
+        0,
+    )
+    b1 = [("k3", "q", "updated", _t(50), "upsert")]
+    sink.merge_batch(spark.createDataFrame(b1, SCHEMA), 1)
+    committed_paths = dict(sink._current)
+    expected = sorted(tuple(r) for r in sink.read(spark).collect())
+
+    # restart, then checkpoint replays batch 1 with the SAME id
+    sink2 = KeyedParquetSink(out, n_partitions=4)
+    assert sink2._last_applied == 1
+    sink2.merge_batch(spark.createDataFrame(b1, SCHEMA), 1)
+    assert sink2._current == committed_paths  # no repoint happened
+    # every version directory the manifest references is still on disk
+    assert all(os.path.isdir(p) for p in sink2._current.values())
+    assert sorted(tuple(r) for r in sink2.read(spark).collect()) == expected
+
+    # and genuinely NEW work after the replay still applies
+    sink2.merge_batch(
+        spark.createDataFrame([("k5", "q", "post", _t(60), "upsert")], SCHEMA), 2
+    )
+    rows = {r.row_key: r.value for r in sink2.read(spark).collect()}
+    assert rows["k5"] == "post" and rows["k3"] == "updated" and len(rows) == 8
+
+
 def test_replay_idempotent(spark):
     out = scratch_dir("sink_replay_test")
     sink = KeyedParquetSink(out, n_partitions=4)
