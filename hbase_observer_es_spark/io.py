@@ -51,6 +51,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# call-site key -> the live persisted frame from that site's LAST invocation
+_TRACKED_CACHE: dict[str, DataFrame] = {}
+
+
+def persist_tracked(df: DataFrame, key: str) -> DataFrame:
+    """Persist a frame that must outlive its query function.
+
+    Query functions return LAZY results — a plain ``persist()`` inside them
+    can't be paired with an ``unpersist()`` before return (the cache has to
+    survive until the caller materializes the result), so in a long session
+    (bench harness, notebook) those caches accumulate without bound. This
+    keeps at most ONE live cached frame per call site: re-invoking the same
+    site releases the previous invocation's frame first.
+    """
+    prev = _TRACKED_CACHE.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing left to free
+    _TRACKED_CACHE[key] = df.persist()
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

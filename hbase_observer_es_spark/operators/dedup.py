@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import persist_tracked, table
 from .text import MOD
 
 # 16 fixed universal-hash permutations (a*h + b) mod MOD, 4 bands × 4 rows.
@@ -180,7 +180,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the n_words head() below doubles as its materialization — without the
     # persist the dictionary-encode pipeline re-executes per join branch
     # (measured 2.3s -> 1.0s at sf0.1)
-    enc = _bitset_docs(spark, sf_dir).persist()
+    enc = persist_tracked(_bitset_docs(spark, sf_dir), "dedup.jaccard.enc")
     n_words = enc.select("n_words").head()[0]
     a, b = _pair_frames(enc, n_words)
     size_ok = (
@@ -286,7 +286,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline re-executes per branch (measured ~1.1s/run at sf0.1). One
     # (doc_id, hs) row per doc — MEMORY_AND_DISK-safe at fixture scale; at
     # 100 TB you'd materialize it to a table once per corpus snapshot instead.
-    d = _shingled_docs(spark, sf_dir).persist()
+    d = persist_tracked(_shingled_docs(spark, sf_dir), "dedup.minhash.shingles")
     minh = d.select("doc_id", *_minhash_cols())
     band_structs = [
         F.struct(
@@ -509,7 +509,7 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fingerprint frame feeds three plan branches (banding + both sides of
     # the verify join); cache it or the explode+60-vote agg runs three times.
     # 2 longs/doc — safely cacheable (and spillable) at any corpus size.
-    fps = _simhash_wide(spark, sf_dir).persist()
+    fps = persist_tracked(_simhash_wide(spark, sf_dir), "dedup.simhash.fps")
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),

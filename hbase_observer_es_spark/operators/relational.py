@@ -426,7 +426,12 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw value: `approx_ok` asserts |approx − exact| ≤ 5·rsd·exact (HLL++ error
     is ~rsd·exact at 1σ; 5σ never trips in practice). The DuckDB twin emits the
     exact count and a literal TRUE, so rows/schema/hash all verify — the sketch
-    is exercised by Spark and validated to tolerance, not hash-compared."""
+    is exercised by Spark and validated to tolerance, not hash-compared.
+
+    NOTE: the exact countDistinct here exists ONLY for harness validation — it
+    dominates the plan and negates the sketch's fixed-memory property. The
+    production form is the sketch alone:
+    ``df.groupBy(g).agg(F.approx_count_distinct(c, rsd))``."""
     e = table(spark, sf_dir, "events")
     approx = F.approx_count_distinct("user_id", rsd=0.02)
     exact = F.countDistinct("user_id")

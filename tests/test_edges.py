@@ -109,3 +109,19 @@ def test_bucketed_tables_reused_from_disk(spark):
     for t in tables:
         loc = SCRATCH / "warehouse" / t
         assert os.stat(loc / "_SUCCESS").st_mtime_ns == mtimes[t], "files rewritten"
+
+
+def test_tracked_persist_does_not_accumulate(spark):
+    """Re-invoking a query whose internal frame is persist_tracked releases the
+    previous invocation's cache — a long session (bench harness runs 86 queries
+    back-to-back) stays bounded at one live frame per call site."""
+    from hbase_observer_es_spark.operators.dedup import q_dedup_minhash
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    q_dedup_minhash(spark, SF_ORACLE).collect()
+    first = n_cached()
+    q_dedup_minhash(spark, SF_ORACLE).collect()
+    q_dedup_minhash(spark, SF_ORACLE).collect()
+    assert n_cached() <= first
