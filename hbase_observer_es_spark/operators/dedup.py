@@ -110,21 +110,49 @@ WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 
+N_ID_BUCKETS = 32  # parallelism of dense-id assignment; any value works
+
+
 def _bitset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-encode each document's token set into fixed-width bitmask words.
 
-    vocab (distinct tokens) gets dense ids via one tiny shuffle; each doc then
-    aggregates ``1 << (id % 64)`` per word with bit_or. Set intersection/union
-    become bit_count(a & b) — O(words) per pair instead of O(|set|) array ops.
-    Dictionary encoding like this is exactly what you'd do at 100 TB (the dict is
-    a broadcastable dim; huge vocabs would shard it or fall back to MinHash).
+    vocab (distinct tokens) gets dense ids in [0, V) WITHOUT a global
+    single-partition sort: tokens hash into N_ID_BUCKETS buckets, each bucket
+    row_numbers its tokens in parallel (per-bucket windows), and the per-bucket
+    counts — N_ID_BUCKETS integers, driver-side metadata, never data — turn
+    into prefix-sum offsets so ``tid = offset[bucket] + local_id``. The widest
+    bucket bounds the critical path at any vocabulary size (a billion-term web
+    vocab spreads over the buckets instead of serializing through one task).
+    Any bijective token→id map works — only SET identity matters downstream.
+
+    Each doc then aggregates ``1 << (tid % 64)`` per word with bit_or. Set
+    intersection/union become bit_count(a & b) — O(words) per pair instead of
+    O(|set|) array ops. Dictionary encoding like this is exactly what you'd do
+    at 100 TB (the dict is a broadcastable dim; huge vocabs would shard it or
+    fall back to MinHash).
     """
     d = table(spark, sf_dir, "documents").select("doc_id", _tok_set().alias("tk"))
     toks = d.select(F.explode("tk").alias("t")).filter(F.col("t") != "").distinct()
-    vocab_size = toks.count()  # dictionary stats lookup — bounded by vocab, not rows
+    tb = toks.withColumn(
+        "bkt", F.pmod(F.xxhash64("t"), F.lit(N_ID_BUCKETS)).cast("int")
+    )
+    counts = {
+        r["bkt"]: r["n"]
+        for r in tb.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for k in range(N_ID_BUCKETS):
+        offsets.append((k, acc))
+        acc += counts.get(k, 0)
+    vocab_size = acc
     n_words = max(1, -(-vocab_size // 64))
-    w = Window.orderBy("t")
-    vocab = toks.withColumn("tid", F.row_number().over(w) - 1)
+    w = Window.partitionBy("bkt").orderBy("t")  # per-bucket, runs in parallel
+    off_df = spark.createDataFrame(offsets, "bkt int, off int")
+    vocab = (
+        tb.withColumn("lid", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "bkt")
+        .select("t", (F.col("off") + F.col("lid")).alias("tid"))
+    )
     exploded = d.select("doc_id", F.explode("tk").alias("t")).filter(F.col("t") != "")
     with_ids = exploded.join(F.broadcast(vocab), "t")
     word_aggs = [

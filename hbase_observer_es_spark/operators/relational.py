@@ -274,9 +274,14 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order (by o_orderdate) of the same
     customer at or before the event time; events with no preceding order keep nulls.
 
-    Implementation: equality join on the entity key + inequality band, then a
-    per-event window keeps the latest match. The equality key means the join
-    partitions cleanly; at 100 TB the window state is bounded per key-group.
+    Implementation: equality join on the entity key + inequality band, then
+    ``max_by`` over a (date, key) ordering struct reduces each event to its one
+    winning match. The aggregate's PARTIAL phase runs map-side on the join
+    output, so the shuffle after the join carries ≈ one row per event — not the
+    events × orders-per-customer join blow-up a window-over-all-matches would
+    materialize (per-key order history is unbounded at 100 TB; the pre-reduce
+    bounds the intermediate regardless). An unmatched event's single null-padded
+    left-join row yields a null-fielded struct, preserving the nulls.
     (Reference analogue: ES-side "latest doc for key" lookups after CDC sync.)
     """
     e = table(spark, sf_dir, "events")
@@ -286,19 +291,21 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
         "left",
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    # lexicographic struct max == ORDER BY o_orderdate DESC, o_orderkey DESC
+    best = F.max_by(
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.struct("o_orderdate", "o_orderkey"),
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        j.groupBy("event_id", "user_id", "ts")
+        .agg(best.alias("m"))
         .select(
             "event_id",
             "user_id",
             "ts",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").alias("asof_orderdate"),
-            F.col("o_totalprice").alias("asof_totalprice"),
+            F.col("m.o_orderkey").alias("asof_orderkey"),
+            F.col("m.o_orderdate").alias("asof_orderdate"),
+            F.col("m.o_totalprice").alias("asof_totalprice"),
         )
     )
 

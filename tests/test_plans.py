@@ -196,3 +196,21 @@ def test_lsh_probe_is_broadcast_filter(spark):
     f = facts_of(spark, "q_sim_lsh")
     assert f.sortmerge_joins == 0
     assert f.take_ordered
+
+
+def test_asof_prereduces_before_shuffle(spark):
+    """The as-of join must NOT window over the full events x orders-per-customer
+    join output (per-key order history is unbounded at scale). The winning match
+    is picked by max_by whose PARTIAL phase runs map-side on the join output, so
+    the shuffle carries ~ one row per event."""
+    plan = plan_of(spark, "q_join_asof")
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_jaccard_vocab_ids_no_global_window(spark):
+    """Dense vocab-id assignment must not serialize the dictionary through one
+    task: no single-partition exchange anywhere in the jaccard plan (the old
+    Window.orderBy with no partition spec produced exactly that)."""
+    plan = plan_of(spark, "q_dedup_jaccard")
+    assert "SinglePartition" not in plan, plan
