@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import persist_tracked, table
 
 PROBE_VEC_ID = 0
 PAIR_COS_THRESHOLD = 0.3  # fixture labels are loose clusters (within-label p99 ≈ .3)
@@ -332,6 +332,242 @@ WHERE rk <= {K}
 """
 
 
+# --- learned IVF: deterministic k-means (Lloyd's) ----------------------------
+#
+# Everywhere else the fixture's `label` column stands in for the IVF cell id —
+# an honest shortcut (DIVERGENCES.md D11), but a real 100 TB corpus has no
+# labels. train_centroids learns the cells from raw vectors, and
+# q_sim_ivf_trained routes the batch-ANN through the LEARNED cells, so the IVF
+# family now stands up on unlabeled embeddings end to end.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+# Knuth multiplicative hash constants — pure integer arithmetic, so ANY engine
+# computes the identical pseudo-random seed ranking (no RNG, same determinism
+# discipline as _lsh_weights below)
+SEED_MULT = 2654435761
+SEED_MOD = 4294967296
+
+# lexicographic struct max == argmax by (cosine, then LOWEST cell id); both
+# engines define struct comparison field-by-field, so the winner is identical
+_SQL_PICK_CELL = "(max(struct_pack(c := c, nc := -cell, cell := cell))).cell"
+
+
+def _pick_cell() -> Column:
+    return F.max(
+        F.struct(
+            F.col("c").alias("c"),
+            (-F.col("cell")).alias("nc"),
+            F.col("cell").alias("cell"),
+        )
+    )
+
+
+def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): each vector's best cell under fold-exact
+    cosine, ties to the lowest cell id.
+
+    The argmax is a ``max`` over a (cosine, -cell, cell) struct, NOT a window:
+    max's PARTIAL phase reduces the k·N scored rows map-side, so the shuffle
+    carries one row per vector — the same pre-reduce discipline as q_join_asof.
+    """
+    scored = vecs.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        _cosine(F.col("embedding"), F.col("centroid")).alias("c"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(_pick_cell().alias("m"), F.first("embedding").alias("embedding"))
+        .select("vec_id", "embedding", F.col("m.cell").alias("cell"))
+    )
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """(cell, centroid): element-wise member means, decimal-exact like
+    _centroids so every engine lands on bit-identical centroids."""
+    dims = assigned.select("cell", F.posexplode(F.col("embedding")).alias("dim", "val"))
+    return (
+        dims.groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def train_centroids(
+    e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over raw embeddings → (cell, centroid).
+
+    No RNG anywhere, so a DuckDB mirror reproduces every iteration exactly:
+    * init: the k vectors ranked smallest by the Knuth hash
+      ``(vec_id * SEED_MULT) % SEED_MOD`` — pseudo-random spread, pure integer
+      math (the seed-ranking window runs over k rows, bounded by the
+      parameter, never by data);
+    * assignment: argmax fold-exact cosine via _assign_cells (map-side
+      pre-reduced);
+    * update: decimal-exact element-wise means (_cell_means).
+
+    Each iteration is one broadcast join + two aggs — the same join+agg loop
+    shape as q_dedup_clusters' connected components. At 100 TB the
+    per-iteration shuffle is one row per vector; centroids stay a k-row
+    broadcastable dim throughout. A cell that loses every member drops out
+    (standard Lloyd's degeneracy; mirrored by the SQL twin).
+    """
+    h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
+    seeds = (
+        e.select("vec_id", "embedding", h.alias("h")).orderBy("h", "vec_id").limit(k)
+    )
+    w_seed = Window.orderBy("h", "vec_id")  # k-row frame: bounded by the parameter
+    cent = seeds.withColumn(
+        "cell", (F.row_number().over(w_seed) - 1).cast("int")
+    ).select("cell", F.col("embedding").alias("centroid"))
+    for _ in range(iters):
+        cent = _cell_means(_assign_cells(e, cent))
+    return cent
+
+
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-probe IVF ANN over TRAINED cells — q_sim_ivf_batch minus the
+    label shortcut: k-means learns the cells, membership and routing both come
+    from the learned centroids, nothing reads `label`.
+
+    Plan shape: train (iterated join+agg) → membership equi-join on cell →
+    per-probe top-k window over cell-bounded candidates. The trained centroid
+    frame is persisted once (tracked) because membership and routing both
+    consume it — without the persist the whole Lloyd's lineage re-executes per
+    branch.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = persist_tracked(train_centroids(e), "similarity.ivf_trained.cent")
+    member = _assign_cells(e, cent)
+    probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    routed_scored = probes.join(F.broadcast(cent)).select(
+        "probe_id",
+        "probe_emb",
+        "cell",
+        _cosine(F.col("probe_emb"), F.col("centroid")).alias("c"),
+    )
+    routed = (
+        routed_scored.groupBy("probe_id")
+        .agg(_pick_cell().alias("m"), F.first("probe_emb").alias("probe_emb"))
+        .select("probe_id", "probe_emb", F.col("m.cell").alias("cell"))
+    )
+    scored = (
+        member.join(F.broadcast(routed), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "cell",
+            _cosine(F.col("embedding"), F.col("probe_emb")).alias("cos_sim"),
+        )
+    )
+    w_topk = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_topk))
+        .filter(F.col("rk") <= K)
+        .select("probe_id", "vec_id", "cell", "cos_sim")
+    )
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> str:
+    """CTE chain mirroring train_centroids: seeds → cent0 → (assign, cent)×iters.
+    Generated, not hand-unrolled — iteration count is the single source of truth."""
+    parts = [
+        f"""seeds AS (
+    SELECT vec_id, embedding, (vec_id * {SEED_MULT}) % {SEED_MOD} AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {k}
+),
+cent0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+           embedding AS centroid
+    FROM seeds
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+    SELECT vec_id, embedding, {_SQL_PICK_CELL} AS cell
+    FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_sql_cosine('e.embedding', 'c.centroid')} AS c
+        FROM embeddings e, cent{i - 1} c
+    )
+    GROUP BY vec_id, embedding
+),
+dims{i} AS (
+    SELECT cell, i - 1 AS dim, embedding[i] AS val
+    FROM assign{i}, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent{i} AS (
+    SELECT cell, list(m ORDER BY dim) AS centroid
+    FROM (
+        SELECT cell, dim,
+               CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        FROM dims{i} GROUP BY cell, dim
+    )
+    GROUP BY cell
+)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_SIM_IVF_TRAINED = f"""
+WITH {_sql_kmeans_ctes(KMEANS_K, KMEANS_ITERS)},
+cent AS (SELECT * FROM cent{KMEANS_ITERS}),
+member AS (
+    SELECT vec_id, embedding, {_SQL_PICK_CELL} AS cell
+    FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_sql_cosine('e.embedding', 'c.centroid')} AS c
+        FROM embeddings e, cent c
+    )
+    GROUP BY vec_id, embedding
+),
+probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_emb
+    FROM embeddings WHERE vec_id % {PROBE_MOD} = 0
+),
+routed AS (
+    SELECT probe_id, probe_emb, {_SQL_PICK_CELL} AS cell
+    FROM (
+        SELECT p.probe_id, p.probe_emb, c.cell,
+               {_sql_cosine('p.probe_emb', 'c.centroid')} AS c
+        FROM probes p, cent c
+    )
+    GROUP BY probe_id, probe_emb
+),
+scored AS (
+    SELECT r.probe_id, m.vec_id, m.cell,
+           {_sql_cosine('m.embedding', 'r.probe_emb')} AS cos_sim
+    FROM member m JOIN routed r ON m.cell = r.cell
+    WHERE m.vec_id <> r.probe_id
+)
+SELECT probe_id, vec_id, cell, cos_sim
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {K}
+"""
+
+
 # --- random-hyperplane LSH (SimHash-for-vectors) -----------------------------
 #
 # P(bit agrees) = 1 - angle/π, so near-identical vectors agree on almost every
@@ -629,6 +865,7 @@ QUERIES = {
     "q_sim_pairs": q_sim_pairs,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_batch": q_sim_ivf_batch,
+    "q_sim_ivf_trained": q_sim_ivf_trained,
     "q_sim_lsh": q_sim_lsh,
     "q_sim_lsh_batch": q_sim_lsh_batch,
     "q_dedup_embed": q_dedup_embed,
@@ -640,6 +877,7 @@ ORACLES = {
     "q_sim_pairs": SQL_SIM_PAIRS,
     "q_sim_ivf": SQL_SIM_IVF,
     "q_sim_ivf_batch": SQL_SIM_IVF_BATCH,
+    "q_sim_ivf_trained": SQL_SIM_IVF_TRAINED,
     "q_sim_lsh": SQL_SIM_LSH,
     "q_sim_lsh_batch": SQL_SIM_LSH_BATCH,
     "q_dedup_embed": SQL_DEDUP_EMBED,

@@ -214,3 +214,11 @@ def test_jaccard_vocab_ids_no_global_window(spark):
     Window.orderBy with no partition spec produced exactly that)."""
     plan = plan_of(spark, "q_dedup_jaccard")
     assert "SinglePartition" not in plan, plan
+
+
+def test_kmeans_assignment_prereduces_before_shuffle(spark):
+    """Cell assignment in the trained-IVF path is a max(struct) whose partial
+    phase reduces the k x N scored rows map-side — one row per vector crosses
+    the shuffle, same discipline as the as-of join."""
+    plan = plan_of(spark, "q_sim_ivf_trained")
+    assert "partial_max" in plan, plan

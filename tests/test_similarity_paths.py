@@ -13,3 +13,41 @@ def test_numpy_knn_matches_jvm_fold(spark):
     jvm = sorted((r.vec_id, r.label) for r in q_sim_knn(spark, SF_ORACLE).collect())
     np_ = [(r.vec_id, r.label) for r in q_sim_knn_pudf(spark, SF_ORACLE).collect()]
     assert jvm == np_  # pudf output is already vec_id-sorted (oracle contract)
+
+
+def test_kmeans_trainer_deterministic_and_bounded(spark):
+    """train_centroids: at most k cells, full-width centroids, unique cell ids,
+    and bit-identical output across runs (no RNG anywhere by construction)."""
+    from hbase_observer_es_spark.io import table
+    from hbase_observer_es_spark.operators.similarity import (
+        EMB_DIM,
+        KMEANS_K,
+        train_centroids,
+    )
+
+    e = table(spark, SF_ORACLE, "embeddings")
+    rows = train_centroids(e).collect()
+    assert 1 <= len(rows) <= KMEANS_K
+    assert all(len(r.centroid) == EMB_DIM for r in rows)
+    cells = [r.cell for r in rows]
+    assert len(set(cells)) == len(cells)
+    rows2 = train_centroids(e).collect()
+    assert sorted((r.cell, tuple(r.centroid)) for r in rows) == sorted(
+        (r.cell, tuple(r.centroid)) for r in rows2
+    )
+
+
+def test_trained_ivf_reads_no_label(spark):
+    """The trained-IVF path must work on UNLABELED corpora: every parquet scan
+    in its physical plan prunes to (vec_id, embedding) — the label column is
+    never read."""
+    import re
+
+    from hbase_observer_es_spark.operators.similarity import q_sim_ivf_trained
+    from hbase_observer_es_spark.plans.inspect import plan_string
+
+    plan = plan_string(q_sim_ivf_trained(spark, SF_ORACLE))
+    scans = [
+        m.group(1) for m in re.finditer(r"FileScan parquet [^\[]*\[([^\]]*)\]", plan)
+    ]
+    assert scans and all("label" not in s for s in scans), scans
