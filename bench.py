@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...,
+ "runs": N, "spread": {name: max_minus_min_sec}}
 
 Each query is forced through full execution with the noop sink (no driver collect,
 no result materialization cost) — wall-clock measures the distributed plan, which is
 what must hold at 100 TB. Streaming queries execute their own write path and are
 timed end-to-end including micro-batch replay.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3) runs
+inside ONE Spark session, with the per-query spread (max−min) reported
+alongside: host contention on this box moves identical code ±20-30% between
+sessions (BASELINE.md), so single-shot numbers masquerade as regressions.
+Medians within a session are the comparable signal; A/B only within one run.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -45,13 +53,22 @@ def main() -> None:
     run_one(spark, queries["q_scan_project"], "q_scan_project", sf_dir)
     run_one(spark, queries["q_join_star"], "q_join_star", sf_dir)
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in sorted(queries):
-        try:
-            times[name] = round(run_one(spark, queries[name], name, sf_dir), 3)
-        except Exception as exc:  # a failing query must not hide the others
+        samples: list[float] = []
+        for _ in range(runs):
+            try:
+                samples.append(run_one(spark, queries[name], name, sf_dir))
+            except Exception as exc:  # a failing query must not hide the others
+                print(f"bench error {name}: {exc}", file=sys.stderr)
+                break  # a query that errors once will error again
+        if samples:
+            times[name] = round(statistics.median(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
+        else:
             times[name] = -1.0
-            print(f"bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
@@ -62,6 +79,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": runs,
+                "spread": spread,
             }
         )
     )

@@ -13,11 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registration order doubles as driver-verification priority: external harnesses
-# that check a bounded prefix of the registry see the modules listed first. Round 1
-# verified the relational/scalar/cdc/text/dedup surface; round 2 front-loads the
-# similarity/search/scale/UDF/multimodal/pipeline/streaming surface so every query
-# accumulates a driver-verified row.
 _MODULES = (
     "hbase_observer_es_spark.operators.similarity",
     "hbase_observer_es_spark.operators.search",
@@ -36,6 +31,69 @@ _MODULES = (
     "hbase_observer_es_spark.operators.text",
 )
 
+# Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
+# bounded prefix (~50 entries) of the registry per round, so with 87 registered
+# queries the order below decides which rows in CORRECTNESS_r{N} refresh.
+# Policy (round-3 verdict task #1): never-green first, then queries whose code
+# changed since their last green row, then the stale rows verified longest ago
+# (round 1: relational tail / scalar / cdc / text), and freshly-green queries
+# last. Revisit each round as rows go green and code changes.
+_PRIORITY = (
+    # never driver-green (r1: no oracle; r2: outside the window / harness err)
+    "q_agg_approx",
+    "q_search_fuzzy",
+    # new or changed this round — their green rows are stale by definition
+    "q_sim_ivf_trained",
+    "q_dedup_jaccard",
+    "q_join_asof",
+    "s_upsert_sink",
+    # verified green in round 1 only; modules unchanged since, rows stale
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_star",
+    "q_join_range",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_win_rank",
+    "q_win_running",
+    "q_win_lag",
+    "q_topk_pergroup",
+    "q_sort_limit",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_case",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_cdc_snapshot",
+    "q_cdc_tombstone",
+    "q_cell_pivot",
+    "q_cdc_doc_merge",
+    "q_text_tokens",
+    "q_text_lang",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokcount",
+    "q_text_fingerprint",
+)
+
+
+def _reorder(queries: dict, oracles: dict) -> tuple[dict, dict]:
+    unknown = [n for n in _PRIORITY if n not in queries]
+    if unknown:
+        raise ValueError(f"_PRIORITY names not in registry: {unknown}")
+    ordered = list(_PRIORITY) + [n for n in queries if n not in set(_PRIORITY)]
+    q = {n: queries[n] for n in ordered}
+    o = {n: oracles[n] for n in ordered if n in oracles}
+    return q, o
+
 
 def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib
@@ -52,7 +110,7 @@ def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracle without query: {sorted(unknown)}")
-    return queries, oracles
+    return _reorder(queries, oracles)
 
 
 def all_queries() -> dict[str, QueryFn]:

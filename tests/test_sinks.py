@@ -156,3 +156,73 @@ def test_replay_idempotent(spark):
     sink.merge_batch(batch, 1)  # checkpoint replay of the same data
     twice = sorted(tuple(r) for r in sink.read(spark).collect())
     assert once == twice
+
+
+def test_streaming_crash_restart_resumes_from_checkpoint(spark):
+    """Kill the ACTUAL writeStream mid-run — after the sink merged a batch but
+    before Structured Streaming committed it — then restart from the same
+    checkpoint with a fresh session and a fresh sink object. The replayed batch
+    flows through merge_batch as a committed-batch no-op (the real-path twin of
+    test_replay_committed_batch_is_noop) and the final state must equal the
+    batch q_cdc_tombstone snapshot."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from hbase_observer_es_spark.operators.cdc import mutations, q_cdc_tombstone
+    from hbase_observer_es_spark.sources.filestream import (
+        read_stream,
+        stage_ordered_batches,
+    )
+    from hbase_observer_es_spark.streaming.stateful import _state_shuffle
+
+    from .conftest import SF_SMOKE
+
+    out = scratch_dir("stream_restart_test")
+    mut = mutations(spark, SF_SMOKE)
+    stream_dir = stage_ordered_batches(mut, out, 2)
+    ckpt = os.path.join(out, "ckpt")
+    table_dir = os.path.join(out, "table")
+
+    sink = KeyedParquetSink(table_dir)
+
+    def crashy(df, bid):
+        sink.merge_batch(df, bid)
+        if bid >= 1:
+            raise RuntimeError("injected crash: merge done, stream commit not")
+
+    with _state_shuffle(spark):
+        q = (
+            read_stream(spark, stream_dir, mut.schema)
+            .writeStream.foreachBatch(crashy)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            crashed = False
+        except StreamingQueryException:
+            crashed = True
+    assert crashed, "injected crash did not surface"
+
+    # driver restart: fresh session, fresh sink object, same checkpoint
+    spark2 = spark.newSession()
+    sink2 = KeyedParquetSink(table_dir)
+    assert sink2._last_applied == 1  # the merge committed before the crash
+    with _state_shuffle(spark2):
+        q2 = (
+            read_stream(spark2, stream_dir, mut.schema)
+            .writeStream.foreachBatch(sink2.merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+    cols = ["row_key", "qualifier", "value", "ts"]
+    got = sorted(tuple(r) for r in sink2.read(spark2).select(*cols).collect())
+    want = sorted(
+        tuple(r) for r in q_cdc_tombstone(spark, SF_SMOKE).select(*cols).collect()
+    )
+    assert got == want
