@@ -443,14 +443,22 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     label shortcut: k-means learns the cells, membership and routing both come
     from the learned centroids, nothing reads `label`.
 
-    Plan shape: train (iterated join+agg) → membership equi-join on cell →
-    per-probe top-k window over cell-bounded candidates. The trained centroid
-    frame is persisted once (tracked) because membership and routing both
-    consume it — without the persist the whole Lloyd's lineage re-executes per
-    branch.
+    Plan shape: train (iterated join+agg, executed ONCE) → membership
+    equi-join on cell → per-probe top-k window over cell-bounded candidates.
+    The trained centroids are collected and re-emitted as a literal k-row
+    frame: k·dim doubles bounded by the parameter, never data — the same
+    acceptable-collect class as q_sim_knn_pudf's 1-row probe. This cuts the
+    deep Lloyd's lineage out of the downstream plan (membership and routing
+    would each recompile and re-execute the full two-iteration expression
+    tree otherwise; collect→literal is also exactly how a trained index is
+    deployed: centroids are model artifacts, not query-time dataflow).
     """
     e = table(spark, sf_dir, "embeddings")
-    cent = persist_tracked(train_centroids(e), "similarity.ivf_trained.cent")
+    cent_rows = train_centroids(e).collect()  # k rows — bounded by the parameter
+    cent = spark.createDataFrame(
+        [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+        "cell int, centroid array<double>",
+    )
     member = _assign_cells(e, cent)
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
