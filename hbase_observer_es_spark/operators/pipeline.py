@@ -122,10 +122,59 @@ FROM survivors s JOIN exact e ON s.doc_id = e.doc_id
 SQL_PIPELINE_CORPUS = _sql_pipeline()
 
 
+# --- deterministic stratified sampling (training-data mixture control) -------
+#
+# Pre-training pipelines downweight overrepresented strata (languages, sources)
+# with per-stratum keep-rates. Random sampling is irreproducible and
+# un-oracle-able; instead the keep decision is a pure integer-hash threshold:
+#     keep  ⇔  (doc_id * HASH_MULT) % HASH_MOD  <  rate * HASH_MOD
+# The Knuth multiplicative hash spreads sequential ids uniformly, the threshold
+# is a precomputed integer, and BOTH engines run the identical arithmetic — the
+# sample is exact, stable under re-runs/retries, and hash-verified. At 100 TB
+# this is also the only sane sampling: no RNG state per task, no sampling drift
+# across retries, and the filter is pure codegen'd column math on the scan.
+
+HASH_MULT = 2654435761  # Knuth 2^32 / phi
+HASH_MOD = 4294967296
+SAMPLE_RATES = {"en": 0.25, "zh": 0.75}  # cap the overrepresented strata
+SAMPLE_DEFAULT_RATE = 0.5
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling of the documents corpus."""
+    h = (F.col("doc_id") * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+    thr = None
+    for lang, rate in sorted(SAMPLE_RATES.items()):
+        t = F.lit(int(rate * HASH_MOD))
+        cond = F.col("lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit(int(SAMPLE_DEFAULT_RATE * HASH_MOD)))
+    d = table(spark, sf_dir, "documents")
+    return d.filter(h < thr).select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_THR = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {int(rate * HASH_MOD)}"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    + f" ELSE {int(SAMPLE_DEFAULT_RATE * HASH_MOD)} END"
+)
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * {HASH_MULT}) % {HASH_MOD} < {_SQL_THR}
+"""
+
+
 QUERIES = {
     "q_pipeline_corpus": q_pipeline_corpus,
+    "q_sample_stratified": q_sample_stratified,
 }
 
 ORACLES = {
     "q_pipeline_corpus": SQL_PIPELINE_CORPUS,
+    "q_sample_stratified": SQL_SAMPLE_STRATIFIED,
 }

@@ -442,6 +442,46 @@ WHERE c_custkey IN ({", ".join(str(k) for k in MGET_KEYS)})
 """
 
 
+HL_TERM = "data"
+
+
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-field term highlighting — ES highlight API analogue
+    (`number_of_fragments: 0` mode: the full field with every occurrence of the
+    matched term wrapped in ``<em>`` tags).
+
+    Two stages, both map-only over the corpus scan:
+    * match: token-array membership test (same tokenization as the rest of the
+      search module) — cheap filter first, so the regex rewrite below only runs
+      on matching docs;
+    * highlight: word-boundary regexp_replace wrapping each occurrence. The
+      pattern is a literal term + ``\\b`` anchors, which Java regex (Spark) and
+      RE2 (DuckDB) treat identically for ASCII text — no engine-divergent
+      constructs (no backrefs, no lookaround).
+
+    Scale: embarrassingly parallel — no shuffle at all; the filter prunes
+    before the (more expensive) regex runs.
+    """
+    d = table(spark, sf_dir, "documents")
+    hit = F.array_contains(_toks(), HL_TERM)
+    n_hits = F.size(F.filter(_toks(), lambda t: t == F.lit(HL_TERM)))
+    snippet = F.regexp_replace(
+        F.col("text"), rf"\b{HL_TERM}\b", f"<em>{HL_TERM}</em>"
+    )
+    return d.filter(hit).select(
+        "doc_id", n_hits.alias("n_hits"), snippet.alias("snippet")
+    )
+
+
+SQL_SEARCH_HIGHLIGHT = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t = '{HL_TERM}')) AS n_hits,
+       regexp_replace(text, '\\b{HL_TERM}\\b', '<em>{HL_TERM}</em>', 'g') AS snippet
+FROM documents
+WHERE list_contains(list_filter(string_split(text, ' '), t -> t <> ''), '{HL_TERM}')
+"""
+
+
 QUERIES = {
     "q_search_bm25": q_search_bm25,
     "q_search_phrase": q_search_phrase,
@@ -449,6 +489,7 @@ QUERIES = {
     "q_search_mlt": q_search_mlt,
     "q_search_sigterms": q_search_sigterms,
     "q_search_suggest": q_search_suggest,
+    "q_search_highlight": q_search_highlight,
     "q_get_by_key": q_get_by_key,
 }
 
@@ -459,5 +500,6 @@ ORACLES = {
     "q_search_mlt": SQL_SEARCH_MLT,
     "q_search_sigterms": SQL_SEARCH_SIGTERMS,
     "q_search_suggest": SQL_SEARCH_SUGGEST,
+    "q_search_highlight": SQL_SEARCH_HIGHLIGHT,
     "q_get_by_key": SQL_GET_BY_KEY,
 }

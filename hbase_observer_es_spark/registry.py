@@ -44,6 +44,8 @@ _PRIORITY = (
     "q_search_fuzzy",
     # new or changed this round — their green rows are stale by definition
     "q_sim_ivf_trained",
+    "q_search_highlight",
+    "q_sample_stratified",
     "q_dedup_jaccard",
     "q_join_asof",
     "s_upsert_sink",
