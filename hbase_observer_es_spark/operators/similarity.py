@@ -364,23 +364,39 @@ def _pick_cell() -> Column:
 
 
 def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell): each vector's best cell under fold-exact
-    cosine, ties to the lowest cell id.
+    """(vec_id, embedding, vnorm, cell): each vector's best cell under
+    fold-exact cosine, ties to the lowest cell id.
 
     The argmax is a ``max`` over a (cosine, -cell, cell) struct, NOT a window:
     max's PARTIAL phase reduces the k·N scored rows map-side, so the shuffle
     carries one row per vector — the same pre-reduce discipline as q_join_asof.
+
+    Norms are HOISTED into named columns (one fold per vector / per centroid)
+    instead of recomputed inside the cosine for every (vector, centroid) pair —
+    bit-identical because the association ``dot / (norm_a * norm_b)`` is
+    unchanged; same trick as q_sim_lsh_batch (17→4.4 s there). ``vnorm`` rides
+    along in the output so downstream scoring reuses it.
     """
-    scored = vecs.join(F.broadcast(cent)).select(
+    v = vecs.withColumn("_vn", _norm(F.col("embedding")))
+    c = cent.withColumn("_cn", _norm(F.col("centroid")))
+    scored = v.join(F.broadcast(c)).select(
         "vec_id",
         "embedding",
+        "_vn",
         "cell",
-        _cosine(F.col("embedding"), F.col("centroid")).alias("c"),
+        (
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("c"),
     )
     return (
         scored.groupBy("vec_id")
-        .agg(_pick_cell().alias("m"), F.first("embedding").alias("embedding"))
-        .select("vec_id", "embedding", F.col("m.cell").alias("cell"))
+        .agg(
+            _pick_cell().alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("_vn").alias("vnorm"),
+        )
+        .select("vec_id", "embedding", "vnorm", F.col("m.cell").alias("cell"))
     )
 
 
@@ -461,19 +477,33 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     member = _assign_cells(e, cent)
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        _norm(F.col("embedding")).alias("_pn"),  # hoisted probe norm
     )
-    routed_scored = probes.join(F.broadcast(cent)).select(
+    routed_scored = probes.join(
+        F.broadcast(cent.withColumn("_cn", _norm(F.col("centroid"))))
+    ).select(
         "probe_id",
         "probe_emb",
+        "_pn",
         "cell",
-        _cosine(F.col("probe_emb"), F.col("centroid")).alias("c"),
+        (
+            _dot(F.col("probe_emb"), F.col("centroid"))
+            / (F.col("_pn") * F.col("_cn"))
+        ).alias("c"),
     )
     routed = (
         routed_scored.groupBy("probe_id")
-        .agg(_pick_cell().alias("m"), F.first("probe_emb").alias("probe_emb"))
-        .select("probe_id", "probe_emb", F.col("m.cell").alias("cell"))
+        .agg(
+            _pick_cell().alias("m"),
+            F.first("probe_emb").alias("probe_emb"),
+            F.first("_pn").alias("pnorm"),
+        )
+        .select("probe_id", "probe_emb", "pnorm", F.col("m.cell").alias("cell"))
     )
+    # member carries vnorm, routed carries pnorm: the per-candidate cosine is
+    # ONE dot fold — dot/(vnorm*pnorm) keeps _cosine's exact association
     scored = (
         member.join(F.broadcast(routed), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -481,7 +511,10 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "vec_id",
             "cell",
-            _cosine(F.col("embedding"), F.col("probe_emb")).alias("cos_sim"),
+            (
+                _dot(F.col("embedding"), F.col("probe_emb"))
+                / (F.col("vnorm") * F.col("pnorm"))
+            ).alias("cos_sim"),
         )
     )
     w_topk = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
