@@ -82,6 +82,43 @@ GROUP BY o_orderpriority
 """
 
 
+PCT_ACC = 10000  # approx_percentile accuracy: rank error <= n / PCT_ACC
+
+
+def q_agg_pct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles — the ES `percentiles` agg as ES actually runs it:
+    APPROXIMATE (t-digest there, Greenwald-Khanna here), constant memory per
+    group, mergeable across partitions. q_agg_percentile is the exact twin.
+
+    Sketch outputs are engine-specific, so (same recipe as q_agg_approx) the
+    oracle-facing columns validate the sketch against its own rank-error
+    contract instead of hash-comparing raw values: with accuracy=10000 the rank
+    error is ≤ n/10000, so the approx median must land between the exact 49.5th
+    and 50.5th percentiles (a 50× safety margin). The DuckDB twin emits literal
+    TRUEs on the same grouping rows.
+
+    NOTE: the exact percentile bands exist ONLY for harness validation — they
+    rebuild the full sort the sketch exists to avoid. The production form is
+    ``approx_percentile(col, pct, acc)`` alone."""
+    o = table(spark, sf_dir, "orders")
+    med_a = F.expr(f"approx_percentile(o_totalprice, 0.5, {PCT_ACC})")
+    p90_a = F.expr(f"approx_percentile(o_totalprice, 0.9, {PCT_ACC})")
+    band = lambda p: F.expr(f"percentile(o_totalprice, {p})")  # noqa: E731
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        ((med_a >= band(0.495)) & (med_a <= band(0.505))).alias("med_ok"),
+        ((p90_a >= band(0.895)) & (p90_a <= band(0.905))).alias("p90_ok"),
+    )
+
+
+SQL_AGG_PCT_SKETCH = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       TRUE AS med_ok, TRUE AS p90_ok
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated the Spark way: orders costing
     more than 1.5× their customer's average order.
@@ -292,6 +329,7 @@ FROM g
 QUERIES = {
     "q_agg_groupingsets": q_agg_groupingsets,
     "q_agg_percentile": q_agg_percentile,
+    "q_agg_pct_sketch": q_agg_pct_sketch,
     "q_subquery_scalar": q_subquery_scalar,
     "q_win_rangeframe": q_win_rangeframe,
     "q_page_keyset": q_page_keyset,
@@ -302,6 +340,7 @@ QUERIES = {
 ORACLES = {
     "q_agg_groupingsets": SQL_AGG_GROUPINGSETS,
     "q_agg_percentile": SQL_AGG_PERCENTILE,
+    "q_agg_pct_sketch": SQL_AGG_PCT_SKETCH,
     "q_subquery_scalar": SQL_SUBQUERY_SCALAR,
     "q_win_rangeframe": SQL_WIN_RANGEFRAME,
     "q_page_keyset": SQL_PAGE_KEYSET,

@@ -46,6 +46,7 @@ _PRIORITY = (
     "q_sim_ivf_trained",
     "q_search_highlight",
     "q_sample_stratified",
+    "q_agg_pct_sketch",
     "q_dedup_jaccard",
     "q_join_asof",
     "s_upsert_sink",
