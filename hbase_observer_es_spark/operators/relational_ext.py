@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import lsum, sql_lsum
-from ..io import table
+from ..functions import dsum, lsum, sql_dsum, sql_lsum
+from ..io import persist_tracked, table
 
 
 def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,6 +116,173 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
        TRUE AS med_ok, TRUE AS p90_ok
 FROM orders
 GROUP BY o_orderpriority
+"""
+
+
+# date_histogram source filter: sparse enough that empty day buckets exist,
+# so min_doc_count=0 fill is actually exercised, not just plumbed
+DATEHIST_TYPE = "purchase"
+DATEHIST_MIN_VALUE = 200.0
+
+
+def q_agg_datehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date_histogram — the ES `date_histogram` bucket agg with
+    `min_doc_count: 0`: one bucket per calendar day across the data's span,
+    INCLUDING empty days (count 0, sum 0.0 — ES's empty-bucket convention).
+
+    Two-phase plan that holds at 100 TB: (1) one map-side-combined groupBy on
+    the day key — the only pass over the fact table; (2) the day spine is
+    generated from the agg's own min/max (a scalar agg over the already-tiny
+    bucket frame's source) via `sequence()` + explode, then left-joined with
+    the bucket counts. Both spine and buckets are calendar-bounded (rows/day
+    never matters), so the fill join is broadcast and costs nothing at any
+    data scale.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == DATEHIST_TYPE)
+        & (F.col("value") > F.lit(DATEHIST_MIN_VALUE))
+    )
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    # the bucket frame feeds both the spine bounds and the fill join; persisted
+    # (calendar-bounded: one row per active day, tiny at any data scale) so the
+    # 100 TB fact scan happens exactly once — without it Catalyst collapses the
+    # bounds branch to min/max over a SECOND full scan
+    agg = persist_tracked(
+        e.groupBy(day.alias("day")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        ),
+        "relational_ext.datehist.buckets",
+    )
+    bounds = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    return spine.join(F.broadcast(agg), "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+SQL_AGG_DATEHIST = f"""
+WITH f AS (
+    SELECT * FROM events
+    WHERE event_type = '{DATEHIST_TYPE}' AND value > {DATEHIST_MIN_VALUE}
+),
+agg AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM f GROUP BY day
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(
+        (SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) FROM f),
+        (SELECT CAST(MAX(date_trunc('day', ts)) AS DATE) FROM f),
+        INTERVAL 1 DAY)) AS DATE) AS day
+)
+SELECT spine.day,
+       COALESCE(agg.n_events, 0) AS n_events,
+       COALESCE(agg.sum_value, 0.0) AS sum_value
+FROM spine LEFT JOIN agg USING (day)
+"""
+
+
+COMP_PAGE = 15
+# composite after-key: (event_type, day) of the previous page's last bucket
+COMP_AFTER_TYPE = "error"
+COMP_AFTER_DAY = "2024-01-20"
+
+
+def q_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite aggregation page — ES `composite` agg with `after`: paginate
+    through ALL (event_type, day) buckets in key order, `size` per page.
+
+    The ES semantics allow the after-key to be applied BELOW the aggregation:
+    a bucket's key is a function of the row, so rows whose key sorts ≤ the
+    cursor can't contribute to this page and are filtered out before the
+    shuffle. Deep pages therefore aggregate a shrinking tail instead of
+    recomputing and skipping every earlier bucket — the same keyset-vs-offset
+    argument as q_page_keyset, applied to GROUP BY keys. At 100 TB this is the
+    only way to enumerate a billion-bucket cardinality in bounded responses.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    after_cursor = (F.col("event_type") > F.lit(COMP_AFTER_TYPE)) | (
+        (F.col("event_type") == F.lit(COMP_AFTER_TYPE))
+        & (day > F.to_date(F.lit(COMP_AFTER_DAY)))
+    )
+    # the full lexicographic cursor mixes a derived expression (day) into an
+    # OR, which no source can push; the redundant first-key lower bound is a
+    # plain column conjunct, so it DOES reach the parquet scan as a
+    # PushedFilter — row groups entirely before the cursor never leave disk
+    first_key_bound = F.col("event_type") >= F.lit(COMP_AFTER_TYPE)
+    return (
+        e.filter(first_key_bound & after_cursor)
+        .groupBy("event_type", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("event_type", "day")
+        .limit(COMP_PAGE)
+    )
+
+
+SQL_AGG_COMPOSITE = f"""
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "sum_value")}
+FROM events
+WHERE event_type >= '{COMP_AFTER_TYPE}'
+  AND (event_type > '{COMP_AFTER_TYPE}'
+       OR (event_type = '{COMP_AFTER_TYPE}'
+           AND CAST(date_trunc('day', ts) AS DATE) > DATE '{COMP_AFTER_DAY}'))
+GROUP BY event_type, day
+ORDER BY event_type, day
+LIMIT {COMP_PAGE}
+"""
+
+
+FILTERS_HIGH_VALUE = 250.0
+
+
+def q_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named filter buckets — the ES `filters` aggregation: several named,
+    potentially OVERLAPPING predicates, each with its own doc count and metric,
+    answered in ONE pass.
+
+    N separate filtered aggregations would scan the fact table N times; here
+    every predicate becomes a conditional aggregate (`count(when(p,1))`,
+    `sum(when(p, value))`) in a single global agg — one scan, map-side partial
+    aggregation, a 1-row result — then `stack()` unpivots that row into the
+    per-bucket shape. Adding a bucket adds two columns to the partial
+    aggregate, not a scan: the 100 TB cost is constant in bucket count.
+    Weekend uses dayofweek (Spark: 1=Sun..7=Sat; DuckDB dow: 0=Sun..6=Sat).
+    """
+    e = table(spark, sf_dir, "events")
+    preds = {
+        "clicks": F.col("event_type") == "click",
+        "high_value": F.col("value") > F.lit(FILTERS_HIGH_VALUE),
+        "weekend": F.dayofweek("ts").isin(1, 7),
+    }
+    aggs = []
+    for k, p in preds.items():
+        aggs.append(F.count(F.when(p, 1)).alias(f"n_{k}"))
+        aggs.append(dsum(F.when(p, F.col("value")), f"s_{k}"))
+    stack = ", ".join(f"'{k}', n_{k}, s_{k}" for k in preds)
+    return e.agg(*aggs).selectExpr(
+        f"stack({len(preds)}, {stack}) AS (bucket, n_events, sum_value)"
+    )
+
+
+SQL_AGG_FILTERS = f"""
+SELECT 'clicks' AS bucket, COUNT(*) AS n_events, {sql_dsum("value", "sum_value")}
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'high_value', COUNT(*), {sql_dsum("value", "sum_value")}
+FROM events WHERE value > {FILTERS_HIGH_VALUE}
+UNION ALL
+SELECT 'weekend', COUNT(*), {sql_dsum("value", "sum_value")}
+FROM events WHERE dayofweek(ts) IN (0, 6)
 """
 
 
@@ -330,6 +497,9 @@ QUERIES = {
     "q_agg_groupingsets": q_agg_groupingsets,
     "q_agg_percentile": q_agg_percentile,
     "q_agg_pct_sketch": q_agg_pct_sketch,
+    "q_agg_datehist": q_agg_datehist,
+    "q_agg_composite": q_agg_composite,
+    "q_agg_filters": q_agg_filters,
     "q_subquery_scalar": q_subquery_scalar,
     "q_win_rangeframe": q_win_rangeframe,
     "q_page_keyset": q_page_keyset,
@@ -341,6 +511,9 @@ ORACLES = {
     "q_agg_groupingsets": SQL_AGG_GROUPINGSETS,
     "q_agg_percentile": SQL_AGG_PERCENTILE,
     "q_agg_pct_sketch": SQL_AGG_PCT_SKETCH,
+    "q_agg_datehist": SQL_AGG_DATEHIST,
+    "q_agg_composite": SQL_AGG_COMPOSITE,
+    "q_agg_filters": SQL_AGG_FILTERS,
     "q_subquery_scalar": SQL_SUBQUERY_SCALAR,
     "q_win_rangeframe": SQL_WIN_RANGEFRAME,
     "q_page_keyset": SQL_PAGE_KEYSET,

@@ -47,6 +47,9 @@ _PRIORITY = (
     "q_search_highlight",
     "q_sample_stratified",
     "q_agg_pct_sketch",
+    "q_agg_datehist",
+    "q_agg_composite",
+    "q_agg_filters",
     "q_dedup_jaccard",
     "q_join_asof",
     "s_upsert_sink",
