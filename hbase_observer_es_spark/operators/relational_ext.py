@@ -286,6 +286,129 @@ FROM events WHERE dayofweek(ts) IN (0, 6)
 """
 
 
+# moving window: ES moving_fn's `window` — positions over the bucket array
+PIPE_WINDOW = 7
+
+
+def q_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggregations — ES `derivative`, `cumulative_sum` and
+    `moving_fn`/`moving_avg` chained onto a daily date_histogram: per day,
+    the bucket metric, its day-over-day delta, its running total, and a
+    7-bucket trailing average.
+
+    ES pipeline aggs run over the ALREADY-REDUCED bucket array, never the
+    documents — mirrored here: one map-side-combined groupBy is the only pass
+    over the fact table; every pipeline stage is a window over the bucket
+    frame, which is calendar-bounded (one row per day), so the unpartitioned
+    ordered window is over thousands of rows at ANY data scale — the
+    single-task window that is forbidden over row-scale frames is the correct
+    tool over bucket-scale ones. Derivative subtracts two already-deterministic
+    doubles; cumulative and moving sums re-enter decimal inside the frame so
+    the running totals stay order-independent, then divide/cast once.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    buckets = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    w = Window.orderBy("day")
+    dec = F.col("sum_value").cast("decimal(18,2)")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-(PIPE_WINDOW - 1), Window.currentRow)
+    return buckets.select(
+        "day",
+        "n_events",
+        "sum_value",
+        (F.col("sum_value") - F.lag("sum_value").over(w)).alias("deriv"),
+        F.sum(dec).over(cum).cast("double").alias("cum_sum"),
+        (F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "mov_avg"
+        ),
+    )
+
+
+SQL_AGG_PIPELINE = f"""
+WITH buckets AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY day
+)
+SELECT day, n_events, sum_value,
+       sum_value - lag(sum_value) OVER (ORDER BY day) AS deriv,
+       CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS cum_sum,
+       CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) OVER (
+           ORDER BY day ROWS BETWEEN {PIPE_WINDOW - 1} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / COUNT(*) OVER (
+           ORDER BY day ROWS BETWEEN {PIPE_WINDOW - 1} PRECEDING AND CURRENT ROW
+       ) AS mov_avg
+FROM buckets
+"""
+
+
+TERMS_TOP_N = 3
+TERMS_OTHER = "__other__"
+
+
+def q_agg_terms_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms aggregation with the other-bucket — ES `terms` agg `size: N` plus
+    `sum_other_doc_count`: the top-N terms by document count, each with its
+    metric, and ONE residual row rolling every remaining term together (ES
+    reports that residual so truncation is visible, not silent).
+
+    One pass over the fact table reduces to the per-term bucket frame
+    (map-side combine — cardinality-bounded, not row-bounded); ranking and the
+    residual rollup are then term-cardinality work: a window ranks terms by
+    (count desc, term asc — ES's own tie-break), terms past N are re-keyed to
+    the sentinel and re-aggregated. Metric sums stay in exact decimal until
+    AFTER the residual rollup so the other-bucket total is order-independent,
+    then cast to double once.
+    """
+    e = table(spark, sf_dir, "events")
+    buckets = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("event_type")))
+    return (
+        buckets.withColumn("rnk", rnk)
+        .select(
+            F.when(F.col("rnk") <= TERMS_TOP_N, F.col("event_type"))
+            .otherwise(F.lit(TERMS_OTHER))
+            .alias("term"),
+            "n",
+            "sv",
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_AGG_TERMS_OTHER = f"""
+WITH buckets AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sv
+    FROM events GROUP BY event_type
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n DESC, event_type ASC) AS rnk
+    FROM buckets
+)
+SELECT CASE WHEN rnk <= {TERMS_TOP_N} THEN event_type
+            ELSE '{TERMS_OTHER}' END AS term,
+       SUM(n) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value
+FROM ranked
+GROUP BY term
+"""
+
+
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated the Spark way: orders costing
     more than 1.5× their customer's average order.
@@ -500,6 +623,8 @@ QUERIES = {
     "q_agg_datehist": q_agg_datehist,
     "q_agg_composite": q_agg_composite,
     "q_agg_filters": q_agg_filters,
+    "q_agg_pipeline": q_agg_pipeline,
+    "q_agg_terms_other": q_agg_terms_other,
     "q_subquery_scalar": q_subquery_scalar,
     "q_win_rangeframe": q_win_rangeframe,
     "q_page_keyset": q_page_keyset,
@@ -514,6 +639,8 @@ ORACLES = {
     "q_agg_datehist": SQL_AGG_DATEHIST,
     "q_agg_composite": SQL_AGG_COMPOSITE,
     "q_agg_filters": SQL_AGG_FILTERS,
+    "q_agg_pipeline": SQL_AGG_PIPELINE,
+    "q_agg_terms_other": SQL_AGG_TERMS_OTHER,
     "q_subquery_scalar": SQL_SUBQUERY_SCALAR,
     "q_win_rangeframe": SQL_WIN_RANGEFRAME,
     "q_page_keyset": SQL_PAGE_KEYSET,

@@ -50,6 +50,8 @@ _PRIORITY = (
     "q_agg_datehist",
     "q_agg_composite",
     "q_agg_filters",
+    "q_agg_pipeline",
+    "q_agg_terms_other",
     "q_dedup_jaccard",
     "q_join_asof",
     "s_upsert_sink",

@@ -253,3 +253,22 @@ def test_filters_agg_is_one_pass(spark):
     plan = plan_of(spark, "q_agg_filters")
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_count" in plan, plan
+
+
+def test_pipeline_aggs_reduce_before_window(spark):
+    """Pipeline stages must run over the bucket frame, not the fact rows: one
+    fact scan with map-side combine below the (bucket-scale) ordered window."""
+    plan = plan_of(spark, "q_agg_pipeline")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    # the window sits ABOVE the final HashAggregate in the operator chain
+    assert plan.index("Window") < plan.index("FileScan"), plan
+
+
+def test_terms_other_ranks_buckets_not_rows(spark):
+    """The top-N ranking window must consume the per-term aggregate (term
+    cardinality), never the raw events — partial agg below the window."""
+    plan = plan_of(spark, "q_agg_terms_other")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert plan.index("Window") < plan.index("FileScan"), plan
