@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from .dedup import SIMHASH_BITS, _rollhash, _SQL_ROLLHASH
+from .text import MOD
 
 LANG = "en"
 MIN_TOKENS = 20
@@ -169,12 +170,107 @@ WHERE (doc_id * {HASH_MULT}) % {HASH_MOD} < {_SQL_THR}
 """
 
 
+# --- benchmark decontamination (train-vs-eval n-gram collision) --------------
+#
+# Distinct from the dedup family: dedup asks "is this document a copy of ANOTHER
+# TRAINING document"; decontamination asks "does this training document contain
+# an n-gram that also appears in the EVALUATION set" — an asymmetric containment
+# check against a small reference corpus, the step every pre-training pipeline
+# runs before export so benchmark answers don't leak into the training data.
+#
+# Scale shape: the eval side is a benchmark suite — thousands of documents, MBs
+# — so its distinct shingle-hash set is broadcast; the train side (the 100 TB)
+# is scanned once, sharded shingles stream map-side into a broadcast hash join,
+# and only colliding (doc, shingle) rows reach the final doc-level aggregate.
+# No shuffle touches the full corpus' shingles.
+#
+# DECON_N: production decontamination uses 8–13-gram windows; fixture texts are
+# ~16 words, so 4-grams are the fixture-scale equivalent (same plan, shorter
+# window). Shingles are hashed with the same rolling-hash fold as the dedup
+# family — a hash-only join admits ~|pairs|/2^63 false collisions, which for
+# contamination is the conservative direction (quarantine, never leak).
+
+DECON_N = 4
+DECON_EVAL_SRC = "src0"
+
+
+def _decon_shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, source, h): exploded distinct word-``DECON_N``-gram hashes.
+
+    Same hoisted token-hash + windowed integer fold as dedup's `_shingled_docs`
+    (dedup.py:256), parameterized to the decontamination window.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    th_df = df.select("doc_id", "source", F.transform(toks, _rollhash).alias("th"))
+    th = F.col("th")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(th) - (DECON_N - 1), F.lit(1)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(th, i, DECON_N),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + x) % F.lit(MOD),
+        ),
+    )
+    return th_df.select(
+        "doc_id", "source", F.explode(F.array_distinct(shingle)).alias("h")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by the eval slice (`source = 'src0'`): per
+    contaminated doc, how many distinct eval docs and distinct shingles collide.
+    """
+    sh = _decon_shingles(table(spark, sf_dir, "documents"))
+    ev = (
+        sh.filter(F.col("source") == DECON_EVAL_SRC)
+        .select("h", F.col("doc_id").alias("eval_id"))
+    )
+    tr = sh.filter(F.col("source") != DECON_EVAL_SRC)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.countDistinct("h").alias("n_shingles"),
+        )
+    )
+
+
+# list_reduce has no init arg but f(h1, h2) == fold-from-0 since 0*31 + h1 = h1
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                          t -> {_SQL_ROLLHASH.format(tok='t')}) AS th
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - {DECON_N - 1}, 1)),
+               i -> list_reduce(th[i:i+{DECON_N - 1}],
+                                (acc, x) -> (acc * 31 + x) % {MOD})))) AS h
+    FROM toks
+),
+ev AS (SELECT DISTINCT h, doc_id AS eval_id FROM sh WHERE source = '{DECON_EVAL_SRC}'),
+tr AS (SELECT doc_id, h FROM sh WHERE source <> '{DECON_EVAL_SRC}')
+SELECT tr.doc_id AS doc_id,
+       COUNT(DISTINCT eval_id) AS n_eval_docs,
+       COUNT(DISTINCT tr.h) AS n_shingles
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+"""
+
+
 QUERIES = {
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_sample_stratified": q_sample_stratified,
+    "q_decontaminate": q_decontaminate,
 }
 
 ORACLES = {
     "q_pipeline_corpus": SQL_PIPELINE_CORPUS,
     "q_sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "q_decontaminate": SQL_DECONTAMINATE,
 }

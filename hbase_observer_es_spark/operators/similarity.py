@@ -901,6 +901,65 @@ SELECT vec_id, label FROM topk ORDER BY vec_id
 """
 
 
+# --- int8 embedding quantization (index export / storage compression) --------
+
+QUANT_LEVELS = 127  # symmetric int8: codes in [-127, 127]
+
+
+def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding — the storage/export form
+    ANN systems ship (4× smaller than float32, SIMD-scorable): per vector,
+    scale = max|v_i| / 127, code_i = floor(127 · v_i / max|v_i|).
+
+    Long format (vec_id, dim, code, scale) — scalar columns only, so the
+    result is hash-comparable (array outputs break value canonicalization).
+
+    Scale: pure per-row codegen'd column math — no shuffle, no UDF; the
+    posexplode is the export layout, not a plan cost. Cross-engine exactness
+    needs no decimal detour: float32 inputs widen to exact doubles, the
+    127·v/max chain is IEEE-identical in any engine, and floor is unambiguous
+    (unlike round(), whose tie mode differs between engines). Zero vectors
+    quantize to code 0 with scale 0 rather than dividing by zero.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    dims = e.select(
+        "vec_id",
+        maxabs.alias("ma"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    code = (
+        F.when(F.col("ma") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.lit(float(QUANT_LEVELS)) * F.col("val").cast("double") / F.col("ma"))
+        )
+        .cast("int")
+    )
+    return dims.select(
+        "vec_id",
+        "dim",
+        code.alias("code"),
+        (F.col("ma") / F.lit(float(QUANT_LEVELS))).alias("scale"),
+    )
+
+
+SQL_EMBED_QUANT = f"""
+WITH prepared AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma
+    FROM embeddings
+)
+SELECT vec_id, i - 1 AS dim,
+       CAST(CASE WHEN ma = 0 THEN 0
+                 ELSE floor({QUANT_LEVELS}.0 * CAST(embedding[i] AS DOUBLE) / ma)
+            END AS INTEGER) AS code,
+       ma / {QUANT_LEVELS}.0 AS scale
+FROM prepared, unnest(range(1, len(embedding) + 1)) AS u(i)
+"""
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_pairs": q_sim_pairs,
@@ -911,6 +970,7 @@ QUERIES = {
     "q_sim_lsh_batch": q_sim_lsh_batch,
     "q_dedup_embed": q_dedup_embed,
     "q_sim_knn_pudf": q_sim_knn_pudf,
+    "q_embed_quant": q_embed_quant,
 }
 
 ORACLES = {
@@ -924,4 +984,5 @@ ORACLES = {
     "q_dedup_embed": SQL_DEDUP_EMBED,
     # neighbor-set projection — set membership is ulp-stable even though BLAS scores aren't
     "q_sim_knn_pudf": SQL_SIM_KNN_PUDF,
+    "q_embed_quant": SQL_EMBED_QUANT,
 }

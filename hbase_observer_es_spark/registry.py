@@ -52,6 +52,8 @@ _PRIORITY = (
     "q_agg_filters",
     "q_agg_pipeline",
     "q_agg_terms_other",
+    "q_decontaminate",
+    "q_embed_quant",
     "q_dedup_jaccard",
     "q_join_asof",
     "s_upsert_sink",

@@ -265,6 +265,22 @@ def test_pipeline_aggs_reduce_before_window(spark):
     assert plan.index("Window") < plan.index("FileScan"), plan
 
 
+def test_embed_quant_is_map_only(spark):
+    """Quantization is per-row column math: the plan must contain no shuffle
+    (Exchange) and no Python worker (Batch*Eval) — pure codegen export."""
+    plan = plan_of(spark, "q_embed_quant")
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set (benchmark-suite-sized) must broadcast: the 100 TB
+    train side streams map-side through the hash join, never shuffling."""
+    plan = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_terms_other_ranks_buckets_not_rows(spark):
     """The top-N ranking window must consume the per-term aggregate (term
     cardinality), never the raw events — partial agg below the window."""
