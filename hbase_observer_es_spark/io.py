@@ -35,9 +35,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` keeps predicate pushdown / column pruning intact —
     wrapping or caching here would defeat Catalyst's scan pruning.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; we read nanos as long and truncate to microseconds — exactly what
-    DuckDB does when it reads the same file, so both engines see identical values.
+    ``events.ts`` has shipped in two physical encodings across fixture versions:
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read nanos
+    as long, truncate to micros) and plain TIMESTAMP(MICROS) (read natively, arrives
+    as TIMESTAMP_NTZ under Spark 4's NTZ inference). Both normalize to session-TZ
+    TimestampType here; the session TZ is pinned UTC (session.py), so the cast is
+    wall-value-preserving and matches what DuckDB reads from the same file.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -45,9 +48,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos file read under nanosAsLong
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
