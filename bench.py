@@ -71,19 +71,49 @@ def main() -> None:
             times[name] = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs": runs,
-                "spread": spread,
-            }
-        )
-    )
+
+    # Full per-query detail (all queries, medians + spread) goes to a repo file;
+    # stdout must stay under the harness's 2000-char tail capture or the line is
+    # truncated mid-JSON and recorded as unparseable (BENCH_r01..r03 all show
+    # "parsed": null for exactly this reason).
+    detail = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs": runs,
+        "spread": spread,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"full per-query detail written to {detail_path}", file=sys.stderr)
+
+    # stdout line: total + slowest-first per-query entries until the budget is
+    # spent, so the recorded tail always parses and carries the queries that
+    # dominate the total.
+    budget = 1900
+    shown: dict[str, float] = {}
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": shown,
+        "sf": sf,
+        "runs": runs,
+        "queries_total": len(times),
+        "queries_omitted": len(times),
+        "detail": "BENCH_DETAIL.json",
+    }
+    for name in sorted(times, key=lambda n: -times[n]):
+        shown[name] = times[name]
+        summary["queries_omitted"] = len(times) - len(shown)
+        if len(json.dumps(summary, separators=(",", ":"))) > budget:
+            del shown[name]
+            summary["queries_omitted"] = len(times) - len(shown)
+            break
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

@@ -46,6 +46,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     apply_runtime_conf(spark)
     if name == "events":
+        # The NTZ->timestamp cast below is wall-preserving only under UTC, and
+        # apply_runtime_conf silently skips conf keys a harness made static — so
+        # a non-UTC session must fail loudly here, not shift every ts value
+        # relative to the DuckDB oracle.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"events.ts requires spark.sql.session.timeZone=UTC, got {tz!r}; "
+                "the session was created with a static non-UTC timezone"
+            )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

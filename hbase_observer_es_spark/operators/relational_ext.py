@@ -402,7 +402,7 @@ ranked AS (
 )
 SELECT CASE WHEN rnk <= {TERMS_TOP_N} THEN event_type
             ELSE '{TERMS_OTHER}' END AS term,
-       SUM(n) AS n_events,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(sv) AS DOUBLE) AS sum_value
 FROM ranked
 GROUP BY term

@@ -77,6 +77,10 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     s_cols = list(spark_df.columns)
     rel = con.execute(sql)
     o_cols = [d[0] for d in rel.description]
+    # The driver fetches the oracle through pandas, where DuckDB HUGEINT (e.g.
+    # SUM over BIGINT) coerces to float64 and hashes as "3963.0" vs Spark's long
+    # "3963". fetchall() hides that (HUGEINT -> python int), so flag it here.
+    hugeint_cols = [d[0] for d in rel.description if "HUGEINT" in str(d[1]).upper()]
     o_rows = rel.fetchall()
 
     res = CompareResult(
@@ -87,6 +91,10 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
         schema_spark=sorted(s_cols),
         schema_oracle=sorted(o_cols),
     )
+    if hugeint_cols:
+        res.ok = False
+        res.detail = f"oracle columns {hugeint_cols} are HUGEINT — cast to BIGINT in the SQL"
+        return res
     if len(s_rows) != len(o_rows):
         res.ok = False
         res.detail = f"row count {len(s_rows)} != {len(o_rows)}"
