@@ -482,6 +482,99 @@ WHERE list_contains(list_filter(string_split(text, ' '), t -> t <> ''), '{HL_TER
 """
 
 
+BOOL_MUST = "vector"
+BOOL_SHOULD = ("stream", "fast")
+BOOL_MIN_SHOULD = 1
+BOOL_MUST_NOT = "dup"
+
+
+def q_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bool` query: must + should (with minimum_should_match) + must_not,
+    composed over token-set membership — the predicate-composition core of the
+    ES query DSL the reference delegates to (README.md:3 in /root/reference).
+
+    All three clauses are tests against ONE tokenization of the row, evaluated
+    in a single map-only projection — the filter is pure whole-stage-codegen
+    column math, no joins, no shuffle; should-match count is kept as output the
+    way ES folds should-clauses into the score.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = _toks()
+    must = F.array_contains(tk, BOOL_MUST)
+    should_n = sum(
+        (F.array_contains(tk, w).cast("int") for w in BOOL_SHOULD), F.lit(0)
+    )
+    must_not = F.array_contains(tk, BOOL_MUST_NOT)
+    return (
+        d.select("doc_id", "lang", must.alias("m"), should_n.alias("should_matches"),
+                 must_not.alias("mn"))
+        .filter(F.col("m") & (F.col("should_matches") >= BOOL_MIN_SHOULD) & ~F.col("mn"))
+        .select("doc_id", "lang", "should_matches")
+    )
+
+
+_sql_should = " + ".join(
+    f"CAST(list_contains(tk, '{w}') AS INT)" for w in BOOL_SHOULD
+)
+SQL_SEARCH_BOOL = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents
+)
+SELECT doc_id, lang, {_sql_should} AS should_matches
+FROM t
+WHERE list_contains(tk, '{BOOL_MUST}')
+  AND ({_sql_should}) >= {BOOL_MIN_SHOULD}
+  AND NOT list_contains(tk, '{BOOL_MUST_NOT}')
+"""
+
+
+PREFIX = "s"
+
+
+def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `prefix` term query: documents containing any token with the given
+    prefix, plus the matched distinct terms (what ES's term expansion finds).
+
+    The prefix test runs inside a higher-order filter over the token array —
+    map-only, codegen, no explode (the row never fans out). The matched-term
+    list is emitted as a sorted comma-joined STRING: scalar columns only, per
+    the driver canonicalizer contract (array columns are unhashable there —
+    the q_search_fuzzy round-2 lesson).
+
+    Scale: at 100 TB an unanchored wildcard would need a term dictionary
+    (vocabulary-bounded, like q_search_fuzzy's); a PREFIX stays a per-row scan
+    predicate and needs nothing global.
+    """
+    d = table(spark, sf_dir, "documents")
+    matched = F.array_sort(
+        F.array_distinct(F.filter(_toks(), lambda t: t.startswith(PREFIX)))
+    )
+    return (
+        d.select("doc_id", matched.alias("m"))
+        .filter(F.size("m") > 0)
+        .select(
+            "doc_id",
+            F.size("m").alias("n_terms"),
+            F.array_join("m", ",").alias("matched_terms"),
+        )
+    )
+
+
+SQL_SEARCH_PREFIX = f"""
+WITH m AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(string_split(text, ' '),
+                     t -> t LIKE '{PREFIX}%'))) AS mt
+    FROM documents
+)
+SELECT doc_id, len(mt) AS n_terms, array_to_string(mt, ',') AS matched_terms
+FROM m
+WHERE len(mt) > 0
+"""
+
+
 QUERIES = {
     "q_search_bm25": q_search_bm25,
     "q_search_phrase": q_search_phrase,
@@ -490,6 +583,8 @@ QUERIES = {
     "q_search_sigterms": q_search_sigterms,
     "q_search_suggest": q_search_suggest,
     "q_search_highlight": q_search_highlight,
+    "q_search_bool": q_search_bool,
+    "q_search_prefix": q_search_prefix,
     "q_get_by_key": q_get_by_key,
 }
 
@@ -501,5 +596,7 @@ ORACLES = {
     "q_search_sigterms": SQL_SEARCH_SIGTERMS,
     "q_search_suggest": SQL_SEARCH_SUGGEST,
     "q_search_highlight": SQL_SEARCH_HIGHLIGHT,
+    "q_search_bool": SQL_SEARCH_BOOL,
+    "q_search_prefix": SQL_SEARCH_PREFIX,
     "q_get_by_key": SQL_GET_BY_KEY,
 }

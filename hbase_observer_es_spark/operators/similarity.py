@@ -960,6 +960,46 @@ FROM prepared, unnest(range(1, len(embedding) + 1)) AS u(i)
 """
 
 
+RANGE_COS_THRESHOLD = 0.25
+
+
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search: EVERY vector within cosine ≥ τ of the
+    probe — the radius-query sibling of q_sim_knn's top-k. This is the primitive
+    near-duplicate retrieval and recall-oriented RAG filters use when "give me k"
+    is the wrong contract (result size is data-determined, not caller-capped).
+
+    Same scale shape as q_sim_knn: the 1-row probe is broadcast, the scan is
+    map-only, and the threshold filter prunes before any ordering — there is no
+    top-k heap and no global sort; output order is by vec_id for determinism.
+    At 100 TB the IVF/LSH routes (q_sim_ivf*, q_sim_lsh*) bound the scanned
+    cells first; the in-cell scoring is exactly this query.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    cos = _cosine(F.col("embedding"), F.col("probe_emb"))
+    return (
+        e.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .join(F.broadcast(probe))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_COS_THRESHOLD)
+        .orderBy("vec_id")
+    )
+
+
+SQL_SIM_RANGE = f"""
+WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id, label,
+       {_sql_cosine('embedding', 'probe_emb')} AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+  AND {_sql_cosine('embedding', 'probe_emb')} >= {RANGE_COS_THRESHOLD}
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_pairs": q_sim_pairs,
@@ -971,6 +1011,7 @@ QUERIES = {
     "q_dedup_embed": q_dedup_embed,
     "q_sim_knn_pudf": q_sim_knn_pudf,
     "q_embed_quant": q_embed_quant,
+    "q_sim_range": q_sim_range,
 }
 
 ORACLES = {
@@ -985,4 +1026,5 @@ ORACLES = {
     # neighbor-set projection — set membership is ulp-stable even though BLAS scores aren't
     "q_sim_knn_pudf": SQL_SIM_KNN_PUDF,
     "q_embed_quant": SQL_EMBED_QUANT,
+    "q_sim_range": SQL_SIM_RANGE,
 }

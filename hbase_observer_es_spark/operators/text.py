@@ -14,7 +14,7 @@ fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -243,6 +243,109 @@ FROM documents
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the step that turns documents into
+    fixed-budget training samples (context windows) in an LLM data pipeline.
+
+    Chunk starts are generated per row with `sequence` (1, 1+stride, … ≤ n_tokens)
+    and exploded; each chunk is a `slice` of the SAME tokenization — the document
+    text is split once, never re-scanned per chunk. All higher-order built-ins:
+    the 1→N fan-out happens executor-side inside codegen, no UDF, no shuffle at
+    all (chunk rows inherit the scan's partitioning). At 100 TB this is the
+    shape that matters: output size is input size × overlap factor, and nothing
+    global exists.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    chunked = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(F.sequence(F.lit(1), F.size(tk), F.lit(CHUNK_STRIDE))).alias("start"),
+    ).filter(F.size("tk") >= 1)
+    piece = F.slice(F.col("tk"), F.col("start"), CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+SQL_TEXT_CHUNK = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start,
+       CAST(len(list_slice(tk, s, s + {CHUNK_TOKENS - 1})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, s, s + {CHUNK_TOKENS - 1}), ' ') AS chunk_text
+FROM d, LATERAL unnest(generate_series(1, len(tk), {CHUNK_STRIDE})) AS t(s)
+WHERE len(tk) >= 1
+"""
+
+
+TOPWORD_REP_FRAC = 0.10  # most-common-token share above this flags repetition
+
+
+def q_text_topword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-frequent token and its share of all tokens — the
+    repetition quality signal (Gopher-style "top word fraction") used to drop
+    degenerate/templated documents from training corpora.
+
+    explode → (doc, token) counts (map-side combinable), then ONE window over
+    doc_id ranks tokens (count desc, token asc) and sums the doc total in the
+    same pass — the groupBy and the window share the doc_id-prefixed key, so
+    AQE plans them over one exchange. top_frac is a single IEEE division,
+    deterministic cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wrank = wdoc.orderBy(F.desc("n"), F.asc("token"))
+    frac = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.withColumn("rnk", F.row_number().over(wrank))
+        .withColumn("total", F.sum("n").over(wdoc))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_token"),
+            F.col("n").alias("top_count"),
+            F.col("total").alias("n_tokens"),
+            frac.alias("top_frac"),
+            (frac > TOPWORD_REP_FRAC).alias("repetitive"),
+        )
+    )
+
+
+SQL_TEXT_TOPWORD = f"""
+WITH counts AS (
+    SELECT doc_id, token, COUNT(*) AS n FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ) WHERE token <> ''
+    GROUP BY doc_id, token
+), ranked AS (
+    SELECT doc_id, token, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, token ASC) AS rnk,
+           CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+    FROM counts
+)
+SELECT doc_id, token AS top_token, n AS top_count, total AS n_tokens,
+       CAST(n AS DOUBLE) / total AS top_frac,
+       CAST(n AS DOUBLE) / total > {TOPWORD_REP_FRAC} AS repetitive
+FROM ranked WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
     "q_text_lang": q_text_lang,
@@ -250,6 +353,8 @@ QUERIES = {
     "q_text_quality": q_text_quality,
     "q_text_tokcount": q_text_tokcount,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_chunk": q_text_chunk,
+    "q_text_topword": q_text_topword,
 }
 
 ORACLES = {
@@ -259,4 +364,6 @@ ORACLES = {
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_text_tokcount": SQL_TEXT_TOKCOUNT,
     "q_text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "q_text_chunk": SQL_TEXT_CHUNK,
+    "q_text_topword": SQL_TEXT_TOPWORD,
 }

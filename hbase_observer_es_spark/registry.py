@@ -25,6 +25,7 @@ _MODULES = (
     "hbase_observer_es_spark.streaming.stateful",
     "hbase_observer_es_spark.operators.dedup",
     "hbase_observer_es_spark.operators.relational_ext",
+    "hbase_observer_es_spark.operators.es_aggs",
     "hbase_observer_es_spark.operators.relational",
     "hbase_observer_es_spark.operators.scalar",
     "hbase_observer_es_spark.operators.cdc",
@@ -32,66 +33,77 @@ _MODULES = (
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
-# bounded prefix (~50 entries) of the registry per round, so with 87 registered
+# bounded prefix (~50 entries) of the registry per round, so with 100+ registered
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
-# Policy (round-3 verdict task #1): never-green first, then queries whose code
-# changed since their last green row, then the stale rows verified longest ago
-# (round 1: relational tail / scalar / cdc / text), and freshly-green queries
-# last. Revisit each round as rows go green and code changes.
+# Policy (round-2 verdict task #1, confirmed working in r3 — all 50 prefix rows
+# checked): red/never-green first, then queries new or changed this round, then
+# the rows whose last green is oldest (now: the round-2 window — similarity /
+# search / dedup / streaming / multimodal / scale), freshest-green last.
+# Revisit each round as rows go green and code changes.
 _PRIORITY = (
-    # never driver-green (r1: no oracle; r2: outside the window / harness err)
-    "q_agg_approx",
-    "q_search_fuzzy",
-    # new or changed this round — their green rows are stale by definition
-    "q_sim_ivf_trained",
-    "q_search_highlight",
-    "q_sample_stratified",
-    "q_agg_pct_sketch",
-    "q_agg_datehist",
-    "q_agg_composite",
-    "q_agg_filters",
-    "q_agg_pipeline",
+    # red in CORRECTNESS_r03 (HUGEINT oracle dtype, fixed this round)
     "q_agg_terms_other",
-    "q_decontaminate",
-    "q_embed_quant",
-    "q_dedup_jaccard",
-    "q_join_asof",
-    "s_upsert_sink",
-    # verified green in round 1 only; modules unchanged since, rows stale
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_star",
-    "q_join_range",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_win_rank",
-    "q_win_running",
-    "q_win_lag",
-    "q_topk_pergroup",
-    "q_sort_limit",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_case",
-    "q_json_extract",
-    "q_array_funcs",
-    "q_cdc_snapshot",
-    "q_cdc_tombstone",
-    "q_cell_pivot",
-    "q_cdc_doc_merge",
-    "q_text_tokens",
-    "q_text_lang",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokcount",
-    "q_text_fingerprint",
+    # new this round — never driver-checked
+    "q_agg_range",
+    "q_agg_tophits",
+    "q_agg_pctranks",
+    "q_agg_adjacency",
+    "q_agg_rare_terms",
+    "q_search_bool",
+    "q_search_prefix",
+    "q_text_chunk",
+    "q_text_topword",
+    "q_sim_range",
+    # last green in round 2; oldest rows first
+    "q_sim_knn",
+    "q_sim_pairs",
+    "q_sim_ivf",
+    "q_sim_ivf_batch",
+    "q_sim_lsh",
+    "q_sim_lsh_batch",
+    "q_dedup_embed",
+    "q_sim_knn_pudf",
+    "q_search_bm25",
+    "q_search_phrase",
+    "q_search_mlt",
+    "q_search_sigterms",
+    "q_search_suggest",
+    "q_join_salted",
+    "q_join_bucketed",
+    "q_scan_pruned",
+    "q_pipeline_corpus",
+    "s_win_tumbling",
+    "s_win_sliding",
+    "s_win_session",
+    "s_watermark_dedup",
+    "s_stateful_profile",
+    "s_win_stream",
+    "s_session_stream",
+    "s_join_stream",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_simhash_near",
+    "q_dedup_clusters",
+    "q_agg_groupingsets",
+    "q_agg_percentile",
+    "q_subquery_scalar",
+    "q_win_rangeframe",
+    "q_page_keyset",
+    "q_agg_histogram",
+    "q_agg_stats",
+    "q_mm_framesample",
+    "q_mm_resize",
+    # likely beyond the ~50-row window this round: r2-green, unchanged, lowest
+    # re-verification value (trivial plans or disclosed stubs)
+    "q_mm_decode",
+    "q_mm_meta",
+    "q_udf_scalar",
+    "q_udf_grouped",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_join_inner",
+    "q_get_by_key",
 )
 
 

@@ -288,3 +288,53 @@ def test_terms_other_ranks_buckets_not_rows(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_count" in plan, plan
     assert plan.index("Window") < plan.index("FileScan"), plan
+
+
+def test_range_agg_one_pass_partial(spark):
+    """ES range agg: one fact scan reduced map-side to the handful of buckets."""
+    plan = plan_of(spark, "q_agg_range")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_adjacency_one_pass_no_join(spark):
+    """All 6 adjacency buckets from ONE scan + one agg — no self-joins, no
+    re-scans per filter."""
+    plan = plan_of(spark, "q_agg_adjacency")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pctranks_single_row_reduction(spark):
+    """percentile_ranks: every threshold answered by one map-side-combined
+    global aggregate (no crossJoin row multiplication, no per-threshold scan)."""
+    plan = plan_of(spark, "q_agg_pctranks")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_text_chunk_no_shuffle(spark):
+    """Chunking fans out 1->N executor-side: the plan must contain no Exchange
+    and no Python eval — pure codegen explode over the scan."""
+    plan = plan_of(spark, "q_text_chunk")
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+    assert "Generate" in plan, plan  # the explode node
+
+
+def test_sim_range_broadcasts_probe_no_topk(spark):
+    """Threshold similarity: probe broadcast (map-only scan of the big side),
+    and no TakeOrdered — result size is data-determined, not a k-heap."""
+    plan = plan_of(spark, "q_sim_range")
+    # 1-row probe rides a BroadcastExchange (nested-loop build side — it's a
+    # keyless join); the big side is scanned in place, never shuffled pre-filter
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan
+
+
+def test_search_bool_map_only(spark):
+    """Bool query = one projection + filter over one scan: no shuffle at all."""
+    plan = plan_of(spark, "q_search_bool")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
