@@ -263,14 +263,131 @@ GROUP BY tr.doc_id
 """
 
 
+# Mixture temperature: share^τ with τ=0.5 — i.e. sqrt, the one power IEEE
+# guarantees exactly-rounded in both engines (pow(x, 0.5) is NOT sqrt in
+# general and libm pow is engine-divergent; sqrt is safe).
+PACK_CAPACITY = 512  # tokens per packed training sequence
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture reweighting (τ = 0.5): per-language
+    sampling weights w_l ∝ share_l^τ — the standard move that upsamples
+    low-resource slices when assembling a multilingual training mix.
+
+    Two tiny aggregates over one scan: per-language token counts (map-side
+    combined), the τ-tempered share, and its normalization. The normalizer is a
+    1-row frame joined back by broadcast — language cardinality work, no second
+    pass over the corpus. sqrt keeps the tempering bit-identical cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    # temp_norm sums IRRATIONAL doubles (sqrt outputs) — a plain SUM's
+    # association order differs between engines, so fold the values in a fixed
+    # (lang-sorted) order instead: collect the language-cardinality list, sort,
+    # left-fold. Same trick as search.py's MLT sorted-idf fold.
+    sqrt_tok = F.sqrt(F.col("n_tokens").cast("double"))
+    sorted_sqrts = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("lang"), sqrt_tok.alias("s")))),
+        lambda p: p["s"],
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.aggregate(sorted_sqrts, F.lit(0.0), lambda acc, x: acc + x).alias("temp_norm"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tok_total")
+    tempered = F.sqrt(F.col("n_tokens").cast("double")) / F.col("temp_norm")
+    return (
+        per_lang.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            share.alias("share"),
+            tempered.alias("weight"),
+            (tempered / share).alias("upsample_factor"),
+        )
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per_lang AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+               (acc, x) -> acc + x) AS temp_norm
+    FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / tok_total AS share,
+       sqrt(CAST(n_tokens AS DOUBLE)) / temp_norm AS weight,
+       (sqrt(CAST(n_tokens AS DOUBLE)) / temp_norm)
+           / (CAST(n_tokens AS DOUBLE) / tok_total) AS upsample_factor
+FROM per_lang, tot
+"""
+
+
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing: assign documents (in doc_id order) to
+    fixed-capacity training bins by running token count — the concat-and-split
+    packing used to fill context windows without padding waste.
+
+    pack_id = floor(preceding-cumulative-tokens / capacity): one ordered window
+    over the corpus. Deterministic (integer math over an exact cumsum) and
+    oracle-exact. The global order is the fixture-scale shortcut; at 100 TB you
+    run the SAME expression partitioned by shard key (pack within shard) so the
+    window never needs a global sort — noted rather than hidden.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(prev / PACK_CAPACITY).cast("bigint").alias("pack_id"),
+            (prev % PACK_CAPACITY).cast("bigint").alias("pack_offset"),
+        )
+    )
+
+
+SQL_TEXT_PACK = f"""
+WITH t AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_CAPACITY}) AS BIGINT) AS pack_id,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            % {PACK_CAPACITY} AS BIGINT) AS pack_offset
+FROM t
+"""
+
+
 QUERIES = {
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_sample_stratified": q_sample_stratified,
     "q_decontaminate": q_decontaminate,
+    "q_mixture_weights": q_mixture_weights,
+    "q_text_pack": q_text_pack,
 }
 
 ORACLES = {
     "q_pipeline_corpus": SQL_PIPELINE_CORPUS,
     "q_sample_stratified": SQL_SAMPLE_STRATIFIED,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "q_text_pack": SQL_TEXT_PACK,
 }

@@ -54,6 +54,8 @@ _PRIORITY = (
     "q_text_chunk",
     "q_text_topword",
     "q_sim_range",
+    "q_mixture_weights",
+    "q_text_pack",
     # last green in round 2; oldest rows first
     "q_sim_knn",
     "q_sim_pairs",

@@ -338,3 +338,20 @@ def test_search_bool_map_only(spark):
     plan = plan_of(spark, "q_search_bool")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_mixture_weights_broadcasts_normalizer(spark):
+    """The 1-row totals frame must broadcast back onto the per-language frame —
+    language-cardinality work, never a second corpus pass."""
+    plan = plan_of(spark, "q_mixture_weights")
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("FileScan parquet") <= 2, plan
+
+
+def test_text_pack_single_ordered_window(spark):
+    """Packing is ONE running-sum window over (doc_id, n_tokens) rows — no
+    joins, no Python eval; the fact scan feeds the window directly."""
+    plan = plan_of(spark, "q_text_pack")
+    assert "Join" not in plan, plan
+    assert "Eval" not in plan, plan
+    assert plan.count("Window") == 1, plan
