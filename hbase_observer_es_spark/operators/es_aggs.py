@@ -274,12 +274,52 @@ ORDER BY doc_count, token
 """
 
 
+BUCKET_MIN_SUM = 1000.0  # bucket_selector: keep buckets whose metric clears this
+BUCKET_SORT_N = 10  # bucket_sort: top buckets by metric
+
+
+def q_agg_bucket_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_selector` + `bucket_sort` pipeline aggs: daily buckets,
+    drop buckets whose metric misses a threshold (HAVING over the bucket
+    frame), then order by metric and keep the top N (order+limit over what
+    survives).
+
+    Like every pipeline agg, both stages consume the ALREADY-REDUCED bucket
+    frame: one map-side-combined groupBy is the only pass over the fact rows;
+    the selector is a scalar filter on bucket rows and the sort is a
+    TakeOrdered over a calendar-bounded frame. Metric sums use the decimal
+    discipline so the threshold compare is engine-exact at the boundary.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .filter(F.col("sum_value") >= BUCKET_MIN_SUM)
+        .orderBy(F.desc("sum_value"), F.asc("day"))
+        .limit(BUCKET_SORT_N)
+    )
+
+
+SQL_AGG_BUCKET_SEL = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY day
+HAVING sum_value >= {BUCKET_MIN_SUM}
+ORDER BY sum_value DESC, day ASC
+LIMIT {BUCKET_SORT_N}
+"""
+
+
 QUERIES = {
     "q_agg_range": q_agg_range,
     "q_agg_tophits": q_agg_tophits,
     "q_agg_pctranks": q_agg_pctranks,
     "q_agg_adjacency": q_agg_adjacency,
     "q_agg_rare_terms": q_agg_rare_terms,
+    "q_agg_bucket_sel": q_agg_bucket_sel,
 }
 
 ORACLES = {
@@ -288,4 +328,5 @@ ORACLES = {
     "q_agg_pctranks": SQL_AGG_PCTRANKS,
     "q_agg_adjacency": SQL_AGG_ADJACENCY,
     "q_agg_rare_terms": SQL_AGG_RARE_TERMS,
+    "q_agg_bucket_sel": SQL_AGG_BUCKET_SEL,
 }

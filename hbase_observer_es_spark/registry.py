@@ -49,6 +49,7 @@ _PRIORITY = (
     "q_agg_pctranks",
     "q_agg_adjacency",
     "q_agg_rare_terms",
+    "q_agg_bucket_sel",
     "q_search_bool",
     "q_search_prefix",
     "q_text_chunk",

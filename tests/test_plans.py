@@ -355,3 +355,12 @@ def test_text_pack_single_ordered_window(spark):
     assert "Join" not in plan, plan
     assert "Eval" not in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_bucket_sel_takes_ordered_over_buckets(spark):
+    """bucket_sort's top-N must be a TakeOrdered over the reduced bucket frame
+    (one fact scan, map-side combine below it)."""
+    plan = plan_of(spark, "q_agg_bucket_sel")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
