@@ -1,0 +1,193 @@
+"""ES nested-document and geo query surface, over deterministic derived views.
+
+The reference's end users query ES 6.3 (/root/reference/pom.xml:35-46), whose DSL
+includes `nested` queries (predicates that must match WITHIN one sub-document)
+and geo queries (`geo_bounding_box`, `geo_distance`, grid aggregations). The
+fixtures carry no nested or geo columns, so — exactly like the CDC `mutations`
+view (FIXTURES.md) — both are built as DERIVED views with the derivation
+expressions as part of the contract, mirrored verbatim in the DuckDB oracles:
+
+* nested: each user's events collected into an array of structs (the ES
+  parent-doc-with-nested-objects shape);
+* geo: integer-exact synthetic coordinates from ids, Knuth-hash-spread so
+  fixture-scale id ranges still cover the globe —
+  lat = (user_id·2654435761 % 18000)/100 − 90,
+  lon = ((user_id·2654435761 + event_id·40503) % 36000)/100 − 180.
+  Every op is int64 math + one exact IEEE division/subtraction, so both
+  engines derive bit-identical doubles.
+
+Determinism note: real `geo_distance` is haversine (sin/cos/atan2 — libm
+functions that are NOT bit-stable across engines); q_geo_distance therefore
+uses planar squared-degree distance, disclosed in the docstring. The FILTER
+SHAPE (scan-side predicate, no shuffle) is identical; swapping in haversine on
+a real cluster changes one expression, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+NESTED_TYPE = "purchase"
+NESTED_MIN_VALUE = 150.0
+
+BBOX = (-45.0, 30.0, -90.0, 60.0)  # lat_min, lat_max, lon_min, lon_max
+GRID_CELL_DEG = 5.0
+CENTER = (12.0, 34.0)
+DIST2_MAX = 400.0  # squared degrees
+
+
+_KNUTH = 2654435761  # Fibonacci-hash multiplier; products stay well inside int64
+
+
+def _lat() -> Column:
+    return (F.col("user_id") * _KNUTH % 18000).cast("double") / 100.0 - 90.0
+
+
+def _lon() -> Column:
+    return (
+        (F.col("user_id") * _KNUTH + F.col("event_id") * 40503) % 36000
+    ).cast("double") / 100.0 - 180.0
+
+
+_SQL_LAT = f"CAST(user_id * {_KNUTH} % 18000 AS DOUBLE) / 100.0 - 90.0"
+_SQL_LON = (
+    f"CAST((user_id * {_KNUTH} + event_id * 40503) % 36000 AS DOUBLE) / 100.0 - 180.0"
+)
+
+
+def q_nested_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` query: parent documents where SOME nested object satisfies a
+    conjunction — here, users with at least one (purchase AND value > 400)
+    event, plus the matching-object count (ES `inner_hits` total).
+
+    The nested view is built (collect_list of structs per user — the ES
+    parent/nested mapping), then queried with higher-order `exists`/`filter`
+    over the array column: the conjunction is evaluated per nested object, the
+    semantics a flattened column filter cannot express after aggregation. One
+    shuffle (the groupBy); the nested predicate itself is codegen array math.
+    The oracle states the equivalent flat form (conditional count + HAVING) —
+    same rows, which is the point: the engine answers the nested shape without
+    denormalizing first.
+    """
+    e = table(spark, sf_dir, "events")
+    nested = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "value")).alias("evs")
+    )
+    match = lambda ev: (ev["event_type"] == NESTED_TYPE) & (  # noqa: E731
+        ev["value"] > NESTED_MIN_VALUE
+    )
+    return (
+        nested.select(
+            "user_id",
+            F.size("evs").cast("bigint").alias("n_events"),
+            F.size(F.filter("evs", match)).cast("bigint").alias("n_matching"),
+        )
+        .filter(F.col("n_matching") > 0)
+    )
+
+
+SQL_NESTED_EXISTS = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = '{NESTED_TYPE}' AND value > {NESTED_MIN_VALUE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+FROM events
+GROUP BY user_id
+HAVING n_matching > 0
+"""
+
+
+def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_bounding_box` filter: events whose derived point falls inside a
+    lat/lon box. Pure comparisons on the derived coordinates — a scan-side
+    predicate, no shuffle; at 100 TB a geo-sorted layout turns this into
+    row-group pruning exactly like any range predicate."""
+    e = table(spark, sf_dir, "events")
+    lat, lon = _lat(), _lon()
+    lat_min, lat_max, lon_min, lon_max = BBOX
+    return (
+        e.select("event_id", "user_id", lat.alias("lat"), lon.alias("lon"))
+        .filter(
+            (F.col("lat") >= lat_min)
+            & (F.col("lat") <= lat_max)
+            & (F.col("lon") >= lon_min)
+            & (F.col("lon") <= lon_max)
+        )
+    )
+
+
+SQL_GEO_BBOX = f"""
+SELECT event_id, user_id, {_SQL_LAT} AS lat, {_SQL_LON} AS lon
+FROM events
+WHERE {_SQL_LAT} BETWEEN {BBOX[0]} AND {BBOX[1]}
+  AND {_SQL_LON} BETWEEN {BBOX[2]} AND {BBOX[3]}
+"""
+
+
+def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geohash_grid`/`geotile_grid` aggregation shape: bucket points into
+    fixed-degree cells and count per cell. floor-division cell ids are pure
+    integer-exact arithmetic (true geohash base32/Mercator tiling needs
+    log/tan — engine-divergent; the AGGREGATION shape, a map-side-combined
+    groupBy over cell ids, is identical)."""
+    e = table(spark, sf_dir, "events")
+    cell_lat = F.floor(_lat() / GRID_CELL_DEG).cast("bigint")
+    cell_lon = F.floor(_lon() / GRID_CELL_DEG).cast("bigint")
+    return (
+        e.select(cell_lat.alias("cell_lat"), cell_lon.alias("cell_lon"))
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_GEO_GRID = f"""
+SELECT CAST(FLOOR(({_SQL_LAT}) / {GRID_CELL_DEG}) AS BIGINT) AS cell_lat,
+       CAST(FLOOR(({_SQL_LON}) / {GRID_CELL_DEG}) AS BIGINT) AS cell_lon,
+       COUNT(*) AS n
+FROM events
+GROUP BY cell_lat, cell_lon
+"""
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_distance` filter: points within a radius of a center — planar
+    squared-degree distance (dx·dx + dy·dy, fixed op order) instead of
+    haversine, for cross-engine bit-exactness (module docstring). Same plan
+    shape as the real thing: map-only scan predicate, distance emitted for
+    sort-by-distance use."""
+    e = table(spark, sf_dir, "events")
+    dx = _lat() - CENTER[0]
+    dy = _lon() - CENTER[1]
+    d2 = dx * dx + dy * dy
+    return (
+        e.select("event_id", "user_id", d2.alias("dist2"))
+        .filter(F.col("dist2") <= DIST2_MAX)
+    )
+
+
+SQL_GEO_DISTANCE = f"""
+SELECT event_id, user_id,
+       (({_SQL_LAT}) - {CENTER[0]}) * (({_SQL_LAT}) - {CENTER[0]})
+       + (({_SQL_LON}) - {CENTER[1]}) * (({_SQL_LON}) - {CENTER[1]}) AS dist2
+FROM events
+WHERE (({_SQL_LAT}) - {CENTER[0]}) * (({_SQL_LAT}) - {CENTER[0]})
+      + (({_SQL_LON}) - {CENTER[1]}) * (({_SQL_LON}) - {CENTER[1]}) <= {DIST2_MAX}
+"""
+
+
+QUERIES = {
+    "q_nested_exists": q_nested_exists,
+    "q_geo_bbox": q_geo_bbox,
+    "q_geo_grid": q_geo_grid,
+    "q_geo_distance": q_geo_distance,
+}
+
+ORACLES = {
+    "q_nested_exists": SQL_NESTED_EXISTS,
+    "q_geo_bbox": SQL_GEO_BBOX,
+    "q_geo_grid": SQL_GEO_GRID,
+    "q_geo_distance": SQL_GEO_DISTANCE,
+}

@@ -26,6 +26,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.dedup",
     "hbase_observer_es_spark.operators.relational_ext",
     "hbase_observer_es_spark.operators.es_aggs",
+    "hbase_observer_es_spark.operators.nested_geo",
     "hbase_observer_es_spark.operators.relational",
     "hbase_observer_es_spark.operators.scalar",
     "hbase_observer_es_spark.operators.cdc",
@@ -57,6 +58,10 @@ _PRIORITY = (
     "q_sim_range",
     "q_mixture_weights",
     "q_text_pack",
+    "q_nested_exists",
+    "q_geo_bbox",
+    "q_geo_grid",
+    "q_geo_distance",
     # last green in round 2; oldest rows first
     "q_sim_knn",
     "q_sim_pairs",

@@ -364,3 +364,29 @@ def test_bucket_sel_takes_ordered_over_buckets(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_geo_filters_are_map_only(spark):
+    """geo_bounding_box / geo_distance are scan-side predicates: one scan, no
+    Exchange, no Python eval."""
+    for name in ("q_geo_bbox", "q_geo_distance"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Eval" not in plan, (name, plan)
+
+
+def test_geo_grid_partial_agg(spark):
+    """The grid agg must combine map-side over cell ids."""
+    plan = plan_of(spark, "q_geo_grid")
+    assert "partial_count" in plan, plan
+
+
+def test_nested_exists_single_shuffle(spark):
+    """The nested view costs ONE groupBy shuffle; the nested-object predicate
+    is codegen array math above it — no joins, no Python eval."""
+    plan = plan_of(spark, "q_nested_exists")
+    assert "Join" not in plan, plan
+    assert "Eval" not in plan, plan
+    f = facts_of(spark, "q_nested_exists")
+    assert f.exchanges <= 2, plan
