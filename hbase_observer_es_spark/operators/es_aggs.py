@@ -313,6 +313,101 @@ LIMIT {BUCKET_SORT_N}
 """
 
 
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `weighted_avg` aggregation: per event_type, avg(value) weighted by the
+    JSON `k` field — Σ(v·w)/Σ(w) with the decimal-sum discipline on the
+    numerator (2dp inputs × integer weights stay exactly representable) and an
+    exact integer sum on the denominator, divided once in double.
+
+    One map-side-combined pass; the weight extraction is scan-projection work.
+    """
+    e = table(spark, sf_dir, "events")
+    w = F.get_json_object("props", "$.k").cast("bigint")
+    num = F.sum((F.col("value") * w).cast("decimal(28,2)"))
+    den = F.sum(w)
+    return e.groupBy("event_type").agg(
+        den.alias("weight_total"),
+        (num.cast("double") / den.cast("double")).alias("weighted_avg"),
+    )
+
+
+SQL_AGG_WEIGHTED_AVG = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS weight_total,
+       CAST(SUM(CAST(value * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS DECIMAL(28,2))) AS DOUBLE)
+           / CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+           AS weighted_avg
+FROM events
+GROUP BY event_type
+"""
+
+
+AUTO_HIST_TARGET = 20  # auto_date_histogram: at most this many buckets
+# fixed-interval ladder, in seconds (ES `fixed_interval` flavor — calendar
+# units would need a literal truncation unit, which the two-phase plan below
+# deliberately avoids; integer epoch math is engine-exact)
+AUTO_HIST_LADDER = (60, 300, 900, 3600, 10800, 43200, 86400, 604800)
+
+
+def q_agg_autodatehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `auto_date_histogram`: the engine — not the caller — picks the bucket
+    interval so the bucket count stays ≤ a target. Two phases in ONE plan:
+    a 1-row bounds aggregate (min/max event time) is broadcast back, the
+    interval is chosen from a fixed ladder by pure integer arithmetic (smallest
+    rung with span/rung ≤ target), and rows bucket by epoch-floor division.
+
+    No driver-side collect: the bounds row rides a broadcast join, so the same
+    plan runs unchanged on a cluster. All epoch math is int64 — bit-identical
+    in DuckDB's mirror.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(
+        F.min(us).alias("lo_us"), F.max(us).alias("hi_us")
+    )
+    span = F.col("hi_us") - F.col("lo_us")
+    ival: Column = F.lit(AUTO_HIST_LADDER[-1] * 1_000_000).cast("bigint")
+    for sec in reversed(AUTO_HIST_LADDER[:-1]):
+        rung = F.lit(sec * 1_000_000).cast("bigint")
+        # smallest rung whose bucket count fits the target
+        ival = F.when(span <= rung * AUTO_HIST_TARGET, rung).otherwise(ival)
+    bucket = F.timestamp_micros(
+        (us - (us % F.col("ival"))).cast("bigint")
+    )
+    return (
+        e.join(F.broadcast(bounds.select(ival.alias("ival"))))
+        .groupBy(bucket.alias("bucket"), F.col("ival").alias("interval_us"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+_sql_auto_ival = f"(CAST({AUTO_HIST_LADDER[-1]} AS BIGINT) * 1000000)"
+for _sec in reversed(AUTO_HIST_LADDER[:-1]):
+    _sql_auto_ival = (
+        f"CASE WHEN hi_us - lo_us <= CAST({_sec} AS BIGINT) * 1000000 * {AUTO_HIST_TARGET} "
+        f"THEN CAST({_sec} AS BIGINT) * 1000000 ELSE {_sql_auto_ival} END"
+    )
+
+SQL_AGG_AUTODATEHIST = f"""
+WITH bounds AS (
+    SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS hi_us
+    FROM events
+), sel AS (
+    SELECT {_sql_auto_ival} AS ival FROM bounds
+)
+SELECT make_timestamp(CAST(epoch_us(ts) AS BIGINT)
+                      - (CAST(epoch_us(ts) AS BIGINT) % ival)) AS bucket,
+       ival AS interval_us,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events, sel
+GROUP BY bucket, interval_us
+"""
+
+
 QUERIES = {
     "q_agg_range": q_agg_range,
     "q_agg_tophits": q_agg_tophits,
@@ -320,6 +415,8 @@ QUERIES = {
     "q_agg_adjacency": q_agg_adjacency,
     "q_agg_rare_terms": q_agg_rare_terms,
     "q_agg_bucket_sel": q_agg_bucket_sel,
+    "q_agg_weighted_avg": q_agg_weighted_avg,
+    "q_agg_autodatehist": q_agg_autodatehist,
 }
 
 ORACLES = {
@@ -329,4 +426,6 @@ ORACLES = {
     "q_agg_adjacency": SQL_AGG_ADJACENCY,
     "q_agg_rare_terms": SQL_AGG_RARE_TERMS,
     "q_agg_bucket_sel": SQL_AGG_BUCKET_SEL,
+    "q_agg_weighted_avg": SQL_AGG_WEIGHTED_AVG,
+    "q_agg_autodatehist": SQL_AGG_AUTODATEHIST,
 }

@@ -51,6 +51,8 @@ _PRIORITY = (
     "q_agg_adjacency",
     "q_agg_rare_terms",
     "q_agg_bucket_sel",
+    "q_agg_weighted_avg",
+    "q_agg_autodatehist",
     "q_search_bool",
     "q_search_prefix",
     "q_text_chunk",

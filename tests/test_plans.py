@@ -390,3 +390,18 @@ def test_nested_exists_single_shuffle(spark):
     assert "Eval" not in plan, plan
     f = facts_of(spark, "q_nested_exists")
     assert f.exchanges <= 2, plan
+
+
+def test_weighted_avg_one_pass(spark):
+    """weighted_avg: numerator and denominator from ONE map-side-combined agg."""
+    plan = plan_of(spark, "q_agg_weighted_avg")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_autodatehist_broadcasts_bounds(spark):
+    """auto_date_histogram: the 1-row bounds frame broadcasts; the fact side
+    buckets map-side — no driver collect, no fact shuffle before the agg."""
+    plan = plan_of(spark, "q_agg_autodatehist")
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan
