@@ -125,3 +125,74 @@ def test_tracked_persist_does_not_accumulate(spark):
     q_dedup_minhash(spark, SF_ORACLE).collect()
     q_dedup_minhash(spark, SF_ORACLE).collect()
     assert n_cached() <= first
+
+
+def test_chunking_covers_every_token_exactly_by_stride(spark):
+    """Chunk invariants on the real corpus: chunks start at 1, 1+stride, ...;
+    every chunk has 1..CHUNK_TOKENS tokens; concatenating each doc's chunk
+    STARTS reconstructs the arithmetic progression (no gap, no dup)."""
+    from hbase_observer_es_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_text_chunk,
+    )
+
+    rows = q_text_chunk(spark, SF_ORACLE).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        assert 1 <= r.n_tokens <= CHUNK_TOKENS
+        assert (r.start - 1) % CHUNK_STRIDE == 0
+        assert r.chunk_id == (r.start - 1) // CHUNK_STRIDE
+        by_doc.setdefault(r.doc_id, []).append(r.start)
+    for starts in by_doc.values():
+        starts.sort()
+        assert starts == list(range(1, starts[-1] + 1, CHUNK_STRIDE))
+
+
+def test_packing_bins_respect_running_capacity(spark):
+    """pack_id must be the floor of the preceding cumulative token count over
+    capacity — bins are contiguous in doc_id order and never skip."""
+    from hbase_observer_es_spark.operators.pipeline import PACK_CAPACITY, q_text_pack
+
+    rows = sorted(q_text_pack(spark, SF_ORACLE).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert r.pack_id == cum // PACK_CAPACITY
+        assert r.pack_offset == cum % PACK_CAPACITY
+        cum += r.n_tokens
+
+
+def test_mixture_weights_sum_to_one(spark):
+    """Tempered weights are a distribution, and tempering must flatten: the
+    largest language's weight shrinks vs its raw share, the smallest grows."""
+    from hbase_observer_es_spark.operators.pipeline import q_mixture_weights
+
+    rows = q_mixture_weights(spark, SF_ORACLE).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    assert big.weight < big.share and small.weight > small.share
+
+
+def test_adjacency_counts_are_consistent(spark):
+    """Pairwise intersection counts can never exceed either single-filter
+    count (ES adjacency_matrix invariant)."""
+    from hbase_observer_es_spark.operators.es_aggs import q_agg_adjacency
+
+    n = {r.key: r.n for r in q_agg_adjacency(spark, SF_ORACLE).collect()}
+    for pair, parts in {k: k.split("&") for k in n if "&" in k}.items():
+        assert n[pair] <= min(n[parts[0]], n[parts[1]])
+
+
+def test_autodatehist_respects_target(spark):
+    """The chosen interval must keep the bucket count at or under the target,
+    and all buckets must share ONE interval."""
+    from hbase_observer_es_spark.operators.es_aggs import (
+        AUTO_HIST_TARGET,
+        q_agg_autodatehist,
+    )
+
+    rows = q_agg_autodatehist(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= AUTO_HIST_TARGET
+    assert len({r.interval_us for r in rows}) == 1
