@@ -449,6 +449,62 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.relational import SQL_JOIN_RANGE as SQL_JOIN_STREAM  # noqa: E402
 
 
+TERMS_STREAM_N = 3
+
+
+def s_terms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live ES `terms` aggregation over a REAL stream in COMPLETE output mode —
+    the "top event types right now" dashboard query. Counts and sums keep
+    changing as batches arrive, so neither append (rows never finalize without
+    a watermarked window) nor update (memory sink would hold stale rows) fits:
+    complete mode re-emits the whole (cardinality-bounded) aggregate each
+    micro-batch, converging to exactly the batch terms agg once the source
+    drains. The top-N cut runs over the final materialized aggregate, the same
+    place ES applies `size` to a terms agg.
+
+    Scale: complete mode is only sane because the result IS bounded (one row
+    per term) — the state and the re-emitted sink are term-cardinality-sized,
+    never row-sized. A row-scale complete-mode sink would be a scale bug.
+    """
+    from ..functions import dsum
+
+    run = f"s_terms_stream_{uuid.uuid4().hex[:8]}"
+    out = scratch_dir(run)
+    e = table(spark, sf_dir, "events")
+    stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
+
+    stream = read_stream(spark, stream_dir, e.schema)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+    qname = f"termsstream_{uuid.uuid4().hex[:8]}"
+    with _state_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(TERMS_STREAM_N)
+    )
+
+
+SQL_TERMS_STREAM = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type ASC
+LIMIT {TERMS_STREAM_N}
+"""
+
+
 QUERIES = {
     "s_watermark_dedup": s_watermark_dedup,
     "s_upsert_sink": s_upsert_sink,
@@ -456,6 +512,7 @@ QUERIES = {
     "s_win_stream": s_win_stream,
     "s_session_stream": s_session_stream,
     "s_join_stream": s_join_stream,
+    "s_terms_stream": s_terms_stream,
 }
 
 ORACLES = {
@@ -465,4 +522,5 @@ ORACLES = {
     "s_win_stream": SQL_WIN_STREAM,
     "s_session_stream": SQL_SESSION_STREAM,
     "s_join_stream": SQL_JOIN_STREAM,
+    "s_terms_stream": SQL_TERMS_STREAM,
 }
