@@ -376,12 +376,64 @@ FROM t
 """
 
 
+DIV_MAX_PER_VALUE = 40  # diversified_sampler: max docs per field value (lang)
+DIV_SAMPLE_N = 120  # overall sample size after the diversity cap
+DIV_SEED_MULT = 2654435761
+DIV_SEED_MOD = 1_000_000_007
+
+
+def q_sample_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `diversified_sampler` aggregation: a sample capped at
+    max_docs_per_value per field value (lang) — the per-domain cap that stops
+    one slice from flooding a training sample — then cut to the overall sample
+    size. Deterministic throughout: "random" order is the Knuth-hash rank of
+    doc_id (no RNG, retry-stable, same discipline as q_sample_stratified).
+
+    Two windows over the same hash order: per-lang row_number applies the
+    diversity cap (one shuffle by lang), then a global TakeOrdered-shaped cut
+    picks the sample. The global cut ranks ≤ |langs|·cap rows — cap-bounded,
+    never corpus-bounded, so the single-partition tail window is safe at any
+    scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * DIV_SEED_MULT) % DIV_SEED_MOD
+    w_lang = Window.partitionBy("lang").orderBy("h", "doc_id")
+    capped = (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("lang_rank", F.row_number().over(w_lang))
+        .filter(F.col("lang_rank") <= DIV_MAX_PER_VALUE)
+    )
+    return (
+        capped.orderBy("h", "doc_id")
+        .limit(DIV_SAMPLE_N)
+        .select("doc_id", "lang", F.col("lang_rank").cast("bigint").alias("lang_rank"))
+    )
+
+
+SQL_SAMPLE_DIVERSIFIED = f"""
+WITH hashed AS (
+    SELECT doc_id, lang, (doc_id * {DIV_SEED_MULT}) % {DIV_SEED_MOD} AS h
+    FROM documents
+), capped AS (
+    SELECT doc_id, lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS lang_rank
+    FROM hashed
+)
+SELECT doc_id, lang, CAST(lang_rank AS BIGINT) AS lang_rank
+FROM capped
+WHERE lang_rank <= {DIV_MAX_PER_VALUE}
+ORDER BY h, doc_id
+LIMIT {DIV_SAMPLE_N}
+"""
+
+
 QUERIES = {
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_sample_stratified": q_sample_stratified,
     "q_decontaminate": q_decontaminate,
     "q_mixture_weights": q_mixture_weights,
     "q_text_pack": q_text_pack,
+    "q_sample_diversified": q_sample_diversified,
 }
 
 ORACLES = {
@@ -390,4 +442,5 @@ ORACLES = {
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_mixture_weights": SQL_MIXTURE_WEIGHTS,
     "q_text_pack": SQL_TEXT_PACK,
+    "q_sample_diversified": SQL_SAMPLE_DIVERSIFIED,
 }

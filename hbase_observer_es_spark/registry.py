@@ -65,6 +65,7 @@ _PRIORITY = (
     "q_geo_grid",
     "q_geo_distance",
     "s_terms_stream",
+    "q_sample_diversified",
     # last green in round 2; oldest rows first
     "q_sim_knn",
     "q_sim_pairs",

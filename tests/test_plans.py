@@ -405,3 +405,22 @@ def test_autodatehist_broadcasts_bounds(spark):
     plan = plan_of(spark, "q_agg_autodatehist")
     assert "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_diversified_sample_cap_then_cut(spark):
+    """Diversity cap applies before the global cut: no lang exceeds the
+    per-value cap, and the final cut is the hash-order prefix of the capped
+    set (the ES sampler contract)."""
+    from hbase_observer_es_spark.operators.pipeline import (
+        DIV_MAX_PER_VALUE,
+        DIV_SAMPLE_N,
+    )
+
+    rows = QUERIES["q_sample_diversified"](spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= DIV_SAMPLE_N
+    per_lang: dict = {}
+    for r in rows:
+        assert r.lang_rank <= DIV_MAX_PER_VALUE
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    assert all(n <= DIV_MAX_PER_VALUE for n in per_lang.values())
+    assert len(per_lang) > 1  # the cap actually diversified the sample
