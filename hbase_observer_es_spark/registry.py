@@ -84,6 +84,11 @@ _PRIORITY = (
     "q_join_bucketed",
     "q_scan_pruned",
     "q_pipeline_corpus",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_simhash_near",
+    "q_dedup_clusters",
     "s_win_tumbling",
     "s_win_sliding",
     "s_win_session",
@@ -92,11 +97,6 @@ _PRIORITY = (
     "s_win_stream",
     "s_session_stream",
     "s_join_stream",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_simhash_near",
-    "q_dedup_clusters",
     "q_agg_groupingsets",
     "q_agg_percentile",
     "q_subquery_scalar",
