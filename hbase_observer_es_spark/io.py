@@ -28,6 +28,16 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Zone ids that are SEMANTICALLY UTC (offset +00:00, no DST): the events-loading
+# guard below must not reject a correctly-configured session just because it
+# spells UTC differently. Genuinely non-UTC zones still fail loudly.
+_UTC_ZONE_IDS = frozenset(
+    {"UTC", "Etc/UTC", "GMT", "GMT0", "Etc/GMT", "Etc/GMT0", "Etc/GMT+0",
+     "Etc/GMT-0", "Greenwich", "Etc/Greenwich", "Universal", "Etc/Universal",
+     "Zulu", "Etc/Zulu", "UCT", "Etc/UCT", "Z", "+00:00", "GMT+00:00",
+     "UTC+00:00"}
+)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
@@ -51,9 +61,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # a non-UTC session must fail loudly here, not shift every ts value
         # relative to the DuckDB oracle.
         tz = spark.conf.get("spark.sql.session.timeZone")
-        if tz != "UTC":
+        if tz not in _UTC_ZONE_IDS:
             raise RuntimeError(
-                f"events.ts requires spark.sql.session.timeZone=UTC, got {tz!r}; "
+                f"events.ts requires a UTC session timezone, got {tz!r}; "
                 "the session was created with a static non-UTC timezone"
             )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

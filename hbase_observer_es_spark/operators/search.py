@@ -556,7 +556,7 @@ def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("m") > 0)
         .select(
             "doc_id",
-            F.size("m").alias("n_terms"),
+            F.size("m").cast("bigint").alias("n_terms"),  # match the oracle's BIGINT len()
             F.array_join("m", ",").alias("matched_terms"),
         )
     )

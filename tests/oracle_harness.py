@@ -75,12 +75,16 @@ def _rows_to_multiset(cols: list[str], rows: list[tuple]) -> dict:
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    rel = con.execute(sql)
-    o_cols = [d[0] for d in rel.description]
     # The driver fetches the oracle through pandas, where DuckDB HUGEINT (e.g.
     # SUM over BIGINT) coerces to float64 and hashes as "3963.0" vs Spark's long
-    # "3963". fetchall() hides that (HUGEINT -> python int), so flag it here.
-    hugeint_cols = [d[0] for d in rel.description if "HUGEINT" in str(d[1]).upper()]
+    # "3963". DB-API cursor.description only reports generic type codes
+    # ('NUMBER'), so detect via the relational API, whose .types carries the
+    # real logical types ('HUGEINT' for a bare SUM over BIGINT).
+    rel = con.sql(sql)
+    o_cols = list(rel.columns)
+    hugeint_cols = [
+        c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()
+    ]
     o_rows = rel.fetchall()
 
     res = CompareResult(

@@ -196,3 +196,20 @@ def test_autodatehist_respects_target(spark):
     rows = q_agg_autodatehist(spark, SF_ORACLE).collect()
     assert 0 < len(rows) <= AUTO_HIST_TARGET
     assert len({r.interval_us for r in rows}) == 1
+
+
+def test_mm_oracle_ascii_equivalence():
+    """The q_mm_decode fake codec reads the payload's first BYTE while its
+    DuckDB oracle reads the first CHARACTER's codepoint (ascii()), and n_bytes
+    vs n_chars likewise — equivalent ONLY while the documents fixture is pure
+    ASCII. Pin that precondition here so a fixture refresh cannot silently
+    invalidate the oracle (multimodal.py module docstring, round-4 verdict #3)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            "SELECT COUNT(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} non-ASCII documents break the q_mm_decode oracle"
