@@ -31,42 +31,68 @@ _MODULES = (
     "hbase_observer_es_spark.operators.scalar",
     "hbase_observer_es_spark.operators.cdc",
     "hbase_observer_es_spark.operators.text",
+    "hbase_observer_es_spark.operators.es_aggs_stats",
+    "hbase_observer_es_spark.operators.corpus_stats",
+    "hbase_observer_es_spark.operators.relational_more",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
 # bounded prefix (~50 entries) of the registry per round, so with 100+ registered
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
-# Policy (round-2 verdict task #1, confirmed working in r3 — all 50 prefix rows
-# checked): red/never-green first, then queries new or changed this round, then
-# the rows whose last green is oldest (now: the round-2 window — similarity /
-# search / dedup / streaming / multimodal / scale), freshest-green last.
-# Revisit each round as rows go green and code changes.
+# Policy (confirmed working r3/r4 — all 50 prefix rows checked each round):
+# red/never-green first, then rows whose code changed since their last green,
+# then queries new this round, then same-file neighbors of this round's edits
+# (oldest green first), freshest-untouched last. Revisit every round.
 _PRIORITY = (
-    # red in CORRECTNESS_r03 (HUGEINT oracle dtype, fixed this round)
-    "q_agg_terms_other",
-    # new this round — never driver-checked
-    "q_agg_range",
-    "q_agg_tophits",
-    "q_agg_pctranks",
-    "q_agg_adjacency",
-    "q_agg_rare_terms",
-    "q_agg_bucket_sel",
-    "q_agg_weighted_avg",
-    "q_agg_autodatehist",
-    "q_search_bool",
+    # the 19 rows whose last green is round 2 AND whose files were edited after
+    # that check (round-4 verdict task #1 — the only open correctness risk)
+    "s_join_stream",
+    "s_session_stream",
+    "q_agg_groupingsets",
+    "q_agg_percentile",
+    "q_subquery_scalar",
+    "q_win_rangeframe",
+    "q_page_keyset",
+    "q_agg_histogram",
+    "q_agg_stats",
+    "q_mm_decode",
+    "q_mm_meta",
+    "q_mm_framesample",
+    "q_mm_resize",
+    "q_udf_scalar",
+    "q_udf_grouped",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_join_inner",
+    "q_get_by_key",
+    # functions edited this round (dtype cast; train_centroids literalization)
     "q_search_prefix",
-    "q_text_chunk",
-    "q_text_topword",
-    "q_sim_range",
-    "q_mixture_weights",
-    "q_text_pack",
-    "q_nested_exists",
-    "q_geo_bbox",
-    "q_geo_grid",
-    "q_geo_distance",
-    "s_terms_stream",
-    "q_sample_diversified",
-    # last green in round 2; oldest rows first
+    "q_sim_ivf_trained",
+    # new this round — never driver-checked
+    "q_text_pack_sharded",
+    "q_agg_multiterms",
+    "q_agg_stringstats",
+    "q_agg_matrixstats",
+    "q_agg_geocentroid",
+    "q_agg_bucketstats",
+    "q_agg_scripted",
+    "q_text_ngram_rep",
+    "q_text_unigram",
+    "q_win_ntile",
+    "q_pivot",
+    # same-file neighbors of this round's edits (functions untouched), oldest
+    # green first: search.py r3 rows, then its r4 rows, then similarity.py /
+    # streaming.stateful r3-r4 rows
+    "q_search_fuzzy",
+    "q_search_highlight",
+    "q_search_bm25",
+    "q_search_phrase",
+    "q_search_mlt",
+    "q_search_sigterms",
+    "q_search_suggest",
+    "q_search_bool",
+    "q_embed_quant",
+    "s_upsert_sink",
     "q_sim_knn",
     "q_sim_pairs",
     "q_sim_ivf",
@@ -75,47 +101,8 @@ _PRIORITY = (
     "q_sim_lsh_batch",
     "q_dedup_embed",
     "q_sim_knn_pudf",
-    "q_search_bm25",
-    "q_search_phrase",
-    "q_search_mlt",
-    "q_search_sigterms",
-    "q_search_suggest",
-    "q_join_salted",
-    "q_join_bucketed",
-    "q_scan_pruned",
-    "q_pipeline_corpus",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_simhash_near",
-    "q_dedup_clusters",
-    "s_win_tumbling",
-    "s_win_sliding",
-    "s_win_session",
-    "s_watermark_dedup",
-    "s_stateful_profile",
-    "s_win_stream",
-    "s_session_stream",
-    "s_join_stream",
-    "q_agg_groupingsets",
-    "q_agg_percentile",
-    "q_subquery_scalar",
-    "q_win_rangeframe",
-    "q_page_keyset",
-    "q_agg_histogram",
-    "q_agg_stats",
-    "q_mm_framesample",
-    "q_mm_resize",
-    # likely beyond the ~50-row window this round: r2-green, unchanged, lowest
-    # re-verification value (trivial plans or disclosed stubs)
-    "q_mm_decode",
-    "q_mm_meta",
-    "q_udf_scalar",
-    "q_udf_grouped",
-    "q_scan_project",
-    "q_filter_pred",
-    "q_join_inner",
-    "q_get_by_key",
+    # beyond the ~50-row window: every remaining registered query follows in
+    # registration order — all r3/r4-green with untouched files
 )
 
 

@@ -424,3 +424,89 @@ def test_diversified_sample_cap_then_cut(spark):
         per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
     assert all(n <= DIV_MAX_PER_VALUE for n in per_lang.values())
     assert len(per_lang) > 1  # the cap actually diversified the sample
+
+
+def test_pack_sharded_no_global_sort(spark):
+    """The production pack partitions its window by shard: the exchange below
+    the Window must be a hash partitioning on the shard key, never the
+    single-partition exchange the global q_text_pack form needs (D14)."""
+    plan = plan_of(spark, "q_text_pack_sharded")
+    assert plan.count("Window") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(shard", plan), plan
+    assert "Join" not in plan and "Eval" not in plan, plan
+
+
+def test_ngram_rep_map_only(spark):
+    """Gopher-style repetition scoring is a pure per-row filter feature: one
+    scan, higher-order array math, no shuffle, no explode, no Python."""
+    plan = plan_of(spark, "q_text_ngram_rep")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Eval" not in plan, plan
+
+
+def test_unigram_broadcasts_vocab(spark):
+    """The corpus frequency table joins back by BROADCAST; token traffic
+    reaches exactly one groupBy shuffle per pass (vocab build, doc re-agg) —
+    never a sort-merge join over exploded tokens."""
+    f = facts_of(spark, "q_text_unigram")
+    assert f.broadcast_joins >= 1, f
+    assert f.sortmerge_joins == 0, f
+
+
+def test_matrixstats_one_pass_partial(spark):
+    """All five moment sums reduce in ONE map-side-combined pass over one
+    scan; the variance/covariance/correlation algebra happens on the
+    cardinality-bounded bucket frame above it."""
+    plan = plan_of(spark, "q_agg_matrixstats")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    f = facts_of(spark, "q_agg_matrixstats")
+    assert f.exchanges <= 1, plan
+
+
+def test_stringstats_geocentroid_partial_agg(spark):
+    """string_stats / geo_centroid: one scan, map-side combine, one shuffle."""
+    for name in ("q_agg_stringstats", "q_agg_geocentroid"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "partial_count" in plan, (name, plan)
+        f = facts_of(spark, name)
+        assert f.exchanges <= 1, (name, plan)
+
+
+def test_bucketstats_reduces_buckets_not_rows(spark):
+    """The sibling-bucket stage aggregates the already-reduced daily bucket
+    frame: exactly one fact scan and a partial agg below the date shuffle."""
+    plan = plan_of(spark, "q_agg_bucketstats")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_pivot_is_one_pass_pinned_columns(spark):
+    """Pinned pivot values: NO discovery pass (one scan total) and one
+    map-side-combined shuffle on the cohort key."""
+    plan = plan_of(spark, "q_pivot")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_pivotfirst" in plan or "partial_first" in plan, plan
+
+
+def test_ntile_single_window_exchange(spark):
+    """ntile/percent_rank/cume_dist share one window spec: one hash exchange
+    on the partition key, one Window node, no joins."""
+    plan = plan_of(spark, "q_win_ntile")
+    assert plan.count("Window") == 1, plan
+    assert re.search(r"Exchange hashpartitioning\(c_mktsegment", plan), plan
+    assert "Join" not in plan, plan
+
+
+def test_scripted_metric_single_shuffle(spark):
+    """The scripted fold costs one groupBy shuffle; the sort + fold are
+    codegen'd array expressions above the agg, not a Python stage."""
+    plan = plan_of(spark, "q_agg_scripted")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Eval" not in plan, plan
+    f = facts_of(spark, "q_agg_scripted")
+    assert f.exchanges <= 1, plan
