@@ -440,6 +440,15 @@ def train_centroids(
     per-iteration shuffle is one row per vector; centroids stay a k-row
     broadcastable dim throughout. A cell that loses every member drops out
     (standard Lloyd's degeneracy; mirrored by the SQL twin).
+
+    Each iteration MATERIALIZES its k centroid rows and re-emits them as a
+    literal frame (the q_dedup_clusters localCheckpoint move, in model-sized
+    form): iteration N's plan is one broadcast join + two aggs over the raw
+    vectors, never the recompiled lineage of every earlier iteration. The
+    collect is k·dim doubles — bounded by the parameters, the same
+    acceptable-collect class as the trained-index deploy in
+    q_sim_ivf_trained. Exactness is unchanged: collected doubles round-trip
+    bit-identically through the literal frame.
     """
     h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
     seeds = (
@@ -449,8 +458,13 @@ def train_centroids(
     cent = seeds.withColumn(
         "cell", (F.row_number().over(w_seed) - 1).cast("int")
     ).select("cell", F.col("embedding").alias("centroid"))
+    spark = e.sparkSession
     for _ in range(iters):
-        cent = _cell_means(_assign_cells(e, cent))
+        rows = _cell_means(_assign_cells(e, cent)).collect()  # k rows
+        cent = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows],
+            "cell int, centroid array<double>",
+        )
     return cent
 
 
@@ -461,20 +475,24 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: train (iterated join+agg, executed ONCE) → membership
     equi-join on cell → per-probe top-k window over cell-bounded candidates.
-    The trained centroids are collected and re-emitted as a literal k-row
-    frame: k·dim doubles bounded by the parameter, never data — the same
-    acceptable-collect class as q_sim_knn_pudf's 1-row probe. This cuts the
-    deep Lloyd's lineage out of the downstream plan (membership and routing
-    would each recompile and re-execute the full two-iteration expression
-    tree otherwise; collect→literal is also exactly how a trained index is
-    deployed: centroids are model artifacts, not query-time dataflow).
+    train_centroids already returns the centroids as a literal k-row frame
+    (k·dim doubles bounded by the parameter, never data — the same
+    acceptable-collect class as q_sim_knn_pudf's 1-row probe), which keeps
+    the deep Lloyd's lineage out of the downstream plan; collect→literal is
+    also exactly how a trained index is deployed: centroids are model
+    artifacts, not query-time dataflow. The raw-vector scan is persisted for
+    the duration: training iterations, membership, and probe selection all
+    re-read it (at 100 TB: a cached cluster table / DISK_ONLY tier — the
+    knob, not the plan, changes).
     """
-    e = table(spark, sf_dir, "embeddings")
-    cent_rows = train_centroids(e).collect()  # k rows — bounded by the parameter
-    cent = spark.createDataFrame(
-        [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
-        "cell int, centroid array<double>",
+    # persist the PRUNED projection — caching the raw table would bake the
+    # label column into the cached relation and defeat the unlabeled-corpus
+    # scan-pruning property (pinned by test_trained_ivf_reads_no_label)
+    e = persist_tracked(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "similarity.q_sim_ivf_trained.e",
     )
+    cent = train_centroids(e)
     member = _assign_cells(e, cent)
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),

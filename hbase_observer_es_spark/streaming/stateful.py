@@ -397,29 +397,30 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state to a 10-minute window of rows — the 100 TB/day form of correlating
     two event feeds (clicks⋈impressions, order⋈shipment) without a batch join
     over unbounded history.
+
+    Two deliberate commit-cycle savings (both semantics-neutral for an INNER
+    interval join, whose matches emit in the micro-batch where both sides are
+    present): the two join inputs derive from ONE file-source instance (a true
+    self-join — one source to list and read per micro-batch), and the trailing
+    no-data micro-batch is disabled for this query only — it exists to advance
+    the watermark for state EVICTION and outer-join null emission, and can
+    contribute no inner-join output rows.
     """
     run = f"s_join_stream_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)
     e = table(spark, sf_dir, "events")
     stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
-    a = (
-        read_stream(spark, stream_dir, e.schema)
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("a_id"),
-            F.col("ts").alias("a_ts"),
-        )
+    s = read_stream(spark, stream_dir, e.schema).withWatermark("ts", "1 hour")
+    a = s.select(
+        F.col("user_id"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
     )
-    b = (
-        read_stream(spark, stream_dir, e.schema)
-        .withWatermark("ts", "1 hour")
-        .select(
-            F.col("user_id").alias("b_user"),
-            F.col("event_id").alias("b_id"),
-            F.col("ts").alias("b_ts"),
-        )
+    b = s.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
     )
     joined = a.join(
         b,
@@ -433,16 +434,22 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
     qname = f"joinstream_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key)
+    spark.conf.set(nodata_key, "false")  # see docstring: inner join emits on arrival
+    try:
+        with _state_shuffle(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(out, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(nodata_key, old_nodata)
     return spark.table(qname)
 
 
