@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import persist_tracked, table
+from .dedup import _SQL_ROLLHASH, _SQL_SHINGLE_HASHES, _shingled_docs
 from .pipeline import PACK_CAPACITY
 
 
@@ -148,6 +149,67 @@ GROUP BY doc_id
 """
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's trigram
+    shingles that also occur in at least one OTHER place in the corpus — the
+    RefinedWeb-style repeated-fragment signal (headers, footers, templates)
+    that document-level dedup cannot see, distinct from q_decontaminate's
+    asymmetric train-vs-eval containment.
+
+    Reuses dedup's hoisted-token-hash shingling (dedup.py:256). Two shuffles,
+    both keyed on the shingle hash: the corpus frequency groupBy, then the
+    join back — co-partitioned, so the second shuffle moves only the
+    (hash, df) pairs. Counts are exact integers with ONE final double
+    division; shingle sets are per-doc distinct, so COUNT(*) per hash IS the
+    document frequency. At 100 TB this is the same plan with the frequency
+    table bucketed by hash — never broadcast (shingle cardinality is
+    corpus-scale, unlike q_text_unigram's vocabulary). The exploded shingle
+    frame feeds BOTH plan branches (frequency agg + join-back), so it is
+    persist_tracked — the dedup.py multi-branch lesson.
+    """
+    sh = persist_tracked(
+        _shingled_docs(spark, sf_dir).select("doc_id", F.explode("hs").alias("h")),
+        "corpus_stats.boilerplate.sh",
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+SQL_TEXT_BOILERPLATE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                          t -> {_SQL_ROLLHASH.format(tok='t')}) AS th
+    FROM documents
+),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLE_HASHES.format(th='th')}) AS h FROM toks),
+freq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS shared_frac
+FROM sh JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+
 PACK_SHARD = "lang"  # the natural shard key in the fixture corpus
 
 
@@ -201,11 +263,13 @@ FROM t
 QUERIES = {
     "q_text_ngram_rep": q_text_ngram_rep,
     "q_text_unigram": q_text_unigram,
+    "q_text_boilerplate": q_text_boilerplate,
     "q_text_pack_sharded": q_text_pack_sharded,
 }
 
 ORACLES = {
     "q_text_ngram_rep": SQL_TEXT_NGRAM_REP,
     "q_text_unigram": SQL_TEXT_UNIGRAM,
+    "q_text_boilerplate": SQL_TEXT_BOILERPLATE,
     "q_text_pack_sharded": SQL_TEXT_PACK_SHARDED,
 }

@@ -34,6 +34,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.es_aggs_stats",
     "hbase_observer_es_spark.operators.corpus_stats",
     "hbase_observer_es_spark.operators.relational_more",
+    "hbase_observer_es_spark.operators.ann_eval",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
@@ -80,6 +81,8 @@ _PRIORITY = (
     "q_text_unigram",
     "q_win_ntile",
     "q_pivot",
+    "q_text_boilerplate",
+    "q_ann_recall",
     # same-file neighbors of this round's edits (functions untouched), oldest
     # green first: search.py r3 rows, then its r4 rows, then similarity.py /
     # streaming.stateful r3-r4 rows

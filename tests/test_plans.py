@@ -510,3 +510,20 @@ def test_scripted_metric_single_shuffle(spark):
     assert "Eval" not in plan, plan
     f = facts_of(spark, "q_agg_scripted")
     assert f.exchanges <= 1, plan
+
+
+def test_boilerplate_shingles_once(spark):
+    """The shingle frame is cached and BOTH plan branches (frequency agg and
+    join-back) read the cache, not a recomputed scan. (A FileScan count would
+    mislead here: each InMemoryTableScan node prints its build plan — and its
+    embedded scan — in the plan string.)"""
+    plan = plan_of(spark, "q_text_boilerplate")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_ann_recall_truth_side_broadcasts_probes(spark):
+    """Recall evaluation: the bounded probe frame broadcasts onto the corpus
+    for the exact side; no cartesian product of corpus x corpus anywhere."""
+    plan = plan_of(spark, "q_ann_recall")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
