@@ -5,13 +5,15 @@ family, not reference behavior — BASELINE.json's pipeline scope):
                         n-gram sibling of text.py's top-WORD repetition);
 * q_text_unigram      — corpus unigram familiarity score (two-pass CCNet-style
                         frequency scoring without a language model);
+* q_text_boilerplate  — corpus-wide repeated-fragment fraction per document
+                        (shared-shingle ratio, the template/header signal);
 * q_text_pack_sharded — the PRODUCTION form of pipeline.py's q_text_pack:
                         sequence packing within a shard key, closing
                         DIVERGENCES.md D14's prose-only half.
 
-Determinism: repetition and familiarity are integer counts with a single
-double division at the end (no float summation anywhere); packing is integer
-window math — all three are hash-exact cross-engine by construction.
+Determinism: repetition, familiarity, and boilerplate are integer counts with
+a single double division at the end (no float summation anywhere); packing is
+integer window math — all four are hash-exact cross-engine by construction.
 """
 
 from __future__ import annotations
