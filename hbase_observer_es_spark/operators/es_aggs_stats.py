@@ -11,6 +11,9 @@ family on top of es_aggs.py part 1/2:
 * `geo_centroid`           — q_agg_geocentroid (per-bucket mean point)
 * `min/max/avg/sum_bucket` — q_agg_bucketstats (pipeline reductions over buckets)
 * `scripted_metric`        — q_agg_scripted    (custom ordered fold per bucket)
+* `sampler`                — q_agg_sampler     (bounded best-first sample + sub-agg)
+* `normalize`              — q_agg_normalize   (min-max rescale over the bucket frame)
+* `bucket_script`          — q_agg_bucket_script (sibling-metric arithmetic per bucket)
 
 Determinism notes (cross-engine hash contract, DIVERGENCES.md):
 * every mean/variance/covariance routes double sums through exact DECIMAL
@@ -34,7 +37,7 @@ q_text_pack_sharded) if a single bucket's history outgrows task memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dsum, sql_dsum
@@ -313,6 +316,131 @@ GROUP BY event_type
 """
 
 
+SAMPLER_N = 200  # ES sampler `shard_size` analogue: sample bound, not corpus bound
+
+
+def q_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `sampler` aggregation: run the sub-aggregation over a bounded,
+    best-first SAMPLE of documents instead of the whole index — here the
+    SAMPLER_N documents ranked by the deterministic Knuth hash (the
+    module-standard stand-in for a relevance score; no RNG, retry-stable,
+    same discipline as q_sample_stratified/diversified), with a per-lang
+    count + mean-length sub-agg over the sample.
+
+    Plan: the sample cut is a TakeOrdered (per-partition heaps, never a
+    global sort) bounded by the parameter; the sub-agg reduces the
+    SAMPLER_N-row frame. The diversified variant (q_sample_diversified)
+    adds the per-value cap; this is the plain form.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 1_000_000_007
+    sample = (
+        d.select("doc_id", "lang", F.length("text").cast("bigint").alias("len"),
+                 h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(SAMPLER_N)
+    )
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avg_len"),
+    )
+
+
+SQL_AGG_SAMPLER = f"""
+WITH sample AS (
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+           (doc_id * 2654435761) % 1000000007 AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT {SAMPLER_N}
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_len
+FROM sample
+GROUP BY lang
+"""
+
+
+def q_agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `normalize` pipeline aggregation (method: min-max rescale): daily
+    value sums rescaled to [0,1] over the bucket frame.
+
+    Like every pipeline agg here, the rescale consumes the ALREADY-REDUCED
+    bucket frame: min/max are unpartitioned windows over calendar-bounded
+    rows (never fact rows), and (v−min)/(max−min) is a fixed IEEE sequence
+    over identical doubles on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    buckets = e.groupBy(day.alias("day")).agg(dsum("value", "sum_value"))
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lo, hi = F.min("sum_value").over(w), F.max("sum_value").over(w)
+    return buckets.select(
+        "day",
+        "sum_value",
+        ((F.col("sum_value") - lo) / (hi - lo)).alias("norm_value"),
+    )
+
+
+SQL_AGG_NORMALIZE = f"""
+WITH buckets AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY day
+)
+SELECT day, sum_value,
+       (sum_value - MIN(sum_value) OVER ()) /
+       (MAX(sum_value) OVER () - MIN(sum_value) OVER ()) AS norm_value
+FROM buckets
+"""
+
+
+def q_agg_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_script` pipeline aggregation: an arbitrary arithmetic
+    expression over SIBLING metrics within each bucket — here per-day error
+    rate (errors/total) and mean value per event.
+
+    Both sibling metrics come from ONE map-side-combined pass (conditional
+    aggregation, the q_agg_filters move); the script stage is pure column
+    arithmetic on the bucket frame. Ratios of exact integers / decimal-exact
+    sums divide once in double — engine-exact.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    buckets = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        dsum("value", "sum_value"),
+    )
+    return buckets.select(
+        "day",
+        "n_events",
+        "n_errors",
+        (F.col("n_errors").cast("double") / F.col("n_events")).alias("error_rate"),
+        (F.col("sum_value") / F.col("n_events")).alias("value_per_event"),
+    )
+
+
+SQL_AGG_BUCKET_SCRIPT = f"""
+WITH buckets AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY day
+)
+SELECT day, n_events, n_errors,
+       CAST(n_errors AS DOUBLE) / n_events AS error_rate,
+       sum_value / n_events AS value_per_event
+FROM buckets
+"""
+
+
 QUERIES = {
     "q_agg_multiterms": q_agg_multiterms,
     "q_agg_stringstats": q_agg_stringstats,
@@ -320,6 +448,9 @@ QUERIES = {
     "q_agg_geocentroid": q_agg_geocentroid,
     "q_agg_bucketstats": q_agg_bucketstats,
     "q_agg_scripted": q_agg_scripted,
+    "q_agg_sampler": q_agg_sampler,
+    "q_agg_normalize": q_agg_normalize,
+    "q_agg_bucket_script": q_agg_bucket_script,
 }
 
 ORACLES = {
@@ -329,4 +460,7 @@ ORACLES = {
     "q_agg_geocentroid": SQL_AGG_GEOCENTROID,
     "q_agg_bucketstats": SQL_AGG_BUCKETSTATS,
     "q_agg_scripted": SQL_AGG_SCRIPTED,
+    "q_agg_sampler": SQL_AGG_SAMPLER,
+    "q_agg_normalize": SQL_AGG_NORMALIZE,
+    "q_agg_bucket_script": SQL_AGG_BUCKET_SCRIPT,
 }

@@ -83,6 +83,9 @@ _PRIORITY = (
     "q_pivot",
     "q_text_boilerplate",
     "q_ann_recall",
+    "q_agg_sampler",
+    "q_agg_normalize",
+    "q_agg_bucket_script",
     # same-file neighbors of this round's edits (functions untouched), oldest
     # green first: search.py r3 rows, then its r4 rows, then similarity.py /
     # streaming.stateful r3-r4 rows

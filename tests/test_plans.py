@@ -527,3 +527,20 @@ def test_ann_recall_truth_side_broadcasts_probes(spark):
     plan = plan_of(spark, "q_ann_recall")
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sampler_is_take_ordered_then_small_agg(spark):
+    """The sample cut must be a TakeOrdered (per-partition heaps) bounded by
+    the parameter; the sub-agg reduces the sample frame, not the corpus."""
+    plan = plan_of(spark, "q_agg_sampler")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_normalize_bucket_script_reduce_first(spark):
+    """normalize / bucket_script consume the already-reduced bucket frame:
+    one fact scan with map-side partial aggregation below everything."""
+    for name in ("q_agg_normalize", "q_agg_bucket_script"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "partial_sum" in plan, (name, plan)
