@@ -47,7 +47,12 @@ def q_text_ngram_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator) — different algorithm, identical maximum.
     """
     d = table(spark, sf_dir, "documents")
-    tk = _toks()
+    # Filter to >=2 tokens BEFORE building bigrams: F.slice with length
+    # size(tk)-1 = -1 throws at runtime on a zero-token document, and the
+    # oracle's WHERE len(tk) >= 2 already draws this boundary — mirror it
+    # (a later filter on the bigram array would run after the throw).
+    toks = d.select("doc_id", _toks().alias("tk")).filter(F.size("tk") >= 2)
+    tk = F.col("tk")
     bg = F.zip_with(
         F.slice(tk, 1, F.size(tk) - 1),
         F.slice(tk, 2, F.size(tk) - 1),
@@ -67,8 +72,7 @@ def q_text_ngram_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc: acc["best"],
     ).cast("bigint")
     return (
-        d.select("doc_id", bg.alias("bg"))
-        .filter(F.size("bg") > 0)
+        toks.select("doc_id", bg.alias("bg"))
         .select(
             "doc_id",
             F.size("bg").cast("bigint").alias("n_bigrams"),

@@ -25,7 +25,13 @@ Determinism notes (cross-engine hash contract, DIVERGENCES.md):
 * `scripted_metric` folds in an explicit (ts, event_id) order — scripted
   reductions are only reproducible at all if the bucket defines a total order,
   which is also what makes the DuckDB mirror possible;
-* correlation uses sqrt only (IEEE-exact, the τ=0.5 rule) — no other libm.
+* correlation uses sqrt only (IEEE-exact, the τ=0.5 rule) — no other libm;
+* id-range precondition (documented invariant): `geo_centroid` inherits
+  nested_geo's `user_id * 2654435761` derivation, which needs |user_id| below
+  ~3.47e9 to stay inside int64 (fixture ids are ≤1e6). Past that bound Spark
+  wraps silently while DuckDB raises — asymmetric, so the bound is asserted
+  as a precondition, not handled. `sampler` instead reduces the id modulo a
+  small prime before the multiply and is safe for any bigint id.
 
 Scale: every query is one map-side-combined groupBy over the fact scan;
 pipeline/bucket stages run over the already-reduced bucket frame
@@ -331,9 +337,15 @@ def q_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort) bounded by the parameter; the sub-agg reduces the
     SAMPLER_N-row frame. The diversified variant (q_sample_diversified)
     adds the per-value cap; this is the plain form.
+
+    The id is reduced modulo a small prime BEFORE the Knuth multiply: the
+    product then stays < 1e6·2.7e9 ≈ 2.7e15, inside int64 for ANY bigint
+    doc_id. Without the reduction, ids above ~3.5e9 would silently wrap in
+    Spark but raise out-of-range in DuckDB — an asymmetric failure, not a
+    comparable divergence.
     """
     d = table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * 2654435761) % 1_000_000_007
+    h = ((F.col("doc_id") % 1_000_003) * 2654435761) % 1_000_000_007
     sample = (
         d.select("doc_id", "lang", F.length("text").cast("bigint").alias("len"),
                  h.alias("h"))
@@ -349,7 +361,7 @@ def q_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_SAMPLER = f"""
 WITH sample AS (
     SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
-           (doc_id * 2654435761) % 1000000007 AS h
+           ((doc_id % 1000003) * 2654435761) % 1000000007 AS h
     FROM documents
     ORDER BY h, doc_id
     LIMIT {SAMPLER_N}
@@ -368,7 +380,9 @@ def q_agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like every pipeline agg here, the rescale consumes the ALREADY-REDUCED
     bucket frame: min/max are unpartitioned windows over calendar-bounded
     rows (never fact rows), and (v−min)/(max−min) is a fixed IEEE sequence
-    over identical doubles on both engines.
+    over identical doubles on both engines. Degenerate frame (max == min,
+    i.e. every bucket equal): emit NULL on both engines — Spark's 0.0/0.0
+    is NaN while DuckDB's is NULL, so the division must never execute there.
     """
     e = table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).cast("date")
@@ -380,7 +394,9 @@ def q_agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.select(
         "day",
         "sum_value",
-        ((F.col("sum_value") - lo) / (hi - lo)).alias("norm_value"),
+        F.when(hi != lo, (F.col("sum_value") - lo) / (hi - lo))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("norm_value"),
     )
 
 
@@ -391,8 +407,10 @@ WITH buckets AS (
     FROM events GROUP BY day
 )
 SELECT day, sum_value,
-       (sum_value - MIN(sum_value) OVER ()) /
-       (MAX(sum_value) OVER () - MIN(sum_value) OVER ()) AS norm_value
+       CASE WHEN MAX(sum_value) OVER () <> MIN(sum_value) OVER ()
+            THEN (sum_value - MIN(sum_value) OVER ()) /
+                 (MAX(sum_value) OVER () - MIN(sum_value) OVER ())
+            ELSE NULL END AS norm_value
 FROM buckets
 """
 

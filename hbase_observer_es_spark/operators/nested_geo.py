@@ -39,7 +39,11 @@ CENTER = (12.0, 34.0)
 DIST2_MAX = 400.0  # squared degrees
 
 
-_KNUTH = 2654435761  # Fibonacci-hash multiplier; products stay well inside int64
+# Fibonacci-hash multiplier. Precondition: |user_id| < ~3.47e9 keeps the
+# product inside int64 (fixture ids ≤1e6). Past that, Spark wraps silently but
+# DuckDB raises out-of-range — asymmetric, so the bound is a documented
+# invariant of every derived-geo query rather than a guarded branch.
+_KNUTH = 2654435761
 
 
 def _lat() -> Column:

@@ -59,6 +59,49 @@ def test_delete_only_log(spark):
     assert apply_tombstones(only_deletes).count() == 0
 
 
+def test_ngram_rep_skips_short_documents(spark, tmp_path):
+    """Documents with <2 tokens (incl. empty text) must be filtered BEFORE the
+    bigram slice: F.slice with computed length -1 throws at runtime, and the
+    DuckDB oracle's WHERE len(tk) >= 2 already excludes these rows. Fixtures
+    contain no such docs, so only a synthetic table exercises the guard."""
+    from hbase_observer_es_spark.operators.corpus_stats import q_text_ngram_rep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "synth", 0),
+            (2, "solo", "en", "synth", 4),
+            (3, "a b a b", "en", "synth", 7),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in q_text_ngram_rep(spark, str(tmp_path)).collect()}
+    assert set(rows) == {3}  # 0- and 1-token docs dropped, not thrown on
+    assert rows[3].n_bigrams == 3 and rows[3].top_count == 2
+
+
+def test_normalize_constant_frame_emits_null(spark, tmp_path):
+    """min-max rescale over a bucket frame where every bucket is equal:
+    Spark's 0.0/0.0 is NaN but DuckDB's is NULL, so the division must be
+    guarded to NULL on both engines (ADVICE r5). One-day fixture → max==min."""
+    import datetime as dt
+
+    from hbase_observer_es_spark.operators.es_aggs_stats import q_agg_normalize
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 8), 1, "view", 2.5, "{}"),
+            (2, dt.datetime(2024, 1, 1, 9), 2, "view", 1.5, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    events.write.parquet(str(tmp_path / "events.parquet"))
+    rows = q_agg_normalize(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].norm_value is None  # NULL, not NaN
+
+
 def test_simhash_near_banding_is_exact(spark):
     """Pigeonhole guarantee: 4 bands over the 60-bit fingerprint find EVERY
     pair with Hamming ≤ 3 — compare against brute-force all-pairs xor."""
