@@ -22,6 +22,8 @@ filter — partition/row-group pruning on a key-sorted layout makes it an index 
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -575,6 +577,120 @@ WHERE len(mt) > 0
 """
 
 
+# ES wildcard syntax: `?` = exactly one char, `*` = any run (incl. empty).
+# "s?a*" exercises both metachars and expands to several fixture terms
+# (scan, small, spark) — the fan-out a term query's expansion really has.
+WILDCARD = "s?a*"
+
+
+def _wildcard_to_regex(pat: str) -> str:
+    """Anchored Java/RE2-safe regex from an ES wildcard pattern (metachars
+    limited to ?/* exactly as ES's WildcardQuery defines them)."""
+    out = []
+    for c in pat:
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+    return "^" + "".join(out) + "$"
+
+
+def q_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wildcard` term query — the last of SURVEY §2-B's term-level filter
+    set (term/range/prefix/wildcard; the reference delegates all four to ES,
+    pom.xml:35-46 in /root/reference).
+
+    An unanchored wildcard cannot be a scan predicate at scale — evaluated
+    per token it runs |corpus tokens| regex matches. ES instead enumerates
+    the term DICTIONARY (a vocabulary-sized structure) against the pattern
+    and rewrites the query into the matched-term disjunction. Same two
+    stages here, the q_search_fuzzy shape: (1) regex over the distinct-token
+    dictionary; (2) the surviving terms broadcast-join back onto the
+    exploded corpus tokens, grouped per doc. The corpus side never evaluates
+    the pattern — at 100 TB the regex runs |vocab| times, not |tokens| times.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("t"))
+    vocab = tok.select("t").distinct()
+    expanded = vocab.filter(F.col("t").rlike(_wildcard_to_regex(WILDCARD)))
+    return (
+        tok.join(F.broadcast(expanded), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_join(F.array_sort(F.collect_set("t")), ",").alias("variants"),
+        )
+    )
+
+
+# LIKE carries ES wildcard semantics exactly: ? -> _, * -> %
+_WILDCARD_LIKE = WILDCARD.replace("*", "%").replace("?", "_")
+SQL_SEARCH_WILDCARD = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+    FROM documents
+),
+expanded AS (
+    SELECT t FROM (SELECT DISTINCT t FROM tok)
+    WHERE t LIKE '{_WILDCARD_LIKE}'
+)
+SELECT doc_id,
+       COUNT(*) AS n_hits,
+       string_agg(DISTINCT t, ',' ORDER BY t) AS variants
+FROM tok JOIN expanded USING (t)
+GROUP BY doc_id
+"""
+
+
+# Alternation + a character class: the regexp features a term-level ES
+# `regexp` query actually exercises. Anchored on both engines (ES regexp
+# matches the WHOLE term, unlike `match`): matches exactly {group, window}.
+REGEXP_PAT = "(gro|win)[a-z]+"
+
+
+def q_search_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `regexp` term query: whole-term regex match, dictionary-first.
+
+    Identical plan shape to q_search_wildcard — ES itself implements both as
+    term-dictionary automata intersections, differing only in the pattern
+    language. The pattern stays in the RE2 ∩ java.util.regex common subset
+    (alternation, character classes) so Spark's rlike and DuckDB's
+    regexp_full_match agree by construction; anchoring is explicit (^...$)
+    on the Spark side and built into regexp_full_match on the oracle side.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("t"))
+    vocab = tok.select("t").distinct()
+    expanded = vocab.filter(F.col("t").rlike(f"^(?:{REGEXP_PAT})$"))
+    return (
+        tok.join(F.broadcast(expanded), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_join(F.array_sort(F.collect_set("t")), ",").alias("variants"),
+        )
+    )
+
+
+SQL_SEARCH_REGEXP = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+    FROM documents
+),
+expanded AS (
+    SELECT t FROM (SELECT DISTINCT t FROM tok)
+    WHERE regexp_full_match(t, '{REGEXP_PAT}')
+)
+SELECT doc_id,
+       COUNT(*) AS n_hits,
+       string_agg(DISTINCT t, ',' ORDER BY t) AS variants
+FROM tok JOIN expanded USING (t)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q_search_bm25": q_search_bm25,
     "q_search_phrase": q_search_phrase,
@@ -585,6 +701,8 @@ QUERIES = {
     "q_search_highlight": q_search_highlight,
     "q_search_bool": q_search_bool,
     "q_search_prefix": q_search_prefix,
+    "q_search_wildcard": q_search_wildcard,
+    "q_search_regexp": q_search_regexp,
     "q_get_by_key": q_get_by_key,
 }
 
@@ -598,5 +716,7 @@ ORACLES = {
     "q_search_highlight": SQL_SEARCH_HIGHLIGHT,
     "q_search_bool": SQL_SEARCH_BOOL,
     "q_search_prefix": SQL_SEARCH_PREFIX,
+    "q_search_wildcard": SQL_SEARCH_WILDCARD,
+    "q_search_regexp": SQL_SEARCH_REGEXP,
     "q_get_by_key": SQL_GET_BY_KEY,
 }

@@ -333,6 +333,24 @@ def test_sim_range_broadcasts_probe_no_topk(spark):
     assert "TakeOrderedAndProject" not in plan, plan
 
 
+@pytest.mark.parametrize("name", ["q_search_wildcard", "q_search_regexp"])
+def test_wildcard_pattern_runs_on_dictionary_not_corpus(spark, name):
+    """The wildcard/regexp predicate must sit on the post-distinct dictionary
+    branch, never the corpus branch: the matched terms broadcast back (no
+    sort-merge), and the RLike filter appears downstream of the distinct's
+    HashAggregate — at 100 TB the pattern runs |vocab| times, not |tokens|."""
+    f = facts_of(spark, name)
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0
+    plan = plan_of(spark, name)
+    # every RLike occurrence is inside the dictionary (aggregate) subtree: the
+    # plan region between the broadcast exchange and its child aggregate
+    assert "RLIKE" in plan.upper(), plan
+    # corpus scans must not carry the regex: no FileScan line mentions RLike
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            assert "rlike" not in line.lower(), line
+
+
 def test_search_bool_map_only(spark):
     """Bool query = one projection + filter over one scan: no shuffle at all."""
     plan = plan_of(spark, "q_search_bool")
