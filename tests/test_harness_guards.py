@@ -1,0 +1,40 @@
+"""Guards inside the local oracle harness itself.
+
+The driver fetches DuckDB results through pandas, where HUGEINT (the type a
+bare SUM over BIGINT produces) coerces to float64 and value-hashes as "3963.0"
+against Spark's long "3963". tests/oracle_harness.py detects HUGEINT columns
+via the relational API's `.types` and fails the comparison with an actionable
+message BEFORE the silent float coercion can masquerade as a value mismatch.
+These tests pin that detection: a duckdb upgrade that changes the `.types`
+strings must fail here loudly, not by quietly letting HUGEINT through.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from .oracle_harness import compare
+
+
+def _tiny_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1941), (2022)) v(x)")
+    con.execute("CREATE VIEW tb AS SELECT CAST(x AS BIGINT) AS x FROM t")
+    return con
+
+
+def test_hugeint_guard_fires_on_bare_bigint_sum(spark):
+    con = _tiny_con()
+    sdf = spark.createDataFrame([(3963,)], "s bigint")
+    res = compare("hugeint_probe", sdf, con, "SELECT SUM(x) AS s FROM tb")
+    assert not res.ok
+    assert "HUGEINT" in res.detail and "s" in res.detail
+
+
+def test_hugeint_guard_silent_after_bigint_cast(spark):
+    con = _tiny_con()
+    sdf = spark.createDataFrame([(3963,)], "s bigint")
+    res = compare(
+        "hugeint_cast", sdf, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM tb"
+    )
+    assert res.ok, res.detail
