@@ -1,0 +1,69 @@
+"""Verification-window rotation policy, as code.
+
+The external driver hash-checks only a bounded PREFIX (~50 rows) of the query
+registry per round, so with 130+ registered queries the registry order IS the
+verification schedule (registry.py). Hand-maintaining that order each round is
+the failure mode this module removes: the policy is a pure function over two
+facts that are already recorded elsewhere —
+
+* ``last_green[q]``  — the latest round whose CORRECTNESS_r{N}.json shows the
+  query fully green (rows+schema+hash), or None if never checked;
+* ``file_edit_round[q]`` — the latest round in which the query's source FILE
+  changed (file granularity on purpose: an edit anywhere in a module can move
+  shared helpers under every query in it, which is exactly how the round-4/5
+  staleness risk arose).
+
+Policy (three tiers, the round-4/5 verdict wording, oldest risk first):
+
+  1. never-checked      — no green row in any round; registration order.
+  2. edited-since-green — file edited in a round strictly after the query's
+                          last green check. Sub-ordered: queries whose OWN
+                          function changed (``edited_functions``, hand-fed —
+                          output values may have moved) before same-file
+                          neighbors; oldest green first within each.
+  3. oldest-green       — everything else, oldest green first.
+
+Ties inside a tier keep registration order, so the schedule is deterministic
+and the same-file neighbors of an edit stay adjacent. ``tools/rotate_priority.py``
+derives both inputs (CORRECTNESS files + git round boundaries) and emits the
+ordered tuple for registry._PRIORITY.
+"""
+
+from __future__ import annotations
+
+
+def derive_order(
+    names: list[str],
+    last_green: dict[str, int | None],
+    file_edit_round: dict[str, int | None],
+    edited_functions: set[str] | None = None,
+) -> list[str]:
+    """Order ``names`` by the three-tier rotation policy.
+
+    ``names`` carries the registration order used for intra-tier ties. A query
+    missing from ``last_green`` (or mapped to None) is tier 1; a missing or
+    None ``file_edit_round`` means "not edited since any check" (never tier 2).
+    ``edited_functions`` lists queries whose own definition changed this round —
+    inside the edited-since-green tier they verify before file neighbors.
+    """
+    reg_pos = {n: i for i, n in enumerate(names)}
+    fn_edited = edited_functions or set()
+
+    def key(n: str) -> tuple:
+        green = last_green.get(n)
+        edited = file_edit_round.get(n)
+        if green is None:
+            tier = 0
+            sub = 0
+            age = 0
+        elif edited is not None and edited > green:
+            tier = 1
+            sub = 0 if n in fn_edited else 1
+            age = green
+        else:
+            tier = 2
+            sub = 0
+            age = green
+        return (tier, sub, age, reg_pos[n])
+
+    return sorted(names, key=key)

@@ -1,0 +1,59 @@
+"""The rotation policy (rotation.derive_order) drives which registry rows the
+external driver re-verifies each round — these tests pin its three-tier
+invariant so a future edit can't silently deprioritize stale rows."""
+
+from __future__ import annotations
+
+from hbase_observer_es_spark.rotation import derive_order
+
+NAMES = ["q_a", "q_b", "q_c", "q_d", "q_e", "q_f"]
+
+
+def test_three_tier_invariant():
+    order = derive_order(
+        NAMES,
+        # q_c never checked; q_a green r2 but edited r4; q_e green r1 edited r3;
+        # q_b green r3 untouched; q_d green r1 untouched; q_f green r5 edited r5
+        last_green={"q_a": 2, "q_b": 3, "q_c": None, "q_d": 1, "q_e": 1, "q_f": 5},
+        file_edit_round={"q_a": 4, "q_e": 3, "q_d": 1, "q_f": 5},
+    )
+    # tier 0: never-checked; tier 1: edited-after-green, oldest green first;
+    # tier 2: oldest green first. Edit in the SAME round as the green check
+    # (q_f) is not "edited since" — the check already saw that state.
+    assert order == ["q_c", "q_e", "q_a", "q_d", "q_b", "q_f"]
+
+
+def test_edited_functions_outrank_file_neighbors_in_tier1():
+    # q_a and q_b share a file edited r4 after both went green r3; q_a's own
+    # definition changed, q_b is a neighbor — q_a must verify first even
+    # though registration order says otherwise.
+    order = derive_order(
+        ["q_b", "q_a"],
+        last_green={"q_a": 3, "q_b": 3},
+        file_edit_round={"q_a": 4, "q_b": 4},
+        edited_functions={"q_a"},
+    )
+    assert order == ["q_a", "q_b"]
+
+
+def test_ties_keep_registration_order():
+    order = derive_order(
+        ["q_z", "q_y", "q_x"],
+        last_green={"q_z": 1, "q_y": 1, "q_x": 1},
+        file_edit_round={},
+    )
+    assert order == ["q_z", "q_y", "q_x"]
+
+
+def test_missing_maps_mean_never_checked_and_never_edited():
+    order = derive_order(NAMES, last_green={}, file_edit_round={})
+    assert order == NAMES  # all tier 0, registration order
+
+
+def test_every_name_survives_exactly_once():
+    order = derive_order(
+        NAMES,
+        last_green={n: (i % 3) + 1 for i, n in enumerate(NAMES)},
+        file_edit_round={n: 2 for n in NAMES},
+    )
+    assert sorted(order) == sorted(NAMES)

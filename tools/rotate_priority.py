@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Derive registry._PRIORITY for the current round from recorded facts.
+
+Inputs (both already on disk — nothing hand-maintained):
+* CORRECTNESS_r*.json        → last fully-green round per query;
+* git history                → last round each query's source file changed,
+  using the driver's "round N: verdict/advice/correctness/bench" commits as
+  round boundaries (edits after the last boundary, committed or not, belong
+  to the in-progress round).
+
+Output: the ordered query tuple per rotation.derive_order (never-checked >
+edited-since-green > oldest-green), printed as Python source ready to paste
+into registry._PRIORITY, with one comment line per tier boundary.
+
+Usage: python tools/rotate_priority.py [--repo /root/repo]
+         [--edited-fn q_a,q_b]   # queries whose own def changed this round:
+                                 # they verify before same-file neighbors
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import importlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+
+def registration_order_and_files(repo: str) -> tuple[list[str], dict[str, str]]:
+    sys.path.insert(0, repo)
+    from hbase_observer_es_spark.registry import _MODULES
+
+    names: list[str] = []
+    files: dict[str, str] = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        rel = os.path.relpath(mod.__file__, repo)
+        for name in getattr(mod, "QUERIES", {}):
+            names.append(name)
+            files[name] = rel
+    return names, files
+
+
+def last_green_rounds(repo: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for q, v in data.items():
+            green = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") is not False
+                and not v.get("err")
+            )
+            if green:
+                out[q] = max(out.get(q, 0), rnd)
+    return out
+
+
+def _git(repo: str, *args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", repo, *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def file_edit_rounds(repo: str) -> dict[str, int]:
+    """Map repo-relative path -> latest round in which it changed."""
+    log = _git(repo, "log", "--format=%H %s")
+    boundaries: list[tuple[str, int]] = []  # newest-first
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict/advice/correctness/bench", subject)
+        if m:
+            boundaries.append((sha, int(m.group(1))))
+    edits: dict[str, int] = {}
+
+    def record(paths: str, rnd: int) -> None:
+        for p in paths.splitlines():
+            if p:
+                edits[p] = max(edits.get(p, 0), rnd)
+
+    # in-progress round = last boundary round + 1: committed work after the
+    # boundary plus anything dirty in the working tree
+    current = (boundaries[0][1] + 1) if boundaries else 1
+    if boundaries:
+        record(_git(repo, "diff", "--name-only", boundaries[0][0], "HEAD"), current)
+    dirty = "\n".join(
+        line[3:] for line in _git(repo, "status", "--porcelain").splitlines() if line
+    )
+    record(dirty, current)
+    for i, (sha, rnd) in enumerate(boundaries):
+        older = boundaries[i + 1][0] if i + 1 < len(boundaries) else None
+        rng = f"{older}..{sha}" if older else sha
+        record(_git(repo, "log", "--name-only", "--format=", rng), rnd)
+    return edits
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ap.add_argument("--edited-fn", default="", help="comma-separated query names")
+    args = ap.parse_args()
+    repo = args.repo
+    edited_fn = {n for n in args.edited_fn.split(",") if n}
+
+    names, files = registration_order_and_files(repo)
+    greens = last_green_rounds(repo)
+    file_rounds = file_edit_rounds(repo)
+    last_green = {n: greens.get(n) for n in names}
+    edit_round = {n: file_rounds.get(files[n]) for n in names}
+
+    from hbase_observer_es_spark.rotation import derive_order
+
+    order = derive_order(names, last_green, edit_round, edited_functions=edited_fn)
+
+    def tier_of(n: str) -> int:
+        g, e = last_green[n], edit_round[n]
+        if g is None:
+            return 0
+        if e is not None and e > g:
+            return 1
+        return 2
+
+    labels = {
+        0: "never driver-checked",
+        1: "file edited after last green check (oldest green first)",
+        2: "oldest green first, files untouched since",
+    }
+    prev = None
+    print("_PRIORITY = (")
+    for n in order:
+        t = tier_of(n)
+        if t != prev:
+            print(f"    # tier {t}: {labels[t]}")
+            prev = t
+        g, e = last_green[n], edit_round[n]
+        note = f"green r{g}" if g else "never checked"
+        if t == 1:
+            kind = "fn edited" if n in edited_fn else "file edited"
+            note += f", {files[n]} {kind} r{e}"
+        print(f'    "{n}",  # {note}')
+    print(")")
+
+
+if __name__ == "__main__":
+    main()
