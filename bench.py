@@ -72,6 +72,43 @@ def main() -> None:
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
 
+    # Scale-shape probe: one extra pass at a smaller SF and the per-query wall
+    # ratio. Plan tests pin shuffle/broadcast/pushdown structure; this is the
+    # empirical complement — a query whose wall grows much faster than the data
+    # ratio (plus fixed overhead, which DEFLATES the ratio) has a scale smell no
+    # plan string shows. Threshold: 1.5× the data ratio. Streaming queries sit
+    # near 1× (state-commit fixed cost dominates both SFs) — also informative.
+    ratio_dir = os.environ.get("SPARK_GRAFT_RATIO_SF_DIR", "/root/testdata/sf0.01")
+    scale: dict = {}
+    if ratio_dir and os.path.isdir(ratio_dir) and ratio_dir != sf_dir:
+        m2 = re.search(r"sf([0-9.]+)", ratio_dir)
+        small_sf = float(m2.group(1).rstrip(".")) if m2 else -1.0
+        data_ratio = sf / small_sf if small_sf > 0 else -1.0
+        small_times: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        flagged: list[str] = []
+        for name in sorted(queries):
+            try:
+                small_times[name] = round(run_one(spark, queries[name], name, ratio_dir), 3)
+            except Exception as exc:
+                print(f"bench ratio error {name}: {exc}", file=sys.stderr)
+        for name, small in small_times.items():
+            if times.get(name, -1) > 0 and small > 0:
+                r = round(times[name] / small, 2)
+                ratios[name] = r
+                if data_ratio > 0 and r > 1.5 * data_ratio:
+                    flagged.append(name)
+        scale = {
+            "sf_dir": ratio_dir,
+            "sf": small_sf,
+            "data_ratio": data_ratio,
+            "runs": 1,
+            "queries": small_times,
+            "wall_ratio": ratios,
+            "flag_threshold": round(1.5 * data_ratio, 1) if data_ratio > 0 else None,
+            "flagged": sorted(flagged, key=lambda n: -ratios[n]),
+        }
+
     # Full per-query detail (all queries, medians + spread) goes to a repo file;
     # stdout must stay under the harness's 2000-char tail capture or the line is
     # truncated mid-JSON and recorded as unparseable (BENCH_r01..r03 all show
@@ -84,6 +121,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "spread": spread,
+        "scale": scale,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -104,6 +142,7 @@ def main() -> None:
         "runs": runs,
         "queries_total": len(times),
         "queries_omitted": len(times),
+        "scale_flagged": len(scale.get("flagged", [])) if scale else None,
         "detail": "BENCH_DETAIL.json",
     }
     for name in sorted(times, key=lambda n: -times[n]):

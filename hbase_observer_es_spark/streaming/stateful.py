@@ -132,6 +132,13 @@ SQL_UPSERT_SINK = SQL_CDC_TOMBSTONE
 # s_stateful_profile — custom stateful operator via applyInPandasWithState
 # ---------------------------------------------------------------------------
 
+# State partitions for the applyInPandasWithState query only: every partition
+# is an Arrow round-trip + python worker call PER MICRO-BATCH on top of the
+# state commit the JVM queries pay, so the Python stage amortizes better with
+# fewer, fatter partitions at fixture scale. Same 100 TB posture as
+# STATE_PARTITIONS: a fresh-checkpoint knob that scales with key cardinality.
+PROFILE_STATE_PARTITIONS = 4
+
 _PROFILE_OUT = (
     "user_id long, n_events long, vmin double, vmax double, last_ts timestamp"
 )
@@ -183,6 +190,14 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group-batch, not per-row; watermark-driven timeouts (GroupStateTimeout)
     would bound state for unbounded key spaces — not needed for the fixture's
     closed key set.
+
+    Two fixed-overhead cuts, both semantics-neutral under NoTimeout: the
+    trailing no-data micro-batch is disabled (it exists to fire event-time
+    timeouts and advance watermarks; with NoTimeout and no watermark it can
+    produce no output, only a state-commit cycle), and the state partition
+    count uses the Python-stage floor below (each state partition costs an
+    Arrow round-trip + python worker per micro-batch here, a higher per-
+    partition tax than the JVM-only streaming queries pay).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -200,16 +215,22 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     qname = f"profile_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            profiled.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key)
+    spark.conf.set(nodata_key, "false")  # see docstring: NoTimeout => pure overhead
+    try:
+        with _state_shuffle(spark, PROFILE_STATE_PARTITIONS):
+            q = (
+                profiled.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(out, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(nodata_key, old_nodata)
     emitted = spark.table(qname)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (

@@ -265,6 +265,37 @@ def test_pipeline_aggs_reduce_before_window(spark):
     assert plan.index("Window") < plan.index("FileScan"), plan
 
 
+def test_geobounds_one_pass_partial(spark):
+    """geo_bounds: one fact scan reduced map-side — min/max are combiners."""
+    plan = plan_of(spark, "q_agg_geobounds")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_topmetrics_is_combiner_argmax_not_window(spark):
+    """top_metrics must be a map-side-combinable max_by aggregate — a partial
+    argmax per partition, merged in the shuffle — never a per-group window
+    rank over the fact rows (the 100 TB difference). Struct-valued agg
+    buffers make Spark pick SortAggregate (a per-partition sort by the
+    closed-cardinality group key feeding the combiner) — accepted: the
+    shuffle still carries one row per (partition, group), not the facts."""
+    plan = plan_of(spark, "q_agg_topmetrics")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the 5-groups-per-partition merge
+
+
+def test_serialdiff_reduces_before_window(spark):
+    """serial_diff differs the BUCKET frame: map-side combine below the
+    calendar-bounded lag window, one pass over facts."""
+    plan = plan_of(spark, "q_agg_serialdiff")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_" in plan, plan
+    assert plan.index("Window") < plan.index("FileScan"), plan
+
+
 def test_embed_quant_is_map_only(spark):
     """Quantization is per-row column math: the plan must contain no shuffle
     (Exchange) and no Python worker (Batch*Eval) — pure codegen export."""
