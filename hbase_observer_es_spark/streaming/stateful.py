@@ -132,12 +132,15 @@ SQL_UPSERT_SINK = SQL_CDC_TOMBSTONE
 # s_stateful_profile — custom stateful operator via applyInPandasWithState
 # ---------------------------------------------------------------------------
 
-# State partitions for the applyInPandasWithState query only: every partition
-# is an Arrow round-trip + python worker call PER MICRO-BATCH on top of the
-# state commit the JVM queries pay, so the Python stage amortizes better with
-# fewer, fatter partitions at fixture scale. Same 100 TB posture as
-# STATE_PARTITIONS: a fresh-checkpoint knob that scales with key cardinality.
-PROFILE_STATE_PARTITIONS = 4
+# State partitions for the applyInPandasWithState query only. Unlike the
+# JVM-side streaming queries (where per-partition state-commit overhead
+# dominates and 8 is right), the Python stage's critical path is the SERIAL
+# group loop inside each partition's worker — more partitions shorten it until
+# scheduling overhead wins. Measured at sf0.1, median of 3 in one session:
+# 2 → 5.4 s, 4 → 3.5 s, 8 → 2.6 s, 16 → 2.1 s, 32 → 2.4 s. Same 100 TB
+# posture as STATE_PARTITIONS: a fresh-checkpoint knob, scaled with key
+# cardinality and executor count.
+PROFILE_STATE_PARTITIONS = 16
 
 _PROFILE_OUT = (
     "user_id long, n_events long, vmin double, vmax double, last_ts timestamp"
@@ -191,13 +194,14 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     would bound state for unbounded key spaces — not needed for the fixture's
     closed key set.
 
-    Two fixed-overhead cuts, both semantics-neutral under NoTimeout: the
-    trailing no-data micro-batch is disabled (it exists to fire event-time
-    timeouts and advance watermarks; with NoTimeout and no watermark it can
-    produce no output, only a state-commit cycle), and the state partition
-    count uses the Python-stage floor below (each state partition costs an
-    Arrow round-trip + python worker per micro-batch here, a higher per-
-    partition tax than the JVM-only streaming queries pay).
+    Two overhead cuts, both semantics-neutral under NoTimeout: the trailing
+    no-data micro-batch is disabled (it exists to fire event-time timeouts
+    and advance watermarks; with NoTimeout and no watermark it can produce
+    no output, only a state-commit cycle), and the state partition count is
+    raised to PROFILE_STATE_PARTITIONS — the Python stage's critical path is
+    the serial per-group loop inside each partition's worker, so unlike the
+    JVM-side streaming queries this one gets FASTER with more partitions
+    (measured sweep in the constant's comment).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
