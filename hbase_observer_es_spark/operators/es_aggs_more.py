@@ -5,9 +5,11 @@ The reference delegates every aggregation to Elasticsearch (README.md:3 in
 agg DSL is the behavioral contract. On top of parts 1-3 (es_aggs.py,
 es_aggs_stats.py) this adds:
 
-* `geo_bounds`   — q_agg_geobounds   (per-bucket bounding box of the point set)
-* `top_metrics`  — q_agg_topmetrics  (metric values at the latest sort key)
-* `serial_diff`  — q_agg_serialdiff  (lag-k differencing over a date_histogram)
+* `geo_bounds`             — q_agg_geobounds  (per-bucket bounding box)
+* `top_metrics`            — q_agg_topmetrics (metric values at the latest sort key)
+* `serial_diff`            — q_agg_serialdiff (lag-k differencing over a date_histogram)
+* `cumulative_cardinality` — q_agg_cumcard    (distinct-so-far via the exact
+                             first-seen reduction, not cross-bucket sketches)
 
 Determinism: geo bounds min/max the SAME correctly-rounded doubles both
 engines derive from integer coordinates (one division each — no accumulation);
@@ -151,14 +153,73 @@ FROM buckets
 """
 
 
+def q_agg_cumcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `cumulative_cardinality` pipeline agg on a daily date_histogram of
+    user_id: per day, that day's distinct users and the distinct-users-so-far
+    running total — the "total users to date" dashboard series.
+
+    ES chains a pipeline sum over per-bucket HLL sketches (approximate). The
+    EXACT distributed form used here is the first-seen trick: cumulative
+    cardinality at day d == |{users whose MIN(day) <= d}|, so one extra
+    map-side-combined reduction (min day per user, user-cardinality sized)
+    replaces cross-bucket sketch state entirely. Two fact passes total —
+    daily distinct + first-seen — then bucket-frame joins/windows only;
+    new-user counts join the (calendar-bounded) histogram as a broadcast and
+    the running sum is an integer window over buckets. Exact at any scale,
+    and engine-identical (integer arithmetic throughout).
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("daily_card")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("day"))
+    new_users = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(F.broadcast(new_users), "day", "left")
+        .select(
+            "day",
+            "daily_card",
+            F.sum(F.coalesce(F.col("new_users"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_card"),
+        )
+    )
+
+
+SQL_AGG_CUMCARD = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS daily_card
+    FROM events GROUP BY day
+),
+first_seen AS (
+    SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+    FROM events GROUP BY user_id
+),
+new_users AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day)
+SELECT d.day, d.daily_card,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_card
+FROM daily d LEFT JOIN new_users n USING (day)
+"""
+
+
 QUERIES = {
     "q_agg_geobounds": q_agg_geobounds,
     "q_agg_topmetrics": q_agg_topmetrics,
     "q_agg_serialdiff": q_agg_serialdiff,
+    "q_agg_cumcard": q_agg_cumcard,
 }
 
 ORACLES = {
     "q_agg_geobounds": SQL_AGG_GEOBOUNDS,
     "q_agg_topmetrics": SQL_AGG_TOPMETRICS,
     "q_agg_serialdiff": SQL_AGG_SERIALDIFF,
+    "q_agg_cumcard": SQL_AGG_CUMCARD,
 }

@@ -577,6 +577,57 @@ WHERE len(mt) > 0
 """
 
 
+# match_phrase_prefix "order s" — last position expands to every fixture token
+# starting with "s" (scan/slow/small/sort/spark/stream): the autocomplete query
+PP_FIRST = "order"
+PP_PREFIX = "s"
+
+
+def q_search_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match_phrase_prefix` — the autocomplete query: a positional phrase
+    whose LAST term matches by prefix ("order s" hits "order scan",
+    "order sort", ...).
+
+    Same overlap-safe integer position arithmetic as q_search_phrase (exact
+    adjacent-occurrence counts, no regex), with the last-position equality
+    relaxed to startswith. ES bounds the prefix expansion with
+    `max_expansions`; here the expansion never materializes at all — the
+    prefix test runs positionally inside the same map-only pass, so there is
+    nothing to bound. One scan, no shuffle below the per-doc aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    dd = d.select("doc_id", "lang", _toks().alias("tk"))
+    tk = F.col("tk")
+    # the q_search_phrase guards, same reasons: greatest(...,1) because
+    # sequence(1,0) DESCENDS in Spark; try_element_at for ANSI out-of-bounds
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+    hit_positions = F.filter(
+        idx,
+        lambda i: (F.try_element_at(tk, i) == PP_FIRST)
+        & F.try_element_at(tk, i + 1).startswith(PP_PREFIX),
+    )
+    return (
+        dd.select("doc_id", "lang", F.explode(hit_positions).alias("pos"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
+SQL_SEARCH_PHRASE_PREFIX = f"""
+SELECT doc_id, lang, n_hits FROM (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(
+               generate_series(1, greatest(len(tk) - 1, 1)),
+               i -> tk[i] = '{PP_FIRST}' AND tk[i + 1] LIKE '{PP_PREFIX}%'
+           )) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents)
+)
+WHERE n_hits > 0
+"""
+
+
 # ES wildcard syntax: `?` = exactly one char, `*` = any run (incl. empty).
 # "s?a*" exercises both metachars and expands to several fixture terms
 # (scan, small, spark) — the fan-out a term query's expansion really has.
@@ -701,6 +752,7 @@ QUERIES = {
     "q_search_highlight": q_search_highlight,
     "q_search_bool": q_search_bool,
     "q_search_prefix": q_search_prefix,
+    "q_search_phrase_prefix": q_search_phrase_prefix,
     "q_search_wildcard": q_search_wildcard,
     "q_search_regexp": q_search_regexp,
     "q_get_by_key": q_get_by_key,
@@ -716,6 +768,7 @@ ORACLES = {
     "q_search_highlight": SQL_SEARCH_HIGHLIGHT,
     "q_search_bool": SQL_SEARCH_BOOL,
     "q_search_prefix": SQL_SEARCH_PREFIX,
+    "q_search_phrase_prefix": SQL_SEARCH_PHRASE_PREFIX,
     "q_search_wildcard": SQL_SEARCH_WILDCARD,
     "q_search_regexp": SQL_SEARCH_REGEXP,
     "q_get_by_key": SQL_GET_BY_KEY,

@@ -296,6 +296,25 @@ def test_serialdiff_reduces_before_window(spark):
     assert plan.index("Window") < plan.index("FileScan"), plan
 
 
+def test_phrase_prefix_single_scan(spark):
+    """match_phrase_prefix is positional array math over one scan — the prefix
+    expansion never materializes a dictionary or a join."""
+    plan = plan_of(spark, "q_search_phrase_prefix")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cumcard_windows_buckets_not_facts(spark):
+    """cumulative_cardinality: the running sum and the new-users join operate
+    on bucket/user-frame reductions — partial aggs below, window above, and
+    the calendar-bounded new-users side broadcasts."""
+    f = facts_of(spark, "q_agg_cumcard")
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0
+    plan = plan_of(spark, "q_agg_cumcard")
+    assert "partial_" in plan, plan
+    assert plan.index("Window") < plan.index("FileScan"), plan
+
+
 def test_embed_quant_is_map_only(spark):
     """Quantization is per-row column math: the plan must contain no shuffle
     (Exchange) and no Python worker (Batch*Eval) — pure codegen export."""
