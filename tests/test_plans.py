@@ -296,6 +296,14 @@ def test_serialdiff_reduces_before_window(spark):
     assert plan.index("Window") < plan.index("FileScan"), plan
 
 
+def test_querystring_is_map_only_filter(spark):
+    """The compiled query_string predicate is one filter over one scan — no
+    dictionary materialization, no join, no shuffle for boolean text search."""
+    plan = plan_of(spark, "q_search_querystring")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
 def test_phrase_prefix_single_scan(spark):
     """match_phrase_prefix is positional array math over one scan — the prefix
     expansion never materializes a dictionary or a join."""
