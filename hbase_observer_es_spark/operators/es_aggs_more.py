@@ -10,6 +10,8 @@ es_aggs_stats.py) this adds:
 * `serial_diff`            — q_agg_serialdiff (lag-k differencing over a date_histogram)
 * `cumulative_cardinality` — q_agg_cumcard    (distinct-so-far via the exact
                              first-seen reduction, not cross-bucket sketches)
+* `percentiles_bucket`     — q_agg_pctbucket  (exact percentiles over the
+                             reduced bucket frame)
 
 Determinism: geo bounds min/max the SAME correctly-rounded doubles both
 engines derive from integer coordinates (one division each — no accumulation);
@@ -210,11 +212,49 @@ FROM daily d LEFT JOIN new_users n USING (day)
 """
 
 
+def q_agg_pctbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `percentiles_bucket` pipeline agg: exact percentiles of the daily
+    value-sum buckets (p50/p90 across the histogram) — "what does a typical
+    day's volume look like".
+
+    Sibling of q_agg_bucketstats: the ONLY fact pass is the date_histogram
+    groupBy; the percentile selection runs over the calendar-bounded bucket
+    frame, where an exact sort is trivially cheap at any data scale — which
+    is exactly why ES computes percentiles_bucket exactly while the fact-level
+    `percentiles` agg is a t-digest (q_agg_pct_sketch's dichotomy). Bucket
+    sums are decimal-exact; median/percentile interpolation is one fixed
+    a+(b-a)·f sequence, verified against DuckDB quantile_cont by
+    q_agg_percentile's precedent.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    buckets = e.groupBy(day.alias("day")).agg(dsum("value", "sum_value"))
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.median("sum_value").alias("p50_bucket"),
+        F.expr("percentile(sum_value, 0.9)").alias("p90_bucket"),
+    )
+
+
+SQL_AGG_PCTBUCKET = f"""
+WITH buckets AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY day
+)
+SELECT COUNT(*) AS n_buckets,
+       median(sum_value) AS p50_bucket,
+       quantile_cont(sum_value, 0.9) AS p90_bucket
+FROM buckets
+"""
+
+
 QUERIES = {
     "q_agg_geobounds": q_agg_geobounds,
     "q_agg_topmetrics": q_agg_topmetrics,
     "q_agg_serialdiff": q_agg_serialdiff,
     "q_agg_cumcard": q_agg_cumcard,
+    "q_agg_pctbucket": q_agg_pctbucket,
 }
 
 ORACLES = {
@@ -222,4 +262,5 @@ ORACLES = {
     "q_agg_topmetrics": SQL_AGG_TOPMETRICS,
     "q_agg_serialdiff": SQL_AGG_SERIALDIFF,
     "q_agg_cumcard": SQL_AGG_CUMCARD,
+    "q_agg_pctbucket": SQL_AGG_PCTBUCKET,
 }

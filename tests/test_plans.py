@@ -287,6 +287,14 @@ def test_topmetrics_is_combiner_argmax_not_window(spark):
     assert plan.count("Exchange") == 1, plan  # the 5-groups-per-partition merge
 
 
+def test_pctbucket_reduces_before_percentile(spark):
+    """percentiles_bucket sorts only the bucket frame: one fact scan with
+    map-side combine below the final (bucket-scale) percentile reduction."""
+    plan = plan_of(spark, "q_agg_pctbucket")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_" in plan, plan
+
+
 def test_serialdiff_reduces_before_window(spark):
     """serial_diff differs the BUCKET frame: map-side combine below the
     calendar-bounded lag window, one pass over facts."""
