@@ -40,77 +40,160 @@ _MODULES = (
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
-# bounded prefix (~50 entries) of the registry per round, so with 100+ registered
+# bounded prefix (~50 entries) of the registry per round, so with 140+ registered
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
-# Policy (confirmed working r3/r4 — all 50 prefix rows checked each round):
-# red/never-green first, then rows whose code changed since their last green,
-# then queries new this round, then same-file neighbors of this round's edits
-# (oldest green first), freshest-untouched last. Revisit every round.
+# GENERATED each round by tools/rotate_priority.py (policy in rotation.py:
+# never-checked > edited-since-green [own fn before file neighbors, oldest
+# green first] > oldest-green). Round 6 inputs: CORRECTNESS_r01-r05 +
+# git round boundaries; --edited-fn q_text_ngram_rep,q_agg_normalize,
+# q_agg_sampler,s_stateful_profile.
 _PRIORITY = (
-    # the 19 rows whose last green is round 2 AND whose files were edited after
-    # that check (round-4 verdict task #1 — the only open correctness risk)
-    "s_join_stream",
-    "s_session_stream",
-    "q_agg_groupingsets",
-    "q_agg_percentile",
-    "q_subquery_scalar",
-    "q_win_rangeframe",
-    "q_page_keyset",
-    "q_agg_histogram",
-    "q_agg_stats",
-    "q_mm_decode",
-    "q_mm_meta",
-    "q_mm_framesample",
-    "q_mm_resize",
-    "q_udf_scalar",
-    "q_udf_grouped",
-    "q_scan_project",
-    "q_filter_pred",
-    "q_join_inner",
-    "q_get_by_key",
-    # functions edited this round (dtype cast; train_centroids literalization)
-    "q_search_prefix",
-    "q_sim_ivf_trained",
-    # new this round — never driver-checked
-    "q_text_pack_sharded",
-    "q_agg_multiterms",
-    "q_agg_stringstats",
-    "q_agg_matrixstats",
-    "q_agg_geocentroid",
-    "q_agg_bucketstats",
-    "q_agg_scripted",
-    "q_text_ngram_rep",
-    "q_text_unigram",
-    "q_win_ntile",
-    "q_pivot",
-    "q_text_boilerplate",
-    "q_ann_recall",
-    "q_agg_sampler",
-    "q_agg_normalize",
-    "q_agg_bucket_script",
-    # same-file neighbors of this round's edits (functions untouched), oldest
-    # green first: search.py r3 rows, then its r4 rows, then similarity.py /
-    # streaming.stateful r3-r4 rows
-    "q_search_fuzzy",
-    "q_search_highlight",
-    "q_search_bm25",
-    "q_search_phrase",
-    "q_search_mlt",
-    "q_search_sigterms",
-    "q_search_suggest",
-    "q_search_bool",
-    "q_embed_quant",
-    "s_upsert_sink",
-    "q_sim_knn",
-    "q_sim_pairs",
-    "q_sim_ivf",
-    "q_sim_ivf_batch",
-    "q_sim_lsh",
-    "q_sim_lsh_batch",
-    "q_dedup_embed",
-    "q_sim_knn_pudf",
-    # beyond the ~50-row window: every remaining registered query follows in
-    # registration order — all r3/r4-green with untouched files
+    # tier 0: never driver-checked
+    "q_search_phrase_prefix",  # never checked
+    "q_search_wildcard",  # never checked
+    "q_search_regexp",  # never checked
+    "q_agg_geobounds",  # never checked
+    "q_agg_topmetrics",  # never checked
+    "q_agg_serialdiff",  # never checked
+    "q_agg_cumcard",  # never checked
+    "q_agg_pctbucket",  # never checked
+    "q_search_querystring",  # never checked
+    # tier 1: file edited after last green check (oldest green first)
+    "s_stateful_profile",  # green r4, hbase_observer_es_spark/streaming/stateful.py fn edited r6
+    "q_agg_sampler",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py fn edited r6
+    "q_agg_normalize",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py fn edited r6
+    "q_text_ngram_rep",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py fn edited r6
+    "q_sample_stratified",  # green r3, hbase_observer_es_spark/operators/pipeline.py file edited r4
+    "q_decontaminate",  # green r3, hbase_observer_es_spark/operators/pipeline.py file edited r4
+    "q_agg_pct_sketch",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
+    "q_agg_datehist",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
+    "q_agg_composite",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
+    "q_agg_filters",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
+    "q_agg_pipeline",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
+    "q_text_tokens",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
+    "q_text_lang",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
+    "q_text_langid",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
+    "q_text_quality",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
+    "q_text_tokcount",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
+    "q_text_fingerprint",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
+    "q_sim_ivf_batch",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "q_sim_lsh",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "q_sim_lsh_batch",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "q_dedup_embed",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "q_sim_knn_pudf",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "q_sim_range",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "s_watermark_dedup",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "s_win_stream",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "s_terms_stream",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "q_nested_exists",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
+    "q_geo_bbox",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
+    "q_geo_grid",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
+    "q_geo_distance",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
+    "q_search_bm25",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_phrase",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_fuzzy",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_mlt",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_sigterms",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_suggest",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_highlight",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_bool",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_search_prefix",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "q_get_by_key",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
+    "s_upsert_sink",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "s_session_stream",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "s_join_stream",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "q_agg_multiterms",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_agg_stringstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_agg_matrixstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_agg_geocentroid",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_agg_bucketstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_agg_scripted",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_agg_bucket_script",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
+    "q_text_unigram",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
+    "q_text_boilerplate",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
+    "q_text_pack_sharded",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
+    # tier 2: oldest green first, files untouched since
+    "q_dedup_jaccard",  # green r3
+    "q_join_broadcast",  # green r3
+    "q_join_left",  # green r3
+    "q_join_semi",  # green r3
+    "q_join_anti",  # green r3
+    "q_join_star",  # green r3
+    "q_join_range",  # green r3
+    "q_join_asof",  # green r3
+    "q_agg_global",  # green r3
+    "q_agg_group",  # green r3
+    "q_agg_distinct",  # green r3
+    "q_agg_approx",  # green r3
+    "q_agg_rollup",  # green r3
+    "q_agg_cube",  # green r3
+    "q_win_rank",  # green r3
+    "q_win_running",  # green r3
+    "q_win_lag",  # green r3
+    "q_topk_pergroup",  # green r3
+    "q_sort_limit",  # green r3
+    "q_union",  # green r3
+    "q_intersect",  # green r3
+    "q_except",  # green r3
+    "q_str_funcs",  # green r3
+    "q_date_funcs",  # green r3
+    "q_math_case",  # green r3
+    "q_json_extract",  # green r3
+    "q_array_funcs",  # green r3
+    "q_cdc_snapshot",  # green r3
+    "q_cdc_tombstone",  # green r3
+    "q_cell_pivot",  # green r3
+    "q_cdc_doc_merge",  # green r3
+    "q_join_salted",  # green r4
+    "q_join_bucketed",  # green r4
+    "q_scan_pruned",  # green r4
+    "q_pipeline_corpus",  # green r4
+    "q_mixture_weights",  # green r4
+    "q_text_pack",  # green r4
+    "q_sample_diversified",  # green r4
+    "s_win_tumbling",  # green r4
+    "s_win_sliding",  # green r4
+    "s_win_session",  # green r4
+    "q_dedup_exact",  # green r4
+    "q_dedup_minhash",  # green r4
+    "q_dedup_simhash",  # green r4
+    "q_dedup_simhash_near",  # green r4
+    "q_dedup_clusters",  # green r4
+    "q_agg_terms_other",  # green r4
+    "q_agg_range",  # green r4
+    "q_agg_tophits",  # green r4
+    "q_agg_pctranks",  # green r4
+    "q_agg_adjacency",  # green r4
+    "q_agg_rare_terms",  # green r4
+    "q_agg_bucket_sel",  # green r4
+    "q_agg_weighted_avg",  # green r4
+    "q_agg_autodatehist",  # green r4
+    "q_text_chunk",  # green r4
+    "q_text_topword",  # green r4
+    "q_sim_knn",  # green r5
+    "q_sim_pairs",  # green r5
+    "q_sim_ivf",  # green r5
+    "q_sim_ivf_trained",  # green r5
+    "q_embed_quant",  # green r5
+    "q_udf_scalar",  # green r5
+    "q_udf_grouped",  # green r5
+    "q_mm_decode",  # green r5
+    "q_mm_meta",  # green r5
+    "q_mm_framesample",  # green r5
+    "q_mm_resize",  # green r5
+    "q_agg_groupingsets",  # green r5
+    "q_agg_percentile",  # green r5
+    "q_subquery_scalar",  # green r5
+    "q_win_rangeframe",  # green r5
+    "q_page_keyset",  # green r5
+    "q_agg_histogram",  # green r5
+    "q_agg_stats",  # green r5
+    "q_scan_project",  # green r5
+    "q_filter_pred",  # green r5
+    "q_join_inner",  # green r5
+    "q_win_ntile",  # green r5
+    "q_pivot",  # green r5
+    "q_ann_recall",  # green r5
 )
 
 
