@@ -94,10 +94,14 @@ def _ensure_bucketed(
             f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc.as_posix()}'"
         )
     else:
+        # External (explicit path), not managed: dropping the catalog entry must
+        # keep the files, or the "paid once per source version" contract breaks
+        # the first time a fresh warehouse is written and then re-registered.
         (
             df.write.bucketBy(N_BUCKETS, bucket_key)
             .sortBy(bucket_key)
             .mode("overwrite")
+            .option("path", loc.as_posix())
             .saveAsTable(name)
         )
     return name
