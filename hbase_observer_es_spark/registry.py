@@ -33,6 +33,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.text",
     "hbase_observer_es_spark.operators.es_aggs_stats",
     "hbase_observer_es_spark.operators.es_aggs_more",
+    "hbase_observer_es_spark.operators.es_aggs_final",
     "hbase_observer_es_spark.operators.query_string",
     "hbase_observer_es_spark.operators.corpus_stats",
     "hbase_observer_es_spark.operators.relational_more",
