@@ -628,3 +628,83 @@ def test_normalize_bucket_script_reduce_first(spark):
         plan = plan_of(spark, name)
         assert plan.count("FileScan parquet") == 1, (name, plan)
         assert "partial_sum" in plan, (name, plan)
+
+
+def test_distribution_aggs_one_pass(spark):
+    """boxplot / t_test / rate / date_range: ONE fact scan, map-side partial
+    aggregation, at most the one groupBy shuffle."""
+    for name in ("q_agg_boxplot", "q_agg_ttest", "q_agg_rate", "q_agg_daterange"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "partial_" in plan, (name, plan)
+        f = facts_of(spark, name)
+        assert f.exchanges <= 1, (name, plan)
+
+
+def test_mad_two_phase_broadcasts_medians(spark):
+    """MAD is inherently two-phase: the group-median frame (cardinality-
+    bounded) must come back as a BROADCAST, never a shuffled join."""
+    plan = plan_of(spark, "q_agg_mad")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pipeline_aggs_window_over_buckets(spark):
+    """moving_fn / bucket_sort / derivative: one fact pass; every Window node
+    sits above the reduced bucket frame (partial agg below it)."""
+    for name in ("q_agg_movfn", "q_agg_bucketsort", "q_agg_derivative"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "partial_" in plan, (name, plan)
+        assert "Window" in plan, (name, plan)
+
+
+def test_varwidth_tile_then_reduce(spark):
+    """variable_width_histogram: the ntile window (global sort — disclosed
+    fixture-scale form) feeds a map-side-combined bucket reduction."""
+    plan = plan_of(spark, "q_agg_varwidth")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_collapse_is_combiner_argmax(spark):
+    """collapse: one aggregate with map-side combine — NO per-group window
+    rank over the hit list, no join."""
+    plan = plan_of(spark, "q_search_collapse")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    f = facts_of(spark, "q_search_collapse")
+    assert f.exchanges <= 1, plan
+
+
+def test_score_queries_take_ordered(spark):
+    """function_score / rank_feature: pure column math over the scan with a
+    TakeOrdered top-k — no global sort, no join."""
+    for name in ("q_search_function_score", "q_search_rank_feature"):
+        plan = plan_of(spark, name)
+        assert facts_of(spark, name).take_ordered, (name, plan)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
+def test_terms_set_map_only(spark):
+    """terms_set: literal-array filter — scan, filter, project; no shuffle,
+    no join at any scale."""
+    plan = plan_of(spark, "q_search_terms_set")
+    assert plan.count("FileScan parquet") == 1, plan
+    f = facts_of(spark, "q_search_terms_set")
+    assert f.exchanges == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_pii_map_only_then_one_shuffle(spark):
+    """PII scrub: detection/redaction are codegen'd string expressions (no
+    Python stage); only integer counters cross the single groupBy exchange."""
+    plan = plan_of(spark, "q_text_pii")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Eval" not in plan, plan
+    assert "partial_" in plan, plan
+    f = facts_of(spark, "q_text_pii")
+    assert f.exchanges <= 1, plan
