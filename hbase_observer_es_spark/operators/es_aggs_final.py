@@ -479,6 +479,77 @@ GROUP BY bucket
 """
 
 
+ITEMSET_MIN_SUPPORT = 2  # ES frequent_item_sets minimum_support (absolute form)
+
+
+def q_agg_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `frequent_item_sets` (size=2) over per-user event_type baskets:
+    which event types co-occur for the same user, with absolute support and
+    the support ratio — the market-basket agg ES runs for co-occurrence
+    analysis.
+
+    Spark-first shape: ONE shuffle builds the baskets (collect_set per user,
+    bounded by the event-type domain), pair expansion is map-side array math
+    over the sorted basket (≤ C(|domain|,2) pairs per user), and the pair
+    reduction shuffles a domain²-bounded frame — never a self-join of the
+    fact table on user_id, which would shuffle the facts twice and explode
+    skewed users. The basket count joins back as a 1-row broadcast. Support
+    ratio is one double division off integer counts. Itemsets of size m > 2
+    generalize the same expansion (nested slice/transform); size=2 is the ES
+    default report.
+    """
+    e = table(spark, sf_dir, "events")
+    baskets = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    a = F.col("items")
+    pairs = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + F.lit(2), F.size(a)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= ITEMSET_MIN_SUPPORT)
+        .join(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            (F.col("support").cast("double") / F.col("n_baskets").cast("double")).alias(
+                "support_ratio"
+            ),
+        )
+    )
+
+
+# The oracle uses the equivalent relational form (distinct self-join with
+# item_a < item_b) — same result set, easier to express in plain SQL; the
+# Spark side deliberately does NOT use this shape (see docstring).
+SQL_AGG_ITEMSETS = f"""
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_baskets FROM events),
+pairs AS (
+    SELECT b1.event_type AS item_a, b2.event_type AS item_b, COUNT(*) AS support
+    FROM b b1 JOIN b b2
+      ON b1.user_id = b2.user_id AND b1.event_type < b2.event_type
+    GROUP BY 1, 2
+)
+SELECT item_a, item_b, support,
+       CAST(support AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support_ratio
+FROM pairs, n
+WHERE support >= {ITEMSET_MIN_SUPPORT}
+"""
+
+
 QUERIES = {
     "q_agg_boxplot": q_agg_boxplot,
     "q_agg_mad": q_agg_mad,
@@ -489,6 +560,7 @@ QUERIES = {
     "q_agg_bucketsort": q_agg_bucketsort,
     "q_agg_derivative": q_agg_derivative,
     "q_agg_varwidth": q_agg_varwidth,
+    "q_agg_itemsets": q_agg_itemsets,
 }
 
 ORACLES = {
@@ -501,4 +573,5 @@ ORACLES = {
     "q_agg_bucketsort": SQL_AGG_BUCKETSORT,
     "q_agg_derivative": SQL_AGG_DERIVATIVE,
     "q_agg_varwidth": SQL_AGG_VARWIDTH,
+    "q_agg_itemsets": SQL_AGG_ITEMSETS,
 }

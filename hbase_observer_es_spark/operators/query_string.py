@@ -259,7 +259,12 @@ def q_search_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_string in filters and dashboards.
     """
     d = table(spark, sf_dir, "documents")
-    dd = d.select("doc_id", "lang", _toks().alias("tk"))
+    # explode(array(tk)) is a Generate BARRIER: a plain select+filter gets
+    # projection-collapsed, re-expanding the split() at EVERY tk reference in
+    # the compiled predicate (2 per phrase position — profiled 6× slower, the
+    # q_search_phrase docstring's re-split trap). Predicates cannot push below
+    # a Generate, so the token array materializes exactly once per row.
+    dd = d.select("doc_id", "lang", F.explode(F.array(_toks())).alias("tk"))
     return dd.filter(compile_spark(_QS_AST, F.col("tk"))).select("doc_id", "lang")
 
 

@@ -708,3 +708,39 @@ def test_pii_map_only_then_one_shuffle(spark):
     assert "partial_" in plan, plan
     f = facts_of(spark, "q_text_pii")
     assert f.exchanges <= 1, plan
+
+
+def test_compound_queries_one_scan_take_ordered(spark):
+    """dis_max / boosting / pinned / multi_match: sub-query scores share ONE
+    scan and one tokenization; ranking is a TakeOrdered heap — no join, no
+    window, no shuffle before the final k rows."""
+    for name in (
+        "q_search_dismax",
+        "q_search_boosting",
+        "q_search_pinned",
+        "q_search_multimatch",
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert facts_of(spark, name).take_ordered, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "Window" not in plan, (name, plan)
+
+
+def test_hybrid_rrf_fuses_windows_not_corpus(spark):
+    """RRF: each side truncates with TakeOrdered BEFORE its rank window, the
+    probe broadcasts, and no cartesian/corpus-sized join exists anywhere."""
+    plan = plan_of(spark, "q_search_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_itemsets_basket_expansion_not_self_join(spark):
+    """frequent_item_sets: baskets form in ONE fact shuffle (collect_set per
+    user); pair expansion is array math — the plan must not self-join the
+    fact scan on user_id."""
+    plan = plan_of(spark, "q_agg_itemsets")
+    assert plan.count("FileScan parquet") <= 2, plan  # facts + 1-row count branch
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
