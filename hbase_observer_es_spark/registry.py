@@ -38,6 +38,8 @@ _MODULES = (
     "hbase_observer_es_spark.operators.pii",
     "hbase_observer_es_spark.operators.search_compound",
     "hbase_observer_es_spark.operators.hybrid",
+    "hbase_observer_es_spark.operators.span",
+    "hbase_observer_es_spark.operators.mining",
     "hbase_observer_es_spark.operators.query_string",
     "hbase_observer_es_spark.operators.corpus_stats",
     "hbase_observer_es_spark.operators.relational_more",

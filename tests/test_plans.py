@@ -744,3 +744,22 @@ def test_itemsets_basket_expansion_not_self_join(spark):
     assert plan.count("FileScan parquet") <= 2, plan  # facts + 1-row count branch
     assert "SortMergeJoin" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_span_near_map_only(spark):
+    """span_near: per-row position arithmetic — scan, project, filter; no
+    shuffle, no join at any scale."""
+    plan = plan_of(spark, "q_search_span_near")
+    assert plan.count("FileScan parquet") == 1, plan
+    f = facts_of(spark, "q_search_span_near")
+    assert f.exchanges == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_triplet_mine_broadcast_anchors_combiner_argmax(spark):
+    """Triplet mining: anchors broadcast onto ONE corpus scan; the per-cell
+    argmax reduces map-side (no window rank over scored pairs)."""
+    plan = plan_of(spark, "q_sim_triplet_mine")
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
