@@ -763,3 +763,11 @@ def test_triplet_mine_broadcast_anchors_combiner_argmax(spark):
     assert "BroadcastExchange" in plan, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_field_missing_broadcast_total(spark):
+    """exists/missing audit: the 1-row total joins the bounded per-qualifier
+    frame as a broadcast; no extra fact pass beyond the live-state derivation."""
+    plan = plan_of(spark, "q_cdc_field_missing")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
