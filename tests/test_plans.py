@@ -771,3 +771,12 @@ def test_cdc_field_missing_broadcast_total(spark):
     plan = plan_of(spark, "q_cdc_field_missing")
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_geoline_rank_then_capped_collect(spark):
+    """geo_line: one hash exchange on the bucket key for the rank; the
+    collect_list sees only the <=size-capped rows per bucket."""
+    plan = plan_of(spark, "q_agg_geoline")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
