@@ -55,7 +55,8 @@ _MODULES = (
 # never-checked > edited-since-green [own fn before file neighbors, oldest
 # green first] > oldest-green). Round 6 inputs: CORRECTNESS_r01-r05 +
 # git round boundaries; --edited-fn q_text_ngram_rep,q_agg_normalize,
-# q_agg_sampler,s_stateful_profile.
+# q_agg_sampler,s_stateful_profile,q_search_querystring,q_join_bucketed
+# (regenerated late round 6 after the 24 new operators landed).
 _PRIORITY = (
     # tier 0: never driver-checked
     "q_search_phrase_prefix",  # never checked
@@ -66,8 +67,33 @@ _PRIORITY = (
     "q_agg_serialdiff",  # never checked
     "q_agg_cumcard",  # never checked
     "q_agg_pctbucket",  # never checked
+    "q_agg_boxplot",  # never checked
+    "q_agg_mad",  # never checked
+    "q_agg_ttest",  # never checked
+    "q_agg_rate",  # never checked
+    "q_agg_daterange",  # never checked
+    "q_agg_movfn",  # never checked
+    "q_agg_bucketsort",  # never checked
+    "q_agg_derivative",  # never checked
+    "q_agg_varwidth",  # never checked
+    "q_agg_itemsets",  # never checked
+    "q_search_collapse",  # never checked
+    "q_search_function_score",  # never checked
+    "q_search_rank_feature",  # never checked
+    "q_search_terms_set",  # never checked
+    "q_text_pii",  # never checked
+    "q_search_dismax",  # never checked
+    "q_search_boosting",  # never checked
+    "q_search_pinned",  # never checked
+    "q_search_multimatch",  # never checked
+    "q_search_hybrid_rrf",  # never checked
+    "q_search_span_near",  # never checked
+    "q_sim_triplet_mine",  # never checked
+    "q_cdc_field_missing",  # never checked
+    "q_agg_geoline",  # never checked
     "q_search_querystring",  # never checked
     # tier 1: file edited after last green check (oldest green first)
+    "q_join_bucketed",  # green r4, hbase_observer_es_spark/operators/scale_joins.py fn edited r6
     "s_stateful_profile",  # green r4, hbase_observer_es_spark/streaming/stateful.py fn edited r6
     "q_agg_sampler",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py fn edited r6
     "q_agg_normalize",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py fn edited r6
@@ -91,6 +117,7 @@ _PRIORITY = (
     "q_dedup_embed",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
     "q_sim_knn_pudf",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
     "q_sim_range",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
+    "q_join_salted",  # green r4, hbase_observer_es_spark/operators/scale_joins.py file edited r6
     "s_watermark_dedup",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
     "s_win_stream",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
     "s_terms_stream",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
@@ -153,8 +180,6 @@ _PRIORITY = (
     "q_cdc_tombstone",  # green r3
     "q_cell_pivot",  # green r3
     "q_cdc_doc_merge",  # green r3
-    "q_join_salted",  # green r4
-    "q_join_bucketed",  # green r4
     "q_scan_pruned",  # green r4
     "q_pipeline_corpus",  # green r4
     "q_mixture_weights",  # green r4
