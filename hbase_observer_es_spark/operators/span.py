@@ -42,25 +42,38 @@ def q_search_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-bounds safety on empty docs).
     """
     d = table(spark, sf_dir, "documents")
-    dd = d.select(
-        "doc_id",
-        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("tk"),
-    )
+    # Two Generate BARRIERS (explode of a 1-element array), the
+    # q_search_querystring lesson taken one level deeper: without them,
+    # projection collapse inlines p2's WHOLE expression — token split
+    # included — into the per-p1-element lambda, re-tokenizing the document
+    # |p1| times per row (profiled 8.7×: 5.7 s → 0.65 s at sf0.1). Barrier 1
+    # materializes the token array; barrier 2 materializes both position
+    # lists, so the pair loop touches plain columns.
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    s1 = d.select("doc_id", F.explode(F.array(toks)).alias("tk"))
     tk = F.col("tk")
     idx = F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)))
     p1 = F.filter(idx, lambda i: F.try_element_at(tk, i) == SPAN_FIRST)
     p2 = F.filter(idx, lambda i: F.try_element_at(tk, i) == SPAN_SECOND)
+    s2 = s1.select(
+        "doc_id",
+        F.explode(F.array(F.struct(p1.alias("p1"), p2.alias("p2")))).alias("ps"),
+    )
     spans = F.flatten(
         F.transform(
-            p1,
+            F.col("ps.p1"),
             lambda i: F.filter(
-                p2, lambda j: (j > i) & (j - i <= F.lit(SPAN_SLOP + 1))
+                F.col("ps.p2"), lambda j: (j > i) & (j - i <= F.lit(SPAN_SLOP + 1))
             ),
         )
     )
+    # explode + count instead of filter(n_spans > 0): the q_search_phrase
+    # move — a filter on the computed column would re-expand `spans` in the
+    # Filter node (and drop the zero rows is exactly what the groupBy does).
     return (
-        dd.select("doc_id", F.size(spans).cast("bigint").alias("n_spans"))
-        .filter(F.col("n_spans") > 0)
+        s2.select("doc_id", F.explode(spans).alias("j"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"))
     )
 
 
