@@ -782,3 +782,16 @@ def test_geoline_rank_then_capped_collect(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_split_and_gopher_map_only_one_shuffle(spark):
+    """split assignment / gopher gate: pure column math over the scan plus the
+    one report groupBy — no join, no window, <=1 exchange."""
+    for name in ("q_split_assign", "q_text_gopher"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "Window" not in plan, (name, plan)
+        f = facts_of(spark, name)
+        assert f.exchanges <= 1, (name, plan)
+        assert "partial_" in plan, (name, plan)
