@@ -38,15 +38,10 @@ EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
 PHONE_RE = "555-[0-9]{4}"
 
 
-def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub accounting per source: documents scanned, email/phone span
-    counts, documents carrying any PII, and total characters removed by
-    redaction (redacted tokens: <EMAIL>, <PHONE>).
-
-    chars_removed is computed as length(augmented) − length(redacted) — the
-    audit number a compliance report wants — and is exact integer arithmetic.
-    """
-    d = table(spark, sf_dir, "documents")
+def pii_per_doc(d: DataFrame) -> DataFrame:
+    """Per-document detection/redaction counters over a documents-shaped frame
+    (batch or streaming — pure column math, so the same expression tree serves
+    both; s_pii_stream reuses this verbatim)."""
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -59,12 +54,16 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
-    per_doc = d.select(
+    return d.select(
         "source",
         emails.alias("n_email"),
         phones.alias("n_phone"),
         (F.length(aug) - F.length(redacted)).alias("removed"),
     )
+
+
+def pii_report(per_doc: DataFrame) -> DataFrame:
+    """The per-source audit reduction shared by the batch and streaming forms."""
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_email").cast("bigint").alias("email_hits"),
@@ -74,6 +73,17 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("docs_with_pii"),
         F.sum("removed").cast("bigint").alias("chars_removed"),
     )
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting per source: documents scanned, email/phone span
+    counts, documents carrying any PII, and total characters removed by
+    redaction (redacted tokens: <EMAIL>, <PHONE>).
+
+    chars_removed is computed as length(augmented) − length(redacted) — the
+    audit number a compliance report wants — and is exact integer arithmetic.
+    """
+    return pii_report(pii_per_doc(table(spark, sf_dir, "documents")))
 
 
 SQL_TEXT_PII = f"""

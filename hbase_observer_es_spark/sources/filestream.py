@@ -77,7 +77,8 @@ def source_fingerprint(sf_dir: str, table_name: str) -> str:
     return f"{table_name}-{digest[:12]}"
 
 
-def stage_cached(df: DataFrame, cache_key: str, out_dir: str, n_batches: int) -> str:
+def stage_cached(df: DataFrame, cache_key: str, out_dir: str, n_batches: int,
+                 order_col: str = "ts") -> str:
     """``stage_ordered_batches`` with a process-level cache.
 
     Several streaming queries replay the SAME deterministic input (e.g. the
@@ -92,7 +93,7 @@ def stage_cached(df: DataFrame, cache_key: str, out_dir: str, n_batches: int) ->
     if not cache.exists():
         build = str(cache) + ".build"
         shutil.rmtree(build, ignore_errors=True)
-        staged = stage_ordered_batches(df, build, n_batches)
+        staged = stage_ordered_batches(df, build, n_batches, order_col)
         cache.parent.mkdir(parents=True, exist_ok=True)
         shutil.move(staged, str(cache))
         shutil.rmtree(build, ignore_errors=True)
