@@ -100,5 +100,78 @@ WHERE len(flatten(list_transform(p1,
 """
 
 
-QUERIES = {"q_search_span_near": q_search_span_near}
-ORACLES = {"q_search_span_near": SQL_SEARCH_SPAN_NEAR}
+IV_GAPS = 2  # ES intervals `max_gaps`: up to 2 intervening positions, any order
+
+
+def q_search_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `intervals` query (match, ordered=false, max_gaps={IV_GAPS}) over the
+    same two terms: the modern span replacement — the terms may appear in
+    EITHER order as long as at most max_gaps positions intervene. Emits the
+    pair count per document.
+
+    n_pairs counts unordered position pairs: tokens[i]=first, tokens[j]=second,
+    i≠j, |j−i| − 1 ≤ max_gaps (two-term interval semantics; ES's k-term
+    minimal-interval algorithm reduces to exactly this for two clauses). Same
+    barrier discipline and explode+count shape as q_search_span_near.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    s1 = d.select("doc_id", F.explode(F.array(toks)).alias("tk"))
+    tk = F.col("tk")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)))
+    p1 = F.filter(idx, lambda i: F.try_element_at(tk, i) == SPAN_FIRST)
+    p2 = F.filter(idx, lambda i: F.try_element_at(tk, i) == SPAN_SECOND)
+    s2 = s1.select(
+        "doc_id",
+        F.explode(F.array(F.struct(p1.alias("p1"), p2.alias("p2")))).alias("ps"),
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps.p1"),
+            lambda i: F.filter(
+                F.col("ps.p2"),
+                lambda j: (j != i)
+                & (F.abs(j - i) - F.lit(1) <= F.lit(IV_GAPS)),
+            ),
+        )
+    )
+    return (
+        s2.select("doc_id", F.explode(pairs).alias("j"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+SQL_SEARCH_INTERVALS = f"""
+WITH tks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents
+),
+pos AS (
+    SELECT doc_id,
+           list_filter(generate_series(1, greatest(len(tk), 1)),
+                       i -> tk[i] = '{SPAN_FIRST}') AS p1,
+           list_filter(generate_series(1, greatest(len(tk), 1)),
+                       i -> tk[i] = '{SPAN_SECOND}') AS p2
+    FROM tks
+),
+hits AS (
+    SELECT doc_id,
+           len(flatten(list_transform(p1,
+                i -> list_filter(p2,
+                     j -> j <> i AND abs(j - i) - 1 <= {IV_GAPS})))) AS n_pairs
+    FROM pos
+)
+SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
+FROM hits WHERE n_pairs > 0
+"""
+
+
+QUERIES = {
+    "q_search_span_near": q_search_span_near,
+    "q_search_intervals": q_search_intervals,
+}
+ORACLES = {
+    "q_search_span_near": SQL_SEARCH_SPAN_NEAR,
+    "q_search_intervals": SQL_SEARCH_INTERVALS,
+}

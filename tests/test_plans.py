@@ -747,15 +747,16 @@ def test_itemsets_basket_expansion_not_self_join(spark):
 
 
 def test_span_near_single_pass_one_shuffle(spark):
-    """span_near: per-row position arithmetic behind Generate barriers (one
-    scan, one tokenization), then the explode+count per-doc aggregate — at
-    most that one map-side-combined shuffle, no join."""
-    plan = plan_of(spark, "q_search_span_near")
-    assert plan.count("FileScan parquet") == 1, plan
-    f = facts_of(spark, "q_search_span_near")
-    assert f.exchanges <= 1, plan
-    assert "Join" not in plan, plan
-    assert "partial_count" in plan, plan
+    """span_near / intervals: per-row position arithmetic behind Generate
+    barriers (one scan, one tokenization), then the explode+count per-doc
+    aggregate — at most that one map-side-combined shuffle, no join."""
+    for name in ("q_search_span_near", "q_search_intervals"):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        f = facts_of(spark, name)
+        assert f.exchanges <= 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "partial_count" in plan, (name, plan)
 
 
 def test_triplet_mine_broadcast_anchors_combiner_argmax(spark):
