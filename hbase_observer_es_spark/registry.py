@@ -57,8 +57,9 @@ _MODULES = (
 # never-checked > edited-since-green [own fn before file neighbors, oldest
 # green first] > oldest-green). Round 6 inputs: CORRECTNESS_r01-r05 +
 # git round boundaries; --edited-fn q_text_ngram_rep,q_agg_normalize,
-# q_agg_sampler,s_stateful_profile,q_search_querystring,q_join_bucketed
-# (regenerated late round 6 after the 24 new operators landed).
+# q_agg_sampler,s_stateful_profile,q_search_querystring,q_join_bucketed,
+# q_text_pii,q_search_span_near (final round-6 regeneration: 37 never-checked
+# operators head the window).
 _PRIORITY = (
     # tier 0: never driver-checked
     "q_search_phrase_prefix",  # never checked
@@ -90,9 +91,13 @@ _PRIORITY = (
     "q_search_multimatch",  # never checked
     "q_search_hybrid_rrf",  # never checked
     "q_search_span_near",  # never checked
+    "q_search_intervals",  # never checked
     "q_sim_triplet_mine",  # never checked
     "q_cdc_field_missing",  # never checked
     "q_agg_geoline",  # never checked
+    "q_split_assign",  # never checked
+    "q_text_gopher",  # never checked
+    "s_pii_stream",  # never checked
     "q_search_querystring",  # never checked
     # tier 1: file edited after last green check (oldest green first)
     "q_join_bucketed",  # green r4, hbase_observer_es_spark/operators/scale_joins.py fn edited r6
