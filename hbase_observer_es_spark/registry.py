@@ -44,6 +44,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.geo_line",
     "hbase_observer_es_spark.operators.splits",
     "hbase_observer_es_spark.streaming.scrub",
+    "hbase_observer_es_spark.operators.percolate",
     "hbase_observer_es_spark.operators.query_string",
     "hbase_observer_es_spark.operators.corpus_stats",
     "hbase_observer_es_spark.operators.relational_more",

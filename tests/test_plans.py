@@ -796,3 +796,13 @@ def test_split_and_gopher_map_only_one_shuffle(spark):
         f = facts_of(spark, name)
         assert f.exchanges <= 1, (name, plan)
         assert "partial_" in plan, (name, plan)
+
+
+def test_percolate_registry_broadcasts(spark):
+    """Percolator: the stored-query registry is the broadcast side; the
+    corpus scans once and the audit reduces map-side to registry size."""
+    plan = plan_of(spark, "q_search_percolate")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
