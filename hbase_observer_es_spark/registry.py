@@ -59,7 +59,7 @@ _MODULES = (
 # green first] > oldest-green). Round 6 inputs: CORRECTNESS_r01-r05 +
 # git round boundaries; --edited-fn q_text_ngram_rep,q_agg_normalize,
 # q_agg_sampler,s_stateful_profile,q_search_querystring,q_join_bucketed,
-# q_text_pii,q_search_span_near (final round-6 regeneration: 37 never-checked
+# q_text_pii,q_search_span_near (final round-6 regeneration: 38 never-checked
 # operators head the window).
 _PRIORITY = (
     # tier 0: never driver-checked
@@ -99,6 +99,7 @@ _PRIORITY = (
     "q_split_assign",  # never checked
     "q_text_gopher",  # never checked
     "s_pii_stream",  # never checked
+    "q_search_percolate",  # never checked
     "q_search_querystring",  # never checked
     # tier 1: file edited after last green check (oldest green first)
     "q_join_bucketed",  # green r4, hbase_observer_es_spark/operators/scale_joins.py fn edited r6
