@@ -174,13 +174,17 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (se2 * se2) / (
         sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
     )
+    # degenerate-population guard (n ≤ 1): the (n−1) divisor hits zero, where
+    # Spark double division yields NaN/Inf but DuckDB yields NULL — both
+    # engines emit NULL explicitly instead (the q_agg_normalize precedent)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
     return agg.select(
         F.col("n_a"),
         F.col("n_b"),
         ma.alias("mean_a"),
         mb.alias("mean_b"),
-        t.alias("t_stat"),
-        df.alias("welch_df"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, df).alias("welch_df"),
     )
 
 
@@ -217,9 +221,12 @@ d AS (
     FROM s
 )
 SELECT n_a, n_b, mean_a, mean_b,
-       (mean_a - mean_b) / sqrt(se_a + se_b) AS t_stat,
-       ((se_a + se_b) * (se_a + se_b))
-           / (se_a * se_a / (na - 1.0) + se_b * se_b / (nb - 1.0)) AS welch_df
+       CASE WHEN n_a > 1 AND n_b > 1
+            THEN (mean_a - mean_b) / sqrt(se_a + se_b) END AS t_stat,
+       CASE WHEN n_a > 1 AND n_b > 1
+            THEN ((se_a + se_b) * (se_a + se_b))
+                 / (se_a * se_a / (na - 1.0) + se_b * se_b / (nb - 1.0))
+            END AS welch_df
 FROM d
 """
 
