@@ -100,5 +100,60 @@ FROM cells
 """
 
 
-QUERIES = {"q_sim_triplet_mine": q_sim_triplet_mine}
-ORACLES = {"q_sim_triplet_mine": SQL_SIM_TRIPLET_MINE}
+KNN_F_K = 5
+KNN_F_PROBE = 0  # similarity.PROBE_VEC_ID — restated for the SQL literal
+
+
+def q_sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 filtered kNN: top-k cosine neighbors of the probe among vectors
+    passing a metadata PRE-filter (label ≠ probe's label, the
+    cross-class-neighbor query) — distinct from post-filtering a plain top-k,
+    which can return fewer than k (or zero) survivors. ES evaluates the filter
+    DURING graph traversal for exactly this reason; the engine's analogue
+    applies it before the TakeOrdered cut.
+
+    Plan shape is q_sim_knn's: 1-row probe broadcast, map-only cosine over
+    the filtered scan, TakeOrdered heap — the filter rides the scan, so the
+    pre/post distinction costs nothing here while preserving the k-results
+    contract.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == KNN_F_PROBE).select(
+        F.col("embedding").alias("probe_emb"),
+        F.col("label").alias("probe_label"),
+    )
+    cos = _cosine(F.col("embedding"), F.col("probe_emb"))
+    return (
+        e.join(F.broadcast(probe))
+        .filter(
+            (F.col("vec_id") != KNN_F_PROBE)
+            & (F.col("label") != F.col("probe_label"))
+        )
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_F_K)
+    )
+
+
+SQL_SIM_KNN_FILTERED = f"""
+WITH probe AS (
+    SELECT embedding AS probe_emb, label AS probe_label
+    FROM embeddings WHERE vec_id = {KNN_F_PROBE}
+)
+SELECT vec_id, label,
+       {_sql_cosine("embedding", "probe_emb")} AS cos_sim
+FROM embeddings, probe
+WHERE vec_id <> {KNN_F_PROBE} AND label <> probe_label
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {KNN_F_K}
+"""
+
+
+QUERIES = {
+    "q_sim_triplet_mine": q_sim_triplet_mine,
+    "q_sim_knn_filtered": q_sim_knn_filtered,
+}
+ORACLES = {
+    "q_sim_triplet_mine": SQL_SIM_TRIPLET_MINE,
+    "q_sim_knn_filtered": SQL_SIM_KNN_FILTERED,
+}

@@ -806,3 +806,12 @@ def test_percolate_registry_broadcasts(spark):
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_knn_filtered_prefilter_take_ordered(spark):
+    """Filtered kNN: the metadata filter rides the scan BEFORE the TakeOrdered
+    cut (pre-filter semantics); probe broadcasts, nothing sort-merges."""
+    plan = plan_of(spark, "q_sim_knn_filtered")
+    assert facts_of(spark, "q_sim_knn_filtered").take_ordered, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
