@@ -59,8 +59,8 @@ _MODULES = (
 # green first] > oldest-green). Round 6 inputs: CORRECTNESS_r01-r05 +
 # git round boundaries; --edited-fn q_text_ngram_rep,q_agg_normalize,
 # q_agg_sampler,s_stateful_profile,q_search_querystring,q_join_bucketed,
-# q_text_pii,q_search_span_near (final round-6 regeneration: 38 never-checked
-# operators head the window).
+# q_text_pii,q_search_span_near,q_agg_ttest (closing round-6 regeneration:
+# 39 never-checked operators head the window).
 _PRIORITY = (
     # tier 0: never driver-checked
     "q_search_phrase_prefix",  # never checked
@@ -94,6 +94,7 @@ _PRIORITY = (
     "q_search_span_near",  # never checked
     "q_search_intervals",  # never checked
     "q_sim_triplet_mine",  # never checked
+    "q_sim_knn_filtered",  # never checked
     "q_cdc_field_missing",  # never checked
     "q_agg_geoline",  # never checked
     "q_split_assign",  # never checked
