@@ -84,3 +84,38 @@ def test_triplet_mine_labels_and_margin(spark):
         assert labels[r.neg_id] != r.a_label, r
         assert r.margin == r.pos_cos - r.neg_cos, r
         assert r.pos_id != r.a_id and r.neg_id != r.a_id
+
+
+def test_percolate_modes_behave_as_declared(spark):
+    """'or' queries must fire on either term alone; 'and' must not; 'phrase'
+    only on adjacency — checked against a direct Python evaluation of the
+    registry over the corpus (both engines share one formulation, so the
+    oracle alone can't catch a formulation bug)."""
+    from hbase_observer_es_spark.operators.percolate import (
+        PERCOLATOR_QUERIES,
+        q_search_percolate,
+    )
+
+    got = {
+        r.query_id: (r.n_matches, r.first_doc_id)
+        for r in q_search_percolate(spark, SF_ORACLE).collect()
+    }
+    docs = [
+        (r.doc_id, [t for t in r.text.split(" ") if t])
+        for r in table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    ]
+    for qid, mode, a, b in PERCOLATOR_QUERIES:
+        hits = []
+        for doc_id, tk in docs:
+            if mode == "and":
+                m = a in tk and b in tk
+            elif mode == "or":
+                m = a in tk or b in tk
+            else:
+                m = any(x == a and y == b for x, y in zip(tk, tk[1:]))
+            if m:
+                hits.append(doc_id)
+        if hits:
+            assert got[qid] == (len(hits), min(hits)), (qid, mode)
+        else:
+            assert qid not in got, (qid, mode)
