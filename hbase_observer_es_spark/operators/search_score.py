@@ -192,11 +192,12 @@ def q_search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     `minimum_should_match`={MIN_SHOULD_MATCH} of the term set, with the match
     count and the matched terms themselves (ES's named-queries introspection).
 
-    The matched array filters the CONSTANT term list against each document's
+    The matched set filters the CONSTANT term list against each document's
     tokens — its order is the term-set literal's order on both engines by
-    construction, so no sort is needed for the hash compare. Map-only: the
-    term set is a literal array, the plan is scan → filter → project, no join
-    and no shuffle at any scale.
+    construction, and it is emitted space-joined as a single STRING column
+    (`array_join` / `array_to_string`), per the registry-wide scalar-output
+    contract (registry.py). Map-only: the term set is a literal array, the
+    plan is scan → filter → project, no join and no shuffle at any scale.
     """
     d = table(spark, sf_dir, "documents")
     terms = F.array(*[F.lit(t) for t in TERMS_SET])
@@ -204,7 +205,7 @@ def q_search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = F.filter(terms, lambda t: F.array_contains(tk, t))
     out = d.select(
         "doc_id",
-        matched.alias("matched_terms"),
+        F.array_join(matched, " ").alias("matched_terms"),
         F.size(matched).cast("int").alias("n_matched"),
     )
     return out.filter(F.col("n_matched") >= MIN_SHOULD_MATCH)
@@ -218,11 +219,12 @@ WITH m AS (
            list_filter({_SQL_TERMS_LIT},
                        t -> list_contains(
                            list_filter(string_split(text, ' '), x -> x <> ''), t))
-               AS matched_terms
+               AS matched
     FROM documents
 )
-SELECT doc_id, matched_terms, CAST(len(matched_terms) AS INTEGER) AS n_matched
-FROM m WHERE len(matched_terms) >= {MIN_SHOULD_MATCH}
+SELECT doc_id, array_to_string(matched, ' ') AS matched_terms,
+       CAST(len(matched) AS INTEGER) AS n_matched
+FROM m WHERE len(matched) >= {MIN_SHOULD_MATCH}
 """
 
 

@@ -3,6 +3,15 @@
 ``__spark_entry__.py`` (the driver contract) is a thin shim over this. Modules are
 imported lazily-but-eagerly here; a module that fails to import should fail loudly —
 silent partial registries would under-report coverage.
+
+Output-shape contract: every registered query must emit SCALAR top-level columns
+only — no ArrayType/MapType/StructType. The external verification harness
+canonicalizes results by sorting rows in pandas, and complex-typed cells are
+unhashable/unsortable there (numpy.ndarray), so an array-typed output column is
+a hard driver failure even when values match. List-like results are emitted as
+space-joined strings (`F.array_join` / `array_to_string`) or exploded to
+one-row-per-element with an explicit sequence column (see geo_line.py).
+Enforced registry-wide by tests/test_output_contract.py.
 """
 
 from __future__ import annotations

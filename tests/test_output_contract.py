@@ -1,0 +1,58 @@
+"""Registry-wide output-shape contract (registry.py module docstring).
+
+The external verification harness canonicalizes query results by sorting rows
+in pandas; a top-level ArrayType/MapType/StructType column surfaces there as
+``numpy.ndarray`` cells, which are unhashable/unsortable — a hard driver
+failure even when the values are exactly right (observed on ``q_agg_geoline``
+and ``q_search_terms_set`` before their round-7 scalar rewrites). This test
+pins the contract for every registered query so the class of failure cannot
+recur.
+
+Batch queries are checked schema-only (the DataFrame is built lazily, no job
+runs). Streaming queries execute micro-batches inside their callables, so they
+are checked once at sf0.001 in a single module-scoped pass rather than
+per-query; the suite already runs them all in test_oracle.py, so the marginal
+cost here is bounded to the batch-lazy builds plus the streaming re-runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from hbase_observer_es_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+def complex_columns(df) -> list[str]:
+    """Names of top-level columns with complex (non-scalar) types."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)]
+
+
+@pytest.mark.parametrize("name", sorted(n for n in QUERIES if not n.startswith("s_")))
+def test_batch_output_is_scalar(spark, name):
+    bad = complex_columns(QUERIES[name](spark, SF_SMOKE))
+    assert not bad, (
+        f"{name} emits complex-typed top-level columns {bad}; the driver "
+        "canonicalizer cannot sort these — array_join or explode them "
+        "(registry.py output-shape contract)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(n for n in QUERIES if n.startswith("s_")))
+def test_streaming_output_is_scalar(spark, name):
+    bad = complex_columns(QUERIES[name](spark, SF_SMOKE))
+    assert not bad, (
+        f"{name} emits complex-typed top-level columns {bad}; the driver "
+        "canonicalizer cannot sort these (registry.py output-shape contract)"
+    )
+
+
+def test_detector_rejects_array_column(spark):
+    """The check itself must go red on an injected array-typed column."""
+    df = spark.range(1).selectExpr("id", "array(1, 2) AS arr", "map('k', 1) AS m")
+    assert complex_columns(df) == ["arr", "m"]
