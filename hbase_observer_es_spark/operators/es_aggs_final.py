@@ -174,15 +174,17 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (se2 * se2) / (
         sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
     )
-    # degenerate-population guard (n ≤ 1): the (n−1) divisor hits zero, where
-    # Spark double division yields NaN/Inf but DuckDB yields NULL — both
-    # engines emit NULL explicitly instead (the q_agg_normalize precedent)
+    # degenerate-population guard: at n ≤ 1 the (n−1) divisor hits zero and
+    # at n = 0 the mean's s/n is 0/0, where Spark double division yields
+    # NaN/Inf but DuckDB yields NULL — both engines emit NULL explicitly
+    # instead (the q_agg_normalize precedent); means only need their own
+    # side's n > 0
     ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
     return agg.select(
         F.col("n_a"),
         F.col("n_b"),
-        ma.alias("mean_a"),
-        mb.alias("mean_b"),
+        F.when(F.col("n_a") > 0, ma).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mb).alias("mean_b"),
         F.when(ok, t).alias("t_stat"),
         F.when(ok, df).alias("welch_df"),
     )
@@ -211,8 +213,8 @@ WITH s AS (
 ),
 d AS (
     SELECT n_a, n_b,
-           s_a / CAST(n_a AS DOUBLE) AS mean_a,
-           s_b / CAST(n_b AS DOUBLE) AS mean_b,
+           CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) END AS mean_a,
+           CASE WHEN n_b > 0 THEN s_b / CAST(n_b AS DOUBLE) END AS mean_b,
            ((ss_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
                / CAST(n_a AS DOUBLE) AS se_a,
            ((ss_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))

@@ -100,16 +100,26 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     {G_MAX_MEAN_TOK_LEN}]; 8: unique-token ratio < {G_MIN_UNIQ_RATIO}.
     The bitmask (integer OR of failed rules) is what a production pipeline
     logs — filtering without attribution is undebuggable at 100 TB.
+
+    Zero-token documents: the ratio rules (bits 4, 8) are undefined at
+    n_tok = 0, so both engines gate them behind n_tok > 0 (such a document
+    still fails bit 1). The divisions live INSIDE the guarded `when` branch —
+    SQL `AND` does not short-circuit, and under Spark's ANSI mode an
+    unguarded x/0 is a runtime error, not Inf; the NULL ratio then makes the
+    comparison falsey on both engines.
     """
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     n_tok = F.size(toks).cast("bigint")
     n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
-    # mean token length from n_chars: tokens plus (n_tok-1) separators
-    mean_len = (
-        F.col("n_chars").cast("double") - (n_tok.cast("double") - F.lit(1.0))
-    ) / n_tok.cast("double")
-    uniq_ratio = n_uniq.cast("double") / n_tok.cast("double")
+    # mean token length from n_chars: tokens plus (n_tok-1) separators;
+    # NULL (not an error) for zero-token docs
+    mean_len = F.when(
+        n_tok > 0,
+        (F.col("n_chars").cast("double") - (n_tok.cast("double") - F.lit(1.0)))
+        / n_tok.cast("double"),
+    )
+    uniq_ratio = F.when(n_tok > 0, n_uniq.cast("double") / n_tok.cast("double"))
     mask = (
         F.when(n_tok < G_MIN_TOKENS, F.lit(1)).otherwise(F.lit(0))
         + F.when(n_tok > G_MAX_TOKENS, F.lit(2)).otherwise(F.lit(0))
@@ -153,12 +163,14 @@ masked AS (
     SELECT lang,
            (CASE WHEN n_tok < {G_MIN_TOKENS} THEN 1 ELSE 0 END)
            + (CASE WHEN n_tok > {G_MAX_TOKENS} THEN 2 ELSE 0 END)
-           + (CASE WHEN (CAST(n_chars AS DOUBLE) - (CAST(n_tok AS DOUBLE) - 1.0))
-                        / CAST(n_tok AS DOUBLE) < {G_MIN_MEAN_TOK_LEN}
-                     OR (CAST(n_chars AS DOUBLE) - (CAST(n_tok AS DOUBLE) - 1.0))
-                        / CAST(n_tok AS DOUBLE) > {G_MAX_MEAN_TOK_LEN}
+           + (CASE WHEN n_tok > 0
+                    AND ((CAST(n_chars AS DOUBLE) - (CAST(n_tok AS DOUBLE) - 1.0))
+                         / CAST(n_tok AS DOUBLE) < {G_MIN_MEAN_TOK_LEN}
+                      OR (CAST(n_chars AS DOUBLE) - (CAST(n_tok AS DOUBLE) - 1.0))
+                         / CAST(n_tok AS DOUBLE) > {G_MAX_MEAN_TOK_LEN})
                    THEN 4 ELSE 0 END)
-           + (CASE WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)
+           + (CASE WHEN n_tok > 0
+                    AND CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)
                         < {G_MIN_UNIQ_RATIO} THEN 8 ELSE 0 END) AS mask
     FROM scored
 )

@@ -86,9 +86,14 @@ def stage_cached(df: DataFrame, cache_key: str, out_dir: str, n_batches: int,
     so it runs once per (cache_key, n_batches) and each run gets an isolated
     COPY of the staged files (small — fixture scale) with fresh mtimes. Callers
     must pass a cache_key that uniquely identifies df's content (e.g. table name
-    + sf_dir); a sloppy key silently replays the wrong data.
+    + sf_dir); a sloppy key silently replays the wrong data. order_col is part
+    of the on-disk key here — two stagings of the same source under different
+    arrival orders must never share batch files.
     """
-    safe = "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in cache_key)
+    safe = "".join(
+        ch if ch.isalnum() or ch in "._-" else "_"
+        for ch in f"{cache_key}-{order_col}"
+    )
     cache = SCRATCH / "staged" / f"{safe}-{n_batches}"
     if not cache.exists():
         build = str(cache) + ".build"

@@ -256,3 +256,37 @@ def test_mm_oracle_ascii_equivalence():
             "WHERE octet_length(encode(text)) <> length(text)"
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} non-ASCII documents break the q_mm_decode oracle"
+
+
+def test_gopher_zero_token_document(spark, tmp_path):
+    """A zero-token document makes the mean-len/uniq ratios 0/0: under Spark's
+    ANSI mode an unguarded division throws DIVIDE_BY_ZERO at runtime, and
+    DuckDB would emit NULL — so both ratio rules (bits 4, 8) are gated behind
+    n_tok > 0 on both engines (ADVICE r6). Fixtures contain no empty docs, so
+    only a synthetic table exercises the guard. The empty doc must fail ONLY
+    the min-tokens rule (bit 1)."""
+    import duckdb
+
+    from hbase_observer_es_spark.operators.splits import SQL_TEXT_GOPHER, q_text_gopher
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "synth", 0),
+            (2, "hello world", "en", "synth", 11),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    srows = sorted(tuple(r) for r in q_text_gopher(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    orows = sorted(con.sql(SQL_TEXT_GOPHER).fetchall())
+    assert srows == orows
+    (row,) = srows
+    # lang=en, 2 docs, 0 kept; both fail bit 1 (0 and 2 tokens < 30); bit 4
+    # fails only for "hello world" (mean 5.0 > 4.9) — the empty doc's ratio
+    # rules are NULL-gated, so it contributes to neither bit 4 nor bit 8
+    assert row == ("en", 2, 0, 2, 0, 1, 0)
