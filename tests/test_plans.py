@@ -815,3 +815,83 @@ def test_knn_filtered_prefilter_take_ordered(spark):
     assert facts_of(spark, "q_sim_knn_filtered").take_ordered, plan
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_salted_join_salts_both_sides(spark):
+    """Skew-proof join: the fact side carries a computed salt, the dim side is
+    exploded xN_SALTS (Generate), and the join condition includes the salt so a
+    hot suppkey spreads over N_SALTS partitions. Never a cartesian."""
+    plan = plan_of(spark, "q_join_salted")
+    assert "Generate explode" in plan, plan
+    assert "salt" in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    # fact scan prunes to the join/agg columns — no full-width lineitem read
+    li = next(c for c in scan_columns(plan) if any("l_suppkey" in x for x in c))
+    assert len(li) <= 4, li
+
+
+def test_dedup_exact_rank_filter_becomes_group_limit(spark):
+    """rn=1 over a per-text window must plan as WindowGroupLimit: each shuffle
+    partition keeps only its per-key head instead of materializing every rank —
+    at 100 TB this is the difference between a top-1 scan and a full sort of
+    the corpus inside each partition."""
+    plan = plan_of(spark, "q_dedup_exact")
+    assert "WindowGroupLimit" in plan, plan
+    assert facts_of(spark, "q_dedup_exact").exchanges == 1, plan
+
+
+def test_topk_pergroup_rank_filter_becomes_group_limit(spark):
+    """rn<=3 per brand: WindowGroupLimit partial (map-side) + final, one
+    exchange on the group key — the distributed top-k idiom, no global sort."""
+    plan = plan_of(spark, "q_topk_pergroup")
+    assert "WindowGroupLimit" in plan, plan
+    assert facts_of(spark, "q_topk_pergroup").exchanges == 1, plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Per-language hash sampling: scan -> filter -> project, zero exchanges,
+    and the scan never reads `text` (the wide column the filter doesn't use)."""
+    plan = plan_of(spark, "q_sample_stratified")
+    f = facts_of(spark, "q_sample_stratified")
+    assert f.exchanges == 0, plan
+    (cols,) = scan_columns(plan)
+    assert not any("text" in c for c in cols), cols
+
+
+def test_pct_sketch_aggregates_map_side(spark):
+    """Sketch percentiles: partial (mergeable sketch) before the exchange,
+    final after — constant memory per group, one shuffle."""
+    plan = plan_of(spark, "q_agg_pct_sketch")
+    assert "partial_" in plan, plan
+    assert facts_of(spark, "q_agg_pct_sketch").exchanges == 1, plan
+
+
+def test_knn_pudf_is_arrow_take_ordered(spark):
+    """BLAS kNN: the cosine runs as ArrowEvalPython (vectorized pandas_udf,
+    never BatchEvalPython row-at-a-time), and top-k is TakeOrdered — no global
+    sort of the scored corpus."""
+    plan = plan_of(spark, "q_sim_knn_pudf")
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert facts_of(spark, "q_sim_knn_pudf").take_ordered, plan
+
+
+def test_range_join_stays_hash_join(spark):
+    """Band join on (user_id equality + time band): the equality key keeps it a
+    partitioned hash/sort-merge join with the band as a post-join filter —
+    never BroadcastNestedLoop/Cartesian, which is what a naive non-equi join
+    plans as and what dies at 100 TB."""
+    plan = plan_of(spark, "q_join_range")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_framesample_fanout_is_executor_side(spark):
+    """mapInPandas frame fan-out: python stage in the plan, zero exchanges —
+    1->N row expansion happens inside the Arrow batch on the executor, not via
+    an explode-shuffle."""
+    plan = plan_of(spark, "q_mm_framesample")
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert facts_of(spark, "q_mm_framesample").exchanges == 0, plan
