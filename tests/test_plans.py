@@ -895,3 +895,88 @@ def test_framesample_fanout_is_executor_side(spark):
     plan = plan_of(spark, "q_mm_framesample")
     assert "MapInPandas" in plan or "mapInPandas" in plan, plan
     assert facts_of(spark, "q_mm_framesample").exchanges == 0, plan
+
+
+def test_bm25_stats_broadcast_one_corpus_scan(spark):
+    """BM25: corpus term counts computed once, the 1-row (N, avgdl, df_t)
+    stats frame broadcast back over them — the corpus is never sort-merged
+    against itself, and the final cut is TakeOrdered."""
+    plan = plan_of(spark, "q_search_bm25")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert facts_of(spark, "q_search_bm25").take_ordered, plan
+
+
+def test_simhash_is_one_explode_one_agg(spark):
+    """SimHash fingerprints: explode (Generate) then ONE map-side-combined
+    groupBy — a single exchange on doc_id, no join, linear in token count."""
+    plan = plan_of(spark, "q_dedup_simhash")
+    f = facts_of(spark, "q_dedup_simhash")
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan
+    assert f.exchanges == 1, plan
+
+
+def test_semi_anti_joins_stay_semi_anti(spark):
+    """Semi/anti joins must plan as LeftSemi/LeftAnti (ship keys, not rows —
+    never inner+distinct), with the totalprice filter pushed into the orders
+    scan so non-qualifying orders die at the parquet reader."""
+    for name, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
+        plan = plan_of(spark, name)
+        assert kind in plan, (name, plan)
+        scans = plan_facts(QUERIES[name](spark, SF_ORACLE)).scans
+        o_scan = next(s for s in scans if any("o_totalprice" in c for c in s["columns"]))
+        assert "o_totalprice" in o_scan["pushed_filters"], o_scan
+
+
+def test_cdc_merge_lww_is_group_limit(spark):
+    """CDC last-write-wins: the per-(row_key, qualifier) rank-1 cut plans as
+    WindowGroupLimit — each partition keeps only the winning cell version, the
+    change log is never fully ranked."""
+    plan = plan_of(spark, "q_cdc_doc_merge")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cube_rollup_groupingsets_expand_once(spark):
+    """CUBE/ROLLUP/GROUPING SETS: one Expand node feeding one partial+final
+    aggregate — never a union of per-grouping re-scans. cube/groupingsets run
+    over a single scan; rollup runs over an orders⋈customer join (two scans,
+    one join, still one Expand)."""
+    for name, n_scans in (
+        ("q_agg_cube", 1),
+        ("q_agg_rollup", 2),
+        ("q_agg_groupingsets", 1),
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("FileScan parquet") == n_scans, (name, plan)
+        assert plan.count("Expand") == 1, (name, plan)
+        assert "partial_" in plan, (name, plan)
+
+
+def test_win_running_single_window_exchange(spark):
+    """Running windows: one exchange on the partition key, Window over sorted
+    partitions, no join — the frame never leaves its partition."""
+    plan = plan_of(spark, "q_win_running")
+    f = facts_of(spark, "q_win_running")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert f.exchanges == 1, plan
+
+
+def test_udf_scalar_teaching_twin_is_row_at_a_time(spark):
+    """The survey-mandated UDF surface: the row-UDF twin really does plan as
+    BatchEvalPython (the slow path it exists to demonstrate) — if Spark ever
+    silently vectorized it the teaching comparison would be vacuous."""
+    plan = plan_of(spark, "q_udf_scalar")
+    assert "BatchEvalPython" in plan, plan
+
+
+def test_mm_decode_resize_python_stage_no_shuffle(spark):
+    """Multimodal decode/resize plumbing: a python (Arrow) stage over the scan
+    with zero exchanges — payloads never shuffle."""
+    for name in ("q_mm_decode", "q_mm_resize"):
+        f = facts_of(spark, name)
+        plan = plan_of(spark, name)
+        assert ("MapInPandas" in plan) or f.python_eval, (name, plan)
+        assert f.exchanges == 0, (name, plan)
