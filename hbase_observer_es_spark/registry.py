@@ -65,64 +65,18 @@ _MODULES = (
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
 # GENERATED each round by tools/rotate_priority.py (policy in rotation.py:
 # never-checked > edited-since-green [own fn before file neighbors, oldest
-# green first] > oldest-green). Round 6 inputs: CORRECTNESS_r01-r05 +
-# git round boundaries; --edited-fn q_text_ngram_rep,q_agg_normalize,
-# q_agg_sampler,s_stateful_profile,q_search_querystring,q_join_bucketed,
-# q_text_pii,q_search_span_near,q_agg_ttest (closing round-6 regeneration:
-# 39 never-checked operators head the window).
+# green first] > oldest-green). Round 7 inputs: CORRECTNESS_r01-r06 +
+# git round boundaries; --edited-fn q_agg_geoline,q_search_terms_set,
+# q_text_gopher,q_agg_ttest (round-7 hygiene round: the two scalar-output
+# rewrites head the window, then the r4-green similarity.py block and the
+# r5-green search/stats/streaming files edited in r6).
 _PRIORITY = (
     # tier 0: never driver-checked
-    "q_search_phrase_prefix",  # never checked
-    "q_search_wildcard",  # never checked
-    "q_search_regexp",  # never checked
-    "q_agg_geobounds",  # never checked
-    "q_agg_topmetrics",  # never checked
-    "q_agg_serialdiff",  # never checked
-    "q_agg_cumcard",  # never checked
-    "q_agg_pctbucket",  # never checked
-    "q_agg_boxplot",  # never checked
-    "q_agg_mad",  # never checked
-    "q_agg_ttest",  # never checked
-    "q_agg_rate",  # never checked
-    "q_agg_daterange",  # never checked
-    "q_agg_movfn",  # never checked
-    "q_agg_bucketsort",  # never checked
-    "q_agg_derivative",  # never checked
-    "q_agg_varwidth",  # never checked
-    "q_agg_itemsets",  # never checked
-    "q_search_collapse",  # never checked
-    "q_search_function_score",  # never checked
-    "q_search_rank_feature",  # never checked
     "q_search_terms_set",  # never checked
-    "q_text_pii",  # never checked
-    "q_search_dismax",  # never checked
-    "q_search_boosting",  # never checked
-    "q_search_pinned",  # never checked
-    "q_search_multimatch",  # never checked
-    "q_search_hybrid_rrf",  # never checked
-    "q_search_span_near",  # never checked
-    "q_search_intervals",  # never checked
-    "q_sim_triplet_mine",  # never checked
-    "q_sim_knn_filtered",  # never checked
-    "q_cdc_field_missing",  # never checked
     "q_agg_geoline",  # never checked
-    "q_split_assign",  # never checked
-    "q_text_gopher",  # never checked
-    "s_pii_stream",  # never checked
-    "q_search_percolate",  # never checked
-    "q_search_querystring",  # never checked
     # tier 1: file edited after last green check (oldest green first)
-    "q_join_bucketed",  # green r4, hbase_observer_es_spark/operators/scale_joins.py fn edited r6
-    "s_stateful_profile",  # green r4, hbase_observer_es_spark/streaming/stateful.py fn edited r6
-    "q_agg_sampler",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py fn edited r6
-    "q_agg_normalize",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py fn edited r6
-    "q_text_ngram_rep",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py fn edited r6
-    "q_sample_stratified",  # green r3, hbase_observer_es_spark/operators/pipeline.py file edited r4
-    "q_decontaminate",  # green r3, hbase_observer_es_spark/operators/pipeline.py file edited r4
-    "q_agg_pct_sketch",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
-    "q_agg_datehist",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
-    "q_agg_composite",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
-    "q_agg_filters",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
+    "q_agg_ttest",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py fn edited r7
+    "q_text_gopher",  # green r6, hbase_observer_es_spark/operators/splits.py fn edited r7
     "q_agg_pipeline",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
     "q_text_tokens",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
     "q_text_lang",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
@@ -167,6 +121,19 @@ _PRIORITY = (
     "q_text_unigram",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
     "q_text_boilerplate",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
     "q_text_pack_sharded",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
+    "q_agg_boxplot",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_movfn",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_bucketsort",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_derivative",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_varwidth",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_agg_itemsets",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
+    "q_search_collapse",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
+    "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
+    "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
+    "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7
     # tier 2: oldest green first, files untouched since
     "q_dedup_jaccard",  # green r3
     "q_join_broadcast",  # green r3
@@ -247,6 +214,39 @@ _PRIORITY = (
     "q_win_ntile",  # green r5
     "q_pivot",  # green r5
     "q_ann_recall",  # green r5
+    "q_search_phrase_prefix",  # green r6
+    "q_search_wildcard",  # green r6
+    "q_search_regexp",  # green r6
+    "q_join_bucketed",  # green r6
+    "q_sample_stratified",  # green r6
+    "q_decontaminate",  # green r6
+    "s_stateful_profile",  # green r6
+    "q_agg_pct_sketch",  # green r6
+    "q_agg_datehist",  # green r6
+    "q_agg_composite",  # green r6
+    "q_agg_filters",  # green r6
+    "q_agg_sampler",  # green r6
+    "q_agg_normalize",  # green r6
+    "q_agg_geobounds",  # green r6
+    "q_agg_topmetrics",  # green r6
+    "q_agg_serialdiff",  # green r6
+    "q_agg_cumcard",  # green r6
+    "q_agg_pctbucket",  # green r6
+    "q_text_pii",  # green r6
+    "q_search_dismax",  # green r6
+    "q_search_boosting",  # green r6
+    "q_search_pinned",  # green r6
+    "q_search_multimatch",  # green r6
+    "q_search_hybrid_rrf",  # green r6
+    "q_search_span_near",  # green r6
+    "q_search_intervals",  # green r6
+    "q_sim_triplet_mine",  # green r6
+    "q_sim_knn_filtered",  # green r6
+    "q_cdc_field_missing",  # green r6
+    "s_pii_stream",  # green r6
+    "q_search_percolate",  # green r6
+    "q_search_querystring",  # green r6
+    "q_text_ngram_rep",  # green r6
 )
 
 
