@@ -980,3 +980,45 @@ def test_mm_decode_resize_python_stage_no_shuffle(spark):
         plan = plan_of(spark, name)
         assert ("MapInPandas" in plan) or f.python_eval, (name, plan)
         assert f.exchanges == 0, (name, plan)
+
+
+# Queries where BroadcastNestedLoopJoin is BY DESIGN: a bounded tiny frame
+# (1-row corpus stats, a single probe vector, k centroids, a stored-query
+# registry) broadcast keylessly against the corpus. The build side is O(1)/O(k)
+# — never data-sized — so the "nested loop" is one pass over the stream side.
+_BNLJ_BY_DESIGN = {
+    "q_agg_autodatehist", "q_agg_itemsets", "q_agg_rare_terms", "q_ann_recall",
+    "q_cdc_field_missing", "q_dedup_jaccard", "q_mixture_weights",
+    "q_search_bm25", "q_search_hybrid_rrf", "q_search_mlt", "q_search_percolate",
+    "q_search_sigterms", "q_sim_ivf", "q_sim_ivf_batch", "q_sim_ivf_trained",
+    "q_sim_knn", "q_sim_knn_filtered", "q_sim_lsh", "q_sim_range",
+    "q_sim_triplet_mine",
+}
+
+# Queries planning a Scan ExistingRDD: localCheckpoint lineage cuts (iterative
+# connected components, trained centroids) or a driver-built bounded registry.
+_RDD_BY_DESIGN = {
+    "q_dedup_clusters", "q_dedup_jaccard", "q_search_percolate", "q_sim_ivf_trained",
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every batch query's plan: NO CartesianProduct ever, and
+    BroadcastNestedLoopJoin / RDD scans only in the audited by-design sets
+    above — a new query that silently plans a cartesian or falls off the
+    DataFrame path fails here before it ships."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("s_"):
+            continue  # streaming queries execute on call; batch-plan API N/A
+        plan = plan_string(fn(spark, SF_ORACLE))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BY_DESIGN:
+            flags.append("nested-loop")
+        if "Scan ExistingRDD" in plan and name not in _RDD_BY_DESIGN:
+            flags.append("rdd-scan")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
