@@ -64,19 +64,21 @@ _MODULES = (
 # bounded prefix (~50 entries) of the registry per round, so with 140+ registered
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
 # GENERATED each round by tools/rotate_priority.py (policy in rotation.py:
-# never-checked > edited-since-green [own fn before file neighbors, oldest
-# green first] > oldest-green). Round 7 inputs: CORRECTNESS_r01-r06 +
-# git round boundaries; --edited-fn q_agg_geoline,q_search_terms_set,
-# q_text_gopher,q_agg_ttest (round-7 hygiene round: the two scalar-output
-# rewrites head the window, then the r4-green similarity.py block and the
-# r5-green search/stats/streaming files edited in r6).
+# never-checked > edited-since-green [own fn > same file > imported helper,
+# oldest green first within each] > oldest-green). Round 7 inputs:
+# CORRECTNESS_r01-r06 + git round boundaries; --edited-fn q_agg_geoline,
+# q_search_terms_set,q_text_gopher,q_agg_ttest (round-7 hygiene round: the two
+# scalar-output rewrites head the window, then the r4-green similarity.py block
+# and the r5-green files edited in r6; the new import-closure tier 1.2 queues
+# the r3-greens made stale by the r5 io.py edit for the r8+ windows).
 _PRIORITY = (
-    # tier 0: never driver-checked
+    # tier 0.0: never driver-checked
     "q_search_terms_set",  # never checked
     "q_agg_geoline",  # never checked
-    # tier 1: file edited after last green check (oldest green first)
+    # tier 1.0: own fn edited after last green check
     "q_agg_ttest",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py fn edited r7
     "q_text_gopher",  # green r6, hbase_observer_es_spark/operators/splits.py fn edited r7
+    # tier 1.1: file edited after last green check (oldest green first)
     "q_agg_pipeline",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
     "q_text_tokens",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
     "q_text_lang",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
@@ -134,62 +136,66 @@ _PRIORITY = (
     "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
     "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
     "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7
-    # tier 2: oldest green first, files untouched since
-    "q_dedup_jaccard",  # green r3
-    "q_join_broadcast",  # green r3
-    "q_join_left",  # green r3
-    "q_join_semi",  # green r3
-    "q_join_anti",  # green r3
-    "q_join_star",  # green r3
-    "q_join_range",  # green r3
-    "q_join_asof",  # green r3
-    "q_agg_global",  # green r3
-    "q_agg_group",  # green r3
-    "q_agg_distinct",  # green r3
-    "q_agg_approx",  # green r3
-    "q_agg_rollup",  # green r3
-    "q_agg_cube",  # green r3
-    "q_win_rank",  # green r3
-    "q_win_running",  # green r3
-    "q_win_lag",  # green r3
-    "q_topk_pergroup",  # green r3
-    "q_sort_limit",  # green r3
-    "q_union",  # green r3
-    "q_intersect",  # green r3
-    "q_except",  # green r3
-    "q_str_funcs",  # green r3
-    "q_date_funcs",  # green r3
-    "q_math_case",  # green r3
-    "q_json_extract",  # green r3
-    "q_array_funcs",  # green r3
-    "q_cdc_snapshot",  # green r3
-    "q_cdc_tombstone",  # green r3
-    "q_cell_pivot",  # green r3
-    "q_cdc_doc_merge",  # green r3
-    "q_scan_pruned",  # green r4
-    "q_pipeline_corpus",  # green r4
-    "q_mixture_weights",  # green r4
-    "q_text_pack",  # green r4
-    "q_sample_diversified",  # green r4
-    "s_win_tumbling",  # green r4
-    "s_win_sliding",  # green r4
-    "s_win_session",  # green r4
-    "q_dedup_exact",  # green r4
-    "q_dedup_minhash",  # green r4
-    "q_dedup_simhash",  # green r4
-    "q_dedup_simhash_near",  # green r4
-    "q_dedup_clusters",  # green r4
-    "q_agg_terms_other",  # green r4
-    "q_agg_range",  # green r4
-    "q_agg_tophits",  # green r4
-    "q_agg_pctranks",  # green r4
-    "q_agg_adjacency",  # green r4
-    "q_agg_rare_terms",  # green r4
-    "q_agg_bucket_sel",  # green r4
-    "q_agg_weighted_avg",  # green r4
-    "q_agg_autodatehist",  # green r4
-    "q_text_chunk",  # green r4
-    "q_text_topword",  # green r4
+    # tier 1.2: imported helper edited after last green check (oldest green first)
+    "q_dedup_jaccard",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_broadcast",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_left",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_semi",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_anti",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_star",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_range",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_join_asof",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_global",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_group",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_distinct",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_approx",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_rollup",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_cube",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_win_rank",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_win_running",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_win_lag",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_topk_pergroup",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_sort_limit",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_union",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_intersect",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_except",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_str_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_date_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_math_case",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_json_extract",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_array_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_cdc_snapshot",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_cdc_tombstone",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_cell_pivot",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_cdc_doc_merge",  # green r3, hbase_observer_es_spark/io.py import edited r5
+    "q_scan_pruned",  # green r4, hbase_observer_es_spark/sources/filestream.py import edited r7
+    "q_pipeline_corpus",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_mixture_weights",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_text_pack",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_sample_diversified",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "s_win_tumbling",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "s_win_sliding",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "s_win_session",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_dedup_exact",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_dedup_minhash",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_dedup_simhash",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_dedup_simhash_near",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_dedup_clusters",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_terms_other",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_range",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_tophits",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_pctranks",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_adjacency",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_rare_terms",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_bucket_sel",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_weighted_avg",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_agg_autodatehist",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_text_chunk",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_text_topword",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
+    "s_stateful_profile",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
+    "s_pii_stream",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
+    # tier 2.0: oldest green first, sources untouched since
     "q_sim_knn",  # green r5
     "q_sim_pairs",  # green r5
     "q_sim_ivf",  # green r5
@@ -217,10 +223,8 @@ _PRIORITY = (
     "q_search_phrase_prefix",  # green r6
     "q_search_wildcard",  # green r6
     "q_search_regexp",  # green r6
-    "q_join_bucketed",  # green r6
     "q_sample_stratified",  # green r6
     "q_decontaminate",  # green r6
-    "s_stateful_profile",  # green r6
     "q_agg_pct_sketch",  # green r6
     "q_agg_datehist",  # green r6
     "q_agg_composite",  # green r6
@@ -243,7 +247,6 @@ _PRIORITY = (
     "q_sim_triplet_mine",  # green r6
     "q_sim_knn_filtered",  # green r6
     "q_cdc_field_missing",  # green r6
-    "s_pii_stream",  # green r6
     "q_search_percolate",  # green r6
     "q_search_querystring",  # green r6
     "q_text_ngram_rep",  # green r6

@@ -11,16 +11,22 @@ facts that are already recorded elsewhere —
 * ``file_edit_round[q]`` — the latest round in which the query's source FILE
   changed (file granularity on purpose: an edit anywhere in a module can move
   shared helpers under every query in it, which is exactly how the round-4/5
-  staleness risk arose).
+  staleness risk arose);
+* ``import_edit_round[q]`` (optional) — the latest round in which any module in
+  the defining file's transitive in-package import closure changed (a shared
+  helper like io.py or sources/filestream.py can move every importer's output).
 
 Policy (three tiers, the round-4/5 verdict wording, oldest risk first):
 
   1. never-checked      — no green row in any round; registration order.
-  2. edited-since-green — file edited in a round strictly after the query's
-                          last green check. Sub-ordered: queries whose OWN
-                          function changed (``edited_functions``, hand-fed —
-                          output values may have moved) before same-file
-                          neighbors; oldest green first within each.
+  2. edited-since-green — source edited in a round strictly after the query's
+                          last green check. Sub-ordered by edit proximity —
+                          the closer the edit, the higher the risk: queries
+                          whose OWN function changed (``edited_functions``,
+                          hand-fed — output values may have moved), then
+                          same-FILE neighbors, then import-closure staleness
+                          (a helper the file imports changed); oldest green
+                          first within each.
   3. oldest-green       — everything else, oldest green first.
 
 Ties inside a tier keep registration order, so the schedule is deterministic
@@ -37,6 +43,7 @@ def derive_order(
     last_green: dict[str, int | None],
     file_edit_round: dict[str, int | None],
     edited_functions: set[str] | None = None,
+    import_edit_round: dict[str, int | None] | None = None,
 ) -> list[str]:
     """Order ``names`` by the three-tier rotation policy.
 
@@ -44,14 +51,19 @@ def derive_order(
     missing from ``last_green`` (or mapped to None) is tier 1; a missing or
     None ``file_edit_round`` means "not edited since any check" (never tier 2).
     ``edited_functions`` lists queries whose own definition changed this round —
-    inside the edited-since-green tier they verify before file neighbors.
+    inside the edited-since-green tier they verify before file neighbors, who
+    in turn verify before queries stale only through ``import_edit_round``
+    (a transitively imported helper changed — real risk, but weaker than an
+    edit in the defining file itself).
     """
     reg_pos = {n: i for i, n in enumerate(names)}
     fn_edited = edited_functions or set()
+    import_edits = import_edit_round or {}
 
     def key(n: str) -> tuple:
         green = last_green.get(n)
         edited = file_edit_round.get(n)
+        imported = import_edits.get(n)
         if green is None:
             tier = 0
             sub = 0
@@ -59,6 +71,10 @@ def derive_order(
         elif edited is not None and edited > green:
             tier = 1
             sub = 0 if n in fn_edited else 1
+            age = green
+        elif imported is not None and imported > green:
+            tier = 1
+            sub = 2
             age = green
         else:
             tier = 2

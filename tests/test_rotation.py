@@ -57,3 +57,28 @@ def test_every_name_survives_exactly_once():
         file_edit_round={n: 2 for n in NAMES},
     )
     assert sorted(order) == sorted(NAMES)
+
+
+def test_import_staleness_is_weakest_tier1_sub():
+    # q_a: file edited r4 after green r3 (direct); q_b: only an imported
+    # helper edited r4 after green r2 (transitive); q_c: green r1, nothing
+    # edited. Direct file edits outrank import staleness even with a newer
+    # green; import staleness still outranks the untouched tier.
+    order = derive_order(
+        ["q_b", "q_a", "q_c"],
+        last_green={"q_a": 3, "q_b": 2, "q_c": 1},
+        file_edit_round={"q_a": 4},
+        import_edit_round={"q_b": 4},
+    )
+    assert order == ["q_a", "q_b", "q_c"]
+
+
+def test_import_edit_in_green_round_is_not_stale():
+    # helper edited in the SAME round the query went green — the check saw it
+    order = derive_order(
+        ["q_a", "q_b"],
+        last_green={"q_a": 3, "q_b": 1},
+        file_edit_round={},
+        import_edit_round={"q_a": 3},
+    )
+    assert order == ["q_b", "q_a"]  # both tier 2, oldest green first

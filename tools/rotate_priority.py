@@ -8,6 +8,13 @@ Inputs (both already on disk — nothing hand-maintained):
   round boundaries (edits after the last boundary, committed or not, belong
   to the in-progress round).
 
+A query's "source file" is its defining module plus that module's TRANSITIVE
+in-package import closure: an edit to a shared helper (io.py, functions.py,
+sources/, sinks/) can move the output of every query importing it, so those
+queries go stale too — the round-7 stage_cached fix changed sources/
+filestream.py and would otherwise have left every streaming query's green
+standing (the round-4/5 staleness risk, generalized to helper modules).
+
 Output: the ordered query tuple per rotation.derive_order (never-checked >
 edited-since-green > oldest-green), printed as Python source ready to paste
 into registry._PRIORITY, with one comment line per tier boundary.
@@ -20,6 +27,7 @@ Usage: python tools/rotate_priority.py [--repo /root/repo]
 from __future__ import annotations
 
 import argparse
+import ast
 import glob
 import importlib
 import json
@@ -27,6 +35,56 @@ import os
 import re
 import subprocess
 import sys
+
+PKG = "hbase_observer_es_spark"
+
+
+def _imports_of(repo: str, rel: str) -> set[str]:
+    """Repo-relative paths of in-package modules ``rel`` imports directly."""
+    with open(os.path.join(repo, rel)) as f:
+        tree = ast.parse(f.read())
+    parts = rel[: -len(".py")].split("/")  # e.g. [PKG, 'streaming', 'scrub']
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    out: set[str] = set()
+
+    def add(mod_parts: list[str]) -> None:
+        if not mod_parts or mod_parts[0] != PKG:
+            return
+        base = os.path.join(repo, *mod_parts)
+        for cand in (base + ".py", os.path.join(base, "__init__.py")):
+            if os.path.isfile(cand):
+                out.add(os.path.relpath(cand, repo))
+                return
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                add(alias.name.split("."))
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: strip `level` components off this module
+                base = parts[: -node.level] if node.level < len(parts) else []
+                mod = base + (node.module.split(".") if node.module else [])
+            else:
+                mod = node.module.split(".") if node.module else []
+            add(mod)
+            # `from ..operators import pii` style: each alias may be a module
+            for alias in node.names:
+                add(mod + [alias.name])
+    return out
+
+
+def module_closure(repo: str, rel: str) -> set[str]:
+    """``rel`` plus every in-package file it transitively imports."""
+    seen: set[str] = set()
+    stack = [rel]
+    while stack:
+        cur = stack.pop()
+        if cur in seen:
+            continue
+        seen.add(cur)
+        stack.extend(_imports_of(repo, cur) - seen)
+    return seen
 
 
 def registration_order_and_files(repo: str) -> tuple[list[str], dict[str, str]]:
@@ -113,37 +171,63 @@ def main() -> None:
     greens = last_green_rounds(repo)
     file_rounds = file_edit_rounds(repo)
     last_green = {n: greens.get(n) for n in names}
+    closures = {rel: module_closure(repo, rel) for rel in set(files.values())}
+
+    def closure_round(rel: str) -> int | None:
+        rounds = [
+            file_rounds[f] for f in closures[rel] - {rel} if f in file_rounds
+        ]
+        return max(rounds) if rounds else None
+
     edit_round = {n: file_rounds.get(files[n]) for n in names}
+    import_round = {n: closure_round(files[n]) for n in names}
 
     from hbase_observer_es_spark.rotation import derive_order
 
-    order = derive_order(names, last_green, edit_round, edited_functions=edited_fn)
+    order = derive_order(
+        names,
+        last_green,
+        edit_round,
+        edited_functions=edited_fn,
+        import_edit_round=import_round,
+    )
 
-    def tier_of(n: str) -> int:
-        g, e = last_green[n], edit_round[n]
+    def tier_of(n: str) -> tuple[int, int]:
+        g, e, i = last_green[n], edit_round[n], import_round[n]
         if g is None:
-            return 0
+            return (0, 0)
         if e is not None and e > g:
-            return 1
-        return 2
+            return (1, 0 if n in edited_fn else 1)
+        if i is not None and i > g:
+            return (1, 2)
+        return (2, 0)
 
     labels = {
-        0: "never driver-checked",
-        1: "file edited after last green check (oldest green first)",
-        2: "oldest green first, files untouched since",
+        (0, 0): "never driver-checked",
+        (1, 0): "own fn edited after last green check",
+        (1, 1): "file edited after last green check (oldest green first)",
+        (1, 2): "imported helper edited after last green check (oldest green first)",
+        (2, 0): "oldest green first, sources untouched since",
     }
     prev = None
     print("_PRIORITY = (")
     for n in order:
         t = tier_of(n)
         if t != prev:
-            print(f"    # tier {t}: {labels[t]}")
+            print(f"    # tier {t[0]}.{t[1]}: {labels[t]}")
             prev = t
-        g, e = last_green[n], edit_round[n]
+        g = last_green[n]
         note = f"green r{g}" if g else "never checked"
-        if t == 1:
-            kind = "fn edited" if n in edited_fn else "file edited"
-            note += f", {files[n]} {kind} r{e}"
+        if t[0] == 1:
+            if t[1] == 2:
+                culprit = max(
+                    (f for f in closures[files[n]] - {files[n]} if f in file_rounds),
+                    key=lambda f: file_rounds[f],
+                )
+                note += f", {culprit} import edited r{import_round[n]}"
+            else:
+                kind = "fn edited" if n in edited_fn else "file edited"
+                note += f", {files[n]} {kind} r{edit_round[n]}"
         print(f'    "{n}",  # {note}')
     print(")")
 
