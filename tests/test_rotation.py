@@ -82,3 +82,27 @@ def test_import_edit_in_green_round_is_not_stale():
         import_edit_round={"q_a": 3},
     )
     assert order == ["q_b", "q_a"]  # both tier 2, oldest green first
+
+
+def test_module_closure_follows_relative_and_symbol_imports():
+    """The tool-side import-closure walk must see all three in-package import
+    styles: `from ..io import table` (relative symbol), `from ..sources.
+    filestream import ...` (relative dotted), and `from .stateful import ...`
+    (sibling) — checked against the real tree, so a refactor that breaks the
+    AST walk (and would silently stop marking importers stale) fails here."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from rotate_priority import module_closure
+
+    c = module_closure(repo, "hbase_observer_es_spark/streaming/scrub.py")
+    assert "hbase_observer_es_spark/streaming/scrub.py" in c  # itself
+    assert "hbase_observer_es_spark/io.py" in c  # relative symbol import
+    assert "hbase_observer_es_spark/sources/filestream.py" in c  # dotted
+    assert "hbase_observer_es_spark/streaming/stateful.py" in c  # sibling
+    # transitive: stateful -> sinks.keyed_parquet
+    assert "hbase_observer_es_spark/sinks/keyed_parquet.py" in c
+    # never escapes the package
+    assert all(p.startswith("hbase_observer_es_spark/") for p in c)
