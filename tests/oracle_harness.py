@@ -73,6 +73,29 @@ def _rows_to_multiset(cols: list[str], rows: list[tuple]) -> dict:
 
 
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
+    # The DRIVER canonicalizes results by sorting rows in pandas, where a
+    # complex-typed cell is an unhashable numpy.ndarray — a hard failure there
+    # even when values match (the round-6 q_agg_geoline/q_search_terms_set
+    # reds). _norm_cell below stringifies lists, so without this guard the
+    # LOCAL sweep passes queries the driver cannot check. Mirror the driver's
+    # constraint: complex-typed Spark output columns fail here too
+    # (registry.py output-shape contract).
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if complex_cols:
+        return CompareResult(
+            name=name,
+            ok=False,
+            row_count_spark=-1,
+            row_count_oracle=-1,
+            detail=(
+                f"complex-typed output columns {complex_cols} — the driver "
+                "canonicalizer cannot sort these; array_join or explode them"
+            ),
+        )
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     # The driver fetches the oracle through pandas, where DuckDB HUGEINT (e.g.

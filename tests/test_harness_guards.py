@@ -38,3 +38,15 @@ def test_hugeint_guard_silent_after_bigint_cast(spark):
         "hugeint_cast", sdf, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM tb"
     )
     assert res.ok, res.detail
+
+
+def test_complex_output_guard_fires_on_array_column(spark):
+    """The harness must mirror the driver's no-complex-columns constraint: an
+    array-typed Spark output column fails the comparison with an actionable
+    message instead of being silently stringified past the driver's real
+    behavior (the round-6 geoline/terms_set gap)."""
+    con = _tiny_con()
+    sdf = spark.createDataFrame([([1, 2],)], "arr array<int>")
+    res = compare("array_probe", sdf, con, "SELECT 1 AS x")
+    assert not res.ok
+    assert "arr" in res.detail and "array_join" in res.detail
