@@ -1,0 +1,125 @@
+"""EsBulkSink: byte-level ``_bulk`` NDJSON wire format, the 10k action cap,
+and the per-key ordering contract — verified without an ES server by parsing
+the emitted request bodies (the format is the public ES REST ``_bulk`` API)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+
+from hbase_observer_es_spark.sinks.es_bulk import (
+    EsBulkSink,
+    bulk_actions,
+    write_bulk,
+)
+from hbase_observer_es_spark.sources.filestream import scratch_dir
+
+SCHEMA = "row_key string, qualifier string, value string, op string, ts timestamp"
+
+
+def _t(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _parse_bodies(out_dir: str) -> list[list[dict]]:
+    """Each part file is one bulk request body: parse to a list of JSON lines."""
+    bodies = []
+    for f in sorted(glob.glob(f"{out_dir}/part-*")):
+        with open(f) as fh:
+            lines = [json.loads(ln) for ln in fh if ln.strip()]
+        if lines:
+            bodies.append(lines)
+    return bodies
+
+
+def test_update_action_wire_format(spark):
+    """A multi-cell Put becomes ONE update action: metadata line then a
+    qualifier-sorted partial doc with doc_as_upsert — the NDJSON twin of
+    HbaseDataSyncEsObserver.java:85-87."""
+    mut = spark.createDataFrame(
+        [
+            ("u1", "view", "3", "upsert", _t(1)),
+            ("u1", "click", "7", "upsert", _t(1)),  # same Put (same ts)
+        ],
+        SCHEMA,
+    )
+    rows = bulk_actions(mut, index="idx").collect()
+    assert len(rows) == 1 and rows[0].op == "upsert"
+    meta_line, doc_line = rows[0].action.split("\n")
+    assert json.loads(meta_line) == {"update": {"_index": "idx", "_id": "u1"}}
+    doc = json.loads(doc_line)
+    assert doc == {"doc": {"click": "7", "view": "3"}, "doc_as_upsert": True}
+    # qualifier-sorted emission, not collect_list arrival order
+    assert list(doc["doc"]) == ["click", "view"]
+
+
+def test_delete_action_and_put_boundaries(spark):
+    """Deletes are single-line actions; distinct timestamps = distinct Puts =
+    distinct update actions (the per-RPC granularity of the coprocessor)."""
+    mut = spark.createDataFrame(
+        [
+            ("u1", "view", "1", "upsert", _t(1)),
+            ("u1", "view", "2", "upsert", _t(2)),
+            ("u1", "error", None, "delete", _t(3)),
+        ],
+        SCHEMA,
+    )
+    rows = {(r.op, r.ts): r.action for r in bulk_actions(mut, index="i").collect()}
+    assert len(rows) == 3
+    assert json.loads(rows[("delete", _t(3))]) == {
+        "delete": {"_index": "i", "_id": "u1"}
+    }
+
+
+def test_json_escaping_roundtrips(spark):
+    """Values with quotes, backslashes, newlines and non-ASCII must survive —
+    to_json does the escaping JVM-side."""
+    nasty = 'say "hi"\\\n\tcafé'
+    mut = spark.createDataFrame([("k", "q", nasty, "upsert", _t(1))], SCHEMA)
+    action = bulk_actions(mut).collect()[0].action
+    # the payload splits into exactly 2 NDJSON lines despite the raw newline
+    lines = action.split("\n")
+    assert len(lines) == 2
+    assert json.loads(lines[1])["doc"]["q"] == nasty
+
+
+def test_bulk_cap_and_key_ordering(spark):
+    """No request body exceeds max_actions, and within every body one key's
+    actions appear in ts order (the reference's exact ordering exposure:
+    a key may straddle bodies only at the cap boundary)."""
+    muts = [(f"k{i % 7}", "view", str(i), "upsert", _t(i)) for i in range(100)]
+    mut = spark.createDataFrame(muts, SCHEMA)
+    out = scratch_dir("es_bulk_cap_test")
+    write_bulk(bulk_actions(mut), out, max_actions=10, n_partitions=3)
+    bodies = _parse_bodies(out)
+    assert bodies and all(
+        sum(1 for ln in body if "update" in ln or "delete" in ln) <= 10
+        for body in bodies
+    )
+    # total actions preserved: 100 mutations = 100 Puts (unique ts per key)
+    assert sum(sum(1 for ln in b if "update" in ln) for b in bodies) == 100
+    # per-key ts order within each body
+    for body in bodies:
+        seen: dict[str, str] = {}
+        for meta, doc in zip(body[0::2], body[1::2]):
+            key = meta["update"]["_id"]
+            val = doc["doc"]["view"]
+            if key in seen:
+                assert int(seen[key]) < int(val)
+            seen[key] = val
+
+
+def test_foreachbatch_sink_writes_batch_dirs(spark):
+    """EsBulkSink.write_batch lands each micro-batch as its own directory of
+    request bodies; a replayed batch id overwrites idempotently."""
+    sink = EsBulkSink(scratch_dir("es_bulk_stream_test"), index="obs")
+    b0 = spark.createDataFrame([("a", "q", "1", "upsert", _t(1))], SCHEMA)
+    b1 = spark.createDataFrame([("a", "q", None, "delete", _t(2))], SCHEMA)
+    sink.write_batch(b0, 0)
+    sink.write_batch(b1, 1)
+    sink.write_batch(b0, 0)  # checkpoint replay
+    assert _parse_bodies(sink.batch_dir(0))[0][0]["update"]["_id"] == "a"
+    assert _parse_bodies(sink.batch_dir(1))[0][0]["delete"]["_id"] == "a"
+    # replay produced the same single body, not an append
+    assert len(_parse_bodies(sink.batch_dir(0))) == 1
