@@ -1,0 +1,348 @@
+"""Definition-level staleness analysis for the verification-rotation policy.
+
+rotation.py's edited-since-green tier is file-granular: ANY edit to a query's
+defining module (or a module in its import closure) marks the query stale. That
+is safely conservative but wasteful — most cross-round edits in this repo are
+ADDITIVE (a new query function appended to an existing module), and the bounded
+driver window (~50 rows/round) then burns slots re-checking queries whose
+executable surface is bit-identical to the last green check.
+
+This module makes the distinction provable instead of guessed: from the
+CURRENT source, compute the set of top-level definitions a query actually
+reaches — its function, the oracle-SQL constant, and every in-package def
+transitively referenced — then compare exactly those definitions' ASTs against
+the source as of the query's last green check. If none changed, the edit was
+additive FOR THIS QUERY and it demotes to a lower sub-tier (still ahead of
+queries with no pending edit at all; rotation.py holds the ordering contract).
+
+Conservatism rules (every uncertainty resolves to "affected"):
+
+* unparseable old/new source, missing old blob (file added/renamed)  → affected;
+* dynamic constructs anywhere in a reachable def (``getattr``/``eval``/
+  ``exec``/``__import__``/``globals``/``vars``/``importlib``) or a star
+  import in a reachable module → affected;
+* a module alias used as a bare value (whole-module dependence) → depends on
+  every definition in that module;
+* module-level residual statements (anything executed at import that is not a
+  def/class/import/named assignment) are compared as one unit per module;
+* QUERIES/ORACLES registry entries that are not plain ``{"name": NAME}``
+  references → roots unknown → affected.
+
+Docstrings (module, class, function) are stripped before comparison: this
+repo's docstrings carry provenance/scale notes and are edited freely; a
+docstring-only change cannot move values.
+
+AST comparison, not text: formatting and comments don't count; any semantic
+token does (``ast.dump`` of the docstring-stripped definition).
+"""
+
+from __future__ import annotations
+
+import ast
+from dataclasses import dataclass, field
+
+MODULE_RESIDUAL = "<module>"
+_DYNAMIC_NAMES = {
+    "getattr", "setattr", "delattr", "eval", "exec", "__import__",
+    "globals", "vars", "locals", "importlib",
+}
+
+
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:]
+    return tree
+
+
+def parse_defs(src: str) -> dict[str, str] | None:
+    """Top-level name → normalized AST dump of its definition(s); the
+    ``MODULE_RESIDUAL`` key holds every other top-level statement (import
+    statements excluded — import CHANGES surface through the resolved
+    definitions themselves). None if the source does not parse."""
+    try:
+        tree = _strip_docstrings(ast.parse(src))
+    except SyntaxError:
+        return None
+    out: dict[str, list[str]] = {}
+    residual: list[str] = []
+
+    def add(name: str, node: ast.AST) -> None:
+        out.setdefault(name, []).append(ast.dump(node))
+
+    for node in tree.body:  # type: ignore[union-attr]
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            add(node.name, node)
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue
+        elif isinstance(node, ast.Assign) and all(
+            isinstance(t, ast.Name) for t in node.targets
+        ):
+            for t in node.targets:
+                add(t.id, node)  # type: ignore[union-attr]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            add(node.target.id, node)
+        else:
+            residual.append(ast.dump(node))
+    defs = {name: "\n".join(dumps) for name, dumps in out.items()}
+    defs[MODULE_RESIDUAL] = "\n".join(residual)
+    return defs
+
+
+def changed_defs(old_src: str | None, new_src: str) -> set[str] | None:
+    """Names whose definition differs between old and new source: changed,
+    added-in-new, removed-from-old, plus ``MODULE_RESIDUAL`` when module-level
+    executable statements moved. None = cannot prove anything (unparseable or
+    no old source) — the caller must treat every name as changed."""
+    new = parse_defs(new_src)
+    old = parse_defs(old_src) if old_src is not None else None
+    if new is None or old is None:
+        return None
+    changed = {n for n, d in new.items() if old.get(n) != d}
+    changed |= {n for n in old if n not in new}
+    if old[MODULE_RESIDUAL] == new[MODULE_RESIDUAL]:
+        changed.discard(MODULE_RESIDUAL)
+    return changed
+
+
+def query_roots(src: str, qname: str) -> set[str] | None:
+    """The top-level names a registered query hangs from: the value NAMES of
+    the ``QUERIES``/``ORACLES`` dict entries for ``qname`` (the Spark callable
+    and the oracle-SQL constant — the driver consumes BOTH). None when the
+    entry exists in a form this static scan can't resolve."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    roots: set[str] = set()
+    found = 0
+    for node in tree.body:
+        if not (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id in ("QUERIES", "ORACLES")
+            and isinstance(node.value, ast.Dict)
+        ):
+            continue
+        for k, v in zip(node.value.keys, node.value.values):
+            if isinstance(k, ast.Constant) and k.value == qname:
+                found += 1
+                if isinstance(v, ast.Name):
+                    roots.add(v.id)
+                else:
+                    return None  # computed entry — not statically resolvable
+    return roots if found else None
+
+
+@dataclass
+class ModuleView:
+    """Static view of one module: top-level defs, resolved in-package imports,
+    and the names each top-level def references."""
+
+    rel: str
+    defs: dict[str, str]
+    # local name → (module rel path, remote name | None).  None = the alias IS
+    # the module object (``from ..operators import pii`` / ``import pkg.io``).
+    imports: dict[str, tuple[str, str | None]] = field(default_factory=dict)
+    has_star_import: bool = False
+    _tree: ast.AST | None = None
+
+    @classmethod
+    def parse(cls, rel: str, src: str, resolve) -> "ModuleView | None":
+        """``resolve(parts: list[str]) -> rel | None`` maps a dotted in-package
+        module to its repo-relative path (None = external / not a module)."""
+        defs = parse_defs(src)
+        if defs is None:
+            return None
+        tree = ast.parse(src)
+        view = cls(rel=rel, defs=defs, _tree=tree)
+        pkg_parts = rel[: -len(".py")].split("/")
+        if pkg_parts[-1] == "__init__":
+            pkg_parts = pkg_parts[:-1]
+        for node in tree.body:  # type: ignore[union-attr]
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    parts = alias.name.split(".")
+                    target = resolve(parts)
+                    if target is not None:
+                        view.imports[alias.asname or parts[0]] = (target, None)
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:
+                    base = pkg_parts[: -node.level] if node.level < len(pkg_parts) else []
+                    mod = base + (node.module.split(".") if node.module else [])
+                else:
+                    mod = node.module.split(".") if node.module else []
+                mod_rel = resolve(mod)
+                for alias in node.names:
+                    if alias.name == "*":
+                        if mod_rel is not None:
+                            view.has_star_import = True
+                        continue
+                    sub_rel = resolve(mod + [alias.name])
+                    if sub_rel is not None:  # imported a submodule
+                        view.imports[alias.asname or alias.name] = (sub_rel, None)
+                    elif mod_rel is not None:  # imported a def from the module
+                        view.imports[alias.asname or alias.name] = (mod_rel, alias.name)
+        return view
+
+    def _def_node(self, name: str) -> list[ast.AST]:
+        nodes = []
+        for node in self._tree.body:  # type: ignore[union-attr]
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name == name:
+                    nodes.append(node)
+            elif isinstance(node, ast.Assign):
+                if any(isinstance(t, ast.Name) and t.id == name for t in node.targets):
+                    nodes.append(node)
+            elif isinstance(node, ast.AnnAssign):
+                if isinstance(node.target, ast.Name) and node.target.id == name:
+                    nodes.append(node)
+        return nodes
+
+    def references(self, name: str) -> tuple[set[str], set[tuple[str, str]], bool]:
+        """What the definition of ``name`` touches: (bare names — attribute
+        bases excluded, (base, attr) attribute pairs, uses_dynamic). The manual
+        walk keeps ``mod.attr`` from ALSO counting ``mod`` as a bare use, so a
+        module alias only ever accessed via attributes doesn't expand to
+        whole-module dependence."""
+        names: set[str] = set()
+        attrs: set[tuple[str, str]] = set()
+        dynamic = False
+        stack: list[ast.AST] = list(self._def_node(name))
+        while stack:
+            sub = stack.pop()
+            if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+                attrs.add((sub.value.id, sub.attr))
+                if sub.value.id in _DYNAMIC_NAMES:
+                    dynamic = True
+                continue  # don't descend: the base Name is NOT a bare use
+            if isinstance(sub, ast.Name):
+                names.add(sub.id)
+                if sub.id in _DYNAMIC_NAMES:
+                    dynamic = True
+                continue
+            stack.extend(ast.iter_child_nodes(sub))
+        return names, attrs, dynamic
+
+
+class DepGraph:
+    """Reachability over a set of parsed modules. ``sources`` maps repo-relative
+    path → current source text."""
+
+    def __init__(self, sources: dict[str, str], resolve):
+        self._sources = sources
+        self._resolve = resolve
+        self._views: dict[str, ModuleView | None] = {}
+
+    def view(self, rel: str) -> ModuleView | None:
+        if rel not in self._views:
+            src = self._sources.get(rel)
+            self._views[rel] = (
+                ModuleView.parse(rel, src, self._resolve) if src is not None else None
+            )
+        return self._views[rel]
+
+    def closure(self, rel: str, roots: set[str]) -> tuple[set[tuple[str, str]], bool]:
+        """All (module rel, def name) pairs reachable from ``roots`` in ``rel``,
+        plus an ``opaque`` flag (dynamic construct / star import / unparseable
+        module seen — the closure is then NOT exhaustive and the caller must be
+        conservative). Every reachable module contributes its MODULE_RESIDUAL."""
+        reached: set[tuple[str, str]] = set()
+        opaque = False
+        work: list[tuple[str, str]] = [(rel, r) for r in roots]
+        seen_modules: set[str] = set()
+        while work:
+            cur_rel, name = work.pop()
+            if (cur_rel, name) in reached:
+                continue
+            v = self.view(cur_rel)
+            if v is None:
+                return reached, True
+            if cur_rel not in seen_modules:
+                seen_modules.add(cur_rel)
+                reached.add((cur_rel, MODULE_RESIDUAL))
+                if v.has_star_import:
+                    opaque = True
+            if name not in v.defs:
+                if name in v.imports:  # re-export: follow the import chain
+                    tgt_rel, remote = v.imports[name]
+                    if remote is not None:
+                        work.append((tgt_rel, remote))
+                    else:
+                        tv = self.view(tgt_rel)
+                        if tv is None:
+                            return reached, True
+                        work.extend((tgt_rel, d) for d in tv.defs)
+                continue  # else: builtin / parameter shadow — nothing to track
+            reached.add((cur_rel, name))
+            names, attrs, dynamic = v.references(name)
+            opaque |= dynamic
+            for n in names:
+                if n in v.defs and (cur_rel, n) not in reached:
+                    work.append((cur_rel, n))
+                elif n in v.imports:
+                    tgt_rel, remote = v.imports[n]
+                    if remote is not None:
+                        work.append((tgt_rel, remote))
+                    else:
+                        # bare use of a module object (attribute accesses are
+                        # excluded from `names` by references()): conservative
+                        # whole-module dependence
+                        tv = self.view(tgt_rel)
+                        if tv is None:
+                            return reached, True
+                        work.extend((tgt_rel, d) for d in tv.defs)
+            for base, attr in attrs:
+                if base in v.imports:
+                    tgt_rel, remote = v.imports[base]
+                    if remote is None:
+                        work.append((tgt_rel, attr))
+                    # attribute on a from-imported def: already covered by the
+                    # (tgt_rel, remote) walk above
+        return reached, opaque
+
+
+def is_affected(
+    graph: DepGraph,
+    rel: str,
+    qname: str,
+    old_sources: dict[str, str | None],
+) -> bool:
+    """True unless PROVABLY unaffected: every definition reachable from the
+    query's roots (Spark callable + oracle SQL) has an identical AST in
+    ``old_sources`` (module rel → source at the query's last green check;
+    missing key = module didn't exist then)."""
+    src = graph._sources.get(rel)
+    if src is None:
+        return True
+    roots = query_roots(src, qname)
+    if roots is None:
+        return True
+    # Rebinding guard: the registry ENTRY is part of the surface — if the
+    # QUERIES/ORACLES value names for qname differ from the old source (e.g.
+    # the entry now points at a different, individually-unchanged function),
+    # the def-level comparison below would never see it.
+    old_entry_src = old_sources.get(rel)
+    if old_entry_src is None or query_roots(old_entry_src, qname) != roots:
+        return True
+    reached, opaque = graph.closure(rel, roots)
+    if opaque:
+        return True
+    by_module: dict[str, set[str]] = {}
+    for mod_rel, name in reached:
+        by_module.setdefault(mod_rel, set()).add(name)
+    for mod_rel, names in by_module.items():
+        changed = changed_defs(old_sources.get(mod_rel), graph._sources[mod_rel])
+        if changed is None or (changed & names):
+            return True
+    return False

@@ -64,13 +64,18 @@ _MODULES = (
 # bounded prefix (~50 entries) of the registry per round, so with 140+ registered
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
 # GENERATED each round by tools/rotate_priority.py (policy in rotation.py:
-# never-checked > edited-since-green [own fn > same file > imported helper,
-# oldest green first within each] > oldest-green). Round 7 inputs:
-# CORRECTNESS_r01-r06 + git round boundaries; --edited-fn q_agg_geoline,
-# q_search_terms_set,q_text_gopher,q_agg_ttest (round-7 hygiene round: the two
-# scalar-output rewrites head the window, then the r4-green similarity.py block
-# and the r5-green files edited in r6; the new import-closure tier 1.2 queues
-# the r3-greens made stale by the r5 io.py edit for the r8+ windows).
+# never-checked > edited-since-green [own fn > file-affected > import-affected
+# > PROVEN-unaffected file/import (astdeps.py: the query's entire reachable
+# definition closure — fn, oracle SQL, every in-package def it uses — is
+# AST-identical to the source at its last green check), oldest green first
+# within each] > oldest-green). Round 7 inputs: CORRECTNESS_r01-r06 + git
+# round boundaries; --edited-fn q_agg_geoline,q_search_terms_set,q_text_gopher,
+# q_agg_ttest. The two scalar-output rewrites head the window, then the
+# r4-green similarity.py block (genuinely affected) and the io.py-dependent
+# r3/r4 greens the astdeps proof could NOT clear (io.table's def changed r5);
+# 33 additive-edit rows it DID clear (e.g. the search.py r5 greens whose
+# closures dodge the three r6-added queries) demote to tiers 1.3/1.4, freeing
+# their window slots for rows with real pending risk.
 _PRIORITY = (
     # tier 0.0: never driver-checked
     "q_search_terms_set",  # never checked
@@ -100,42 +105,9 @@ _PRIORITY = (
     "q_geo_bbox",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
     "q_geo_grid",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
     "q_geo_distance",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
-    "q_search_bm25",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_phrase",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_fuzzy",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_mlt",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_sigterms",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_suggest",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_highlight",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_bool",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_search_prefix",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
-    "q_get_by_key",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6
     "s_upsert_sink",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
     "s_session_stream",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
     "s_join_stream",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
-    "q_agg_multiterms",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_agg_stringstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_agg_matrixstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_agg_geocentroid",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_agg_bucketstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_agg_scripted",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_agg_bucket_script",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6
-    "q_text_unigram",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
-    "q_text_boilerplate",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
-    "q_text_pack_sharded",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6
-    "q_agg_boxplot",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_movfn",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_bucketsort",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_derivative",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_varwidth",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_agg_itemsets",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7
-    "q_search_collapse",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
-    "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
-    "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7
-    "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7
     # tier 1.2: imported helper edited after last green check (oldest green first)
     "q_dedup_jaccard",  # green r3, hbase_observer_es_spark/io.py import edited r5
     "q_join_broadcast",  # green r3, hbase_observer_es_spark/io.py import edited r5
@@ -192,9 +164,44 @@ _PRIORITY = (
     "q_agg_autodatehist",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "q_text_chunk",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "q_text_topword",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
     "s_stateful_profile",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
     "s_pii_stream",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
+    # tier 1.3: file edited, reachable defs PROVEN unchanged (astdeps)
+    "q_search_bm25",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_phrase",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_fuzzy",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_mlt",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_sigterms",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_suggest",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_highlight",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_bool",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_search_prefix",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_get_by_key",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "q_agg_multiterms",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_agg_stringstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_agg_matrixstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_agg_geocentroid",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_agg_bucketstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_agg_scripted",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_agg_bucket_script",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
+    "q_text_unigram",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
+    "q_text_boilerplate",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
+    "q_text_pack_sharded",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
+    "q_agg_boxplot",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_movfn",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_bucketsort",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_derivative",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_varwidth",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_itemsets",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_search_collapse",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
+    "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
+    "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
+    "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7, closure AST-unchanged
+    # tier 1.4: imported helper edited, reachable defs PROVEN unchanged (astdeps)
+    "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7, closure AST-unchanged
     # tier 2.0: oldest green first, sources untouched since
     "q_sim_knn",  # green r5
     "q_sim_pairs",  # green r5

@@ -29,6 +29,19 @@ Policy (three tiers, the round-4/5 verdict wording, oldest risk first):
                           first within each.
   3. oldest-green       — everything else, oldest green first.
 
+Definition-level refinement (round 7, astdeps.py): file granularity
+over-approximates — most cross-round edits here are ADDITIVE (new query
+functions appended to existing modules), and with 170+ queries vs a ~50-row
+driver window, a file-granular tier 2 lets provably-untouched rows crowd out
+genuinely at-risk ones. ``unaffected`` names the edited-since-green queries
+whose ENTIRE reachable definition closure (their function, their oracle-SQL
+constant, every in-package def they transitively use — astdeps.is_affected,
+conservative on any uncertainty) is AST-identical to the source at their last
+green check. Those demote WITHIN tier 2 — below every possibly-affected row,
+still above tier 3 (the file did change; the proof, not the schedule, is the
+new part). Sub-order: own-fn edited > file-edited affected > import-edited
+affected > file-edited proven-unaffected > import-edited proven-unaffected.
+
 Ties inside a tier keep registration order, so the schedule is deterministic
 and the same-file neighbors of an edit stay adjacent. ``tools/rotate_priority.py``
 derives both inputs (CORRECTNESS files + git round boundaries) and emits the
@@ -44,6 +57,7 @@ def derive_order(
     file_edit_round: dict[str, int | None],
     edited_functions: set[str] | None = None,
     import_edit_round: dict[str, int | None] | None = None,
+    unaffected: set[str] | None = None,
 ) -> list[str]:
     """Order ``names`` by the three-tier rotation policy.
 
@@ -54,11 +68,15 @@ def derive_order(
     inside the edited-since-green tier they verify before file neighbors, who
     in turn verify before queries stale only through ``import_edit_round``
     (a transitively imported helper changed — real risk, but weaker than an
-    edit in the defining file itself).
+    edit in the defining file itself). ``unaffected`` (astdeps proof, module
+    docstring) demotes edited-since-green rows below every possibly-affected
+    one while keeping them ahead of tier 3; it never overrides
+    ``edited_functions`` (a hand-declared own-fn edit outranks any proof).
     """
     reg_pos = {n: i for i, n in enumerate(names)}
     fn_edited = edited_functions or set()
     import_edits = import_edit_round or {}
+    proven = (unaffected or set()) - fn_edited
 
     def key(n: str) -> tuple:
         green = last_green.get(n)
@@ -70,11 +88,11 @@ def derive_order(
             age = 0
         elif edited is not None and edited > green:
             tier = 1
-            sub = 0 if n in fn_edited else 1
+            sub = 0 if n in fn_edited else (3 if n in proven else 1)
             age = green
         elif imported is not None and imported > green:
             tier = 1
-            sub = 2
+            sub = 4 if n in proven else 2
             age = green
         else:
             tier = 2

@@ -1,0 +1,231 @@
+"""astdeps: definition-level staleness proofs for the rotation policy.
+
+No Spark — pure AST analysis over synthetic in-memory modules."""
+
+from __future__ import annotations
+
+from hbase_observer_es_spark.astdeps import (
+    MODULE_RESIDUAL,
+    DepGraph,
+    changed_defs,
+    is_affected,
+    parse_defs,
+    query_roots,
+)
+
+PKG = "pkg"
+
+
+def _resolve_factory(sources: dict[str, str]):
+    def resolve(parts: list[str]):
+        if not parts or parts[0] != PKG:
+            return None
+        rel = "/".join(parts) + ".py"
+        return rel if rel in sources else None
+
+    return resolve
+
+
+def _graph(sources: dict[str, str]) -> DepGraph:
+    return DepGraph(sources, _resolve_factory(sources))
+
+
+# -- parse/diff ---------------------------------------------------------------
+
+
+def test_parse_defs_docstrings_and_residual():
+    src = '"""module doc."""\nX = 1\n\ndef f(a):\n    "fn doc"\n    return a + X\n\nprint("side effect")\n'
+    defs = parse_defs(src)
+    assert set(defs) == {"X", "f", MODULE_RESIDUAL}
+    # docstring-only change is invisible
+    other = src.replace("module doc", "MODULE DOC v2").replace("fn doc", "different")
+    assert changed_defs(src, other) == set()
+
+
+def test_changed_defs_flags_semantic_edits_only():
+    old = "X = 1\n\ndef f():\n    return X\n\ndef g():\n    return 2\n"
+    # reformat f (no change), edit g's body, add h, change X
+    new = "X = 2\n\ndef f():\n    return X\n\ndef g():\n    return 3\n\ndef h():\n    return 4\n"
+    assert changed_defs(old, new) == {"X", "g", "h"}
+    # removal counts as a change
+    assert "g" in changed_defs(new, "X = 2\n\ndef f():\n    return X\n")
+
+
+def test_changed_defs_unparseable_is_none():
+    assert changed_defs("def broken(:", "def f():\n    pass\n") is None
+    assert changed_defs(None, "def f():\n    pass\n") is None
+
+
+def test_module_residual_change_detected():
+    old = "def f():\n    return 1\n"
+    new = "def f():\n    return 1\n\nif True:\n    Y = 2\n"
+    assert MODULE_RESIDUAL in changed_defs(old, new)
+
+
+# -- query roots --------------------------------------------------------------
+
+MOD_WITH_REGISTRY = """
+def q_one(spark, sf):
+    return spark
+
+SQL_ONE = "SELECT 1"
+
+QUERIES = {"q_one": q_one}
+ORACLES = {"q_one": SQL_ONE}
+"""
+
+
+def test_query_roots_covers_fn_and_sql():
+    assert query_roots(MOD_WITH_REGISTRY, "q_one") == {"q_one", "SQL_ONE"}
+    assert query_roots(MOD_WITH_REGISTRY, "q_missing") is None
+
+
+def test_query_roots_computed_entry_is_none():
+    src = 'QUERIES = {"q_x": make_query("x")}\n'
+    assert query_roots(src, "q_x") is None
+
+
+# -- closure ------------------------------------------------------------------
+
+
+def test_closure_same_module_recursion():
+    sources = {
+        f"{PKG}/a.py": "K = 3\n\ndef helper(x):\n    return x * K\n\ndef q(s):\n    return helper(s)\n\ndef unrelated():\n    return 9\n"
+    }
+    reached, opaque = _graph(sources).closure(f"{PKG}/a.py", {"q"})
+    names = {n for _, n in reached}
+    assert not opaque
+    assert names == {"q", "helper", "K", MODULE_RESIDUAL}
+    assert "unrelated" not in names
+
+
+def test_closure_cross_module_from_import():
+    sources = {
+        f"{PKG}/io.py": "def table(s):\n    return s\n\ndef other():\n    return 0\n",
+        f"{PKG}/a.py": f"from {PKG}.io import table\n\ndef q(s):\n    return table(s)\n",
+    }
+    reached, opaque = _graph(sources).closure(f"{PKG}/a.py", {"q"})
+    assert not opaque
+    assert (f"{PKG}/io.py", "table") in reached
+    assert (f"{PKG}/io.py", "other") not in reached
+
+
+def test_closure_module_alias_attribute_is_precise():
+    sources = {
+        f"{PKG}/h.py": "def used():\n    return 1\n\ndef unused():\n    return 2\n",
+        f"{PKG}/a.py": f"from {PKG} import h\n\ndef q(s):\n    return h.used()\n",
+    }
+    reached, opaque = _graph(sources).closure(f"{PKG}/a.py", {"q"})
+    assert not opaque
+    assert (f"{PKG}/h.py", "used") in reached
+    assert (f"{PKG}/h.py", "unused") not in reached
+
+
+def test_closure_bare_module_use_is_whole_module():
+    sources = {
+        f"{PKG}/h.py": "def a():\n    return 1\n\ndef b():\n    return 2\n",
+        f"{PKG}/a.py": f"from {PKG} import h\n\ndef q(s):\n    return s(h)\n",
+    }
+    reached, _ = _graph(sources).closure(f"{PKG}/a.py", {"q"})
+    assert {(f"{PKG}/h.py", "a"), (f"{PKG}/h.py", "b")} <= reached
+
+
+def test_closure_follows_reexport_chain():
+    sources = {
+        f"{PKG}/base.py": "def real():\n    return 1\n",
+        f"{PKG}/facade.py": f"from {PKG}.base import real\n",
+        f"{PKG}/a.py": f"from {PKG}.facade import real\n\ndef q(s):\n    return real()\n",
+    }
+    reached, opaque = _graph(sources).closure(f"{PKG}/a.py", {"q"})
+    assert not opaque
+    assert (f"{PKG}/base.py", "real") in reached
+
+
+def test_dynamic_and_star_imports_are_opaque():
+    dyn = {f"{PKG}/a.py": "def q(s):\n    return getattr(s, 'x')\n"}
+    assert _graph(dyn).closure(f"{PKG}/a.py", {"q"})[1]
+    star = {
+        f"{PKG}/h.py": "def x():\n    return 1\n",
+        f"{PKG}/a.py": f"from {PKG}.h import *\n\ndef q(s):\n    return x()\n",
+    }
+    assert _graph(star).closure(f"{PKG}/a.py", {"q"})[1]
+
+
+# -- is_affected --------------------------------------------------------------
+
+HELPER_OLD = "def table(s):\n    return s\n"
+MOD_OLD = (
+    f"from {PKG}.io import table\n\n"
+    "def q_one(spark, sf):\n    return table(spark)\n\n"
+    'SQL_ONE = "SELECT 1"\n\n'
+    'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+)
+
+
+def test_additive_edit_is_unaffected():
+    """A new function appended to the module does not affect q_one."""
+    sources = {
+        f"{PKG}/io.py": HELPER_OLD,
+        f"{PKG}/a.py": MOD_OLD + "\ndef q_two(spark, sf):\n    return spark\n",
+    }
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert not is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_reachable_helper_edit_is_affected():
+    sources = {
+        f"{PKG}/io.py": "def table(s):\n    return s.cache()\n",
+        f"{PKG}/a.py": MOD_OLD,
+    }
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_unreachable_helper_edit_is_unaffected():
+    sources = {
+        f"{PKG}/io.py": HELPER_OLD + "\ndef new_helper():\n    return 7\n",
+        f"{PKG}/a.py": MOD_OLD,
+    }
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert not is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_oracle_sql_edit_is_affected():
+    """The driver consumes the SQL constant too — editing it alone affects."""
+    sources = {
+        f"{PKG}/io.py": HELPER_OLD,
+        f"{PKG}/a.py": MOD_OLD.replace('"SELECT 1"', '"SELECT 2"'),
+    }
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_missing_old_source_is_affected():
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    old = {f"{PKG}/a.py": MOD_OLD}  # io.py has no recorded old source
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_docstring_only_edit_is_unaffected():
+    with_doc = MOD_OLD.replace(
+        "def q_one(spark, sf):\n    return table(spark)",
+        'def q_one(spark, sf):\n    "v2 of the doc"\n    return table(spark)',
+    )
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": with_doc}
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert not is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_registry_entry_rebinding_is_affected():
+    """Rebinding "q_one" to a different (old, unchanged) function must flag —
+    the def-level diff alone can't see it."""
+    rebind_old = (
+        "def q_one(spark, sf):\n    return spark.a\n\n"
+        "def q_alt(spark, sf):\n    return spark.b\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    rebind_new = rebind_old.replace('{"q_one": q_one}', '{"q_one": q_alt}')
+    sources = {f"{PKG}/a.py": rebind_new}
+    old = {f"{PKG}/a.py": rebind_old}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)

@@ -106,3 +106,31 @@ def test_module_closure_follows_relative_and_symbol_imports():
     assert "hbase_observer_es_spark/sinks/keyed_parquet.py" in c
     # never escapes the package
     assert all(p.startswith("hbase_observer_es_spark/") for p in c)
+
+
+def test_proven_unaffected_demotes_within_tier1():
+    # all four green r2, edits r3: q_a file-edited affected, q_b file-edited
+    # but PROVEN unaffected, q_c import-edited affected, q_d import-edited
+    # proven unaffected; q_e untouched green r1 (tier 2).
+    order = derive_order(
+        ["q_a", "q_b", "q_c", "q_d", "q_e"],
+        last_green={"q_a": 2, "q_b": 2, "q_c": 2, "q_d": 2, "q_e": 1},
+        file_edit_round={"q_a": 3, "q_b": 3},
+        import_edit_round={"q_c": 3, "q_d": 3},
+        unaffected={"q_b", "q_d"},
+    )
+    # affected rows first (file before import), proven-unaffected after them
+    # (file before import), tier 2 last even with the oldest green
+    assert order == ["q_a", "q_c", "q_b", "q_d", "q_e"]
+
+
+def test_unaffected_never_overrides_own_fn_edit():
+    # a hand-declared own-fn edit outranks any proof claiming otherwise
+    order = derive_order(
+        ["q_b", "q_a"],
+        last_green={"q_a": 3, "q_b": 3},
+        file_edit_round={"q_a": 4, "q_b": 4},
+        edited_functions={"q_a"},
+        unaffected={"q_a", "q_b"},
+    )
+    assert order == ["q_a", "q_b"]

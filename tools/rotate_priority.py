@@ -127,15 +127,22 @@ def _git(repo: str, *args: str) -> str:
     ).stdout
 
 
-def file_edit_rounds(repo: str) -> dict[str, int]:
-    """Map repo-relative path -> latest round in which it changed."""
+def round_boundaries(repo: str) -> list[tuple[str, int]]:
+    """Newest-first (sha, round) of the driver's round-boundary commits. The
+    code AT a boundary commit is the state round N's driver check ran against."""
     log = _git(repo, "log", "--format=%H %s")
-    boundaries: list[tuple[str, int]] = []  # newest-first
+    boundaries: list[tuple[str, int]] = []
     for line in log.splitlines():
         sha, _, subject = line.partition(" ")
         m = re.match(r"round (\d+): verdict/advice/correctness/bench", subject)
         if m:
             boundaries.append((sha, int(m.group(1))))
+    return boundaries
+
+
+def file_edit_rounds(repo: str) -> dict[str, int]:
+    """Map repo-relative path -> latest round in which it changed."""
+    boundaries = round_boundaries(repo)
     edits: dict[str, int] = {}
 
     def record(paths: str, rnd: int) -> None:
@@ -159,10 +166,82 @@ def file_edit_rounds(repo: str) -> dict[str, int]:
     return edits
 
 
+def _resolver(repo: str):
+    """Dotted in-package module parts -> repo-relative path (astdeps contract)."""
+
+    def resolve(parts: list[str]):
+        if not parts or parts[0] != PKG:
+            return None
+        base = os.path.join(repo, *parts)
+        for cand in (base + ".py", os.path.join(base, "__init__.py")):
+            if os.path.isfile(cand):
+                return os.path.relpath(cand, repo)
+        return None
+
+    return resolve
+
+
+def proven_unaffected(
+    repo: str,
+    names: list[str],
+    files: dict[str, str],
+    last_green: dict[str, int | None],
+    file_rounds: dict[str, int],
+    import_round: dict[str, int | None],
+) -> set[str]:
+    """Tier-2 queries whose reachable definition closure is AST-identical to
+    the source at their last green boundary (astdeps.is_affected; conservative
+    on every uncertainty, including a missing boundary commit)."""
+    from hbase_observer_es_spark.astdeps import DepGraph, is_affected
+
+    boundary_sha = {rnd: sha for sha, rnd in round_boundaries(repo)}
+    sources: dict[str, str] = {}
+    for root, _, fnames in os.walk(os.path.join(repo, PKG)):
+        for f in fnames:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                with open(p) as fh:
+                    sources[os.path.relpath(p, repo)] = fh.read()
+    graph = DepGraph(sources, _resolver(repo))
+
+    old_cache: dict[tuple[str, str], str | None] = {}
+
+    def old_src(sha: str, rel: str) -> str | None:
+        if (sha, rel) not in old_cache:
+            try:
+                old_cache[(sha, rel)] = _git(repo, "show", f"{sha}:{rel}")
+            except subprocess.CalledProcessError:
+                old_cache[(sha, rel)] = None  # file didn't exist then
+        return old_cache[(sha, rel)]
+
+    out: set[str] = set()
+    for n in names:
+        g = last_green.get(n)
+        if g is None:
+            continue
+        edited = file_rounds.get(files[n])
+        imported = import_round.get(n)
+        stale = (edited is not None and edited > g) or (
+            imported is not None and imported > g
+        )
+        if not stale or g not in boundary_sha:
+            continue
+        sha = boundary_sha[g]
+        olds = {rel: old_src(sha, rel) for rel in sources}
+        if not is_affected(graph, files[n], n, olds):
+            out.add(n)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ap.add_argument("--edited-fn", default="", help="comma-separated query names")
+    ap.add_argument(
+        "--no-ast",
+        action="store_true",
+        help="skip the definition-level unaffected proof (file granularity only)",
+    )
     args = ap.parse_args()
     repo = args.repo
     edited_fn = {n for n in args.edited_fn.split(",") if n}
@@ -181,6 +260,13 @@ def main() -> None:
 
     edit_round = {n: file_rounds.get(files[n]) for n in names}
     import_round = {n: closure_round(files[n]) for n in names}
+    unaffected = (
+        set()
+        if args.no_ast
+        else proven_unaffected(
+            repo, names, files, last_green, file_rounds, import_round
+        )
+    ) - edited_fn
 
     from hbase_observer_es_spark.rotation import derive_order
 
@@ -190,6 +276,7 @@ def main() -> None:
         edit_round,
         edited_functions=edited_fn,
         import_edit_round=import_round,
+        unaffected=unaffected,
     )
 
     def tier_of(n: str) -> tuple[int, int]:
@@ -197,9 +284,11 @@ def main() -> None:
         if g is None:
             return (0, 0)
         if e is not None and e > g:
-            return (1, 0 if n in edited_fn else 1)
+            if n in edited_fn:
+                return (1, 0)
+            return (1, 3) if n in unaffected else (1, 1)
         if i is not None and i > g:
-            return (1, 2)
+            return (1, 4) if n in unaffected else (1, 2)
         return (2, 0)
 
     labels = {
@@ -207,6 +296,8 @@ def main() -> None:
         (1, 0): "own fn edited after last green check",
         (1, 1): "file edited after last green check (oldest green first)",
         (1, 2): "imported helper edited after last green check (oldest green first)",
+        (1, 3): "file edited, reachable defs PROVEN unchanged (astdeps)",
+        (1, 4): "imported helper edited, reachable defs PROVEN unchanged (astdeps)",
         (2, 0): "oldest green first, sources untouched since",
     }
     prev = None
@@ -219,7 +310,7 @@ def main() -> None:
         g = last_green[n]
         note = f"green r{g}" if g else "never checked"
         if t[0] == 1:
-            if t[1] == 2:
+            if t[1] in (2, 4):
                 culprit = max(
                     (f for f in closures[files[n]] - {files[n]} if f in file_rounds),
                     key=lambda f: file_rounds[f],
@@ -228,6 +319,8 @@ def main() -> None:
             else:
                 kind = "fn edited" if n in edited_fn else "file edited"
                 note += f", {files[n]} {kind} r{edit_round[n]}"
+            if t[1] in (3, 4):
+                note += ", closure AST-unchanged"
         print(f'    "{n}",  # {note}')
     print(")")
 
