@@ -123,3 +123,67 @@ def test_foreachbatch_sink_writes_batch_dirs(spark):
     assert _parse_bodies(sink.batch_dir(1))[0][0]["delete"]["_id"] == "a"
     # replay produced the same single body, not an append
     assert len(_parse_bodies(sink.batch_dir(0))) == 1
+
+
+def test_streaming_delivery_end_to_end(spark):
+    """The reference's full delivery path, streaming: mutation log →
+    micro-batches → EsBulkSink foreachBatch → one directory of _bulk bodies
+    per batch. Applying every emitted action in (batch, file-order) sequence
+    to a dict — an in-memory stand-in for the ES index — must reproduce the
+    batch tombstone snapshot's keyset semantics: doc_as_upsert merges, delete
+    drops the whole doc."""
+    import os
+
+    from hbase_observer_es_spark.operators.cdc import mutations
+    from hbase_observer_es_spark.sources.filestream import (
+        read_stream,
+        stage_ordered_batches,
+    )
+
+    from .conftest import SF_SMOKE
+
+    out = scratch_dir("es_bulk_e2e_test")
+    mut = mutations(spark, SF_SMOKE)
+    stream_dir = stage_ordered_batches(mut, out, 3)
+    sink = EsBulkSink(os.path.join(out, "bulk"), index="obs", n_partitions=2)
+
+    q = (
+        read_stream(spark, stream_dir, mut.schema)
+        .writeStream.foreachBatch(sink.write_batch)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_dirs = sorted(
+        (d for d in os.listdir(os.path.join(out, "bulk")) if d.startswith("batch=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    assert len(batch_dirs) >= 2, "staging should replay multiple micro-batches"
+
+    index: dict[str, dict] = {}
+    n_actions = 0
+    for bd in batch_dirs:
+        for body in _parse_bodies(os.path.join(out, "bulk", bd)):
+            i = 0
+            while i < len(body):
+                line = body[i]
+                if "delete" in line:
+                    index.pop(line["delete"]["_id"], None)
+                    i += 1
+                else:
+                    doc = body[i + 1]["doc"]
+                    index.setdefault(line["update"]["_id"], {}).update(doc)
+                    i += 2
+                n_actions += 1
+
+    # the replayed index must match the engine's own batch CDC semantics:
+    # upsert keys minus keys whose LAST action was a tombstone
+    from hbase_observer_es_spark.operators.cdc import apply_tombstones
+
+    expected = {
+        r.row_key for r in apply_tombstones(mutations(spark, SF_SMOKE)).collect()
+    }
+    assert set(index) == expected
+    assert n_actions > 0
