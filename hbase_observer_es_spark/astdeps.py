@@ -23,6 +23,10 @@ Conservatism rules (every uncertainty resolves to "affected"):
   import in a reachable module → affected;
 * a module alias used as a bare value (whole-module dependence) → depends on
   every definition in that module;
+* a re-pointed binding — a QUERIES/ORACLES entry or an import alias in any
+  reachable module now resolving to a different (individually unchanged)
+  target → affected (the def-level diff can't see it; the binding comparison
+  in ``is_affected`` does);
 * module-level residual statements (anything executed at import that is not a
   def/class/import/named assignment) are compared as one unit per module;
 * QUERIES/ORACLES registry entries that are not plain ``{"name": NAME}``
@@ -67,8 +71,9 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
 def parse_defs(src: str) -> dict[str, str] | None:
     """Top-level name → normalized AST dump of its definition(s); the
     ``MODULE_RESIDUAL`` key holds every other top-level statement (import
-    statements excluded — import CHANGES surface through the resolved
-    definitions themselves). None if the source does not parse."""
+    statements excluded here — import TARGET changes surface through the
+    resolved definitions, and import RE-BINDINGS through is_affected's
+    alias-binding guard). None if the source does not parse."""
     try:
         tree = _strip_docstrings(ast.parse(src))
     except SyntaxError:
@@ -109,8 +114,6 @@ def changed_defs(old_src: str | None, new_src: str) -> set[str] | None:
         return None
     changed = {n for n, d in new.items() if old.get(n) != d}
     changed |= {n for n in old if n not in new}
-    if old[MODULE_RESIDUAL] == new[MODULE_RESIDUAL]:
-        changed.discard(MODULE_RESIDUAL)
     return changed
 
 
@@ -167,7 +170,8 @@ class ModuleView:
         tree = ast.parse(src)
         view = cls(rel=rel, defs=defs, _tree=tree)
         pkg_parts = rel[: -len(".py")].split("/")
-        if pkg_parts[-1] == "__init__":
+        is_pkg = pkg_parts[-1] == "__init__"
+        if is_pkg:
             pkg_parts = pkg_parts[:-1]
         for node in tree.body:  # type: ignore[union-attr]
             if isinstance(node, ast.Import):
@@ -178,7 +182,13 @@ class ModuleView:
                         view.imports[alias.asname or parts[0]] = (target, None)
             elif isinstance(node, ast.ImportFrom):
                 if node.level:
-                    base = pkg_parts[: -node.level] if node.level < len(pkg_parts) else []
+                    # a package's "current package" (level=1) is its own
+                    # directory; a plain module's is its parent — so __init__
+                    # strips one level fewer
+                    strip = node.level - 1 if is_pkg else node.level
+                    base = pkg_parts[:-strip] if 0 < strip < len(pkg_parts) else (
+                        pkg_parts if strip == 0 else []
+                    )
                     mod = base + (node.module.split(".") if node.module else [])
                 else:
                     mod = node.module.split(".") if node.module else []
@@ -209,16 +219,42 @@ class ModuleView:
                     nodes.append(node)
         return nodes
 
-    def references(self, name: str) -> tuple[set[str], set[tuple[str, str]], bool]:
-        """What the definition of ``name`` touches: (bare names — attribute
-        bases excluded, (base, attr) attribute pairs, uses_dynamic). The manual
-        walk keeps ``mod.attr`` from ALSO counting ``mod`` as a bare use, so a
-        module alias only ever accessed via attributes doesn't expand to
-        whole-module dependence."""
+    def _residual_nodes(self) -> list[ast.AST]:
+        """Top-level statements outside defs/imports/named assigns — they run
+        at import time and may call anything (the MODULE_RESIDUAL surface)."""
+        nodes = []
+        for node in self._tree.body:  # type: ignore[union-attr]
+            if isinstance(
+                node,
+                (
+                    ast.FunctionDef,
+                    ast.AsyncFunctionDef,
+                    ast.ClassDef,
+                    ast.Import,
+                    ast.ImportFrom,
+                ),
+            ):
+                continue
+            if isinstance(node, ast.Assign) and all(
+                isinstance(t, ast.Name) for t in node.targets
+            ):
+                continue
+            if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                continue
+            nodes.append(node)
+        return nodes
+
+    @staticmethod
+    def _refs_of(nodes: list[ast.AST]) -> tuple[set[str], set[tuple[str, str]], bool]:
+        """(bare names — attribute bases excluded, (base, attr) attribute
+        pairs, uses_dynamic) referenced by ``nodes``. The manual walk keeps
+        ``mod.attr`` from ALSO counting ``mod`` as a bare use, so a module
+        alias only ever accessed via attributes doesn't expand to whole-module
+        dependence."""
         names: set[str] = set()
         attrs: set[tuple[str, str]] = set()
         dynamic = False
-        stack: list[ast.AST] = list(self._def_node(name))
+        stack: list[ast.AST] = list(nodes)
         while stack:
             sub = stack.pop()
             if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
@@ -233,6 +269,27 @@ class ModuleView:
                 continue
             stack.extend(ast.iter_child_nodes(sub))
         return names, attrs, dynamic
+
+    def references(self, name: str) -> tuple[set[str], set[tuple[str, str]], bool]:
+        """What the definition of ``name`` touches; for MODULE_RESIDUAL, what
+        the module's import-time residual statements touch."""
+        if name == MODULE_RESIDUAL:
+            return self._refs_of(self._residual_nodes())
+        return self._refs_of(self._def_node(name))
+
+
+@dataclass
+class Closure:
+    """DepGraph.closure result: reachable (module rel, def name) pairs, the
+    import aliases each module's reachable code uses, and whether the walk hit
+    anything it can't see through (dynamic code, star imports, parse failure)."""
+
+    reached: set[tuple[str, str]]
+    used_aliases: dict[str, set[str]]
+    opaque: bool
+
+    def __iter__(self):  # (reached, opaque) unpacking convenience for tests
+        return iter((self.reached, self.opaque))
 
 
 class DepGraph:
@@ -252,12 +309,17 @@ class DepGraph:
             )
         return self._views[rel]
 
-    def closure(self, rel: str, roots: set[str]) -> tuple[set[tuple[str, str]], bool]:
+    def closure(self, rel: str, roots: set[str]) -> "Closure":
         """All (module rel, def name) pairs reachable from ``roots`` in ``rel``,
-        plus an ``opaque`` flag (dynamic construct / star import / unparseable
-        module seen — the closure is then NOT exhaustive and the caller must be
-        conservative). Every reachable module contributes its MODULE_RESIDUAL."""
+        the import ALIASES each reachable module's code actually uses (so a
+        rebound import is detectable even when both old and new targets are
+        individually unchanged), and an ``opaque`` flag (dynamic construct /
+        star import / unparseable module seen — the closure is then NOT
+        exhaustive and the caller must be conservative). Every reachable module
+        contributes its MODULE_RESIDUAL — including the residual statements'
+        own callees, which execute at import time."""
         reached: set[tuple[str, str]] = set()
+        used_aliases: dict[str, set[str]] = {}
         opaque = False
         work: list[tuple[str, str]] = [(rel, r) for r in roots]
         seen_modules: set[str] = set()
@@ -267,21 +329,22 @@ class DepGraph:
                 continue
             v = self.view(cur_rel)
             if v is None:
-                return reached, True
+                return Closure(reached, used_aliases, True)
             if cur_rel not in seen_modules:
                 seen_modules.add(cur_rel)
-                reached.add((cur_rel, MODULE_RESIDUAL))
+                work.append((cur_rel, MODULE_RESIDUAL))
                 if v.has_star_import:
                     opaque = True
-            if name not in v.defs:
+            if name != MODULE_RESIDUAL and name not in v.defs:
                 if name in v.imports:  # re-export: follow the import chain
+                    used_aliases.setdefault(cur_rel, set()).add(name)
                     tgt_rel, remote = v.imports[name]
                     if remote is not None:
                         work.append((tgt_rel, remote))
                     else:
                         tv = self.view(tgt_rel)
                         if tv is None:
-                            return reached, True
+                            return Closure(reached, used_aliases, True)
                         work.extend((tgt_rel, d) for d in tv.defs)
                 continue  # else: builtin / parameter shadow — nothing to track
             reached.add((cur_rel, name))
@@ -291,6 +354,7 @@ class DepGraph:
                 if n in v.defs and (cur_rel, n) not in reached:
                     work.append((cur_rel, n))
                 elif n in v.imports:
+                    used_aliases.setdefault(cur_rel, set()).add(n)
                     tgt_rel, remote = v.imports[n]
                     if remote is not None:
                         work.append((tgt_rel, remote))
@@ -300,16 +364,17 @@ class DepGraph:
                         # whole-module dependence
                         tv = self.view(tgt_rel)
                         if tv is None:
-                            return reached, True
+                            return Closure(reached, used_aliases, True)
                         work.extend((tgt_rel, d) for d in tv.defs)
             for base, attr in attrs:
                 if base in v.imports:
+                    used_aliases.setdefault(cur_rel, set()).add(base)
                     tgt_rel, remote = v.imports[base]
                     if remote is None:
                         work.append((tgt_rel, attr))
                     # attribute on a from-imported def: already covered by the
                     # (tgt_rel, remote) walk above
-        return reached, opaque
+        return Closure(reached, used_aliases, opaque)
 
 
 def is_affected(
@@ -335,14 +400,35 @@ def is_affected(
     old_entry_src = old_sources.get(rel)
     if old_entry_src is None or query_roots(old_entry_src, qname) != roots:
         return True
-    reached, opaque = graph.closure(rel, roots)
-    if opaque:
+    c = graph.closure(rel, roots)
+    if c.opaque:
         return True
     by_module: dict[str, set[str]] = {}
-    for mod_rel, name in reached:
+    for mod_rel, name in c.reached:
         by_module.setdefault(mod_rel, set()).add(name)
     for mod_rel, names in by_module.items():
         changed = changed_defs(old_sources.get(mod_rel), graph._sources[mod_rel])
         if changed is None or (changed & names):
             return True
+    # Import-binding guard: a reachable module may have re-pointed an alias at
+    # a DIFFERENT (individually unchanged) target — invisible to the def-level
+    # diff above, but it changes which code executes. Compare the resolved
+    # binding of every alias the reachable code uses, old vs new. Old bindings
+    # resolve against the CURRENT repo layout: a renamed target then simply
+    # fails to match — conservative.
+    touched = set(by_module) | set(c.used_aliases)
+    for mod_rel in touched:
+        aliases = c.used_aliases.get(mod_rel)
+        if not aliases:
+            continue
+        old_mod_src = old_sources.get(mod_rel)
+        if old_mod_src is None:
+            return True
+        old_view = ModuleView.parse(mod_rel, old_mod_src, graph._resolve)
+        new_view = graph.view(mod_rel)
+        if old_view is None or new_view is None or old_view.has_star_import:
+            return True
+        for alias in aliases:
+            if old_view.imports.get(alias) != new_view.imports.get(alias):
+                return True
     return False

@@ -116,7 +116,11 @@ def write_bulk(
         else actions.repartition("row_key")
     )
     (
-        parted.sortWithinPartitions("row_key", "ts")
+        # ts ties between an upsert and a delete of the same key order the
+        # delete LAST (later action wins in ES) — the same delete-wins-ties
+        # rule cdc.apply_tombstones applies, and a deterministic body where a
+        # bare (row_key, ts) sort would shuffle the pair arbitrarily.
+        parted.sortWithinPartitions("row_key", "ts", F.col("op") == "delete")
         .select("action")
         .write.option("maxRecordsPerFile", max_actions)
         .mode("overwrite")

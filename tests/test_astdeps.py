@@ -143,12 +143,12 @@ def test_closure_follows_reexport_chain():
 
 def test_dynamic_and_star_imports_are_opaque():
     dyn = {f"{PKG}/a.py": "def q(s):\n    return getattr(s, 'x')\n"}
-    assert _graph(dyn).closure(f"{PKG}/a.py", {"q"})[1]
+    assert _graph(dyn).closure(f"{PKG}/a.py", {"q"}).opaque
     star = {
         f"{PKG}/h.py": "def x():\n    return 1\n",
         f"{PKG}/a.py": f"from {PKG}.h import *\n\ndef q(s):\n    return x()\n",
     }
-    assert _graph(star).closure(f"{PKG}/a.py", {"q"})[1]
+    assert _graph(star).closure(f"{PKG}/a.py", {"q"}).opaque
 
 
 # -- is_affected --------------------------------------------------------------
@@ -229,3 +229,58 @@ def test_registry_entry_rebinding_is_affected():
     sources = {f"{PKG}/a.py": rebind_new}
     old = {f"{PKG}/a.py": rebind_old}
     assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_import_alias_rebinding_is_affected():
+    """Re-pointing an import alias at a different, individually-unchanged
+    helper changes which code runs — the alias-binding guard must flag it."""
+    helper = "def fast(s):\n    return s\n\ndef safe(s):\n    return s.strip()\n"
+    old_mod = (
+        f"from {PKG}.io import fast as table\n\n"
+        "def q_one(spark, sf):\n    return table(spark)\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    new_mod = old_mod.replace("import fast as table", "import safe as table")
+    sources = {f"{PKG}/io.py": helper, f"{PKG}/a.py": new_mod}
+    old = {f"{PKG}/io.py": helper, f"{PKG}/a.py": old_mod}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+    # and the unchanged binding stays unaffected
+    assert not is_affected(_graph({f"{PKG}/io.py": helper, f"{PKG}/a.py": old_mod}),
+                           f"{PKG}/a.py", "q_one", old)
+
+
+def test_residual_callee_change_is_affected():
+    """A function invoked only from module-level residual code (import-time
+    side effects) is part of the closure — changing it must flag."""
+    old_mod = (
+        "CACHE = {}\n\n"
+        "def _fill():\n    CACHE['k'] = 1\n\n"
+        "_fill()\n\n"
+        "def q_one(spark, sf):\n    return CACHE\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    new_mod = old_mod.replace("CACHE['k'] = 1", "CACHE['k'] = 2")
+    sources = {f"{PKG}/a.py": new_mod}
+    old = {f"{PKG}/a.py": old_mod}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_init_relative_import_resolves_to_own_package():
+    """`from . import helper` inside pkg/sub/__init__.py must resolve to
+    pkg/sub/helper.py, not pkg/helper.py (the current-package rule differs
+    between a package's __init__ and a plain module)."""
+    from hbase_observer_es_spark.astdeps import ModuleView
+
+    sources = {
+        f"{PKG}/sub/helper.py": "def h():\n    return 1\n",
+        f"{PKG}/helper.py": "def h():\n    return 2\n",
+        f"{PKG}/sub/__init__.py": "from . import helper\n",
+    }
+    view = ModuleView.parse(
+        f"{PKG}/sub/__init__.py",
+        sources[f"{PKG}/sub/__init__.py"],
+        _resolve_factory(sources),
+    )
+    assert view.imports["helper"] == (f"{PKG}/sub/helper.py", None)

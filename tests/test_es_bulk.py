@@ -187,3 +187,21 @@ def test_streaming_delivery_end_to_end(spark):
     }
     assert set(index) == expected
     assert n_actions > 0
+
+
+def test_same_ts_delete_orders_last_and_wins(spark):
+    """An upsert and a delete of the same key at the same ts: the delete
+    sorts LAST in the body (later action wins in ES), matching
+    apply_tombstones' delete-wins-ties rule (`ts > del_ts`)."""
+    mut = spark.createDataFrame(
+        [
+            ("k1", "view", "1", "upsert", _t(5)),
+            ("k1", "error", None, "delete", _t(5)),
+        ],
+        SCHEMA,
+    )
+    out = scratch_dir("es_bulk_tie_test")
+    write_bulk(bulk_actions(mut), out, n_partitions=1)
+    (body,) = _parse_bodies(out)
+    # update meta, update doc, delete — delete strictly after the upsert
+    assert "update" in body[0] and "delete" in body[-1]

@@ -9,10 +9,10 @@ pins the contract for every registered query so the class of failure cannot
 recur.
 
 Batch queries are checked schema-only (the DataFrame is built lazily, no job
-runs). Streaming queries execute micro-batches inside their callables, so they
-are checked once at sf0.001 in a single module-scoped pass rather than
-per-query; the suite already runs them all in test_oracle.py, so the marginal
-cost here is bounded to the batch-lazy builds plus the streaming re-runs.
+runs). Streaming queries execute micro-batches inside their callables, so each
+s_* check re-runs its full pipeline once at sf0.001 — the per-query
+parametrization keeps failure reporting granular at the cost of repeating work
+test_oracle.py also does; at smoke scale that's a few seconds per stream.
 """
 
 from __future__ import annotations

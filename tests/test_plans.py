@@ -776,13 +776,18 @@ def test_cdc_field_missing_broadcast_total(spark):
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
 
 
-def test_geoline_rank_then_capped_collect(spark):
-    """geo_line: one hash exchange on the bucket key for the rank; the
-    collect_list sees only the <=size-capped rows per bucket."""
+def test_geoline_rank_then_scalar_rows(spark):
+    """geo_line after the round-7 scalar rewrite: scan → ONE hash exchange on
+    the bucket key → per-group rank → filter → project, emitting one scalar
+    row per kept point. No collect_list/groupBy stage remains and nothing
+    shuffles after the rank (the old collect stage is gone)."""
     plan = plan_of(spark, "q_agg_geoline")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
+    assert "collect_list" not in plan, plan
+    f = facts_of(spark, "q_agg_geoline")
+    assert f.exchanges == 1, plan
 
 
 def test_split_and_gopher_map_only_one_shuffle(spark):

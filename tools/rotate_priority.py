@@ -44,7 +44,8 @@ def _imports_of(repo: str, rel: str) -> set[str]:
     with open(os.path.join(repo, rel)) as f:
         tree = ast.parse(f.read())
     parts = rel[: -len(".py")].split("/")  # e.g. [PKG, 'streaming', 'scrub']
-    if parts[-1] == "__init__":
+    is_pkg = parts[-1] == "__init__"
+    if is_pkg:
         parts = parts[:-1]
     out: set[str] = set()
 
@@ -62,8 +63,13 @@ def _imports_of(repo: str, rel: str) -> set[str]:
             for alias in node.names:
                 add(alias.name.split("."))
         elif isinstance(node, ast.ImportFrom):
-            if node.level:  # relative: strip `level` components off this module
-                base = parts[: -node.level] if node.level < len(parts) else []
+            if node.level:
+                # a package's "current package" (level=1) is its own directory;
+                # a plain module's is its parent — __init__ strips one fewer
+                strip = node.level - 1 if is_pkg else node.level
+                base = parts[:-strip] if 0 < strip < len(parts) else (
+                    parts if strip == 0 else []
+                )
                 mod = base + (node.module.split(".") if node.module else [])
             else:
                 mod = node.module.split(".") if node.module else []
@@ -313,7 +319,7 @@ def main() -> None:
             if t[1] in (2, 4):
                 culprit = max(
                     (f for f in closures[files[n]] - {files[n]} if f in file_rounds),
-                    key=lambda f: file_rounds[f],
+                    key=lambda f: (file_rounds[f], f),  # path tiebreak: stable output
                 )
                 note += f", {culprit} import edited r{import_round[n]}"
             else:
