@@ -189,6 +189,25 @@ def test_streaming_delivery_end_to_end(spark):
     assert n_actions > 0
 
 
+def test_json_escaping_adversarial_corpus(spark):
+    """Every value string must round-trip through the emitted NDJSON — one
+    batched Spark job over an adversarial corpus (quotes, backslashes, control
+    characters, embedded newlines, non-ASCII, JSON-lookalike payloads)."""
+    corpus = [
+        "", " ", "\n", "\r\n", "\t", '"', "\\", '\\"',
+        "a\nb\nc", 'x"y\\z', "é漢字\U0001f642", "}{][",
+        '{"k":"v"}', "", "trailing\\", '"""', "\\n literal",
+    ]
+    rows = [(f"k{i}", "q", v, "upsert", _t(i)) for i, v in enumerate(corpus)]
+    mut = spark.createDataFrame(rows, SCHEMA)
+    got = {}
+    for r in bulk_actions(mut, index="i").collect():
+        meta, doc = r.action.split("\n", 1)
+        got[json.loads(meta)["update"]["_id"]] = json.loads(doc)["doc"]["q"]
+    for i, v in enumerate(corpus):
+        assert got[f"k{i}"] == v, repr(v)
+
+
 def test_same_ts_delete_orders_last_and_wins(spark):
     """An upsert and a delete of the same key at the same ts: the delete
     sorts LAST in the body (later action wins in ES), matching

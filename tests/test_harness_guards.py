@@ -50,3 +50,25 @@ def test_complex_output_guard_fires_on_array_column(spark):
     res = compare("array_probe", sdf, con, "SELECT 1 AS x")
     assert not res.ok
     assert "arr" in res.detail and "array_join" in res.detail
+
+
+def test_local_sweep_infer_round_and_summary(tmp_path, monkeypatch):
+    """tools/local_sweep.py round inference (latest CORRECTNESS + 1) and the
+    pass/fail summary shape — no Spark, pure plumbing guard."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import local_sweep
+
+    assert local_sweep.infer_round() >= 7  # CORRECTNESS_r06 exists in-repo
+
+    s = local_sweep.summarize(
+        {
+            "q_a": {"ok": True, "rows": 3, "sec": 0.5, "mode": "oracle"},
+            "q_b": {"ok": False, "rows": -1, "sec": 0.1, "mode": "error"},
+        }
+    )
+    assert s["total"] == 2 and s["passed"] == 1 and s["failed"] == ["q_b"]
+    assert s["wall_s"] == 0.6
