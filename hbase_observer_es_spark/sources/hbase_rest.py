@@ -1,0 +1,178 @@
+"""HBase REST (Stargate) cell-set JSON source — the input-endpoint twin of
+``sinks/es_bulk.py``.
+
+The reference's input is the coprocessor hook stream: ``postPut`` hands it a
+``Put``'s family→cell map, ``postDelete`` a row key
+(HbaseDataSyncEsObserver.java:68-80, :95-104 in /root/reference). No HBase runs
+in this sandbox, but HBase's REST gateway exposes the same cells in a PUBLIC,
+documented wire format — the cell-set JSON every Stargate scanner/getter
+emits::
+
+    {"Row": [{"key": "<base64 rowkey>",
+              "Cell": [{"column": "<base64 'family:qualifier'>",
+                        "timestamp": 1704067200000,
+                        "$": "<base64 value>"}]}]}
+
+This module parses NDJSON lines of that format (one cell-set document per
+line — one Put's worth of cells, matching the per-RPC granularity of the
+coprocessor) into the engine's mutation contract
+(cdc.py: row_key, qualifier, value, op, ts), entirely JVM-side:
+``from_json`` → ``explode`` → ``unbase64`` — no Python in the path, so the
+source scales like any other scan.
+
+Semantics mapped to the reference:
+
+* family handling — the coprocessor flattens all families into one qualifier
+  map, dropping the family (SURVEY A5); here the base64 ``column`` decodes to
+  ``family:qualifier`` and the family prefix is stripped the same way.
+  Same-qualifier collisions across families resolve downstream by the
+  engine's deterministic LWW rule (DIVERGENCES D4), not map-iteration order.
+* timestamps — Stargate reports epoch MILLISECONDS; converted to the
+  engine's timestamp type exactly (no sub-ms truncation surprises).
+* deletes — REST deletes are bodyless ``DELETE /table/row`` calls with no
+  cell-set representation, exactly as ``postDelete`` carries only the row key
+  (:97-98). They arrive as a second NDJSON stream of
+  ``{"delete": "<base64 rowkey>", "timestamp": ms}`` objects (the natural log
+  form of the DELETE call), parsed by ``parse_deletes``.
+
+Scale: both parsers are map-only projections over a text scan — no shuffle,
+no UDF; at 100 TB the JSON lines partition like any text source and the
+parse stays in whole-stage codegen. ``read_stream``-style streaming works
+unchanged: point ``spark.readStream.text`` at the log directory and apply the
+same ``parse_cellset``/``parse_deletes`` expressions (they are pure column
+transforms).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CELL_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Row",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField(
+                            "Cell",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("column", T.StringType()),
+                                        T.StructField("timestamp", T.LongType()),
+                                        T.StructField("$", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("delete", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+    ]
+)
+
+
+def _b64_str(col):
+    return F.unbase64(col).cast("string")
+
+
+def parse_cellset(lines: DataFrame, column: str = "value") -> DataFrame:
+    """NDJSON cell-set lines → upsert mutations (cdc.py contract). One line =
+    one cell-set document = one Put's cells (the coprocessor's per-RPC unit).
+
+    Malformed lines parse to NULL and are dropped — the eager-validation
+    posture of sources/config.py applies to CONFIG; a data stream at 100 TB
+    drops and counts instead of dying (count with a ``is_corrupt`` audit
+    column upstream if the pipeline needs the number).
+    """
+    parsed = lines.select(
+        F.from_json(F.col(column), CELL_SCHEMA).alias("doc")
+    ).filter(F.col("doc").isNotNull())
+    cells = (
+        parsed.select(F.explode("doc.Row").alias("row"))
+        .select(
+            _b64_str(F.col("row.key")).alias("row_key"),
+            F.explode("row.Cell").alias("cell"),
+        )
+        .select(
+            "row_key",
+            _b64_str(F.col("cell.column")).alias("col"),
+            F.col("cell.timestamp").alias("ts_ms"),
+            _b64_str(F.col("cell.`$`")).alias("value"),
+        )
+    )
+    return cells.select(
+        "row_key",
+        # 'family:qualifier' → qualifier (family dropped, SURVEY A5 / D4).
+        # HBase splits at the FIRST colon — family names cannot contain ':',
+        # qualifiers can (CellUtil.cloneQualifier semantics).
+        F.regexp_replace("col", "^[^:]*:", "").alias("qualifier"),
+        "value",
+        F.lit("upsert").alias("op"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+    )
+
+
+def parse_deletes(lines: DataFrame, column: str = "value") -> DataFrame:
+    """NDJSON delete-log lines → delete mutations (whole-row tombstones, the
+    reference's postDelete granularity; qualifier/value NULL)."""
+    parsed = lines.select(
+        F.from_json(F.col(column), DELETE_SCHEMA).alias("doc")
+    ).filter(F.col("doc.delete").isNotNull())
+    return parsed.select(
+        _b64_str(F.col("doc.delete")).alias("row_key"),
+        F.lit(None).cast("string").alias("qualifier"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit("delete").alias("op"),
+        F.timestamp_millis(F.col("doc.timestamp")).alias("ts"),
+    )
+
+
+def parse_change_log(lines: DataFrame, column: str = "value") -> DataFrame:
+    """A mixed NDJSON log (cell-set and delete lines interleaved, as a REST
+    access log would record them) → the full mutation stream."""
+    return parse_cellset(lines, column).unionByName(parse_deletes(lines, column))
+
+
+# -- test/fixture helpers (driver-side, bounded) ------------------------------
+
+
+def encode_cellset(row_key: str, cells: list[tuple[str, str, int]]) -> str:
+    """One Put as a cell-set JSON line: cells = [(family:qualifier, value,
+    ts_ms)]. Driver-side fixture builder — the inverse of parse_cellset, used
+    by tests to golden-check the decode without an HBase to talk to."""
+    b64 = lambda s: base64.b64encode(s.encode()).decode()  # noqa: E731
+    return json.dumps(
+        {
+            "Row": [
+                {
+                    "key": b64(row_key),
+                    "Cell": [
+                        {"column": b64(col), "timestamp": ts, "$": b64(val)}
+                        for col, val, ts in cells
+                    ],
+                }
+            ]
+        },
+        separators=(",", ":"),
+    )
+
+
+def encode_delete(row_key: str, ts_ms: int) -> str:
+    b64 = base64.b64encode(row_key.encode()).decode()
+    return json.dumps({"delete": b64, "timestamp": ts_ms}, separators=(",", ":"))
