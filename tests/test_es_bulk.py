@@ -224,3 +224,66 @@ def test_same_ts_delete_orders_last_and_wins(spark):
     (body,) = _parse_bodies(out)
     # update meta, update doc, delete — delete strictly after the upsert
     assert "update" in body[0] and "delete" in body[-1]
+
+
+def test_streaming_crash_restart_replays_idempotently(spark):
+    """Kill the stream after a batch's bulk bodies are written but before
+    Structured Streaming commits it, then restart from the same checkpoint:
+    the replayed batch OVERWRITES its directory (no duplicate bodies) and the
+    final action set equals an uninterrupted run's."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from hbase_observer_es_spark.operators.cdc import mutations
+    from hbase_observer_es_spark.sources.filestream import (
+        read_stream,
+        stage_ordered_batches,
+    )
+
+    from .conftest import SF_SMOKE
+
+    out = scratch_dir("es_bulk_restart_test")
+    mut = mutations(spark, SF_SMOKE)
+    stream_dir = stage_ordered_batches(mut, out, 2)
+    ckpt = os.path.join(out, "ckpt")
+    sink = EsBulkSink(os.path.join(out, "bulk"), index="obs", n_partitions=1)
+
+    def crashy(df, bid):
+        sink.write_batch(df, bid)
+        if bid >= 1:
+            raise RuntimeError("injected crash: bodies written, commit not")
+
+    q = (
+        read_stream(spark, stream_dir, mut.schema)
+        .writeStream.foreachBatch(crashy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    crashed = False
+    try:
+        q.awaitTermination()
+    except StreamingQueryException:
+        crashed = True
+    assert crashed, "injected crash did not surface"
+
+    spark2 = spark.newSession()
+    sink2 = EsBulkSink(os.path.join(out, "bulk"), index="obs", n_partitions=1)
+    q2 = (
+        read_stream(spark2, stream_dir, mut.schema)
+        .writeStream.foreachBatch(sink2.write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    # every staged mutation appears exactly once across the batch dirs
+    total = 0
+    for bd in os.listdir(os.path.join(out, "bulk")):
+        for body in _parse_bodies(os.path.join(out, "bulk", bd)):
+            total += sum(1 for ln in body if "update" in ln or "delete" in ln)
+    n_upserts = mut.filter("op = 'upsert'").select("row_key", "ts").distinct().count()
+    n_deletes = mut.filter("op = 'delete'").count()
+    assert total == n_upserts + n_deletes
