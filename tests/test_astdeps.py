@@ -284,3 +284,67 @@ def test_init_relative_import_resolves_to_own_package():
         _resolve_factory(sources),
     )
     assert view.imports["helper"] == (f"{PKG}/sub/helper.py", None)
+
+
+
+# -- randomized adversarial pairs --------------------------------------------
+
+
+def _mk_module(helpers: int, queries: int, wire: list[tuple[int, int]]) -> str:
+    """Synthetic module: `helpers` chained helper fns, `queries` query fns,
+    `wire` = (query_idx, helper_idx) call edges."""
+    out = ["K = 10\n"]
+    for h in range(helpers):
+        callee = f" + h{h-1}(x)" if h else ""
+        out.append(f"def h{h}(x):\n    return x * {h + 1} + K{callee}\n")
+    for q in range(queries):
+        calls = " + ".join(
+            f"h{h}(1)" for qq, h in wire if qq == q
+        ) or "0"
+        out.append(f"def q_{q}(spark, sf):\n    return {calls}\n")
+        out.append(f'SQL_{q} = "SELECT {q}"\n')
+    qd = ", ".join(f'"q_{q}": q_{q}' for q in range(queries))
+    od = ", ".join(f'"q_{q}": SQL_{q}' for q in range(queries))
+    out.append("QUERIES = {" + qd + "}\n")
+    out.append("ORACLES = {" + od + "}\n")
+    return "\n".join(out)
+
+
+def test_randomized_edit_matrix():
+    """For a deterministic matrix of synthetic modules: editing helper h must
+    affect exactly the queries whose call chain reaches h (chains run h ->
+    h-1 -> ... -> 0, so reaching h' means wired to any h >= h'), and adding a
+    brand-new helper affects nobody."""
+    helpers, queries = 4, 3
+    wire = [(0, 0), (1, 2), (2, 3)]  # q_0->h0, q_1->h2, q_2->h3
+    old_src = _mk_module(helpers, queries, wire)
+    for edited_h in range(helpers):
+        new_src = old_src.replace(
+            f"def h{edited_h}(x):\n    return x * {edited_h + 1}",
+            f"def h{edited_h}(x):\n    return x * {edited_h + 100}",
+        )
+        assert new_src != old_src
+        sources = {f"{PKG}/m.py": new_src}
+        old = {f"{PKG}/m.py": old_src}
+        g = _graph(sources)
+        for q in range(queries):
+            # q reaches edited_h iff its wired helper index >= edited_h
+            # (helper chain h_n calls h_{n-1}); q_0->h0 reaches only h0, etc.
+            wired = dict(wire)[q]
+            expect = wired >= edited_h
+            got = is_affected(g, f"{PKG}/m.py", f"q_{q}", old)
+            assert got == expect, (edited_h, q, got, expect)
+    # additive: append a new helper nobody calls
+    sources = {f"{PKG}/m.py": old_src + "\ndef h_new(x):\n    return x\n"}
+    g = _graph(sources)
+    for q in range(queries):
+        assert not is_affected(g, f"{PKG}/m.py", f"q_{q}", {f"{PKG}/m.py": old_src})
+
+
+def test_shared_constant_edit_affects_all():
+    """Every helper chain reads K — editing it affects every query."""
+    old_src = _mk_module(2, 2, [(0, 0), (1, 1)])
+    new_src = old_src.replace("K = 10", "K = 11")
+    g = _graph({f"{PKG}/m.py": new_src})
+    for q in range(2):
+        assert is_affected(g, f"{PKG}/m.py", f"q_{q}", {f"{PKG}/m.py": old_src})

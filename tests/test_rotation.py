@@ -134,3 +134,38 @@ def test_unaffected_never_overrides_own_fn_edit():
         unaffected={"q_a", "q_b"},
     )
     assert order == ["q_a", "q_b"]
+
+
+
+def test_rotate_priority_end_to_end_invariants():
+    """Run the real tool on the real repo: every registered query appears
+    exactly once, tier comments are monotonically ordered, never-checked rows
+    (if any) lead, and the output round-trips as Python source."""
+    import ast as ast_mod
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "rotate_priority.py")],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    body = out.stdout
+    names = re.findall(r'"(q_\w+|s_\w+)",', body)
+    from hbase_observer_es_spark.registry import all_queries
+
+    assert sorted(names) == sorted(all_queries())
+    assert len(names) == len(set(names))
+    tiers = [
+        float(m.group(1))
+        for m in re.finditer(r"# tier (\d+\.\d+):", body)
+    ]
+    assert tiers == sorted(tiers)
+    # the emitted tuple parses as Python
+    ast_mod.parse(body)
