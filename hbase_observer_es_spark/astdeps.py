@@ -173,13 +173,27 @@ class ModuleView:
         is_pkg = pkg_parts[-1] == "__init__"
         if is_pkg:
             pkg_parts = pkg_parts[:-1]
-        for node in tree.body:  # type: ignore[union-attr]
+
+        def bind(alias: str, target: tuple[str, str | None]) -> None:
+            # a FUNCTION-LOCAL import (``def q(): from ..functions import
+            # dsum``) binds only inside that def, but for closure purposes a
+            # module-wide registration is a safe over-approximation — unless
+            # the same alias already points somewhere ELSE, where no single
+            # binding is right: go opaque (conservative).
+            if alias in view.imports and view.imports[alias] != target:
+                view.has_star_import = True
+            view.imports[alias] = target
+
+        # walk the WHOLE tree, not just tree.body: imports nested inside
+        # function bodies (the repo's ``from ..functions import dsum`` pattern)
+        # are real in-package dependencies the closure must see.
+        for node in ast.walk(tree):
             if isinstance(node, ast.Import):
                 for alias in node.names:
                     parts = alias.name.split(".")
                     target = resolve(parts)
                     if target is not None:
-                        view.imports[alias.asname or parts[0]] = (target, None)
+                        bind(alias.asname or parts[0], (target, None))
             elif isinstance(node, ast.ImportFrom):
                 if node.level:
                     # a package's "current package" (level=1) is its own
@@ -200,9 +214,9 @@ class ModuleView:
                         continue
                     sub_rel = resolve(mod + [alias.name])
                     if sub_rel is not None:  # imported a submodule
-                        view.imports[alias.asname or alias.name] = (sub_rel, None)
+                        bind(alias.asname or alias.name, (sub_rel, None))
                     elif mod_rel is not None:  # imported a def from the module
-                        view.imports[alias.asname or alias.name] = (mod_rel, alias.name)
+                        bind(alias.asname or alias.name, (mod_rel, alias.name))
         return view
 
     def _def_node(self, name: str) -> list[ast.AST]:

@@ -348,3 +348,40 @@ def test_shared_constant_edit_affects_all():
     g = _graph({f"{PKG}/m.py": new_src})
     for q in range(2):
         assert is_affected(g, f"{PKG}/m.py", f"q_{q}", {f"{PKG}/m.py": old_src})
+
+
+
+def test_function_local_import_is_tracked():
+    """`def q(): from pkg.io import helper` — the nested import is a real
+    dependency; editing helper must affect q (the repo's dsum pattern)."""
+    old_helper = "def dsum(c):\n    return c\n"
+    mod = (
+        "def q_one(spark, sf):\n"
+        f"    from {PKG}.io import dsum\n"
+        "    return dsum(spark)\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    new_helper = "def dsum(c):\n    return c * 2\n"
+    sources = {f"{PKG}/io.py": new_helper, f"{PKG}/a.py": mod}
+    old = {f"{PKG}/io.py": old_helper, f"{PKG}/a.py": mod}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+    # unchanged helper: unaffected
+    same = {f"{PKG}/io.py": old_helper, f"{PKG}/a.py": mod}
+    assert not is_affected(_graph(same), f"{PKG}/a.py", "q_one", old)
+
+
+def test_conflicting_local_import_aliases_go_opaque():
+    """Two defs binding the same alias to DIFFERENT in-package targets: no
+    single module-wide binding is right, so the module goes opaque and every
+    query in it stays affected."""
+    sources = {
+        f"{PKG}/x.py": "def f():\n    return 1\n",
+        f"{PKG}/y.py": "def f():\n    return 2\n",
+        f"{PKG}/a.py": (
+            f"def q1(s):\n    from {PKG}.x import f\n    return f()\n\n"
+            f"def q2(s):\n    from {PKG}.y import f\n    return f()\n"
+        ),
+    }
+    g = _graph(sources)
+    assert g.closure(f"{PKG}/a.py", {"q1"}).opaque
