@@ -157,6 +157,10 @@ class ModuleView:
     # local name → (module rel path, remote name | None).  None = the alias IS
     # the module object (``from ..operators import pii`` / ``import pkg.io``).
     imports: dict[str, tuple[str, str | None]] = field(default_factory=dict)
+    # local name → dotted EXTERNAL origin ("pandas", "pyspark.sql.functions:col")
+    # — compared binding-for-binding in is_affected so `import polars as pd`
+    # replacing `import pandas as pd` can't hide behind an unchanged def body.
+    ext_imports: dict[str, str] = field(default_factory=dict)
     has_star_import: bool = False
     _tree: ast.AST | None = None
 
@@ -184,6 +188,11 @@ class ModuleView:
                 view.has_star_import = True
             view.imports[alias] = target
 
+        def bind_ext(alias: str, origin: str) -> None:
+            if alias in view.ext_imports and view.ext_imports[alias] != origin:
+                view.has_star_import = True
+            view.ext_imports[alias] = origin
+
         # walk the WHOLE tree, not just tree.body: imports nested inside
         # function bodies (the repo's ``from ..functions import dsum`` pattern)
         # are real in-package dependencies the closure must see.
@@ -194,6 +203,8 @@ class ModuleView:
                     target = resolve(parts)
                     if target is not None:
                         bind(alias.asname or parts[0], (target, None))
+                    else:
+                        bind_ext(alias.asname or parts[0], alias.name)
             elif isinstance(node, ast.ImportFrom):
                 if node.level:
                     # a package's "current package" (level=1) is its own
@@ -217,6 +228,11 @@ class ModuleView:
                         bind(alias.asname or alias.name, (sub_rel, None))
                     elif mod_rel is not None:  # imported a def from the module
                         bind(alias.asname or alias.name, (mod_rel, alias.name))
+                    else:  # external from-import (relative-external impossible)
+                        bind_ext(
+                            alias.asname or alias.name,
+                            ".".join(mod) + ":" + alias.name,
+                        )
         return view
 
     def _def_node(self, name: str) -> list[ast.AST]:
@@ -347,6 +363,14 @@ class DepGraph:
             if cur_rel not in seen_modules:
                 seen_modules.add(cur_rel)
                 work.append((cur_rel, MODULE_RESIDUAL))
+                # importing pkg/sub/x.py executes every ancestor __init__ too —
+                # their import-time residuals are part of the surface
+                parts = cur_rel.split("/")[:-1]
+                while parts:
+                    init_rel = "/".join(parts) + "/__init__.py"
+                    if init_rel in self._sources and init_rel not in seen_modules:
+                        work.append((init_rel, MODULE_RESIDUAL))
+                    parts = parts[:-1]
                 if v.has_star_import:
                     opaque = True
             if name != MODULE_RESIDUAL and name not in v.defs:
@@ -367,6 +391,10 @@ class DepGraph:
             for n in names:
                 if n in v.defs and (cur_rel, n) not in reached:
                     work.append((cur_rel, n))
+                elif n in v.ext_imports:
+                    # external binding: nothing to walk, but the ORIGIN is
+                    # compared old-vs-new in is_affected (pd may be polars now)
+                    used_aliases.setdefault(cur_rel, set()).add(n)
                 elif n in v.imports:
                     used_aliases.setdefault(cur_rel, set()).add(n)
                     tgt_rel, remote = v.imports[n]
@@ -381,7 +409,9 @@ class DepGraph:
                             return Closure(reached, used_aliases, True)
                         work.extend((tgt_rel, d) for d in tv.defs)
             for base, attr in attrs:
-                if base in v.imports:
+                if base in v.ext_imports:
+                    used_aliases.setdefault(cur_rel, set()).add(base)
+                elif base in v.imports:
                     used_aliases.setdefault(cur_rel, set()).add(base)
                     tgt_rel, remote = v.imports[base]
                     if remote is None:
@@ -444,5 +474,7 @@ def is_affected(
             return True
         for alias in aliases:
             if old_view.imports.get(alias) != new_view.imports.get(alias):
+                return True
+            if old_view.ext_imports.get(alias) != new_view.ext_imports.get(alias):
                 return True
     return False

@@ -385,3 +385,44 @@ def test_conflicting_local_import_aliases_go_opaque():
     }
     g = _graph(sources)
     assert g.closure(f"{PKG}/a.py", {"q1"}).opaque
+
+
+
+def test_external_import_rebinding_is_affected():
+    """`import pandas as pd` -> `import polars as pd`: the def body is
+    unchanged but the external origin moved — the ext-binding guard flags."""
+    old_mod = (
+        "import pandas as pd\n\n"
+        "def q_one(spark, sf):\n    return pd.DataFrame\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    new_mod = old_mod.replace("import pandas as pd", "import polars as pd")
+    sources = {f"{PKG}/a.py": new_mod}
+    old = {f"{PKG}/a.py": old_mod}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+    # same origin: unaffected
+    assert not is_affected(_graph({f"{PKG}/a.py": old_mod}), f"{PKG}/a.py", "q_one", old)
+
+
+def test_ancestor_init_residual_in_closure():
+    """Importing pkg/sub/x.py executes pkg/__init__.py and pkg/sub/__init__.py
+    — a side-effecting statement added to either affects importing queries."""
+    old_init = ""
+    mod = (
+        f"from {PKG}.sub.x import helper\n\n"
+        "def q_one(spark, sf):\n    return helper()\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    helper_src = "def helper():\n    return 1\n"
+    base = {
+        f"{PKG}/__init__.py": old_init,
+        f"{PKG}/sub/__init__.py": old_init,
+        f"{PKG}/sub/x.py": helper_src,
+        f"{PKG}/a.py": mod,
+    }
+    new = dict(base)
+    new[f"{PKG}/sub/__init__.py"] = "print('side effect at import')\n"
+    assert is_affected(_graph(new), f"{PKG}/a.py", "q_one", base)
+    assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
