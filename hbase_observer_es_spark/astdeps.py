@@ -182,14 +182,23 @@ class ModuleView:
             # a FUNCTION-LOCAL import (``def q(): from ..functions import
             # dsum``) binds only inside that def, but for closure purposes a
             # module-wide registration is a safe over-approximation — unless
-            # the same alias already points somewhere ELSE, where no single
-            # binding is right: go opaque (conservative).
-            if alias in view.imports and view.imports[alias] != target:
+            # the same alias already has ANOTHER meaning (a different import
+            # target, an external binding, or a top-level def of the same
+            # name), where no single binding is right: go opaque.
+            if (
+                (alias in view.imports and view.imports[alias] != target)
+                or alias in view.ext_imports
+                or alias in view.defs
+            ):
                 view.has_star_import = True
             view.imports[alias] = target
 
         def bind_ext(alias: str, origin: str) -> None:
-            if alias in view.ext_imports and view.ext_imports[alias] != origin:
+            if (
+                (alias in view.ext_imports and view.ext_imports[alias] != origin)
+                or alias in view.imports
+                or alias in view.defs
+            ):
                 view.has_star_import = True
             view.ext_imports[alias] = origin
 
@@ -203,8 +212,13 @@ class ModuleView:
                     target = resolve(parts)
                     if target is not None:
                         bind(alias.asname or parts[0], (target, None))
+                    elif alias.asname:
+                        bind_ext(alias.asname, alias.name)
                     else:
-                        bind_ext(alias.asname or parts[0], alias.name)
+                        # `import a.b` binds the TOP-LEVEL module object `a` —
+                        # origin is parts[0], so `import os` + `import os.path`
+                        # agree instead of fake-conflicting
+                        bind_ext(parts[0], parts[0])
             elif isinstance(node, ast.ImportFrom):
                 if node.level:
                     # a package's "current package" (level=1) is its own
@@ -363,14 +377,20 @@ class DepGraph:
             if cur_rel not in seen_modules:
                 seen_modules.add(cur_rel)
                 work.append((cur_rel, MODULE_RESIDUAL))
-                # importing pkg/sub/x.py executes every ancestor __init__ too —
-                # their import-time residuals are part of the surface
+                # importing this module EXECUTES, at import time: every
+                # ancestor __init__, and every in-package module it imports
+                # (recursively, via the seen mechanism) — their residual
+                # statements are part of the surface even when no definition
+                # in them is reached
                 parts = cur_rel.split("/")[:-1]
                 while parts:
                     init_rel = "/".join(parts) + "/__init__.py"
                     if init_rel in self._sources and init_rel not in seen_modules:
                         work.append((init_rel, MODULE_RESIDUAL))
                     parts = parts[:-1]
+                for tgt_rel, _remote in v.imports.values():
+                    if tgt_rel not in seen_modules:
+                        work.append((tgt_rel, MODULE_RESIDUAL))
                 if v.has_star_import:
                     opaque = True
             if name != MODULE_RESIDUAL and name not in v.defs:
@@ -384,6 +404,10 @@ class DepGraph:
                         if tv is None:
                             return Closure(reached, used_aliases, True)
                         work.extend((tgt_rel, d) for d in tv.defs)
+                elif name in v.ext_imports:
+                    # re-exported EXTERNAL name: record so is_affected compares
+                    # the origin old-vs-new (pandas → polars must flag)
+                    used_aliases.setdefault(cur_rel, set()).add(name)
                 continue  # else: builtin / parameter shadow — nothing to track
             reached.add((cur_rel, name))
             names, attrs, dynamic = v.references(name)

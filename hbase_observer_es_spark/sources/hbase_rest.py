@@ -103,38 +103,36 @@ def parse_cellset(lines: DataFrame, column: str = "value") -> DataFrame:
     parsed = lines.select(
         F.from_json(F.col(column), CELL_SCHEMA).alias("doc")
     ).filter(F.col("doc").isNotNull())
-    cells = (
-        parsed.select(F.explode("doc.Row").alias("row"))
+    return _upserts_of(parsed)
+
+
+def _upserts_of(parsed: DataFrame) -> DataFrame:
+    """Parsed cell-set docs (``doc.Row``) → upsert mutations. The
+    'family:qualifier' column splits at the FIRST colon — family names cannot
+    contain ':', qualifiers can (CellUtil.cloneQualifier semantics; family
+    dropped per SURVEY A5 / D4)."""
+    return (
+        parsed.filter(F.col("doc.Row").isNotNull())
+        .select(F.explode("doc.Row").alias("row"))
         .select(
             _b64_str(F.col("row.key")).alias("row_key"),
             F.explode("row.Cell").alias("cell"),
         )
         .select(
             "row_key",
-            _b64_str(F.col("cell.column")).alias("col"),
-            F.col("cell.timestamp").alias("ts_ms"),
+            F.regexp_replace(_b64_str(F.col("cell.column")), "^[^:]*:", "").alias(
+                "qualifier"
+            ),
             _b64_str(F.col("cell.`$`")).alias("value"),
+            F.lit("upsert").alias("op"),
+            F.timestamp_millis(F.col("cell.timestamp")).alias("ts"),
         )
     )
-    return cells.select(
-        "row_key",
-        # 'family:qualifier' → qualifier (family dropped, SURVEY A5 / D4).
-        # HBase splits at the FIRST colon — family names cannot contain ':',
-        # qualifiers can (CellUtil.cloneQualifier semantics).
-        F.regexp_replace("col", "^[^:]*:", "").alias("qualifier"),
-        "value",
-        F.lit("upsert").alias("op"),
-        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
-    )
 
 
-def parse_deletes(lines: DataFrame, column: str = "value") -> DataFrame:
-    """NDJSON delete-log lines → delete mutations (whole-row tombstones, the
-    reference's postDelete granularity; qualifier/value NULL)."""
-    parsed = lines.select(
-        F.from_json(F.col(column), DELETE_SCHEMA).alias("doc")
-    ).filter(F.col("doc.delete").isNotNull())
-    return parsed.select(
+def _deletes_of(parsed: DataFrame) -> DataFrame:
+    """Parsed delete docs (``doc.delete``) → whole-row tombstone mutations."""
+    return parsed.filter(F.col("doc.delete").isNotNull()).select(
         _b64_str(F.col("doc.delete")).alias("row_key"),
         F.lit(None).cast("string").alias("qualifier"),
         F.lit(None).cast("string").alias("value"),
@@ -143,10 +141,72 @@ def parse_deletes(lines: DataFrame, column: str = "value") -> DataFrame:
     )
 
 
+def parse_deletes(lines: DataFrame, column: str = "value") -> DataFrame:
+    """NDJSON delete-log lines → delete mutations (whole-row tombstones, the
+    reference's postDelete granularity; qualifier/value NULL)."""
+    parsed = lines.select(
+        F.from_json(F.col(column), DELETE_SCHEMA).alias("doc")
+    ).filter(F.col("doc").isNotNull())
+    return _deletes_of(parsed)
+
+
+_MIXED_SCHEMA = T.StructType(
+    list(CELL_SCHEMA.fields) + list(DELETE_SCHEMA.fields)
+)
+
+
+_MUT_STRUCT = (
+    "array<struct<row_key:string,qualifier:string,value:string,"
+    "op:string,ts:timestamp>>"
+)
+
+
 def parse_change_log(lines: DataFrame, column: str = "value") -> DataFrame:
     """A mixed NDJSON log (cell-set and delete lines interleaved, as a REST
-    access log would record them) → the full mutation stream."""
-    return parse_cellset(lines, column).unionByName(parse_deletes(lines, column))
+    access log would record them) → the full mutation stream.
+
+    TRUE single pass: one ``from_json`` against the merged schema, then each
+    line's mutations are assembled as ONE array (cell upserts ++ optional
+    delete) with higher-order functions and exploded once. A union of two
+    projections would plan TWO scans of the source (Spark reuses shuffles,
+    not scan subtrees); at 100 TB the text scan and JSON parse are the
+    dominant cost and must happen once — pinned by the single-scan plan test.
+    """
+    parsed = lines.select(
+        F.from_json(F.col(column), _MIXED_SCHEMA).alias("doc")
+    ).filter(F.col("doc").isNotNull())
+    upsert_muts = F.flatten(
+        F.transform(
+            F.coalesce(F.col("doc.Row"), F.expr("array()")),
+            lambda row: F.transform(
+                F.coalesce(row["Cell"], F.expr("array()")),
+                lambda c: F.struct(
+                    F.unbase64(row["key"]).cast("string").alias("row_key"),
+                    F.regexp_replace(
+                        F.unbase64(c["column"]).cast("string"), "^[^:]*:", ""
+                    ).alias("qualifier"),
+                    F.unbase64(c["$"]).cast("string").alias("value"),
+                    F.lit("upsert").alias("op"),
+                    F.timestamp_millis(c["timestamp"]).alias("ts"),
+                ),
+            ),
+        )
+    ).cast(_MUT_STRUCT)
+    delete_muts = F.when(
+        F.col("doc.delete").isNotNull(),
+        F.array(
+            F.struct(
+                F.unbase64(F.col("doc.delete")).cast("string").alias("row_key"),
+                F.lit(None).cast("string").alias("qualifier"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit("delete").alias("op"),
+                F.timestamp_millis(F.col("doc.timestamp")).alias("ts"),
+            )
+        ),
+    ).otherwise(F.expr("array()").cast(_MUT_STRUCT)).cast(_MUT_STRUCT)
+    return parsed.select(
+        F.explode(F.concat(upsert_muts, delete_muts)).alias("m")
+    ).select("m.row_key", "m.qualifier", "m.value", "m.op", "m.ts")
 
 
 # -- test/fixture helpers (driver-side, bounded) ------------------------------

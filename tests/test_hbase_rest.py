@@ -132,3 +132,16 @@ def test_streaming_rest_log_to_bulk(spark):
     assert kinds.count("update") == 2 and kinds.count("delete") == 1
     # u1's delete (ts 3000) sorts after u1's upsert (ts 1000) in the body
     assert kinds.index("delete") > kinds.index("update")
+
+
+def test_change_log_single_scan(spark):
+    """parse_change_log plans exactly ONE scan of the source: the mutation
+    array (upserts ++ delete) is assembled per line and exploded once — a
+    two-branch union would scan twice."""
+    df = parse_change_log(
+        _lines(spark, [encode_cellset("k", [("cf:q", "v", 1)]), encode_delete("k", 2)])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1, plan  # createDataFrame source
+    assert "Union" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
