@@ -7,8 +7,6 @@ from __future__ import annotations
 import datetime as dt
 import json
 
-from pyspark.sql import functions as F
-
 from hbase_observer_es_spark.sources.hbase_rest import (
     encode_cellset,
     encode_delete,
@@ -57,6 +55,9 @@ def test_delete_log_and_mixed_stream(spark):
     assert ops == {"upsert", "delete"}
     d = next(r for r in muts if r.op == "delete")
     assert d.row_key == "k1" and d.qualifier is None and d.value is None
+    # the standalone delete-log parser agrees with the mixed-log path
+    (d2,) = parse_deletes(_lines(spark, [de])).collect()
+    assert (d2.row_key, d2.op, d2.ts) == (d.row_key, d.op, d.ts)
 
 
 def test_malformed_lines_drop_not_die(spark):
