@@ -8,17 +8,21 @@ that sweep was only claimed in prose. This tool runs it and writes
 ``SWEEP_r{N}.json`` so each round's full-registry evidence is in git, per query,
 with wall time and the exact session config it ran under.
 
-Two passes by default:
+Three passes by default:
 
 * ``standard``  — ``local[*]`` / 32 shuffle partitions (the bench config).
 * ``adversarial`` — ``local[4]`` / 3 shuffle partitions: hostile parallelism
   that surfaces any partition-count/order dependence (README "Partition
   independence, verified").
+* ``degenerate`` — ``local[2]`` / ONE shuffle partition with AQE disabled:
+  the other extreme (no runtime re-planning, a single reducer, minimal task
+  parallelism) — catches results that only hold because AQE coalescing or a
+  particular partition count hides an order dependence.
 
-Both passes run in ONE interpreter: the adversarial pass stops the first
+All passes run in ONE interpreter: each non-standard pass stops the previous
 SparkSession and builds a fresh one (master is session-scoped, not JVM-scoped,
-so local[4] takes effect; verified via ``defaultParallelism`` recorded in the
-artifact).
+so local[4]/local[2] take effect; verified via ``defaultParallelism`` recorded
+in the artifact).
 
 Usage::
 
@@ -135,6 +139,23 @@ def main() -> int:
             **summarize(adv),
             "queries": adv,
         }
+
+        spark.stop()
+        os.environ["SPARK_GRAFT_CPUS"] = "2"
+        spark = get_spark("local-sweep-degenerate", shuffle_partitions=1)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print("degenerate pass: local[2], 1 shuffle partition, AQE off", flush=True)
+        deg = run_pass(spark, args.sf_dir, queries, oracles)
+        artifact["degenerate"] = {
+            "config": {
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            },
+            **summarize(deg),
+            "queries": deg,
+        }
     spark.stop()
 
     with open(out_path, "w") as f:
@@ -142,9 +163,9 @@ def main() -> int:
         f.write("\n")
 
     ok = all(
-        not artifact[p]["failed"] for p in ("standard", "adversarial") if p in artifact
+        not artifact[p]["failed"] for p in ("standard", "adversarial", "degenerate") if p in artifact
     )
-    for p in ("standard", "adversarial"):
+    for p in ("standard", "adversarial", "degenerate"):
         if p in artifact:
             s = artifact[p]
             print(f"{p}: {s['passed']}/{s['total']} passed, {s['wall_s']}s wall"

@@ -20,8 +20,11 @@ edited-since-green > oldest-green), printed as Python source ready to paste
 into registry._PRIORITY, with one comment line per tier boundary.
 
 Usage: python tools/rotate_priority.py [--repo /root/repo]
-         [--edited-fn q_a,q_b]   # queries whose own def changed this round:
-                                 # they verify before same-file neighbors
+         [--edited-fn q_a,q_b]   # OPTIONAL extra tier-1.0 names; the set is
+                                 # auto-derived from git (a query's root defs
+                                 # changed since its green — astdeps), so the
+                                 # flag is a supplement, not a duty
+         [--no-ast]              # file-granularity fallback (no proofs)
 """
 
 from __future__ import annotations
@@ -187,6 +190,43 @@ def _resolver(repo: str):
     return resolve
 
 
+def own_fn_edited(
+    repo: str,
+    names: list[str],
+    files: dict[str, str],
+    last_green: dict[str, int | None],
+    file_rounds: dict[str, int],
+) -> set[str]:
+    """Auto-derive the tier-1.0 set: queries whose OWN root definitions (the
+    registered fn / oracle SQL, via query_roots) changed between their last
+    green boundary and now — what --edited-fn used to hand-feed. Conservative:
+    an unresolvable registry entry or unparseable source counts as edited."""
+    from hbase_observer_es_spark.astdeps import changed_defs, query_roots
+
+    boundary_sha = {rnd: sha for sha, rnd in round_boundaries(repo)}
+    out: set[str] = set()
+    diff_cache: dict[tuple[str, str], set[str] | None] = {}
+    for n in names:
+        g = last_green.get(n)
+        edited = file_rounds.get(files[n])
+        if g is None or edited is None or edited <= g or g not in boundary_sha:
+            continue
+        rel, sha = files[n], boundary_sha[g]
+        if (sha, rel) not in diff_cache:
+            try:
+                old = _git(repo, "show", f"{sha}:{rel}")
+            except subprocess.CalledProcessError:
+                old = None
+            with open(os.path.join(repo, rel)) as fh:
+                diff_cache[(sha, rel)] = changed_defs(old, fh.read())
+        changed = diff_cache[(sha, rel)]
+        with open(os.path.join(repo, rel)) as fh:
+            roots = query_roots(fh.read(), n)
+        if changed is None or roots is None or (roots & changed):
+            out.add(n)
+    return out
+
+
 def proven_unaffected(
     repo: str,
     names: list[str],
@@ -256,6 +296,10 @@ def main() -> None:
     greens = last_green_rounds(repo)
     file_rounds = file_edit_rounds(repo)
     last_green = {n: greens.get(n) for n in names}
+    if not args.no_ast:
+        # auto-derived tier-1.0 (own root defs changed since green) unions with
+        # any hand-fed names — --edited-fn is now a supplement, not a duty
+        edited_fn |= own_fn_edited(repo, names, files, last_green, file_rounds)
     closures = {rel: module_closure(repo, rel) for rel in set(files.values())}
 
     def closure_round(rel: str) -> int | None:
