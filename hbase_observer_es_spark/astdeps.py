@@ -365,10 +365,14 @@ class DepGraph:
         reached: set[tuple[str, str]] = set()
         used_aliases: dict[str, set[str]] = {}
         opaque = False
-        work: list[tuple[str, str]] = [(rel, r) for r in roots]
+        # work items carry `expect`: True when we arrived via a followed
+        # import edge (the name MUST resolve there — a miss means the walk
+        # lost the chain and the closure is NOT exhaustive → opaque), False
+        # for same-module reference scans (builtins/params legitimately miss).
+        work: list[tuple[str, str, bool]] = [(rel, r, True) for r in roots]
         seen_modules: set[str] = set()
         while work:
-            cur_rel, name = work.pop()
+            cur_rel, name, expect = work.pop()
             if (cur_rel, name) in reached:
                 continue
             v = self.view(cur_rel)
@@ -376,7 +380,7 @@ class DepGraph:
                 return Closure(reached, used_aliases, True)
             if cur_rel not in seen_modules:
                 seen_modules.add(cur_rel)
-                work.append((cur_rel, MODULE_RESIDUAL))
+                work.append((cur_rel, MODULE_RESIDUAL, True))
                 # importing this module EXECUTES, at import time: every
                 # ancestor __init__, and every in-package module it imports
                 # (recursively, via the seen mechanism) — their residual
@@ -386,11 +390,11 @@ class DepGraph:
                 while parts:
                     init_rel = "/".join(parts) + "/__init__.py"
                     if init_rel in self._sources and init_rel not in seen_modules:
-                        work.append((init_rel, MODULE_RESIDUAL))
+                        work.append((init_rel, MODULE_RESIDUAL, True))
                     parts = parts[:-1]
                 for tgt_rel, _remote in v.imports.values():
                     if tgt_rel not in seen_modules:
-                        work.append((tgt_rel, MODULE_RESIDUAL))
+                        work.append((tgt_rel, MODULE_RESIDUAL, True))
                 if v.has_star_import:
                     opaque = True
             if name != MODULE_RESIDUAL and name not in v.defs:
@@ -398,23 +402,28 @@ class DepGraph:
                     used_aliases.setdefault(cur_rel, set()).add(name)
                     tgt_rel, remote = v.imports[name]
                     if remote is not None:
-                        work.append((tgt_rel, remote))
+                        work.append((tgt_rel, remote, True))
                     else:
                         tv = self.view(tgt_rel)
                         if tv is None:
                             return Closure(reached, used_aliases, True)
-                        work.extend((tgt_rel, d) for d in tv.defs)
+                        work.extend((tgt_rel, d, True) for d in tv.defs)
                 elif name in v.ext_imports:
                     # re-exported EXTERNAL name: record so is_affected compares
                     # the origin old-vs-new (pandas → polars must flag)
                     used_aliases.setdefault(cur_rel, set()).add(name)
-                continue  # else: builtin / parameter shadow — nothing to track
+                elif expect:
+                    # we followed an import edge here and found nothing — the
+                    # chain is lost (e.g. `import a.b` package-attr patterns,
+                    # names injected dynamically): NOT exhaustive → opaque
+                    opaque = True
+                continue  # same-module miss: builtin / parameter shadow
             reached.add((cur_rel, name))
             names, attrs, dynamic = v.references(name)
             opaque |= dynamic
             for n in names:
                 if n in v.defs and (cur_rel, n) not in reached:
-                    work.append((cur_rel, n))
+                    work.append((cur_rel, n, False))
                 elif n in v.ext_imports:
                     # external binding: nothing to walk, but the ORIGIN is
                     # compared old-vs-new in is_affected (pd may be polars now)
@@ -423,7 +432,7 @@ class DepGraph:
                     used_aliases.setdefault(cur_rel, set()).add(n)
                     tgt_rel, remote = v.imports[n]
                     if remote is not None:
-                        work.append((tgt_rel, remote))
+                        work.append((tgt_rel, remote, True))
                     else:
                         # bare use of a module object (attribute accesses are
                         # excluded from `names` by references()): conservative
@@ -431,7 +440,7 @@ class DepGraph:
                         tv = self.view(tgt_rel)
                         if tv is None:
                             return Closure(reached, used_aliases, True)
-                        work.extend((tgt_rel, d) for d in tv.defs)
+                        work.extend((tgt_rel, d, True) for d in tv.defs)
             for base, attr in attrs:
                 if base in v.ext_imports:
                     used_aliases.setdefault(cur_rel, set()).add(base)
@@ -439,9 +448,12 @@ class DepGraph:
                     used_aliases.setdefault(cur_rel, set()).add(base)
                     tgt_rel, remote = v.imports[base]
                     if remote is None:
-                        work.append((tgt_rel, attr))
-                    # attribute on a from-imported def: already covered by the
-                    # (tgt_rel, remote) walk above
+                        work.append((tgt_rel, attr, True))
+                    else:
+                        # attribute on a from-imported DEF (Codec.SEP): the
+                        # def itself is the dependency — walk it even when the
+                        # base is never used as a bare name
+                        work.append((tgt_rel, remote, True))
         return Closure(reached, used_aliases, opaque)
 
 

@@ -73,9 +73,10 @@ _MODULES = (
 # q_agg_ttest. The two scalar-output rewrites head the window, then the
 # r4-green similarity.py block (genuinely affected) and the io.py-dependent
 # r3/r4 greens the astdeps proof could NOT clear (io.table's def changed r5);
-# 33 additive-edit rows it DID clear (e.g. the search.py r5 greens whose
-# closures dodge the three r6-added queries) demote to tiers 1.3/1.4, freeing
-# their window slots for rows with real pending risk.
+# 34 additive-edit rows it DID clear (33 file-stale — e.g. the search.py r5
+# greens whose closures dodge the three r6-added queries — plus 1 import-stale)
+# demote to tiers 1.3/1.4, freeing their window slots for rows with real
+# pending risk.
 _PRIORITY = (
     # tier 0.0: never driver-checked
     "q_search_terms_set",  # never checked

@@ -91,6 +91,34 @@ def _b64_str(col):
     return F.unbase64(col).cast("string")
 
 
+def _upsert_struct(key, col, val, ts_ms):
+    """THE single cell decode, as one mutation struct: base64 row key,
+    first-colon family strip ('family:qualifier' → qualifier — family names
+    cannot contain ':', qualifiers can, per CellUtil.cloneQualifier; family
+    dropped per SURVEY A5 / D4), base64 value, epoch-ms timestamp. Shared by
+    the relational (_upserts_of) and higher-order (parse_change_log) paths so
+    the two parsers can never decode the same wire bytes differently."""
+    return F.struct(
+        _b64_str(key).alias("row_key"),
+        F.regexp_replace(_b64_str(col), "^[^:]*:", "").alias("qualifier"),
+        _b64_str(val).alias("value"),
+        F.lit("upsert").alias("op"),
+        F.timestamp_millis(ts_ms).alias("ts"),
+    )
+
+
+def _delete_struct(key, ts_ms):
+    """Whole-row tombstone struct (qualifier/value NULL), same shared-decode
+    rationale as _upsert_struct."""
+    return F.struct(
+        _b64_str(key).alias("row_key"),
+        F.lit(None).cast("string").alias("qualifier"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit("delete").alias("op"),
+        F.timestamp_millis(ts_ms).alias("ts"),
+    )
+
+
 def parse_cellset(lines: DataFrame, column: str = "value") -> DataFrame:
     """NDJSON cell-set lines → upsert mutations (cdc.py contract). One line =
     one cell-set document = one Put's cells (the coprocessor's per-RPC unit).
@@ -107,37 +135,30 @@ def parse_cellset(lines: DataFrame, column: str = "value") -> DataFrame:
 
 
 def _upserts_of(parsed: DataFrame) -> DataFrame:
-    """Parsed cell-set docs (``doc.Row``) → upsert mutations. The
-    'family:qualifier' column splits at the FIRST colon — family names cannot
-    contain ':', qualifiers can (CellUtil.cloneQualifier semantics; family
-    dropped per SURVEY A5 / D4)."""
+    """Parsed cell-set docs (``doc.Row``) → upsert mutations (decode rules in
+    _upsert_struct)."""
     return (
         parsed.filter(F.col("doc.Row").isNotNull())
         .select(F.explode("doc.Row").alias("row"))
+        .select(F.col("row.key").alias("k"), F.explode("row.Cell").alias("cell"))
         .select(
-            _b64_str(F.col("row.key")).alias("row_key"),
-            F.explode("row.Cell").alias("cell"),
+            _upsert_struct(
+                F.col("k"),
+                F.col("cell.column"),
+                F.col("cell.`$`"),
+                F.col("cell.timestamp"),
+            ).alias("m")
         )
-        .select(
-            "row_key",
-            F.regexp_replace(_b64_str(F.col("cell.column")), "^[^:]*:", "").alias(
-                "qualifier"
-            ),
-            _b64_str(F.col("cell.`$`")).alias("value"),
-            F.lit("upsert").alias("op"),
-            F.timestamp_millis(F.col("cell.timestamp")).alias("ts"),
-        )
+        .select("m.row_key", "m.qualifier", "m.value", "m.op", "m.ts")
     )
 
 
 def _deletes_of(parsed: DataFrame) -> DataFrame:
     """Parsed delete docs (``doc.delete``) → whole-row tombstone mutations."""
-    return parsed.filter(F.col("doc.delete").isNotNull()).select(
-        _b64_str(F.col("doc.delete")).alias("row_key"),
-        F.lit(None).cast("string").alias("qualifier"),
-        F.lit(None).cast("string").alias("value"),
-        F.lit("delete").alias("op"),
-        F.timestamp_millis(F.col("doc.timestamp")).alias("ts"),
+    return (
+        parsed.filter(F.col("doc.delete").isNotNull())
+        .select(_delete_struct(F.col("doc.delete"), F.col("doc.timestamp")).alias("m"))
+        .select("m.row_key", "m.qualifier", "m.value", "m.op", "m.ts")
     )
 
 
@@ -180,29 +201,15 @@ def parse_change_log(lines: DataFrame, column: str = "value") -> DataFrame:
             F.coalesce(F.col("doc.Row"), F.expr("array()")),
             lambda row: F.transform(
                 F.coalesce(row["Cell"], F.expr("array()")),
-                lambda c: F.struct(
-                    F.unbase64(row["key"]).cast("string").alias("row_key"),
-                    F.regexp_replace(
-                        F.unbase64(c["column"]).cast("string"), "^[^:]*:", ""
-                    ).alias("qualifier"),
-                    F.unbase64(c["$"]).cast("string").alias("value"),
-                    F.lit("upsert").alias("op"),
-                    F.timestamp_millis(c["timestamp"]).alias("ts"),
+                lambda c: _upsert_struct(
+                    row["key"], c["column"], c["$"], c["timestamp"]
                 ),
             ),
         )
     ).cast(_MUT_STRUCT)
     delete_muts = F.when(
         F.col("doc.delete").isNotNull(),
-        F.array(
-            F.struct(
-                F.unbase64(F.col("doc.delete")).cast("string").alias("row_key"),
-                F.lit(None).cast("string").alias("qualifier"),
-                F.lit(None).cast("string").alias("value"),
-                F.lit("delete").alias("op"),
-                F.timestamp_millis(F.col("doc.timestamp")).alias("ts"),
-            )
-        ),
+        F.array(_delete_struct(F.col("doc.delete"), F.col("doc.timestamp"))),
     ).otherwise(F.expr("array()").cast(_MUT_STRUCT)).cast(_MUT_STRUCT)
     return parsed.select(
         F.explode(F.concat(upsert_muts, delete_muts)).alias("m")

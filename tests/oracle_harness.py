@@ -72,6 +72,20 @@ def _rows_to_multiset(cols: list[str], rows: list[tuple]) -> dict:
     return out
 
 
+def complex_columns(df) -> list[str]:
+    """Top-level columns with complex (non-scalar) types — THE single detector
+    for the driver's output-shape constraint, shared with
+    tests/test_output_contract.py so the harness and the contract test can
+    never drift apart."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
     # The DRIVER canonicalizes results by sorting rows in pandas, where a
     # complex-typed cell is an unhashable numpy.ndarray — a hard failure there
@@ -80,11 +94,7 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     # LOCAL sweep passes queries the driver cannot check. Mirror the driver's
     # constraint: complex-typed Spark output columns fail here too
     # (registry.py output-shape contract).
-    complex_cols = [
-        f.name
-        for f in spark_df.schema.fields
-        if f.dataType.typeName() in ("array", "map", "struct")
-    ]
+    complex_cols = complex_columns(spark_df)
     if complex_cols:
         return CompareResult(
             name=name,

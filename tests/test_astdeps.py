@@ -20,8 +20,11 @@ def _resolve_factory(sources: dict[str, str]):
     def resolve(parts: list[str]):
         if not parts or parts[0] != PKG:
             return None
-        rel = "/".join(parts) + ".py"
-        return rel if rel in sources else None
+        base = "/".join(parts)
+        for rel in (base + ".py", base + "/__init__.py"):  # module, then package
+            if rel in sources:
+                return rel
+        return None
 
     return resolve
 
@@ -426,3 +429,48 @@ def test_ancestor_init_residual_in_closure():
     new[f"{PKG}/sub/__init__.py"] = "print('side effect at import')\n"
     assert is_affected(_graph(new), f"{PKG}/a.py", "q_one", base)
     assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
+
+
+
+def test_attribute_only_use_of_from_imported_def_is_tracked():
+    """`from pkg.h import Codec` used ONLY as `Codec.SEP` (attribute base,
+    never a bare name): the def itself is the dependency and must be walked."""
+    old_h = "class Codec:\n    SEP = ','\n"
+    mod = (
+        f"from {PKG}.h import Codec\n\n"
+        "def q_one(spark, sf):\n    return Codec.SEP\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    new_h = old_h.replace("','", "';'")
+    sources = {f"{PKG}/h.py": new_h, f"{PKG}/a.py": mod}
+    old = {f"{PKG}/h.py": old_h, f"{PKG}/a.py": mod}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+    same = {f"{PKG}/h.py": old_h, f"{PKG}/a.py": mod}
+    assert not is_affected(_graph(same), f"{PKG}/a.py", "q_one", old)
+
+
+def test_lost_import_chain_goes_opaque():
+    """A name reached through an import edge that does NOT resolve (package-
+    attr chains like `from pkg import sub` + `sub.filestream.stage(...)`,
+    or `import pkg.io` + dotted access) must mark the closure opaque, never
+    silently fall through as a builtin."""
+    sources = {
+        f"{PKG}/sub/__init__.py": "",
+        f"{PKG}/sub/filestream.py": "def stage(x):\n    return x\n",
+        f"{PKG}/a.py": (
+            f"from {PKG} import sub\n\n"
+            "def q_one(spark, sf):\n    return sub.filestream.stage(spark)\n"
+        ),
+    }
+    assert _graph(sources).closure(f"{PKG}/a.py", {"q_one"}).opaque
+    # dotted plain import form
+    sources2 = {
+        f"{PKG}/io.py": "def table(x):\n    return x\n",
+        f"{PKG}/a.py": (
+            f"import {PKG}.io\n\n"
+            "def q_one(spark, sf):\n"
+            f"    return {PKG}.io.table(spark)\n"
+        ),
+    }
+    assert _graph(sources2).closure(f"{PKG}/a.py", {"q_one"}).opaque

@@ -18,19 +18,12 @@ test_oracle.py also does; at smoke scale that's a few seconds per stream.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import types as T
-
 from hbase_observer_es_spark.registry import all_queries
 
 from .conftest import SF_SMOKE
+from .oracle_harness import complex_columns  # ONE detector, shared with the harness
 
 QUERIES = all_queries()
-_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
-
-
-def complex_columns(df) -> list[str]:
-    """Names of top-level columns with complex (non-scalar) types."""
-    return [f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)]
 
 
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if not n.startswith("s_")))

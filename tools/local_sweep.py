@@ -142,8 +142,13 @@ def main() -> int:
 
         spark.stop()
         os.environ["SPARK_GRAFT_CPUS"] = "2"
+        # io.table re-applies session.RUNTIME_CONF on every load (the driver-
+        # session hardening path), which would silently turn AQE back ON — pin
+        # the override at the RUNTIME_CONF source so it sticks for the pass.
+        from hbase_observer_es_spark import session as _session
+
+        _session.RUNTIME_CONF["spark.sql.adaptive.enabled"] = "false"
         spark = get_spark("local-sweep-degenerate", shuffle_partitions=1)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
         print("degenerate pass: local[2], 1 shuffle partition, AQE off", flush=True)
         deg = run_pass(spark, args.sf_dir, queries, oracles)
         artifact["degenerate"] = {

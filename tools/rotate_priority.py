@@ -43,44 +43,18 @@ PKG = "hbase_observer_es_spark"
 
 
 def _imports_of(repo: str, rel: str) -> set[str]:
-    """Repo-relative paths of in-package modules ``rel`` imports directly."""
+    """Repo-relative paths of in-package modules ``rel`` imports (anywhere in
+    the tree, nested function-local imports included). Built on
+    astdeps.ModuleView so the file-level closure and the definition-level
+    proof share ONE import walker — they can never disagree about what a
+    module depends on."""
+    from hbase_observer_es_spark.astdeps import ModuleView
+
     with open(os.path.join(repo, rel)) as f:
-        tree = ast.parse(f.read())
-    parts = rel[: -len(".py")].split("/")  # e.g. [PKG, 'streaming', 'scrub']
-    is_pkg = parts[-1] == "__init__"
-    if is_pkg:
-        parts = parts[:-1]
-    out: set[str] = set()
-
-    def add(mod_parts: list[str]) -> None:
-        if not mod_parts or mod_parts[0] != PKG:
-            return
-        base = os.path.join(repo, *mod_parts)
-        for cand in (base + ".py", os.path.join(base, "__init__.py")):
-            if os.path.isfile(cand):
-                out.add(os.path.relpath(cand, repo))
-                return
-
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Import):
-            for alias in node.names:
-                add(alias.name.split("."))
-        elif isinstance(node, ast.ImportFrom):
-            if node.level:
-                # a package's "current package" (level=1) is its own directory;
-                # a plain module's is its parent — __init__ strips one fewer
-                strip = node.level - 1 if is_pkg else node.level
-                base = parts[:-strip] if 0 < strip < len(parts) else (
-                    parts if strip == 0 else []
-                )
-                mod = base + (node.module.split(".") if node.module else [])
-            else:
-                mod = node.module.split(".") if node.module else []
-            add(mod)
-            # `from ..operators import pii` style: each alias may be a module
-            for alias in node.names:
-                add(mod + [alias.name])
-    return out
+        view = ModuleView.parse(rel, f.read(), _resolver(repo))
+    if view is None:  # unparseable: no closure claims possible from here
+        return set()
+    return {tgt for tgt, _remote in view.imports.values()}
 
 
 def module_closure(repo: str, rel: str) -> set[str]:
