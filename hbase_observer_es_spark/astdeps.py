@@ -155,12 +155,16 @@ class ModuleView:
     rel: str
     defs: dict[str, str]
     # local name → (module rel path, remote name | None).  None = the alias IS
-    # the module object (``from ..operators import pii`` / ``import pkg.io``).
+    # the module object (``from ..operators import pii``).
     imports: dict[str, tuple[str, str | None]] = field(default_factory=dict)
     # local name → dotted EXTERNAL origin ("pandas", "pyspark.sql.functions:col")
     # — compared binding-for-binding in is_affected so `import polars as pd`
     # replacing `import pandas as pd` can't hide behind an unchanged def body.
     ext_imports: dict[str, str] = field(default_factory=dict)
+    # EVERY in-package module file this module's import statements load —
+    # independent of alias binding (``import a.b`` binds `a` but EXECUTES
+    # a/b.py): the import-time residual surface.
+    import_targets: set[str] = field(default_factory=set)
     has_star_import: bool = False
     _tree: ast.AST | None = None
 
@@ -211,13 +215,25 @@ class ModuleView:
                     parts = alias.name.split(".")
                     target = resolve(parts)
                     if target is not None:
-                        bind(alias.asname or parts[0], (target, None))
+                        view.import_targets.add(target)
+                        if alias.asname:
+                            # `import a.b as x` binds x to the a.b module
+                            bind(alias.asname, (target, None))
+                        else:
+                            # `import a.b` EXECUTES a/b.py (import_targets
+                            # above) but BINDS the top-level package `a`
+                            top = resolve(parts[:1])
+                            if top is not None:
+                                view.import_targets.add(top)
+                                bind(parts[0], (top, None))
+                            else:  # unresolvable top package: not exhaustive
+                                view.has_star_import = True
                     elif alias.asname:
                         bind_ext(alias.asname, alias.name)
                     else:
-                        # `import a.b` binds the TOP-LEVEL module object `a` —
-                        # origin is parts[0], so `import os` + `import os.path`
-                        # agree instead of fake-conflicting
+                        # external `import a.b` binds the TOP-LEVEL module `a`
+                        # — origin is parts[0], so `import os` + `import
+                        # os.path` agree instead of fake-conflicting
                         bind_ext(parts[0], parts[0])
             elif isinstance(node, ast.ImportFrom):
                 if node.level:
@@ -232,6 +248,8 @@ class ModuleView:
                 else:
                     mod = node.module.split(".") if node.module else []
                 mod_rel = resolve(mod)
+                if mod_rel is not None:
+                    view.import_targets.add(mod_rel)
                 for alias in node.names:
                     if alias.name == "*":
                         if mod_rel is not None:
@@ -239,6 +257,7 @@ class ModuleView:
                         continue
                     sub_rel = resolve(mod + [alias.name])
                     if sub_rel is not None:  # imported a submodule
+                        view.import_targets.add(sub_rel)
                         bind(alias.asname or alias.name, (sub_rel, None))
                     elif mod_rel is not None:  # imported a def from the module
                         bind(alias.asname or alias.name, (mod_rel, alias.name))
@@ -248,6 +267,15 @@ class ModuleView:
                             ".".join(mod) + ":" + alias.name,
                         )
         return view
+
+    def submodule_of(self, name: str, resolve) -> str | None:
+        """If THIS module is a package __init__ and ``name`` is a submodule
+        file of that package, its repo-relative path — the binding the import
+        system creates when anything imports ``pkg.name``."""
+        if not self.rel.endswith("/__init__.py"):
+            return None
+        pkg_parts = self.rel[: -len("/__init__.py")].split("/")
+        return resolve(pkg_parts + [name])
 
     def _def_node(self, name: str) -> list[ast.AST]:
         nodes = []
@@ -365,36 +393,39 @@ class DepGraph:
         reached: set[tuple[str, str]] = set()
         used_aliases: dict[str, set[str]] = {}
         opaque = False
-        # work items carry `expect`: True when we arrived via a followed
-        # import edge (the name MUST resolve there — a miss means the walk
-        # lost the chain and the closure is NOT exhaustive → opaque), False
-        # for same-module reference scans (builtins/params legitimately miss).
-        work: list[tuple[str, str, bool]] = [(rel, r, True) for r in roots]
+        work: list[tuple[str, str]] = [(rel, r) for r in roots]
+        # cycle guard: every popped (module, name) is recorded here whether it
+        # resolves or not — `reached` alone can't terminate a cyclic re-export
+        # of a name that never resolves (a.py: from b import x / b.py: from a
+        # import x): the miss path would ping-pong forever
+        visited: set[tuple[str, str]] = set()
         seen_modules: set[str] = set()
         while work:
-            cur_rel, name, expect = work.pop()
-            if (cur_rel, name) in reached:
+            cur_rel, name = work.pop()
+            if (cur_rel, name) in visited:
                 continue
+            visited.add((cur_rel, name))
             v = self.view(cur_rel)
             if v is None:
                 return Closure(reached, used_aliases, True)
             if cur_rel not in seen_modules:
                 seen_modules.add(cur_rel)
-                work.append((cur_rel, MODULE_RESIDUAL, True))
+                work.append((cur_rel, MODULE_RESIDUAL))
                 # importing this module EXECUTES, at import time: every
-                # ancestor __init__, and every in-package module it imports
-                # (recursively, via the seen mechanism) — their residual
+                # ancestor __init__, and every in-package module its import
+                # statements load (import_targets — independent of alias
+                # binding; recursively, via the seen mechanism): their residual
                 # statements are part of the surface even when no definition
                 # in them is reached
                 parts = cur_rel.split("/")[:-1]
                 while parts:
                     init_rel = "/".join(parts) + "/__init__.py"
                     if init_rel in self._sources and init_rel not in seen_modules:
-                        work.append((init_rel, MODULE_RESIDUAL, True))
+                        work.append((init_rel, MODULE_RESIDUAL))
                     parts = parts[:-1]
-                for tgt_rel, _remote in v.imports.values():
+                for tgt_rel in v.import_targets:
                     if tgt_rel not in seen_modules:
-                        work.append((tgt_rel, MODULE_RESIDUAL, True))
+                        work.append((tgt_rel, MODULE_RESIDUAL))
                 if v.has_star_import:
                     opaque = True
             if name != MODULE_RESIDUAL and name not in v.defs:
@@ -402,28 +433,43 @@ class DepGraph:
                     used_aliases.setdefault(cur_rel, set()).add(name)
                     tgt_rel, remote = v.imports[name]
                     if remote is not None:
-                        work.append((tgt_rel, remote, True))
+                        work.append((tgt_rel, remote))
                     else:
                         tv = self.view(tgt_rel)
                         if tv is None:
                             return Closure(reached, used_aliases, True)
-                        work.extend((tgt_rel, d, True) for d in tv.defs)
+                        work.extend((tgt_rel, d) for d in tv.defs)
                 elif name in v.ext_imports:
                     # re-exported EXTERNAL name: record so is_affected compares
                     # the origin old-vs-new (pandas → polars must flag)
                     used_aliases.setdefault(cur_rel, set()).add(name)
-                elif expect:
-                    # we followed an import edge here and found nothing — the
-                    # chain is lost (e.g. `import a.b` package-attr patterns,
-                    # names injected dynamically): NOT exhaustive → opaque
+                elif name.startswith("__") and name.endswith("__"):
+                    pass  # module metadata (__name__, __doc__): not a binding
+                elif (sub := v.submodule_of(name, self._resolve)) is not None:
+                    # attribute of a PACKAGE naming a submodule file — the
+                    # import system binds it when pkg.name is imported
+                    # anywhere: whole-module dependence
+                    tv = self.view(sub)
+                    if tv is None:
+                        return Closure(reached, used_aliases, True)
+                    work.extend((sub, d) for d in tv.defs)
+                elif v.defs[MODULE_RESIDUAL]:
+                    # the name can only be bound by module-level residual code
+                    # (tuple assigns, conditionals) — that residual is always
+                    # in `reached` and compared whole, so a binding change
+                    # flags without going permanently opaque
+                    pass
+                else:
+                    # nothing visible can bind this name (and no residual to
+                    # carry it): the chain is lost — NOT exhaustive → opaque
                     opaque = True
-                continue  # same-module miss: builtin / parameter shadow
+                continue
             reached.add((cur_rel, name))
             names, attrs, dynamic = v.references(name)
             opaque |= dynamic
             for n in names:
-                if n in v.defs and (cur_rel, n) not in reached:
-                    work.append((cur_rel, n, False))
+                if n in v.defs:
+                    work.append((cur_rel, n))
                 elif n in v.ext_imports:
                     # external binding: nothing to walk, but the ORIGIN is
                     # compared old-vs-new in is_affected (pd may be polars now)
@@ -432,7 +478,7 @@ class DepGraph:
                     used_aliases.setdefault(cur_rel, set()).add(n)
                     tgt_rel, remote = v.imports[n]
                     if remote is not None:
-                        work.append((tgt_rel, remote, True))
+                        work.append((tgt_rel, remote))
                     else:
                         # bare use of a module object (attribute accesses are
                         # excluded from `names` by references()): conservative
@@ -440,20 +486,25 @@ class DepGraph:
                         tv = self.view(tgt_rel)
                         if tv is None:
                             return Closure(reached, used_aliases, True)
-                        work.extend((tgt_rel, d, True) for d in tv.defs)
+                        work.extend((tgt_rel, d) for d in tv.defs)
             for base, attr in attrs:
-                if base in v.ext_imports:
+                if base in v.defs:
+                    # SAME-MODULE def used only as an attribute base
+                    # (DEC.format, SAMPLE_RATES.items): the def is the
+                    # dependency even with no bare-name use
+                    work.append((cur_rel, base))
+                elif base in v.ext_imports:
                     used_aliases.setdefault(cur_rel, set()).add(base)
                 elif base in v.imports:
                     used_aliases.setdefault(cur_rel, set()).add(base)
                     tgt_rel, remote = v.imports[base]
                     if remote is None:
-                        work.append((tgt_rel, attr, True))
+                        work.append((tgt_rel, attr))
                     else:
                         # attribute on a from-imported DEF (Codec.SEP): the
                         # def itself is the dependency — walk it even when the
                         # base is never used as a bare name
-                        work.append((tgt_rel, remote, True))
+                        work.append((tgt_rel, remote))
         return Closure(reached, used_aliases, opaque)
 
 
@@ -496,11 +547,7 @@ def is_affected(
     # binding of every alias the reachable code uses, old vs new. Old bindings
     # resolve against the CURRENT repo layout: a renamed target then simply
     # fails to match — conservative.
-    touched = set(by_module) | set(c.used_aliases)
-    for mod_rel in touched:
-        aliases = c.used_aliases.get(mod_rel)
-        if not aliases:
-            continue
+    for mod_rel, aliases in c.used_aliases.items():
         old_mod_src = old_sources.get(mod_rel)
         if old_mod_src is None:
             return True

@@ -450,21 +450,32 @@ def test_attribute_only_use_of_from_imported_def_is_tracked():
     assert not is_affected(_graph(same), f"{PKG}/a.py", "q_one", old)
 
 
-def test_lost_import_chain_goes_opaque():
-    """A name reached through an import edge that does NOT resolve (package-
-    attr chains like `from pkg import sub` + `sub.filestream.stage(...)`,
-    or `import pkg.io` + dotted access) must mark the closure opaque, never
-    silently fall through as a builtin."""
-    sources = {
+def test_package_attr_chain_tracks_submodule():
+    """`from pkg import sub` + `sub.filestream.stage(...)`: the package
+    attribute resolves to the submodule FILE — whole-module dependence, so a
+    change in filestream.py flags and an untouched one still proves clean."""
+    fs_old = "def stage(x):\n    return x\n"
+    mod = (
+        f"from {PKG} import sub\n\n"
+        "def q_one(spark, sf):\n    return sub.filestream.stage(spark)\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    base = {
         f"{PKG}/sub/__init__.py": "",
-        f"{PKG}/sub/filestream.py": "def stage(x):\n    return x\n",
-        f"{PKG}/a.py": (
-            f"from {PKG} import sub\n\n"
-            "def q_one(spark, sf):\n    return sub.filestream.stage(spark)\n"
-        ),
+        f"{PKG}/sub/filestream.py": fs_old,
+        f"{PKG}/a.py": mod,
     }
-    assert _graph(sources).closure(f"{PKG}/a.py", {"q_one"}).opaque
-    # dotted plain import form
+    changed = dict(base)
+    changed[f"{PKG}/sub/filestream.py"] = "def stage(x):\n    return x.cache()\n"
+    assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
+    assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
+
+
+def test_lost_import_chain_goes_opaque():
+    """`import pkg.io`-style dotted access where the top package cannot be
+    resolved (no __init__): the chain is lost — opaque, never a silent
+    builtin fallthrough."""
     sources2 = {
         f"{PKG}/io.py": "def table(x):\n    return x\n",
         f"{PKG}/a.py": (
@@ -474,3 +485,55 @@ def test_lost_import_chain_goes_opaque():
         ),
     }
     assert _graph(sources2).closure(f"{PKG}/a.py", {"q_one"}).opaque
+
+
+def test_cyclic_unresolved_reexport_terminates():
+    """a.py re-exports x from b.py and vice versa with x defined nowhere —
+    the walk must terminate (visited-set guard) and flag, not hang."""
+    sources = {
+        f"{PKG}/a.py": (
+            f"from {PKG}.b import x\n\n"
+            "def q_one(spark, sf):\n    return x\n"
+        ),
+        f"{PKG}/b.py": f"from {PKG}.a import x\n",
+    }
+    c = _graph(sources).closure(f"{PKG}/a.py", {"q_one"})
+    assert c is not None  # terminated
+
+
+def test_same_module_attr_base_def_is_tracked():
+    """DEC used only as DEC.format(...) (the repo's functions.py pattern):
+    the same-module def is walked even with no bare-name use."""
+    old_mod = (
+        'DEC = "decimal(18,{scale})"\n\n'
+        "def q_one(spark, sf):\n    return DEC.format(scale=4)\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    new_mod = old_mod.replace("decimal(18,{scale})", "decimal(20,{scale})")
+    assert is_affected(
+        _graph({f"{PKG}/a.py": new_mod}), f"{PKG}/a.py", "q_one",
+        {f"{PKG}/a.py": old_mod},
+    )
+    assert not is_affected(
+        _graph({f"{PKG}/a.py": old_mod}), f"{PKG}/a.py", "q_one",
+        {f"{PKG}/a.py": old_mod},
+    )
+
+
+def test_residual_bound_attr_stays_provable():
+    """`A, B = 1, 2` lands in residual; `m.A` access must neither go opaque
+    (precision) nor miss a change to the tuple assign (soundness)."""
+    m_old = "A, B = 1, 2\n"
+    mod = (
+        f"from {PKG} import m\n\n"
+        "def q_one(spark, sf):\n    return m.A\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    base = {f"{PKG}/m.py": m_old, f"{PKG}/a.py": mod}
+    g = _graph(dict(base))
+    assert not g.closure(f"{PKG}/a.py", {"q_one"}).opaque
+    assert not is_affected(g, f"{PKG}/a.py", "q_one", base)
+    changed = {f"{PKG}/m.py": "A, B = 9, 2\n", f"{PKG}/a.py": mod}
+    assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
