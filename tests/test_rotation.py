@@ -169,3 +169,27 @@ def test_rotate_priority_end_to_end_invariants():
     assert tiers == sorted(tiers)
     # the emitted tuple parses as Python
     ast_mod.parse(body)
+
+
+
+def test_rotate_priority_no_ast_fallback():
+    """--no-ast (file-granularity fallback) still emits a complete, parseable
+    schedule — the escape hatch if the proof machinery ever misbehaves."""
+    import ast as ast_mod
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "rotate_priority.py"), "--no-ast"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    names = re.findall(r'"(q_\w+|s_\w+)",', out.stdout)
+    from hbase_observer_es_spark.registry import all_queries
+
+    assert sorted(names) == sorted(all_queries())
+    assert "PROVEN" not in out.stdout  # no proof tiers in fallback mode
+    ast_mod.parse(out.stdout)
