@@ -117,16 +117,18 @@ def changed_defs(old_src: str | None, new_src: str) -> set[str] | None:
     return changed
 
 
-def query_roots(src: str, qname: str) -> set[str] | None:
-    """The top-level names a registered query hangs from: the value NAMES of
-    the ``QUERIES``/``ORACLES`` dict entries for ``qname`` (the Spark callable
-    and the oracle-SQL constant — the driver consumes BOTH). None when the
-    entry exists in a form this static scan can't resolve."""
+def query_roots(src: str, qname: str) -> set[tuple[str, str]] | None:
+    """The top-level names a registered query hangs from, as (registry role,
+    name) pairs — the ``QUERIES`` callable and the ``ORACLES`` SQL constant
+    (the driver consumes BOTH, and the ROLE matters: swapping them is a real
+    rebinding the guard must see). None when an entry exists in a form this
+    static scan can't resolve — including a ``**spread`` in the dict, whose
+    runtime override of an explicit entry is invisible to AST inspection."""
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return None
-    roots: set[str] = set()
+    roots: set[tuple[str, str]] = set()
     found = 0
     for node in tree.body:
         if not (
@@ -137,11 +139,14 @@ def query_roots(src: str, qname: str) -> set[str] | None:
             and isinstance(node.value, ast.Dict)
         ):
             continue
+        registry = node.targets[0].id
+        if any(k is None for k in node.value.keys):  # **spread present
+            return None
         for k, v in zip(node.value.keys, node.value.values):
             if isinstance(k, ast.Constant) and k.value == qname:
                 found += 1
                 if isinstance(v, ast.Name):
-                    roots.add(v.id)
+                    roots.add((registry, v.id))
                 else:
                     return None  # computed entry — not statically resolvable
     return roots if found else None
@@ -204,6 +209,11 @@ class ModuleView:
                 or alias in view.defs
             ):
                 view.has_star_import = True
+            if origin.split(":")[0].split(".")[0] in _DYNAMIC_NAMES:
+                # `import importlib as il` / `from importlib import
+                # import_module`: dynamic loading under a non-literal name —
+                # the literal-name detection in _refs_of can't see it
+                view.has_star_import = True
             view.ext_imports[alias] = origin
 
         # walk the WHOLE tree, not just tree.body: imports nested inside
@@ -252,8 +262,10 @@ class ModuleView:
                     view.import_targets.add(mod_rel)
                 for alias in node.names:
                     if alias.name == "*":
-                        if mod_rel is not None:
-                            view.has_star_import = True
+                        # ANY star import (external too): the bound names are
+                        # unknowable here, so references to them are silently
+                        # unresolvable — never provable
+                        view.has_star_import = True
                         continue
                     sub_rel = resolve(mod + [alias.name])
                     if sub_rel is not None:  # imported a submodule
@@ -266,7 +278,20 @@ class ModuleView:
                             alias.asname or alias.name,
                             ".".join(mod) + ":" + alias.name,
                         )
+        if not view._classification_consistent():
+            view.has_star_import = True  # drift guard: never provable
         return view
+
+    def _classification_consistent(self) -> bool:
+        """parse_defs, _def_node and _residual_nodes restate the same
+        top-level classification; if they ever drift (a new statement kind
+        handled in one but not the others), a def could exist in ``defs``
+        while ``_def_node`` finds nothing — its dependencies silently dropped.
+        This cross-check turns that silent unsoundness into a loud one."""
+        return all(
+            name == MODULE_RESIDUAL or self._def_node(name)
+            for name in self.defs
+        )
 
     def submodule_of(self, name: str, resolve) -> str | None:
         """If THIS module is a package __init__ and ``name`` is a submodule
@@ -317,23 +342,35 @@ class ModuleView:
         return nodes
 
     @staticmethod
-    def _refs_of(nodes: list[ast.AST]) -> tuple[set[str], set[tuple[str, str]], bool]:
-        """(bare names — attribute bases excluded, (base, attr) attribute
-        pairs, uses_dynamic) referenced by ``nodes``. The manual walk keeps
-        ``mod.attr`` from ALSO counting ``mod`` as a bare use, so a module
-        alias only ever accessed via attributes doesn't expand to whole-module
-        dependence."""
+    def _refs_of(
+        nodes: list[ast.AST],
+    ) -> tuple[set[str], set[tuple[str, tuple[str, ...]]], bool]:
+        """(bare names — attribute bases excluded, (base, full attr chain)
+        pairs — ``a.b.c`` records ('a', ('b','c')), uses_dynamic) referenced
+        by ``nodes``. The manual walk keeps ``mod.attr`` from ALSO counting
+        ``mod`` as a bare use, so a module alias only ever accessed via
+        attributes doesn't expand to whole-module dependence."""
         names: set[str] = set()
-        attrs: set[tuple[str, str]] = set()
+        attrs: set[tuple[str, tuple[str, ...]]] = set()
         dynamic = False
         stack: list[ast.AST] = list(nodes)
         while stack:
             sub = stack.pop()
-            if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
-                attrs.add((sub.value.id, sub.attr))
-                if sub.value.id in _DYNAMIC_NAMES:
-                    dynamic = True
-                continue  # don't descend: the base Name is NOT a bare use
+            if isinstance(sub, ast.Attribute):
+                # unroll the full chain: a.b.c → base 'a', chain ('b','c')
+                chain: list[str] = []
+                node: ast.AST = sub
+                while isinstance(node, ast.Attribute):
+                    chain.append(node.attr)
+                    node = node.value
+                if isinstance(node, ast.Name):
+                    chain.reverse()
+                    attrs.add((node.id, tuple(chain)))
+                    if node.id in _DYNAMIC_NAMES:
+                        dynamic = True
+                    continue  # don't descend: base Name is NOT a bare use
+                stack.append(node)  # chain rooted in a call/subscript: descend
+                continue
             if isinstance(sub, ast.Name):
                 names.add(sub.id)
                 if sub.id in _DYNAMIC_NAMES:
@@ -487,7 +524,7 @@ class DepGraph:
                         if tv is None:
                             return Closure(reached, used_aliases, True)
                         work.extend((tgt_rel, d) for d in tv.defs)
-            for base, attr in attrs:
+            for base, chain in attrs:
                 if base in v.defs:
                     # SAME-MODULE def used only as an attribute base
                     # (DEC.format, SAMPLE_RATES.items): the def is the
@@ -498,13 +535,59 @@ class DepGraph:
                 elif base in v.imports:
                     used_aliases.setdefault(cur_rel, set()).add(base)
                     tgt_rel, remote = v.imports[base]
-                    if remote is None:
-                        work.append((tgt_rel, attr))
-                    else:
+                    if remote is not None:
                         # attribute on a from-imported DEF (Codec.SEP): the
                         # def itself is the dependency — walk it even when the
                         # base is never used as a bare name
                         work.append((tgt_rel, remote))
+                        continue
+                    # module alias: resolve the chain STEPWISE through
+                    # submodules (sub.filestream.stage → pkg/sub/filestream.py
+                    # :: stage). A hop landing on a def ends the module walk
+                    # (the tail is runtime attribute access on its value); a
+                    # hop this walk can't place loses the chain → opaque.
+                    cur_mod = tgt_rel
+                    for i, hop in enumerate(chain):
+                        # every module the chain passes through joins the
+                        # surface (residual + import-time execution), even on
+                        # early breaks (dunder / residual-bound hops)
+                        work.append((cur_mod, MODULE_RESIDUAL))
+                        mv = self.view(cur_mod)
+                        if mv is None:
+                            return Closure(reached, used_aliases, True)
+                        if hop in mv.defs:
+                            work.append((cur_mod, hop))
+                            break
+                        if hop in mv.imports:  # re-export hop
+                            used_aliases.setdefault(cur_mod, set()).add(hop)
+                            t_rel, t_remote = mv.imports[hop]
+                            if t_remote is not None:
+                                work.append((t_rel, t_remote))
+                                break
+                            cur_mod = t_rel
+                            continue
+                        sub = mv.submodule_of(hop, self._resolve)
+                        if sub is not None:
+                            cur_mod = sub
+                            if i == len(chain) - 1:
+                                # chain VALUE is the module object itself:
+                                # whole-module dependence
+                                sv = self.view(sub)
+                                if sv is None:
+                                    return Closure(reached, used_aliases, True)
+                                work.extend((sub, d) for d in sv.defs)
+                            continue
+                        if hop.startswith("__") and hop.endswith("__"):
+                            break  # module metadata
+                        if mv.defs[MODULE_RESIDUAL]:
+                            break  # residual-bound name: residual is compared
+                        opaque = True
+                        break
+                    else:
+                        # chain exhausted while still walking modules — the
+                        # intermediate modules are all in `seen` via their
+                        # residual items; nothing further to pin
+                        pass
         return Closure(reached, used_aliases, opaque)
 
 
@@ -513,11 +596,14 @@ def is_affected(
     rel: str,
     qname: str,
     old_sources: dict[str, str | None],
+    old_view_cache: dict[tuple[str, str], "ModuleView | None"] | None = None,
 ) -> bool:
     """True unless PROVABLY unaffected: every definition reachable from the
     query's roots (Spark callable + oracle SQL) has an identical AST in
     ``old_sources`` (module rel → source at the query's last green check;
-    missing key = module didn't exist then)."""
+    missing key = module didn't exist then). ``old_view_cache`` (keyed by
+    (rel, src)) amortizes old-source parses across the caller's many queries
+    over shared helper modules."""
     src = graph._sources.get(rel)
     if src is None:
         return True
@@ -525,21 +611,44 @@ def is_affected(
     if roots is None:
         return True
     # Rebinding guard: the registry ENTRY is part of the surface — if the
-    # QUERIES/ORACLES value names for qname differ from the old source (e.g.
-    # the entry now points at a different, individually-unchanged function),
-    # the def-level comparison below would never see it.
+    # QUERIES/ORACLES (role, name) pairs for qname differ from the old source
+    # (the entry points at a different function, or the callable and SQL
+    # swapped roles), the def-level comparison below would never see it.
     old_entry_src = old_sources.get(rel)
     if old_entry_src is None or query_roots(old_entry_src, qname) != roots:
         return True
-    c = graph.closure(rel, roots)
+    c = graph.closure(rel, {n for _role, n in roots})
     if c.opaque:
         return True
+
+    def old_view_of(mod_rel: str, old_src: str) -> "ModuleView | None":
+        if old_view_cache is None:
+            return ModuleView.parse(mod_rel, old_src, graph._resolve)
+        key = (mod_rel, old_src)
+        if key not in old_view_cache:
+            old_view_cache[key] = ModuleView.parse(mod_rel, old_src, graph._resolve)
+        return old_view_cache[key]
+
     by_module: dict[str, set[str]] = {}
     for mod_rel, name in c.reached:
         by_module.setdefault(mod_rel, set()).add(name)
     for mod_rel, names in by_module.items():
-        changed = changed_defs(old_sources.get(mod_rel), graph._sources[mod_rel])
+        old_mod_src = old_sources.get(mod_rel)
+        changed = changed_defs(old_mod_src, graph._sources[mod_rel])
         if changed is None or (changed & names):
+            return True
+        # Import-statement surface: adding/removing an IN-PACKAGE import to a
+        # reachable module changes what executes at import time (side-effect
+        # registration the def/residual diffs can't see) — compare the loaded-
+        # file sets. External import churn is intentionally ignored: stdlib/
+        # site-packages module init is assumed stable, and flagging it would
+        # re-stale every query in a file whenever a new query's external
+        # import lands.
+        old_view = old_view_of(mod_rel, old_mod_src)  # old_mod_src != None here
+        new_view = graph.view(mod_rel)
+        if old_view is None or new_view is None:
+            return True
+        if old_view.import_targets != new_view.import_targets:
             return True
     # Import-binding guard: a reachable module may have re-pointed an alias at
     # a DIFFERENT (individually unchanged) target — invisible to the def-level
@@ -551,7 +660,7 @@ def is_affected(
         old_mod_src = old_sources.get(mod_rel)
         if old_mod_src is None:
             return True
-        old_view = ModuleView.parse(mod_rel, old_mod_src, graph._resolve)
+        old_view = old_view_of(mod_rel, old_mod_src)
         new_view = graph.view(mod_rel)
         if old_view is None or new_view is None or old_view.has_star_import:
             return True

@@ -79,7 +79,7 @@ ORACLES = {"q_one": SQL_ONE}
 
 
 def test_query_roots_covers_fn_and_sql():
-    assert query_roots(MOD_WITH_REGISTRY, "q_one") == {"q_one", "SQL_ONE"}
+    assert query_roots(MOD_WITH_REGISTRY, "q_one") == {("QUERIES", "q_one"), ("ORACLES", "SQL_ONE")}
     assert query_roots(MOD_WITH_REGISTRY, "q_missing") is None
 
 
@@ -537,3 +537,83 @@ def test_residual_bound_attr_stays_provable():
     assert not is_affected(g, f"{PKG}/a.py", "q_one", base)
     changed = {f"{PKG}/m.py": "A, B = 9, 2\n", f"{PKG}/a.py": mod}
     assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
+
+
+
+def test_unused_inpackage_import_add_is_affected():
+    """Adding `from pkg import hooks` (alias never referenced) changes what
+    executes at import time — the import_targets comparison must flag it."""
+    hooks = "print('registration side effect')\n"
+    new_mod = f"from {PKG} import hooks\n" + MOD_OLD
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/hooks.py": hooks,
+               f"{PKG}/a.py": new_mod}
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/hooks.py": hooks,
+           f"{PKG}/a.py": MOD_OLD}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_external_star_import_is_opaque():
+    """`from math import *`: the bound names are unknowable even for external
+    modules — changing the star source must never be provable-clean."""
+    src = {f"{PKG}/a.py": "from math import *\n\ndef q(s):\n    return sqrt(s)\n"}
+    assert _graph(src).closure(f"{PKG}/a.py", {"q"}).opaque
+
+
+def test_aliased_importlib_is_opaque():
+    """`import importlib as il` / `from importlib import import_module`:
+    dynamic loading under a non-literal name."""
+    a = {f"{PKG}/a.py": "import importlib as il\n\ndef q(s):\n    return il.import_module(s)\n"}
+    assert _graph(a).closure(f"{PKG}/a.py", {"q"}).opaque
+    b = {f"{PKG}/a.py": "from importlib import import_module\n\ndef q(s):\n    return import_module(s)\n"}
+    assert _graph(b).closure(f"{PKG}/a.py", {"q"}).opaque
+
+
+def test_deep_chain_resolves_into_nested_submodule():
+    """sub.nested.mod.f(): the chain walks package → package → module → def,
+    so editing f flags and an untouched tree stays provable."""
+    mod_src = "def f():\n    return 1\n\ndef g():\n    return 2\n"
+    a = (
+        f"from {PKG} import sub\n\n"
+        "def q_one(spark, sf):\n    return sub.nested.mod.f()\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    base = {
+        f"{PKG}/sub/__init__.py": "",
+        f"{PKG}/sub/nested/__init__.py": "",
+        f"{PKG}/sub/nested/mod.py": mod_src,
+        f"{PKG}/a.py": a,
+    }
+    g = _graph(dict(base))
+    c = g.closure(f"{PKG}/a.py", {"q_one"})
+    assert not c.opaque
+    assert (f"{PKG}/sub/nested/mod.py", "f") in c.reached
+    assert (f"{PKG}/sub/nested/mod.py", "g") not in c.reached
+    changed = dict(base)
+    changed[f"{PKG}/sub/nested/mod.py"] = mod_src.replace("return 1", "return 9")
+    assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
+    assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
+
+
+def test_registry_role_swap_is_affected():
+    """Swapping the QUERIES callable and the ORACLES SQL entry keeps the same
+    NAME set but changes what the driver runs — roles must compare."""
+    swapped = MOD_OLD.replace(
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}',
+        'QUERIES = {"q_one": SQL_ONE}\nORACLES = {"q_one": q_one}',
+    )
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": swapped}
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_dict_spread_registry_entry_is_affected():
+    """A **spread in QUERIES can override the explicit entry at runtime —
+    unresolvable statically, so never provable."""
+    spread = MOD_OLD.replace(
+        'QUERIES = {"q_one": q_one}',
+        'EXTRA = {}\nQUERIES = {"q_one": q_one, **EXTRA}',
+    )
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": spread}
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": spread}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)

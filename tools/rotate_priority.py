@@ -43,18 +43,26 @@ PKG = "hbase_observer_es_spark"
 
 
 def _imports_of(repo: str, rel: str) -> set[str]:
-    """Repo-relative paths of in-package modules ``rel`` imports (anywhere in
-    the tree, nested function-local imports included). Built on
-    astdeps.ModuleView so the file-level closure and the definition-level
-    proof share ONE import walker — they can never disagree about what a
-    module depends on."""
+    """Repo-relative paths of in-package files importing ``rel`` EXECUTES:
+    every import statement's loaded target (import_targets — independent of
+    alias binding, so `import a.b` and star imports count their real files)
+    plus ancestor ``__init__.py`` files. Built on astdeps.ModuleView so the
+    file-level closure and the definition-level proof share ONE import walker
+    — they can never disagree about what a module depends on."""
     from hbase_observer_es_spark.astdeps import ModuleView
 
     with open(os.path.join(repo, rel)) as f:
         view = ModuleView.parse(rel, f.read(), _resolver(repo))
     if view is None:  # unparseable: no closure claims possible from here
         return set()
-    return {tgt for tgt, _remote in view.imports.values()}
+    out = set(view.import_targets)
+    parts = rel.split("/")[:-1]
+    while parts:
+        init_rel = "/".join(parts) + "/__init__.py"
+        if os.path.isfile(os.path.join(repo, init_rel)):
+            out.add(init_rel)
+        parts = parts[:-1]
+    return out
 
 
 def module_closure(repo: str, rel: str) -> set[str]:
@@ -195,8 +203,9 @@ def own_fn_edited(
                 diff_cache[(sha, rel)] = changed_defs(old, fh.read())
         changed = diff_cache[(sha, rel)]
         with open(os.path.join(repo, rel)) as fh:
-            roots = query_roots(fh.read(), n)
-        if changed is None or roots is None or (roots & changed):
+            roots = query_roots(fh.read(), n)  # (role, name) pairs
+        root_names = {name for _role, name in roots} if roots else None
+        if changed is None or root_names is None or (root_names & changed):
             out.add(n)
     return out
 
@@ -235,6 +244,7 @@ def proven_unaffected(
         return old_cache[(sha, rel)]
 
     out: set[str] = set()
+    view_cache: dict = {}  # (rel, old_src) -> ModuleView; shared across queries
     for n in names:
         g = last_green.get(n)
         if g is None:
@@ -248,7 +258,7 @@ def proven_unaffected(
             continue
         sha = boundary_sha[g]
         olds = {rel: old_src(sha, rel) for rel in sources}
-        if not is_affected(graph, files[n], n, olds):
+        if not is_affected(graph, files[n], n, olds, old_view_cache=view_cache):
             out.add(n)
     return out
 
