@@ -68,16 +68,9 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
     return tree
 
 
-def parse_defs(src: str) -> dict[str, str] | None:
-    """Top-level name → normalized AST dump of its definition(s); the
-    ``MODULE_RESIDUAL`` key holds every other top-level statement (import
-    statements excluded here — import TARGET changes surface through the
-    resolved definitions, and import RE-BINDINGS through is_affected's
-    alias-binding guard). None if the source does not parse."""
-    try:
-        tree = _strip_docstrings(ast.parse(src))
-    except SyntaxError:
-        return None
+def _defs_from_tree(tree: ast.AST) -> dict[str, str]:
+    """Classification over an already-parsed, docstring-stripped tree —
+    shared by parse_defs and ModuleView.parse so each source parses once."""
     out: dict[str, list[str]] = {}
     residual: list[str] = []
 
@@ -101,6 +94,20 @@ def parse_defs(src: str) -> dict[str, str] | None:
     defs = {name: "\n".join(dumps) for name, dumps in out.items()}
     defs[MODULE_RESIDUAL] = "\n".join(residual)
     return defs
+
+
+def parse_defs(src: str) -> dict[str, str] | None:
+    """Top-level name → normalized AST dump of its definition(s); the
+    ``MODULE_RESIDUAL`` key holds every other top-level statement (import
+    statements excluded here — import TARGET changes surface through the
+    resolved definitions, import RE-BINDINGS through is_affected's
+    alias-binding guard, and import ADD/REMOVE through its import_targets
+    comparison). None if the source does not parse."""
+    try:
+        tree = _strip_docstrings(ast.parse(src))
+    except SyntaxError:
+        return None
+    return _defs_from_tree(tree)
 
 
 def changed_defs(old_src: str | None, new_src: str) -> set[str] | None:
@@ -170,17 +177,30 @@ class ModuleView:
     # independent of alias binding (``import a.b`` binds `a` but EXECUTES
     # a/b.py): the import-time residual surface.
     import_targets: set[str] = field(default_factory=set)
-    has_star_import: bool = False
+    # True when NO proof can be made from this module's static view: star
+    # imports (any source), conflicting alias bindings, unresolvable top
+    # packages, aliased dynamic importers, classification drift. One flag,
+    # one meaning: every query whose closure touches this module is affected.
+    not_provable: bool = False
     _tree: ast.AST | None = None
 
     @classmethod
-    def parse(cls, rel: str, src: str, resolve) -> "ModuleView | None":
+    def parse(
+        cls, rel: str, src: str, resolve, defs_of=None
+    ) -> "ModuleView | None":
         """``resolve(parts: list[str]) -> rel | None`` maps a dotted in-package
-        module to its repo-relative path (None = external / not a module)."""
-        defs = parse_defs(src)
-        if defs is None:
+        module to its repo-relative path (None = external / not a module).
+        ``defs_of(rel) -> set[str] | None`` (optional) returns another
+        module's top-level names, enabling Python's getattr-first rule for
+        ``from pkg import name``: a NAME defined in pkg/__init__ wins over a
+        same-named submodule file. Without it the submodule interpretation is
+        taken — fine for file-closure use (both files join import_targets),
+        not for precise binding."""
+        try:
+            tree = _strip_docstrings(ast.parse(src))
+        except SyntaxError:
             return None
-        tree = ast.parse(src)
+        defs = _defs_from_tree(tree)
         view = cls(rel=rel, defs=defs, _tree=tree)
         pkg_parts = rel[: -len(".py")].split("/")
         is_pkg = pkg_parts[-1] == "__init__"
@@ -199,7 +219,7 @@ class ModuleView:
                 or alias in view.ext_imports
                 or alias in view.defs
             ):
-                view.has_star_import = True
+                view.not_provable = True
             view.imports[alias] = target
 
         def bind_ext(alias: str, origin: str) -> None:
@@ -208,12 +228,12 @@ class ModuleView:
                 or alias in view.imports
                 or alias in view.defs
             ):
-                view.has_star_import = True
+                view.not_provable = True
             if origin.split(":")[0].split(".")[0] in _DYNAMIC_NAMES:
                 # `import importlib as il` / `from importlib import
                 # import_module`: dynamic loading under a non-literal name —
                 # the literal-name detection in _refs_of can't see it
-                view.has_star_import = True
+                view.not_provable = True
             view.ext_imports[alias] = origin
 
         # walk the WHOLE tree, not just tree.body: imports nested inside
@@ -237,7 +257,7 @@ class ModuleView:
                                 view.import_targets.add(top)
                                 bind(parts[0], (top, None))
                             else:  # unresolvable top package: not exhaustive
-                                view.has_star_import = True
+                                view.not_provable = True
                     elif alias.asname:
                         bind_ext(alias.asname, alias.name)
                     else:
@@ -265,11 +285,24 @@ class ModuleView:
                         # ANY star import (external too): the bound names are
                         # unknowable here, so references to them are silently
                         # unresolvable — never provable
-                        view.has_star_import = True
+                        view.not_provable = True
                         continue
                     sub_rel = resolve(mod + [alias.name])
-                    if sub_rel is not None:  # imported a submodule
+                    if sub_rel is not None:
+                        # the submodule FILE may be executed either way —
+                        # conservative for the import-time surface
                         view.import_targets.add(sub_rel)
+                    # Python's getattr-first rule: a name DEFINED in the
+                    # source module (pkg/__init__) wins over a same-named
+                    # submodule file
+                    target_defs = (
+                        defs_of(mod_rel)
+                        if (defs_of is not None and mod_rel is not None)
+                        else None
+                    )
+                    if target_defs is not None and alias.name in target_defs:
+                        bind(alias.asname or alias.name, (mod_rel, alias.name))
+                    elif sub_rel is not None:  # imported a submodule
                         bind(alias.asname or alias.name, (sub_rel, None))
                     elif mod_rel is not None:  # imported a def from the module
                         bind(alias.asname or alias.name, (mod_rel, alias.name))
@@ -279,7 +312,7 @@ class ModuleView:
                             ".".join(mod) + ":" + alias.name,
                         )
         if not view._classification_consistent():
-            view.has_star_import = True  # drift guard: never provable
+            view.not_provable = True  # drift guard: never provable
         return view
 
     def _classification_consistent(self) -> bool:
@@ -409,14 +442,26 @@ class DepGraph:
         self._sources = sources
         self._resolve = resolve
         self._views: dict[str, ModuleView | None] = {}
+        self._defs: dict[str, set[str] | None] = {}
 
     def view(self, rel: str) -> ModuleView | None:
         if rel not in self._views:
             src = self._sources.get(rel)
             self._views[rel] = (
-                ModuleView.parse(rel, src, self._resolve) if src is not None else None
+                ModuleView.parse(rel, src, self._resolve, defs_of=self._defs_of)
+                if src is not None
+                else None
             )
         return self._views[rel]
+
+    def _defs_of(self, rel: str) -> set[str] | None:
+        """Top-level names of ``rel`` (parse_defs only — safe to call while
+        another module's view is being constructed: no view recursion)."""
+        if rel not in self._defs:
+            src = self._sources.get(rel)
+            d = parse_defs(src) if src is not None else None
+            self._defs[rel] = set(d) - {MODULE_RESIDUAL} if d is not None else None
+        return self._defs[rel]
 
     def closure(self, rel: str, roots: set[str]) -> "Closure":
         """All (module rel, def name) pairs reachable from ``roots`` in ``rel``,
@@ -463,7 +508,7 @@ class DepGraph:
                 for tgt_rel in v.import_targets:
                     if tgt_rel not in seen_modules:
                         work.append((tgt_rel, MODULE_RESIDUAL))
-                if v.has_star_import:
+                if v.not_provable:
                     opaque = True
             if name != MODULE_RESIDUAL and name not in v.defs:
                 if name in v.imports:  # re-export: follow the import chain
@@ -558,6 +603,11 @@ class DepGraph:
                         if hop in mv.defs:
                             work.append((cur_mod, hop))
                             break
+                        if hop in mv.ext_imports:
+                            # external binding surfaced via the chain (m.pd):
+                            # the origin must compare old-vs-new
+                            used_aliases.setdefault(cur_mod, set()).add(hop)
+                            break
                         if hop in mv.imports:  # re-export hop
                             used_aliases.setdefault(cur_mod, set()).add(hop)
                             t_rel, t_remote = mv.imports[hop]
@@ -565,6 +615,14 @@ class DepGraph:
                                 work.append((t_rel, t_remote))
                                 break
                             cur_mod = t_rel
+                            if i == len(chain) - 1:
+                                # chain VALUE is the re-exported module object:
+                                # whole-module dependence (same rule as the
+                                # submodule and bare-name paths)
+                                tv2 = self.view(t_rel)
+                                if tv2 is None:
+                                    return Closure(reached, used_aliases, True)
+                                work.extend((t_rel, d) for d in tv2.defs)
                             continue
                         sub = mv.submodule_of(hop, self._resolve)
                         if sub is not None:
@@ -621,12 +679,27 @@ def is_affected(
     if c.opaque:
         return True
 
+    _old_defs: dict[str, set[str] | None] = {}
+
+    def old_defs_of(mod_rel: str) -> set[str] | None:
+        if mod_rel not in _old_defs:
+            s = old_sources.get(mod_rel)
+            d = parse_defs(s) if s is not None else None
+            _old_defs[mod_rel] = set(d) - {MODULE_RESIDUAL} if d is not None else None
+        return _old_defs[mod_rel]
+
     def old_view_of(mod_rel: str, old_src: str) -> "ModuleView | None":
+        # old bindings resolve with OLD defs (getattr-first against the old
+        # tree), current repo layout — a renamed target simply mismatches
         if old_view_cache is None:
-            return ModuleView.parse(mod_rel, old_src, graph._resolve)
+            return ModuleView.parse(
+                mod_rel, old_src, graph._resolve, defs_of=old_defs_of
+            )
         key = (mod_rel, old_src)
         if key not in old_view_cache:
-            old_view_cache[key] = ModuleView.parse(mod_rel, old_src, graph._resolve)
+            old_view_cache[key] = ModuleView.parse(
+                mod_rel, old_src, graph._resolve, defs_of=old_defs_of
+            )
         return old_view_cache[key]
 
     by_module: dict[str, set[str]] = {}
@@ -634,8 +707,18 @@ def is_affected(
         by_module.setdefault(mod_rel, set()).add(name)
     for mod_rel, names in by_module.items():
         old_mod_src = old_sources.get(mod_rel)
-        changed = changed_defs(old_mod_src, graph._sources[mod_rel])
-        if changed is None or (changed & names):
+        if old_mod_src is None:
+            return True
+        old_view = old_view_of(mod_rel, old_mod_src)
+        new_view = graph.view(mod_rel)
+        if old_view is None or new_view is None:
+            return True
+        # def-level diff straight off the cached views (same data parse_defs
+        # would produce — ModuleView.defs IS that output)
+        changed = {
+            n for n, d in new_view.defs.items() if old_view.defs.get(n) != d
+        } | {n for n in old_view.defs if n not in new_view.defs}
+        if changed & names:
             return True
         # Import-statement surface: adding/removing an IN-PACKAGE import to a
         # reachable module changes what executes at import time (side-effect
@@ -644,10 +727,6 @@ def is_affected(
         # site-packages module init is assumed stable, and flagging it would
         # re-stale every query in a file whenever a new query's external
         # import lands.
-        old_view = old_view_of(mod_rel, old_mod_src)  # old_mod_src != None here
-        new_view = graph.view(mod_rel)
-        if old_view is None or new_view is None:
-            return True
         if old_view.import_targets != new_view.import_targets:
             return True
     # Import-binding guard: a reachable module may have re-pointed an alias at
@@ -662,7 +741,7 @@ def is_affected(
             return True
         old_view = old_view_of(mod_rel, old_mod_src)
         new_view = graph.view(mod_rel)
-        if old_view is None or new_view is None or old_view.has_star_import:
+        if old_view is None or new_view is None or old_view.not_provable:
             return True
         for alias in aliases:
             if old_view.imports.get(alias) != new_view.imports.get(alias):

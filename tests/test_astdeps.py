@@ -617,3 +617,61 @@ def test_dict_spread_registry_entry_is_affected():
     sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": spread}
     old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": spread}
     assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+
+def test_chain_through_residual_module_sees_ext_rebinding():
+    """m.pd.DataFrame where m has residual statements AND `import pandas as
+    pd`: changing m to `import polars as pd` must flag even though the hop
+    would otherwise stop at the residual-bound rule."""
+    m_old = "import pandas as pd\nprint('residual')\n"
+    a = (
+        f"from {PKG} import m\n\n"
+        "def q_one(spark, sf):\n    return m.pd.DataFrame\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    base = {f"{PKG}/m.py": m_old, f"{PKG}/a.py": a}
+    changed = {f"{PKG}/m.py": m_old.replace("pandas", "polars"), f"{PKG}/a.py": a}
+    assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
+    assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
+
+
+def test_chain_value_reexported_module_is_whole_module():
+    """spark.run(m.helper_mod): the chain's VALUE is a re-exported module
+    object — whole-module dependence, same as the bare-name rule."""
+    helper = "def f():\n    return 1\n"
+    m = f"from {PKG} import helper_mod\n"
+    a = (
+        f"from {PKG} import m\n\n"
+        "def q_one(spark, sf):\n    return spark.run(m.helper_mod)\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    base = {f"{PKG}/helper_mod.py": helper, f"{PKG}/m.py": m, f"{PKG}/a.py": a}
+    changed = dict(base)
+    changed[f"{PKG}/helper_mod.py"] = helper.replace("return 1", "return 2")
+    assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
+    assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
+
+
+def test_getattr_first_over_same_named_submodule():
+    """`from pkg.sub import thing` where sub/__init__ DEFINES thing and
+    sub/thing.py also exists: Python binds the __init__ def — editing it
+    must flag (and the submodule interpretation must not shadow it)."""
+    init = "THRESH = 5\n\ndef thing(x):\n    return x + THRESH\n"
+    a = (
+        f"from {PKG}.sub import thing\n\n"
+        "def q_one(spark, sf):\n    return thing(spark)\n\n"
+        'SQL_ONE = "SELECT 1"\n\n'
+        'QUERIES = {"q_one": q_one}\nORACLES = {"q_one": SQL_ONE}\n'
+    )
+    base = {
+        f"{PKG}/sub/__init__.py": init,
+        f"{PKG}/sub/thing.py": "def unrelated():\n    return 0\n",
+        f"{PKG}/a.py": a,
+    }
+    changed = dict(base)
+    changed[f"{PKG}/sub/__init__.py"] = init.replace("THRESH = 5", "THRESH = 9")
+    assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
+    assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
