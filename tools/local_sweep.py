@@ -26,8 +26,8 @@ in the artifact).
 
 Usage::
 
-    python tools/local_sweep.py                      # both passes, sf0.01
-    python tools/local_sweep.py --skip-adversarial   # standard only
+    python tools/local_sweep.py                      # all three passes, sf0.01
+    python tools/local_sweep.py --skip-adversarial   # standard pass only
     python tools/local_sweep.py --round 7 --out SWEEP_r07.json
 """
 
@@ -72,7 +72,7 @@ def run_pass(spark, sf_dir: str, queries, oracles) -> dict:
                     ok, detail, mode = res.ok, res.detail, "oracle"
                     rows = res.row_count_spark
                 else:
-                    rows = len(df.collect())
+                    rows = df.count()  # executor-side; never pull rows to driver
                     ok, detail, mode = True, "", "rows-only"
             except Exception as e:  # noqa: BLE001 - artifact records the failure
                 ok, detail, mode, rows = False, f"{type(e).__name__}: {e}"[:300], "error", -1
@@ -102,7 +102,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--skip-adversarial", action="store_true")
+    ap.add_argument(
+        "--skip-adversarial",
+        action="store_true",
+        help="run only the standard pass (skips BOTH the adversarial and "
+        "degenerate configs)",
+    )
     args = ap.parse_args()
 
     rnd = args.round if args.round is not None else infer_round()
@@ -111,57 +116,63 @@ def main() -> int:
 
     artifact: dict = {"round": rnd, "sf_dir": args.sf_dir, "registry_size": len(queries)}
 
-    print(f"standard pass: {len(queries)} queries at {args.sf_dir}", flush=True)
-    spark = get_spark("local-sweep")
-    std = run_pass(spark, args.sf_dir, queries, oracles)
-    artifact["standard"] = {
-        "config": {
-            "master": spark.sparkContext.master,
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-            "default_parallelism": spark.sparkContext.defaultParallelism,
-        },
-        **summarize(std),
-        "queries": std,
-    }
-
-    if not args.skip_adversarial:
-        spark.stop()
-        os.environ["SPARK_GRAFT_CPUS"] = "4"
-        spark = get_spark("local-sweep-adversarial", shuffle_partitions=3)
-        print("adversarial pass: local[4], 3 shuffle partitions", flush=True)
-        adv = run_pass(spark, args.sf_dir, queries, oracles)
-        artifact["adversarial"] = {
-            "config": {
-                "master": spark.sparkContext.master,
-                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                "default_parallelism": spark.sparkContext.defaultParallelism,
-            },
-            **summarize(adv),
-            "queries": adv,
-        }
-
-        spark.stop()
-        os.environ["SPARK_GRAFT_CPUS"] = "2"
-        # io.table re-applies session.RUNTIME_CONF on every load (the driver-
-        # session hardening path), which would silently turn AQE back ON — pin
-        # the override at the RUNTIME_CONF source so it sticks for the pass.
-        from hbase_observer_es_spark import session as _session
-
-        _session.RUNTIME_CONF["spark.sql.adaptive.enabled"] = "false"
-        spark = get_spark("local-sweep-degenerate", shuffle_partitions=1)
-        print("degenerate pass: local[2], 1 shuffle partition, AQE off", flush=True)
-        deg = run_pass(spark, args.sf_dir, queries, oracles)
-        artifact["degenerate"] = {
+    def pass_record(spark, results) -> dict:
+        """One shape for every pass — ALWAYS records aqe, so the artifact
+        witnesses the setting the degenerate pass exists to vary."""
+        return {
             "config": {
                 "master": spark.sparkContext.master,
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 "default_parallelism": spark.sparkContext.defaultParallelism,
                 "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             },
-            **summarize(deg),
-            "queries": deg,
+            **summarize(results),
+            "queries": results,
         }
-    spark.stop()
+
+    from hbase_observer_es_spark import session as _session
+
+    saved_cpus = os.environ.pop("SPARK_GRAFT_CPUS", None)
+    saved_aqe = _session.RUNTIME_CONF["spark.sql.adaptive.enabled"]
+    try:
+        # env cleared above: a stray SPARK_GRAFT_CPUS would silently turn the
+        # "standard local[*]" pass into whatever the caller exported
+        print(f"standard pass: {len(queries)} queries at {args.sf_dir}", flush=True)
+        spark = get_spark("local-sweep")
+        artifact["standard"] = pass_record(
+            spark, run_pass(spark, args.sf_dir, queries, oracles)
+        )
+
+        if not args.skip_adversarial:
+            spark.stop()
+            os.environ["SPARK_GRAFT_CPUS"] = "4"
+            spark = get_spark("local-sweep-adversarial", shuffle_partitions=3)
+            print("adversarial pass: local[4], 3 shuffle partitions", flush=True)
+            artifact["adversarial"] = pass_record(
+                spark, run_pass(spark, args.sf_dir, queries, oracles)
+            )
+
+            spark.stop()
+            os.environ["SPARK_GRAFT_CPUS"] = "2"
+            # io.table re-applies session.RUNTIME_CONF on every load (the
+            # driver-session hardening path), which would silently turn AQE
+            # back ON — pin the override at the RUNTIME_CONF source so it
+            # sticks for the pass.
+            _session.RUNTIME_CONF["spark.sql.adaptive.enabled"] = "false"
+            spark = get_spark("local-sweep-degenerate", shuffle_partitions=1)
+            print("degenerate pass: local[2], 1 shuffle partition, AQE off", flush=True)
+            artifact["degenerate"] = pass_record(
+                spark, run_pass(spark, args.sf_dir, queries, oracles)
+            )
+        spark.stop()
+    finally:
+        # leave NO trace in module-global state: in-process callers (tests,
+        # follow-up tooling) must get the normal config back
+        _session.RUNTIME_CONF["spark.sql.adaptive.enabled"] = saved_aqe
+        if saved_cpus is None:
+            os.environ.pop("SPARK_GRAFT_CPUS", None)
+        else:
+            os.environ["SPARK_GRAFT_CPUS"] = saved_cpus
 
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)

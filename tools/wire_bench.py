@@ -69,7 +69,7 @@ def main() -> None:
                             F.array(
                                 F.struct(
                                     b64(F.concat(F.lit("cf:"), F.col("qualifier"))).alias("column"),
-                                    (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("timestamp"),
+                                    F.unix_millis(F.col("ts")).alias("timestamp"),
                                     b64(F.col("value")).alias("$"),
                                 )
                             ).alias("Cell"),
@@ -82,7 +82,7 @@ def main() -> None:
             F.to_json(
                 F.struct(
                     b64(F.col("row_key")).alias("delete"),
-                    (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("timestamp"),
+                    F.unix_millis(F.col("ts")).alias("timestamp"),
                 )
             )
         )
@@ -97,6 +97,12 @@ def main() -> None:
     write_bulk(bulk_actions(parsed), bulk_dir)
     t_decode_bulk = time.monotonic() - t0
 
+    # the metric divides by n — verify the decode actually parsed n mutations
+    # (schema drift between the encoder here and hbase_rest would otherwise
+    # null lines out silently and overstate throughput)
+    n_parsed = parse_change_log(spark.read.text(log_dir)).count()
+    assert n_parsed == n, f"decode lost mutations: {n_parsed} != {n}"
+
     n_bodies = sum(
         1 for f in os.listdir(bulk_dir) if f.startswith("part-") and not f.endswith(".crc")
     )
@@ -110,6 +116,7 @@ def main() -> None:
                 "n_mutations": n,
                 "encode_sec": round(t_encode, 2),
                 "decode_and_bulk_sec": round(t_decode_bulk, 2),
+                "n_parsed": n_parsed,
                 "n_bulk_bodies": n_bodies,
             }
         )
