@@ -711,7 +711,17 @@ def is_affected(
             return True
         old_view = old_view_of(mod_rel, old_mod_src)
         new_view = graph.view(mod_rel)
-        if old_view is None or new_view is None:
+        # Opacity is symmetric: a star import / dynamic construct in the OLD
+        # source of a reachable module (removed since) means the old surface
+        # cannot be bounded — even when every reached def is AST-identical.
+        # The closure() walk only sees the NEW source's not_provable, so check
+        # both sides here.
+        if (
+            old_view is None
+            or new_view is None
+            or old_view.not_provable
+            or new_view.not_provable
+        ):
             return True
         # def-level diff straight off the cached views (same data parse_defs
         # would produce — ModuleView.defs IS that output)

@@ -675,3 +675,34 @@ def test_getattr_first_over_same_named_submodule():
     changed[f"{PKG}/sub/__init__.py"] = init.replace("THRESH = 5", "THRESH = 9")
     assert is_affected(_graph(changed), f"{PKG}/a.py", "q_one", base)
     assert not is_affected(_graph(dict(base)), f"{PKG}/a.py", "q_one", base)
+
+
+def test_old_source_star_import_in_reachable_module_is_affected():
+    """Round-8 ADVICE repro: the OLD source of a reachable helper had a star
+    import (removed since), every reached def is AST-identical — the old
+    surface is unboundable, so the query must NOT be proven unaffected.
+    Pre-fix, only the used_aliases loop checked not_provable, and the helper
+    module appears there under the IMPORTING module's key, so old-side
+    opacity in the helper slipped through."""
+    old_helper = HELPER_OLD + "from evil import *\n"
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    old = {f"{PKG}/io.py": old_helper, f"{PKG}/a.py": MOD_OLD}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_old_source_star_import_in_defining_module_is_affected():
+    """Same hole, defining-module variant: old a.py carried the star import."""
+    old_mod = f"from evil import *\n" + MOD_OLD
+    sources = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": old_mod}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)
+
+
+def test_new_source_star_import_is_affected_symmetrically():
+    """The symmetric direction (star import ADDED since green) was already
+    caught by the closure's opaque flag; pin it at the is_affected surface so
+    both directions are covered by the same contract."""
+    new_helper = HELPER_OLD + "from evil import *\n"
+    sources = {f"{PKG}/io.py": new_helper, f"{PKG}/a.py": MOD_OLD}
+    old = {f"{PKG}/io.py": HELPER_OLD, f"{PKG}/a.py": MOD_OLD}
+    assert is_affected(_graph(sources), f"{PKG}/a.py", "q_one", old)

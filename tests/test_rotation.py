@@ -193,3 +193,24 @@ def test_rotate_priority_no_ast_fallback():
     assert sorted(names) == sorted(all_queries())
     assert "PROVEN" not in out.stdout  # no proof tiers in fallback mode
     ast_mod.parse(out.stdout)
+
+
+def test_imports_of_unparseable_module_fails_loud(tmp_path):
+    """Round-8 ADVICE: an unparseable module must not silently contribute an
+    empty import closure (its dependents would dodge import-staleness while
+    the astdeps proof layer independently treats the file as affected — the
+    two layers disagreeing on the conservative direction). The tool raises."""
+    import os
+    import sys
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from rotate_priority import _imports_of
+
+    pkg = tmp_path / "hbase_observer_es_spark"
+    pkg.mkdir()
+    (pkg / "broken.py").write_text("def broken(:\n")
+    with pytest.raises(SyntaxError, match="broken.py"):
+        _imports_of(str(tmp_path), "hbase_observer_es_spark/broken.py")

@@ -53,8 +53,12 @@ def _imports_of(repo: str, rel: str) -> set[str]:
 
     with open(os.path.join(repo, rel)) as f:
         view = ModuleView.parse(rel, f.read(), _resolver(repo))
-    if view is None:  # unparseable: no closure claims possible from here
-        return set()
+    if view is None:
+        # Fail LOUD, matching astdeps' conservative direction: an unparseable
+        # module can't claim an empty import closure — that would silently let
+        # its dependents dodge import-staleness while the astdeps proof layer
+        # independently treats the same file as affected.
+        raise SyntaxError(f"unparseable in-package module: {rel}")
     out = set(view.import_targets)
     parts = rel.split("/")[:-1]
     while parts:
