@@ -1046,3 +1046,75 @@ def test_registry_wide_plan_hygiene(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_quadratic_jaccard_ground_truth_is_fenced():
+    """q_dedup_jaccard is the DOCUMENTED quadratic ground-truth baseline for
+    the LSH path (all-pairs non-equi self-join — BroadcastNestedLoopJoin at
+    any corpus size). This fence makes the 'never a production path' claim
+    mechanical: no other registered query's reachable definition closure may
+    include the jaccard query or its all-pairs building blocks, so the
+    cartesian baseline can never leak into a scale path unnoticed."""
+    import os
+
+    from hbase_observer_es_spark.astdeps import DepGraph, query_roots
+    from hbase_observer_es_spark.registry import _MODULES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_dir = os.path.join(repo, "hbase_observer_es_spark")
+    sources: dict[str, str] = {}
+    for root, _, fnames in os.walk(pkg_dir):
+        for f in fnames:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                with open(p) as fh:
+                    sources[os.path.relpath(p, repo)] = fh.read()
+
+    def resolve(parts):
+        if not parts or parts[0] != "hbase_observer_es_spark":
+            return None
+        base = "/".join(parts)
+        for rel in (base + ".py", base + "/__init__.py"):
+            if rel in sources:
+                return rel
+        return None
+
+    graph = DepGraph(sources, resolve)
+    dedup_rel = "hbase_observer_es_spark/operators/dedup.py"
+    forbidden = {
+        (dedup_rel, n)
+        for n in ("q_dedup_jaccard", "_pair_frames", "_bitset_pair_jaccard")
+    }
+
+    checked = 0
+    for modname in _MODULES:
+        rel = modname.replace(".", "/") + ".py"
+        assert rel in sources, rel
+        import ast as _ast
+
+        tree = _ast.parse(sources[rel])
+        qnames = []
+        for node in tree.body:
+            if (
+                isinstance(node, _ast.Assign)
+                and any(
+                    isinstance(t, _ast.Name) and t.id == "QUERIES"
+                    for t in node.targets
+                )
+                and isinstance(node.value, _ast.Dict)
+            ):
+                qnames = [
+                    k.value
+                    for k in node.value.keys
+                    if isinstance(k, _ast.Constant)
+                ]
+        for qname in qnames:
+            if qname == "q_dedup_jaccard":
+                continue
+            roots = query_roots(sources[rel], qname)
+            assert roots is not None, f"{qname}: registry roots unresolvable"
+            c = graph.closure(rel, {n for _role, n in roots})
+            hit = forbidden & c.reached
+            assert not hit, f"{qname} reaches quadratic baseline defs: {hit}"
+            checked += 1
+    assert checked > 150, f"fence walked only {checked} queries"
