@@ -59,6 +59,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.relational_more",
     "hbase_observer_es_spark.operators.ann_eval",
     "hbase_observer_es_spark.operators.search_ln",
+    "hbase_observer_es_spark.operators.es_join",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a

@@ -1118,3 +1118,21 @@ def test_quadratic_jaccard_ground_truth_is_fenced():
             assert not hit, f"{qname} reaches quadratic baseline defs: {hit}"
             checked += 1
     assert checked > 150, f"fence walked only {checked} queries"
+
+
+def test_has_parent_child_side_never_shuffles(spark):
+    # ES has_parent analogue: the SELECTIVE parent filter broadcasts and the
+    # child (lineitem) side is matched by a broadcast left-semi hash join —
+    # no sort-merge anywhere, the only exchange is the broadcast itself
+    f = facts_of(spark, "q_join_has_parent")
+    plan = plan_of(spark, "q_join_has_parent")
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_has_child_filter_pushed_and_partial_agg(spark):
+    # ES has_child analogue: the child predicate reaches the lineitem scan
+    # and the count-per-parent combines map-side before its one shuffle
+    plan = plan_of(spark, "q_join_has_child")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity", plan), plan
+    assert "partial_count" in plan, plan
