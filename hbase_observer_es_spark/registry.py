@@ -60,6 +60,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.ann_eval",
     "hbase_observer_es_spark.operators.search_ln",
     "hbase_observer_es_spark.operators.es_join",
+    "hbase_observer_es_spark.operators.rescore",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a

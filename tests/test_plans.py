@@ -1136,3 +1136,13 @@ def test_has_child_filter_pushed_and_partial_agg(spark):
     plan = plan_of(spark, "q_join_has_child")
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity", plan), plan
     assert "partial_count" in plan, plan
+
+
+def test_rescore_is_window_bounded(spark):
+    # ES rescore: phase 1 (BM25 + window cut) owns both corpus scans; phase 2
+    # re-ranks WITHIN the 100-row window with pure column math — a third scan
+    # would mean the rescore query went back to the corpus (O(corpus), the
+    # exact failure the two-phase API exists to avoid)
+    plan = plan_of(spark, "q_search_rescore")
+    assert plan.count("FileScan parquet") <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
