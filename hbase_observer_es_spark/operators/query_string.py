@@ -8,7 +8,9 @@ ad-hoc boolean text queries. This module implements the core grammar —
     or      := and (("OR" | "||") and)*
     and     := unary (("AND" | "&&") unary)*     # adjacency = default OR
     unary   := ("NOT" | "-") unary | primary
-    primary := "(" expr ")" | '"phrase words"' | prefix* | term
+    primary := "(" expr ")" | '"phrase words"' | fielded | prefix* | term
+    fielded := "text:" (prefix* | term)          # analyzed field, explicit
+             | ("lang:" | "source:") term        # keyword fields, exact match
 
 — as a recursive-descent parser producing one AST that compiles to BOTH
 engines: a pyspark Column predicate over the token array, and the equivalent
@@ -22,7 +24,13 @@ Semantics per clause (whole-token, the analyzer's view):
 * "a b"    — positional adjacency via integer index arithmetic (the
              q_search_phrase machinery, generalized to n words);
 * NOT / -  — must_not; AND/OR/parens as written; bare adjacency is OR
-             (ES default_operator=OR).
+             (ES default_operator=OR);
+* field:v  — D16 partial-close (round 8): `text:` resolves to the analyzed
+             field (same term/prefix rules as a bare clause); `lang:` and
+             `source:` are KEYWORD fields — exact string equality on the
+             column, the ES keyword-mapping semantics. Any other field name,
+             an empty value, a wildcarded keyword value, or a fielded phrase
+             raises ValueError — the parser stays fail-closed.
 
 Scale: the compiled predicate is a single map-only filter over one scan —
 boolean text search never shuffles, joins, or materializes expansions. The
@@ -60,6 +68,14 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class FieldTerm:
+    """Exact match on a KEYWORD field (ES keyword mapping: no analysis)."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -75,6 +91,11 @@ class Or:
 
 
 # ------------------------------------------------------------------------ parser
+
+# the fixture schema's one analyzed field and its two keyword fields — the
+# resolvable field-prefix universe (D16); everything else fails closed
+ANALYZED_FIELD = "text"
+KEYWORD_FIELDS = ("lang", "source")
 
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<quote>"[^"]*")|'
@@ -156,15 +177,38 @@ class _Parser:
                 raise ValueError("query_string: empty phrase")
             return Phrase(words) if len(words) > 1 else Term(words[0])
         if kind == "word":
-            if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:
-                return Prefix(val[:-1])
-            if "*" in val or "?" in val:
+            if ":" in val:
+                field, _, rest = val.partition(":")
+                if not rest:
+                    raise ValueError(
+                        f"query_string: empty value for field {field!r}"
+                    )
+                if field == ANALYZED_FIELD:
+                    return self._analyzed_clause(rest)
+                if field in KEYWORD_FIELDS:
+                    if any(ch in rest for ch in ":*?"):
+                        raise ValueError(
+                            f"query_string: keyword field {field!r} takes an "
+                            f"exact value, got {rest!r}"
+                        )
+                    return FieldTerm(field, rest)
                 raise ValueError(
-                    "query_string: only trailing-* wildcards are supported here; "
-                    "use q_search_wildcard for general patterns"
+                    f"query_string: unsupported field {field!r}; supported: "
+                    f"{ANALYZED_FIELD}, {', '.join(KEYWORD_FIELDS)}"
                 )
-            return Term(val)
+            return self._analyzed_clause(val)
         raise ValueError(f"query_string: unexpected token {val!r}")
+
+    @staticmethod
+    def _analyzed_clause(val: str):
+        if val.endswith("*") and len(val) > 1 and "*" not in val[:-1]:
+            return Prefix(val[:-1])
+        if "*" in val or "?" in val:
+            raise ValueError(
+                "query_string: only trailing-* wildcards are supported here; "
+                "use q_search_wildcard for general patterns"
+            )
+        return Term(val)
 
 
 def parse(q: str):
@@ -195,6 +239,10 @@ def compile_spark(node, tk: Column) -> Column:
                 c = c & (F.try_element_at(tk, i + j) == w)
             return c
         return F.exists(idx, match_at)
+    if isinstance(node, FieldTerm):
+        # keyword field: exact column equality — resolved against the row,
+        # not the token array (the ES keyword-vs-analyzed mapping split)
+        return F.col(node.field) == F.lit(node.value)
     if isinstance(node, Not):
         return ~compile_spark(node.child, tk)
     if isinstance(node, And):
@@ -231,6 +279,8 @@ def compile_sql(node, tk: str = "tk") -> str:
             f"len(list_filter(generate_series(1, greatest(len({tk}) - {n - 1}, 1)), "
             f"i -> {conds})) > 0"
         )
+    if isinstance(node, FieldTerm):
+        return f"{node.field} = '{_sq(node.value)}'"
     if isinstance(node, Not):
         return f"(NOT {compile_sql(node.child, tk)})"
     if isinstance(node, And):
@@ -242,13 +292,30 @@ def compile_sql(node, tk: str = "tk") -> str:
 
 # ------------------------------------------------------------------- registry op
 
-# exercises every grammar production: phrase, parens, AND/OR, NOT, prefix
-QS_QUERY = '("the table" OR (scan AND sort)) AND NOT slow AND fa*'
+# exercises every grammar production: phrase, parens, AND/OR, NOT, explicit
+# analyzed-field prefix (text:fa*), keyword-field exact match (lang:)
+QS_QUERY = '("the table" OR (scan AND sort)) AND NOT slow AND text:fa* AND NOT lang:zh'
 _QS_AST = parse(QS_QUERY)
 
 
 def _toks() -> Column:
     return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def keyword_fields_used(node) -> set[str]:
+    """Keyword columns the compiled predicate will reference — the operator
+    projects exactly these (plus the token array), keeping column pruning
+    tight for queries that use no field prefixes."""
+    if isinstance(node, FieldTerm):
+        return {node.field}
+    if isinstance(node, Not):
+        return keyword_fields_used(node.child)
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= keyword_fields_used(c)
+        return out
+    return set()
 
 
 def q_search_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,14 +331,15 @@ def q_search_querystring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the compiled predicate (2 per phrase position — profiled 6× slower, the
     # q_search_phrase docstring's re-split trap). Predicates cannot push below
     # a Generate, so the token array materializes exactly once per row.
-    dd = d.select("doc_id", "lang", F.explode(F.array(_toks())).alias("tk"))
+    carry = sorted({"lang"} | keyword_fields_used(_QS_AST))
+    dd = d.select("doc_id", *carry, F.explode(F.array(_toks())).alias("tk"))
     return dd.filter(compile_spark(_QS_AST, F.col("tk"))).select("doc_id", "lang")
 
 
 SQL_SEARCH_QUERYSTRING = f"""
 SELECT doc_id, lang
 FROM (
-    SELECT doc_id, lang,
+    SELECT doc_id, lang, source,
            list_filter(string_split(text, ' '), t -> t <> '') AS tk
     FROM documents
 )

@@ -105,3 +105,49 @@ def test_sql_rendering_matches_reference_eval(q, toks):
         f"SELECT {compile_sql(ast)} FROM (SELECT {lit}::VARCHAR[] AS tk)"
     ).fetchone()[0]
     assert bool(got) == _eval(ast, toks), (q, toks)
+
+
+def test_field_prefixes_parse():
+    """D16 partial-close: text: resolves to the analyzed field (same
+    term/prefix rules), lang:/source: are keyword exact matches."""
+    from hbase_observer_es_spark.operators.query_string import FieldTerm
+
+    assert parse("text:scan") == Term("scan")
+    assert parse("text:fa*") == Prefix("fa")
+    assert parse("lang:zh") == FieldTerm("lang", "zh")
+    assert parse("source:src0") == FieldTerm("source", "src0")
+    assert parse("scan AND NOT lang:zh") == And(
+        (Term("scan"), Not(FieldTerm("lang", "zh")))
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "title:foo",       # unknown field — fail closed
+        "lang:",           # empty value
+        "lang:z*",         # keyword fields take exact values
+        "lang:a:b",        # nested colon
+        "text:mid*dle",    # analyzed rules still reject embedded wildcards
+        "text:",           # empty analyzed value
+    ],
+)
+def test_field_prefix_rejections(bad):
+    with pytest.raises(ValueError):
+        parse(bad)
+
+
+def test_keyword_field_sql_rendering():
+    """compile_sql for keyword fields must evaluate as exact column equality
+    in DuckDB — checked against rows carrying tk + keyword columns."""
+    ast = parse('scan AND NOT lang:zh')
+    got = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT ['scan']::VARCHAR[] AS tk, "
+        "'es' AS lang, 'src0' AS source)"
+    ).fetchone()[0]
+    assert got is True
+    got2 = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT ['scan']::VARCHAR[] AS tk, "
+        "'zh' AS lang, 'src0' AS source)"
+    ).fetchone()[0]
+    assert got2 is False
