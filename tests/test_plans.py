@@ -1013,7 +1013,8 @@ def test_mm_decode_resize_python_stage_no_shuffle(spark):
 _BNLJ_BY_DESIGN = {
     "q_agg_autodatehist", "q_agg_itemsets", "q_agg_rare_terms", "q_ann_recall",
     "q_cdc_field_missing", "q_dedup_jaccard", "q_mixture_weights",
-    "q_search_bm25", "q_search_hybrid_rrf", "q_search_mlt", "q_search_percolate",
+    "q_search_bm25", "q_search_bm25_ln", "q_search_hybrid_rrf", "q_search_mlt",
+    "q_search_mlt_ln", "q_search_rescore", "q_search_percolate",
     "q_search_sigterms", "q_sim_ivf", "q_sim_ivf_batch", "q_sim_ivf_trained",
     "q_sim_knn", "q_sim_knn_filtered", "q_sim_lsh", "q_sim_range",
     "q_sim_triplet_mine",
