@@ -71,70 +71,30 @@ _MODULES = (
 # > PROVEN-unaffected file/import (astdeps.py: the query's entire reachable
 # definition closure — fn, oracle SQL, every in-package def it uses — is
 # AST-identical to the source at its last green check), oldest green first
-# within each] > oldest-green). Round 7 inputs: CORRECTNESS_r01-r06 + git
-# round boundaries; --edited-fn q_agg_geoline,q_search_terms_set,q_text_gopher,
-# q_agg_ttest. The two scalar-output rewrites head the window, then the
-# r4-green similarity.py block (genuinely affected) and the io.py-dependent
-# r3/r4 greens the astdeps proof could NOT clear (io.table's def changed r5);
-# 34 additive-edit rows it DID clear (33 file-stale — e.g. the search.py r5
-# greens whose closures dodge the three r6-added queries — plus 1 import-stale)
-# demote to tiers 1.3/1.4, freeing their window slots for rows with real
-# pending risk.
+# within each] > oldest-green). Round 8 inputs: CORRECTNESS_r01-r07 + git
+# round boundaries; tier-1.0 auto-derived (q_dedup_clusters repartition
+# rewrite, q_search_querystring field-prefix grammar). The five round-8
+# queries head the window, then the ENTIRE r3/r4-stale backlog (9 r3 + 24 r4
+# rows — the round-7 verdict's top item) sits inside the ~50-row prefix, so
+# the oldest hard-signal evidence in the repo retires this round; the
+# dedup.py r8 edit re-stales only the dedup family (already in the backlog)
+# and the astdeps-cleared r5/r6 greens stay demoted in tiers 1.3/1.4.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_search_terms_set",  # never checked
-    "q_agg_geoline",  # never checked
+    "q_search_bm25_ln",  # never checked
+    "q_search_mlt_ln",  # never checked
+    "q_join_has_child",  # never checked
+    "q_join_has_parent",  # never checked
+    "q_search_rescore",  # never checked
     # tier 1.0: own fn edited after last green check
-    "q_agg_ttest",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py fn edited r7
-    "q_text_gopher",  # green r6, hbase_observer_es_spark/operators/splits.py fn edited r7
+    "q_dedup_clusters",  # green r4, hbase_observer_es_spark/operators/dedup.py fn edited r8
+    "q_search_querystring",  # green r6, hbase_observer_es_spark/operators/query_string.py fn edited r8
     # tier 1.1: file edited after last green check (oldest green first)
-    "q_agg_pipeline",  # green r3, hbase_observer_es_spark/operators/relational_ext.py file edited r4
-    "q_text_tokens",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
-    "q_text_lang",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
-    "q_text_langid",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
-    "q_text_quality",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
-    "q_text_tokcount",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
-    "q_text_fingerprint",  # green r3, hbase_observer_es_spark/operators/text.py file edited r4
-    "q_sim_ivf_batch",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
-    "q_sim_lsh",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
-    "q_sim_lsh_batch",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
-    "q_dedup_embed",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
-    "q_sim_knn_pudf",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
-    "q_sim_range",  # green r4, hbase_observer_es_spark/operators/similarity.py file edited r5
-    "q_join_salted",  # green r4, hbase_observer_es_spark/operators/scale_joins.py file edited r6
-    "s_watermark_dedup",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
-    "s_win_stream",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
-    "s_terms_stream",  # green r4, hbase_observer_es_spark/streaming/stateful.py file edited r6
-    "q_nested_exists",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
-    "q_geo_bbox",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
-    "q_geo_grid",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
-    "q_geo_distance",  # green r4, hbase_observer_es_spark/operators/nested_geo.py file edited r6
-    "s_upsert_sink",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
-    "s_session_stream",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
-    "s_join_stream",  # green r5, hbase_observer_es_spark/streaming/stateful.py file edited r6
+    "q_dedup_exact",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
+    "q_dedup_minhash",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
+    "q_dedup_simhash",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
+    "q_dedup_simhash_near",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
     # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_dedup_jaccard",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_broadcast",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_left",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_semi",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_anti",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_star",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_range",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_join_asof",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_global",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_group",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_distinct",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_approx",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_rollup",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_cube",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_win_rank",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_win_running",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_win_lag",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_topk_pergroup",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_sort_limit",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_union",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_intersect",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_except",  # green r3, hbase_observer_es_spark/io.py import edited r5
     "q_str_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
     "q_date_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
     "q_math_case",  # green r3, hbase_observer_es_spark/io.py import edited r5
@@ -145,18 +105,13 @@ _PRIORITY = (
     "q_cell_pivot",  # green r3, hbase_observer_es_spark/io.py import edited r5
     "q_cdc_doc_merge",  # green r3, hbase_observer_es_spark/io.py import edited r5
     "q_scan_pruned",  # green r4, hbase_observer_es_spark/sources/filestream.py import edited r7
-    "q_pipeline_corpus",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_mixture_weights",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_text_pack",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_sample_diversified",  # green r4, hbase_observer_es_spark/io.py import edited r5
+    "q_pipeline_corpus",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
+    "q_mixture_weights",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
+    "q_text_pack",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
+    "q_sample_diversified",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
     "s_win_tumbling",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "s_win_sliding",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "s_win_session",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_dedup_exact",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_dedup_minhash",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_dedup_simhash",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_dedup_simhash_near",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_dedup_clusters",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "q_agg_terms_other",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "q_agg_range",  # green r4, hbase_observer_es_spark/io.py import edited r5
     "q_agg_tophits",  # green r4, hbase_observer_es_spark/io.py import edited r5
@@ -204,8 +159,12 @@ _PRIORITY = (
     "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
     "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
     "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7, closure AST-unchanged
+    "q_dedup_jaccard",  # green r7, hbase_observer_es_spark/operators/dedup.py file edited r8, closure AST-unchanged
     # tier 1.4: imported helper edited, reachable defs PROVEN unchanged (astdeps)
     "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7, closure AST-unchanged
+    "q_sample_stratified",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
+    "q_decontaminate",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
+    "q_text_ngram_rep",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
     # tier 2.0: oldest green first, sources untouched since
     "q_sim_knn",  # green r5
     "q_sim_pairs",  # green r5
@@ -234,8 +193,6 @@ _PRIORITY = (
     "q_search_phrase_prefix",  # green r6
     "q_search_wildcard",  # green r6
     "q_search_regexp",  # green r6
-    "q_sample_stratified",  # green r6
-    "q_decontaminate",  # green r6
     "q_agg_pct_sketch",  # green r6
     "q_agg_datehist",  # green r6
     "q_agg_composite",  # green r6
@@ -259,8 +216,55 @@ _PRIORITY = (
     "q_sim_knn_filtered",  # green r6
     "q_cdc_field_missing",  # green r6
     "q_search_percolate",  # green r6
-    "q_search_querystring",  # green r6
-    "q_text_ngram_rep",  # green r6
+    "q_sim_ivf_batch",  # green r7
+    "q_sim_lsh",  # green r7
+    "q_sim_lsh_batch",  # green r7
+    "q_dedup_embed",  # green r7
+    "q_sim_knn_pudf",  # green r7
+    "q_sim_range",  # green r7
+    "q_join_salted",  # green r7
+    "s_watermark_dedup",  # green r7
+    "s_upsert_sink",  # green r7
+    "s_win_stream",  # green r7
+    "s_session_stream",  # green r7
+    "s_join_stream",  # green r7
+    "s_terms_stream",  # green r7
+    "q_agg_pipeline",  # green r7
+    "q_nested_exists",  # green r7
+    "q_geo_bbox",  # green r7
+    "q_geo_grid",  # green r7
+    "q_geo_distance",  # green r7
+    "q_join_broadcast",  # green r7
+    "q_join_left",  # green r7
+    "q_join_semi",  # green r7
+    "q_join_anti",  # green r7
+    "q_join_star",  # green r7
+    "q_join_range",  # green r7
+    "q_join_asof",  # green r7
+    "q_agg_global",  # green r7
+    "q_agg_group",  # green r7
+    "q_agg_distinct",  # green r7
+    "q_agg_approx",  # green r7
+    "q_agg_rollup",  # green r7
+    "q_agg_cube",  # green r7
+    "q_win_rank",  # green r7
+    "q_win_running",  # green r7
+    "q_win_lag",  # green r7
+    "q_topk_pergroup",  # green r7
+    "q_sort_limit",  # green r7
+    "q_union",  # green r7
+    "q_intersect",  # green r7
+    "q_except",  # green r7
+    "q_text_tokens",  # green r7
+    "q_text_lang",  # green r7
+    "q_text_langid",  # green r7
+    "q_text_quality",  # green r7
+    "q_text_tokcount",  # green r7
+    "q_text_fingerprint",  # green r7
+    "q_agg_ttest",  # green r7
+    "q_search_terms_set",  # green r7
+    "q_agg_geoline",  # green r7
+    "q_text_gopher",  # green r7
 )
 
 
