@@ -1015,6 +1015,7 @@ _BNLJ_BY_DESIGN = {
     "q_cdc_field_missing", "q_dedup_jaccard", "q_mixture_weights",
     "q_search_bm25", "q_search_bm25_ln", "q_search_hybrid_rrf", "q_search_mlt",
     "q_search_mlt_ln", "q_search_rescore", "q_search_percolate",
+    "q_search_suggest_term",
     "q_search_sigterms", "q_sim_ivf", "q_sim_ivf_batch", "q_sim_ivf_trained",
     "q_sim_knn", "q_sim_knn_filtered", "q_sim_lsh", "q_sim_range",
     "q_sim_triplet_mine",
@@ -1147,3 +1148,21 @@ def test_rescore_is_window_bounded(spark):
     plan = plan_of(spark, "q_search_rescore")
     assert plan.count("FileScan parquet") <= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_suggest_term_distance_runs_on_vocab_not_corpus(spark):
+    # ES term suggester: levenshtein runs |probes| x |vocabulary| against the
+    # aggregated dictionary (partial-combined groupBy), never per corpus token
+    # instance — the dictionary aggregate must sit below the probe cross join
+    plan = plan_of(spark, "q_search_suggest_term")
+    assert "partial_count" in plan, plan
+    assert "levenshtein" in plan.lower(), plan
+
+
+def test_terms_lookup_broadcasts_lookup_set(spark):
+    # the lookup document's term set is a document-sized broadcast; the corpus
+    # side hash-joins it and combines the shared-term count map-side
+    f = facts_of(spark, "q_search_terms_lookup")
+    plan = plan_of(spark, "q_search_terms_lookup")
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0, plan
+    assert "partial_count" in plan, plan
