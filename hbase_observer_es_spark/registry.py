@@ -74,7 +74,7 @@ _MODULES = (
 # AST-identical to the source at its last green check), oldest green first
 # within each] > oldest-green). Round 8 inputs: CORRECTNESS_r01-r07 + git
 # round boundaries; tier-1.0 auto-derived (q_dedup_clusters repartition
-# rewrite, q_search_querystring field-prefix grammar). The seven round-8
+# rewrite, q_search_querystring field-prefix grammar). The nine round-8
 # queries head the window, then the ENTIRE r3/r4-stale backlog (9 r3 + 24 r4
 # rows — the round-7 verdict's top item) sits inside the ~50-row prefix, so
 # the oldest hard-signal evidence in the repo retires this round; the
@@ -89,6 +89,8 @@ _PRIORITY = (
     "q_search_rescore",  # never checked
     "q_search_suggest_term",  # never checked
     "q_search_terms_lookup",  # never checked
+    "q_search_suggest_phrase",  # never checked
+    "q_search_range_relation",  # never checked
     # tier 1.0: own fn edited after last green check
     "q_dedup_clusters",  # green r4, hbase_observer_es_spark/operators/dedup.py fn edited r8
     "q_search_querystring",  # green r6, hbase_observer_es_spark/operators/query_string.py fn edited r8

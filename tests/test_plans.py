@@ -1015,7 +1015,7 @@ _BNLJ_BY_DESIGN = {
     "q_cdc_field_missing", "q_dedup_jaccard", "q_mixture_weights",
     "q_search_bm25", "q_search_bm25_ln", "q_search_hybrid_rrf", "q_search_mlt",
     "q_search_mlt_ln", "q_search_rescore", "q_search_percolate",
-    "q_search_suggest_term",
+    "q_search_suggest_term", "q_search_suggest_phrase",
     "q_search_sigterms", "q_sim_ivf", "q_sim_ivf_batch", "q_sim_ivf_trained",
     "q_sim_knn", "q_sim_knn_filtered", "q_sim_lsh", "q_sim_range",
     "q_sim_triplet_mine",
@@ -1166,3 +1166,22 @@ def test_terms_lookup_broadcasts_lookup_set(spark):
     plan = plan_of(spark, "q_search_terms_lookup")
     assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0, plan
     assert "partial_count" in plan, plan
+
+
+def test_suggest_phrase_broadcasts_candidates_onto_bigrams(spark):
+    # the per-position candidate cross product (edit-distance-1 neighborhoods)
+    # is tiny and broadcast onto the map-side-combined bigram table — the
+    # corpus is scanned for bigrams once, never per candidate
+    plan = plan_of(spark, "q_search_suggest_phrase")
+    f = facts_of(spark, "q_search_suggest_phrase")
+    assert "partial_count" in plan, plan
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0, plan
+
+
+def test_range_relation_is_map_only_pushed_scan(spark):
+    # interval-relation predicates are pure date comparisons on the scan — no
+    # join, no aggregate, no shuffle in the whole plan
+    plan = plan_of(spark, "q_search_range_relation")
+    f = facts_of(spark, "q_search_range_relation")
+    assert f.exchanges == 0 and "Join" not in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan

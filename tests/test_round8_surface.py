@@ -155,3 +155,75 @@ def test_terms_lookup_counts_shared_distinct_terms(spark):
         did: len(ts & lu) for did, ts in toks.items() if did != LOOKUP_DOC_ID and ts & lu
     }
     assert rows == expected
+
+
+def test_suggest_phrase_is_collate_pruned_and_bigram_ranked(spark):
+    """Every suggested phrase must (a) decompose into per-position words
+    within the edit budget of the probe, (b) actually occur as a corpus
+    bigram with the reported frequency, and (c) be ranked by (freq DESC,
+    phrase ASC) with contiguous ranks."""
+    from hbase_observer_es_spark.operators.es_extra import (
+        PHRASE_PROBE,
+        PHRASE_SIZE,
+        q_search_suggest_phrase,
+    )
+
+    rows = q_search_suggest_phrase(spark, SF_ORACLE).collect()
+    assert rows, "no phrase suggestions — probe drifted from fixture vocabulary"
+    assert len(rows) <= PHRASE_SIZE
+    rows.sort(key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r.freq, r.suggestion) for r in rows]
+    assert keys == sorted(keys)
+    # independent bigram recount + edit-budget check
+    docs = table(spark, SF_ORACLE, "documents").select("text").collect()
+    from collections import Counter
+
+    bg = Counter()
+    for r in docs:
+        tk = [t for t in r.text.split(" ") if t]
+        bg.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    for r in rows:
+        assert bg[r.suggestion] == r.freq, r
+        w1, w2 = r.suggestion.split(" ")
+        for w, p in ((w1, PHRASE_PROBE[0]), (w2, PHRASE_PROBE[1])):
+            m, n = len(w), len(p)
+            prev = list(range(n + 1))
+            for i in range(1, m + 1):
+                cur = [i] + [0] * n
+                for j in range(1, n + 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (w[i - 1] != p[j - 1]))
+                prev = cur
+            assert prev[n] <= 1, (w, p)
+
+
+def test_range_relation_flags_are_consistent(spark):
+    """ES relation algebra: within and contains each imply intersects (every
+    returned row), within∧contains iff the ranges are equal — impossible here
+    (stored ranges are 30 days, the query range is 60) — and the returned set
+    must be exactly the orders whose period overlaps the query range."""
+    import datetime as dt
+
+    from hbase_observer_es_spark.operators.es_extra import (
+        RANGE_DAYS,
+        RANGE_Q_FROM,
+        RANGE_Q_TO,
+        q_search_range_relation,
+    )
+
+    rows = q_search_range_relation(spark, SF_ORACLE).collect()
+    assert rows
+    qf = dt.date.fromisoformat(RANGE_Q_FROM)
+    qt = dt.date.fromisoformat(RANGE_Q_TO)
+    for r in rows:
+        assert r.r_to == r.r_from + dt.timedelta(days=RANGE_DAYS)
+        assert r.r_from < qt and r.r_to > qf  # intersects, by construction
+        assert r.is_within == (r.r_from >= qf and r.r_to <= qt)
+        assert r.is_contains == (r.r_from <= qf and r.r_to >= qt)
+        assert not (r.is_within and r.is_contains)
+    o = table(spark, SF_ORACLE, "orders").select(F.to_date("o_orderdate").alias("d")).collect()
+    expected = sum(
+        1 for r in o if r.d < qt and r.d + dt.timedelta(days=RANGE_DAYS) > qf
+    )
+    assert len(rows) == expected
