@@ -151,3 +151,56 @@ def test_keyword_field_sql_rendering():
         "'zh' AS lang, 'src0' AS source)"
     ).fetchone()[0]
     assert got2 is False
+
+
+# -- field-prefix dual-compiler equivalence (randomized) ----------------------
+
+from hbase_observer_es_spark.operators.query_string import FieldTerm  # noqa: E402
+
+
+def _eval_row(node, toks: list[str], lang: str, source: str) -> bool:
+    """Reference evaluator over a full row (token list + keyword columns) —
+    extends _eval with the FieldTerm production."""
+    if isinstance(node, FieldTerm):
+        return {"lang": lang, "source": source}[node.field] == node.value
+    if isinstance(node, Not):
+        return not _eval_row(node.child, toks, lang, source)
+    if isinstance(node, And):
+        return all(_eval_row(c, toks, lang, source) for c in node.children)
+    if isinstance(node, Or):
+        return any(_eval_row(c, toks, lang, source) for c in node.children)
+    return _eval(node, toks)
+
+
+_FIELD_QUERIES = st.sampled_from(
+    [
+        "lang:es",
+        "source:src1",
+        "scan AND lang:es",
+        "scan OR NOT source:src0",
+        "-lang:zh AND (scan OR sort)",
+        'text:fa* AND NOT lang:zh',
+        '("the table" OR text:scan) AND source:src1',
+        "lang:es lang:zh",  # adjacency = OR across keyword clauses
+    ]
+)
+
+
+@given(
+    q=_FIELD_QUERIES,
+    toks=st.lists(st.sampled_from(_WORDS), max_size=6),
+    lang=st.sampled_from(["es", "zh", "de"]),
+    source=st.sampled_from(["src0", "src1"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_field_prefix_sql_rendering_matches_reference_eval(q, toks, lang, source):
+    """The D16 field-prefix production through the same dual-compiler check:
+    DuckDB evaluating compile_sql over a (tk, lang, source) row must agree
+    with the direct AST evaluation for every query shape."""
+    ast = parse(q)
+    lit = "[" + ", ".join(f"'{t}'" for t in toks) + "]"
+    got = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT {lit}::VARCHAR[] AS tk, "
+        f"'{lang}' AS lang, '{source}' AS source)"
+    ).fetchone()[0]
+    assert bool(got) == _eval_row(ast, toks, lang, source), (q, toks, lang, source)
