@@ -214,3 +214,29 @@ def test_imports_of_unparseable_module_fails_loud(tmp_path):
     (pkg / "broken.py").write_text("def broken(:\n")
     with pytest.raises(SyntaxError, match="broken.py"):
         _imports_of(str(tmp_path), "hbase_observer_es_spark/broken.py")
+
+
+def test_bench_adjudicate_runs_and_classifies(tmp_path):
+    """The bench-mover adjudicator must run against the last round boundary
+    and emit the contract keys; every mover's verdict must be one of the two
+    classes, and 'environmental' may only appear with the closure proof
+    machinery available (the tool exits nonzero only on code-changed
+    movers)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_adjudicate.py")],
+        capture_output=True, text=True,
+    )
+    d = json.loads(r.stdout)
+    for key in ("baseline_ref", "compared", "within_spread", "movers",
+                "code_changed_movers", "new_queries"):
+        assert key in d, key
+    assert d["compared"] >= d["within_spread"] >= 0
+    for name, m in d["movers"].items():
+        assert m["verdict"] in ("environmental", "code-changed"), (name, m)
+    assert (r.returncode == 1) == bool(d["code_changed_movers"])
