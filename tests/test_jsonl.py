@@ -1,0 +1,77 @@
+"""JSONL source/sink: explicit-schema round-trips vs the parquet path.
+
+The round-trip contract — write a fixture table as JSONL, read it back under
+the parquet footer's schema, get value-identical rows — is what makes the
+ingest format safe: any type widening, timestamp TZ shift, or silent null
+would break the exact comparison here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbase_observer_es_spark.io import table
+from hbase_observer_es_spark.sources.jsonl import (
+    jsonl_to_parquet,
+    parquet_schema,
+    read_jsonl,
+    write_jsonl,
+)
+
+from .conftest import SF_ORACLE
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+@pytest.mark.parametrize("name,key", [
+    ("orders", "o_orderkey"),       # timestamps + strings + doubles
+    ("documents", "doc_id"),        # text payloads (quoting/escaping)
+    ("events", "event_id"),         # the nanos->micros normalized ts column
+])
+def test_roundtrip_value_identical(spark, tmp_path, name, key):
+    src = table(spark, SF_ORACLE, name)
+    path = str(tmp_path / f"{name}.jsonl")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, parquet_schema(spark, SF_ORACLE, name))
+    assert back.schema == src.schema
+    assert _sorted_rows(back, key) == _sorted_rows(src, key)
+
+
+def test_landing_conversion_matches_query_results(spark, tmp_path):
+    """land JSONL -> parquet once -> a real aggregation over the converted
+    table must equal the same aggregation over the original fixture."""
+    src = table(spark, SF_ORACLE, "orders")
+    jl = str(tmp_path / "orders.jsonl")
+    pq = str(tmp_path / "orders_parquet")
+    write_jsonl(src, jl)
+    jsonl_to_parquet(spark, jl, parquet_schema(spark, SF_ORACLE, "orders"), pq)
+    agg = lambda df: _sorted_rows(  # noqa: E731
+        df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        ),
+        "o_orderstatus",
+    )
+    assert agg(spark.read.parquet(pq)) == agg(src)
+
+
+def test_malformed_line_fails_loudly(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n{"a": "not-an-int}\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    df = read_jsonl(spark, str(p), schema)
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()
+
+
+def test_binary_columns_rejected(spark):
+    schema = T.StructType([T.StructField("payload", T.BinaryType())])
+    with pytest.raises(TypeError, match="binary"):
+        read_jsonl(spark, "/nonexistent", schema)
+    df = spark.range(1).select(F.lit(b"\x00").alias("payload"))
+    with pytest.raises(TypeError, match="binary"):
+        write_jsonl(df, "/tmp/never-written")
