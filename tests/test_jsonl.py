@@ -75,3 +75,62 @@ def test_binary_columns_rejected(spark):
     df = spark.range(1).select(F.lit(b"\x00").alias("payload"))
     with pytest.raises(TypeError, match="binary"):
         write_jsonl(df, "/tmp/never-written")
+
+
+# -- CSV twin (sources/csvsrc.py): same ingest contract -----------------------
+
+from hbase_observer_es_spark.sources.csvsrc import read_csv, write_csv  # noqa: E402
+
+
+@pytest.mark.parametrize("name,key", [
+    ("orders", "o_orderkey"),
+    ("documents", "doc_id"),
+    ("events", "event_id"),
+])
+def test_csv_roundtrip_value_identical(spark, tmp_path, name, key):
+    src = table(spark, SF_ORACLE, name)
+    path = str(tmp_path / f"{name}.csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, parquet_schema(spark, SF_ORACLE, name))
+    assert back.schema == src.schema
+    assert _sorted_rows(back, key) == _sorted_rows(src, key)
+
+
+def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, 'quote " comma, text')],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    path = str(tmp_path / "nulls.csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, df.schema)
+    rows = {r.id: r.s for r in back.collect()}
+    assert rows == {1: None, 2: "", 3: 'quote " comma, text'}
+
+
+def test_csv_rejects_embedded_newlines(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "line one\nline two")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    with pytest.raises(ValueError, match="newline"):
+        write_csv(df, str(tmp_path / "never.csv"))
+
+
+def test_csv_malformed_row_fails_loudly(spark, tmp_path):
+    p = tmp_path / "bad_dir"
+    p.mkdir()
+    (p / "part.csv").write_text('"a","b"\n"1","x"\n"not-an-int","y"\n')
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ])
+    df = read_csv(spark, str(p), schema)
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()
