@@ -99,7 +99,15 @@ WHERE rank <= {SUGGEST_SIZE}
 def q_search_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `terms` lookup: documents sharing at least one term with the lookup
     document's token set, with the distinct shared-term count — the lookup
-    doc fetched once and broadcast, the lookup doc itself excluded."""
+    doc fetched once and broadcast, the lookup doc itself excluded.
+
+    Fixture note: the word-soup corpus draws from a ~31-word shared
+    vocabulary, so the >=1-shared-term hit set is near-total here (499/500 at
+    sf0.01) — that is the corpus, not the operator; ES terms-lookup IS a
+    >=1-membership filter. The ``n_shared`` column carries the
+    discrimination, and the semantics pin
+    (tests/test_round8_surface.py::test_terms_lookup_counts_shared_distinct_terms)
+    checks the exact intersection size per document."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(_toks())).alias("t"))
     lookup = (
