@@ -16,7 +16,16 @@ microsecond-exact timestamps. CSV-specific posture:
   (splittable regardless of embedded newlines).
 * **Null vs empty string is explicit.** CSV has no native null; the writer
   emits ``nullValue=\\N`` (the classic dump convention) so empty strings and
-  nulls round-trip distinguishably.
+  nulls round-trip distinguishably. Because the read side maps the sentinel
+  back to NULL *before* quote semantics apply, a genuine string value equal
+  to ``\\N`` would silently round-trip to NULL even under quoteAll — so the
+  writer REJECTS it loudly, exactly like embedded newlines. Data that needs
+  to carry the literal two-character sequence backslash-N must land as JSONL.
+* **Validation happens inside the write pass.** Both rejection predicates are
+  compiled into the written projection via ``raise_error``, so the rows that
+  are CHECKED are byte-for-byte the rows being WRITTEN (no separate guard job,
+  no double computation, and no gap for a non-deterministic upstream frame to
+  slip a bad row between check and write).
 """
 
 from __future__ import annotations
@@ -31,33 +40,53 @@ from .jsonl import _TS_FORMAT, _reject_binary
 _NULL = r"\N"
 
 
+# Marker prefix for the in-write raise_error guard; write_csv greps the JVM
+# exception chain for it to re-raise a plain ValueError at the Python boundary.
+_GUARD_MARK = "CSV-SINK-REJECT:"
+
+
 def write_csv(df: DataFrame, path: str) -> None:
-    """Write a frame as quoted, headered CSV. Binary columns and embedded
-    newlines are rejected (module docstring)."""
+    """Write a frame as quoted, headered CSV. Binary columns, embedded
+    newlines, and literal ``\\N`` string values are rejected (module
+    docstring). Validation is fused into the write projection — one pass,
+    checked rows == written rows."""
     _reject_binary(df.schema)
-    string_cols = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
-    ]
-    if string_cols:
-        pred = None
-        for c in string_cols:
-            has_nl = F.col(c).contains("\n") | F.col(c).contains("\r")
-            pred = has_nl if pred is None else (pred | has_nl)
-        bad = df.filter(pred).limit(1).count()
-        if bad:
+    projected = []
+    for f in df.schema.fields:
+        if not isinstance(f.dataType, T.StringType):
+            projected.append(F.col(f.name))
+            continue
+        c = F.col(f.name)
+        bad = c.contains("\n") | c.contains("\r") | (c == _NULL)
+        msg = (
+            f"{_GUARD_MARK} string column '{f.name}' contains an embedded "
+            "newline (would force a non-splittable multiLine read) or the "
+            r"literal \N null sentinel (would silently round-trip to NULL); "
+            "land this data as JSONL instead (sources/jsonl.py)"
+        )
+        projected.append(
+            F.when(bad, F.raise_error(F.lit(msg))).otherwise(c).alias(f.name)
+        )
+    try:
+        _write_csv_raw(df.select(projected))(path)
+    except Exception as e:  # unwrap the JVM-side guard into a plain ValueError
+        if _GUARD_MARK in str(e):
             raise ValueError(
-                "CSV sink: a string column contains an embedded newline — the "
-                "file would require a non-splittable multiLine read; land this "
-                "data as JSONL instead (sources/jsonl.py)"
-            )
-    (
+                "CSV sink: a string column contains an embedded newline or "
+                r"the literal \N null sentinel — " + str(e).split(_GUARD_MARK, 1)[1].split("\n")[0]
+            ) from None
+        raise
+
+
+def _write_csv_raw(df: DataFrame):
+    return (
         df.write.mode("overwrite")
         .option("header", "true")
         .option("quoteAll", "true")
         .option("escape", '"')
         .option("nullValue", _NULL)
         .option("timestampFormat", _TS_FORMAT)
-        .csv(path)
+        .csv
     )
 
 

@@ -123,6 +123,50 @@ def test_csv_rejects_embedded_newlines(spark, tmp_path):
         write_csv(df, str(tmp_path / "never.csv"))
 
 
+def test_csv_rejects_literal_null_sentinel(spark, tmp_path):
+    # A genuine string value equal to the \N null sentinel would silently
+    # round-trip to NULL (even under quoteAll — read-side nullValue mapping
+    # happens after unquoting); the writer must reject it as loudly as an
+    # embedded newline rather than corrupt the null/string distinction.
+    df = spark.createDataFrame(
+        [(1, r"\N")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    with pytest.raises(ValueError, match="sentinel"):
+        write_csv(df, str(tmp_path / "never.csv"))
+
+
+def test_csv_guard_is_single_pass(spark, tmp_path):
+    # The rejection predicates are fused into the written projection
+    # (raise_error inside the write job) — there must be no separate guard
+    # job scanning the frame before the write, so a non-deterministic
+    # upstream can never pass the check with one set of rows and write
+    # another. Proven structurally: exactly one job runs per write_csv call.
+    from pyspark import SparkContext
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "also ok")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    sc = SparkContext._active_spark_context
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    # isolate the count via a fresh job group
+    sc.setJobGroup("csv-guard-pass-count", "single-pass proof")
+    try:
+        write_csv(df, str(tmp_path / "one_pass.csv"))
+        jobs = set(tracker.getJobIdsForGroup("csv-guard-pass-count") or [])
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs - before) == 1, f"expected 1 write job, saw {len(jobs - before)}"
+
+
 def test_csv_malformed_row_fails_loudly(spark, tmp_path):
     p = tmp_path / "bad_dir"
     p.mkdir()

@@ -204,3 +204,191 @@ def test_field_prefix_sql_rendering_matches_reference_eval(q, toks, lang, source
         f"'{lang}' AS lang, '{source}' AS source)"
     ).fetchone()[0]
     assert bool(got) == _eval_row(ast, toks, lang, source), (q, toks, lang, source)
+
+
+# -- D16 second close (round 9): ranges, comparisons, fielded phrases ---------
+
+from hbase_observer_es_spark.operators.query_string import FieldRange  # noqa: E402
+
+
+def test_ranges_and_comparisons_parse():
+    assert parse("n_chars:[150 TO 540]") == FieldRange("n_chars", 150, 540, True, True)
+    assert parse("n_chars:{150 TO 540}") == FieldRange("n_chars", 150, 540, False, False)
+    assert parse("n_chars:[150 TO 540}") == FieldRange("n_chars", 150, 540, True, False)
+    assert parse("n_chars:[* TO 540]") == FieldRange("n_chars", None, 540, True, True)
+    assert parse("n_chars:[150 TO *]") == FieldRange("n_chars", 150, None, True, True)
+    # both-unbounded = ES exists query
+    assert parse("lang:[* TO *]") == FieldRange("lang", None, None, True, True)
+    assert parse("n_chars:>100") == FieldRange("n_chars", 100, None, False, True)
+    assert parse("n_chars:>=100") == FieldRange("n_chars", 100, None, True, True)
+    assert parse("n_chars:<100") == FieldRange("n_chars", None, 100, True, False)
+    assert parse("n_chars:<=100") == FieldRange("n_chars", None, 100, True, True)
+    # keyword fields range lexicographically
+    assert parse("source:[src0 TO src2}") == FieldRange("source", "src0", "src2", True, False)
+    assert parse("lang:>=es") == FieldRange("lang", "es", None, True, True)
+
+
+def test_fielded_phrase_and_numeric_term_parse():
+    assert parse('text:"the table"') == Phrase(("the", "table"))
+    assert parse('text:"scan"') == Term("scan")
+    # quoted keyword value is exact-match verbatim (spaces allowed)
+    from hbase_observer_es_spark.operators.query_string import FieldTerm
+    assert parse('source:"src one"') == FieldTerm("source", "src one")
+    # numeric exact term
+    assert parse("n_chars:157") == FieldTerm("n_chars", 157)
+    assert parse("doc_id:42") == FieldTerm("doc_id", 42)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "fox~",                 # fuzziness — D10 libm, explicitly rejected
+        "fox~2",
+        "fox^2",                # boost — same
+        "text:fox~1",
+        '"quick fox~"',         # fuzzy inside a phrase
+        "n_chars:[150 TO]",     # malformed range
+        "n_chars:[TO 540]",
+        "n_chars:[150 to 540]", # ES requires uppercase TO
+        "n_chars:[a TO b]",     # non-numeric endpoints on a numeric field
+        "n_chars:abc",          # non-numeric exact term
+        "n_chars:>",            # comparison without a value
+        "lang:>",
+        "text:[a TO b]",        # analyzed field has no range semantics
+        "title:[1 TO 2]",       # unknown field
+        'n_chars:"42"',         # numeric fields take unquoted values
+        'text:""',              # empty fielded phrase
+        "lang:[a TO ]",
+    ],
+)
+def test_range_and_fuzz_rejections(bad):
+    with pytest.raises(ValueError):
+        parse(bad)
+
+
+# -- NULL semantics: leaves are two-valued (ES missing-field rule) ------------
+
+
+def test_not_keyword_matches_null_rows_in_sql():
+    """ADVICE r9 repro: NOT lang:zh must MATCH a row whose lang is NULL (ES
+    must_not matches documents missing the field); three-valued logic would
+    drop it. Checked in the DuckDB rendering here, in Spark below."""
+    ast = parse("scan AND NOT lang:zh")
+    got = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT ['scan']::VARCHAR[] AS tk, "
+        "NULL::VARCHAR AS lang, 'src0' AS source)"
+    ).fetchone()[0]
+    assert got is True
+    # and the positive clause never matches NULL
+    got2 = duckdb.sql(
+        f"SELECT {compile_sql(parse('lang:zh'))} FROM "
+        "(SELECT ['scan']::VARCHAR[] AS tk, NULL::VARCHAR AS lang)"
+    ).fetchone()[0]
+    assert got2 is False
+
+
+def test_null_semantics_spark_matches_sql(spark):
+    """The Spark rendering of the same two-valued rule: a NULL keyword row
+    survives NOT lang:zh and a NULL text row fails every analyzed clause but
+    passes its negation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from hbase_observer_es_spark.operators.query_string import compile_spark
+
+    df = spark.createDataFrame(
+        [(1, "scan fast", "en"), (2, "scan slow", None), (3, None, "zh")],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]),
+    )
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    dd = df.select("doc_id", "lang", F.explode(F.array(tk)).alias("tk"))
+
+    def ids(q):
+        pred = compile_spark(parse(q), F.col("tk"))
+        return sorted(r.doc_id for r in dd.filter(pred).collect())
+
+    assert ids("scan AND NOT lang:zh") == [1, 2]   # NULL lang row 2 survives
+    assert ids("lang:zh") == [3]
+    assert ids("NOT scan") == [3]                  # NULL text matches negation
+    assert ids("scan") == [1, 2]
+    assert ids("lang:[* TO *]") == [1, 3]          # exists query skips NULL
+
+
+# -- randomized dual-compiler equivalence over ranges + NULLs -----------------
+
+
+def _eval_row9(node, toks, lang, source, n_chars):
+    """Reference evaluator extended with FieldRange and None (missing-field)
+    columns — classical two-valued Boolean, the ES semantics."""
+    if isinstance(node, FieldRange):
+        v = {"lang": lang, "source": source, "n_chars": n_chars, "doc_id": 7}[node.field]
+        if node.lo is None and node.hi is None:
+            return v is not None
+        if v is None:
+            return False
+        ok = True
+        if node.lo is not None:
+            ok = ok and (v >= node.lo if node.lo_incl else v > node.lo)
+        if node.hi is not None:
+            ok = ok and (v <= node.hi if node.hi_incl else v < node.hi)
+        return ok
+    if isinstance(node, FieldTerm):
+        v = {"lang": lang, "source": source, "n_chars": n_chars, "doc_id": 7}[node.field]
+        return v is not None and v == node.value
+    if isinstance(node, Not):
+        return not _eval_row9(node.child, toks, lang, source, n_chars)
+    if isinstance(node, And):
+        return all(_eval_row9(c, toks, lang, source, n_chars) for c in node.children)
+    if isinstance(node, Or):
+        return any(_eval_row9(c, toks, lang, source, n_chars) for c in node.children)
+    return _eval(node, toks)
+
+
+_RANGE_QUERIES = st.sampled_from(
+    [
+        "n_chars:[100 TO 300]",
+        "n_chars:{100 TO 300}",
+        "n_chars:[* TO 200}",
+        "n_chars:>150",
+        "n_chars:<=250 AND scan",
+        "lang:[es TO zh}",
+        "source:[src0 TO src2}",
+        "lang:[* TO *]",
+        "NOT lang:zh",
+        "scan AND NOT lang:zh",
+        'text:"the table" OR n_chars:>=300',
+        "NOT (lang:es OR n_chars:<150)",
+        "doc_id:7 OR n_chars:157",
+        "-source:src1 AND (scan OR n_chars:[150 TO *])",
+    ]
+)
+
+
+@given(
+    q=_RANGE_QUERIES,
+    toks=st.lists(st.sampled_from(_WORDS), max_size=6),
+    lang=st.sampled_from(["es", "zh", None]),
+    source=st.sampled_from(["src0", "src1", "src10", None]),
+    n_chars=st.sampled_from([100, 157, 250, 300, None]),
+)
+@settings(max_examples=400, deadline=None)
+def test_range_sql_rendering_matches_reference_eval(q, toks, lang, source, n_chars):
+    """Round-9 productions (ranges, comparisons, fielded phrases) and NULL
+    columns through the dual-compiler check: DuckDB evaluating compile_sql
+    must agree with the classical reference evaluation on every row shape,
+    including rows with missing (NULL) fields."""
+    ast = parse(q)
+    lit = "[" + ", ".join(f"'{t}'" for t in toks) + "]"
+    sl = "NULL::VARCHAR" if lang is None else f"'{lang}'"
+    ss = "NULL::VARCHAR" if source is None else f"'{source}'"
+    sn = "NULL::BIGINT" if n_chars is None else str(n_chars)
+    got = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT {lit}::VARCHAR[] AS tk, "
+        f"{sl} AS lang, {ss} AS source, {sn} AS n_chars, 7::BIGINT AS doc_id)"
+    ).fetchone()[0]
+    assert bool(got) == _eval_row9(ast, toks, lang, source, n_chars), (
+        q, toks, lang, source, n_chars,
+    )
