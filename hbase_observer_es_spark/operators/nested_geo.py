@@ -182,11 +182,113 @@ WHERE (({_SQL_LAT}) - {CENTER[0]}) * (({_SQL_LAT}) - {CENTER[0]})
 """
 
 
+# --- geo_shape envelope relations (round 9) ---------------------------------
+#
+# Everything below is INTEGER CENTIDEGREES: the relation predicates never touch
+# floating point, so both engines agree bit-exactly by construction. Degrees
+# appear only in the OUTPUT projection (one exact int cast + /100.0, the same
+# derivation discipline as _lat/_lon above).
+#
+# Each event derives an envelope (the ES `envelope` geo_shape):
+#   center  = the _lat/_lon point, in centidegrees;
+#   half-extents = event_id % 400 + 50 (lat), event_id % 700 + 50 (lon)
+#                  → 0.5°–4.49° / 0.5°–7.49°, Knuth-spread alongside centers.
+#
+# ES `geo_shape` runs ONE relation per query; the analogue therefore uses two
+# probe envelopes the way real relation queries pair up: a COARSE probe for
+# INTERSECTS (the filter) and WITHIN (flag), and a SMALL probe inside it for
+# CONTAINS (flag) — a doc envelope can never contain a probe larger than the
+# envelope-size ceiling, so contains is only non-vacuous against a small probe.
+GSHAPE_COARSE = (-300, 600, 500, 2000)  # lat_lo, lat_hi, lon_lo, lon_hi (centideg)
+GSHAPE_SMALL = (100, 140, 1200, 1260)  # 0.4°x0.6° box inside the coarse probe
+
+
+def _envelope_cols() -> tuple[Column, Column, Column, Column]:
+    """Doc envelope corners in integer centidegrees (int64-exact)."""
+    lat_c = F.col("user_id") * _KNUTH % 18000 - 9000
+    lon_c = (F.col("user_id") * _KNUTH + F.col("event_id") * 40503) % 36000 - 18000
+    hl = F.col("event_id") % 400 + 50
+    hn = F.col("event_id") % 700 + 50
+    return lat_c - hl, lat_c + hl, lon_c - hn, lon_c + hn
+
+
+def q_geo_shape_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_shape` query with `relation` semantics over `envelope` shapes
+    (the dominant production use: bbox-vs-bbox). 2-D relations decompose into
+    per-axis 1-D interval algebra — the same rules as
+    `q_search_range_relation` (es_extra.py), applied per axis:
+
+    * INTERSECTS (the filter): overlap on BOTH axes vs the coarse probe;
+    * WITHIN (flag): doc inside the coarse probe on both axes;
+    * CONTAINS (flag): doc covers the small probe on both axes.
+
+    All predicates are int64 centidegree comparisons pushed onto the one
+    events scan — map-only, no shuffle, no FP in any comparison; at 100 TB a
+    geo-sorted layout prunes row groups exactly like q_geo_bbox. Boundary
+    semantics are inclusive (ES default for envelope edges)."""
+    e = table(spark, sf_dir, "events")
+    lat_lo, lat_hi, lon_lo, lon_hi = _envelope_cols()
+    c = GSHAPE_COARSE
+    s = GSHAPE_SMALL
+    intersects = (
+        (lat_lo <= c[1]) & (lat_hi >= c[0]) & (lon_lo <= c[3]) & (lon_hi >= c[2])
+    )
+    within = (
+        (lat_lo >= c[0]) & (lat_hi <= c[1]) & (lon_lo >= c[2]) & (lon_hi <= c[3])
+    )
+    contains = (
+        (lat_lo <= s[0]) & (lat_hi >= s[1]) & (lon_lo <= s[2]) & (lon_hi >= s[3])
+    )
+    deg = lambda col: col.cast("double") / 100.0  # noqa: E731
+    return e.select(
+        "event_id",
+        "user_id",
+        deg(lat_lo).alias("lat_min"),
+        deg(lat_hi).alias("lat_max"),
+        deg(lon_lo).alias("lon_min"),
+        deg(lon_hi).alias("lon_max"),
+        within.alias("is_within"),
+        contains.alias("is_contains"),
+        intersects.alias("_keep"),
+    ).filter(F.col("_keep")).drop("_keep")
+
+
+_SQL_ENV = f"""
+    SELECT event_id, user_id,
+           user_id * {_KNUTH} % 18000 - 9000
+             - (event_id % 400 + 50) AS lat_lo,
+           user_id * {_KNUTH} % 18000 - 9000
+             + (event_id % 400 + 50) AS lat_hi,
+           (user_id * {_KNUTH} + event_id * 40503) % 36000 - 18000
+             - (event_id % 700 + 50) AS lon_lo,
+           (user_id * {_KNUTH} + event_id * 40503) % 36000 - 18000
+             + (event_id % 700 + 50) AS lon_hi
+    FROM events
+"""
+
+SQL_GEO_SHAPE_RELATION = f"""
+WITH env AS ({_SQL_ENV})
+SELECT event_id, user_id,
+       CAST(lat_lo AS DOUBLE) / 100.0 AS lat_min,
+       CAST(lat_hi AS DOUBLE) / 100.0 AS lat_max,
+       CAST(lon_lo AS DOUBLE) / 100.0 AS lon_min,
+       CAST(lon_hi AS DOUBLE) / 100.0 AS lon_max,
+       (lat_lo >= {GSHAPE_COARSE[0]} AND lat_hi <= {GSHAPE_COARSE[1]}
+        AND lon_lo >= {GSHAPE_COARSE[2]} AND lon_hi <= {GSHAPE_COARSE[3]}) AS is_within,
+       (lat_lo <= {GSHAPE_SMALL[0]} AND lat_hi >= {GSHAPE_SMALL[1]}
+        AND lon_lo <= {GSHAPE_SMALL[2]} AND lon_hi >= {GSHAPE_SMALL[3]}) AS is_contains
+FROM env
+WHERE lat_lo <= {GSHAPE_COARSE[1]} AND lat_hi >= {GSHAPE_COARSE[0]}
+  AND lon_lo <= {GSHAPE_COARSE[3]} AND lon_hi >= {GSHAPE_COARSE[2]}
+"""
+
+
 QUERIES = {
     "q_nested_exists": q_nested_exists,
     "q_geo_bbox": q_geo_bbox,
     "q_geo_grid": q_geo_grid,
     "q_geo_distance": q_geo_distance,
+    "q_geo_shape_relation": q_geo_shape_relation,
 }
 
 ORACLES = {
@@ -194,4 +296,5 @@ ORACLES = {
     "q_geo_bbox": SQL_GEO_BBOX,
     "q_geo_grid": SQL_GEO_GRID,
     "q_geo_distance": SQL_GEO_DISTANCE,
+    "q_geo_shape_relation": SQL_GEO_SHAPE_RELATION,
 }

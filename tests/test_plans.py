@@ -479,6 +479,18 @@ def test_geo_filters_are_map_only(spark):
         assert "Eval" not in plan, (name, plan)
 
 
+def test_geo_shape_relation_map_only(spark):
+    """geo_shape envelope relations are int-centidegree scan-side predicates:
+    one scan, no Exchange, no Python eval — the q_geo_bbox posture with the
+    2-D relation algebra folded into the projection."""
+    plan = plan_of(spark, "q_geo_shape_relation")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+    # column pruning must hold: the scan reads only the two id columns
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan, plan
+
+
 def test_geo_grid_partial_agg(spark):
     """The grid agg must combine map-side over cell ids."""
     plan = plan_of(spark, "q_geo_grid")
