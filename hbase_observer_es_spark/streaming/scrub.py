@@ -31,7 +31,7 @@ from ..sources.filestream import (
     source_fingerprint,
     stage_cached,
 )
-from .stateful import N_BATCHES, _state_shuffle
+from .stateful import N_BATCHES, _streaming_session
 
 
 def s_pii_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,20 +47,20 @@ def s_pii_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_BATCHES,
         order_col="doc_id",  # documents carry no timestamp; id order is the arrival order
     )
-    stream = read_stream(spark, stream_dir, d.schema)
+    sub = _streaming_session(spark)
+    stream = read_stream(sub, stream_dir, d.schema)
     audit = pii_report(pii_per_doc(stream))
     qname = f"piistream_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            audit.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (
+        audit.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sub.table(qname)
 
 
 # drained stream == the batch scrub; the oracle is the SAME audit SQL

@@ -31,12 +31,12 @@ import datetime
 import glob
 import os
 import uuid
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.cdc import SQL_CDC_TOMBSTONE, mutations
+from ..session import apply_runtime_conf
 from ..sinks.keyed_parquet import KeyedParquetSink
 from ..io import table
 from ..sources.filestream import read_stream, scratch_dir, source_fingerprint, stage_cached
@@ -55,14 +55,31 @@ N_BATCHES = 2
 STATE_PARTITIONS = 8
 
 
-@contextmanager
-def _state_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+def _streaming_session(
+    spark: SparkSession, n: int = STATE_PARTITIONS, nodata: bool = True
+) -> SparkSession:
+    """An ISOLATED session (shared SparkContext, private SQLConf) for one
+    streaming query. The state-store partition count is a conf-at-query-start
+    knob baked into the checkpoint — there is no per-frame repartition
+    equivalent — so it must be set via session conf; doing that on the
+    caller's session (even under try/finally) leaks plan width to any batch
+    query running CONCURRENTLY on the same session. Building the stream on a
+    ``newSession()`` clone makes the overrides invisible outside the query:
+    no ``spark.conf.set`` ever targets the caller's session in this module.
+
+    ``nodata=False`` additionally disables the trailing no-data micro-batch
+    for queries where it is provably pure overhead (see the per-query
+    docstrings); same isolation argument.
+    """
+    sub = spark.newSession()
+    # newSession() conf starts from the SparkContext's static conf, not the
+    # caller's runtime values — re-pin the engine's runtime conf (UTC, AQE,
+    # Arrow) so the clone behaves identically to a get_spark() session.
+    apply_runtime_conf(sub)
+    sub.conf.set("spark.sql.shuffle.partitions", str(n))
+    if not nodata:
+        sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    return sub
 
 
 def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,20 +96,20 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = e.unionByName(e)
     stream_dir = stage_cached(doubled, "2x-" + source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
-    stream = read_stream(spark, stream_dir, e.schema)
+    sub = _streaming_session(spark)
+    stream = read_stream(sub, stream_dir, e.schema)
     deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
     qname = f"dedup_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname).select(
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sub.table(qname).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
@@ -112,15 +129,15 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = stage_cached(mut, "mut-" + source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
     sink = KeyedParquetSink(out)
-    stream = read_stream(spark, stream_dir, mut.schema)
-    with _state_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(sink.merge_batch)
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    sub = _streaming_session(spark)
+    stream = read_stream(sub, stream_dir, mut.schema)
+    q = (
+        stream.writeStream.foreachBatch(sink.merge_batch)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return sink.read(spark).select("row_key", "qualifier", "value", "ts")
 
 
@@ -210,7 +227,9 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
-    stream = read_stream(spark, stream_dir, e.schema)
+    # no-data batch off: see docstring — NoTimeout => pure overhead
+    sub = _streaming_session(spark, PROFILE_STATE_PARTITIONS, nodata=False)
+    stream = read_stream(sub, stream_dir, e.schema)
     profiled = stream.groupBy("user_id").applyInPandasWithState(
         _profile_update,
         outputStructType=_PROFILE_OUT,
@@ -219,23 +238,16 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     qname = f"profile_{uuid.uuid4().hex[:8]}"
-    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    old_nodata = spark.conf.get(nodata_key)
-    spark.conf.set(nodata_key, "false")  # see docstring: NoTimeout => pure overhead
-    try:
-        with _state_shuffle(spark, PROFILE_STATE_PARTITIONS):
-            q = (
-                profiled.writeStream.format("memory")
-                .queryName(qname)
-                .outputMode("update")
-                .option("checkpointLocation", os.path.join(out, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set(nodata_key, old_nodata)
-    emitted = spark.table(qname)
+    q = (
+        profiled.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = sub.table(qname)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         emitted.withColumn("rn", F.row_number().over(w))
@@ -325,7 +337,8 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     stream_dir = _stage_with_sentinel(e, sf_dir, out)
 
-    stream = read_stream(spark, stream_dir, e.schema)
+    sub = _streaming_session(spark)
+    stream = read_stream(sub, stream_dir, e.schema)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
@@ -339,17 +352,16 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = f"winstream_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname).filter(F.col("event_type") != "sentinel")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sub.table(qname).filter(F.col("event_type") != "sentinel")
 
 
 # append-mode stream must converge to exactly the batch tumbling-window result
@@ -377,7 +389,8 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     stream_dir = _stage_with_sentinel(e, sf_dir, out)
 
-    stream = read_stream(spark, stream_dir, e.schema)
+    sub = _streaming_session(spark)
+    stream = read_stream(sub, stream_dir, e.schema)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -391,17 +404,16 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = f"sessstream_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname).filter(F.col("user_id") != -1)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sub.table(qname).filter(F.col("user_id") != -1)
 
 
 from .windows import SQL_WIN_SESSION as SQL_SESSION_STREAM  # noqa: E402
@@ -436,7 +448,9 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
-    s = read_stream(spark, stream_dir, e.schema).withWatermark("ts", "1 hour")
+    # no-data batch off: see docstring — inner join emits on arrival
+    sub = _streaming_session(spark, nodata=False)
+    s = read_stream(sub, stream_dir, e.schema).withWatermark("ts", "1 hour")
     a = s.select(
         F.col("user_id"),
         F.col("event_id").alias("a_id"),
@@ -459,23 +473,16 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
     qname = f"joinstream_{uuid.uuid4().hex[:8]}"
-    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    old_nodata = spark.conf.get(nodata_key)
-    spark.conf.set(nodata_key, "false")  # see docstring: inner join emits on arrival
-    try:
-        with _state_shuffle(spark):
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(qname)
-                .outputMode("append")
-                .option("checkpointLocation", os.path.join(out, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set(nodata_key, old_nodata)
-    return spark.table(qname)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sub.table(qname)
 
 
 from ..operators.relational import SQL_JOIN_RANGE as SQL_JOIN_STREAM  # noqa: E402
@@ -505,23 +512,23 @@ def s_terms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     stream_dir = stage_cached(e, source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
-    stream = read_stream(spark, stream_dir, e.schema)
+    sub = _streaming_session(spark)
+    stream = read_stream(sub, stream_dir, e.schema)
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
     )
     qname = f"termsstream_{uuid.uuid4().hex[:8]}"
-    with _state_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(out, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return (
-        spark.table(qname)
+        sub.table(qname)
         .orderBy(F.desc("n_events"), F.asc("event_type"))
         .limit(TERMS_STREAM_N)
     )

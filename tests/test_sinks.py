@@ -174,7 +174,7 @@ def test_streaming_crash_restart_resumes_from_checkpoint(spark):
         read_stream,
         stage_ordered_batches,
     )
-    from hbase_observer_es_spark.streaming.stateful import _state_shuffle
+    from hbase_observer_es_spark.streaming.stateful import _streaming_session
 
     from .conftest import SF_SMOKE
 
@@ -191,34 +191,33 @@ def test_streaming_crash_restart_resumes_from_checkpoint(spark):
         if bid >= 1:
             raise RuntimeError("injected crash: merge done, stream commit not")
 
-    with _state_shuffle(spark):
-        q = (
-            read_stream(spark, stream_dir, mut.schema)
-            .writeStream.foreachBatch(crashy)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-            crashed = False
-        except StreamingQueryException:
-            crashed = True
+    sub = _streaming_session(spark)
+    q = (
+        read_stream(sub, stream_dir, mut.schema)
+        .writeStream.foreachBatch(crashy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        crashed = False
+    except StreamingQueryException:
+        crashed = True
     assert crashed, "injected crash did not surface"
 
-    # driver restart: fresh session, fresh sink object, same checkpoint
-    spark2 = spark.newSession()
+    # driver restart: fresh isolated session, fresh sink object, same checkpoint
+    spark2 = _streaming_session(spark)
     sink2 = KeyedParquetSink(table_dir)
     assert sink2._last_applied == 1  # the merge committed before the crash
-    with _state_shuffle(spark2):
-        q2 = (
-            read_stream(spark2, stream_dir, mut.schema)
-            .writeStream.foreachBatch(sink2.merge_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination()
+    q2 = (
+        read_stream(spark2, stream_dir, mut.schema)
+        .writeStream.foreachBatch(sink2.merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
 
     cols = ["row_key", "qualifier", "value", "ts"]
     got = sorted(tuple(r) for r in sink2.read(spark2).select(*cols).collect())
