@@ -39,6 +39,49 @@ class PlanFacts:
     scans: list[dict] = field(default_factory=list)  # columns / pushed / partition
 
 
+@dataclass
+class StreamingPlanFacts:
+    """Facts parsed from a streaming query's last EXECUTED micro-batch plan
+    (``query.lastExecution`` via ``explainInternal``): the state-store
+    operators, watermark nodes, and exchange/codegen posture that the batch
+    PlanFacts vocabulary cannot see."""
+
+    exchanges: int = 0
+    state_store_saves: int = 0
+    state_store_restores: int = 0
+    streaming_dedup: bool = False
+    stream_stream_joins: int = 0
+    flatmap_pandas_state: bool = False
+    session_window_state: bool = False
+    event_time_watermarks: int = 0
+    python_eval: bool = False
+    wholestage_codegen: bool = False
+    foreach_batch_sink: bool = False
+    file_scans: int = 0
+
+
+def streaming_plan_facts(plan: str) -> StreamingPlanFacts:
+    """Parse the explainInternal output of a terminated streaming query."""
+    # explainInternal(extended=True) prints parsed/analyzed/optimized/physical
+    # sections — count nodes only in the physical plan so logical operators
+    # (e.g. EventTimeWatermark appearing in every section) are not multiplied
+    phys = plan.split("== Physical Plan ==")[-1]
+    return StreamingPlanFacts(
+        exchanges=len(re.findall(r"Exchange \w+", phys)),
+        state_store_saves=phys.count("StateStoreSave"),
+        state_store_restores=phys.count("StateStoreRestore"),
+        streaming_dedup="StreamingDeduplicate" in phys,
+        stream_stream_joins=phys.count("StreamingSymmetricHashJoin"),
+        flatmap_pandas_state="FlatMapGroupsInPandasWithState" in phys,
+        session_window_state="SessionWindowStateStore" in phys,
+        event_time_watermarks=phys.count("EventTimeWatermark"),
+        python_eval="BatchEvalPython" in phys or "ArrowEvalPython" in phys,
+        wholestage_codegen="WholeStageCodegen" in phys or "*(" in phys,
+        foreach_batch_sink="ForeachBatch" in plan,
+        file_scans=phys.count("FileScan parquet"),
+    )
+
+
 def plan_facts(df: DataFrame, executed: bool = False) -> PlanFacts:
     plan = plan_string(df, executed=executed)
     facts = PlanFacts(

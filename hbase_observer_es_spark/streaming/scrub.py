@@ -31,7 +31,7 @@ from ..sources.filestream import (
     source_fingerprint,
     stage_cached,
 )
-from .stateful import N_BATCHES, _streaming_session
+from .stateful import N_BATCHES, _record_stream_plan, _streaming_session
 
 
 def s_pii_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,6 +60,7 @@ def s_pii_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_pii_stream", q)
     return sub.table(qname)
 
 

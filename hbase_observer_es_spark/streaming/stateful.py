@@ -55,6 +55,24 @@ N_BATCHES = 2
 STATE_PARTITIONS = 8
 
 
+# When set to a dict (tools/plan_audit.py), every true-stream query records
+# the EXECUTED plan of its final micro-batch here (query.lastExecution via
+# explainInternal) right after termination — the streaming half of the
+# registry-wide plan inventory. None (the default) = zero overhead.
+LAST_PLANS: dict[str, str] | None = None
+
+
+def _record_stream_plan(name: str, q) -> None:
+    """Stash the terminated query's last micro-batch executed plan for the
+    plan audit. Capture must never fail the query itself."""
+    if LAST_PLANS is None:
+        return
+    try:
+        LAST_PLANS[name] = q._jsq.explainInternal(True)
+    except Exception as e:  # noqa: BLE001 - audit artifact records the failure
+        LAST_PLANS[name] = f"<capture failed: {type(e).__name__}: {e}>"
+
+
 def _streaming_session(
     spark: SparkSession, n: int = STATE_PARTITIONS, nodata: bool = True
 ) -> SparkSession:
@@ -109,6 +127,7 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_watermark_dedup", q)
     return sub.table(qname).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -138,6 +157,7 @@ def s_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_upsert_sink", q)
     return sink.read(spark).select("row_key", "qualifier", "value", "ts")
 
 
@@ -247,6 +267,7 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_stateful_profile", q)
     emitted = sub.table(qname)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -361,6 +382,7 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_win_stream", q)
     return sub.table(qname).filter(F.col("event_type") != "sentinel")
 
 
@@ -413,6 +435,7 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_session_stream", q)
     return sub.table(qname).filter(F.col("user_id") != -1)
 
 
@@ -482,6 +505,7 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_join_stream", q)
     return sub.table(qname)
 
 
@@ -527,6 +551,7 @@ def s_terms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _record_stream_plan("s_terms_stream", q)
     return (
         sub.table(qname)
         .orderBy(F.desc("n_events"), F.asc("event_type"))

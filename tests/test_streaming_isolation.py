@@ -98,3 +98,28 @@ def test_streaming_run_leaves_caller_conf_untouched(spark):
     assert {k: spark.conf.get(k) for k in keys} == before
     assert 0 < len(df2.collect()) <= 3
     assert {k: spark.conf.get(k) for k in keys} == before
+
+
+def test_streaming_plan_capture_records_executed_state_plan(spark):
+    """The plan-audit hook (round 9): with LAST_PLANS set, a terminated
+    streaming query records its final micro-batch's EXECUTED plan, and the
+    parser extracts the state-store posture — including the isolated
+    session's state partition count, which must appear in the plan text
+    (proof the newSession() conf actually drove the state store)."""
+    from hbase_observer_es_spark.plans.inspect import streaming_plan_facts
+    from hbase_observer_es_spark.streaming import stateful
+
+    assert stateful.LAST_PLANS is None  # default: zero overhead
+    stateful.LAST_PLANS = {}
+    try:
+        stateful.s_terms_stream(spark, SF_SMOKE).collect()
+        plan = stateful.LAST_PLANS["s_terms_stream"]
+    finally:
+        stateful.LAST_PLANS = None
+
+    assert "== Physical Plan ==" in plan
+    f = streaming_plan_facts(plan)
+    assert f.state_store_saves == 1 and f.state_store_restores == 1
+    assert f.exchanges == 1  # one shuffle on the agg key, state-store wide
+    assert not f.python_eval
+    assert f"numPartitions = {stateful.STATE_PARTITIONS}" in plan

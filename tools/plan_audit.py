@@ -9,9 +9,13 @@ scans, and every parquet scan's projected columns + pushed/partition filters.
 a query whose exchange count or scan width silently grows shows up as an
 artifact diff, not as a 10x wall-clock surprise three rounds later.
 
-Streaming queries (s_*) execute on call rather than returning a plannable
-frame — they are listed under "streaming_skipped" (their state/shuffle
-posture is pinned by their own tests).
+Streaming queries (s_*) are audited too (round 9): true streams execute on
+call, then their final micro-batch's EXECUTED plan is captured via
+``query.lastExecution`` (the ``stateful.LAST_PLANS`` hook) and parsed into
+StreamingPlanFacts — state-store operators, watermark nodes, exchanges;
+batch-expressed streaming shapes (windows.py) go through the normal
+``plan_facts`` path on their returned frame. ``summary.streaming_skipped``
+stays for compatibility and must be empty.
 
 Usage::
 
@@ -30,9 +34,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from hbase_observer_es_spark.plans.inspect import plan_facts  # noqa: E402
+from hbase_observer_es_spark.plans.inspect import (  # noqa: E402
+    plan_facts,
+    streaming_plan_facts,
+)
 from hbase_observer_es_spark.registry import all_queries  # noqa: E402
 from hbase_observer_es_spark.session import get_spark  # noqa: E402
+from hbase_observer_es_spark.streaming import stateful  # noqa: E402
 
 
 def main() -> int:
@@ -46,11 +54,29 @@ def main() -> int:
     queries = all_queries()
 
     audit: dict[str, dict] = {}
+    streaming: dict[str, dict] = {}
     skipped: list[str] = []
     errors: dict[str, str] = {}
     for name in sorted(queries):
         if name.startswith("s_"):
-            skipped.append(name)
+            # true streams execute on call and leave their last micro-batch
+            # executed plan in LAST_PLANS; batch-expressed streaming shapes
+            # (windows.py) return a plannable frame like any batch query
+            stateful.LAST_PLANS = {}
+            try:
+                df = queries[name](spark, args.sf_dir)
+                if name in stateful.LAST_PLANS:
+                    f = streaming_plan_facts(stateful.LAST_PLANS[name])
+                    streaming[name] = {"mode": "true-stream", **dataclasses.asdict(f)}
+                else:
+                    streaming[name] = {
+                        "mode": "batch-expressed",
+                        **dataclasses.asdict(plan_facts(df)),
+                    }
+            except Exception as e:  # noqa: BLE001 - artifact records the failure
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+            finally:
+                stateful.LAST_PLANS = None
             continue
         try:
             f = plan_facts(queries[name](spark, args.sf_dir))
@@ -61,7 +87,8 @@ def main() -> int:
     spark.stop()
 
     summary = {
-        "queries": len(audit),
+        "queries": len(audit) + len(streaming),
+        "streaming_queries": len(streaming),
         "streaming_skipped": sorted(skipped),
         "errors": errors,
         "totals": {
@@ -72,14 +99,39 @@ def main() -> int:
             "rdd_scan": sum(1 for a in audit.values() if a["rdd_scan"]),
             "take_ordered": sum(1 for a in audit.values() if a["take_ordered"]),
         },
+        "streaming_totals": {
+            "true_stream": sum(
+                1 for a in streaming.values() if a["mode"] == "true-stream"
+            ),
+            "batch_expressed": sum(
+                1 for a in streaming.values() if a["mode"] == "batch-expressed"
+            ),
+            "state_store_saves": sum(
+                a.get("state_store_saves", 0) for a in streaming.values()
+            ),
+            "stream_stream_joins": sum(
+                a.get("stream_stream_joins", 0) for a in streaming.values()
+            ),
+            "exchanges": sum(a.get("exchanges", 0) for a in streaming.values()),
+        },
     }
     with open(args.out, "w") as fh:
-        json.dump({"sf_dir": args.sf_dir, "summary": summary, "plans": audit}, fh,
-                  indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf_dir": args.sf_dir,
+                "summary": summary,
+                "plans": audit,
+                "streaming_plans": streaming,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
         fh.write("\n")
     print(json.dumps(summary["totals"]))
-    print(f"wrote {args.out} ({len(audit)} plans, {len(skipped)} streaming skipped,"
-          f" {len(errors)} errors)")
+    print(json.dumps(summary["streaming_totals"]))
+    print(f"wrote {args.out} ({len(audit)} batch plans, {len(streaming)} streaming"
+          f" plans, {len(errors)} errors)")
     return 1 if errors else 0
 
 
