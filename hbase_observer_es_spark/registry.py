@@ -65,77 +65,37 @@ _MODULES = (
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
-# bounded prefix (~50 entries) of the registry per round, so with 140+ registered
+# bounded prefix (~50 entries) of the registry per round, so with 180+ registered
 # queries the order below decides which rows in CORRECTNESS_r{N} refresh.
 # GENERATED each round by tools/rotate_priority.py (policy in rotation.py:
-# never-checked > edited-since-green [own fn > file-affected > import-affected
-# > PROVEN-unaffected file/import (astdeps.py: the query's entire reachable
-# definition closure — fn, oracle SQL, every in-package def it uses — is
-# AST-identical to the source at its last green check), oldest green first
-# within each] > oldest-green). Round 8 inputs: CORRECTNESS_r01-r07 + git
-# round boundaries; tier-1.0 auto-derived (q_dedup_clusters repartition
-# rewrite, q_search_querystring field-prefix grammar). The nine round-8
-# queries head the window, then the ENTIRE r3/r4-stale backlog (9 r3 + 24 r4
-# rows — the round-7 verdict's top item) sits inside the ~50-row prefix, so
-# the oldest hard-signal evidence in the repo retires this round; the
-# dedup.py r8 edit re-stales only the dedup family (already in the backlog)
-# and the astdeps-cleared r5/r6 greens stay demoted in tiers 1.3/1.4.
+# never-checked > edited-since-green [own fn > file-affected > import-affected]
+# > the age-ordered low-risk band — untouched rows AND rows whose edit is
+# PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
+# proof certifies identical risk; round-9 refinement, see rotation.py).
+# Round 9 inputs: CORRECTNESS_r01-r08 + git round boundaries; tier-1.0
+# auto-derived (the 8 streaming queries' newSession isolation + plan-capture
+# rewrite, q_search_querystring range/phrase grammar). The new
+# q_geo_shape_relation plus those 9 edits head the window; the ENTIRE 39-row
+# r5 backlog (the round-8 verdict's top item) sits inside the 50-row prefix —
+# 15 via the age band's proven-unchanged merge, 24 untouched — so the oldest
+# hard-signal evidence retires this round and the oldest remaining green
+# becomes r6. The two rows-only-by-contract ln twins now carry their r8
+# rows-only record as their maximal-achievable check (tool refinement) and
+# rotate like any other row instead of pinning two head slots forever.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_search_bm25_ln",  # never checked
-    "q_search_mlt_ln",  # never checked
-    "q_join_has_child",  # never checked
-    "q_join_has_parent",  # never checked
-    "q_search_rescore",  # never checked
-    "q_search_suggest_term",  # never checked
-    "q_search_terms_lookup",  # never checked
-    "q_search_suggest_phrase",  # never checked
-    "q_search_range_relation",  # never checked
+    "q_geo_shape_relation",  # never checked
     # tier 1.0: own fn edited after last green check
-    "q_dedup_clusters",  # green r4, hbase_observer_es_spark/operators/dedup.py fn edited r8
-    "q_search_querystring",  # green r6, hbase_observer_es_spark/operators/query_string.py fn edited r8
-    # tier 1.1: file edited after last green check (oldest green first)
-    "q_dedup_exact",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
-    "q_dedup_minhash",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
-    "q_dedup_simhash",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
-    "q_dedup_simhash_near",  # green r4, hbase_observer_es_spark/operators/dedup.py file edited r8
-    # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_str_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_date_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_math_case",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_json_extract",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_array_funcs",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_cdc_snapshot",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_cdc_tombstone",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_cell_pivot",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_cdc_doc_merge",  # green r3, hbase_observer_es_spark/io.py import edited r5
-    "q_scan_pruned",  # green r4, hbase_observer_es_spark/sources/filestream.py import edited r7
-    "q_pipeline_corpus",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
-    "q_mixture_weights",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
-    "q_text_pack",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
-    "q_sample_diversified",  # green r4, hbase_observer_es_spark/operators/dedup.py import edited r8
-    "s_win_tumbling",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "s_win_sliding",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "s_win_session",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_terms_other",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_range",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_tophits",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_pctranks",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_adjacency",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_rare_terms",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_bucket_sel",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_weighted_avg",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_agg_autodatehist",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_text_chunk",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "q_text_topword",  # green r4, hbase_observer_es_spark/io.py import edited r5
-    "s_stateful_profile",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
-    "s_pii_stream",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7
-    # tier 1.3: file edited, reachable defs PROVEN unchanged (astdeps)
-    "q_search_bm25",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_phrase",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_fuzzy",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_mlt",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_sigterms",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
+    "s_watermark_dedup",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_upsert_sink",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_win_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_session_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_join_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_terms_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_stateful_profile",  # green r8, hbase_observer_es_spark/streaming/stateful.py fn edited r9
+    "s_pii_stream",  # green r8, hbase_observer_es_spark/streaming/scrub.py fn edited r9
+    "q_search_querystring",  # green r8, hbase_observer_es_spark/operators/query_string.py fn edited r9
+    # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
     "q_search_suggest",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
     "q_search_highlight",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
     "q_search_bool",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
@@ -151,26 +111,6 @@ _PRIORITY = (
     "q_text_unigram",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
     "q_text_boilerplate",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
     "q_text_pack_sharded",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
-    "q_agg_boxplot",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_movfn",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_bucketsort",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_derivative",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_varwidth",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_itemsets",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_search_collapse",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
-    "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
-    "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
-    "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7, closure AST-unchanged
-    "q_dedup_jaccard",  # green r7, hbase_observer_es_spark/operators/dedup.py file edited r8, closure AST-unchanged
-    # tier 1.4: imported helper edited, reachable defs PROVEN unchanged (astdeps)
-    "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7, closure AST-unchanged
-    "q_sample_stratified",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
-    "q_decontaminate",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
-    "q_text_ngram_rep",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
-    # tier 2.0: oldest green first, sources untouched since
     "q_sim_knn",  # green r5
     "q_sim_pairs",  # green r5
     "q_sim_ivf",  # green r5
@@ -195,6 +135,30 @@ _PRIORITY = (
     "q_win_ntile",  # green r5
     "q_pivot",  # green r5
     "q_ann_recall",  # green r5
+    "q_agg_boxplot",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_movfn",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_bucketsort",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_derivative",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_varwidth",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_agg_itemsets",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
+    "q_search_collapse",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
+    "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
+    "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
+    "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7, closure AST-unchanged
+    "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7, closure AST-unchanged
+    "q_sample_stratified",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
+    "q_decontaminate",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
+    "q_agg_sampler",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_agg_normalize",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_agg_geobounds",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_agg_topmetrics",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_agg_serialdiff",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_agg_cumcard",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_agg_pctbucket",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
+    "q_text_ngram_rep",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
     "q_search_phrase_prefix",  # green r6
     "q_search_wildcard",  # green r6
     "q_search_regexp",  # green r6
@@ -202,13 +166,6 @@ _PRIORITY = (
     "q_agg_datehist",  # green r6
     "q_agg_composite",  # green r6
     "q_agg_filters",  # green r6
-    "q_agg_sampler",  # green r6
-    "q_agg_normalize",  # green r6
-    "q_agg_geobounds",  # green r6
-    "q_agg_topmetrics",  # green r6
-    "q_agg_serialdiff",  # green r6
-    "q_agg_cumcard",  # green r6
-    "q_agg_pctbucket",  # green r6
     "q_text_pii",  # green r6
     "q_search_dismax",  # green r6
     "q_search_boosting",  # green r6
@@ -221,6 +178,12 @@ _PRIORITY = (
     "q_sim_knn_filtered",  # green r6
     "q_cdc_field_missing",  # green r6
     "q_search_percolate",  # green r6
+    "q_dedup_jaccard",  # green r7, hbase_observer_es_spark/operators/dedup.py file edited r8, closure AST-unchanged
+    "q_nested_exists",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
+    "q_geo_bbox",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
+    "q_geo_grid",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
+    "q_geo_distance",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
+    "q_agg_geoline",  # green r7, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
     "q_sim_ivf_batch",  # green r7
     "q_sim_lsh",  # green r7
     "q_sim_lsh_batch",  # green r7
@@ -228,17 +191,7 @@ _PRIORITY = (
     "q_sim_knn_pudf",  # green r7
     "q_sim_range",  # green r7
     "q_join_salted",  # green r7
-    "s_watermark_dedup",  # green r7
-    "s_upsert_sink",  # green r7
-    "s_win_stream",  # green r7
-    "s_session_stream",  # green r7
-    "s_join_stream",  # green r7
-    "s_terms_stream",  # green r7
     "q_agg_pipeline",  # green r7
-    "q_nested_exists",  # green r7
-    "q_geo_bbox",  # green r7
-    "q_geo_grid",  # green r7
-    "q_geo_distance",  # green r7
     "q_join_broadcast",  # green r7
     "q_join_left",  # green r7
     "q_join_semi",  # green r7
@@ -268,8 +221,54 @@ _PRIORITY = (
     "q_text_fingerprint",  # green r7
     "q_agg_ttest",  # green r7
     "q_search_terms_set",  # green r7
-    "q_agg_geoline",  # green r7
     "q_text_gopher",  # green r7
+    "q_search_bm25",  # green r8
+    "q_search_phrase",  # green r8
+    "q_search_fuzzy",  # green r8
+    "q_search_mlt",  # green r8
+    "q_search_sigterms",  # green r8
+    "q_scan_pruned",  # green r8
+    "q_pipeline_corpus",  # green r8
+    "q_mixture_weights",  # green r8
+    "q_text_pack",  # green r8
+    "q_sample_diversified",  # green r8
+    "s_win_tumbling",  # green r8
+    "s_win_sliding",  # green r8
+    "s_win_session",  # green r8
+    "q_dedup_exact",  # green r8
+    "q_dedup_minhash",  # green r8
+    "q_dedup_simhash",  # green r8
+    "q_dedup_simhash_near",  # green r8
+    "q_dedup_clusters",  # green r8
+    "q_agg_terms_other",  # green r8
+    "q_agg_range",  # green r8
+    "q_agg_tophits",  # green r8
+    "q_agg_pctranks",  # green r8
+    "q_agg_adjacency",  # green r8
+    "q_agg_rare_terms",  # green r8
+    "q_agg_bucket_sel",  # green r8
+    "q_agg_weighted_avg",  # green r8
+    "q_agg_autodatehist",  # green r8
+    "q_str_funcs",  # green r8
+    "q_date_funcs",  # green r8
+    "q_math_case",  # green r8
+    "q_json_extract",  # green r8
+    "q_array_funcs",  # green r8
+    "q_cdc_snapshot",  # green r8
+    "q_cdc_tombstone",  # green r8
+    "q_cell_pivot",  # green r8
+    "q_cdc_doc_merge",  # green r8
+    "q_text_chunk",  # green r8
+    "q_text_topword",  # green r8
+    "q_search_bm25_ln",  # rows-only r8
+    "q_search_mlt_ln",  # rows-only r8
+    "q_join_has_child",  # green r8
+    "q_join_has_parent",  # green r8
+    "q_search_rescore",  # green r8
+    "q_search_suggest_term",  # green r8
+    "q_search_terms_lookup",  # green r8
+    "q_search_suggest_phrase",  # green r8
+    "q_search_range_relation",  # green r8
 )
 
 

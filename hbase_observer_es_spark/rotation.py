@@ -37,10 +37,22 @@ genuinely at-risk ones. ``unaffected`` names the edited-since-green queries
 whose ENTIRE reachable definition closure (their function, their oracle-SQL
 constant, every in-package def they transitively use — astdeps.is_affected,
 conservative on any uncertainty) is AST-identical to the source at their last
-green check. Those demote WITHIN tier 2 — below every possibly-affected row,
-still above tier 3 (the file did change; the proof, not the schedule, is the
-new part). Sub-order: own-fn edited > file-edited affected > import-edited
-affected > file-edited proven-unaffected > import-edited proven-unaffected.
+green check.
+
+Age-band refinement (round 9): proven-unaffected rows used to sit in a band
+of their own, above every untouched row regardless of age. That starved the
+oldest evidence: with most modules touched every round, dozens of
+RECENTLY-green proven-unchanged rows outranked the oldest untouched greens
+and the driver window never reached them (the r5 backlog the round-8 verdict
+flagged). But a proven-unaffected row is — by the proof's own construction —
+exactly as risky as an untouched row: its reachable closure is AST-identical
+to what was last checked. Risk-equal rows should be ordered by evidence AGE,
+so proven-unaffected rows now merge into the oldest-green band, interleaved
+with untouched rows by last-green round; on an equal round, file-proven >
+import-proven > untouched keeps the old preference (the file did change — a
+refresh is marginally more informative). Possibly-AFFECTED rows (no proof)
+still outrank the whole band: own-fn edited > file-edited affected >
+import-edited affected.
 
 Ties inside a tier keep registration order, so the schedule is deterministic
 and the same-file neighbors of an edit stay adjacent. ``tools/rotate_priority.py``
@@ -69,9 +81,11 @@ def derive_order(
     in turn verify before queries stale only through ``import_edit_round``
     (a transitively imported helper changed — real risk, but weaker than an
     edit in the defining file itself). ``unaffected`` (astdeps proof, module
-    docstring) demotes edited-since-green rows below every possibly-affected
-    one while keeping them ahead of tier 3; it never overrides
-    ``edited_functions`` (a hand-declared own-fn edit outranks any proof).
+    docstring) moves edited-since-green rows into the age-ordered low-risk
+    band shared with untouched rows — the proof certifies identical risk, so
+    evidence age decides (round-9 refinement, module docstring); it never
+    overrides ``edited_functions`` (a hand-declared own-fn edit outranks any
+    proof).
     """
     reg_pos = {n: i for i, n in enumerate(names)}
     fn_edited = edited_functions or set()
@@ -83,21 +97,18 @@ def derive_order(
         edited = file_edit_round.get(n)
         imported = import_edits.get(n)
         if green is None:
-            tier = 0
-            sub = 0
-            age = 0
-        elif edited is not None and edited > green:
-            tier = 1
-            sub = 0 if n in fn_edited else (3 if n in proven else 1)
-            age = green
-        elif imported is not None and imported > green:
-            tier = 1
-            sub = 4 if n in proven else 2
-            age = green
-        else:
-            tier = 2
-            sub = 0
-            age = green
-        return (tier, sub, age, reg_pos[n])
+            return (0, 0, 0, reg_pos[n])
+        if edited is not None and edited > green:
+            if n in fn_edited:
+                return (1, 0, green, reg_pos[n])
+            if n not in proven:
+                return (1, 1, green, reg_pos[n])
+            # proven-unchanged: age-ordered band; file-proof first on a tie
+            return (2, green, 0, reg_pos[n])
+        if imported is not None and imported > green:
+            if n not in proven:
+                return (1, 2, green, reg_pos[n])
+            return (2, green, 1, reg_pos[n])
+        return (2, green, 2, reg_pos[n])
 
     return sorted(names, key=key)

@@ -108,10 +108,10 @@ def test_module_closure_follows_relative_and_symbol_imports():
     assert all(p.startswith("hbase_observer_es_spark/") for p in c)
 
 
-def test_proven_unaffected_demotes_within_tier1():
+def test_proven_unaffected_joins_age_band():
     # all four green r2, edits r3: q_a file-edited affected, q_b file-edited
     # but PROVEN unaffected, q_c import-edited affected, q_d import-edited
-    # proven unaffected; q_e untouched green r1 (tier 2).
+    # proven unaffected; q_e untouched green r1.
     order = derive_order(
         ["q_a", "q_b", "q_c", "q_d", "q_e"],
         last_green={"q_a": 2, "q_b": 2, "q_c": 2, "q_d": 2, "q_e": 1},
@@ -119,9 +119,35 @@ def test_proven_unaffected_demotes_within_tier1():
         import_edit_round={"q_c": 3, "q_d": 3},
         unaffected={"q_b", "q_d"},
     )
-    # affected rows first (file before import), proven-unaffected after them
-    # (file before import), tier 2 last even with the oldest green
-    assert order == ["q_a", "q_c", "q_b", "q_d", "q_e"]
+    # round-9 policy: affected rows first (file before import); the
+    # proven-unaffected rows join the age-ordered band — so the OLDER
+    # untouched green (q_e, r1) outranks both r2 proven rows, and on the r2
+    # tie file-proven precedes import-proven.
+    assert order == ["q_a", "q_c", "q_e", "q_b", "q_d"]
+
+
+def test_age_band_prevents_proven_rows_starving_old_greens():
+    """The round-8→9 starvation fix: dozens of recently-green
+    proven-unchanged rows must NOT outrank an old untouched green — the
+    driver window is a prefix, so band order IS evidence retirement order."""
+    names = [f"q_p{i}" for i in range(5)] + ["q_old"]
+    order = derive_order(
+        names,
+        # proven rows green r7, file edited r8 but AST-proven unchanged;
+        # q_old green r5, untouched since
+        last_green={**{f"q_p{i}": 7 for i in range(5)}, "q_old": 5},
+        file_edit_round={f"q_p{i}": 8 for i in range(5)},
+        unaffected={f"q_p{i}" for i in range(5)},
+    )
+    assert order[0] == "q_old"
+    # and a possibly-affected edit still outranks everything in the band
+    order2 = derive_order(
+        ["q_aff", "q_old"],
+        last_green={"q_aff": 7, "q_old": 5},
+        file_edit_round={"q_aff": 8},
+        unaffected=set(),
+    )
+    assert order2 == ["q_aff", "q_old"]
 
 
 def test_unaffected_never_overrides_own_fn_edit():

@@ -82,22 +82,38 @@ def module_closure(repo: str, rel: str) -> set[str]:
     return seen
 
 
-def registration_order_and_files(repo: str) -> tuple[list[str], dict[str, str]]:
+def registration_order_and_files(
+    repo: str,
+) -> tuple[list[str], dict[str, str], set[str]]:
+    """Registration order, defining file per query, and the set of queries
+    registered WITHOUT an oracle (rows-only by contract — the libm rule)."""
     sys.path.insert(0, repo)
     from hbase_observer_es_spark.registry import _MODULES
 
     names: list[str] = []
     files: dict[str, str] = {}
+    rows_only: set[str] = set()
     for modname in _MODULES:
         mod = importlib.import_module(modname)
         rel = os.path.relpath(mod.__file__, repo)
+        oracles = getattr(mod, "ORACLES", {})
         for name in getattr(mod, "QUERIES", {}):
             names.append(name)
             files[name] = rel
-    return names, files
+            if name not in oracles:
+                rows_only.add(name)
+    return names, files, rows_only
 
 
-def last_green_rounds(repo: str) -> dict[str, int]:
+def last_green_rounds(repo: str, rows_only: set[str] | None = None) -> dict[str, int]:
+    """Latest fully-green round per query. For queries that are rows-only BY
+    CONTRACT (registered with no oracle — the documented libm rule), a
+    recorded rows-only driver check (err == "no_oracle", spark rows counted)
+    IS the maximal achievable check, so it counts as their green: otherwise
+    they are permanently "never checked" and occupy two head-of-window slots
+    every round for a check that can never upgrade. A query that HAS an
+    oracle never gets credit from an old no-oracle record."""
+    rows_only = rows_only or set()
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -111,6 +127,11 @@ def last_green_rounds(repo: str) -> dict[str, int]:
                 and v.get("hash_match") is not False
                 and not v.get("err")
             )
+            if q in rows_only:
+                green = green or (
+                    v.get("err") == "no_oracle"
+                    and v.get("spark_rows") is not None
+                )
             if green:
                 out[q] = max(out.get(q, 0), rnd)
     return out
@@ -280,8 +301,8 @@ def main() -> None:
     repo = args.repo
     edited_fn = {n for n in args.edited_fn.split(",") if n}
 
-    names, files = registration_order_and_files(repo)
-    greens = last_green_rounds(repo)
+    names, files, rows_only = registration_order_and_files(repo)
+    greens = last_green_rounds(repo, rows_only)
     file_rounds = file_edit_rounds(repo)
     last_green = {n: greens.get(n) for n in names}
     if not args.no_ast:
@@ -318,15 +339,17 @@ def main() -> None:
     )
 
     def tier_of(n: str) -> tuple[int, int]:
+        # round-9 policy (rotation.py): proven-unchanged rows live in the
+        # age-ordered band with untouched rows — one printed tier (2, 0)
         g, e, i = last_green[n], edit_round[n], import_round[n]
         if g is None:
             return (0, 0)
         if e is not None and e > g:
             if n in edited_fn:
                 return (1, 0)
-            return (1, 3) if n in unaffected else (1, 1)
+            return (2, 0) if n in unaffected else (1, 1)
         if i is not None and i > g:
-            return (1, 4) if n in unaffected else (1, 2)
+            return (2, 0) if n in unaffected else (1, 2)
         return (2, 0)
 
     labels = {
@@ -334,9 +357,8 @@ def main() -> None:
         (1, 0): "own fn edited after last green check",
         (1, 1): "file edited after last green check (oldest green first)",
         (1, 2): "imported helper edited after last green check (oldest green first)",
-        (1, 3): "file edited, reachable defs PROVEN unchanged (astdeps)",
-        (1, 4): "imported helper edited, reachable defs PROVEN unchanged (astdeps)",
-        (2, 0): "oldest green first, sources untouched since",
+        (2, 0): "age-ordered low-risk band: untouched, or edit with closure "
+                "proven AST-unchanged (oldest green first)",
     }
     prev = None
     print("_PRIORITY = (")
@@ -346,18 +368,21 @@ def main() -> None:
             print(f"    # tier {t[0]}.{t[1]}: {labels[t]}")
             prev = t
         g = last_green[n]
-        note = f"green r{g}" if g else "never checked"
-        if t[0] == 1:
-            if t[1] in (2, 4):
-                culprit = max(
-                    (f for f in closures[files[n]] - {files[n]} if f in file_rounds),
-                    key=lambda f: (file_rounds[f], f),  # path tiebreak: stable output
-                )
-                note += f", {culprit} import edited r{import_round[n]}"
-            else:
-                kind = "fn edited" if n in edited_fn else "file edited"
-                note += f", {files[n]} {kind} r{edit_round[n]}"
-            if t[1] in (3, 4):
+        kind_green = "rows-only" if n in rows_only else "green"
+        note = f"{kind_green} r{g}" if g else "never checked"
+        g_, e_, i_ = last_green[n], edit_round[n], import_round[n]
+        if g_ is not None and e_ is not None and e_ > g_:
+            kind = "fn edited" if n in edited_fn else "file edited"
+            note += f", {files[n]} {kind} r{e_}"
+            if n in unaffected:
+                note += ", closure AST-unchanged"
+        elif g_ is not None and i_ is not None and i_ > g_:
+            culprit = max(
+                (f for f in closures[files[n]] - {files[n]} if f in file_rounds),
+                key=lambda f: (file_rounds[f], f),  # path tiebreak: stable output
+            )
+            note += f", {culprit} import edited r{i_}"
+            if n in unaffected:
                 note += ", closure AST-unchanged"
         print(f'    "{n}",  # {note}')
     print(")")
