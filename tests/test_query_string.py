@@ -392,3 +392,66 @@ def test_range_sql_rendering_matches_reference_eval(q, toks, lang, source, n_cha
     assert bool(got) == _eval_row9(ast, toks, lang, source, n_chars), (
         q, toks, lang, source, n_chars,
     )
+
+
+def test_range_spark_rendering_matches_reference_eval(spark):
+    """The SPARK half of the round-9 dual-compiler check, batched: every
+    range/phrase/NULL query shape compiled to a boolean column, evaluated in
+    ONE Spark job over the cross-product of row shapes (token lists x lang x
+    source x n_chars incl. NULLs), and compared cell-by-cell to the classical
+    reference evaluator. Complements the DuckDB-side hypothesis test with the
+    identical truth table, so both renderings are pinned to the same
+    semantics — not merely to each other."""
+    import itertools
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from hbase_observer_es_spark.operators.query_string import compile_spark
+
+    toks_choices = [[], ["scan"], ["the", "table"], ["scan", "slow", "fast"]]
+    langs = ["es", "zh", None]
+    sources = ["src0", "src10", None]
+    n_chars_choices = [100, 157, 300, None]
+    rows = [
+        (i, t, lg, sr, nc, 7)
+        for i, (t, lg, sr, nc) in enumerate(
+            itertools.product(toks_choices, langs, sources, n_chars_choices)
+        )
+    ]
+    schema = T.StructType([
+        T.StructField("rid", T.LongType()),
+        T.StructField("tk", T.ArrayType(T.StringType())),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    queries = [
+        "n_chars:[100 TO 300]",
+        "n_chars:{100 TO 300}",
+        "n_chars:[* TO 200}",
+        "n_chars:>150",
+        "n_chars:<=250 AND scan",
+        "lang:[es TO zh}",
+        "source:[src0 TO src2}",
+        "lang:[* TO *]",
+        "NOT lang:zh",
+        "scan AND NOT lang:zh",
+        'text:"the table" OR n_chars:>=300',
+        "NOT (lang:es OR n_chars:<150)",
+        "doc_id:7 OR n_chars:157",
+        "-source:src1 AND (scan OR n_chars:[150 TO *])",
+        "NOT scan",
+        'source:"src one" OR lang:es',
+    ]
+    cols = [
+        compile_spark(parse(q), F.col("tk")).alias(f"q{i}")
+        for i, q in enumerate(queries)
+    ]
+    got = {r["rid"]: r for r in df.select("rid", *cols).collect()}
+    for rid, tk, lang, source, n_chars, _doc in rows:
+        for i, q in enumerate(queries):
+            want = _eval_row9(parse(q), tk, lang, source, n_chars)
+            assert bool(got[rid][f"q{i}"]) == want, (q, tk, lang, source, n_chars)
