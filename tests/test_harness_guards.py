@@ -108,3 +108,25 @@ def test_reference_citations_resolve():
                 elif not (1 <= lo <= hi <= ref_files[name]):
                     bad.append((f, m.group(0), f"out of range 1..{ref_files[name]}"))
     assert not bad, bad
+
+
+def test_plan_audit_artifact_covers_whole_registry():
+    """PLAN_AUDIT.json must cover every registered query — batch plans plus
+    streaming plans (round 9), with the streaming_skipped list empty. A query
+    registered without regenerating the artifact fails here loudly, keeping
+    the committed plan inventory in lockstep with the registry."""
+    import json
+    import os
+
+    from hbase_observer_es_spark.registry import all_queries
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLAN_AUDIT.json")
+    d = json.load(open(path))
+    covered = set(d["plans"]) | set(d.get("streaming_plans", {}))
+    assert covered == set(all_queries()), (
+        sorted(set(all_queries()) - covered)[:5],
+        sorted(covered - set(all_queries()))[:5],
+    )
+    assert d["summary"]["streaming_skipped"] == []
+    assert d["summary"]["errors"] == {}
