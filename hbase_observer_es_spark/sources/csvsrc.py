@@ -86,6 +86,13 @@ def _write_csv_raw(df: DataFrame):
         .option("escape", '"')
         .option("nullValue", _NULL)
         .option("timestampFormat", _TS_FORMAT)
+        # Spark's CSV WRITER trims leading/trailing whitespace by default
+        # (ignore*WhiteSpace default true on write, false on read) — a
+        # whitespace-only value would silently round-trip to "" even under
+        # quoteAll. Byte-exact survival is the module contract; found by the
+        # adversarial round-trip property test.
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv
     )
 
@@ -102,5 +109,8 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("escape", '"')
         .option("nullValue", _NULL)
         .option("timestampFormat", _TS_FORMAT)
+        # explicit (matches the read-side defaults): never trim data
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )

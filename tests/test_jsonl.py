@@ -178,3 +178,69 @@ def test_csv_malformed_row_fails_loudly(spark, tmp_path):
     df = read_csv(spark, str(p), schema)
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+# -- adversarial round-trip properties (round 9) ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# printable-ish strings heavy on CSV/JSON metacharacters; no newlines (those
+# are rejected by contract, covered separately) and not the exact \N sentinel
+_nasty = st.text(
+    alphabet=st.sampled_from(list('abz ,"\'\\:{}[]|;\t日本💥0') + ["\u00e9"]),
+    max_size=12,
+).filter(lambda s: "\n" not in s and "\r" not in s and s != r"\N")
+
+
+@given(vals=st.lists(_nasty, min_size=1, max_size=8, unique=True))
+@settings(max_examples=12, deadline=None)
+def test_csv_adversarial_strings_roundtrip(spark, tmp_path_factory, vals):
+    """Quotes, delimiters, escapes, tabs, unicode, emoji, and
+    sentinel-adjacent strings (e.g. '\\NN') survive the CSV round-trip
+    byte-exactly under the quoteAll contract."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    path = str(tmp_path_factory.mktemp("csvfuzz") / "t.csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, df.schema)
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
+
+
+@given(vals=st.lists(_nasty, min_size=1, max_size=8, unique=True))
+@settings(max_examples=12, deadline=None)
+def test_jsonl_adversarial_strings_roundtrip(spark, tmp_path_factory, vals):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    path = str(tmp_path_factory.mktemp("jsonfuzz") / "t.jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, df.schema)
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
+
+
+def test_csv_sentinel_adjacent_values_are_not_rejected(spark, tmp_path):
+    """Only the EXACT sentinel is ambiguous; near misses must flow through."""
+    rows = [(1, r"\NN"), (2, r" \N"), (3, r"\n"), (4, r"\\N")]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    path = str(tmp_path / "near.csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, df.schema)
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
