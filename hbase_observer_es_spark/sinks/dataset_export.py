@@ -166,6 +166,38 @@ def _read_back(
     )
 
 
+def diff_exports(old_manifest: dict, new_manifest: dict) -> dict:
+    """Shard-level diff of two publications of the same dataset: which shard
+    ids changed content (fingerprint), appeared, or disappeared. This is what
+    deterministic key-hash sharding buys — a mirror refreshes ONLY
+    ``changed`` + ``added`` shards instead of re-fetching the corpus.
+    Raises if the two manifests are not comparable (different key, shard
+    count, or column set — those change shard membership wholesale, so a
+    shard-level diff would be meaningless)."""
+    for field in ("key", "n_shards", "columns", "format"):
+        if old_manifest[field] != new_manifest[field]:
+            raise ValueError(
+                f"manifests not shard-comparable: {field} differs "
+                f"({old_manifest[field]!r} vs {new_manifest[field]!r})"
+            )
+    old_s, new_s = old_manifest["shards"], new_manifest["shards"]
+    changed = sorted(
+        int(sid)
+        for sid in old_s.keys() & new_s.keys()
+        if old_s[sid]["fingerprint"] != new_s[sid]["fingerprint"]
+    )
+    return {
+        "changed": changed,
+        "added": sorted(int(s) for s in new_s.keys() - old_s.keys()),
+        "removed": sorted(int(s) for s in old_s.keys() - new_s.keys()),
+        "unchanged": sorted(
+            int(sid)
+            for sid in old_s.keys() & new_s.keys()
+            if old_s[sid]["fingerprint"] == new_s[sid]["fingerprint"]
+        ),
+    }
+
+
 def verify_export(spark: SparkSession, path: str) -> dict:
     """Consumer-side integrity gate: recompute per-shard row counts and
     fingerprints from the files on disk and compare against the manifest.

@@ -115,3 +115,36 @@ def test_manifest_file_is_committed_json(spark, tmp_path):
     m = export_dataset(src, path, "doc_id", 2)
     on_disk = json.load(open(os.path.join(path, MANIFEST)))
     assert on_disk == m
+
+
+def test_diff_exports_localizes_the_change(spark, tmp_path):
+    """Edit ONE document → only that document's shard shows as changed; the
+    incremental-mirror promise of deterministic key-hash sharding."""
+    from hbase_observer_es_spark.sinks.dataset_export import diff_exports
+
+    src = table(spark, SF_SMOKE, "documents")
+    m1 = export_dataset(src, str(tmp_path / "v1"), "doc_id", N_SHARDS)
+    victim = src.first()["doc_id"]
+    edited = src.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.lit("EDITED")).otherwise(F.col("text")),
+    )
+    m2 = export_dataset(edited, str(tmp_path / "v2"), "doc_id", N_SHARDS)
+    d = diff_exports(m1, m2)
+    assert len(d["changed"]) == 1
+    assert d["added"] == [] and d["removed"] == []
+    assert len(d["unchanged"]) == N_SHARDS - 1
+    # identical re-export diffs empty
+    m3 = export_dataset(src, str(tmp_path / "v3"), "doc_id", N_SHARDS)
+    d2 = diff_exports(m1, m3)
+    assert d2["changed"] == [] and len(d2["unchanged"]) == N_SHARDS
+
+
+def test_diff_exports_rejects_incomparable_manifests(spark, tmp_path):
+    from hbase_observer_es_spark.sinks.dataset_export import diff_exports
+
+    src = table(spark, SF_SMOKE, "documents")
+    m1 = export_dataset(src, str(tmp_path / "a"), "doc_id", 2)
+    m2 = export_dataset(src, str(tmp_path / "b"), "doc_id", 3)
+    with pytest.raises(ValueError, match="n_shards"):
+        diff_exports(m1, m2)
