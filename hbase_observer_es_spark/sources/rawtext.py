@@ -18,8 +18,9 @@ directory as a (uri, doc_uid, text) frame:
   read: a billion 4 KB files drowns any filesystem's listing and task
   scheduler. The documented pipeline is land → ``text_corpus_to_parquet``
   ONCE → serve from parquet, same as the JSONL/ORC twins; at archival scale
-  the upstream should be delivering WARC/tar aggregates, which are out of
-  scope here (no archive codecs in this environment).
+  the upstream should be delivering WARC aggregates — which
+  ``sources/warc.py`` ingests directly (one record stream per shard, no
+  per-document files at all).
 * **Empty files yield no row** (Spark's wholetext reader emits nothing for a
   zero-byte file). An empty document is vacuous corpus content, so this is
   the contract rather than worked around; pipelines that must account for
