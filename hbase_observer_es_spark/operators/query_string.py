@@ -145,6 +145,10 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|"
     r'(?P<fquote>[A-Za-z_][A-Za-z0-9_]*:"[^"]*")|'
     r"(?P<frange>[A-Za-z_][A-Za-z0-9_]*:[\[{][^\]}]*[\]}])|"
+    # fielded value beginning with '-' (negative literal or a comparison to
+    # one): must precede `neg`/`word`, whose split would otherwise truncate
+    # the token at the dash and mis-report the value as empty
+    r"(?P<fword>[A-Za-z_][A-Za-z0-9_]*:(?:>=|<=|>|<)?-[^\s()\"\-]*)|"
     r'(?P<quote>"[^"]*")|'
     r"(?P<op>AND\b|OR\b|NOT\b|&&|\|\|)|(?P<neg>-)|(?P<word>[^\s()\"-]+))"
 )
@@ -240,7 +244,7 @@ class _Parser:
         if kind == "frange":
             field, _, rng = val.partition(":")
             return self._range_clause(field, rng)
-        if kind == "word":
+        if kind in ("word", "fword"):
             if ":" in val:
                 field, _, rest = val.partition(":")
                 if not rest:
@@ -249,6 +253,14 @@ class _Parser:
                     )
                 if rest[0] in "<>":
                     return self._cmp_clause(field, rest)
+                if rest[0] == "-" and field not in NUMERIC_FIELDS:
+                    # a leading '-' is a negative LITERAL only for numeric
+                    # fields; on text/keyword it reads as embedded negation,
+                    # which this grammar does not define — fail closed
+                    raise ValueError(
+                        f"query_string: value for field {field!r} cannot start "
+                        f"with '-' (write NOT {field}:value for negation)"
+                    )
                 if field == ANALYZED_FIELD:
                     return self._analyzed_clause(rest)
                 if field in KEYWORD_FIELDS:

@@ -61,7 +61,13 @@ class StreamingPlanFacts:
 
 
 def streaming_plan_facts(plan: str) -> StreamingPlanFacts:
-    """Parse the explainInternal output of a terminated streaming query."""
+    """Parse the explainInternal output of a terminated streaming query. A
+    string without a physical-plan section (e.g. a capture-failure sentinel)
+    raises — silently parsing it would yield a plausible all-zero posture."""
+    if "== Physical Plan ==" not in plan:
+        raise ValueError(
+            f"not an explainInternal plan (no physical section): {plan[:80]!r}"
+        )
     # explainInternal(extended=True) prints parsed/analyzed/optimized/physical
     # sections — count nodes only in the physical plan so logical operators
     # (e.g. EventTimeWatermark appearing in every section) are not multiplied

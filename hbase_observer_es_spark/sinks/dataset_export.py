@@ -150,20 +150,19 @@ def export_dataset(
 def _read_back(
     spark: SparkSession, path: str, schema: T.StructType, fmt: str
 ) -> DataFrame:
-    """Read a published export with the shard partition column attached."""
+    """Read a published export with the shard partition column attached.
+    The JSONL branch delegates to sources/jsonl.read_jsonl so the read-back
+    contract (explicit schema, FAILFAST, pinned timestamp format, and any
+    future option added there) can never silently diverge from the module it
+    documents itself as matching."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(_SHARD, T.IntegerType())]
     )
     if fmt == "parquet":
         return spark.read.schema(full).parquet(path)
-    from ..sources.jsonl import _TS_FORMAT
+    from ..sources.jsonl import read_jsonl
 
-    return (
-        spark.read.schema(full)
-        .option("mode", "FAILFAST")
-        .option("timestampFormat", _TS_FORMAT)
-        .json(path)
-    )
+    return read_jsonl(spark, path, full)
 
 
 def diff_exports(old_manifest: dict, new_manifest: dict) -> dict:

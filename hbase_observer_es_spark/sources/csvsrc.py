@@ -25,10 +25,15 @@ microsecond-exact timestamps. CSV-specific posture:
   compiled into the written projection via ``raise_error``, so the rows that
   are CHECKED are byte-for-byte the rows being WRITTEN (no separate guard job,
   no double computation, and no gap for a non-deterministic upstream frame to
-  slip a bad row between check and write).
+  slip a bad row between check and write). Because the guard fires MID-write,
+  output stages into a sibling temp directory and moves into place only on
+  success — a rejected frame never destroys a pre-existing good export.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,15 +72,24 @@ def write_csv(df: DataFrame, path: str) -> None:
         projected.append(
             F.when(bad, F.raise_error(F.lit(msg))).otherwise(c).alias(f.name)
         )
+    # Stage into a sibling temp dir and move into place only on success: the
+    # fused guard fires MID-write, and an overwrite straight onto ``path``
+    # would have already deleted a pre-existing good export before the
+    # rejection lands — a rejected frame must leave prior output intact.
+    staging = path.rstrip("/") + "._staging_"
     try:
-        _write_csv_raw(df.select(projected))(path)
+        _write_csv_raw(df.select(projected))(staging)
     except Exception as e:  # unwrap the JVM-side guard into a plain ValueError
+        shutil.rmtree(staging, ignore_errors=True)
         if _GUARD_MARK in str(e):
             raise ValueError(
                 "CSV sink: a string column contains an embedded newline or "
                 r"the literal \N null sentinel — " + str(e).split(_GUARD_MARK, 1)[1].split("\n")[0]
             ) from None
         raise
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)
 
 
 def _write_csv_raw(df: DataFrame):

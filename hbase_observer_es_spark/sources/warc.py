@@ -88,12 +88,28 @@ def parse_warc_bytes(data: bytes, origin: str = "<bytes>") -> Iterator[dict]:
                 raise ValueError(
                     f"WARC {origin}@{pos}: malformed header {line[:60]!r}"
                 )
-            headers[name.decode("ascii").strip().lower()] = (
-                value.decode("utf-8", "replace").strip()
-            )
+            try:
+                header_name = name.decode("ascii").strip().lower()
+            except UnicodeDecodeError:
+                # keep the fail-loud-with-origin contract: a corrupt byte in
+                # a header name must not surface as a bare UnicodeDecodeError
+                raise ValueError(
+                    f"WARC {origin}@{pos}: non-ASCII header name {name[:40]!r}"
+                ) from None
+            headers[header_name] = value.decode("utf-8", "replace").strip()
         if "content-length" not in headers:
             raise ValueError(f"WARC {origin}@{pos}: record missing Content-Length")
-        length = int(headers["content-length"])
+        try:
+            length = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"WARC {origin}@{pos}: non-numeric Content-Length "
+                f"{headers['content-length']!r}"
+            ) from None
+        if length < 0:
+            raise ValueError(
+                f"WARC {origin}@{pos}: negative Content-Length {length}"
+            )
         if pos + length > n:
             raise ValueError(
                 f"WARC {origin}@{pos}: truncated payload "

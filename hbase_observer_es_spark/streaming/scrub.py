@@ -31,7 +31,12 @@ from ..sources.filestream import (
     source_fingerprint,
     stage_cached,
 )
-from .stateful import N_BATCHES, _record_stream_plan, _streaming_session
+from .stateful import (
+    N_BATCHES,
+    _drain_memory_sink,
+    _record_stream_plan,
+    _streaming_session,
+)
 
 
 def s_pii_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +66,7 @@ def s_pii_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_stream_plan("s_pii_stream", q)
-    return sub.table(qname)
+    return _drain_memory_sink(sub, qname, sub.table(qname))
 
 
 # drained stream == the batch scrub; the oracle is the SAME audit SQL

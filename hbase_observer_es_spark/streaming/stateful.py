@@ -73,6 +73,13 @@ def _record_stream_plan(name: str, q) -> None:
         LAST_PLANS[name] = f"<capture failed: {type(e).__name__}: {e}>"
 
 
+# Isolated clones are POOLED per (SparkContext, conf-signature): repeated
+# streaming-query invocations in one driver (the sweep harness runs all 11
+# queries three configs deep) must not accumulate a fresh SessionState each
+# call. The pool is bounded by the number of distinct signatures (3 today).
+_SESSION_POOL: dict[tuple, SparkSession] = {}
+
+
 def _streaming_session(
     spark: SparkSession, n: int = STATE_PARTITIONS, nodata: bool = True
 ) -> SparkSession:
@@ -88,8 +95,17 @@ def _streaming_session(
     ``nodata=False`` additionally disables the trailing no-data micro-batch
     for queries where it is provably pure overhead (see the per-query
     docstrings); same isolation argument.
+
+    Clones are reused from the pool (same SparkContext + same overrides →
+    same clone), and the memory-sink queries unpin their result tables via
+    ``_drain_memory_sink``, so repeated invocations hold no growing session
+    or catalog state.
     """
-    sub = spark.newSession()
+    key = (spark.sparkContext.applicationId, n, bool(nodata))
+    sub = _SESSION_POOL.get(key)
+    if sub is None or sub.sparkContext._jsc is None:  # new or stopped context
+        sub = spark.newSession()
+        _SESSION_POOL[key] = sub
     # newSession() conf starts from the SparkContext's static conf, not the
     # caller's runtime values — re-pin the engine's runtime conf (UTC, AQE,
     # Arrow) so the clone behaves identically to a get_spark() session.
@@ -98,6 +114,19 @@ def _streaming_session(
     if not nodata:
         sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     return sub
+
+
+def _drain_memory_sink(sub: SparkSession, qname: str, df: DataFrame) -> DataFrame:
+    """Materialize a memory-sink query's FINAL result and unpin the sink
+    table: an eager localCheckpoint copies the (result-sized) rows into
+    block storage whose lifetime is the RETURNED frame's, after which the
+    temp view is dropped — nothing stays pinned in the pooled clone's
+    catalog between invocations. Without this, every run would leave its
+    full result table reachable only through that run's return value while
+    the catalog reference kept it alive for the driver's lifetime."""
+    out = df.localCheckpoint(eager=True)
+    sub.catalog.dropTempView(qname)
+    return out
 
 
 def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,9 +157,10 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_stream_plan("s_watermark_dedup", q)
-    return sub.table(qname).select(
+    out = sub.table(qname).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    return _drain_memory_sink(sub, qname, out)
 
 
 SQL_WATERMARK_DEDUP = """
@@ -270,11 +300,12 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     _record_stream_plan("s_stateful_profile", q)
     emitted = sub.table(qname)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
+    out = (
         emitted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "vmin", "vmax", "last_ts")
     )
+    return _drain_memory_sink(sub, qname, out)
 
 
 SQL_STATEFUL_PROFILE = """
@@ -383,7 +414,8 @@ def s_win_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_stream_plan("s_win_stream", q)
-    return sub.table(qname).filter(F.col("event_type") != "sentinel")
+    out = sub.table(qname).filter(F.col("event_type") != "sentinel")
+    return _drain_memory_sink(sub, qname, out)
 
 
 # append-mode stream must converge to exactly the batch tumbling-window result
@@ -436,7 +468,8 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_stream_plan("s_session_stream", q)
-    return sub.table(qname).filter(F.col("user_id") != -1)
+    out = sub.table(qname).filter(F.col("user_id") != -1)
+    return _drain_memory_sink(sub, qname, out)
 
 
 from .windows import SQL_WIN_SESSION as SQL_SESSION_STREAM  # noqa: E402
@@ -506,7 +539,7 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_stream_plan("s_join_stream", q)
-    return sub.table(qname)
+    return _drain_memory_sink(sub, qname, sub.table(qname))
 
 
 from ..operators.relational import SQL_JOIN_RANGE as SQL_JOIN_STREAM  # noqa: E402
@@ -552,11 +585,12 @@ def s_terms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     _record_stream_plan("s_terms_stream", q)
-    return (
+    out = (
         sub.table(qname)
         .orderBy(F.desc("n_events"), F.asc("event_type"))
         .limit(TERMS_STREAM_N)
     )
+    return _drain_memory_sink(sub, qname, out)
 
 
 SQL_TERMS_STREAM = f"""

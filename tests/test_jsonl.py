@@ -244,3 +244,29 @@ def test_csv_sentinel_adjacent_values_are_not_rejected(spark, tmp_path):
     write_csv(df, path)
     back = read_csv(spark, path, df.schema)
     assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
+
+
+def test_csv_rejection_preserves_existing_output(spark, tmp_path):
+    """A rejected frame must leave a pre-existing good export intact: the
+    fused guard fires mid-write, so output stages into a temp dir and only
+    replaces the target on success."""
+    good = spark.createDataFrame(
+        [(1, "ok")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    path = str(tmp_path / "out.csv")
+    write_csv(good, path)
+    bad = spark.createDataFrame(
+        [(2, "has\nnewline")],
+        good.schema,
+    )
+    with pytest.raises(ValueError):
+        write_csv(bad, path)
+    # the original export still reads back complete
+    back = read_csv(spark, path, good.schema)
+    assert [(r.id, r.s) for r in back.collect()] == [(1, "ok")]
+    import os
+    assert not os.path.exists(path + "._staging_")  # staging cleaned up

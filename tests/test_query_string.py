@@ -455,3 +455,33 @@ def test_range_spark_rendering_matches_reference_eval(spark):
         for i, q in enumerate(queries):
             want = _eval_row9(parse(q), tk, lang, source, n_chars)
             assert bool(got[rid][f"q{i}"]) == want, (q, tk, lang, source, n_chars)
+
+
+def test_negative_integers_consistent_across_productions():
+    """Review finding r9: '-5' was accepted in bracket ranges but the lexer
+    truncated it out of comparisons and exact terms. All three numeric
+    productions now take negative literals; text/keyword values still fail
+    closed on a leading '-' (embedded negation is not defined here)."""
+    assert parse("n_chars:[-5 TO 10]") == FieldRange("n_chars", -5, 10, True, True)
+    assert parse("n_chars:>-5") == FieldRange("n_chars", -5, None, False, True)
+    assert parse("n_chars:<=-5") == FieldRange("n_chars", None, -5, True, True)
+    from hbase_observer_es_spark.operators.query_string import FieldTerm
+    assert parse("n_chars:-5") == FieldTerm("n_chars", -5)
+    assert parse("doc_id:-42") == FieldTerm("doc_id", -42)
+    for bad in ("lang:-x", "text:-foo", "source:-s"):
+        with pytest.raises(ValueError, match="cannot start with"):
+            parse(bad)
+
+
+def test_negative_literal_sql_and_eval_agree():
+    ast = parse("n_chars:>-5 AND NOT n_chars:-3")
+    got = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT []::VARCHAR[] AS tk, "
+        "-3::BIGINT AS n_chars)"
+    ).fetchone()[0]
+    assert got is False  # -3 > -5 but the NOT -3 clause excludes it
+    got2 = duckdb.sql(
+        f"SELECT {compile_sql(ast)} FROM (SELECT []::VARCHAR[] AS tk, "
+        "0::BIGINT AS n_chars)"
+    ).fetchone()[0]
+    assert got2 is True

@@ -123,3 +123,32 @@ def test_streaming_plan_capture_records_executed_state_plan(spark):
     assert f.exchanges == 1  # one shuffle on the agg key, state-store wide
     assert not f.python_eval
     assert f"numPartitions = {stateful.STATE_PARTITIONS}" in plan
+
+
+def test_streaming_sessions_are_pooled_and_results_unpinned(spark):
+    """Repeated invocations must not grow driver state: same conf signature →
+    the SAME pooled clone, and after a run the clone's catalog holds no temp
+    view (the result was localCheckpoint-ed and the sink view dropped, so
+    the rows' lifetime is the returned frame's, not the session's)."""
+    from hbase_observer_es_spark.streaming import stateful
+
+    df1 = stateful.s_terms_stream(spark, SF_SMOKE)
+    s1 = df1.sparkSession
+    rows1 = df1.collect()
+    df2 = stateful.s_terms_stream(spark, SF_SMOKE)
+    assert df2.sparkSession is s1  # pooled, not a fresh SessionState per call
+    assert [t.name for t in s1.catalog.listTables()] == []  # nothing pinned
+    # draining did not break the first result — still readable after the
+    # second run dropped ITS view
+    assert df1.collect() == rows1
+
+
+def test_streaming_plan_facts_rejects_capture_sentinel():
+    """The audit parser must not turn a capture-failure sentinel into a
+    plausible all-zero posture (review finding r9)."""
+    import pytest
+
+    from hbase_observer_es_spark.plans.inspect import streaming_plan_facts
+
+    with pytest.raises(ValueError, match="physical section"):
+        streaming_plan_facts("<capture failed: AttributeError: boom>")

@@ -96,3 +96,15 @@ def test_truncated_shard_kills_the_job(spark, tmp_path):
     (tmp_path / "bad.warc").write_bytes(_shard()[:-20])
     with pytest.raises(Exception, match="truncated|separator"):
         read_warc(spark, str(tmp_path)).collect()
+
+
+def test_corrupt_header_bytes_keep_origin_context():
+    """Review finding r9: a corrupt byte in a header name or a non-numeric
+    Content-Length must raise the documented ValueError naming origin and
+    offset — not a bare UnicodeDecodeError / int() error."""
+    bad_name = _shard().replace(b"WARC-Type", b"WARC-T\xffpe", 1)
+    with pytest.raises(ValueError, match=r"t\.warc.*non-ASCII header"):
+        list(parse_warc_bytes(bad_name, "t.warc"))
+    bad_len = _shard().replace(b"Content-Length: 16", b"Content-Length: 1x", 1)
+    with pytest.raises(ValueError, match=r"t\.warc.*non-numeric Content-Length"):
+        list(parse_warc_bytes(bad_len, "t.warc"))

@@ -66,7 +66,14 @@ def main() -> int:
             try:
                 df = queries[name](spark, args.sf_dir)
                 if name in stateful.LAST_PLANS:
-                    f = streaming_plan_facts(stateful.LAST_PLANS[name])
+                    captured = stateful.LAST_PLANS[name]
+                    # the capture hook stores a sentinel instead of raising so
+                    # the QUERY never fails; the AUDIT must not mistake that
+                    # sentinel for a plausible all-zero plan
+                    if captured.startswith("<capture failed"):
+                        errors[name] = captured[:200]
+                        continue
+                    f = streaming_plan_facts(captured)
                     streaming[name] = {"mode": "true-stream", **dataclasses.asdict(f)}
                 else:
                     streaming[name] = {
