@@ -266,3 +266,53 @@ def test_bench_adjudicate_runs_and_classifies(tmp_path):
     for name, m in d["movers"].items():
         assert m["verdict"] in ("environmental", "code-changed"), (name, m)
     assert (r.returncode == 1) == bool(d["code_changed_movers"])
+
+
+def test_plan_diff_classifies_posture_changes():
+    """tools/plan_diff.py diff_plans: regression-class facts flag, neutral
+    improvements don't, streaming state-topology changes always flag."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from plan_diff import diff_plans
+
+    base = {
+        "plans": {
+            "q_a": {"exchanges": 1, "python_eval": False, "rdd_scan": False,
+                    "broadcast_joins": 1, "sortmerge_joins": 0,
+                    "scans": [{"columns": ["x", "y"]}]},
+            "q_b": {"exchanges": 3, "python_eval": False},
+        },
+        "streaming_plans": {
+            "s_x": {"mode": "true-stream", "state_store_saves": 1,
+                    "stream_stream_joins": 0, "exchanges": 1},
+        },
+    }
+    cur = {
+        "plans": {
+            # q_a: broadcast degraded to SMJ + wider scan + python eval = bad
+            "q_a": {"exchanges": 2, "python_eval": True, "rdd_scan": False,
+                    "broadcast_joins": 0, "sortmerge_joins": 1,
+                    "scans": [{"columns": ["x", "y", "z"]}]},
+            # q_b: FEWER exchanges = neutral improvement, must not flag
+            "q_b": {"exchanges": 2, "python_eval": False},
+        },
+        "streaming_plans": {
+            # state topology change = checkpoint-breaking, always flags
+            "s_x": {"mode": "true-stream", "state_store_saves": 2,
+                    "stream_stream_joins": 0, "exchanges": 1},
+        },
+    }
+    d = diff_plans(base, cur)
+    assert d["regressions"] == ["q_a", "s_x"]
+    assert set(d["changed"]["q_a"]["regression"]) == {
+        "exchanges_up", "python_eval_appeared",
+        "broadcast_degraded_to_sortmerge", "scan_width_grew",
+    }
+    assert d["changed"]["q_b"]["regression"] == []
+    assert d["changed"]["s_x"]["regression"] == ["state_store_saves_changed"]
+    # identical docs diff clean
+    clean = diff_plans(cur, cur)
+    assert clean["changed"] == {} and clean["regressions"] == []
