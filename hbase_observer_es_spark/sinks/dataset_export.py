@@ -46,6 +46,9 @@ _SHARD = "__shard"
 _MOD = 1 << 64
 MANIFEST = "_MANIFEST.json"
 
+# stats entry for a shard that received no rows (and the comparison default)
+_EMPTY_SHARD = {"rows": 0, "fingerprint": format(0, "016x")}
+
 
 def _fingerprint_expr(cols: list[str]):
     """Order-independent multiset fingerprint: sum of per-row xxhash64 in
@@ -127,7 +130,7 @@ def export_dataset(
         nbytes = sum(
             os.path.getsize(os.path.join(path, sdir, f)) for f in files
         )
-        entry = stats.get(sid, {"rows": 0, "fingerprint": format(0, "016x")})
+        entry = stats.get(sid, _EMPTY_SHARD)
         shards[str(sid)] = {**entry, "files": files, "bytes": nbytes}
         total_rows += entry["rows"]
         total_bytes += nbytes
@@ -180,20 +183,19 @@ def diff_exports(old_manifest: dict, new_manifest: dict) -> dict:
                 f"({old_manifest[field]!r} vs {new_manifest[field]!r})"
             )
     old_s, new_s = old_manifest["shards"], new_manifest["shards"]
-    changed = sorted(
-        int(sid)
-        for sid in old_s.keys() & new_s.keys()
-        if old_s[sid]["fingerprint"] != new_s[sid]["fingerprint"]
-    )
+    changed, unchanged = [], []
+    for sid in old_s.keys() & new_s.keys():
+        bucket = (
+            changed
+            if old_s[sid]["fingerprint"] != new_s[sid]["fingerprint"]
+            else unchanged
+        )
+        bucket.append(int(sid))
     return {
-        "changed": changed,
+        "changed": sorted(changed),
         "added": sorted(int(s) for s in new_s.keys() - old_s.keys()),
         "removed": sorted(int(s) for s in old_s.keys() - new_s.keys()),
-        "unchanged": sorted(
-            int(sid)
-            for sid in old_s.keys() & new_s.keys()
-            if old_s[sid]["fingerprint"] == new_s[sid]["fingerprint"]
-        ),
+        "unchanged": sorted(unchanged),
     }
 
 
@@ -212,7 +214,7 @@ def verify_export(spark: SparkSession, path: str) -> dict:
     problems = []
     for sid_s, want in manifest["shards"].items():
         sid = int(sid_s)
-        have = got.get(sid, {"rows": 0, "fingerprint": format(0, "016x")})
+        have = got.get(sid, _EMPTY_SHARD)
         if have["rows"] != want["rows"]:
             problems.append(
                 f"shard {sid}: rows {have['rows']} != manifest {want['rows']}"

@@ -98,14 +98,13 @@ def parse_bulk_response(response: str | dict) -> list[ItemOutcome]:
         body = item[verb]
         status = int(body["status"])
         err = body.get("error")
-        failed = err is not None
         out.append(
             ItemOutcome(
                 verb=verb,
                 doc_id=str(body.get("_id", "")),
                 status=status,
-                error_type=(err or {}).get("type") if failed else None,
-                retryable=failed and status in RETRYABLE_STATUSES,
+                error_type=err.get("type") if err is not None else None,
+                retryable=err is not None and status in RETRYABLE_STATUSES,
             )
         )
     return out

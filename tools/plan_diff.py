@@ -33,26 +33,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def _git(*args: str) -> str:
-    return subprocess.run(
-        ["git", "-C", REPO, *args], capture_output=True, text=True, check=True
-    ).stdout
-
-
-def last_round_boundary() -> str:
-    for line in _git("log", "--format=%H %s").splitlines():
-        sha, _, subject = line.partition(" ")
-        if re.match(r"round \d+: verdict/advice/correctness/bench", subject):
-            return sha
-    raise SystemExit("no driver round-boundary commit found; pass --ref")
+# one boundary-detection implementation for all round-over-round differs
+from bench_adjudicate import _git, last_round_boundary  # noqa: E402
 
 
 def _scan_widths(entry: dict) -> list[int]:
