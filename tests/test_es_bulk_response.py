@@ -126,3 +126,60 @@ def test_roundtrip_with_real_write_bulk_output(spark, tmp_path):
     retry, dead = selective_retry_body(body, _resp(items))
     assert retry == actions[1] + "\n" and dead == []
     assert reference_retry_body(body, _resp(items)) == body
+
+
+# -- property: retry/dead/ok partition the request exactly --------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_action = st.one_of(
+    st.integers(0, 9999).map(
+        lambda i: f'{{"delete":{{"_index":"x","_id":"d{i}"}}}}'
+    ),
+    st.integers(0, 9999).map(
+        lambda i: '{"update":{"_index":"x","_id":"u%d"}}\n'
+                  '{"doc":{"q":"%d"},"doc_as_upsert":true}' % (i, i)
+    ),
+)
+_status = st.sampled_from([200, 201, 400, 404, 409, 429, 500, 503])
+
+
+@given(pairs=st.lists(st.tuples(_action, _status), min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_retry_dead_ok_partition_the_request(pairs):
+    """For ANY request body and response: retryable actions + dead-letters +
+    successes partition the action list exactly, the retry body re-splits to
+    the same verbatim actions, and the reference requeue returns the whole
+    body iff any item failed."""
+    body = "\n".join(a for a, _ in pairs) + "\n"
+    items = []
+    for (a, status) in pairs:
+        verb = "delete" if a.startswith('{"delete"') else "update"
+        entry = {"_index": "x", "_id": "i", "status": status}
+        if status >= 400:
+            entry["error"] = {"type": "t", "reason": "r"}
+        items.append({verb: entry})
+    resp = json.dumps({"took": 1, "errors": any(s >= 400 for _, s in pairs),
+                       "items": items})
+
+    actions = split_actions(body)
+    assert actions == [a for a, _ in pairs]  # chunking inverts the join
+
+    retry, dead = selective_retry_body(body, resp)
+    retry_actions = split_actions(retry) if retry else []
+    dead_actions = [a for a, _ in dead]
+    ok_actions = [
+        a for (a, s) in pairs if s < 400
+    ]
+    # exact partition, order preserved within each class
+    assert retry_actions == [
+        a for (a, s) in pairs if s >= 400 and (s == 429 or s >= 500)
+    ]
+    assert dead_actions == [
+        a for (a, s) in pairs if 400 <= s < 500 and s != 429
+    ]
+    assert len(retry_actions) + len(dead_actions) + len(ok_actions) == len(pairs)
+
+    whole = reference_retry_body(body, resp)
+    assert (whole == body) == any(s >= 400 for _, s in pairs)
