@@ -148,3 +148,29 @@ def test_diff_exports_rejects_incomparable_manifests(spark, tmp_path):
     m2 = export_dataset(src, str(tmp_path / "b"), "doc_id", 3)
     with pytest.raises(ValueError, match="n_shards"):
         diff_exports(m1, m2)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "jsonl"])
+def test_export_with_timestamps_verifies(spark, tmp_path, fmt):
+    """The events table carries micro-precision timestamps — the export's
+    read-back fingerprinting must agree with itself through both formats
+    (JSONL is the risky one: a timestamp format drift between write and
+    read-back would shift every fingerprint)."""
+    src = table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / f"ev_{fmt}")
+    m = export_dataset(src, path, key="event_id", n_shards=3, fmt=fmt)
+    assert m["total_rows"] == src.count()
+    assert verify_export(spark, path)["shards"] == m["shards"]
+
+
+def test_parquet_and_jsonl_exports_fingerprint_identically(spark, tmp_path):
+    """The fingerprint is a function of the DATA, not the container: the same
+    corpus exported in both formats must produce identical per-shard
+    fingerprints — which also proves the JSONL round-trip is value-exact
+    down to the micro (a lost microsecond would change xxhash64)."""
+    src = table(spark, SF_SMOKE, "events")
+    mp = export_dataset(src, str(tmp_path / "p"), "event_id", 3, fmt="parquet")
+    mj = export_dataset(src, str(tmp_path / "j"), "event_id", 3, fmt="jsonl")
+    fp = {k: v["fingerprint"] for k, v in mp["shards"].items()}
+    fj = {k: v["fingerprint"] for k, v in mj["shards"].items()}
+    assert fp == fj

@@ -105,3 +105,37 @@ def test_orc_to_parquet_landing(spark, tmp_path):
     back = spark.read.parquet(pq_path)
     assert back.schema == src.schema
     assert _sorted_rows(back, "doc_id") == _sorted_rows(src, "doc_id")
+
+
+# -- adversarial round-trip property (round 9, same posture as CSV/JSONL) -----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_nasty = st.one_of(
+    st.text(
+        alphabet=st.sampled_from(list('abz ,"\'\\:{}[]|;\t\n\r日本💥0N\u00e9')),
+        max_size=12,
+    ),
+    st.just(r"\N"),  # the exact CSV null sentinel — ORC must carry it fine
+)
+
+
+@given(vals=st.lists(_nasty, min_size=1, max_size=8, unique=True))
+@settings(max_examples=12, deadline=None)
+def test_orc_adversarial_strings_roundtrip(spark, tmp_path_factory, vals):
+    """ORC carries EVERYTHING byte-exactly — including the newlines and \\N
+    sentinel values the text twins must reject. That asymmetry is the point
+    of having a columnar ingest boundary."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    path = str(tmp_path_factory.mktemp("orcfuzz") / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, df.schema)
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
