@@ -146,3 +146,74 @@ def test_change_log_single_scan(spark):
     assert plan.count("Scan ExistingRDD") == 1, plan  # createDataFrame source
     assert "Union" not in plan, plan
     assert plan.count("Generate explode") == 1, plan
+
+
+def test_full_reference_loop_with_response_retry(spark):
+    """The COMPLETE reference delivery loop at the wire level, both
+    directions, no network: REST change-log in → streaming parse → _bulk
+    request bodies out → a synthesized partial-failure _bulk RESPONSE back →
+    the reference's whole-request requeue AND the selective retry, whose
+    re-POST body must re-split into exactly the originally-failed actions.
+    Everything ElasticsearchBulkOperator.java does around its HTTP call,
+    reproduced end to end."""
+    import os
+
+    from hbase_observer_es_spark.sinks.es_bulk import EsBulkSink
+    from hbase_observer_es_spark.sinks.es_bulk_response import (
+        reference_retry_body,
+        selective_retry_body,
+        split_actions,
+    )
+    from hbase_observer_es_spark.sources.filestream import scratch_dir
+
+    out = scratch_dir("rest_loop_test")
+    log_dir = os.path.join(out, "log")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "b0.ndjson"), "w") as f:
+        f.write(encode_cellset("u1", [("cf:click", "1", 1000)]) + "\n")
+        f.write(encode_cellset("u2", [("cf:view", "2", 2000)]) + "\n")
+        f.write(encode_delete("u1", 3000) + "\n")
+
+    sink = EsBulkSink(os.path.join(out, "bulk"), index="obs", n_partitions=1)
+    stream = parse_change_log(spark.readStream.text(log_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink.write_batch)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    bdir = sink.batch_dir(0)
+    body = ""
+    for fn in sorted(os.listdir(bdir)):
+        if fn.startswith("part-"):
+            body += open(os.path.join(bdir, fn)).read()
+    actions = split_actions(body)
+    assert len(actions) == 3  # u1 update, u1 delete, u2 update
+
+    # ES answers: second action hits bulk-queue rejection (429), rest OK
+    items = []
+    for k, a in enumerate(actions):
+        verb = "delete" if a.startswith('{"delete"') else "update"
+        entry = {"_index": "obs", "_id": f"i{k}", "status": 200}
+        if k == 1:
+            entry["status"] = 429
+            entry["error"] = {"type": "es_rejected_execution_exception",
+                              "reason": "bulk queue full"}
+        items.append({verb: entry})
+    resp = json.dumps({"took": 3, "errors": True, "items": items})
+
+    # the reference's discipline: the WHOLE body re-queues, byte-identically
+    assert reference_retry_body(body, resp) == body
+    # the selective discipline: exactly the rejected action, verbatim
+    retry, dead = selective_retry_body(body, resp)
+    assert split_actions(retry) == [actions[1]]
+    assert dead == []
+    # idempotence of the loop: if the retry POST succeeds, nothing remains
+    ok_items = [{next(iter(i)): {"_index": "obs", "_id": "x", "status": 200}}
+                for i in [items[1]]]
+    retry2, dead2 = selective_retry_body(
+        retry, json.dumps({"took": 1, "errors": False, "items": ok_items})
+    )
+    assert retry2 is None and dead2 == []
