@@ -32,11 +32,10 @@ self-describing format:
   micros survive exactly — pinned by the round-trip test on the events
   table.
 
-Avro, the remaining common interchange format, is NOT implemented: Spark
-ships it as an external module (``spark-avro``) that is not present in this
-environment and installs are prohibited; a fake local serializer would
-corrupt real Avro data, so the boundary fails loudly by absence rather than
-silently by stub.
+Avro: Spark ships it as an external module (``spark-avro``) absent here,
+but the container FORMAT is public spec — ``sources/avrosrc.py`` implements
+the tabular subset directly (spec-golden-tested), completing the interchange
+ladder without the missing module.
 """
 
 from __future__ import annotations

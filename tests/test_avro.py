@@ -1,0 +1,189 @@
+"""Avro container source (sources/avrosrc.py): spec-golden decode, Spark
+round-trips, codec handling, fail-loud structure checks.
+
+The golden tests build container files BYTE BY BYTE from the public Avro
+spec (zigzag varints, union tags by declared position, block/sync layout) so
+the decoder is pinned to the specification itself, not to our own encoder —
+the reader and writer cannot share a mirrored bug."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from hbase_observer_es_spark.io import table
+from hbase_observer_es_spark.sources.avrosrc import (
+    MAGIC,
+    avro_to_parquet,
+    parse_avro_bytes,
+    read_avro,
+    schema_from_avro,
+    write_avro,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _zz(n: int) -> bytes:  # independent zigzag varint, written from the spec
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            return bytes(out)
+
+
+def _bstr(s: bytes) -> bytes:
+    return _zz(len(s)) + s
+
+
+_SYNC = bytes(range(16))
+
+
+def _golden(schema: dict, payload: bytes, n_records: int, codec: bytes = b"null") -> bytes:
+    out = bytearray()
+    out += MAGIC
+    out += _zz(2)  # metadata map: 2 entries
+    out += _bstr(b"avro.codec") + _bstr(codec)
+    out += _bstr(b"avro.schema") + _bstr(json.dumps(schema).encode())
+    out += _zz(0)  # map terminator
+    out += _SYNC
+    out += _zz(n_records) + _zz(len(payload)) + payload + _SYNC
+    return bytes(out)
+
+
+_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+
+# two records, hand-encoded:
+#   (id=1, name="ab" [union branch 1], flag=True)
+#   (id=-2, name=None [union branch 0], flag=False)
+_PAYLOAD = bytes([0x02, 0x02, 0x04]) + b"ab" + bytes([0x01, 0x03, 0x00, 0x00])
+
+
+def test_golden_decode_matches_spec_bytes():
+    schema, rows = parse_avro_bytes(_golden(_SCHEMA, _PAYLOAD, 2), "g.avro")
+    assert schema == _SCHEMA
+    assert list(rows) == [
+        {"id": 1, "name": "ab", "flag": True},
+        {"id": -2, "name": None, "flag": False},
+    ]
+
+
+def test_golden_reversed_union_order():
+    """The union tag is the POSITION in the declared branch list — a
+    [T, "null"] schema puts null at index 1."""
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "name", "type": ["string", "null"]}],
+    }
+    # rec1: branch 0 (string) "x"; rec2: branch 1 (null)
+    payload = bytes([0x00, 0x02]) + b"x" + bytes([0x02])
+    _, rows = parse_avro_bytes(_golden(schema, payload, 2), "g.avro")
+    assert list(rows) == [{"name": "x"}, {"name": None}]
+
+
+def test_golden_deflate_block():
+    import zlib
+
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    compressed = co.compress(_PAYLOAD) + co.flush()
+    _, rows = parse_avro_bytes(
+        _golden(_SCHEMA, compressed, 2, codec=b"deflate"), "g.avro"
+    )
+    assert [r["id"] for r in rows] == [1, -2]
+
+
+@pytest.mark.parametrize(
+    "mutilate,msg",
+    [
+        (lambda b: b"XXX" + b[3:], "bad magic"),
+        (lambda b: b[:-8], "truncated block|sync marker"),
+        (lambda b: b[:-16] + bytes(16), "sync marker mismatch"),
+    ],
+)
+def test_structural_violations_fail_loudly(mutilate, msg):
+    data = mutilate(_golden(_SCHEMA, _PAYLOAD, 2))
+    with pytest.raises(ValueError, match=msg):
+        schema, rows = parse_avro_bytes(data, "t.avro")
+        list(rows)
+
+
+def test_unsupported_shapes_fail_loudly():
+    with pytest.raises(ValueError, match="snappy"):
+        parse_avro_bytes(_golden(_SCHEMA, _PAYLOAD, 2, codec=b"snappy"), "t")
+    arr_schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    with pytest.raises(ValueError, match="tabular subset|unsupported"):
+        schema, rows = parse_avro_bytes(_golden(arr_schema, b"", 0), "t")
+        list(rows)
+    multi = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "u", "type": ["null", "string", "long"]}],
+    }
+    with pytest.raises(ValueError, match="2-branch"):
+        schema_from_avro(multi)
+
+
+@pytest.mark.parametrize("name,key", [("events", "event_id"), ("documents", "doc_id")])
+def test_spark_roundtrip_value_identical(spark, tmp_path, name, key):
+    """write_avro -> read_avro over the fixture tables is value-identical,
+    including micro-exact timestamps (events.ts via timestamp-micros)."""
+    src = table(spark, SF_SMOKE, name)
+    path = str(tmp_path / f"{name}.avro")
+    write_avro(src, path)
+    back = read_avro(spark, str(tmp_path), glob=f"{name}.avro")
+    assert [f.name for f in back.schema.fields] == src.columns
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in src.collect())
+    assert a == b
+
+
+def test_null_codec_roundtrip(spark, tmp_path):
+    src = table(spark, SF_SMOKE, "documents").limit(5)
+    path = str(tmp_path / "d.avro")
+    write_avro(src, path, codec="null")
+    back = read_avro(spark, str(tmp_path), glob="d.avro")
+    assert back.count() == 5
+
+
+def test_schema_drift_across_files_fails(spark, tmp_path):
+    d = table(spark, SF_SMOKE, "documents").limit(2)
+    write_avro(d.select("doc_id", "lang"), str(tmp_path / "a.avro"))
+    write_avro(d.select("doc_id", "source"), str(tmp_path / "b.avro"))
+    with pytest.raises(Exception, match="drift"):
+        read_avro(spark, str(tmp_path)).collect()
+
+
+def test_writer_refuses_unbounded_frames(spark, tmp_path, monkeypatch):
+    import hbase_observer_es_spark.sources.avrosrc as av
+
+    monkeypatch.setattr(av, "WRITE_CAP_ROWS", 3)
+    src = table(spark, SF_SMOKE, "documents")  # more than 3 rows
+    with pytest.raises(ValueError, match="cap"):
+        av.write_avro(src, str(tmp_path / "never.avro"))
+
+
+def test_avro_to_parquet_landing(spark, tmp_path):
+    src = table(spark, SF_SMOKE, "documents")
+    write_avro(src, str(tmp_path / "d.avro"))
+    pq = str(tmp_path / "_landed")
+    avro_to_parquet(spark, str(tmp_path), pq)
+    back = spark.read.parquet(pq)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
