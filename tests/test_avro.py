@@ -187,3 +187,63 @@ def test_avro_to_parquet_landing(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in src.collect()
     )
+
+
+# -- properties: varint codec and adversarial values --------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hbase_observer_es_spark.sources.avrosrc import _zigzag_decode, _zigzag_encode
+
+_i64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+
+@given(n=_i64)
+@settings(max_examples=500, deadline=None)
+def test_zigzag_roundtrip_full_int64(n):
+    buf = _zigzag_encode(n)
+    got, pos = _zigzag_decode(buf, 0)
+    assert got == n and pos == len(buf)
+
+
+@given(ns=st.lists(_i64, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_zigzag_stream_decodes_in_sequence(ns):
+    buf = b"".join(_zigzag_encode(n) for n in ns)
+    pos, out = 0, []
+    while pos < len(buf):
+        v, pos = _zigzag_decode(buf, pos)
+        out.append(v)
+    assert out == ns
+
+
+_nasty = st.one_of(
+    st.text(
+        alphabet=st.sampled_from(list('abz ,"\'\\:{}[]|;\t\n\r日本💥0N\u00e9')),
+        max_size=12,
+    ),
+    st.just(r"\N"),
+    st.none(),
+)
+
+
+@given(vals=st.lists(_nasty, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_avro_adversarial_strings_roundtrip(spark, tmp_path_factory, vals):
+    """Newlines, emoji, the CSV sentinel, and NULLs all survive the Avro
+    round-trip — binary framing carries everything byte-exactly."""
+    from pyspark.sql import types as T
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    d = tmp_path_factory.mktemp("avrofuzz")
+    write_avro(df, str(d / "t.avro"))
+    back = read_avro(spark, str(d), glob="t.avro")
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)
