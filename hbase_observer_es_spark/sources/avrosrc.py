@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import io
 import json
-import os
 import struct
 import zlib
 from typing import Iterator
@@ -293,13 +292,20 @@ def read_avro(spark: SparkSession, path: str, glob: str = "*.avro") -> DataFrame
     metadata declares (all files must agree — drift fails loudly, the ORC
     rule). One task per file, Arrow-batched decode."""
     apply_runtime_conf(spark)
-    import glob as globmod
-
-    paths = sorted(globmod.glob(os.path.join(path, glob)))
-    if not paths:
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    # schema probe through the SAME datasource as the data (never driver-local
+    # open(): the path may be on any Hadoop-compatible filesystem). One file's
+    # bytes suffice — every other file is drift-checked against it in decode.
+    probe = binary.orderBy("path").limit(1).collect()
+    if not probe:
         raise ValueError(f"avro: no files matching {glob!r} under {path}")
-    with open(paths[0], "rb") as fh:
-        first_schema, _ = parse_avro_bytes(fh.read(), paths[0])
+    first_path = probe[0]["path"]
+    first_schema, _ = parse_avro_bytes(bytes(probe[0]["content"]), first_path)
     spark_schema = schema_from_avro(first_schema)
     ts_cols = [
         f["name"]
@@ -314,13 +320,6 @@ def read_avro(spark: SparkSession, path: str, glob: str = "*.avro") -> DataFrame
             for f in spark_schema.fields
         ]
     )
-
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-        .select("path", "content")
-    )
     expected = json.dumps(first_schema, sort_keys=True)
 
     def decode(batches):
@@ -332,8 +331,8 @@ def read_avro(spark: SparkSession, path: str, glob: str = "*.avro") -> DataFrame
                 schema, it = parse_avro_bytes(bytes(content), p)
                 if json.dumps(schema, sort_keys=True) != expected:
                     raise ValueError(
-                        f"avro: schema drift in {p} vs {paths[0]} — regenerate "
-                        "the dump or ingest the files separately"
+                        f"avro: schema drift in {p} vs {first_path} — "
+                        "regenerate the dump or ingest the files separately"
                     )
                 rows.extend(it)
             yield pd.DataFrame(rows, columns=names)
