@@ -22,8 +22,10 @@ that subset directly, the same move as ``sources/warc.py``:
 * **Codecs**: ``null`` and ``deflate`` (raw DEFLATE, stdlib zlib) — the two
   the spec requires/blesses without third-party libraries. ``snappy`` (needs
   an external lib) fails loudly by name.
-* **Scale**: files load via ``binaryFile`` and decode inside Arrow-batched
-  ``mapInPandas`` — one task per file, the WARC posture; Avro containers are
+* **Scale**: files load via ``binaryFile`` and decode inside ``mapInArrow``
+  with explicitly-typed arrow arrays (pandas inference would widen nullable
+  int64 to float64, corrupting values beyond 2^53, and would conflate float
+  NaN with NULL) — one task per file, the WARC posture; Avro containers are
   block-splittable in principle, but per-file parallelism is the correct
   first-order contract for vendor-drop ingest, and the landing conversion
   (``avro_to_parquet``) is a single pass after which nothing re-reads Avro.
@@ -255,7 +257,19 @@ def parse_avro_bytes(data: bytes, origin: str = "<bytes>") -> tuple[dict, Iterat
                             row[fname] = None
                             continue
                     if prim == "boolean":
-                        row[fname] = payload[q] == 1
+                        if q >= len(payload):
+                            raise ValueError(
+                                f"avro {origin}: truncated boolean in block {block}"
+                            )
+                        bb = payload[q]
+                        if bb not in (0, 1):
+                            # the spec encodes booleans as exactly 0x00/0x01 —
+                            # any other byte is corruption, not "truthy"
+                            raise ValueError(
+                                f"avro {origin}: invalid boolean byte "
+                                f"0x{bb:02x} in block {block}"
+                            )
+                        row[fname] = bb == 1
                         q += 1
                     elif prim in ("int", "long"):
                         v, q = _zigzag_decode(payload, q)
@@ -321,23 +335,49 @@ def read_avro(spark: SparkSession, path: str, glob: str = "*.avro") -> DataFrame
         ]
     )
     expected = json.dumps(first_schema, sort_keys=True)
+    # Arrow types matching raw_schema EXACTLY. Decode yields arrow batches
+    # (mapInArrow), never a pandas frame: pd.DataFrame(rows) would infer
+    # float64 for any int/long column containing a None, silently corrupting
+    # int64 values beyond 2^53, and would conflate genuine float NaN with
+    # NULL. pa.array(values, type=...) preserves both exactly (None -> null,
+    # NaN -> NaN, big longs bit-exact) — found by the round-9 advisor.
+    _PA = {
+        "boolean": "bool_",
+        "int": "int32",
+        "long": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "string",
+        "bytes": "binary",
+    }
+    col_prims = {
+        f["name"]: ("long" if f["name"] in ts_cols else _field_kind(f["type"])[0])
+        for f in first_schema["fields"]
+    }
 
     def decode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
+        pa_types = {n: getattr(pa, _PA[col_prims[n]])() for n in names}
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            cols: dict[str, list] = {n: [] for n in names}
+            for p, content in zip(paths, contents):
                 schema, it = parse_avro_bytes(bytes(content), p)
                 if json.dumps(schema, sort_keys=True) != expected:
                     raise ValueError(
                         f"avro: schema drift in {p} vs {first_path} — "
                         "regenerate the dump or ingest the files separately"
                     )
-                rows.extend(it)
-            yield pd.DataFrame(rows, columns=names)
+                for row in it:
+                    for n in names:
+                        cols[n].append(row[n])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=pa_types[n]) for n in names], names
+            )
 
-    df = binary.mapInPandas(decode, schema=raw_schema)
+    df = binary.mapInArrow(decode, schema=raw_schema)
     from pyspark.sql import functions as F
 
     for c in ts_cols:
@@ -353,7 +393,20 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
         raise ValueError(f"avro: unsupported write codec {codec!r}")
     avro_schema = _avro_schema_of(df.schema)
     kinds = [(f["name"], *_field_kind(f["type"])) for f in avro_schema["fields"]]
-    rows = df.limit(WRITE_CAP_ROWS + 1).collect()
+    # Timestamps become epoch micros IN SPARK, before collect(): Row
+    # collection materializes TimestampType via datetime.fromtimestamp in the
+    # DRIVER OS timezone (spark.sql.session.timeZone does not apply to
+    # collect()), so driver-side "naive datetime == UTC" arithmetic would
+    # write offset-shifted values on any non-UTC driver — round-9 advisor.
+    from pyspark.sql import functions as F
+
+    projected = [
+        F.unix_micros(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, T.TimestampType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    rows = df.select(projected).limit(WRITE_CAP_ROWS + 1).collect()
     if len(rows) > WRITE_CAP_ROWS:
         raise ValueError(
             f"avro: frame exceeds the {WRITE_CAP_ROWS}-row interop-export cap "
@@ -369,16 +422,9 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
                 continue
             buf.write(_zigzag_encode(1))  # union branch: the non-null type
             if is_ts:
-                import datetime as _dt
-
-                # exact integer micros (never float seconds): days/seconds/
-                # microseconds are all integers in the timedelta
-                delta = v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
-                micros = (
-                    (delta.days * 86_400 + delta.seconds) * 1_000_000
-                    + delta.microseconds
-                )
-                buf.write(_zigzag_encode(micros))
+                # already exact integer epoch micros (unix_micros projection
+                # above) — no driver-timezone arithmetic here
+                buf.write(_zigzag_encode(int(v)))
             elif prim in ("int", "long"):
                 buf.write(_zigzag_encode(int(v)))
             elif prim == "boolean":

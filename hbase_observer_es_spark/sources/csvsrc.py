@@ -54,8 +54,20 @@ def write_csv(df: DataFrame, path: str) -> None:
     """Write a frame as quoted, headered CSV. Binary columns, embedded
     newlines, and literal ``\\N`` string values are rejected (module
     docstring). Validation is fused into the write projection — one pass,
-    checked rows == written rows."""
+    checked rows == written rows.
+
+    ``path`` must be on a LOCAL filesystem: the staged-then-``os.replace``
+    commit (which keeps a rejected frame from destroying a pre-existing good
+    export) is an OS-level rename, so unlike ``read_csv`` — or the Avro/ORC
+    sources, whose paths may be on any Hadoop-compatible filesystem — this
+    sink does not accept ``hdfs://``/``s3a://`` URIs. A pre-existing regular
+    FILE at ``path`` is rejected loudly rather than half-replaced."""
     _reject_binary(df.schema)
+    if os.path.exists(path) and not os.path.isdir(path):
+        raise ValueError(
+            f"CSV sink: {path!r} exists and is not a directory — refusing to "
+            "replace a non-directory target"
+        )
     projected = []
     for f in df.schema.fields:
         if not isinstance(f.dataType, T.StringType):

@@ -228,6 +228,94 @@ _nasty = st.one_of(
 )
 
 
+# -- round-10 advisor repros: exact types through the Arrow boundary ----------
+
+
+def test_nullable_long_beyond_2p53_exact(spark, tmp_path):
+    """A nullable long column containing None must NOT widen to float64 in
+    the decode batch: int64 values beyond 2^53 have no exact float64
+    representation (4611686018427387905 would silently read back ...904)."""
+    from pyspark.sql import types as T
+
+    big = 4611686018427387905  # 2^62 + 1 — not representable in float64
+    df = spark.createDataFrame(
+        [(0, None), (1, big), (2, -big)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]),
+    )
+    write_avro(df, str(tmp_path / "t.avro"))
+    back = read_avro(spark, str(tmp_path), glob="t.avro")
+    got = {r.id: r.v for r in back.collect()}
+    assert got == {0: None, 1: big, 2: -big}
+
+
+def test_float_nan_distinct_from_null(spark, tmp_path):
+    """Genuine NaN survives as NaN; NULL survives as NULL — the decode must
+    not conflate them (pandas float inference maps both to the same hole)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(0, 1.5), (1, float("nan")), (2, None)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]),
+    )
+    write_avro(df, str(tmp_path / "t.avro"))
+    got = {r.id: r.x for r in read_avro(spark, str(tmp_path), glob="t.avro").collect()}
+    assert got[0] == 1.5
+    assert got[1] is not None and math.isnan(got[1])
+    assert got[2] is None
+
+
+def test_corrupt_boolean_byte_fails_loudly():
+    """A boolean byte outside 0x00/0x01 is corruption, not truthiness; a
+    boolean cut off by the payload edge names the block, not IndexError."""
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "flag", "type": "boolean"}],
+    }
+    with pytest.raises(ValueError, match=r"invalid boolean byte 0x07.*block 0"):
+        _, rows = parse_avro_bytes(_golden(schema, bytes([0x07]), 1), "t.avro")
+        list(rows)
+    with pytest.raises(ValueError, match=r"truncated boolean.*block 0"):
+        _, rows = parse_avro_bytes(_golden(schema, b"", 1), "t.avro")
+        list(rows)
+
+
+def test_writer_timestamps_immune_to_driver_timezone(spark, tmp_path):
+    """write_avro emits epoch micros computed IN SPARK — a non-UTC driver OS
+    timezone (which governs collect()'s datetime conversion) must not shift
+    the written value."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    micros = 1700000000123456
+    df = spark.range(1).select(F.timestamp_micros(F.lit(micros)).alias("ts"))
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        write_avro(df, str(tmp_path / "t.avro"))
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    _, rows = parse_avro_bytes(
+        (tmp_path / "t.avro").read_bytes(), "t.avro"
+    )
+    assert [r["ts"] for r in rows] == [micros]
+
+
 @given(vals=st.lists(_nasty, min_size=1, max_size=6))
 @settings(max_examples=8, deadline=None)
 def test_avro_adversarial_strings_roundtrip(spark, tmp_path_factory, vals):

@@ -111,6 +111,24 @@ def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
     assert rows == {1: None, 2: "", 3: 'quote " comma, text'}
 
 
+def test_csv_refuses_regular_file_target(spark, tmp_path):
+    """A pre-existing regular FILE at the target path is rejected loudly —
+    os.replace onto a file would otherwise fail midway through the commit
+    (round-9 advisor)."""
+    df = spark.createDataFrame(
+        [(1, "a")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]),
+    )
+    target = tmp_path / "not_a_dir.csv"
+    target.write_text("pre-existing file")
+    with pytest.raises(ValueError, match="not a directory"):
+        write_csv(df, str(target))
+    assert target.read_text() == "pre-existing file"  # untouched
+
+
 def test_csv_rejects_embedded_newlines(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "line one\nline two")],
