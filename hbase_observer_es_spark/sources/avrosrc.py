@@ -19,9 +19,17 @@ that subset directly, the same move as ``sources/warc.py``:
   and multi-branch unions RAISE: this is a tabular ingest boundary, not a
   document store, and a silently-flattened nested value is worse than a loud
   refusal.
-* **Codecs**: ``null`` and ``deflate`` (raw DEFLATE, stdlib zlib) — the two
-  the spec requires/blesses without third-party libraries. ``snappy`` (needs
-  an external lib) fails loudly by name.
+* **Codecs**: ``null``, ``deflate`` (raw DEFLATE, stdlib zlib), and
+  ``snappy`` — the codec real vendor drops default to most often. No snappy
+  library exists in this environment, so the raw snappy block format
+  (preamble varint + literal/copy elements, public format description) is
+  implemented from the spec below, the same move as the varint codec and the
+  WARC gzip members; Avro's framing appends a 4-byte big-endian CRC32 of the
+  UNCOMPRESSED block, which is verified per block. The write side emits
+  literal-only snappy (spec-valid output any decoder accepts — this is an
+  interop writer, not a compressor); the decoder handles all four element
+  types including overlapping copies and is pinned against hand-encoded
+  spec bytes in tests. Codecs beyond these three fail loudly by name.
 * **Scale**: files load via ``binaryFile`` and decode inside ``mapInArrow``
   with explicitly-typed arrow arrays (pandas inference would widen nullable
   int64 to float64, corrupting values beyond 2^53, and would conflate float
@@ -113,6 +121,131 @@ def _dec_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
     if n < 0 or pos + n > len(buf):
         raise ValueError("avro: bad bytes/string length")
     return buf[pos : pos + n], pos + n
+
+
+# ----------------------------------------------------------------- snappy codec
+#
+# Raw snappy block format, implemented from the public format description
+# (google/snappy format_description.txt). Layout: a plain little-endian
+# base-128 varint preamble carrying the UNCOMPRESSED length, then a sequence
+# of elements tagged by the low 2 bits of their first byte:
+#
+#   00 literal — upper 6 bits hold len-1 when < 60; values 60..63 mean the
+#      length-1 follows in 1..4 little-endian bytes; literal bytes follow.
+#   01 copy, 1-byte offset — length 4..11 in tag bits 2-4; offset is 11 bits
+#      (tag bits 5-7 are the high bits, next byte the low 8).
+#   10 copy, 2-byte little-endian offset — length 1..64 in tag bits 2-7.
+#   11 copy, 4-byte little-endian offset — same length encoding.
+#
+# Copies may OVERLAP the output cursor (offset < length) — the spec requires
+# byte-at-a-time semantics so the copied region repeats; a slice copy would
+# silently produce garbage, which is why the overlap branch is explicit and
+# golden-tested. Avro's snappy framing (spec, "Required Codecs / snappy")
+# appends a 4-byte big-endian CRC32 of the uncompressed data per block.
+
+
+def _plain_varint_decode(buf: bytes, pos: int, what: str) -> tuple[int, int]:
+    """Little-endian base-128 varint (NOT zigzag — snappy preambles are
+    unsigned)."""
+    shift = 0
+    acc = 0
+    while True:
+        if pos >= len(buf) or shift > 35:
+            raise ValueError(f"truncated/overlong varint in {what}")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+
+
+def snappy_uncompress(data: bytes, origin: str = "<bytes>") -> bytes:
+    """Decompress one raw snappy block, fail-loud with origin context on any
+    structural violation (truncation, bad offset, length mismatch)."""
+    expected_len, pos = _plain_varint_decode(data, 0, f"snappy preamble ({origin})")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            n = tag >> 2
+            if n >= 60:
+                extra = n - 59  # 1..4 bytes of little-endian length-1
+                if pos + extra > len(data):
+                    raise ValueError(f"snappy {origin}: truncated literal length")
+                n = int.from_bytes(data[pos : pos + extra], "little")
+                pos += extra
+            n += 1
+            if pos + n > len(data):
+                raise ValueError(f"snappy {origin}: truncated literal body")
+            out += data[pos : pos + n]
+            pos += n
+            continue
+        if kind == 1:  # copy, 1-byte offset, length 4..11
+            if pos >= len(data):
+                raise ValueError(f"snappy {origin}: truncated 1-byte-offset copy")
+            length = 4 + ((tag >> 2) & 0x07)
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte LE offset, length 1..64
+            if pos + 2 > len(data):
+                raise ValueError(f"snappy {origin}: truncated 2-byte-offset copy")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte LE offset
+            if pos + 4 > len(data):
+                raise ValueError(f"snappy {origin}: truncated 4-byte-offset copy")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError(
+                f"snappy {origin}: copy offset {offset} outside the "
+                f"{len(out)} bytes produced so far"
+            )
+        if offset >= length:
+            start = len(out) - offset
+            out += out[start : start + length]
+        else:
+            # overlapping copy: the spec's byte-at-a-time repeat semantics
+            start = len(out) - offset
+            for i in range(length):
+                out.append(out[start + i])
+    if len(out) != expected_len:
+        raise ValueError(
+            f"snappy {origin}: preamble declared {expected_len} bytes, "
+            f"decoded {len(out)}"
+        )
+    return bytes(out)
+
+
+def snappy_compress_literal(data: bytes) -> bytes:
+    """Spec-valid snappy output using only literal elements (any conformant
+    decoder accepts it; compression ratio 1 — this is the interop WRITER
+    side, and the bounded write path never carries corpus-scale data)."""
+    out = bytearray()
+    n = len(data)
+    u = n
+    while True:  # plain varint preamble
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            break
+    pos = 0
+    while pos < n:
+        chunk = min(n - pos, 1 << 16)  # 2-byte extended literal lengths
+        if chunk <= 60:
+            out.append((chunk - 1) << 2)
+        else:
+            out.append(61 << 2)  # length-1 in 2 little-endian bytes
+            out += (chunk - 1).to_bytes(2, "little")
+        out += data[pos : pos + chunk]
+        pos += chunk
+    return bytes(out)
 
 
 # ------------------------------------------------------------- schema handling
@@ -215,10 +348,10 @@ def parse_avro_bytes(data: bytes, origin: str = "<bytes>") -> tuple[dict, Iterat
     if "avro.schema" not in meta:
         raise ValueError(f"avro {origin}: missing avro.schema in metadata")
     codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(
-            f"avro {origin}: codec {codec!r} needs an external library "
-            "unavailable in this environment (null/deflate supported)"
+            f"avro {origin}: unsupported codec {codec!r} "
+            "(null/deflate/snappy supported)"
         )
     schema = json.loads(meta["avro.schema"])
     kinds = [
@@ -247,6 +380,24 @@ def parse_avro_bytes(data: bytes, origin: str = "<bytes>") -> tuple[dict, Iterat
             p += _SYNC_SIZE
             if codec == "deflate":
                 payload = zlib.decompress(payload, wbits=-15)
+            elif codec == "snappy":
+                # Avro framing: snappy bytes + big-endian CRC32 of the
+                # UNCOMPRESSED data (verified — a corrupt block dies loudly)
+                if len(payload) < 4:
+                    raise ValueError(
+                        f"avro {origin}: snappy block {block} shorter than "
+                        "its 4-byte CRC trailer"
+                    )
+                want_crc = int.from_bytes(payload[-4:], "big")
+                payload = snappy_uncompress(
+                    payload[:-4], f"{origin} block {block}"
+                )
+                got_crc = zlib.crc32(payload) & 0xFFFFFFFF
+                if got_crc != want_crc:
+                    raise ValueError(
+                        f"avro {origin}: snappy CRC mismatch in block "
+                        f"{block} (want {want_crc:08x}, got {got_crc:08x})"
+                    )
             q = 0
             for _ in range(count):
                 row = {}
@@ -389,7 +540,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     """Driver-side bounded writer (module docstring): one container file at
     ``path`` with every column written as its nullable union. Refuses frames
     above WRITE_CAP_ROWS — corpus-scale exports belong to parquet/ORC."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported write codec {codec!r}")
     avro_schema = _avro_schema_of(df.schema)
     kinds = [(f["name"], *_field_kind(f["type"])) for f in avro_schema["fields"]]
@@ -441,6 +592,9 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     if codec == "deflate":
         co = zlib.compressobj(9, zlib.DEFLATED, -15)
         payload = co.compress(payload) + co.flush()
+    elif codec == "snappy":
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        payload = snappy_compress_literal(payload) + crc.to_bytes(4, "big")
     # deterministic sync marker (content-derived) — re-exports are diffable
     import hashlib
 

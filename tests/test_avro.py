@@ -122,8 +122,8 @@ def test_structural_violations_fail_loudly(mutilate, msg):
 
 
 def test_unsupported_shapes_fail_loudly():
-    with pytest.raises(ValueError, match="snappy"):
-        parse_avro_bytes(_golden(_SCHEMA, _PAYLOAD, 2, codec=b"snappy"), "t")
+    with pytest.raises(ValueError, match="zstandard"):
+        parse_avro_bytes(_golden(_SCHEMA, _PAYLOAD, 2, codec=b"zstandard"), "t")
     arr_schema = {
         "type": "record", "name": "r",
         "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
@@ -226,6 +226,95 @@ _nasty = st.one_of(
     st.just(r"\N"),
     st.none(),
 )
+
+
+# -- snappy codec: spec-golden elements, framing, round-trips ------------------
+
+import zlib as _zlib
+
+from hbase_observer_es_spark.sources.avrosrc import (
+    snappy_compress_literal,
+    snappy_uncompress,
+)
+
+
+def test_snappy_golden_all_element_types():
+    """Hand-encoded from the public format description: literal, 1-byte-
+    offset copy, OVERLAPPING 2-byte-offset copy (byte-repeat semantics),
+    4-byte-offset copy, and an extended-length literal — the decoder is
+    pinned to the spec bytes, not to our own encoder."""
+    expect = b"snappy-" * 4 + b"snap" + b"x" * 61
+    stream = bytearray()
+    stream += bytes([len(expect)])  # preamble varint (93 < 128: one byte)
+    stream += bytes([(7 - 1) << 2]) + b"snappy-"  # literal len 7
+    # copy, 1-byte offset: length 7 (tag bits 2-4 = 3), offset 7
+    stream += bytes([(3 << 2) | 0x01, 0x07])  # -> "snappy-snappy-"
+    # copy, 2-byte offset: length 14, offset 7 — OVERLAPS (7 < 14): the
+    # spec's byte-at-a-time rule makes it repeat "snappy-" twice
+    stream += bytes([((14 - 1) << 2) | 0x02, 0x07, 0x00])  # -> x4
+    # copy, 4-byte offset: length 4, offset 28 (the whole output so far)
+    stream += bytes([((4 - 1) << 2) | 0x03, 0x1C, 0x00, 0x00, 0x00])  # "snap"
+    # extended literal: len 61 => tag value 60 (length-1 in 1 byte)
+    stream += bytes([60 << 2, 60]) + b"x" * 61
+    assert snappy_uncompress(bytes(stream), "golden") == expect
+
+
+@pytest.mark.parametrize(
+    "stream,msg",
+    [
+        (b"", "varint"),
+        (b"\x05" + bytes([(9 - 1) << 2]) + b"abc", "truncated literal"),
+        (b"\x04" + bytes([(3 << 2) | 0x01]), "truncated 1-byte-offset copy"),
+        # copy before any output: offset outside produced bytes
+        (b"\x04" + bytes([(3 << 2) | 0x01, 0x01]), "outside"),
+        # literal shorter than the preamble claims
+        (b"\x09" + bytes([(3 - 1) << 2]) + b"abc", "declared 9 bytes"),
+    ],
+)
+def test_snappy_structural_violations_fail_loudly(stream, msg):
+    with pytest.raises(ValueError, match=msg):
+        snappy_uncompress(stream, "t")
+
+
+def test_snappy_literal_encoder_chunks_large_inputs():
+    """> 65536 bytes exercises the multi-element literal chunking."""
+    data = bytes(range(256)) * 300  # 76 800 bytes, deterministic
+    assert snappy_uncompress(snappy_compress_literal(data), "t") == data
+
+
+def test_golden_avro_snappy_block():
+    """An Avro container whose block is snappy bytes + big-endian CRC32 of
+    the uncompressed data decodes; a flipped CRC dies loudly."""
+    crc = _zlib.crc32(_PAYLOAD) & 0xFFFFFFFF
+    framed = snappy_compress_literal(_PAYLOAD) + crc.to_bytes(4, "big")
+    _, rows = parse_avro_bytes(
+        _golden(_SCHEMA, framed, 2, codec=b"snappy"), "g.avro"
+    )
+    assert [r["id"] for r in rows] == [1, -2]
+    bad = framed[:-1] + bytes([framed[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _, rows = parse_avro_bytes(
+            _golden(_SCHEMA, bad, 2, codec=b"snappy"), "g.avro"
+        )
+        list(rows)
+
+
+def test_spark_roundtrip_snappy_codec(spark, tmp_path):
+    """write_avro(codec=snappy) -> read_avro is value-identical, including
+    micro-exact timestamps."""
+    src = table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events.avro")
+    write_avro(src, path, codec="snappy")
+    back = read_avro(spark, str(tmp_path), glob="events.avro")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_snappy_literal_roundtrip_property(data):
+    assert snappy_uncompress(snappy_compress_literal(data), "prop") == data
 
 
 # -- round-10 advisor repros: exact types through the Arrow boundary ----------
