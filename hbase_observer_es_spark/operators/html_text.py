@@ -1,0 +1,207 @@
+"""HTML→text extraction over WARC payloads — the missing link between the
+archival crawl-ingest source (``sources/warc.py``) and the corpus pipeline
+(quality → dedup → pack → publish).
+
+A Common Crawl user's single most common step is turning a ``response``
+record's HTML body into a ``documents``-shaped text row. This module does it
+with NO external library: the tokenizer is the stdlib ``html.parser``
+(WHATWG-HTML-derived, tolerant of truncation and malformed markup — exactly
+what crawl payloads are), entity decoding is the stdlib named/numeric
+charref table, and charset handling reads the HTTP ``Content-Type`` header
+the WARC payload itself carries.
+
+Extraction semantics (deterministic, documented, golden-tested):
+
+* ``script`` / ``style`` / ``noscript`` / ``template`` / ``svg`` / ``iframe``
+  / ``object`` / ``embed`` / ``applet`` and the whole ``head`` subtree emit
+  NOTHING — markup, styling, and metadata are boilerplate, not text.
+  Comments, CDATA sections, doctypes, and processing instructions likewise.
+* Block-level boundaries (``p``, ``div``, headings, list items, table rows,
+  ``br``, ``pre``, …) become newlines; table cells become single spaces; all
+  other tags vanish inline (``<b>bold</b> text`` → ``bold text``).
+* Character references decode exactly once (``&amp;lt;`` → ``&lt;``), NBSP
+  normalizes to a plain space.
+* Whitespace: runs of spaces/tabs collapse to one space per line, ≥2 blank
+  lines collapse to one paragraph break, edges strip.
+* Truncated HTML (a shard cut mid-tag) yields the text up to the cut —
+  extraction is per-record best-effort, unlike the WARC STRUCTURE checks
+  which stay fail-loud (a broken container kills the job; a sloppy page,
+  which is most pages, does not).
+
+Scale posture: ``warc_html_documents`` is MAP-ONLY — a filter plus one
+Arrow-batched pandas UDF over the payload column, no shuffle, no collect.
+At 100 TB the parallelism is the WARC source's one-task-per-shard contract;
+extraction adds zero data movement, and the output flows straight into the
+corpus operators (``q_text_langid`` fills ``lang``; extraction does not
+guess). ``doc_id`` is ``xxhash64(target_uri, record_id)`` — deterministic
+across reruns, collision-safe at corpus scale (64-bit over <2^32 docs).
+
+Reference parity note: the reference engine (HbaseDataSyncEsObserver.java)
+has no crawl ingest at all — this module exists for the LLM-data-pipeline
+surface the build brief makes first-class, not for A1–A14 parity.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from html.parser import HTMLParser
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# subtrees that emit no text at all (boilerplate/markup payloads)
+_SKIP = frozenset(
+    "script style noscript template svg iframe object embed applet head".split()
+)
+# tags that break the text flow into lines/paragraphs
+_BLOCK = frozenset(
+    (
+        "p div br hr li ul ol dl dt dd table thead tbody tfoot tr caption "
+        "h1 h2 h3 h4 h5 h6 blockquote pre section article header footer "
+        "aside nav main address figure figcaption form fieldset details "
+        "summary option optgroup"
+    ).split()
+)
+# cell separators inside a row (space, not newline)
+_CELL = frozenset("td th".split())
+# void block tags: <br/> fires start+end events — the end emits nothing, or
+# a self-closed break would double into a paragraph
+_VOID = frozenset("br hr".split())
+
+
+class _TextExtractor(HTMLParser):
+    """Tolerant tag-strip tokenizer: stdlib html.parser drives tag/data/
+    charref events; we keep data outside skip subtrees and inject the
+    block/cell separators."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._parts: list[str] = []
+        self._skip_depth = 0
+        self._pre_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip_depth += 1
+        elif tag in _BLOCK:
+            if tag == "pre":
+                self._pre_depth += 1
+            self._parts.append("\n")
+        elif tag in _CELL:
+            self._parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        if tag in _SKIP:
+            # tolerate malformed nesting: never go negative
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _BLOCK:
+            if tag == "pre":
+                self._pre_depth = max(0, self._pre_depth - 1)
+            self._parts.append("\n")
+        elif tag in _CELL:
+            self._parts.append(" ")
+
+    def handle_data(self, data):
+        if not self._skip_depth and data:
+            if not self._pre_depth:
+                # source newlines are HTML whitespace, not line breaks —
+                # only TAG boundaries break lines (except inside <pre>)
+                data = _SRC_NL.sub(" ", data)
+            self._parts.append(data)
+
+    def text(self) -> str:
+        return "".join(self._parts)
+
+
+_SRC_NL = re.compile(r"[\r\n]+")
+_WS_RUN = re.compile(r"[ \t\xa0]+")
+_NL_RUN = re.compile(r"\n{3,}")
+
+
+def html_to_text(html: str) -> str:
+    """Extract readable text from one HTML string (module docstring has the
+    exact semantics). Pure, deterministic, library-free."""
+    p = _TextExtractor()
+    p.feed(html)
+    # close() flushes any buffered incomplete markup as DATA; a trailing
+    # "<b" fragment from a mid-tag truncation is markup, not text — drop it
+    # (matches the WHATWG eof-in-tag rule: the partial tag emits nothing)
+    if p.rawdata.startswith("<"):
+        p.rawdata = ""
+    p.close()
+    raw = p.text()
+    lines = [_WS_RUN.sub(" ", ln).strip() for ln in raw.split("\n")]
+    return _NL_RUN.sub("\n\n", "\n".join(lines)).strip("\n ")
+
+
+_CHARSET = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
+
+
+def decode_http_html(payload: bytes) -> str | None:
+    """Decode a ``response`` record's payload to an HTML string, or None if
+    the HTTP message does not declare an HTML content type.
+
+    Charset: the HTTP ``Content-Type`` header's ``charset=`` parameter when
+    it names a codec Python knows, else UTF-8; decoding is errors="replace"
+    either way (crawl bodies routinely lie about their encoding — replacement
+    is deterministic, a decode crash on page 4 billion is not a policy)."""
+    if payload.startswith(b"HTTP/"):
+        sep = payload.find(b"\r\n\r\n")
+        headers = payload[: sep if sep >= 0 else len(payload)]
+        body = payload[sep + 4 :] if sep >= 0 else b""
+        hl = headers.lower()
+        if b"content-type:" in hl and b"html" not in hl.split(b"content-type:", 1)[1].split(b"\r\n", 1)[0]:
+            return None
+        charset = "utf-8"
+        m = _CHARSET.search(headers)
+        if m:
+            try:
+                codecs.lookup(m.group(1).decode("ascii"))
+                charset = m.group(1).decode("ascii")
+            except (LookupError, UnicodeDecodeError):
+                pass
+        return body.decode(charset, errors="replace")
+    # no HTTP envelope: treat the whole payload as the document
+    return payload.decode("utf-8", errors="replace")
+
+
+def extract_text_udf(payload: Column) -> Column:
+    """Arrow-batched pandas UDF: WARC payload bytes → extracted text (NULL
+    for non-HTML responses)."""
+
+    @F.pandas_udf(T.StringType())
+    def _extract(s):
+        import pandas as pd
+
+        def one(b):
+            if b is None:
+                return None
+            html = decode_http_html(bytes(b))
+            if html is None:
+                return None
+            return html_to_text(html)
+
+        return pd.Series([one(b) for b in s])
+
+    return _extract(payload)
+
+
+def warc_html_documents(warc_df: DataFrame) -> DataFrame:
+    """``response`` records → ``documents``-shaped rows (doc_id, text, lang,
+    source, n_chars). Map-only; ``lang`` is NULL by design — language ID is
+    ``q_text_langid``'s job downstream, extraction does not guess."""
+    return (
+        warc_df.filter(F.col("warc_type") == "response")
+        .select(
+            F.xxhash64("target_uri", "record_id").alias("doc_id"),
+            extract_text_udf(F.col("payload")).alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("target_uri").alias("source"),
+        )
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("n_chars", F.length("text"))
+    )

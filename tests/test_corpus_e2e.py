@@ -1,0 +1,164 @@
+"""End-to-end corpus pipeline demo over the completed ingest ladder:
+
+    WARC shard → HTML→text extraction → language ID → quality gate →
+    exact dedup → sequence packing → published sharded dataset →
+    consumer-side verify_export
+
+Every stage is an existing, independently-tested component; this test proves
+they COMPOSE — the round-9 ingest/publication surface feeds the corpus
+operators end-to-end with documents-shaped frames at each boundary, exactly
+the way a Common Crawl pipeline would run them. Stage landings go through
+``documents.parquet`` directories so the registered (spark, sf_dir) queries
+drive each hop unmodified."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_observer_es_spark.operators.corpus_stats import q_text_pack_sharded
+from hbase_observer_es_spark.operators.dedup import q_dedup_exact
+from hbase_observer_es_spark.operators.html_text import warc_html_documents
+from hbase_observer_es_spark.operators.text import q_text_langid, q_text_quality
+from hbase_observer_es_spark.io import table
+from hbase_observer_es_spark.sinks.dataset_export import export_dataset, verify_export
+from hbase_observer_es_spark.sources.warc import read_warc
+
+
+def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+
+
+def _record(rtype: str, payload: bytes, uri: str = "", rid: str = "id:1") -> bytes:
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if uri:
+        headers.insert(2, b"WARC-Target-URI: " + uri.encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _page(text: str) -> bytes:
+    return _http(
+        b"<html><head><style>p{}</style></head><body><p>"
+        + text.encode()
+        + b"</p><script>x()</script></body></html>"
+    )
+
+
+# the crawl: 4 good English pages (one exact duplicate pair under different
+# URIs), 1 too-short page (quality gate drops it), 1 JSON response and 1
+# request record (extraction drops both)
+_GOOD = "the quick brown fox jumps over the lazy dog and runs into the field"
+_ALSO = "a tale of two cities was the best of times and the worst of times"
+_SHORT = "tiny"
+
+
+def _shard() -> bytes:
+    return (
+        _record("warcinfo", b"software: test\r\n", rid="id:0")
+        + _record("request", b"GET / HTTP/1.1\r\n", uri="http://x.example/1", rid="id:1")
+        + _record("response", _page(_GOOD), uri="http://x.example/1", rid="id:2")
+        + _record("response", _page(_ALSO), uri="http://x.example/2", rid="id:3")
+        + _record("response", _page(_GOOD), uri="http://mirror.example/1", rid="id:4")
+        + _record("response", _page(_SHORT), uri="http://x.example/3", rid="id:5")
+        + _record(
+            "response", _http(b"{}", b"application/json"),
+            uri="http://x.example/api", rid="id:6",
+        )
+    )
+
+
+def _land(df, stage_dir) -> str:
+    df.write.mode("overwrite").parquet(str(stage_dir / "documents.parquet"))
+    return str(stage_dir)
+
+
+MIN_TOKENS = 8
+
+
+def test_warc_to_published_dataset_end_to_end(spark, tmp_path):
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "s.warc.gz").write_bytes(gzip.compress(_shard()))
+
+    # 1. ingest + extract: archival shard -> documents-shaped rows
+    extracted = warc_html_documents(read_warc(spark, str(tmp_path / "crawl")))
+    s1 = _land(extracted, tmp_path / "s1")
+    assert table(spark, s1, "documents").count() == 4  # html responses only
+
+    # 2. language ID fills the lang column extraction left NULL
+    pred = q_text_langid(spark, s1).select("doc_id", "pred_lang")
+    docs = (
+        table(spark, s1, "documents")
+        .drop("lang")
+        .join(pred, "doc_id")
+        .withColumnRenamed("pred_lang", "lang")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    s2 = _land(docs, tmp_path / "s2")
+    assert {r.lang for r in table(spark, s2, "documents").collect()} == {"en"}
+
+    # 3. quality gate: the 1-token page fails, the prose pages pass
+    kept_ids = q_text_quality(spark, s2).filter(
+        F.col("n_tokens") >= MIN_TOKENS
+    ).select("doc_id")
+    gated = table(spark, s2, "documents").join(kept_ids, "doc_id")
+    s3 = _land(gated, tmp_path / "s3")
+    assert table(spark, s3, "documents").count() == 3  # short page dropped
+
+    # 4. exact dedup: the mirrored duplicate collapses to the lowest doc_id
+    survivors = q_dedup_exact(spark, s3).select("doc_id")
+    deduped = table(spark, s3, "documents").join(survivors, "doc_id")
+    s4 = _land(deduped, tmp_path / "s4")
+    final = table(spark, s4, "documents")
+    assert final.count() == 2
+    assert final.select("text").distinct().count() == 2
+
+    # 5. sequence packing within the lang shard
+    packed = q_text_pack_sharded(spark, s4)
+    pack_rows = packed.collect()
+    assert {r.shard for r in pack_rows} == {"en"}
+    assert all(r.pack_id == 0 for r in pack_rows)  # 2 short docs: one bin
+    offsets = sorted(r.pack_offset for r in pack_rows)
+    assert offsets[0] == 0 and offsets[1] > 0  # contiguous packing
+
+    # 6. publish: deduped docs + their pack assignment, sharded + manifest
+    publishable = final.join(
+        packed.select("doc_id", "pack_id", "pack_offset"), "doc_id"
+    )
+    out = str(tmp_path / "published")
+    manifest = export_dataset(publishable, out, key="doc_id", n_shards=2)
+    assert manifest["total_rows"] == 2
+
+    # 7. consumer-side integrity gate over the published files
+    verified = verify_export(spark, out)
+    assert verified["total_rows"] == 2
+    assert verified["columns"] == publishable.columns
+
+
+def test_pipeline_is_deterministic_across_reruns(spark, tmp_path):
+    """Re-running the whole chain on the same shard publishes identical
+    per-shard fingerprints — the rerun-stability contract that makes the
+    published dataset diffable."""
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "s.warc.gz").write_bytes(gzip.compress(_shard()))
+
+    def run(tag: str) -> dict:
+        extracted = warc_html_documents(read_warc(spark, str(tmp_path / "crawl")))
+        s1 = _land(extracted, tmp_path / f"{tag}_s1")
+        survivors = q_dedup_exact(spark, s1).select("doc_id")
+        deduped = table(spark, s1, "documents").join(survivors, "doc_id")
+        out = str(tmp_path / f"{tag}_out")
+        return export_dataset(deduped, out, key="doc_id", n_shards=2)
+
+    m1, m2 = run("a"), run("b")
+    f1 = {s: e["fingerprint"] for s, e in m1["shards"].items()}
+    f2 = {s: e["fingerprint"] for s, e in m2["shards"].items()}
+    assert f1 == f2 and m1["total_rows"] == m2["total_rows"]

@@ -1,0 +1,196 @@
+"""HTML→text extraction (operators/html_text.py): golden semantics over
+adversarial markup, charset handling, and the WARC → documents-shaped
+map-only Spark path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from hbase_observer_es_spark.operators.html_text import (
+    decode_http_html,
+    html_to_text,
+    warc_html_documents,
+)
+from hbase_observer_es_spark.sources.warc import read_warc
+
+
+# ---------------------------------------------------------------- pure goldens
+
+
+def test_basic_tag_strip_and_blocks():
+    html = "<html><body><p>First  para</p><p>Second</p><div>Third</div></body></html>"
+    assert html_to_text(html) == "First para\n\nSecond\n\nThird"
+
+
+def test_inline_tags_vanish_without_breaking_words():
+    assert html_to_text("<b>bo</b>ld and <i>italic</i> text") == "bold and italic text"
+
+
+def test_script_style_head_and_comments_emit_nothing():
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><script>var x = '<p>not text</p>';</script>"
+        "<!-- a comment --><noscript>enable js</noscript>"
+        "<template><p>spare</p></template><p>real</p></body></html>"
+    )
+    assert html_to_text(html) == "real"
+
+
+def test_entities_decode_exactly_once():
+    # &amp;lt; must become the four characters "&lt;", never "<"
+    assert html_to_text("<p>a &amp;lt; b &lt; c &#65; &#x42; &nbsp;d</p>") == (
+        "a &lt; b < c A B d"
+    )
+
+
+def test_nested_and_malformed_nesting_is_tolerated():
+    html = "<div><p>open<div>inner</p>deep</div>tail"
+    # best-effort: all text survives, block boundaries respected
+    assert html_to_text(html) == "open\ninner\ndeep\ntail"
+
+
+def test_truncated_html_yields_text_up_to_the_cut():
+    assert html_to_text("<p>hello wor<b") == "hello wor"
+    assert html_to_text("<p>hello &am") == "hello &am"
+
+
+def test_attribute_containing_gt_is_not_text():
+    assert html_to_text('<a title="a>b" href="#">link</a> end') == "link end"
+
+
+def test_table_cells_space_rows_break():
+    """Cells separate with spaces; row boundaries are block boundaries, and
+    ADJACENT block tags (</tr><tr>, like </p><p>) consistently yield one
+    paragraph break — one rule for every block tag."""
+    html = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>"
+    assert html_to_text(html) == "a b\n\nc"
+
+
+def test_list_items_break_lines():
+    assert html_to_text("<ul><li>one</li><li>two</li></ul>") == "one\n\ntwo"
+
+
+def test_br_and_pre_preserve_line_structure():
+    assert html_to_text("line1<br>line2<br/>line3") == "line1\nline2\nline3"
+
+
+def test_whitespace_collapses_but_paragraphs_survive():
+    html = "<p>a\n\n\n   b</p>\n\n\n\n<p>c</p>"
+    assert html_to_text(html) == "a b\n\nc"
+
+
+# ------------------------------------------------------------ charset handling
+
+
+def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+
+
+def test_charset_from_http_header():
+    body = "café".encode("latin-1")
+    html = decode_http_html(_http(body, b"text/html; charset=ISO-8859-1"))
+    assert html == "café"
+
+
+def test_unknown_charset_falls_back_to_utf8_replace():
+    body = b"ok \xff\xfe"
+    html = decode_http_html(_http(body, b"text/html; charset=not-a-codec"))
+    assert html is not None and html.startswith("ok ")
+
+
+def test_non_html_content_type_returns_none():
+    assert decode_http_html(_http(b'{"a":1}', b"application/json")) is None
+    assert decode_http_html(_http(b"\x89PNG", b"image/png")) is None
+
+
+def test_payload_without_http_envelope_is_the_document():
+    assert decode_http_html(b"<p>bare</p>") == "<p>bare</p>"
+
+
+# ------------------------------------------------------------------ Spark path
+
+
+def _record(rtype: str, payload: bytes, uri: str = "", rid: str = "id:1") -> bytes:
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if uri:
+        headers.insert(2, b"WARC-Target-URI: " + uri.encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+_PAGE = (
+    b"<html><head><style>b{}</style></head><body>"
+    b"<h1>Title</h1><p>Hello \xe6\x97\xa5\xe6\x9c\xac &amp; friends</p>"
+    b"<script>skip()</script></body></html>"
+)
+
+
+def _shard() -> bytes:
+    return (
+        _record("warcinfo", b"software: test\r\n", rid="id:0")
+        + _record("request", b"GET / HTTP/1.1\r\n", uri="http://x.example/a", rid="id:1")
+        + _record("response", _http(_PAGE), uri="http://x.example/a", rid="id:2")
+        + _record(
+            "response",
+            _http(b'{"json": true}', b"application/json"),
+            uri="http://x.example/api",
+            rid="id:3",
+        )
+        + _record(
+            "response",
+            _http(b"<p>second page</p>"),
+            uri="http://x.example/b",
+            rid="id:4",
+        )
+    )
+
+
+def test_warc_to_documents_shape_and_content(spark, tmp_path):
+    (tmp_path / "s.warc.gz").write_bytes(gzip.compress(_shard()))
+    docs = warc_html_documents(read_warc(spark, str(tmp_path)))
+    assert [f.name for f in docs.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    rows = {r.source: r for r in docs.collect()}
+    # JSON response and non-response records are dropped; 2 HTML pages land
+    assert set(rows) == {"http://x.example/a", "http://x.example/b"}
+    a = rows["http://x.example/a"]
+    assert a.text == "Title\n\nHello 日本 & friends"
+    assert a.lang is None and a.n_chars == len(a.text)
+    b = rows["http://x.example/b"]
+    assert b.text == "second page"
+
+
+def test_doc_ids_deterministic_across_reruns(spark, tmp_path):
+    (tmp_path / "s.warc.gz").write_bytes(gzip.compress(_shard()))
+    ids1 = sorted(r.doc_id for r in warc_html_documents(read_warc(spark, str(tmp_path))).collect())
+    ids2 = sorted(r.doc_id for r in warc_html_documents(read_warc(spark, str(tmp_path))).collect())
+    assert ids1 == ids2 and len(set(ids1)) == 2
+
+
+def test_extraction_is_map_only(spark, tmp_path):
+    """Filter + one Arrow-batched UDF over the WARC frame — no shuffle, no
+    join: extraction adds zero data movement to the one-task-per-shard scan."""
+    (tmp_path / "s.warc").write_bytes(_shard())
+    docs = warc_html_documents(read_warc(spark, str(tmp_path)))
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_truncated_page_in_valid_container_still_lands(spark, tmp_path):
+    """A response whose HTML is cut mid-tag extracts best-effort — record-
+    level tolerance, container-level strictness."""
+    shard = _record(
+        "response", _http(b"<p>kept text<div", b"text/html"),
+        uri="http://x.example/cut", rid="id:9",
+    )
+    (tmp_path / "t.warc").write_bytes(shard)
+    rows = warc_html_documents(read_warc(spark, str(tmp_path))).collect()
+    assert [r.text for r in rows] == ["kept text"]
