@@ -190,6 +190,65 @@ def extract_text_udf(payload: Column) -> Column:
     return _extract(payload)
 
 
+def html_text_column(html: Column) -> Column:
+    """Arrow-batched pandas UDF: HTML string → extracted text (NULL in,
+    NULL out)."""
+
+    @F.pandas_udf(T.StringType())
+    def _extract(s):
+        return s.map(lambda h: None if h is None else html_to_text(h))
+
+    return _extract(html)
+
+
+def q_html_extract(spark, sf_dir: str) -> DataFrame:
+    """HTML→text extraction as a registered, oracle-checked query: synthesize
+    a page around each document IN SPARK (head/style/script boilerplate, an
+    ``&amp;`` entity, block structure), extract with the full tokenizer
+    pipeline, and emit the text plus its length.
+
+    Oracle tether: the extractor's output on this template is
+    ``source + " & co" + blank line + text`` EXACTLY, because the fixture
+    corpus contains no HTML-active characters and no collapsible whitespace
+    (verified at every SF: 0 docs with ``&``/``<``/``>``, tabs, newlines,
+    double spaces, or untrimmed edges — pinned by
+    ``tests/test_html_text.py::test_fixture_has_no_html_active_chars``, the
+    multimodal ASCII-tether pattern). The DuckDB oracle mirrors that closed
+    form; the adversarial-markup behavior is pinned separately by the golden
+    tests, which need no oracle.
+
+    Scale: map-only — one scan, one Arrow-batched UDF, no shuffle."""
+    from ..io import table
+
+    d = table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p{color:red}</style></head>"
+            "<body><h1>"
+        ),
+        F.col("source"),
+        F.lit(" &amp; co</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_text_column(page).alias("extracted"),
+    ).withColumn("n_extract", F.length("extracted"))
+
+
+SQL_HTML_EXTRACT = """
+SELECT doc_id,
+       source || ' & co' || chr(10) || chr(10) || text AS extracted,
+       CAST(length(source || ' & co' || chr(10) || chr(10) || text) AS BIGINT)
+           AS n_extract
+FROM documents
+"""
+
+QUERIES = {"q_html_extract": q_html_extract}
+ORACLES = {"q_html_extract": SQL_HTML_EXTRACT}
+
+
 def warc_html_documents(warc_df: DataFrame) -> DataFrame:
     """``response`` records → ``documents``-shaped rows (doc_id, text, lang,
     source, n_chars). Map-only; ``lang`` is NULL by design — language ID is

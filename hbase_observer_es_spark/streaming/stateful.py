@@ -136,6 +136,13 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State is bounded by the watermark — at 100 TB/day this is the only viable
     dedup: keys older than the watermark are evicted from the state store.
+
+    Bench note (r10 re-measure, quiet host, warm): staging 0.08 s, session
+    clone 0.002 s (POOLED — per-query clone cost is not the r9 mover),
+    stream 1.15 s, drain 0.33 s. The r8→r9 delta is the
+    ``_drain_memory_sink`` eager localCheckpoint — a result-sized copy that
+    buys the unpinned-catalog invariant; at scale the result goes to a real
+    sink and the copy disappears with the memory sink itself.
     """
     run = f"s_watermark_dedup_{uuid.uuid4().hex[:8]}"
     out = scratch_dir(run)

@@ -109,6 +109,60 @@ def test_payload_without_http_envelope_is_the_document():
     assert decode_http_html(b"<p>bare</p>") == "<p>bare</p>"
 
 
+# ----------------------------------------------- registered query + its tether
+
+
+def test_fixture_has_no_html_active_chars():
+    """The q_html_extract oracle's closed form (source + ' & co' + blank line
+    + text) is exact ONLY because the fixture corpus carries no HTML-active
+    characters and no collapsible whitespace — verify that invariant, the
+    multimodal ASCII-tether pattern. If the corpus generator ever changes,
+    this fails before the oracle silently would."""
+    import duckdb
+
+    from .conftest import SF_ORACLE
+
+    n = duckdb.sql(
+        f"""
+        SELECT count(*) FROM '{SF_ORACLE}/documents.parquet'
+        WHERE text LIKE '%<%' OR text LIKE '%>%' OR text LIKE '%&%'
+           OR text LIKE '%' || chr(10) || '%' OR text LIKE '%' || chr(9) || '%'
+           OR text LIKE '%  %' OR text <> trim(text)
+           OR source LIKE '%<%' OR source LIKE '%&%' OR source LIKE '%  %'
+           OR source <> trim(source)
+        """
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_q_html_extract_matches_oracle(spark):
+    from hbase_observer_es_spark.operators.html_text import (
+        SQL_HTML_EXTRACT,
+        q_html_extract,
+    )
+
+    from .conftest import SF_ORACLE
+    from .oracle_harness import compare, duckdb_con
+
+    r = compare(
+        "q_html_extract",
+        q_html_extract(spark, SF_ORACLE),
+        duckdb_con(SF_ORACLE),
+        SQL_HTML_EXTRACT,
+    )
+    assert r.ok, r.detail
+
+
+def test_q_html_extract_is_map_only(spark):
+    from hbase_observer_es_spark.operators.html_text import q_html_extract
+
+    from .conftest import SF_ORACLE
+
+    df = q_html_extract(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
 # ------------------------------------------------------------------ Spark path
 
 
