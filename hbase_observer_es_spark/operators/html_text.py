@@ -138,35 +138,46 @@ def html_to_text(html: str) -> str:
     return _NL_RUN.sub("\n\n", "\n".join(lines)).strip("\n ")
 
 
-_CHARSET = re.compile(rb"charset=[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
+_CHARSET = re.compile(r"charset=[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
 
 
 def decode_http_html(payload: bytes) -> str | None:
     """Decode a ``response`` record's payload to an HTML string, or None if
-    the HTTP message does not declare an HTML content type.
+    the HTTP message does not declare an HTML content type or its body
+    cannot be decoded.
 
-    Charset: the HTTP ``Content-Type`` header's ``charset=`` parameter when
-    it names a codec Python knows, else UTF-8; decoding is errors="replace"
-    either way (crawl bodies routinely lie about their encoding — replacement
-    is deterministic, a decode crash on page 4 billion is not a policy)."""
-    if payload.startswith(b"HTTP/"):
-        sep = payload.find(b"\r\n\r\n")
-        headers = payload[: sep if sep >= 0 else len(payload)]
-        body = payload[sep + 4 :] if sep >= 0 else b""
-        hl = headers.lower()
-        if b"content-type:" in hl and b"html" not in hl.split(b"content-type:", 1)[1].split(b"\r\n", 1)[0]:
-            return None
-        charset = "utf-8"
-        m = _CHARSET.search(headers)
-        if m:
-            try:
-                codecs.lookup(m.group(1).decode("ascii"))
-                charset = m.group(1).decode("ascii")
-            except (LookupError, UnicodeDecodeError):
-                pass
-        return body.decode(charset, errors="replace")
-    # no HTTP envelope: treat the whole payload as the document
-    return payload.decode("utf-8", errors="replace")
+    The HTTP envelope goes through ``sources.warc.http_message``, which
+    removes chunked transfer framing and gzip/deflate content compression —
+    the codings crawled HTTP actually carries — before this function sees
+    the body. A body that is STILL coded afterwards (e.g. brotli, no lib)
+    returns None rather than extracting compression noise as "text".
+
+    Charset: the ``Content-Type`` header's ``charset=`` parameter when it
+    names a codec Python knows, else UTF-8; decoding is errors="replace"
+    either way (crawl bodies routinely lie about their encoding —
+    replacement is deterministic, a decode crash on page 4 billion is not a
+    policy)."""
+    from ..sources.warc import http_message
+
+    msg = http_message(payload)
+    if msg is None:
+        # no HTTP envelope: treat the whole payload as the document
+        return payload.decode("utf-8", errors="replace")
+    headers, body = msg
+    ctype = headers.get("content-type")
+    if ctype is not None and "html" not in ctype.lower():
+        return None
+    if "content-encoding" in headers:
+        return None  # still-coded body (no decoder available)
+    charset = "utf-8"
+    m = _CHARSET.search(ctype or "")
+    if m:
+        try:
+            codecs.lookup(m.group(1))
+            charset = m.group(1)
+        except LookupError:
+            pass
+    return body.decode(charset, errors="replace")
 
 
 def extract_text_udf(payload: Column) -> Column:

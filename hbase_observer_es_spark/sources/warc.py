@@ -142,12 +142,95 @@ def _maybe_gunzip(data: bytes) -> bytes:
 
 def http_payload_body(payload: bytes) -> bytes:
     """Split an HTTP-message payload (a ``response`` record's block) at the
-    header/body boundary and return only the body bytes; a payload with no
-    HTTP header block comes back unchanged."""
+    header/body boundary and return only the RAW body bytes; a payload with
+    no HTTP header block comes back unchanged. (``http_message`` is the
+    decoding sibling — it additionally undoes chunked framing and content
+    compression.)"""
     if not payload.startswith(b"HTTP/"):
         return payload
     sep = payload.find(b"\r\n\r\n")
     return payload if sep < 0 else payload[sep + 4 :]
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Undo ``Transfer-Encoding: chunked`` framing (RFC 7230 §4.1): hex
+    chunk-size line (extensions after ``;`` ignored), CRLF, data, CRLF,
+    repeated; a 0-size chunk ends the stream (trailers discarded). Returns
+    None on any framing violation — the caller falls back to the raw
+    bytes, because crawled responses routinely lie about their framing and
+    record-level tolerance is the extraction contract."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are discarded
+        if pos + size > len(body):
+            return None
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            return None
+        pos += 2
+
+
+def http_message(payload: bytes) -> tuple[dict[str, str], bytes] | None:
+    """Parse an HTTP-message payload into ``(headers, decoded body)``.
+
+    * Header names lowercase; the status line is under ``":status-line"``.
+    * ``Transfer-Encoding: chunked`` framing is removed FIRST (RFC 7230:
+      transfer coding is applied last on the wire), then ``Content-Encoding:
+      gzip``/``x-gzip``/``deflate`` decompresses via stdlib zlib — the two
+      compressions crawled HTTP actually carries. Both steps are BEST-EFFORT
+      per record: malformed framing or a corrupt stream falls back to the
+      raw bytes (container-level structure stays fail-loud; page-level
+      sloppiness must not kill a 100 TB job). An encoding we cannot decode
+      (``br`` without a brotli lib) is left raw — the surviving
+      ``content-encoding`` header tells the caller the body is still coded.
+    * Returns None when the payload carries no HTTP envelope.
+    """
+    if not payload.startswith(b"HTTP/"):
+        return None
+    sep = payload.find(b"\r\n\r\n")
+    head = payload[: sep if sep >= 0 else len(payload)]
+    body = payload[sep + 4 :] if sep >= 0 else b""
+    lines = head.split(b"\r\n")
+    headers: dict[str, str] = {
+        ":status-line": lines[0].decode("latin-1", errors="replace")
+    }
+    for ln in lines[1:]:
+        if b":" in ln:
+            k, v = ln.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1", errors="replace")] = (
+                v.strip().decode("latin-1", errors="replace")
+            )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+            headers.pop("transfer-encoding")
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip", "deflate"):
+        import zlib
+
+        for wbits in (47, -15):  # 47 = auto gzip/zlib header; -15 = raw
+            try:
+                body = zlib.decompress(body, wbits=wbits)
+                headers.pop("content-encoding")
+                break
+            except zlib.error:
+                continue
+    return headers, body
 
 
 def read_warc(

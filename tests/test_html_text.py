@@ -109,6 +109,120 @@ def test_payload_without_http_envelope_is_the_document():
     assert decode_http_html(b"<p>bare</p>") == "<p>bare</p>"
 
 
+# ------------------------------------- HTTP transfer/content coding (RFC 7230)
+
+
+def _chunked(body: bytes, sizes: list[int]) -> bytes:
+    out = bytearray()
+    pos = 0
+    for n in sizes:
+        out += format(n, "x").encode() + b"\r\n" + body[pos : pos + n] + b"\r\n"
+        pos += n
+    assert pos == len(body)
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def test_chunked_transfer_encoding_is_removed():
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    body = b"<p>chunked page content</p>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + _chunked(body, [10, 13, 4])
+    )
+    headers, got = http_message(payload)
+    assert got == body
+    assert "transfer-encoding" not in headers
+    assert html_to_text(decode_http_html(payload)) == "chunked page content"
+
+
+def test_chunk_extensions_and_hex_sizes():
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    body = b"x" * 0x1A + b"y" * 3
+    framed = (
+        b"1a;ext=1\r\n" + b"x" * 0x1A + b"\r\n3\r\nyyy\r\n0\r\n"
+        b"Trailer: t\r\n\r\n"
+    )
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + framed
+    )
+    _, got = http_message(payload)
+    assert got == body
+
+
+def test_malformed_chunk_stream_falls_back_to_raw():
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    raw = b"not actually chunked"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + raw
+    )
+    headers, got = http_message(payload)
+    assert got == raw  # record-level tolerance: raw bytes, not a crash
+    assert "transfer-encoding" in headers  # the lie is still visible
+
+
+def test_gzip_content_encoding_is_decompressed():
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    body = b"<p>compressed page</p>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(body)
+    )
+    headers, got = http_message(payload)
+    assert got == body and "content-encoding" not in headers
+    assert html_to_text(decode_http_html(payload)) == "compressed page"
+
+
+def test_deflate_content_encoding_both_wrappings():
+    import zlib
+
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    body = b"<p>deflated</p>"
+    # zlib-wrapped and raw deflate both occur in the wild
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw_deflate = co.compress(body) + co.flush()
+    for blob in (zlib.compress(body), raw_deflate):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
+        )
+        _, got = http_message(payload)
+        assert got == body
+
+
+def test_chunked_then_gzip_layering():
+    """Transfer coding is removed first, then content coding — the RFC
+    ordering; both undone in one pass."""
+    body = b"<p>both layers</p>"
+    blob = gzip.compress(body)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + _chunked(blob, [len(blob)])
+    )
+    assert html_to_text(decode_http_html(payload)) == "both layers"
+
+
+def test_undecodable_content_encoding_yields_no_document():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n\x1b\x2c\x00\x10"
+    )
+    assert decode_http_html(payload) is None  # never extract noise as text
+
+
+def test_corrupt_gzip_body_stays_raw_and_yields_no_document():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\nnot gzip at all"
+    )
+    assert decode_http_html(payload) is None
+
+
 # ----------------------------------------------- registered query + its tether
 
 
