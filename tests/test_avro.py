@@ -317,6 +317,32 @@ def test_snappy_literal_roundtrip_property(data):
     assert snappy_uncompress(snappy_compress_literal(data), "prop") == data
 
 
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=500, deadline=None)
+def test_snappy_decoder_total_on_adversarial_bytes(data):
+    """Arbitrary bytes either decode or raise a clean ValueError with origin
+    context — never IndexError, never a hang, never a silent wrong-length
+    result (the preamble check makes length lies loud)."""
+    try:
+        out = snappy_uncompress(data, "fuzz")
+    except ValueError as e:
+        assert "fuzz" in str(e) or "varint" in str(e)
+    else:
+        expected, _ = _plain_varint(data)
+        assert len(out) == expected
+
+
+def _plain_varint(buf):
+    shift = acc = pos = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+
+
 # -- round-10 advisor repros: exact types through the Arrow boundary ----------
 
 

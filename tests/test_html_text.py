@@ -223,6 +223,45 @@ def test_corrupt_gzip_body_stays_raw_and_yields_no_document():
     assert decode_http_html(payload) is None
 
 
+# ------------------------------------------------------- totality fuzz (never crash)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_markupish = st.text(
+    alphabet=st.sampled_from(list("<>&;/=\"' abpqstyle!-#x0123[]()\r\n\t\xa0é日💥")),
+    max_size=80,
+)
+
+
+@given(html=_markupish)
+@settings(max_examples=300, deadline=None)
+def test_html_to_text_total_on_adversarial_markup(html):
+    """Any string extracts to a string — malformed tags, half entities,
+    stray angle brackets, truncations. Whitespace invariants always hold."""
+    out = html_to_text(html)
+    assert isinstance(out, str)
+    assert "\xa0" not in out and "\t" not in out
+    assert "  " not in "\n".join(l for l in out.split("\n"))
+    assert not out.startswith("\n") and not out.endswith("\n")
+
+
+@given(payload=st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_decode_http_html_total_on_adversarial_payloads(payload):
+    out = decode_http_html(payload)
+    assert out is None or isinstance(out, str)
+
+
+@given(payload=st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_http_message_total_on_adversarial_payloads(payload):
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    msg = http_message(b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + payload)
+    assert msg is not None and isinstance(msg[1], bytes)
+
+
 # ----------------------------------------------- registered query + its tether
 
 
