@@ -139,6 +139,16 @@ def html_to_text(html: str) -> str:
 
 
 _CHARSET = re.compile(r"charset=[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
+# <meta charset="..."> or <meta http-equiv=... content="...; charset=...">
+_META_CHARSET = re.compile(rb"<meta[^>]{0,200}?charset=[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE)
+
+
+def _known_codec(name: str) -> str | None:
+    try:
+        codecs.lookup(name)
+        return name
+    except LookupError:
+        return None
 
 
 def decode_http_html(payload: bytes) -> str | None:
@@ -152,11 +162,14 @@ def decode_http_html(payload: bytes) -> str | None:
     the body. A body that is STILL coded afterwards (e.g. brotli, no lib)
     returns None rather than extracting compression noise as "text".
 
-    Charset: the ``Content-Type`` header's ``charset=`` parameter when it
-    names a codec Python knows, else UTF-8; decoding is errors="replace"
-    either way (crawl bodies routinely lie about their encoding —
-    replacement is deterministic, a decode crash on page 4 billion is not a
-    policy)."""
+    Charset, in precedence order (the WHATWG sniffing ladder's
+    deterministic subset): the ``Content-Type`` header's ``charset=``
+    parameter, else a ``<meta charset=…>`` / ``<meta http-equiv
+    content="…charset=…">`` declaration within the first 1024 body bytes
+    (where the HTML standard requires it to appear), else UTF-8 — skipping
+    any name Python has no codec for; decoding is errors="replace" either
+    way (crawl bodies routinely lie about their encoding — replacement is
+    deterministic, a decode crash on page 4 billion is not a policy)."""
     from ..sources.warc import http_message
 
     msg = http_message(payload)
@@ -169,15 +182,15 @@ def decode_http_html(payload: bytes) -> str | None:
         return None
     if "content-encoding" in headers:
         return None  # still-coded body (no decoder available)
-    charset = "utf-8"
+    charset = None
     m = _CHARSET.search(ctype or "")
     if m:
-        try:
-            codecs.lookup(m.group(1))
-            charset = m.group(1)
-        except LookupError:
-            pass
-    return body.decode(charset, errors="replace")
+        charset = _known_codec(m.group(1))
+    if charset is None:
+        m = _META_CHARSET.search(body[:1024])
+        if m:
+            charset = _known_codec(m.group(1).decode("ascii", errors="replace"))
+    return body.decode(charset or "utf-8", errors="replace")
 
 
 def extract_text_udf(payload: Column) -> Column:

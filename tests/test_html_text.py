@@ -100,6 +100,34 @@ def test_unknown_charset_falls_back_to_utf8_replace():
     assert html is not None and html.startswith("ok ")
 
 
+def test_meta_charset_used_when_header_has_none():
+    body = ('<html><head><meta charset="iso-8859-1"></head>'
+            "<body><p>café</p></body></html>").encode("latin-1")
+    html = decode_http_html(_http(body, b"text/html"))
+    assert "café" in html
+
+
+def test_meta_http_equiv_charset_form():
+    body = ('<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>'
+            "<body><p>naïve</p></body></html>").encode("latin-1")
+    assert "naïve" in decode_http_html(_http(body, b"text/html"))
+
+
+def test_header_charset_wins_over_meta():
+    # header says latin-1; meta lies utf-8 — header is authoritative
+    body = ('<meta charset="utf-8"><p>café</p>').encode("latin-1")
+    html = decode_http_html(_http(body, b"text/html; charset=ISO-8859-1"))
+    assert "café" in html
+
+
+def test_meta_charset_outside_first_1024_bytes_is_ignored():
+    body = b"<html><head>" + b"<!-- pad -->" * 100 + \
+        '<meta charset="iso-8859-1"></head><body><p>caf\xe9</p></body></html>'.encode("latin-1")
+    html = decode_http_html(_http(body, b"text/html"))
+    assert "caf�" in html  # utf-8 replace, meta too late per the spec
+
+
 def test_non_html_content_type_returns_none():
     assert decode_http_html(_http(b'{"a":1}', b"application/json")) is None
     assert decode_http_html(_http(b"\x89PNG", b"image/png")) is None
