@@ -13,9 +13,13 @@ the WARC payload itself carries.
 Extraction semantics (deterministic, documented, golden-tested):
 
 * ``script`` / ``style`` / ``noscript`` / ``template`` / ``svg`` / ``iframe``
-  / ``object`` / ``embed`` / ``applet`` and the whole ``head`` subtree emit
-  NOTHING — markup, styling, and metadata are boilerplate, not text.
-  Comments, CDATA sections, doctypes, and processing instructions likewise.
+  / ``object`` / ``embed`` / ``applet`` subtrees and ``title`` text emit
+  NOTHING — markup, styling, and metadata are boilerplate, not text. (Title
+  is tracked by its own rule rather than skipping ``head``: both of head's
+  tags are omissible per the HTML spec, so element-depth tracking on head
+  drops whole documents on spec-valid pages; meta/link/base carry no text
+  anyway.) Comments, CDATA sections, doctypes, and processing instructions
+  likewise.
 * Block-level boundaries (``p``, ``div``, headings, list items, table rows,
   ``br``, ``pre``, …) become newlines; table cells become single spaces; all
   other tags vanish inline (``<b>bold</b> text`` → ``bold text``).
@@ -51,9 +55,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# subtrees that emit no text at all (boilerplate/markup payloads)
+# Subtrees that emit no text at all (boilerplate/markup payloads). NOTE:
+# "head" is deliberately NOT here — the HTML spec makes both of head's tags
+# omissible (<body> implies </head>; <title> before <head> implies <head>),
+# so depth-tracking the head element drops whole documents on spec-valid
+# pages (round-10 review finding, confirmed on '<head>…<body>…' with no
+# </head>). The only head child that CARRIES text is <title>, which is
+# skipped by its own rule below; the rest (meta/link/base) emit no data.
 _SKIP = frozenset(
-    "script style noscript template svg iframe object embed applet head".split()
+    "script style noscript template svg iframe object embed applet".split()
+)
+# tags allowed inside head: a <title> skip ends implicitly when any tag
+# OUTSIDE this set starts (the WHATWG implied-end rule) — an unclosed
+# <title> must not swallow the document body
+_HEADISH = frozenset(
+    "title meta link base style script noscript template head html".split()
 )
 # tags that break the text flow into lines/paragraphs
 _BLOCK = frozenset(
@@ -81,9 +97,14 @@ class _TextExtractor(HTMLParser):
         self._parts: list[str] = []
         self._skip_depth = 0
         self._pre_depth = 0
+        self._in_title = False
 
     def handle_starttag(self, tag, attrs):
-        if tag in _SKIP:
+        if self._in_title and tag not in _HEADISH:
+            self._in_title = False  # implied </title> (WHATWG)
+        if tag == "title":
+            self._in_title = True
+        elif tag in _SKIP:
             self._skip_depth += 1
         elif tag in _BLOCK:
             if tag == "pre":
@@ -93,6 +114,10 @@ class _TextExtractor(HTMLParser):
             self._parts.append(" ")
 
     def handle_endtag(self, tag):
+        if tag in ("title", "head"):  # a title cannot span past </head>
+            self._in_title = False
+            if tag == "title":
+                return
         if tag in _VOID:
             return
         if tag in _SKIP:
@@ -106,7 +131,7 @@ class _TextExtractor(HTMLParser):
             self._parts.append(" ")
 
     def handle_data(self, data):
-        if not self._skip_depth and data:
+        if not self._skip_depth and not self._in_title and data:
             if not self._pre_depth:
                 # source newlines are HTML whitespace, not line breaks —
                 # only TAG boundaries break lines (except inside <pre>)
@@ -174,14 +199,35 @@ def decode_http_html(payload: bytes) -> str | None:
 
     msg = http_message(payload)
     if msg is None:
-        # no HTTP envelope: treat the whole payload as the document
-        return payload.decode("utf-8", errors="replace")
+        # no HTTP envelope (e.g. a WARC `conversion` record): the whole
+        # payload is the document — same charset sniffing as the body path
+        return _sniff_decode(payload, None)
     headers, body = msg
     ctype = headers.get("content-type")
     if ctype is not None and "html" not in ctype.lower():
         return None
-    if "content-encoding" in headers:
-        return None  # still-coded body (no decoder available)
+    if ctype is None and not _looks_like_html(body):
+        # no declared type: accept only a recognizable HTML signature —
+        # a misconfigured server's image/PDF must not land as U+FFFD soup
+        return None
+    if "content-encoding" in headers or "transfer-encoding" in headers:
+        return None  # still-coded body (undecodable or corrupt layer)
+    return _sniff_decode(body, ctype)
+
+
+_HTML_SIGNATURE = re.compile(
+    rb"<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]", re.IGNORECASE
+)
+
+
+def _looks_like_html(body: bytes) -> bool:
+    """WHATWG-sniffing-spirit signature check over the document prefix."""
+    return _HTML_SIGNATURE.search(body[:1024]) is not None
+
+
+def _sniff_decode(body: bytes, ctype: str | None) -> str:
+    """Charset ladder (module docstring): header param → meta tag in the
+    first 1024 bytes → UTF-8; errors="replace" throughout."""
     charset = None
     m = _CHARSET.search(ctype or "")
     if m:

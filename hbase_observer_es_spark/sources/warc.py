@@ -188,15 +188,16 @@ def http_message(payload: bytes) -> tuple[dict[str, str], bytes] | None:
     """Parse an HTTP-message payload into ``(headers, decoded body)``.
 
     * Header names lowercase; the status line is under ``":status-line"``.
-    * ``Transfer-Encoding: chunked`` framing is removed FIRST (RFC 7230:
-      transfer coding is applied last on the wire), then ``Content-Encoding:
-      gzip``/``x-gzip``/``deflate`` decompresses via stdlib zlib — the two
-      compressions crawled HTTP actually carries. Both steps are BEST-EFFORT
-      per record: malformed framing or a corrupt stream falls back to the
-      raw bytes (container-level structure stays fail-loud; page-level
-      sloppiness must not kill a 100 TB job). An encoding we cannot decode
-      (``br`` without a brotli lib) is left raw — the surviving
-      ``content-encoding`` header tells the caller the body is still coded.
+    * Transfer codings unwrap before content codings (RFC 7230 layering),
+      each header's token list processed last-applied-first: ``chunked``
+      de-frames, ``gzip``/``x-gzip``/``deflate`` inflate via stdlib zlib
+      (all three stream wrappings auto-detected), ``identity`` is the legal
+      no-op. Everything is BEST-EFFORT per record: malformed framing or a
+      corrupt stream stops the unwrap and keeps the raw bytes
+      (container-level structure stays fail-loud; page-level sloppiness
+      must not kill a 100 TB job). Tokens NOT successfully undone — a
+      corrupt layer, or a coding with no decoder here (``br``) — remain in
+      the header, so the caller can see the body is still coded.
     * Returns None when the payload carries no HTTP envelope.
     """
     if not payload.startswith(b"HTTP/"):
@@ -214,23 +215,61 @@ def http_message(payload: bytes) -> tuple[dict[str, str], bytes] | None:
             headers[k.strip().lower().decode("latin-1", errors="replace")] = (
                 v.strip().decode("latin-1", errors="replace")
             )
-    if "chunked" in headers.get("transfer-encoding", "").lower():
-        dechunked = _dechunk(body)
-        if dechunked is not None:
-            body = dechunked
-            headers.pop("transfer-encoding")
-    enc = headers.get("content-encoding", "").strip().lower()
-    if enc in ("gzip", "x-gzip", "deflate"):
-        import zlib
-
-        for wbits in (47, -15):  # 47 = auto gzip/zlib header; -15 = raw
-            try:
-                body = zlib.decompress(body, wbits=wbits)
-                headers.pop("content-encoding")
-                break
-            except zlib.error:
-                continue
+    body, headers = _decode_codings(body, headers, "transfer-encoding")
+    body, headers = _decode_codings(body, headers, "content-encoding")
     return headers, body
+
+
+def _inflate(data: bytes) -> bytes | None:
+    """gzip / zlib-wrapped / raw deflate, or None — all three wrappings
+    occur in the wild regardless of which token the header used."""
+    import zlib
+
+    for wbits in (47, -15):  # 47 = auto-detect gzip/zlib header; -15 = raw
+        try:
+            return zlib.decompress(data, wbits=wbits)
+        except zlib.error:
+            continue
+    return None
+
+
+def _decode_codings(
+    body: bytes, headers: dict[str, str], header: str
+) -> tuple[bytes, dict[str, str]]:
+    """Undo one coding header's token LIST, last-applied-first (RFC 7230:
+    codings are listed in application order, so they unwrap from the end).
+    Every token successfully undone is removed FROM THE HEADER; the first
+    failure or unknown token stops the unwrap and the remaining tokens stay
+    visible — a ``Transfer-Encoding: gzip, chunked`` body that was only
+    de-chunked must still advertise the gzip layer, or the caller would
+    extract compression noise as text (round-10 review finding)."""
+    value = headers.get(header)
+    if value is None:
+        return body, headers
+    tokens = [t.strip().lower() for t in value.split(",") if t.strip()]
+    while tokens:
+        tok = tokens[-1]
+        if tok == "identity":  # legal no-op coding
+            tokens.pop()
+        elif tok == "chunked" and header == "transfer-encoding":
+            dechunked = _dechunk(body)
+            if dechunked is None:
+                break
+            body = dechunked
+            tokens.pop()
+        elif tok in ("gzip", "x-gzip", "deflate"):
+            inflated = _inflate(body)
+            if inflated is None:
+                break
+            body = inflated
+            tokens.pop()
+        else:
+            break
+    if tokens:
+        headers[header] = ", ".join(tokens)
+    else:
+        headers.pop(header)
+    return body, headers
 
 
 def read_warc(

@@ -28,21 +28,10 @@ from hbase_observer_es_spark.sinks.dataset_export import export_dataset, verify_
 from hbase_observer_es_spark.sources.warc import read_warc
 
 
-def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
-    return b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+from .warc_fixtures import http_response as _http  # noqa: E402
 
 
-def _record(rtype: str, payload: bytes, uri: str = "", rid: str = "id:1") -> bytes:
-    headers = [
-        b"WARC/1.0",
-        b"WARC-Type: " + rtype.encode(),
-        b"WARC-Record-ID: " + rid.encode(),
-        b"WARC-Date: 2024-01-01T00:00:00Z",
-        b"Content-Length: " + str(len(payload)).encode(),
-    ]
-    if uri:
-        headers.insert(2, b"WARC-Target-URI: " + uri.encode())
-    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+from .warc_fixtures import warc_record as _record  # noqa: E402
 
 
 def _page(text: str) -> bytes:

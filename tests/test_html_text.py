@@ -84,8 +84,7 @@ def test_whitespace_collapses_but_paragraphs_survive():
 # ------------------------------------------------------------ charset handling
 
 
-def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
-    return b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+from .warc_fixtures import http_response as _http  # noqa: E402
 
 
 def test_charset_from_http_header():
@@ -135,6 +134,78 @@ def test_non_html_content_type_returns_none():
 
 def test_payload_without_http_envelope_is_the_document():
     assert decode_http_html(b"<p>bare</p>") == "<p>bare</p>"
+
+
+# ------------------------------- round-10 review repros (implied tags, codings)
+
+
+def test_implied_head_close_keeps_the_body():
+    """</head> is omissible per the HTML spec; <body> implies it. The body
+    of such a page must extract, not vanish into a stuck skip state."""
+    html = "<html><head><title>t</title><body><p>hello world</p></body></html>"
+    assert html_to_text(html) == "hello world"
+
+
+def test_implied_head_open_still_drops_title():
+    """<head> is also omissible: a bare <title> before any body content is
+    head boilerplate, not corpus text."""
+    html = '<html><title>My Site</title><meta name="a"><p>body text</p>'
+    assert html_to_text(html) == "body text"
+
+
+def test_unclosed_title_does_not_swallow_the_document():
+    html = "<html><head><title>oops no close tag<body><p>kept</p>"
+    assert html_to_text(html) == "kept"
+
+
+def test_identity_content_encoding_is_a_noop():
+    payload = _http(b"<p>fine page</p>", b"text/html",
+                    b"Content-Encoding: identity\r\n")
+    assert html_to_text(decode_http_html(payload)) == "fine page"
+
+
+def test_layered_transfer_encoding_gzip_chunked_decodes_fully():
+    """'Transfer-Encoding: gzip, chunked' unwraps last-first: de-chunk, then
+    inflate — the full RFC 7230 layering in one header."""
+    body = b"<p>layered</p>"
+    blob = gzip.compress(body)
+    payload = _http(
+        _chunked(blob, [len(blob)]), b"text/html",
+        b"Transfer-Encoding: gzip, chunked\r\n",
+    )
+    assert html_to_text(decode_http_html(payload)) == "layered"
+
+
+def test_partially_undone_transfer_encoding_yields_no_document():
+    """If only the chunked layer unwraps (the gzip layer is corrupt), the
+    remaining token must stay visible and the page must NOT extract as
+    compression noise."""
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    payload = _http(
+        _chunked(b"not actually gzip", [17]), b"text/html",
+        b"Transfer-Encoding: gzip, chunked\r\n",
+    )
+    headers, got = http_message(payload)
+    assert headers.get("transfer-encoding") == "gzip"
+    assert got == b"not actually gzip"  # chunked layer removed, gzip kept
+    assert decode_http_html(payload) is None
+
+
+def test_missing_content_type_requires_html_signature():
+    """No Content-Type header: a recognizable HTML signature extracts; a
+    binary payload must not land as replacement-character soup."""
+    html_payload = b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n<!DOCTYPE html><p>ok</p>"
+    assert html_to_text(decode_http_html(html_payload)) == "ok"
+    png_payload = b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n\x89PNG\r\n\x1a\n\xff\xfe"
+    assert decode_http_html(png_payload) is None
+
+
+def test_bare_payload_honors_meta_charset():
+    """A payload with no HTTP envelope (e.g. a WARC conversion record) gets
+    the same charset sniffing as enveloped bodies."""
+    body = '<meta charset="iso-8859-1"><p>café</p>'.encode("latin-1")
+    assert "café" in decode_http_html(body)
 
 
 # ------------------------------------- HTTP transfer/content coding (RFC 7230)
@@ -347,17 +418,7 @@ def test_q_html_extract_is_map_only(spark):
 # ------------------------------------------------------------------ Spark path
 
 
-def _record(rtype: str, payload: bytes, uri: str = "", rid: str = "id:1") -> bytes:
-    headers = [
-        b"WARC/1.0",
-        b"WARC-Type: " + rtype.encode(),
-        b"WARC-Record-ID: " + rid.encode(),
-        b"WARC-Date: 2024-01-01T00:00:00Z",
-        b"Content-Length: " + str(len(payload)).encode(),
-    ]
-    if uri:
-        headers.insert(2, b"WARC-Target-URI: " + uri.encode())
-    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+from .warc_fixtures import warc_record as _record  # noqa: E402
 
 
 _PAGE = (

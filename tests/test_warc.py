@@ -15,17 +15,7 @@ from hbase_observer_es_spark.sources.warc import (
 )
 
 
-def _record(rtype: str, payload: bytes, uri: str = "", rid: str = "id:1") -> bytes:
-    headers = [
-        b"WARC/1.0",
-        b"WARC-Type: " + rtype.encode(),
-        b"WARC-Record-ID: " + rid.encode(),
-        b"WARC-Date: 2024-01-01T00:00:00Z",
-        b"Content-Length: " + str(len(payload)).encode(),
-    ]
-    if uri:
-        headers.insert(2, b"WARC-Target-URI: " + uri.encode())
-    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+from .warc_fixtures import warc_record as _record  # noqa: E402
 
 
 _HTML = b"<html><body>hello \xe6\x97\xa5\xe6\x9c\xac</body></html>"
