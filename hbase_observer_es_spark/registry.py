@@ -73,70 +73,19 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 9 inputs: CORRECTNESS_r01-r08 + git round boundaries; tier-1.0
-# auto-derived (the 8 streaming queries' newSession isolation + plan-capture
-# rewrite, q_search_querystring range/phrase grammar). The new
-# q_geo_shape_relation plus those 9 edits head the window; the ENTIRE 39-row
-# r5 backlog (the round-8 verdict's top item) sits inside the 50-row prefix —
-# 15 via the age band's proven-unchanged merge, 24 untouched — so the oldest
-# hard-signal evidence retires this round and the oldest remaining green
-# becomes r6. The two rows-only-by-contract ln twins now carry their r8
-# rows-only record as their maximal-achievable check (tool refinement) and
-# rotate like any other row instead of pinning two head slots forever.
+# Round 10 inputs: CORRECTNESS_r01-r09 + git round boundaries; edited-fn
+# q_html_extract (the round's one new registration — its pandas-UDF operator
+# module is new, so nothing else shares its closure). The never-checked
+# q_html_extract heads the window, followed by the ENTIRE 42-row r6 evidence
+# block (the round-9 verdict's top item) — 24 rows via the age band's
+# proven-AST-unchanged merge, 18 untouched — so after the r10 driver window
+# the oldest remaining green becomes r7. The round's source edits (avrosrc
+# snappy/arrow boundary, warc HTTP codings, html_text) sit outside every
+# other query's closure per astdeps; streaming rows keep their r9 green.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_geo_shape_relation",  # never checked
-    # tier 1.0: own fn edited after last green check
-    "s_watermark_dedup",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_upsert_sink",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_win_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_session_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_join_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_terms_stream",  # green r7, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_stateful_profile",  # green r8, hbase_observer_es_spark/streaming/stateful.py fn edited r9
-    "s_pii_stream",  # green r8, hbase_observer_es_spark/streaming/scrub.py fn edited r9
-    "q_search_querystring",  # green r8, hbase_observer_es_spark/operators/query_string.py fn edited r9
+    "q_html_extract",  # never checked
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_search_suggest",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_highlight",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_bool",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_search_prefix",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_get_by_key",  # green r5, hbase_observer_es_spark/operators/search.py file edited r6, closure AST-unchanged
-    "q_agg_multiterms",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_agg_stringstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_agg_matrixstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_agg_geocentroid",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_agg_bucketstats",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_agg_scripted",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_agg_bucket_script",  # green r5, hbase_observer_es_spark/operators/es_aggs_stats.py file edited r6, closure AST-unchanged
-    "q_text_unigram",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
-    "q_text_boilerplate",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
-    "q_text_pack_sharded",  # green r5, hbase_observer_es_spark/operators/corpus_stats.py file edited r6, closure AST-unchanged
-    "q_sim_knn",  # green r5
-    "q_sim_pairs",  # green r5
-    "q_sim_ivf",  # green r5
-    "q_sim_ivf_trained",  # green r5
-    "q_embed_quant",  # green r5
-    "q_udf_scalar",  # green r5
-    "q_udf_grouped",  # green r5
-    "q_mm_decode",  # green r5
-    "q_mm_meta",  # green r5
-    "q_mm_framesample",  # green r5
-    "q_mm_resize",  # green r5
-    "q_agg_groupingsets",  # green r5
-    "q_agg_percentile",  # green r5
-    "q_subquery_scalar",  # green r5
-    "q_win_rangeframe",  # green r5
-    "q_page_keyset",  # green r5
-    "q_agg_histogram",  # green r5
-    "q_agg_stats",  # green r5
-    "q_scan_project",  # green r5
-    "q_filter_pred",  # green r5
-    "q_join_inner",  # green r5
-    "q_win_ntile",  # green r5
-    "q_pivot",  # green r5
-    "q_ann_recall",  # green r5
-    "q_agg_boxplot",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
     "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
     "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
     "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
@@ -270,6 +219,56 @@ _PRIORITY = (
     "q_search_terms_lookup",  # green r8
     "q_search_suggest_phrase",  # green r8
     "q_search_range_relation",  # green r8
+    "s_watermark_dedup",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_upsert_sink",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_stateful_profile",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_win_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_session_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_join_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_terms_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
+    "s_pii_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py import edited r10, closure AST-unchanged
+    "q_sim_knn",  # green r9
+    "q_sim_pairs",  # green r9
+    "q_sim_ivf",  # green r9
+    "q_sim_ivf_trained",  # green r9
+    "q_embed_quant",  # green r9
+    "q_search_suggest",  # green r9
+    "q_search_highlight",  # green r9
+    "q_search_bool",  # green r9
+    "q_search_prefix",  # green r9
+    "q_get_by_key",  # green r9
+    "q_udf_scalar",  # green r9
+    "q_udf_grouped",  # green r9
+    "q_mm_decode",  # green r9
+    "q_mm_meta",  # green r9
+    "q_mm_framesample",  # green r9
+    "q_mm_resize",  # green r9
+    "q_agg_groupingsets",  # green r9
+    "q_agg_percentile",  # green r9
+    "q_subquery_scalar",  # green r9
+    "q_win_rangeframe",  # green r9
+    "q_page_keyset",  # green r9
+    "q_agg_histogram",  # green r9
+    "q_agg_stats",  # green r9
+    "q_geo_shape_relation",  # green r9
+    "q_scan_project",  # green r9
+    "q_filter_pred",  # green r9
+    "q_join_inner",  # green r9
+    "q_agg_multiterms",  # green r9
+    "q_agg_stringstats",  # green r9
+    "q_agg_matrixstats",  # green r9
+    "q_agg_geocentroid",  # green r9
+    "q_agg_bucketstats",  # green r9
+    "q_agg_scripted",  # green r9
+    "q_agg_bucket_script",  # green r9
+    "q_agg_boxplot",  # green r9
+    "q_search_querystring",  # green r9
+    "q_text_unigram",  # green r9
+    "q_text_boilerplate",  # green r9
+    "q_text_pack_sharded",  # green r9
+    "q_win_ntile",  # green r9
+    "q_pivot",  # green r9
+    "q_ann_recall",  # green r9
 )
 
 
