@@ -1,0 +1,148 @@
+"""Iterative graph centrality — the operator class the engine lacked.
+
+A crawl/training-data pipeline ranks documents by link structure (quality
+signals for mixture weighting), and the relational surface covers every
+per-row and per-group shape but no FIXPOINT-style iteration over an edge
+set beyond connected components (``q_dedup_clusters``). This module adds
+PageRank as a bounded-iteration DataFrame computation.
+
+Engine-exactness: PageRank is usually floating-point, which can never be
+hash-compared across engines (D10 rule). Here rank mass is integer UNITS
+(each node starts at 10^12), the damping factor 0.85 is the rational 17/20,
+and each step distributes ``(units * 17) div (20 * out_degree)`` with
+integer floor division — every operand positive, so Spark's truncating
+``div`` and DuckDB's ``//`` agree exactly, and K iterations stay bit-exact
+on both engines. The units lost to flooring per edge (< 1 unit each) are
+the deterministic price of exactness; with 10^12-unit granularity the
+relative error is ~1e-9 per step, far below any ranking-relevant
+difference.
+
+Graph: the distinct customer↔supplier trade pairs from ``orders ⋈
+lineitem``, doubled into both directions (an undirected trade graph —
+one-directional bipartite edges would make the fixpoint trivial). Node ids
+are prefixed (``c<custkey>`` / ``s<suppkey>``) because the two key spaces
+overlap numerically.
+
+Scale posture (100 TB): each iteration is one join (ranks ⋈ edges on src)
+and one aggregation (sum by dst) — the canonical Pregel-as-DataFrame step.
+K is FIXED (3), so plan depth is bounded and no checkpoint is needed; at
+larger K, localCheckpoint per iteration (the q_dedup_clusters discipline)
+caps lineage. At cluster scale the edge frame and the rank frame are
+co-partitioned on ``src`` so the per-iteration join is exchange-free on
+the edge side; the degree column is folded into the edge frame ONCE before
+the loop, not re-joined per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+INIT_UNITS = 10**12
+DAMP_NUM, DAMP_DEN = 17, 20  # 0.85 as an exact rational
+BASE_UNITS = (INIT_UNITS * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # (1-d)·INIT
+N_ITER = 3
+
+
+def _edges_with_deg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    pairs = (
+        o.join(li, "ok")
+        .select(
+            F.concat(F.lit("c"), F.col("ck")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("sk")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    # undirected doubling ⇒ every node occurs as src, so the node set and
+    # the out-degree table come from the src column alone
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = outdeg.select(F.col("src").alias("node"))
+    return edges.join(outdeg, "src"), nodes
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, K=3 fixed iterations (module docstring)."""
+    ed, nodes = _edges_with_deg(spark, sf_dir)
+    # Materialize the edge and node frames ONCE before the loop (the
+    # q_dedup_clusters lineage discipline): without the cut, every
+    # iteration's plan re-derives the orders⋈lineitem edge set from the
+    # base scans, tripling scan work at K=3 and growing multiplicatively
+    # with K. The iteration then joins against in-memory blocks.
+    ed = ed.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "node", F.lit(INIT_UNITS).cast("bigint").alias("units")
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"(units * {DAMP_NUM}) div ({DAMP_DEN} * deg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(BASE_UNITS) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("bigint")
+                .alias("units"),
+            )
+        )
+    return ranks.select("node", F.col("units").alias("rank_units"))
+
+
+def _sql_iteration(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+    SELECT n.node,
+           CAST({BASE_UNITS} + COALESCE(c.contrib, 0) AS BIGINT) AS units
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst,
+               CAST(SUM((r.units * {DAMP_NUM}) // ({DAMP_DEN} * ed.deg))
+                    AS BIGINT) AS contrib
+        FROM ed JOIN {prev} r ON ed.src = r.node
+        GROUP BY ed.dst
+    ) c ON n.node = c.dst
+)"""
+
+
+SQL_GRAPH_PAGERANK = f"""
+WITH pairs AS (
+    SELECT DISTINCT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+    SELECT cnode AS src, snode AS dst FROM pairs
+    UNION ALL
+    SELECT snode AS src, cnode AS dst FROM pairs
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM outdeg),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d ON e.src = d.src),
+r0 AS (SELECT node, CAST({INIT_UNITS} AS BIGINT) AS units FROM nodes),
+{_sql_iteration("r0", "r1")},
+{_sql_iteration("r1", "r2")},
+{_sql_iteration("r2", "r3")}
+SELECT node, units AS rank_units FROM r3
+"""
+
+QUERIES = {"q_graph_pagerank": q_graph_pagerank}
+ORACLES = {"q_graph_pagerank": SQL_GRAPH_PAGERANK}

@@ -63,6 +63,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.rescore",
     "hbase_observer_es_spark.operators.es_extra",
     "hbase_observer_es_spark.operators.html_text",
+    "hbase_observer_es_spark.operators.graph",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a

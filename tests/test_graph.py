@@ -1,0 +1,80 @@
+"""Integer-exact PageRank (operators/graph.py): hand-computed fixture math,
+oracle parity, conservation bounds, determinism, plan hygiene."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_observer_es_spark.operators.graph import (
+    BASE_UNITS,
+    INIT_UNITS,
+    SQL_GRAPH_PAGERANK,
+    q_graph_pagerank,
+)
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare, duckdb_con
+
+
+def test_matches_oracle_at_fixture_scale(spark):
+    r = compare(
+        "q_graph_pagerank",
+        q_graph_pagerank(spark, SF_ORACLE),
+        duckdb_con(SF_ORACLE),
+        SQL_GRAPH_PAGERANK,
+    )
+    assert r.ok, r.detail
+
+
+def test_hand_computed_three_node_graph(spark, tmp_path):
+    """orders {1→c1, 2→c2}, lineitem {1→s10, 2→s10}: the undirected star
+    c1–s10–c2. Hand-derived K=3 unit values (worked in the module's integer
+    arithmetic, zero floor loss on this instance) pin the recurrence — the
+    Spark side and the SQL oracle cannot share a mirrored off-by-one."""
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 10), (2, 10)], "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.node: r.rank_units
+        for r in q_graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "s10": 1_741_625_000_000,
+        "c1": 629_187_500_000,
+        "c2": 629_187_500_000,
+    }
+    assert sum(got.values()) == 3 * INIT_UNITS  # conserved on this instance
+
+
+def test_mass_bounds_at_fixture_scale(spark):
+    """Total rank mass can only shrink (floor losses), never grow, and no
+    node can fall below the teleport floor BASE_UNITS."""
+    rows = q_graph_pagerank(spark, SF_ORACLE).collect()
+    n = len(rows)
+    total = sum(r.rank_units for r in rows)
+    assert total <= n * INIT_UNITS
+    assert total >= n * BASE_UNITS
+    assert min(r.rank_units for r in rows) >= BASE_UNITS
+
+
+def test_deterministic_across_reruns(spark):
+    a = sorted(map(tuple, q_graph_pagerank(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, q_graph_pagerank(spark, SF_ORACLE).collect()))
+    assert a == b
+
+
+def test_plan_has_no_cartesian_and_bounded_depth(spark):
+    df = q_graph_pagerank(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the edge/node frames are checkpointed ONCE before the loop, so the
+    # iteration plan reads in-memory blocks — zero parquet scans — instead
+    # of re-deriving orders⋈lineitem per iteration
+    assert plan.count("FileScan parquet") == 0, plan.count("FileScan parquet")
+    assert "Scan ExistingRDD" in plan

@@ -1037,6 +1037,7 @@ _BNLJ_BY_DESIGN = {
 # connected components, trained centroids) or a driver-built bounded registry.
 _RDD_BY_DESIGN = {
     "q_dedup_clusters", "q_dedup_jaccard", "q_search_percolate", "q_sim_ivf_trained",
+    "q_graph_pagerank",  # edge/node frames checkpointed once before the K-loop
 }
 
 
