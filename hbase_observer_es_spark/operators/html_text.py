@@ -32,6 +32,11 @@ Extraction semantics (deterministic, documented, golden-tested):
   which stay fail-loud (a broken container kills the job; a sloppy page,
   which is most pages, does not).
 
+Publisher opt-out: pages carrying ``<meta name=robots … noindex …>`` are
+dropped at extraction (``is_noindexed``) — honoring the machine-readable
+reuse signal is the Common Crawl norm and belongs at ingest, before the
+page can enter dedup/packing.
+
 Scale posture: ``warc_html_documents`` is MAP-ONLY — a filter plus one
 Arrow-batched pandas UDF over the payload column, no shuffle, no collect.
 At 100 TB the parallelism is the WARC source's one-task-per-shard contract;
@@ -239,9 +244,29 @@ def _sniff_decode(body: bytes, ctype: str | None) -> str:
     return body.decode(charset or "utf-8", errors="replace")
 
 
+# a <meta> tag that names robots AND carries a noindex directive — both
+# attribute orders, any quoting; matched per-tag so "noindex" in body text
+# or a robots meta WITHOUT the directive never trips it
+_META_TAG = re.compile(r"<meta[^>]{0,500}?>", re.IGNORECASE)
+_ROBOTS_NAME = re.compile(r"name\s*=\s*[\"']?robots\b", re.IGNORECASE)
+_NOINDEX = re.compile(r"\bnoindex\b", re.IGNORECASE)
+
+
+def is_noindexed(html: str) -> bool:
+    """True when the page carries ``<meta name=robots … noindex …>`` — the
+    publisher's machine-readable opt-out of indexing/reuse. A corpus
+    pipeline honors it at ingest (the Common Crawl norm), so
+    ``warc_html_documents`` drops such pages before they enter the chain."""
+    for m in _META_TAG.finditer(html):
+        tag = m.group(0)
+        if _ROBOTS_NAME.search(tag) and _NOINDEX.search(tag):
+            return True
+    return False
+
+
 def extract_text_udf(payload: Column) -> Column:
     """Arrow-batched pandas UDF: WARC payload bytes → extracted text (NULL
-    for non-HTML responses)."""
+    for non-HTML responses and for pages opting out via robots noindex)."""
 
     @F.pandas_udf(T.StringType())
     def _extract(s):
@@ -251,7 +276,7 @@ def extract_text_udf(payload: Column) -> Column:
             if b is None:
                 return None
             html = decode_http_html(bytes(b))
-            if html is None:
+            if html is None or is_noindexed(html):
                 return None
             return html_to_text(html)
 

@@ -322,6 +322,33 @@ def test_corrupt_gzip_body_stays_raw_and_yields_no_document():
     assert decode_http_html(payload) is None
 
 
+# --------------------------------------------------------- robots noindex gate
+
+
+def test_noindex_detection_attribute_orders():
+    from hbase_observer_es_spark.operators.html_text import is_noindexed
+
+    assert is_noindexed('<meta name="robots" content="noindex, nofollow">')
+    assert is_noindexed("<meta content='NOINDEX' name=robots>")
+    assert is_noindexed('<META NAME=ROBOTS CONTENT="noindex">')
+    assert not is_noindexed('<meta name="robots" content="nofollow">')
+    assert not is_noindexed("<p>the word noindex in body text</p>")
+    assert not is_noindexed('<meta name="viewport" content="noindex-like">')
+
+
+def test_noindexed_page_is_dropped_from_the_corpus(spark, tmp_path):
+    page = _http(
+        b'<html><head><meta name="robots" content="noindex"></head>'
+        b"<body><p>opted out</p></body></html>"
+    )
+    shard = _record("response", page, uri="http://x.example/private", rid="id:7") + _record(
+        "response", _http(b"<p>public page</p>"), uri="http://x.example/pub", rid="id:8"
+    )
+    (tmp_path / "t.warc").write_bytes(shard)
+    rows = warc_html_documents(read_warc(spark, str(tmp_path))).collect()
+    assert [r.text for r in rows] == ["public page"]
+
+
 # ------------------------------------------------------- totality fuzz (never crash)
 
 from hypothesis import given, settings
