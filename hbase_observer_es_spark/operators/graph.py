@@ -144,5 +144,67 @@ r0 AS (SELECT node, CAST({INIT_UNITS} AS BIGINT) AS units FROM nodes),
 SELECT node, units AS rank_units FROM r3
 """
 
-QUERIES = {"q_graph_pagerank": q_graph_pagerank}
-ORACLES = {"q_graph_pagerank": SQL_GRAPH_PAGERANK}
+def q_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-occurrence projection: supplier pairs ranked by shared
+    customers — the 'users who bought X also bought Y' shape, which is the
+    same pairs-explosion every co-occurrence statistic (item-item CF,
+    term co-occurrence, entity linking) runs at scale.
+
+    Plan: the distinct (customer, supplier) incidence list self-joins on
+    the customer key (one shuffle, co-partitioned both sides), pairs
+    ordered ``s1 < s2`` so each pair counts once, then a count-per-pair
+    aggregation and a TakeOrdered top-20 with a TOTAL ordering (count desc,
+    then both keys) — ties cannot make the cut nondeterministic.
+
+    Skew is THE hazard here: a customer of degree d emits C(d,2) pairs, so
+    one hub customer can dominate a partition. At 100 TB: cap the per-key
+    degree before the self-join (drop or sample hubs above a threshold —
+    their pairs are the least informative, exactly the stopword logic) or
+    salt the hot keys; AQE's skew-join split handles the residual. The
+    fixture graph's max degree is bounded (~tens), so the cap is not wired
+    into the fixture-scale query."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    inc = o.join(li, "ok").select("ck", "sk").distinct()
+    a = inc.select(F.col("ck"), F.col("sk").alias("s1"))
+    b = inc.select(F.col("ck"), F.col("sk").alias("s2"))
+    return (
+        a.join(b, "ck")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_customers"))
+        .orderBy(F.col("shared_customers").desc(), "s1", "s2")
+        .limit(20)
+        .select(
+            F.col("s1").alias("supp_a"),
+            F.col("s2").alias("supp_b"),
+            "shared_customers",
+        )
+    )
+
+
+SQL_GRAPH_COPURCHASE = """
+WITH inc AS (
+    SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT a.sk AS supp_a, b.sk AS supp_b,
+       CAST(count(*) AS BIGINT) AS shared_customers
+FROM inc a JOIN inc b ON a.ck = b.ck AND a.sk < b.sk
+GROUP BY a.sk, b.sk
+ORDER BY shared_customers DESC, supp_a, supp_b
+LIMIT 20
+"""
+
+QUERIES = {
+    "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_copurchase": q_graph_copurchase,
+}
+ORACLES = {
+    "q_graph_pagerank": SQL_GRAPH_PAGERANK,
+    "q_graph_copurchase": SQL_GRAPH_COPURCHASE,
+}

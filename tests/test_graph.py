@@ -68,6 +68,41 @@ def test_deterministic_across_reruns(spark):
     assert a == b
 
 
+def test_copurchase_matches_oracle(spark):
+    from hbase_observer_es_spark.operators.graph import (
+        SQL_GRAPH_COPURCHASE,
+        q_graph_copurchase,
+    )
+
+    r = compare(
+        "q_graph_copurchase",
+        q_graph_copurchase(spark, SF_ORACLE),
+        duckdb_con(SF_ORACLE),
+        SQL_GRAPH_COPURCHASE,
+    )
+    assert r.ok, r.detail
+
+
+def test_copurchase_hand_computed(spark, tmp_path):
+    """Two customers: c1 buys from {10,20,30}, c2 from {20,30}. Shared
+    pairs: (20,30)x2 via both; (10,20),(10,30)x1 via c1 only."""
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 20), (2, 30)],
+        "l_orderkey long, l_suppkey long",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from hbase_observer_es_spark.operators.graph import q_graph_copurchase
+
+    rows = q_graph_copurchase(spark, str(tmp_path)).collect()
+    got = {(r.supp_a, r.supp_b): r.shared_customers for r in rows}
+    assert got == {(20, 30): 2, (10, 20): 1, (10, 30): 1}
+    assert all(r.supp_a < r.supp_b for r in rows)  # each pair exactly once
+    # deterministic total order: count desc, then both keys
+    assert [(r.supp_a, r.supp_b) for r in rows] == [(20, 30), (10, 20), (10, 30)]
+
+
 def test_plan_has_no_cartesian_and_bounded_depth(spark):
     df = q_graph_pagerank(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
