@@ -73,20 +73,14 @@ def _edges_with_deg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return edges.join(outdeg, "src"), nodes
 
 
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact PageRank, K=3 fixed iterations (module docstring)."""
-    ed, nodes = _edges_with_deg(spark, sf_dir)
-    # Materialize the edge and node frames ONCE before the loop (the
-    # q_dedup_clusters lineage discipline): without the cut, every
-    # iteration's plan re-derives the orders⋈lineitem edge set from the
-    # base scans, tripling scan work at K=3 and growing multiplicatively
-    # with K. The iteration then joins against in-memory blocks.
-    ed = ed.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+def _pagerank_iterations(ed: DataFrame, nodes: DataFrame, n_iter: int) -> DataFrame:
+    """The shared K-step integer-exact fixpoint: ``ed`` carries (src, dst,
+    deg), ``nodes`` carries (node); both already lineage-cut by the
+    caller. One join + one aggregation per iteration."""
     ranks = nodes.select(
         "node", F.lit(INIT_UNITS).cast("bigint").alias("units")
     )
-    for _ in range(N_ITER):
+    for _ in range(n_iter):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
@@ -108,6 +102,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("units").alias("rank_units"))
+
+
+def pagerank_over_edges(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """Integer-exact PageRank over an arbitrary DIRECTED (src, dst) string
+    edge frame — e.g. the crawl link graph from
+    ``html_text.warc_outlinks``. Duplicate edges are collapsed first (a
+    page linking twice confers one vote, the PageRank convention). Dangling
+    nodes (no out-edges) keep receiving mass but distribute none; their
+    outflow simply vanishes, which is the documented behavior of the
+    un-normalized formulation — ranks remain comparable WITHIN a run, and
+    both the determinism and the integer arithmetic are unaffected."""
+    e = edges.select("src", "dst").distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    return _pagerank_iterations(ed, nodes, n_iter)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, K=3 fixed iterations (module docstring)."""
+    ed, nodes = _edges_with_deg(spark, sf_dir)
+    # Materialize the edge and node frames ONCE before the loop (the
+    # q_dedup_clusters lineage discipline): without the cut, every
+    # iteration's plan re-derives the orders⋈lineitem edge set from the
+    # base scans, tripling scan work at K=3 and growing multiplicatively
+    # with K. The iteration then joins against in-memory blocks. (The
+    # undirected doubling makes every node a src, so the node set comes
+    # from outdeg directly — one exchange fewer than the generic
+    # pagerank_over_edges src∪dst union.)
+    ed = ed.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    return _pagerank_iterations(ed, nodes, N_ITER)
 
 
 def _sql_iteration(prev: str, cur: str) -> str:

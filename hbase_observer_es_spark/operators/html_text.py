@@ -344,6 +344,109 @@ QUERIES = {"q_html_extract": q_html_extract}
 ORACLES = {"q_html_extract": SQL_HTML_EXTRACT}
 
 
+class _LinkExtractor(HTMLParser):
+    """Collect (href, anchor text) from ``<a>`` tags plus the ``<base
+    href>`` override; rel=nofollow links are skipped (the publisher's
+    per-link opt-out, same standing as the robots meta)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base: str | None = None
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._anchor: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "base" and self.base is None and d.get("href"):
+            self.base = d["href"]
+        elif tag == "a":
+            self._flush()
+            href = d.get("href")
+            rel = (d.get("rel") or "").lower()
+            if href and "nofollow" not in rel:
+                self._href = href
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._anchor.append(data)
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.links.append(
+                (self._href, _WS_RUN.sub(" ", "".join(self._anchor)).strip())
+            )
+        self._href = None
+        self._anchor = []
+
+
+def extract_links(html: str, page_url: str) -> list[tuple[str, str]]:
+    """(absolute url, anchor text) for every followable ``<a href>``:
+    resolved against ``<base href>`` (falling back to the page URL),
+    fragments stripped, non-navigational schemes (javascript/mailto/tel/
+    data) and empty fragment-only self-links dropped. Pure, deterministic,
+    stdlib ``urljoin`` only."""
+    from urllib.parse import urldefrag, urljoin
+
+    p = _LinkExtractor()
+    p.feed(html)
+    if p.rawdata.startswith("<"):
+        p.rawdata = ""
+    p.close()
+    p._flush()
+    base = urljoin(page_url, p.base) if p.base else page_url
+    out = []
+    for href, anchor in p.links:
+        href = href.strip()
+        scheme = href.split(":", 1)[0].lower() if ":" in href.split("/", 1)[0] else ""
+        if scheme in ("javascript", "mailto", "tel", "data"):
+            continue
+        absolute = urldefrag(urljoin(base, href))[0]
+        if absolute and absolute != urldefrag(page_url)[0]:
+            out.append((absolute, anchor))
+    return out
+
+
+OUTLINK_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+
+def warc_outlinks(warc_df: DataFrame) -> DataFrame:
+    """``response`` records → the crawl LINK GRAPH as (src, dst, anchor)
+    edges — the input ``graph.pagerank_over_edges`` ranks. 1→N fan-out via
+    ``mapInPandas`` (row count changes inside the UDF), map-only like the
+    text extraction; noindexed pages contribute no edges."""
+    src_df = warc_df.filter(F.col("warc_type") == "response").select(
+        "target_uri", "payload"
+    )
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
+                if uri is None or payload is None:
+                    continue
+                html = decode_http_html(bytes(payload))
+                if html is None or is_noindexed(html):
+                    continue
+                for dst, anchor in extract_links(html, uri):
+                    rows.append({"src": uri, "dst": dst, "anchor": anchor})
+            yield pd.DataFrame(rows, columns=["src", "dst", "anchor"])
+
+    return src_df.mapInPandas(expand, schema=OUTLINK_SCHEMA)
+
+
 def warc_html_documents(warc_df: DataFrame) -> DataFrame:
     """``response`` records → ``documents``-shaped rows (doc_id, text, lang,
     source, n_chars). Map-only; ``lang`` is NULL by design — language ID is

@@ -349,6 +349,89 @@ def test_noindexed_page_is_dropped_from_the_corpus(spark, tmp_path):
     assert [r.text for r in rows] == ["public page"]
 
 
+# ------------------------------------------------------------ link extraction
+
+
+def test_extract_links_resolution_and_filtering():
+    from hbase_observer_es_spark.operators.html_text import extract_links
+
+    html = (
+        '<a href="/about">About us</a>'
+        '<a href="b.html">Rel</a>'
+        '<a href="https://other.example/x#frag">Ext</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="#top">self</a>'
+        '<a href="/priv" rel="nofollow">no</a>'
+    )
+    got = extract_links(html, "http://x.example/dir/page.html")
+    assert got == [
+        ("http://x.example/about", "About us"),
+        ("http://x.example/dir/b.html", "Rel"),
+        ("https://other.example/x", "Ext"),
+    ]
+
+
+def test_extract_links_honors_base_href():
+    from hbase_observer_es_spark.operators.html_text import extract_links
+
+    html = '<base href="http://cdn.example/assets/"><a href="img/a.html">x</a>'
+    assert extract_links(html, "http://x.example/p") == [
+        ("http://cdn.example/assets/img/a.html", "x")
+    ]
+
+
+def test_extract_links_nested_markup_in_anchor():
+    from hbase_observer_es_spark.operators.html_text import extract_links
+
+    html = '<a href="/y"><b>bold</b> and <i>more</i></a>'
+    assert extract_links(html, "http://x.example/") == [
+        ("http://x.example/y", "bold and more")
+    ]
+
+
+def test_extract_links_unclosed_anchor_at_eof():
+    from hbase_observer_es_spark.operators.html_text import extract_links
+
+    assert extract_links('<a href="/z">dangling text', "http://x.example/") == [
+        ("http://x.example/z", "dangling text")
+    ]
+
+
+def test_warc_outlinks_to_pagerank_chain(spark, tmp_path):
+    """The crawl-graph story composes: WARC shard → outlink edges →
+    integer-exact PageRank over the REAL link graph. Page a is linked by
+    both b and c (and links out), so it must outrank everything."""
+    from hbase_observer_es_spark.operators.graph import pagerank_over_edges
+    from hbase_observer_es_spark.operators.html_text import warc_outlinks
+
+    def page(links: list[str]) -> bytes:
+        body = "".join(f'<a href="{u}">l</a>' for u in links).encode()
+        return _http(b"<html><body>" + body + b"</body></html>")
+
+    shard = (
+        _record("response", page(["http://s.example/b"]), uri="http://s.example/a", rid="id:1")
+        + _record("response", page(["http://s.example/a"]), uri="http://s.example/b", rid="id:2")
+        + _record("response", page(["http://s.example/a"]),
+                  uri="http://s.example/c", rid="id:3")
+    )
+    (tmp_path / "g.warc").write_bytes(shard)
+    edges = warc_outlinks(read_warc(spark, str(tmp_path)))
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {
+        ("http://s.example/a", "http://s.example/b"),
+        ("http://s.example/b", "http://s.example/a"),
+        ("http://s.example/c", "http://s.example/a"),
+    }
+    ranks = {r.node: r.rank_units for r in pagerank_over_edges(edges).collect()}
+    assert set(ranks) == {"http://s.example/a", "http://s.example/b", "http://s.example/c"}
+    # a has in-links from b AND c; c has none — strict ordering must hold
+    assert ranks["http://s.example/a"] > ranks["http://s.example/b"] > ranks["http://s.example/c"]
+    # rerun-determinism (bit-exact integers)
+    again = {r.node: r.rank_units for r in pagerank_over_edges(edges).collect()}
+    assert again == ranks
+
+
 # ------------------------------------------------------- totality fuzz (never crash)
 
 from hypothesis import given, settings
