@@ -424,7 +424,12 @@ def warc_outlinks(warc_df: DataFrame) -> DataFrame:
     """``response`` records → the crawl LINK GRAPH as (src, dst, anchor)
     edges — the input ``graph.pagerank_over_edges`` ranks. 1→N fan-out via
     ``mapInPandas`` (row count changes inside the UDF), map-only like the
-    text extraction; noindexed pages contribute no edges."""
+    text extraction; noindexed pages contribute no edges. Both endpoints
+    are RFC-3986-canonicalized (``operators/urlnorm.py``) so that
+    spec-equivalent spellings (:80, dot-segments, escape case) key to ONE
+    graph node instead of splitting rank mass."""
+    from .urlnorm import canonical_url
+
     src_df = warc_df.filter(F.col("warc_type") == "response").select(
         "target_uri", "payload"
     )
@@ -440,8 +445,11 @@ def warc_outlinks(warc_df: DataFrame) -> DataFrame:
                 html = decode_http_html(bytes(payload))
                 if html is None or is_noindexed(html):
                     continue
+                src = canonical_url(uri)
                 for dst, anchor in extract_links(html, uri):
-                    rows.append({"src": uri, "dst": dst, "anchor": anchor})
+                    rows.append(
+                        {"src": src, "dst": canonical_url(dst), "anchor": anchor}
+                    )
             yield pd.DataFrame(rows, columns=["src", "dst", "anchor"])
 
     return src_df.mapInPandas(expand, schema=OUTLINK_SCHEMA)

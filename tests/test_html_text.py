@@ -398,6 +398,22 @@ def test_extract_links_unclosed_anchor_at_eof():
     ]
 
 
+def test_warc_outlinks_canonicalizes_edge_keys(spark, tmp_path):
+    """Spec-equivalent URL spellings (:80, dot-segments, escape case) must
+    key to ONE node — otherwise rank mass splits across aliases."""
+    from hbase_observer_es_spark.operators.html_text import warc_outlinks
+
+    page = _http(
+        b'<a href="HTTP://S.Example:80/a/../b%61ge">x</a>'
+    )
+    shard = _record("response", page, uri="http://S.Example:80/dir/", rid="id:1")
+    (tmp_path / "c.warc").write_bytes(shard)
+    rows = warc_outlinks(read_warc(spark, str(tmp_path))).collect()
+    assert [(r.src, r.dst) for r in rows] == [
+        ("http://s.example/dir/", "http://s.example/bage")
+    ]
+
+
 def test_warc_outlinks_to_pagerank_chain(spark, tmp_path):
     """The crawl-graph story composes: WARC shard → outlink edges →
     integer-exact PageRank over the REAL link graph. Page a is linked by
