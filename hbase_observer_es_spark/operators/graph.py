@@ -17,6 +17,16 @@ the deterministic price of exactness; with 10^12-unit granularity the
 relative error is ~1e-9 per step, far below any ranking-relevant
 difference.
 
+**Unit sizing rule (overflow bound)**: all arithmetic is int64, and a
+node's rank can in principle absorb any share of the TOTAL mass
+``N · INIT_UNITS``, so a deployment must size ``INIT_UNITS`` such that
+``N · INIT_UNITS < 2^63`` (at 10^9 nodes: INIT ≤ ~9·10^9, still ~1e-9
+relative granularity). With the bound violated the engines do not even
+fail alike — Spark's non-ANSI ``sum(long)`` wraps silently while DuckDB
+promotes to HUGEINT and errors on the cast — so the bound is a hard
+configuration contract, not a soft tuning note. The fixture graphs are
+~10^3 nodes: bound satisfied by ~7 orders of magnitude.
+
 Graph: the distinct customer↔supplier trade pairs from ``orders ⋈
 lineitem``, doubled into both directions (an undirected trade graph —
 one-directional bipartite edges would make the fixpoint trivial). Node ids

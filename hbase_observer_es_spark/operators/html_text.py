@@ -363,8 +363,10 @@ class _LinkExtractor(HTMLParser):
         elif tag == "a":
             self._flush()
             href = d.get("href")
-            rel = (d.get("rel") or "").lower()
-            if href and "nofollow" not in rel:
+            # rel is a SPACE-SEPARATED token list — substring containment
+            # would also drop rel="nofollower"/vendor tokens (review find)
+            rel_tokens = (d.get("rel") or "").lower().split()
+            if href and "nofollow" not in rel_tokens:
                 self._href = href
 
     def handle_endtag(self, tag):
@@ -447,9 +449,14 @@ def warc_outlinks(warc_df: DataFrame) -> DataFrame:
                     continue
                 src = canonical_url(uri)
                 for dst, anchor in extract_links(html, uri):
-                    rows.append(
-                        {"src": src, "dst": canonical_url(dst), "anchor": anchor}
-                    )
+                    dst_c = canonical_url(dst)
+                    if dst_c == src:
+                        # self-loop after canonicalization (an aliased
+                        # spelling of the page itself): a (u,u) edge would
+                        # let the page vote 17/20 of an out-share for its
+                        # own rank every iteration
+                        continue
+                    rows.append({"src": src, "dst": dst_c, "anchor": anchor})
             yield pd.DataFrame(rows, columns=["src", "dst", "anchor"])
 
     return src_df.mapInPandas(expand, schema=OUTLINK_SCHEMA)

@@ -145,19 +145,42 @@ def _parse_cached(text: str) -> tuple[Group, ...]:
 # ---------------------------------------------------------------- Spark side
 
 
-def robots_policies(warc_df: DataFrame) -> DataFrame:
-    """(host, robots_txt) from a WARC frame's ``/robots.txt`` responses —
-    decoded via the HTTP envelope (chunked/gzip handled). One row per host;
-    duplicate fetches keep the lexicographically-first record id for
-    determinism."""
+def _host_key(url: str | None) -> str | None:
+    """The join key both sides of the robots filter share: host (and any
+    NON-default port) of the RFC-3986-CANONICAL url, userinfo stripped.
+    Raw ``urlsplit().netloc`` would make 'x.example' and 'x.example:80'
+    distinct keys and let spec-equivalent spellings bypass the policy
+    (round-10 second-review finding)."""
+    if not url:
+        return None
     from urllib.parse import urlsplit
 
+    from .urlnorm import canonical_url
+
+    return urlsplit(canonical_url(url)).netloc.rsplit("@", 1)[-1]
+
+
+def _robots_path(url: str | None) -> bool:
+    """RFC 9309 scopes the policy to the PATH '/robots.txt' exactly — an
+    endswith match would let /blog/robots.txt shadow the host policy."""
+    if not url:
+        return False
+    from urllib.parse import urlsplit
+
+    return urlsplit(url).path == "/robots.txt"
+
+
+def robots_policies(warc_df: DataFrame) -> DataFrame:
+    """(host, robots_txt) from a WARC frame's ``/robots.txt`` responses —
+    the path matched EXACTLY per RFC 9309 §2.3, decoded via the HTTP
+    envelope (chunked/gzip handled), keyed by canonical host. One row per
+    host; duplicate fetches keep the lexicographically-first record id for
+    determinism."""
     from ..sources.warc import http_message
 
-    cand = warc_df.filter(
-        (F.col("warc_type") == "response")
-        & F.col("target_uri").endswith("/robots.txt")
-    ).select("record_id", "target_uri", "payload")
+    cand = warc_df.filter(F.col("warc_type") == "response").select(
+        "record_id", "target_uri", "payload"
+    )
 
     @F.pandas_udf(T.StringType())
     def _body(s):
@@ -172,8 +195,9 @@ def robots_policies(warc_df: DataFrame) -> DataFrame:
 
         return pd.Series([one(b) for b in s])
 
-    host = F.udf(lambda u: urlsplit(u).netloc.lower() if u else None, T.StringType())
-    with_host = cand.select(
+    is_robots = F.udf(_robots_path, T.BooleanType())
+    host = F.udf(_host_key, T.StringType())
+    with_host = cand.filter(is_robots("target_uri")).select(
         host("target_uri").alias("host"),
         _body(F.col("payload")).alias("robots_txt"),
         "record_id",
@@ -195,10 +219,11 @@ def filter_allowed(
     ``user_agent``. ``robots`` is the (host, robots_txt) frame from
     ``robots_policies``; hosts with no policy row allow everything. One
     shuffle (left join on host); the matcher runs Arrow-batched with
-    LRU-cached parses."""
+    LRU-cached parses. Both sides key on the CANONICAL host
+    (``_host_key``), so ':80' spellings cannot bypass the policy."""
     from urllib.parse import urlsplit
 
-    host = F.udf(lambda u: urlsplit(u).netloc.lower() if u else None, T.StringType())
+    host = F.udf(_host_key, T.StringType())
 
     @F.pandas_udf(T.BooleanType())
     def _allowed(urls, policies):

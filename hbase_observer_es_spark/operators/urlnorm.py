@@ -41,16 +41,18 @@ def _norm_escapes(s: str) -> str:
     out = []
     i = 0
     n = len(s)
+    hexdigits = "0123456789abcdefABCDEF"
     while i < n:
         c = s[i]
-        if c == "%" and i + 2 < n + 1 and i + 3 <= n:
+        if c == "%" and i + 3 <= n:
             hexpart = s[i + 1 : i + 3]
-            try:
-                val = int(hexpart, 16)
-            except ValueError:
+            # both chars must BE hex digits — int(x, 16) also accepts
+            # signs/whitespace ('%+f'), which are data, not an escape
+            if not (hexpart[0] in hexdigits and hexpart[1] in hexdigits):
                 out.append(c)
                 i += 1
                 continue
+            val = int(hexpart, 16)
             ch = chr(val)
             if ch in _UNRESERVED:
                 out.append(ch)
@@ -109,6 +111,8 @@ def canonical_url(url: str) -> str:
     netloc = sp.netloc
     if sp.hostname is not None:
         host = _norm_escapes(sp.hostname)  # hostname is lowercased by urlsplit
+        if ":" in host:
+            host = f"[{host}]"  # IPv6 literal: urlsplit strips the brackets
         port = None
         try:
             port = sp.port

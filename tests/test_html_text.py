@@ -398,6 +398,36 @@ def test_extract_links_unclosed_anchor_at_eof():
     ]
 
 
+def test_nofollow_is_token_match_not_substring():
+    from hbase_observer_es_spark.operators.html_text import extract_links
+
+    html = (
+        '<a href="/a" rel="nofollower">kept</a>'
+        '<a href="/b" rel="sponsored nofollow">dropped</a>'
+        '<a href="/c" rel="NOFOLLOW">dropped</a>'
+    )
+    assert [u for u, _ in extract_links(html, "http://x.example/")] == [
+        "http://x.example/a"
+    ]
+
+
+def test_aliased_self_link_produces_no_self_loop(spark, tmp_path):
+    """A page linking to a spec-equivalent spelling of ITSELF must not get
+    a (u,u) edge — it would vote rank mass for itself every iteration."""
+    from hbase_observer_es_spark.operators.html_text import warc_outlinks
+
+    page = _http(
+        b'<a href="http://s.example/dir/">self alias</a>'
+        b'<a href="/other">real</a>'
+    )
+    shard = _record("response", page, uri="http://S.Example:80/dir/", rid="id:1")
+    (tmp_path / "s.warc").write_bytes(shard)
+    rows = warc_outlinks(read_warc(spark, str(tmp_path))).collect()
+    assert [(r.src, r.dst) for r in rows] == [
+        ("http://s.example/dir/", "http://s.example/other")
+    ]
+
+
 def test_warc_outlinks_canonicalizes_edge_keys(spark, tmp_path):
     """Spec-equivalent URL spellings (:80, dot-segments, escape case) must
     key to ONE node — otherwise rank mass splits across aliases."""

@@ -152,6 +152,46 @@ def test_robots_policies_and_filter(spark, tmp_path):
     assert kept.columns == docs.columns  # helper columns dropped
 
 
+def test_non_root_robots_txt_is_not_the_host_policy(spark, tmp_path):
+    """RFC 9309 scopes the policy to the exact path /robots.txt — a
+    mirrored /old-site/robots.txt must never shadow it (review finding)."""
+    shard = (
+        _record(
+            "response", _http(b"User-agent: *\nDisallow: /decoy\n", b"text/plain"),
+            uri="http://x.example/old-site/robots.txt", rid="id:0",
+        )
+        + _record(
+            "response", _http(b"User-agent: *\nDisallow: /real\n", b"text/plain"),
+            uri="http://x.example/robots.txt", rid="id:1",
+        )
+    )
+    (tmp_path / "t.warc").write_bytes(shard)
+    rows = robots_policies(read_warc(spark, str(tmp_path))).collect()
+    assert len(rows) == 1 and "/real" in rows[0].robots_txt
+
+
+def test_port_spelling_cannot_bypass_the_filter(spark, tmp_path):
+    """robots fetched at x.example, document sourced at x.example:80 — the
+    canonical host key must still join them (review finding)."""
+    from pyspark.sql import types as T
+
+    shard = _record(
+        "response", _http(b"User-agent: *\nDisallow: /private/\n", b"text/plain"),
+        uri="http://x.example/robots.txt", rid="id:0",
+    )
+    (tmp_path / "t.warc").write_bytes(shard)
+    robots = robots_policies(read_warc(spark, str(tmp_path)))
+    docs = spark.createDataFrame(
+        [(1, "http://x.example:80/private/p"), (2, "http://x.example:80/open")],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]),
+    )
+    kept = filter_allowed(docs, robots, "bot")
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
 def test_duplicate_robots_fetches_pick_deterministic_record(spark, tmp_path):
     shard = (
         _record(

@@ -48,12 +48,29 @@ def test_userinfo_preserved():
     assert canonical_url("http://u:p@X.Example:80/") == "http://u:p@x.example/"
 
 
+def test_ipv6_host_keeps_brackets():
+    # urlsplit strips the brackets from .hostname; the rebuild must restore
+    # them or the address degenerates into host+junk-port (review finding)
+    assert canonical_url("http://[2001:DB8::1]/x") == "http://[2001:db8::1]/x"
+    assert canonical_url("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x"
+    assert canonical_url("http://[2001:db8::1]:80/x") == "http://[2001:db8::1]/x"
+    once = canonical_url("HTTP://[2001:DB8::1]/a/../b")
+    assert once == "http://[2001:db8::1]/b"
+    assert canonical_url(once) == once
+
+
+def test_malformed_escape_with_sign_is_data():
+    # int('+f', 16) parses — but '%+f' is NOT an escape (review finding)
+    assert canonical_url("http://x.example/%+f") == "http://x.example/%+f"
+    assert canonical_url("http://x.example/% 9") == "http://x.example/% 9"
+
+
 _urlish = st.builds(
     lambda scheme, host, port, path, query, frag: (
         f"{scheme}://{host}{port}{path}{query}{frag}"
     ),
     scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
-    host=st.sampled_from(["a.example", "WWW.B.Example", "x-y.z"]),
+    host=st.sampled_from(["a.example", "WWW.B.Example", "x-y.z", "[2001:DB8::1]"]),
     port=st.sampled_from(["", ":80", ":443", ":8080"]),
     path=st.sampled_from(
         ["", "/", "/a/b", "/a/../b", "/%7Ea", "/a%2Fb", "/./x", "/100%"]
