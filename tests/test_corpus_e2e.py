@@ -132,6 +132,71 @@ def test_warc_to_published_dataset_end_to_end(spark, tmp_path):
     assert verified["columns"] == publishable.columns
 
 
+def test_full_crawl_story_with_robots_and_link_rank(spark, tmp_path):
+    """The complete crawl chain in one pass: WARC shard → robots policy →
+    extraction (allowed pages only) → outlink graph → PageRank → published
+    dataset carrying the rank as a quality signal. Proves the round's
+    compliance and graph layers COMPOSE with the publication surface."""
+    from hbase_observer_es_spark.operators.graph import pagerank_over_edges
+    from hbase_observer_es_spark.operators.html_text import warc_outlinks
+    from hbase_observer_es_spark.operators.robots import (
+        filter_allowed,
+        robots_policies,
+    )
+
+    def page(text: str, links: list[str]) -> bytes:
+        body = f"<p>{text}</p>" + "".join(f'<a href="{u}">l</a>' for u in links)
+        return _http(b"<html><body>" + body.encode() + b"</body></html>")
+
+    shard = (
+        _record(
+            "response",
+            _http(b"User-agent: *\nDisallow: /private/\n", b"text/plain"),
+            uri="http://c.example/robots.txt",
+            rid="id:0",
+        )
+        + _record(
+            "response",
+            page("the home page has plenty of words", ["http://c.example/about"]),
+            uri="http://c.example/", rid="id:1",
+        )
+        + _record(
+            "response",
+            page("the about page links back home", ["http://c.example/"]),
+            uri="http://c.example/about", rid="id:2",
+        )
+        + _record(
+            "response",
+            page("a private page that must not land", []),
+            uri="http://c.example/private/x", rid="id:3",
+        )
+    )
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "s.warc.gz").write_bytes(gzip.compress(shard))
+    warc = read_warc(spark, str(tmp_path / "crawl"))
+
+    robots = robots_policies(warc)
+    docs = filter_allowed(warc_html_documents(warc), robots, "trainingbot")
+    assert sorted(r.source for r in docs.collect()) == [
+        "http://c.example/",
+        "http://c.example/about",
+    ]  # the disallowed /private/ page is gone BEFORE any downstream stage
+
+    ranks = pagerank_over_edges(warc_outlinks(warc)).withColumnRenamed(
+        "node", "source"
+    )
+    publishable = docs.join(ranks, "source", "left").select(
+        "doc_id", "text", "source", F.col("rank_units").alias("link_rank_units")
+    )
+    out = str(tmp_path / "published")
+    manifest = export_dataset(publishable, out, key="doc_id", n_shards=2)
+    assert manifest["total_rows"] == 2
+    verified = verify_export(spark, out)
+    assert verified["columns"][-1] == "link_rank_units"
+    ranked = {r.source: r.link_rank_units for r in spark.read.parquet(out).select("source", "link_rank_units").collect()}
+    assert all(v is not None and v > 0 for v in ranked.values())
+
+
 def test_pipeline_is_deterministic_across_reruns(spark, tmp_path):
     """Re-running the whole chain on the same shard publishes identical
     per-shard fingerprints — the rerun-stability contract that makes the
