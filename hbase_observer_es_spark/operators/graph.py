@@ -135,6 +135,70 @@ def pagerank_over_edges(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     return _pagerank_iterations(ed, nodes, n_iter)
 
 
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Weakly-connected components over an arbitrary (src, dst) string edge
+    frame → (node, label) with the LEXICOGRAPHICALLY SMALLEST member as the
+    deterministic component label. The crawl-graph use: site/cluster
+    discovery over ``html_text.warc_outlinks`` edges (mirror groups,
+    link farms, per-site sampling keys).
+
+    Min-label propagation: each round every node takes the minimum of its
+    own and its neighbors' labels; convergence when a round changes
+    nothing. Rounds needed = graph diameter (a path graph needs its length)
+    — ``max_iter`` is a fail-LOUD bound, not a silent truncation: an
+    unconverged labeling would be wrong, so it raises. Each round
+    localCheckpoints (the q_dedup_clusters lineage discipline) and the
+    convergence test is one count per round — a driver-side scalar, not a
+    collect of data rows. At 100 TB, swap min-label for the
+    large-star/small-star algorithm if diameters are large; the frame
+    contract (edges in, labeled nodes out) stays identical."""
+    e = edges.select("src", "dst").distinct()
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise ValueError(
+        f"connected_components: no fixpoint within {max_iter} rounds "
+        "(graph diameter exceeds the bound) — raise max_iter or switch to "
+        "the star-contraction variant; an unconverged labeling is wrong, "
+        "not approximate"
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank, K=3 fixed iterations (module docstring)."""
     ed, nodes = _edges_with_deg(spark, sf_dir)

@@ -103,6 +103,75 @@ def test_copurchase_hand_computed(spark, tmp_path):
     assert [(r.supp_a, r.supp_b) for r in rows] == [(20, 30), (10, 20), (10, 30)]
 
 
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_components_two_islands(spark):
+    from hbase_observer_es_spark.operators.graph import connected_components
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    got = {r.node: r.label for r in connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_components_chain_needs_diameter_rounds(spark):
+    from hbase_observer_es_spark.operators.graph import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)]
+    got = {r.node: r.label for r in connected_components(_edges(spark, chain)).collect()}
+    assert set(got.values()) == {"n00"} and len(got) == 10
+
+
+def test_components_unconverged_raises_loudly(spark):
+    from hbase_observer_es_spark.operators.graph import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)]
+    with pytest.raises(ValueError, match="no fixpoint within 2"):
+        connected_components(_edges(spark, chain), max_iter=2)
+
+
+def test_components_deterministic_and_direction_blind(spark):
+    from hbase_observer_es_spark.operators.graph import connected_components
+
+    fwd = _edges(spark, [("b", "a"), ("c", "b")])  # reversed directions
+    got = {r.node: r.label for r in connected_components(fwd).collect()}
+    assert set(got.values()) == {"a"}
+    again = {r.node: r.label for r in connected_components(fwd).collect()}
+    assert again == got
+
+
+def test_components_over_crawl_outlinks(spark, tmp_path):
+    """Site discovery over the real crawl graph: two mutually-linked page
+    clusters on different hosts become two components."""
+    import gzip as _gzip
+
+    from hbase_observer_es_spark.operators.graph import connected_components
+    from hbase_observer_es_spark.operators.html_text import warc_outlinks
+    from hbase_observer_es_spark.sources.warc import read_warc
+
+    from .warc_fixtures import http_response, warc_record
+
+    def page(links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links).encode()
+        return http_response(b"<html><body>" + body + b"</body></html>")
+
+    shard = (
+        warc_record("response", page(["http://a.example/2"]),
+                    uri="http://a.example/1", rid="id:1")
+        + warc_record("response", page(["http://a.example/1"]),
+                      uri="http://a.example/2", rid="id:2")
+        + warc_record("response", page(["http://b.example/2"]),
+                      uri="http://b.example/1", rid="id:3")
+    )
+    (tmp_path / "g.warc.gz").write_bytes(_gzip.compress(shard))
+    comps = connected_components(warc_outlinks(read_warc(spark, str(tmp_path))))
+    labels = {r.node: r.label for r in comps.collect()}
+    a_labels = {v for k, v in labels.items() if "a.example" in k}
+    b_labels = {v for k, v in labels.items() if "b.example" in k}
+    assert len(a_labels) == 1 and len(b_labels) == 1 and a_labels != b_labels
+
+
 def test_plan_has_no_cartesian_and_bounded_depth(spark):
     df = q_graph_pagerank(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
