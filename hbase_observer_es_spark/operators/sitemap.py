@@ -1,0 +1,129 @@
+"""Sitemap protocol (sitemaps.org, the public XML format) — URL discovery
+for the crawl ladder.
+
+Sitemaps enumerate a site's canonical URLs (with optional last-modified
+stamps), and a crawl pipeline uses them for frontier seeding, freshness
+(re-fetch what changed), and coverage auditing (crawled vs declared).
+Both document kinds are handled: ``<urlset>`` (leaf) and ``<sitemapindex>``
+(pointers to child sitemaps).
+
+Parsing is REGEX-based over the decoded text, deliberately NOT an XML
+parser: crawl-scale sitemap files are untrusted input, and stdlib
+``xml.etree`` expands entities (billion-laughs class) with no hardening
+switch in this environment; the protocol's schema is flat and fixed
+(``url/loc/lastmod``), which a tolerant regex covers without any entity
+expansion at all. The five XML predefined entities and CDATA wrapping in
+``<loc>`` are handled explicitly. Extracted URLs are RFC-3986-canonicalized
+(``operators/urlnorm.py``) so they key against the link graph and the
+documents table directly.
+
+Gzip: ``.xml.gz`` sitemaps are served as already-compressed bodies (not
+``Content-Encoding``-marked), so the body is gunzipped by sniffing the
+magic bytes after the HTTP envelope is removed.
+
+Scale posture: map-only — one Arrow-batched fan-out UDF over response
+payloads, no shuffle; a 50k-URL sitemap (the protocol's own cap) expands
+inside one task.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_URL_BLOCK = re.compile(rb"<url\b[^>]*>(.*?)</url>", re.DOTALL | re.IGNORECASE)
+_CHILD_BLOCK = re.compile(
+    rb"<sitemap\b[^>]*>(.*?)</sitemap>", re.DOTALL | re.IGNORECASE
+)
+_LOC = re.compile(rb"<loc\s*>(.*?)</loc\s*>", re.DOTALL | re.IGNORECASE)
+_LASTMOD = re.compile(rb"<lastmod\s*>(.*?)</lastmod\s*>", re.DOTALL | re.IGNORECASE)
+_CDATA = re.compile(rb"^\s*<!\[CDATA\[(.*?)\]\]>\s*$", re.DOTALL)
+
+
+def _text(raw: bytes) -> str:
+    m = _CDATA.match(raw)
+    if m:
+        raw = m.group(1)
+    return html.unescape(raw.decode("utf-8", errors="replace").strip())
+
+
+def parse_sitemap(body: bytes) -> tuple[str, list[tuple[str, str | None]]]:
+    """One sitemap document → (kind, entries); kind is ``urlset`` or
+    ``sitemapindex``; entries are (loc, lastmod-or-None) in document
+    order. Gzipped bodies are transparently decompressed; a document with
+    neither root tag returns ("", [])."""
+    if body[:2] == b"\x1f\x8b":
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            return "", []
+    low = body[:4096].lower()
+    if b"<sitemapindex" in low:
+        kind, block = "sitemapindex", _CHILD_BLOCK
+    elif b"<urlset" in low:
+        kind, block = "urlset", _URL_BLOCK
+    else:
+        return "", []
+    entries: list[tuple[str, str | None]] = []
+    for m in block.finditer(body):
+        chunk = m.group(1)
+        loc = _LOC.search(chunk)
+        if not loc:
+            continue
+        lm = _LASTMOD.search(chunk)
+        entries.append((_text(loc.group(1)), _text(lm.group(1)) if lm else None))
+    return kind, entries
+
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("sitemap_uri", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+    ]
+)
+
+
+def warc_sitemap_urls(warc_df: DataFrame) -> DataFrame:
+    """``response`` records that ARE sitemaps → one row per declared URL
+    (or child sitemap), kind-tagged, locs canonicalized. Detection is by
+    document content (the root tag), not by path convention — sitemaps
+    live wherever robots.txt points."""
+    from ..sources.warc import http_message
+    from .urlnorm import canonical_url
+
+    src_df = warc_df.filter(F.col("warc_type") == "response").select(
+        "target_uri", "payload"
+    )
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
+                if payload is None:
+                    continue
+                msg = http_message(bytes(payload))
+                body = msg[1] if msg else bytes(payload)
+                kind, entries = parse_sitemap(body)
+                for loc, lastmod in entries:
+                    rows.append(
+                        {
+                            "sitemap_uri": uri,
+                            "kind": kind,
+                            "loc": canonical_url(loc),
+                            "lastmod": lastmod,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["sitemap_uri", "kind", "loc", "lastmod"]
+            )
+
+    return src_df.mapInPandas(expand, schema=SITEMAP_SCHEMA)
