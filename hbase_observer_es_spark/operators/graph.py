@@ -151,7 +151,16 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     convergence test is one count per round — a driver-side scalar, not a
     collect of data rows. At 100 TB, swap min-label for the
     large-star/small-star algorithm if diameters are large; the frame
-    contract (edges in, labeled nodes out) stays identical."""
+    contract (edges in, labeled nodes out) stays identical.
+
+    Known twin: ``operators/dedup.py::q_dedup_clusters`` runs the same
+    min-label fixpoint inline over its MinHash pair graph with long-typed
+    labels and per-frame repartition tuning. Consolidating that green,
+    perf-tuned registered query onto this generic function is deliberately
+    deferred — an algorithm-equivalent refactor of a hash-checked query is
+    next-round work with fresh rotation headroom, not an end-of-round
+    edit. Until then, a fix to either loop must be mirrored in the other
+    (this note is the tripwire)."""
     e = edges.select("src", "dst").distinct()
     sym = (
         e.unionByName(
@@ -172,23 +181,24 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry old_label through the update frame (the q_dedup_clusters
+        # pattern): the convergence count is then a filter over the frame
+        # just built — no second full node-set join per round
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels
     raise ValueError(

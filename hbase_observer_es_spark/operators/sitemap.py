@@ -29,46 +29,86 @@ inside one task.
 from __future__ import annotations
 
 import gzip
-import html
 import re
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_URL_BLOCK = re.compile(rb"<url\b[^>]*>(.*?)</url>", re.DOTALL | re.IGNORECASE)
-_CHILD_BLOCK = re.compile(
-    rb"<sitemap\b[^>]*>(.*?)</sitemap>", re.DOTALL | re.IGNORECASE
+# namespace-prefixed tags (<ns0:urlset>, ElementTree's own default
+# serialization) must parse identically to bare ones
+_PRE = rb"(?:[A-Za-z0-9_.\-]+:)?"
+_URL_BLOCK = re.compile(
+    rb"<" + _PRE + rb"url\b[^>]*>(.*?)</" + _PRE + rb"url\s*>",
+    re.DOTALL | re.IGNORECASE,
 )
-_LOC = re.compile(rb"<loc\s*>(.*?)</loc\s*>", re.DOTALL | re.IGNORECASE)
-_LASTMOD = re.compile(rb"<lastmod\s*>(.*?)</lastmod\s*>", re.DOTALL | re.IGNORECASE)
+_CHILD_BLOCK = re.compile(
+    rb"<" + _PRE + rb"sitemap\b[^>]*>(.*?)</" + _PRE + rb"sitemap\s*>",
+    re.DOTALL | re.IGNORECASE,
+)
+_LOC = re.compile(
+    rb"<" + _PRE + rb"loc\s*>(.*?)</" + _PRE + rb"loc\s*>",
+    re.DOTALL | re.IGNORECASE,
+)
+_LASTMOD = re.compile(
+    rb"<" + _PRE + rb"lastmod\s*>(.*?)</" + _PRE + rb"lastmod\s*>",
+    re.DOTALL | re.IGNORECASE,
+)
 _CDATA = re.compile(rb"^\s*<!\[CDATA\[(.*?)\]\]>\s*$", re.DOTALL)
+_COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
+_ROOT = re.compile(
+    rb"<" + _PRE + rb"(urlset|sitemapindex)[\s>]", re.IGNORECASE
+)
+# ONLY the five XML predefined entities plus numeric charrefs —
+# html.unescape would also decode ~2000 HTML5 names including
+# semicolon-less ones ('&notify' → '¬ify'), corrupting the raw-ampersand
+# URLs a tolerant sitemap parser exists to survive (round-10 review)
+_ENTITY = re.compile(r"&(amp|lt|gt|quot|apos);|&#(\d+);|&#x([0-9a-fA-F]+);")
+_NAMED = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+
+
+def _unescape_xml(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        if m.group(1):
+            return _NAMED[m.group(1)]
+        if m.group(2):
+            return chr(int(m.group(2)))
+        return chr(int(m.group(3), 16))
+
+    return _ENTITY.sub(sub, s)
 
 
 def _text(raw: bytes) -> str:
     m = _CDATA.match(raw)
     if m:
         raw = m.group(1)
-    return html.unescape(raw.decode("utf-8", errors="replace").strip())
+    return _unescape_xml(raw.decode("utf-8", errors="replace").strip())
 
 
 def parse_sitemap(body: bytes) -> tuple[str, list[tuple[str, str | None]]]:
     """One sitemap document → (kind, entries); kind is ``urlset`` or
     ``sitemapindex``; entries are (loc, lastmod-or-None) in document
-    order. Gzipped bodies are transparently decompressed; a document with
-    neither root tag returns ("", [])."""
+    order. Gzipped bodies are transparently decompressed (any corruption —
+    bad magic, truncation, mid-stream damage — returns ("", []), never a
+    task crash); comments are stripped before any matching so commented-out
+    markup can neither misclassify the root nor contribute entries; a
+    document with neither root tag returns ("", [])."""
     if body[:2] == b"\x1f\x8b":
         try:
             body = gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # gzip raises THREE disjoint types: BadGzipFile (an OSError)
+            # for bad magic, EOFError for truncation, zlib.error for
+            # mid-stream corruption — catching only OSError would crash
+            # the task on a cut-off crawl fetch (round-10 review)
             return "", []
-    low = body[:4096].lower()
-    if b"<sitemapindex" in low:
-        kind, block = "sitemapindex", _CHILD_BLOCK
-    elif b"<urlset" in low:
-        kind, block = "urlset", _URL_BLOCK
-    else:
+    body = _COMMENT.sub(b"", body)
+    root = _ROOT.search(body)
+    if root is None:
         return "", []
+    kind = root.group(1).lower().decode("ascii")
+    block = _CHILD_BLOCK if kind == "sitemapindex" else _URL_BLOCK
     entries: list[tuple[str, str | None]] = []
     for m in block.finditer(body):
         chunk = m.group(1)
@@ -108,8 +148,8 @@ def warc_sitemap_urls(warc_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
-                if payload is None:
-                    continue
+                if uri is None or payload is None:
+                    continue  # a URI-less record cannot key coverage audits
                 msg = http_message(bytes(payload))
                 body = msg[1] if msg else bytes(payload)
                 kind, entries = parse_sitemap(body)

@@ -72,6 +72,58 @@ def test_no_entity_expansion_blowup():
     assert entries == [("http://x.example/&b;", None)]
 
 
+def test_truncated_and_midstream_corrupt_gzip_yield_nothing():
+    """gzip raises THREE disjoint exception types (BadGzipFile/EOFError/
+    zlib.error); every one must fail soft, not crash the task."""
+    blob = gzip.compress(_URLSET)
+    assert parse_sitemap(blob[:20]) == ("", [])  # truncated → EOFError
+    corrupt = blob[:12] + bytes(b ^ 0xFF for b in blob[12:20]) + blob[20:]
+    assert parse_sitemap(corrupt) == ("", [])  # mid-stream → zlib.error
+
+
+def test_raw_ampersand_urls_survive_unescaping():
+    """Only the five XML entities decode — html.unescape would turn the
+    semicolon-less HTML5 name in '&notify=' into '¬ify=' (review find)."""
+    body = (
+        b"<urlset><url><loc>http://x.example/?a=1&notify=true&copy=3</loc>"
+        b"</url></urlset>"
+    )
+    _, entries = parse_sitemap(body)
+    assert entries == [("http://x.example/?a=1&notify=true&copy=3", None)]
+
+
+def test_numeric_charrefs_decode():
+    body = b"<urlset><url><loc>http://x.example/&#97;&#x42;</loc></url></urlset>"
+    assert parse_sitemap(body)[1] == [("http://x.example/aB", None)]
+
+
+def test_namespace_prefixed_tags_parse():
+    """ElementTree's default serialization emits <ns0:urlset> — prefixed
+    sitemaps must parse identically to bare ones (review finding)."""
+    body = (
+        b'<ns0:urlset xmlns:ns0="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<ns0:url><ns0:loc>http://x.example/p</ns0:loc>"
+        b"<ns0:lastmod>2024-03-04</ns0:lastmod></ns0:url></ns0:urlset>"
+    )
+    assert parse_sitemap(body) == ("urlset", [("http://x.example/p", "2024-03-04")])
+
+
+def test_comment_mentioning_index_does_not_misclassify():
+    body = (
+        b"<!-- this used to be a <sitemapindex> document -->"
+        b"<urlset><url><loc>http://x.example/r</loc></url></urlset>"
+    )
+    assert parse_sitemap(body) == ("urlset", [("http://x.example/r", None)])
+
+
+def test_large_preamble_before_root_still_parses():
+    body = (
+        b"<!-- pad -->" * 600  # > 4096 bytes of preamble
+        + b"<urlset><url><loc>http://x.example/deep</loc></url></urlset>"
+    )
+    assert parse_sitemap(body) == ("urlset", [("http://x.example/deep", None)])
+
+
 def test_warc_sitemap_extraction_canonicalizes(spark, tmp_path):
     body = (
         b"<urlset><url><loc>HTTP://X.Example:80/a/../b</loc></url></urlset>"
