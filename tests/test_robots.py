@@ -110,6 +110,28 @@ def test_parse_groups_structure():
     assert (True, "/private/ok.html") in groups[0][1]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    txt=st.text(
+        alphabet=st.sampled_from(
+            list("UserAgent:*#\nDisalow /ab$*%\t\r cRWLdEY-_.")
+        ),
+        max_size=300,
+    ),
+    path=st.text(
+        alphabet=st.sampled_from(list("/ab*$%.?=")), max_size=30
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_is_allowed_total_on_adversarial_policies(txt, path):
+    """Any policy text and any path produce a boolean — never a regex
+    error (patterns are escaped), never a crash on malformed lines."""
+    assert is_allowed(txt, "somebot", path) in (True, False)
+
+
 # ------------------------------------------------------------------ Spark side
 
 

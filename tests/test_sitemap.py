@@ -124,6 +124,30 @@ def test_large_preamble_before_root_still_parses():
     assert parse_sitemap(body) == ("urlset", [("http://x.example/deep", None)])
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(body=st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_parse_sitemap_total_on_adversarial_bytes(body):
+    kind, entries = parse_sitemap(body)
+    assert kind in ("", "urlset", "sitemapindex")
+    assert all(isinstance(loc, str) for loc, _ in entries)
+
+
+@given(
+    body=st.text(
+        alphabet=st.sampled_from(list("<>&;#x/urlsetmapindx oc!-[]CDAT0129%\r\n")),
+        max_size=200,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_parse_sitemap_total_on_markup_soup(body):
+    kind, entries = parse_sitemap(body.encode())
+    assert isinstance(entries, list)
+
+
 def test_warc_sitemap_extraction_canonicalizes(spark, tmp_path):
     body = (
         b"<urlset><url><loc>HTTP://X.Example:80/a/../b</loc></url></urlset>"
