@@ -80,6 +80,30 @@ def parse_robots(text: str) -> tuple[Group, ...]:
     return tuple((tuple(a), tuple(r)) for a, r in groups)
 
 
+def sitemaps_in_robots(text: str | None) -> list[str]:
+    """The ``Sitemap:`` directives a robots.txt declares (RFC 9309 §2.2.4
+    treats them as 'other records'; sitemaps.org defines the semantics) —
+    the discovery link from the per-host policy to ``operators/sitemap.py``.
+    Group-independent per the protocol: a Sitemap line applies regardless
+    of which user-agent block surrounds it. Canonicalized, order-preserved,
+    de-duplicated."""
+    if not text:
+        return []
+    from .urlnorm import canonical_url
+
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            u = canonical_url(value.strip())
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+    return out
+
+
 def _rules_for_agent(groups: tuple[Group, ...], user_agent: str) -> tuple[Rule, ...]:
     """Longest matching product-token prefix wins; all groups at the
     winning length merge; ``*`` groups apply only when nothing matched."""

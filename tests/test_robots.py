@@ -110,6 +110,26 @@ def test_parse_groups_structure():
     assert (True, "/private/ok.html") in groups[0][1]
 
 
+def test_sitemap_directives_discovered():
+    from hbase_observer_es_spark.operators.robots import sitemaps_in_robots
+
+    txt = """
+User-agent: *
+Disallow: /private/
+Sitemap: HTTP://X.Example:80/sitemap.xml
+User-agent: other
+Sitemap: http://x.example/other.xml.gz  # trailing comment
+Sitemap: http://x.example/sitemap.xml
+"""
+    # group-independent, canonicalized, order-preserved, deduplicated
+    assert sitemaps_in_robots(txt) == [
+        "http://x.example/sitemap.xml",
+        "http://x.example/other.xml.gz",
+    ]
+    assert sitemaps_in_robots(None) == []
+    assert sitemaps_in_robots("User-agent: *\nDisallow: /") == []
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
