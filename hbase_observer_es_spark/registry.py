@@ -64,6 +64,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.es_extra",
     "hbase_observer_es_spark.operators.html_text",
     "hbase_observer_es_spark.operators.graph",
+    "hbase_observer_es_spark.operators.dedup_substring",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
@@ -75,20 +76,23 @@ _MODULES = (
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
 # Round 10 inputs: CORRECTNESS_r01-r09 + git round boundaries; edited-fn
-# q_html_extract,q_graph_pagerank,q_graph_copurchase (the round's THREE new
-# registrations — all in new modules with closures disjoint from every
-# existing query per astdeps). The three never-checked queries head the
-# window, followed by the ENTIRE 42-row r6 evidence block (the round-9
-# verdict's top item), still inside the ~50-row prefix — after the r10
-# driver window the oldest remaining green becomes r7. The round's other
-# source edits (avrosrc snappy/arrow boundary, warc HTTP codings, robots/
-# urlnorm) sit outside every registered query's closure; streaming rows
-# keep their r9 green.
+# q_html_extract,q_graph_pagerank,q_graph_copurchase,q_dedup_substring,
+# q_dedup_substring_top (the round's FIVE new registrations — all in new
+# modules with closures disjoint from every existing query per astdeps).
+# The five never-checked queries head the window, followed by the ENTIRE
+# 42-row r6 evidence block (the round-9 verdict's top item) = 47 rows,
+# still inside the ~50-row prefix — after the r10 driver window the oldest
+# remaining green becomes r7. The round's other source edits (avrosrc
+# snappy/arrow boundary, warc HTTP codings, robots/urlnorm/sitemap) sit
+# outside every registered query's closure; streaming rows keep their r9
+# green.
 _PRIORITY = (
     # tier 0.0: never driver-checked
     "q_html_extract",  # never checked
     "q_graph_pagerank",  # never checked
     "q_graph_copurchase",  # never checked
+    "q_dedup_substring",  # never checked
+    "q_dedup_substring_top",  # never checked
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
     "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
     "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
