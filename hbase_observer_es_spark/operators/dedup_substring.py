@@ -66,10 +66,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than K tokens surface with zero spans (explode_outer keeps
     them as a NULL span row; the NULL never counts as a duplicate)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    ex = d.select(
+    # materialize the span array ONCE: naming it in a prior projection lets
+    # both consumers (size and the Generate) share the expression — inlining
+    # _spans() twice would re-tokenize and re-join every window per row
+    ex = d.withColumn("spans", _spans()).select(
         "doc_id",
-        F.size(_spans()).cast("long").alias("n_spans"),
-        F.explode_outer(_spans()).alias("span"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.explode_outer("spans").alias("span"),
     )
     cnt = F.count(F.lit(1)).over(Window.partitionBy("span"))
     dup = F.col("span").isNotNull() & (cnt >= 2)

@@ -52,7 +52,7 @@ def parse_robots(text: str) -> tuple[Group, ...]:
     agents: list[str] = []
     rules: list[Rule] = []
     collecting_agents = True
-    text = text.lstrip("﻿")
+    text = text.lstrip('\ufeff')
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -93,7 +93,9 @@ def sitemaps_in_robots(text: str | None) -> list[str]:
 
     out: list[str] = []
     seen: set[str] = set()
-    for raw in text.splitlines():
+    # same BOM strip as parse_robots — a line-1 'Sitemap:' directive behind
+    # a UTF-8 BOM must not parse as the key '﻿sitemap'
+    for raw in text.lstrip('\ufeff').splitlines():
         line = raw.split("#", 1)[0].strip()
         key, _, value = line.partition(":")
         if key.strip().lower() == "sitemap" and value.strip():

@@ -56,7 +56,25 @@ _LASTMOD = re.compile(
     re.DOTALL | re.IGNORECASE,
 )
 _CDATA = re.compile(rb"^\s*<!\[CDATA\[(.*?)\]\]>\s*$", re.DOTALL)
+_CDATA_SECT = re.compile(rb"<!\[CDATA\[.*?\]\]>", re.DOTALL)
 _COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
+
+
+def _strip_comments(body: bytes) -> bytes:
+    """Comment removal that leaves CDATA sections intact: per XML, ``<!--``
+    inside CDATA is character data, not a comment — a global sub would
+    delete literal text from a CDATA-wrapped ``<loc>``. Comments are
+    subbed only in the gaps between CDATA sections."""
+    if b"<![CDATA[" not in body:
+        return _COMMENT.sub(b"", body)
+    out: list[bytes] = []
+    pos = 0
+    for m in _CDATA_SECT.finditer(body):
+        out.append(_COMMENT.sub(b"", body[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_COMMENT.sub(b"", body[pos:]))
+    return b"".join(out)
 _ROOT = re.compile(
     rb"<" + _PRE + rb"(urlset|sitemapindex)[\s>]", re.IGNORECASE
 )
@@ -72,9 +90,17 @@ def _unescape_xml(s: str) -> str:
     def sub(m: re.Match) -> str:
         if m.group(1):
             return _NAMED[m.group(1)]
-        if m.group(2):
-            return chr(int(m.group(2)))
-        return chr(int(m.group(3), 16))
+        try:
+            cp = int(m.group(2)) if m.group(2) else int(m.group(3), 16)
+        except ValueError:  # > sys.int_info digit limit on absurd charrefs
+            return "�"
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            # out-of-range crashes chr(); a lone surrogate decodes but then
+            # fails UTF-8 encoding at the pandas→Arrow boundary — both
+            # become U+FFFD so one malformed charref in a crawled sitemap
+            # can never kill the task
+            return "�"
+        return chr(cp)
 
     return _ENTITY.sub(sub, s)
 
@@ -91,9 +117,17 @@ def parse_sitemap(body: bytes) -> tuple[str, list[tuple[str, str | None]]]:
     ``sitemapindex``; entries are (loc, lastmod-or-None) in document
     order. Gzipped bodies are transparently decompressed (any corruption —
     bad magic, truncation, mid-stream damage — returns ("", []), never a
-    task crash); comments are stripped before any matching so commented-out
-    markup can neither misclassify the root nor contribute entries; a
-    document with neither root tag returns ("", [])."""
+    task crash); comments are stripped (CDATA-aware) before any matching so
+    commented-out markup can neither misclassify the root nor contribute
+    entries; a document with neither root tag returns ("", []).
+
+    Detection bound: the root tag must appear (outside comments) within the
+    first 64 KB — real sitemaps open with it in the first few hundred bytes.
+    The bound is what keeps this callable over EVERY response record in a
+    WARC shard: an ordinary multi-MB HTML page is rejected by a
+    comment-stripped 64 KB probe without paying a full-body pass; only a
+    comment left unterminated at the probe cut (a giant commented preamble
+    can hide the root past it) falls through to the full scan."""
     if body[:2] == b"\x1f\x8b":
         try:
             body = gzip.decompress(body)
@@ -103,7 +137,10 @@ def parse_sitemap(body: bytes) -> tuple[str, list[tuple[str, str | None]]]:
             # mid-stream corruption — catching only OSError would crash
             # the task on a cut-off crawl fetch (round-10 review)
             return "", []
-    body = _COMMENT.sub(b"", body)
+    probe = _COMMENT.sub(b"", body[:65536])
+    if _ROOT.search(probe) is None and b"<!--" not in probe:
+        return "", []
+    body = _strip_comments(body)
     root = _ROOT.search(body)
     if root is None:
         return "", []

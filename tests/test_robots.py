@@ -130,6 +130,16 @@ Sitemap: http://x.example/sitemap.xml
     assert sitemaps_in_robots("User-agent: *\nDisallow: /") == []
 
 
+def test_sitemap_directive_behind_bom_is_discovered():
+    """parse_robots strips the UTF-8 BOM; the sitemap scan must apply the
+    SAME strip or a line-1 Sitemap: directive parses as the key
+    '\\ufeffsitemap' and is silently dropped (fourth-review finding)."""
+    from hbase_observer_es_spark.operators.robots import sitemaps_in_robots
+
+    txt = "﻿Sitemap: http://x.example/s.xml\nUser-agent: *\nDisallow:"
+    assert sitemaps_in_robots(txt) == ["http://x.example/s.xml"]
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

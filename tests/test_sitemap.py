@@ -124,6 +124,49 @@ def test_large_preamble_before_root_still_parses():
     assert parse_sitemap(body) == ("urlset", [("http://x.example/deep", None)])
 
 
+def test_out_of_range_charrefs_become_replacement_not_crash():
+    """chr() crashes past 0x10FFFF, a lone surrogate dies later at the
+    Arrow boundary, and a >4300-digit charref trips Python's int() digit
+    limit — all three must degrade to U+FFFD, never a task crash
+    (fourth-review finding)."""
+    for ref in (b"&#1114112;", b"&#x110000;", b"&#xD800;", b"&#" + b"9" * 5000 + b";"):
+        body = b"<urlset><url><loc>http://x.example/" + ref + b"</loc></url></urlset>"
+        kind, entries = parse_sitemap(body)
+        assert kind == "urlset"
+        assert entries[0][0].endswith("�")
+        entries[0][0].encode("utf-8")  # Arrow-safe
+
+
+def test_cdata_preserves_literal_comment_markers():
+    """CDATA content is character data per XML: '<!--b-->' inside a
+    CDATA-wrapped loc is literal text, so the comment pass must not delete
+    it (fourth-review finding — regression from the comment-strip fix)."""
+    body = (
+        b"<urlset><url><loc><![CDATA[http://x.example/a<!--b-->c]]></loc>"
+        b"</url></urlset>"
+    )
+    assert parse_sitemap(body)[1] == [("http://x.example/a<!--b-->c", None)]
+
+
+def test_root_hidden_past_probe_by_giant_comment_still_parses():
+    """The 64 KB detection probe falls through to a full scan when a
+    comment opened inside the probe is still unterminated at the cut."""
+    body = (
+        b"<!-- " + b"x" * 70_000 + b" -->"
+        b"<urlset><url><loc>http://x.example/far</loc></url></urlset>"
+    )
+    assert parse_sitemap(body) == ("urlset", [("http://x.example/far", None)])
+
+
+def test_non_sitemap_with_no_root_in_probe_is_rejected():
+    """An ordinary large HTML page (comments closed, no root tag in the
+    first 64 KB) is rejected by the bounded probe — the documented
+    detection bound that keeps parse_sitemap callable per response record."""
+    body = b"<html><body>" + b"<p>hi</p><!-- c -->" * 8000 + b"</body></html>"
+    assert len(body) > 65536
+    assert parse_sitemap(body) == ("", [])
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
