@@ -315,11 +315,94 @@ ORDER BY shared_customers DESC, supp_a, supp_b
 LIMIT 20
 """
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sharing document clusters: weakly-connected components over the
+    graph whose edges join documents sharing at least one exact K-token span
+    (K from ``dedup_substring`` — the two round-10 operators composed). The
+    pipeline meaning: a component is a BOILERPLATE FAMILY — docs chained by
+    shared licence blocks / templated intros, including transitive links
+    document-pair dedup cannot see (A~B via span1, B~C via span2 puts A and
+    C in one family with no shared span between them).
+
+    Node ids are zero-padded decimal strings so ``connected_components``'s
+    LEXICOGRAPHIC min-label equals numeric min and the DuckDB recursive-CTE
+    oracle (numeric ``min``) agrees exactly; labels cast back to long on
+    output. Candidate edges come from an equi-self-join on the span string —
+    the same bucketed-not-all-pairs shape as LSH. Skew note for 100 TB: a
+    corpus-frequency cap on spans before the self-join (a span in thousands
+    of docs is a stopword-grade signal and emits quadratic pairs) is the
+    standard pre-filter; fixture span frequency maxes at 3, so it is not
+    wired here. Only documents with at least one shared span surface (the
+    graph's node set); isolated docs are not rows."""
+    from .dedup_substring import _spans
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = d.select("doc_id", F.explode(_spans()).alias("span"))
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = (
+        a.join(b, "span")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.format_string("%08d", F.col("a.doc_id")).alias("src"),
+            F.format_string("%08d", F.col("b.doc_id")).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    from pyspark.sql import Window
+
+    return (
+        labels.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("label").cast("long").alias("component"),
+        )
+        .withColumn(
+            "csize",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("long"),
+        )
+    )
+
+
+def _sql_span_pairs() -> str:
+    from .dedup_substring import K_SPAN
+
+    return f"""toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+    SELECT doc_id, array_to_string(t[i:i + {K_SPAN} - 1], ' ') AS span
+    FROM toks, LATERAL
+        unnest(range(1, greatest(len(t) - {K_SPAN} + 1, 0) + 1)) AS u(i)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+    FROM spans a JOIN spans b
+      ON a.span = b.span AND a.doc_id <> b.doc_id
+)"""
+
+
+SQL_GRAPH_COMPONENTS = f"""
+WITH RECURSIVE {_sql_span_pairs()},
+nodes AS (SELECT DISTINCT x AS node FROM pairs),
+reach(node, m) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT p.x, r.m FROM pairs p JOIN reach r ON p.y = r.node
+),
+lab AS (SELECT node, min(m) AS label FROM reach GROUP BY node)
+SELECT node AS doc_id, label AS component,
+       count(*) OVER (PARTITION BY label) AS csize
+FROM lab
+"""
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_copurchase": q_graph_copurchase,
+    "q_graph_components": q_graph_components,
 }
 ORACLES = {
     "q_graph_pagerank": SQL_GRAPH_PAGERANK,
     "q_graph_copurchase": SQL_GRAPH_COPURCHASE,
+    "q_graph_components": SQL_GRAPH_COMPONENTS,
 }

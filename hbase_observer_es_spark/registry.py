@@ -77,10 +77,11 @@ _MODULES = (
 # proof certifies identical risk; round-9 refinement, see rotation.py).
 # Round 10 inputs: CORRECTNESS_r01-r09 + git round boundaries; edited-fn
 # q_html_extract,q_graph_pagerank,q_graph_copurchase,q_dedup_substring,
-# q_dedup_substring_top (the round's FIVE new registrations — all in new
-# modules with closures disjoint from every existing query per astdeps).
-# The five never-checked queries head the window, followed by the ENTIRE
-# 42-row r6 evidence block (the round-9 verdict's top item) = 47 rows,
+# q_dedup_substring_top,q_graph_components (the round's SIX new
+# registrations — all in new modules or new fns with closures disjoint
+# from every existing query per astdeps). The six never-checked queries
+# head the window, followed by the ENTIRE 42-row r6 evidence block (the
+# round-9 verdict's top item) = 48 rows,
 # still inside the ~50-row prefix — after the r10 driver window the oldest
 # remaining green becomes r7. The round's other source edits (avrosrc
 # snappy/arrow boundary, warc HTTP codings, robots/urlnorm/sitemap) sit
@@ -91,6 +92,7 @@ _PRIORITY = (
     "q_html_extract",  # never checked
     "q_graph_pagerank",  # never checked
     "q_graph_copurchase",  # never checked
+    "q_graph_components",  # never checked
     "q_dedup_substring",  # never checked
     "q_dedup_substring_top",  # never checked
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)

@@ -182,3 +182,39 @@ def test_plan_has_no_cartesian_and_bounded_depth(spark):
     # of re-deriving orders⋈lineitem per iteration
     assert plan.count("FileScan parquet") == 0, plan.count("FileScan parquet")
     assert "Scan ExistingRDD" in plan
+
+
+def test_span_components_match_oracle(spark):
+    from hbase_observer_es_spark.operators.graph import (
+        SQL_GRAPH_COMPONENTS,
+        q_graph_components,
+    )
+
+    r = compare(
+        "q_graph_components",
+        q_graph_components(spark, SF_ORACLE),
+        duckdb_con(SF_ORACLE),
+        SQL_GRAPH_COMPONENTS,
+    )
+    assert r.ok, r.detail
+
+
+def test_span_components_transitive_chain(spark, tmp_path):
+    """A~B via span1 and B~C via span2 puts A and C in ONE component even
+    though A and C share no span — the transitive reach document-PAIR dedup
+    cannot see, which is the point of the operator. An isolated doc is not
+    a row."""
+    from hbase_observer_es_spark.operators.dedup_substring import K_SPAN
+    from hbase_observer_es_spark.operators.graph import q_graph_components
+
+    s1 = " ".join(f"p{i}" for i in range(K_SPAN))
+    s2 = " ".join(f"q{i}" for i in range(K_SPAN))
+    texts = [s1 + " a-tail", s1 + " mid " + s2, s2 + " c-tail", "lonely short doc"]
+    rows = [(i, t, "en", "fix", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in q_graph_components(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 2}  # doc 3 is isolated: not a node
+    assert got[0].component == got[1].component == got[2].component == 0
+    assert all(got[i].csize == 3 for i in got)

@@ -1038,6 +1038,7 @@ _BNLJ_BY_DESIGN = {
 _RDD_BY_DESIGN = {
     "q_dedup_clusters", "q_dedup_jaccard", "q_search_percolate", "q_sim_ivf_trained",
     "q_graph_pagerank",  # edge/node frames checkpointed once before the K-loop
+    "q_graph_components",  # min-label fixpoint localCheckpoints each round
 }
 
 
