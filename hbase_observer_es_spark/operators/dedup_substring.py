@@ -94,30 +94,44 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_SUBSTRING = f"""
-WITH toks AS (
+# THE one span-generation SQL — every oracle that shingles documents
+# (per-doc coverage, the top view, graph.py's span-sharing components)
+# builds on this same string, so a fix to tokenization or the slice
+# arithmetic cannot silently diverge between them. `spans` is the
+# (doc_id, span) relation; zero-span docs are absent from it (inner
+# LATERAL) — consumers that must surface them re-derive counts from
+# `toks`.
+SQL_SPANS_CTE = f"""toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 spans AS (
+    SELECT doc_id, array_to_string(t[i:i + {K_SPAN} - 1], ' ') AS span
+    FROM toks, LATERAL
+        unnest(range(1, greatest(len(t) - {K_SPAN} + 1, 0) + 1)) AS u(i)
+)"""
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH {SQL_SPANS_CTE},
+nsp AS (
     SELECT doc_id,
-           CAST(greatest(len(t) - {K_SPAN} + 1, 0) AS BIGINT) AS n_spans,
-           array_to_string(t[i:i + {K_SPAN} - 1], ' ') AS span
-    FROM toks LEFT JOIN LATERAL
-        unnest(range(1, greatest(len(t) - {K_SPAN} + 1, 0) + 1)) AS u(i) ON true
+           CAST(greatest(len(t) - {K_SPAN} + 1, 0) AS BIGINT) AS n_spans
+    FROM toks
 ),
-counted AS (
-    SELECT doc_id, n_spans, span,
-           count(*) OVER (PARTITION BY span) AS c
-    FROM spans
+perdoc AS (
+    SELECT doc_id, count(*) FILTER (c >= 2) AS n_dup
+    FROM (
+        SELECT doc_id, count(*) OVER (PARTITION BY span) AS c FROM spans
+    )
+    GROUP BY doc_id
 )
-SELECT doc_id, n_spans,
-       count(*) FILTER (span IS NOT NULL AND c >= 2) AS n_dup_spans,
-       CASE WHEN n_spans > 0
-            THEN CAST(count(*) FILTER (span IS NOT NULL AND c >= 2) AS DOUBLE)
-                 / CAST(n_spans AS DOUBLE)
+SELECT n.doc_id, n.n_spans,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN n.n_spans > 0
+            THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+                 / CAST(n.n_spans AS DOUBLE)
             ELSE 0.0 END AS dup_frac
-FROM counted
-GROUP BY doc_id, n_spans
+FROM nsp n LEFT JOIN perdoc p USING (doc_id)
 """
 
 
@@ -142,14 +156,7 @@ def q_dedup_substring_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_SUBSTRING_TOP = f"""
-WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-spans AS (
-    SELECT doc_id, array_to_string(t[i:i + {K_SPAN} - 1], ' ') AS span
-    FROM toks, LATERAL
-        unnest(range(1, greatest(len(t) - {K_SPAN} + 1, 0) + 1)) AS u(i)
-)
+WITH {SQL_SPANS_CTE}
 SELECT span,
        CAST(count(*) AS BIGINT) AS n_occ,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -324,15 +324,21 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-pair dedup cannot see (A~B via span1, B~C via span2 puts A and
     C in one family with no shared span between them).
 
-    Node ids are zero-padded decimal strings so ``connected_components``'s
-    LEXICOGRAPHIC min-label equals numeric min and the DuckDB recursive-CTE
-    oracle (numeric ``min``) agrees exactly; labels cast back to long on
-    output. Candidate edges come from an equi-self-join on the span string —
-    the same bucketed-not-all-pairs shape as LSH. Skew note for 100 TB: a
-    corpus-frequency cap on spans before the self-join (a span in thousands
-    of docs is a stopword-grade signal and emits quadratic pairs) is the
-    standard pre-filter; fixture span frequency maxes at 3, so it is not
-    wired here. Only documents with at least one shared span surface (the
+    Node ids are zero-padded to full int64 width (%019d) so
+    ``connected_components``'s LEXICOGRAPHIC min-label equals numeric min
+    for every NON-NEGATIVE doc_id — the one id-domain bound this operator
+    assumes (a '-' prefix breaks the order isomorphism); the DuckDB
+    recursive-CTE oracle (numeric ``min``) then agrees exactly, and labels
+    cast back to long on output. Candidate edges come from an
+    equi-self-join on the span string — the same bucketed-not-all-pairs
+    shape as LSH — emitted in CANONICAL ``a < b`` orientation only and NOT
+    pre-deduplicated: ``connected_components`` symmetrizes and distincts
+    internally, so a caller-side distinct would just repeat its exchanges
+    on a doubled frame. Skew note for 100 TB: a corpus-frequency cap on
+    spans before the self-join (a span in thousands of docs is a
+    stopword-grade signal and emits quadratic pairs) is the standard
+    pre-filter; fixture span frequency maxes at 3, so it is not wired
+    here. Only documents with at least one shared span surface (the
     graph's node set); isolated docs are not rows."""
     from .dedup_substring import _spans
 
@@ -341,12 +347,11 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = spans.alias("a"), spans.alias("b")
     pairs = (
         a.join(b, "span")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.format_string("%08d", F.col("a.doc_id")).alias("src"),
-            F.format_string("%08d", F.col("b.doc_id")).alias("dst"),
+            F.format_string("%019d", F.col("a.doc_id")).alias("src"),
+            F.format_string("%019d", F.col("b.doc_id")).alias("dst"),
         )
-        .distinct()
     )
     labels = connected_components(pairs)
     from pyspark.sql import Window
@@ -364,16 +369,11 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_span_pairs() -> str:
-    from .dedup_substring import K_SPAN
+    # span generation comes from dedup_substring.SQL_SPANS_CTE — the single
+    # shared string all span oracles build on (drift tripwire discharged)
+    from .dedup_substring import SQL_SPANS_CTE
 
-    return f"""toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-spans AS (
-    SELECT doc_id, array_to_string(t[i:i + {K_SPAN} - 1], ' ') AS span
-    FROM toks, LATERAL
-        unnest(range(1, greatest(len(t) - {K_SPAN} + 1, 0) + 1)) AS u(i)
-),
+    return f"""{SQL_SPANS_CTE},
 pairs AS (
     SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
     FROM spans a JOIN spans b
