@@ -1,0 +1,186 @@
+"""WET sink (sinks/wet.py): conversion-record publication, byte-determinism,
+member-per-record layout, manifest verification, documents round-trip."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import zlib
+
+import pytest
+
+from hbase_observer_es_spark.sinks.wet import (
+    DEFAULT_DATE,
+    MANIFEST,
+    read_wet,
+    verify_wet,
+    write_wet,
+)
+from hbase_observer_es_spark.sources.warc import parse_warc_bytes
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            ("http://a.example/1", "alpha text 日本", "2024-01-02T03:04:05Z", "<urn:uuid:ref-1>"),
+            ("http://a.example/2", "beta", "2024-01-02T03:04:06Z", None),
+            ("http://b.example/", "gamma\nsecond line", None, "<urn:uuid:ref-3>"),
+        ],
+        "source string, text string, warc_date string, refers_to string",
+    )
+
+
+def _gzip_members(raw: bytes) -> list[bytes]:
+    """Split a multi-member gzip stream at true member boundaries."""
+    members, pos = [], 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        members.append(d.decompress(raw[pos:]))
+        consumed = len(raw) - pos - len(d.unused_data)
+        assert consumed > 0
+        pos += consumed
+    return members
+
+
+def test_write_wet_publishes_valid_warc(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    manifest = write_wet(
+        _docs(spark), out, n_shards=2,
+        date_col="warc_date", refers_to_col="refers_to",
+    )
+    assert manifest["total_records"] == 3
+    assert sorted(manifest["shards"]) == ["0", "1"]
+    files = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert files == [
+        "part-00000-of-00002.warc.gz",
+        "part-00001-of-00002.warc.gz",
+    ]
+    seen = {}
+    for fname in files:
+        with open(os.path.join(out, fname), "rb") as f:
+            raw = f.read()
+        recs = list(parse_warc_bytes(gzip.decompress(raw), fname))
+        assert recs[0]["warc_type"] == "warcinfo"
+        for r in recs[1:]:
+            assert r["warc_type"] == "conversion"
+            assert r["content_type"] == "text/plain"
+            assert r["record_id"].startswith("<urn:uuid:")
+            seen[r["target_uri"]] = r["payload"].decode("utf-8")
+    assert seen == {
+        "http://a.example/1": "alpha text 日本",
+        "http://a.example/2": "beta",
+        "http://b.example/": "gamma\nsecond line",
+    }
+
+
+def test_wet_date_and_refers_headers(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 1, date_col="warc_date", refers_to_col="refers_to")
+    with open(os.path.join(out, "part-00000-of-00001.warc.gz"), "rb") as f:
+        text = gzip.decompress(f.read()).decode("utf-8")
+    assert "WARC-Date: 2024-01-02T03:04:05Z" in text
+    assert "WARC-Refers-To: <urn:uuid:ref-1>" in text
+    # NULL date falls back to the epoch sentinel, never the wall clock
+    assert f"WARC-Date: {DEFAULT_DATE}" in text
+    # the one record with refers_to=None must not emit the header at all
+    assert text.count("WARC-Refers-To:") == 2
+
+
+def test_wet_member_per_record(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 1, date_col="warc_date")
+    with open(os.path.join(out, "part-00000-of-00001.warc.gz"), "rb") as f:
+        raw = f.read()
+    members = _gzip_members(raw)
+    assert len(members) == 4  # warcinfo + 3 conversion records
+    for m in members:
+        assert m.startswith(b"WARC/1.0\r\n")
+
+
+def test_wet_byte_deterministic_across_reruns(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # second frame arrives in a different row order — output must not care
+    write_wet(_docs(spark), a, 2, date_col="warc_date", refers_to_col="refers_to")
+    shuffled = _docs(spark).orderBy("text")
+    write_wet(shuffled, b, 2, date_col="warc_date", refers_to_col="refers_to")
+    for fname in sorted(os.listdir(a)):
+        with open(os.path.join(a, fname), "rb") as fa, open(
+            os.path.join(b, fname), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), fname
+
+
+def test_wet_empty_shard_still_published(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    one = _docs(spark).limit(1)
+    manifest = write_wet(one, out, 4, date_col="warc_date")
+    assert len(manifest["shards"]) == 4
+    empties = [s for s in manifest["shards"].values() if s["records"] == 0]
+    assert len(empties) == 3
+    for s in manifest["shards"].values():
+        assert os.path.isfile(os.path.join(out, s["file"]))
+    verify_wet(out)  # empty shards carry a warcinfo record and verify clean
+
+
+def test_wet_null_text_fails_loud(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [("http://x.example/", None)], "source string, text string"
+    )
+    with pytest.raises(Exception, match="WET sink: NULL"):
+        write_wet(bad, str(tmp_path / "w"), 1)
+
+
+def test_wet_missing_column_fails_loud(spark, tmp_path):
+    with pytest.raises(ValueError, match="not in"):
+        write_wet(_docs(spark), str(tmp_path / "w"), 1, date_col="no_such")
+
+
+def test_read_wet_documents_shape_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 2, date_col="warc_date")
+    back = read_wet(spark, out)
+    assert back.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = {r["source"]: r for r in back.collect()}
+    assert set(rows) == {
+        "http://a.example/1", "http://a.example/2", "http://b.example/"
+    }
+    assert rows["http://b.example/"]["text"] == "gamma\nsecond line"
+    assert rows["http://a.example/2"]["n_chars"] == 4
+    assert all(r["lang"] is None for r in rows.values())
+    # doc_id is deterministic: re-reading yields the same ids
+    again = {r["source"]: r["doc_id"] for r in read_wet(spark, out).collect()}
+    assert again == {k: v["doc_id"] for k, v in rows.items()}
+
+
+def test_verify_wet_catches_tampering(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 2, date_col="warc_date")
+    verify_wet(out)  # clean pass first
+    # tamper: swap one shard's bytes for a valid-but-different shard
+    with open(os.path.join(out, MANIFEST)) as f:
+        manifest = json.load(f)
+    victim = next(
+        s["file"] for s in manifest["shards"].values() if s["records"] > 0
+    )
+    other_dir = str(tmp_path / "other")
+    write_wet(
+        spark.createDataFrame(
+            [("http://evil.example/", "injected")], "source string, text string"
+        ),
+        other_dir, 1,
+    )
+    os.replace(
+        os.path.join(other_dir, "part-00000-of-00001.warc.gz"),
+        os.path.join(out, victim),
+    )
+    with pytest.raises(ValueError, match="WET verify failed"):
+        verify_wet(out)
+
+
+def test_verify_wet_catches_missing_shard(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 2, date_col="warc_date")
+    os.remove(os.path.join(out, "part-00001-of-00002.warc.gz"))
+    with pytest.raises(ValueError, match="missing"):
+        verify_wet(out)
