@@ -197,6 +197,38 @@ def test_full_crawl_story_with_robots_and_link_rank(spark, tmp_path):
     assert all(v is not None and v > 0 for v in ranked.values())
 
 
+def test_wet_publication_closes_the_crawl_loop(spark, tmp_path):
+    """WARC in → extract → dedup → WET out → re-ingest: the published WET
+    shards are themselves valid crawl input, so a corpus curated here can be
+    mirrored, verified, and re-consumed by the SAME ingest path — the full
+    Common Crawl round trip, with no format special-casing anywhere."""
+    from hbase_observer_es_spark.sinks.wet import read_wet, verify_wet, write_wet
+
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "s.warc.gz").write_bytes(gzip.compress(_shard()))
+
+    extracted = warc_html_documents(read_warc(spark, str(tmp_path / "crawl")))
+    s1 = _land(extracted, tmp_path / "s1")
+    survivors = q_dedup_exact(spark, s1).select("doc_id")
+    deduped = table(spark, s1, "documents").join(survivors, "doc_id")
+
+    out = str(tmp_path / "wet")
+    manifest = write_wet(deduped, out, n_shards=2)
+    assert manifest["total_records"] == 3
+    verify_wet(out)  # consumer-side byte audit over the published shards
+
+    # re-ingest the PUBLISHED corpus through the same WARC machinery and
+    # confirm the text multiset survived the round trip exactly
+    back = read_wet(spark, out)
+    assert sorted(r.text for r in back.collect()) == sorted(
+        r.text for r in deduped.collect()
+    )
+    # and the re-ingested frame is documents-shaped: a downstream operator
+    # (the quality scorer) runs on it unmodified
+    s2 = _land(back, tmp_path / "s2")
+    assert q_text_quality(spark, s2).count() == 3
+
+
 def test_pipeline_is_deterministic_across_reruns(spark, tmp_path):
     """Re-running the whole chain on the same shard publishes identical
     per-shard fingerprints — the rerun-stability contract that makes the
