@@ -32,14 +32,26 @@ Determinism — the publication contract of ``sinks/dataset_export.py``:
 * Shard membership is ``pmod(xxhash64(uri), n_shards)`` — a pure function of
   the data, so a re-export lands every document in the same shard and
   re-publications are diffable shard-by-shard.
-* Within a shard, records sort by ``(uri, date, text)`` — a total order over
-  the record's own bytes, so output never depends on arrival order even when
-  two documents share a URI.
-* ``WARC-Record-ID`` is ``uuid5(NAMESPACE_URL, uri + "\\n" + date)`` — RFC
-  4122 name-based, no RNG; ``WARC-Date`` comes from the caller's date column
-  (or a fixed documented default), never from the wall clock; gzip members
-  are written with ``mtime=0``. A re-run is byte-identical, which the tests
-  pin.
+* Within a shard, records sort by ``(uri, date, text, refers_to)`` — every
+  field a record's bytes are built from, so the order is total over the
+  output and never depends on arrival order, even for rows that tie on URI
+  and date.
+* ``WARC-Record-ID`` is ``uuid5(NAMESPACE_URL, uri\\ndate\\ntext)`` — RFC
+  4122 name-based, no RNG, and content-dependent: two documents that differ
+  only in text get DISTINCT ids (so a consumer keying on
+  ``(uri, record_id)`` never conflates them); records identical in all
+  three fields are byte-identical and legitimately share identity.
+  ``WARC-Date`` comes from the caller's date column (or a fixed documented
+  default), never from the wall clock; gzip members are written with
+  ``mtime=0``. A re-run is byte-identical, which the tests pin.
+* A re-export OVERWRITES — but only at COMMIT time: shards assemble under a
+  hidden ``_staging/`` subdirectory (invisible to every Spark/Hadoop reader
+  by the underscore convention), and only after every task has succeeded
+  does the driver remove the prior ``*.warc.gz`` set and move the new one
+  into place. A shrink of ``n_shards`` therefore cannot leave ghost shards
+  for ``read_wet`` to re-ingest, AND a failed or mid-write-rejected export
+  leaves the prior publication intact — the same two guarantees the CSV
+  sink's staged commit provides, here per-directory.
 
 Scale posture: ONE shuffle (repartition on the shard id), then each shard is
 assembled and written by its own task — no row bytes ever reach the driver;
@@ -92,13 +104,17 @@ _STATS_SCHEMA = T.StructType(
         T.StructField("records", T.LongType()),
         T.StructField("bytes", T.LongType()),
         T.StructField("fingerprint", T.StringType()),
+        T.StructField("sha256", T.StringType()),
     ]
 )
 
 
-def _record_id(uri: str, date: str) -> str:
-    """RFC 4122 name-based (uuid5) id — deterministic, no RNG."""
-    return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, uri + chr(10) + date)}>"
+def _record_id(uri: str, date: str, text: str = "") -> str:
+    """RFC 4122 name-based (uuid5) id — deterministic, no RNG, and
+    content-dependent (module docstring): documents differing only in text
+    must not share an id."""
+    nl = chr(10)
+    return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, uri + nl + date + nl + text)}>"
 
 
 def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
@@ -157,11 +173,15 @@ def write_wet(
     """Publish ``df`` as ``n_shards`` WET shards under ``path`` and return
     the manifest dict (also written as ``_MANIFEST.json``).
 
-    Fail-loud contract: a NULL uri or NULL text row kills the export — a
-    publication must be explicit about every byte it ships (filter upstream
-    if absent text is expected). Duplicate ``(uri, date)`` pairs are legal
-    (the record id is shared, the records are distinct entries), and the
-    fingerprint is multiset-sensitive so they are not silently conflated.
+    Fail-loud contract: a NULL uri or NULL text row kills the export (a
+    publication must be explicit about every byte it ships; filter upstream
+    if absent text is expected), and so does a uri/date/refers_to value
+    containing CR or LF — those land on WARC HEADER lines, where an embedded
+    newline is header injection, not data. Text itself is length-prefixed
+    payload and may contain anything. Duplicate ``(uri, date)`` pairs are
+    legal (ids are content-dependent, so only byte-identical records share
+    one), and the fingerprint is multiset-sensitive so true duplicates are
+    not silently conflated.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -185,26 +205,53 @@ def write_wet(
         if refers_to_col
         else F.lit(None).cast("string")
     )
+
+    def _no_header_injection(c, what: str):
+        # header-line values: an embedded CR/LF would inject a header or
+        # break record framing — fail loudly in the same fused projection
+        msg = F.lit(
+            f"WET sink: {what} value contains CR/LF — WARC header lines "
+            "cannot carry embedded newlines; clean upstream"
+        )
+        return F.when(
+            c.contains("\r") | c.contains("\n"), F.raise_error(msg)
+        ).otherwise(c)
+
     rows = df.select(
         F.when(uri.isNull() | text.isNull(), F.raise_error(null_msg))
-        .otherwise(uri)
+        .otherwise(_no_header_injection(uri, uri_col))
         .alias("uri"),
         text.alias("text"),
-        date.alias("date"),
-        refers.alias("refers_to"),
+        _no_header_injection(date, date_col or "date").alias("date"),
+        _no_header_injection(refers, refers_to_col or "refers_to").alias(
+            "refers_to"
+        ),
     ).withColumn(_SHARD, F.pmod(F.xxhash64(F.col("uri")), F.lit(n_shards)))
 
-    os.makedirs(path, exist_ok=True)
+    staging_dir = os.path.join(path, "_staging")
+    if os.path.isdir(staging_dir):
+        import shutil
+
+        shutil.rmtree(staging_dir)  # leftovers from a failed prior export
+    os.makedirs(staging_dir)
 
     def write_shards(pdf):
         # one pandas group per shard id: assemble the member stream in task
         # memory (the ~1 GB shard operating point) and commit via a staged
         # rename so a failed task never leaves a half shard behind
+        import hashlib
+
         import pandas as pd
+        from pyspark import TaskContext
 
         shard = int(pdf[_SHARD].iloc[0])
         name = _shard_name(shard, n_shards)
-        ordered = pdf.sort_values(["uri", "date", "text"], kind="mergesort")
+        # na_position pinned: refers_to is the only nullable sort field
+        ordered = pdf.sort_values(
+            ["uri", "date", "text", "refers_to"],
+            kind="mergesort",
+            na_position="first",
+        )
         members = []
         fp = 0
         for uri_v, text_v, date_v, ref_v in zip(
@@ -215,7 +262,7 @@ def write_wet(
                 ("WARC-Type", "conversion"),
                 ("WARC-Target-URI", uri_v),
                 ("WARC-Date", date_v),
-                ("WARC-Record-ID", _record_id(uri_v, date_v)),
+                ("WARC-Record-ID", _record_id(uri_v, date_v, text_v)),
             ]
             if ref_v is not None and not pd.isna(ref_v):
                 headers.append(("WARC-Refers-To", ref_v))
@@ -228,11 +275,18 @@ def write_wet(
         blob = _gzip_member(_warcinfo(name, info_date, len(members))) + b"".join(
             members
         )
-        final = os.path.join(path, name)
-        staging = final + "._staging_"
-        with open(staging, "wb") as f:
+        staged = os.path.join(staging_dir, name)
+        # the temp name is TASK-ATTEMPT-unique: under speculative execution
+        # two attempts of this shard may run concurrently, and a shared
+        # temp path would interleave their writes — each attempt writes
+        # privately; os.replace is atomic, so whichever attempt commits
+        # last installs a COMPLETE (and byte-identical) staged shard
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = f"{staged}.attempt-{attempt}"
+        with open(tmp, "wb") as f:
             f.write(blob)
-        os.replace(staging, final)
+        os.replace(tmp, staged)
         return pd.DataFrame(
             [
                 {
@@ -240,6 +294,7 @@ def write_wet(
                     "records": len(members),
                     "bytes": len(blob),
                     "fingerprint": format(fp, "016x"),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
                 }
             ]
         )
@@ -256,23 +311,26 @@ def write_wet(
             "records": int(r["records"]),
             "bytes": int(r["bytes"]),
             "fingerprint": r["fingerprint"],
+            "sha256": r["sha256"],
         }
         for r in stats
     }
     # hash-empty shards still publish: a consumer mirrors a FIXED file set
+    import hashlib as _hashlib
+    import shutil
+
     for s in range(n_shards):
         if s not in shards:
             name = _shard_name(s, n_shards)
             blob = _gzip_member(_warcinfo(name, DEFAULT_DATE, 0))
-            staging = os.path.join(path, name) + "._staging_"
-            with open(staging, "wb") as f:
+            with open(os.path.join(staging_dir, name), "wb") as f:
                 f.write(blob)
-            os.replace(staging, os.path.join(path, name))
             shards[s] = {
                 "file": name,
                 "records": 0,
                 "bytes": len(blob),
                 "fingerprint": format(0, "016x"),
+                "sha256": _hashlib.sha256(blob).hexdigest(),
             }
     manifest = {
         "format": "wet",
@@ -280,8 +338,17 @@ def write_wet(
         "total_records": sum(s["records"] for s in shards.values()),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }
+    # COMMIT (module docstring): every task succeeded and every shard is
+    # staged — only now does the prior export stop existing
+    for f in os.listdir(path):
+        if f.endswith(".warc.gz") or f == MANIFEST:
+            os.remove(os.path.join(path, f))
+    for s in sorted(shards):
+        name = shards[s]["file"]
+        os.replace(os.path.join(staging_dir, name), os.path.join(path, name))
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    shutil.rmtree(staging_dir)
     return manifest
 
 
@@ -322,17 +389,29 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def verify_wet(path: str) -> dict:
-    """Consumer-side integrity gate: parse every published shard with the
-    fail-loud WARC parser, recompute record counts and fingerprints from the
-    BYTES ON DISK, and compare against ``_MANIFEST.json``. Raises
-    ``ValueError`` naming every divergent shard; returns the recomputed
-    per-shard stats on success. Driver-local by design — it is the
+    """Consumer-side integrity gate, two independent layers per shard:
+    byte-level (size + sha256 of the published blob vs the manifest — header
+    tampering and re-compression diverge here) and content-level (re-parse
+    with the fail-loud WARC parser, recompute record counts and the
+    (uri, text) multiset fingerprint). Any ``*.warc.gz`` on disk that the
+    manifest does not describe is also a failure — ``read_wet`` would ingest
+    it. Raises ``ValueError`` naming every divergence; returns the
+    recomputed per-shard stats on success. Driver-local by design — it is the
     consumer's audit tool (a mirror check), not a cluster job; each shard
     streams through at most once."""
+    import hashlib
+
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
     problems: list[str] = []
     recomputed: dict[str, dict] = {}
+    # a shard ON DISK that the manifest does not describe is as much a
+    # divergence as a missing one: read_wet would ingest it, so the gate
+    # must see it (stale prior export, or an injected file)
+    manifested = {e["file"] for e in manifest["shards"].values()}
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".warc.gz") and f not in manifested:
+            problems.append(f"file {f} on disk but not in manifest")
     for key, entry in sorted(manifest["shards"].items()):
         fpath = os.path.join(path, entry["file"])
         if not os.path.isfile(fpath):
@@ -340,6 +419,20 @@ def verify_wet(path: str) -> dict:
             continue
         with open(fpath, "rb") as f:
             raw = f.read()
+        # byte-level audit first: the published blob must be EXACTLY what
+        # the writer hashed — header tampering or re-compression diverges
+        # here even when record counts and (uri, text) content survive
+        if len(raw) != entry["bytes"]:
+            problems.append(
+                f"shard {key}: {len(raw)} bytes on disk, manifest says "
+                f"{entry['bytes']}"
+            )
+        sha = hashlib.sha256(raw).hexdigest()
+        if sha != entry["sha256"]:
+            problems.append(
+                f"shard {key}: sha256 {sha[:16]}... != manifest "
+                f"{entry['sha256'][:16]}..."
+            )
         count = 0
         fp = 0
         saw_warcinfo = False
@@ -357,7 +450,7 @@ def verify_wet(path: str) -> dict:
                 fp
                 + _row_fp(rec["target_uri"], rec["payload"].decode("utf-8"))
             ) % _MOD
-        stats = {"records": count, "fingerprint": format(fp, "016x")}
+        stats = {"records": count, "fingerprint": format(fp, "016x"), "sha256": sha}
         recomputed[key] = stats
         if not saw_warcinfo:
             problems.append(f"shard {key}: missing warcinfo record")

@@ -162,6 +162,10 @@ def fetch_member(path: str, offset: int, length: int, compressed: bool = True):
     (a one-element list at the member-per-record operating point). Local
     ``path`` here; over HTTP the same (offset, length) pair becomes a Range
     header — the byte math is identical by construction."""
+    # binaryFile's path column is a Hadoop Path string: scheme-prefixed but
+    # NOT percent-escaped (a space arrives literally — pinned by test), so
+    # only the scheme is stripped; unquoting would corrupt any directory
+    # whose name contains a literal '%'
     with open(path.removeprefix("file:"), "rb") as f:
         f.seek(offset)
         raw = f.read(length)

@@ -105,6 +105,25 @@ def test_plain_warc_indexes_uncompressed():
     ]
 
 
+def test_fetch_member_decodes_spark_uri_paths(spark, tmp_path):
+    """binaryFile's path column round-trips into fetch_member even for
+    directories with spaces — pinning that Spark emits the RAW (unescaped)
+    path, which is why fetch_member must NOT percent-decode (a literal '%'
+    directory would corrupt)."""
+    d = tmp_path / "my corpus"
+    d.mkdir()
+    shard = _three_member_shard()
+    (d / "s.warc.gz").write_bytes(shard)
+    row = (
+        warc_cdx(spark, str(d))
+        .filter("target_uri = 'http://x.example/2'")
+        .collect()[0]
+    )
+    assert "my corpus" in row["path"]  # raw space: the form Spark emits
+    recs = fetch_member(row["path"], row["offset"], row["length"])
+    assert recs[0]["payload"] == b"payload-two"
+
+
 def test_corrupt_member_fails_loud():
     shard = bytearray(_three_member_shard())
     shard[len(shard) // 2] ^= 0xFF  # flip a byte inside a member

@@ -178,6 +178,141 @@ def test_verify_wet_catches_tampering(spark, tmp_path):
         verify_wet(out)
 
 
+def test_reexport_overwrites_prior_shard_set(spark, tmp_path):
+    """Shrinking n_shards must not leave ghost shards from the prior export
+    for read_wet to silently re-ingest (review finding)."""
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 4, date_col="warc_date")
+    write_wet(_docs(spark), out, 2, date_col="warc_date")
+    files = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert files == [
+        "part-00000-of-00002.warc.gz",
+        "part-00001-of-00002.warc.gz",
+    ]
+    assert read_wet(spark, out).count() == 3  # no duplicated documents
+    verify_wet(out)
+    # and no staging leftovers under any name
+    assert not [f for f in os.listdir(out) if "staging" in f or "attempt" in f]
+
+
+def test_rejected_export_preserves_prior_publication(spark, tmp_path):
+    """The staged commit: a mid-write rejection (NULL text) must leave the
+    previous good export fully intact and verifiable (the CSV sink's
+    guarantee, held here too)."""
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 2, date_col="warc_date")
+    before = {
+        f: open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if f.endswith(".warc.gz") or f == MANIFEST
+    }
+    bad = spark.createDataFrame(
+        [("http://x.example/", "fine"), ("http://y.example/", None)],
+        "source string, text string",
+    )
+    with pytest.raises(Exception, match="WET sink: NULL"):
+        write_wet(bad, out, 2)
+    after = {
+        f: open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if f.endswith(".warc.gz") or f == MANIFEST
+    }
+    assert after == before
+    verify_wet(out)
+
+
+def test_verify_wet_catches_unmanifested_shard(spark, tmp_path):
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 1, date_col="warc_date")
+    extra_dir = str(tmp_path / "extra")
+    write_wet(
+        spark.createDataFrame(
+            [("http://ghost.example/", "ghost")], "source string, text string"
+        ),
+        extra_dir, 1,
+    )
+    os.rename(
+        os.path.join(extra_dir, "part-00000-of-00001.warc.gz"),
+        os.path.join(out, "part-00009-of-00010.warc.gz"),
+    )
+    with pytest.raises(ValueError, match="not in manifest"):
+        verify_wet(out)
+
+
+def test_verify_wet_catches_header_tampering(spark, tmp_path):
+    """Counts and the (uri, text) fingerprint survive a header rewrite; the
+    byte layer (size/sha256) must not (review finding)."""
+    out = str(tmp_path / "wet")
+    write_wet(_docs(spark), out, 1, date_col="warc_date")
+    fname = os.path.join(out, "part-00000-of-00001.warc.gz")
+    with open(fname, "rb") as f:
+        plain = gzip.decompress(f.read())
+    tampered = plain.replace(b"2024-01-02T03:04:05Z", b"1999-09-09T09:09:09Z")
+    assert tampered != plain
+    with open(fname, "wb") as f:
+        f.write(gzip.compress(tampered))
+    with pytest.raises(ValueError, match="sha256|bytes"):
+        verify_wet(out)
+
+
+def test_wet_rejects_header_injection(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [("http://x.example/\r\nWARC-Type: evil", "t")],
+        "source string, text string",
+    )
+    with pytest.raises(Exception, match="CR/LF"):
+        write_wet(bad, str(tmp_path / "w"), 1)
+    # text is payload, not a header line: newlines there are legal
+    ok = spark.createDataFrame(
+        [("http://x.example/", "line one\r\nline two")],
+        "source string, text string",
+    )
+    write_wet(ok, str(tmp_path / "ok"), 1)
+    rows = read_wet(spark, str(tmp_path / "ok")).collect()
+    assert rows[0]["text"] == "line one\r\nline two"
+
+
+def test_same_uri_date_different_text_get_distinct_ids(spark, tmp_path):
+    """Record ids are content-dependent: documents differing only in text
+    must not conflate on re-ingest (review finding)."""
+    out = str(tmp_path / "wet")
+    dup = spark.createDataFrame(
+        [("http://x.example/", "first body"), ("http://x.example/", "second body")],
+        "source string, text string",
+    )
+    write_wet(dup, out, 1)
+    back = read_wet(spark, out).collect()
+    assert len(back) == 2
+    assert len({r["doc_id"] for r in back}) == 2
+    with open(os.path.join(out, "part-00000-of-00001.warc.gz"), "rb") as f:
+        recs = list(parse_warc_bytes(gzip.decompress(f.read()), "s"))
+    ids = [r["record_id"] for r in recs if r["warc_type"] == "conversion"]
+    assert len(set(ids)) == 2
+
+
+def test_wet_determinism_with_tie_rows(spark, tmp_path):
+    """Rows that tie on (uri, date, text) but differ in refers_to still
+    publish byte-identically across arrival orders (review finding)."""
+    rows = [
+        ("http://t.example/", "same", "2024-01-01T00:00:00Z", f"<urn:uuid:r{i}>")
+        for i in range(6)
+    ]
+    schema = "source string, text string, warc_date string, refers_to string"
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_wet(
+        spark.createDataFrame(rows, schema).repartition(4),
+        a, 1, date_col="warc_date", refers_to_col="refers_to",
+    )
+    write_wet(
+        spark.createDataFrame(rows[::-1], schema).repartition(3),
+        b, 1, date_col="warc_date", refers_to_col="refers_to",
+    )
+    with open(os.path.join(a, "part-00000-of-00001.warc.gz"), "rb") as fa, open(
+        os.path.join(b, "part-00000-of-00001.warc.gz"), "rb"
+    ) as fb:
+        assert fa.read() == fb.read()
+
+
 def test_verify_wet_catches_missing_shard(spark, tmp_path):
     out = str(tmp_path / "wet")
     write_wet(_docs(spark), out, 2, date_col="warc_date")
