@@ -1,0 +1,164 @@
+"""Line-level boilerplate dedup (operators/linededup.py): semantics on
+crawl-shaped multi-line docs, DuckDB oracle parity, edge totality, and the
+composition with HTML extraction."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hbase_observer_es_spark.operators.linededup import (
+    boilerplate_lines,
+    dedupe_lines,
+)
+
+_NAV = "Home | About | Contact"
+_COOKIE = "This site uses cookies to improve your experience."
+_DOCS = [
+    (1, f"{_NAV}\nUnique prose of page one.\n{_COOKIE}"),
+    (2, f"{_NAV}\nEntirely different second page body.\n{_COOKIE}\nMore text."),
+    (3, f"{_NAV}\nThird page says something else again."),
+    (4, "A page with no boilerplate at all.\n\nok"),  # 'ok' is sub-threshold
+]
+
+
+def _spark_docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def test_boilerplate_lines_audit_view(spark):
+    rows = boilerplate_lines(_spark_docs(spark)).collect()
+    assert [(r["line"], r["doc_count"]) for r in rows] == [
+        (_NAV, 3),
+        (_COOKIE, 2),
+    ]
+
+
+def test_dedupe_lines_strips_all_copies_keeps_order(spark):
+    out = {r["doc_id"]: r for r in dedupe_lines(_spark_docs(spark)).collect()}
+    assert out[1]["text"] == "Unique prose of page one."
+    assert out[2]["text"] == "Entirely different second page body.\nMore text."
+    assert out[3]["text"] == "Third page says something else again."
+    # untouched document: blank and sub-threshold lines survive verbatim
+    assert out[4]["text"] == "A page with no boilerplate at all.\n\nok"
+    assert out[4]["kept_ratio"] == 1.0
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 2
+    assert out[2]["n_dropped"] == 2 and out[2]["n_lines"] == 4
+
+
+def test_document_that_is_all_boilerplate_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, _NAV), (2, _NAV), (3, f"{_NAV}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedupe_lines(docs).collect()}
+    assert set(out) == {1, 2, 3}  # never silently dropped
+    assert all(r["text"] == "" for r in out.values())
+    assert all(r["kept_ratio"] == 0.0 for r in out.values())
+
+
+def test_min_doc_count_threshold(spark):
+    # at min_doc_count=4 nothing repeats often enough: all docs untouched
+    out = dedupe_lines(_spark_docs(spark), min_doc_count=4).collect()
+    original = dict(_DOCS)
+    assert {r["doc_id"]: r["text"] for r in out} == original
+    with pytest.raises(ValueError, match="min_doc_count"):
+        dedupe_lines(_spark_docs(spark), min_doc_count=1)
+    with pytest.raises(ValueError, match="min_doc_count"):
+        boilerplate_lines(_spark_docs(spark), min_doc_count=0)
+
+
+def test_trim_normalization_counts_indented_copies_together(spark):
+    docs = spark.createDataFrame(
+        [(1, f"  {_NAV}  \nbody one here"), (2, f"{_NAV}\nbody two here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedupe_lines(docs).collect()}
+    # both the indented and plain copies are the SAME normalized line
+    assert out == {1: "body one here", 2: "body two here"}
+
+
+def test_duckdb_oracle_parity(spark):
+    """The registry harness discipline without the registry: the exact same
+    semantics in ANSI SQL over the same rows must agree row-for-row."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in _DOCS)
+        + ") t(doc_id, text)",
+        [v for row in _DOCS for v in row],
+    )
+    oracle = con.execute(
+        """
+        WITH split AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+        ),
+        lines AS (
+          SELECT doc_id, u.i AS pos, parts[u.i] AS line,
+                 trim(parts[u.i]) AS norm
+          FROM split, unnest(range(1, len(parts) + 1)) AS u(i)
+        ),
+        dup AS (
+          SELECT norm FROM lines WHERE length(norm) >= 5
+          GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+        ),
+        kept AS (
+          SELECT * FROM lines
+          WHERE NOT (length(norm) >= 5 AND norm IN (SELECT norm FROM dup))
+        )
+        SELECT l.doc_id,
+               coalesce(k.text, '') AS text,
+               l.n_lines,
+               l.n_lines - coalesce(k.n_kept, 0) AS n_dropped,
+               coalesce(k.n_kept, 0) / CAST(l.n_lines AS DOUBLE) AS kept_ratio
+        FROM (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id) l
+        LEFT JOIN (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    got = [
+        (r["doc_id"], r["text"], r["n_lines"], r["n_dropped"], r["kept_ratio"])
+        for r in dedupe_lines(_spark_docs(spark)).orderBy("doc_id").collect()
+    ]
+    assert got == [tuple(row) for row in oracle]
+
+
+def test_composes_with_html_extraction(spark, tmp_path):
+    """The intended pipeline position: WARC → extract → line dedup removes
+    the shared chrome HTML extraction necessarily keeps."""
+    import gzip
+
+    from hbase_observer_es_spark.operators.html_text import warc_html_documents
+    from hbase_observer_es_spark.sources.warc import read_warc
+
+    from .warc_fixtures import http_response as _http
+    from .warc_fixtures import warc_record as _record
+
+    def page(body: str) -> bytes:
+        return _http(
+            (
+                "<html><body><div>Site Navigation Menu</div>"
+                f"<p>{body}</p><div>Copyright Example Corp</div></body></html>"
+            ).encode()
+        )
+
+    shard = (
+        _record("response", page("first page prose"), uri="http://x/1", rid="i1")
+        + _record("response", page("second page prose"), uri="http://x/2", rid="i2")
+    )
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "s.warc.gz").write_bytes(gzip.compress(shard))
+    docs = warc_html_documents(read_warc(spark, str(tmp_path / "c")))
+    cleaned = {r["doc_id"]: r["text"] for r in dedupe_lines(docs).collect()}
+    # blank paragraph-break lines around the removed chrome are structure,
+    # not content: they survive the pass (callers re-trim at landing)
+    assert sorted(t.strip() for t in cleaned.values()) == [
+        "first page prose",
+        "second page prose",
+    ]
+    assert all("Navigation" not in t and "Copyright" not in t
+               for t in cleaned.values())
