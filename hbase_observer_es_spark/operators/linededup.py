@@ -17,6 +17,9 @@ Semantics (deterministic, oracle-checked in ``tests/test_linededup.py``):
 * A line PARTICIPATES in dedup when its trimmed form has at least
   ``min_line_chars`` characters — trivial/blank lines neither count toward
   document frequency nor get removed (they are structure, not content).
+  "Trimmed" is Spark ``trim`` semantics: leading/trailing SPACE (0x20)
+  only — tabs and Unicode spaces are significant, the same rule DuckDB's
+  default ``trim`` applies, so the oracle stays aligned by construction.
 * A participating line is BOILERPLATE when its trimmed form occurs in at
   least ``min_doc_count`` distinct documents. All its occurrences are
   removed from every document (CCNet removes all copies rather than keeping

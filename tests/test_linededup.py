@@ -127,6 +127,66 @@ def test_duckdb_oracle_parity(spark):
     assert got == [tuple(row) for row in oracle]
 
 
+def test_property_totality_and_idempotence(spark):
+    """Driving Spark per hypothesis example is too slow, so the property
+    runs the same semantics via a pure-Python model first (many examples),
+    then replays a handful of adversarial corpora through Spark and checks
+    (a) model agreement, (b) idempotence: a second pass drops nothing —
+    removing every copy of a boilerplate line leaves surviving frequencies
+    unchanged, so no new line can cross the threshold."""
+    from hypothesis import given, settings, strategies as st
+
+    line_st = st.text(
+        alphabet=st.characters(blacklist_characters="\n", max_codepoint=0x2FF),
+        max_size=12,
+    )
+    corpus_st = st.lists(
+        st.lists(line_st, min_size=1, max_size=6), min_size=1, max_size=6
+    )
+
+    def model(corpus):
+        from collections import Counter
+
+        freq = Counter()
+        for doc in corpus:
+            for norm in {l.strip(" ") for l in doc if len(l.strip(" ")) >= 5}:
+                freq[norm] += 1
+        dup = {n for n, c in freq.items() if c >= 2}
+        return [
+            [l for l in doc if not (len(l.strip(" ")) >= 5 and l.strip(" ") in dup)]
+            for doc in corpus
+        ]
+
+    replay = []
+
+    @given(corpus_st)
+    @settings(max_examples=200, deadline=None)
+    def check(corpus):
+        cleaned = model(corpus)
+        assert model(cleaned) == cleaned  # idempotence in the model
+        if len(replay) < 5:
+            replay.append(corpus)
+
+    check()
+
+    for corpus in replay:
+        docs = spark.createDataFrame(
+            [(i, "\n".join(doc)) for i, doc in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["text"] for r in dedupe_lines(docs).collect()
+        }
+        want = {i: "\n".join(doc) for i, doc in enumerate(model(corpus))}
+        assert got == want
+        again = dedupe_lines(
+            spark.createDataFrame(
+                [(k, v) for k, v in got.items()], "doc_id long, text string"
+            )
+        ).collect()
+        assert all(r["n_dropped"] == 0 for r in again)
+
+
 def test_composes_with_html_extraction(spark, tmp_path):
     """The intended pipeline position: WARC → extract → line dedup removes
     the shared chrome HTML extraction necessarily keeps."""
