@@ -26,7 +26,9 @@ Semantics (deterministic, oracle-checked in ``tests/test_linededup.py``):
   a canonical one: a nav menu is noise in every document it appears in).
 * Surviving lines reassemble in their original order; documents that lose
   every line come back with empty text (callers gate on ``kept_ratio`` —
-  a page that was ALL boilerplate usually should not survive anyway).
+  a page that was ALL boilerplate usually should not survive anyway), and
+  NULL text is handled as empty text: every input document appears in the
+  output, unconditionally.
 
 Spark-first plan (all JVM built-ins, no Python in the hot path):
 ``posexplode(split(text))`` → document-frequency aggregation keyed on
@@ -60,6 +62,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_params(min_doc_count: int, min_line_chars: int) -> None:
+    if min_doc_count < 2:
+        raise ValueError("min_doc_count must be >= 2 (1 would drop all prose)")
+    if min_line_chars < 1:
+        raise ValueError(
+            "min_line_chars must be >= 1 (0 would make blank lines "
+            "participate and strip paragraph structure corpus-wide)"
+        )
+
+
+def _lines(docs: DataFrame) -> DataFrame:
+    """The ONE line decomposition both functions build on (so the audit view
+    always describes exactly what the removal pass will key on):
+    ``(doc_id, pos, line, norm)``. NULL text decomposes like empty text —
+    one blank line — so no document ever vanishes from the output."""
+    return docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n")).alias(
+            "pos", "raw"
+        ),
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("raw").alias("line"),
+        F.trim(F.col("raw")).alias("norm"),
+    )
+
+
 def boilerplate_lines(
     docs: DataFrame,
     min_doc_count: int = 2,
@@ -69,15 +99,11 @@ def boilerplate_lines(
     document frequency, most-widespread first. ``(line, doc_count)`` —
     what a curator eyeballs to tune ``min_doc_count`` before running the
     removal pass."""
-    if min_doc_count < 2:
-        raise ValueError("min_doc_count must be >= 2 (1 would drop all prose)")
-    lines = docs.select(
-        F.col("doc_id"),
-        F.explode(F.split(F.col("text"), "\n")).alias("raw"),
-    ).select("doc_id", F.trim(F.col("raw")).alias("line"))
+    _check_params(min_doc_count, min_line_chars)
     return (
-        lines.filter(F.length("line") >= min_line_chars)
-        .groupBy("line")
+        _lines(docs)
+        .filter(F.length("norm") >= min_line_chars)
+        .groupBy(F.col("norm").alias("line"))
         .agg(F.count_distinct("doc_id").alias("doc_count"))
         .filter(F.col("doc_count") >= min_doc_count)
         .orderBy(F.col("doc_count").desc(), F.col("line"))
@@ -91,20 +117,12 @@ def dedupe_lines(
 ) -> DataFrame:
     """Strip cross-document boilerplate lines (module docstring has the full
     semantics). Input needs ``doc_id`` and ``text``; output is one row per
-    input document: ``doc_id``, cleaned ``text``, ``n_lines`` (original),
-    ``n_dropped``, and ``kept_ratio`` (surviving/original lines, 1.0 for a
-    document with no participating duplicates; callers gate low ratios)."""
-    if min_doc_count < 2:
-        raise ValueError("min_doc_count must be >= 2 (1 would drop all prose)")
-    lines = docs.select(
-        F.col("doc_id"),
-        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "raw"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.col("raw").alias("line"),
-        F.trim(F.col("raw")).alias("norm"),
-    )
+    input document — NULL text included, as an empty document: ``doc_id``,
+    cleaned ``text``, ``n_lines`` (original), ``n_dropped``, and
+    ``kept_ratio`` (surviving/original lines, 1.0 for a document with no
+    participating duplicates; callers gate low ratios)."""
+    _check_params(min_doc_count, min_line_chars)
+    lines = _lines(docs)
     participating = F.length("norm") >= min_line_chars
     # 8-byte shuffle/join key; collision math in the module docstring
     keyed = lines.withColumn(
@@ -115,35 +133,36 @@ def dedupe_lines(
         .groupBy("line_h")
         .agg(F.count_distinct("doc_id").alias("doc_count"))
         .filter(F.col("doc_count") >= min_doc_count)
-        .select("line_h")
+        .select("line_h", F.lit(True).alias("is_dup"))
     )
-    kept = keyed.join(dup_hashes, "line_h", "left_anti")
-    survivors = kept.groupBy("doc_id").agg(
+    # LEFT join (not anti) so dropped lines stay countable, then ONE
+    # aggregation produces text, totals, and drops together — the exploded
+    # line set is scanned and shuffled once, not re-executed for a separate
+    # totals pass; NULL line_h never matches, so blank/short lines keep
+    # is_dup NULL and survive
+    marked = keyed.join(dup_hashes, "line_h", "left")
+    return marked.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    # collect_list skips NULLs: dropped lines vanish here
+                    F.collect_list(
+                        F.when(F.col("is_dup").isNull(), F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
-    # left join from totals: a document whose every line was boilerplate
-    # still comes back (empty text), so the operator never silently drops
-    # documents — that decision belongs to the caller's kept_ratio gate
-    return (
-        totals.join(survivors, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-                "n_dropped"
-            ),
-            (
-                F.coalesce(F.col("n_kept"), F.lit(0))
-                / F.col("n_lines").cast("double")
-            ).alias("kept_ratio"),
-        )
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col("is_dup")).alias("n_dropped"),
+    ).select(
+        "doc_id",
+        "text",
+        "n_lines",
+        "n_dropped",
+        (
+            (F.col("n_lines") - F.col("n_dropped"))
+            / F.col("n_lines").cast("double")
+        ).alias("kept_ratio"),
     )
