@@ -366,6 +366,43 @@ def _row_fp(uri: str, text: str) -> int:
     return h
 
 
+def diff_wet(old_manifest: dict, new_manifest: dict) -> dict:
+    """Shard-level diff of two WET publications — what byte-deterministic
+    export buys: a mirror refreshes ONLY the shards listed here instead of
+    re-fetching the corpus (``dataset_export.diff_exports`` discipline, with
+    a byte-level refinement WET's determinism makes possible). A shard is
+    ``changed`` when its published BYTES differ (sha256); the subset whose
+    (uri, text) content fingerprint also differs is ``content_changed``,
+    the rest ``metadata_changed`` (dates/refers-to moved but no document
+    content did — a mirror still refetches, a content consumer may not
+    care). Raises when shard counts differ: hash membership changes
+    wholesale and a shard-level diff would be meaningless."""
+    if old_manifest["n_shards"] != new_manifest["n_shards"]:
+        raise ValueError(
+            "manifests not shard-comparable: n_shards differs "
+            f"({old_manifest['n_shards']} vs {new_manifest['n_shards']})"
+        )
+    old_s, new_s = old_manifest["shards"], new_manifest["shards"]
+    changed, content_changed, metadata_changed, unchanged = [], [], [], []
+    for sid in old_s.keys() & new_s.keys():
+        if old_s[sid]["sha256"] == new_s[sid]["sha256"]:
+            unchanged.append(int(sid))
+            continue
+        changed.append(int(sid))
+        if old_s[sid]["fingerprint"] != new_s[sid]["fingerprint"]:
+            content_changed.append(int(sid))
+        else:
+            metadata_changed.append(int(sid))
+    return {
+        "changed": sorted(changed),
+        "content_changed": sorted(content_changed),
+        "metadata_changed": sorted(metadata_changed),
+        "added": sorted(int(s) for s in new_s.keys() - old_s.keys()),
+        "removed": sorted(int(s) for s in old_s.keys() - new_s.keys()),
+        "unchanged": sorted(unchanged),
+    }
+
+
 def read_wet(spark: SparkSession, path: str) -> DataFrame:
     """Re-ingest published WET shards as ``documents``-shaped rows — the
     same (doc_id, text, lang, source, n_chars) shape

@@ -313,6 +313,41 @@ def test_wet_determinism_with_tie_rows(spark, tmp_path):
         assert fa.read() == fb.read()
 
 
+def test_diff_wet_classifies_changes(spark, tmp_path):
+    from hbase_observer_es_spark.sinks.wet import diff_wet
+
+    base = write_wet(_docs(spark), str(tmp_path / "a"), 2, date_col="warc_date")
+    # identical re-export: nothing to refresh
+    same = write_wet(_docs(spark), str(tmp_path / "b"), 2, date_col="warc_date")
+    d = diff_wet(base, same)
+    assert d["changed"] == [] and sorted(d["unchanged"]) == [0, 1]
+
+    # content change: one document's text edited
+    from pyspark.sql import functions as F
+
+    edited = _docs(spark).withColumn(
+        "text",
+        F.when(F.col("source") == "http://b.example/", "rewritten").otherwise(
+            F.col("text")
+        ),
+    )
+    cont = write_wet(edited, str(tmp_path / "c"), 2, date_col="warc_date")
+    d = diff_wet(base, cont)
+    assert d["changed"] == d["content_changed"] != []
+    assert d["metadata_changed"] == []
+
+    # metadata-only change: same (uri, text), different dates
+    meta = write_wet(_docs(spark), str(tmp_path / "d"), 2)  # epoch dates
+    d = diff_wet(base, meta)
+    assert d["changed"] != [] and d["content_changed"] == []
+    assert d["metadata_changed"] == d["changed"]
+
+    # incomparable shard counts fail loudly
+    other = write_wet(_docs(spark), str(tmp_path / "e"), 3, date_col="warc_date")
+    with pytest.raises(ValueError, match="n_shards"):
+        diff_wet(base, other)
+
+
 def test_verify_wet_catches_missing_shard(spark, tmp_path):
     out = str(tmp_path / "wet")
     write_wet(_docs(spark), out, 2, date_col="warc_date")
