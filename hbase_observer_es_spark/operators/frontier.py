@@ -50,9 +50,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from .robots import _host_key, filter_allowed
+from .robots import filter_allowed
 from .urlnorm import canonical_url_udf
 
 
@@ -79,6 +77,20 @@ def next_frontier(
             raise ValueError(
                 f"frontier: column {url_col!r} not in {name} frame {df.columns}"
             )
+    for c in ("host", "robots_txt"):
+        if c not in robots.columns:
+            raise ValueError(
+                f"frontier: robots frame needs {c!r} (got {robots.columns}) — "
+                "pass the (host, robots_txt) frame from robots_policies"
+            )
+    if ranks is not None:
+        for c in ("node", "rank_units"):
+            if c not in ranks.columns:
+                raise ValueError(
+                    f"frontier: ranks frame needs {c!r} (got {ranks.columns}) "
+                    "— pass the (node, rank_units) frame from "
+                    "pagerank_over_edges"
+                )
 
     cand = (
         discovered.select(canonical_url_udf(F.col(url_col)).alias("url"))
@@ -90,7 +102,12 @@ def next_frontier(
         F.col("url").isNotNull()
     )
     fresh = cand.join(seen, "url", "left_anti")
-    allowed = filter_allowed(fresh, robots, user_agent, url_col="url")
+    # keep_host: the robots gate already computed each URL's canonical host
+    # for its own join — reuse it instead of re-parsing every URL for the
+    # politeness window (review finding)
+    allowed = filter_allowed(
+        fresh, robots, user_agent, url_col="url", keep_host="host"
+    )
 
     if ranks is not None:
         allowed = allowed.join(
@@ -102,33 +119,46 @@ def next_frontier(
         "rank_units", F.coalesce(F.col("rank_units"), F.lit(0)).cast("long")
     )
 
-    host = F.udf(_host_key, T.StringType())
     from pyspark.sql import Window
 
     w = Window.partitionBy("host").orderBy(
         F.col("rank_units").desc(), F.col("url")
     )
     return (
-        ranked.withColumn("host", host(F.col("url")))
-        .withColumn("host_pos", F.row_number().over(w))
+        ranked.withColumn("host_pos", F.row_number().over(w))
         .filter(F.col("host_pos") <= per_host_limit)
         .select("url", "host", "rank_units", "host_pos")
     )
 
 
 def discovered_from_crawl(warc_df: DataFrame) -> DataFrame:
-    """The standard candidate set from a crawl's own artifacts: outlink
-    destinations ∪ sitemap-declared locs, as one ``url`` column. Both
-    sources already canonicalize their URLs; ``next_frontier``
-    re-canonicalizes anyway (idempotent) so hand-built candidate frames
-    get the same treatment."""
+    """The standard candidate set from a crawl's own artifacts, as one
+    ``url`` column: outlink destinations ∪ ALL sitemap locs ∪
+    robots-declared sitemap URLs. Sitemap locs deliberately include
+    ``sitemapindex`` children — a child sitemap is itself a fetch target,
+    and its URL tree is unreachable any other way (it is XML, so the HTML
+    outlink extractor never sees it; review finding). Likewise
+    ``Sitemap:`` lines in robots.txt seed sitemaps the crawl has not
+    fetched yet. Sources canonicalize their own URLs where they can;
+    ``next_frontier`` re-canonicalizes anyway (idempotent), so hand-built
+    candidate frames get the same treatment."""
+    from pyspark.sql import types as T
+
     from .html_text import warc_outlinks
+    from .robots import robots_policies, sitemaps_in_robots
     from .sitemap import warc_sitemap_urls
 
     links = warc_outlinks(warc_df).select(F.col("dst").alias("url"))
-    locs = (
-        warc_sitemap_urls(warc_df)
-        .filter(F.col("kind") == "urlset")
-        .select(F.col("loc").alias("url"))
+    locs = warc_sitemap_urls(warc_df).select(F.col("loc").alias("url"))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _declared(texts):
+        import pandas as pd
+
+        return pd.Series([sitemaps_in_robots(t) for t in texts])
+
+    robots_sitemaps = (
+        robots_policies(warc_df)
+        .select(F.explode(_declared(F.col("robots_txt"))).alias("url"))
     )
-    return links.unionByName(locs)
+    return links.unionByName(locs).unionByName(robots_sitemaps)

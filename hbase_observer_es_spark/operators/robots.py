@@ -222,7 +222,7 @@ def robots_policies(warc_df: DataFrame) -> DataFrame:
         return pd.Series([one(b) for b in s])
 
     is_robots = F.udf(_robots_path, T.BooleanType())
-    host = F.udf(_host_key, T.StringType())
+    host = host_key_udf
     with_host = cand.filter(is_robots("target_uri")).select(
         host("target_uri").alias("host"),
         _body(F.col("payload")).alias("robots_txt"),
@@ -238,18 +238,40 @@ def robots_policies(warc_df: DataFrame) -> DataFrame:
     )
 
 
+def host_key_udf(url: Column) -> Column:
+    """Arrow-batched column form of ``_host_key`` — the one host-extraction
+    path every robots consumer shares (row-at-a-time ``F.udf`` here was a
+    round-10 review finding: the planner runs this over every candidate
+    URL)."""
+
+    @F.pandas_udf(T.StringType())
+    def _f(urls):
+        import pandas as pd
+
+        return pd.Series([_host_key(u) for u in urls])
+
+    return _f(url)
+
+
 def filter_allowed(
-    docs: DataFrame, robots: DataFrame, user_agent: str, url_col: str = "source"
+    docs: DataFrame,
+    robots: DataFrame,
+    user_agent: str,
+    url_col: str = "source",
+    keep_host: str | None = None,
 ) -> DataFrame:
     """Keep only documents whose URL the host's robots policy allows for
     ``user_agent``. ``robots`` is the (host, robots_txt) frame from
     ``robots_policies``; hosts with no policy row allow everything. One
     shuffle (left join on host); the matcher runs Arrow-batched with
     LRU-cached parses. Both sides key on the CANONICAL host
-    (``_host_key``), so ':80' spellings cannot bypass the policy."""
+    (``_host_key``), so ':80' spellings cannot bypass the policy.
+    ``keep_host`` names an output column to retain the computed canonical
+    host under (callers like the frontier planner need it anyway —
+    recomputing it downstream would re-parse every URL)."""
     from urllib.parse import urlsplit
 
-    host = F.udf(_host_key, T.StringType())
+    host = host_key_udf
 
     @F.pandas_udf(T.BooleanType())
     def _allowed(urls, policies):
@@ -270,7 +292,9 @@ def filter_allowed(
     joined = docs.withColumn("__host", host(F.col(url_col))).join(
         robots.withColumnRenamed("host", "__host"), "__host", "left"
     )
-    return (
-        joined.filter(_allowed(F.col(url_col), F.col("robots_txt")))
-        .drop("__host", "robots_txt")
+    out = joined.filter(_allowed(F.col(url_col), F.col("robots_txt"))).drop(
+        "robots_txt"
     )
+    if keep_host is not None:
+        return out.withColumnRenamed("__host", keep_host)
+    return out.drop("__host")

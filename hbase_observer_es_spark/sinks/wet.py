@@ -375,16 +375,34 @@ def diff_wet(old_manifest: dict, new_manifest: dict) -> dict:
     (uri, text) content fingerprint also differs is ``content_changed``,
     the rest ``metadata_changed`` (dates/refers-to moved but no document
     content did — a mirror still refetches, a content consumer may not
-    care). Raises when shard counts differ: hash membership changes
-    wholesale and a shard-level diff would be meaningless."""
+    care). Raises when the manifests are not both WET, when shard counts
+    differ (hash membership changes wholesale, making a shard-level diff
+    meaningless), or when the shard-id sets diverge — ``write_wet``
+    publishes a FIXED file set at a given ``n_shards`` (hash-empty shards
+    included), so a key mismatch means a hand-edited or truncated
+    manifest, never a legitimate publication; there are deliberately no
+    ``added``/``removed`` buckets for the same reason."""
+    for m, which in ((old_manifest, "old"), (new_manifest, "new")):
+        if m.get("format") != "wet":
+            raise ValueError(
+                f"diff_wet: {which} manifest is not a WET manifest "
+                f"(format={m.get('format')!r})"
+            )
     if old_manifest["n_shards"] != new_manifest["n_shards"]:
         raise ValueError(
             "manifests not shard-comparable: n_shards differs "
             f"({old_manifest['n_shards']} vs {new_manifest['n_shards']})"
         )
     old_s, new_s = old_manifest["shards"], new_manifest["shards"]
+    if old_s.keys() != new_s.keys():
+        raise ValueError(
+            "diff_wet: shard-id sets diverge despite equal n_shards — "
+            "a WET manifest always covers exactly its fixed file set; "
+            f"only-old={sorted(old_s.keys() - new_s.keys())} "
+            f"only-new={sorted(new_s.keys() - old_s.keys())}"
+        )
     changed, content_changed, metadata_changed, unchanged = [], [], [], []
-    for sid in old_s.keys() & new_s.keys():
+    for sid in old_s:
         if old_s[sid]["sha256"] == new_s[sid]["sha256"]:
             unchanged.append(int(sid))
             continue
@@ -397,8 +415,6 @@ def diff_wet(old_manifest: dict, new_manifest: dict) -> dict:
         "changed": sorted(changed),
         "content_changed": sorted(content_changed),
         "metadata_changed": sorted(metadata_changed),
-        "added": sorted(int(s) for s in new_s.keys() - old_s.keys()),
-        "removed": sorted(int(s) for s in old_s.keys() - new_s.keys()),
         "unchanged": sorted(unchanged),
     }
 

@@ -113,6 +113,68 @@ def test_param_and_column_validation(spark):
             _empty_robots(spark),
             "bot",
         )
+    # a malformed robots/ranks frame fails loudly up front, not as an
+    # opaque AnalysisException deep inside the join (review finding)
+    with pytest.raises(ValueError, match="robots frame needs"):
+        next_frontier(
+            _urls(spark, []), _urls(spark, []),
+            spark.createDataFrame([("x",)], "wrong string"), "bot",
+        )
+    with pytest.raises(ValueError, match="ranks frame needs"):
+        next_frontier(
+            _urls(spark, []), _urls(spark, []), _empty_robots(spark), "bot",
+            ranks=spark.createDataFrame([("x",)], "wrong string"),
+        )
+
+
+def test_child_sitemaps_and_robots_declarations_are_discovered(spark, tmp_path):
+    """A sitemapindex's child sitemaps and robots-declared Sitemap URLs are
+    fetch targets — dropping them dead-ends their whole URL trees (review
+    finding)."""
+    import gzip
+
+    from hbase_observer_es_spark.sources.warc import read_warc
+
+    index = (
+        b'<?xml version="1.0"?><sitemapindex><sitemap>'
+        b"<loc>http://i.example/sitemap-1.xml</loc></sitemap>"
+        b"<sitemap><loc>http://i.example/sitemap-2.xml</loc></sitemap>"
+        b"</sitemapindex>"
+    )
+    shard = _record(
+        "response",
+        _http(b"User-agent: *\nSitemap: http://i.example/declared.xml\n",
+              b"text/plain"),
+        uri="http://i.example/robots.txt", rid="id:0",
+    ) + _record(
+        "response", _http(index, b"application/xml"),
+        uri="http://i.example/sitemap.xml", rid="id:1",
+    )
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "s.warc.gz").write_bytes(gzip.compress(shard))
+    warc = read_warc(spark, str(tmp_path / "c"))
+    discovered = sorted(
+        r["url"] for r in discovered_from_crawl(warc).distinct().collect()
+    )
+    assert discovered == [
+        "http://i.example/declared.xml",
+        "http://i.example/sitemap-1.xml",
+        "http://i.example/sitemap-2.xml",
+    ]
+    # and they actually schedule: nothing here was crawled except the
+    # index itself and robots.txt
+    crawled = warc.filter("warc_type = 'response'").select(
+        F.col("target_uri").alias("url")
+    )
+    from hbase_observer_es_spark.operators.robots import robots_policies
+
+    planned = sorted(
+        r["url"]
+        for r in next_frontier(
+            crawled, discovered_from_crawl(warc), robots_policies(warc), "bot"
+        ).collect()
+    )
+    assert planned == discovered
 
 
 def test_full_stack_composition_from_warc(spark, tmp_path):

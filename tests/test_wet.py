@@ -346,6 +346,18 @@ def test_diff_wet_classifies_changes(spark, tmp_path):
     other = write_wet(_docs(spark), str(tmp_path / "e"), 3, date_col="warc_date")
     with pytest.raises(ValueError, match="n_shards"):
         diff_wet(base, other)
+    # a non-WET manifest (e.g. dataset_export's) fails loudly up front
+    # instead of KeyError-ing on sha256 mid-loop (review finding)
+    with pytest.raises(ValueError, match="not a WET manifest"):
+        diff_wet(base, {"format": "parquet", "n_shards": 2, "shards": {}})
+    # a hand-truncated manifest violates the fixed-file-set invariant
+    clipped = {**same, "shards": {"0": same["shards"]["0"]}}
+    with pytest.raises(ValueError, match="shard-id sets diverge"):
+        diff_wet(base, clipped)
+    # no dead added/removed buckets: the file set is fixed by construction
+    assert set(diff_wet(base, same)) == {
+        "changed", "content_changed", "metadata_changed", "unchanged"
+    }
 
 
 def test_verify_wet_catches_missing_shard(spark, tmp_path):
