@@ -1,0 +1,269 @@
+"""Product quantization (PQ) — compressed vector codes + ADC search.
+
+``q_embed_quant`` (``operators/similarity.py``) ships the 4×-compression
+int8 export; production vector systems go much further with PRODUCT
+quantization (Jégou et al. 2011, the Faiss ``PQ``/``IVF,PQ`` workhorse):
+split each D-dim vector into M contiguous subvectors, learn a K-centroid
+codebook PER subspace, and store each vector as M small codes — at
+``M=8, K=256`` a 64-dim float32 vector becomes EIGHT bytes (32×), and
+similarity search runs directly over the codes via asymmetric distance
+computation (ADC): per probe, precompute the M×K table of
+probe-subvector→centroid distances, then every stored vector's distance is
+just M table lookups summed.
+
+This module is the deterministic PySpark form of all three pieces:
+
+* ``pq_train`` — per-subspace Lloyd's k-means with the SAME zero-RNG
+  discipline as ``similarity.train_centroids`` (Knuth-hash seed ranking,
+  fold-exact distance math, bounded per-iteration collect of the M·K
+  codebook rows), run over all M subspaces AT ONCE: one explode to
+  (vec_id, sub, subvec) rows, each iteration one broadcast join + one
+  argmin agg + one mean agg, shuffles carrying one row per (vector,
+  subspace). PQ codebooks are conventionally trained on a bounded sample
+  (Faiss trains on ~100k vectors) — pass a sampled frame for the 100 TB
+  corpus; encoding scales independently of training.
+* ``pq_encode`` — assign each subvector to its nearest codeword and pack
+  the M codes into ONE int64 column (``K ≤ 256, M ≤ 8``): scalar-only
+  output per the engine's hash contract, 8 bytes per vector on disk, and
+  the pack is pure integer math (``Σ codeᵢ·256ⁱ``) so codes round-trip
+  exactly. One broadcast join + one map-side-reduced groupBy(vec_id).
+* ``pq_adc_topk`` — the serving path: unpack each code with shift/mod
+  integer math, join the M·K broadcast distance table, sum M lookups per
+  vector, ``TakeOrdered`` the top-K under a TOTAL (distance, vec_id)
+  ordering. No full-vector math touches the corpus side at query time —
+  that is the entire point of PQ.
+
+Determinism: no RNG anywhere (seeding ranks vectors by the Knuth
+multiplicative hash ``(vec_id·2654435761) mod 2³²`` per subspace); mean
+updates are decimal-exact element-wise (the ``similarity._cell_means``
+rule), so training is independent of partitioning and rerun-stable;
+distances are sequential left folds (``F.aggregate``), so — given a fixed
+codebook — a pure-Python sequential-fold model reproduces every encode
+and ADC value BIT-EXACTLY. All pinned by ``tests/test_pq.py``. Ties (equidistant codewords) break to the lowest
+code id, totally ordered.
+
+Scale posture: the codebook is M·K rows (≤2048 at the operating point) —
+always broadcastable; encode's only shuffle keys on vec_id with map-side
+partial aggregation; ADC's per-probe table is M·K rows built corpus-free.
+The classic IVF,PQ composition is ``similarity.q_sim_ivf*``'s cell routing
+with this module's codes inside each cell — the two compose because both
+keep their small side broadcast and their corpus side map-only.
+
+Not registry-checked this round (the round-10 verification window is
+full); registration-ready: encode/ADC are SQL-expressible over a
+materialized codebook the same way ``q_sim_ivf_trained`` replays its
+centroids, and the tests already run the pure-model mirror the oracle
+would. Reference parity note: the reference (HbaseDataSyncEsObserver.java)
+has no vector surface at all — this is LLM-pipeline capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import SEED_MOD, SEED_MULT
+
+PQ_M = 4          # subspaces
+PQ_K = 16         # codewords per subspace
+PQ_ITERS = 2      # Lloyd iterations (matches KMEANS_ITERS)
+_PACK_BASE = 256  # per-code radix in the packed int64
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² as a sequential left fold — same fold-exactness idiom as
+    ``similarity._dot``: a Python loop over floats reproduces it bit-exactly."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _check_mk(m: int, k: int) -> None:
+    if not 1 <= m <= 8:
+        raise ValueError(f"PQ: m must be in [1, 8] to pack into int64, got {m}")
+    if not 2 <= k <= _PACK_BASE:
+        raise ValueError(f"PQ: k must be in [2, {_PACK_BASE}], got {k}")
+
+
+def _subvectors(e: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, subvec): the M contiguous slices of each embedding.
+    Fails loudly when the dimension does not divide by m — silent ragged
+    slices would corrupt every downstream distance."""
+    d = F.size("embedding")
+    bad = F.raise_error(
+        F.concat(
+            F.lit(f"PQ: embedding dimension "),
+            d.cast("string"),
+            F.lit(f" not divisible by m={m}"),
+        )
+    )
+    sub_len = (d / m).cast("int")
+    return e.select(
+        "vec_id",
+        F.when(d % m != 0, bad).otherwise(sub_len).alias("_sl"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("embedding"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice(
+            F.transform(F.col("embedding"), lambda v: v.cast("double")),
+            F.col("sub") * F.col("_sl") + 1,
+            F.col("_sl"),
+        ).alias("subvec"),
+    )
+
+
+def _nearest_code(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, sqdist): each subvector's nearest codeword under
+    squared L2, ties to the lowest code. The argmin is a ``min`` over a
+    (sqdist, code) struct with map-side partial aggregation — the
+    ``similarity._assign_cells`` pre-reduce discipline, so the shuffle
+    carries one row per (vector, subspace), not per scored codeword."""
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        _sq_l2(F.col("subvec"), F.col("codeword")).alias("sqdist"),
+    )
+    m = F.min(F.struct("sqdist", "code")).alias("m")
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(m)
+        .select("vec_id", "sub", F.col("m.code").alias("code"),
+                F.col("m.sqdist").alias("sqdist"))
+    )
+
+
+def pq_train(
+    e: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> DataFrame:
+    """Learn the per-subspace codebooks: (sub, code, codeword). Zero-RNG
+    (module docstring); per iteration the collect is the M·K codebook rows
+    — bounded by the parameters, the ``train_centroids`` acceptable-collect
+    class. Train on a SAMPLE at corpus scale; encode scales separately."""
+    _check_mk(m, k)
+    subs = _subvectors(e, m)
+    # seed: per subspace, the k subvectors whose vec_id ranks smallest under
+    # the Knuth hash — same spread rule as train_centroids, per-sub window
+    # bounded at k rows
+    h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
+    w = Window.partitionBy("sub").orderBy("h", "vec_id")
+    codebook = (
+        subs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("int").alias("code"),
+            F.col("subvec").alias("codeword"),
+        )
+    )
+    spark = e.sparkSession
+    for _ in range(iters):
+        assigned = _nearest_code(subs, codebook).select("vec_id", "sub", "code")
+        # element-wise member means, decimal-exact like similarity._cell_means
+        # so the result is independent of aggregation order (a double sum
+        # would drift with partitioning and break rerun determinism)
+        dims = subs.join(assigned, ["vec_id", "sub"]).select(
+            "sub", "code", F.posexplode(F.col("subvec")).alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("sub", "code", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mv")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("codeword")
+            )
+        )
+        rows = means.collect()  # M·K rows: bounded by the parameters
+        codebook = spark.createDataFrame(
+            [
+                (int(r["sub"]), int(r["code"]), [float(x) for x in r["codeword"]])
+                for r in rows
+            ],
+            "sub int, code int, codeword array<double>",
+        )
+    return codebook
+
+
+def pq_encode(e: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
+    """(vec_id, pq_code, sq_err): each vector's M codes packed into one
+    int64 (``Σ codeᵢ·256ⁱ`` — exact, reversible integer math) plus its
+    total squared quantization error (the per-vector quality signal an
+    index builder monitors). One broadcast join + one map-side-reduced
+    groupBy."""
+    _check_mk(m, 2)
+    assigned = _nearest_code(_subvectors(e, m), codebook)
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.col("code").cast("long")
+                * F.pow(F.lit(_PACK_BASE), F.col("sub")).cast("long")
+            ).alias("pq_code"),
+            F.sum("sqdist").alias("sq_err"),
+        )
+    )
+
+
+def unpack_code(pq_code: Column, sub: Column) -> Column:
+    """Code of subspace ``sub`` out of a packed int64 — shift/mod integer
+    math, the exact inverse of the encode pack."""
+    return (
+        (pq_code / F.pow(F.lit(_PACK_BASE), sub).cast("long")).cast("long")
+        % _PACK_BASE
+    ).cast("int")
+
+
+def pq_adc_topk(
+    probe: list[float],
+    codes: DataFrame,
+    codebook: DataFrame,
+    top_k: int = 10,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Asymmetric-distance top-K over PACKED codes: (vec_id, adc_sqdist),
+    smallest first, ties to the lowest vec_id (total order).
+
+    The probe-side table is built by scoring the M·K codebook against the
+    probe's subvectors — corpus-free, broadcast back; the corpus side is
+    unpack (integer math) + M lookups + sum, map-side reduced, then
+    ``TakeOrdered``. ADC distance equals the exact squared L2 between the
+    probe and each vector's RECONSTRUCTION — pinned by test."""
+    _check_mk(m, 2)
+    if len(probe) % m != 0:
+        raise ValueError(
+            f"PQ: probe dimension {len(probe)} not divisible by m={m}"
+        )
+    spark = codes.sparkSession
+    sl = len(probe) // m
+    probe_subs = spark.createDataFrame(
+        [(s, [float(x) for x in probe[s * sl : (s + 1) * sl]]) for s in range(m)],
+        "sub int, psub array<double>",
+    )
+    table = probe_subs.join(codebook, "sub").select(
+        "sub", "code", _sq_l2(F.col("psub"), F.col("codeword")).alias("d")
+    )
+    exploded = codes.select(
+        "vec_id",
+        "pq_code",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select("vec_id", "sub", unpack_code(F.col("pq_code"), F.col("sub")).alias("code"))
+    return (
+        exploded.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_sqdist"))
+        .orderBy(F.asc("adc_sqdist"), F.asc("vec_id"))
+        .limit(top_k)
+    )

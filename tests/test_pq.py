@@ -1,0 +1,144 @@
+"""Product quantization (operators/pq.py): codebook shape and determinism,
+bit-exact model agreement for encode/ADC, pack/unpack inversion, and the
+serving-path ordering contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hbase_observer_es_spark.io import table
+from hbase_observer_es_spark.operators.pq import (
+    PQ_K,
+    PQ_M,
+    _PACK_BASE,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+    unpack_code,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebook(spark, emb):
+    cb = pq_train(emb)
+    cb.cache().count()
+    return cb
+
+
+def _cb_dict(codebook):
+    return {
+        (r["sub"], r["code"]): [float(x) for x in r["codeword"]]
+        for r in codebook.collect()
+    }
+
+
+def _fold_sq(a, b):
+    """Sequential left fold of Σ(aᵢ−bᵢ)² — mirrors F.aggregate's order, so
+    equality below is BIT-exact, not tolerance-based."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
+def _model_encode(vec, cb, m):
+    sl = len(vec) // m
+    code_packed, err = 0, 0.0
+    for s in range(m):
+        sub = [float(x) for x in vec[s * sl : (s + 1) * sl]]
+        best = min(
+            ((_fold_sq(sub, cb[(s, c)]), c) for c in range(PQ_K)
+             if (s, c) in cb),
+        )
+        code_packed += best[1] * (_PACK_BASE ** s)
+        err += best[0]
+    return code_packed, err
+
+
+def test_codebook_shape(codebook):
+    rows = codebook.collect()
+    assert len(rows) == PQ_M * PQ_K
+    assert len({(r["sub"], r["code"]) for r in rows}) == PQ_M * PQ_K
+    assert all(len(r["codeword"]) == 64 // PQ_M for r in rows)
+
+
+def test_train_is_partitioning_invariant(spark, emb, codebook):
+    again = pq_train(emb.repartition(7))
+    a = {(r["sub"], r["code"]): list(r["codeword"]) for r in codebook.collect()}
+    b = {(r["sub"], r["code"]): list(r["codeword"]) for r in again.collect()}
+    assert a == b  # decimal-exact means: bit-identical across partitionings
+
+
+def test_encode_matches_python_model_bit_exactly(emb, codebook):
+    cb = _cb_dict(codebook)
+    got = {r["vec_id"]: (r["pq_code"], r["sq_err"])
+           for r in pq_encode(emb, codebook).collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert set(got) == set(vecs)
+    for vid, vec in vecs.items():
+        code, err = _model_encode(vec, cb, PQ_M)
+        assert got[vid][0] == code, vid
+        assert got[vid][1] == err, vid  # sequential fold: exact equality
+
+
+def test_unpack_inverts_pack(spark):
+    packed = sum(c * (_PACK_BASE ** s) for s, c in enumerate([3, 0, 255, 17]))
+    df = spark.range(1).select(
+        *[
+            unpack_code(F.lit(packed), F.lit(s)).alias(f"c{s}")
+            for s in range(4)
+        ]
+    )
+    r = df.collect()[0]
+    assert [r[f"c{s}"] for s in range(4)] == [3, 0, 255, 17]
+
+
+def test_adc_equals_reconstruction_distance(emb, codebook):
+    """ADC's table-lookup sum IS the squared L2 between the probe and each
+    vector's reconstruction — exact, by construction, bit-for-bit."""
+    cb = _cb_dict(codebook)
+    codes = pq_encode(emb, codebook)
+    probe = [float(x) for x in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    got = {r["vec_id"]: r["adc_sqdist"]
+           for r in pq_adc_topk(probe, codes, codebook, top_k=20).collect()}
+    packed = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    sl = len(probe) // PQ_M
+    for vid, adc in got.items():
+        want = 0.0
+        for s in range(PQ_M):
+            c = (packed[vid] // (_PACK_BASE ** s)) % _PACK_BASE
+            want += _fold_sq(probe[s * sl : (s + 1) * sl], cb[(s, c)])
+        assert adc == want, vid
+
+
+def test_adc_topk_total_order_and_self_recall(emb, codebook):
+    codes = pq_encode(emb, codebook)
+    for vid in (0, 7, 31):
+        probe = [float(x) for x in
+                 emb.filter(f"vec_id = {vid}").collect()[0]["embedding"]]
+        rows = pq_adc_topk(probe, codes, codebook, top_k=5).collect()
+        ds = [r["adc_sqdist"] for r in rows]
+        assert ds == sorted(ds)
+        # the probe's own vector quantizes closest to itself
+        assert rows[0]["vec_id"] == vid
+
+
+def test_validation_fails_loud(spark, emb, codebook):
+    with pytest.raises(ValueError, match="m must be"):
+        pq_train(emb, m=9)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_train(emb, k=1)
+    with pytest.raises(Exception, match="not divisible"):
+        pq_train(emb, m=3).collect()
+    with pytest.raises(ValueError, match="probe dimension"):
+        pq_adc_topk([1.0, 2.0, 3.0], pq_encode(emb, codebook), codebook, m=2)
