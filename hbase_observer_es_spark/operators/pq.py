@@ -5,7 +5,10 @@ int8 export; production vector systems go much further with PRODUCT
 quantization (Jégou et al. 2011, the Faiss ``PQ``/``IVF,PQ`` workhorse):
 split each D-dim vector into M contiguous subvectors, learn a K-centroid
 codebook PER subspace, and store each vector as M small codes — at
-``M=8, K=256`` a 64-dim float32 vector becomes EIGHT bytes (32×), and
+``M=8, K=128`` (or ``M=7, K=256``) a 64-dim float32 vector becomes one
+8-byte int64 (32× smaller; the classic unsigned ``M=8, K=256`` byte layout
+needs one more bit than Spark's SIGNED bigint holds, and ``_check_mk``
+rejects it loudly rather than overflow), and
 similarity search runs directly over the codes via asymmetric distance
 computation (ADC): per probe, precompute the M×K table of
 probe-subvector→centroid distances, then every stored vector's distance is
@@ -23,7 +26,8 @@ This module is the deterministic PySpark form of all three pieces:
   (Faiss trains on ~100k vectors) — pass a sampled frame for the 100 TB
   corpus; encoding scales independently of training.
 * ``pq_encode`` — assign each subvector to its nearest codeword and pack
-  the M codes into ONE int64 column (``K ≤ 256, M ≤ 8``): scalar-only
+  the M codes into ONE int64 column (any ``M ≤ 8, K ≤ 256`` whose pack
+  fits a signed 64-bit word): scalar-only
   output per the engine's hash contract, 8 bytes per vector on disk, and
   the pack is pure integer math (``Σ codeᵢ·256ⁱ``) so codes round-trip
   exactly. One broadcast join + one map-side-reduced groupBy(vec_id).
@@ -85,6 +89,16 @@ def _check_mk(m: int, k: int) -> None:
         raise ValueError(f"PQ: m must be in [1, 8] to pack into int64, got {m}")
     if not 2 <= k <= _PACK_BASE:
         raise ValueError(f"PQ: k must be in [2, {_PACK_BASE}], got {k}")
+    # the pack must fit a SIGNED int64: max packed value is
+    # (k-1)·(256^m − 1)/255, which overflows 2^63−1 exactly when m=8 and
+    # k>128 — the classic M=8,K=256 byte layout needs an UNSIGNED 64-bit
+    # word, which Spark's bigint is not (review finding; was a silent-wrap
+    # or ANSI ArithmeticException at the advertised operating point)
+    if (k - 1) * (_PACK_BASE**m - 1) // (_PACK_BASE - 1) > 2**63 - 1:
+        raise ValueError(
+            f"PQ: m={m}, k={k} cannot pack into a signed int64 "
+            f"(use m<=7 at k=256, or k<=128 at m=8)"
+        )
 
 
 def _subvectors(e: DataFrame, m: int) -> DataFrame:
@@ -116,25 +130,47 @@ def _subvectors(e: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _nearest_code(subs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """(vec_id, sub, code, sqdist): each subvector's nearest codeword under
-    squared L2, ties to the lowest code. The argmin is a ``min`` over a
-    (sqdist, code) struct with map-side partial aggregation — the
-    ``similarity._assign_cells`` pre-reduce discipline, so the shuffle
-    carries one row per (vector, subspace), not per scored codeword."""
+def _nearest_code(
+    subs: DataFrame, codebook: DataFrame, carry_subvec: bool = False
+) -> DataFrame:
+    """(vec_id, sub, code, sqdist[, subvec]): each subvector's nearest
+    codeword under squared L2, ties to the lowest code. The argmin is a
+    ``min`` over a (sqdist, code) struct with map-side partial aggregation —
+    the ``similarity._assign_cells`` pre-reduce discipline, so the shuffle
+    carries one row per (vector, subspace), not per scored codeword.
+    ``carry_subvec`` rides the subvector through the agg (``F.first``, the
+    ``_assign_cells`` move) so the train loop's mean update needs no
+    re-join against the exploded corpus. A subvector/codeword length
+    mismatch (an m inconsistent with the codebook) fails loudly here
+    instead of null-padding through ``zip_with``."""
+    length_ok = F.size("subvec") == F.size("codeword")
+    bad = F.raise_error(
+        F.concat(
+            F.lit("PQ: subvector length "),
+            F.size("subvec").cast("string"),
+            F.lit(" != codeword length "),
+            F.size("codeword").cast("string"),
+            F.lit(" — m does not match the codebook"),
+        )
+    )
     scored = subs.join(F.broadcast(codebook), "sub").select(
         "vec_id",
         "sub",
         "code",
-        _sq_l2(F.col("subvec"), F.col("codeword")).alias("sqdist"),
+        "subvec",
+        F.when(~length_ok, bad)
+        .otherwise(_sq_l2(F.col("subvec"), F.col("codeword")))
+        .alias("sqdist"),
     )
-    m = F.min(F.struct("sqdist", "code")).alias("m")
-    return (
-        scored.groupBy("vec_id", "sub")
-        .agg(m)
-        .select("vec_id", "sub", F.col("m.code").alias("code"),
-                F.col("m.sqdist").alias("sqdist"))
-    )
+    aggs = [F.min(F.struct("sqdist", "code")).alias("m")]
+    if carry_subvec:
+        aggs.append(F.first("subvec").alias("subvec"))
+    out = scored.groupBy("vec_id", "sub").agg(*aggs)
+    cols = ["vec_id", "sub", F.col("m.code").alias("code"),
+            F.col("m.sqdist").alias("sqdist")]
+    if carry_subvec:
+        cols.append(F.col("subvec"))
+    return out.select(*cols)
 
 
 def pq_train(
@@ -146,28 +182,38 @@ def pq_train(
     class. Train on a SAMPLE at corpus scale; encode scales separately."""
     _check_mk(m, k)
     subs = _subvectors(e, m)
-    # seed: per subspace, the k subvectors whose vec_id ranks smallest under
-    # the Knuth hash — same spread rule as train_centroids, per-sub window
-    # bounded at k rows
+    # seed: the k vectors whose vec_id ranks smallest under the Knuth hash,
+    # sliced into their m subvectors. The hash depends only on vec_id, so
+    # every subspace's seed set is the SAME k vectors — pick them ONCE with
+    # orderBy().limit(k) (the train_centroids move) and run the code-number
+    # window over k rows, bounded by the parameter. (A per-sub window over
+    # the full training frame sorted all N·M rows in m tasks and its
+    # 'bounded' comment was false — review finding.)
     h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
-    w = Window.partitionBy("sub").orderBy("h", "vec_id")
+    seeds = (
+        e.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    w_seed = Window.orderBy("h", "vec_id")  # k rows: bounded by the parameter
+    seed_codes = seeds.withColumn(
+        "code", (F.row_number().over(w_seed) - 1).cast("int")
+    ).select("vec_id", "code")
     codebook = (
-        subs.withColumn("h", h)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            "sub",
-            (F.col("rn") - 1).cast("int").alias("code"),
-            F.col("subvec").alias("codeword"),
-        )
+        _subvectors(seeds.select("vec_id", "embedding"), m)
+        .join(seed_codes, "vec_id")
+        .select("sub", "code", F.col("subvec").alias("codeword"))
     )
     spark = e.sparkSession
     for _ in range(iters):
-        assigned = _nearest_code(subs, codebook).select("vec_id", "sub", "code")
+        # carry_subvec: the assignment agg hands the mean update its member
+        # subvectors directly — no re-join against the exploded corpus and
+        # no second _subvectors scan per iteration (review finding)
+        assigned = _nearest_code(subs, codebook, carry_subvec=True)
         # element-wise member means, decimal-exact like similarity._cell_means
         # so the result is independent of aggregation order (a double sum
         # would drift with partitioning and break rerun determinism)
-        dims = subs.join(assigned, ["vec_id", "sub"]).select(
+        dims = assigned.select(
             "sub", "code", F.posexplode(F.col("subvec")).alias("dim", "val")
         )
         means = (
@@ -197,6 +243,23 @@ def pq_train(
     return codebook
 
 
+def _check_codebook(codebook: DataFrame, m: int) -> None:
+    """The codebook must cover exactly subspaces 0..m-1 — an inner join
+    against a mismatched codebook would silently DROP the uncovered
+    subspaces from every code (review finding). One bounded action over the
+    M·K-row codebook."""
+    row = codebook.agg(
+        F.count_distinct("sub").alias("n"),
+        F.min("sub").alias("mn"),
+        F.max("sub").alias("mx"),
+    ).collect()[0]
+    if row["n"] != m or row["mn"] != 0 or row["mx"] != m - 1:
+        raise ValueError(
+            f"PQ: codebook covers {row['n']} subspaces "
+            f"[{row['mn']}..{row['mx']}], but m={m} needs exactly 0..{m - 1}"
+        )
+
+
 def pq_encode(e: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
     """(vec_id, pq_code, sq_err): each vector's M codes packed into one
     int64 (``Σ codeᵢ·256ⁱ`` — exact, reversible integer math) plus its
@@ -204,13 +267,18 @@ def pq_encode(e: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
     index builder monitors). One broadcast join + one map-side-reduced
     groupBy."""
     _check_mk(m, 2)
+    _check_codebook(codebook, m)
     assigned = _nearest_code(_subvectors(e, m), codebook)
     return (
         assigned.groupBy("vec_id")
         .agg(
             F.sum(
                 F.col("code").cast("long")
-                * F.pow(F.lit(_PACK_BASE), F.col("sub")).cast("long")
+                * F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("sub") * F.lit(8)).cast("int"),
+                )
             ).alias("pq_code"),
             F.sum("sqdist").alias("sq_err"),
         )
@@ -218,10 +286,16 @@ def pq_encode(e: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
 
 
 def unpack_code(pq_code: Column, sub: Column) -> Column:
-    """Code of subspace ``sub`` out of a packed int64 — shift/mod integer
-    math, the exact inverse of the encode pack."""
+    """Code of subspace ``sub`` out of a packed int64 — a true integer
+    right-shift, the exact inverse of the encode pack. NOT ``/``: Spark
+    evaluates bigint ``/`` in DOUBLE, whose 53-bit mantissa silently
+    corrupts any pack wider than 53 bits (review finding); ``shiftright``
+    stays in int64 and the packed value is non-negative by the
+    ``_check_mk`` bound, so the arithmetic shift is exact."""
     return (
-        (pq_code / F.pow(F.lit(_PACK_BASE), sub).cast("long")).cast("long")
+        F.call_function(
+            "shiftright", pq_code.cast("long"), (sub * F.lit(8)).cast("int")
+        )
         % _PACK_BASE
     ).cast("int")
 
@@ -246,6 +320,7 @@ def pq_adc_topk(
         raise ValueError(
             f"PQ: probe dimension {len(probe)} not divisible by m={m}"
         )
+    _check_codebook(codebook, m)  # after the free local checks: it acts
     spark = codes.sparkSession
     sl = len(probe) // m
     probe_subs = spark.createDataFrame(
@@ -260,10 +335,26 @@ def pq_adc_topk(
         "pq_code",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
     ).select("vec_id", "sub", unpack_code(F.col("pq_code"), F.col("sub")).alias("code"))
+    # a code with no table row (packed under a different m/k than this
+    # codebook) would silently vanish from the inner join and shrink the
+    # sum — count the surviving lookups and fail loudly on any shortfall
+    short = F.raise_error(
+        F.concat(
+            F.lit("PQ: a packed code had only "),
+            F.col("_n").cast("string"),
+            F.lit(f" of {m} codebook lookups — codes and codebook disagree"),
+        )
+    )
     return (
         exploded.join(F.broadcast(table), ["sub", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("d").alias("adc_sqdist"))
+        .agg(F.sum("d").alias("_d"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "vec_id",
+            F.when(F.col("_n") != m, short).otherwise(F.col("_d")).alias(
+                "adc_sqdist"
+            ),
+        )
         .orderBy(F.asc("adc_sqdist"), F.asc("vec_id"))
         .limit(top_k)
     )

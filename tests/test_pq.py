@@ -103,6 +103,46 @@ def test_unpack_inverts_pack(spark):
     assert [r[f"c{s}"] for s in range(4)] == [3, 0, 255, 17]
 
 
+def test_unpack_exact_beyond_double_mantissa(spark):
+    """An m=8 pack exceeds 53 bits; `/`-based unpacking rounded it through a
+    double and decoded the wrong low codes (review finding) — shiftright
+    must invert it exactly at the widest legal pack."""
+    codes = [3, 0, 101, 17, 9, 88, 126, 127]  # max legal high code at m=8
+    packed = sum(c * (_PACK_BASE ** s) for s, c in enumerate(codes))
+    assert packed > 2 ** 53  # the regression regime
+    assert packed <= 2 ** 63 - 1
+    r = spark.range(1).select(
+        *[unpack_code(F.lit(packed), F.lit(s)).alias(f"c{s}") for s in range(8)]
+    ).collect()[0]
+    assert [r[f"c{s}"] for s in range(8)] == codes
+
+
+def test_pack_bound_rejects_signed_overflow(spark, emb):
+    # the classic unsigned M=8,K=256 layout does not fit a signed int64
+    with pytest.raises(ValueError, match="cannot pack"):
+        pq_train(emb, m=8, k=256)
+    # but the documented operating points are accepted by the bound check
+    from hbase_observer_es_spark.operators.pq import _check_mk
+
+    _check_mk(8, 128)
+    _check_mk(7, 256)
+
+
+def test_codebook_m_mismatch_fails_loud(emb, codebook):
+    """An inner join against a codebook trained at a different m silently
+    dropped the uncovered subspaces (review finding)."""
+    with pytest.raises(ValueError, match="codebook covers"):
+        pq_encode(emb, codebook, m=8)
+    with pytest.raises(ValueError, match="codebook covers"):
+        pq_adc_topk([0.0] * 64, pq_encode(emb, codebook), codebook, m=8)
+    # right subspace set but wrong codeword lengths: the row-level guard
+    truncated = codebook.select(
+        "sub", "code", F.slice("codeword", 1, 3).alias("codeword")
+    )
+    with pytest.raises(Exception, match="does not match the codebook"):
+        pq_encode(emb, truncated).collect()
+
+
 def test_adc_equals_reconstruction_distance(emb, codebook):
     """ADC's table-lookup sum IS the squared L2 between the probe and each
     vector's reconstruction — exact, by construction, bit-for-bit."""
