@@ -49,9 +49,11 @@ code id, totally ordered.
 Scale posture: the codebook is M·K rows (≤2048 at the operating point) —
 always broadcastable; encode's only shuffle keys on vec_id with map-side
 partial aggregation; ADC's per-probe table is M·K rows built corpus-free.
-The classic IVF,PQ composition is ``similarity.q_sim_ivf*``'s cell routing
-with this module's codes inside each cell — the two compose because both
-keep their small side broadcast and their corpus side map-only.
+The classic IVF,PQ composition is implemented: ``pq_ivf_index`` marries
+the trained full-vector cells with the packed codes, and ``pq_ivfadc_topk``
+routes a probe to its ``nprobe`` nearest cells and runs ADC only over
+those cells' 8-byte codes — with ``nprobe`` = all cells it equals flat ADC
+exactly (pinned), so the IVF layer provably prunes without rescoring.
 
 Not registry-checked this round (the round-10 verification window is
 full); registration-ready: encode/ADC are SQL-expressible over a
@@ -358,3 +360,54 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_sqdist"), F.asc("vec_id"))
         .limit(top_k)
     )
+
+
+def pq_ivf_index(
+    e: DataFrame, centroids: DataFrame, codebook: DataFrame, m: int = PQ_M
+) -> DataFrame:
+    """The IVF,PQ index: (cell, vec_id, pq_code). Cell membership comes from
+    the trained full-vector centroids (``similarity._assign_cells`` — the
+    same assignment the ``q_sim_ivf_trained`` index uses), codes from
+    ``pq_encode``; one equi-join on vec_id marries them. This is the Faiss
+    ``IVF<k>,PQ<m>`` storage layout: at 100 TB the index is a (cell-
+    partitioned) table of 8-byte codes — the full vectors never need to be
+    read at query time again."""
+    from .similarity import _assign_cells
+
+    member = _assign_cells(
+        e.select("vec_id", "embedding"), centroids
+    ).select("vec_id", "cell")
+    codes = pq_encode(e, codebook, m)
+    return member.join(codes, "vec_id").select("cell", "vec_id", "pq_code")
+
+
+def pq_ivfadc_topk(
+    probe: list[float],
+    index: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 2,
+    m: int = PQ_M,
+) -> DataFrame:
+    """IVF,ADC serving: route the probe to its ``nprobe`` nearest cells
+    (squared L2 against the k-row centroid frame — bounded, corpus-free),
+    then run ADC ONLY over the codes stored in those cells. The corpus-side
+    cost is |probed cells| · 8-byte codes, not the corpus — the two-level
+    pruning that makes billion-vector serving work. With ``nprobe`` = the
+    full cell count the result equals ``pq_adc_topk`` over all codes
+    exactly (pinned by test); smaller ``nprobe`` trades recall for a
+    proportionally smaller scan, measured the ``q_ann_recall`` way."""
+    if nprobe < 1:
+        raise ValueError("PQ: nprobe must be >= 1")
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    near = (
+        centroids.select(
+            "cell", _sq_l2(probe_col, F.col("centroid")).alias("d")
+        )
+        .orderBy("d", "cell")  # k rows: bounded by the IVF parameter
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = index.join(F.broadcast(near), "cell").select("vec_id", "pq_code")
+    return pq_adc_topk(probe, cand, codebook, top_k=top_k, m=m)

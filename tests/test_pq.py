@@ -173,6 +173,31 @@ def test_adc_topk_total_order_and_self_recall(emb, codebook):
         assert rows[0]["vec_id"] == vid
 
 
+def test_ivfpq_full_probe_equals_flat_adc(spark, emb, codebook):
+    """nprobe = all cells must reproduce flat ADC exactly — the IVF layer
+    prunes, it never rescores."""
+    from hbase_observer_es_spark.operators.pq import pq_ivf_index, pq_ivfadc_topk
+    from hbase_observer_es_spark.operators.similarity import train_centroids
+
+    cent = train_centroids(emb.select("vec_id", "embedding"))
+    cent.cache().count()
+    index = pq_ivf_index(emb, cent, codebook)
+    assert index.columns == ["cell", "vec_id", "pq_code"]
+    assert index.count() == emb.count()  # every vector lands in one cell
+    probe = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    n_cells = cent.count()
+    flat = pq_adc_topk(probe, pq_encode(emb, codebook), codebook, top_k=10)
+    ivf = pq_ivfadc_topk(
+        probe, index, cent, codebook, top_k=10, nprobe=n_cells
+    )
+    assert [tuple(r) for r in ivf.collect()] == [tuple(r) for r in flat.collect()]
+    # pruned serving still finds the probe's own vector with a cell budget
+    narrow = pq_ivfadc_topk(probe, index, cent, codebook, top_k=5, nprobe=2)
+    assert narrow.collect()[0]["vec_id"] == 3
+    with pytest.raises(ValueError, match="nprobe"):
+        pq_ivfadc_topk(probe, index, cent, codebook, nprobe=0)
+
+
 def test_validation_fails_loud(spark, emb, codebook):
     with pytest.raises(ValueError, match="m must be"):
         pq_train(emb, m=9)
