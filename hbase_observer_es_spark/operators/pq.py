@@ -411,3 +411,100 @@ def pq_ivfadc_topk(
     )
     cand = index.join(F.broadcast(near), "cell").select("vec_id", "pq_code")
     return pq_adc_topk(probe, cand, codebook, top_k=top_k, m=m)
+
+
+def pq_recall(
+    e: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame | None = None,
+    top_k: int = 10,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    probe_mod: int = 100,
+) -> DataFrame:
+    """Recall@K of the compressed index against exact L2 ground truth — the
+    evaluation every PQ deployment runs before trusting its codes
+    (``ann_eval.q_ann_recall`` discipline, L2 flavor): one row per probe,
+    ``(probe_id, n_hits, recall)``.
+
+    The approximate side is the PRODUCTION serving path unchanged — flat
+    ADC when ``centroids`` is None, IVF,ADC with the given ``nprobe``
+    otherwise — so evaluating the index exercises the index. The exact side
+    is brute-force squared L2 with the same fold and the same
+    (distance ASC, vec_id ASC) total order, so set equality is
+    well-defined. Probes are every ``probe_mod``-th vector; at 100 TB the
+    brute-force side is |probes|·|corpus| folds, throttled by the probe
+    count (the bounded-probe-sample rule recall evaluation always runs
+    under)."""
+    probes = e.filter(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "probe_emb"
+        ),
+    )
+    corpus = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "emb"
+        ),
+    )
+    exact = (
+        corpus.join(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            _sq_l2(F.col("emb"), F.col("probe_emb")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    truth = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("probe_id", "vec_id")
+    )
+    # the serving path, probe by probe: each probe's ADC list is one
+    # bounded TakeOrdered job — the evaluation harness mirrors how a
+    # serving tier is actually exercised (per-request), and the probe
+    # sample is bounded by probe_mod
+    codes = pq_encode(e, codebook, m)
+    index = (
+        pq_ivf_index(e, centroids, codebook, m)
+        if centroids is not None
+        else None
+    )
+    spark = e.sparkSession
+    rows = []
+    for p in probes.collect():  # bounded: the probe sample
+        pid = int(p["probe_id"])
+        vec = [float(x) for x in p["probe_emb"]]
+        if index is not None:
+            got = pq_ivfadc_topk(
+                vec, index, centroids, codebook, top_k=top_k + 1,
+                nprobe=nprobe, m=m,
+            )
+        else:
+            got = pq_adc_topk(vec, codes, codebook, top_k=top_k + 1, m=m)
+        ids = [int(r["vec_id"]) for r in got.collect() if r["vec_id"] != pid]
+        rows.append((pid, ids[:top_k]))
+    approx = spark.createDataFrame(
+        [(pid, vid) for pid, ids in rows for vid in ids],
+        "probe_id long, vec_id long",
+    )
+    hits = truth.join(approx, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        truth.groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )
