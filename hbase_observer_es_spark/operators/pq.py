@@ -390,22 +390,43 @@ def pq_ivfadc_topk(
     nprobe: int = 2,
     m: int = PQ_M,
 ) -> DataFrame:
-    """IVF,ADC serving: route the probe to its ``nprobe`` nearest cells
-    (squared L2 against the k-row centroid frame — bounded, corpus-free),
+    """IVF,ADC serving: route the probe to its ``nprobe`` nearest cells,
     then run ADC ONLY over the codes stored in those cells. The corpus-side
     cost is |probed cells| · 8-byte codes, not the corpus — the two-level
-    pruning that makes billion-vector serving work. With ``nprobe`` = the
-    full cell count the result equals ``pq_adc_topk`` over all codes
-    exactly (pinned by test); smaller ``nprobe`` trades recall for a
-    proportionally smaller scan, measured the ``q_ann_recall`` way."""
+    pruning that makes billion-vector serving work.
+
+    Routing uses COSINE against the k-row centroid frame — the SAME metric
+    ``_assign_cells`` used to place the vectors (review finding: L2 routing
+    against cosine-assigned, non-unit-norm mean centroids disagrees on
+    orderings, so a small ``nprobe`` could fail to scan even the cell
+    holding the probe's own vector; metric-consistent routing restores the
+    standard IVF self-find guarantee). With ``nprobe`` = the full cell
+    count the result equals ``pq_adc_topk`` over all codes exactly (pinned
+    by test); smaller ``nprobe`` trades recall for a proportionally
+    smaller scan, measured by ``pq_recall``."""
     if nprobe < 1:
         raise ValueError("PQ: nprobe must be >= 1")
+    from .similarity import _dot, _norm
+
     probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    dim_ok = F.size("centroid") == len(probe)
+    bad = F.raise_error(
+        F.concat(
+            F.lit(f"PQ: probe dimension {len(probe)} != centroid dimension "),
+            F.size("centroid").cast("string"),
+        )
+    )
     near = (
         centroids.select(
-            "cell", _sq_l2(probe_col, F.col("centroid")).alias("d")
+            "cell",
+            F.when(~dim_ok, bad)
+            .otherwise(
+                _dot(probe_col, F.col("centroid"))
+                / (_norm(probe_col) * _norm(F.col("centroid")))
+            )
+            .alias("c"),
         )
-        .orderBy("d", "cell")  # k rows: bounded by the IVF parameter
+        .orderBy(F.desc("c"), F.asc("cell"))  # k rows: bounded by the param
         .limit(nprobe)
         .select("cell")
     )
@@ -436,6 +457,8 @@ def pq_recall(
     brute-force side is |probes|·|corpus| folds, throttled by the probe
     count (the bounded-probe-sample rule recall evaluation always runs
     under)."""
+    if probe_mod < 1:
+        raise ValueError("PQ: probe_mod must be >= 1")
     probes = e.filter(F.col("vec_id") % probe_mod == 0).select(
         F.col("vec_id").alias("probe_id"),
         F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
@@ -466,27 +489,37 @@ def pq_recall(
     # the serving path, probe by probe: each probe's ADC list is one
     # bounded TakeOrdered job — the evaluation harness mirrors how a
     # serving tier is actually exercised (per-request), and the probe
-    # sample is bounded by probe_mod
-    codes = pq_encode(e, codebook, m)
-    index = (
-        pq_ivf_index(e, centroids, codebook, m)
-        if centroids is not None
-        else None
-    )
+    # sample is bounded by probe_mod. Codes/index/codebook are CACHED for
+    # the loop: each per-probe collect would otherwise re-execute the full
+    # corpus-encode lineage, multiplying the dominant cost by the probe
+    # count (review finding); only the path actually served is built.
     spark = e.sparkSession
-    rows = []
-    for p in probes.collect():  # bounded: the probe sample
-        pid = int(p["probe_id"])
-        vec = [float(x) for x in p["probe_emb"]]
-        if index is not None:
-            got = pq_ivfadc_topk(
-                vec, index, centroids, codebook, top_k=top_k + 1,
-                nprobe=nprobe, m=m,
-            )
-        else:
-            got = pq_adc_topk(vec, codes, codebook, top_k=top_k + 1, m=m)
-        ids = [int(r["vec_id"]) for r in got.collect() if r["vec_id"] != pid]
-        rows.append((pid, ids[:top_k]))
+    cached = [codebook.cache()]
+    if centroids is not None:
+        index = pq_ivf_index(e, centroids, codebook, m).cache()
+        cached += [index, centroids.cache()]
+        codes = None
+    else:
+        index = None
+        codes = pq_encode(e, codebook, m).cache()
+        cached.append(codes)
+    try:
+        rows = []
+        for p in probes.collect():  # bounded: the probe sample
+            pid = int(p["probe_id"])
+            vec = [float(x) for x in p["probe_emb"]]
+            if index is not None:
+                got = pq_ivfadc_topk(
+                    vec, index, centroids, codebook, top_k=top_k + 1,
+                    nprobe=nprobe, m=m,
+                )
+            else:
+                got = pq_adc_topk(vec, codes, codebook, top_k=top_k + 1, m=m)
+            ids = [int(r["vec_id"]) for r in got.collect() if r["vec_id"] != pid]
+            rows.append((pid, ids[:top_k]))
+    finally:
+        for df in cached:
+            df.unpersist()
     approx = spark.createDataFrame(
         [(pid, vid) for pid, ids in rows for vid in ids],
         "probe_id long, vec_id long",

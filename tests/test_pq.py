@@ -224,6 +224,34 @@ def test_pq_recall_measures_the_compression_tradeoff(spark, emb, codebook):
     rows64 = pq_recall(emb, rich, top_k=10, probe_mod=50).collect()
     mean64 = sum(r["recall"] for r in rows64) / len(rows64)
     assert mean64 > mean_recall, (mean64, mean_recall)
+    with pytest.raises(ValueError, match="probe_mod"):
+        pq_recall(emb, codebook, probe_mod=0)
+
+
+def test_pq_recall_ivf_branch(spark, emb, codebook):
+    """The IVF serving path through the recall harness: with nprobe = all
+    cells it equals the flat-ADC recall exactly (the pruning layer is a
+    no-op at full budget), and a pruned budget still returns a full,
+    bounded result frame."""
+    from hbase_observer_es_spark.operators.pq import pq_recall
+    from hbase_observer_es_spark.operators.similarity import train_centroids
+
+    cent = train_centroids(emb.select("vec_id", "embedding"))
+    cent.cache().count()
+    n_cells = cent.count()
+    flat = {r["probe_id"]: (r["n_hits"], r["recall"])
+            for r in pq_recall(emb, codebook, top_k=5, probe_mod=100).collect()}
+    full = {r["probe_id"]: (r["n_hits"], r["recall"])
+            for r in pq_recall(
+                emb, codebook, centroids=cent, top_k=5, probe_mod=100,
+                nprobe=n_cells,
+            ).collect()}
+    assert full == flat
+    pruned = pq_recall(
+        emb, codebook, centroids=cent, top_k=5, probe_mod=100, nprobe=1
+    ).collect()
+    assert len(pruned) == len(flat)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in pruned)
 
 
 def test_validation_fails_loud(spark, emb, codebook):
