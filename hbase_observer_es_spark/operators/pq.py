@@ -267,7 +267,10 @@ def pq_encode(e: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
     int64 (``Σ codeᵢ·256ⁱ`` — exact, reversible integer math) plus its
     total squared quantization error (the per-vector quality signal an
     index builder monitors). One broadcast join + one map-side-reduced
-    groupBy."""
+    groupBy. ``sq_err`` folds the per-subspace terms in SUB ORDER (sorted
+    collect, sequential fold) — a plain double ``sum`` would depend on
+    aggregation order and drift across partitionings/engines, breaking
+    both the bit-exact model tests and a future oracle hash."""
     _check_mk(m, 2)
     _check_codebook(codebook, m)
     assigned = _nearest_code(_subvectors(e, m), codebook)
@@ -282,7 +285,14 @@ def pq_encode(e: DataFrame, codebook: DataFrame, m: int = PQ_M) -> DataFrame:
                     (F.col("sub") * F.lit(8)).cast("int"),
                 )
             ).alias("pq_code"),
-            F.sum("sqdist").alias("sq_err"),
+            F.array_sort(F.collect_list(F.struct("sub", "sqdist"))).alias("_t"),
+        )
+        .select(
+            "vec_id",
+            "pq_code",
+            F.aggregate(
+                F.col("_t"), F.lit(0.0), lambda acc, t: acc + t["sqdist"]
+            ).alias("sq_err"),
         )
     )
 
@@ -541,3 +551,123 @@ def pq_recall(
         )
         .orderBy("probe_id")
     )
+
+
+# --- registration-ready query twin + ANSI-SQL oracle -------------------------
+#
+# q_embed_pq is the (spark, sf_dir) form of train→encode over the embeddings
+# table, and SQL_EMBED_PQ is its DuckDB mirror — the same CTE-replay
+# discipline as similarity.SQL_SIM_IVF_TRAINED (the codebook is re-derived
+# inside the oracle, iteration count generated from the same constants, so
+# Spark and SQL cannot drift apart silently). Held OUT of the registry this
+# round (the r10 verification window is full); registering in r11 is one
+# registry row + a rotation re-splice.
+
+
+def q_embed_pq(spark, sf_dir: str):
+    """PQ train→encode over the embeddings table: (vec_id, pq_code, sq_err),
+    one row per vector, scalar-only columns. The codebook derives from the
+    same table (the ``q_sim_ivf_trained`` convention: training is part of
+    the replayed computation, not an external artifact)."""
+    from ..io import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = pq_train(e)
+    return pq_encode(e, codebook).orderBy("vec_id")
+
+
+def _sql_sq_l2(a: str, b: str) -> str:
+    """DuckDB mirror of ``_sq_l2``: list_reduce over squared element diffs.
+    list_reduce seeds from the first element — bit-identical to Spark's
+    fold from 0.0 because (0.0 + x) == x exactly for finite doubles."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq_ctes(m: int, k: int, iters: int) -> str:
+    """CTE chain mirroring pq_train: subvectors → seed codebook →
+    (assign, means)×iters. Generated from the SAME constants as the Spark
+    path — iteration count and geometry have one source of truth."""
+    from .similarity import SEED_MOD, SEED_MULT
+
+    sl = f"(len(embedding) // {m})"
+    parts = [
+        f"""subs AS (
+    SELECT vec_id, u.sub,
+           list_transform(
+               embedding[(u.sub * {sl} + 1):((u.sub + 1) * {sl})],
+               v -> CAST(v AS DOUBLE)
+           ) AS subvec
+    FROM embeddings, unnest(range(0, {m})) AS u(sub)
+),
+seeds AS (
+    SELECT vec_id, (vec_id * {SEED_MULT}) % {SEED_MOD} AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {k}
+),
+seed_codes AS (
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS code
+    FROM seeds
+),
+cb0 AS (
+    SELECT s.sub, sc.code, s.subvec AS codeword
+    FROM subs s JOIN seed_codes sc USING (vec_id)
+)"""
+    ]
+    pick = "(min(struct_pack(d := d, code := code))).code"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+    SELECT vec_id, sub, {pick} AS code
+    FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               {_sql_sq_l2('s.subvec', 'c.codeword')} AS d
+        FROM subs s JOIN cb{i - 1} c USING (sub)
+    )
+    GROUP BY vec_id, sub
+),
+dims{i} AS (
+    SELECT a.sub, a.code, u.i - 1 AS dim, s.subvec[u.i] AS val
+    FROM assign{i} a
+    JOIN subs s USING (vec_id, sub),
+    unnest(range(1, len(s.subvec) + 1)) AS u(i)
+),
+cb{i} AS (
+    SELECT sub, code, list(mv ORDER BY dim) AS codeword
+    FROM (
+        SELECT sub, code, dim,
+               CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mv
+        FROM dims{i} GROUP BY sub, code, dim
+    )
+    GROUP BY sub, code
+)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_EMBED_PQ = f"""
+WITH {_sql_pq_ctes(PQ_M, PQ_K, PQ_ITERS)},
+cb AS (SELECT * FROM cb{PQ_ITERS}),
+final_assign AS (
+    SELECT vec_id, sub,
+           (min(struct_pack(d := d, code := code))).code AS code,
+           (min(struct_pack(d := d, code := code))).d AS sqdist
+    FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               {_sql_sq_l2('s.subvec', 'c.codeword')} AS d
+        FROM subs s JOIN cb c USING (sub)
+    )
+    GROUP BY vec_id, sub
+)
+SELECT vec_id,
+       CAST(SUM(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (8 * sub))) AS BIGINT) AS pq_code,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(sqdist ORDER BY sub)),
+           (x, y) -> x + y
+       ) AS sq_err
+FROM final_assign
+GROUP BY vec_id
+ORDER BY vec_id
+"""

@@ -254,6 +254,19 @@ def test_pq_recall_ivf_branch(spark, emb, codebook):
     assert all(0.0 <= r["recall"] <= 1.0 for r in pruned)
 
 
+def test_q_embed_pq_matches_duckdb_oracle(spark):
+    """The registration-ready twin: Spark train→encode vs the CTE-replay SQL
+    oracle, hash-compared the way the driver would (row count + schema +
+    value hash). Green here means r11 registration is one registry row."""
+    from hbase_observer_es_spark.operators.pq import SQL_EMBED_PQ, q_embed_pq
+
+    from .oracle_harness import compare, duckdb_con
+
+    con = duckdb_con(SF)
+    r = compare("q_embed_pq", q_embed_pq(spark, SF), con, SQL_EMBED_PQ)
+    assert r.ok, r.detail
+
+
 def test_validation_fails_loud(spark, emb, codebook):
     with pytest.raises(ValueError, match="m must be"):
         pq_train(emb, m=9)
