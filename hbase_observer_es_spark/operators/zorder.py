@@ -49,6 +49,8 @@ surface (SURVEY §2-D), in the family of Delta/Iceberg table maintenance.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,15 +82,21 @@ def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
         raise ValueError(f"quantize range inverted: lo={lo} > hi={hi}")
     if hi == lo:
         return F.lit(0).cast("bigint")
+    v = col.cast("double")
     # FIXED operation order — the oracle twin replays exactly this:
     #   floor((v - lo) * n_cells / (hi - lo))
     cell = F.floor(
-        (col.cast("double") - F.lit(float(lo)))
+        (v - F.lit(float(lo)))
         * F.lit(float(n_cells))
         / F.lit(float(hi) - float(lo))
     )
     clamped = F.least(F.greatest(cell, F.lit(0)), F.lit(n_cells - 1))
-    return F.coalesce(clamped, F.lit(0)).cast("bigint")
+    # NaN → NULL → cell 0 EXPLICITLY: without this, Spark's floor(NaN) casts
+    # to 0 while DuckDB's NaN sorts above every value through least/greatest
+    # and lands in the TOP cell — a silent cross-engine divergence. The same
+    # guard exists in _sql_quantize; NaN clusters with NULL at the low edge.
+    guarded = F.when(F.isnan(v), F.lit(None)).otherwise(clamped)
+    return F.coalesce(guarded, F.lit(0)).cast("bigint")
 
 
 def interleave(cells: list[Column], bits: int) -> Column:
@@ -126,6 +134,22 @@ def column_ranges(df: DataFrame, cols: list[str]) -> list[tuple[float, float]]:
     """(min, max) per clustered column in ONE aggregation job. Driver-side
     result is bounded: two scalars per column. NULL min/max (all-NULL column)
     fails loudly — the caller must supply an explicit range for it."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    non_numeric = [
+        c
+        for c in cols
+        if c in by_name and not isinstance(by_name[c], T.NumericType)
+    ]
+    if non_numeric:
+        # without this, a string column casts to all-NULL doubles and the
+        # error would steer the user toward an explicit range that silently
+        # quantizes every row to cell 0
+        raise ValueError(
+            f"z-order columns must be numeric; {non_numeric} are "
+            f"{[str(by_name[c]) for c in non_numeric]}"
+        )
     aggs = []
     for c in cols:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
@@ -164,6 +188,24 @@ def zorder_write(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"z-order columns {missing} not in {df.columns}")
+    if _Z in df.columns:
+        # withColumn would silently REPLACE the user's column and drop(_Z)
+        # would then delete it from the output — refuse rather than lose data
+        raise ValueError(
+            f"input already has a column named {_Z!r} (the internal key "
+            "name) — rename it before the layout pass"
+        )
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    non_numeric = [
+        c for c in cols if not isinstance(by_name[c], T.NumericType)
+    ]
+    if non_numeric:
+        raise ValueError(
+            f"z-order columns must be numeric; {non_numeric} are "
+            f"{[str(by_name[c]) for c in non_numeric]}"
+        )
     r = ranges if ranges is not None else column_ranges(df, cols)
     keyed = df.withColumn(_Z, z_key([F.col(c) for c in cols], r, bits))
     (
@@ -173,12 +215,20 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    # empty range partitions write no part file — report what EXISTS, the
+    # way compact_dataset counts staged files, not what was requested
+    written = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
     return {
         "path": path,
         "columns": list(cols),
         "bits": bits,
         "ranges": [[lo, hi] for lo, hi in r],
-        "n_files": n_files,
+        "n_files": len(written),
+        "n_files_requested": n_files,
     }
 
 
@@ -231,9 +281,13 @@ def _sql_quantize(col: str, lo: str, hi: str, bits: int) -> str:
     cell = (
         f"floor((CAST({col} AS DOUBLE) - {lo}) * {float(n)!r} / ({hi} - {lo}))"
     )
-    return (
-        f"CAST(coalesce(least(greatest({cell}, 0), {n - 1}), 0) AS BIGINT)"
+    clamped = f"least(greatest({cell}, 0), {n - 1})"
+    # NaN guard mirrors quantize(): NaN → NULL → cell 0 (DuckDB would
+    # otherwise carry NaN through least/greatest into the top cell)
+    guarded = (
+        f"CASE WHEN isnan(CAST({col} AS DOUBLE)) THEN NULL ELSE {clamped} END"
     )
+    return f"CAST(coalesce({guarded}, 0) AS BIGINT)"
 
 
 SQL_ZORDER_CELLS = f"""

@@ -23,16 +23,23 @@ the verification discipline of this repo's publication sinks:
   ``sinks/dataset_export.py`` construction) must equal the rewrite-set
   input's. Any divergence deletes the staging directory and raises; the
   original files are never touched on a failed verification.
-* **Staged commit.** Output lands in ``_compact_staging/`` (the leading
-  underscore hides it from every Spark/Hadoop reader, the ``sinks/wet.py``
-  rule), and only after verification are the rewritten originals removed
-  and the staged files installed. The two phases are not jointly atomic on
-  a multi-file directory; the ordering guarantees that every row exists on
-  disk at every instant — a crash between remove and install leaves the
-  verified staged files in place, so recovery is re-running the compaction
-  (it finds the staging dir and fails loudly rather than guessing).
-  Like the CSV sink's staged commit, ``path`` must be on a LOCAL
-  filesystem (``os.replace`` semantics).
+* **Staged commit, single-writer, NO concurrent readers.** Output lands in
+  ``_compact_staging/`` (the leading underscore hides it from every
+  Spark/Hadoop reader, the ``sinks/wet.py`` rule), and only after
+  verification are the rewritten originals removed and the staged files
+  installed. The two phases are not jointly atomic on a multi-file
+  directory: every row exists as BYTES ON DISK at every instant (the
+  staged copy is complete and verified before the first original is
+  removed, and a crash in the window leaves it in place — recovery is
+  inspecting the loudly-reported staging dir), but a reader scanning the
+  leaf DURING the commit window would see a subset, because the staged
+  copies are hidden from it by the very rule that protects the write.
+  Compaction is a maintenance pass: run it like one, with no concurrent
+  readers of the leaf (real lakehouses get concurrent-reader safety from
+  snapshot metadata, which a bare parquet directory does not have; the
+  install-first ordering would instead show readers DUPLICATE rows —
+  strictly worse, because silent). Like the CSV sink's staged commit,
+  ``path`` must be on a LOCAL filesystem (``os.replace`` semantics).
 
 ``compact_tree`` applies the same pass per LEAF directory of a
 hive-partitioned layout (``key=value/.../*.parquet``) — compaction must
@@ -124,7 +131,8 @@ def compact_dataset(
         rewrite = list(files)  # re-clustering is a whole-leaf property
     else:
         rewrite = [f for f in files if sizes[f] < threshold]
-    kept = [f for f in files if f not in set(rewrite)]
+    rewrite_set = set(rewrite)  # hoisted: the motivating leaf has MANY files
+    kept = [f for f in files if f not in rewrite_set]
 
     # nothing to gain: zero or one small file and no re-clustering request
     if len(rewrite) <= 1 and not zorder_by:

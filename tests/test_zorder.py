@@ -192,6 +192,44 @@ def test_zorder_write_roundtrip_and_pruning(spark, tmp_path):
     assert zx_hit < z_total
 
 
+def test_nan_clusters_with_null_on_both_engines(spark):
+    """Review finding: Spark's floor(NaN)→0 vs DuckDB's NaN-sorts-high
+    through least/greatest would silently diverge (cell 0 vs top cell).
+    Both sides now route NaN → NULL → cell 0 explicitly."""
+    import duckdb
+
+    from hbase_observer_es_spark.operators.zorder import _sql_quantize
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (None,), (2.5,)], "v double"
+    )
+    got = sorted(
+        r["q"] for r in df.select(quantize(F.col("v"), 0.0, 10.0, 4).alias("q")).collect()
+    )
+    assert got == [0, 0, 4]
+    sql = _sql_quantize("v", "0.0", "10.0", 4)
+    oracle = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {sql} AS q FROM (VALUES ('nan'::DOUBLE), (NULL), (2.5)) t(v)"
+        ).fetchall()
+    )
+    assert oracle == got
+
+
+def test_zorder_write_reports_actual_files(spark, tmp_path):
+    """Review finding: empty range partitions write no part file — the
+    report must count files on disk, not the request."""
+    df = spark.createDataFrame([(0, 0, 1), (1, 1, 2)], "x int, y int, payload int")
+    report = zorder_write(
+        df, str(tmp_path / "tiny"), ["x", "y"], 8, bits=2,
+        ranges=[(0.0, 2.0), (0.0, 2.0)],
+    )
+    actual = len(glob.glob(str(tmp_path / "tiny" / "*.parquet")))
+    assert report["n_files"] == actual <= 2
+    assert report["n_files_requested"] == 8
+
+
 def test_zorder_write_validation(spark, tmp_path):
     df = _grid_df(spark, 4)
     with pytest.raises(ValueError, match="not in"):
@@ -202,6 +240,17 @@ def test_zorder_write_validation(spark, tmp_path):
         column_ranges(
             df.withColumn("z", F.lit(None).cast("double")), ["z"]
         )
+    # review findings: refuse the internal key name and non-numeric columns
+    with pytest.raises(ValueError, match="__zkey"):
+        zorder_write(
+            df.withColumn("__zkey", F.lit(1)), str(tmp_path / "v"), ["x", "y"], 2
+        )
+    with pytest.raises(ValueError, match="must be numeric"):
+        zorder_write(
+            df.withColumn("s", F.lit("a")), str(tmp_path / "v"), ["x", "s"], 2
+        )
+    with pytest.raises(ValueError, match="must be numeric"):
+        column_ranges(df.withColumn("s", F.lit("a")), ["s"])
 
 
 def test_q_zorder_cells_matches_duckdb_oracle(spark):
