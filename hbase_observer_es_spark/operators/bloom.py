@@ -89,10 +89,15 @@ def _validate(m_bits: int, k: int) -> None:
         raise ValueError(f"k must be in [1, 16], got {k}")
 
 
-def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> dict:
+def build_bloom(
+    df: DataFrame, col: str, m_bits: int, k: int, count_items: bool = False
+) -> dict:
     """Build the filter over the distinct values of ``df[col]``. Returns
     ``{"words", "m_bits", "k", "n_items"}`` — ``words`` is the dense signed
-    int64 vector, ``n_items`` the distinct key count (for FP-rate math)."""
+    int64 vector. ``n_items`` (the distinct key count, for FP-rate math) is
+    populated only when ``count_items=True``: it costs a SECOND full pass
+    over the key set, which the production compositions never need — pay it
+    only when you are actually tuning the filter."""
     _validate(m_bits, k)
     if col not in df.columns:
         raise ValueError(f"bloom column {col!r} not in {df.columns}")
@@ -120,6 +125,8 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> dict:
     )
     n_items = (
         df.where(F.col(col).isNotNull()).select(col).distinct().count()
+        if count_items
+        else None
     )
     words = [0] * (m_bits // 64)
     for r in words_rows:
@@ -129,8 +136,10 @@ def build_bloom(df: DataFrame, col: str, m_bits: int, k: int) -> dict:
 
 def might_contain_expr(col: Column, bloom: dict) -> Column:
     """Pure-Column probe: TRUE iff all k bits are set. NULL keys probe
-    FALSE (a NULL is never inserted). Plan size scales with m_bits — refused
-    above 2^20 bits; use ``might_contain_pandas`` beyond that."""
+    FALSE — gated on ``col.isNotNull()`` explicitly, because ``xxhash64``
+    maps NULL to the (non-null) seed hash, so the hash pair alone cannot
+    distinguish a NULL key from a real one. Plan size scales with m_bits —
+    refused above 2^20 bits; use ``might_contain_pandas`` beyond that."""
     m_bits, k, words = bloom["m_bits"], bloom["k"], bloom["words"]
     _validate(m_bits, k)
     if m_bits > _MAX_EXPR_BITS:
@@ -151,14 +160,29 @@ def might_contain_expr(col: Column, bloom: dict) -> Column:
         ).bitwiseAND(F.lit(1))
         term = bit == F.lit(1)
         cond = term if cond is None else (cond & term)
-    return F.coalesce(cond, F.lit(False))
+    # the bit terms are never NULL (xxhash64 is total), so the NULL-key rule
+    # must come from the key column itself
+    return col.isNotNull() & cond
 
 
-def might_contain_pandas(h1: Column, h2: Column, bloom: dict) -> Column:
+def might_contain_pandas(
+    h1: Column, h2: Column, bloom: dict, key_is_null: Column | None = None
+) -> Column:
     """Arrow-vectorized probe over the JVM-computed hash pair (pass the
     ``hash_cols`` outputs — hashing stays JVM-side, only the bit lookups run
     in numpy). The word vector is captured in the closure once per executor.
-    NULL hashes (NULL key) probe FALSE."""
+
+    The hash inputs must be NON-NULL int64 — which ``hash_cols`` guarantees
+    (``xxhash64`` is total, mapping even a NULL key to the seed hash). That
+    contract is load-bearing: Arrow delivers a NULLABLE int64 batch to
+    pandas as float64, silently rounding every hash of magnitude > 2^53 in
+    the batch — false negatives for NON-null rows. The conversion below
+    therefore refuses NaN loudly rather than fixing it up.
+
+    Because the hash pair cannot distinguish a NULL key (see above), pass
+    ``key_is_null=F.col(key).isNull()`` when the key column is nullable —
+    those rows probe FALSE (a NULL is never inserted). Omitting it asserts
+    the keys are known non-null."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -167,22 +191,28 @@ def might_contain_pandas(h1: Column, h2: Column, bloom: dict) -> Column:
     w = np.array([x & _U64 for x in bloom["words"]], dtype=np.uint64)
 
     @pandas_udf("boolean")
-    def probe(a, b):
+    def probe(a, b, knull):
         import pandas as pd
 
-        null = a.isna() | b.isna()
-        av = a.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
-        bv = b.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
+        if a.isna().any() or b.isna().any():
+            raise ValueError(
+                "might_contain_pandas: NULL hash input — pass hash_cols "
+                "outputs (total, never NULL); a nullable hash column arrives "
+                "as float64 and corrupts every hash > 2^53 in the batch"
+            )
+        av = a.to_numpy(dtype=np.int64).astype(np.uint64)
+        bv = b.to_numpy(dtype=np.int64).astype(np.uint64)
         ok = np.ones(len(av), dtype=bool)
         for i in range(k):
             pos = (av + np.uint64(i) * bv) % np.uint64(m_bits)
             word = w[(pos >> np.uint64(6)).astype(np.int64)]
             bit = (word >> (pos & np.uint64(63))) & np.uint64(1)
             ok &= bit == np.uint64(1)
-        ok[null.to_numpy()] = False
+        ok &= ~knull.fillna(False).to_numpy(dtype=bool)
         return pd.Series(ok)
 
-    return probe(h1, h2)
+    mask = key_is_null if key_is_null is not None else F.lit(False)
+    return probe(h1, h2, mask)
 
 
 def decontaminate_bloom(
@@ -206,7 +236,9 @@ def decontaminate_bloom(
     tr = sh.filter(F.col("source") != DECON_EVAL_SRC)
     bloom = build_bloom(ev, "h", m_bits, k)
     h1, h2 = hash_cols(F.col("h"))
-    pruned = tr.where(might_contain_pandas(h1, h2, bloom))
+    pruned = tr.where(
+        might_contain_pandas(h1, h2, bloom, key_is_null=F.col("h").isNull())
+    )
     return (
         pruned.join(F.broadcast(ev), "h")
         .groupBy("doc_id")

@@ -28,8 +28,10 @@ def _keys_df(spark, lo: int, hi: int, parts: int = 4):
 
 def test_no_false_negatives_both_paths(spark):
     members = _keys_df(spark, 0, 500)
-    bloom = build_bloom(members, "k", 1 << 13, 5)
+    bloom = build_bloom(members, "k", 1 << 13, 5, count_items=True)
     assert bloom["n_items"] == 500
+    # n_items is opt-in: the default build skips the second key-set pass
+    assert build_bloom(members, "k", 1 << 13, 5)["n_items"] is None
 
     via_expr = members.select(
         might_contain_expr(F.col("k"), bloom).alias("hit")
@@ -61,7 +63,7 @@ def test_fp_rate_near_theory_and_paths_agree(spark):
 
 def test_null_keys_probe_false_and_skip_build(spark):
     df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
-    bloom = build_bloom(df, "k", 1 << 10, 4)
+    bloom = build_bloom(df, "k", 1 << 10, 4, count_items=True)
     assert bloom["n_items"] == 2
     rows = {
         r["k"]: r["hit"]
@@ -75,10 +77,52 @@ def test_null_keys_probe_false_and_skip_build(spark):
     rows_np = {
         r["k"]: r["hit"]
         for r in df.select(
-            "k", might_contain_pandas(h1, h2, bloom).alias("hit")
+            "k",
+            might_contain_pandas(
+                h1, h2, bloom, key_is_null=F.col("k").isNull()
+            ).alias("hit"),
         ).collect()
     }
     assert rows_np == rows
+
+
+def test_null_keys_probe_false_even_when_saturated(spark):
+    """xxhash64(NULL) is the (non-null) seed hash, so a saturated filter
+    would answer TRUE for NULL keys if the NULL rule keyed off the hashes —
+    it must key off the key column itself, on BOTH probe paths."""
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    saturated = {"words": [-1], "m_bits": 64, "k": 4, "n_items": None}
+    rows = {
+        r["k"]: r["hit"]
+        for r in df.select(
+            "k", might_contain_expr(F.col("k"), saturated).alias("hit")
+        ).collect()
+    }
+    assert rows == {"a": True, None: False}
+    h1, h2 = hash_cols(F.col("k"))
+    rows_np = {
+        r["k"]: r["hit"]
+        for r in df.select(
+            "k",
+            might_contain_pandas(
+                h1, h2, saturated, key_is_null=F.col("k").isNull()
+            ).alias("hit"),
+        ).collect()
+    }
+    assert rows_np == rows
+
+
+def test_pandas_probe_refuses_nullable_hashes(spark):
+    """A nullable int64 hash batch reaches pandas as float64, corrupting
+    every hash > 2^53 — the probe must fail loud, never fix it up."""
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    bloom = build_bloom(df, "k", 1 << 10, 4)
+    h1, h2 = hash_cols(F.col("k"))
+    nullable_h1 = F.when(F.col("k").isNotNull(), h1)  # NULL for the NULL key
+    with pytest.raises(Exception, match="NULL hash input"):
+        df.select(
+            might_contain_pandas(nullable_h1, h2, bloom).alias("hit")
+        ).collect()
 
 
 def test_build_is_partitioning_invariant(spark):
