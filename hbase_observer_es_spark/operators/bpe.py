@@ -20,12 +20,17 @@ Scale shape — the part that matters at 100 TB:
   a 100 TB web corpus has on the order of 10^7–10^8 word types after the
   byte-length cap below, and the trainer only ever touches that table.
 * **Bounded driver.** The word table is collected under an explicit cap
-  (``max_word_types``, fail-loud when exceeded — raise the cap knowingly,
-  never silently truncate: a truncated frequency table trains a DIFFERENT
-  tokenizer). The merge loop is the standard incremental-index algorithm:
-  pair counts plus a pair→words inverted index, updated only for words
-  containing the merged pair — O(affected symbols) per merge, not a full
-  recount.
+  (``max_word_types``, fail-loud when exceeded). A raw web-scale table has
+  10^7–10^8 word types — over the default 2^20 cap by design: the fix is
+  the ``min_word_count`` frequency floor (applied Spark-side, BEFORE
+  collect), not a bigger collect. The tail words a floor drops are typos
+  and junk whose pair-count contribution is statistically nil, which is
+  why every production BPE trainer has the same knob; silently TRUNCATING
+  the table would instead train a different tokenizer, hence the loud cap.
+  The merge loop is the standard incremental-index algorithm: pair counts
+  plus a pair→words inverted index updated only for words containing the
+  merged pair, and a lazy-invalidation max-heap for best-pair selection —
+  O(affected symbols · log pairs) per merge, no full scans.
 * **Map-only apply.** Encoding broadcasts the merge ranks inside a
   pandas_udf closure (≤ a few hundred KiB for a 32k-merge vocabulary) and
   runs per-word greedy lowest-rank merging with a per-batch word memo —
@@ -92,14 +97,18 @@ def word_frequencies(
     docs: DataFrame,
     text_col: str = "text",
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+    min_word_count: int = 1,
 ) -> DataFrame:
     """The corpus reduction BPE trains on: ``(word, count)``, one shuffle with
     map-side combine. NULL text contributes nothing; empty split fragments
     (leading/trailing whitespace) are dropped; words over ``max_word_bytes``
-    UTF-8 bytes are excluded (see module docstring)."""
+    UTF-8 bytes are excluded; words seen fewer than ``min_word_count`` times
+    are dropped AFTER counting (the web-scale knob — see module docstring)."""
     if max_word_bytes < 1:
         raise ValueError("max_word_bytes must be >= 1")
-    return (
+    if min_word_count < 1:
+        raise ValueError("min_word_count must be >= 1")
+    wf = (
         docs.select(
             F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), _WS_REGEX)).alias(
                 "word"
@@ -109,6 +118,9 @@ def word_frequencies(
         .groupBy("word")
         .count()
     )
+    if min_word_count > 1:
+        wf = wf.filter(F.col("count") >= min_word_count)
+    return wf
 
 
 def _collect_word_freqs(
@@ -118,8 +130,9 @@ def _collect_word_freqs(
     if len(rows) > max_word_types:
         raise ValueError(
             f"bpe: word-type count exceeds max_word_types={max_word_types}; "
-            "raise the cap explicitly (a silently truncated frequency table "
-            "trains a different tokenizer)"
+            "raise min_word_count (the Spark-side frequency floor — tail "
+            "words are junk with nil pair-count weight) or, knowingly, the "
+            "cap (a silently truncated table trains a different tokenizer)"
         )
     return [(r["word"].encode("utf-8"), int(r["count"])) for r in rows]
 
@@ -131,19 +144,41 @@ def train_bpe(
     max_word_types: int = DEFAULT_MAX_WORD_TYPES,
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
     min_pair_count: int = 2,
+    min_word_count: int = 1,
 ) -> list[tuple[bytes, bytes]]:
     """Train ``num_merges`` byte-pair merges on the corpus; returns the merge
     list in rank order (rank = list index). Stops early when the best
     remaining pair occurs fewer than ``min_pair_count`` times (merging a
-    singleton pair memorizes one word, it does not compress a corpus)."""
+    singleton pair memorizes one word, it does not compress a corpus).
+    At web scale set ``min_word_count`` > 1 to keep the collected word
+    table under ``max_word_types`` (see module docstring)."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     if min_pair_count < 2:
         raise ValueError("min_pair_count must be >= 2")
     freqs = _collect_word_freqs(
-        word_frequencies(docs, text_col, max_word_bytes), max_word_types
+        word_frequencies(docs, text_col, max_word_bytes, min_word_count),
+        max_word_types,
     )
     return train_bpe_on_freqs(freqs, num_merges, min_pair_count)
+
+
+def _merge_pair(syms: list[bytes], a: bytes, b: bytes) -> list[bytes]:
+    """Replace every (a, b) adjacency with a+b, left-to-right, in one pass —
+    the ONE replacement rule. Trainer and encoder both call this, so
+    train-then-encode reproducing the trainer's segmentation holds by
+    construction (the test mirrors keep independent copies by design)."""
+    merged = a + b
+    out: list[bytes] = []
+    j = 0
+    while j < len(syms):
+        if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+            out.append(merged)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
 
 
 def train_bpe_on_freqs(
@@ -152,10 +187,15 @@ def train_bpe_on_freqs(
     min_pair_count: int = 2,
 ) -> list[tuple[bytes, bytes]]:
     """Driver-side merge loop over a ``(word_bytes, count)`` table — the
-    standard incremental algorithm: maintain pair counts and a pair→word
-    inverted index; each merge re-derives pairs only for the words that
-    contained the merged pair. Deterministic: ties on count break on the
-    lexicographically smallest (left, right) pair."""
+    standard incremental algorithm: pair counts plus a pair→word inverted
+    index, re-derived only for the words that contained the merged pair,
+    with best-pair selection from a lazy-invalidation max-heap (entries
+    whose stored count no longer matches the live count are discarded on
+    pop; every count change pushes a fresh entry, so the live maximum is
+    always present). Deterministic: ties on count break on the
+    lexicographically smallest (left, right) pair — the heap key."""
+    import heapq
+
     # words[i] = list of byte-string symbols; counts[i] = word frequency
     words: list[list[bytes]] = []
     counts: list[int] = []
@@ -173,17 +213,24 @@ def train_bpe_on_freqs(
             pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
             pair_words.setdefault((a, b), set()).add(i)
 
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[bytes, bytes]] = []
     for _ in range(num_merges):
         best: tuple[bytes, bytes] | None = None
-        best_count = min_pair_count - 1
-        for p, c in pair_counts.items():
-            if c > best_count or (c == best_count and best is not None and p < best):
-                best, best_count = p, c
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p) != -negc:
+                heapq.heappop(heap)  # stale: count changed or pair gone
+                continue
+            if -negc >= min_pair_count:
+                best = p
+            break  # live maximum found (above or below the floor)
         if best is None:
             break
         merges.append(best)
-        merged = best[0] + best[1]
+        touched: set[tuple[bytes, bytes]] = set()
         # re-derive pair contributions for every word that contained `best`
         for i in sorted(pair_words.get(best, ())):
             syms = words[i]
@@ -192,6 +239,7 @@ def train_bpe_on_freqs(
             for a, b in zip(syms, syms[1:]):
                 p = (a, b)
                 pair_counts[p] -= c
+                touched.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                 ws = pair_words.get(p)
@@ -199,25 +247,17 @@ def train_bpe_on_freqs(
                     ws.discard(i)
                     if not ws:
                         del pair_words[p]
-            # apply the merge left-to-right
-            out: list[bytes] = []
-            j = 0
-            while j < len(syms):
-                if (
-                    j + 1 < len(syms)
-                    and syms[j] == best[0]
-                    and syms[j + 1] == best[1]
-                ):
-                    out.append(merged)
-                    j += 2
-                else:
-                    out.append(syms[j])
-                    j += 1
+            out = _merge_pair(syms, best[0], best[1])
             words[i] = out
             # add back the new contributions
             for a, b in zip(out, out[1:]):
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+                touched.add((a, b))
                 pair_words.setdefault((a, b), set()).add(i)
+        for p in touched:
+            c = pair_counts.get(p)
+            if c is not None:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -281,21 +321,10 @@ def encode_word(
                 best_rank, best_j = r, j
         if best_rank is None:
             break
-        merged = syms[best_j] + syms[best_j + 1]
-        # merge EVERY occurrence of this exact pair left-to-right (matching
-        # the trainer's replacement rule, so train-then-encode the training
-        # corpus reproduces the trainer's final segmentation)
-        out: list[bytes] = []
-        j = 0
-        a, b = syms[best_j], syms[best_j + 1]
-        while j < len(syms):
-            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
-                out.append(merged)
-                j += 2
-            else:
-                out.append(syms[j])
-                j += 1
-        syms = out
+        # merge EVERY occurrence of this exact pair via the shared
+        # replacement rule (_merge_pair), so train-then-encode the training
+        # corpus reproduces the trainer's final segmentation
+        syms = _merge_pair(syms, syms[best_j], syms[best_j + 1])
     return syms
 
 

@@ -200,6 +200,18 @@ def test_null_and_empty_text(spark):
     assert [r["n_bpe_tokens"] for r in out] == [0, 0, 0]
 
 
+def test_min_word_count_floor(spark):
+    # the web-scale knob: tail words drop Spark-side, BEFORE collect
+    docs = spark.createDataFrame([("aa aa aa bb",)], "text string")
+    wf = {
+        r["word"]: r["count"]
+        for r in word_frequencies(docs, min_word_count=2).collect()
+    }
+    assert wf == {"aa": 3}
+    with pytest.raises(ValueError, match="min_word_count"):
+        word_frequencies(docs, min_word_count=0)
+
+
 def test_overlong_words_excluded_from_training(spark):
     docs = spark.createDataFrame([("ab " * 5 + "c" * 300,)], "text string")
     words = {r["word"] for r in word_frequencies(docs).collect()}
