@@ -65,12 +65,24 @@ _TOPVAL_TYPES = (
 )
 
 
+def _qcol(name: str):
+    """Reference a TOP-LEVEL column whatever its name: backtick-quoted (with
+    embedded backticks doubled per Spark's rule), so a dotted ingest name
+    like ``user.id`` is never re-parsed as struct-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _resolve(df: DataFrame, columns: list[str] | None) -> list[str]:
     if columns is None:
         return list(df.columns)
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise ValueError(f"profile: columns {missing} not in {df.columns}")
+    if len(set(columns)) != len(columns):
+        raise ValueError(
+            f"profile: duplicate columns in {columns} — a repeated column "
+            "would double its counts silently"
+        )
     return list(columns)
 
 
@@ -84,21 +96,22 @@ def profile_stats(
     if not cols:
         raise ValueError("profile: no columns to profile")
     ndv = F.countDistinct if exact else F.approx_count_distinct
+    # aliases are keyed by column INDEX, never by name — a dotted or
+    # otherwise exotic source column name (referenced via _qcol) must not
+    # leak into an alias that F.col would re-parse
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}")
-        )
-        aggs.append(ndv(F.col(c)).alias(f"__ndv_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.when(_qcol(c).isNull(), 1)).alias(f"__null_{i}"))
+        aggs.append(ndv(_qcol(c)).alias(f"__ndv_{i}"))
     one = df.agg(*aggs)
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__null_{c}").alias("n_null"),
-            F.col(f"__ndv_{c}").cast("long").alias("ndv"),
+            F.col(f"__null_{i}").alias("n_null"),
+            F.col(f"__ndv_{i}").cast("long").alias("ndv"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
 
@@ -131,7 +144,7 @@ def top_values(
         raise ValueError("top_values: no eligible columns")
     entries = [
         F.struct(
-            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("value")
+            F.lit(c).alias("col_name"), _qcol(c).cast("string").alias("value")
         )
         for c in cols
     ]

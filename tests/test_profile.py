@@ -103,3 +103,21 @@ def test_validation(spark):
         top_values(df, 0)
     with pytest.raises(ValueError, match="no eligible"):
         top_values(spark.createDataFrame([(1.0,)], "d double"))
+    # a repeated column would silently double its top_values counts
+    with pytest.raises(ValueError, match="duplicate"):
+        top_values(df, 1, columns=["x", "x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        profile_stats(df, columns=["x", "x"])
+
+
+def test_dotted_column_names(spark):
+    # generic ingest data has flattened dotted names at top level — the
+    # profiler must treat them as plain columns, never struct access
+    df = spark.createDataFrame([(1, "a"), (1, None)], ["user.id", "geo.city"])
+    stats = {r["col_name"]: r for r in profile_stats(df).collect()}
+    assert stats["user.id"]["ndv"] == 1
+    assert stats["geo.city"]["n_null"] == 1
+    tops = [
+        (r["col_name"], r["value"], r["n"]) for r in top_values(df, 1).collect()
+    ]
+    assert sorted(tops) == [("geo.city", "a", 1), ("user.id", "1", 2)]
