@@ -26,10 +26,12 @@ on single space, drop empties — byte-identical in Spark and DuckDB.
 
 Scale shape: two map-side-combined ``groupBy(term)`` counts (one per
 corpus — vocabulary-sized outputs, sub-linear in corpus size by Heaps'
-law), a full-outer equi-join of the two VOCAB tables on term (never the
-corpora), and totals attached via 1-row broadcast crossJoins. The top-k
-cut is a ``row_number`` over one global ordering of the vocab-sized join
-— at real scale swap to an ORDER-BY-LIMIT (TakeOrdered) on the score.
+law, and each corpus is scanned exactly ONCE), a full-outer equi-join of
+the two VOCAB tables on term (never the corpora), and totals as global
+window sums over the vocab-sized join output. The top-k cut is a
+``row_number`` over one global ordering of the same vocab-sized frame —
+at real scale swap to an ORDER-BY-LIMIT (TakeOrdered) on the score.
+Empty corpora fail loudly (see ``_joined_counts``).
 
 Registration-ready twins (held for r11 window headroom, like
 ``q_zorder_cells`` / ``q_profile_stats``): ``q_corpus_drift`` (top-k
@@ -70,20 +72,42 @@ def _joined_counts(
     docs_a: DataFrame, docs_b: DataFrame, text_col: str
 ) -> DataFrame:
     """Full-outer vocab join with exact totals attached: ``(term, c_a, c_b,
-    n_a, n_b)`` — counts bigint, totals DECIMAL(18,0)."""
+    n_a, n_b)`` — counts bigint, totals DECIMAL(18,0).
+
+    Totals are window sums OVER THE JOINED VOCAB TABLE, not separate aggs
+    of the raw corpora — a separate agg would re-run the corpus scan +
+    explode + count shuffle a second time per corpus (no exchange reuse:
+    the agg lineage differs from the join lineage). The global window costs
+    one single-partition pass over the vocab-sized join output, the same
+    trade the top-k rank below already makes.
+
+    An EMPTY corpus fails loudly per-row (its window total is 0): a NULL
+    or zero total would otherwise flow into every dshift and return
+    plausible-looking garbage from a module whose contract is exact."""
     ca = term_counts(docs_a, text_col).withColumnRenamed("c", "c_a")
     cb = term_counts(docs_b, text_col).withColumnRenamed("c", "c_b")
-    na = ca.agg(F.sum("c_a").cast(_D18).alias("n_a"))
-    nb = cb.agg(F.sum("c_b").cast(_D18).alias("n_b"))
-    return (
-        ca.join(cb, "term", "full_outer")
-        .select(
-            "term",
-            F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
-            F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+    w_all = Window.partitionBy()
+
+    def total(c: str, label: str):
+        # sum over all-NULL (empty corpus) is NULL — fold it to 0 so the
+        # guard below fires instead of NULL propagating through every dshift
+        s = F.coalesce(F.sum(c).over(w_all), F.lit(0).cast("long"))
+        return (
+            F.when(
+                s <= 0,
+                F.raise_error(
+                    F.lit(f"drift: corpus {label} has no tokens")
+                ).cast(_D18),
+            )
+            .otherwise(s.cast(_D18))
         )
-        .crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
+
+    return ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+        total("c_a", "A").alias("n_a"),
+        total("c_b", "B").alias("n_b"),
     )
 
 
@@ -125,8 +149,16 @@ def drift_summary(
         F.col("c_a").cast(_D18) * F.col("n_b")
         - F.col("c_b").cast(_D18) * F.col("n_a")
     )
+
+    def req(c):
+        # both corpora empty -> the join has zero rows and every aggregate
+        # is NULL; fail loudly rather than return a NULL "summary"
+        return F.when(
+            c.isNull(), F.raise_error(F.lit("drift: both corpora are empty"))
+        ).otherwise(c)
+
     return j.agg(
-        F.first("n_a").alias("n_tok_a"),
+        req(F.first("n_a")).alias("n_tok_a"),
         F.first("n_b").alias("n_tok_b"),
         F.sum(F.when(F.col("c_a") > 0, 1).otherwise(0)).alias("n_terms_a"),
         F.sum(F.when(F.col("c_b") > 0, 1).otherwise(0)).alias("n_terms_b"),

@@ -92,6 +92,28 @@ def test_top_k_validation(spark):
         unigram_drift(a, a, 0)
 
 
+def test_empty_corpus_fails_loud(spark):
+    a = _docs(spark, "some words")
+    empty = spark.createDataFrame([(None,), ("",)], "text string")
+    with pytest.raises(Exception, match="corpus B has no tokens"):
+        unigram_drift(a, empty, 3).collect()
+    with pytest.raises(Exception, match="corpus A has no tokens"):
+        drift_summary(empty, a).collect()
+    both = spark.createDataFrame([], "text string")
+    with pytest.raises(Exception, match="both corpora are empty"):
+        drift_summary(both, both).collect()
+
+
+def test_each_corpus_scanned_once(spark):
+    # totals come from the joined vocab frame, not a second agg of the raw
+    # corpora — each input must appear exactly once in the physical plan
+    a = _docs(spark, "x x y")
+    b = _docs(spark, "x y y y")
+    plan = drift_summary(a, b)._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 2, plan
+
+
 def test_tv_bounds_on_fixture(spark):
     s = q_corpus_drift_tv(spark, SF_ORACLE).head()
     assert Decimal(0) < s["tv_num"] <= s["tv_den"]
