@@ -229,6 +229,40 @@ def test_wet_publication_closes_the_crawl_loop(spark, tmp_path):
     assert q_text_quality(spark, s2).count() == 3
 
 
+def test_bpe_tokenizer_trains_on_and_counts_the_curated_corpus(spark, tmp_path):
+    """The tokenizer is itself a pipeline product: train byte-level BPE on
+    the curated (extracted + deduped) corpus, persist the merges artifact
+    next to the dataset, reload it, and budget the corpus in REAL tokenizer
+    tokens — the unit pack budgets and mixture weights are specified in."""
+    from hbase_observer_es_spark.operators.bpe import (
+        add_bpe_token_count,
+        encode_text,
+        merges_from_table,
+        merges_table,
+        train_bpe,
+    )
+
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "s.warc.gz").write_bytes(gzip.compress(_shard()))
+    extracted = warc_html_documents(read_warc(spark, str(tmp_path / "crawl")))
+    s1 = _land(extracted, tmp_path / "s1")
+    survivors = q_dedup_exact(spark, s1).select("doc_id")
+    deduped = table(spark, s1, "documents").join(survivors, "doc_id")
+
+    merges = train_bpe(deduped, num_merges=100)
+    assert merges  # real prose trains real merges
+    art = str(tmp_path / "tokenizer" / "merges.parquet")
+    merges_table(spark, merges).write.parquet(art)
+    reloaded = merges_from_table(spark.read.parquet(art))
+    assert reloaded == merges  # the artifact round-trips byte-for-byte
+
+    counted = add_bpe_token_count(deduped, reloaded).collect()
+    assert all(r["n_bpe_tokens"] > 0 for r in counted)
+    # the distributed count agrees with a driver-side encode, doc by doc
+    for r in counted:
+        assert r["n_bpe_tokens"] == len(encode_text(r["text"], reloaded))
+
+
 def test_pipeline_is_deterministic_across_reruns(spark, tmp_path):
     """Re-running the whole chain on the same shard publishes identical
     per-shard fingerprints — the rerun-stability contract that makes the
