@@ -58,7 +58,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MOD = 1_000_000_007  # the repo-wide cross-engine polynomial hash modulus
+from .text import MOD  # the ONE cross-engine polynomial hash modulus
+
 _MAX_EXPR_DIM = 1 << 12  # literal-array margin: 4096 int64 literals max
 DEFAULT_DIM = 1 << 12
 DEFAULT_EPOCHS = 5
@@ -84,6 +85,10 @@ def tokens_col(text: Column) -> Column:
 
 
 def bucket_col(token: Column, dim: int) -> Column:
+    # TRIPWIRE: this per-character fold is the SAME polynomial hash as
+    # text.q_text_fingerprint and dedup._rollhash (base 31, mod MOD) — the
+    # three must stay byte-identical or the cross-engine hash guarantee
+    # breaks; bucket_py and the SQL replay in sql_margin_replay mirror it.
     h = F.aggregate(
         F.transform(F.split(token, ""), lambda c: F.ascii(c).cast("long")),
         F.lit(0).cast("long"),
@@ -175,10 +180,18 @@ def train_text_classifier(
         )
     if not rows:
         raise ValueError("classifier: no training rows")
-    samples = [
-        (doc_buckets_py(r[text_col], dim), 1 if r[label_col] else -1)
-        for r in rows
-    ]
+    samples = []
+    for r in rows:
+        lab = r[label_col]
+        if lab is None:
+            # a NULL label is a labeling-data bug (join miss, un-cast
+            # boolean) — coercing it to a class would train a quietly
+            # skewed model; fail like every other invalid input here
+            raise ValueError(
+                f"classifier: NULL label for {id_col}={r[id_col]!r} — "
+                "drop or fill unlabeled rows explicitly before training"
+            )
+        samples.append((doc_buckets_py(r[text_col], dim), 1 if lab else -1))
     return train_perceptron(samples, dim, epochs)
 
 

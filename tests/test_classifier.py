@@ -39,7 +39,10 @@ def _labeled_docs(spark, sf_dir):
     )
 
 
-def _fixture_model(spark):
+@pytest.fixture(scope="module")
+def fixture_model(spark):
+    # train once per module: training is deterministic, so this is the
+    # same model q_quality_classify builds internally
     d = _labeled_docs(spark, SF_ORACLE)
     return train_text_classifier(
         d.where(F.col("doc_id") % CLS_HOLDOUT_MOD != 0),
@@ -52,8 +55,8 @@ def _fixture_model(spark):
 # ------------------------------------------------------------------ oracle
 
 
-def test_inference_matches_sql_replay(spark):
-    model = _fixture_model(spark)
+def test_inference_matches_sql_replay(spark, fixture_model):
+    model = fixture_model
     con = duckdb_con(SF_ORACLE)
     try:
         r = compare(
@@ -165,8 +168,8 @@ def test_converges_on_separable_data():
 # --------------------------------------------------------------- inference
 
 
-def test_expr_and_pandas_paths_agree(spark):
-    model = _fixture_model(spark)
+def test_expr_and_pandas_paths_agree(spark, fixture_model):
+    model = fixture_model
     d = _labeled_docs(spark, SF_ORACLE).limit(80)
     via_expr = {
         r["doc_id"]: r["margin"]
@@ -211,3 +214,9 @@ def test_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="no training rows"):
         train_text_classifier(empty, "label")
+    # a NULL label is a labeling bug, never a class
+    nullable = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", None)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="NULL label for doc_id=2"):
+        train_text_classifier(nullable, "label")
