@@ -162,6 +162,46 @@ def top_values(
     )
 
 
+def profile_diff(curr: DataFrame, prev: DataFrame) -> DataFrame:
+    """Compare two :func:`profile_stats` outputs (current vs previous
+    snapshot): one row per column name present in EITHER profile —
+    ``(col_name, status, n_rows, n_rows_prev, d_rows, n_null, n_null_prev,
+    ndv, ndv_prev)`` with ``status`` ∈ ``added`` / ``removed`` / ``kept``.
+    All exact integers (missing side → NULL counts, never 0 — absence is
+    not emptiness). This is the schema/stats half of snapshot monitoring;
+    ``operators/drift.py`` is the content half."""
+    for df, side in ((curr, "curr"), (prev, "prev")):
+        missing = {"col_name", "n_rows", "n_null", "ndv"} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"profile_diff: {side} frame lacks profile_stats columns "
+                f"{sorted(missing)}"
+            )
+    p = prev.select(
+        F.col("col_name"),
+        F.col("n_rows").alias("n_rows_prev"),
+        F.col("n_null").alias("n_null_prev"),
+        F.col("ndv").alias("ndv_prev"),
+    )
+    joined = curr.join(p, "col_name", "full_outer")
+    status = (
+        F.when(F.col("n_rows").isNull(), F.lit("removed"))
+        .when(F.col("n_rows_prev").isNull(), F.lit("added"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "col_name",
+        status.alias("status"),
+        "n_rows",
+        "n_rows_prev",
+        (F.col("n_rows") - F.col("n_rows_prev")).alias("d_rows"),
+        "n_null",
+        "n_null_prev",
+        "ndv",
+        "ndv_prev",
+    )
+
+
 # ------------------------------------------------- registration-ready twins
 
 _PROFILE_COLS = [

@@ -196,6 +196,37 @@ def test_expr_path_dim_cap():
         margin_expr(F.col("text"), model)
 
 
+def test_margin_scores_a_stream(spark, tmp_path, fixture_model):
+    """Inference is a pure Column expression, so the trained model scores a
+    STREAM unmodified — the online half of the quality gate (the batch
+    pipeline trains; the ingest stream applies). availableNow drains the
+    fixture as micro-batches and the margins must equal the batch path's."""
+    src = table(spark, SF_ORACLE, "documents").limit(40)
+    d = str(tmp_path / "in.parquet")
+    src.write.parquet(d)
+    batch = {
+        r["doc_id"]: r["margin"] for r in classify(src, fixture_model).collect()
+    }
+
+    got: dict[int, int] = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r["doc_id"]] = r["margin"]
+
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    q = (
+        classify(stream, fixture_model)
+        .select("doc_id", "margin")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch and len(got) == 40
+
+
 # --------------------------------------------------------------- fail-loud
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hbase_observer_es_spark.operators.profile import (
     SQL_PROFILE_STATS,
     SQL_PROFILE_TOPVALS,
+    profile_diff,
     profile_stats,
     q_profile_stats,
     q_profile_topvals,
@@ -108,6 +109,26 @@ def test_validation(spark):
         top_values(df, 1, columns=["x", "x"])
     with pytest.raises(ValueError, match="duplicate"):
         profile_stats(df, columns=["x", "x"])
+
+
+def test_profile_diff(spark):
+    prev = profile_stats(
+        spark.createDataFrame([(1, "a"), (2, None)], "x int, gone string")
+    )
+    curr = profile_stats(
+        spark.createDataFrame(
+            [(1, "p"), (2, "q"), (None, "q")], "x int, fresh string"
+        )
+    )
+    got = {r["col_name"]: r for r in profile_diff(curr, prev).collect()}
+    assert got["x"]["status"] == "kept" and got["x"]["d_rows"] == 1
+    assert got["x"]["n_null"] == 1 and got["x"]["n_null_prev"] == 0
+    assert got["fresh"]["status"] == "added"
+    # absence is not emptiness: the missing side stays NULL, not 0
+    assert got["fresh"]["n_rows_prev"] is None and got["fresh"]["d_rows"] is None
+    assert got["gone"]["status"] == "removed" and got["gone"]["ndv_prev"] == 1
+    with pytest.raises(ValueError, match="lacks profile_stats columns"):
+        profile_diff(curr, prev.drop("ndv"))
 
 
 def test_dotted_column_names(spark):
