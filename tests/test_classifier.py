@@ -201,11 +201,14 @@ def test_margin_scores_a_stream(spark, tmp_path, fixture_model):
     STREAM unmodified — the online half of the quality gate (the batch
     pipeline trains; the ingest stream applies). availableNow drains the
     fixture as micro-batches and the margins must equal the batch path's."""
-    src = table(spark, SF_ORACLE, "documents").limit(40)
     d = str(tmp_path / "in.parquet")
-    src.write.parquet(d)
+    table(spark, SF_ORACLE, "documents").limit(40).write.parquet(d)
+    # both paths read the SAME materialized rows (an unordered limit is not
+    # stable across separate executions of the source query)
+    landed = spark.read.parquet(d)
     batch = {
-        r["doc_id"]: r["margin"] for r in classify(src, fixture_model).collect()
+        r["doc_id"]: r["margin"]
+        for r in classify(landed, fixture_model).collect()
     }
 
     got: dict[int, int] = {}
@@ -214,7 +217,7 @@ def test_margin_scores_a_stream(spark, tmp_path, fixture_model):
         for r in df.collect():
             got[r["doc_id"]] = r["margin"]
 
-    stream = spark.readStream.schema(src.schema).parquet(d)
+    stream = spark.readStream.schema(landed.schema).parquet(d)
     q = (
         classify(stream, fixture_model)
         .select("doc_id", "margin")
@@ -223,7 +226,10 @@ def test_margin_scores_a_stream(spark, tmp_path, fixture_model):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not drain within 120s"
+    finally:
+        q.stop()
     assert got == batch and len(got) == 40
 
 
