@@ -328,6 +328,42 @@ def encode_word(
     return syms
 
 
+def make_encoder(
+    merges: list[tuple[bytes, bytes]],
+    max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+):
+    """Build ONE memoized ``text -> [token ids]`` encoder (ranks/vocab
+    resolved once; per-word-slice id memo — web text repeats words, so the
+    common case is a dict hit). This is the single encode loop every
+    consumer shares: :func:`encode_text`, :func:`add_bpe_token_count`, and
+    ``operators/seqpack.py``."""
+    import re
+
+    if max_word_bytes < 1:
+        raise ValueError("max_word_bytes must be >= 1")
+    ranks = {p: r for r, p in enumerate(merges)}
+    vocab = vocab_from_merges(merges)
+    ws = re.compile(_WS_REGEX)
+    memo: dict[bytes, list[int]] = {}
+
+    def encode(text: str | None) -> list[int]:
+        ids: list[int] = []
+        for word in ws.split(text or ""):
+            if not word:
+                continue
+            wb = word.encode("utf-8")
+            for s in range(0, len(wb), max_word_bytes):
+                piece = wb[s : s + max_word_bytes]
+                got = memo.get(piece)
+                if got is None:
+                    got = [vocab[t] for t in encode_word(piece, ranks)]
+                    memo[piece] = got
+                ids.extend(got)
+        return ids
+
+    return encode
+
+
 def encode_text(
     text: str,
     merges: list[tuple[bytes, bytes]],
@@ -335,19 +371,7 @@ def encode_text(
 ) -> list[int]:
     """Driver-side encode of one string to token ids (tests, probes, small
     jobs — the distributed path is :func:`add_bpe_token_count`)."""
-    ranks = {p: r for r, p in enumerate(merges)}
-    vocab = vocab_from_merges(merges)
-    import re
-
-    ids: list[int] = []
-    for word in re.split(_WS_REGEX, text or ""):
-        if not word:
-            continue
-        wb = word.encode("utf-8")
-        for s in range(0, len(wb), max_word_bytes):
-            for tok in encode_word(wb[s : s + max_word_bytes], ranks):
-                ids.append(vocab[tok])
-    return ids
+    return make_encoder(merges, max_word_bytes)(text)
 
 
 def add_bpe_token_count(
@@ -362,34 +386,9 @@ def add_bpe_token_count(
     ranks dict ships in the pandas_udf closure; a per-batch word memo
     exploits word repetition (the common case is a dict hit, not a merge
     loop). NULL text counts 0."""
-    if max_word_bytes < 1:
-        raise ValueError("max_word_bytes must be >= 1")
-    ranks = {p: r for r, p in enumerate(merges)}
-    import re
-
-    ws = re.compile(_WS_REGEX)
-
     @F.pandas_udf("bigint")
     def n_tokens(texts: pd.Series) -> pd.Series:
-        memo: dict[bytes, int] = {}
-
-        def count_one(t) -> int:
-            if t is None:
-                return 0
-            n = 0
-            for word in ws.split(t):
-                if not word:
-                    continue
-                wb = word.encode("utf-8")
-                for s in range(0, len(wb), max_word_bytes):
-                    piece = wb[s : s + max_word_bytes]
-                    c = memo.get(piece)
-                    if c is None:
-                        c = len(encode_word(piece, ranks))
-                        memo[piece] = c
-                    n += c
-            return n
-
-        return texts.map(count_one).astype("int64")
+        enc = make_encoder(merges, max_word_bytes)  # one memo per batch
+        return texts.map(lambda t: len(enc(t))).astype("int64")
 
     return docs.withColumn(out_col, n_tokens(F.col(text_col)))
