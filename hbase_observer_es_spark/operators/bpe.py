@@ -328,40 +328,77 @@ def encode_word(
     return syms
 
 
+def _piece_splitter(max_word_bytes: int):
+    """The ONE pre-tokenize + overlong-slice rule every encode/count path
+    shares: ``text -> iterator of word byte-slices``. Validates eagerly so
+    consumers fail at the driver, not mid-job on an executor."""
+    import re
+
+    if max_word_bytes < 1:
+        raise ValueError("max_word_bytes must be >= 1")
+    ws = re.compile(_WS_REGEX)
+
+    def pieces(text: str | None):
+        for word in ws.split(text or ""):
+            if not word:
+                continue
+            wb = word.encode("utf-8")
+            for s in range(0, len(wb), max_word_bytes):
+                yield wb[s : s + max_word_bytes]
+
+    return pieces
+
+
 def make_encoder(
     merges: list[tuple[bytes, bytes]],
     max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
 ):
     """Build ONE memoized ``text -> [token ids]`` encoder (ranks/vocab
     resolved once; per-word-slice id memo — web text repeats words, so the
-    common case is a dict hit). This is the single encode loop every
-    consumer shares: :func:`encode_text`, :func:`add_bpe_token_count`, and
-    ``operators/seqpack.py``."""
-    import re
-
-    if max_word_bytes < 1:
-        raise ValueError("max_word_bytes must be >= 1")
+    common case is a dict hit). Shared by :func:`encode_text` and
+    ``operators/seqpack.py``; counting-only consumers use
+    :func:`make_counter`, which never materializes id lists."""
+    pieces = _piece_splitter(max_word_bytes)
     ranks = {p: r for r, p in enumerate(merges)}
     vocab = vocab_from_merges(merges)
-    ws = re.compile(_WS_REGEX)
     memo: dict[bytes, list[int]] = {}
 
     def encode(text: str | None) -> list[int]:
         ids: list[int] = []
-        for word in ws.split(text or ""):
-            if not word:
-                continue
-            wb = word.encode("utf-8")
-            for s in range(0, len(wb), max_word_bytes):
-                piece = wb[s : s + max_word_bytes]
-                got = memo.get(piece)
-                if got is None:
-                    got = [vocab[t] for t in encode_word(piece, ranks)]
-                    memo[piece] = got
-                ids.extend(got)
+        for piece in pieces(text):
+            got = memo.get(piece)
+            if got is None:
+                got = [vocab[t] for t in encode_word(piece, ranks)]
+                memo[piece] = got
+            ids.extend(got)
         return ids
 
     return encode
+
+
+def make_counter(
+    merges: list[tuple[bytes, bytes]],
+    max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+):
+    """Memoized ``text -> token count`` — the count twin of
+    :func:`make_encoder` over the same piece rule, holding only int counts
+    (no id lists, no vocab): a 1M-token document costs one integer, not a
+    1M-element list."""
+    pieces = _piece_splitter(max_word_bytes)
+    ranks = {p: r for r, p in enumerate(merges)}
+    memo: dict[bytes, int] = {}
+
+    def count(text: str | None) -> int:
+        n = 0
+        for piece in pieces(text):
+            c = memo.get(piece)
+            if c is None:
+                c = len(encode_word(piece, ranks))
+                memo[piece] = c
+            n += c
+        return n
+
+    return count
 
 
 def encode_text(
@@ -383,12 +420,13 @@ def add_bpe_token_count(
 ) -> DataFrame:
     """Append the trained-tokenizer token count — the number every pack
     budget and mixture weight is actually specified in. Map-only: the
-    ranks dict ships in the pandas_udf closure; a per-batch word memo
-    exploits word repetition (the common case is a dict hit, not a merge
-    loop). NULL text counts 0."""
+    counter (ranks dict + int-count memo, never id lists) is built at the
+    driver — eager validation, one pickle — and ships in the pandas_udf
+    closure. NULL text counts 0."""
+    count = make_counter(merges, max_word_bytes)
+
     @F.pandas_udf("bigint")
     def n_tokens(texts: pd.Series) -> pd.Series:
-        enc = make_encoder(merges, max_word_bytes)  # one memo per batch
-        return texts.map(lambda t: len(enc(t))).astype("int64")
+        return texts.map(count).astype("int64")
 
     return docs.withColumn(out_col, n_tokens(F.col(text_col)))

@@ -92,6 +92,15 @@ def pack_training_sequences(
             f"(ids 0..{vocab_size - 1}) — a separator that is also a token "
             "corrupts every boundary"
         )
+    if not 0 <= eod_id <= 2**31 - 1:
+        raise ValueError(
+            f"eod_id {eod_id} outside the int32 output range — a negative "
+            "separator is a nonsense token and anything past 2^31-1 "
+            "overflows the input_ids schema mid-job"
+        )
+    # built at the driver: eager max_word_bytes validation, ranks/vocab
+    # pickled once into the task closure (memo resets per task, harmless)
+    enc = make_encoder(merges, max_word_bytes)
 
     if shard_col is not None:
         # map whatever the column is to a stable long via the same hash as
@@ -109,7 +118,6 @@ def pack_training_sequences(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id", kind="mergesort")
         sh = int(pdf["shard"].iloc[0])
-        enc = make_encoder(merges, max_word_bytes)  # one word memo per shard
         stream: list[int] = []
         bounds: list[int] = []  # EOD positions, for per-sequence n_eod
         for t in pdf["__text"]:

@@ -76,7 +76,6 @@ def test_partitioning_invariance(spark):
     b = pack_training_sequences(
         _docs(spark, rows).repartition(11), [], 16, n_shards=3
     ).collect()
-    key = lambda r: (r["shard"], r["seq_id"])
     assert sorted(map(lambda r: (r["shard"], r["seq_id"], list(r["input_ids"]), r["n_eod"]), a)) == sorted(
         map(lambda r: (r["shard"], r["seq_id"], list(r["input_ids"]), r["n_eod"]), b)
     )
@@ -116,6 +115,13 @@ def test_validation(spark):
         pack_training_sequences(
             docs, [(b"a", b"b")], 4, n_shards=1, eod_id=256
         )
+    with pytest.raises(ValueError, match="int32"):
+        pack_training_sequences(docs, [], 4, n_shards=1, eod_id=-1)
+    with pytest.raises(ValueError, match="int32"):
+        pack_training_sequences(docs, [], 4, n_shards=1, eod_id=2**31)
+    # invalid max_word_bytes fails at the driver, not mid-job
+    with pytest.raises(ValueError, match="max_word_bytes"):
+        pack_training_sequences(docs, [], 4, n_shards=1, max_word_bytes=0)
     # explicit eod past the vocab is fine
     out = pack_training_sequences(
         docs, [(b"a", b"b")], 2, n_shards=1, eod_id=999
