@@ -1,0 +1,24 @@
+"""Guard for tools/corpus_demo.py: the timed end-to-end run over the
+unregistered surface must keep producing a sane report at smoke scale."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
+    sys.path.insert(0, "/root/repo/tools")
+    from tools.corpus_demo import run
+
+    report = run(spark, "/root/testdata/sf0.001", str(tmp_path))
+    assert report["metric"] == "corpus_demo_sec" and report["value"] > 0
+    r = report["rows"]
+    assert 0 < r["curated"] <= r["input"]
+    assert 0 <= r["cls_positive"] <= r["curated"]
+    assert r["bpe_merges"] > 0 and r["sequences"] > 0
+    assert r["train_tokens"] == r["sequences"] * report["params"]["seq_len"]
+    expected_stages = {
+        "profile", "quality_gate", "exact_dedup", "classifier_train_score",
+        "bpe_train", "bpe_pack_export", "verify_export",
+    }
+    assert set(report["stages"]) == expected_stages

@@ -1,0 +1,171 @@
+"""End-to-end timed corpus run over the UNREGISTERED training-data surface.
+
+``bench.py`` measures the 189 registered queries; this tool measures the
+round-10 pipeline components the registry cannot hold (array outputs,
+trained artifacts): profile → quality gate → exact dedup → trained
+classifier gate → BPE training → fixed-length sequence packing →
+sharded publication + verification — one real curation run, wall-clock
+per stage, so "the new surface composes" is a measured statement, not a
+claimed one.
+
+Prints ONE JSON line (the bench.py convention):
+``{"metric": "corpus_demo_sec", "value": <total>, "unit": "sec",
+"stages": {...}, "rows": {...}, "sf": ...}``.
+
+Usage: ``python tools/corpus_demo.py [--sf-dir DIR] [--out DIR]``
+(defaults: ``$SPARK_GRAFT_SF_DIR`` or sf0.1; a temp dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hbase_observer_es_spark.io import table  # noqa: E402
+from hbase_observer_es_spark.session import get_spark  # noqa: E402
+
+MIN_TOKENS = 20  # quality floor (whitespace tokens)
+NUM_MERGES = 2000
+SEQ_LEN = 1024
+N_SHARDS = 8
+CLS_DIM = 2048
+CLS_EPOCHS = 3
+
+
+def run(spark, sf_dir: str, out: str) -> dict:
+    from hbase_observer_es_spark.operators.bpe import train_bpe
+    from hbase_observer_es_spark.operators.classifier import (
+        classify,
+        tokens_col,
+        train_text_classifier,
+    )
+    from hbase_observer_es_spark.operators.dedup import q_dedup_exact
+    from hbase_observer_es_spark.operators.profile import profile_stats
+    from hbase_observer_es_spark.operators.seqpack import (
+        pack_training_sequences,
+    )
+    from hbase_observer_es_spark.operators.text import q_text_quality
+    from hbase_observer_es_spark.sinks.dataset_export import (
+        export_dataset,
+        verify_export,
+    )
+
+    stages: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def stage(name: str, fn):
+        t0 = time.monotonic()
+        r = fn()
+        stages[name] = round(time.monotonic() - t0, 3)
+        return r
+
+    docs = table(spark, sf_dir, "documents")
+    rows["input"] = stage("profile", lambda: int(
+        profile_stats(docs, ["doc_id", "text", "lang"])
+        .where(F.col("col_name") == "doc_id")
+        .head()["n_rows"]
+    ))
+
+    def gate():
+        kept = (
+            q_text_quality(spark, sf_dir)
+            .where(F.col("n_tokens") >= MIN_TOKENS)
+            .select("doc_id")
+        )
+        return docs.join(kept, "doc_id")
+
+    gated = stage("quality_gate", gate)
+
+    def dedup():
+        survivors = q_dedup_exact(spark, sf_dir).select("doc_id")
+        d = gated.join(survivors, "doc_id")
+        d.write.mode("overwrite").parquet(os.path.join(out, "curated.parquet"))
+        return spark.read.parquet(os.path.join(out, "curated.parquet"))
+
+    curated = stage("exact_dedup", dedup)
+    rows["curated"] = rows_curated = curated.count()
+
+    def cls_gate():
+        labeled = curated.withColumn(
+            "label",
+            F.array_contains(tokens_col(F.col("text")), "join").cast("int"),
+        )
+        model = train_text_classifier(
+            labeled, "label", dim=CLS_DIM, epochs=CLS_EPOCHS,
+            max_samples=1_000_000,
+        )
+        return classify(curated, model).where(F.col("margin") > 0).count()
+
+    rows["cls_positive"] = stage("classifier_train_score", cls_gate)
+
+    merges = stage(
+        "bpe_train",
+        lambda: train_bpe(curated, num_merges=NUM_MERGES, min_word_count=1),
+    )
+    rows["bpe_merges"] = len(merges)
+
+    def pack():
+        seqs = pack_training_sequences(
+            curated, merges, seq_len=SEQ_LEN, n_shards=N_SHARDS
+        ).withColumn(
+            "seq_key",
+            F.col("shard") * F.lit(1 << 32) + F.col("seq_id"),
+        )
+        return export_dataset(
+            seqs, os.path.join(out, "packed"), key="seq_key", n_shards=N_SHARDS
+        )
+
+    manifest = stage("bpe_pack_export", pack)
+    rows["sequences"] = int(manifest["total_rows"])
+    rows["train_tokens"] = rows["sequences"] * SEQ_LEN
+
+    stage(
+        "verify_export",
+        lambda: verify_export(spark, os.path.join(out, "packed")),
+    )
+
+    assert rows_curated > 0 and rows["sequences"] > 0
+    return {
+        "metric": "corpus_demo_sec",
+        "value": round(sum(stages.values()), 3),
+        "unit": "sec",
+        "stages": stages,
+        "rows": rows,
+        "sf": sf_dir,
+        "params": {
+            "min_tokens": MIN_TOKENS,
+            "num_merges": NUM_MERGES,
+            "seq_len": SEQ_LEN,
+            "n_shards": N_SHARDS,
+            "cls_dim": CLS_DIM,
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("corpus-demo", shuffle_partitions=int(cpus))
+    try:
+        out = args.out or tempfile.mkdtemp(prefix="corpus_demo_")
+        print(json.dumps(run(spark, args.sf_dir, out)))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
