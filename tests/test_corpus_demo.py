@@ -3,11 +3,9 @@ unregistered surface must keep producing a sane report at smoke scale."""
 
 from __future__ import annotations
 
-import sys
-
 
 def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
-    sys.path.insert(0, "/root/repo/tools")
+    # repo root is on sys.path via conftest; tools/ is a namespace package
     from tools.corpus_demo import run
 
     report = run(spark, "/root/testdata/sf0.001", str(tmp_path))

@@ -74,24 +74,31 @@ def run(spark, sf_dir: str, out: str) -> dict:
         .head()["n_rows"]
     ))
 
+    # every staged fn ends in an ACTION (parquet land or count), so each
+    # stage's number is its own execution, not lazy plan-building billed
+    # to whoever runs the plan first
     def gate():
         kept = (
             q_text_quality(spark, sf_dir)
             .where(F.col("n_tokens") >= MIN_TOKENS)
             .select("doc_id")
         )
-        return docs.join(kept, "doc_id")
+        p = os.path.join(out, "gated.parquet")
+        docs.join(kept, "doc_id").write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
 
     gated = stage("quality_gate", gate)
 
     def dedup():
         survivors = q_dedup_exact(spark, sf_dir).select("doc_id")
-        d = gated.join(survivors, "doc_id")
-        d.write.mode("overwrite").parquet(os.path.join(out, "curated.parquet"))
-        return spark.read.parquet(os.path.join(out, "curated.parquet"))
+        p = os.path.join(out, "curated.parquet")
+        gated.join(survivors, "doc_id").write.mode("overwrite").parquet(p)
+        c = spark.read.parquet(p)
+        rows["curated"] = c.count()
+        return c
 
     curated = stage("exact_dedup", dedup)
-    rows["curated"] = rows_curated = curated.count()
+    rows_curated = rows["curated"]
 
     def cls_gate():
         labeled = curated.withColumn(
