@@ -15,8 +15,9 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert 0 <= r["cls_positive"] <= r["curated"]
     assert r["bpe_merges"] > 0 and r["sequences"] > 0
     assert r["train_tokens"] == r["sequences"] * report["params"]["seq_len"]
+    assert r["mixed"] >= r["curated"] > 0  # the fixture recipe upsamples net
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
-        "bpe_train", "bpe_pack_export", "verify_export",
+        "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
     }
     assert set(report["stages"]) == expected_stages

@@ -3,8 +3,8 @@
 ``bench.py`` measures the 189 registered queries; this tool measures the
 round-10 pipeline components the registry cannot hold (array outputs,
 trained artifacts): profile → quality gate → exact dedup → trained
-classifier gate → BPE training → fixed-length sequence packing →
-sharded publication + verification — one real curation run, wall-clock
+classifier gate → mixture realization → BPE training → fixed-length
+sequence packing → sharded publication + verification — one real curation run, wall-clock
 per stage, so "the new surface composes" is a measured statement, not a
 claimed one.
 
@@ -38,6 +38,10 @@ SEQ_LEN = 1024
 N_SHARDS = 8
 CLS_DIM = 2048
 CLS_EPOCHS = 3
+MIX_FACTORS = {
+    "en": 1_000_000, "fr": 2_500_000, "de": 2_000_000,
+    "es": 1_250_000, "zh": 750_000,
+}
 
 
 def run(spark, sf_dir: str, out: str) -> dict:
@@ -48,6 +52,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
         train_text_classifier,
     )
     from hbase_observer_es_spark.operators.dedup import q_dedup_exact
+    from hbase_observer_es_spark.operators.mixture import realize_mixture
     from hbase_observer_es_spark.operators.profile import profile_stats
     from hbase_observer_es_spark.operators.seqpack import (
         pack_training_sequences,
@@ -113,6 +118,24 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     rows["cls_positive"] = stage("classifier_train_score", cls_gate)
 
+    def mix():
+        mixed = realize_mixture(curated, MIX_FACTORS)
+        # repeats become distinct packable rows via a (doc, rep) composite id
+        m = (
+            curated.join(mixed.select("doc_id", "rep_idx"), "doc_id")
+            .withColumn(
+                "mix_id",
+                F.col("doc_id") * F.lit(1 << 8) + F.col("rep_idx"),
+            )
+        )
+        p = os.path.join(out, "mixed.parquet")
+        m.write.mode("overwrite").parquet(p)
+        c = spark.read.parquet(p)
+        rows["mixed"] = c.count()
+        return c
+
+    mixed = stage("mixture_realize", mix)
+
     merges = stage(
         "bpe_train",
         lambda: train_bpe(curated, num_merges=NUM_MERGES, min_word_count=1),
@@ -121,7 +144,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     def pack():
         seqs = pack_training_sequences(
-            curated, merges, seq_len=SEQ_LEN, n_shards=N_SHARDS
+            mixed, merges, seq_len=SEQ_LEN, n_shards=N_SHARDS, id_col="mix_id"
         ).withColumn(
             "seq_key",
             F.col("shard") * F.lit(1 << 32) + F.col("seq_id"),
