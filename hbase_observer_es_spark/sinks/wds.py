@@ -136,7 +136,10 @@ def write_wds(
         | key_s.contains("/")
         | key_s.contains(".")
         | F.exists(
-            F.transform(F.split(key_s, ""), lambda ch: F.ascii(ch) < 32),
+            F.transform(
+                F.split(key_s, ""),
+                lambda ch: (F.ascii(ch) < 32) | (F.ascii(ch) == 127),
+            ),
             lambda x: x,
         )
         | (key_s == "")
@@ -250,7 +253,7 @@ def write_wds(
     manifest = {
         "format": "wds",
         "n_shards": n_shards,
-        "members": {c: e for c, e in columns.items()},
+        "members": dict(columns),
         "total_samples": sum(s["samples"] for s in shards.values()),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }
@@ -333,6 +336,13 @@ def verify_wds(path: str) -> dict:
         manifest = json.load(f)
     if manifest.get("format") != "wds":
         raise ValueError(f"wds verify: unexpected format {manifest.get('format')!r}")
+    declared = {e["file"] for e in manifest["shards"].values()}
+    on_disk = {f for f in os.listdir(path) if f.endswith(".tar")}
+    stray = sorted(on_disk - declared)
+    if stray:
+        # read_wds globs *.tar, so an undeclared shard WOULD be consumed —
+        # the audited file set must equal the readable one (wet/export rule)
+        raise ValueError(f"wds verify: undeclared shard files on disk: {stray}")
     for sid, entry in sorted(manifest["shards"].items(), key=lambda kv: int(kv[0])):
         fp = os.path.join(path, entry["file"])
         if not os.path.isfile(fp):
@@ -349,22 +359,24 @@ def verify_wds(path: str) -> dict:
                 f"wds verify: {entry['file']}: sha256 {digest} != manifest "
                 f"{entry['sha256']}"
             )
-        seen_keys: list[str] = []
+        seen: set[str] = set()
+        last_base: str | None = None
         n_files = 0
         with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
             for m in tf:
                 base = m.name.rpartition(".")[0]
-                if not seen_keys or seen_keys[-1] != base:
-                    if base in seen_keys:
+                if base != last_base:
+                    if base in seen:
                         raise ValueError(
                             f"wds verify: {entry['file']}: sample {base!r} "
                             "is non-contiguous — grouping rule violated"
                         )
-                    seen_keys.append(base)
+                    seen.add(base)
+                    last_base = base
                 n_files += 1
-        if len(seen_keys) != entry["samples"] or n_files != entry["files"]:
+        if len(seen) != entry["samples"] or n_files != entry["files"]:
             raise ValueError(
-                f"wds verify: {entry['file']}: counted {len(seen_keys)} "
+                f"wds verify: {entry['file']}: counted {len(seen)} "
                 f"samples / {n_files} files, manifest says "
                 f"{entry['samples']} / {entry['files']}"
             )

@@ -119,6 +119,17 @@ def test_reexport_replaces_and_failed_export_preserves(spark, tmp_path):
     assert after["total_samples"] == 1 and after != before
 
 
+def test_verify_detects_stray_shard(spark, tmp_path):
+    """read_wds globs *.tar, so an undeclared shard WOULD be consumed —
+    the audited file set must equal the readable one."""
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    write_wds(_sample_rows(spark), out, COLS, n_shards=1)
+    open(os.path.join(out, "data-999999.tar"), "wb").write(b"")
+    with pytest.raises(ValueError, match="undeclared shard"):
+        verify_wds(out)
+
+
 def test_verify_detects_tamper(spark, tmp_path):
     out = str(tmp_path / "wds")
     os.makedirs(out)
@@ -149,7 +160,7 @@ def test_fail_loud_contract(spark, tmp_path):
         write_wds(
             ok.selectExpr("doc_id", "1 AS n"), out, {"n": "txt"}, 1
         )
-    for bad_key in ["with.dot", "with/slash", "", None, "ctrl\x01"]:
+    for bad_key in ["with.dot", "with/slash", "", None, "ctrl\x01", "del\x7f"]:
         df = spark.createDataFrame([(bad_key, "x")], "doc_id string, text string")
         with pytest.raises(Exception, match="invalid sample key"):
             write_wds(df, out, {"text": "txt"}, 1)
