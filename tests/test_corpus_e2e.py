@@ -263,6 +263,56 @@ def test_bpe_tokenizer_trains_on_and_counts_the_curated_corpus(spark, tmp_path):
         assert r["n_bpe_tokens"] == len(encode_text(r["text"], reloaded))
 
 
+def test_multimodal_payloads_publish_as_webdataset(spark, tmp_path):
+    """The multimodal story composes with publication: opaque binary
+    payloads plus their decoded-metadata JSON ship as WebDataset tar
+    samples, round-trip byte-for-byte through read_wds, and the metadata
+    re-derives from the payload bytes alone — what an image/audio corpus
+    ships to a loader, with the fixture's deterministic fake codec
+    standing in for the decoder (D15)."""
+    import json as _json
+
+    from pyspark.sql import functions as F2
+
+    from hbase_observer_es_spark.operators.multimodal import (
+        _fake_decode,
+        q_mm_decode,
+    )
+    from hbase_observer_es_spark.sinks.wds import read_wds, verify_wds, write_wds
+
+    sf = "/root/testdata/sf0.001"
+    meta = q_mm_decode(spark, sf).select(
+        "doc_id",
+        F2.to_json(F2.struct("width", "height", "n_frames", "fmt")).alias("meta"),
+    )
+    payloads = (
+        table(spark, sf, "documents")
+        .select("doc_id", F2.encode("text", "UTF-8").alias("payload"))
+        .join(meta, "doc_id")
+        .withColumn("key", F2.format_string("doc-%05d", F2.col("doc_id")))
+        .limit(50)
+    )
+    out = str(tmp_path / "mmwds")
+    (tmp_path / "mmwds").mkdir()
+    write_wds(
+        payloads, out, {"payload": "bin", "meta": "json"}, n_shards=2,
+        key_col="key",
+    )
+    verify_wds(out)
+
+    back = read_wds(spark, out).collect()
+    by = {}
+    for r in back:
+        by.setdefault(r["key"], {})[r["ext"]] = bytes(r["content"])
+    assert len(by) == 50
+    for sample in by.values():
+        m = _json.loads(sample["json"])
+        w, h, nf, fmt = _fake_decode(sample["bin"])
+        assert (m["width"], m["height"], m["n_frames"], m["fmt"]) == (
+            w, h, nf, fmt,
+        )
+
+
 def test_pipeline_is_deterministic_across_reruns(spark, tmp_path):
     """Re-running the whole chain on the same shard publishes identical
     per-shard fingerprints — the rerun-stability contract that makes the
