@@ -130,7 +130,19 @@ def realize_mixture(
         cond = F.col(group_col) == F.lit(g)
         ppm = F.when(cond, F.lit(p)) if ppm is None else ppm.when(cond, F.lit(p))
     ppm = ppm.otherwise(F.lit(0)).cast("long")
-    coin = _md5_coin(F.col(id_col).cast("string"))
+    # a NULL id would make the coin NULL and the row vanish SILENTLY from
+    # the mix (NULL n_repeats fails the >0 filter) — fail like every other
+    # invalid input; only unlisted GROUPS drop by documented contract
+    id_s = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"realize_mixture: NULL {id_col!r} — the repeat coin is a "
+                "function of the id; drop or key unidentified rows upstream"
+            )
+        ),
+    ).otherwise(F.col(id_col).cast("string"))
+    coin = _md5_coin(id_s)
     # integer-exact whole part: subtract the remainder BEFORE dividing so
     # the double division is over an exact multiple (plain ppm/PPM would
     # ride float truncation, fine today but not an exactness argument)

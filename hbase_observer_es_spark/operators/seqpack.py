@@ -117,6 +117,19 @@ def pack_training_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = list(pdf["__id"])
+        for a, b in zip(ids, ids[1:]):
+            if a == b:
+                # duplicate ids tie-break by ARRIVAL order — partitioning-
+                # dependent, which breaks the byte-identical rerun contract;
+                # equal ids always co-shard (hash of id), so this in-shard
+                # check is global. Callers with repeats build a composite
+                # id (doc_id, rep_idx) first — see tools/corpus_demo.py.
+                raise ValueError(
+                    f"seqpack: duplicate {id_col!r} value {a!r} — stream "
+                    "order would depend on input partitioning; make ids "
+                    "unique (e.g. a (doc, repeat) composite) upstream"
+                )
         sh = int(pdf["shard"].iloc[0])
         stream: list[int] = []
         bounds: list[int] = []  # EOD positions, for per-sequence n_eod

@@ -28,12 +28,12 @@ the extension boundary), all-NULL samples, and non-string/binary member
 columns are errors. A NULL member value omits that FILE from the sample
 (WebDataset samples may be heterogeneous); absent ≠ empty.
 
-Commit protocol: identical to ``wet.py`` — shards stage under
-``_staging/`` (underscore-hidden from Spark readers) with task-attempt-
-unique temp names, the driver swaps old→new only after every task
-succeeded, so re-exports cannot ghost-shard and a failed export preserves
-the prior publication. Empty shards publish as valid empty tars so a
-consumer mirrors a FIXED file set.
+Commit protocol: the shared ``sinks/staging.py`` staged all-or-nothing
+commit (one implementation for wet + wds): shards stage under
+``_staging/`` with task-attempt-unique temp names, the driver swaps
+old→new only after every task succeeded, so re-exports cannot ghost-shard
+and a failed export preserves the prior publication. Empty shards publish
+as valid empty tars so a consumer mirrors a FIXED file set.
 
 Reference parity: no analogue in the reference tree — beyond-reference
 publication surface (SURVEY §2-D), the multimodal third leg of the
@@ -51,6 +51,8 @@ import tarfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .staging import commit_staged, prepare_staging, stage_blob
 
 MANIFEST = "_MANIFEST.json"
 _SHARD = "__wds_shard"
@@ -154,19 +156,13 @@ def write_wds(
         *[F.col(c).alias(f"__m_{i}") for i, c in enumerate(columns)],
     ).withColumn(_SHARD, F.pmod(F.xxhash64(F.col("__key")), F.lit(n_shards)))
 
-    staging_dir = os.path.join(path, "_staging")
-    if os.path.isdir(staging_dir):
-        import shutil
-
-        shutil.rmtree(staging_dir)
-    os.makedirs(staging_dir, exist_ok=True)
+    staging_dir = prepare_staging(path)
 
     col_items = list(columns.items())
     str_member = [isinstance(fields[c], T.StringType) for c, _ in col_items]
 
     def write_shards(pdf):
         import pandas as pd
-        from pyspark import TaskContext
 
         shard = int(pdf[_SHARD].iloc[0])
         name = _shard_name(shard, n_shards)
@@ -202,13 +198,7 @@ def write_wds(
                         "NULL — an empty sample is a data bug, not a file"
                     )
         blob = buf.getvalue()
-        staged = os.path.join(staging_dir, name)
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        tmp = f"{staged}.attempt-{attempt}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, staged)
+        stage_blob(staging_dir, name, blob)
         return pd.DataFrame(
             [
                 {
@@ -257,17 +247,14 @@ def write_wds(
         "total_samples": sum(s["samples"] for s in shards.values()),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }
-    import shutil
-
-    for f in os.listdir(path):
-        if f.endswith(".tar") or f == MANIFEST:
-            os.remove(os.path.join(path, f))
-    for s in sorted(shards):
-        name = shards[s]["file"]
-        os.replace(os.path.join(staging_dir, name), os.path.join(path, name))
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    shutil.rmtree(staging_dir)
+    commit_staged(
+        path,
+        staging_dir,
+        [shards[s]["file"] for s in sorted(shards)],
+        ".tar",
+        MANIFEST,
+        manifest,
+    )
     return manifest
 
 

@@ -51,7 +51,8 @@ Determinism — the publication contract of ``sinks/dataset_export.py``:
   into place. A shrink of ``n_shards`` therefore cannot leave ghost shards
   for ``read_wet`` to re-ingest, AND a failed or mid-write-rejected export
   leaves the prior publication intact — the same two guarantees the CSV
-  sink's staged commit provides, here per-directory.
+  sink's staged commit provides, here per-directory. The protocol itself
+  lives in ``sinks/staging.py``, shared verbatim with the WebDataset sink.
 
 Scale posture: ONE shuffle (repartition on the shard id), then each shard is
 assembled and written by its own task — no row bytes ever reach the driver;
@@ -87,6 +88,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.warc import parse_warc_bytes, _maybe_gunzip
+from .staging import commit_staged, prepare_staging, stage_blob
 
 MANIFEST = "_MANIFEST.json"
 
@@ -228,12 +230,7 @@ def write_wet(
         ),
     ).withColumn(_SHARD, F.pmod(F.xxhash64(F.col("uri")), F.lit(n_shards)))
 
-    staging_dir = os.path.join(path, "_staging")
-    if os.path.isdir(staging_dir):
-        import shutil
-
-        shutil.rmtree(staging_dir)  # leftovers from a failed prior export
-    os.makedirs(staging_dir)
+    staging_dir = prepare_staging(path)
 
     def write_shards(pdf):
         # one pandas group per shard id: assemble the member stream in task
@@ -242,7 +239,6 @@ def write_wet(
         import hashlib
 
         import pandas as pd
-        from pyspark import TaskContext
 
         shard = int(pdf[_SHARD].iloc[0])
         name = _shard_name(shard, n_shards)
@@ -275,18 +271,8 @@ def write_wet(
         blob = _gzip_member(_warcinfo(name, info_date, len(members))) + b"".join(
             members
         )
-        staged = os.path.join(staging_dir, name)
-        # the temp name is TASK-ATTEMPT-unique: under speculative execution
-        # two attempts of this shard may run concurrently, and a shared
-        # temp path would interleave their writes — each attempt writes
-        # privately; os.replace is atomic, so whichever attempt commits
-        # last installs a COMPLETE (and byte-identical) staged shard
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else 0
-        tmp = f"{staged}.attempt-{attempt}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, staged)
+        # attempt-unique temp + atomic replace: sinks/staging.py docstring
+        stage_blob(staging_dir, name, blob)
         return pd.DataFrame(
             [
                 {
@@ -317,7 +303,6 @@ def write_wet(
     }
     # hash-empty shards still publish: a consumer mirrors a FIXED file set
     import hashlib as _hashlib
-    import shutil
 
     for s in range(n_shards):
         if s not in shards:
@@ -340,15 +325,14 @@ def write_wet(
     }
     # COMMIT (module docstring): every task succeeded and every shard is
     # staged — only now does the prior export stop existing
-    for f in os.listdir(path):
-        if f.endswith(".warc.gz") or f == MANIFEST:
-            os.remove(os.path.join(path, f))
-    for s in sorted(shards):
-        name = shards[s]["file"]
-        os.replace(os.path.join(staging_dir, name), os.path.join(path, name))
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    shutil.rmtree(staging_dir)
+    commit_staged(
+        path,
+        staging_dir,
+        [shards[s]["file"] for s in sorted(shards)],
+        ".warc.gz",
+        MANIFEST,
+        manifest,
+    )
     return manifest
 
 

@@ -110,6 +110,13 @@ def test_validation(spark):
         realize_mixture(df, {"a": -5}, group_col="grp")
 
 
+def test_null_id_fails_loud(spark):
+    # a NULL id would otherwise vanish SILENTLY (NULL coin -> NULL repeats)
+    df = spark.createDataFrame([(1, "a"), (None, "a")], "doc_id long, grp string")
+    with pytest.raises(Exception, match="NULL 'doc_id'"):
+        realize_mixture(df, {"a": 1_000_000}, group_col="grp").collect()
+
+
 def test_fixture_recipe_directions(spark):
     # en 1.0x passes through; fr 2.5x grows; zh 0.75x shrinks
     from hbase_observer_es_spark.io import table

@@ -122,6 +122,10 @@ def test_validation(spark):
     # invalid max_word_bytes fails at the driver, not mid-job
     with pytest.raises(ValueError, match="max_word_bytes"):
         pack_training_sequences(docs, [], 4, n_shards=1, max_word_bytes=0)
+    # duplicate ids would make stream order partitioning-dependent
+    dups = _docs(spark, [(1, "a"), (1, "b")])
+    with pytest.raises(Exception, match="duplicate 'doc_id'"):
+        pack_training_sequences(dups, [], 2, n_shards=1).collect()
     # explicit eod past the vocab is fine
     out = pack_training_sequences(
         docs, [(b"a", b"b")], 2, n_shards=1, eod_id=999

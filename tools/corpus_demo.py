@@ -38,10 +38,6 @@ SEQ_LEN = 1024
 N_SHARDS = 8
 CLS_DIM = 2048
 CLS_EPOCHS = 3
-MIX_FACTORS = {
-    "en": 1_000_000, "fr": 2_500_000, "de": 2_000_000,
-    "es": 1_250_000, "zh": 750_000,
-}
 
 
 def run(spark, sf_dir: str, out: str) -> dict:
@@ -52,7 +48,10 @@ def run(spark, sf_dir: str, out: str) -> dict:
         train_text_classifier,
     )
     from hbase_observer_es_spark.operators.dedup import q_dedup_exact
-    from hbase_observer_es_spark.operators.mixture import realize_mixture
+    from hbase_observer_es_spark.operators.mixture import (
+        MIX_FACTORS,
+        realize_mixture,
+    )
     from hbase_observer_es_spark.operators.profile import profile_stats
     from hbase_observer_es_spark.operators.seqpack import (
         pack_training_sequences,
