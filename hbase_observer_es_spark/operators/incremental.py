@@ -74,11 +74,21 @@ def unseen_docs(
     use_bloom: bool = True,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """New-batch rows whose content hash is absent from ``seen`` (a
     :func:`snapshot_hashes`-shaped frame, column ``h``). ``use_bloom=False``
     is the plain exact anti-join — the oracle twin the bloom path is
-    pinned equal to."""
+    pinned equal to.
+
+    The bloom path is a TEE (definitive-miss branch + maybe branch), and
+    Spark does not share a lazy source across union branches — without a
+    materialization boundary the batch is scanned and probed TWICE. For a
+    fixture-sized batch that is fine (and the default); at crawl scale
+    pass ``spill_dir``: the hashed+flagged batch lands there as parquet in
+    ONE pass over the input, and both branches read the cheap columnar
+    copy. (A re-crawl batch usually IS landed parquet already — then the
+    double scan is columnar and the spill is optional.)"""
     if "h" not in seen.columns:
         raise ValueError(f"incremental: seen frame lacks 'h' (has {seen.columns})")
     hashed = new_docs.withColumn("__h", _content_hash(text_col))
@@ -91,12 +101,18 @@ def unseen_docs(
     maybe_seen = might_contain_pandas(
         h1, h2, bloom, key_is_null=F.col("__h").isNull()
     )
+    flagged = hashed.withColumn("__maybe", maybe_seen)
+    if spill_dir is not None:
+        # one scan of the input; the tee below reads the landed copy
+        flagged.write.mode("overwrite").parquet(spill_dir)
+        spark = new_docs.sparkSession
+        flagged = spark.read.parquet(spill_dir)
     # definitive misses pass map-only; only the filter's "maybe" set (true
     # positives + FPs) pays the exact join, and FPs survive it
-    definite_new = hashed.where(~maybe_seen)
-    candidates = hashed.where(maybe_seen)
+    definite_new = flagged.where(~F.col("__maybe"))
+    candidates = flagged.where(F.col("__maybe"))
     confirmed_new = candidates.join(seen_h, "__h", "left_anti")
-    return definite_new.unionByName(confirmed_new).drop("__h")
+    return definite_new.unionByName(confirmed_new).drop("__h", "__maybe")
 
 
 # ------------------------------------------------- registration-ready twin

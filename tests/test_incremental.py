@@ -64,6 +64,21 @@ def test_bloom_path_equals_exact_path(spark):
     assert tiny == exact
 
 
+def test_spill_dir_path_is_equal_and_single_scan(spark, tmp_path):
+    d = table(spark, SF_ORACLE, "documents")
+    prior = snapshot_hashes(d.where(F.col("doc_id") % 3 == 0))
+    exact = sorted(
+        r["doc_id"] for r in unseen_docs(d, prior, use_bloom=False).collect()
+    )
+    spill = str(tmp_path / "flagged.parquet")
+    spilled = unseen_docs(d, prior, spill_dir=spill)
+    assert sorted(r["doc_id"] for r in spilled.collect()) == exact
+    # the tee reads the landed copy: every leaf file feeding the result is
+    # the spill parquet, never the raw input
+    files = spilled.inputFiles()
+    assert files and all("flagged.parquet" in f for f in files), files
+
+
 def test_generations_union(spark):
     g1 = spark.createDataFrame([("a",), ("b",)], "text string")
     g2 = spark.createDataFrame([("b",), ("c",)], "text string")
