@@ -67,16 +67,23 @@ def test_bloom_path_equals_exact_path(spark):
 def test_spill_dir_path_is_equal_and_single_scan(spark, tmp_path):
     d = table(spark, SF_ORACLE, "documents")
     prior = snapshot_hashes(d.where(F.col("doc_id") % 3 == 0))
+    # the batch gets its OWN source so the scan-count claim is attributable
+    # (the seen set legitimately reads its source for the anti-join side)
+    batch_path = str(tmp_path / "batch.parquet")
+    d.write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
     exact = sorted(
-        r["doc_id"] for r in unseen_docs(d, prior, use_bloom=False).collect()
+        r["doc_id"]
+        for r in unseen_docs(batch, prior, use_bloom=False).collect()
     )
     spill = str(tmp_path / "flagged.parquet")
-    spilled = unseen_docs(d, prior, spill_dir=spill)
+    spilled = unseen_docs(batch, prior, spill_dir=spill)
     assert sorted(r["doc_id"] for r in spilled.collect()) == exact
-    # the tee reads the landed copy: every leaf file feeding the result is
-    # the spill parquet, never the raw input
+    # the tee reads the landed copy: the BATCH source never feeds the
+    # result plan again — only the spill (and the seen set's own source)
     files = spilled.inputFiles()
-    assert files and all("flagged.parquet" in f for f in files), files
+    assert any("flagged.parquet" in f for f in files), files
+    assert not any("batch.parquet" in f for f in files), files
 
 
 def test_generations_union(spark):
