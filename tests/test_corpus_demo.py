@@ -16,8 +16,10 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert r["bpe_merges"] > 0 and r["sequences"] > 0
     assert r["train_tokens"] == r["sequences"] * report["params"]["seq_len"]
     assert r["mixed"] >= r["curated"] > 0  # the fixture recipe upsamples net
+    assert r["wds_samples"] == r["curated"]  # one tar sample per curated doc
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
+        "wds_publish",
     }
     assert set(report["stages"]) == expected_stages

@@ -4,8 +4,8 @@
 round-10 pipeline components the registry cannot hold (array outputs,
 trained artifacts): profile → quality gate → exact dedup → trained
 classifier gate → mixture realization → BPE training → fixed-length
-sequence packing → sharded publication + verification — one real curation run, wall-clock
-per stage, so "the new surface composes" is a measured statement, not a
+sequence packing → sharded parquet publication + verification → WebDataset
+tar publication + byte audit — one real curation run, wall-clock per stage, so "the new surface composes" is a measured statement, not a
 claimed one.
 
 Prints ONE JSON line (the bench.py convention):
@@ -160,6 +160,22 @@ def run(spark, sf_dir: str, out: str) -> dict:
         "verify_export",
         lambda: verify_export(spark, os.path.join(out, "packed")),
     )
+
+    def wds_publish():
+        from hbase_observer_es_spark.sinks.wds import verify_wds, write_wds
+
+        p = os.path.join(out, "wds")
+        os.makedirs(p, exist_ok=True)
+        pub = curated.select(
+            F.format_string("doc-%09d", F.col("doc_id")).alias("key"),
+            "text",
+            F.to_json(F.struct("lang", "source", "n_chars")).alias("meta"),
+        )
+        m = write_wds(pub, p, {"text": "txt", "meta": "json"}, N_SHARDS, key_col="key")
+        verify_wds(p)
+        return int(m["total_samples"])
+
+    rows["wds_samples"] = stage("wds_publish", wds_publish)
 
     assert rows_curated > 0 and rows["sequences"] > 0
     return {
