@@ -275,6 +275,39 @@ def vocab_from_merges(merges: list[tuple[bytes, bytes]]) -> dict[bytes, int]:
     return vocab
 
 
+def tokenizer_stats(
+    docs: DataFrame,
+    merges: list[tuple[bytes, bytes]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_word_bytes: int = DEFAULT_MAX_WORD_BYTES,
+) -> DataFrame:
+    """Tokenizer fertility evaluation per slice: ``(group, n_docs, n_bytes,
+    n_tokens)`` — ``n_bytes / n_tokens`` (the caller's one division) is the
+    compression rate that decides vocab size and exposes under-served
+    slices in a multilingual tokenizer (a slice the merges never saw
+    tokenizes near 1 byte/token; well-covered English lands ~3–4). All
+    emitted columns are exact integers: UTF-8 byte counts JVM-side
+    (``octet_length``), token counts via the memoized counter, one
+    map-side-combined aggregation."""
+    count = make_counter(merges, max_word_bytes)
+
+    @F.pandas_udf("bigint")
+    def n_tok(texts: pd.Series) -> pd.Series:
+        return texts.map(count).astype("int64")
+
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+            ).cast("bigint").alias("n_bytes"),
+            F.sum(n_tok(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def merges_table(spark: SparkSession, merges: list[tuple[bytes, bytes]]) -> DataFrame:
     """The persistable artifact form: ``(rank, left, right)`` with the pair
     halves as binary columns — write it with ``df.write.parquet`` next to

@@ -257,6 +257,35 @@ def test_unicode_multibyte_roundtrip(spark):
     assert n == 5
 
 
+def test_tokenizer_stats_fertility(spark):
+    from hbase_observer_es_spark.operators.bpe import tokenizer_stats
+
+    # train ONLY on the 'seen' slice; the unseen slice must compress worse
+    rows = [("seen", "the quick brown fox " * 8)] * 20 + [
+        ("unseen", "zq xv jk wpf ggh " * 8)
+    ] * 20
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    merges = train_bpe(
+        docs.where("lang = 'seen'"), num_merges=200
+    )
+    stats = {r["lang"]: r for r in tokenizer_stats(docs, merges).collect()}
+    for s in stats.values():
+        assert s["n_docs"] == 20 and s["n_bytes"] > 0 and s["n_tokens"] > 0
+    bpt = {g: s["n_bytes"] / s["n_tokens"] for g, s in stats.items()}
+    assert bpt["seen"] > 2.0 > bpt["unseen"]  # fertility gap is visible
+    # exactness: the aggregate equals per-doc driver encodes summed
+    want = sum(
+        len(encode_text(t, merges)) for g, t in rows if g == "seen"
+    )
+    assert stats["seen"]["n_tokens"] == want
+    # NULL text: zero bytes, zero tokens, still counted as a doc
+    with_null = spark.createDataFrame(
+        [("x", None)], "lang string, text string"
+    )
+    r = tokenizer_stats(with_null, merges).head()
+    assert (r["n_docs"], r["n_bytes"], r["n_tokens"]) == (1, 0, 0)
+
+
 # ---------------------------------------------------------------- artifact
 
 
