@@ -288,22 +288,20 @@ def tokenizer_stats(
     slices in a multilingual tokenizer (a slice the merges never saw
     tokenizes near 1 byte/token; well-covered English lands ~3–4). All
     emitted columns are exact integers: UTF-8 byte counts JVM-side
-    (``octet_length``), token counts via the memoized counter, one
+    (``octet_length``), token counts via :func:`add_bpe_token_count`
+    (the ONE counter wiring — no second UDF to drift), one
     map-side-combined aggregation."""
-    count = make_counter(merges, max_word_bytes)
-
-    @F.pandas_udf("bigint")
-    def n_tok(texts: pd.Series) -> pd.Series:
-        return texts.map(count).astype("int64")
-
+    counted = add_bpe_token_count(
+        docs, merges, text_col, "__n_tok", max_word_bytes
+    )
     return (
-        docs.groupBy(group_col)
+        counted.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
                 F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
             ).cast("bigint").alias("n_bytes"),
-            F.sum(n_tok(F.col(text_col))).cast("bigint").alias("n_tokens"),
+            F.sum("__n_tok").cast("bigint").alias("n_tokens"),
         )
     )
 

@@ -165,7 +165,6 @@ def run(spark, sf_dir: str, out: str) -> dict:
         from hbase_observer_es_spark.sinks.wds import verify_wds, write_wds
 
         p = os.path.join(out, "wds")
-        os.makedirs(p, exist_ok=True)
         pub = curated.select(
             F.format_string("doc-%09d", F.col("doc_id")).alias("key"),
             "text",
