@@ -8,8 +8,9 @@ bin packing — place each document, intact, into fixed-capacity bins,
 minimizing bins (equivalently, padding waste, which is training cost).
 Optimal packing is NP-hard; BEST-FIT-DECREASING is the standard
 guarantee-carrying heuristic (≤ 11/9·OPT + 6/9 bins, Johnson's bound) and
-is what this module implements, with FIRST-FIT in id order as the cheap
-baseline twin so the improvement is measurable, not asserted.
+is what this module implements, with NEXT-FIT in id order — what a single
+streaming pass over id-sorted storage produces — as the cheap baseline
+twin so the improvement is measurable, not asserted.
 
 Determinism (pinned by tests): documents order by ``(n_tokens desc,
 id asc)`` for BFD (ties broken by id); a document goes to the FULLEST bin
@@ -18,19 +19,30 @@ order; ``pack_offset`` is the running token offset in placement order.
 The result is a pure function of the data — partitioning-invariant,
 rerun-stable.
 
-Scale shape: the same one-exchange ``applyInPandas`` tee as ``seqpack`` —
-shard by an existing column or an id hash, pack each shard independently
-in its task (the per-task memory knob is the shard size), O(n log n) per
-shard via a sorted remaining-capacity index. No global sort anywhere.
+Scale shape: the same one-exchange ``applyInPandas`` shape as
+``seqpack`` — shard by an existing column or an id hash, pack each shard
+independently in its task (the per-task memory knob is the shard size).
+Placement does O(n log n) COMPARISONS via bisect over a sorted
+remaining-capacity index, but each insertion shifts a Python list — in
+the adversarial worst case of ~n open bins that is O(n²) element moves
+per shard, so size shards to ~10^5 documents (the same knob as memory);
+a balanced tree drops it to true O(n log n) if a deployment needs
+million-bin shards. No global sort anywhere. The default global
+id-uniqueness guard costs one extra exchange on the id — disable it
+(``check_unique_ids=False``) only when ids are unique by construction.
 
 Fail-loud: a document larger than the capacity cannot be packed whole —
 error, never a silent oversized bin (the downstream loader would truncate
-it silently instead); duplicate ids error (placement order would depend
-on partition arrival, same rule as seqpack); NULL ids error.
+it silently instead); duplicate ids error GLOBALLY by default (in
+``shard_col`` mode a duplicate id can land in two shards and be packed
+twice invisibly — the default window guard catches exactly that; in
+``n_shards`` mode equal ids always co-shard and the in-task check alone
+suffices); NULL ids error; a negative or NULL precomputed token count
+errors.
 
 Not registered by design: the placement loop is iterative (no SQL
 oracle); the tests pin an independent naive mirror, the capacity/
-exactly-once invariants, and the BFD ≤ first-fit bin-count dominance.
+exactly-once invariants, and the BFD ≤ next-fit bin-count dominance.
 
 Reference parity: no analogue in the reference tree — beyond-reference
 pipeline surface (SURVEY §2-D).
@@ -41,7 +53,7 @@ from __future__ import annotations
 import bisect
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -55,7 +67,7 @@ _OUT_SCHEMA = T.StructType(
     ]
 )
 
-STRATEGIES = ("bfd", "first_fit_id")
+STRATEGIES = ("bfd", "next_fit_id")
 
 
 def place_bfd(sizes: list[tuple[int, int]], capacity: int) -> dict[int, int]:
@@ -85,11 +97,13 @@ def place_bfd(sizes: list[tuple[int, int]], capacity: int) -> dict[int, int]:
     return assignment
 
 
-def place_first_fit_id(
+def place_next_fit_id(
     sizes: list[tuple[int, int]], capacity: int
 ) -> dict[int, int]:
-    """The baseline twin: id order, last-opened bin if it fits else a new
-    one — what a single streaming pass over sorted storage produces."""
+    """The baseline twin, NEXT-FIT in id order: only the last-opened bin is
+    ever considered — exactly what a single streaming pass over id-sorted
+    storage produces (true first-fit would re-probe every open bin, which
+    a streaming writer cannot do)."""
     assignment: dict[int, int] = {}
     b = -1
     rem = 0
@@ -112,12 +126,15 @@ def pack_whole_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     strategy: str = "bfd",
+    n_tokens_col: str | None = None,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Assign every document, whole, to a fixed-``capacity`` token bin:
     ``(shard, doc_id, n_tokens, pack_id, pack_offset)``. Token count is
-    the corpus whitespace model (swap in ``bpe.add_bpe_token_count``
-    upstream and pass its column via a pre-computed ``text_col`` stand-in
-    if budgets are in BPE tokens). See module docstring."""
+    the corpus whitespace model by default; for budgets in REAL tokenizer
+    tokens, precompute ``bpe.add_bpe_token_count`` and pass its column as
+    ``n_tokens_col`` (NULL/negative counts fail loudly). See module
+    docstring for the uniqueness-guard and strategy contracts."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     if strategy not in STRATEGIES:
@@ -126,6 +143,10 @@ def pack_whole_docs(
         raise ValueError("pass exactly one of n_shards / shard_col")
     if n_shards is not None and n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if n_tokens_col is not None and n_tokens_col not in docs.columns:
+        raise ValueError(
+            f"binpack: n_tokens_col {n_tokens_col!r} not in {docs.columns}"
+        )
 
     if shard_col is not None:
         shard = F.xxhash64(F.col(shard_col))
@@ -137,22 +158,49 @@ def pack_whole_docs(
         f"binpack: NULL {id_col!r} — placement is keyed by id; "
         "key unidentified rows upstream"
     )
-    n_tok = F.size(
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-            lambda t: t != "",
-        )
-    ).cast("long")
-    src = docs.select(
-        shard.alias("shard"),
+    if n_tokens_col is None:
+        n_tok = F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda t: t != "",
+            )
+        ).cast("long")
+    else:
+        c = F.col(n_tokens_col).cast("long")
+        n_tok = F.when(
+            c.isNull() | (c < 0),
+            F.raise_error(
+                F.lit(
+                    f"binpack: NULL or negative {n_tokens_col!r} — a "
+                    "budget needs a real token count for every document"
+                )
+            ),
+        ).otherwise(c)
+    id_ok = (
         F.when(bad_id, F.raise_error(id_msg))
         .otherwise(F.col(id_col))
         .cast("long")
-        .alias("__id"),
+    )
+    if check_unique_ids:
+        # in shard_col mode a duplicate id can land in two DIFFERENT shards
+        # and be packed twice with no task ever seeing both copies — this
+        # global window guard (one exchange on the id) catches exactly that;
+        # disable only when ids are unique by construction
+        w = Window.partitionBy(id_ok)
+        dup_msg = F.lit(
+            f"binpack: duplicate {id_col!r} across the input — the same "
+            "document would be packed more than once; dedup upstream"
+        )
+        id_ok = F.when(
+            F.count(F.lit(1)).over(w) > 1, F.raise_error(dup_msg).cast("long")
+        ).otherwise(id_ok)
+    src = docs.select(
+        shard.alias("shard"),
+        id_ok.alias("__id"),
         n_tok.alias("__n"),
     )
 
-    placer = place_bfd if strategy == "bfd" else place_first_fit_id
+    placer = place_bfd if strategy == "bfd" else place_next_fit_id
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         sh = int(pdf["shard"].iloc[0])

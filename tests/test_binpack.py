@@ -12,7 +12,7 @@ from hbase_observer_es_spark.operators.binpack import (
     pack_whole_docs,
     packing_stats,
     place_bfd,
-    place_first_fit_id,
+    place_next_fit_id,
 )
 
 
@@ -45,22 +45,22 @@ def test_bfd_matches_naive_mirror_property():
         assert place_bfd(sizes, cap) == naive_bfd(sizes, cap), (trial, sizes)
 
 
-def test_bfd_dominates_first_fit_property():
+def test_bfd_dominates_next_fit_property():
     rng = random.Random(9)
     for _ in range(200):
         cap = rng.randint(4, 40)
         sizes = [(i, rng.randint(1, cap)) for i in range(rng.randint(1, 40))]
         n_bfd = len(set(place_bfd(sizes, cap).values()))
-        n_ff = len(set(place_first_fit_id(sizes, cap).values()))
-        assert n_bfd <= n_ff
+        n_nf = len(set(place_next_fit_id(sizes, cap).values()))
+        assert n_bfd <= n_nf
 
 
-def test_bfd_strictly_beats_first_fit_on_crafted_case():
-    # id order 6,5,4,3 with cap 9: first-fit opens [6,3][5][4] = 3 bins...
-    # sizes chosen so BFD pairs them perfectly into 2
+def test_bfd_strictly_beats_next_fit_on_crafted_case():
+    # next-fit in id order 6,5,4,3 with cap 9: [6][5,4][3] = 3 bins (only
+    # the LAST bin is ever probed); BFD pairs 6+3 and 5+4 into 2
     sizes = [(1, 6), (2, 5), (3, 4), (4, 3)]
     assert len(set(place_bfd(sizes, 9).values())) == 2
-    assert len(set(place_first_fit_id(sizes, 9).values())) == 3
+    assert len(set(place_next_fit_id(sizes, 9).values())) == 3
 
 
 def _docs(spark, rows):
@@ -107,7 +107,7 @@ def test_strategy_comparison_on_spark(spark):
         pack_whole_docs(_docs(spark, rows), cap, n_shards=2), cap
     ).agg(F.sum("n_bins")).head()[0]
     ff = packing_stats(
-        pack_whole_docs(_docs(spark, rows), cap, n_shards=2, strategy="first_fit_id"),
+        pack_whole_docs(_docs(spark, rows), cap, n_shards=2, strategy="next_fit_id"),
         cap,
     ).agg(F.sum("n_bins")).head()[0]
     assert bfd <= ff
@@ -117,8 +117,45 @@ def test_zero_token_docs_land_in_real_bins(spark):
     docs = _docs(spark, [(1, ""), (2, None), (3, "a b")])
     out = pack_whole_docs(docs, 4, n_shards=1).collect()
     assert all(r["pack_id"] >= 0 for r in out) and len(out) == 3
-    ff = pack_whole_docs(docs, 4, n_shards=1, strategy="first_fit_id").collect()
+    ff = pack_whole_docs(docs, 4, n_shards=1, strategy="next_fit_id").collect()
     assert all(r["pack_id"] >= 0 for r in ff)
+
+
+def test_bpe_budget_via_n_tokens_col(spark):
+    from hbase_observer_es_spark.operators.bpe import add_bpe_token_count
+
+    docs = _docs(spark, [(1, "aa bb"), (2, "aa aa aa aa"), (3, "cc")])
+    counted = add_bpe_token_count(docs, [(b"a", b"a")])  # 'aa' -> 1 token
+    packed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_whole_docs(
+            counted, 4, n_shards=1, n_tokens_col="n_bpe_tokens"
+        ).collect()
+    }
+    # BPE counts, not whitespace counts: "aa bb" = 1+2, "aa aa aa aa" = 4,
+    # "cc" = 2 (no c-merge trained)
+    assert packed == {1: 3, 2: 4, 3: 2}
+    bad = spark.createDataFrame(
+        [(1, "x", None)], "doc_id long, text string, n long"
+    )
+    with pytest.raises(Exception, match="NULL or negative"):
+        pack_whole_docs(bad, 4, n_shards=1, n_tokens_col="n").collect()
+
+
+def test_cross_shard_duplicate_ids_caught_globally(spark):
+    # shard_col mode: the same id in two different shard values would be
+    # packed twice with no single task seeing both copies
+    docs = spark.createDataFrame(
+        [(7, "a b", "en"), (7, "c d", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(Exception, match="duplicate 'doc_id' across"):
+        pack_whole_docs(docs, 8, shard_col="lang").collect()
+    # opt-out: the caller asserts uniqueness, the guard exchange disappears
+    out = pack_whole_docs(
+        docs, 8, shard_col="lang", check_unique_ids=False
+    ).collect()
+    assert len(out) == 2
 
 
 def test_fail_loud(spark):
