@@ -1,0 +1,132 @@
+"""Dedup-index evaluation: LSH pair recall against exact ground truth.
+
+``q_ann_recall`` measures the LSH *similarity* index; nothing measured the
+LSH *dedup* index — yet MinHash banding is a recall gamble by construction
+(a near-dup pair is found only if SOME band's rows all collide), and a
+pipeline that deduplicates with it should know the miss rate, not assume
+the textbook S-curve. This operator runs BOTH sides over the same
+word-trigram shingle space ``q_dedup_minhash`` uses and reports exact
+integer counts:
+
+* **truth** — all-pairs exact shingle-Jaccard ≥ threshold, with the same
+  provably-lossless size-ratio prune the exact queries use. Quadratic BY
+  DESIGN, like ``q_dedup_jaccard`` and ``q_ann_recall``'s brute-force
+  side: the ground truth is the product here, and it shares the fenced
+  cost profile (never composed into any other query's closure).
+* **found** — ``q_dedup_minhash``'s output verbatim (its own exact verify
+  makes precision 1 by construction; ``n_extra`` measuring 0 CHECKS that
+  claim instead of restating it).
+* one row: ``(n_truth, n_found, n_common, n_missed, n_extra)`` — recall
+  is ``n_common / n_truth``, the caller's single division (kept out of
+  the oracle-checked columns, the ``drift.py`` rule).
+
+Every shingle/hash/jaccard expression is IMPORTED from ``operators/
+dedup.py`` (Spark helpers and the SQL format constants alike), so the
+evaluator can never drift from the thing it evaluates — the
+``SQL_SPANS_CTE`` single-sourcing rule.
+
+Registration-ready (held for r11 window headroom): ``q_dedup_lsh_recall``
++ ``SQL_DEDUP_LSH_RECALL``, DuckDB-hash-checked in
+``tests/test_dedup_eval.py``.
+
+Reference parity: no analogue in the reference tree — beyond-reference
+pipeline surface (SURVEY §2-D), the dedup twin of ``q_ann_recall``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    JACCARD_THRESHOLD,
+    SQL_DEDUP_MINHASH,
+    _jaccard,
+    _shingled_docs,
+    _SQL_JACCARD,
+    _SQL_ROLLHASH,
+    _SQL_SHINGLE_HASHES,
+    q_dedup_minhash,
+)
+
+
+def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact shingle-Jaccard ≥ threshold — quadratic ground
+    truth (see module docstring), size-ratio pruned losslessly."""
+    sh = _shingled_docs(spark, sf_dir)
+    a = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hs").alias("a_hs"),
+        F.size("hs").alias("a_sz"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hs").alias("b_hs"),
+        F.size("hs").alias("b_sz"),
+    )
+    size_ok = (
+        F.least(F.col("a_sz"), F.col("b_sz")).cast("double")
+        >= F.lit(JACCARD_THRESHOLD) * F.greatest(F.col("a_sz"), F.col("b_sz"))
+    )
+    return (
+        a.join(b, (F.col("a_id") < F.col("b_id")) & size_ok)
+        .where(_jaccard(F.col("a_hs"), F.col("b_hs")) >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-integer row: how much of the true near-dup pair set the
+    banded MinHash index actually finds (and that it invents nothing)."""
+    truth = _truth_pairs(spark, sf_dir).withColumn("in_t", F.lit(1))
+    found = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("in_f", F.lit(1))
+    )
+    m = truth.join(found, ["a_id", "b_id"], "full_outer")
+    both = (F.col("in_t") == 1) & (F.col("in_f") == 1)
+    return m.agg(
+        F.count("in_t").cast("bigint").alias("n_truth"),
+        F.count("in_f").cast("bigint").alias("n_found"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_common"),
+        (F.count("in_t") - F.sum(F.when(both, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("n_missed"),
+        (F.count("in_f") - F.sum(F.when(both, 1).otherwise(0)))
+        .cast("bigint")
+        .alias("n_extra"),
+    )
+
+
+SQL_DEDUP_LSH_RECALL = f"""
+WITH found AS ({SQL_DEDUP_MINHASH}),
+toksf AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents),
+thash AS (SELECT doc_id,
+                 list_transform(tk, t -> {_SQL_ROLLHASH.format(tok='t')}) AS th
+          FROM toksf),
+shing AS (SELECT doc_id, {_SQL_SHINGLE_HASHES.format(th='th')} AS hs FROM thash),
+truth AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM shing a JOIN shing b
+      ON a.doc_id < b.doc_id
+     AND CAST(LEAST(len(a.hs), len(b.hs)) AS DOUBLE)
+         >= {JACCARD_THRESHOLD} * GREATEST(len(a.hs), len(b.hs))
+    WHERE {_SQL_JACCARD.format(a='a.hs', b='b.hs')} >= {JACCARD_THRESHOLD}
+),
+m AS (
+    SELECT COALESCE(t.a_id, f.a_id) AS a_id,
+           (t.a_id IS NOT NULL) AS in_t,
+           (f.a_id IS NOT NULL) AS in_f
+    FROM truth t FULL OUTER JOIN found f
+      ON t.a_id = f.a_id AND t.b_id = f.b_id
+)
+SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(SUM(CASE WHEN in_t AND in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST(SUM(CASE WHEN in_t AND NOT in_f THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       CAST(SUM(CASE WHEN in_f AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+FROM m
+"""
