@@ -38,22 +38,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import persist_tracked
 from .dedup import (
     JACCARD_THRESHOLD,
     SQL_DEDUP_MINHASH,
     _jaccard,
     _shingled_docs,
     _SQL_JACCARD,
-    _SQL_ROLLHASH,
-    _SQL_SHINGLE_HASHES,
     q_dedup_minhash,
 )
+
+# The shingle-space CTEs (toksf/thash/shing) sliced VERBATIM out of
+# dedup.py's own SQL string — sourced, not copied, so the truth side can
+# never drift from the pipeline it evaluates. The assert trips loudly if
+# dedup.py ever reshapes its CTE prefix.
+_SHINGLE_CTES = SQL_DEDUP_MINHASH.split("\nminh AS")[0].split("WITH ", 1)[1]
+assert _SHINGLE_CTES.lstrip().startswith("toksf AS") and _SHINGLE_CTES.rstrip().endswith(
+    "FROM thash),"
+), _SHINGLE_CTES
 
 
 def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact shingle-Jaccard ≥ threshold — quadratic ground
-    truth (see module docstring), size-ratio pruned losslessly."""
-    sh = _shingled_docs(spark, sf_dir)
+    truth (see module docstring), size-ratio pruned losslessly. The
+    shingle frame feeds BOTH sides of the self-join, so it persists
+    (dedup.py measured the unpersisted pipeline re-executing per branch)."""
+    sh = persist_tracked(
+        _shingled_docs(spark, sf_dir), "dedup_eval.truth.shingles"
+    )
     a = sh.select(
         F.col("doc_id").alias("a_id"),
         F.col("hs").alias("a_hs"),
@@ -101,13 +113,7 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_LSH_RECALL = f"""
 WITH found AS ({SQL_DEDUP_MINHASH}),
-toksf AS (SELECT doc_id,
-                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
-          FROM documents),
-thash AS (SELECT doc_id,
-                 list_transform(tk, t -> {_SQL_ROLLHASH.format(tok='t')}) AS th
-          FROM toksf),
-shing AS (SELECT doc_id, {_SQL_SHINGLE_HASHES.format(th='th')} AS hs FROM thash),
+{_SHINGLE_CTES}
 truth AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id
     FROM shing a JOIN shing b
@@ -117,8 +123,7 @@ truth AS (
     WHERE {_SQL_JACCARD.format(a='a.hs', b='b.hs')} >= {JACCARD_THRESHOLD}
 ),
 m AS (
-    SELECT COALESCE(t.a_id, f.a_id) AS a_id,
-           (t.a_id IS NOT NULL) AS in_t,
+    SELECT (t.a_id IS NOT NULL) AS in_t,
            (f.a_id IS NOT NULL) AS in_f
     FROM truth t FULL OUTER JOIN found f
       ON t.a_id = f.a_id AND t.b_id = f.b_id
