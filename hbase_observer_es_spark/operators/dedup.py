@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import persist_tracked, table
+from .graph import min_label_fixpoint
 from .text import MOD
 
 # 16 fixed universal-hash permutations (a*h + b) mod MOD, 4 bands × 4 rows.
@@ -605,18 +606,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair lists (q_dedup_minhash) overcount: A~B and B~C may be one duplicate
     group. Components give the dedup unit directly; the cluster representative
-    (min doc_id) is the survivor. The loop repeats `label ← min(label,
-    neighbors' labels)` until a fixpoint; each iteration is two shuffles
-    (join + groupBy) over the EDGE set only, and the iteration count is the
-    graph diameter (tiny for near-dup graphs — duplicates cluster densely).
-    The per-iteration convergence check collects ONE scalar; node/edge data
-    never touches the driver. Each iteration's label frame is eagerly
-    localCheckpoint-ed: the materialized RDD becomes the next iteration's
-    input, so plan depth stays O(1) instead of nesting one join+window per
-    loop — without truncation a 100×-diameter graph would blow the optimizer
-    up long before the data hurts. At web scale this exact loop is large-star/
-    small-star (the alternating variant keeps chains shallow); the fixture
-    graph's diameter doesn't need it.
+    (min doc_id) is the survivor. The fixpoint itself is
+    ``graph.min_label_fixpoint`` (the single shared implementation since the
+    round-11 consolidation — see its docstring for the loop mechanics,
+    lineage discipline, and the large-star/small-star scale note); this
+    query's job is the edge frame and the loop-width tuning around it.
 
     Oracle: recursive-CTE transitive closure in DuckDB — same fixpoint, so the
     iterative result is hash-checked, not rows-only.
@@ -634,55 +628,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1), and every extra partition is a per-iteration task-launch tax.
     # ~100 k edges per partition is the scale heuristic; a 10-billion-edge run
     # gets the wide shuffle it needs from the same line. The width is applied
-    # PER-FRAME via explicit repartition-by-key (same task counts as the old
-    # session-conf override, but scoped to this query's plan — a concurrent
-    # query on the same session never sees a degraded shuffle width).
+    # PER-FRAME via explicit repartition-by-key inside min_label_fixpoint
+    # (same task counts as a session-conf override, but scoped to this
+    # query's plan — a concurrent query on the same session never sees a
+    # degraded shuffle width). Pre-partitioning the symmetrized frame on
+    # ``dst`` lets the loop's join reuse the cached distribution.
     loop_parts = max(1, min(32, (2 * n_pairs) // 100_000))
-    edges = pairs.unionByName(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).repartition(loop_parts, "b_id").persist()
-    labels = (
-        edges.select(F.col("a_id").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    sym = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .repartition(loop_parts, "dst")
         .persist()
     )
-    prev = labels  # persisted initial frame; later, the previous checkpoint
-    while True:
-        # explicit hashpartitioning(key, loop_parts) on every loop shuffle:
-        # the cached edges frame already carries it, labels re-acquires it
-        # once per iteration, and the groupBy/left-join reuse those exchanges
-        # (EnsureRequirements sees matching hash distributions on both sides)
-        labels_p = labels.repartition(loop_parts, "node")
-        neighbor_min = (
-            edges.join(labels_p, edges.b_id == labels_p.node)
-            .repartition(loop_parts, "a_id")
-            .groupBy("a_id")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # one join serves both the update and the convergence check;
-        # eager localCheckpoint materializes it AND truncates lineage
-        joined = (
-            labels_p.join(neighbor_min, labels_p.node == neighbor_min.a_id, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # prev is fully consumed once joined is materialized — safe to drop
-        # (no-op for checkpointed frames, which free on GC; real for the
-        # initial persisted frame)
-        prev.unpersist()
-        prev = joined
-        changed = joined.filter(F.col("label") != F.col("old_label")).count()
-        labels = joined.select("node", "label")
-        if changed == 0:
-            break
-    edges.unpersist()
+    # max_iter=100 is the fail-loud diameter bound (near-dup graphs cluster
+    # densely; the fixture diameters are single-digit)
+    labels = min_label_fixpoint(sym, loop_parts=loop_parts, max_iter=100)
+    sym.unpersist()
     d = table(spark, sf_dir, "documents").select("doc_id")
     out = (
         d.join(labels, d.doc_id == labels.node, "left")

@@ -135,40 +135,41 @@ def pagerank_over_edges(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     return _pagerank_iterations(ed, nodes, n_iter)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
-    """Weakly-connected components over an arbitrary (src, dst) string edge
-    frame → (node, label) with the LEXICOGRAPHICALLY SMALLEST member as the
-    deterministic component label. The crawl-graph use: site/cluster
-    discovery over ``html_text.warc_outlinks`` edges (mirror groups,
-    link farms, per-site sampling keys).
+def min_label_fixpoint(
+    sym: DataFrame, loop_parts: int | None = None, max_iter: int = 30
+) -> DataFrame:
+    """THE min-label propagation core (single implementation — round-11
+    consolidation of the former ``connected_components`` /
+    ``dedup.q_dedup_clusters`` twin loops). ``sym`` is a SYMMETRIZED
+    (src, dst) edge frame, already materialized (persisted or
+    checkpointed) by the caller; returns ``(node, label)`` where ``label``
+    is the MINIMUM member of the node's component under the column type's
+    ordering (lexicographic for strings, numeric for longs — the fixpoint
+    is type-agnostic, it only needs a total order).
 
-    Min-label propagation: each round every node takes the minimum of its
-    own and its neighbors' labels; convergence when a round changes
-    nothing. Rounds needed = graph diameter (a path graph needs its length)
-    — ``max_iter`` is a fail-LOUD bound, not a silent truncation: an
-    unconverged labeling would be wrong, so it raises. Each round
-    localCheckpoints (the q_dedup_clusters lineage discipline) and the
-    convergence test is one count per round — a driver-side scalar, not a
-    collect of data rows. At 100 TB, swap min-label for the
-    large-star/small-star algorithm if diameters are large; the frame
-    contract (edges in, labeled nodes out) stays identical.
+    Each round every node takes the minimum of its own and its neighbors'
+    labels; convergence when a round changes nothing. Rounds needed =
+    graph diameter (a path graph needs its length) — ``max_iter`` is a
+    fail-LOUD bound, not a silent truncation: an unconverged labeling
+    would be wrong, so it raises. Each round's label frame is eagerly
+    localCheckpoint-ed so plan depth stays O(1) instead of nesting one
+    join+agg per loop, and the convergence test is one count per round —
+    a driver-side scalar, never a collect of data rows. The update frame
+    carries ``old_label`` so that count is a filter over the frame just
+    built — no second full node-set join per round.
 
-    Known twin: ``operators/dedup.py::q_dedup_clusters`` runs the same
-    min-label fixpoint inline over its MinHash pair graph with long-typed
-    labels and per-frame repartition tuning. Consolidating that green,
-    perf-tuned registered query onto this generic function is deliberately
-    deferred — an algorithm-equivalent refactor of a hash-checked query is
-    next-round work with fresh rotation headroom, not an end-of-round
-    edit. Until then, a fix to either loop must be mirrored in the other
-    (this note is the tripwire)."""
-    e = edges.select("src", "dst").distinct()
-    sym = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    ``loop_parts``: optional explicit shuffle width for every loop
+    exchange (``hashpartitioning(key, loop_parts)``) — near-dup pair
+    graphs are tiny next to their corpus, so the caller sizes the loop to
+    the EDGE count (~100k edges/partition), not the session default;
+    every extra partition is a per-iteration task-launch tax. ``None``
+    keeps the session shuffle width (the crawl-graph path, where edges
+    are corpus-scale). At 100 TB with large diameters, swap min-label for
+    large-star/small-star — the frame contract stays identical."""
+
+    def _width(df: DataFrame, key: str) -> DataFrame:
+        return df.repartition(loop_parts, key) if loop_parts else df
+
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -176,16 +177,14 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        labels_p = _width(labels, "node")
         nbr_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
+            _width(sym.join(labels_p, sym["dst"] == labels_p["node"]), "src")
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry old_label through the update frame (the q_dedup_clusters
-        # pattern): the convergence count is then a filter over the frame
-        # just built — no second full node-set join per round
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            labels_p.join(nbr_min, labels_p["node"] == nbr_min["src"], "left")
             .select(
                 "node",
                 F.col("label").alias("old_label"),
@@ -202,11 +201,34 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         if changed == 0:
             return labels
     raise ValueError(
-        f"connected_components: no fixpoint within {max_iter} rounds "
+        f"min_label_fixpoint: no fixpoint within {max_iter} rounds "
         "(graph diameter exceeds the bound) — raise max_iter or switch to "
         "the star-contraction variant; an unconverged labeling is wrong, "
         "not approximate"
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Weakly-connected components over an arbitrary (src, dst) string edge
+    frame → (node, label) with the LEXICOGRAPHICALLY SMALLEST member as the
+    deterministic component label. The crawl-graph use: site/cluster
+    discovery over ``html_text.warc_outlinks`` edges (mirror groups,
+    link farms, per-site sampling keys).
+
+    Thin wrapper over ``min_label_fixpoint``: collapses duplicate edges,
+    symmetrizes (callers pass either direction, or canonical a<b pairs —
+    no pre-dedup needed), materializes, and runs the shared loop at the
+    session shuffle width. ``dedup.q_dedup_clusters`` runs the same core
+    with an edge-count-sized width over its MinHash pair graph."""
+    e = edges.select("src", "dst").distinct()
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return min_label_fixpoint(sym, max_iter=max_iter)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
