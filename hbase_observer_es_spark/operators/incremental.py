@@ -143,3 +143,9 @@ SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE md5(text) NOT IN (SELECT h FROM seen)
 """
+
+
+# Registered round 11 (the r10 window cleared): the bloom-first re-crawl
+# filter is driver-verified against the exact anti-join oracle above.
+QUERIES = {"q_incremental_unseen": q_incremental_unseen}
+ORACLES = {"q_incremental_unseen": SQL_INCREMENTAL_UNSEEN}

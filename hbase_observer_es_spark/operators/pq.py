@@ -671,3 +671,9 @@ FROM final_assign
 GROUP BY vec_id
 ORDER BY vec_id
 """
+
+
+# Registered round 11 (the r10 window cleared): the PQ train→encode path is
+# driver-verified against the DuckDB codebook-replay oracle above.
+QUERIES = {"q_embed_pq": q_embed_pq}
+ORACLES = {"q_embed_pq": SQL_EMBED_PQ}

@@ -65,6 +65,8 @@ _MODULES = (
     "hbase_observer_es_spark.operators.html_text",
     "hbase_observer_es_spark.operators.graph",
     "hbase_observer_es_spark.operators.dedup_substring",
+    "hbase_observer_es_spark.operators.pq",
+    "hbase_observer_es_spark.operators.incremental",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a

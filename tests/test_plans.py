@@ -1039,6 +1039,7 @@ _RDD_BY_DESIGN = {
     "q_dedup_clusters", "q_dedup_jaccard", "q_search_percolate", "q_sim_ivf_trained",
     "q_graph_pagerank",  # edge/node frames checkpointed once before the K-loop
     "q_graph_components",  # min-label fixpoint localCheckpoints each round
+    "q_embed_pq",  # trained codebook: bounded M·K createDataFrame, the q_sim_ivf_trained shape
 }
 
 
