@@ -5,10 +5,13 @@ Pattern for image/audio/video at 100 TB: store the payload as a `binary` column
 (or a pointer into object storage) next to typed metadata; decode/feature-extract
 runs as mapInPandas over Arrow batches so each executor processes whole record
 batches without JVM→Python row overhead. Partitioning, schema, UDF signature, and
-batch shape here are real and tested; only the codec call itself is stubbed
-(decoder libraries are not in this container) — ``decode_image_real`` raises
-NotImplementedError behind an import guard, and ``q_mm_decode`` uses a
-deterministic fake decode with the identical plumbing.
+batch shape here are real and tested. The codec itself: PNG decodes FOR REAL
+(``operators/png.py`` — from-spec, stdlib zlib+struct, CRC-verified chunks,
+all five filter reconstructions), routed by payload magic inside
+``q_mm_decode``; JPEG/WebP/video need codec libraries absent from this
+container, so ``decode_image_real`` raises per-format for those and the
+registered fixture path (UTF-8 text payloads — never PNG magic) keeps the
+deterministic fake decode its DuckDB oracle mirrors.
 
 Fixture note: `documents.text` UTF-8 bytes stand in for the binary payload.
 The fake codec's `first_byte` is the payload's first BYTE (Python `b[0]`) while
@@ -28,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from . import png
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, first_byte long, width long, height long,"
@@ -36,15 +40,35 @@ DECODE_SCHEMA = (
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decoder — STUB. Wire PIL/ffmpeg here when the runtime has them."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow, not present in this container; "
-            "q_mm_decode uses the deterministic fake decoder instead"
-        ) from exc
-    raise NotImplementedError("real decode not implemented in this environment")
+    """Real decoder. PNG is decoded FROM SPEC, stdlib-only (zlib + struct;
+    ``operators/png.py`` — chunk CRCs verified, IDAT inflated, all five
+    filter reconstructions), so the path is no longer a stub for the one
+    format the container can honestly decode. JPEG/WebP/video need codec
+    libraries this container lacks (DCT/VP8 are not stdlib) — those still
+    raise, loudly and per-format, rather than faking pixel data."""
+    if payload[: len(png.PNG_MAGIC)] == png.PNG_MAGIC:
+        img = png.decode_png(payload)
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_frames": 1,
+            "fmt": "png",
+            "bit_depth": img.bit_depth,
+            "color_type": img.color_type,
+            "channels": img.channels,
+        }
+    head = bytes(payload[:12])
+    if head[:3] == b"\xff\xd8\xff":
+        kind = "jpeg"
+    elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        kind = "webp"
+    else:
+        kind = f"unknown (magic {head[:8]!r})"
+    raise NotImplementedError(
+        f"image decoding for {kind} requires codec libraries not present in "
+        "this container; PNG decodes for real (operators/png.py), other "
+        "formats fall back to the deterministic fake decoder in q_mm_decode"
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
@@ -63,17 +87,34 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → decoded metadata via mapInPandas over Arrow batches.
 
     The plumbing (binary column in, typed struct columns out, iterator of
-    record batches) is exactly what a real image/audio decode runs at scale;
-    swap _fake_decode for decode_image_real and nothing else changes.
+    record batches) is exactly what a real image/audio decode runs at scale.
+    Payloads carrying the PNG signature take the REAL from-spec decoder
+    (``operators/png.py``) — actual IHDR geometry, not arithmetic fakes;
+    everything else keeps the deterministic fake codec so the DuckDB oracle
+    can mirror the fixture corpus (UTF-8 text payloads, never PNG magic —
+    the routing is hash-neutral on fixtures by construction, and
+    ``tests/test_png.py`` pins the real branch on synthesized PNG bytes).
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
+    def _decode_one(b: bytes) -> tuple[int, int, int, str]:
+        # ONE dispatch site: decode_image_real owns the magic routing; a
+        # format it cannot honestly decode raises NotImplementedError and
+        # falls back to the fake codec. A CORRUPT real format (PNG magic,
+        # bad bytes) raises ValueError and propagates — corruption must
+        # never silently downgrade to fake metadata.
+        try:
+            m = decode_image_real(b)
+        except NotImplementedError:
+            return _fake_decode(b)
+        return m["width"], m["height"], m["n_frames"], m["fmt"]
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            meta = [_fake_decode(bytes(p)) for p in payloads]
+            meta = [_decode_one(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

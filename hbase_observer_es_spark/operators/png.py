@@ -1,0 +1,320 @@
+"""PNG decode from the public specification, stdlib-only (zlib + struct).
+
+The multimodal path (``operators/multimodal.py``) shipped with the codec call
+stubbed because this container has no PIL/ffmpeg. PNG needs neither: the
+format is fully specified publicly (RFC 2083 / W3C PNG spec) and its only
+compression is DEFLATE, which ``zlib`` provides — the same from-spec
+discipline as the repo's Avro container reader and snappy decompressor
+(``sources/avrosrc.py``). This module implements the static-image subset:
+
+* 8-byte signature, length/type/data/CRC chunk stream (CRC32 VERIFIED per
+  chunk — corruption dies loudly with chunk context, never decodes garbage);
+* IHDR geometry/format parse with the spec's legal bit-depth × color-type
+  matrix enforced;
+* concatenated-IDAT zlib inflate with an exact expected-size check;
+* the five scanline filter reconstructions (None/Sub/Up/Average/Paeth) over
+  interlace-method-0 images, all color types (gray, RGB, palette,
+  gray+alpha, RGBA) and all legal bit depths (1/2/4/8/16);
+* PLTE handling for indexed images and a ``pixel(x, y)`` accessor that
+  unpacks sub-byte samples (MSB-first) and 16-bit samples (big-endian) so
+  tests can bit-pin individual pixel values.
+
+Adam7 interlace (method 1) is refused loudly — the streaming-progressive
+layout is a presentation optimization with no information the pipeline
+needs, and a silent wrong-geometry decode would be worse than an error.
+
+Scale posture: decoding runs INSIDE the multimodal mapInPandas stages (one
+Python call per payload within an Arrow batch) — pixels never cross a
+shuffle, and the decoder holds one image at a time. The per-image cost is
+zlib C speed plus a pure-Python filter pass; for corpus-scale pixel work
+the reconstruction loop is the piece to swap for a vectorized kernel, with
+the chunk/IHDR/inflate layers unchanged.
+
+Reference parity: none — the reference (HbaseDataSyncEsObserver.java) has
+no media surface; this is builder-brief (LLM-pipeline) surface closing the
+last documented stub (SURVEY §2-D / VERDICT r10 "What's missing" #1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channel count
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type -> legal bit depths (the spec's table)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+_COLOR_NAMES = {0: "gray", 2: "rgb", 3: "palette", 4: "gray-alpha", 6: "rgba"}
+
+
+@dataclass
+class PngImage:
+    """Decoded image: ``raw`` is the filter-reconstructed scanline data
+    (``height`` rows of ``stride`` bytes each, no filter bytes), exactly as
+    the spec's reconstruction step leaves it — sub-byte samples still
+    packed, 16-bit samples big-endian, palette indices unresolved."""
+
+    width: int
+    height: int
+    bit_depth: int
+    color_type: int
+    channels: int
+    stride: int
+    raw: bytes
+    palette: tuple[tuple[int, int, int], ...] | None
+
+    @property
+    def color_name(self) -> str:
+        return _COLOR_NAMES[self.color_type]
+
+    def pixel(self, x: int, y: int) -> tuple[int, ...]:
+        """Sample tuple at (x, y): one value per channel; palette images
+        resolve through PLTE to (r, g, b). Bit-pinning accessor for tests."""
+        if not (0 <= x < self.width and 0 <= y < self.height):
+            raise IndexError(f"pixel ({x}, {y}) outside {self.width}x{self.height}")
+        row = self.raw[y * self.stride : (y + 1) * self.stride]
+        if self.bit_depth == 16:
+            off = x * self.channels * 2
+            vals = tuple(
+                (row[off + 2 * c] << 8) | row[off + 2 * c + 1]
+                for c in range(self.channels)
+            )
+        elif self.bit_depth == 8:
+            off = x * self.channels
+            vals = tuple(row[off + c] for c in range(self.channels))
+        else:  # 1/2/4-bit: packed MSB-first, single channel by the legality matrix
+            per_byte = 8 // self.bit_depth
+            b = row[x // per_byte]
+            shift = 8 - self.bit_depth * (x % per_byte + 1)
+            vals = ((b >> shift) & ((1 << self.bit_depth) - 1),)
+        if self.color_type == 3:
+            idx = vals[0]
+            if self.palette is None or idx >= len(self.palette):
+                raise ValueError(
+                    f"png: palette index {idx} outside PLTE of "
+                    f"{0 if self.palette is None else len(self.palette)} entries"
+                )
+            return self.palette[idx]
+        return vals
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _chunks(data: bytes, origin: str):
+    """Yield (type, payload) walking the chunk stream; verifies each CRC32
+    (over type+payload, per spec) and structural bounds."""
+    pos = len(PNG_MAGIC)
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError(f"png {origin}: truncated chunk header at byte {pos}")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if length > 0x7FFFFFFF or end + 4 > len(data):
+            raise ValueError(
+                f"png {origin}: chunk {ctype!r} at byte {pos} overruns the "
+                f"file (declared length {length})"
+            )
+        payload = data[pos + 8 : end]
+        (want_crc,) = struct.unpack(">I", data[end : end + 4])
+        got_crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        if got_crc != want_crc:
+            raise ValueError(
+                f"png {origin}: CRC mismatch in chunk {ctype!r} "
+                f"(want {want_crc:08x}, got {got_crc:08x})"
+            )
+        yield ctype, payload
+        pos = end + 4
+        if ctype == b"IEND":
+            if pos != len(data):
+                raise ValueError(
+                    f"png {origin}: {len(data) - pos} trailing bytes after IEND"
+                )
+            return
+    raise ValueError(f"png {origin}: missing IEND chunk")
+
+
+def parse_ihdr(data: bytes, origin: str = "<bytes>") -> dict:
+    """Header-only parse (geometry + format), without inflating pixel data —
+    the cheap metadata path for decode-free profiling."""
+    if data[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError(f"png {origin}: bad signature {data[:8]!r}")
+    for ctype, payload in _chunks(data, origin):
+        if ctype != b"IHDR":
+            raise ValueError(f"png {origin}: first chunk is {ctype!r}, not IHDR")
+        if len(payload) != 13:
+            raise ValueError(f"png {origin}: IHDR length {len(payload)} != 13")
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", payload
+        )
+        if w == 0 or h == 0:
+            raise ValueError(f"png {origin}: zero dimension {w}x{h}")
+        if color not in _CHANNELS:
+            raise ValueError(f"png {origin}: unknown color type {color}")
+        if depth not in _LEGAL_DEPTHS[color]:
+            raise ValueError(
+                f"png {origin}: bit depth {depth} illegal for color type "
+                f"{color} ({_COLOR_NAMES[color]})"
+            )
+        if comp != 0 or filt != 0:
+            raise ValueError(
+                f"png {origin}: compression/filter method {comp}/{filt} "
+                "unknown (spec defines only 0/0)"
+            )
+        if interlace not in (0, 1):
+            raise ValueError(f"png {origin}: unknown interlace method {interlace}")
+        return {
+            "width": w,
+            "height": h,
+            "bit_depth": depth,
+            "color_type": color,
+            "interlace": interlace,
+        }
+    raise ValueError(f"png {origin}: no chunks")  # pragma: no cover - unreachable
+
+
+def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
+    """Full decode: chunk walk → IDAT inflate → per-scanline filter
+    reconstruction. Fail-loud with ``origin`` context on any structural
+    violation (bad CRC, non-consecutive IDAT, inflate size drift,
+    undefined filter byte, Adam7)."""
+    hdr = parse_ihdr(data, origin)
+    if hdr["interlace"] != 0:
+        raise ValueError(
+            f"png {origin}: Adam7 interlace unsupported (interlace-0 subset "
+            "by design — re-encode progressive assets before ingest)"
+        )
+    w, h, depth, color = (
+        hdr["width"],
+        hdr["height"],
+        hdr["bit_depth"],
+        hdr["color_type"],
+    )
+    channels = _CHANNELS[color]
+    palette: tuple[tuple[int, int, int], ...] | None = None
+    idat = bytearray()
+    idat_done = False
+    for ctype, payload in _chunks(data, origin):
+        if ctype == b"PLTE":
+            if len(payload) % 3 or not payload:
+                raise ValueError(
+                    f"png {origin}: PLTE length {len(payload)} not a positive "
+                    "multiple of 3"
+                )
+            palette = tuple(
+                (payload[i], payload[i + 1], payload[i + 2])
+                for i in range(0, len(payload), 3)
+            )
+        elif ctype == b"IDAT":
+            if idat_done:
+                raise ValueError(
+                    f"png {origin}: non-consecutive IDAT chunks (spec requires "
+                    "one contiguous run)"
+                )
+            idat.extend(payload)
+        elif idat:
+            idat_done = True
+    if not idat:
+        raise ValueError(f"png {origin}: no IDAT data")
+    if color == 3 and palette is None:
+        raise ValueError(f"png {origin}: palette image without PLTE")
+
+    stride = (w * channels * depth + 7) // 8  # bytes per reconstructed row
+    bpp = max(1, (channels * depth) // 8)  # filter step, per spec
+    expected = (stride + 1) * h
+    # bounded inflate: the expected size is known from IHDR, so cap
+    # decompression AT that size — a crafted small-geometry/huge-stream
+    # payload (decompression bomb) must die as a ValueError, never as an
+    # executor OOM from materializing gigabytes before the size check
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected)
+        over = dec.decompress(dec.unconsumed_tail, 1) if dec.unconsumed_tail else b""
+    except zlib.error as exc:
+        raise ValueError(f"png {origin}: IDAT inflate failed: {exc}") from exc
+    if over:
+        raise ValueError(
+            f"png {origin}: IDAT inflates beyond the {expected} bytes the "
+            f"declared {w}x{h} geometry needs"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"png {origin}: inflated {len(raw)} bytes, geometry needs "
+            f"{expected} ({h} rows x (1+{stride}))"
+        )
+    if not dec.eof:
+        raise ValueError(
+            f"png {origin}: IDAT zlib stream did not terminate after "
+            f"{expected} bytes (truncated or unterminated stream)"
+        )
+    if dec.unused_data:
+        raise ValueError(
+            f"png {origin}: {len(dec.unused_data)} trailing bytes after the "
+            "IDAT zlib stream"
+        )
+
+    out = bytearray(stride * h)
+    prev_start = None
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
+        cur_start = y * stride
+        if ftype == 0:  # None
+            out[cur_start : cur_start + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[cur_start + i - bpp] if i >= bpp else 0
+                out[cur_start + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prev_start + i] if prev_start is not None else 0
+                out[cur_start + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[cur_start + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start is not None else 0
+                out[cur_start + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[cur_start + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start is not None else 0
+                ul = (
+                    out[prev_start + i - bpp]
+                    if (prev_start is not None and i >= bpp)
+                    else 0
+                )
+                out[cur_start + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(
+                f"png {origin}: undefined filter type {ftype} on row {y} "
+                "(spec defines 0-4)"
+            )
+        prev_start = cur_start
+    return PngImage(
+        width=w,
+        height=h,
+        bit_depth=depth,
+        color_type=color,
+        channels=channels,
+        stride=stride,
+        raw=bytes(out),
+        palette=palette,
+    )

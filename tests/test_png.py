@@ -1,0 +1,360 @@
+"""PNG decoder vs the public spec: forward-filtered synthetic images must
+reconstruct bit-exactly, a hand-derived byte-literal golden pins the filter
+arithmetic (the Avro hand-encoded-bytes discipline), and every structural
+violation dies loudly. The test encoder applies filters FORWARD
+(filtered = raw - predictor) — the genuine inverse of the decoder's
+reconstruction, so a round-trip match is evidence, not tautology."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from hbase_observer_es_spark.operators.png import (
+    PNG_MAGIC,
+    decode_png,
+    parse_ihdr,
+)
+
+# ---------------------------------------------------------------- test encoder
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _ihdr(w, h, depth, color, interlace=0) -> bytes:
+    return _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_rows(rows: list[bytes], filters: list[int], bpp: int) -> bytes:
+    """FORWARD filtering per the spec's encoder direction."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for raw, f in zip(rows, filters):
+        out.append(f)
+        for i, x in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - left
+            elif f == 2:
+                v = x - up
+            elif f == 3:
+                v = x - (left + up) // 2
+            elif f == 4:
+                v = x - _paeth(left, up, ul)
+            else:  # deliberately-invalid filter byte for the error test
+                out[-1] = f
+                v = x
+            out.append(v & 0xFF)
+        prev = raw
+    return bytes(out)
+
+
+def _png(w, h, depth, color, rows, filters, plte=None, interlace=0,
+         idat_split=None, extra_tail=b""):
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, (channels * depth) // 8)
+    raw = _filter_rows(rows, filters, bpp)
+    comp = zlib.compress(raw)
+    if idat_split:
+        idats = b"".join(
+            _chunk(b"IDAT", comp[i : i + idat_split])
+            for i in range(0, len(comp), idat_split)
+        )
+    else:
+        idats = _chunk(b"IDAT", comp)
+    plte_chunk = _chunk(b"PLTE", bytes(plte)) if plte else b""
+    return (
+        PNG_MAGIC
+        + _ihdr(w, h, depth, color, interlace)
+        + plte_chunk
+        + idats
+        + _chunk(b"IEND", b"")
+        + extra_tail
+    )
+
+
+# -------------------------------------------------------------------- goldens
+
+
+def test_golden_gray_sub_up_hand_derived():
+    """2x2 gray-8, row0 Sub row1 Up, filtered stream hand-derived:
+    raw (10,20),(30,255) -> filtered 01 0A 0A / 02 14 EB. The 255 pixel
+    forces the modular wrap (20 + 235 = 255 mod 256)."""
+    filtered = bytes([1, 0x0A, 0x0A, 2, 0x14, 0xEB])
+    data = (
+        PNG_MAGIC
+        + _ihdr(2, 2, 8, 0)
+        + _chunk(b"IDAT", zlib.compress(filtered))
+        + _chunk(b"IEND", b"")
+    )
+    img = decode_png(data)
+    assert (img.width, img.height, img.bit_depth, img.color_name) == (2, 2, 8, "gray")
+    assert img.raw == bytes([10, 20, 30, 255])
+    assert [img.pixel(x, y) for y in (0, 1) for x in (0, 1)] == [
+        (10,), (20,), (30,), (255,)
+    ]
+
+
+def test_all_five_filters_roundtrip_rgb():
+    """5 rows x 4 px RGB-8, one row per filter type 0..4 — reconstruction
+    must invert the forward filtering exactly."""
+    rows = [
+        bytes((r * 53 + i * 17) % 256 for i in range(12)) for r in range(5)
+    ]
+    img = decode_png(_png(4, 5, 8, 2, rows, [0, 1, 2, 3, 4]))
+    assert img.raw == b"".join(rows)
+    # spot-pin one pixel per row against the generator arithmetic
+    for y in range(5):
+        assert img.pixel(2, y) == tuple((y * 53 + (6 + c) * 17) % 256 for c in range(3))
+
+
+def test_paeth_exercises_all_three_predictor_branches():
+    """Values chosen so the Paeth predictor picks left, up, AND upper-left
+    across the row (p-distance ties break left>up>ul per spec): with
+    prev=[100,140,200,3], cur=[60,250,190,40] the per-byte picks are
+    up (i=0), upper-left (i=1: p=60+140-100=100=c), left (i=2), up (i=3)."""
+    rows = [bytes([100, 140, 200, 3]), bytes([60, 250, 190, 40])]
+    img = decode_png(_png(4, 2, 8, 0, rows, [0, 4]))
+    assert img.raw == b"".join(rows)
+
+
+def test_rgb16_big_endian_samples():
+    rows = [struct.pack(">HHH", 0x1234, 0xFFFE, 0x0001)]
+    img = decode_png(_png(1, 1, 16, 2, rows, [1]))
+    assert img.pixel(0, 0) == (0x1234, 0xFFFE, 0x0001)
+
+
+def test_palette_4bit_odd_width_padding():
+    """Width 5 at 4 bits/px -> stride 3 with 4 pad bits; indices resolve
+    through PLTE."""
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]  # red, green, blue
+    # indices 0,1,2,1,0 packed MSB-first: 0x01 0x21 0x00
+    rows = [bytes([0x01, 0x21, 0x00])]
+    img = decode_png(_png(5, 1, 4, 3, rows, [0], plte=plte))
+    assert [img.pixel(x, 0) for x in range(5)] == [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 255, 0), (255, 0, 0)
+    ]
+
+
+def test_gray_1bit_width9_msb_first_packing():
+    # bits 101010101 -> bytes 0xAA 0x80 (7 pad bits)
+    img = decode_png(_png(9, 1, 1, 0, [bytes([0xAA, 0x80])], [0]))
+    assert [img.pixel(x, 0)[0] for x in range(9)] == [1, 0, 1, 0, 1, 0, 1, 0, 1]
+
+
+def test_gray_alpha_and_rgba_average_filter():
+    ga = decode_png(_png(2, 2, 8, 4, [bytes([7, 200, 9, 100]),
+                                      bytes([50, 60, 70, 80])], [0, 3]))
+    assert ga.pixel(1, 1) == (70, 80)
+    rows = [bytes(range(16)), bytes(range(100, 116))]
+    rgba = decode_png(_png(4, 2, 8, 6, rows, [3, 3]))
+    assert rgba.raw == b"".join(rows)
+    assert rgba.pixel(3, 1) == (112, 113, 114, 115)
+
+
+def test_idat_split_across_chunks_concatenates():
+    rows = [bytes((i * 7) % 256 for i in range(30)) for _ in range(3)]
+    img = decode_png(_png(10, 3, 8, 2, rows, [2, 2, 2], idat_split=5))
+    assert img.raw == b"".join(rows)
+
+
+def test_parse_ihdr_header_only():
+    hdr = parse_ihdr(_png(4, 5, 8, 2, [bytes(12)] * 5, [0] * 5))
+    assert hdr == {
+        "width": 4, "height": 5, "bit_depth": 8, "color_type": 2, "interlace": 0
+    }
+
+
+# ----------------------------------------------------------------- fail-loud
+
+
+def _valid() -> bytes:
+    return _png(2, 2, 8, 0, [bytes([1, 2]), bytes([3, 4])], [0, 0])
+
+
+@pytest.mark.parametrize(
+    "mutilate, msg",
+    [
+        (lambda d: b"NOPE" + d[4:], r"bad signature"),
+        (lambda d: d[:20] + bytes([d[20] ^ 0xFF]) + d[21:], r"CRC mismatch"),
+        (lambda d: d[:-8], r"truncated chunk header|overruns"),
+        (lambda d: d + b"junk", r"trailing bytes after IEND"),
+    ],
+)
+def test_structural_violations_fail_loudly(mutilate, msg):
+    with pytest.raises(ValueError, match=msg):
+        decode_png(mutilate(_valid()))
+
+
+def test_undefined_filter_byte_fails():
+    with pytest.raises(ValueError, match=r"undefined filter type 5 on row 1"):
+        decode_png(_png(2, 2, 8, 0, [bytes([1, 2]), bytes([3, 4])], [0, 5]))
+
+
+def test_adam7_refused_loudly():
+    with pytest.raises(ValueError, match=r"Adam7 interlace unsupported"):
+        decode_png(_png(2, 2, 8, 0, [bytes([1, 2]), bytes([3, 4])], [0, 0],
+                        interlace=1))
+
+
+def test_illegal_depth_color_combo():
+    data = PNG_MAGIC + _ihdr(1, 1, 4, 2) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match=r"bit depth 4 illegal for color type 2"):
+        parse_ihdr(data)
+
+
+def test_palette_without_plte_fails():
+    with pytest.raises(ValueError, match=r"palette image without PLTE"):
+        decode_png(_png(2, 1, 8, 3, [bytes([0, 1])], [0]))
+
+
+def test_nonconsecutive_idat_fails():
+    good = _png(2, 1, 8, 0, [bytes([1, 2])], [0])
+    # splice a tEXt chunk between two IDAT halves
+    comp = zlib.compress(bytes([0, 1, 2]))
+    data = (
+        PNG_MAGIC
+        + _ihdr(2, 1, 8, 0)
+        + _chunk(b"IDAT", comp[:4])
+        + _chunk(b"tEXt", b"k\x00v")
+        + _chunk(b"IDAT", comp[4:])
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(good)  # sanity: the unspliced form is fine
+    with pytest.raises(ValueError, match=r"non-consecutive IDAT"):
+        decode_png(data)
+
+
+def test_inflate_size_drift_fails():
+    # declare 2x2 but provide one row of pixel data
+    data = (
+        PNG_MAGIC
+        + _ihdr(2, 2, 8, 0)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=r"inflated 3 bytes, geometry needs 6"):
+        decode_png(data)
+
+
+def test_decompression_bomb_rejected_at_declared_size():
+    """Small declared geometry + IDAT that inflates to ~64 MB: the bounded
+    inflate must reject at the declared size, never materialize the bomb."""
+    bomb = zlib.compress(bytes(64 * 1024 * 1024))
+    data = (
+        PNG_MAGIC + _ihdr(2, 2, 8, 0) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=r"inflates beyond the 6 bytes"):
+        decode_png(data)
+
+
+def test_trailing_garbage_after_zlib_stream_fails():
+    comp = zlib.compress(bytes([0, 1, 2])) + b"XX"
+    data = (
+        PNG_MAGIC + _ihdr(2, 1, 8, 0) + _chunk(b"IDAT", comp) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=r"trailing bytes after the IDAT zlib"):
+        decode_png(data)
+
+
+def test_unterminated_zlib_stream_fails():
+    comp = zlib.compress(bytes([0, 1, 2]))[:-4]  # drop the stream end
+    data = (
+        PNG_MAGIC + _ihdr(2, 1, 8, 0) + _chunk(b"IDAT", comp) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=r"did not terminate|inflated"):
+        decode_png(data)
+
+
+def test_zero_dimension_and_unknown_color_fail():
+    with pytest.raises(ValueError, match=r"zero dimension"):
+        parse_ihdr(PNG_MAGIC + _ihdr(0, 1, 8, 0) + _chunk(b"IEND", b""))
+    bad = _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 7, 0, 0, 0))
+    with pytest.raises(ValueError, match=r"unknown color type 7"):
+        parse_ihdr(PNG_MAGIC + bad + _chunk(b"IEND", b""))
+
+
+# ----------------------------------------------- the multimodal real path
+
+
+def test_decode_image_real_routes_png_and_refuses_others():
+    from hbase_observer_es_spark.operators.multimodal import decode_image_real
+
+    meta = decode_image_real(_png(4, 5, 8, 2, [bytes(12)] * 5, [0] * 5))
+    assert meta == {
+        "width": 4, "height": 5, "n_frames": 1, "fmt": "png",
+        "bit_depth": 8, "color_type": 2, "channels": 3,
+    }
+    with pytest.raises(NotImplementedError, match=r"jpeg"):
+        decode_image_real(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError, match=r"webp"):
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError, match=r"unknown"):
+        decode_image_real(b"plain text payload")
+
+
+def test_real_decode_through_arrow_batches(spark):
+    """The decoder inside the actual mapInPandas plumbing: binary payloads
+    through Arrow, real IHDR geometry out."""
+    import pandas as pd
+
+    from hbase_observer_es_spark.operators.multimodal import decode_image_real
+
+    payloads = [
+        (1, _png(4, 5, 8, 2, [bytes(12)] * 5, [0] * 5)),
+        (2, _png(9, 1, 1, 0, [bytes([0xAA, 0x80])], [0])),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            meta = [decode_image_real(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "channels": [m["channels"] for m in meta],
+                }
+            )
+
+    got = {
+        r.doc_id: (r.width, r.height, r.channels)
+        for r in df.mapInPandas(
+            decode, "doc_id long, width long, height long, channels long"
+        ).collect()
+    }
+    assert got == {1: (4, 5, 3), 2: (9, 1, 1)}
+
+
+def test_fixture_payloads_cannot_carry_png_magic():
+    """Structural hash-neutrality of the q_mm_decode routing: the registered
+    path builds payloads as encode(text, 'UTF-8'), and the PNG signature
+    byte 0x89 is not a valid UTF-8 single byte — no string column can ever
+    produce it, so the fake-codec oracle remains exactly right on every
+    fixture (and on ANY documents table, not just ours)."""
+    with pytest.raises(UnicodeDecodeError):
+        PNG_MAGIC.decode("utf-8")
