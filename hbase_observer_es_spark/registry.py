@@ -77,71 +77,44 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 10 inputs: CORRECTNESS_r01-r09 + git round boundaries; edited-fn
-# q_html_extract,q_graph_pagerank,q_graph_copurchase,q_dedup_substring,
-# q_dedup_substring_top,q_graph_components (the round's SIX new
-# registrations — all in new modules or new fns with closures disjoint
-# from every existing query per astdeps). The six never-checked queries
-# head the window, followed by the ENTIRE 42-row r6 evidence block (the
-# round-9 verdict's top item) = 48 rows,
-# still inside the ~50-row prefix — after the r10 driver window the oldest
-# remaining green becomes r7. The round's other source edits (avrosrc
-# snappy/arrow boundary, warc HTTP codings, robots/urlnorm/sitemap) sit
-# outside every registered query's closure; streaming rows keep their r9
-# green.
+# Round 11 inputs: CORRECTNESS_r01-r10 + git round boundaries; edited-fn
+# q_embed_pq,q_incremental_unseen (the round's two registrations — held
+# twins from r10, new modules). The round's operator edits: graph.py
+# (min_label_fixpoint consolidation) + dedup.py (q_dedup_clusters now
+# calls it, new graph import) + multimodal.py (real PNG routing) — their
+# file/import closures surface as tiers 1.0-1.2 below (the conservatism
+# invariant: the new dedup->graph import edge marks importers affected).
+# Window head = 2 never-checked + 26 tier-1 + the oldest tier-2 rows
+# (r7 band continues rotating through).
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_html_extract",  # never checked
-    "q_graph_pagerank",  # never checked
-    "q_graph_copurchase",  # never checked
-    "q_graph_components",  # never checked
-    "q_dedup_substring",  # never checked
-    "q_dedup_substring_top",  # never checked
+    "q_embed_pq",  # never checked
+    "q_incremental_unseen",  # never checked
+    # tier 1.0: own fn edited after last green check
+    "q_dedup_clusters",  # green r8, hbase_observer_es_spark/operators/dedup.py fn edited r11
+    "q_mm_decode",  # green r9, hbase_observer_es_spark/operators/multimodal.py fn edited r11
+    # tier 1.1: file edited after last green check (oldest green first)
+    "q_dedup_exact",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
+    "q_dedup_minhash",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
+    "q_dedup_simhash",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
+    "q_dedup_simhash_near",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
+    "q_mm_meta",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
+    "q_mm_framesample",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
+    "q_mm_resize",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
+    "q_dedup_jaccard",  # green r10, hbase_observer_es_spark/operators/dedup.py file edited r11
+    "q_graph_components",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11
+    # tier 1.2: imported helper edited after last green check (oldest green first)
+    "q_pipeline_corpus",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_mixture_weights",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_text_pack",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_sample_diversified",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_text_unigram",  # green r9, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_text_boilerplate",  # green r9, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_text_pack_sharded",  # green r9, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_sample_stratified",  # green r10, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_decontaminate",  # green r10, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_text_ngram_rep",  # green r10, hbase_observer_es_spark/operators/graph.py import edited r11
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_agg_mad",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_rate",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_daterange",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_movfn",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_bucketsort",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_derivative",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_varwidth",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_agg_itemsets",  # green r6, hbase_observer_es_spark/operators/es_aggs_final.py file edited r7, closure AST-unchanged
-    "q_search_collapse",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
-    "q_search_function_score",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
-    "q_search_rank_feature",  # green r6, hbase_observer_es_spark/operators/search_score.py file edited r7, closure AST-unchanged
-    "q_split_assign",  # green r6, hbase_observer_es_spark/operators/splits.py file edited r7, closure AST-unchanged
-    "q_join_bucketed",  # green r6, hbase_observer_es_spark/sources/filestream.py import edited r7, closure AST-unchanged
-    "q_sample_stratified",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
-    "q_decontaminate",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
-    "q_agg_sampler",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_agg_normalize",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_agg_geobounds",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_agg_topmetrics",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_agg_serialdiff",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_agg_cumcard",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_agg_pctbucket",  # green r6, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_text_ngram_rep",  # green r6, hbase_observer_es_spark/operators/dedup.py import edited r8, closure AST-unchanged
-    "q_search_phrase_prefix",  # green r6
-    "q_search_wildcard",  # green r6
-    "q_search_regexp",  # green r6
-    "q_agg_pct_sketch",  # green r6
-    "q_agg_datehist",  # green r6
-    "q_agg_composite",  # green r6
-    "q_agg_filters",  # green r6
-    "q_text_pii",  # green r6
-    "q_search_dismax",  # green r6
-    "q_search_boosting",  # green r6
-    "q_search_pinned",  # green r6
-    "q_search_multimatch",  # green r6
-    "q_search_hybrid_rrf",  # green r6
-    "q_search_span_near",  # green r6
-    "q_search_intervals",  # green r6
-    "q_sim_triplet_mine",  # green r6
-    "q_sim_knn_filtered",  # green r6
-    "q_cdc_field_missing",  # green r6
-    "q_search_percolate",  # green r6
-    "q_dedup_jaccard",  # green r7, hbase_observer_es_spark/operators/dedup.py file edited r8, closure AST-unchanged
-    "q_nested_exists",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
     "q_geo_bbox",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
     "q_geo_grid",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
     "q_geo_distance",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
@@ -190,18 +163,9 @@ _PRIORITY = (
     "q_search_mlt",  # green r8
     "q_search_sigterms",  # green r8
     "q_scan_pruned",  # green r8
-    "q_pipeline_corpus",  # green r8
-    "q_mixture_weights",  # green r8
-    "q_text_pack",  # green r8
-    "q_sample_diversified",  # green r8
     "s_win_tumbling",  # green r8
     "s_win_sliding",  # green r8
     "s_win_session",  # green r8
-    "q_dedup_exact",  # green r8
-    "q_dedup_minhash",  # green r8
-    "q_dedup_simhash",  # green r8
-    "q_dedup_simhash_near",  # green r8
-    "q_dedup_clusters",  # green r8
     "q_agg_terms_other",  # green r8
     "q_agg_range",  # green r8
     "q_agg_tophits",  # green r8
@@ -251,10 +215,6 @@ _PRIORITY = (
     "q_get_by_key",  # green r9
     "q_udf_scalar",  # green r9
     "q_udf_grouped",  # green r9
-    "q_mm_decode",  # green r9
-    "q_mm_meta",  # green r9
-    "q_mm_framesample",  # green r9
-    "q_mm_resize",  # green r9
     "q_agg_groupingsets",  # green r9
     "q_agg_percentile",  # green r9
     "q_subquery_scalar",  # green r9
@@ -275,12 +235,54 @@ _PRIORITY = (
     "q_agg_bucket_script",  # green r9
     "q_agg_boxplot",  # green r9
     "q_search_querystring",  # green r9
-    "q_text_unigram",  # green r9
-    "q_text_boilerplate",  # green r9
-    "q_text_pack_sharded",  # green r9
     "q_win_ntile",  # green r9
     "q_pivot",  # green r9
     "q_ann_recall",  # green r9
+    "q_graph_pagerank",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11, closure AST-unchanged
+    "q_graph_copurchase",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11, closure AST-unchanged
+    "q_search_phrase_prefix",  # green r10
+    "q_search_wildcard",  # green r10
+    "q_search_regexp",  # green r10
+    "q_join_bucketed",  # green r10
+    "q_agg_pct_sketch",  # green r10
+    "q_agg_datehist",  # green r10
+    "q_agg_composite",  # green r10
+    "q_agg_filters",  # green r10
+    "q_nested_exists",  # green r10
+    "q_agg_sampler",  # green r10
+    "q_agg_normalize",  # green r10
+    "q_agg_geobounds",  # green r10
+    "q_agg_topmetrics",  # green r10
+    "q_agg_serialdiff",  # green r10
+    "q_agg_cumcard",  # green r10
+    "q_agg_pctbucket",  # green r10
+    "q_agg_mad",  # green r10
+    "q_agg_rate",  # green r10
+    "q_agg_daterange",  # green r10
+    "q_agg_movfn",  # green r10
+    "q_agg_bucketsort",  # green r10
+    "q_agg_derivative",  # green r10
+    "q_agg_varwidth",  # green r10
+    "q_agg_itemsets",  # green r10
+    "q_search_collapse",  # green r10
+    "q_search_function_score",  # green r10
+    "q_search_rank_feature",  # green r10
+    "q_text_pii",  # green r10
+    "q_search_dismax",  # green r10
+    "q_search_boosting",  # green r10
+    "q_search_pinned",  # green r10
+    "q_search_multimatch",  # green r10
+    "q_search_hybrid_rrf",  # green r10
+    "q_search_span_near",  # green r10
+    "q_search_intervals",  # green r10
+    "q_sim_triplet_mine",  # green r10
+    "q_sim_knn_filtered",  # green r10
+    "q_cdc_field_missing",  # green r10
+    "q_split_assign",  # green r10
+    "q_search_percolate",  # green r10
+    "q_html_extract",  # green r10
+    "q_dedup_substring",  # green r10
+    "q_dedup_substring_top",  # green r10
 )
 
 
