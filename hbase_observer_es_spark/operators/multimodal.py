@@ -219,17 +219,58 @@ FROM (
 RESIZE_TARGET = 224  # fit-longest-side target, the usual vision-model input size
 
 
+def _fit_longest(w: int, h: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving fit: longest side → ``target``, the other scaled
+    by integer floor division with a ≥1 clamp. THE single Python copy —
+    the real branch, the fake branch, and (manually mirrored) the SQL
+    oracle must agree digit for digit."""
+    longest = max(w, h)
+    return max(1, (w * target) // longest), max(1, (h * target) // longest)
+
+
+def resize_image_real(payload: bytes, target: int = RESIZE_TARGET) -> dict:
+    """REAL image resize for formats the container can honestly decode:
+    PNG → aspect-preserving fit-to-``target`` (the same integer floor
+    arithmetic as the registered query) → nearest-neighbor resample of the
+    actual pixels → spec-valid re-encode (``operators/png.py``), all
+    stdlib. Returns source/target geometry, the re-encoded payload, and
+    ``raw_crc32`` — a CRC over geometry + the resized RAW scanlines, which
+    is implementation-independent (compressed IDAT bytes vary across zlib
+    builds; the reconstructed pixels never do). Non-PNG formats raise the
+    same per-format NotImplementedError as ``decode_image_real`` (single
+    refusal site)."""
+    import struct
+    import zlib
+
+    if bytes(payload[: len(png.PNG_MAGIC)]) != png.PNG_MAGIC:
+        decode_image_real(payload)  # raises the per-format refusal
+        raise AssertionError("decode_image_real accepted a non-PNG payload")
+    img = png.decode_png(payload)
+    ow, oh = _fit_longest(img.width, img.height, target)
+    resized = png.resize_nearest(img, ow, oh)
+    return {
+        "width": img.width,
+        "height": img.height,
+        "out_w": ow,
+        "out_h": oh,
+        "payload": png.encode_png(resized),
+        "raw_crc32": zlib.crc32(struct.pack(">II", ow, oh) + resized.raw)
+        & 0xFFFFFFFF,
+    }
+
+
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing: decode → aspect-preserving fit-to-224 → re-encode
     metadata, in ONE mapInPandas pass (decode + transform fused per Arrow batch
     — at 100 TB you never shuffle decoded pixels between stages).
 
-    The pixel work is the same deterministic fake codec as q_mm_decode (no
-    media libs in this container); the resize arithmetic is integer-exact
-    (floor division, longest side → RESIZE_TARGET, other side scaled
-    proportionally with a ≥1 clamp), so the DuckDB oracle mirrors it digit for
-    digit. Swap `_fake_decode` + the arithmetic for PIL `Image.resize` and the
-    plumbing — batch iterator, schema, 1:1 row mapping — is unchanged.
+    PNG payloads take :func:`resize_image_real` — actual pixels resampled and
+    re-encoded, the checksum a crc32 of the re-encoded bytes; everything else
+    keeps the deterministic fake codec whose arithmetic the DuckDB oracle
+    mirrors digit for digit (fit math is integer floor division with a ≥1
+    clamp on BOTH branches). As with q_mm_decode, fixture payloads are
+    encode(text,'UTF-8') and can never carry the PNG signature — the real
+    branch is pinned by tests/test_png.py, the registered path by the oracle.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
@@ -241,10 +282,22 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "out_pixels", "checksum")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                try:
+                    m = resize_image_real(b)
+                except NotImplementedError:
+                    m = None
+                if m is not None:
+                    rows["doc_id"].append(doc_id)
+                    rows["width"].append(m["width"])
+                    rows["height"].append(m["height"])
+                    rows["out_w"].append(m["out_w"])
+                    rows["out_h"].append(m["out_h"])
+                    rows["out_pixels"].append(m["out_w"] * m["out_h"])
+                    # implementation-independent: pixels, not compressed bytes
+                    rows["checksum"].append(m["raw_crc32"] % 997)
+                    continue
                 w, h, _nf, _fmt = _fake_decode(b)
-                longest = max(w, h)
-                ow = max(1, (w * RESIZE_TARGET) // longest)
-                oh = max(1, (h * RESIZE_TARGET) // longest)
+                ow, oh = _fit_longest(w, h, RESIZE_TARGET)
                 first = b[0] if b else 0
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)

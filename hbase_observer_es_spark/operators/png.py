@@ -76,26 +76,32 @@ class PngImage:
     def color_name(self) -> str:
         return _COLOR_NAMES[self.color_type]
 
-    def pixel(self, x: int, y: int) -> tuple[int, ...]:
-        """Sample tuple at (x, y): one value per channel; palette images
-        resolve through PLTE to (r, g, b). Bit-pinning accessor for tests."""
+    def sample(self, x: int, y: int) -> tuple[int, ...]:
+        """RAW sample tuple at (x, y): one value per channel, palette
+        indices UNRESOLVED — the codec-level accessor resize/re-encode
+        build on (an index image resizes by index, not by resolved RGB)."""
         if not (0 <= x < self.width and 0 <= y < self.height):
             raise IndexError(f"pixel ({x}, {y}) outside {self.width}x{self.height}")
         row = self.raw[y * self.stride : (y + 1) * self.stride]
         if self.bit_depth == 16:
             off = x * self.channels * 2
-            vals = tuple(
+            return tuple(
                 (row[off + 2 * c] << 8) | row[off + 2 * c + 1]
                 for c in range(self.channels)
             )
-        elif self.bit_depth == 8:
+        if self.bit_depth == 8:
             off = x * self.channels
-            vals = tuple(row[off + c] for c in range(self.channels))
-        else:  # 1/2/4-bit: packed MSB-first, single channel by the legality matrix
-            per_byte = 8 // self.bit_depth
-            b = row[x // per_byte]
-            shift = 8 - self.bit_depth * (x % per_byte + 1)
-            vals = ((b >> shift) & ((1 << self.bit_depth) - 1),)
+            return tuple(row[off + c] for c in range(self.channels))
+        # 1/2/4-bit: packed MSB-first, single channel by the legality matrix
+        per_byte = 8 // self.bit_depth
+        b = row[x // per_byte]
+        shift = 8 - self.bit_depth * (x % per_byte + 1)
+        return ((b >> shift) & ((1 << self.bit_depth) - 1),)
+
+    def pixel(self, x: int, y: int) -> tuple[int, ...]:
+        """Sample tuple at (x, y): one value per channel; palette images
+        resolve through PLTE to (r, g, b). Bit-pinning accessor for tests."""
+        vals = self.sample(x, y)
         if self.color_type == 3:
             idx = vals[0]
             if self.palette is None or idx >= len(self.palette):
@@ -317,4 +323,154 @@ def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
         stride=stride,
         raw=bytes(out),
         palette=palette,
+    )
+
+
+# ------------------------------------------------------------------ encoder
+
+
+def _filter_forward(rows: list[bytes], bpp: int, filter_mode) -> bytes:
+    """Forward filtering (the encoder direction). ``filter_mode``: a fixed
+    filter id 0-4 for every row, or ``"adaptive"`` — the spec's recommended
+    minimum-sum-of-absolute-differences heuristic (filtered bytes read as
+    signed), deterministic with ties broken toward the lowest filter id."""
+
+    def one(raw: bytes, prev: bytes, f: int) -> bytes:
+        out = bytearray(len(raw))
+        for i, x in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - left
+            elif f == 2:
+                v = x - up
+            elif f == 3:
+                v = x - (left + up) // 2
+            else:
+                v = x - _paeth(left, up, ul)
+            out[i] = v & 0xFF
+        return bytes(out)
+
+    if filter_mode != "adaptive" and filter_mode not in (0, 1, 2, 3, 4):
+        raise ValueError(f"png: filter_mode {filter_mode!r} not 0-4/'adaptive'")
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for raw in rows:
+        if filter_mode == "adaptive":
+            best_f, best_cost, best_line = 0, None, b""
+            for f in range(5):
+                line = one(raw, prev, f)
+                cost = sum(b if b < 128 else 256 - b for b in line)
+                if best_cost is None or cost < best_cost:
+                    best_f, best_cost, best_line = f, cost, line
+            out.append(best_f)
+            out.extend(best_line)
+        else:
+            out.append(filter_mode)
+            out.extend(one(raw, prev, filter_mode))
+        prev = raw
+    return bytes(out)
+
+
+def _chunk_bytes(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: PngImage, filter_mode="adaptive") -> bytes:
+    """Serialize a :class:`PngImage` back to a spec-valid PNG byte stream
+    (interlace 0, one IDAT). Deterministic — same image + same
+    ``filter_mode`` is byte-identical output, so re-exports are diffable
+    (the repo's sink convention). ``decode_png(encode_png(img))``
+    round-trips ``raw`` bit-exactly for every supported format."""
+    if img.width < 1 or img.height < 1:
+        raise ValueError(
+            f"png: cannot encode zero dimension {img.width}x{img.height}"
+        )
+    if img.color_type not in _CHANNELS:
+        raise ValueError(f"png: unknown color type {img.color_type}")
+    if img.bit_depth not in _LEGAL_DEPTHS[img.color_type]:
+        raise ValueError(
+            f"png: bit depth {img.bit_depth} illegal for color type "
+            f"{img.color_type}"
+        )
+    expected_stride = (img.width * img.channels * img.bit_depth + 7) // 8
+    if img.stride != expected_stride or len(img.raw) != img.stride * img.height:
+        raise ValueError(
+            f"png: raw geometry mismatch ({len(img.raw)} bytes, stride "
+            f"{img.stride}; {img.width}x{img.height} needs "
+            f"{expected_stride * img.height} at stride {expected_stride})"
+        )
+    if img.color_type == 3 and not img.palette:
+        raise ValueError("png: palette image without a palette")
+    bpp = max(1, (img.channels * img.bit_depth) // 8)
+    rows = [
+        img.raw[y * img.stride : (y + 1) * img.stride] for y in range(img.height)
+    ]
+    filtered = _filter_forward(rows, bpp, filter_mode)
+    out = bytearray(PNG_MAGIC)
+    out += _chunk_bytes(
+        b"IHDR",
+        struct.pack(
+            ">IIBBBBB", img.width, img.height, img.bit_depth, img.color_type,
+            0, 0, 0,
+        ),
+    )
+    if img.color_type == 3:
+        out += _chunk_bytes(
+            b"PLTE", bytes(v for rgb in img.palette for v in rgb)
+        )
+    out += _chunk_bytes(b"IDAT", zlib.compress(filtered, 9))
+    out += _chunk_bytes(b"IEND", b"")
+    return bytes(out)
+
+
+def resize_nearest(img: PngImage, out_w: int, out_h: int) -> PngImage:
+    """Nearest-neighbor resample to (out_w, out_h) — REAL pixel work, in
+    every supported format: source coordinate = ``(dst * src_dim) //
+    dst_dim`` (top-left-aligned floor mapping, the standard NN grid).
+    Palette images resize by INDEX (the palette rides along unchanged);
+    sub-byte and 16-bit samples repack exactly. Integer-only arithmetic,
+    so the transform is bit-deterministic across hosts."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"png: resize target {out_w}x{out_h} must be >= 1x1")
+    depth, ch = img.bit_depth, img.channels
+    out_stride = (out_w * ch * depth + 7) // 8
+    out = bytearray(out_stride * out_h)
+    for y in range(out_h):
+        sy = (y * img.height) // out_h
+        base = y * out_stride
+        if depth >= 8:
+            px_bytes = ch * depth // 8
+            src_row = img.raw[sy * img.stride : (sy + 1) * img.stride]
+            for x in range(out_w):
+                sx = (x * img.width) // out_w
+                out[base + x * px_bytes : base + (x + 1) * px_bytes] = src_row[
+                    sx * px_bytes : (sx + 1) * px_bytes
+                ]
+        else:
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            src_row = img.raw[sy * img.stride : (sy + 1) * img.stride]
+            for x in range(out_w):
+                sx = (x * img.width) // out_w
+                v = (src_row[sx // per_byte] >> (8 - depth * (sx % per_byte + 1))) & mask
+                shift = 8 - depth * (x % per_byte + 1)
+                out[base + x // per_byte] |= v << shift
+    return PngImage(
+        width=out_w,
+        height=out_h,
+        bit_depth=depth,
+        color_type=img.color_type,
+        channels=ch,
+        stride=out_stride,
+        raw=bytes(out),
+        palette=img.palette,
     )

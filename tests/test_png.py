@@ -358,3 +358,141 @@ def test_fixture_payloads_cannot_carry_png_magic():
     fixture (and on ANY documents table, not just ours)."""
     with pytest.raises(UnicodeDecodeError):
         PNG_MAGIC.decode("utf-8")
+
+
+# ------------------------------------------------- encoder + real resize
+
+
+def _filtered_stream(data: bytes) -> bytes:
+    """Inflate the IDAT stream via the PRODUCTION chunk walker (no second
+    parser to drift), for filter-byte pins."""
+    from hbase_observer_es_spark.operators.png import _chunks
+
+    return zlib.decompress(
+        b"".join(p for t, p in _chunks(data, "test") if t == b"IDAT")
+    )
+
+
+@pytest.mark.parametrize("mode", [0, 2, "adaptive"])
+@pytest.mark.parametrize(
+    "w,h,depth,color,rows,plte",
+    [
+        (4, 3, 8, 2, [bytes((r * 53 + i * 17) % 256 for i in range(12)) for r in range(3)], None),
+        (3, 2, 16, 0, [struct.pack(">HHH", 1, 60000, 300), struct.pack(">HHH", 7, 8, 9)], None),
+        (5, 1, 4, 3, [bytes([0x01, 0x21, 0x00])], [255, 0, 0, 0, 255, 0, 0, 0, 255]),
+        (9, 2, 1, 0, [bytes([0xAA, 0x80]), bytes([0x55, 0x00])], None),
+        (2, 2, 8, 6, [bytes(range(8)), bytes(range(50, 58))], None),
+        (2, 1, 8, 4, [bytes([10, 20, 30, 40])], None),
+    ],
+)
+def test_encode_decode_roundtrip_every_format(w, h, depth, color, rows, plte, mode):
+    src = decode_png(_png(w, h, depth, color, rows, [0] * h, plte=plte))
+    from hbase_observer_es_spark.operators.png import encode_png
+
+    enc = encode_png(src, filter_mode=mode)
+    assert enc == encode_png(src, filter_mode=mode)  # deterministic bytes
+    back = decode_png(enc)
+    assert back.raw == src.raw
+    assert (back.width, back.height, back.bit_depth, back.color_type) == (
+        w, h, depth, color
+    )
+    assert back.palette == src.palette
+
+
+def test_adaptive_filter_picks_sub_on_horizontal_gradient():
+    """A steady horizontal gradient makes Sub the constant-delta (minimum
+    SAD) choice — pin the heuristic's actual decision, not just validity."""
+    from hbase_observer_es_spark.operators.png import encode_png
+
+    row = bytes(range(10, 10 + 32))  # +1 per byte
+    src = decode_png(_png(32, 1, 8, 0, [row], [0]))
+    assert _filtered_stream(encode_png(src, filter_mode="adaptive"))[0] == 1
+
+
+def test_encode_rejects_geometry_lies_and_bad_modes():
+    from hbase_observer_es_spark.operators.png import PngImage, encode_png
+
+    good = decode_png(_png(2, 1, 8, 0, [bytes([1, 2])], [0]))
+    with pytest.raises(ValueError, match=r"raw geometry mismatch"):
+        encode_png(PngImage(2, 1, 8, 0, 1, 2, b"\x01\x02\x03", None))
+    with pytest.raises(ValueError, match=r"filter_mode 9"):
+        encode_png(good, filter_mode=9)
+    with pytest.raises(ValueError, match=r"palette image without"):
+        encode_png(PngImage(1, 1, 8, 3, 1, 1, b"\x00", None))
+    with pytest.raises(ValueError, match=r"cannot encode zero dimension"):
+        encode_png(PngImage(2, 0, 8, 0, 1, 2, b"", None))
+    with pytest.raises(ValueError, match=r"cannot encode zero dimension"):
+        encode_png(PngImage(0, 1, 8, 0, 1, 0, b"", None))
+
+
+def test_resize_nearest_upsample_duplicates_blocks():
+    from hbase_observer_es_spark.operators.png import resize_nearest
+
+    rows = [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]
+    src = decode_png(_png(2, 2, 8, 2, rows, [0, 0]))
+    up = resize_nearest(src, 4, 4)
+    for y in range(4):
+        for x in range(4):
+            assert up.pixel(x, y) == src.pixel(x // 2, y // 2)
+
+
+def test_resize_nearest_downsample_floor_grid():
+    from hbase_observer_es_spark.operators.png import resize_nearest
+
+    rows = [bytes((y * 16 + x) for x in range(4)) for y in range(4)]
+    src = decode_png(_png(4, 4, 8, 0, rows, [0] * 4))
+    down = resize_nearest(src, 2, 2)
+    assert [down.pixel(x, y)[0] for y in (0, 1) for x in (0, 1)] == [
+        0, 2, 32, 34
+    ]
+
+
+def test_resize_nearest_palette_and_subbyte_and_16bit():
+    from hbase_observer_es_spark.operators.png import resize_nearest
+
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    pal = decode_png(_png(5, 1, 4, 3, [bytes([0x01, 0x21, 0x00])], [0], plte=plte))
+    rp = resize_nearest(pal, 3, 1)  # sx = 0, 1, 3 -> indices 0, 1, 1
+    assert rp.palette == pal.palette
+    assert [rp.pixel(x, 0) for x in range(3)] == [
+        (255, 0, 0), (0, 255, 0), (0, 255, 0)
+    ]
+    one = decode_png(_png(9, 1, 1, 0, [bytes([0xAA, 0x80])], [0]))
+    r1 = resize_nearest(one, 3, 1)  # sx = 0, 3, 6 -> bits 1, 0, 1
+    assert [r1.pixel(x, 0)[0] for x in range(3)] == [1, 0, 1]
+    deep = decode_png(
+        _png(2, 1, 16, 0, [struct.pack(">HH", 0x1234, 0xBEEF)], [0])
+    )
+    assert resize_nearest(deep, 1, 1).pixel(0, 0) == (0x1234,)
+    with pytest.raises(ValueError, match=r"must be >= 1x1"):
+        resize_nearest(deep, 0, 1)
+
+
+def test_resize_identity_is_raw_identical():
+    from hbase_observer_es_spark.operators.png import resize_nearest
+
+    rows = [bytes((r * 53 + i * 17) % 256 for i in range(12)) for r in range(3)]
+    src = decode_png(_png(4, 3, 8, 2, rows, [0] * 3))
+    assert resize_nearest(src, 4, 3).raw == src.raw
+
+
+def test_resize_image_real_end_to_end():
+    """PNG in → decoded → fit-to-224 NN resample of REAL pixels → spec-valid
+    PNG out; geometry and corner pixels pinned."""
+    from hbase_observer_es_spark.operators.multimodal import resize_image_real
+
+    rows = [bytes((r * 53 + i * 17) % 256 for i in range(12)) for r in range(5)]
+    payload = _png(4, 5, 8, 2, rows, [0] * 5)
+    m = resize_image_real(payload)
+    assert (m["width"], m["height"], m["out_w"], m["out_h"]) == (4, 5, 179, 224)
+    out = decode_png(m["payload"])
+    assert (out.width, out.height) == (179, 224)
+    src = decode_png(payload)
+    # NN floor mapping: out corner pixels come from src corners
+    assert out.pixel(0, 0) == src.pixel(0, 0)
+    assert out.pixel(178, 223) == src.pixel((178 * 4) // 179, (223 * 5) // 224)
+    # checksum contract: geometry + reconstructed scanlines, NOT the
+    # compressed payload (zlib builds differ across hosts; pixels don't)
+    assert m["raw_crc32"] == zlib.crc32(struct.pack(">II", 179, 224) + out.raw)
+    with pytest.raises(NotImplementedError, match=r"jpeg"):
+        resize_image_real(b"\xff\xd8\xffrest")
