@@ -62,6 +62,8 @@ def decode_image_real(payload: bytes) -> dict:
         kind = "jpeg"
     elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         kind = "webp"
+    elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        kind = "riff/wave AUDIO (route it to operators/wav.py, not the image decoder)"
     else:
         kind = f"unknown (magic {head[:8]!r})"
     raise NotImplementedError(

@@ -1,0 +1,304 @@
+"""WAV/PCM audio decode from the public RIFF/WAVE format, stdlib-only.
+
+The multimodal family treats audio as opaque binary + typed metadata, with
+real decode gated on what the container can honestly implement. WAV needs
+no codec library at all: the RIFF container and PCM sample layout are
+fully public, and ``struct`` covers every byte — the same from-spec
+discipline as the PNG decoder (``operators/png.py``) and the Avro/snappy
+readers. Implemented subset:
+
+* RIFF walk: ``RIFF`` size ``WAVE``, then length-prefixed chunks with the
+  spec's even-byte padding rule; unknown chunks skipped, ``fmt `` and
+  ``data`` required, duplicates refused;
+* ``fmt `` parse with cross-field validation (``block_align`` =
+  channels × bytes/sample, ``byte_rate`` = rate × block_align — a lying
+  header dies loudly, never misframes samples);
+* sample formats: PCM unsigned 8-bit, signed little-endian 16/24/32-bit,
+  IEEE float32/float64 (format tag 3). Compressed/extensible tags
+  (μ-law, ADPCM, 0xFFFE) are refused by name;
+* per-sample access and integer-exact corpus features: peak amplitude,
+  zero-crossing count, sum of absolute sample values — the cheap audio
+  quality/filter signals, all integer arithmetic for PCM so a DuckDB or
+  bit-exact-model mirror can reproduce them digit for digit.
+
+Scale posture: like PNG, decode runs inside mapInPandas over Arrow
+batches — payloads never shuffle, one clip in memory at a time, and the
+feature reducers are single-pass streaming sums. ``sum_abs`` is bounded by
+2^31 × n_samples, guarded against int64 overflow with a loud cap rather
+than a silent wrap.
+
+Reference parity: none (the reference has no media surface) — builder-brief
+LLM-pipeline surface, the audio leg of SURVEY §2-D's multimodal family.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+WAV_HEADER = (b"RIFF", b"WAVE")  # bytes 0-3 and 8-11
+
+_FORMAT_NAMES = {
+    0x0002: "adpcm",
+    0x0006: "a-law",
+    0x0007: "mu-law",
+    0x0055: "mp3",
+    0xFFFE: "wave-format-extensible",
+}
+
+
+def looks_like_wav(payload: bytes) -> bool:
+    return payload[:4] == WAV_HEADER[0] and payload[8:12] == WAV_HEADER[1]
+
+
+@dataclass
+class WavAudio:
+    """Decoded clip: ``data`` is the raw interleaved sample bytes exactly as
+    stored; accessors unpack per (frame, channel). ``fmt_tag`` is 1 (PCM)
+    or 3 (IEEE float)."""
+
+    fmt_tag: int
+    channels: int
+    sample_rate: int
+    bit_depth: int
+    n_frames: int
+    data: bytes
+
+    @property
+    def duration_us(self) -> int:
+        """Microseconds, floor — exact integer division by the sample rate."""
+        return (self.n_frames * 1_000_000) // self.sample_rate
+
+    def sample(self, frame: int, ch: int) -> int | float:
+        """One sample value: signed int for PCM (8-bit unsigned is
+        re-centered to signed per the spec's convention: stored 0..255,
+        midpoint 128), float for IEEE."""
+        if not (0 <= frame < self.n_frames and 0 <= ch < self.channels):
+            raise IndexError(
+                f"sample ({frame}, {ch}) outside {self.n_frames}x{self.channels}"
+            )
+        bps = self.bit_depth // 8
+        off = (frame * self.channels + ch) * bps
+        b = self.data[off : off + bps]
+        if self.fmt_tag == 3:
+            return struct.unpack("<f" if bps == 4 else "<d", b)[0]
+        if bps == 1:
+            return b[0] - 128
+        v = int.from_bytes(b, "little", signed=True)
+        return v
+
+    def samples(self) -> list:
+        """ALL samples, interleaved (frame-major, channel-minor), decoded in
+        ONE pass — the bulk accessor the feature reducers use; per-sample
+        ``sample()`` calls in a hot loop are ~3 interpreted operations per
+        value, this is one struct.unpack for the whole buffer."""
+        n = self.n_frames * self.channels
+        if self.fmt_tag == 3:
+            return list(
+                struct.unpack(f"<{n}{'f' if self.bit_depth == 32 else 'd'}", self.data)
+            )
+        if self.bit_depth == 8:
+            return [b - 128 for b in self.data]
+        if self.bit_depth == 16:
+            return list(struct.unpack(f"<{n}h", self.data))
+        if self.bit_depth == 32:
+            return list(struct.unpack(f"<{n}i", self.data))
+        # 24-bit: no struct code — sign-extend three little-endian bytes
+        d = self.data
+        return [
+            int.from_bytes(d[i : i + 3], "little", signed=True)
+            for i in range(0, len(d), 3)
+        ]
+
+
+def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
+    """Parse one RIFF/WAVE file. Fail-loud with ``origin`` context on any
+    structural violation; compressed formats refused by name."""
+    if not looks_like_wav(data):
+        raise ValueError(
+            f"wav {origin}: not a RIFF/WAVE stream "
+            f"(bytes 0-3 {data[:4]!r}, 8-11 {data[8:12]!r})"
+        )
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 != len(data):
+        raise ValueError(
+            f"wav {origin}: RIFF size {riff_size} + 8 != file size {len(data)}"
+        )
+    pos = 12
+    fmt = None
+    frames_data = None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError(f"wav {origin}: truncated chunk header at byte {pos}")
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        end = pos + 8 + length
+        if end > len(data):
+            raise ValueError(
+                f"wav {origin}: chunk {ctype!r} at byte {pos} overruns the "
+                f"file (declared length {length})"
+            )
+        payload = data[pos + 8 : end]
+        if ctype == b"fmt ":
+            if fmt is not None:
+                raise ValueError(f"wav {origin}: duplicate fmt chunk")
+            if length < 16:
+                raise ValueError(f"wav {origin}: fmt chunk length {length} < 16")
+            tag, ch, rate, byte_rate, block_align, depth = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            if tag not in (1, 3):
+                name = _FORMAT_NAMES.get(tag, f"0x{tag:04x}")
+                raise ValueError(
+                    f"wav {origin}: compressed/extensible format {name} "
+                    "unsupported (PCM and IEEE float only)"
+                )
+            if tag == 1 and depth not in (8, 16, 24, 32):
+                raise ValueError(
+                    f"wav {origin}: PCM bit depth {depth} unsupported "
+                    "(8/16/24/32)"
+                )
+            if tag == 3 and depth not in (32, 64):
+                raise ValueError(
+                    f"wav {origin}: IEEE float bit depth {depth} unsupported "
+                    "(32/64)"
+                )
+            if ch == 0 or rate == 0:
+                raise ValueError(
+                    f"wav {origin}: zero channels ({ch}) or sample rate ({rate})"
+                )
+            if block_align != ch * (depth // 8):
+                raise ValueError(
+                    f"wav {origin}: block_align {block_align} != channels "
+                    f"{ch} x {depth // 8} bytes/sample — refusing to guess "
+                    "the frame layout"
+                )
+            if byte_rate != rate * block_align:
+                raise ValueError(
+                    f"wav {origin}: byte_rate {byte_rate} != sample_rate "
+                    f"{rate} x block_align {block_align}"
+                )
+            fmt = (tag, ch, rate, block_align, depth)
+        elif ctype == b"data":
+            if frames_data is not None:
+                raise ValueError(f"wav {origin}: duplicate data chunk")
+            frames_data = payload
+        # spec: chunks pad to even total length; the pad byte is not counted
+        pos = end + (length & 1)
+    if fmt is None:
+        raise ValueError(f"wav {origin}: missing fmt chunk")
+    if frames_data is None:
+        raise ValueError(f"wav {origin}: missing data chunk")
+    tag, ch, rate, block_align, depth = fmt
+    if len(frames_data) % block_align:
+        raise ValueError(
+            f"wav {origin}: data length {len(frames_data)} not a multiple of "
+            f"block_align {block_align} (torn final frame)"
+        )
+    return WavAudio(
+        fmt_tag=tag,
+        channels=ch,
+        sample_rate=rate,
+        bit_depth=depth,
+        n_frames=len(frames_data) // block_align,
+        data=frames_data,
+    )
+
+
+_SUM_ABS_CAP = (1 << 62)  # loud guard far under int64 overflow
+
+
+def wav_features(audio: WavAudio, origin: str = "<clip>") -> dict:
+    """Single-pass integer-exact corpus features over ALL channels:
+
+    * ``peak`` — max absolute sample value (int for PCM; floats are scaled
+      by 2^15 and truncated so the column stays integer-typed);
+    * ``zero_crossings`` — sign changes between consecutive frames on
+      channel 0 (zero samples carry the previous sign, the standard ZCR
+      convention for runs);
+    * ``sum_abs`` — sum of absolute sample values, the silence/clipping
+      screen; guarded against int64 overflow.
+
+    These are the cheap pre-filter signals (silence, clipping, dead
+    channels) a pipeline runs before any expensive model featurization —
+    deliberately transcendental-free (no dB/log) per the engine's D10
+    hash-stability rule. IEEE-float clips containing NaN/inf samples are
+    refused by name with ``origin`` context (corrupted scraped audio must
+    be identifiable, not an anonymous executor OverflowError)."""
+    import math
+
+    peak = 0
+    sum_abs = 0
+    crossings = 0
+    prev_sign = 0
+    ch_n = audio.channels
+    flat = audio.samples()  # ONE bulk decode; the loop below is pure ints
+    if audio.fmt_tag == 3:
+        if not all(map(math.isfinite, flat)):
+            bad = next(i for i, v in enumerate(flat) if not math.isfinite(v))
+            raise ValueError(
+                f"wav {origin}: non-finite IEEE sample (NaN/inf) at frame "
+                f"{bad // ch_n} channel {bad % ch_n} — corrupt or "
+                "unnormalized audio, refusing to fold it into features"
+            )
+        flat = [int(v * (1 << 15)) for v in flat]
+    for i, v in enumerate(flat):
+        a = -v if v < 0 else v
+        if a > peak:
+            peak = a
+        sum_abs += a
+        if sum_abs > _SUM_ABS_CAP:
+            raise ValueError(
+                f"wav {origin}: sum_abs exceeds the int64 guard — clip "
+                "longer than ~2^31 frames at full scale; shard the clip "
+                "or widen the accumulator"
+            )
+        if i % ch_n == 0:  # channel-0 stream drives the ZCR
+            s = (1 if v > 0 else -1) if v != 0 else prev_sign
+            if prev_sign != 0 and s != prev_sign:
+                crossings += 1
+            prev_sign = s
+    return {
+        "sample_rate": audio.sample_rate,
+        "channels": audio.channels,
+        "bit_depth": audio.bit_depth,
+        "n_frames": audio.n_frames,
+        "duration_us": audio.duration_us,
+        "peak": peak,
+        "zero_crossings": crossings,
+        "sum_abs": sum_abs,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "sample_rate long, channels long, bit_depth long, n_frames long,"
+    " duration_us long, peak long, zero_crossings long, sum_abs long"
+)
+
+
+def audio_features_frame(df, payload_col: str = "payload", id_col: str = "doc_id"):
+    """mapInPandas feature extraction over a binary WAV column — the audio
+    twin of the image decode plumbing: Arrow batches in, one typed feature
+    row per clip out, no shuffle (payloads die executor-side)."""
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    id_col, "sample_rate", "channels", "bit_depth", "n_frames",
+                    "duration_us", "peak", "zero_crossings", "sum_abs",
+                )
+            }
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                origin = str(key)
+                feats = wav_features(
+                    parse_wav(bytes(payload), origin=origin), origin=origin
+                )
+                rows[id_col].append(key)
+                for k, v in feats.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, f"{id_col} long, {AUDIO_FEATURE_SCHEMA}")

@@ -1,0 +1,258 @@
+"""WAV decoder vs the public RIFF/WAVE format: hand-built byte streams with
+hand-derived expected samples/features (the Avro/PNG golden discipline),
+plus fail-loud structural violations and the Spark mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hbase_observer_es_spark.operators.wav import (
+    audio_features_frame,
+    looks_like_wav,
+    parse_wav,
+    wav_features,
+)
+
+# ---------------------------------------------------------------- test builder
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    """RIFF chunk with the spec's even-length pad byte."""
+    pad = b"\x00" if len(payload) & 1 else b""
+    return ctype + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _fmt(tag, ch, rate, depth, block_align=None, byte_rate=None) -> bytes:
+    ba = block_align if block_align is not None else ch * (depth // 8)
+    br = byte_rate if byte_rate is not None else rate * ba
+    return _chunk(b"fmt ", struct.pack("<HHIIHH", tag, ch, rate, br, ba, depth))
+
+
+def _wav(*chunks: bytes) -> bytes:
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _pcm16(samples) -> bytes:
+    return struct.pack(f"<{len(samples)}h", *samples)
+
+
+# -------------------------------------------------------------------- goldens
+
+
+def test_golden_pcm16_mono_samples_and_features():
+    """Hand-derived: samples (0, 1000, -1000, 32767, -32768) at 8 kHz ->
+    peak 32768 (abs of the -32768 rail), sum_abs 67535, 3 sign changes
+    (the leading zero carries no sign), duration 5/8000 s = 625 us."""
+    data = _wav(_fmt(1, 1, 8000, 16),
+                _chunk(b"data", _pcm16([0, 1000, -1000, 32767, -32768])))
+    a = parse_wav(data)
+    assert (a.fmt_tag, a.channels, a.sample_rate, a.bit_depth, a.n_frames) == (
+        1, 1, 8000, 16, 5
+    )
+    assert [a.sample(i, 0) for i in range(5)] == [0, 1000, -1000, 32767, -32768]
+    assert wav_features(a) == {
+        "sample_rate": 8000, "channels": 1, "bit_depth": 16, "n_frames": 5,
+        "duration_us": 625, "peak": 32768, "zero_crossings": 3,
+        "sum_abs": 67535,
+    }
+
+
+def test_pcm8_unsigned_recenters_to_signed():
+    data = _wav(_fmt(1, 1, 44100, 8), _chunk(b"data", bytes([128, 255, 0])))
+    a = parse_wav(data)
+    assert [a.sample(i, 0) for i in range(3)] == [0, 127, -128]
+
+
+def test_pcm24_little_endian_signed():
+    frames = b"\x01\x00\x00" + b"\xff\xff\xff" + b"\x00\x00\x80"
+    a = parse_wav(_wav(_fmt(1, 1, 48000, 24), _chunk(b"data", frames)))
+    assert [a.sample(i, 0) for i in range(3)] == [1, -1, -(1 << 23)]
+
+
+def test_float32_samples_and_scaled_peak():
+    frames = struct.pack("<4f", 0.5, -0.25, 0.0, 1.0)
+    a = parse_wav(_wav(_fmt(3, 1, 16000, 32), _chunk(b"data", frames)))
+    assert a.sample(0, 0) == 0.5
+    f = wav_features(a)
+    assert f["peak"] == 32768  # 1.0 * 2^15
+    assert f["sum_abs"] == 16384 + 8192 + 0 + 32768
+
+
+def test_float64_supported():
+    frames = struct.pack("<2d", -1.0, 0.5)
+    a = parse_wav(_wav(_fmt(3, 1, 8000, 64), _chunk(b"data", frames)))
+    assert a.sample(0, 0) == -1.0
+
+
+def test_stereo_interleave_and_all_channel_features():
+    # frames: (L,R) = (100, -200), (-300, 400)
+    data = _wav(_fmt(1, 2, 22050, 16),
+                _chunk(b"data", _pcm16([100, -200, -300, 400])))
+    a = parse_wav(data)
+    assert (a.sample(0, 0), a.sample(0, 1)) == (100, -200)
+    assert (a.sample(1, 0), a.sample(1, 1)) == (-300, 400)
+    f = wav_features(a)
+    assert f["sum_abs"] == 1000  # all channels summed
+    assert f["peak"] == 400
+    assert f["zero_crossings"] == 1  # channel 0 only: +100 -> -300
+
+
+def test_unknown_chunks_skipped_with_odd_length_padding():
+    junk = _chunk(b"LIST", b"abc")  # length 3 -> padded to 4
+    assert len(junk) == 8 + 4
+    data = _wav(junk, _fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([7])),
+                _chunk(b"cue ", b"x"))
+    assert parse_wav(data).sample(0, 0) == 7
+
+
+def test_duration_floor_division():
+    a = parse_wav(_wav(_fmt(1, 1, 44100, 16), _chunk(b"data", _pcm16([0] * 441))))
+    assert a.duration_us == 10000
+    b = parse_wav(_wav(_fmt(1, 1, 3, 16), _chunk(b"data", _pcm16([0, 0]))))
+    assert b.duration_us == 666666  # floor(2e6 / 3)
+
+
+# ----------------------------------------------------------------- fail-loud
+
+
+def _valid() -> bytes:
+    return _wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([1, -1])))
+
+
+def test_looks_like_wav():
+    assert looks_like_wav(_valid())
+    assert not looks_like_wav(b"RIFFxxxxAVI ")
+    assert not looks_like_wav(b"")
+
+
+@pytest.mark.parametrize(
+    "mutilate, msg",
+    [
+        (lambda d: b"FORM" + d[4:], r"not a RIFF/WAVE"),
+        (lambda d: d[:4] + struct.pack("<I", 5) + d[8:], r"RIFF size 5"),
+        (lambda d: d[:-3], r"RIFF size|overruns"),
+        (lambda d: d + b"\x00\x00", r"RIFF size"),
+    ],
+)
+def test_container_violations(mutilate, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_wav(mutilate(_valid()))
+
+
+def test_truncated_chunk_header():
+    body = b"WAVE" + b"fmt"  # 3 bytes, no length
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match=r"truncated chunk header"):
+        parse_wav(data)
+
+
+@pytest.mark.parametrize(
+    "chunks, msg",
+    [
+        ((_fmt(1, 1, 8000, 16),), r"missing data chunk"),
+        ((_chunk(b"data", b""),), r"missing fmt chunk"),
+        ((_fmt(1, 1, 8000, 16), _fmt(1, 1, 8000, 16), _chunk(b"data", b"")),
+         r"duplicate fmt"),
+        ((_fmt(1, 1, 8000, 16), _chunk(b"data", b""), _chunk(b"data", b"")),
+         r"duplicate data"),
+        ((_fmt(1, 1, 8000, 16), _chunk(b"data", b"\x01")),
+         r"not a multiple of block_align"),
+        ((_fmt(7, 1, 8000, 16), _chunk(b"data", b"")), r"mu-law"),
+        ((_fmt(0xFFFE, 1, 8000, 16), _chunk(b"data", b"")),
+         r"wave-format-extensible"),
+        ((_fmt(2, 1, 8000, 16), _chunk(b"data", b"")), r"adpcm"),
+        ((_fmt(1, 0, 8000, 16), _chunk(b"data", b"")), r"zero channels"),
+        ((_fmt(1, 1, 0, 16, block_align=2, byte_rate=0), _chunk(b"data", b"")),
+         r"sample rate \(0\)"),
+        ((_fmt(1, 1, 8000, 12), _chunk(b"data", b"")), r"bit depth 12"),
+        ((_fmt(3, 1, 8000, 16), _chunk(b"data", b"")),
+         r"float bit depth 16"),
+        ((_fmt(1, 2, 8000, 16, block_align=2), _chunk(b"data", b"")),
+         r"block_align 2 != channels 2"),
+        ((_fmt(1, 1, 8000, 16, byte_rate=999), _chunk(b"data", b"")),
+         r"byte_rate 999"),
+    ],
+)
+def test_fmt_violations(chunks, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_wav(_wav(*chunks))
+
+
+def test_sum_abs_overflow_guard(monkeypatch):
+    import hbase_observer_es_spark.operators.wav as wavmod
+
+    monkeypatch.setattr(wavmod, "_SUM_ABS_CAP", 10)
+    a = parse_wav(_wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([6, 6]))))
+    with pytest.raises(ValueError, match=r"sum_abs exceeds the int64 guard"):
+        wav_features(a)
+
+
+def test_sample_out_of_bounds():
+    a = parse_wav(_valid())
+    with pytest.raises(IndexError):
+        a.sample(2, 0)
+    with pytest.raises(IndexError):
+        a.sample(0, 1)
+
+
+# ------------------------------------------------- the Spark plumbing
+
+
+def test_audio_features_through_arrow_batches(spark):
+    payloads = [
+        (1, _wav(_fmt(1, 1, 8000, 16),
+                 _chunk(b"data", _pcm16([0, 1000, -1000, 32767, -32768])))),
+        (2, _wav(_fmt(1, 2, 22050, 16),
+                 _chunk(b"data", _pcm16([100, -200, -300, 400])))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r.asDict() for r in audio_features_frame(df).collect()}
+    assert got[1]["peak"] == 32768 and got[1]["zero_crossings"] == 3
+    assert got[2]["sum_abs"] == 1000 and got[2]["duration_us"] == 90
+    # plan shape: one python stage over the scan, zero exchanges
+    plan = audio_features_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corrupt_payload_names_its_origin(spark):
+    df = spark.createDataFrame([(9, b"not audio")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match=r"wav 9: not a RIFF/WAVE"):
+        audio_features_frame(df).collect()
+
+
+def test_nonfinite_float_samples_refused_by_name():
+    frames = struct.pack("<3f", 0.5, float("nan"), 0.25)
+    a = parse_wav(_wav(_fmt(3, 1, 8000, 32), _chunk(b"data", frames)))
+    with pytest.raises(ValueError, match=r"wav clip-7: non-finite IEEE sample.*frame 1 channel 0"):
+        wav_features(a, origin="clip-7")
+    inf = parse_wav(_wav(_fmt(3, 2, 8000, 32),
+                         _chunk(b"data", struct.pack("<4f", 0.0, float("inf"), 1.0, 2.0))))
+    with pytest.raises(ValueError, match=r"frame 0 channel 1"):
+        wav_features(inf)
+
+
+def test_bulk_samples_match_point_accessor():
+    for build in (
+        _wav(_fmt(1, 2, 8000, 16), _chunk(b"data", _pcm16([100, -200, -300, 400]))),
+        _wav(_fmt(1, 1, 8000, 8), _chunk(b"data", bytes([128, 255, 0]))),
+        _wav(_fmt(1, 1, 8000, 24),
+             _chunk(b"data", b"\x01\x00\x00\xff\xff\xff\x00\x00\x80")),
+        _wav(_fmt(1, 1, 8000, 32), _chunk(b"data", struct.pack("<2i", -70000, 70000))),
+        _wav(_fmt(3, 1, 8000, 32), _chunk(b"data", struct.pack("<2f", 0.5, -0.25))),
+        _wav(_fmt(3, 1, 8000, 64), _chunk(b"data", struct.pack("<2d", -1.0, 0.5))),
+    ):
+        a = parse_wav(build)
+        flat = a.samples()
+        assert flat == [
+            a.sample(f, c) for f in range(a.n_frames) for c in range(a.channels)
+        ]
+
+
+def test_wav_payload_named_in_image_decoder_refusal():
+    from hbase_observer_es_spark.operators.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError, match=r"riff/wave AUDIO"):
+        decode_image_real(_valid())
