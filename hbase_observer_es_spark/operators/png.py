@@ -12,16 +12,18 @@ discipline as the repo's Avro container reader and snappy decompressor
 * IHDR geometry/format parse with the spec's legal bit-depth × color-type
   matrix enforced;
 * concatenated-IDAT zlib inflate with an exact expected-size check;
-* the five scanline filter reconstructions (None/Sub/Up/Average/Paeth) over
-  interlace-method-0 images, all color types (gray, RGB, palette,
-  gray+alpha, RGBA) and all legal bit depths (1/2/4/8/16);
+* the five scanline filter reconstructions (None/Sub/Up/Average/Paeth),
+  all color types (gray, RGB, palette, gray+alpha, RGBA) and all legal
+  bit depths (1/2/4/8/16);
+* BOTH interlace methods: 0 (sequential) and 1 (Adam7 — seven
+  independently-filtered passes de-interlaced into the final raster,
+  empty passes contributing zero bytes per spec);
 * PLTE handling for indexed images and a ``pixel(x, y)`` accessor that
   unpacks sub-byte samples (MSB-first) and 16-bit samples (big-endian) so
-  tests can bit-pin individual pixel values.
-
-Adam7 interlace (method 1) is refused loudly — the streaming-progressive
-layout is a presentation optimization with no information the pipeline
-needs, and a silent wrong-geometry decode would be worse than an error.
+  tests can bit-pin individual pixel values;
+* the write direction: ``encode_png`` (always interlace-0 — re-encoding
+  normalizes progressive assets, which is what a pipeline wants) and
+  ``resize_nearest`` (real integer nearest-neighbor pixel resampling).
 
 Scale posture: decoding runs INSIDE the multimodal mapInPandas stages (one
 Python call per payload within an Arrow batch) — pixels never cross a
@@ -123,6 +125,64 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int, origin: str) -> bytearray:
+    """The five filter reconstructions over one (sub-)image: ``raw`` is
+    ``h`` rows of (filter byte + ``stride`` data bytes); returns the
+    reconstructed ``h * stride`` raster. Shared by the interlace-0 path
+    and each Adam7 pass (filters never cross pass boundaries, per spec)."""
+    out = bytearray(stride * h)
+    prev_start = None
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
+        cur_start = y * stride
+        if ftype == 0:  # None
+            out[cur_start : cur_start + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[cur_start + i - bpp] if i >= bpp else 0
+                out[cur_start + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[prev_start + i] if prev_start is not None else 0
+                out[cur_start + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[cur_start + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start is not None else 0
+                out[cur_start + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = out[cur_start + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start is not None else 0
+                ul = (
+                    out[prev_start + i - bpp]
+                    if (prev_start is not None and i >= bpp)
+                    else 0
+                )
+                out[cur_start + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(
+                f"png {origin}: undefined filter type {ftype} on row {y} "
+                "(spec defines 0-4)"
+            )
+        prev_start = cur_start
+    return out
+
+
 def _chunks(data: bytes, origin: str):
     """Yield (type, payload) walking the chunk stream; verifies each CRC32
     (over type+payload, per spec) and structural bounds."""
@@ -198,15 +258,11 @@ def parse_ihdr(data: bytes, origin: str = "<bytes>") -> dict:
 
 def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
     """Full decode: chunk walk → IDAT inflate → per-scanline filter
-    reconstruction. Fail-loud with ``origin`` context on any structural
-    violation (bad CRC, non-consecutive IDAT, inflate size drift,
-    undefined filter byte, Adam7)."""
+    reconstruction (Adam7 passes de-interlaced into the final raster).
+    Fail-loud with ``origin`` context on any structural violation (bad
+    CRC, non-consecutive IDAT, inflate size drift, undefined filter
+    byte)."""
     hdr = parse_ihdr(data, origin)
-    if hdr["interlace"] != 0:
-        raise ValueError(
-            f"png {origin}: Adam7 interlace unsupported (interlace-0 subset "
-            "by design — re-encode progressive assets before ingest)"
-        )
     w, h, depth, color = (
         hdr["width"],
         hdr["height"],
@@ -244,7 +300,21 @@ def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
 
     stride = (w * channels * depth + 7) // 8  # bytes per reconstructed row
     bpp = max(1, (channels * depth) // 8)  # filter step, per spec
-    expected = (stride + 1) * h
+    if hdr["interlace"] == 0:
+        pass_geom = [(0, 0, 1, 1, w, h, stride)]
+    else:
+        # Adam7: seven sub-images, each filtered independently; empty
+        # passes (zero width or height at this geometry) contribute no
+        # bytes, not even filter bytes, per spec
+        pass_geom = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = 0 if x0 >= w else (w - x0 + dx - 1) // dx
+            ph = 0 if y0 >= h else (h - y0 + dy - 1) // dy
+            if pw and ph:
+                pass_geom.append(
+                    (x0, y0, dx, dy, pw, ph, (pw * channels * depth + 7) // 8)
+                )
+    expected = sum((ps + 1) * ph for _, _, _, _, _, ph, ps in pass_geom)
     # bounded inflate: the expected size is known from IHDR, so cap
     # decompression AT that size — a crafted small-geometry/huge-stream
     # payload (decompression bomb) must die as a ValueError, never as an
@@ -263,7 +333,7 @@ def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
     if len(raw) != expected:
         raise ValueError(
             f"png {origin}: inflated {len(raw)} bytes, geometry needs "
-            f"{expected} ({h} rows x (1+{stride}))"
+            f"{expected}"
         )
     if not dec.eof:
         raise ValueError(
@@ -277,43 +347,32 @@ def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
         )
 
     out = bytearray(stride * h)
-    prev_start = None
-    for y in range(h):
-        base = y * (stride + 1)
-        ftype = raw[base]
-        line = raw[base + 1 : base + 1 + stride]
-        cur_start = y * stride
-        if ftype == 0:  # None
-            out[cur_start : cur_start + stride] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                left = out[cur_start + i - bpp] if i >= bpp else 0
-                out[cur_start + i] = (line[i] + left) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                up = out[prev_start + i] if prev_start is not None else 0
-                out[cur_start + i] = (line[i] + up) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = out[cur_start + i - bpp] if i >= bpp else 0
-                up = out[prev_start + i] if prev_start is not None else 0
-                out[cur_start + i] = (line[i] + (left + up) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = out[cur_start + i - bpp] if i >= bpp else 0
-                up = out[prev_start + i] if prev_start is not None else 0
-                ul = (
-                    out[prev_start + i - bpp]
-                    if (prev_start is not None and i >= bpp)
-                    else 0
-                )
-                out[cur_start + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+    pos = 0
+    for x0, y0, dx, dy, pw, ph, ps in pass_geom:
+        sub = _unfilter(raw[pos : pos + (ps + 1) * ph], ph, ps, bpp, origin)
+        pos += (ps + 1) * ph
+        if dx == dy == 1 and x0 == y0 == 0:
+            out[:] = sub  # the interlace-0 fast path: one full-frame pass
+            continue
+        # scatter the pass raster into the final image grid
+        if depth >= 8:
+            px = channels * depth // 8
+            for j in range(ph):
+                src = j * ps
+                dst = (y0 + j * dy) * stride
+                for i in range(pw):
+                    o = dst + (x0 + i * dx) * px
+                    out[o : o + px] = sub[src + i * px : src + (i + 1) * px]
         else:
-            raise ValueError(
-                f"png {origin}: undefined filter type {ftype} on row {y} "
-                "(spec defines 0-4)"
-            )
-        prev_start = cur_start
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            for j in range(ph):
+                src = j * ps
+                dst = (y0 + j * dy) * stride
+                for i in range(pw):
+                    v = (sub[src + i // per_byte] >> (8 - depth * (i % per_byte + 1))) & mask
+                    x = x0 + i * dx
+                    out[dst + x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
     return PngImage(
         width=w,
         height=h,

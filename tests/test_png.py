@@ -214,8 +214,92 @@ def test_undefined_filter_byte_fails():
         decode_png(_png(2, 2, 8, 0, [bytes([1, 2]), bytes([3, 4])], [0, 5]))
 
 
-def test_adam7_refused_loudly():
-    with pytest.raises(ValueError, match=r"Adam7 interlace unsupported"):
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_png(w, h, depth, color, rows, pass_filter=0, plte=None):
+    """Adam7 FORWARD interlacer (test side): extract each pass sub-image
+    from the row-major raster, filter it independently, concatenate —
+    the genuine inverse of the decoder's de-interlace."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, (channels * depth) // 8)
+
+    def sample_bits(row: bytes, x: int) -> int:
+        if depth >= 8:
+            return None  # unused
+        per = 8 // depth
+        return (row[x // per] >> (8 - depth * (x % per + 1))) & ((1 << depth) - 1)
+
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = 0 if x0 >= w else (w - x0 + dx - 1) // dx
+        ph = 0 if y0 >= h else (h - y0 + dy - 1) // dy
+        if not pw or not ph:
+            continue
+        sub_rows = []
+        for j in range(ph):
+            src = rows[y0 + j * dy]
+            if depth >= 8:
+                px = channels * depth // 8
+                line = b"".join(
+                    src[(x0 + i * dx) * px : (x0 + i * dx + 1) * px]
+                    for i in range(pw)
+                )
+            else:
+                per = 8 // depth
+                acc = bytearray((pw * depth + 7) // 8)
+                for i in range(pw):
+                    v = sample_bits(src, x0 + i * dx)
+                    acc[i // per] |= v << (8 - depth * (i % per + 1))
+                line = bytes(acc)
+            sub_rows.append(line)
+        stream += _filter_rows(sub_rows, [pass_filter] * ph, bpp)
+    plte_chunk = _chunk(b"PLTE", bytes(plte)) if plte else b""
+    return (
+        PNG_MAGIC + _ihdr(w, h, depth, color, interlace=1) + plte_chunk
+        + _chunk(b"IDAT", zlib.compress(bytes(stream))) + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("pass_filter", [0, 1, 2, 3, 4])
+def test_adam7_gray8_8x8_deinterlaces_exactly(pass_filter):
+    rows = [bytes(range(y * 8, y * 8 + 8)) for y in range(8)]
+    img = decode_png(_adam7_png(8, 8, 8, 0, rows, pass_filter=pass_filter))
+    assert img.raw == b"".join(rows)
+
+
+def test_adam7_rgb_and_16bit_and_empty_passes():
+    rgb = [bytes((y * 37 + i * 11) % 256 for i in range(9)) for y in range(3)]
+    assert decode_png(_adam7_png(3, 3, 8, 2, rgb, pass_filter=1)).raw == b"".join(rgb)
+    deep = [struct.pack(">HH", 0x1234, 0xBEEF), struct.pack(">HH", 1, 2)]
+    assert decode_png(_adam7_png(2, 2, 16, 0, deep)).raw == b"".join(deep)
+    # 1x1: only pass 1 exists
+    assert decode_png(_adam7_png(1, 1, 8, 0, [b"\x99"])).raw == b"\x99"
+    # 2x2: passes 1, 6, 7 only
+    two = [bytes([1, 2]), bytes([3, 4])]
+    assert decode_png(_adam7_png(2, 2, 8, 0, two)).raw == b"".join(two)
+
+
+def test_adam7_subbyte_scatter():
+    rows = [bytes([0b10110010]), bytes([0b01011100]), bytes([0b11100001])]
+    got = decode_png(_adam7_png(8, 3, 1, 0, rows))
+    assert got.raw == b"".join(rows)
+    # palette 4-bit through the interlaced path
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    prow = [bytes([0x01, 0x21, 0x00]), bytes([0x21, 0x00, 0x10])]
+    ok = decode_png(_adam7_png(5, 2, 4, 3, prow, plte=plte))
+    assert ok.raw == b"".join(prow)
+    # row1 nibbles are 2,1,0,0,1 -> x=1 is palette index 1 = green
+    assert ok.pixel(1, 1) == (0, 255, 0)
+
+
+def test_adam7_wrong_stream_size_fails():
+    # sequential-layout data under an interlace-1 header: 2x2 gray needs
+    # 7 Adam7 bytes (pass1 2 + pass6 2 + pass7 3), not 6
+    with pytest.raises(ValueError, match=r"inflated 6 bytes, geometry needs 7"):
         decode_png(_png(2, 2, 8, 0, [bytes([1, 2]), bytes([3, 4])], [0, 0],
                         interlace=1))
 
