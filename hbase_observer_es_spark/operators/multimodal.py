@@ -230,7 +230,9 @@ def _fit_longest(w: int, h: int, target: int) -> tuple[int, int]:
     return max(1, (w * target) // longest), max(1, (h * target) // longest)
 
 
-def resize_image_real(payload: bytes, target: int = RESIZE_TARGET) -> dict:
+def resize_image_real(
+    payload: bytes, target: int = RESIZE_TARGET, filter_mode="adaptive"
+) -> dict:
     """REAL image resize for formats the container can honestly decode:
     PNG → aspect-preserving fit-to-``target`` (the same integer floor
     arithmetic as the registered query) → nearest-neighbor resample of the
@@ -255,7 +257,9 @@ def resize_image_real(payload: bytes, target: int = RESIZE_TARGET) -> dict:
         "height": img.height,
         "out_w": ow,
         "out_h": oh,
-        "payload": png.encode_png(resized),
+        # filter_mode passes through to the encoder: "adaptive" (default)
+        # optimizes size, 0 optimizes CPU — bulk thumbnailing folds pick 0
+        "payload": png.encode_png(resized, filter_mode=filter_mode),
         "raw_crc32": zlib.crc32(struct.pack(">II", ow, oh) + resized.raw)
         & 0xFFFFFFFF,
     }

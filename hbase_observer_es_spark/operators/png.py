@@ -395,6 +395,8 @@ def _filter_forward(rows: list[bytes], bpp: int, filter_mode) -> bytes:
     signed), deterministic with ties broken toward the lowest filter id."""
 
     def one(raw: bytes, prev: bytes, f: int) -> bytes:
+        if f == 0:  # None is a verbatim copy — skip the per-byte loop
+            return bytes(raw)
         out = bytearray(len(raw))
         for i, x in enumerate(raw):
             left = raw[i - bpp] if i >= bpp else 0
@@ -503,26 +505,38 @@ def resize_nearest(img: PngImage, out_w: int, out_h: int) -> PngImage:
     depth, ch = img.bit_depth, img.channels
     out_stride = (out_w * ch * depth + 7) // 8
     out = bytearray(out_stride * out_h)
+    # hoist the x-mapping (identical for every row), and cache the built
+    # row per SOURCE row: an upscale maps many output rows to one source
+    # row, and re-building identical rows dominates the cost (an 8->224
+    # upscale is 8 row builds + 216 memcpys with the cache, 224 builds
+    # without)
+    xs = [(x * img.width) // out_w for x in range(out_w)]
+    last_sy = -1
+    last_row: bytes = b""
     for y in range(out_h):
         sy = (y * img.height) // out_h
         base = y * out_stride
+        if sy == last_sy:
+            out[base : base + out_stride] = last_row
+            continue
         if depth >= 8:
             px_bytes = ch * depth // 8
             src_row = img.raw[sy * img.stride : (sy + 1) * img.stride]
-            for x in range(out_w):
-                sx = (x * img.width) // out_w
-                out[base + x * px_bytes : base + (x + 1) * px_bytes] = src_row[
+            line = bytearray(out_stride)
+            for x, sx in enumerate(xs):
+                line[x * px_bytes : (x + 1) * px_bytes] = src_row[
                     sx * px_bytes : (sx + 1) * px_bytes
                 ]
         else:
             per_byte = 8 // depth
             mask = (1 << depth) - 1
             src_row = img.raw[sy * img.stride : (sy + 1) * img.stride]
-            for x in range(out_w):
-                sx = (x * img.width) // out_w
+            line = bytearray(out_stride)
+            for x, sx in enumerate(xs):
                 v = (src_row[sx // per_byte] >> (8 - depth * (sx % per_byte + 1))) & mask
-                shift = 8 - depth * (x % per_byte + 1)
-                out[base + x // per_byte] |= v << shift
+                line[x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
+        out[base : base + out_stride] = line
+        last_sy, last_row = sy, bytes(line)
     return PngImage(
         width=out_w,
         height=out_h,

@@ -5,8 +5,11 @@ round-10 pipeline components the registry cannot hold (array outputs,
 trained artifacts): profile → quality gate → exact dedup → trained
 classifier gate → mixture realization → BPE training → fixed-length
 sequence packing → sharded parquet publication + verification → WebDataset
-tar publication + byte audit — one real curation run, wall-clock per stage, so "the new surface composes" is a measured statement, not a
-claimed one.
+tar publication + byte audit → (round 11) a multimodal leg on the REAL
+stdlib codecs: per-doc PNG synthesis/decode/NN-resize and WAV synthesis/
+feature extraction, published as a WebDataset and round-tripped
+byte-exactly — one real curation run, wall-clock per stage, so "the new
+surface composes" is a measured statement, not a claimed one.
 
 Prints ONE JSON line (the bench.py convention):
 ``{"metric": "corpus_demo_sec", "value": <total>, "unit": "sec",
@@ -38,6 +41,7 @@ SEQ_LEN = 1024
 N_SHARDS = 8
 CLS_DIM = 2048
 CLS_EPOCHS = 3
+MEDIA_N = 512  # bounded media-synthesis fold (per-row codec work)
 
 
 def run(spark, sf_dir: str, out: str) -> dict:
@@ -175,6 +179,133 @@ def run(spark, sf_dir: str, out: str) -> dict:
         return int(m["total_samples"])
 
     rows["wds_samples"] = stage("wds_publish", wds_publish)
+
+    def media():
+        """The multimodal leg, on the ROUND-11 REAL codecs: synthesize a
+        PNG image and a WAV clip per doc from its content bytes
+        (executor-side, deterministic), decode + fit-to-224 NN-resize the
+        actual pixels (operators/png.py), extract integer-exact audio
+        features (operators/wav.py), publish the payloads as a
+        WebDataset shard set, and re-read one round-trip sample byte-
+        exactly. Bounded to MEDIA_N docs — media synth/codec work is
+        per-row Python by nature; the Arrow batching is the scale shape."""
+        import pandas as pd
+
+        from hbase_observer_es_spark.operators.multimodal import (
+            resize_image_real,
+        )
+        from hbase_observer_es_spark.operators.png import PngImage, encode_png
+        from hbase_observer_es_spark.operators.wav import (
+            parse_wav,
+            wav_features,
+        )
+        from hbase_observer_es_spark.sinks.wds import (
+            read_wds,
+            verify_wds,
+            write_wds,
+        )
+
+        def synth_and_extract(batches):
+            import struct as _struct
+
+            for pdf in batches:
+                out_rows = {
+                    k: []
+                    for k in (
+                        "doc_id", "png", "thumb", "wav", "img_w", "img_h",
+                        "out_w", "out_h", "raw_crc32", "n_frames", "peak",
+                        "zero_crossings",
+                    )
+                }
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    b = text.encode("utf-8")
+                    if not b:  # the quality gate guarantees tokens; belt only
+                        continue
+                    side = max(8, min(64, int(len(b) ** 0.5) + 1))
+                    raster = (b * ((side * side) // len(b) + 1))[: side * side]
+                    png_payload = encode_png(
+                        PngImage(side, side, 8, 0, 1, side, raster, None)
+                    )
+                    m = resize_image_real(png_payload, filter_mode=0)
+                    pcm = _struct.pack(
+                        f"<{len(b)}h", *((v - 128) * 256 for v in b)
+                    )
+                    wav_payload = (
+                        b"RIFF"
+                        + _struct.pack("<I", 36 + len(pcm))
+                        + b"WAVEfmt "
+                        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                        + b"data"
+                        + _struct.pack("<I", len(pcm))
+                        + pcm
+                    )
+                    feats = wav_features(
+                        parse_wav(wav_payload, origin=str(doc_id)),
+                        origin=str(doc_id),
+                    )
+                    out_rows["doc_id"].append(doc_id)
+                    out_rows["png"].append(png_payload)
+                    out_rows["thumb"].append(m["payload"])
+                    out_rows["wav"].append(wav_payload)
+                    out_rows["img_w"].append(m["width"])
+                    out_rows["img_h"].append(m["height"])
+                    out_rows["out_w"].append(m["out_w"])
+                    out_rows["out_h"].append(m["out_h"])
+                    out_rows["raw_crc32"].append(m["raw_crc32"])
+                    out_rows["n_frames"].append(feats["n_frames"])
+                    out_rows["peak"].append(feats["peak"])
+                    out_rows["zero_crossings"].append(feats["zero_crossings"])
+                yield pd.DataFrame(out_rows)
+
+        base = curated.select("doc_id", "text").orderBy("doc_id").limit(MEDIA_N)
+        media_df = base.mapInPandas(
+            synth_and_extract,
+            "doc_id long, png binary, thumb binary, wav binary,"
+            " img_w long, img_h long, out_w long, out_h long,"
+            " raw_crc32 long, n_frames long, peak long, zero_crossings long",
+        )
+        p = os.path.join(out, "media.parquet")
+        media_df.write.mode("overwrite").parquet(p)
+        landed = spark.read.parquet(p)
+        n = landed.count()
+        wp = os.path.join(out, "wds_media")
+        write_wds(
+            landed.select(
+                F.format_string("media-%09d", F.col("doc_id")).alias("key"),
+                "png",
+                "thumb",
+                "wav",
+                F.to_json(
+                    F.struct("img_w", "img_h", "out_w", "out_h", "peak")
+                ).alias("meta"),
+            ),
+            wp,
+            # "thumbpng" not "thumb.png": this sink's extensions are
+            # dot-free by contract (read_wds splits at the LAST dot)
+            {"png": "png", "thumb": "thumbpng", "wav": "wav", "meta": "json"},
+            4,
+            key_col="key",
+        )
+        verify_wds(wp)
+        # round-trip: the published PNG member is byte-identical to the
+        # synthesized payload (WDS ships binary verbatim)
+        first = landed.orderBy("doc_id").head()
+        back = (
+            read_wds(spark, wp)
+            .where(
+                (F.col("key") == F.format_string("media-%09d", F.lit(first["doc_id"])))
+                & (F.col("ext") == "png")
+            )
+            .head()
+        )
+        assert bytes(back["content"]) == bytes(first["png"]), "WDS round-trip drift"
+        from hbase_observer_es_spark.operators.png import decode_png
+
+        thumb = decode_png(bytes(first["thumb"]))
+        assert (thumb.width, thumb.height) == (first["out_w"], first["out_h"])
+        return n
+
+    rows["media_samples"] = stage("media_codecs", media)
 
     assert rows_curated > 0 and rows["sequences"] > 0
     return {
