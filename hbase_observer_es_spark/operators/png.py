@@ -402,9 +402,7 @@ def _filter_forward(rows: list[bytes], bpp: int, filter_mode) -> bytes:
             left = raw[i - bpp] if i >= bpp else 0
             up = prev[i]
             ul = prev[i - bpp] if i >= bpp else 0
-            if f == 0:
-                v = x
-            elif f == 1:
+            if f == 1:
                 v = x - left
             elif f == 2:
                 v = x - up

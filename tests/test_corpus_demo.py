@@ -17,9 +17,11 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert r["train_tokens"] == r["sequences"] * report["params"]["seq_len"]
     assert r["mixed"] >= r["curated"] > 0  # the fixture recipe upsamples net
     assert r["wds_samples"] == r["curated"]  # one tar sample per curated doc
+    # the r11 media leg: bounded fold, every selected doc decoded for real
+    assert 0 < r["media_samples"] <= min(r["curated"], 512)
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
-        "wds_publish",
+        "wds_publish", "media_codecs",
     }
     assert set(report["stages"]) == expected_stages
