@@ -303,6 +303,31 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
         thumb = decode_png(bytes(first["thumb"]))
         assert (thumb.width, thumb.height) == (first["out_w"], first["out_h"])
+        # the multimodal dedup composition: hash original + thumbnail as
+        # separate corpus entries; every (original, thumb) pair must land
+        # at hamming 0 (224 = 28 x 8, so the thumb's 8x8 floor grid samples
+        # exactly the original's) — the banded join finds all n of them
+        from hbase_observer_es_spark.operators.imagehash import (
+            image_hashes_frame,
+            image_near_dups,
+        )
+
+        both = landed.select(
+            (F.col("doc_id") * 2).alias("doc_id"), F.col("png").alias("payload")
+        ).unionByName(
+            landed.select(
+                (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                F.col("thumb").alias("payload"),
+            )
+        )
+        pairs = image_near_dups(image_hashes_frame(both))
+        twin_pairs = pairs.where(
+            (F.col("b_id") == F.col("a_id") + 1)
+            & (F.col("a_id") % 2 == 0)
+            & (F.col("hamming") == 0)
+        ).count()
+        rows["imagehash_twin_pairs"] = int(twin_pairs)
+        assert twin_pairs == n, f"image near-dup recall {twin_pairs}/{n}"
         return n
 
     rows["media_samples"] = stage("media_codecs", media)
