@@ -208,6 +208,50 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
 _SUM_ABS_CAP = (1 << 62)  # loud guard far under int64 overflow
 
 
+def _int_scaled(flat: list, ch_n: int, origin: str) -> list:
+    """IEEE-float samples → integer feature domain (×2^15, truncated), with
+    the NaN/inf refusal — the one place float prep happens so per-clip and
+    per-window reducers agree digit for digit."""
+    import math
+
+    if not all(map(math.isfinite, flat)):
+        bad = next(i for i, v in enumerate(flat) if not math.isfinite(v))
+        raise ValueError(
+            f"wav {origin}: non-finite IEEE sample (NaN/inf) at frame "
+            f"{bad // ch_n} channel {bad % ch_n} — corrupt or "
+            "unnormalized audio, refusing to fold it into features"
+        )
+    return [int(v * (1 << 15)) for v in flat]
+
+
+def _reduce_flat(flat: list, ch_n: int, origin: str) -> tuple:
+    """(peak, zero_crossings, sum_abs) over one interleaved int sample run —
+    the single-pass core shared by the per-clip and per-window reducers.
+    ZCR state starts cold (prev_sign 0), so a window's count is independent
+    of its neighbours, matching a standalone decode of the same frames."""
+    peak = 0
+    sum_abs = 0
+    crossings = 0
+    prev_sign = 0
+    for i, v in enumerate(flat):
+        a = -v if v < 0 else v
+        if a > peak:
+            peak = a
+        sum_abs += a
+        if sum_abs > _SUM_ABS_CAP:
+            raise ValueError(
+                f"wav {origin}: sum_abs exceeds the int64 guard — clip "
+                "longer than ~2^31 frames at full scale; shard the clip "
+                "or widen the accumulator"
+            )
+        if i % ch_n == 0:  # channel-0 stream drives the ZCR
+            s = (1 if v > 0 else -1) if v != 0 else prev_sign
+            if prev_sign != 0 and s != prev_sign:
+                crossings += 1
+            prev_sign = s
+    return peak, crossings, sum_abs
+
+
 def wav_features(audio: WavAudio, origin: str = "<clip>") -> dict:
     """Single-pass integer-exact corpus features over ALL channels:
 
@@ -225,39 +269,11 @@ def wav_features(audio: WavAudio, origin: str = "<clip>") -> dict:
     hash-stability rule. IEEE-float clips containing NaN/inf samples are
     refused by name with ``origin`` context (corrupted scraped audio must
     be identifiable, not an anonymous executor OverflowError)."""
-    import math
-
-    peak = 0
-    sum_abs = 0
-    crossings = 0
-    prev_sign = 0
     ch_n = audio.channels
-    flat = audio.samples()  # ONE bulk decode; the loop below is pure ints
+    flat = audio.samples()  # ONE bulk decode; the reducer is pure ints
     if audio.fmt_tag == 3:
-        if not all(map(math.isfinite, flat)):
-            bad = next(i for i, v in enumerate(flat) if not math.isfinite(v))
-            raise ValueError(
-                f"wav {origin}: non-finite IEEE sample (NaN/inf) at frame "
-                f"{bad // ch_n} channel {bad % ch_n} — corrupt or "
-                "unnormalized audio, refusing to fold it into features"
-            )
-        flat = [int(v * (1 << 15)) for v in flat]
-    for i, v in enumerate(flat):
-        a = -v if v < 0 else v
-        if a > peak:
-            peak = a
-        sum_abs += a
-        if sum_abs > _SUM_ABS_CAP:
-            raise ValueError(
-                f"wav {origin}: sum_abs exceeds the int64 guard — clip "
-                "longer than ~2^31 frames at full scale; shard the clip "
-                "or widen the accumulator"
-            )
-        if i % ch_n == 0:  # channel-0 stream drives the ZCR
-            s = (1 if v > 0 else -1) if v != 0 else prev_sign
-            if prev_sign != 0 and s != prev_sign:
-                crossings += 1
-            prev_sign = s
+        flat = _int_scaled(flat, ch_n, origin)
+    peak, crossings, sum_abs = _reduce_flat(flat, ch_n, origin)
     return {
         "sample_rate": audio.sample_rate,
         "channels": audio.channels,
@@ -302,3 +318,154 @@ def audio_features_frame(df, payload_col: str = "payload", id_col: str = "doc_id
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(extract, f"{id_col} long, {AUDIO_FEATURE_SCHEMA}")
+
+
+# ------------------------------------------------------------------ writer
+
+
+def write_wav(audio: WavAudio) -> bytes:
+    """Serialize a :class:`WavAudio` back to a spec-valid RIFF/WAVE byte
+    stream. Field combinations are validated against the SAME rules
+    ``parse_wav`` enforces (tag/depth pairing, nonzero channels and rate,
+    exact data geometry) so every byte stream this emits parses back —
+    a hand-built ``WavAudio`` that lies about its geometry dies here, not
+    in a downstream reader. Non-PCM output (tag 3) carries the ``fact``
+    chunk the WAVE spec mandates for compressed/float formats (frame
+    count; ``parse_wav`` skips it as an unknown chunk). Deterministic —
+    same clip in, same bytes out — so re-exports are diffable (the sink
+    convention), and ``parse_wav(write_wav(a))`` round-trips every field
+    and sample bit-exactly."""
+    if audio.fmt_tag not in (1, 3):
+        raise ValueError(f"wav: cannot write format tag {audio.fmt_tag}")
+    if audio.fmt_tag == 1 and audio.bit_depth not in (8, 16, 24, 32):
+        raise ValueError(
+            f"wav: PCM bit depth {audio.bit_depth} unwritable (8/16/24/32)"
+        )
+    if audio.fmt_tag == 3 and audio.bit_depth not in (32, 64):
+        raise ValueError(
+            f"wav: IEEE float bit depth {audio.bit_depth} unwritable (32/64)"
+        )
+    if audio.channels < 1 or audio.sample_rate < 1:
+        raise ValueError(
+            f"wav: zero channels ({audio.channels}) or sample rate "
+            f"({audio.sample_rate})"
+        )
+    block_align = audio.channels * (audio.bit_depth // 8)
+    if len(audio.data) != audio.n_frames * block_align:
+        raise ValueError(
+            f"wav: data length {len(audio.data)} != n_frames "
+            f"{audio.n_frames} x block_align {block_align}"
+        )
+    fmt = struct.pack(
+        "<HHIIHH",
+        audio.fmt_tag,
+        audio.channels,
+        audio.sample_rate,
+        audio.sample_rate * block_align,
+        block_align,
+        audio.bit_depth,
+    )
+    fact = (
+        b"" if audio.fmt_tag == 1
+        else b"fact" + struct.pack("<II", 4, audio.n_frames)
+    )
+    pad = b"\x00" if len(audio.data) & 1 else b""
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(audio.data)) + audio.data + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def slice_frames(audio: WavAudio, start: int, n: int) -> WavAudio:
+    """Frame-range view [start, start+n) as a standalone clip — the
+    segmentation primitive. Bounds are validated loudly; the slice shares
+    no state with the parent (bytes are immutable)."""
+    if start < 0 or n < 1 or start + n > audio.n_frames:
+        raise ValueError(
+            f"wav: slice [{start}, {start + n}) outside 0..{audio.n_frames}"
+        )
+    ba = audio.channels * (audio.bit_depth // 8)
+    return WavAudio(
+        fmt_tag=audio.fmt_tag,
+        channels=audio.channels,
+        sample_rate=audio.sample_rate,
+        bit_depth=audio.bit_depth,
+        n_frames=n,
+        data=audio.data[start * ba : (start + n) * ba],
+    )
+
+
+SEGMENT_SCHEMA = (
+    "seg_idx long, start_frame long, n_frames long, peak long,"
+    " zero_crossings long, sum_abs long"
+)
+
+
+def audio_segments_frame(
+    df,
+    window_frames: int,
+    hop_frames: int | None = None,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+):
+    """Windowed per-segment features: ONE payload row → MANY segment rows
+    via mapInPandas (the q_mm_framesample fan-out shape, on real audio).
+    Fixed ``window_frames`` windows every ``hop_frames`` (default:
+    non-overlapping), trailing partial window kept — silence/energy
+    screens need the tail, and the row carries its true ``n_frames``.
+    This is the VAD/ASR-prep grain: downstream keeps segments whose
+    ``sum_abs``/``peak`` clear a threshold and aligns transcripts per
+    (id, seg_idx). Fan-out happens executor-side per Arrow batch — no
+    shuffle, no payload duplication through the JVM.
+
+    Each clip is decoded ONCE (one bulk ``samples()`` unpack + one float
+    prep); windows reduce over flat int slices, so an overlapping hop pays
+    window-arithmetic, never window × re-decode. A valid ZERO-frame clip
+    (empty data chunk) emits one all-zero segment row rather than
+    vanishing — per-doc joins and coverage checks keep seeing the id."""
+    import pandas as pd
+
+    if window_frames < 1:
+        raise ValueError(f"wav: window_frames {window_frames} must be >= 1")
+    hop = hop_frames if hop_frames is not None else window_frames
+    if hop < 1:
+        raise ValueError(f"wav: hop_frames {hop} must be >= 1")
+
+    def segment(batches):
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    id_col, "seg_idx", "start_frame", "n_frames", "peak",
+                    "zero_crossings", "sum_abs",
+                )
+            }
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                origin = str(key)
+                a = parse_wav(bytes(payload), origin=origin)
+                ch_n = a.channels
+                flat = a.samples()
+                if a.fmt_tag == 3:
+                    flat = _int_scaled(flat, ch_n, origin)
+                idx = 0
+                for start in range(0, max(a.n_frames, 1), hop):
+                    n = min(window_frames, a.n_frames - start)
+                    peak, crossings, sum_abs = _reduce_flat(
+                        flat[start * ch_n : (start + n) * ch_n],
+                        ch_n,
+                        f"{origin}#{idx}",
+                    )
+                    rows[id_col].append(key)
+                    rows["seg_idx"].append(idx)
+                    rows["start_frame"].append(start)
+                    rows["n_frames"].append(n)
+                    rows["peak"].append(peak)
+                    rows["zero_crossings"].append(crossings)
+                    rows["sum_abs"].append(sum_abs)
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(segment, f"{id_col} long, {SEGMENT_SCHEMA}")

@@ -256,3 +256,149 @@ def test_wav_payload_named_in_image_decoder_refusal():
 
     with pytest.raises(NotImplementedError, match=r"riff/wave AUDIO"):
         decode_image_real(_valid())
+
+
+# ------------------------------------------------- writer + segmentation
+
+
+def test_write_wav_roundtrip_every_format():
+    builds = [
+        _wav(_fmt(1, 2, 22050, 16), _chunk(b"data", _pcm16([100, -200, -300, 400]))),
+        _wav(_fmt(1, 1, 44100, 8), _chunk(b"data", bytes([128, 255, 0]))),
+        _wav(_fmt(1, 1, 48000, 24),
+             _chunk(b"data", b"\x01\x00\x00\xff\xff\xff\x00\x00\x80")),
+        _wav(_fmt(3, 1, 8000, 32), _chunk(b"data", struct.pack("<2f", 0.5, -0.25))),
+    ]
+    from hbase_observer_es_spark.operators.wav import write_wav
+
+    for data in builds:
+        a = parse_wav(data)
+        out = write_wav(a)
+        assert out == write_wav(a)  # deterministic bytes
+        b = parse_wav(out)
+        assert (b.fmt_tag, b.channels, b.sample_rate, b.bit_depth,
+                b.n_frames, b.data) == (
+            a.fmt_tag, a.channels, a.sample_rate, a.bit_depth,
+            a.n_frames, a.data,
+        )
+
+
+def test_write_wav_odd_data_pads_even():
+    from hbase_observer_es_spark.operators.wav import write_wav
+
+    a = parse_wav(_wav(_fmt(1, 1, 8000, 8), _chunk(b"data", bytes([128, 200, 50]))))
+    out = write_wav(a)
+    assert len(out) % 2 == 0  # RIFF even-length rule honored
+    assert parse_wav(out).samples() == [0, 72, -78]
+
+
+def test_write_wav_rejects_geometry_lies():
+    from hbase_observer_es_spark.operators.wav import WavAudio, write_wav
+
+    with pytest.raises(ValueError, match=r"data length 3 != n_frames 2"):
+        write_wav(WavAudio(1, 1, 8000, 16, 2, b"\x00\x00\x00"))
+    with pytest.raises(ValueError, match=r"cannot write format tag 7"):
+        write_wav(WavAudio(7, 1, 8000, 16, 0, b""))
+    # every parse_wav fmt rule holds on the write side too — a lying
+    # WavAudio must die here, not emit bytes parse_wav rejects
+    with pytest.raises(ValueError, match=r"PCM bit depth 12 unwritable"):
+        write_wav(WavAudio(1, 1, 8000, 12, 2, b"\x00\x00\x00"))
+    with pytest.raises(ValueError, match=r"IEEE float bit depth 16 unwritable"):
+        write_wav(WavAudio(3, 1, 8000, 16, 1, b"\x00\x00"))
+    with pytest.raises(ValueError, match=r"zero channels \(0\)"):
+        write_wav(WavAudio(1, 0, 8000, 16, 0, b""))
+    with pytest.raises(ValueError, match=r"sample rate \(0\)"):
+        write_wav(WavAudio(1, 1, 0, 16, 1, b"\x00\x00"))
+
+
+def test_write_wav_float_emits_fact_chunk():
+    """The WAVE spec mandates a fact chunk for non-PCM formats: tag-3
+    output carries fact(n_frames) between fmt and data; PCM output does
+    not. parse_wav skips it as an unknown chunk, so round-trip holds."""
+    from hbase_observer_es_spark.operators.wav import write_wav
+
+    f = parse_wav(_wav(_fmt(3, 1, 8000, 32), _chunk(b"data", struct.pack("<2f", 0.5, -0.25))))
+    out = write_wav(f)
+    at = out.index(b"fact")
+    assert struct.unpack("<II", out[at + 4 : at + 12]) == (4, 2)
+    assert parse_wav(out).data == f.data
+    pcm = parse_wav(_wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([7]))))
+    assert b"fact" not in write_wav(pcm)
+
+
+def test_slice_frames_bounds_and_content():
+    from hbase_observer_es_spark.operators.wav import slice_frames
+
+    a = parse_wav(_wav(_fmt(1, 2, 8000, 16),
+                       _chunk(b"data", _pcm16([1, 2, 3, 4, 5, 6]))))
+    s = slice_frames(a, 1, 2)
+    assert s.n_frames == 2 and s.samples() == [3, 4, 5, 6]
+    with pytest.raises(ValueError, match=r"slice \[2, 4\) outside 0..3"):
+        slice_frames(a, 2, 2)
+    with pytest.raises(ValueError, match=r"outside"):
+        slice_frames(a, -1, 1)
+
+
+def test_audio_segments_fan_out(spark):
+    """7 frames, window 3, hop 3 -> segments [0,3) [3,6) [6,7) with
+    hand-derived per-window features."""
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5]
+    payload = _wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16(samples)))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    from hbase_observer_es_spark.operators.wav import audio_segments_frame
+
+    got = {
+        r.seg_idx: (r.start_frame, r.n_frames, r.peak, r.zero_crossings, r.sum_abs)
+        for r in audio_segments_frame(df, window_frames=3).collect()
+    }
+    assert got == {
+        0: (0, 3, 1000, 1, 2000),       # 0,1000,-1000: one + -> - crossing
+        1: (3, 3, 32768, 2, 65540),     # 32767,-32768,5
+        2: (6, 1, 5, 0, 5),             # trailing partial window kept
+    }
+
+
+def test_audio_segments_overlapping_hop(spark):
+    payload = _wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([10, 20, 30, 40])))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    from hbase_observer_es_spark.operators.wav import audio_segments_frame
+
+    rows = audio_segments_frame(df, window_frames=3, hop_frames=1).collect()
+    assert [(r.start_frame, r.n_frames) for r in sorted(rows, key=lambda r: r.seg_idx)] == [
+        (0, 3), (1, 3), (2, 2), (3, 1)
+    ]
+    with pytest.raises(ValueError, match=r"window_frames 0"):
+        audio_segments_frame(df, window_frames=0)
+
+
+def test_audio_segments_zero_frame_clip_keeps_coverage_row(spark):
+    """A valid empty-data clip must not vanish from the per-doc output."""
+    payload = _wav(_fmt(1, 1, 8000, 16), _chunk(b"data", b""))
+    df = spark.createDataFrame([(9, payload)], "doc_id long, payload binary")
+    from hbase_observer_es_spark.operators.wav import audio_segments_frame
+
+    rows = audio_segments_frame(df, window_frames=4).collect()
+    assert [(r.doc_id, r.seg_idx, r.start_frame, r.n_frames, r.peak,
+             r.zero_crossings, r.sum_abs) for r in rows] == [
+        (9, 0, 0, 0, 0, 0, 0)
+    ]
+
+
+def test_audio_segments_float_clip_matches_per_slice_features(spark):
+    """Tag-3 windows reduce over the once-scaled int domain — identical to
+    a standalone wav_features of the same slice."""
+    vals = [0.5, -0.25, 0.125, -0.0625, 0.75]
+    payload = _wav(_fmt(3, 1, 8000, 32), _chunk(b"data", struct.pack("<5f", *vals)))
+    from hbase_observer_es_spark.operators.wav import (
+        audio_segments_frame, slice_frames, wav_features,
+    )
+
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    got = {
+        r.seg_idx: (r.peak, r.zero_crossings, r.sum_abs)
+        for r in audio_segments_frame(df, window_frames=2).collect()
+    }
+    clip = parse_wav(payload)
+    for idx, start in enumerate(range(0, 5, 2)):
+        f = wav_features(slice_frames(clip, start, min(2, 5 - start)))
+        assert got[idx] == (f["peak"], f["zero_crossings"], f["sum_abs"])
