@@ -398,6 +398,184 @@ def slice_frames(audio: WavAudio, start: int, n: int) -> WavAudio:
     )
 
 
+# -------------------------------------------------------------- normalize
+
+
+def to_mono(audio: WavAudio) -> WavAudio:
+    """Downmix to one channel: per-frame mean across channels, floor
+    division (Python ``//`` — toward -inf, deterministic on negatives).
+    PCM only; float clips convert via :func:`to_pcm16` first so the whole
+    normalize chain stays integer-exact."""
+    if audio.fmt_tag != 1:
+        raise ValueError(
+            f"wav: to_mono needs PCM input (format tag {audio.fmt_tag}); "
+            "convert with to_pcm16 first"
+        )
+    if audio.channels == 1:
+        return audio
+    flat = audio.samples()
+    ch = audio.channels
+    mono = [
+        sum(flat[i : i + ch]) // ch for i in range(0, len(flat), ch)
+    ]
+    return WavAudio(
+        fmt_tag=1,
+        channels=1,
+        sample_rate=audio.sample_rate,
+        bit_depth=audio.bit_depth,
+        n_frames=audio.n_frames,
+        data=_pack_ints(mono, audio.bit_depth),
+    )
+
+
+def _pack_ints(vals: list, bit_depth: int) -> bytes:
+    """Interleaved int samples → the PCM byte layout parse_wav reads."""
+    if bit_depth == 8:
+        return bytes(v + 128 for v in vals)
+    if bit_depth == 16:
+        return struct.pack(f"<{len(vals)}h", *vals)
+    if bit_depth == 32:
+        return struct.pack(f"<{len(vals)}i", *vals)
+    return b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+
+
+def to_pcm16(audio: WavAudio, origin: str = "<clip>") -> WavAudio:
+    """Bit-depth conversion to signed 16-bit PCM, the training-corpus
+    operating point: 8-bit shifts up (×256), 24/32-bit arithmetic-shift
+    down (floor), IEEE float scales by 2^15 with truncation and saturating
+    clamp — every path integer-exact and transcendental-free. Non-finite
+    float samples refuse with ``origin`` + frame/channel context (the
+    module's fail-loud convention, via :func:`_int_scaled`)."""
+    if audio.fmt_tag == 1 and audio.bit_depth == 16:
+        return audio
+    flat = audio.samples()
+    if audio.fmt_tag == 3:
+        vals = [
+            max(-32768, min(32767, v))
+            for v in _int_scaled(flat, audio.channels, origin)
+        ]
+    elif audio.bit_depth == 8:
+        vals = [v << 8 for v in flat]
+    else:  # 24- or 32-bit: floor shift keeps sign exactly
+        shift = audio.bit_depth - 16
+        vals = [v >> shift for v in flat]
+    return WavAudio(
+        fmt_tag=1,
+        channels=audio.channels,
+        sample_rate=audio.sample_rate,
+        bit_depth=16,
+        n_frames=audio.n_frames,
+        data=_pack_ints(vals, 16),
+    )
+
+
+def resample_linear(audio: WavAudio, out_rate: int) -> WavAudio:
+    """Sample-rate conversion by integer-exact linear interpolation.
+
+    Output frame t sits at input position t·in/out, split into an integer
+    index and an exact rational fraction: ``i = (t·in) // out``,
+    ``frac = (t·in) % out``, ``v = s[i] + ((s[i+1] − s[i])·frac) // out``
+    — pure int64 arithmetic, so the same clip resamples to the same bytes
+    on every host (no float phase accumulator to drift). The final output
+    frame clamps to the last input sample. Zero-frame clips pass through
+    (nothing to interpolate). PCM only — run :func:`to_pcm16` first.
+
+    Linear interpolation is the documented quality trade: no anti-alias
+    filter, so downsampling can alias (fine for the silence/energy screens
+    and dedup fingerprints this feeds; a model-grade pipeline would swap
+    in a windowed-sinc stage). n_out = floor(n_in · out/in) keeps duration
+    within one frame of exact."""
+    if audio.fmt_tag != 1:
+        raise ValueError(
+            f"wav: resample needs PCM input (format tag {audio.fmt_tag})"
+        )
+    if out_rate < 1:
+        raise ValueError(f"wav: out_rate {out_rate} must be >= 1")
+    if out_rate == audio.sample_rate or audio.n_frames == 0:
+        return WavAudio(
+            fmt_tag=1,
+            channels=audio.channels,
+            sample_rate=out_rate,
+            bit_depth=audio.bit_depth,
+            n_frames=audio.n_frames,
+            data=audio.data,
+        )
+    flat = audio.samples()
+    ch = audio.channels
+    in_rate = audio.sample_rate
+    n_in = audio.n_frames
+    n_out = max(1, (n_in * out_rate) // in_rate)
+    out = []
+    for t in range(n_out):
+        num = t * in_rate
+        i = num // out_rate
+        frac = num % out_rate
+        if i >= n_in - 1:
+            i, frac = n_in - 1, 0
+        base = i * ch
+        for c in range(ch):
+            a = flat[base + c]
+            if frac:
+                b = flat[base + ch + c]
+                out.append(a + ((b - a) * frac) // out_rate)
+            else:
+                out.append(a)
+    return WavAudio(
+        fmt_tag=1,
+        channels=ch,
+        sample_rate=out_rate,
+        bit_depth=audio.bit_depth,
+        n_frames=n_out,
+        data=_pack_ints(out, audio.bit_depth),
+    )
+
+
+def normalize_audio(
+    audio: WavAudio, rate: int = 16000, origin: str = "<clip>"
+) -> WavAudio:
+    """The ASR-prep normalization chain: 16-bit PCM → mono downmix →
+    ``rate`` Hz. Every step is integer-exact, so normalize(normalize(x))
+    == normalize(x) byte-for-byte and re-exports are diffable."""
+    return resample_linear(to_mono(to_pcm16(audio, origin)), rate)
+
+
+NORMALIZED_SCHEMA = "payload binary, n_frames long, duration_us long"
+
+
+def audio_normalize_frame(
+    df, rate: int = 16000, payload_col: str = "payload", id_col: str = "doc_id"
+):
+    """mapInPandas normalization over a binary WAV column: each clip
+    re-emerges as a mono 16-bit ``rate``-Hz RIFF payload (write_wav bytes,
+    ready for a WebDataset sink) plus its new geometry. Payloads transform
+    executor-side per Arrow batch — no shuffle, one clip in memory at a
+    time, deterministic output bytes."""
+    import pandas as pd
+
+    def normalize(batches):
+        for pdf in batches:
+            keys, payloads, frames, durs = [], [], [], []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                origin = str(key)
+                a = normalize_audio(
+                    parse_wav(bytes(payload), origin=origin), rate, origin=origin
+                )
+                keys.append(key)
+                payloads.append(write_wav(a))
+                frames.append(a.n_frames)
+                durs.append(a.duration_us)
+            yield pd.DataFrame(
+                {
+                    id_col: keys,
+                    "payload": payloads,
+                    "n_frames": frames,
+                    "duration_us": durs,
+                }
+            )
+
+    return df.mapInPandas(normalize, f"{id_col} long, {NORMALIZED_SCHEMA}")
+
+
 SEGMENT_SCHEMA = (
     "seg_idx long, start_frame long, n_frames long, peak long,"
     " zero_crossings long, sum_abs long"

@@ -402,3 +402,110 @@ def test_audio_segments_float_clip_matches_per_slice_features(spark):
     for idx, start in enumerate(range(0, 5, 2)):
         f = wav_features(slice_frames(clip, start, min(2, 5 - start)))
         assert got[idx] == (f["peak"], f["zero_crossings"], f["sum_abs"])
+
+
+# --------------------------------------------------------- normalization
+
+
+def test_to_mono_floor_mean_per_frame():
+    from hbase_observer_es_spark.operators.wav import to_mono
+
+    a = parse_wav(_wav(_fmt(1, 2, 8000, 16),
+                       _chunk(b"data", _pcm16([100, 201, -5, -6]))))
+    m = to_mono(a)
+    assert (m.channels, m.n_frames, m.sample_rate) == (1, 2, 8000)
+    assert m.samples() == [150, -6]  # floor: 301//2, -11//2 -> -6
+
+
+def test_to_mono_refuses_float_and_passes_mono_through():
+    from hbase_observer_es_spark.operators.wav import to_mono
+
+    f = parse_wav(_wav(_fmt(3, 1, 8000, 32), _chunk(b"data", struct.pack("<f", 0.5))))
+    with pytest.raises(ValueError, match=r"to_mono needs PCM"):
+        to_mono(f)
+    a = parse_wav(_wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([7]))))
+    assert to_mono(a) is a
+
+
+def test_to_pcm16_every_source_depth():
+    from hbase_observer_es_spark.operators.wav import to_pcm16
+
+    b8 = parse_wav(_wav(_fmt(1, 1, 8000, 8), _chunk(b"data", bytes([128, 255, 0]))))
+    assert to_pcm16(b8).samples() == [0, 127 << 8, -128 << 8]
+    b24 = parse_wav(_wav(_fmt(1, 1, 8000, 24),
+                         _chunk(b"data", b"\x00\x01\x00\xff\xfe\xff")))
+    assert to_pcm16(b24).samples() == [1, -2]  # >>8 floor
+    b32 = parse_wav(_wav(_fmt(1, 1, 8000, 32),
+                         _chunk(b"data", struct.pack("<2i", 1 << 16, -(1 << 16) - 1))))
+    assert to_pcm16(b32).samples() == [1, -2]  # floor shift on negatives
+    f = parse_wav(_wav(_fmt(3, 1, 8000, 32),
+                       _chunk(b"data", struct.pack("<3f", 0.5, -1.5, 1.5))))
+    assert to_pcm16(f).samples() == [16384, -32768, 32767]  # saturating clamp
+    b16 = parse_wav(_wav(_fmt(1, 1, 8000, 16), _chunk(b"data", _pcm16([9]))))
+    assert to_pcm16(b16) is b16
+
+
+def test_resample_linear_exact_midpoints():
+    """8000 -> 16000 doubles frames; odd output frames sit exactly halfway
+    between input neighbours (frac 8000/16000), floor division."""
+    from hbase_observer_es_spark.operators.wav import resample_linear
+
+    a = parse_wav(_wav(_fmt(1, 1, 8000, 16),
+                       _chunk(b"data", _pcm16([0, 100, -101]))))
+    up = resample_linear(a, 16000)
+    assert (up.sample_rate, up.n_frames) == (16000, 6)
+    # t: 0 .5 1 1.5 2 2.5(clamped) ; (100-101*... ) halfway of 100,-101 = floor(-0.5)= -1
+    assert up.samples() == [0, 50, 100, -1, -101, -101]
+    down = resample_linear(up, 8000)
+    assert down.samples() == [0, 100, -101]  # phase-0 frames recover the input
+
+
+def test_resample_linear_stereo_interleave_and_guards():
+    from hbase_observer_es_spark.operators.wav import resample_linear
+
+    a = parse_wav(_wav(_fmt(1, 2, 8000, 16),
+                       _chunk(b"data", _pcm16([0, 1000, 100, -1000]))))
+    up = resample_linear(a, 16000)
+    assert up.samples() == [0, 1000, 50, 0, 100, -1000, 100, -1000]
+    with pytest.raises(ValueError, match=r"out_rate 0"):
+        resample_linear(a, 0)
+    same = resample_linear(a, 8000)
+    assert same.data == a.data and same.n_frames == 2
+
+
+def test_normalize_audio_idempotent_bytes():
+    from hbase_observer_es_spark.operators.wav import normalize_audio, write_wav
+
+    a = parse_wav(_wav(_fmt(1, 2, 44100, 8),
+                       _chunk(b"data", bytes([128, 200, 30, 250, 90, 128]))))
+    n1 = normalize_audio(a, rate=16000)
+    assert (n1.channels, n1.bit_depth, n1.sample_rate) == (1, 16, 16000)
+    n2 = normalize_audio(n1, rate=16000)
+    assert write_wav(n2) == write_wav(n1)
+
+
+def test_audio_normalize_frame_roundtrip(spark):
+    from hbase_observer_es_spark.operators.wav import (
+        audio_normalize_frame, normalize_audio,
+    )
+
+    payload = _wav(_fmt(1, 2, 32000, 16),
+                   _chunk(b"data", _pcm16([0, 100, 2000, -100, -2000, 300])))
+    df = spark.createDataFrame([(5, payload)], "doc_id long, payload binary")
+    rows = audio_normalize_frame(df, rate=16000).collect()
+    assert len(rows) == 1
+    got = parse_wav(bytes(rows[0].payload))
+    want = normalize_audio(parse_wav(payload), rate=16000)
+    assert got.data == want.data
+    assert (rows[0].n_frames, rows[0].duration_us) == (
+        want.n_frames, want.duration_us,
+    )
+
+
+def test_to_pcm16_nan_refused_with_origin_context():
+    from hbase_observer_es_spark.operators.wav import to_pcm16
+
+    payload = _wav(_fmt(3, 2, 8000, 32),
+                   _chunk(b"data", struct.pack("<4f", 0.0, 0.5, float("nan"), 1.0)))
+    with pytest.raises(ValueError, match=r"wav doc-7: .*frame 1 channel 0"):
+        to_pcm16(parse_wav(payload), origin="doc-7")
