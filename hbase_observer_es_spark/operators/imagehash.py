@@ -19,15 +19,10 @@ fingerprint is bit-reproducible across hosts and mirrorable by a bit-exact
 Python model in tests (the linededup/PQ discipline — DuckDB cannot inflate
 PNGs, so the oracle is the model, not SQL).
 
-Near-dup candidate generation is the ``q_dedup_simhash_near`` LSH shape
-applied to the 64-bit fingerprint: 4 bands × 16 bits, bucket-join per
-band. Pigeonhole makes banding EXACT for hamming distance ≤ 3 — a pair
-differing in ≤ 3 bits agrees on at least one band — and the verify join
-computes the true distance with ``F.bit_count(a ^ b)`` (JVM-side, no
-Python). At 100 TB: hashing is the only Python stage (mapInPandas beside
-the decode, payloads never shuffle); banding is one shuffle on
-(band, value16) with 2^16 values keeping buckets near-singleton; verify
-touches candidates only.
+Near-dup candidate generation delegates to the ONE banded hamming join
+(``operators/hammingband.py`` — 4 × 16-bit bands, exact for distance ≤ 3,
+JVM-side verify). At 100 TB: hashing is the only Python stage
+(mapInPandas beside the decode, payloads never shuffle).
 
 Reference parity: none — beyond-reference multimodal-pipeline surface
 (SURVEY §2-D), composing the r11 real codec with the dedup family.
@@ -36,13 +31,11 @@ Reference parity: none — beyond-reference multimodal-pipeline surface
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
+from .hammingband import HAMMING_THRESHOLD, _to_i64, hash_near_dups
 from .png import PngImage, decode_png, resize_nearest
 
 HASH_SIZE = 8  # 8x8 -> 64-bit fingerprints
-N_BANDS, BAND_BITS = 4, 16
-HAMMING_THRESHOLD = 3  # banding is exact up to this distance (pigeonhole)
 
 # BT.601 integer luma weights, scaled by 1000 (floor division keeps the
 # whole pipeline in integers)
@@ -125,10 +118,6 @@ def image_hashes_frame(
     return df.mapInPandas(extract, f"{id_col} long, ahash long, dhash long")
 
 
-def _to_i64(u: int) -> int:
-    return u - (1 << 64) if u >= (1 << 63) else u
-
-
 def image_near_dups(
     hashes: DataFrame,
     hash_col: str = "ahash",
@@ -136,63 +125,5 @@ def image_near_dups(
     threshold: int = HAMMING_THRESHOLD,
 ) -> DataFrame:
     """Near-dup pairs (a_id < b_id, hamming ≤ threshold) from a hash frame
-    — pure DataFrame ops. Banding: 4 × 16-bit bands; exact for threshold
-    ≤ 3 per pigeonhole (asserted — a silent recall loss is not a tuning
-    knob). Verify computes true hamming with bit_count(a ^ b) JVM-side."""
-    if threshold > N_BANDS - 1:
-        raise ValueError(
-            f"image_near_dups: threshold {threshold} > {N_BANDS - 1} breaks "
-            f"the {N_BANDS}-band pigeonhole guarantee — raise N_BANDS instead"
-        )
-    from ..io import persist_tracked
-
-    # persist BEFORE the self-join: the hash frame usually carries the
-    # PNG-decode mapInPandas stage (image_hashes_frame), and an unpersisted
-    # self-join would run that Python stage once per side — the
-    # q_dedup_simhash_near lesson applied here
-    h = persist_tracked(
-        hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")),
-        "imagehash_near_dups",
-    )
-    mask = (1 << BAND_BITS) - 1
-    banded = h.select(
-        "id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("h"), b * BAND_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
-        )
-        .distinct()  # a pair may collide in several bands
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        )
-        .where(F.col("hamming") <= threshold)
-        .select("a_id", "b_id", "hamming")
-    )
+    — delegates to the one banded hamming join (``hammingband.py``)."""
+    return hash_near_dups(hashes, hash_col, id_col, threshold, "imagehash_near_dups")

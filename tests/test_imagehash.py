@@ -7,9 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from hbase_observer_es_spark.operators.hammingband import BAND_BITS, N_BANDS
 from hbase_observer_es_spark.operators.imagehash import (
-    BAND_BITS,
-    N_BANDS,
     _to_i64,
     average_hash,
     dhash,
