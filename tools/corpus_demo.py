@@ -332,6 +332,82 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     rows["media_samples"] = stage("media_codecs", media)
 
+    def audio_leg():
+        """The audio dedup + normalization composition on the clips the
+        media stage landed: re-encode each WAV as a duplicated-channel
+        stereo twin (a different file byte-for-byte), fingerprint both
+        sides (operators/audiohash.py), and require every (original,
+        twin) pair at hamming 0 through the banded join — the channel-
+        count invariance proved on real payloads. Then normalize the
+        originals to mono 16-bit 16 kHz (operators/wav.py) and check the
+        exact 2x frame count the integer resampler guarantees for
+        8 kHz input."""
+        import pandas as pd
+
+        from hbase_observer_es_spark.operators.audiohash import (
+            audio_fingerprints_frame,
+            audio_near_dups,
+        )
+        from hbase_observer_es_spark.operators.wav import (
+            WavAudio,
+            audio_normalize_frame,
+            parse_wav,
+            write_wav,
+        )
+
+        landed = spark.read.parquet(os.path.join(out, "media.parquet"))
+        clips = landed.select("doc_id", F.col("wav").alias("payload"))
+
+        def stereo_twin(batches):
+            import struct as _struct
+
+            for pdf in batches:
+                ids, pays = [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    a = parse_wav(bytes(payload), origin=str(doc_id))
+                    flat = a.samples()
+                    inter = _struct.pack(
+                        f"<{2 * len(flat)}h",
+                        *(v for s in flat for v in (s, s)),
+                    )
+                    ids.append(doc_id)
+                    pays.append(
+                        write_wav(
+                            WavAudio(1, 2, a.sample_rate, 16, a.n_frames, inter)
+                        )
+                    )
+                yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+        twins = clips.mapInPandas(stereo_twin, "doc_id long, payload binary")
+        both = clips.select(
+            (F.col("doc_id") * 2).alias("doc_id"), "payload"
+        ).unionByName(
+            twins.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "payload")
+        )
+        pairs = audio_near_dups(audio_fingerprints_frame(both))
+        twin_pairs = pairs.where(
+            (F.col("b_id") == F.col("a_id") + 1)
+            & (F.col("a_id") % 2 == 0)
+            & (F.col("hamming") == 0)
+        ).count()
+        n = clips.count()
+        rows["audiohash_twin_pairs"] = int(twin_pairs)
+        assert twin_pairs == n, f"audio near-dup recall {twin_pairs}/{n}"
+
+        norm = audio_normalize_frame(clips, rate=16000).select(
+            "doc_id", F.col("n_frames").alias("norm_frames")
+        )
+        # 8 kHz in, 16 kHz out: the integer resampler emits exactly 2x frames
+        bad = (
+            norm.join(landed.select("doc_id", "n_frames"), "doc_id")
+            .where(F.col("norm_frames") != F.col("n_frames") * 2)
+            .count()
+        )
+        assert bad == 0, f"{bad} clips broke the exact 2x resample contract"
+        return n
+
+    rows["audio_twin_clips"] = stage("audio_dedup_normalize", audio_leg)
+
     assert rows_curated > 0 and rows["sequences"] > 0
     return {
         "metric": "corpus_demo_sec",
