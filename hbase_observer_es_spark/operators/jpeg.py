@@ -1,0 +1,902 @@
+"""Baseline JPEG decode from the public specification (ITU-T T.81), stdlib-only.
+
+The third real codec (after PNG — ``operators/png.py`` — and WAV —
+``operators/wav.py``), closing the most common web-image format with the
+same from-spec discipline: no codec library, every byte handled per the
+published standard, corruption dies loudly with ``origin`` context.
+Implemented subset — baseline sequential DCT, Huffman entropy coding,
+8-bit precision (the overwhelming majority of JPEGs in a scraped corpus):
+
+* marker stream walk: SOI, APPn/COM skipped, DQT (8- and 16-bit element
+  precision, zigzag order), DHT (canonical code reconstruction via the
+  spec's BITS/HUFFVAL algorithm, F.2.2.3 decode), SOF0/SOF1, DRI, SOS,
+  EOI; progressive (SOF2), arithmetic-coded, hierarchical, lossless, and
+  12-bit frames are refused BY NAME — never mis-decoded;
+* entropy-coded segment reader with 0xFF00 byte-stuffing removal and
+  RSTn restart handling (byte-align, marker sequence verified, DC
+  predictors reset);
+* per-block decode: DC prediction + EXTEND sign recovery, AC
+  run/size loop with ZRL and EOB, dequantization, zigzag→natural
+  placement;
+* IDCT: separable fixed-point integer transform — the 8×8 constant
+  table is ``round(a(u)·cos((2x+1)uπ/16)·2^13)`` hardcoded as literals
+  (no libm at runtime, the engine's D10 determinism rule), accumulated
+  in unbounded Python ints with a single final rounding, so every host
+  reconstructs identical pixels;
+* sampling factors 1–4 per component (4:4:4, 4:2:0, 4:2:2, 4:1:1 …)
+  with replicate (nearest) chroma upsampling — the spec leaves the
+  upsampling filter to the decoder, and replicate is the deterministic
+  integer choice;
+* YCbCr→RGB with the public 16-bit fixed-point coefficients
+  (``round(c·65536)``), saturating clamp; 1-component frames decode as
+  grayscale; 4-component (Adobe CMYK) refused by name.
+
+Output is a :class:`~.png.PngImage` (8-bit gray or RGB, interlace-free
+raw scanlines), so the entire downstream pixel stack — ``resize_nearest``,
+``encode_png``, the perceptual hashes in ``operators/imagehash.py`` —
+works on JPEG payloads unchanged.
+
+Scale posture: like PNG, decode runs inside the multimodal mapInPandas
+stages (one payload per Python call within an Arrow batch) — pixels never
+cross a shuffle. The per-block cost is a pure-Python Huffman walk plus
+~1k fixed-point multiplies (DC-only blocks take a flat-fill fast path);
+for corpus-scale pixel work the block loop is the piece to swap for a
+vectorized kernel, with the marker/Huffman layers unchanged.
+
+Reference parity: none — the reference has no media surface; builder-brief
+(LLM-pipeline) surface extending SURVEY §2-D's real-codec family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .png import PngImage
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# round(a(u) * cos((2x+1) * u * pi / 16) * 2^13), a(0)=1/sqrt(2) else 1 —
+# fixed-point literals so no libm call happens at runtime; pinned against
+# an independent float derivation in tests
+_A = (
+    (5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793),
+    (8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035),
+    (7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568),
+    (6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811),
+    (5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793),
+    (4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551),
+    (3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135),
+    (1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598),
+)
+
+# YCbCr -> RGB, round(c * 65536): 1.402, 0.344136, 0.714136, 1.772
+_CR_R, _CB_G, _CR_G, _CB_B = 91881, 22553, 46802, 116130
+
+_REFUSED_SOF = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _zigzag() -> tuple:
+    """Zigzag index k → natural 8×8 position, derived by the spec's
+    diagonal walk (generated, not typed — a transposition typo would
+    scramble every AC coefficient)."""
+    out = [0] * 64
+    r = c = 0
+    up = True
+    for k in range(64):
+        out[k] = r * 8 + c
+        if up:
+            if c == 7:
+                r += 1
+                up = False
+            elif r == 0:
+                c += 1
+                up = False
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+                up = True
+            elif c == 0:
+                r += 1
+                up = True
+            else:
+                r += 1
+                c -= 1
+    return tuple(out)
+
+
+ZIGZAG = _zigzag()
+
+
+def looks_like_jpeg(payload: bytes) -> bool:
+    return payload[:2] == JPEG_MAGIC
+
+
+class _HuffTable:
+    """Canonical Huffman decode table built from the spec's BITS/HUFFVAL
+    lists (annex C): per code length, the smallest/largest code and the
+    index of the first value — the F.2.2.3 decode walk."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "huffval")
+
+    def __init__(self, bits: list, huffval: bytes, origin: str, name: str):
+        if sum(bits) != len(huffval):
+            raise ValueError(
+                f"jpeg {origin}: huffman table {name} declares {sum(bits)} "
+                f"codes but carries {len(huffval)} values"
+            )
+        self.huffval = huffval
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+            if code > (1 << length + 1):
+                raise ValueError(
+                    f"jpeg {origin}: huffman table {name} overflows at "
+                    f"length {length} — corrupt BITS list"
+                )
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader: MSB-first, 0xFF00 stuffing
+    dropped, restart markers surfaced to the caller, any other marker
+    inside a scan is a loud error."""
+
+    def __init__(self, data: bytes, pos: int, origin: str):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.origin = origin
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError(
+                f"jpeg {self.origin}: entropy data exhausted mid-scan"
+            )
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    f"jpeg {self.origin}: restart marker inside an entropy "
+                    "run — MCU/restart-interval accounting is corrupt"
+                )
+            else:
+                raise ValueError(
+                    f"jpeg {self.origin}: marker 0xFF{nxt:02X} inside "
+                    "entropy data — truncated or corrupt scan"
+                    if nxt is not None
+                    else f"jpeg {self.origin}: entropy data ends on 0xFF"
+                )
+        else:
+            self.pos += 1
+        # mask consumed high bits away — an unmasked buffer grows into a
+        # bignum over a long scan and turns bit reads quadratic
+        self.bitbuf = ((self.bitbuf & ((1 << self.nbits) - 1)) << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: _HuffTable, what: str) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if table.maxcode[length] >= code >= table.mincode[length]:
+                return table.huffval[table.valptr[length] + code - table.mincode[length]]
+        raise ValueError(
+            f"jpeg {self.origin}: invalid {what} huffman code (no match "
+            "within 16 bits) — corrupt entropy data"
+        )
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Restart boundary: drop partial-byte bits, consume RSTn, verify
+        the modulo-8 sequence number. Any number of 0xFF fill bytes may
+        precede the marker (T.81 B.1.1.2)."""
+        self.nbits = 0
+        d = self.data
+        if self.pos >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError(
+                f"jpeg {self.origin}: expected restart marker RST{n}, "
+                f"found byte 0x{d[self.pos]:02X}" if self.pos < len(d)
+                else f"jpeg {self.origin}: truncated at restart boundary"
+            )
+        while self.pos + 1 < len(d) and d[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes before the marker are legal
+        if self.pos + 1 >= len(d):
+            raise ValueError(
+                f"jpeg {self.origin}: truncated at restart boundary"
+            )
+        m = d[self.pos + 1]
+        if m != 0xD0 + n:
+            raise ValueError(
+                f"jpeg {self.origin}: restart sequence broken — expected "
+                f"RST{n} (0xFFD{n}), found 0xFF{m:02X}"
+            )
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """F.2.4.3.1.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _idct_block(coef: list) -> list:
+    """Fixed-point separable 2-D inverse DCT of one dequantized block
+    (natural order), +128 level shift, clamped 0..255. Accumulation is
+    exact (unbounded ints); the one rounding is the final >> 28 with
+    add-half. DC-only blocks take the flat fast path."""
+    if not any(coef[1:]):
+        v = ((coef[0] * 5793 * 5793 + (1 << 27)) >> 28) + 128
+        v = 0 if v < 0 else 255 if v > 255 else v
+        return [v] * 64
+    # natural index r*8+c: r = vertical frequency (couples with y),
+    # c = horizontal (couples with x) — the spec's row-major layout.
+    # pass 1 (rows): tmp[r*8+x] = sum_c coef[r*8+c] * A[c][x]
+    tmp = [0] * 64
+    for r in range(8):
+        row = coef[r * 8 : r * 8 + 8]
+        if not any(row):
+            continue
+        base = r * 8
+        for x in range(8):
+            s = 0
+            for c in range(8):
+                cv = row[c]
+                if cv:
+                    s += cv * _A[c][x]
+            tmp[base + x] = s
+    # pass 2 (columns): out[y*8+x] = sum_r tmp[r*8+x] * A[r][y]
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[r * 8 + x] for r in range(8)]
+        for y in range(8):
+            s = 0
+            for r in range(8):
+                tv = col[r]
+                if tv:
+                    s += tv * _A[r][y]
+            p = ((s + (1 << 27)) >> 28) + 128
+            out[y * 8 + x] = 0 if p < 0 else 255 if p > 255 else p
+    return out
+
+
+def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
+    """Decode one baseline JPEG byte stream to an 8-bit gray or RGB
+    :class:`PngImage`. Fail-loud with ``origin`` context on structural
+    violations; non-baseline coding processes refused by name."""
+    if not looks_like_jpeg(data):
+        raise ValueError(
+            f"jpeg {origin}: not a JPEG stream (bytes 0-1 {data[:2]!r})"
+        )
+    pos = 2
+    qtables: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    frame = None  # (height, width, [(cid, h, v, tq)])
+    restart_interval = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError(f"jpeg {origin}: truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"jpeg {origin}: expected marker at byte {pos}, found "
+                f"0x{data[pos]:02X}"
+            )
+        while pos < n and data[pos] == 0xFF:
+            pos += 1  # fill bytes are legal between markers
+        if pos >= n:
+            raise ValueError(f"jpeg {origin}: truncated marker at stream end")
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError(f"jpeg {origin}: EOI before any scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stray RST: no segment body
+        if pos + 2 > n:
+            raise ValueError(f"jpeg {origin}: truncated segment header")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError(
+                f"jpeg {origin}: segment 0xFF{marker:02X} length {seglen} "
+                "overruns the stream"
+            )
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker in _REFUSED_SOF:
+            raise ValueError(
+                f"jpeg {origin}: {_REFUSED_SOF[marker]} coding process "
+                "unsupported (baseline sequential huffman only)"
+            )
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                o += 1
+                if pq not in (0, 1):
+                    raise ValueError(
+                        f"jpeg {origin}: DQT precision {pq} invalid"
+                    )
+                width = 2 if pq else 1
+                if o + 64 * width > len(seg):
+                    raise ValueError(
+                        f"jpeg {origin}: DQT table {tq} truncated"
+                    )
+                if pq:
+                    vals = list(
+                        struct.unpack(f">64H", seg[o : o + 128])
+                    )
+                else:
+                    vals = list(seg[o : o + 64])
+                if 0 in vals:
+                    raise ValueError(
+                        f"jpeg {origin}: DQT table {tq} contains a zero "
+                        "quantizer"
+                    )
+                qtables[tq] = vals  # zigzag order, as stored
+                o += 64 * width
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                if o + 17 > len(seg):
+                    raise ValueError(f"jpeg {origin}: DHT header truncated")
+                tc, th = seg[o] >> 4, seg[o] & 0x0F
+                bits = list(seg[o + 1 : o + 17])
+                nvals = sum(bits)
+                o += 17
+                if o + nvals > len(seg):
+                    raise ValueError(
+                        f"jpeg {origin}: DHT table {tc}/{th} values truncated"
+                    )
+                table = _HuffTable(
+                    bits, seg[o : o + nvals], origin, f"{'dc' if tc == 0 else 'ac'}{th}"
+                )
+                o += nvals
+                if tc == 0:
+                    dc_tables[th] = table
+                elif tc == 1:
+                    ac_tables[th] = table
+                else:
+                    raise ValueError(
+                        f"jpeg {origin}: DHT class {tc} invalid"
+                    )
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if frame is not None:
+                raise ValueError(f"jpeg {origin}: duplicate frame header")
+            if len(seg) < 6:
+                raise ValueError(
+                    f"jpeg {origin}: SOF segment body truncated "
+                    f"({len(seg)} bytes)"
+                )
+            prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(
+                    f"jpeg {origin}: {prec}-bit precision unsupported "
+                    "(8-bit baseline only)"
+                )
+            if height == 0 or width == 0:
+                raise ValueError(
+                    f"jpeg {origin}: zero frame dimension {width}x{height} "
+                    "(DNL-deferred height unsupported)"
+                )
+            if nf == 4:
+                raise ValueError(
+                    f"jpeg {origin}: 4-component (CMYK/YCCK) unsupported"
+                )
+            if nf not in (1, 3):
+                raise ValueError(
+                    f"jpeg {origin}: {nf}-component frame unsupported "
+                    "(grayscale or YCbCr)"
+                )
+            if len(seg) < 6 + nf * 3:
+                raise ValueError(
+                    f"jpeg {origin}: SOF component list truncated"
+                )
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"jpeg {origin}: sampling factors {h}x{v} outside "
+                        "the spec's 1..4"
+                    )
+                comps.append((cid, h, v, tq))
+            frame = (height, width, comps)
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError(
+                    f"jpeg {origin}: DRI segment body truncated"
+                )
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError(f"jpeg {origin}: SOS before SOF")
+            break
+        # APPn (0xE0-0xEF), COM (0xFE), others with a body: skipped
+    height, width, comps = frame
+    if not seg:
+        raise ValueError(f"jpeg {origin}: SOS segment body truncated")
+    ns = seg[0]
+    if ns != len(comps):
+        raise ValueError(
+            f"jpeg {origin}: scan covers {ns} of {len(comps)} components — "
+            "only the single interleaved baseline scan is supported"
+        )
+    if len(seg) < 1 + ns * 2 + 3:
+        raise ValueError(f"jpeg {origin}: SOS header truncated")
+    scan_tables = {}
+    for i in range(ns):
+        cs, tdta = seg[1 + i * 2 : 3 + i * 2]
+        scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+    ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+    if (ss, se, ahal) != (0, 63, 0):
+        raise ValueError(
+            f"jpeg {origin}: spectral selection {ss}..{se}/{ahal:02x} is "
+            "not the baseline full scan"
+        )
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved by definition (T.81
+        # A.2.2): the MCU is ONE data unit and the block raster covers the
+        # full-resolution plane — declared sampling factors don't apply
+        cid, _, _, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = []
+    metas = []  # (h, v, plane_w, dc_table, ac_table, qtable)
+    for cid, h, v, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"jpeg {origin}: component quant table {tq} undefined")
+        if cid not in scan_tables:
+            raise ValueError(
+                f"jpeg {origin}: scan names component ids "
+                f"{sorted(scan_tables)} but the frame has id {cid}"
+            )
+        td, ta = scan_tables[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError(
+                f"jpeg {origin}: huffman tables dc{td}/ac{ta} undefined"
+            )
+        pw, ph = mcus_x * h * 8, mcus_y * v * 8
+        planes.append(bytearray(pw * ph))
+        metas.append((h, v, pw, dc_tables[td], ac_tables[ta], qtables[tq]))
+    reader = _BitReader(data, pos, origin)
+    preds = [0] * len(comps)
+    rst_n = 0
+    since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * len(comps)
+                since_restart = 0
+            for ci, (h, v, pw, dct, act, qt) in enumerate(metas):
+                for by in range(v):
+                    for bx in range(h):
+                        coef = [0] * 64
+                        t = reader.decode(dct, "dc")
+                        if t > 11:
+                            raise ValueError(
+                                f"jpeg {origin}: DC magnitude category {t} "
+                                "exceeds the baseline limit 11"
+                            )
+                        preds[ci] += _extend(reader.receive(t), t)
+                        coef[0] = preds[ci] * qt[0]
+                        k = 1
+                        while k <= 63:
+                            rs = reader.decode(act, "ac")
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    f"jpeg {origin}: AC run overflows the "
+                                    "block — corrupt entropy data"
+                                )
+                            coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * qt[k]
+                            k += 1
+                        px = _idct_block(coef)
+                        ox = (mx * h + bx) * 8
+                        oy = (my * v + by) * 8
+                        plane = planes[ci]
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+            since_restart += 1
+    if len(comps) == 1:
+        h, v, pw = metas[0][:3]
+        plane = planes[0]
+        raw = bytearray(width * height)
+        for y in range(height):
+            raw[y * width : (y + 1) * width] = plane[y * pw : y * pw + width]
+        return PngImage(width, height, 8, 0, 1, width, bytes(raw), None)
+    raw = bytearray(width * height * 3)
+    (hy, vy, pwy), (hb, vb, pwb), (hr, vr, pwr) = (m[:3] for m in metas)
+    py, pb, pr = planes
+    for y in range(height):
+        yy_y = (y * vy) // vmax
+        yy_b = (y * vb) // vmax
+        yy_r = (y * vr) // vmax
+        o = y * width * 3
+        for x in range(width):
+            lum = py[yy_y * pwy + (x * hy) // hmax]
+            cb = pb[yy_b * pwb + (x * hb) // hmax] - 128
+            cr = pr[yy_r * pwr + (x * hr) // hmax] - 128
+            r = lum + ((_CR_R * cr + 32768) >> 16)
+            g = lum - ((_CB_G * cb + _CR_G * cr + 32768) >> 16)
+            b = lum + ((_CB_B * cb + 32768) >> 16)
+            raw[o] = 0 if r < 0 else 255 if r > 255 else r
+            raw[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            raw[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+            o += 3
+    return PngImage(width, height, 8, 2, 3, width * 3, bytes(raw), None)
+
+
+# ------------------------------------------------------------------ writer
+
+# Annex K example quantization tables (natural order) — the spec's own
+# reference tables, scaled by the public quality formula at encode time
+_QT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_QT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# RGB -> YCbCr, round(c * 65536); each row sums to 65536 / 0 / 0 exactly
+_Y_R, _Y_G, _Y_B = 19595, 38470, 7471
+_CB_R, _CB_G2, _CB_B2 = 11059, 21709, 32768
+_CR_R2, _CR_G2, _CR_B2 = 32768, 27439, 5329
+
+
+def _scaled_qtable(base: tuple, quality: int) -> list:
+    """The public libjpeg-convention quality scaling: 1..100, 50 = the
+    Annex K table as-is, 100 = all-ones (near-lossless)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"jpeg: quality {quality} outside 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (v * scale + 50) // 100)) for v in base]
+
+
+def _fdct_quant(block: list, qt: list) -> list:
+    """Forward DCT (same fixed-point table as the inverse, exact
+    accumulation, one rounding) + quantization (round half away from
+    zero), output in NATURAL order (index r*8+c, r = vertical frequency
+    — the same layout the decoder consumes). ``block`` is 64
+    level-shifted ints."""
+    # pass 1: tmp[c*8+y] = sum_x block[y*8+x] * A[c][x]
+    tmp = [0] * 64
+    for c in range(8):
+        ac = _A[c]
+        for y in range(8):
+            s = 0
+            row = y * 8
+            for x in range(8):
+                s += block[row + x] * ac[x]
+            tmp[c * 8 + y] = s
+    out = [0] * 64
+    for r in range(8):
+        ar = _A[r]
+        for c in range(8):
+            s = 0
+            for y in range(8):
+                s += tmp[c * 8 + y] * ar[y]
+            # s = 2^28 * S(r,c); quantize by q with one half-away rounding
+            q = qt[r * 8 + c] << 28
+            out[r * 8 + c] = (2 * s + (q if s >= 0 else -q)) // (2 * q)
+    return out
+
+
+def _build_huffman(freq: dict) -> tuple:
+    """Annex K.2 optimal Huffman table: (BITS[16], HUFFVAL) from symbol
+    counts. Symbol 256 is the spec's reserved entry so no real symbol
+    gets the all-ones code; lengths beyond 16 fold down per Figure K.3."""
+    f = [0] * 257
+    for s, c in freq.items():
+        f[s] = c
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        cands = sorted(
+            ((f[i], i) for i in range(257) if f[i] > 0),
+            key=lambda t: (t[0], -t[1]),
+        )
+        if len(cands) <= 1:
+            break
+        v1, v2 = cands[0][1], cands[1][1]
+        f[v1] += f[v2]
+        f[v2] = 0
+        while True:
+            codesize[v1] += 1
+            if others[v1] == -1:
+                break
+            v1 = others[v1]
+        others[v1] = v2
+        while True:
+            codesize[v2] += 1
+            if others[v2] == -1:
+                break
+            v2 = others[v2]
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # retire the reserved symbol's code slot
+    huffval = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], bytes(huffval)
+
+
+def _encode_codes(bits: list, huffval: bytes) -> dict:
+    """Canonical (code, length) per symbol — the SAME derivation the
+    decoder's _HuffTable walks, so the two sides agree by construction."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF00 stuffing; 1-padded to the byte
+    boundary on close (the spec's convention)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def close(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _block_symbols(coef_q: list):
+    """(dc_category, dc_bits) + [(ac_symbol, bits, nbits)...] for one
+    quantized block (natural order, DC already differenced)."""
+    diff = coef_q[0]
+    t = abs(diff).bit_length()
+    dc_bits = diff if diff >= 0 else diff + (1 << t) - 1
+    acs = []
+    run = 0
+    last_nz = 0
+    zz = [coef_q[ZIGZAG[k]] for k in range(64)]
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        bitsv = v if v >= 0 else v + (1 << s) - 1
+        acs.append(((run << 4) | s, bitsv, s))
+        run = 0
+    if last_nz < 63:
+        acs.append((0x00, 0, 0))  # EOB
+    return t, dc_bits, acs
+
+
+def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
+    """Serialize an 8-bit gray or RGB :class:`PngImage` as a baseline
+    sequential JPEG: 4:4:4 (no subsampling — deterministic and simple),
+    Annex-K quality-scaled quantization, two-pass optimal Huffman tables
+    (Annex K.2), edge-replicated partial blocks. Deterministic — same
+    pixels in, same bytes out — and every output parses back through
+    :func:`decode_jpeg`."""
+    if img.bit_depth != 8 or img.color_type not in (0, 2):
+        raise ValueError(
+            f"jpeg: encode needs 8-bit gray or rgb input, got depth "
+            f"{img.bit_depth} color type {img.color_type}"
+        )
+    w, h = img.width, img.height
+    ncomp = 1 if img.color_type == 0 else 3
+    # component planes, level-shifted later per block
+    if ncomp == 1:
+        planes = [img.raw]
+    else:
+        y_p = bytearray(w * h)
+        cb_p = bytearray(w * h)
+        cr_p = bytearray(w * h)
+        raw = img.raw
+        for i in range(w * h):
+            r, g, b = raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]
+            y_p[i] = (_Y_R * r + _Y_G * g + _Y_B * b + 32768) >> 16
+            cb = 128 + ((-_CB_R * r - _CB_G2 * g + _CB_B2 * b + 32768) >> 16)
+            cr = 128 + ((_CR_R2 * r - _CR_G2 * g - _CR_B2 * b + 32768) >> 16)
+            cb_p[i] = 0 if cb < 0 else 255 if cb > 255 else cb
+            cr_p[i] = 0 if cr < 0 else 255 if cr > 255 else cr
+        planes = [bytes(y_p), bytes(cb_p), bytes(cr_p)]
+    qts = [_scaled_qtable(_QT_LUMA, quality)]
+    if ncomp == 3:
+        qts.append(_scaled_qtable(_QT_CHROMA, quality))
+    blocks_x = -(-w // 8)
+    blocks_y = -(-h // 8)
+    # pass 1: transform every block, difference DC, collect symbol stats
+    comp_blocks = []  # per component: list of (t, dc_bits, acs)
+    for ci in range(ncomp):
+        plane = planes[ci]
+        qt = qts[0 if ci == 0 else 1]
+        pred = 0
+        blocks = []
+        for by in range(blocks_y):
+            for bx in range(blocks_x):
+                blk = [0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, h - 1)
+                    row = sy * w
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, w - 1)
+                        blk[yy * 8 + xx] = plane[row + sx] - 128
+                cq = _fdct_quant(blk, qt)
+                dc = cq[0]
+                cq[0] = dc - pred
+                pred = dc
+                blocks.append(_block_symbols(cq))
+        comp_blocks.append(blocks)
+    dc_freq = [{}, {}]
+    ac_freq = [{}, {}]
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        for t, _, acs in comp_blocks[ci]:
+            dc_freq[cls][t] = dc_freq[cls].get(t, 0) + 1
+            for sym, _, _ in acs:
+                ac_freq[cls][sym] = ac_freq[cls].get(sym, 0) + 1
+    nclasses = 1 if ncomp == 1 else 2
+    dc_spec = [_build_huffman(dc_freq[c]) for c in range(nclasses)]
+    ac_spec = [_build_huffman(ac_freq[c]) for c in range(nclasses)]
+    dc_codes = [_encode_codes(*s) for s in dc_spec]
+    ac_codes = [_encode_codes(*s) for s in ac_spec]
+    # pass 2: the byte stream
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    for tq, qt in enumerate(qts):
+        zz = bytes(qt[ZIGZAG[k]] for k in range(64))
+        seg(0xDB, bytes([tq]) + zz)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC0, sof)
+    for cls in range(nclasses):
+        for tc, (bits, huffval) in ((0, dc_spec[cls]), (1, ac_spec[cls])):
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(bits) + huffval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    bw = _BitWriter()
+    for bi in range(blocks_x * blocks_y):
+        for ci in range(ncomp):
+            cls = 0 if ci == 0 else 1
+            t, dc_bits, acs = comp_blocks[ci][bi]
+            code, length = dc_codes[cls][t]
+            bw.put(code, length)
+            if t:
+                bw.put(dc_bits, t)
+            for sym, bitsv, s in acs:
+                code, length = ac_codes[cls][sym]
+                bw.put(code, length)
+                if s:
+                    bw.put(bitsv, s)
+    out.extend(bw.close())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
+    """Magic-dispatched real decode: PNG or baseline JPEG → PngImage,
+    anything else refused by name. Unregistered composition point — the
+    registered multimodal module's dispatch (operators/multimodal.py,
+    decode_image_real) adopts JPEG at the next tier-safe window; until
+    then this is the demo/tooling entry."""
+    from .png import PNG_MAGIC, decode_png
+
+    if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return decode_png(payload, origin=origin)
+    if looks_like_jpeg(payload):
+        return decode_jpeg(payload, origin=origin)
+    raise ValueError(
+        f"image {origin}: payload magic {payload[:4]!r} is neither PNG "
+        "nor JPEG — no real codec for this format in-container"
+    )
