@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from .hammingband import HAMMING_THRESHOLD, _to_i64, hash_near_dups
-from .png import PngImage, decode_png, resize_nearest
+from .png import PngImage, resize_nearest
 
 HASH_SIZE = 8  # 8x8 -> 64-bit fingerprints
 
@@ -98,18 +98,22 @@ def hamming64(a: int, b: int) -> int:
 def image_hashes_frame(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, ahash, dhash) over a binary PNG column via mapInPandas — the
-    only Python stage of the near-dup pipeline. int64 note: hashes are
-    emitted as SIGNED int64 (the raw 64 bits two's-complement), which is
-    lossless and keeps Spark/DuckDB/Arrow types exact; XOR/bit_count are
-    sign-agnostic."""
+    """(id, ahash, dhash) over a binary image column via mapInPandas —
+    the only Python stage of the near-dup pipeline. Payloads dispatch by
+    magic (PNG or baseline JPEG — ``jpeg.decode_image``), so "same
+    picture, different FORMAT" pairs land in the same fingerprint space.
+    int64 note: hashes are emitted as SIGNED int64 (the raw 64 bits
+    two's-complement), which is lossless and keeps Spark/DuckDB/Arrow
+    types exact; XOR/bit_count are sign-agnostic."""
     import pandas as pd
+
+    from .jpeg import decode_image
 
     def extract(batches):
         for pdf in batches:
             ids, ah, dh = [], [], []
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_png(bytes(payload), origin=str(key))
+                img = decode_image(bytes(payload), origin=str(key))
                 ids.append(key)
                 ah.append(_to_i64(average_hash(img)))
                 dh.append(_to_i64(dhash(img)))

@@ -209,3 +209,22 @@ def test_end_to_end_reencoded_thumbnails_cluster(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_cross_format_near_dup_png_vs_jpeg(spark):
+    """The SAME picture as a PNG and as a quality-95 JPEG must meet in
+    the banded join within the hamming threshold — the 'same image,
+    different format' dedup story, on real codecs end to end."""
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+    from hbase_observer_es_spark.operators.png import PngImage, encode_png
+
+    w = h = 32
+    raw = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256)
+    )
+    img = PngImage(w, h, 8, 2, 3, w * 3, raw, None)
+    rows = [(1, encode_png(img)), (2, encode_jpeg(img, quality=95))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = image_near_dups(image_hashes_frame(df)).collect()
+    assert len(pairs) == 1 and pairs[0].a_id == 1 and pairs[0].b_id == 2
