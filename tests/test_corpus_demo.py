@@ -19,9 +19,12 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert r["wds_samples"] == r["curated"]  # one tar sample per curated doc
     # the r11 media leg: bounded fold, every selected doc decoded for real
     assert 0 < r["media_samples"] <= min(r["curated"], 512)
+    # the r11 audio leg: every clip's stereo twin found at hamming 0
+    assert r["audiohash_twin_pairs"] == r["media_samples"]
+    assert r["audio_twin_clips"] == r["media_samples"]
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
-        "wds_publish", "media_codecs",
+        "wds_publish", "media_codecs", "audio_dedup_normalize",
     }
     assert set(report["stages"]) == expected_stages
