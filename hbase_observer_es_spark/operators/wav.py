@@ -14,8 +14,11 @@ readers. Implemented subset:
   channels × bytes/sample, ``byte_rate`` = rate × block_align — a lying
   header dies loudly, never misframes samples);
 * sample formats: PCM unsigned 8-bit, signed little-endian 16/24/32-bit,
-  IEEE float32/float64 (format tag 3). Compressed/extensible tags
-  (μ-law, ADPCM, 0xFFFE) are refused by name;
+  IEEE float32/float64 (format tag 3), and G.711 a-law/mu-law telephony
+  audio (tags 6/7 — expanded to 16-bit linear at the parse boundary by
+  the classic segment formulas, bit-identical to the stdlib audioop
+  reference, so everything downstream sees plain PCM). Other
+  compressed/extensible tags (ADPCM, MP3, 0xFFFE) are refused by name;
 * per-sample access and integer-exact corpus features: peak amplitude,
   zero-crossing count, sum of absolute sample values — the cheap audio
   quality/filter signals, all integer arithmetic for PCM so a DuckDB or
@@ -40,11 +43,31 @@ WAV_HEADER = (b"RIFF", b"WAVE")  # bytes 0-3 and 8-11
 
 _FORMAT_NAMES = {
     0x0002: "adpcm",
-    0x0006: "a-law",
-    0x0007: "mu-law",
     0x0055: "mp3",
     0xFFFE: "wave-format-extensible",
 }
+
+
+def _g711_mulaw(u: int) -> int:
+    """G.711 mu-law byte → 16-bit linear (the canonical expansion — the
+    classic segment formula, bit-identical to the public reference
+    tables; pinned against stdlib audioop in tests)."""
+    u = ~u & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _g711_alaw(a: int) -> int:
+    """G.711 A-law byte → 16-bit linear (sign bit SET is positive)."""
+    v = a ^ 0x55
+    exp = (v >> 4) & 7
+    mant = v & 0x0F
+    mag = (((mant << 4) + 0x108) << (exp - 1)) if exp else (mant << 4) + 8
+    return mag if v & 0x80 else -mag
+
+
+_MULAW = [_g711_mulaw(i) for i in range(256)]
+_ALAW = [_g711_alaw(i) for i in range(256)]
 
 
 def looks_like_wav(payload: bytes) -> bool:
@@ -147,11 +170,16 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
             tag, ch, rate, byte_rate, block_align, depth = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
-            if tag not in (1, 3):
+            if tag not in (1, 3, 6, 7):
                 name = _FORMAT_NAMES.get(tag, f"0x{tag:04x}")
                 raise ValueError(
                     f"wav {origin}: compressed/extensible format {name} "
-                    "unsupported (PCM and IEEE float only)"
+                    "unsupported (PCM, IEEE float, G.711 a-law/mu-law)"
+                )
+            if tag in (6, 7) and depth != 8:
+                raise ValueError(
+                    f"wav {origin}: {'a-law' if tag == 6 else 'mu-law'} "
+                    f"(G.711) needs 8-bit samples, got {depth}"
                 )
             if tag == 1 and depth not in (8, 16, 24, 32):
                 raise ValueError(
@@ -194,6 +222,21 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
         raise ValueError(
             f"wav {origin}: data length {len(frames_data)} not a multiple of "
             f"block_align {block_align} (torn final frame)"
+        )
+    if tag in (6, 7):
+        # G.711 expands at the parse boundary: downstream sees plain
+        # 16-bit linear PCM, so features/normalize/fingerprints compose
+        # with zero special-casing (we never re-emit G.711 on write)
+        table = _ALAW if tag == 6 else _MULAW
+        return WavAudio(
+            fmt_tag=1,
+            channels=ch,
+            sample_rate=rate,
+            bit_depth=16,
+            n_frames=len(frames_data) // block_align,
+            data=struct.pack(
+                f"<{len(frames_data)}h", *(table[b] for b in frames_data)
+            ),
         )
     return WavAudio(
         fmt_tag=tag,

@@ -509,3 +509,50 @@ def test_to_pcm16_nan_refused_with_origin_context():
                    _chunk(b"data", struct.pack("<4f", 0.0, 0.5, float("nan"), 1.0)))
     with pytest.raises(ValueError, match=r"wav doc-7: .*frame 1 channel 0"):
         to_pcm16(parse_wav(payload), origin="doc-7")
+
+
+# ------------------------------------------------------------ G.711
+
+
+def test_g711_tables_match_the_stdlib_reference():
+    """Every mu-law and A-law byte expands bit-identically to the stdlib
+    audioop reference implementation (an independent oracle)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from hbase_observer_es_spark.operators.wav import _ALAW, _MULAW
+
+    for b in range(256):
+        (want_u,) = struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))
+        (want_a,) = struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))
+        assert _MULAW[b] == want_u, f"mu-law {b:#04x}"
+        assert _ALAW[b] == want_a, f"a-law {b:#04x}"
+
+
+def test_g711_wav_expands_to_linear_pcm():
+    data = _wav(_fmt(7, 1, 8000, 8), _chunk(b"data", bytes([0x00, 0x7F, 0x80])))
+    a = parse_wav(data)
+    assert (a.fmt_tag, a.bit_depth, a.n_frames) == (1, 16, 3)
+    assert a.samples() == [-32124, 0, 32124]
+    al = parse_wav(_wav(_fmt(6, 2, 8000, 8), _chunk(b"data", bytes([0x55, 0xAA]))))
+    assert (al.channels, al.n_frames) == (2, 1)
+    assert al.samples() == [-8, 32256]
+
+
+def test_g711_composes_with_features_and_normalize():
+    from hbase_observer_es_spark.operators.wav import normalize_audio
+
+    data = _wav(_fmt(7, 1, 8000, 8), _chunk(b"data", bytes([0x80, 0x00] * 4)))
+    a = parse_wav(data)
+    f = wav_features(a)
+    assert f["peak"] == 32124 and f["zero_crossings"] == 7
+    n = normalize_audio(a, rate=8000)
+    assert (n.channels, n.bit_depth, n.sample_rate) == (1, 16, 8000)
+
+
+def test_g711_wrong_depth_refused():
+    with pytest.raises(ValueError, match=r"mu-law \(G.711\) needs 8-bit"):
+        parse_wav(_wav(_fmt(7, 1, 8000, 16, block_align=2, byte_rate=16000),
+                       _chunk(b"data", b"")))
