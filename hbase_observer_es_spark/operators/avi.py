@@ -380,3 +380,55 @@ def avi_frames_frame(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(sample, f"{id_col} long, {AVI_FRAME_SCHEMA}")
+
+
+# ------------------------------------------------------------------ writer
+
+
+def write_avi_mjpeg(
+    frames: list, width: int, height: int, scale: int = 1, rate: int = 10
+) -> bytes:
+    """Serialize JPEG frame payloads as a spec-valid MJPEG AVI (one vids
+    stream, ``00dc`` chunks, even-padded). Deterministic — same frames
+    in, same bytes out — and every output round-trips through
+    :func:`parse_avi` (declared frame count, geometry, and timing all
+    come from the arguments, so the validations hold by construction).
+    Frames are NOT re-encoded: callers bring encode_jpeg output (or any
+    baseline JPEG of the declared geometry)."""
+    if not frames:
+        raise ValueError("avi: cannot write a video with zero frames")
+    if width < 1 or height < 1 or scale < 1 or rate < 1:
+        raise ValueError(
+            f"avi: invalid geometry/timing {width}x{height} {scale}/{rate}"
+        )
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = (scale * 1_000_000) // rate
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, scale, rate, 0,
+                      len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, int.from_bytes(b"MJPG", "little"),
+        0, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

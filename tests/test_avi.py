@@ -284,3 +284,17 @@ def test_sampler_skips_decode_of_untaken_frames(spark, monkeypatch):
         counting(stream, i, p) for i, p in stream_it if i % 2 == 0
     ]
     assert len(taken) == 2 and calls == [0, 2]
+
+
+def test_write_avi_mjpeg_roundtrips():
+    from hbase_observer_es_spark.operators.avi import write_avi_mjpeg
+
+    jpegs = [encode_jpeg(_rgb_img(8, 8, seed=s), quality=100) for s in range(3)]
+    data = write_avi_mjpeg(jpegs, 8, 8, scale=1, rate=25)
+    assert data == write_avi_mjpeg(jpegs, 8, 8, scale=1, rate=25)
+    stream, frames = parse_avi(data)
+    assert (stream.codec, stream.width, stream.rate, len(frames)) == ("mjpg", 8, 25, 3)
+    for payload, img in zip(jpegs, frames):
+        assert img.raw == decode_jpeg(payload).raw
+    with pytest.raises(ValueError, match=r"zero frames"):
+        write_avi_mjpeg([], 8, 8)

@@ -22,9 +22,13 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     # the r11 audio leg: every clip's stereo twin found at hamming 0
     assert r["audiohash_twin_pairs"] == r["media_samples"]
     assert r["audio_twin_clips"] == r["media_samples"]
+    # the r11 video leg: every clip samples exactly frames 0 and 2
+    assert 0 < r["video_docs"] <= min(r["curated"], 64)
+    assert r["video_frames"] == r["video_docs"] * 2
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
         "wds_publish", "media_codecs", "audio_dedup_normalize",
+        "video_framesample",
     }
     assert set(report["stages"]) == expected_stages

@@ -408,6 +408,58 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     rows["audio_twin_clips"] = stage("audio_dedup_normalize", audio_leg)
 
+    VIDEO_N = 64  # loud cap: pure-Python JPEG per frame; recorded below
+
+    def video_leg():
+        """Real-video frame sampling on synthesized MJPEG AVIs: each of
+        VIDEO_N docs becomes a 3-frame 16x16 clip (frames JPEG-encoded
+        from the doc's bytes), written through write_avi_mjpeg, then
+        sampled every-2nd through avi_frames_frame — container walk,
+        JPEG decode, geometry/count validation, and exact rational
+        timestamps all on the real byte formats."""
+        import pandas as pd
+
+        from hbase_observer_es_spark.operators.avi import (
+            avi_frames_frame,
+            write_avi_mjpeg,
+        )
+        from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+        from hbase_observer_es_spark.operators.png import PngImage
+
+        base = curated.select("doc_id", "text").orderBy("doc_id").limit(VIDEO_N)
+
+        def synth(batches):
+            for pdf in batches:
+                ids, pays = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    b = text.encode("utf-8") or b"x"
+                    buf = b * ((256 + 17 * 2) // len(b) + 2)
+                    frames = []
+                    for k in range(3):
+                        raw = bytes(buf[i + 17 * k] for i in range(256))
+                        frames.append(
+                            encode_jpeg(
+                                PngImage(16, 16, 8, 0, 1, 16, raw, None),
+                                quality=85,
+                            )
+                        )
+                    ids.append(doc_id)
+                    pays.append(write_avi_mjpeg(frames, 16, 16, scale=1, rate=25))
+                yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+        clips = base.mapInPandas(synth, "doc_id long, payload binary")
+        sampled = avi_frames_frame(clips, every_n=2)
+        agg = sampled.groupBy("doc_id").count().collect()
+        n_docs = len(agg)
+        assert all(r["count"] == 2 for r in agg), "expected frames 0 and 2 per clip"
+        # frame 2 of a 25 fps clip sits at exactly 80000 us
+        ts = sampled.where(F.col("frame_idx") == 2).select("ts_us").distinct().collect()
+        assert [r.ts_us for r in ts] == [80000], ts
+        rows["video_frames"] = int(n_docs * 2)
+        return n_docs
+
+    rows["video_docs"] = stage("video_framesample", video_leg)
+
     assert rows_curated > 0 and rows["sequences"] > 0
     return {
         "metric": "corpus_demo_sec",
