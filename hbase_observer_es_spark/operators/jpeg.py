@@ -885,18 +885,31 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
 
 
 def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
-    """Magic-dispatched real decode: PNG or baseline JPEG → PngImage,
-    anything else refused by name. Unregistered composition point — the
-    registered multimodal module's dispatch (operators/multimodal.py,
-    decode_image_real) adopts JPEG at the next tier-safe window; until
-    then this is the demo/tooling entry."""
+    """Magic-dispatched real decode: PNG, baseline JPEG, GIF (first
+    composed frame), or 24-bit BMP → PngImage; anything else refused by
+    name. Unregistered composition point — the registered multimodal
+    module's dispatch (operators/multimodal.py, decode_image_real)
+    adopts these at the next tier-safe window; until then this is the
+    demo/tooling entry. Imports are lazy: bmp→avi→jpeg would otherwise
+    cycle at module load."""
     from .png import PNG_MAGIC, decode_png
 
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(payload, origin=origin)
     if looks_like_jpeg(payload):
         return decode_jpeg(payload, origin=origin)
+    from .bmp import looks_like_bmp
+    from .gif import looks_like_gif
+
+    if looks_like_gif(payload):
+        from .gif import decode_gif
+
+        return decode_gif(payload, origin=origin)
+    if looks_like_bmp(payload):
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload, origin=origin)
     raise ValueError(
-        f"image {origin}: payload magic {payload[:4]!r} is neither PNG "
-        "nor JPEG — no real codec for this format in-container"
+        f"image {origin}: payload magic {payload[:4]!r} is none of "
+        "PNG/JPEG/GIF/BMP — no real codec for this format in-container"
     )
