@@ -71,18 +71,21 @@ def energy_hash(audio: WavAudio, origin: str = "<clip>") -> int:
 def audio_fingerprints_frame(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, ehash) over a binary WAV column via mapInPandas — the only
+    """(id, ehash) over a binary audio column (WAV or FLAC by payload
+    magic) via mapInPandas — the only
     Python stage of the audio near-dup pipeline. Hashes are emitted as
     SIGNED int64 (raw 64 bits two's-complement, lossless); XOR/bit_count
     downstream are sign-agnostic."""
     import pandas as pd
+
+    from .flac import decode_audio
 
     def extract(batches):
         for pdf in batches:
             ids, eh = [], []
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
                 origin = str(key)
-                clip = parse_wav(bytes(payload), origin=origin)
+                clip = decode_audio(bytes(payload), origin=origin)
                 ids.append(key)
                 eh.append(_to_i64(energy_hash(clip, origin=origin)))
             yield pd.DataFrame({id_col: ids, "ehash": eh})

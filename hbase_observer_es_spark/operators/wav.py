@@ -336,10 +336,13 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def audio_features_frame(df, payload_col: str = "payload", id_col: str = "doc_id"):
-    """mapInPandas feature extraction over a binary WAV column — the audio
-    twin of the image decode plumbing: Arrow batches in, one typed feature
-    row per clip out, no shuffle (payloads die executor-side)."""
+    """mapInPandas feature extraction over a binary audio column (WAV or
+    FLAC by payload magic) — the audio twin of the image decode plumbing:
+    Arrow batches in, one typed feature row per clip out, no shuffle
+    (payloads die executor-side)."""
     import pandas as pd
+
+    from .flac import decode_audio
 
     def extract(batches):
         for pdf in batches:
@@ -353,7 +356,7 @@ def audio_features_frame(df, payload_col: str = "payload", id_col: str = "doc_id
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
                 origin = str(key)
                 feats = wav_features(
-                    parse_wav(bytes(payload), origin=origin), origin=origin
+                    decode_audio(bytes(payload), origin=origin), origin=origin
                 )
                 rows[id_col].append(key)
                 for k, v in feats.items():
@@ -592,8 +595,11 @@ def audio_normalize_frame(
     re-emerges as a mono 16-bit ``rate``-Hz RIFF payload (write_wav bytes,
     ready for a WebDataset sink) plus its new geometry. Payloads transform
     executor-side per Arrow batch — no shuffle, one clip in memory at a
-    time, deterministic output bytes."""
+    time, deterministic output bytes. Payloads dispatch by magic (WAV or
+    FLAC)."""
     import pandas as pd
+
+    from .flac import decode_audio
 
     def normalize(batches):
         for pdf in batches:
@@ -601,7 +607,7 @@ def audio_normalize_frame(
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
                 origin = str(key)
                 a = normalize_audio(
-                    parse_wav(bytes(payload), origin=origin), rate, origin=origin
+                    decode_audio(bytes(payload), origin=origin), rate, origin=origin
                 )
                 keys.append(key)
                 payloads.append(write_wav(a))
@@ -646,8 +652,11 @@ def audio_segments_frame(
     prep); windows reduce over flat int slices, so an overlapping hop pays
     window-arithmetic, never window × re-decode. A valid ZERO-frame clip
     (empty data chunk) emits one all-zero segment row rather than
-    vanishing — per-doc joins and coverage checks keep seeing the id."""
+    vanishing — per-doc joins and coverage checks keep seeing the id.
+    Payloads dispatch by magic (WAV or FLAC)."""
     import pandas as pd
+
+    from .flac import decode_audio
 
     if window_frames < 1:
         raise ValueError(f"wav: window_frames {window_frames} must be >= 1")
@@ -666,7 +675,7 @@ def audio_segments_frame(
             }
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
                 origin = str(key)
-                a = parse_wav(bytes(payload), origin=origin)
+                a = decode_audio(bytes(payload), origin=origin)
                 ch_n = a.channels
                 flat = a.samples()
                 if a.fmt_tag == 3:
