@@ -19,8 +19,9 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert r["wds_samples"] == r["curated"]  # one tar sample per curated doc
     # the r11 media leg: bounded fold, every selected doc decoded for real
     assert 0 < r["media_samples"] <= min(r["curated"], 512)
-    # the r11 audio leg: every clip's stereo twin found at hamming 0
+    # the r11 audio leg: every clip's stereo twin AND flac twin at hamming 0
     assert r["audiohash_twin_pairs"] == r["media_samples"]
+    assert r["audiohash_flac_pairs"] == r["media_samples"]
     assert r["audio_twin_clips"] == r["media_samples"]
     # the r11 video leg: every clip samples exactly frames 0 and 2
     assert 0 < r["video_docs"] <= min(r["curated"], 64)

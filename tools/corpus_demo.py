@@ -334,20 +334,23 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     def audio_leg():
         """The audio dedup + normalization composition on the clips the
-        media stage landed: re-encode each WAV as a duplicated-channel
-        stereo twin (a different file byte-for-byte), fingerprint both
-        sides (operators/audiohash.py), and require every (original,
-        twin) pair at hamming 0 through the banded join — the channel-
-        count invariance proved on real payloads. Then normalize the
-        originals to mono 16-bit 16 kHz (operators/wav.py) and check the
-        exact 2x frame count the integer resampler guarantees for
-        8 kHz input."""
+        media stage landed: re-encode each WAV BOTH as a duplicated-
+        channel stereo twin AND as a FLAC (different containers, byte-
+        disjoint files), fingerprint all three sides
+        (operators/audiohash.py — the fingerprint frame dispatches by
+        payload magic), and require every (original, stereo) and
+        (original, flac) pair at hamming 0 through the banded join —
+        channel-count AND container invariance proved on real payloads.
+        Then normalize the originals to mono 16-bit 16 kHz
+        (operators/wav.py) and check the exact 2x frame count the
+        integer resampler guarantees for 8 kHz input."""
         import pandas as pd
 
         from hbase_observer_es_spark.operators.audiohash import (
             audio_fingerprints_frame,
             audio_near_dups,
         )
+        from hbase_observer_es_spark.operators.flac import encode_flac
         from hbase_observer_es_spark.operators.wav import (
             WavAudio,
             audio_normalize_frame,
@@ -358,7 +361,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
         landed = spark.read.parquet(os.path.join(out, "media.parquet"))
         clips = landed.select("doc_id", F.col("wav").alias("payload"))
 
-        def stereo_twin(batches):
+        def make_twins(batches):
             import struct as _struct
 
             for pdf in batches:
@@ -370,29 +373,39 @@ def run(spark, sf_dir: str, out: str) -> dict:
                         f"<{2 * len(flat)}h",
                         *(v for s in flat for v in (s, s)),
                     )
-                    ids.append(doc_id)
+                    ids.append(doc_id * 3 + 1)
                     pays.append(
                         write_wav(
                             WavAudio(1, 2, a.sample_rate, 16, a.n_frames, inter)
                         )
                     )
+                    ids.append(doc_id * 3 + 2)
+                    pays.append(
+                        encode_flac(flat, 1, a.sample_rate, 16, block_size=4096)
+                    )
                 yield pd.DataFrame({"doc_id": ids, "payload": pays})
 
-        twins = clips.mapInPandas(stereo_twin, "doc_id long, payload binary")
+        twins = clips.mapInPandas(make_twins, "doc_id long, payload binary")
         both = clips.select(
-            (F.col("doc_id") * 2).alias("doc_id"), "payload"
-        ).unionByName(
-            twins.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "payload")
-        )
+            (F.col("doc_id") * 3).alias("doc_id"), "payload"
+        ).unionByName(twins)
         pairs = audio_near_dups(audio_fingerprints_frame(both))
-        twin_pairs = pairs.where(
-            (F.col("b_id") == F.col("a_id") + 1)
-            & (F.col("a_id") % 2 == 0)
-            & (F.col("hamming") == 0)
-        ).count()
+        hits = (
+            pairs.where(
+                (F.col("a_id") % 3 == 0)
+                & (F.col("b_id") - F.col("a_id")).isin(1, 2)
+                & (F.col("hamming") == 0)
+            )
+            .groupBy((F.col("b_id") - F.col("a_id")).alias("kind"))
+            .count()
+            .collect()
+        )
+        counts = {r["kind"]: r["count"] for r in hits}
         n = clips.count()
-        rows["audiohash_twin_pairs"] = int(twin_pairs)
-        assert twin_pairs == n, f"audio near-dup recall {twin_pairs}/{n}"
+        rows["audiohash_twin_pairs"] = int(counts.get(1, 0))
+        rows["audiohash_flac_pairs"] = int(counts.get(2, 0))
+        assert counts.get(1, 0) == n, f"stereo twin recall {counts}/{n}"
+        assert counts.get(2, 0) == n, f"flac twin recall {counts}/{n}"
 
         norm = audio_normalize_frame(clips, rate=16000).select(
             "doc_id", F.col("n_frames").alias("norm_frames")
