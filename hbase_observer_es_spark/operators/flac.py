@@ -592,6 +592,12 @@ def decode_audio(payload: bytes, origin: str = "<bytes>"):
         return parse_wav(payload, origin=origin)
     if looks_like_flac(payload):
         return flac_to_wav(payload, origin=origin)
+    from .mp3meta import decode_mp3_audio, looks_like_mp3
+
+    if looks_like_mp3(payload):
+        # named refusal: mp3 FRAMING is real surface (mp3meta.mp3_meta),
+        # sample decode is not — say which file and why
+        decode_mp3_audio(payload, origin=origin)
     raise ValueError(
         f"audio {origin}: payload magic {payload[:4]!r} is neither "
         "RIFF/WAVE nor FLAC — no real codec for this format in-container"
