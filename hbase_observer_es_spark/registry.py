@@ -81,7 +81,7 @@ _MODULES = (
 # q_embed_pq,q_incremental_unseen (the round's two registrations — held
 # twins from r10, new modules). The round's operator edits: graph.py
 # (min_label_fixpoint consolidation) + dedup.py (q_dedup_clusters now
-# calls it, new graph import) + multimodal.py (real PNG routing) — their
+# calls it, new graph import) + multimodal.py (real PNG decode+resize routing; re-spliced after the resize edit promoted q_mm_resize to tier 1.0) — their
 # file/import closures surface as tiers 1.0-1.2 below (the conservatism
 # invariant: the new dedup->graph import edge marks importers affected).
 # Window head = 2 never-checked + 26 tier-1 + the oldest tier-2 rows
@@ -93,6 +93,7 @@ _PRIORITY = (
     # tier 1.0: own fn edited after last green check
     "q_dedup_clusters",  # green r8, hbase_observer_es_spark/operators/dedup.py fn edited r11
     "q_mm_decode",  # green r9, hbase_observer_es_spark/operators/multimodal.py fn edited r11
+    "q_mm_resize",  # green r9, hbase_observer_es_spark/operators/multimodal.py fn edited r11
     # tier 1.1: file edited after last green check (oldest green first)
     "q_dedup_exact",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
     "q_dedup_minhash",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
@@ -100,7 +101,6 @@ _PRIORITY = (
     "q_dedup_simhash_near",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
     "q_mm_meta",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
     "q_mm_framesample",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
-    "q_mm_resize",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
     "q_dedup_jaccard",  # green r10, hbase_observer_es_spark/operators/dedup.py file edited r11
     "q_graph_components",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11
     # tier 1.2: imported helper edited after last green check (oldest green first)
