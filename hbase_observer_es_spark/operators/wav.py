@@ -626,8 +626,8 @@ def audio_normalize_frame(
 
 
 SEGMENT_SCHEMA = (
-    "seg_idx long, start_frame long, n_frames long, peak long,"
-    " zero_crossings long, sum_abs long"
+    "seg_idx long, sample_rate long, start_frame long, n_frames long,"
+    " peak long, zero_crossings long, sum_abs long"
 )
 
 
@@ -653,7 +653,9 @@ def audio_segments_frame(
     window-arithmetic, never window × re-decode. A valid ZERO-frame clip
     (empty data chunk) emits one all-zero segment row rather than
     vanishing — per-doc joins and coverage checks keep seeing the id.
-    Payloads dispatch by magic (WAV or FLAC)."""
+    Payloads dispatch by magic (WAV or FLAC). Rows carry the clip's
+    sample_rate so downstream time math (caption alignment) is exact
+    per document — mixed-rate corpora need no global rate."""
     import pandas as pd
 
     from .flac import decode_audio
@@ -669,8 +671,8 @@ def audio_segments_frame(
             rows = {
                 k: []
                 for k in (
-                    id_col, "seg_idx", "start_frame", "n_frames", "peak",
-                    "zero_crossings", "sum_abs",
+                    id_col, "seg_idx", "sample_rate", "start_frame",
+                    "n_frames", "peak", "zero_crossings", "sum_abs",
                 )
             }
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -690,6 +692,7 @@ def audio_segments_frame(
                     )
                     rows[id_col].append(key)
                     rows["seg_idx"].append(idx)
+                    rows["sample_rate"].append(a.sample_rate)
                     rows["start_frame"].append(start)
                     rows["n_frames"].append(n)
                     rows["peak"].append(peak)
