@@ -598,6 +598,10 @@ def decode_audio(payload: bytes, origin: str = "<bytes>"):
         # named refusal: mp3 FRAMING is real surface (mp3meta.mp3_meta),
         # sample decode is not — say which file and why
         decode_mp3_audio(payload, origin=origin)
+    from .oggmeta import decode_ogg_audio, looks_like_ogg
+
+    if looks_like_ogg(payload):
+        decode_ogg_audio(payload, origin=origin)  # named refusal likewise
     raise ValueError(
         f"audio {origin}: payload magic {payload[:4]!r} is neither "
         "RIFF/WAVE nor FLAC — no real codec for this format in-container"
