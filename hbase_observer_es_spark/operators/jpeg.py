@@ -909,6 +909,12 @@ def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
         from .bmp import decode_bmp
 
         return decode_bmp(payload, origin=origin)
+    from .webpmeta import decode_webp_pixels, looks_like_webp
+
+    if looks_like_webp(payload):
+        # named refusal: webp GEOMETRY is real surface (webpmeta), pixel
+        # decode is not — say which file and why
+        decode_webp_pixels(payload, origin=origin)
     raise ValueError(
         f"image {origin}: payload magic {payload[:4]!r} is none of "
         "PNG/JPEG/GIF/BMP — no real codec for this format in-container"
