@@ -1,0 +1,174 @@
+"""Media census: one pass profiles a MIXED binary corpus by payload magic.
+
+A scraped corpus lands as one binary column of who-knows-what. Before
+any pipeline decision (what to decode, what to route where, what to
+drop) someone has to answer "what IS this column?" — per format, per
+family, with geometry/duration stats. This operator is that answer in
+one mapInPandas pass, composing every real parser in the repo:
+
+* images: PNG/JPEG/GIF/BMP decode for real (geometry from decoded
+  pixels — header lies die here, not downstream); WebP geometry from
+  the header walk (pixels refused by name elsewhere, but the census
+  still reports dims);
+* audio: WAV (incl. G.711) and FLAC decode for real (exact duration
+  from samples); MP3 and Ogg/Opus/Vorbis from their verified framing
+  walks;
+* video: AVI (frame count from the movi walk, no decode needed for the
+  census), MP4 per-movie facts, animated GIFs report their frame count;
+* containers/unknown: anything else is classified ``unknown`` with its
+  magic preserved.
+
+ERROR POLICY — deliberately different from every other module: a census
+must SURVEY a corrupt corpus, not die on its first bad file. This is
+the one place parse failures fold into rows instead of raising: family
+``error`` with the parser's full loud message in ``detail``. Nothing is
+silently dropped — every input row produces exactly one output row, and
+the error text is the same text the strict path would have raised.
+
+Scale posture: one Arrow-batched pass, payloads never shuffle; images
+pay a real decode (the honest geometry source), audio/video pay only
+their framing walks. Aggregate the output (family/format counts, size
+and duration distributions) with plain groupBy — the census row is
+deliberately flat scalars.
+
+Reference parity: none — builder-brief multimodal surface, SURVEY §2-D.
+"""
+
+from __future__ import annotations
+
+CENSUS_SCHEMA = (
+    "family string, format string, detail string, n_bytes long,"
+    " width long, height long, n_frames long, channels long,"
+    " sample_rate long, duration_us long"
+)
+
+_EMPTY = {
+    "width": 0, "height": 0, "n_frames": 0, "channels": 0,
+    "sample_rate": 0, "duration_us": 0,
+}
+
+
+def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
+    """One payload → one flat census row (see module docstring for the
+    fold-errors-into-rows policy)."""
+    from .avi import iter_avi_raw, looks_like_avi
+    from .bmp import looks_like_bmp
+    from .flac import looks_like_flac, parse_flac
+    from .gif import looks_like_gif, parse_gif
+    from .jpeg import decode_image, looks_like_jpeg
+    from .mp3meta import looks_like_mp3, mp3_meta
+    from .mp4meta import looks_like_mp4, mp4_meta
+    from .oggmeta import looks_like_ogg, ogg_meta
+    from .png import PNG_MAGIC
+    from .wav import looks_like_wav, parse_wav
+    from .webpmeta import looks_like_webp, webp_meta
+
+    row = dict(_EMPTY)
+    row["n_bytes"] = len(payload)
+    row["detail"] = ""
+    try:
+        if looks_like_gif(payload):
+            frames = parse_gif(payload, origin=origin)
+            img = frames[0].image
+            row.update(
+                family="image", format="gif", width=img.width,
+                height=img.height, n_frames=len(frames),
+            )
+        elif payload[: len(PNG_MAGIC)] == PNG_MAGIC or looks_like_jpeg(payload) or looks_like_bmp(payload):
+            img = decode_image(payload, origin=origin)
+            fmt = (
+                "png" if payload[: len(PNG_MAGIC)] == PNG_MAGIC
+                else "jpeg" if looks_like_jpeg(payload) else "bmp"
+            )
+            row.update(
+                family="image", format=fmt, width=img.width,
+                height=img.height, n_frames=1,
+            )
+        elif looks_like_webp(payload):
+            m = webp_meta(payload, origin=origin)
+            row.update(
+                family="image", format=f"webp-{m['kind']}", width=m["width"],
+                height=m["height"], n_frames=m["n_frames"],
+            )
+        elif looks_like_wav(payload):
+            a = parse_wav(payload, origin=origin)
+            row.update(
+                family="audio", format="wav", channels=a.channels,
+                sample_rate=a.sample_rate, n_frames=a.n_frames,
+                duration_us=a.duration_us,
+            )
+        elif looks_like_flac(payload):
+            d = parse_flac(payload, origin=origin)
+            row.update(
+                family="audio", format="flac", channels=d["channels"],
+                sample_rate=d["sample_rate"], n_frames=d["n_frames"],
+                duration_us=d["n_frames"] * 1_000_000 // d["sample_rate"],
+            )
+        elif looks_like_ogg(payload):
+            m = ogg_meta(payload, origin=origin)
+            row.update(
+                family="audio", format=f"ogg-{m['codec']}",
+                channels=m["channels"], sample_rate=m["sample_rate"],
+                n_frames=m["total_samples"], duration_us=m["duration_us"],
+            )
+        elif looks_like_mp3(payload):
+            m = mp3_meta(payload, origin=origin)
+            row.update(
+                family="audio", format="mp3", sample_rate=m["sample_rate"],
+                channels=1 if m["channel_mode"] == "mono" else 2,
+                n_frames=m["total_samples"], duration_us=m["duration_us"],
+            )
+        elif looks_like_avi(payload):
+            it = iter_avi_raw(payload, origin=origin)
+            stream = next(it)
+            n = sum(1 for _ in it)
+            row.update(
+                family="video", format=f"avi-{stream.codec}",
+                width=stream.width, height=stream.height, n_frames=n,
+                duration_us=n * stream.frame_duration_us,
+            )
+        elif looks_like_mp4(payload):
+            m = mp4_meta(payload, origin=origin)
+            vids = [t for t in m["tracks"] if t["handler"] == "vide"]
+            row.update(
+                family="video", format=f"mp4-{m['brand']}",
+                duration_us=m["duration_us"], n_frames=len(m["tracks"]),
+                width=vids[0]["width"] if vids else 0,
+                height=vids[0]["height"] if vids else 0,
+            )
+        else:
+            row.update(
+                family="unknown", format="",
+                detail=f"magic {payload[:8]!r}",
+            )
+    except (ValueError, NotImplementedError) as exc:
+        # the census-only fold: the strict parsers' loud message survives
+        # verbatim in the row — surveyed, not silenced
+        row.update(dict(_EMPTY))
+        row["n_bytes"] = len(payload)
+        row["family"] = "error"
+        row["format"] = ""
+        row["detail"] = str(exc)
+    return row
+
+
+def media_census_frame(df, payload_col: str = "payload", id_col: str = "doc_id"):
+    """One binary payload row → exactly one flat census row."""
+    import pandas as pd
+
+    cols = (
+        id_col, "family", "format", "detail", "n_bytes", "width", "height",
+        "n_frames", "channels", "sample_rate", "duration_us",
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                r = classify_media(bytes(payload), origin=str(key))
+                rows[id_col].append(key)
+                for k in cols[1:]:
+                    rows[k].append(r[k])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, f"{id_col} long, {CENSUS_SCHEMA}")
