@@ -132,7 +132,10 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             vids = [t for t in m["tracks"] if t["handler"] == "vide"]
             row.update(
                 family="video", format=f"mp4-{m['brand']}",
-                duration_us=m["duration_us"], n_frames=len(m["tracks"]),
+                duration_us=m["duration_us"],
+                # n_frames stays 0: the box walk does not count samples,
+                # and track count is NOT a frame count — it rides detail
+                detail=f"{len(m['tracks'])} tracks",
                 width=vids[0]["width"] if vids else 0,
                 height=vids[0]["height"] if vids else 0,
             )

@@ -17,9 +17,11 @@ container boxes nesting children. Extracted per file:
   for video tracks the coded width/height from the sample entry;
 * guards: box sizes are attacker data — a size that overruns its parent
   names its byte offset; size 0 ("to end of file") is honored only at
-  top level; nesting is depth-capped loudly; a missing ``moov`` or
-  ``mvhd`` refuses by name (streaming-optimized files put ``moov``
-  first, but the walk finds it anywhere before EOF).
+  top level; descent is explicit at fixed call sites (no recursion to
+  depth-bomb); a missing ``moov`` or ``mvhd`` refuses by name
+  (streaming-optimized files put ``moov`` first, but the walk finds it
+  anywhere before EOF); an empty or truncated timing box dies as the
+  module's ValueError, never an IndexError.
 
 ``mp4_meta_frame`` is the Spark fan-out: one payload → one row per
 TRACK (a container fact table — video and audio tracks of one file are
@@ -32,21 +34,14 @@ from __future__ import annotations
 
 import struct
 
-_CONTAINERS = {
-    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex",
-    b"moof", b"traf", b"udta",
-}
-_MAX_DEPTH = 16
-
-
 def looks_like_mp4(payload: bytes) -> bool:
     return len(payload) >= 8 and payload[4:8] == b"ftyp"
 
 
-def _walk(data: bytes, pos: int, end: int, origin: str, depth: int = 0):
-    """Yield (fourcc, body_start, body_end) for boxes in [pos, end)."""
-    if depth > _MAX_DEPTH:
-        raise ValueError(f"mp4 {origin}: box nesting deeper than {_MAX_DEPTH}")
+def _walk(data: bytes, pos: int, end: int, origin: str, top_level: bool = False):
+    """Yield (fourcc, body_start, body_end) for boxes in [pos, end).
+    Descent is explicit at fixed call sites (moov → trak → mdia → …), so
+    there is no recursion to depth-guard."""
     while pos < end:
         if pos + 8 > end:
             raise ValueError(f"mp4 {origin}: truncated box header at byte {pos}")
@@ -61,7 +56,7 @@ def _walk(data: bytes, pos: int, end: int, origin: str, depth: int = 0):
             (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
             body = pos + 16
         elif size == 0:
-            if depth != 0:
+            if not top_level:
                 raise ValueError(
                     f"mp4 {origin}: size-0 box {fourcc!r} at byte {pos} is "
                     "only legal at top level"
@@ -76,46 +71,34 @@ def _walk(data: bytes, pos: int, end: int, origin: str, depth: int = 0):
         pos += size
 
 
-def _find(data: bytes, pos: int, end: int, fourcc: bytes, origin: str, depth: int):
-    for cc, b0, b1 in _walk(data, pos, end, origin, depth):
+def _find(data: bytes, pos: int, end: int, fourcc: bytes, origin: str):
+    for cc, b0, b1 in _walk(data, pos, end, origin):
         if cc == fourcc:
             return b0, b1
     return None
 
 
-def _mvhd_facts(data: bytes, b0: int, b1: int, origin: str) -> tuple:
+def _time_facts(data: bytes, b0: int, b1: int, origin: str, label: str) -> tuple:
+    """(timescale, duration) from an mvhd/mdhd fullbox — the two share
+    one layout, so one parser (truncation guards apply to BOTH the empty
+    body and the version-specific lengths; an empty box must die as the
+    module's ValueError, never an IndexError that escapes the census)."""
+    if b1 - b0 < 1:
+        raise ValueError(f"mp4 {origin}: {label} box is empty")
     version = data[b0]
     if version == 0:
         if b1 - b0 < 20:
-            raise ValueError(f"mp4 {origin}: mvhd v0 truncated")
+            raise ValueError(f"mp4 {origin}: {label} v0 truncated")
         timescale, duration = struct.unpack(">II", data[b0 + 12 : b0 + 20])
     elif version == 1:
         if b1 - b0 < 32:
-            raise ValueError(f"mp4 {origin}: mvhd v1 truncated")
+            raise ValueError(f"mp4 {origin}: {label} v1 truncated")
         (timescale,) = struct.unpack(">I", data[b0 + 20 : b0 + 24])
         (duration,) = struct.unpack(">Q", data[b0 + 24 : b0 + 32])
     else:
-        raise ValueError(f"mp4 {origin}: mvhd version {version} unknown")
+        raise ValueError(f"mp4 {origin}: {label} version {version} unknown")
     if timescale == 0:
-        raise ValueError(f"mp4 {origin}: mvhd timescale is zero")
-    return timescale, duration
-
-
-def _mdhd_facts(data: bytes, b0: int, b1: int, origin: str, tnum: int) -> tuple:
-    version = data[b0]
-    if version == 0:
-        if b1 - b0 < 20:
-            raise ValueError(f"mp4 {origin}: track {tnum} mdhd v0 truncated")
-        timescale, duration = struct.unpack(">II", data[b0 + 12 : b0 + 20])
-    elif version == 1:
-        if b1 - b0 < 32:
-            raise ValueError(f"mp4 {origin}: track {tnum} mdhd v1 truncated")
-        (timescale,) = struct.unpack(">I", data[b0 + 20 : b0 + 24])
-        (duration,) = struct.unpack(">Q", data[b0 + 24 : b0 + 32])
-    else:
-        raise ValueError(f"mp4 {origin}: mdhd version {version} unknown")
-    if timescale == 0:
-        raise ValueError(f"mp4 {origin}: track {tnum} mdhd timescale is zero")
+        raise ValueError(f"mp4 {origin}: {label} timescale is zero")
     return timescale, duration
 
 
@@ -129,7 +112,7 @@ def mp4_meta(data: bytes, origin: str = "<bytes>") -> dict:
         )
     brand = None
     moov = None
-    for cc, b0, b1 in _walk(data, 0, len(data), origin):
+    for cc, b0, b1 in _walk(data, 0, len(data), origin, top_level=True):
         if cc == b"ftyp" and brand is None:
             if b1 - b0 < 4:
                 raise ValueError(f"mp4 {origin}: ftyp body truncated")
@@ -139,34 +122,34 @@ def mp4_meta(data: bytes, origin: str = "<bytes>") -> dict:
     if moov is None:
         raise ValueError(f"mp4 {origin}: missing moov box")
     m0, m1 = moov
-    mvhd = _find(data, m0, m1, b"mvhd", origin, 1)
+    mvhd = _find(data, m0, m1, b"mvhd", origin)
     if mvhd is None:
         raise ValueError(f"mp4 {origin}: moov without mvhd")
-    timescale, duration = _mvhd_facts(data, *mvhd, origin)
+    timescale, duration = _time_facts(data, *mvhd, origin, "mvhd")
     tracks = []
-    for cc, t0, t1 in _walk(data, m0, m1, origin, 1):
+    for cc, t0, t1 in _walk(data, m0, m1, origin):
         if cc != b"trak":
             continue
         tnum = len(tracks)
-        mdia = _find(data, t0, t1, b"mdia", origin, 2)
+        mdia = _find(data, t0, t1, b"mdia", origin)
         if mdia is None:
             raise ValueError(f"mp4 {origin}: track {tnum} without mdia")
         d0, d1 = mdia
-        hdlr = _find(data, d0, d1, b"hdlr", origin, 3)
+        hdlr = _find(data, d0, d1, b"hdlr", origin)
         if hdlr is None or hdlr[1] - hdlr[0] < 12:
             raise ValueError(f"mp4 {origin}: track {tnum} hdlr missing/truncated")
         handler = data[hdlr[0] + 8 : hdlr[0] + 12].decode("ascii", "replace")
-        mdhd = _find(data, d0, d1, b"mdhd", origin, 3)
+        mdhd = _find(data, d0, d1, b"mdhd", origin)
         if mdhd is None:
             raise ValueError(f"mp4 {origin}: track {tnum} without mdhd")
-        t_scale, t_dur = _mdhd_facts(data, *mdhd, origin, tnum)
+        t_scale, t_dur = _time_facts(data, *mdhd, origin, f"track {tnum} mdhd")
         codec = None
         width = height = 0
-        minf = _find(data, d0, d1, b"minf", origin, 3)
+        minf = _find(data, d0, d1, b"minf", origin)
         if minf is not None:
-            stbl = _find(data, *minf, b"stbl", origin, 4)
+            stbl = _find(data, *minf, b"stbl", origin)
             if stbl is not None:
-                stsd = _find(data, *stbl, b"stsd", origin, 5)
+                stsd = _find(data, *stbl, b"stsd", origin)
                 if stsd is not None:
                     s0, s1 = stsd
                     if s1 - s0 < 16:

@@ -59,6 +59,7 @@ def test_mp4_classifies():
     r = classify_media(_movie())
     assert (r["family"], r["format"], r["duration_us"], r["width"]) == (
         "video", "mp4-isom", 2_500_000, 640)
+    assert r["n_frames"] == 0 and r["detail"] == "2 tracks"  # tracks != frames
 
 
 def test_webp_classifies():

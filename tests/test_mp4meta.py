@@ -150,3 +150,12 @@ def test_meta_through_spark_one_row_per_track(spark):
         (1, "soun", "mp4a", 2_000_000, 0),
     ]
     assert all(r.movie_duration_us == 2_500_000 and r.brand == "isom" for r in rows)
+
+
+def test_empty_timing_box_is_loud_not_indexerror():
+    """An empty mvhd at EOF must die as the module's ValueError (the
+    census folds only ValueError/NotImplementedError into rows)."""
+    empty_mvhd = struct.pack(">I", 8) + b"mvhd"
+    data = _ftyp() + _box(b"moov", empty_mvhd)
+    with pytest.raises(ValueError, match=r"mvhd box is empty"):
+        mp4_meta(data)
