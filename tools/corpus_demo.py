@@ -473,6 +473,41 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     rows["video_docs"] = stage("video_framesample", video_leg)
 
+    def census_leg():
+        """The media census over the MIXED payload column this very run
+        produced (PNGs + thumbnails + WAV clips stacked into one binary
+        column): one pass classifies every payload by magic through the
+        real parsers; family counts must reconcile exactly with what the
+        media stage synthesized — nothing unknown, nothing erroring."""
+        from hbase_observer_es_spark.operators.media_census import (
+            media_census_frame,
+        )
+
+        landed = spark.read.parquet(os.path.join(out, "media.parquet"))
+        mixed = (
+            landed.select((F.col("doc_id") * 3).alias("doc_id"),
+                          F.col("png").alias("payload"))
+            .unionByName(
+                landed.select((F.col("doc_id") * 3 + 1).alias("doc_id"),
+                              F.col("thumb").alias("payload")))
+            .unionByName(
+                landed.select((F.col("doc_id") * 3 + 2).alias("doc_id"),
+                              F.col("wav").alias("payload")))
+        )
+        counts = {
+            (r.family, r.format): r["count"]
+            for r in media_census_frame(mixed)
+            .groupBy("family", "format")
+            .count()
+            .collect()
+        }
+        n = landed.count()
+        assert counts == {("image", "png"): 2 * n, ("audio", "wav"): n}, counts
+        rows["census_payloads"] = int(3 * n)
+        return 3 * n
+
+    rows["census_rows"] = stage("media_census", census_leg)
+
     assert rows_curated > 0 and rows["sequences"] > 0
     return {
         "metric": "corpus_demo_sec",
