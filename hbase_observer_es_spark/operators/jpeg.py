@@ -886,8 +886,8 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
 
 def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
     """Magic-dispatched real decode: PNG, baseline JPEG, GIF (first
-    composed frame), or 24-bit BMP → PngImage; anything else refused by
-    name. Unregistered composition point — the registered multimodal
+    composed frame), 24-bit BMP, or uncompressed-baseline TIFF →
+    PngImage; WebP refused by name, anything else refused naming all. Unregistered composition point — the registered multimodal
     module's dispatch (operators/multimodal.py, decode_image_real)
     adopts these at the next tier-safe window; until then this is the
     demo/tooling entry. Imports are lazy: bmp→avi→jpeg would otherwise
@@ -909,6 +909,12 @@ def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
         from .bmp import decode_bmp
 
         return decode_bmp(payload, origin=origin)
+    from .tiff import looks_like_tiff
+
+    if looks_like_tiff(payload):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload, origin=origin)
     from .webpmeta import decode_webp_pixels, looks_like_webp
 
     if looks_like_webp(payload):
@@ -917,5 +923,5 @@ def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
         decode_webp_pixels(payload, origin=origin)
     raise ValueError(
         f"image {origin}: payload magic {payload[:4]!r} is none of "
-        "PNG/JPEG/GIF/BMP — no real codec for this format in-container"
+        "PNG/JPEG/GIF/BMP/TIFF — no real codec for this format in-container"
     )

@@ -60,6 +60,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
     from .mp4meta import looks_like_mp4, mp4_meta
     from .oggmeta import looks_like_ogg, ogg_meta
     from .png import PNG_MAGIC
+    from .tiff import looks_like_tiff, tiff_meta
     from .wav import looks_like_wav, parse_wav
     from .webpmeta import looks_like_webp, webp_meta
 
@@ -83,6 +84,12 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             row.update(
                 family="image", format=fmt, width=img.width,
                 height=img.height, n_frames=1,
+            )
+        elif looks_like_tiff(payload):
+            m = tiff_meta(payload, origin=origin)
+            row.update(
+                family="image", format=f"tiff-{m['compression']}",
+                width=m["width"], height=m["height"], n_frames=m["n_pages"],
             )
         elif looks_like_webp(payload):
             m = webp_meta(payload, origin=origin)

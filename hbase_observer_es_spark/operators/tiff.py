@@ -1,0 +1,207 @@
+"""TIFF from the public TIFF 6.0 structure, stdlib-only.
+
+Scanned-document corpora carry TIFFs. The container is an IFD walk
+(both byte orders), and the UNCOMPRESSED baseline subset decodes for
+real — 8-bit grayscale (both photometric polarities) and RGB(A),
+strip-assembled into a :class:`~.png.PngImage` so the whole pixel stack
+composes. Compressed variants (LZW, PackBits, CCITT fax, JPEG-in-TIFF,
+Deflate) refuse BY NAME; ``tiff_meta`` still reports their geometry and
+compression so curation can filter without decoding. BigTIFF (magic 43)
+refuses by name.
+
+Guards per the codec-family rule: IFD offsets and entry counts are
+attacker data — an offset outside the file, a strip that overruns, an
+IFD loop (offset repeating), or a geometry/strip-bytes mismatch names
+its offset; ``origin`` context everywhere.
+
+Reference parity: none — builder-brief multimodal surface, SURVEY §2-D.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .png import PngImage
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+_COMPRESSION_NAMES = {
+    2: "ccitt-rle", 3: "ccitt-g3-fax", 4: "ccitt-g4-fax", 5: "lzw",
+    6: "old-jpeg", 7: "jpeg", 8: "deflate", 32773: "packbits",
+    32946: "deflate (legacy tag)",
+}
+
+
+def looks_like_tiff(payload: bytes) -> bool:
+    return payload[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _read_entries(data: bytes, ifd_at: int, endian: str, origin: str) -> dict:
+    if ifd_at + 2 > len(data):
+        raise ValueError(f"tiff {origin}: IFD at byte {ifd_at} truncated")
+    (n,) = struct.unpack(endian + "H", data[ifd_at : ifd_at + 2])
+    end = ifd_at + 2 + n * 12
+    if end + 4 > len(data):
+        raise ValueError(
+            f"tiff {origin}: IFD at byte {ifd_at} declares {n} entries, "
+            "overrunning the file"
+        )
+    entries = {}
+    for i in range(n):
+        e = ifd_at + 2 + i * 12
+        tag, typ, count = struct.unpack(endian + "HHI", data[e : e + 8])
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # unknown field type: spec says skip
+        total = size * count
+        if total <= 4:
+            raw = data[e + 8 : e + 8 + total]
+        else:
+            (off,) = struct.unpack(endian + "I", data[e + 8 : e + 12])
+            if off + total > len(data):
+                raise ValueError(
+                    f"tiff {origin}: tag {tag} value at byte {off} overruns "
+                    "the file"
+                )
+            raw = data[off : off + total]
+        if typ in (3, 8):
+            vals = list(struct.unpack(f"{endian}{count}H", raw))
+        elif typ in (4, 9):
+            vals = list(struct.unpack(f"{endian}{count}I", raw))
+        elif typ in (1, 6, 7, 2):
+            vals = list(raw)
+        else:  # rationals: keep exact numerator/denominator pairs
+            nums = struct.unpack(f"{endian}{2 * count}I", raw)
+            vals = [(nums[2 * k], nums[2 * k + 1]) for k in range(count)]
+        entries[tag] = vals
+    (next_ifd,) = struct.unpack(endian + "I", data[end : end + 4])
+    return entries, next_ifd
+
+
+def _walk_ifds(data: bytes, origin: str):
+    if not looks_like_tiff(data):
+        if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (b"+\x00", b"\x00+"):
+            raise ValueError(f"tiff {origin}: BigTIFF (magic 43) unsupported")
+        raise ValueError(
+            f"tiff {origin}: not a TIFF stream (bytes 0-3 {data[:4]!r})"
+        )
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd_at,) = struct.unpack(endian + "I", data[4:8])
+    seen = set()
+    while ifd_at:
+        if ifd_at in seen:
+            raise ValueError(
+                f"tiff {origin}: IFD chain loops back to byte {ifd_at}"
+            )
+        seen.add(ifd_at)
+        entries, ifd_at = _read_entries(data, ifd_at, endian, origin)
+        yield entries
+
+
+def _first(entries: dict, tag: int, default=None):
+    v = entries.get(tag)
+    return v[0] if v else default
+
+
+def tiff_meta(data: bytes, origin: str = "<bytes>") -> dict:
+    """Per-file facts from the first IFD + the page count: geometry,
+    bits/sample, compression (named), photometric, endianness. No pixel
+    data touched."""
+    pages = 0
+    first = None
+    for entries in _walk_ifds(data, origin):
+        if first is None:
+            first = entries
+        pages += 1
+    if first is None:
+        raise ValueError(f"tiff {origin}: no IFD in the chain")
+    comp = _first(first, 259, 1)
+    bits = first.get(258, [1])
+    return {
+        "width": _first(first, 256, 0),
+        "height": _first(first, 257, 0),
+        "bits_per_sample": max(bits),
+        "samples_per_pixel": _first(first, 277, 1),
+        "compression": "none" if comp == 1 else _COMPRESSION_NAMES.get(comp, f"tag {comp}"),
+        "photometric": _first(first, 262, 0),
+        "n_pages": pages,
+        "big_endian": data[:2] == b"MM",
+    }
+
+
+def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
+    """Real decode of the uncompressed baseline subset (first page):
+    8-bit grayscale (photometric 0 inverted per spec, 1 as-is) and 8-bit
+    RGB(A, alpha dropped — the corpus convention, as in the perceptual
+    hashes). Strips are validated against the declared geometry;
+    compressed variants refuse by name."""
+    it = _walk_ifds(data, origin)
+    entries = next(it)
+    comp = _first(entries, 259, 1)
+    if comp != 1:
+        name = _COMPRESSION_NAMES.get(comp, f"tag {comp}")
+        raise ValueError(
+            f"tiff {origin}: {name} compression unsupported for decode "
+            "(uncompressed baseline only; tiff_meta still reports geometry)"
+        )
+    w = _first(entries, 256, 0)
+    h = _first(entries, 257, 0)
+    if w < 1 or h < 1:
+        raise ValueError(f"tiff {origin}: geometry {w}x{h} invalid")
+    spp = _first(entries, 277, 1)
+    bits = entries.get(258, [1])
+    if any(b != 8 for b in bits):
+        raise ValueError(
+            f"tiff {origin}: bits/sample {bits} unsupported for decode "
+            "(8-bit baseline only)"
+        )
+    photometric = _first(entries, 262, 1)
+    if photometric not in (0, 1, 2):
+        raise ValueError(
+            f"tiff {origin}: photometric {photometric} unsupported "
+            "(grayscale/RGB only)"
+        )
+    if photometric == 2 and spp < 3:
+        raise ValueError(
+            f"tiff {origin}: RGB with {spp} samples/pixel is malformed"
+        )
+    offsets = entries.get(273)
+    counts = entries.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError(
+            f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
+        )
+    rows_per_strip = _first(entries, 278, h)
+    raw = bytearray()
+    row_bytes = w * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError(
+                f"tiff {origin}: strip {si} at byte {off} overruns the file"
+            )
+        rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if cnt != rows_here * row_bytes:
+            raise ValueError(
+                f"tiff {origin}: strip {si} carries {cnt} bytes but the "
+                f"geometry needs {rows_here * row_bytes}"
+            )
+        raw += data[off : off + cnt]
+    if len(raw) != h * row_bytes:
+        raise ValueError(
+            f"tiff {origin}: strips assemble {len(raw)} bytes, geometry "
+            f"needs {h * row_bytes}"
+        )
+    if photometric == 2:
+        if spp > 3:  # drop extra samples (alpha) per the corpus convention
+            out = bytearray(w * h * 3)
+            for i in range(w * h):
+                out[3 * i : 3 * i + 3] = raw[spp * i : spp * i + 3]
+            raw = out
+        return PngImage(w, h, 8, 2, 3, w * 3, bytes(raw), None)
+    if spp != 1:
+        raise ValueError(
+            f"tiff {origin}: grayscale with {spp} samples/pixel unsupported"
+        )
+    if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        raw = bytes(255 - v for v in raw)
+    return PngImage(w, h, 8, 0, 1, w, bytes(raw), None)

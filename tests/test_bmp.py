@@ -64,8 +64,8 @@ def test_universal_dispatch_covers_all_four_formats():
     from tests.test_gif import _simple_gif
 
     assert decode_image(_simple_gif([0, 1, 2, 3], 2, 2)).color_type == 2
-    with pytest.raises(ValueError, match=r"none of PNG/JPEG/GIF/BMP"):
-        decode_image(b"II*\x00 tiff-ish")
+    with pytest.raises(ValueError, match=r"none of PNG/JPEG/GIF/BMP/TIFF"):
+        decode_image(b"\x00\x01\x02\x03 mystery")
     # WebP is recognized and refused BY NAME, not lumped into unknown
     with pytest.raises(NotImplementedError, match=r"webp .*pixel decode"):
         decode_image(b"RIFF\x04\x00\x00\x00WEBP")

@@ -319,8 +319,8 @@ def test_decode_image_magic_dispatch():
     assert decode_image(encode_png(gray)).raw == gray.raw
     j = decode_image(encode_jpeg(gray, quality=100))
     assert (j.width, j.height) == (8, 8)
-    with pytest.raises(ValueError, match=r"none of PNG/JPEG/GIF/BMP"):
-        decode_image(b"II*\x00 tiff-ish")
+    with pytest.raises(ValueError, match=r"none of PNG/JPEG/GIF/BMP/TIFF"):
+        decode_image(b"\x00\x01\x02\x03 mystery")
 
 
 def test_yuv420_nonneutral_chroma_hand_derived():
