@@ -887,7 +887,8 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
 def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
     """Magic-dispatched real decode: PNG, baseline JPEG, GIF (first
     composed frame), 24-bit BMP, or uncompressed-baseline TIFF →
-    PngImage; WebP refused by name, anything else refused naming all. Unregistered composition point — the registered multimodal
+    PngImage. WebP is recognized and refused by name; any other magic is
+    refused with the full supported-format list. Unregistered composition point — the registered multimodal
     module's dispatch (operators/multimodal.py, decode_image_real)
     adopts these at the next tier-safe window; until then this is the
     demo/tooling entry. Imports are lazy: bmp→avi→jpeg would otherwise

@@ -80,9 +80,8 @@ def test_rgb_decode_and_alpha_drop():
 
 def test_multipage_counted():
     page1 = _tiff(bytes(4), 2, 2)
-    # append a second IFD reusing the same strip; patch page1's next ptr
+    # append a COPY of the first IFD and point page1's next-IFD at it
     second_at = len(page1)
-    entries = page1[12 + 4 :]  # reuse entry bytes from first IFD (same layout)
     first_ifd_at = struct.unpack("<I", page1[4:8])[0]
     data = bytearray(page1 + page1[first_ifd_at:])
     next_ptr_at = first_ifd_at + 2 + 9 * 12
@@ -135,3 +134,15 @@ def test_dispatch_and_census_route_tiff():
         "image", "tiff-none", 8, 1)
     lzw = _tiff(bytes(4), 2, 2, compression=5)
     assert classify_media(lzw)["format"] == "tiff-lzw"  # surveyed, not erroring
+
+
+def test_truncation_and_empty_chain_are_valueerrors():
+    """Census survival: a 4-byte magic-only payload and a zero first-IFD
+    offset must both die as ValueError, never struct.error/StopIteration."""
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    with pytest.raises(ValueError, match=r"too short for a TIFF header"):
+        tiff_meta(b"II*\x00")
+    with pytest.raises(ValueError, match=r"no IFD in the chain"):
+        decode_tiff(b"II*\x00\x00\x00\x00\x00")
+    assert classify_media(b"II*\x00")["family"] == "error"
