@@ -165,3 +165,74 @@ def test_resample_double_recovers_phase0(samples):
                  struct.pack(f"<{len(samples)}h", *samples))
     down = resample_linear(resample_linear(a, 16000), 8000)
     assert down.samples() == samples
+
+
+# ------------------------------------------------------------ containers
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=1 << 30),
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    endian=st.sampled_from(["<", ">"]),
+)
+def test_tiff_gray_roundtrip_bitexact(seed, w, h, endian):
+    from hbase_observer_es_spark.operators.tiff import decode_tiff
+    from tests.test_tiff import _tiff
+
+    px = bytes(((i * 37 + seed) % 256) for i in range(w * h))
+    img = decode_tiff(_tiff(px, w, h, endian=endian))
+    assert (img.width, img.height, img.raw) == (w, h, px)
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(min_value=0, max_value=1 << 30),
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+)
+def test_bmp_roundtrip_through_stride_padding(seed, w, h):
+    """Any geometry survives the 4-byte row padding and BGR swap."""
+    import struct as _struct
+
+    from hbase_observer_es_spark.operators.bmp import decode_bmp
+
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    want = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = ((x + seed) % 256, (y + seed) % 256, ((x * y) + seed) % 256)
+            row += bytes((b, g, r))  # stored BGR
+            want += bytes((r, g, b))
+        rows.append(bytes(row) + b"\x00" * (stride - w * 3))
+    pixel_rows = b"".join(reversed(rows))  # stored bottom-up
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    data = b"BM" + _struct.pack("<III", 14 + len(info) + len(pixel_rows), 0, 14 + len(info)) + info + pixel_rows
+    img = decode_bmp(data)
+    assert img.raw == bytes(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=1 << 20),
+)
+def test_avi_mjpeg_roundtrip_frame_exact(n_frames, seed):
+    from hbase_observer_es_spark.operators.avi import parse_avi, write_avi_mjpeg
+    from hbase_observer_es_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    jpegs = []
+    for k in range(n_frames):
+        raw = bytes(((x * 7 + y * 13 + seed + k * 31) % 256)
+                    for y in range(8) for x in range(8))
+        jpegs.append(encode_jpeg(PngImage(8, 8, 8, 0, 1, 8, raw, None), quality=100))
+    stream, frames = parse_avi(write_avi_mjpeg(jpegs, 8, 8, 1, 25))
+    assert len(frames) == n_frames
+    for payload, img in zip(jpegs, frames):
+        # gray MJPEG widens to RGB; every channel must equal the source
+        want = decode_jpeg(payload).raw
+        assert img.raw[0::3] == want and img.raw[1::3] == want
