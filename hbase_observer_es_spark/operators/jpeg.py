@@ -640,9 +640,15 @@ def _fdct_quant(block: list, qt: list) -> list:
             s = 0
             for y in range(8):
                 s += tmp[c * 8 + y] * ar[y]
-            # s = 2^28 * S(r,c); quantize by q with one half-away rounding
+            # s = 2^28 * S(r,c); quantize by q with one half-away
+            # rounding. Quantize via MAGNITUDE: Python's // floors (not
+            # truncates), so (2*s - q) // (2*q) on negative s would give
+            # floor(s/q - 0.5) — one quant step too large in magnitude
+            # for every negative coefficient (s/q = -1.0 → -2 instead
+            # of -1). Sign-split keeps half-away-from-zero exact.
             q = qt[r * 8 + c] << 28
-            out[r * 8 + c] = (2 * s + (q if s >= 0 else -q)) // (2 * q)
+            mag = (2 * abs(s) + q) // (2 * q)
+            out[r * 8 + c] = mag if s >= 0 else -mag
     return out
 
 

@@ -46,7 +46,10 @@ _LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
 _REFLINK = re.compile(r"\[([^\]]+)\]\[[^\]]*\]")
 _AUTOLINK = re.compile(r"<(?:https?|ftp|mailto)[^>]*>")
 _CODE_SPAN = re.compile(r"`([^`]*)`")
-_EMPHASIS = re.compile(r"(\*{1,3}|_{1,3}|~~)(?=\S)(.+?)(?<=\S)\1")
+# '*'/'~~' may open intra-word; '_' may NOT (CommonMark: intra-word
+# underscores are literal — snake_case identifiers in prose survive)
+_EMPHASIS = re.compile(r"(\*{1,3}|~~)(?=\S)(.+?)(?<=\S)\1")
+_EMPHASIS_U = re.compile(r"(?<!\w)(_{1,3})(?=\S)(.+?)(?<=\S)\1(?!\w)")
 _HTML_BLOCK = re.compile(r"^\s{0,3}</?[A-Za-z][^>]*>\s*$")
 
 
@@ -69,6 +72,7 @@ def _inline(text: str) -> str:
     while prev != text:  # nested emphasis peels one layer per pass
         prev = text
         text = _EMPHASIS.sub(r"\2", text)
+        text = _EMPHASIS_U.sub(r"\2", text)
     text = text.replace("|", " ")
     text = " ".join(text.split())
     return re.sub(r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], text)

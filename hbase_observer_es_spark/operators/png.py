@@ -274,7 +274,17 @@ def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
     idat = bytearray()
     idat_done = False
     for ctype, payload in _chunks(data, origin):
+        # ANY non-IDAT chunk after IDAT has started ends the run — the
+        # generic elif alone would let PLTE (or another typed chunk with
+        # its own branch) slip between two IDAT runs undetected
+        if ctype != b"IDAT" and idat:
+            idat_done = True
         if ctype == b"PLTE":
+            if idat_done:
+                raise ValueError(
+                    f"png {origin}: PLTE after IDAT (spec requires PLTE "
+                    "before the image data)"
+                )
             if len(payload) % 3 or not payload:
                 raise ValueError(
                     f"png {origin}: PLTE length {len(payload)} not a positive "
@@ -291,8 +301,6 @@ def decode_png(data: bytes, origin: str = "<bytes>") -> PngImage:
                     "one contiguous run)"
                 )
             idat.extend(payload)
-        elif idat:
-            idat_done = True
     if not idat:
         raise ValueError(f"png {origin}: no IDAT data")
     if color == 3 and palette is None:

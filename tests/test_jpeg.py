@@ -382,3 +382,36 @@ def test_fill_bytes_before_restart_marker_are_legal():
         + blk + b"\xff\xff\xff\xd0" + blk + b"\xff\xd9"
     )
     assert set(decode_jpeg(data).raw) == {138}
+
+
+def test_fdct_quant_rounds_half_away_from_zero_on_negatives():
+    """Regression: the quantizer used (2*s - q) // (2*q) on negative
+    coefficients, but Python's // FLOORS (it does not truncate), so
+    every negative DCT coefficient landed one quant step too large in
+    magnitude (s/q = -1.0 quantized to -2, -0.25 to -1). Half-away
+    rounding is an ODD function — negating the input block (DCT is
+    linear) must exactly negate every quantized coefficient."""
+    import random
+
+    from hbase_observer_es_spark.operators.jpeg import _fdct_quant
+
+    rng = random.Random(7)
+    for _ in range(5):
+        blk = [rng.randint(-128, 127) for _ in range(64)]
+        qt = [rng.randint(1, 99) for _ in range(64)]
+        pos = _fdct_quant(blk, qt)
+        neg = _fdct_quant([-v for v in blk], qt)
+        assert all(a == -b for a, b in zip(pos, neg)), (blk, qt)
+
+
+def test_roundtrip_quality85_smooth_gradient_tight():
+    """Quality < 100 round-trip pin (the q100 tests run with all-ones
+    quant tables and so never exercised the negative-coefficient
+    rounding path): a smooth non-wrapping gradient survives q85 within
+    2 levels per pixel."""
+    w = h = 32
+    raw = bytes(x * 4 + y * 3 for y in range(h) for x in range(w))
+    img = PngImage(w, h, 8, 0, 1, w, raw, None)
+    back = decode_jpeg(encode_jpeg(img, quality=85))
+    err = max(abs(a - b) for a, b in zip(back.raw, img.raw))
+    assert err <= 3, err

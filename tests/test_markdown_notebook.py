@@ -190,3 +190,15 @@ def test_null_notebook_text_names_the_doc(spark):
     df = spark.createDataFrame([(5, None)], "doc_id long, text string")
     with pytest.raises(Exception, match=r"notebook 5: text column is NULL"):
         notebook_cells_frame(df).collect()
+
+
+def test_intra_word_underscores_stay_literal():
+    """Regression (CommonMark): '_' may not open/close emphasis inside a
+    word, so snake_case identifiers mentioned in prose survive intact —
+    the old single _EMPHASIS pattern extracted 'foo_bar_baz' as
+    'foobarbaz'. '*' keeps its intra-word behavior."""
+    assert markdown_to_text("call foo_bar_baz here") == "call foo_bar_baz here"
+    assert markdown_to_text("the _emphasized_ word") == "the emphasized word"
+    assert markdown_to_text("a __strong__ word") == "a strong word"
+    assert markdown_to_text("in*tra*word stars") == "intraword stars"
+    assert markdown_to_text("mixed foo_bar and _real_ use") == "mixed foo_bar and real use"

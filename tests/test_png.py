@@ -580,3 +580,36 @@ def test_resize_image_real_end_to_end():
     assert m["raw_crc32"] == zlib.crc32(struct.pack(">II", 179, 224) + out.raw)
     with pytest.raises(NotImplementedError, match=r"jpeg"):
         resize_image_real(b"\xff\xd8\xffrest")
+
+
+def test_plte_between_idat_runs_fails():
+    """Regression: idat_done was only set in the generic elif branch, so
+    a PLTE chunk spliced between two IDAT runs (spec-forbidden twice
+    over) sailed through the contiguity check the error message claims
+    to enforce."""
+    comp = zlib.compress(bytes([0, 1, 2]))
+    data = (
+        PNG_MAGIC
+        + _ihdr(2, 1, 8, 0)
+        + _chunk(b"IDAT", comp[:4])
+        + _chunk(b"PLTE", bytes([0, 0, 0]))
+        + _chunk(b"IDAT", comp[4:])
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=r"non-consecutive IDAT|PLTE after IDAT"):
+        decode_png(data)
+
+
+def test_plte_after_idat_fails():
+    """PLTE must precede the image data (PNG chunk-ordering rules) even
+    when the IDAT run itself is contiguous."""
+    comp = zlib.compress(bytes([0, 1, 2]))
+    data = (
+        PNG_MAGIC
+        + _ihdr(2, 1, 8, 0)
+        + _chunk(b"IDAT", comp)
+        + _chunk(b"PLTE", bytes([0, 0, 0]))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match=r"PLTE after IDAT"):
+        decode_png(data)
