@@ -894,11 +894,11 @@ def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
     """Magic-dispatched real decode: PNG, baseline JPEG, GIF (first
     composed frame), 24-bit BMP, or uncompressed-baseline TIFF →
     PngImage. WebP is recognized and refused by name; any other magic is
-    refused with the full supported-format list. Unregistered composition point — the registered multimodal
-    module's dispatch (operators/multimodal.py, decode_image_real)
-    adopts these at the next tier-safe window; until then this is the
-    demo/tooling entry. Imports are lazy: bmp→avi→jpeg would otherwise
-    cycle at module load."""
+    refused with the full supported-format list. THE universal dispatch:
+    the registered multimodal path (operators/multimodal.py,
+    decode_image_real / resize_image_real via _decode_real) and the
+    demo/census tooling all route through here. Imports are lazy:
+    bmp→avi→jpeg would otherwise cycle at module load."""
     from .png import PNG_MAGIC, decode_png
 
     if payload[: len(PNG_MAGIC)] == PNG_MAGIC:

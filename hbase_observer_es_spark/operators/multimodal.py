@@ -5,13 +5,20 @@ Pattern for image/audio/video at 100 TB: store the payload as a `binary` column
 (or a pointer into object storage) next to typed metadata; decode/feature-extract
 runs as mapInPandas over Arrow batches so each executor processes whole record
 batches without JVM→Python row overhead. Partitioning, schema, UDF signature, and
-batch shape here are real and tested. The codec itself: PNG decodes FOR REAL
-(``operators/png.py`` — from-spec, stdlib zlib+struct, CRC-verified chunks,
-all five filter reconstructions), routed by payload magic inside
-``q_mm_decode``; JPEG/WebP/video need codec libraries absent from this
-container, so ``decode_image_real`` raises per-format for those and the
-registered fixture path (UTF-8 text payloads — never PNG magic) keeps the
-deterministic fake decode its DuckDB oracle mirrors.
+batch shape here are real and tested. The codec itself: PNG, baseline JPEG,
+GIF, BMP, and uncompressed-baseline TIFF all decode FOR REAL — from spec,
+stdlib-only (``operators/png.py`` / ``jpeg.py`` / ``gif.py`` / ``bmp.py`` /
+``tiff.py``), routed by payload magic through the universal dispatch
+``jpeg.decode_image``. WebP pixels (VP8/VP8L entropy coding) stay a named
+refusal, so ``decode_image_real`` raises NotImplementedError for WebP and
+unknown magics and the registered fixture path (UTF-8 text payloads) keeps
+the deterministic fake decode its DuckDB oracle mirrors.
+
+Routing neutrality on fixtures: PNG/JPEG/TIFF magics contain non-ASCII or
+NUL bytes a text payload can never carry, and the ASCII-expressible magics
+("BM", "GIF87a"/"GIF89a") are MEASURED absent — 0 documents at sf0.001 /
+sf0.01 / sf0.1 have a text starting with "BM" or "GIF8" — so every fixture
+payload takes the fake branch and the oracle stays exact.
 
 Fixture note: `documents.text` UTF-8 bytes stand in for the binary payload.
 The fake codec's `first_byte` is the payload's first BYTE (Python `b[0]`) while
@@ -39,38 +46,78 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """Real decoder. PNG is decoded FROM SPEC, stdlib-only (zlib + struct;
-    ``operators/png.py`` — chunk CRCs verified, IDAT inflated, all five
-    filter reconstructions), so the path is no longer a stub for the one
-    format the container can honestly decode. JPEG/WebP/video need codec
-    libraries this container lacks (DCT/VP8 are not stdlib) — those still
-    raise, loudly and per-format, rather than faking pixel data."""
-    if payload[: len(png.PNG_MAGIC)] == png.PNG_MAGIC:
-        img = png.decode_png(payload)
-        return {
-            "width": img.width,
-            "height": img.height,
-            "n_frames": 1,
-            "fmt": "png",
-            "bit_depth": img.bit_depth,
-            "color_type": img.color_type,
-            "channels": img.channels,
-        }
+def _sniff_real_format(payload: bytes) -> str | None:
+    """Format name iff :func:`jpeg.decode_image` owns this payload's magic
+    (PNG/JPEG/GIF/BMP/TIFF), else None. The sniff is separate from the
+    decode so the error contract stays two-valued: unknown/undecodable
+    format → NotImplementedError (fake fallback in the registered query),
+    KNOWN format with corrupt bytes → ValueError (must propagate —
+    corruption never silently downgrades to fake metadata)."""
+    from .bmp import looks_like_bmp
+    from .gif import looks_like_gif
+    from .jpeg import looks_like_jpeg
+    from .tiff import looks_like_tiff
+
+    if bytes(payload[: len(png.PNG_MAGIC)]) == png.PNG_MAGIC:
+        return "png"
+    if looks_like_jpeg(payload):
+        return "jpeg"
+    if looks_like_gif(payload):
+        return "gif"
+    if looks_like_bmp(payload):
+        return "bmp"
+    if looks_like_tiff(payload):
+        return "tiff"
+    return None
+
+
+def _decode_real(payload: bytes) -> tuple:
+    """(fmt, PngImage) via the universal from-spec dispatch
+    (``jpeg.decode_image`` — PNG/JPEG/GIF/BMP/TIFF; GIF decodes as the
+    first fully-composed frame). Raises NotImplementedError for formats
+    without an in-container codec (WebP pixels, unknown magics, audio
+    payloads mis-routed at the image decoder) and ValueError for corrupt
+    bytes under a recognized magic."""
+    from . import jpeg as _jpeg
+
     head = bytes(payload[:12])
-    if head[:3] == b"\xff\xd8\xff":
-        kind = "jpeg"
-    elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
-        kind = "webp"
-    elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
-        kind = "riff/wave AUDIO (route it to operators/wav.py, not the image decoder)"
-    else:
-        kind = f"unknown (magic {head[:8]!r})"
-    raise NotImplementedError(
-        f"image decoding for {kind} requires codec libraries not present in "
-        "this container; PNG decodes for real (operators/png.py), other "
-        "formats fall back to the deterministic fake decoder in q_mm_decode"
-    )
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        raise NotImplementedError(
+            "image decoding for riff/wave AUDIO (route it to "
+            "operators/wav.py, not the image decoder)"
+        )
+    fmt = _sniff_real_format(payload)
+    if fmt is None:
+        from .webpmeta import looks_like_webp
+
+        kind = "webp pixels (VP8/VP8L entropy coding is not stdlib-" \
+               "expressible; geometry lives in operators/webpmeta.py)" \
+            if looks_like_webp(payload) else f"unknown (magic {head[:8]!r})"
+        raise NotImplementedError(
+            f"image decoding for {kind}: no from-spec codec in-container — "
+            "PNG/JPEG/GIF/BMP/TIFF decode for real (jpeg.decode_image); "
+            "anything else falls back to the deterministic fake decoder in "
+            "q_mm_decode"
+        )
+    return fmt, _jpeg.decode_image(payload)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real decoder: PNG, baseline JPEG, GIF (first composed frame),
+    24-bit BMP, and uncompressed-baseline TIFF — all FROM SPEC,
+    stdlib-only, via the universal magic dispatch ``jpeg.decode_image``.
+    WebP pixels and unknown magics raise NotImplementedError, loudly and
+    per-format, rather than faking pixel data."""
+    fmt, img = _decode_real(payload)
+    return {
+        "width": img.width,
+        "height": img.height,
+        "n_frames": 1,
+        "fmt": fmt,
+        "bit_depth": img.bit_depth,
+        "color_type": img.color_type,
+        "channels": img.channels,
+    }
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
@@ -90,13 +137,14 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The plumbing (binary column in, typed struct columns out, iterator of
     record batches) is exactly what a real image/audio decode runs at scale.
-    Payloads carrying the PNG signature take the REAL from-spec decoder
-    (``operators/png.py``) — actual IHDR geometry, not arithmetic fakes;
-    everything else keeps the deterministic fake codec so the DuckDB oracle
-    can mirror the fixture corpus (UTF-8 text payloads, never PNG magic —
-    the routing is hash-neutral on fixtures by construction, and
-    ``tests/test_png.py`` pins the real branch on synthesized PNG bytes).
-    """
+    Payloads carrying a PNG/JPEG/GIF/BMP/TIFF magic take the REAL from-spec
+    decoders (universal dispatch ``jpeg.decode_image``) — actual header
+    geometry, not arithmetic fakes; everything else keeps the deterministic
+    fake codec so the DuckDB oracle can mirror the fixture corpus (UTF-8
+    text payloads — non-ASCII magics impossible by construction, the two
+    ASCII-expressible ones measured absent at every SF, see module
+    docstring; ``tests/test_png.py`` pins the real branch on synthesized
+    bytes)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -233,23 +281,22 @@ def _fit_longest(w: int, h: int, target: int) -> tuple[int, int]:
 def resize_image_real(
     payload: bytes, target: int = RESIZE_TARGET, filter_mode="adaptive"
 ) -> dict:
-    """REAL image resize for formats the container can honestly decode:
-    PNG → aspect-preserving fit-to-``target`` (the same integer floor
-    arithmetic as the registered query) → nearest-neighbor resample of the
-    actual pixels → spec-valid re-encode (``operators/png.py``), all
-    stdlib. Returns source/target geometry, the re-encoded payload, and
-    ``raw_crc32`` — a CRC over geometry + the resized RAW scanlines, which
-    is implementation-independent (compressed IDAT bytes vary across zlib
-    builds; the reconstructed pixels never do). Non-PNG formats raise the
-    same per-format NotImplementedError as ``decode_image_real`` (single
-    refusal site)."""
+    """REAL image resize for every format the container can honestly
+    decode: PNG/JPEG/GIF/BMP/TIFF → aspect-preserving fit-to-``target``
+    (the same integer floor arithmetic as the registered query) →
+    nearest-neighbor resample of the actual pixels → spec-valid PNG
+    re-encode (``operators/png.py`` — the normalize-to-PNG thumbnail
+    convention: lossy inputs re-encode losslessly, so a second pass is
+    idempotent). Returns source/target geometry, the re-encoded payload,
+    and ``raw_crc32`` — a CRC over geometry + the resized RAW scanlines,
+    which is implementation-independent (compressed IDAT bytes vary
+    across zlib builds; the reconstructed pixels never do). Undecodable
+    formats raise the same per-format NotImplementedError as
+    ``decode_image_real`` (single refusal site: ``_decode_real``)."""
     import struct
     import zlib
 
-    if bytes(payload[: len(png.PNG_MAGIC)]) != png.PNG_MAGIC:
-        decode_image_real(payload)  # raises the per-format refusal
-        raise AssertionError("decode_image_real accepted a non-PNG payload")
-    img = png.decode_png(payload)
+    _, img = _decode_real(payload)
     ow, oh = _fit_longest(img.width, img.height, target)
     resized = png.resize_nearest(img, ow, oh)
     return {

@@ -392,12 +392,37 @@ def test_decode_image_real_routes_png_and_refuses_others():
         "width": 4, "height": 5, "n_frames": 1, "fmt": "png",
         "bit_depth": 8, "color_type": 2, "channels": 3,
     }
-    with pytest.raises(NotImplementedError, match=r"jpeg"):
+    # a RECOGNIZED magic with corrupt bytes is corruption, not a refusal:
+    # it must raise ValueError (propagates through q_mm_decode), never
+    # fall back to the fake codec
+    with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(NotImplementedError, match=r"webp"):
         decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match=r"unknown"):
         decode_image_real(b"plain text payload")
+
+
+def test_decode_image_real_routes_jpeg_gif_bmp_for_real():
+    """The registered dispatch now rides jpeg.decode_image: baseline JPEG,
+    GIF, and BMP payloads produce REAL header geometry through
+    decode_image_real, not refusals."""
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+    from hbase_observer_es_spark.operators.multimodal import decode_image_real
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    gray = PngImage(8, 8, 8, 0, 1, 8, bytes(range(64)), None)
+    j = decode_image_real(encode_jpeg(gray, quality=100))
+    assert (j["width"], j["height"], j["fmt"]) == (8, 8, "jpeg")
+    # 1x1 single-frame GIF, 2-color table, hand-packed LZW (min code 2)
+    gif = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00"
+        b"\x00\x00\x00\xff\xff\xff"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+        b"\x02\x02\x44\x01\x00;"
+    )
+    g = decode_image_real(gif)
+    assert (g["width"], g["height"], g["fmt"]) == (1, 1, "gif")
 
 
 def test_real_decode_through_arrow_batches(spark):
@@ -578,8 +603,27 @@ def test_resize_image_real_end_to_end():
     # checksum contract: geometry + reconstructed scanlines, NOT the
     # compressed payload (zlib builds differ across hosts; pixels don't)
     assert m["raw_crc32"] == zlib.crc32(struct.pack(">II", 179, 224) + out.raw)
-    with pytest.raises(NotImplementedError, match=r"jpeg"):
+    # corrupt bytes under a recognized magic = corruption (ValueError),
+    # undecodable format = refusal (NotImplementedError) — same contract
+    # as decode_image_real (shared _decode_real dispatch)
+    with pytest.raises(ValueError):
         resize_image_real(b"\xff\xd8\xffrest")
+    with pytest.raises(NotImplementedError, match=r"webp"):
+        resize_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+
+def test_resize_image_real_jpeg_in_png_out():
+    """Lossy in, lossless thumbnail out: a JPEG payload resizes through the
+    SAME real path and re-encodes as spec-valid PNG."""
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+    from hbase_observer_es_spark.operators.multimodal import resize_image_real
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    gray = PngImage(16, 8, 8, 0, 1, 16, bytes(range(128)), None)
+    m = resize_image_real(encode_jpeg(gray, quality=100))
+    assert (m["width"], m["height"], m["out_w"], m["out_h"]) == (16, 8, 224, 112)
+    out = decode_png(m["payload"])
+    assert (out.width, out.height, out.color_type) == (224, 112, 0)
 
 
 def test_plte_between_idat_runs_fails():
