@@ -532,44 +532,29 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces as a candidate; `bit_count(xor) ≤ d` then verifies candidates
     only. Candidate generation is one shuffle on (band, 15-bit value) — linear
     in docs, and 2^15 band values keep buckets near-singleton so the candidate
-    set stays ~|true pairs|; the verify join carries (doc_id, fingerprint)
-    pairs only.
+    set stays ~|true pairs|. The banding itself is the SHARED implementation
+    in ``operators/hammingband.py`` (same one imagehash/audiohash use).
     """
-    # the fingerprint frame feeds three plan branches (banding + both sides of
-    # the verify join); cache it or the explode+60-vote agg runs three times.
-    # 2 longs/doc — safely cacheable (and spillable) at any corpus size.
-    fps = persist_tracked(_simhash_wide(spark, sf_dir), "dedup.simhash.fps")
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.shiftright(F.col("simhash"), b * HAM_BAND_BITS)
-            .bitwiseAND(F.lit((1 << HAM_BAND_BITS) - 1))
-            .alias("band_val"),
-        )
-        for b in range(HAM_BANDS)
-    ]
-    bands = fps.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+    # ONE banded-hamming implementation repo-wide: delegate to
+    # hammingband.hash_near_dups (the parameterized explode/bucket-join/
+    # bit_count shape imagehash + audiohash already share). It persists the
+    # fingerprint frame before the self-join (the frame feeds both sides),
+    # so the explode+60-vote agg runs once. 60-bit fingerprints are
+    # non-negative, so the shared unsigned band shift is bit-identical to
+    # the signed shift this site used before consolidating.
+    from .hammingband import hash_near_dups
+
+    pairs = hash_near_dups(
+        _simhash_wide(spark, sf_dir),
+        hash_col="simhash",
+        id_col="doc_id",
+        threshold=HAM_MAX,
+        persist_key="dedup.simhash.fps",
+        n_bands=HAM_BANDS,
+        band_bits=HAM_BAND_BITS,
     )
-    fa = fps.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
-    fb = fps.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"))
-    ham = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).cast("int")
-    return (
-        cand.join(fa, "a_id")
-        .join(fb, "b_id")
-        .select("a_id", "b_id", ham.alias("hamming"))
-        .filter(F.col("hamming") <= HAM_MAX)
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )
 
 

@@ -5,16 +5,12 @@ column: split the hash into ``n_bands`` bands of ``band_bits`` bits, bucket-
 join per band, verify candidates with the true hamming distance. Pigeonhole
 makes banding EXACT for hamming ≤ n_bands − 1: a pair differing in fewer
 bits than there are bands agrees on at least one full band. Image hashes
-(``operators/imagehash.py``) and audio energy fingerprints
-(``operators/audiohash.py``) both delegate here — the min-label-fixpoint
-consolidation rule applied before a second copy could drift.
-
-CONSOLIDATION TRIPWIRE: ``dedup.py`` (q_dedup_simhash_near) carries the
-same explode/bucket-join/bit_count shape with 4 × 15-bit bands; it is a
-registered tier-sensitive module, so folding it onto this implementation
-is deferred to an early-round window (the band geometry is already a
-parameter here for exactly that move). Fix banding bugs HERE and mirror
-there until then.
+(``operators/imagehash.py``), audio energy fingerprints
+(``operators/audiohash.py``), and the registered SimHash near-dup join
+(``dedup.q_dedup_simhash_near``, 4 × 15-bit bands over 60-bit
+fingerprints) all delegate here — the min-label-fixpoint consolidation
+rule applied before a second copy could drift. Fix banding bugs HERE;
+there is no mirror.
 
 At 100 TB: banding is one shuffle on (band, value); with 16-bit bands the
 2^16 value space keeps buckets near-singleton for well-mixed fingerprints;
