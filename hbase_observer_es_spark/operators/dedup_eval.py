@@ -25,9 +25,11 @@ dedup.py`` (Spark helpers and the SQL format constants alike), so the
 evaluator can never drift from the thing it evaluates — the
 ``SQL_SPANS_CTE`` single-sourcing rule.
 
-Registration-ready (held for r11 window headroom): ``q_dedup_lsh_recall``
-+ ``SQL_DEDUP_LSH_RECALL``, DuckDB-hash-checked in
-``tests/test_dedup_eval.py``.
+Registered r12: ``q_dedup_lsh_recall`` + ``SQL_DEDUP_LSH_RECALL``
+(DuckDB-hash-checked in ``tests/test_dedup_eval.py`` since r10). Its
+quadratic truth side (``_truth_pairs``) is fenced like dedup.py's
+baselines: no OTHER registered query's closure may reach it
+(tests/test_plans.py::test_quadratic_jaccard_ground_truth_is_fenced).
 
 Reference parity: no analogue in the reference tree — beyond-reference
 pipeline surface (SURVEY §2-D), the dedup twin of ``q_ann_recall``.
@@ -135,3 +137,7 @@ SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
        CAST(SUM(CASE WHEN in_f AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
 FROM m
 """
+
+
+QUERIES = {"q_dedup_lsh_recall": q_dedup_lsh_recall}
+ORACLES = {"q_dedup_lsh_recall": SQL_DEDUP_LSH_RECALL}

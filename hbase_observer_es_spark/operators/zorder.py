@@ -314,3 +314,7 @@ FROM keyed
 GROUP BY z_cell
 ORDER BY z_cell
 """
+
+
+QUERIES = {"q_zorder_cells": q_zorder_cells}
+ORACLES = {"q_zorder_cells": SQL_ZORDER_CELLS}

@@ -67,6 +67,8 @@ _MODULES = (
     "hbase_observer_es_spark.operators.dedup_substring",
     "hbase_observer_es_spark.operators.pq",
     "hbase_observer_es_spark.operators.incremental",
+    "hbase_observer_es_spark.operators.dedup_eval",
+    "hbase_observer_es_spark.operators.zorder",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
@@ -77,71 +79,46 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 11 inputs: CORRECTNESS_r01-r10 + git round boundaries; edited-fn
-# q_embed_pq,q_incremental_unseen (the round's two registrations — held
-# twins from r10, new modules). The round's operator edits: graph.py
-# (min_label_fixpoint consolidation) + dedup.py (q_dedup_clusters now
-# calls it, new graph import) + multimodal.py (real PNG decode+resize routing; re-spliced after the resize edit promoted q_mm_resize to tier 1.0) — their
-# file/import closures surface as tiers 1.0-1.2 below (the conservatism
-# invariant: the new dedup->graph import edge marks importers affected).
-# Window head = 2 never-checked + 26 tier-1 + the oldest tier-2 rows
-# (r7 band continues rotating through).
+# Round 12 inputs: CORRECTNESS_r01-r11 + git round boundaries; edited-fn
+# q_dedup_lsh_recall,q_zorder_cells (the round's two registrations — held
+# twins from r10) + q_dedup_simhash_near (banding delegated to the shared
+# hammingband.hash_near_dups). The round's operator edits: dedup.py
+# (simhash banding consolidation, new hammingband import) + multimodal.py
+# (decode_image_real/resize_image_real now ride jpeg.decode_image — real
+# JPEG/GIF/BMP/TIFF on the registered surface) + jpeg.py/png.py/
+# markdown_text.py (ADVICE fixes) — closures surface as tiers 1.0-1.2
+# below (the new dedup->hammingband import edge marks importers affected).
+# Window head = 2 never-checked + 21 tier-1 rows; the r7 evidence band
+# (15 rows) rotates through the remaining window.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_embed_pq",  # never checked
-    "q_incremental_unseen",  # never checked
+    "q_dedup_lsh_recall",  # never checked
+    "q_zorder_cells",  # never checked
     # tier 1.0: own fn edited after last green check
-    "q_dedup_clusters",  # green r8, hbase_observer_es_spark/operators/dedup.py fn edited r11
-    "q_mm_decode",  # green r9, hbase_observer_es_spark/operators/multimodal.py fn edited r11
-    "q_mm_resize",  # green r9, hbase_observer_es_spark/operators/multimodal.py fn edited r11
+    "q_dedup_simhash_near",  # green r11, hbase_observer_es_spark/operators/dedup.py fn edited r12
     # tier 1.1: file edited after last green check (oldest green first)
-    "q_dedup_exact",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
-    "q_dedup_minhash",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
-    "q_dedup_simhash",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
-    "q_dedup_simhash_near",  # green r8, hbase_observer_es_spark/operators/dedup.py file edited r11
-    "q_mm_meta",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
-    "q_mm_framesample",  # green r9, hbase_observer_es_spark/operators/multimodal.py file edited r11
-    "q_dedup_jaccard",  # green r10, hbase_observer_es_spark/operators/dedup.py file edited r11
-    "q_graph_components",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11
+    "q_mm_decode",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
+    "q_mm_meta",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
+    "q_mm_framesample",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
+    "q_mm_resize",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
+    "q_dedup_exact",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
+    "q_dedup_jaccard",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
+    "q_dedup_minhash",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
+    "q_dedup_simhash",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
+    "q_dedup_clusters",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
     # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_pipeline_corpus",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_mixture_weights",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_text_pack",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_sample_diversified",  # green r8, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_text_unigram",  # green r9, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_text_boilerplate",  # green r9, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_text_pack_sharded",  # green r9, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_sample_stratified",  # green r10, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_decontaminate",  # green r10, hbase_observer_es_spark/operators/graph.py import edited r11
-    "q_text_ngram_rep",  # green r10, hbase_observer_es_spark/operators/graph.py import edited r11
+    "q_pipeline_corpus",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_sample_stratified",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_decontaminate",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_mixture_weights",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_text_pack",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_sample_diversified",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_text_ngram_rep",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_text_unigram",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_text_boilerplate",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_text_pack_sharded",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_incremental_unseen",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_geo_bbox",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
-    "q_geo_grid",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
-    "q_geo_distance",  # green r7, hbase_observer_es_spark/operators/nested_geo.py file edited r9, closure AST-unchanged
-    "q_agg_geoline",  # green r7, hbase_observer_es_spark/operators/nested_geo.py import edited r9, closure AST-unchanged
-    "q_sim_ivf_batch",  # green r7
-    "q_sim_lsh",  # green r7
-    "q_sim_lsh_batch",  # green r7
-    "q_dedup_embed",  # green r7
-    "q_sim_knn_pudf",  # green r7
-    "q_sim_range",  # green r7
-    "q_join_salted",  # green r7
-    "q_agg_pipeline",  # green r7
-    "q_join_broadcast",  # green r7
-    "q_join_left",  # green r7
-    "q_join_semi",  # green r7
-    "q_join_anti",  # green r7
-    "q_join_star",  # green r7
-    "q_join_range",  # green r7
-    "q_join_asof",  # green r7
-    "q_agg_global",  # green r7
-    "q_agg_group",  # green r7
-    "q_agg_distinct",  # green r7
-    "q_agg_approx",  # green r7
-    "q_agg_rollup",  # green r7
-    "q_agg_cube",  # green r7
-    "q_win_rank",  # green r7
-    "q_win_running",  # green r7
     "q_win_lag",  # green r7
     "q_topk_pergroup",  # green r7
     "q_sort_limit",  # green r7
@@ -283,9 +260,36 @@ _PRIORITY = (
     "q_html_extract",  # green r10
     "q_dedup_substring",  # green r10
     "q_dedup_substring_top",  # green r10
+    "q_sim_ivf_batch",  # green r11
+    "q_sim_lsh",  # green r11
+    "q_sim_lsh_batch",  # green r11
+    "q_dedup_embed",  # green r11
+    "q_sim_knn_pudf",  # green r11
+    "q_sim_range",  # green r11
+    "q_join_salted",  # green r11
+    "q_agg_pipeline",  # green r11
+    "q_geo_bbox",  # green r11
+    "q_geo_grid",  # green r11
+    "q_geo_distance",  # green r11
+    "q_join_broadcast",  # green r11
+    "q_join_left",  # green r11
+    "q_join_semi",  # green r11
+    "q_join_anti",  # green r11
+    "q_join_star",  # green r11
+    "q_join_range",  # green r11
+    "q_join_asof",  # green r11
+    "q_agg_global",  # green r11
+    "q_agg_group",  # green r11
+    "q_agg_distinct",  # green r11
+    "q_agg_approx",  # green r11
+    "q_agg_rollup",  # green r11
+    "q_agg_cube",  # green r11
+    "q_win_rank",  # green r11
+    "q_win_running",  # green r11
+    "q_agg_geoline",  # green r11
+    "q_graph_components",  # green r11
+    "q_embed_pq",  # green r11
 )
-
-
 def _reorder(queries: dict, oracles: dict) -> tuple[dict, dict]:
     unknown = [n for n in _PRIORITY if n not in queries]
     if unknown:

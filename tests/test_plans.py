@@ -1024,7 +1024,8 @@ def test_mm_decode_resize_python_stage_no_shuffle(spark):
 # — never data-sized — so the "nested loop" is one pass over the stream side.
 _BNLJ_BY_DESIGN = {
     "q_agg_autodatehist", "q_agg_itemsets", "q_agg_rare_terms", "q_ann_recall",
-    "q_cdc_field_missing", "q_dedup_jaccard", "q_mixture_weights",
+    "q_cdc_field_missing", "q_dedup_jaccard", "q_dedup_lsh_recall",
+    "q_mixture_weights",
     "q_search_bm25", "q_search_bm25_ln", "q_search_hybrid_rrf", "q_search_mlt",
     "q_search_mlt_ln", "q_search_rescore", "q_search_percolate",
     "q_search_suggest_term", "q_search_suggest_phrase",
@@ -1098,10 +1099,14 @@ def test_quadratic_jaccard_ground_truth_is_fenced():
 
     graph = DepGraph(sources, resolve)
     dedup_rel = "hbase_observer_es_spark/operators/dedup.py"
+    eval_rel = "hbase_observer_es_spark/operators/dedup_eval.py"
     forbidden = {
         (dedup_rel, n)
         for n in ("q_dedup_jaccard", "_pair_frames", "_bitset_pair_jaccard")
     }
+    # q_dedup_lsh_recall's all-pairs truth side is a fenced baseline too:
+    # it may appear ONLY in its own closure (skipped below, like jaccard)
+    forbidden |= {(eval_rel, "_truth_pairs"), (eval_rel, "q_dedup_lsh_recall")}
 
     checked = 0
     for modname in _MODULES:
@@ -1126,7 +1131,7 @@ def test_quadratic_jaccard_ground_truth_is_fenced():
                     if isinstance(k, _ast.Constant)
                 ]
         for qname in qnames:
-            if qname == "q_dedup_jaccard":
+            if qname in ("q_dedup_jaccard", "q_dedup_lsh_recall"):
                 continue
             roots = query_roots(sources[rel], qname)
             assert roots is not None, f"{qname}: registry roots unresolvable"
