@@ -890,41 +890,84 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
     return bytes(out)
 
 
-def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
-    """Magic-dispatched real decode: PNG, baseline JPEG, GIF (first
-    composed frame), 24-bit BMP, or uncompressed-baseline TIFF →
-    PngImage. WebP is recognized and refused by name; any other magic is
-    refused with the full supported-format list. THE universal dispatch:
-    the registered multimodal path (operators/multimodal.py,
-    decode_image_real / resize_image_real via _decode_real) and the
-    demo/census tooling all route through here. Imports are lazy:
+def sniff_format(payload: bytes) -> str | None:
+    """THE single image-magic dispatch list: 'png'/'jpeg'/'gif'/'bmp'/
+    'tiff'/'webp', or None. ``decode_image`` and the registered
+    multimodal routing (operators/multimodal.py, _decode_real) both
+    consume this — one list, no mirror to drift.
+
+    The two ASCII-expressible magics carry STRUCTURAL guards beyond the
+    magic bytes, because UTF-8 prose can legitimately start with "BM" or
+    "GIF89a" and a text payload must never sniff as an image: a real BMP's
+    reserved field (bytes 6-9) is mandatory-zero per the format, and a
+    real GIF has a block introducer (extension 0x21 / image 0x2C /
+    trailer 0x3B) immediately after the 13-byte header + global color
+    table. Zero false negatives — every payload ``decode_image`` can
+    decode passes its guard. The documented cost: a BMP/GIF whose GUARD
+    bytes are corrupt sniffs as None (unknown format) instead of
+    surfacing a per-format corruption error. Imports are lazy:
     bmp→avi→jpeg would otherwise cycle at module load."""
-    from .png import PNG_MAGIC, decode_png
+    from .png import PNG_MAGIC
 
-    if payload[: len(PNG_MAGIC)] == PNG_MAGIC:
-        return decode_png(payload, origin=origin)
+    if bytes(payload[: len(PNG_MAGIC)]) == PNG_MAGIC:
+        return "png"
     if looks_like_jpeg(payload):
-        return decode_jpeg(payload, origin=origin)
-    from .bmp import looks_like_bmp
-    from .gif import looks_like_gif
+        return "jpeg"
+    from .gif import GIF_MAGICS
 
-    if looks_like_gif(payload):
-        from .gif import decode_gif
+    if bytes(payload[:6]) in GIF_MAGICS and len(payload) > 13:
+        flags = payload[10]
+        pos = 13 + ((3 << ((flags & 7) + 1)) if flags & 0x80 else 0)
+        if pos < len(payload) and payload[pos] in (0x21, 0x2C, 0x3B):
+            return "gif"
+    from .bmp import BMP_MAGIC
 
-        return decode_gif(payload, origin=origin)
-    if looks_like_bmp(payload):
-        from .bmp import decode_bmp
-
-        return decode_bmp(payload, origin=origin)
+    if (
+        bytes(payload[:2]) == BMP_MAGIC
+        and len(payload) >= 54
+        and bytes(payload[6:10]) == b"\x00\x00\x00\x00"
+    ):
+        return "bmp"
     from .tiff import looks_like_tiff
 
     if looks_like_tiff(payload):
+        return "tiff"
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        return "webp"
+    return None
+
+
+def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
+    """Magic-dispatched real decode: PNG, baseline JPEG, GIF (first
+    composed frame), 24-bit BMP, or uncompressed-baseline TIFF →
+    PngImage, routed by :func:`sniff_format`. WebP is recognized and
+    refused by name; any other magic is refused with the full
+    supported-format list. THE universal decode entry: the registered
+    multimodal path (operators/multimodal.py, decode_image_real /
+    resize_image_real via _decode_real) and the demo/census tooling all
+    route through here."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        from .png import decode_png
+
+        return decode_png(payload, origin=origin)
+    if fmt == "jpeg":
+        return decode_jpeg(payload, origin=origin)
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(payload, origin=origin)
+    if fmt == "bmp":
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload, origin=origin)
+    if fmt == "tiff":
         from .tiff import decode_tiff
 
         return decode_tiff(payload, origin=origin)
-    from .webpmeta import decode_webp_pixels, looks_like_webp
+    if fmt == "webp":
+        from .webpmeta import decode_webp_pixels
 
-    if looks_like_webp(payload):
         # named refusal: webp GEOMETRY is real surface (webpmeta), pixel
         # decode is not — say which file and why
         decode_webp_pixels(payload, origin=origin)

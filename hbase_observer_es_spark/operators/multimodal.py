@@ -14,11 +14,14 @@ refusal, so ``decode_image_real`` raises NotImplementedError for WebP and
 unknown magics and the registered fixture path (UTF-8 text payloads) keeps
 the deterministic fake decode its DuckDB oracle mirrors.
 
-Routing neutrality on fixtures: PNG/JPEG/TIFF magics contain non-ASCII or
-NUL bytes a text payload can never carry, and the ASCII-expressible magics
-("BM", "GIF87a"/"GIF89a") are MEASURED absent — 0 documents at sf0.001 /
-sf0.01 / sf0.1 have a text starting with "BM" or "GIF8" — so every fixture
-payload takes the fake branch and the oracle stays exact.
+Routing neutrality on fixtures is BY CONSTRUCTION: PNG/JPEG/TIFF/WebP
+magics contain non-ASCII or NUL bytes a UTF-8 text payload can never
+carry, and the two ASCII-expressible magics ("BM", "GIF87a"/"GIF89a")
+carry structural guards in ``jpeg.sniff_format`` (BMP's mandatory-zero
+reserved field; GIF's post-header block introducer) that prose cannot
+satisfy — so every fixture payload takes the fake branch and the oracle
+stays exact. (Also measured: 0 documents at any SF even start with
+"BM"/"GIF8".)
 
 Fixture note: `documents.text` UTF-8 bytes stand in for the binary payload.
 The fake codec's `first_byte` is the payload's first BYTE (Python `b[0]`) while
@@ -46,38 +49,18 @@ DECODE_SCHEMA = (
 )
 
 
-def _sniff_real_format(payload: bytes) -> str | None:
-    """Format name iff :func:`jpeg.decode_image` owns this payload's magic
-    (PNG/JPEG/GIF/BMP/TIFF), else None. The sniff is separate from the
-    decode so the error contract stays two-valued: unknown/undecodable
-    format → NotImplementedError (fake fallback in the registered query),
-    KNOWN format with corrupt bytes → ValueError (must propagate —
-    corruption never silently downgrades to fake metadata)."""
-    from .bmp import looks_like_bmp
-    from .gif import looks_like_gif
-    from .jpeg import looks_like_jpeg
-    from .tiff import looks_like_tiff
-
-    if bytes(payload[: len(png.PNG_MAGIC)]) == png.PNG_MAGIC:
-        return "png"
-    if looks_like_jpeg(payload):
-        return "jpeg"
-    if looks_like_gif(payload):
-        return "gif"
-    if looks_like_bmp(payload):
-        return "bmp"
-    if looks_like_tiff(payload):
-        return "tiff"
-    return None
-
-
 def _decode_real(payload: bytes) -> tuple:
-    """(fmt, PngImage) via the universal from-spec dispatch
-    (``jpeg.decode_image`` — PNG/JPEG/GIF/BMP/TIFF; GIF decodes as the
-    first fully-composed frame). Raises NotImplementedError for formats
-    without an in-container codec (WebP pixels, unknown magics, audio
-    payloads mis-routed at the image decoder) and ValueError for corrupt
-    bytes under a recognized magic."""
+    """(fmt, PngImage) via the universal from-spec dispatch — the sniff
+    is ``jpeg.sniff_format`` (THE single magic list, with structural
+    guards that keep UTF-8 prose starting with "BM"/"GIF8" off the real
+    path) and the decode is ``jpeg.decode_image`` (PNG/JPEG/GIF/BMP/
+    TIFF; GIF decodes as the first fully-composed frame). Error contract
+    is two-valued: NotImplementedError for formats without an
+    in-container codec (WebP pixels, unknown magics, audio payloads
+    mis-routed at the image decoder) → the registered query's fake
+    fallback; ValueError for corrupt bytes under a recognized sniff →
+    propagates (corruption never silently downgrades to fake
+    metadata)."""
     from . import jpeg as _jpeg
 
     head = bytes(payload[:12])
@@ -86,13 +69,11 @@ def _decode_real(payload: bytes) -> tuple:
             "image decoding for riff/wave AUDIO (route it to "
             "operators/wav.py, not the image decoder)"
         )
-    fmt = _sniff_real_format(payload)
-    if fmt is None:
-        from .webpmeta import looks_like_webp
-
+    fmt = _jpeg.sniff_format(payload)
+    if fmt is None or fmt == "webp":
         kind = "webp pixels (VP8/VP8L entropy coding is not stdlib-" \
                "expressible; geometry lives in operators/webpmeta.py)" \
-            if looks_like_webp(payload) else f"unknown (magic {head[:8]!r})"
+            if fmt == "webp" else f"unknown (magic {head[:8]!r})"
         raise NotImplementedError(
             f"image decoding for {kind}: no from-spec codec in-container — "
             "PNG/JPEG/GIF/BMP/TIFF decode for real (jpeg.decode_image); "
@@ -317,14 +298,17 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata, in ONE mapInPandas pass (decode + transform fused per Arrow batch
     — at 100 TB you never shuffle decoded pixels between stages).
 
-    PNG payloads take :func:`resize_image_real` — actual pixels resampled and
-    re-encoded, the checksum a crc32 of the re-encoded bytes; everything else
-    keeps the deterministic fake codec whose arithmetic the DuckDB oracle
-    mirrors digit for digit (fit math is integer floor division with a ≥1
-    clamp on BOTH branches). As with q_mm_decode, fixture payloads are
-    encode(text,'UTF-8') and can never carry the PNG signature — the real
-    branch is pinned by tests/test_png.py, the registered path by the oracle.
-    """
+    Payloads that sniff as a decodable image (PNG/JPEG/GIF/BMP/TIFF via
+    ``jpeg.sniff_format``) take :func:`resize_image_real` — actual pixels
+    resampled and re-encoded as PNG, the checksum a crc32 of geometry +
+    raw scanlines; everything else keeps the deterministic fake codec
+    whose arithmetic the DuckDB oracle mirrors digit for digit (fit math
+    is integer floor division with a ≥1 clamp on BOTH branches). As with
+    q_mm_decode, fixture payloads are encode(text,'UTF-8') and can never
+    satisfy the sniff (non-ASCII magics by construction, structural
+    guards on the ASCII-expressible ones — module docstring) — the real
+    branch is pinned by tests/test_png.py, the registered path by the
+    oracle."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

@@ -290,6 +290,8 @@ _PRIORITY = (
     "q_graph_components",  # green r11
     "q_embed_pq",  # green r11
 )
+
+
 def _reorder(queries: dict, oracles: dict) -> tuple[dict, dict]:
     unknown = [n for n in _PRIORITY if n not in queries]
     if unknown:

@@ -415,3 +415,31 @@ def test_roundtrip_quality85_smooth_gradient_tight():
     back = decode_jpeg(encode_jpeg(img, quality=85))
     err = max(abs(a - b) for a, b in zip(back.raw, img.raw))
     assert err <= 3, err
+
+
+def test_sniff_format_guards_ascii_magics():
+    """UTF-8 prose that happens to start with 'BM' or a GIF version string
+    must sniff as None (→ fake-codec fallback in the registered queries),
+    while every genuinely decodable payload sniffs as its format — the
+    structural guards have zero false negatives by construction."""
+    from hbase_observer_es_spark.operators.gif import GIF_MAGICS
+    from hbase_observer_es_spark.operators.jpeg import sniff_format
+    from hbase_observer_es_spark.operators.png import PngImage, encode_png
+
+    # prose false-positive candidates: all must sniff None
+    assert sniff_format(b"BMW motorcycles are great. " + b"x" * 60) is None
+    assert sniff_format(b"GIF89a is an image format from 1989." + b"x" * 20) is None
+    assert sniff_format(b"BM" + b" " * 52) is None  # reserved bytes not zero
+    # real payloads: every decodable format sniffs correctly
+    gray = PngImage(4, 4, 8, 0, 1, 4, bytes(16), None)
+    assert sniff_format(encode_png(gray)) == "png"
+    assert sniff_format(encode_jpeg(gray, quality=90)) == "jpeg"
+    gif = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00"
+        b"\x00\x00\x00\xff\xff\xff"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+        b"\x02\x02\x44\x01\x00;"
+    )
+    assert gif[:6] in GIF_MAGICS and sniff_format(gif) == "gif"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert sniff_format(b"\x00\x01\x02\x03 mystery") is None
