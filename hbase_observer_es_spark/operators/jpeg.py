@@ -1,17 +1,25 @@
-"""Baseline JPEG decode from the public specification (ITU-T T.81), stdlib-only.
+"""JPEG decode from the public specification (ITU-T T.81), stdlib-only.
 
 The third real codec (after PNG — ``operators/png.py`` — and WAV —
 ``operators/wav.py``), closing the most common web-image format with the
 same from-spec discipline: no codec library, every byte handled per the
 published standard, corruption dies loudly with ``origin`` context.
-Implemented subset — baseline sequential DCT, Huffman entropy coding,
-8-bit precision (the overwhelming majority of JPEGs in a scraped corpus):
+Implemented subset — baseline sequential DCT (SOF0/SOF1) AND progressive
+DCT (SOF2: spectral selection + successive approximation, T.81 annex G),
+Huffman entropy coding, 8-bit precision (together the overwhelming
+majority of JPEGs in a scraped corpus):
 
 * marker stream walk: SOI, APPn/COM skipped, DQT (8- and 16-bit element
   precision, zigzag order), DHT (canonical code reconstruction via the
-  spec's BITS/HUFFVAL algorithm, F.2.2.3 decode), SOF0/SOF1, DRI, SOS,
-  EOI; progressive (SOF2), arithmetic-coded, hierarchical, lossless, and
-  12-bit frames are refused BY NAME — never mis-decoded;
+  spec's BITS/HUFFVAL algorithm, F.2.2.3 decode), SOF0/SOF1/SOF2, DRI,
+  SOS, EOI; arithmetic-coded, hierarchical, lossless, and 12-bit frames
+  are refused BY NAME — never mis-decoded;
+* progressive scan scripts: interleaved/non-interleaved DC scans,
+  single-component AC band scans with EOB runs, refinement scans
+  (G.1.2.2/G.1.2.3 — correction bits over nonzero history), per-band
+  successive-approximation state tracked so an out-of-order or
+  incomplete scan script dies loudly instead of rendering a half
+  image;
 * entropy-coded segment reader with 0xFF00 byte-stuffing removal and
   RSTn restart handling (byte-align, marker sequence verified, DC
   predictors reset);
@@ -73,7 +81,6 @@ _A = (
 _CR_R, _CB_G, _CR_G, _CB_B = 91881, 22553, 46802, 116130
 
 _REFUSED_SOF = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -297,6 +304,57 @@ def _idct_block(coef: list) -> list:
     return out
 
 
+def _parse_dqt(seg: bytes, qtables: dict, origin: str) -> None:
+    """DQT segment body → zigzag-order quant tables (8- or 16-bit
+    elements); zero quantizers refused. Shared by both coding processes."""
+    o = 0
+    while o < len(seg):
+        pq, tq = seg[o] >> 4, seg[o] & 0x0F
+        o += 1
+        if pq not in (0, 1):
+            raise ValueError(f"jpeg {origin}: DQT precision {pq} invalid")
+        width = 2 if pq else 1
+        if o + 64 * width > len(seg):
+            raise ValueError(f"jpeg {origin}: DQT table {tq} truncated")
+        if pq:
+            vals = list(struct.unpack(">64H", seg[o : o + 128]))
+        else:
+            vals = list(seg[o : o + 64])
+        if 0 in vals:
+            raise ValueError(
+                f"jpeg {origin}: DQT table {tq} contains a zero quantizer"
+            )
+        qtables[tq] = vals  # zigzag order, as stored
+        o += 64 * width
+
+
+def _parse_dht(seg: bytes, dc_tables: dict, ac_tables: dict, origin: str) -> None:
+    """DHT segment body → canonical Huffman tables into the dc/ac maps.
+    Shared by both coding processes."""
+    o = 0
+    while o < len(seg):
+        if o + 17 > len(seg):
+            raise ValueError(f"jpeg {origin}: DHT header truncated")
+        tc, th = seg[o] >> 4, seg[o] & 0x0F
+        bits = list(seg[o + 1 : o + 17])
+        nvals = sum(bits)
+        o += 17
+        if o + nvals > len(seg):
+            raise ValueError(
+                f"jpeg {origin}: DHT table {tc}/{th} values truncated"
+            )
+        table = _HuffTable(
+            bits, seg[o : o + nvals], origin, f"{'dc' if tc == 0 else 'ac'}{th}"
+        )
+        o += nvals
+        if tc == 0:
+            dc_tables[th] = table
+        elif tc == 1:
+            ac_tables[th] = table
+        else:
+            raise ValueError(f"jpeg {origin}: DHT class {tc} invalid")
+
+
 def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
     """Decode one baseline JPEG byte stream to an 8-bit gray or RGB
     :class:`PngImage`. Fail-loud with ``origin`` context on structural
@@ -340,63 +398,18 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
             )
         seg = data[pos + 2 : pos + seglen]
         pos += seglen
+        if marker == 0xC2:  # SOF2: hand the whole stream to annex G
+            return _decode_progressive(data, origin)
         if marker in _REFUSED_SOF:
             raise ValueError(
                 f"jpeg {origin}: {_REFUSED_SOF[marker]} coding process "
-                "unsupported (baseline sequential huffman only)"
+                "unsupported (baseline sequential or progressive huffman "
+                "only)"
             )
         if marker == 0xDB:  # DQT
-            o = 0
-            while o < len(seg):
-                pq, tq = seg[o] >> 4, seg[o] & 0x0F
-                o += 1
-                if pq not in (0, 1):
-                    raise ValueError(
-                        f"jpeg {origin}: DQT precision {pq} invalid"
-                    )
-                width = 2 if pq else 1
-                if o + 64 * width > len(seg):
-                    raise ValueError(
-                        f"jpeg {origin}: DQT table {tq} truncated"
-                    )
-                if pq:
-                    vals = list(
-                        struct.unpack(f">64H", seg[o : o + 128])
-                    )
-                else:
-                    vals = list(seg[o : o + 64])
-                if 0 in vals:
-                    raise ValueError(
-                        f"jpeg {origin}: DQT table {tq} contains a zero "
-                        "quantizer"
-                    )
-                qtables[tq] = vals  # zigzag order, as stored
-                o += 64 * width
+            _parse_dqt(seg, qtables, origin)
         elif marker == 0xC4:  # DHT
-            o = 0
-            while o < len(seg):
-                if o + 17 > len(seg):
-                    raise ValueError(f"jpeg {origin}: DHT header truncated")
-                tc, th = seg[o] >> 4, seg[o] & 0x0F
-                bits = list(seg[o + 1 : o + 17])
-                nvals = sum(bits)
-                o += 17
-                if o + nvals > len(seg):
-                    raise ValueError(
-                        f"jpeg {origin}: DHT table {tc}/{th} values truncated"
-                    )
-                table = _HuffTable(
-                    bits, seg[o : o + nvals], origin, f"{'dc' if tc == 0 else 'ac'}{th}"
-                )
-                o += nvals
-                if tc == 0:
-                    dc_tables[th] = table
-                elif tc == 1:
-                    ac_tables[th] = table
-                else:
-                    raise ValueError(
-                        f"jpeg {origin}: DHT class {tc} invalid"
-                    )
+            _parse_dht(seg, dc_tables, ac_tables, origin)
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
             if frame is not None:
                 raise ValueError(f"jpeg {origin}: duplicate frame header")
@@ -548,15 +561,27 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
                             row = (oy + yy) * pw + ox
                             plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
             since_restart += 1
-    if len(comps) == 1:
-        h, v, pw = metas[0][:3]
+    return _assemble_image(width, height, [m[:3] for m in metas], planes,
+                           hmax, vmax)
+
+
+def _assemble_image(
+    width: int, height: int, geom: list, planes: list, hmax: int, vmax: int
+) -> PngImage:
+    """Component planes → PngImage: crop the MCU-padded planes, upsample
+    subsampled chroma by the integer floor map, YCbCr→RGB with the
+    fixed-point BT.601 literals. ``geom`` is [(h, v, plane_w)] per
+    component. Shared by the baseline and progressive decoders — the
+    coding processes differ only in how coefficients arrive."""
+    if len(geom) == 1:
+        pw = geom[0][2]
         plane = planes[0]
         raw = bytearray(width * height)
         for y in range(height):
             raw[y * width : (y + 1) * width] = plane[y * pw : y * pw + width]
         return PngImage(width, height, 8, 0, 1, width, bytes(raw), None)
     raw = bytearray(width * height * 3)
-    (hy, vy, pwy), (hb, vb, pwb), (hr, vr, pwr) = (m[:3] for m in metas)
+    (hy, vy, pwy), (hb, vb, pwb), (hr, vr, pwr) = geom
     py, pb, pr = planes
     for y in range(height):
         yy_y = (y * vy) // vmax
@@ -575,6 +600,475 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
             raw[o + 2] = 0 if b < 0 else 255 if b > 255 else b
             o += 3
     return PngImage(width, height, 8, 2, 3, width * 3, bytes(raw), None)
+
+
+# ------------------------------------------------- progressive (annex G)
+
+
+def _decode_progressive(data: bytes, origin: str) -> PngImage:
+    """Progressive DCT decode (T.81 SOF2 + annex G): the scan script
+    delivers coefficients in pieces — DC first, then AC bands (spectral
+    selection), each band optionally bit-plane by bit-plane (successive
+    approximation) — accumulated into per-component coefficient grids and
+    dequantized + IDCTed ONCE at EOI.
+
+    Fail-loud contract extends to the scan script itself: per-component
+    per-coefficient approximation state is tracked, so a refinement
+    without its first scan, a band scanned twice at the same level, a
+    skipped bit plane, or a stream that ends before every band reaches
+    Al=0 is a ValueError — never a silently half-rendered image. DC
+    magnitude ≤ 11 / AC refinement size == 1 are enforced as in the
+    sequential path; restarts reset DC predictors AND the EOB run."""
+    pos = 2
+    qtables: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    coefs: list = []  # per component: list of 64-int blocks (zigzag order)
+    metas: list = []  # (h, v, bw_pad, bh_pad, bw_ni, bh_ni, tq)
+    dc_al: list = []  # per component: None until first DC scan, else next Al
+    ac_al: list = []  # per component: [None]*64 band approximation state
+    mcus_x = mcus_y = hmax = vmax = 0
+    cid_index: dict = {}
+    while True:
+        if pos + 2 > n:
+            raise ValueError(f"jpeg {origin}: truncated before EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"jpeg {origin}: expected marker at byte {pos}, found "
+                f"0x{data[pos]:02X}"
+            )
+        while pos < n and data[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise ValueError(f"jpeg {origin}: truncated marker at stream end")
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError(f"jpeg {origin}: truncated segment header")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError(
+                f"jpeg {origin}: segment 0xFF{marker:02X} length {seglen} "
+                "overruns the stream"
+            )
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker in _REFUSED_SOF or marker in (0xC0, 0xC1):
+            raise ValueError(
+                f"jpeg {origin}: second frame header 0xFF{marker:02X} in a "
+                "progressive stream"
+            )
+        if marker == 0xDB:
+            _parse_dqt(seg, qtables, origin)
+        elif marker == 0xC4:
+            _parse_dht(seg, dc_tables, ac_tables, origin)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError(f"jpeg {origin}: DRI segment body truncated")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC2:  # SOF2
+            if frame is not None:
+                raise ValueError(f"jpeg {origin}: duplicate frame header")
+            frame = _parse_sof_body(seg, origin)
+            height, width, comps = frame
+            if len(comps) == 1:
+                cid, _, _, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
+                frame = (height, width, comps)
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                if cid in cid_index:
+                    raise ValueError(
+                        f"jpeg {origin}: duplicate component id {cid}"
+                    )
+                cid_index[cid] = ci
+                bw_pad, bh_pad = mcus_x * h, mcus_y * v
+                # non-interleaved block raster covers the component's own
+                # sample grid (T.81 A.2.2), NOT the MCU-padded grid
+                cw = -(-width * h // hmax)  # ceil(width * h / hmax)
+                ch = -(-height * v // vmax)
+                bw_ni, bh_ni = -(-cw // 8), -(-ch // 8)
+                metas.append((h, v, bw_pad, bh_pad, bw_ni, bh_ni, tq))
+                coefs.append([[0] * 64 for _ in range(bw_pad * bh_pad)])
+                dc_al.append(None)
+                ac_al.append([None] * 64)
+        elif marker == 0xDA:  # SOS: one scan
+            if frame is None:
+                raise ValueError(f"jpeg {origin}: SOS before SOF")
+            pos = _decode_progressive_scan(
+                data, pos, seg, origin, frame, metas, coefs, dc_al, ac_al,
+                cid_index, dc_tables, ac_tables, restart_interval,
+                mcus_x, mcus_y,
+            )
+        # APPn / COM / others with a body: skipped
+    if frame is None:
+        raise ValueError(f"jpeg {origin}: EOI before any frame header")
+    height, width, comps = frame
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        if dc_al[ci] != 0:
+            raise ValueError(
+                f"jpeg {origin}: progressive scan script incomplete — "
+                f"component {cid} DC "
+                + ("never scanned" if dc_al[ci] is None
+                   else f"stops at bit plane {dc_al[ci]}")
+            )
+        bad = [k for k in range(1, 64) if ac_al[ci][k] != 0]
+        if bad:
+            raise ValueError(
+                f"jpeg {origin}: progressive scan script incomplete — "
+                f"component {cid} AC coefficients {bad[0]}..{bad[-1]} "
+                "missing or above bit plane 0"
+            )
+        if tq not in qtables:
+            raise ValueError(
+                f"jpeg {origin}: component quant table {tq} undefined"
+            )
+    planes = []
+    geom = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        _, _, bw_pad, bh_pad, _, _, _ = metas[ci]
+        qt = qtables[tq]
+        pw, ph = bw_pad * 8, bh_pad * 8
+        plane = bytearray(pw * ph)
+        blocks = coefs[ci]
+        for byi in range(bh_pad):
+            for bxi in range(bw_pad):
+                cz = blocks[byi * bw_pad + bxi]
+                nat = [0] * 64
+                for k in range(64):
+                    if cz[k]:
+                        nat[ZIGZAG[k]] = cz[k] * qt[k]
+                px = _idct_block(nat)
+                ox, oy = bxi * 8, byi * 8
+                for yy in range(8):
+                    row = (oy + yy) * pw + ox
+                    plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+        geom.append((h, v, pw))
+    return _assemble_image(width, height, geom, planes, hmax, vmax)
+
+
+def _parse_sof_body(seg: bytes, origin: str) -> tuple:
+    """SOF segment body → (height, width, [(cid, h, v, tq)]) with the
+    same constraint set the baseline path enforces."""
+    if len(seg) < 6:
+        raise ValueError(
+            f"jpeg {origin}: SOF segment body truncated ({len(seg)} bytes)"
+        )
+    prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
+    if prec != 8:
+        raise ValueError(
+            f"jpeg {origin}: {prec}-bit precision unsupported (8-bit only)"
+        )
+    if height == 0 or width == 0:
+        raise ValueError(
+            f"jpeg {origin}: zero frame dimension {width}x{height} "
+            "(DNL-deferred height unsupported)"
+        )
+    if nf == 4:
+        raise ValueError(f"jpeg {origin}: 4-component (CMYK/YCCK) unsupported")
+    if nf not in (1, 3):
+        raise ValueError(
+            f"jpeg {origin}: {nf}-component frame unsupported "
+            "(grayscale or YCbCr)"
+        )
+    if len(seg) < 6 + nf * 3:
+        raise ValueError(f"jpeg {origin}: SOF component list truncated")
+    comps = []
+    for c in range(nf):
+        cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
+        h, v = hv >> 4, hv & 0x0F
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError(
+                f"jpeg {origin}: sampling factors {h}x{v} outside the "
+                "spec's 1..4"
+            )
+        comps.append((cid, h, v, tq))
+    return height, width, comps
+
+
+def _decode_progressive_scan(
+    data: bytes, pos: int, seg: bytes, origin: str, frame: tuple,
+    metas: list, coefs: list, dc_al: list, ac_al: list, cid_index: dict,
+    dc_tables: dict, ac_tables: dict, restart_interval: int,
+    mcus_x: int, mcus_y: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data; returns the stream
+    position after it (at the next marker). Validates the scan header
+    against the successive-approximation state and updates it."""
+    if not seg:
+        raise ValueError(f"jpeg {origin}: SOS segment body truncated")
+    ns = seg[0]
+    if len(seg) < 1 + ns * 2 + 3:
+        raise ValueError(f"jpeg {origin}: SOS header truncated")
+    scan_comps = []  # (ci, td, ta)
+    for i in range(ns):
+        cs, tdta = seg[1 + i * 2 : 3 + i * 2]
+        if cs not in cid_index:
+            raise ValueError(
+                f"jpeg {origin}: scan names component id {cs} the frame "
+                "does not have"
+            )
+        scan_comps.append((cid_index[cs], tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if al > 13 or (ah and ah > 13):
+        raise ValueError(
+            f"jpeg {origin}: successive approximation {ah}/{al} outside "
+            "the spec's 0..13"
+        )
+    if ah and al != ah - 1:
+        raise ValueError(
+            f"jpeg {origin}: refinement must lower one bit plane "
+            f"(Ah={ah}, Al={al})"
+        )
+    reader = _BitReader(data, pos, origin)
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                f"jpeg {origin}: progressive DC scan must have Se=0 "
+                f"(Ss=0, Se={se})"
+            )
+        for ci, td, _ta in scan_comps:
+            if ah == 0:
+                if dc_al[ci] is not None:
+                    raise ValueError(
+                        f"jpeg {origin}: duplicate first DC scan for "
+                        f"component index {ci}"
+                    )
+                if td not in dc_tables:
+                    raise ValueError(
+                        f"jpeg {origin}: huffman table dc{td} undefined"
+                    )
+            else:
+                if dc_al[ci] != ah:
+                    raise ValueError(
+                        f"jpeg {origin}: DC refinement at Ah={ah} but "
+                        f"component index {ci} is at bit plane {dc_al[ci]}"
+                    )
+            dc_al[ci] = al
+        _scan_dc(
+            reader, origin, scan_comps, metas, coefs, dc_tables, ah, al,
+            restart_interval, mcus_x, mcus_y,
+        )
+    else:
+        if ns != 1:
+            raise ValueError(
+                f"jpeg {origin}: progressive AC scan must be "
+                f"single-component (Ss={ss}, {ns} components)"
+            )
+        if not (ss <= se <= 63):
+            raise ValueError(
+                f"jpeg {origin}: spectral band {ss}..{se} invalid"
+            )
+        ci, _td, ta = scan_comps[0]
+        if dc_al[ci] is None:
+            raise ValueError(
+                f"jpeg {origin}: AC scan before the component's first DC "
+                "scan"
+            )
+        if ta not in ac_tables:
+            raise ValueError(f"jpeg {origin}: huffman table ac{ta} undefined")
+        band_state = {ac_al[ci][k] for k in range(ss, se + 1)}
+        if ah == 0:
+            if band_state != {None}:
+                raise ValueError(
+                    f"jpeg {origin}: first AC scan over band {ss}..{se} "
+                    "overlaps an already-scanned band"
+                )
+        elif band_state != {ah}:
+            raise ValueError(
+                f"jpeg {origin}: AC refinement at Ah={ah} over band "
+                f"{ss}..{se} whose state is {sorted(band_state, key=str)}"
+            )
+        for k in range(ss, se + 1):
+            ac_al[ci][k] = al
+        _scan_ac(
+            reader, origin, ci, metas[ci], coefs[ci], ac_tables[ta],
+            ss, se, ah, al, restart_interval,
+        )
+    return reader.pos
+
+
+def _scan_dc(
+    reader, origin: str, scan_comps: list, metas: list, coefs: list,
+    dc_tables: dict, ah: int, al: int, restart_interval: int,
+    mcus_x: int, mcus_y: int,
+) -> None:
+    """DC scan body: interleaved (MCU walk over every scan component) or
+    single-component (block raster). First pass decodes predictor
+    diffs shifted by Al; refinement appends one raw bit per block."""
+    interleaved = len(scan_comps) > 1
+    preds = {ci: 0 for ci, _, _ in scan_comps}
+    rst_n = 0
+    since = 0
+
+    def one_block(ci: int, blk: list, td: int) -> None:
+        if ah == 0:
+            t = reader.decode(dc_tables[td], "dc")
+            if t > 11:
+                raise ValueError(
+                    f"jpeg {origin}: DC magnitude category {t} exceeds "
+                    "the limit 11"
+                )
+            preds[ci] += _extend(reader.receive(t), t)
+            blk[0] = preds[ci] << al
+        elif reader.bit():
+            blk[0] |= 1 << al
+
+    if interleaved:
+        total = mcus_x * mcus_y
+        for m in range(total):
+            if restart_interval and since == restart_interval:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                preds = {ci: 0 for ci in preds}
+                since = 0
+            my, mx = divmod(m, mcus_x)
+            for ci, td, _ta in scan_comps:
+                h, v, bw_pad = metas[ci][0], metas[ci][1], metas[ci][2]
+                blocks = coefs[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = blocks[(my * v + by) * bw_pad + (mx * h + bx)]
+                        one_block(ci, blk, td)
+            since += 1
+    else:
+        ci, td, _ta = scan_comps[0]
+        _h, _v, bw_pad, _bh_pad, bw_ni, bh_ni, _tq = metas[ci]
+        blocks = coefs[ci]
+        for m in range(bw_ni * bh_ni):
+            if restart_interval and since == restart_interval:
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                preds = {ci: 0}
+                since = 0
+            byi, bxi = divmod(m, bw_ni)
+            one_block(ci, blocks[byi * bw_pad + bxi], td)
+            since += 1
+
+
+def _scan_ac(
+    reader, origin: str, ci: int, meta: tuple, blocks: list, act,
+    ss: int, se: int, ah: int, al: int, restart_interval: int,
+) -> None:
+    """AC band scan body (always non-interleaved: MCU = one block).
+    First pass is the G.1.2.2 run/size loop with EOBn runs; refinement
+    is G.1.2.3 — new ±1<<Al values threaded through correction bits for
+    every nonzero-history coefficient passed over."""
+    _h, _v, bw_pad, _bh_pad, bw_ni, bh_ni, _tq = meta
+    eobrun = 0
+    rst_n = 0
+    since = 0
+    for m in range(bw_ni * bh_ni):
+        if restart_interval and since == restart_interval:
+            if eobrun:
+                raise ValueError(
+                    f"jpeg {origin}: EOB run crosses a restart boundary — "
+                    "corrupt entropy data"
+                )
+            reader.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) % 8
+            since = 0
+        byi, bxi = divmod(m, bw_ni)
+        coef = blocks[byi * bw_pad + bxi]
+        if ah == 0:
+            if eobrun:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    rs = reader.decode(act, "ac")
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1 + reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            f"jpeg {origin}: AC run overflows the band — "
+                            "corrupt entropy data"
+                        )
+                    coef[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+        else:
+            eobrun = _refine_ac_block(
+                reader, origin, coef, act, ss, se, al, eobrun
+            )
+        since += 1
+    if eobrun:
+        raise ValueError(
+            f"jpeg {origin}: EOB run of {eobrun} outlives the scan — "
+            "corrupt entropy data"
+        )
+
+
+def _refine_ac_block(
+    reader, origin: str, coef: list, act, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """One block of an AC refinement scan (G.1.2.3). Every nonzero-history
+    coefficient passed over reads a correction bit; r counts ZERO-history
+    positions only; a new coefficient lands as ±1<<Al in the (r+1)th
+    zero-history slot. An EOB run still corrects the remainder of the
+    CURRENT block before skipping whole blocks."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act, "ac")
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + reader.receive(r)
+                    break
+                # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        f"jpeg {origin}: refinement coefficient size {s} "
+                        "!= 1 — corrupt entropy data"
+                    )
+                val = p1 if reader.bit() else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        f"jpeg {origin}: refinement run overflows the band "
+                        "— corrupt entropy data"
+                    )
+                coef[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            if coef[k] != 0:
+                if reader.bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ------------------------------------------------------------------ writer

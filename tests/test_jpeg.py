@@ -187,7 +187,10 @@ def test_looks_like_jpeg():
     "mutate, msg",
     [
         (lambda d: b"\x00" + d[1:], r"not a JPEG"),
-        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2"), r"progressive \(SOF2\)"),
+        # SOF2 now decodes for real; a baseline-shaped full scan inside a
+        # progressive frame violates the annex-G DC-scan constraint
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2"),
+         r"progressive DC scan must have Se=0"),
         (lambda d: d.replace(b"\xff\xc0", b"\xff\xc9"), r"arithmetic-coded sequential"),
         (lambda d: d.replace(b"\xff\xc0", b"\xff\xc3"), r"lossless \(SOF3\)"),
         (lambda d: d[: d.index(b"\xff\xda")] + b"\xff\xd9", r"EOI before any scan"),
