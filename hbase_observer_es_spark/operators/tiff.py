@@ -1,13 +1,15 @@
 """TIFF from the public TIFF 6.0 structure, stdlib-only.
 
 Scanned-document corpora carry TIFFs. The container is an IFD walk
-(both byte orders), and the UNCOMPRESSED baseline subset decodes for
-real — 8-bit grayscale (both photometric polarities) and RGB(A),
+(both byte orders), and the baseline subset decodes for real — 8-bit
+grayscale (both photometric polarities) and RGB(A), strips uncompressed
+OR LZW-compressed (TIFF 6.0 §13: MSB-first, EarlyChange width growth,
+per-strip CLEAR; r12) with the §14 horizontal-differencing predictor —
 strip-assembled into a :class:`~.png.PngImage` so the whole pixel stack
-composes. Compressed variants (LZW, PackBits, CCITT fax, JPEG-in-TIFF,
-Deflate) refuse BY NAME; ``tiff_meta`` still reports their geometry and
-compression so curation can filter without decoding. BigTIFF (magic 43)
-refuses by name.
+composes. The remaining compressed variants (PackBits, CCITT fax,
+JPEG-in-TIFF, Deflate) refuse BY NAME; ``tiff_meta`` still reports their
+geometry and compression so curation can filter without decoding.
+BigTIFF (magic 43) refuses by name.
 
 Guards per the codec-family rule: IFD offsets and entry counts are
 attacker data — an offset outside the file, a strip that overruns, an
@@ -134,21 +136,131 @@ def tiff_meta(data: bytes, origin: str = "<bytes>") -> dict:
     }
 
 
+def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, fixed 8-bit
+    symbols, CLEAR=256, EOI=257, code width 9→12 growing EARLY (when the
+    next table index is 2^width − 1, the spec's historic EarlyChange
+    convention), every strip's stream starts with CLEAR. Structurally the
+    MSB/EarlyChange variant of ``gif._lzw_decode`` — the bit packing
+    direction, symbol width, and growth trigger are spec-level different
+    between the two formats, so each codec carries its own loop; fix
+    dictionary-handling bugs in BOTH. Exactly ``expected`` bytes come
+    out; more or fewer is loud."""
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    CLEAR, EOI = 256, 257
+
+    def base():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = base()
+    width = 9
+    prev = None
+    first = True
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError(
+                f"tiff {origin}: LZW strip {strip} ends without EOI"
+            )
+        byte = bitpos >> 3
+        chunk = 0
+        for i in range(3):  # MSB-first window across up to 3 bytes
+            chunk = (chunk << 8) | (
+                data[byte + i] if byte + i < len(data) else 0
+            )
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if first and code != CLEAR:
+            raise ValueError(
+                f"tiff {origin}: LZW strip {strip} does not start with "
+                "CLEAR (TIFF 6.0 §13 requires it)"
+            )
+        first = False
+        if code == CLEAR:
+            table = base()
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(
+                    f"tiff {origin}: LZW strip {strip}: first code after "
+                    f"CLEAR is {code}, not a literal"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(
+                f"tiff {origin}: LZW strip {strip}: code {code} beyond "
+                f"dictionary size {len(table)} — corrupt stream"
+            )
+        out += entry
+        if len(out) > expected:
+            raise ValueError(
+                f"tiff {origin}: LZW strip {strip} inflates past the "
+                f"{expected} bytes its geometry declares"
+            )
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # EarlyChange: one index before the LSB-first rule
+    if len(out) != expected:
+        raise ValueError(
+            f"tiff {origin}: LZW strip {strip} produced {len(out)} of "
+            f"{expected} bytes"
+        )
+    return bytes(out)
+
+
+def _undo_predictor2(chunk: bytes, rows: int, width: int, spp: int) -> bytes:
+    """Predictor 2 (horizontal differencing, tag 317): each sample stores
+    the delta to the sample one PIXEL left in the same channel; undo is a
+    per-row running sum mod 256."""
+    out = bytearray(chunk)
+    row_bytes = width * spp
+    for r in range(rows):
+        base = r * row_bytes
+        for i in range(base + spp, base + row_bytes):
+            out[i] = (out[i] + out[i - spp]) & 0xFF
+    return bytes(out)
+
+
 def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
-    """Real decode of the uncompressed baseline subset (first page):
-    8-bit grayscale (photometric 0 inverted per spec, 1 as-is) and 8-bit
-    RGB(A, alpha dropped — the corpus convention, as in the perceptual
-    hashes). Strips are validated against the declared geometry;
-    compressed variants refuse by name."""
+    """Real decode of the baseline subset (first page): 8-bit grayscale
+    (photometric 0 inverted per spec, 1 as-is) and 8-bit RGB(A, alpha
+    dropped — the corpus convention, as in the perceptual hashes), strips
+    uncompressed OR LZW (with horizontal-differencing predictor 2).
+    Strips are validated against the declared geometry; other compressed
+    variants refuse by name."""
     entries = next(_walk_ifds(data, origin), None)
     if entries is None:
         raise ValueError(f"tiff {origin}: no IFD in the chain")
     comp = _first(entries, 259, 1)
-    if comp != 1:
+    if comp not in (1, 5):
         name = _COMPRESSION_NAMES.get(comp, f"tag {comp}")
         raise ValueError(
             f"tiff {origin}: {name} compression unsupported for decode "
-            "(uncompressed baseline only; tiff_meta still reports geometry)"
+            "(uncompressed or LZW baseline only; tiff_meta still reports "
+            "geometry)"
+        )
+    predictor = _first(entries, 317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"tiff {origin}: predictor {predictor} unsupported "
+            "(none or horizontal differencing)"
+        )
+    if predictor == 2 and comp != 5:
+        raise ValueError(
+            f"tiff {origin}: predictor 2 outside LZW compression is "
+            "malformed (TIFF 6.0 §14 ties the predictor to LZW)"
         )
     w = _first(entries, 256, 0)
     h = _first(entries, 257, 0)
@@ -186,6 +298,14 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
                 f"tiff {origin}: strip {si} at byte {off} overruns the file"
             )
         rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 5:
+            chunk = _lzw_decode_msb(
+                data[off : off + cnt], rows_here * row_bytes, origin, si
+            )
+            if predictor == 2:
+                chunk = _undo_predictor2(chunk, rows_here, w, spp)
+            raw += chunk
+            continue
         if cnt != rows_here * row_bytes:
             raise ValueError(
                 f"tiff {origin}: strip {si} carries {cnt} bytes but the "

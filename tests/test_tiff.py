@@ -6,6 +6,8 @@ from __future__ import annotations
 import struct
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from hbase_observer_es_spark.operators.tiff import (
     decode_tiff,
@@ -106,8 +108,10 @@ def test_refusals():
     with pytest.raises(ValueError, match=r"BigTIFF \(magic 43\) unsupported"):
         tiff_meta(b"II+\x00" + b"\x00" * 12)
     lzw = _tiff(bytes(4), 2, 2, compression=5)
-    assert tiff_meta(lzw)["compression"] == "lzw"  # meta still reports it
-    with pytest.raises(ValueError, match=r"lzw compression unsupported for decode"):
+    assert tiff_meta(lzw)["compression"] == "lzw"
+    # LZW decodes for real since r12; garbage declared as LZW is
+    # corruption, not a refusal
+    with pytest.raises(ValueError, match=r"does not start with CLEAR"):
         decode_tiff(lzw)
     short_strip = _tiff(bytes(3), 2, 2)  # geometry needs 4
     with pytest.raises(ValueError, match=r"strip 0 carries 3 bytes"):
@@ -146,3 +150,201 @@ def test_truncation_and_empty_chain_are_valueerrors():
     with pytest.raises(ValueError, match=r"no IFD in the chain"):
         decode_tiff(b"II*\x00\x00\x00\x00\x00")
     assert classify_media(b"II*\x00")["family"] == "error"
+
+
+# ------------------------------------------------------------- LZW (r12)
+#
+# Test-side TIFF-LZW encoder: an INDEPENDENT implementation of the
+# 6.0 §13 encoder side (MSB-first packing, EarlyChange — the encoder
+# widens when the next table index reaches 2^w, which a decoder sees as
+# widening at 2^w − 1 because its table trails by one entry).
+
+
+def _lzw_encode_msb(data: bytes) -> bytes:
+    bits = []  # (code, width)
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits.append((256, width))  # mandatory leading CLEAR
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # conservative reset before the 12-bit cap
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))  # EOI
+    s = "".join(format(c, f"0{wd}b") for c, wd in bits)
+    s += "0" * ((8 - len(s) % 8) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _tiff_lzw(rows: list, w, h, endian="<", spp=1, photometric=1,
+              predictor=1, rows_per_strip=None) -> bytes:
+    """LZW TIFF with one strip per rows_per_strip rows; predictor 2
+    applies horizontal differencing before encoding (what a writer does)."""
+    rps = rows_per_strip or h
+    header = b"II*\x00" if endian == "<" else b"MM\x00*"
+    strips = []
+    for s0 in range(0, h, rps):
+        chunk = b"".join(rows[s0 : s0 + rps])
+        if predictor == 2:
+            d = bytearray(chunk)
+            rb = w * spp
+            for r in range(len(d) // rb):
+                base = r * rb
+                for i in range(base + rb - 1, base + spp - 1, -1):
+                    d[i] = (d[i] - d[i - spp]) & 0xFF
+            chunk = bytes(d)
+        strips.append(_lzw_encode_msb(chunk))
+    pos = 8
+    offs, cnts = [], []
+    payload = b""
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        payload += s
+        pos += len(s)
+    ifd_at = pos
+    header += struct.pack(endian + "I", ifd_at)
+
+    entries = [
+        _short(endian, 256, w),
+        _short(endian, 257, h),
+        _short(endian, 258, 8),
+        _short(endian, 259, 5),
+        _short(endian, 262, photometric),
+        _short(endian, 277, spp),
+        _long(endian, 278, rps),
+    ]
+    if len(strips) == 1:
+        entries.insert(5, _long(endian, 273, offs[0]))
+        entries.append(_long(endian, 279, cnts[0]))
+    else:
+        # multi-valued LONG arrays live after the IFD; offsets patched in
+        n = len(strips)
+        ifd_len = 2 + (len(entries) + 2) * 12 + 4  # +2: tags 273 and 279
+        arr1_at = ifd_at + ifd_len
+        arr2_at = arr1_at + 4 * n
+        entries.insert(5, _entry(endian, 273, 4, n,
+                                 struct.pack(endian + "I", arr1_at)))
+        entries.append(_entry(endian, 279, 4, n,
+                              struct.pack(endian + "I", arr2_at)))
+    if predictor == 2:
+        entries.append(_short(endian, 317, 2))
+        if len(strips) > 1:
+            raise NotImplementedError  # keep the fixture simple
+    entries.sort(key=lambda e: struct.unpack(endian + "H", e[:2])[0])
+    ifd = struct.pack(endian + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(endian + "I", 0)
+    tail = b""
+    if len(strips) > 1:
+        tail = struct.pack(f"{endian}{len(strips)}I", *offs)
+        tail += struct.pack(f"{endian}{len(strips)}I", *cnts)
+    return header + payload + ifd + tail
+
+
+def test_lzw_handpacked_golden():
+    """'ABABAB' by hand: codes CLEAR,65,66,258,258,EOI all at width 9
+    (table never reaches 511) → bit string 100000000 001000001 001000010
+    100000010 100000010 100000001 + zero pad = 80 10 48 50 28 14 04."""
+    assert _lzw_encode_msb(b"ABABAB") == bytes(
+        [0x80, 0x10, 0x48, 0x50, 0x28, 0x14, 0x04]
+    )
+    from hbase_observer_es_spark.operators.tiff import _lzw_decode_msb
+
+    assert _lzw_decode_msb(_lzw_encode_msb(b"ABABAB"), 6, "t", 0) == b"ABABAB"
+
+
+def test_lzw_tiff_decodes_gray_and_rgb():
+    rows = [bytes([10, 20, 15, 5]), bytes([200, 200, 200, 200])]
+    img = decode_tiff(_tiff_lzw(rows, 4, 2))
+    assert (img.width, img.height, img.color_type) == (4, 2, 0)
+    assert img.raw == b"".join(rows)
+    rgb_rows = [bytes(range(12)), bytes(range(100, 112))]
+    img = decode_tiff(_tiff_lzw(rgb_rows, 4, 2, spp=3, photometric=2))
+    assert (img.color_type, img.raw) == (2, b"".join(rgb_rows))
+
+
+def test_lzw_tiff_predictor2_and_big_endian():
+    rows = [bytes([10, 20, 15, 5, 0, 255, 1, 128])]
+    img = decode_tiff(_tiff_lzw(rows, 8, 1, predictor=2))
+    assert img.raw == rows[0]
+    img = decode_tiff(_tiff_lzw(rows, 8, 1, endian=">", predictor=2))
+    assert img.raw == rows[0]
+    # rgb predictor differences per-channel, not per-byte
+    rgb = [bytes([100, 50, 25, 110, 45, 35, 90, 60, 25])]
+    img = decode_tiff(_tiff_lzw(rgb, 3, 1, spp=3, photometric=2, predictor=2))
+    assert img.raw == rgb[0]
+
+
+def test_lzw_tiff_multistrip_independent_streams():
+    rows = [bytes([i] * 6) for i in range(4)]
+    img = decode_tiff(_tiff_lzw(rows, 6, 4, rows_per_strip=2))
+    assert img.raw == b"".join(rows)
+
+
+def test_lzw_width_growth_round_trip():
+    """768 low-entropy-free bytes force >254 dictionary entries — the
+    EarlyChange 9→10-bit switch happens mid-strip on both sides."""
+    from hbase_observer_es_spark.operators.tiff import _lzw_decode_msb
+
+    data = bytes(range(256)) * 3
+    enc = _lzw_encode_msb(data)
+    assert _lzw_decode_msb(enc, len(data), "t", 0) == data
+
+
+def test_lzw_corrupt_streams_fail_loudly():
+    from hbase_observer_es_spark.operators.tiff import _lzw_decode_msb
+
+    good = _lzw_encode_msb(b"ABABAB")
+    with pytest.raises(ValueError, match=r"does not start with CLEAR"):
+        _lzw_decode_msb(b"\x00" + good[1:], 6, "t", 0)
+    with pytest.raises(ValueError, match=r"ends without EOI"):
+        _lzw_decode_msb(good[:3], 6, "t", 0)
+    with pytest.raises(ValueError, match=r"produced 6 of 7"):
+        _lzw_decode_msb(good, 7, "t", 0)
+    with pytest.raises(ValueError, match=r"inflates past"):
+        _lzw_decode_msb(good, 3, "t", 0)
+
+
+def test_packbits_still_refused_by_name():
+    data = _tiff(bytes(4), 2, 2, compression=32773)
+    assert tiff_meta(data)["compression"] == "packbits"
+    with pytest.raises(ValueError, match=r"packbits compression unsupported"):
+        decode_tiff(data)
+
+
+def test_predictor_outside_lzw_refused():
+    data = _tiff_lzw([bytes([1, 2])], 2, 1, predictor=2)
+    # flip compression 5 -> 1 in the IFD (tag 259 SHORT little-endian)
+    patched = data.replace(
+        struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 5, 0),
+        struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0),
+    )
+    assert patched != data
+    with pytest.raises(ValueError, match=r"predictor 2 outside LZW"):
+        decode_tiff(patched)
+
+
+@given(st.binary(min_size=0, max_size=1500))
+@settings(max_examples=40, deadline=None)
+def test_lzw_round_trip_property(data):
+    from hbase_observer_es_spark.operators.tiff import _lzw_decode_msb
+
+    if not data:
+        enc = _lzw_encode_msb(data)
+        assert _lzw_decode_msb(enc, 0, "t", 0) == b""
+        return
+    enc = _lzw_encode_msb(data)
+    assert _lzw_decode_msb(enc, len(data), "t", 0) == data
