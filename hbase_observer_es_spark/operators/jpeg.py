@@ -80,6 +80,9 @@ _A = (
 # YCbCr -> RGB, round(c * 65536): 1.402, 0.344136, 0.714136, 1.772
 _CR_R, _CB_G, _CR_G, _CB_B = 91881, 22553, 46802, 116130
 
+# header-declared geometry bomb guard, shared with the gif.py convention
+_MAX_PIXELS = 64_000_000
+
 _REFUSED_SOF = {
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
@@ -413,46 +416,7 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
             if frame is not None:
                 raise ValueError(f"jpeg {origin}: duplicate frame header")
-            if len(seg) < 6:
-                raise ValueError(
-                    f"jpeg {origin}: SOF segment body truncated "
-                    f"({len(seg)} bytes)"
-                )
-            prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError(
-                    f"jpeg {origin}: {prec}-bit precision unsupported "
-                    "(8-bit baseline only)"
-                )
-            if height == 0 or width == 0:
-                raise ValueError(
-                    f"jpeg {origin}: zero frame dimension {width}x{height} "
-                    "(DNL-deferred height unsupported)"
-                )
-            if nf == 4:
-                raise ValueError(
-                    f"jpeg {origin}: 4-component (CMYK/YCCK) unsupported"
-                )
-            if nf not in (1, 3):
-                raise ValueError(
-                    f"jpeg {origin}: {nf}-component frame unsupported "
-                    "(grayscale or YCbCr)"
-                )
-            if len(seg) < 6 + nf * 3:
-                raise ValueError(
-                    f"jpeg {origin}: SOF component list truncated"
-                )
-            comps = []
-            for c in range(nf):
-                cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
-                h, v = hv >> 4, hv & 0x0F
-                if not (1 <= h <= 4 and 1 <= v <= 4):
-                    raise ValueError(
-                        f"jpeg {origin}: sampling factors {h}x{v} outside "
-                        "the spec's 1..4"
-                    )
-                comps.append((cid, h, v, tq))
-            frame = (height, width, comps)
+            frame = _parse_sof_body(seg, origin)
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError(
@@ -794,6 +758,18 @@ def _parse_sof_body(seg: bytes, origin: str) -> tuple:
                 "spec's 1..4"
             )
         comps.append((cid, h, v, tq))
+    # bomb guard (the gif.py/png.py rule: header-declared geometry is
+    # attacker data): the MCU-padded plane is what both decoders allocate
+    # — a 20-byte SOF must not be able to demand a multi-GB buffer
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    pw = -(-width // (8 * hmax)) * 8 * hmax
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    if pw * ph > _MAX_PIXELS:
+        raise ValueError(
+            f"jpeg {origin}: declared geometry {width}x{height} pads to "
+            f"{pw}x{ph}, past the {_MAX_PIXELS}-pixel guard"
+        )
     return height, width, comps
 
 
@@ -809,6 +785,11 @@ def _decode_progressive_scan(
     if not seg:
         raise ValueError(f"jpeg {origin}: SOS segment body truncated")
     ns = seg[0]
+    if not 1 <= ns <= 4:
+        raise ValueError(
+            f"jpeg {origin}: scan component count {ns} outside the "
+            "spec's 1..4"
+        )
     if len(seg) < 1 + ns * 2 + 3:
         raise ValueError(f"jpeg {origin}: SOS header truncated")
     scan_comps = []  # (ci, td, ta)

@@ -643,3 +643,31 @@ def test_progressive_restart_intervals_handpacked():
                        b"\xff\xd1" + bytes([0b00001111]))
     with pytest.raises(ValueError, match=r"restart sequence broken"):
         decode_jpeg(bad)
+
+
+def test_progressive_zero_component_scan_is_valueerror():
+    """Regression (review finding): SOS with Ns=0 crashed with IndexError
+    through the non-interleaved DC branch; the census error-fold only
+    catches ValueError, so this was a task-killer on a corrupt corpus."""
+    dqt = _seg(0xDB, bytes([0]) + bytes(_QT1))
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + bytes([0]))
+    sos = _seg(0xDA, bytes([0, 0, 0, 0]))  # Ns=0, Ss=0, Se=0, AhAl=0
+    data = b"\xff\xd8" + dqt + sof + dht + sos + b"\xff\xd9"
+    with pytest.raises(ValueError, match=r"scan component count 0"):
+        decode_jpeg(data)
+
+
+def test_progressive_geometry_bomb_guard():
+    """Regression (review finding): a ~20-byte SOF2 declaring 65535x65535
+    must refuse BEFORE allocating the coefficient grids, per the
+    codec-family header-geometry rule."""
+    sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 65535, 65535, 1)
+                + bytes([1, 0x11, 0]))
+    data = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    with pytest.raises(ValueError, match=r"pixel guard"):
+        decode_jpeg(data)
+    sof0 = _seg(0xC0, struct.pack(">BHHB", 8, 65535, 65535, 1)
+                + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match=r"pixel guard"):
+        decode_jpeg(b"\xff\xd8" + sof0 + b"\xff\xd9")
