@@ -6,8 +6,9 @@ grayscale (both photometric polarities) and RGB(A), strips uncompressed
 OR LZW-compressed (TIFF 6.0 §13: MSB-first, EarlyChange width growth,
 per-strip CLEAR; r12) with the §14 horizontal-differencing predictor —
 strip-assembled into a :class:`~.png.PngImage` so the whole pixel stack
-composes. The remaining compressed variants (PackBits, CCITT fax,
-JPEG-in-TIFF, Deflate) refuse BY NAME; ``tiff_meta`` still reports their
+composes. PackBits RLE and Deflate strips decode too
+(stdlib zlib, bounded-inflate); the remaining compressed variants (CCITT
+fax, JPEG-in-TIFF) refuse BY NAME; ``tiff_meta`` still reports their
 geometry and compression so curation can filter without decoding.
 BigTIFF (magic 43) refuses by name.
 
@@ -220,6 +221,73 @@ def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> byte
     return bytes(out)
 
 
+def _packbits_decode(data: bytes, expected: int, origin: str, strip: int) -> bytes:
+    """PackBits (TIFF 6.0 §9, the Apple RLE): control byte n → n in
+    0..127 copies the next n+1 literals, n in -127..-1 repeats the next
+    byte 1−n times, −128 is a no-op. Exactly ``expected`` bytes out."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError(
+                f"tiff {origin}: packbits strip {strip} ends mid-stream "
+                f"({len(out)} of {expected} bytes)"
+            )
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError(
+                    f"tiff {origin}: packbits strip {strip} literal run "
+                    "overruns the stream"
+                )
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError(
+                    f"tiff {origin}: packbits strip {strip} repeat run "
+                    "overruns the stream"
+                )
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+        if len(out) > expected:
+            raise ValueError(
+                f"tiff {origin}: packbits strip {strip} inflates past the "
+                f"{expected} bytes its geometry declares"
+            )
+    return bytes(out)
+
+
+def _deflate_decode(data: bytes, expected: int, origin: str, strip: int) -> bytes:
+    """Deflate strips (compression 8, and the legacy 32946): zlib
+    streams, bounded-inflated to exactly the declared size — the png.py
+    decompression-bomb discipline."""
+    import zlib
+
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, expected)
+    except zlib.error as e:
+        raise ValueError(
+            f"tiff {origin}: deflate strip {strip} is not a zlib stream "
+            f"({e})"
+        ) from None
+    if d.unconsumed_tail or d.flush():
+        raise ValueError(
+            f"tiff {origin}: deflate strip {strip} inflates past the "
+            f"{expected} bytes its geometry declares"
+        )
+    if len(out) != expected:
+        raise ValueError(
+            f"tiff {origin}: deflate strip {strip} produced {len(out)} of "
+            f"{expected} bytes"
+        )
+    return out
+
+
 def _undo_predictor2(chunk: bytes, rows: int, width: int, spp: int) -> bytes:
     """Predictor 2 (horizontal differencing, tag 317): each sample stores
     the delta to the sample one PIXEL left in the same channel; undo is a
@@ -237,19 +305,19 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
     """Real decode of the baseline subset (first page): 8-bit grayscale
     (photometric 0 inverted per spec, 1 as-is) and 8-bit RGB(A, alpha
     dropped — the corpus convention, as in the perceptual hashes), strips
-    uncompressed OR LZW (with horizontal-differencing predictor 2).
-    Strips are validated against the declared geometry; other compressed
-    variants refuse by name."""
+    uncompressed, LZW (with horizontal-differencing predictor 2),
+    PackBits RLE, or Deflate. Strips are validated against the declared
+    geometry; CCITT fax / JPEG-in-TIFF refuse by name."""
     entries = next(_walk_ifds(data, origin), None)
     if entries is None:
         raise ValueError(f"tiff {origin}: no IFD in the chain")
     comp = _first(entries, 259, 1)
-    if comp not in (1, 5):
+    if comp not in (1, 5, 8, 32773, 32946):
         name = _COMPRESSION_NAMES.get(comp, f"tag {comp}")
         raise ValueError(
             f"tiff {origin}: {name} compression unsupported for decode "
-            "(uncompressed or LZW baseline only; tiff_meta still reports "
-            "geometry)"
+            "(uncompressed/LZW/deflate/packbits baseline only; tiff_meta "
+            "still reports geometry)"
         )
     predictor = _first(entries, 317, 1)
     if predictor not in (1, 2):
@@ -257,10 +325,11 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
             f"tiff {origin}: predictor {predictor} unsupported "
             "(none or horizontal differencing)"
         )
-    if predictor == 2 and comp != 5:
+    if predictor == 2 and comp not in (5, 8, 32946):
         raise ValueError(
-            f"tiff {origin}: predictor 2 outside LZW compression is "
-            "malformed (TIFF 6.0 §14 ties the predictor to LZW)"
+            f"tiff {origin}: predictor 2 outside LZW/deflate compression "
+            "is malformed (TIFF 6.0 §14 ties the predictor to the "
+            "dictionary codecs)"
         )
     w = _first(entries, 256, 0)
     h = _first(entries, 257, 0)
@@ -298,10 +367,15 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
                 f"tiff {origin}: strip {si} at byte {off} overruns the file"
             )
         rows_here = min(rows_per_strip, h - si * rows_per_strip)
-        if comp == 5:
-            chunk = _lzw_decode_msb(
-                data[off : off + cnt], rows_here * row_bytes, origin, si
-            )
+        if comp != 1:
+            seg = data[off : off + cnt]
+            need = rows_here * row_bytes
+            if comp == 5:
+                chunk = _lzw_decode_msb(seg, need, origin, si)
+            elif comp == 32773:
+                chunk = _packbits_decode(seg, need, origin, si)
+            else:  # 8 / 32946
+                chunk = _deflate_decode(seg, need, origin, si)
             if predictor == 2:
                 chunk = _undo_predictor2(chunk, rows_here, w, spp)
             raw += chunk
