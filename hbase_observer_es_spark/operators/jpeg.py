@@ -1443,10 +1443,11 @@ def decode_image(payload: bytes, origin: str = "<bytes>") -> PngImage:
     if fmt == "webp":
         from .webpmeta import decode_webp_pixels
 
-        # named refusal: webp GEOMETRY is real surface (webpmeta), pixel
-        # decode is not — say which file and why
-        decode_webp_pixels(payload, origin=origin)
+        # lossless (VP8L) decodes for real (operators/vp8l.py, r12);
+        # lossy VP8 and animations raise their named refusals from here
+        return decode_webp_pixels(payload, origin=origin)
     raise ValueError(
         f"image {origin}: payload magic {payload[:4]!r} is none of "
-        "PNG/JPEG/GIF/BMP/TIFF — no real codec for this format in-container"
+        "PNG/JPEG/GIF/BMP/TIFF/WebP — no real codec for this format "
+        "in-container"
     )

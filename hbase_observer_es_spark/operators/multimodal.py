@@ -70,25 +70,26 @@ def _decode_real(payload: bytes) -> tuple:
             "operators/wav.py, not the image decoder)"
         )
     fmt = _jpeg.sniff_format(payload)
-    if fmt is None or fmt == "webp":
-        kind = "webp pixels (VP8/VP8L entropy coding is not stdlib-" \
-               "expressible; geometry lives in operators/webpmeta.py)" \
-            if fmt == "webp" else f"unknown (magic {head[:8]!r})"
+    if fmt is None:
         raise NotImplementedError(
-            f"image decoding for {kind}: no from-spec codec in-container — "
-            "PNG/JPEG/GIF/BMP/TIFF decode for real (jpeg.decode_image); "
-            "anything else falls back to the deterministic fake decoder in "
+            f"image decoding for unknown (magic {head[:8]!r}): no "
+            "from-spec codec in-container — PNG/JPEG/GIF/BMP/TIFF/"
+            "lossless-WebP decode for real (jpeg.decode_image); anything "
+            "else falls back to the deterministic fake decoder in "
             "q_mm_decode"
         )
+    # webp included: VP8L decodes for real; lossy VP8 raises its named
+    # NotImplementedError from decode_webp_pixels (→ fake fallback)
     return fmt, _jpeg.decode_image(payload)
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decoder: PNG, baseline JPEG, GIF (first composed frame),
-    24-bit BMP, and uncompressed-baseline TIFF — all FROM SPEC,
-    stdlib-only, via the universal magic dispatch ``jpeg.decode_image``.
-    WebP pixels and unknown magics raise NotImplementedError, loudly and
-    per-format, rather than faking pixel data."""
+    """Real decoder: PNG, JPEG (baseline + progressive), GIF (first
+    composed frame), 24-bit BMP, baseline TIFF, and lossless WebP (VP8L)
+    — all FROM SPEC, stdlib-only, via the universal magic dispatch
+    ``jpeg.decode_image``. Lossy-VP8 WebP and unknown magics raise
+    NotImplementedError, loudly and per-format, rather than faking pixel
+    data."""
     fmt, img = _decode_real(payload)
     return {
         "width": img.width,

@@ -115,12 +115,32 @@ def webp_meta(data: bytes, origin: str = "<bytes>") -> dict:
 
 
 def decode_webp_pixels(payload: bytes, origin: str = "<bytes>"):
-    """Stated loudly rather than silently absent: VP8/VP8L pixel decode
-    has no honest from-spec path here — the header walk
-    (:func:`webp_meta`) is the real surface."""
+    """Lossless (VP8L) pixels decode FOR REAL from the public bitstream
+    spec (``operators/vp8l.py``, r12) → PngImage. Lossy VP8 pixels
+    (boolean arithmetic coder + loop filter — not stdlib-expressible)
+    and animations stay loud named refusals; the header walk
+    (:func:`webp_meta`) remains the surface for those."""
+    meta = webp_meta(payload, origin)  # container validation first
+    if meta["animated"]:
+        raise NotImplementedError(
+            f"webp {origin}: animated WebP decode not implemented "
+            "(frame composition over VP8/VP8L sub-images; webp_meta "
+            "reports the frame count)"
+        )
+    pos = 12
+    while pos < len(payload):
+        cc = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cc == b"VP8L":
+            from .vp8l import decode_vp8l
+
+            return decode_vp8l(payload[pos + 8 : pos + 8 + length], origin)
+        pos += 8 + length + (length & 1)
     raise NotImplementedError(
-        f"webp {origin}: pixel decode not implemented (no codec library "
-        "in-container; the header walk in webp_meta is the real surface)"
+        f"webp {origin}: lossy VP8 pixel decode not implemented (the "
+        "boolean arithmetic coder + loop filter are not "
+        "stdlib-expressible; lossless VP8L decodes for real, webp_meta "
+        "is the surface for lossy files)"
     )
 
 

@@ -66,6 +66,10 @@ def test_universal_dispatch_covers_all_four_formats():
     assert decode_image(_simple_gif([0, 1, 2, 3], 2, 2)).color_type == 2
     with pytest.raises(ValueError, match=r"none of PNG/JPEG/GIF/BMP/TIFF"):
         decode_image(b"\x00\x01\x02\x03 mystery")
-    # WebP is recognized and refused BY NAME, not lumped into unknown
-    with pytest.raises(NotImplementedError, match=r"webp .*pixel decode"):
-        decode_image(b"RIFF\x04\x00\x00\x00WEBP")
+    # lossy WebP is recognized and refused BY NAME, not lumped into
+    # unknown (lossless VP8L decodes for real — tests/test_vp8l.py)
+    vp8_body = b"\x00\x00\x00\x9d\x01\x2a\x02\x00\x02\x00"
+    lossy = (b"RIFF" + (4 + 8 + len(vp8_body)).to_bytes(4, "little")
+             + b"WEBPVP8 " + len(vp8_body).to_bytes(4, "little") + vp8_body)
+    with pytest.raises(NotImplementedError, match=r"lossy VP8 pixel decode"):
+        decode_image(lossy)

@@ -397,8 +397,14 @@ def test_decode_image_real_routes_png_and_refuses_others():
     # fall back to the fake codec
     with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0rest")
-    with pytest.raises(NotImplementedError, match=r"webp"):
+    with pytest.raises(ValueError, match=r"RIFF size"):
         decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a VALID lossy container refuses by name (→ fake fallback)
+    vp8_body = b"\x00\x00\x00\x9d\x01\x2a\x02\x00\x02\x00"
+    lossy = (b"RIFF" + (4 + 8 + len(vp8_body)).to_bytes(4, "little")
+             + b"WEBPVP8 " + len(vp8_body).to_bytes(4, "little") + vp8_body)
+    with pytest.raises(NotImplementedError, match=r"lossy VP8"):
+        decode_image_real(lossy)
     with pytest.raises(NotImplementedError, match=r"unknown"):
         decode_image_real(b"plain text payload")
 
@@ -608,8 +614,11 @@ def test_resize_image_real_end_to_end():
     # as decode_image_real (shared _decode_real dispatch)
     with pytest.raises(ValueError):
         resize_image_real(b"\xff\xd8\xffrest")
-    with pytest.raises(NotImplementedError, match=r"webp"):
-        resize_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    vp8_body = b"\x00\x00\x00\x9d\x01\x2a\x02\x00\x02\x00"
+    lossy = (b"RIFF" + (4 + 8 + len(vp8_body)).to_bytes(4, "little")
+             + b"WEBPVP8 " + len(vp8_body).to_bytes(4, "little") + vp8_body)
+    with pytest.raises(NotImplementedError, match=r"lossy VP8"):
+        resize_image_real(lossy)
 
 
 def test_resize_image_real_jpeg_in_png_out():

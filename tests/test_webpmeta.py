@@ -81,12 +81,18 @@ def test_refusals():
         webp_meta(_webp(_vp8x_chunk(10, 10, anim=True)))
 
 
-def test_pixel_decode_refused_by_name_through_dispatch():
+def test_lossy_pixel_decode_refused_by_name_through_dispatch():
+    """VP8L decodes for real since r12 (tests/test_vp8l.py); LOSSY VP8
+    keeps the named refusal, through both entry points."""
     from hbase_observer_es_spark.operators.jpeg import decode_image
 
-    with pytest.raises(NotImplementedError, match=r"webp doc-8: pixel decode not implemented"):
+    with pytest.raises(
+        NotImplementedError, match=r"webp doc-8: lossy VP8 pixel decode"
+    ):
         decode_webp_pixels(_webp(_vp8_chunk()), origin="doc-8")
-    with pytest.raises(NotImplementedError, match=r"webp doc-9: pixel decode"):
+    with pytest.raises(
+        NotImplementedError, match=r"webp doc-9: lossy VP8 pixel decode"
+    ):
         decode_image(_webp(_vp8_chunk()), origin="doc-9")
 
 
