@@ -44,7 +44,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
-from .png import PngImage
+from .png import MAX_PIXELS, PngImage
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
@@ -179,7 +179,7 @@ def iter_gif_frames(
     data: bytes,
     origin: str = "<bytes>",
     max_frames: int = 10000,
-    max_pixels: int = 64_000_000,
+    max_pixels: int | None = None,
 ):
     """Composed frames of one GIF, YIELDED one at a time — memory stays
     at canvas + current frame however long the animation runs (samplers
@@ -187,6 +187,8 @@ def iter_gif_frames(
     bomb guards, not silent caps: header-declared geometry is attacker
     data, and a 16-byte file must not be able to demand a multi-GB
     canvas (the png.py bounded-inflate discipline)."""
+    if max_pixels is None:
+        max_pixels = MAX_PIXELS  # the shared codec-family geometry guard
     if not looks_like_gif(data):
         raise ValueError(
             f"gif {origin}: not a GIF stream (bytes 0-5 {data[:6]!r})"

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import struct
 
+from .png import MAX_PIXELS as _MAX_PIXELS
 from .png import PngImage
 
 JPEG_MAGIC = b"\xff\xd8"
@@ -79,9 +80,6 @@ _A = (
 
 # YCbCr -> RGB, round(c * 65536): 1.402, 0.344136, 0.714136, 1.772
 _CR_R, _CB_G, _CR_G, _CB_B = 91881, 22553, 46802, 116130
-
-# header-declared geometry bomb guard, shared with the gif.py convention
-_MAX_PIXELS = 64_000_000
 
 _REFUSED_SOF = {
     0xC3: "lossless (SOF3)",
@@ -1408,7 +1406,14 @@ def sniff_format(payload: bytes) -> str | None:
     if looks_like_tiff(payload):
         return "tiff"
     if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
-        return "webp"
+        # structural guard (same rule as BM/GIF8): "RIFF"/"WEBP" are both
+        # ASCII-expressible, so require the binary RIFF size to equal the
+        # payload exactly — every valid WebP satisfies it (webp_meta
+        # enforces the same equality), prose never will
+        if len(payload) >= 12 and int.from_bytes(
+            bytes(payload[4:8]), "little"
+        ) == len(payload) - 8:
+            return "webp"
     return None
 
 

@@ -5,23 +5,25 @@ Pattern for image/audio/video at 100 TB: store the payload as a `binary` column
 (or a pointer into object storage) next to typed metadata; decode/feature-extract
 runs as mapInPandas over Arrow batches so each executor processes whole record
 batches without JVM→Python row overhead. Partitioning, schema, UDF signature, and
-batch shape here are real and tested. The codec itself: PNG, baseline JPEG,
-GIF, BMP, and uncompressed-baseline TIFF all decode FOR REAL — from spec,
-stdlib-only (``operators/png.py`` / ``jpeg.py`` / ``gif.py`` / ``bmp.py`` /
-``tiff.py``), routed by payload magic through the universal dispatch
-``jpeg.decode_image``. WebP pixels (VP8/VP8L entropy coding) stay a named
-refusal, so ``decode_image_real`` raises NotImplementedError for WebP and
-unknown magics and the registered fixture path (UTF-8 text payloads) keeps
-the deterministic fake decode its DuckDB oracle mirrors.
+batch shape here are real and tested. The codec itself: PNG, JPEG
+(baseline + progressive), GIF, BMP, baseline TIFF (incl. LZW/PackBits/
+Deflate strips), and lossless WebP (VP8L) all decode FOR REAL — from
+spec, stdlib-only (``operators/png.py`` / ``jpeg.py`` / ``gif.py`` /
+``bmp.py`` / ``tiff.py`` / ``vp8l.py``), routed by payload magic through
+the universal dispatch ``jpeg.decode_image``. Lossy-VP8 WebP (boolean
+arithmetic coder — not stdlib-expressible) and unknown magics raise
+NotImplementedError from ``decode_image_real``, so the registered
+fixture path (UTF-8 text payloads) keeps the deterministic fake decode
+its DuckDB oracle mirrors.
 
-Routing neutrality on fixtures is BY CONSTRUCTION: PNG/JPEG/TIFF/WebP
-magics contain non-ASCII or NUL bytes a UTF-8 text payload can never
-carry, and the two ASCII-expressible magics ("BM", "GIF87a"/"GIF89a")
+Routing neutrality on fixtures is BY CONSTRUCTION: PNG/JPEG/TIFF magics
+contain non-ASCII or NUL bytes a UTF-8 text payload can never carry, and
+the ASCII-expressible magics ("BM", "GIF87a"/"GIF89a", "RIFF…WEBP")
 carry structural guards in ``jpeg.sniff_format`` (BMP's mandatory-zero
-reserved field; GIF's post-header block introducer) that prose cannot
-satisfy — so every fixture payload takes the fake branch and the oracle
-stays exact. (Also measured: 0 documents at any SF even start with
-"BM"/"GIF8".)
+reserved field; GIF's post-header block introducer; WebP's exact binary
+RIFF size) that prose cannot satisfy — so every fixture payload takes
+the fake branch and the oracle stays exact. (Also measured: 0 documents
+at any SF even start with "BM"/"GIF8".)
 
 Fixture note: `documents.text` UTF-8 bytes stand in for the binary payload.
 The fake codec's `first_byte` is the payload's first BYTE (Python `b[0]`) while

@@ -45,6 +45,11 @@ from dataclasses import dataclass
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# THE codec-family geometry bomb guard: header-declared dimensions are
+# attacker data, and a few dozen bytes must never demand a multi-GB
+# buffer. One constant — gif/jpeg/vp8l import it rather than drifting.
+MAX_PIXELS = 64_000_000
+
 # color type -> channel count
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # color type -> legal bit depths (the spec's table)

@@ -367,6 +367,14 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
                 f"tiff {origin}: strip {si} at byte {off} overruns the file"
             )
         rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if rows_here <= 0:
+            # more strips declared than ceil(h / rows_per_strip): without
+            # this, a negative expected size leaks a bare zlib error out
+            # of the deflate path instead of an origin-prefixed refusal
+            raise ValueError(
+                f"tiff {origin}: strip {si} lies beyond the declared "
+                f"{h}-row geometry"
+            )
         if comp != 1:
             seg = data[off : off + cnt]
             need = rows_here * row_bytes

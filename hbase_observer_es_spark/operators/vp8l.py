@@ -42,7 +42,7 @@ Reference parity: none — builder-brief multimodal surface (SURVEY §2-D).
 
 from __future__ import annotations
 
-_MAX_PIXELS = 64_000_000  # the jpeg/gif header-geometry bomb guard
+from .png import MAX_PIXELS as _MAX_PIXELS  # one shared geometry guard
 
 # code-length-code read order (spec: kCodeLengthCodeOrder)
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -159,11 +159,21 @@ def _read_prefix_code(r: _Bits, alphabet: int, origin: str, what: str) -> _Prefi
         nsym = r.bit() + 1
         s0 = r.bits(8) if r.bit() else r.bit()
         if nsym == 1:
+            if s0 >= alphabet:
+                raise ValueError(
+                    f"vp8l {origin}: {what} simple code symbol {s0} "
+                    f"outside the {alphabet}-symbol alphabet"
+                )
             return _Prefix([(s0, 1)], origin, what)  # 0-bit single
         s1 = r.bits(8)
         if s0 == s1:
             raise ValueError(
                 f"vp8l {origin}: {what} simple code repeats symbol {s0}"
+            )
+        if s0 >= alphabet or s1 >= alphabet:
+            raise ValueError(
+                f"vp8l {origin}: {what} simple code symbol "
+                f"{max(s0, s1)} outside the {alphabet}-symbol alphabet"
             )
         return _Prefix([(s0, 1), (s1, 1)], origin, what,
                        explicit={s0: 0, s1: 1})
@@ -423,8 +433,10 @@ def _inv_predictor(px: list, w: int, h: int, sub: list, bits: int,
                 l = px[i - 1]
                 t = px[i - w]
                 tl = px[i - w - 1]
-                # top-right of the last column clamps to top, per spec
-                tr = px[i - w + 1] if x + 1 < w else px[i - w]
+                # TR of the rightmost column is px[i-w+1] TOO — the spec
+                # defines it as the leftmost pixel of the CURRENT row,
+                # which is exactly where the unconditional index lands
+                tr = px[i - w + 1]
                 pred = _predict(mode, l, t, tr, tl, origin)
             px[i] = _add_px(px[i], pred)
 
@@ -444,9 +456,12 @@ def _inv_color_transform(px: list, w: int, h: int, sub: list, bits: int) -> None
         for x in range(w):
             i = row + x
             cte = sub[(y >> bits) * sw + (x >> bits)]
-            g2r = (cte >> 16) & 0xFF  # red channel: green_to_red
-            g2b = (cte >> 8) & 0xFF   # green channel: green_to_blue
-            r2b = cte & 0xFF          # blue channel: red_to_blue
+            # ColorTransformElement channel layout (spec 4.4.2):
+            # blue channel (bits 0-7) = green_to_red, green channel =
+            # green_to_blue, RED channel (bits 16-23) = red_to_blue
+            g2r = cte & 0xFF
+            g2b = (cte >> 8) & 0xFF
+            r2b = (cte >> 16) & 0xFF
             p = px[i]
             a = (p >> 24) & 0xFF
             r = (p >> 16) & 0xFF

@@ -1,11 +1,13 @@
 """WebP metadata from the public RIFF/VP8 bitstream headers, stdlib-only.
 
-WebP is everywhere on the modern web; its pixel data is VP8/VP8L —
-codecs with no honest from-spec path here — so, per the mp3/ogg/mp4
-convention, pixel decode refuses BY NAME and the header walk is the
-real surface: a curation pipeline filters images on geometry and kind
-(lossy/lossless/alpha/animated) long before it decodes them. Extracted
-from the public layouts:
+WebP is everywhere on the modern web. Since r12 the LOSSLESS half
+(VP8L) decodes its pixels for real (``operators/vp8l.py``, routed via
+:func:`decode_webp_pixels`); lossy VP8 (boolean arithmetic coder + loop
+filter — not stdlib-expressible) and animations keep the named-refusal
+convention, with the header walk as their real surface: a curation
+pipeline filters images on geometry and kind (lossy/lossless/alpha/
+animated) long before it decodes them. Extracted from the public
+layouts:
 
 * RIFF container: ``RIFF`` size ``WEBP``, chunk walk with even padding
   (the WAV/AVI sibling);

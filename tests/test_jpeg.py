@@ -444,5 +444,8 @@ def test_sniff_format_guards_ascii_magics():
         b"\x02\x02\x44\x01\x00;"
     )
     assert gif[:6] in GIF_MAGICS and sniff_format(gif) == "gif"
-    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    # webp guard: the binary RIFF size must equal len-8 exactly
+    good_webp = b"RIFF" + (12).to_bytes(4, "little") + b"WEBPVP8 \x00\x00\x00\x00"
+    assert sniff_format(good_webp) == "webp"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None
     assert sniff_format(b"\x00\x01\x02\x03 mystery") is None

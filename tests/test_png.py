@@ -397,7 +397,10 @@ def test_decode_image_real_routes_png_and_refuses_others():
     # fall back to the fake codec
     with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0rest")
-    with pytest.raises(ValueError, match=r"RIFF size"):
+    # a RIFF/WEBP magic whose binary size field doesn't match the payload
+    # fails the structural sniff guard → unknown → fake fallback (text
+    # that happens to spell RIFF…WEBP can never crash the query)
+    with pytest.raises(NotImplementedError, match=r"unknown"):
         decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # a VALID lossy container refuses by name (→ fake fallback)
     vp8_body = b"\x00\x00\x00\x9d\x01\x2a\x02\x00\x02\x00"

@@ -206,9 +206,17 @@ def _encode_simple(width, height, pixels, transforms=()):
                         pred = px[i - 1]
                     elif x == 0:
                         pred = px[i - cur_w]
-                    else:
-                        assert mode == 1  # the encoder supports L only
+                    elif mode == 1:
                         pred = px[i - 1]
+                    elif mode == 2:
+                        pred = px[i - cur_w]
+                    elif mode == 3:
+                        # TR: unconditional i-w+1 — for the rightmost
+                        # column that IS the leftmost pixel of the
+                        # current row, per the spec edge rule
+                        pred = px[i - cur_w + 1]
+                    else:
+                        raise AssertionError(f"encoder mode {mode}")
                     out.append(_sub_px(px[i], pred))
             px = out
         elif isinstance(t, tuple) and t[0] == "palette":
@@ -489,9 +497,26 @@ def test_color_transform_inverse():
     w.put(1, 1)  # transform present
     w.put(1, 2)  # COLOR
     w.put(3 - 2, 3)  # bits=3: one 8x8 block covers the 6x5 image
-    cte = 0xFF000000 | (g2r << 16) | (g2b << 8) | r2b
+    # spec channel layout: RED carries red_to_blue, GREEN green_to_blue,
+    # BLUE green_to_red (the review caught the test and decoder agreeing
+    # on the SWAPPED layout — both now match libwebp's multipliers)
+    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
     _write_image_stream(w, [cte])  # 1x1 sub-image
     w.put(0, 1)  # end of transforms
     _write_image_stream(w, residual, level0=True)
     img = decode_vp8l(b"\x2f" + w.bytes())
     assert _raw(img) == _expected(pixels)
+
+
+def test_predictor_tr_mode_right_edge_rule():
+    """Mode 3 (top-right): the rightmost column's TR is the CURRENT row's
+    leftmost pixel (the unconditional px[i-w+1] index), not a clamp to
+    the top pixel — the review caught the clamp; this pins the spec
+    rule through a full encode/decode round trip."""
+    from hbase_observer_es_spark.operators.jpeg import decode_image
+
+    pixels = [_rgb((x * 61 + y * 17) % 256, (y * 43) % 256, (x * 7) % 256)
+              for y in range(4) for x in range(5)]
+    for mode in (2, 3):
+        data = _encode_simple(5, 4, pixels, (("predictor", mode, 2),))
+        assert _raw(decode_image(data)) == _expected(pixels), mode
