@@ -1252,13 +1252,12 @@ def _block_symbols(coef_q: list):
     return t, dc_bits, acs
 
 
-def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
-    """Serialize an 8-bit gray or RGB :class:`PngImage` as a baseline
-    sequential JPEG: 4:4:4 (no subsampling — deterministic and simple),
-    Annex-K quality-scaled quantization, two-pass optimal Huffman tables
-    (Annex K.2), edge-replicated partial blocks. Deterministic — same
-    pixels in, same bytes out — and every output parses back through
-    :func:`decode_jpeg`."""
+def _prepare_blocks(img: PngImage, quality: int):
+    """Shared encoder front half: color convert, edge-replicate partial
+    blocks, FDCT + quantize. Returns (w, h, ncomp, qts, comp_coefs) with
+    comp_coefs[ci][bi] = the 64 quantized coefficients in NATURAL order
+    (the _fdct_quant layout; scan emitters zigzag on access), DC kept RAW
+    (each coding process differences it per its own scan structure)."""
     if img.bit_depth != 8 or img.color_type not in (0, 2):
         raise ValueError(
             f"jpeg: encode needs 8-bit gray or rgb input, got depth "
@@ -1266,7 +1265,6 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
         )
     w, h = img.width, img.height
     ncomp = 1 if img.color_type == 0 else 3
-    # component planes, level-shifted later per block
     if ncomp == 1:
         planes = [img.raw]
     else:
@@ -1287,12 +1285,10 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
         qts.append(_scaled_qtable(_QT_CHROMA, quality))
     blocks_x = -(-w // 8)
     blocks_y = -(-h // 8)
-    # pass 1: transform every block, difference DC, collect symbol stats
-    comp_blocks = []  # per component: list of (t, dc_bits, acs)
+    comp_coefs = []
     for ci in range(ncomp):
         plane = planes[ci]
         qt = qts[0 if ci == 0 else 1]
-        pred = 0
         blocks = []
         for by in range(blocks_y):
             for bx in range(blocks_x):
@@ -1303,11 +1299,32 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
                     for xx in range(8):
                         sx = min(bx * 8 + xx, w - 1)
                         blk[yy * 8 + xx] = plane[row + sx] - 128
-                cq = _fdct_quant(blk, qt)
-                dc = cq[0]
-                cq[0] = dc - pred
-                pred = dc
-                blocks.append(_block_symbols(cq))
+                blocks.append(_fdct_quant(blk, qt))
+        comp_coefs.append(blocks)
+    return w, h, ncomp, qts, comp_coefs
+
+
+def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
+    """Serialize an 8-bit gray or RGB :class:`PngImage` as a baseline
+    sequential JPEG: 4:4:4 (no subsampling — deterministic and simple),
+    Annex-K quality-scaled quantization, two-pass optimal Huffman tables
+    (Annex K.2), edge-replicated partial blocks. Deterministic — same
+    pixels in, same bytes out — and every output parses back through
+    :func:`decode_jpeg`."""
+    w, h, ncomp, qts, comp_coefs = _prepare_blocks(img, quality)
+    blocks_x = -(-w // 8)
+    blocks_y = -(-h // 8)
+    # difference DC per component, collect run/size symbols
+    comp_blocks = []  # per component: list of (t, dc_bits, acs)
+    for ci in range(ncomp):
+        pred = 0
+        blocks = []
+        for cq in comp_coefs[ci]:
+            cq = list(cq)
+            dc = cq[0]
+            cq[0] = dc - pred
+            pred = dc
+            blocks.append(_block_symbols(cq))
         comp_blocks.append(blocks)
     dc_freq = [{}, {}]
     ac_freq = [{}, {}]
@@ -1359,6 +1376,131 @@ def encode_jpeg(img: PngImage, quality: int = 85) -> bytes:
                 if s:
                     bw.put(bitsv, s)
     out.extend(bw.close())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img: PngImage, quality: int = 85) -> bytes:
+    """Serialize as a PROGRESSIVE (SOF2) JPEG with a spectral-selection
+    scan script: one interleaved DC scan, then one full-band (1..63) AC
+    scan per component — the simplest spec-valid progressive layout (no
+    successive approximation; Ah=Al=0 everywhere). Same 4:4:4 front half
+    and quantization as :func:`encode_jpeg`, so
+    ``decode_jpeg(encode_jpeg_progressive(img, q))`` reconstructs pixels
+    IDENTICAL to the baseline round trip at the same quality — the two
+    streams carry the same coefficients through different entropy
+    structures. AC scans batch trailing-zero blocks into EOB runs
+    (annex G's EOBn with extension bits); every scan gets its own
+    two-pass optimal Huffman table (Annex K.2), emitted in a DHT right
+    before its SOS."""
+    w, h, ncomp, qts, comp_coefs = _prepare_blocks(img, quality)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(
+            b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    for tq, qt in enumerate(qts):
+        seg(0xDB, bytes([tq]) + bytes(qt[ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC2, sof)
+
+    # ---- DC scan: interleaved over every component, Ss=Se=Ah=Al=0
+    dc_syms = []  # (cls, t, bits) in emission order
+    preds = [0] * ncomp
+    nblocks = len(comp_coefs[0])
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            dc = comp_coefs[ci][bi][0]
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            t = abs(diff).bit_length()
+            dc_syms.append(
+                (0 if ci == 0 else 1, t,
+                 diff if diff >= 0 else diff + (1 << t) - 1)
+            )
+    nclasses = 1 if ncomp == 1 else 2
+    dc_freq = [{} for _ in range(nclasses)]
+    for cls, t, _ in dc_syms:
+        dc_freq[cls][t] = dc_freq[cls].get(t, 0) + 1
+    dc_spec = [_build_huffman(f) for f in dc_freq]
+    dc_codes = [_encode_codes(*s) for s in dc_spec]
+    for cls in range(nclasses):
+        seg(0xC4, bytes([cls]) + bytes(dc_spec[cls][0]) + dc_spec[cls][1])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, cls << 4])
+    seg(0xDA, sos + bytes([0, 0, 0x00]))
+    bw = _BitWriter()
+    for cls, t, bits in dc_syms:
+        code, length = dc_codes[cls][t]
+        bw.put(code, length)
+        if t:
+            bw.put(bits, t)
+    out.extend(bw.close())
+
+    # ---- AC scans: one per component, Ss=1 Se=63, EOB-run batched
+    for ci in range(ncomp):
+        items = []  # (sym, extra_bits, n_extra) in emission order
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                items.append((r << 4, eobrun - (1 << r), r))
+                eobrun = 0
+
+        for cq in comp_coefs[ci]:
+            zz = [cq[ZIGZAG[k]] for k in range(1, 64)]
+            last_nz = 0
+            for k, v in enumerate(zz, start=1):
+                if v:
+                    last_nz = k
+            if last_nz == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = zz[k - 1]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    items.append((0xF0, 0, 0))  # ZRL
+                    run -= 16
+                s = abs(v).bit_length()
+                items.append(
+                    ((run << 4) | s, v if v >= 0 else v + (1 << s) - 1, s)
+                )
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        freq = {}
+        for sym, _, _ in items:
+            freq[sym] = freq.get(sym, 0) + 1
+        spec = _build_huffman(freq or {0x00: 1})
+        codes = _encode_codes(*spec)
+        cls = 0 if ci == 0 else 1
+        seg(0xC4, bytes([0x10 | cls]) + bytes(spec[0]) + spec[1])
+        seg(0xDA, bytes([1, ci + 1, cls, 1, 63, 0x00]))
+        bw = _BitWriter()
+        for sym, bits, n in items:
+            code, length = codes[sym]
+            bw.put(code, length)
+            if n:
+                bw.put(bits, n)
+        out.extend(bw.close())
     out.extend(b"\xff\xd9")
     return bytes(out)
 

@@ -26,8 +26,9 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     # the r11 video leg: every clip samples exactly frames 0 and 2
     assert 0 < r["video_docs"] <= min(r["curated"], 64)
     assert r["video_frames"] == r["video_docs"] * 2
-    # the census surveys every synthesized payload, none unknown
-    assert r["census_rows"] == 3 * r["media_samples"]
+    # the census surveys every synthesized payload, none unknown; the
+    # fourth arm (r12) is a progressive-JPEG re-encode of every PNG
+    assert r["census_rows"] == 4 * r["media_samples"]
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",

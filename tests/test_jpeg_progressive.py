@@ -671,3 +671,73 @@ def test_progressive_geometry_bomb_guard():
                 + bytes([1, 0x11, 0]))
     with pytest.raises(ValueError, match=r"pixel guard"):
         decode_jpeg(b"\xff\xd8" + sof0 + b"\xff\xd9")
+
+
+# --------------------------------------------- production progressive encoder
+
+
+def test_encode_progressive_matches_baseline_pixels():
+    """encode_jpeg_progressive carries the SAME quantized coefficients as
+    encode_jpeg through the annex-G entropy structure, so both round
+    trips reconstruct byte-identical pixels at every quality."""
+    from hbase_observer_es_spark.operators.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    cases = [
+        PngImage(24, 17, 8, 0, 1, 24,
+                 bytes((x * 7 + y * 3) % 256
+                       for y in range(17) for x in range(24)), None),
+        PngImage(16, 8, 8, 2, 3, 48,
+                 bytes((x * 5 + y * 11 + c * 37) % 256
+                       for y in range(8) for x in range(16)
+                       for c in range(3)), None),
+        # flat image: every AC block is zero → one EOB run spans ALL
+        # blocks (the EOBn extension-bit path)
+        PngImage(40, 24, 8, 0, 1, 40, bytes([77]) * 960, None),
+    ]
+    for img in cases:
+        for q in (60, 85, 100):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog_bytes = encode_jpeg_progressive(img, quality=q)
+            assert prog_bytes == encode_jpeg_progressive(img, quality=q)
+            prog = decode_jpeg(prog_bytes)
+            assert prog.raw == base.raw, (img.width, img.height, q)
+
+
+def test_encode_progressive_is_sof2_and_dispatches():
+    from hbase_observer_es_spark.operators.jpeg import (
+        encode_jpeg_progressive, sniff_format,
+    )
+    from hbase_observer_es_spark.operators.multimodal import decode_image_real
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    img = PngImage(8, 8, 8, 0, 1, 8, bytes(range(64)), None)
+    data = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert sniff_format(data) == "jpeg"
+    meta = decode_image_real(data)
+    assert (meta["width"], meta["height"], meta["fmt"]) == (8, 8, "jpeg")
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_encode_progressive_property(w, h, seed):
+    """Random geometry and content: progressive and baseline round trips
+    reconstruct identical pixels (shared coefficients, disjoint entropy
+    paths on BOTH sides now — encoder and decoder)."""
+    import random
+
+    from hbase_observer_es_spark.operators.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    rng = random.Random(seed)
+    raw = bytes(rng.randrange(256) for _ in range(w * h))
+    img = PngImage(w, h, 8, 0, 1, w, raw, None)
+    q = rng.choice((50, 85, 100))
+    base = decode_jpeg(encode_jpeg(img, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+    assert prog.raw == base.raw

@@ -475,24 +475,52 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     def census_leg():
         """The media census over the MIXED payload column this very run
-        produced (PNGs + thumbnails + WAV clips stacked into one binary
-        column): one pass classifies every payload by magic through the
-        real parsers; family counts must reconcile exactly with what the
-        media stage synthesized — nothing unknown, nothing erroring."""
+        produced (PNGs + thumbnails + WAV clips + PROGRESSIVE JPEGs
+        stacked into one binary column): one pass classifies every
+        payload by magic through the real parsers — the progressive arm
+        (r12) re-encodes each landed PNG through
+        encode_jpeg_progressive, so the census geometry comes from the
+        annex-G scan decoder, not a header peek. Family counts must
+        reconcile exactly with what the media stage synthesized —
+        nothing unknown, nothing erroring."""
+        from hbase_observer_es_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
         from hbase_observer_es_spark.operators.media_census import (
             media_census_frame,
         )
+        from hbase_observer_es_spark.operators.png import decode_png
 
         landed = spark.read.parquet(os.path.join(out, "media.parquet"))
+
+        def to_pjpeg(batches):
+            import pandas as pd  # worker-side: the driver alias is not shipped
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"] * 4 + 3,
+                        "payload": [
+                            encode_jpeg_progressive(
+                                decode_png(bytes(p)), quality=85
+                            )
+                            for p in pdf["png"]
+                        ],
+                    }
+                )
+
         mixed = (
-            landed.select((F.col("doc_id") * 3).alias("doc_id"),
+            landed.select((F.col("doc_id") * 4).alias("doc_id"),
                           F.col("png").alias("payload"))
             .unionByName(
-                landed.select((F.col("doc_id") * 3 + 1).alias("doc_id"),
+                landed.select((F.col("doc_id") * 4 + 1).alias("doc_id"),
                               F.col("thumb").alias("payload")))
             .unionByName(
-                landed.select((F.col("doc_id") * 3 + 2).alias("doc_id"),
+                landed.select((F.col("doc_id") * 4 + 2).alias("doc_id"),
                               F.col("wav").alias("payload")))
+            .unionByName(
+                landed.select("doc_id", "png").mapInPandas(
+                    to_pjpeg, "doc_id long, payload binary"))
         )
         counts = {
             (r.family, r.format): r["count"]
@@ -502,9 +530,13 @@ def run(spark, sf_dir: str, out: str) -> dict:
             .collect()
         }
         n = landed.count()
-        assert counts == {("image", "png"): 2 * n, ("audio", "wav"): n}, counts
-        rows["census_payloads"] = int(3 * n)
-        return 3 * n
+        assert counts == {
+            ("image", "png"): 2 * n,
+            ("audio", "wav"): n,
+            ("image", "jpeg"): n,
+        }, counts
+        rows["census_payloads"] = int(4 * n)
+        return 4 * n
 
     rows["census_rows"] = stage("media_census", census_leg)
 
