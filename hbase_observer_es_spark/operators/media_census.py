@@ -15,6 +15,8 @@ one mapInPandas pass, composing every real parser in the repo:
   walks;
 * video: AVI (frame count from the movi walk, no decode needed for the
   census), MP4 per-movie facts, animated GIFs report their frame count;
+* documents: PDFs report version + page count from the real container
+  parse (``operators/pdf_text.py``, r12);
 * containers/unknown: anything else is classified ``unknown`` with its
   magic preserved.
 
@@ -59,6 +61,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
     from .mp3meta import looks_like_mp3, mp3_meta
     from .mp4meta import looks_like_mp4, mp4_meta
     from .oggmeta import looks_like_ogg, ogg_meta
+    from .pdf_text import looks_like_pdf, pdf_meta
     from .png import PNG_MAGIC
     from .tiff import looks_like_tiff, tiff_meta
     from .wav import looks_like_wav, parse_wav
@@ -145,6 +148,12 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                 detail=f"{len(m['tracks'])} tracks",
                 width=vids[0]["width"] if vids else 0,
                 height=vids[0]["height"] if vids else 0,
+            )
+        elif looks_like_pdf(payload):
+            m = pdf_meta(payload, origin=origin)
+            row.update(
+                family="document", format="pdf", n_frames=m["n_pages"],
+                detail=f"pdf-{m['version']}",
             )
         else:
             row.update(

@@ -1,0 +1,974 @@
+"""PDF text extraction from the public PDF specification, stdlib-only.
+
+PDFs are one of the largest text sources a training-data pipeline meets,
+and the format is fully published (ISO 32000 / the Adobe PDF Reference):
+a self-describing object graph behind a cross-reference index, content
+streams of page-description operators, and declared stream filters. The
+honest from-spec subset here:
+
+* **container**: header version; classic ``xref`` tables AND PDF-1.5
+  cross-reference streams (/Type/XRef with /W field widths + /Index
+  subsections); /Prev incremental-update chains (loop-guarded); hybrid
+  /XRefStm bridges; compressed objects in object streams (/Type/ObjStm,
+  /N + /First header pairs);
+* **object syntax**: dicts, arrays, names with #xx escapes, literal
+  strings with all escapes incl. octal and line continuations, hex
+  strings, numbers, booleans, null, indirect references, streams with
+  indirect /Length;
+* **filters**: FlateDecode (stdlib zlib, bounded inflate) with the PNG
+  row predictors (/Predictor ≥ 10 — Sub/Up/Average/Paeth over /Columns),
+  LZWDecode (THE shared MSB-first/EarlyChange loop in ``tiff.py``,
+  /EarlyChange 0 honored), ASCIIHexDecode, ASCII85Decode (stdlib),
+  RunLengthDecode; DCTDecode and the crypt filters refuse by name;
+* **text**: page tree walk with inherited /Resources, BT/ET text blocks,
+  Tj / ' / " / TJ show operators (TJ kerning ≤ −180/1000 em renders as a
+  space), Td/TD/T*/Tm line breaks, inline images (BI…EI) skipped;
+  per-font byte→text decoding via /ToUnicode CMaps (bfchar + bfrange,
+  1- and 2-byte codes — the exact mapping modern generators emit),
+  /WinAnsiEncoding and /MacRomanEncoding via the stdlib cp1252 /
+  mac-roman codecs, unencoded simple fonts as ASCII; CID-keyed (Type0)
+  fonts WITHOUT a ToUnicode map refuse by name (no glyph-list oracle
+  in-container), as do encrypted documents (/Encrypt).
+
+Fail-loud discipline: offsets, lengths, and counts are attacker data —
+xref entries outside the file, looping /Prev chains, stream /Length
+overruns, and filter bombs (every inflate is bounded) name their origin.
+
+``pdf_meta`` reports (version, n_pages, n_objects) without touching
+content; ``pdf_to_text`` extracts the document text (pages joined with
+blank lines); ``pdf_text_frame`` is the Spark mapInPandas fan-out, one
+typed row per payload. The census classifies ``%PDF`` payloads as
+family="document" with n_pages.
+
+Reference parity: none — builder-brief document-pipeline surface
+(SURVEY §2-D), the PDF sibling of ``html_text.py``/``markdown_text.py``.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+PDF_MAGIC = b"%PDF-"
+
+_MAX_INFLATE = 1 << 26  # 64 MiB per stream: the bounded-inflate rule
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def looks_like_pdf(payload: bytes) -> bool:
+    return payload[: len(PDF_MAGIC)] == PDF_MAGIC
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """PDF name object — a str subclass so dict keys read naturally."""
+
+
+class _Stream:
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.d = d
+        self.raw = raw
+
+
+class _Lexer:
+    """Object-syntax tokenizer over the raw bytes."""
+
+    def __init__(self, data: bytes, pos: int, origin: str):
+        self.data = data
+        self.pos = pos
+        self.origin = origin
+
+    def _err(self, msg: str) -> ValueError:
+        return ValueError(f"pdf {self.origin}: {msg} at byte {self.pos}")
+
+    def skip_ws(self) -> None:
+        d = self.data
+        n = len(d)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to end of line
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def parse(self):
+        self.skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise self._err("object expected, stream ended")
+        c = d[self.pos]
+        if c == 0x2F:  # /Name
+            return self._name()
+        if c == 0x28:  # (literal string)
+            return self._literal_string()
+        if c == 0x3C:  # << dict or <hex>
+            if d[self.pos : self.pos + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if c == 0x5B:  # [ array
+            self.pos += 1
+            out = []
+            while True:
+                self.skip_ws()
+                if self.pos < len(d) and d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return out
+                out.append(self.parse())
+        if c in b"+-.0123456789":
+            return self._number_or_ref()
+        word = self._bareword()
+        if word == b"true":
+            return True
+        if word == b"false":
+            return False
+        if word == b"null":
+            return None
+        raise self._err(f"unexpected token {word[:16]!r}")
+
+    def _bareword(self) -> bytes:
+        d = self.data
+        start = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            raise self._err(f"unexpected delimiter {d[start:start + 1]!r}")
+        return d[start : self.pos]
+
+    def _name(self) -> _Name:
+        self.pos += 1
+        d = self.data
+        out = bytearray()
+        while self.pos < len(d) and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            c = d[self.pos]
+            if c == 0x23 and self.pos + 2 < len(d):  # #xx escape
+                try:
+                    out.append(int(d[self.pos + 1 : self.pos + 3], 16))
+                    self.pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            self.pos += 1
+        return _Name(out.decode("latin-1"))
+
+    def _literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while True:
+            if self.pos >= len(d):
+                raise self._err("unterminated (string")
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash escape
+                if self.pos >= len(d):
+                    raise self._err("escape at stream end")
+                e = d[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                                0x66: 12}[e])
+                elif e in b"()\\":
+                    out.append(e)
+                elif e in b"01234567":  # 1-3 octal digits
+                    oct_digits = bytes([e])
+                    for _ in range(2):
+                        if self.pos < len(d) and d[self.pos] in b"01234567":
+                            oct_digits += d[self.pos : self.pos + 1]
+                            self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < len(d) and d[self.pos] == 0x0A:
+                        self.pos += 1
+                # any other escaped char: the char itself, per spec
+                else:
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+
+    def _hex_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        digits = bytearray()
+        while True:
+            if self.pos >= len(d):
+                raise self._err("unterminated <hex string")
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x3E:
+                break
+            if c in _WS:
+                continue
+            digits.append(c)
+        if len(digits) % 2:
+            digits.append(0x30)  # odd count: pad with 0, per spec
+        try:
+            return bytes.fromhex(digits.decode("ascii"))
+        except ValueError:
+            raise self._err("non-hex digit in <hex string") from None
+
+    def _number_or_ref(self):
+        d = self.data
+        start = self.pos
+        word = self._bareword()
+        try:
+            if b"." in word:
+                return float(word)
+            num = int(word)
+        except ValueError:
+            raise self._err(f"bad number {word[:16]!r}") from None
+        # 'num gen R' lookahead for an indirect reference
+        save = self.pos
+        self.skip_ws()
+        start2 = self.pos
+        if self.pos < len(d) and d[self.pos] in b"0123456789":
+            try:
+                gen_word = self._bareword()
+                gen = int(gen_word)
+                self.skip_ws()
+                if d[self.pos : self.pos + 1] == b"R" and (
+                    self.pos + 1 >= len(d)
+                    or d[self.pos + 1] in _WS
+                    or d[self.pos + 1] in _DELIM
+                ):
+                    self.pos += 1
+                    return _Ref(num, gen)
+            except ValueError:
+                pass
+        self.pos = save
+        del start, start2
+        return num
+
+    def _dict(self):
+        d = self.data
+        self.pos += 2
+        out = {}
+        while True:
+            self.skip_ws()
+            if d[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            key = self.parse()
+            if not isinstance(key, _Name):
+                raise self._err(f"dict key {key!r} is not a name")
+            out[str(key)] = self.parse()
+        # stream?
+        save = self.pos
+        self.skip_ws()
+        if d[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if d[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif d[self.pos : self.pos + 1] == b"\n":
+                self.pos += 1
+            return _Stream(out, b""), self.pos  # raw filled by the caller
+        self.pos = save
+        return out
+
+
+# --------------------------------------------------------------- filters
+
+
+def _png_predictor(data: bytes, columns: int, colors: int, bpc: int,
+                   origin: str) -> bytes:
+    """PNG row predictors over filter-tagged rows (the xref-stream
+    convention: /Predictor 10..15, one tag byte per row)."""
+    bpp = max(1, (colors * bpc) // 8)
+    stride = (columns * colors * bpc + 7) // 8
+    if stride <= 0:
+        raise ValueError(f"pdf {origin}: predictor columns {columns} invalid")
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    while pos < len(data):
+        if pos + 1 + stride > len(data):
+            raise ValueError(
+                f"pdf {origin}: predictor row truncated at byte {pos}"
+            )
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(
+                f"pdf {origin}: predictor filter byte {ftype} invalid"
+            )
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes, origin: str) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:  # EOD
+            return bytes(out)
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError(
+                    f"pdf {origin}: RunLength literal overruns the stream"
+                )
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError(
+                    f"pdf {origin}: RunLength repeat overruns the stream"
+                )
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        if len(out) > _MAX_INFLATE:
+            raise ValueError(
+                f"pdf {origin}: RunLength inflates past the bound"
+            )
+    raise ValueError(f"pdf {origin}: RunLength stream ends without EOD")
+
+
+def _apply_filters(raw: bytes, d: dict, resolve, origin: str) -> bytes:
+    filters = resolve(d.get("Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = resolve(d.get("DecodeParms", d.get("DP")))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, pm in zip(filters, parms):
+        pm = resolve(pm) or {}
+        f = str(f)
+        if f == "FlateDecode" or f == "Fl":
+            dec = zlib.decompressobj()
+            try:
+                data = dec.decompress(data, _MAX_INFLATE)
+            except zlib.error as e:
+                raise ValueError(
+                    f"pdf {origin}: FlateDecode stream is not zlib ({e})"
+                ) from None
+            if dec.unconsumed_tail:
+                raise ValueError(
+                    f"pdf {origin}: FlateDecode inflates past the bound"
+                )
+        elif f == "LZWDecode" or f == "LZW":
+            from .tiff import _lzw_decode_msb
+
+            data = _lzw_decode_msb(
+                data, None, origin, 0, kind="pdf",
+                early_change=resolve(pm.get("EarlyChange", 1)) != 0,
+                max_out=_MAX_INFLATE,
+            )
+        elif f == "ASCIIHexDecode" or f == "AHx":
+            body = data.split(b">")[0]
+            digits = bytes(c for c in body if c not in _WS)
+            if len(digits) % 2:
+                digits += b"0"
+            data = bytes.fromhex(digits.decode("ascii", "strict"))
+        elif f == "ASCII85Decode" or f == "A85":
+            import base64
+
+            body = data.split(b"~>")[0]
+            data = base64.a85decode(bytes(c for c in body if c not in _WS))
+        elif f == "RunLengthDecode" or f == "RL":
+            data = _runlength_decode(data, origin)
+        else:
+            raise NotImplementedError(
+                f"pdf {origin}: stream filter /{f} not implemented "
+                "(Flate/LZW/ASCIIHex/ASCII85/RunLength decode for real)"
+            )
+        pred = resolve(pm.get("Predictor", 1))
+        if pred and pred >= 10:
+            data = _png_predictor(
+                data,
+                resolve(pm.get("Columns", 1)),
+                resolve(pm.get("Colors", 1)),
+                resolve(pm.get("BitsPerComponent", 8)),
+                origin,
+            )
+        elif pred not in (None, 1):
+            raise NotImplementedError(
+                f"pdf {origin}: TIFF predictor {pred} in a PDF stream not "
+                "implemented (PNG predictors 10..15 decode for real)"
+            )
+    return data
+
+
+# --------------------------------------------------------------- document
+
+
+class PdfDocument:
+    """Parsed object graph: xref (tables + streams + /Prev chain), lazy
+    object loads, object-stream extraction, filtered stream data."""
+
+    def __init__(self, data: bytes, origin: str = "<bytes>"):
+        if not looks_like_pdf(data):
+            raise ValueError(
+                f"pdf {origin}: not a PDF (bytes 0-4 {data[:5]!r})"
+            )
+        self.data = data
+        self.origin = origin
+        self.version = data[5:8].decode("latin-1", "replace")
+        self.xref: dict = {}  # num -> ("n", offset) | ("s", objstm, idx)
+        self.trailer: dict = {}
+        self._cache: dict = {}
+        self._load_xref()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError(
+                f"pdf {origin}: encrypted document (/Encrypt) — RC4/AES "
+                "decryption not implemented"
+            )
+
+    # -- xref loading
+
+    def _load_xref(self) -> None:
+        data, origin = self.data, self.origin
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError(f"pdf {origin}: no startxref anchor")
+        pos = int(m.group(1))
+        seen = set()
+        while pos:
+            if pos in seen:
+                raise ValueError(
+                    f"pdf {origin}: xref /Prev chain loops back to {pos}"
+                )
+            seen.add(pos)
+            if pos >= len(data):
+                raise ValueError(
+                    f"pdf {origin}: xref offset {pos} outside the file"
+                )
+            lex = _Lexer(data, pos, origin)
+            lex.skip_ws()
+            if data[lex.pos : lex.pos + 4] == b"xref":
+                trailer = self._load_xref_table(lex.pos + 4)
+            else:
+                trailer = self._load_xref_stream(pos)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            # hybrid-reference files: the table's trailer points at an
+            # additional xref STREAM carrying the compressed entries
+            xstm = trailer.get("XRefStm")
+            if isinstance(xstm, int) and xstm not in seen:
+                seen.add(xstm)
+                self._load_xref_stream(xstm)
+            prev = trailer.get("Prev")
+            pos = prev if isinstance(prev, int) else 0
+
+    def _load_xref_table(self, pos: int) -> dict:
+        data, origin = self.data, self.origin
+        lex = _Lexer(data, pos, origin)
+        while True:
+            lex.skip_ws()
+            if data[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                t = lex.parse()
+                if not isinstance(t, dict):
+                    raise ValueError(f"pdf {origin}: trailer is not a dict")
+                return t
+            start = lex.parse()
+            count = lex.parse()
+            if not isinstance(start, int) or not isinstance(count, int):
+                raise ValueError(
+                    f"pdf {origin}: xref subsection header is not two ints"
+                )
+            lex.skip_ws()
+            for i in range(count):
+                entry = data[lex.pos : lex.pos + 20]
+                if len(entry) < 18:
+                    raise ValueError(
+                        f"pdf {origin}: xref entry {start + i} truncated"
+                    )
+                off = int(entry[0:10])
+                kind = entry[17:18]
+                if kind == b"n":
+                    self.xref.setdefault(start + i, ("n", off))
+                elif kind == b"f":
+                    # free = tombstone: the NEWEST revision wins, so an
+                    # older section must not resurrect a deleted object
+                    self.xref.setdefault(start + i, ("f", 0))
+                else:
+                    raise ValueError(
+                        f"pdf {origin}: xref entry {start + i} kind "
+                        f"{kind!r} invalid"
+                    )
+                lex.pos += 20 if entry[18:20] in (b"\r\n", b" \n", b" \r") \
+                    else 19 if entry[18:19] in b"\r\n " else 20
+
+    def _load_xref_stream(self, pos: int) -> dict:
+        origin = self.origin
+        num, gen, obj = self._parse_indirect_at(pos)
+        if not isinstance(obj, _Stream) or str(
+            self._resolve(obj.d.get("Type", ""))
+        ) != "XRef":
+            raise ValueError(
+                f"pdf {origin}: object at {pos} is not an XRef stream"
+            )
+        payload = self.stream_data(obj)
+        w = [self._resolve(x) for x in self._resolve(obj.d.get("W", []))]
+        if len(w) != 3 or any(not isinstance(x, int) or x < 0 for x in w):
+            raise ValueError(f"pdf {origin}: XRef /W {w!r} invalid")
+        size = self._resolve(obj.d.get("Size"))
+        index = self._resolve(obj.d.get("Index", [0, size]))
+        rec = sum(w)
+        if rec == 0:
+            raise ValueError(f"pdf {origin}: XRef /W all-zero")
+        fields = []
+        for i in range(0, len(payload) - rec + 1, rec):
+            vals = []
+            o = i
+            for width in w:
+                v = int.from_bytes(payload[o : o + width], "big") if width \
+                    else 1  # omitted type field defaults to 1, per spec
+                vals.append(v)
+                o += width
+            fields.append(vals)
+        it = iter(fields)
+        for j in range(0, len(index), 2):
+            start, count = index[j], index[j + 1]
+            for k in range(count):
+                try:
+                    t, a, b = next(it)
+                except StopIteration:
+                    raise ValueError(
+                        f"pdf {origin}: XRef stream shorter than /Index "
+                        "declares"
+                    ) from None
+                numk = start + k
+                if t == 1:
+                    self.xref.setdefault(numk, ("n", a))
+                elif t == 2:
+                    self.xref.setdefault(numk, ("s", a, b))
+                elif t == 0:  # free: tombstone (see the table loader)
+                    self.xref.setdefault(numk, ("f", 0))
+        return obj.d
+
+    # -- object access
+
+    def _parse_indirect_at(self, pos: int):
+        data, origin = self.data, self.origin
+        lex = _Lexer(data, pos, origin)
+        num = lex.parse()
+        gen = lex.parse()
+        lex.skip_ws()
+        if data[lex.pos : lex.pos + 3] != b"obj":
+            raise ValueError(
+                f"pdf {origin}: 'obj' keyword missing at byte {pos}"
+            )
+        lex.pos += 3
+        got = lex.parse()
+        if isinstance(got, tuple):  # (stream, data_start)
+            stm, start = got
+            length = self._resolve(stm.d.get("Length"))
+            if not isinstance(length, int) or start + length > len(data):
+                raise ValueError(
+                    f"pdf {origin}: stream /Length {length!r} overruns "
+                    f"the file at byte {start}"
+                )
+            stm.raw = data[start : start + length]
+            got = stm
+        return num, gen, got
+
+    def obj(self, ref: _Ref):
+        key = ref.num
+        if key in self._cache:
+            return self._cache[key]
+        entry = self.xref.get(key)
+        if entry is None or entry[0] == "f":
+            return None  # missing/free object reads as null, per spec
+        if entry[0] == "n":
+            _num, _gen, val = self._parse_indirect_at(entry[1])
+        else:  # in an object stream
+            _t, stm_num, idx = entry
+            val = self._objstm_object(stm_num, idx)
+        self._cache[key] = val
+        return val
+
+    def _objstm_object(self, stm_num: int, idx: int):
+        stm = self.obj(_Ref(stm_num, 0))
+        if not isinstance(stm, _Stream) or str(
+            self._resolve(stm.d.get("Type", ""))
+        ) != "ObjStm":
+            raise ValueError(
+                f"pdf {self.origin}: object stream {stm_num} missing or "
+                "mistyped"
+            )
+        payload = self.stream_data(stm)
+        n = self._resolve(stm.d.get("N"))
+        first = self._resolve(stm.d.get("First"))
+        lex = _Lexer(payload, 0, self.origin)
+        pairs = []
+        for _ in range(n):
+            onum = lex.parse()
+            ooff = lex.parse()
+            pairs.append((onum, ooff))
+        if idx >= len(pairs):
+            raise ValueError(
+                f"pdf {self.origin}: object stream {stm_num} has no "
+                f"index {idx}"
+            )
+        _onum, ooff = pairs[idx]
+        inner = _Lexer(payload, first + ooff, self.origin)
+        return inner.parse()
+
+    def _resolve(self, v):
+        seen = 0
+        while isinstance(v, _Ref):
+            v = self.obj(v)
+            seen += 1
+            if seen > 64:
+                raise ValueError(
+                    f"pdf {self.origin}: reference chain deeper than 64"
+                )
+        return v
+
+    def stream_data(self, stm: _Stream) -> bytes:
+        return _apply_filters(stm.raw, stm.d, self._resolve, self.origin)
+
+    # -- page tree
+
+    def pages(self) -> list:
+        root = self._resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError(f"pdf {self.origin}: catalog /Root missing")
+        tree = self._resolve(root.get("Pages"))
+        out: list = []
+
+        def walk(node, inherited_res, depth):
+            if depth > 64:
+                raise ValueError(
+                    f"pdf {self.origin}: page tree deeper than 64"
+                )
+            node = self._resolve(node)
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"pdf {self.origin}: page-tree node is not a dict"
+                )
+            res = self._resolve(node.get("Resources")) or inherited_res
+            t = str(self._resolve(node.get("Type", "")))
+            if t == "Pages" or (t == "" and "Kids" in node):
+                for kid in self._resolve(node.get("Kids", [])):
+                    walk(kid, res, depth + 1)
+            else:
+                out.append((node, res or {}))
+
+        walk(tree, {}, 0)
+        return out
+
+
+# ------------------------------------------------------------ text layer
+
+
+_AHX = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _parse_tounicode(payload: bytes, origin: str):
+    """ToUnicode CMap → decoder fn. Handles bfchar and bfrange (both the
+    contiguous-destination and array forms), 1- and 2-byte codes (from
+    the codespacerange, defaulting to the source-length of the first
+    mapping)."""
+    mapping: dict = {}
+    code_len = None
+    toks = payload
+    for m in re.finditer(
+        rb"beginbfchar(.*?)endbfchar|beginbfrange(.*?)endbfrange",
+        toks, re.S,
+    ):
+        body = m.group(1)
+        if body is not None:  # bfchar: <src> <dst> pairs
+            hexes = _AHX.findall(body)
+            for i in range(0, len(hexes) - 1, 2):
+                src = bytes.fromhex(hexes[i].replace(b" ", b"").decode())
+                dst = bytes.fromhex(
+                    re.sub(rb"\s", b"", hexes[i + 1]).decode()
+                )
+                code_len = code_len or len(src)
+                mapping[src] = dst.decode("utf-16-be", "replace")
+        else:  # bfrange
+            body = m.group(2)
+            pos = 0
+            while True:
+                mm = re.search(
+                    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*"
+                    rb"(<([0-9A-Fa-f\s]*)>|\[)",
+                    body[pos:], re.S,
+                )
+                if not mm:
+                    break
+                lo = bytes.fromhex(re.sub(rb"\s", b"", mm.group(1)).decode())
+                hi = bytes.fromhex(re.sub(rb"\s", b"", mm.group(2)).decode())
+                code_len = code_len or len(lo)
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if hi_i - lo_i > 65535:
+                    raise ValueError(
+                        f"pdf {origin}: bfrange spans {hi_i - lo_i} codes"
+                    )
+                if mm.group(3) == b"[":
+                    # array form: one destination per code
+                    rest = body[pos + mm.end() :]
+                    arr = _AHX.findall(rest.split(b"]", 1)[0])
+                    for k in range(hi_i - lo_i + 1):
+                        if k < len(arr):
+                            dst = bytes.fromhex(
+                                re.sub(rb"\s", b"", arr[k]).decode()
+                            )
+                            mapping[
+                                (lo_i + k).to_bytes(len(lo), "big")
+                            ] = dst.decode("utf-16-be", "replace")
+                    pos += mm.end() + len(rest.split(b"]", 1)[0]) + 1
+                else:
+                    base = bytes.fromhex(
+                        re.sub(rb"\s", b"", mm.group(4)).decode()
+                    )
+                    base_i = int.from_bytes(base, "big")
+                    for k in range(hi_i - lo_i + 1):
+                        mapping[(lo_i + k).to_bytes(len(lo), "big")] = (
+                            (base_i + k).to_bytes(len(base), "big")
+                            .decode("utf-16-be", "replace")
+                        )
+                    pos += mm.end()
+    clen = code_len or 1
+
+    def decode(bs: bytes) -> str:
+        out = []
+        for i in range(0, len(bs), clen):
+            chunk = bs[i : i + clen]
+            got = mapping.get(chunk)
+            out.append(got if got is not None else "�")
+        return "".join(out)
+
+    return decode
+
+
+def _font_decoder(doc: PdfDocument, font: dict):
+    font = doc._resolve(font)
+    if not isinstance(font, dict):
+        raise ValueError(f"pdf {doc.origin}: font resource is not a dict")
+    tu = doc._resolve(font.get("ToUnicode"))
+    if isinstance(tu, _Stream):
+        return _parse_tounicode(doc.stream_data(tu), doc.origin)
+    subtype = str(doc._resolve(font.get("Subtype", "")))
+    if subtype == "Type0":
+        raise NotImplementedError(
+            f"pdf {doc.origin}: CID-keyed (Type0) font without /ToUnicode "
+            "— no glyph-list oracle in-container"
+        )
+    enc = doc._resolve(font.get("Encoding"))
+    if isinstance(enc, dict):
+        base = str(doc._resolve(enc.get("BaseEncoding", ""))) or None
+        if "Differences" in enc:
+            raise NotImplementedError(
+                f"pdf {doc.origin}: /Differences encoding without "
+                "/ToUnicode — glyph-name table not implemented"
+            )
+        enc = base
+    enc = str(enc) if enc else None
+    if enc == "WinAnsiEncoding":
+        return lambda bs: bs.decode("cp1252", "replace")
+    if enc == "MacRomanEncoding":
+        return lambda bs: bs.decode("mac-roman", "replace")
+    if enc in (None, "StandardEncoding"):
+        return lambda bs: bs.decode("ascii", "replace")
+    raise NotImplementedError(
+        f"pdf {doc.origin}: font encoding /{enc} not implemented"
+    )
+
+
+_OPER = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _page_text(doc: PdfDocument, page: dict, resources: dict) -> str:
+    contents = doc._resolve(page.get("Contents"))
+    if contents is None:
+        return ""
+    if isinstance(contents, list):
+        payload = b"\n".join(
+            doc.stream_data(doc._resolve(c)) for c in contents
+        )
+    elif isinstance(contents, _Stream):
+        payload = doc.stream_data(contents)
+    else:
+        raise ValueError(f"pdf {doc.origin}: /Contents is not a stream")
+    fonts = doc._resolve(resources.get("Font")) or {}
+    decoders: dict = {}
+    lex = _Lexer(payload, 0, doc.origin)
+    stack: list = []
+    out: list = []
+    cur = None  # current font decoder
+    n = len(payload)
+
+    def show(bs: bytes) -> None:
+        dec = cur if cur is not None else (
+            lambda b: b.decode("ascii", "replace")
+        )
+        out.append(dec(bs))
+
+    while True:
+        lex.skip_ws()
+        if lex.pos >= n:
+            break
+        c = payload[lex.pos]
+        if c in b"/<([+-.0123456789":
+            stack.append(lex.parse())
+            continue
+        m = _OPER.match(payload, lex.pos)
+        if not m:
+            raise ValueError(
+                f"pdf {doc.origin}: content byte "
+                f"0x{payload[lex.pos]:02X} at {lex.pos} is not an operator"
+            )
+        op = m.group(0)
+        lex.pos = m.end()
+        if op == b"BI":  # inline image: skip to EI at a token boundary
+            e = payload.find(b"EI", lex.pos)
+            while e != -1 and not (
+                payload[e - 1 : e] in _WS
+                and (e + 2 >= n or payload[e + 2 : e + 3] in _WS)
+            ):
+                e = payload.find(b"EI", e + 2)
+            if e == -1:
+                raise ValueError(
+                    f"pdf {doc.origin}: inline image without EI"
+                )
+            lex.pos = e + 2
+        elif op == b"Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], _Name):
+                fname = str(stack[-2])
+                if fname not in decoders:
+                    fdict = doc._resolve(fonts.get(fname))
+                    decoders[fname] = (
+                        _font_decoder(doc, fdict) if fdict is not None
+                        else None
+                    )
+                cur = decoders[fname]
+        elif op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op in (b"'", b'"'):
+            out.append("\n")
+            if stack and isinstance(stack[-1], bytes):
+                show(stack[-1])
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for item in stack[-1]:
+                    if isinstance(item, bytes):
+                        show(item)
+                    elif isinstance(item, (int, float)) and item <= -180:
+                        out.append(" ")  # large negative kern = word gap
+        elif op == b"T*":
+            out.append("\n")
+        elif op in (b"Td", b"TD"):
+            if len(stack) >= 1 and isinstance(stack[-1], (int, float)) \
+                    and stack[-1] != 0:
+                out.append("\n")
+            elif out and not out[-1].endswith((" ", "\n")):
+                out.append(" ")  # pure-x move: word gap at most
+        elif op == b"Tm":
+            out.append("\n")
+        elif op == b"ET":
+            out.append("\n")
+        stack.clear()
+    text = "".join(out)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    return re.sub(r"\n{2,}", "\n", text).strip()
+
+
+# ------------------------------------------------------------- public API
+
+
+def pdf_meta(data: bytes, origin: str = "<bytes>") -> dict:
+    doc = PdfDocument(data, origin)
+    return {
+        "version": doc.version,
+        "n_pages": len(doc.pages()),
+        "n_objects": sum(1 for e in doc.xref.values() if e[0] != "f"),
+    }
+
+
+def pdf_to_text(data: bytes, origin: str = "<bytes>") -> str:
+    """Document text, pages joined by blank lines."""
+    doc = PdfDocument(data, origin)
+    parts = []
+    for page, res in doc.pages():
+        t = _page_text(doc, page, res)
+        if t:
+            parts.append(t)
+    return "\n\n".join(parts)
+
+
+PDF_TEXT_SCHEMA = "doc_id long, n_pages long, n_chars long, text string"
+
+
+def pdf_text_frame(df, payload_col: str = "payload", id_col: str = "doc_id"):
+    """Spark fan-out: one typed text row per PDF payload via mapInPandas
+    (Arrow batches; parse + extraction never leave the task)."""
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_pages": [], "n_chars": [], "text": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                doc = PdfDocument(b, origin=str(doc_id))
+                parts = []
+                for page, res in doc.pages():
+                    parts.append(_page_text(doc, page, res))
+                text = "\n\n".join(p for p in parts if p)
+                rows["doc_id"].append(doc_id)
+                rows["n_pages"].append(len(parts))
+                rows["n_chars"].append(len(text))
+                rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, PDF_TEXT_SCHEMA)

@@ -137,7 +137,10 @@ def tiff_meta(data: bytes, origin: str = "<bytes>") -> dict:
     }
 
 
-def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> bytes:
+def _lzw_decode_msb(data: bytes, expected: int | None, origin: str,
+                    strip: int, kind: str = "tiff",
+                    early_change: bool = True,
+                    max_out: int = 1 << 26) -> bytes:
     """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, fixed 8-bit
     symbols, CLEAR=256, EOI=257, code width 9→12 growing EARLY (when the
     next table index is 2^width − 1, the spec's historic EarlyChange
@@ -145,8 +148,11 @@ def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> byte
     MSB/EarlyChange variant of ``gif._lzw_decode`` — the bit packing
     direction, symbol width, and growth trigger are spec-level different
     between the two formats, so each codec carries its own loop; fix
-    dictionary-handling bugs in BOTH. Exactly ``expected`` bytes come
-    out; more or fewer is loud."""
+    dictionary-handling bugs in BOTH. With ``expected`` set (TIFF strips)
+    exactly that many bytes come out, more or fewer is loud; PDF's
+    LZWDecode reuses this exact coding with ``expected=None`` (no
+    declared size — ``max_out`` is the bomb bound) and, rarely,
+    ``early_change=False`` (DecodeParms /EarlyChange 0)."""
     out = bytearray()
     bitpos = 0
     nbits = len(data) * 8
@@ -162,7 +168,7 @@ def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> byte
     while True:
         if bitpos + width > nbits:
             raise ValueError(
-                f"tiff {origin}: LZW strip {strip} ends without EOI"
+                f"{kind} {origin}: LZW strip {strip} ends without EOI"
             )
         byte = bitpos >> 3
         chunk = 0
@@ -174,8 +180,8 @@ def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> byte
         bitpos += width
         if first and code != CLEAR:
             raise ValueError(
-                f"tiff {origin}: LZW strip {strip} does not start with "
-                "CLEAR (TIFF 6.0 §13 requires it)"
+                f"{kind} {origin}: LZW strip {strip} does not start with "
+                "CLEAR (the spec requires it)"
             )
         first = False
         if code == CLEAR:
@@ -188,7 +194,7 @@ def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> byte
         if prev is None:
             if code >= 256:
                 raise ValueError(
-                    f"tiff {origin}: LZW strip {strip}: first code after "
+                    f"{kind} {origin}: LZW strip {strip}: first code after "
                     f"CLEAR is {code}, not a literal"
                 )
             entry = table[code]
@@ -201,21 +207,23 @@ def _lzw_decode_msb(data: bytes, expected: int, origin: str, strip: int) -> byte
             table.append(entry)
         else:
             raise ValueError(
-                f"tiff {origin}: LZW strip {strip}: code {code} beyond "
+                f"{kind} {origin}: LZW strip {strip}: code {code} beyond "
                 f"dictionary size {len(table)} — corrupt stream"
             )
         out += entry
-        if len(out) > expected:
+        if len(out) > (expected if expected is not None else max_out):
             raise ValueError(
-                f"tiff {origin}: LZW strip {strip} inflates past the "
-                f"{expected} bytes its geometry declares"
+                f"{kind} {origin}: LZW strip {strip} inflates past "
+                + (f"the {expected} bytes its geometry declares"
+                   if expected is not None else f"the {max_out}-byte bound")
             )
         prev = entry
-        if len(table) == (1 << width) - 1 and width < 12:
+        grow_at = (1 << width) - (1 if early_change else 0)
+        if len(table) == grow_at and width < 12:
             width += 1  # EarlyChange: one index before the LSB-first rule
-    if len(out) != expected:
+    if expected is not None and len(out) != expected:
         raise ValueError(
-            f"tiff {origin}: LZW strip {strip} produced {len(out)} of "
+            f"{kind} {origin}: LZW strip {strip} produced {len(out)} of "
             f"{expected} bytes"
         )
     return bytes(out)

@@ -1,0 +1,370 @@
+"""PDF text extraction: hand-built PDFs (classic xref tables AND xref
+streams + object streams), every supported filter, font decoders incl.
+ToUnicode CMaps, incremental updates, and the named refusals."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from hbase_observer_es_spark.operators.pdf_text import (
+    PdfDocument,
+    looks_like_pdf,
+    pdf_meta,
+    pdf_text_frame,
+    pdf_to_text,
+)
+
+# ------------------------------------------------------------ PDF builder
+
+
+class _Builder:
+    """Test-side PDF writer: objects appended by number, classic xref
+    table + trailer, deterministic offsets."""
+
+    def __init__(self, version=b"1.4"):
+        self.out = bytearray(b"%PDF-" + version + b"\n")
+        self.offsets = {}
+
+    def add(self, num: int, body: bytes) -> None:
+        self.offsets[num] = len(self.out)
+        self.out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+    def add_stream(self, num: int, d: bytes, payload: bytes) -> None:
+        body = (
+            b"<< " + d + b" /Length %d >>\nstream\n" % len(payload)
+            + payload + b"\nendstream"
+        )
+        self.add(num, body)
+
+    def finish(self, root: int, extra_trailer: bytes = b"") -> bytes:
+        nmax = max(self.offsets)
+        xref_at = len(self.out)
+        self.out += b"xref\n0 %d\n" % (nmax + 1)
+        self.out += b"0000000000 65535 f \n"
+        for i in range(1, nmax + 1):
+            off = self.offsets.get(i, 0)
+            kind = b"n" if i in self.offsets else b"f"
+            self.out += b"%010d 00000 %s \n" % (off, kind)
+        self.out += (
+            b"trailer\n<< /Size %d /Root %d 0 R %s>>\nstartxref\n%d\n%%%%EOF"
+            % (nmax + 1, root, extra_trailer, xref_at)
+        )
+        return bytes(self.out)
+
+
+def _simple_pdf(content: bytes, font_extra: bytes = b"",
+                filters: bytes = b"", payload: bytes | None = None) -> bytes:
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, filters, payload if payload is not None else content)
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+             + font_extra + b" >>")
+    return b.finish(1)
+
+
+def _content(*lines: bytes) -> bytes:
+    body = b"BT /F1 12 Tf "
+    body += b" 0 -14 Td ".join(b"(%s) Tj" % l for l in lines)
+    return body + b" ET"
+
+
+# ------------------------------------------------------------------ tests
+
+
+def test_simple_ascii_extraction():
+    data = _simple_pdf(_content(b"Hello world.", b"Second line."))
+    assert looks_like_pdf(data)
+    m = pdf_meta(data)
+    assert (m["version"], m["n_pages"]) == ("1.4", 1)
+    assert pdf_to_text(data) == "Hello world.\nSecond line."
+
+
+def test_string_escapes_and_hex_strings():
+    content = (
+        b"BT /F1 12 Tf (paren \\( pair \\) back\\\\slash \\110i) Tj"
+        b" <48454C4C4F> Tj (oct \\101\\102) Tj ET"
+    )
+    data = _simple_pdf(content)
+    assert pdf_to_text(data) == "paren ( pair ) back\\slash HiHELLOoct AB"
+
+
+def test_tj_array_kerning_becomes_word_gap():
+    content = b"BT /F1 12 Tf [(Hel) 20 (lo) -250 (world)] TJ ET"
+    data = _simple_pdf(content)
+    assert pdf_to_text(data) == "Hello world"
+
+
+def test_winansi_and_macroman_fonts():
+    # cp1252 0x93/0x94 are curly quotes
+    content = b"BT /F1 12 Tf (\x93quoted\x94) Tj ET"
+    data = _simple_pdf(content, font_extra=b"/Encoding /WinAnsiEncoding")
+    assert pdf_to_text(data) == "“quoted”"
+    data = _simple_pdf(content, font_extra=b"/Encoding /MacRomanEncoding")
+    assert pdf_to_text(data) == "“quoted”".replace(
+        "“", b"\x93".decode("mac-roman")
+    ).replace("”", b"\x94".decode("mac-roman"))
+
+
+def test_tounicode_bfchar_and_bfrange():
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"beginbfchar <0041> <0057> endbfchar\n"
+        b"beginbfrange <0100> <0102> <0061> endbfrange\n"
+        b"beginbfrange <0200> <0201> [<00480069> <0021>] endbfrange\n"
+    )
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    # 2-byte codes: A→W, 0100..0102→abc, 0200→"Hi", 0201→"!"
+    b.add_stream(
+        4, b"", b"BT /F1 12 Tf <0041 0100 0101 0102 0200 0201> Tj ET"
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+             b"/ToUnicode 6 0 R >>")
+    b.add_stream(6, b"", cmap)
+    assert pdf_to_text(b.finish(1)) == "WabcHi!"
+
+
+def test_flate_lzw_ahx_a85_rl_filters():
+    import base64
+
+    text = _content(b"filtered payload")
+    # Flate
+    data = _simple_pdf(
+        text, filters=b"/Filter /FlateDecode", payload=zlib.compress(text)
+    )
+    assert pdf_to_text(data) == "filtered payload"
+    # LZW: PDF shares the TIFF coding — reuse the independent test encoder
+    from tests.test_tiff import _lzw_encode_msb
+
+    data = _simple_pdf(
+        text, filters=b"/Filter /LZWDecode", payload=_lzw_encode_msb(text)
+    )
+    assert pdf_to_text(data) == "filtered payload"
+    # ASCIIHex
+    data = _simple_pdf(
+        text, filters=b"/Filter /ASCIIHexDecode",
+        payload=text.hex().encode() + b">",
+    )
+    assert pdf_to_text(data) == "filtered payload"
+    # ASCII85
+    data = _simple_pdf(
+        text, filters=b"/Filter /ASCII85Decode",
+        payload=base64.a85encode(text) + b"~>",
+    )
+    assert pdf_to_text(data) == "filtered payload"
+    # RunLength: literal run + EOD
+    rl = bytearray()
+    for i in range(0, len(text), 120):
+        chunk = text[i : i + 120]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl.append(128)
+    data = _simple_pdf(
+        text, filters=b"/Filter /RunLengthDecode", payload=bytes(rl)
+    )
+    assert pdf_to_text(data) == "filtered payload"
+    # filter CHAIN: A85 over Flate
+    data = _simple_pdf(
+        text, filters=b"/Filter [/ASCII85Decode /FlateDecode]",
+        payload=base64.a85encode(zlib.compress(text)) + b"~>",
+    )
+    assert pdf_to_text(data) == "filtered payload"
+
+
+def test_multipage_and_nested_pages_tree():
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>")
+    b.add(3, b"<< /Type /Pages /Parent 2 0 R /Kids [7 0 R 8 0 R] /Count 2 "
+             b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(6, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> >> /Contents 11 0 R >>")
+    b.add(7, b"<< /Type /Page /Parent 3 0 R /Contents 9 0 R >>")
+    b.add(8, b"<< /Type /Page /Parent 3 0 R /Contents 10 0 R >>")
+    b.add_stream(9, b"", _content(b"page one"))
+    b.add_stream(10, b"", _content(b"page two"))
+    b.add_stream(11, b"", _content(b"page three"))
+    data = b.finish(1)
+    assert pdf_meta(data)["n_pages"] == 3
+    # pages 1-2 INHERIT /Resources from their /Pages parent
+    assert pdf_to_text(data) == "page one\n\npage two\n\npage three"
+
+
+def test_xref_stream_and_object_stream():
+    """Modern layout: catalog/pages/page/font packed into an ObjStm, the
+    xref a /Type/XRef stream with /Predictor 12 + /W [1 2 1]."""
+    # object stream payload: four objects
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    header = b""
+    body = b""
+    for num, ob in objs:
+        header += b"%d %d " % (num, len(body))
+        body += ob + b" "
+    objstm_payload = header + body
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def add_stream(num, d, payload):
+        offsets[num] = len(out)
+        out.extend(
+            b"%d 0 obj\n<< " % num + d
+            + b" /Length %d >>\nstream\n" % len(payload)
+            + payload + b"\nendstream\nendobj\n"
+        )
+
+    add_stream(4, b"", _content(b"compressed object streams"))
+    add_stream(
+        6, b"/Type /ObjStm /N %d /First %d" % (len(objs), first),
+        objstm_payload,
+    )
+    xref_at = len(out)
+    # entries 0..7: free, objstm idx, objstm idx, objstm idx, offset(4),
+    # objstm idx, offset(6), offset(7=this xref stream)
+    rows = [
+        (0, 0, 0),
+        (2, 6, 0),  # obj 1 in stream 6, idx 0
+        (2, 6, 1),
+        (2, 6, 2),
+        (1, offsets[4], 0),
+        (2, 6, 3),
+        (1, offsets[6], 0),
+        (1, xref_at, 0),
+    ]
+    rec = bytes()
+    raw = b"".join(
+        bytes([t]) + a.to_bytes(2, "big") + bytes([c]) for t, a, c in rows
+    )
+    # PNG predictor 12 (Up): tag byte 2 per row over 4-byte columns
+    cols = 4
+    pred = bytearray()
+    prev = bytes(cols)
+    for i in range(0, len(raw), cols):
+        row = raw[i : i + cols]
+        pred.append(2)
+        pred.extend((row[j] - prev[j]) & 0xFF for j in range(cols))
+        prev = row
+    payload = zlib.compress(bytes(pred))
+    add_stream(
+        7,
+        b"/Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 4 >>",
+        payload,
+    )
+    out.extend(b"startxref\n%d\n%%%%EOF" % xref_at)
+    data = bytes(out)
+    del rec
+    assert pdf_meta(data) == {"version": "1.5", "n_pages": 1, "n_objects": 7}
+    assert pdf_to_text(data) == "compressed object streams"
+
+
+def test_incremental_update_prev_chain():
+    """An appended revision overrides page 1's content; /Prev links back
+    to the original xref, whose untouched objects stay reachable."""
+    base = _simple_pdf(_content(b"ORIGINAL"))
+    first_xref = base.rindex(b"\nxref\n") + 1
+    out = bytearray(base)
+    new_content = _content(b"REVISED")
+    off4 = len(out)
+    out.extend(
+        b"\n4 0 obj\n<<  /Length %d >>\nstream\n" % len(new_content)
+        + new_content + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(out)
+    out.extend(b"xref\n4 1\n%010d 00000 n \n" % off4)
+    out.extend(
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF"
+        % (first_xref, xref_at)
+    )
+    assert pdf_to_text(bytes(out)) == "REVISED"
+    assert pdf_to_text(base) == "ORIGINAL"
+
+
+def test_refusals_by_name():
+    with pytest.raises(NotImplementedError, match=r"encrypted document"):
+        data = _simple_pdf(_content(b"x"))
+        # splice an /Encrypt key into the trailer
+        PdfDocument(data.replace(b"/Root 1 0 R ", b"/Root 1 0 R /Encrypt 9 0 R "))
+    with pytest.raises(NotImplementedError, match=r"CID-keyed \(Type0\)"):
+        b = _Builder()
+        b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+                 b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+        b.add_stream(4, b"", _content(b"x"))
+        b.add(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /X >>")
+        pdf_to_text(b.finish(1))
+    with pytest.raises(NotImplementedError, match=r"filter /DCTDecode"):
+        pdf_to_text(_simple_pdf(
+            _content(b"x"), filters=b"/Filter /DCTDecode"
+        ))
+    with pytest.raises(NotImplementedError, match=r"/Differences"):
+        pdf_to_text(_simple_pdf(
+            _content(b"x"),
+            font_extra=b"/Encoding << /Differences [65 /zebra] >>",
+        ))
+
+
+def test_corruption_is_loud():
+    good = _simple_pdf(_content(b"x"))
+    with pytest.raises(ValueError, match=r"not a PDF"):
+        pdf_meta(b"plain text")
+    with pytest.raises(ValueError, match=r"no startxref"):
+        pdf_meta(good[: good.rindex(b"startxref")])
+    # stream /Length overrunning the file (declared directly so every
+    # xref offset stays coherent — splicing text shifts offsets)
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.add(4, b"<<  /Length 99999 >>\nstream\nBT ET\nendstream")
+    with pytest.raises(ValueError, match=r"overruns the file"):
+        pdf_to_text(b.finish(1))
+    # xref /Prev loop
+    first_xref = good.rindex(b"\nxref\n") + 1
+    looped = good.replace(
+        b"/Root 1 0 R ", b"/Root 1 0 R /Prev %d " % first_xref
+    )
+    with pytest.raises(ValueError, match=r"loops back"):
+        pdf_meta(looped)
+
+
+def test_pdf_text_frame_and_census(spark):
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    p1 = _simple_pdf(_content(b"spark one"))
+    p2 = _simple_pdf(_content(b"spark two", b"line two"))
+    df = spark.createDataFrame(
+        [(1, p1), (2, p2)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: (r.n_pages, r.text) for r in pdf_text_frame(df).collect()}
+    assert rows == {
+        1: (1, "spark one"),
+        2: (1, "spark two\nline two"),
+    }
+    c = classify_media(p2)
+    assert (c["family"], c["format"], c["n_frames"]) == ("document", "pdf", 1)
+    assert c["detail"] == "pdf-1.4"
+    # corrupt PDFs fold into census error rows, never kill the task
+    bad = classify_media(b"%PDF-1.4\nbroken")
+    assert bad["family"] == "error" and "startxref" in bad["detail"]
