@@ -108,7 +108,11 @@ class _Lexer:
             else:
                 return
 
-    def parse(self):
+    def parse(self, depth: int = 0):
+        if depth > 128:
+            # crafted [[[[… nesting must be a ValueError (the census
+            # fold), never a Python RecursionError
+            raise self._err("object nesting deeper than 128")
         self.skip_ws()
         d = self.data
         if self.pos >= len(d):
@@ -120,7 +124,7 @@ class _Lexer:
             return self._literal_string()
         if c == 0x3C:  # << dict or <hex>
             if d[self.pos : self.pos + 2] == b"<<":
-                return self._dict()
+                return self._dict(depth)
             return self._hex_string()
         if c == 0x5B:  # [ array
             self.pos += 1
@@ -130,7 +134,7 @@ class _Lexer:
                 if self.pos < len(d) and d[self.pos] == 0x5D:
                     self.pos += 1
                     return out
-                out.append(self.parse())
+                out.append(self.parse(depth + 1))
         if c in b"+-.0123456789":
             return self._number_or_ref()
         word = self._bareword()
@@ -235,7 +239,6 @@ class _Lexer:
 
     def _number_or_ref(self):
         d = self.data
-        start = self.pos
         word = self._bareword()
         try:
             if b"." in word:
@@ -246,7 +249,6 @@ class _Lexer:
         # 'num gen R' lookahead for an indirect reference
         save = self.pos
         self.skip_ws()
-        start2 = self.pos
         if self.pos < len(d) and d[self.pos] in b"0123456789":
             try:
                 gen_word = self._bareword()
@@ -262,10 +264,9 @@ class _Lexer:
             except ValueError:
                 pass
         self.pos = save
-        del start, start2
         return num
 
-    def _dict(self):
+    def _dict(self, depth: int = 0):
         d = self.data
         self.pos += 2
         out = {}
@@ -274,10 +275,10 @@ class _Lexer:
             if d[self.pos : self.pos + 2] == b">>":
                 self.pos += 2
                 break
-            key = self.parse()
+            key = self.parse(depth + 1)
             if not isinstance(key, _Name):
                 raise self._err(f"dict key {key!r} is not a name")
-            out[str(key)] = self.parse()
+            out[str(key)] = self.parse(depth + 1)
         # stream?
         save = self.pos
         self.skip_ws()
@@ -380,9 +381,20 @@ def _apply_filters(raw: bytes, d: dict, resolve, origin: str) -> bytes:
     parms = resolve(d.get("DecodeParms", d.get("DP")))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) != len(filters):
+        # zip() would silently drop trailing FILTERS, handing encoded
+        # bytes downstream as decoded data
+        raise ValueError(
+            f"pdf {origin}: /DecodeParms has {len(parms)} entries for "
+            f"{len(filters)} filters"
+        )
     data = raw
     for f, pm in zip(filters, parms):
         pm = resolve(pm) or {}
+        if not isinstance(pm, dict):
+            raise ValueError(
+                f"pdf {origin}: /DecodeParms entry {pm!r} is not a dict"
+            )
         f = str(f)
         if f == "FlateDecode" or f == "Fl":
             dec = zlib.decompressobj()
@@ -395,6 +407,13 @@ def _apply_filters(raw: bytes, d: dict, resolve, origin: str) -> bytes:
             if dec.unconsumed_tail:
                 raise ValueError(
                     f"pdf {origin}: FlateDecode inflates past the bound"
+                )
+            if not dec.eof:
+                # a truncated zlib stream decompresses to a silent
+                # partial prefix — that's corruption, name it
+                raise ValueError(
+                    f"pdf {origin}: FlateDecode stream truncated "
+                    "(no zlib end-of-stream)"
                 )
         elif f == "LZWDecode" or f == "LZW":
             from .tiff import _lzw_decode_msb
@@ -489,23 +508,31 @@ class PdfDocument:
             lex = _Lexer(data, pos, origin)
             lex.skip_ws()
             if data[lex.pos : lex.pos + 4] == b"xref":
-                trailer = self._load_xref_table(lex.pos + 4)
+                trailer, entries = self._load_xref_table(lex.pos + 4)
+                # hybrid-reference files (ISO 32000 7.5.8.4): the same
+                # revision's /XRefStm carries type-2 entries for objects
+                # the classic table marks FREE — the stream's entries
+                # must win over those tombstones, so it merges FIRST
+                xstm = trailer.get("XRefStm")
+                if isinstance(xstm, int) and xstm not in seen:
+                    seen.add(xstm)
+                    self._load_xref_stream(xstm)
+                for num, entry in entries.items():
+                    self.xref.setdefault(num, entry)
             else:
                 trailer = self._load_xref_stream(pos)
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
-            # hybrid-reference files: the table's trailer points at an
-            # additional xref STREAM carrying the compressed entries
-            xstm = trailer.get("XRefStm")
-            if isinstance(xstm, int) and xstm not in seen:
-                seen.add(xstm)
-                self._load_xref_stream(xstm)
             prev = trailer.get("Prev")
             pos = prev if isinstance(prev, int) else 0
 
-    def _load_xref_table(self, pos: int) -> dict:
+    def _load_xref_table(self, pos: int) -> tuple:
+        """Classic table → (trailer, {num: entry}) — entries are LOCAL so
+        the caller can give the same revision's /XRefStm precedence over
+        the table's free tombstones (the hybrid-reference layout)."""
         data, origin = self.data, self.origin
         lex = _Lexer(data, pos, origin)
+        entries: dict = {}
         while True:
             lex.skip_ws()
             if data[lex.pos : lex.pos + 7] == b"trailer":
@@ -513,7 +540,7 @@ class PdfDocument:
                 t = lex.parse()
                 if not isinstance(t, dict):
                     raise ValueError(f"pdf {origin}: trailer is not a dict")
-                return t
+                return t, entries
             start = lex.parse()
             count = lex.parse()
             if not isinstance(start, int) or not isinstance(count, int):
@@ -527,14 +554,20 @@ class PdfDocument:
                     raise ValueError(
                         f"pdf {origin}: xref entry {start + i} truncated"
                     )
-                off = int(entry[0:10])
+                try:
+                    off = int(entry[0:10])
+                except ValueError:
+                    raise ValueError(
+                        f"pdf {origin}: xref entry {start + i} offset "
+                        f"{entry[0:10]!r} is not numeric"
+                    ) from None
                 kind = entry[17:18]
                 if kind == b"n":
-                    self.xref.setdefault(start + i, ("n", off))
+                    entries.setdefault(start + i, ("n", off))
                 elif kind == b"f":
                     # free = tombstone: the NEWEST revision wins, so an
                     # older section must not resurrect a deleted object
-                    self.xref.setdefault(start + i, ("f", 0))
+                    entries.setdefault(start + i, ("f", 0))
                 else:
                     raise ValueError(
                         f"pdf {origin}: xref entry {start + i} kind "
@@ -557,7 +590,15 @@ class PdfDocument:
         if len(w) != 3 or any(not isinstance(x, int) or x < 0 for x in w):
             raise ValueError(f"pdf {origin}: XRef /W {w!r} invalid")
         size = self._resolve(obj.d.get("Size"))
+        if not isinstance(size, int) or size < 0:
+            raise ValueError(f"pdf {origin}: XRef /Size {size!r} invalid")
         index = self._resolve(obj.d.get("Index", [0, size]))
+        if (
+            not isinstance(index, list)
+            or len(index) % 2
+            or any(not isinstance(x, int) or x < 0 for x in index)
+        ):
+            raise ValueError(f"pdf {origin}: XRef /Index {index!r} invalid")
         rec = sum(w)
         if rec == 0:
             raise ValueError(f"pdf {origin}: XRef /W all-zero")
@@ -608,7 +649,8 @@ class PdfDocument:
         if isinstance(got, tuple):  # (stream, data_start)
             stm, start = got
             length = self._resolve(stm.d.get("Length"))
-            if not isinstance(length, int) or start + length > len(data):
+            if not isinstance(length, int) or length < 0 \
+                    or start + length > len(data):
                 raise ValueError(
                     f"pdf {origin}: stream /Length {length!r} overruns "
                     f"the file at byte {start}"
@@ -633,6 +675,15 @@ class PdfDocument:
         return val
 
     def _objstm_object(self, stm_num: int, idx: int):
+        container = self.xref.get(stm_num)
+        if container is None or container[0] != "n":
+            # the spec forbids object streams inside object streams;
+            # enforcing it here also breaks any crafted xref cycle
+            # (A-in-B, B-in-A) before it can recurse
+            raise ValueError(
+                f"pdf {self.origin}: object stream {stm_num} is not a "
+                "directly-stored object"
+            )
         stm = self.obj(_Ref(stm_num, 0))
         if not isinstance(stm, _Stream) or str(
             self._resolve(stm.d.get("Type", ""))
@@ -644,6 +695,12 @@ class PdfDocument:
         payload = self.stream_data(stm)
         n = self._resolve(stm.d.get("N"))
         first = self._resolve(stm.d.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int) \
+                or n < 0 or first < 0:
+            raise ValueError(
+                f"pdf {self.origin}: object stream {stm_num} /N {n!r} "
+                f"/First {first!r} invalid"
+            )
         lex = _Lexer(payload, 0, self.origin)
         pairs = []
         for _ in range(n):
@@ -838,6 +895,25 @@ def _page_text(doc: PdfDocument, page: dict, resources: dict) -> str:
         payload = doc.stream_data(contents)
     else:
         raise ValueError(f"pdf {doc.origin}: /Contents is not a stream")
+    text = _content_text(doc, payload, resources, 0)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    return re.sub(r"\n{2,}", "\n", text).strip()
+
+
+def _content_text(doc: PdfDocument, payload: bytes, resources: dict,
+                  depth: int) -> str:
+    """One content stream → raw text. Form XObjects (the Do operator)
+    RECURSE with their own /Resources (falling back to the caller's) —
+    generators routinely put whole page bodies inside a form, so
+    skipping them would be silent text loss. Image XObjects are skipped;
+    the text font does not persist into a form here (a form inherits the
+    caller's graphics state in full renderers — the ascii fallback keeps
+    the extraction honest without a full state machine)."""
+    if depth > 16:
+        raise ValueError(
+            f"pdf {doc.origin}: form XObjects nested deeper than 16"
+        )
     fonts = doc._resolve(resources.get("Font")) or {}
     decoders: dict = {}
     lex = _Lexer(payload, 0, doc.origin)
@@ -916,11 +992,23 @@ def _page_text(doc: PdfDocument, page: dict, resources: dict) -> str:
             out.append("\n")
         elif op == b"ET":
             out.append("\n")
+        elif op == b"Do":
+            if stack and isinstance(stack[-1], _Name):
+                xobjs = doc._resolve(resources.get("XObject")) or {}
+                xo = doc._resolve(xobjs.get(str(stack[-1])))
+                if isinstance(xo, _Stream):
+                    sub = str(doc._resolve(xo.d.get("Subtype", "")))
+                    if sub == "Form":
+                        sub_res = (
+                            doc._resolve(xo.d.get("Resources")) or resources
+                        )
+                        out.append("\n")
+                        out.append(_content_text(
+                            doc, doc.stream_data(xo), sub_res, depth + 1
+                        ))
+                    # Image XObjects carry no text: skipped
         stack.clear()
-    text = "".join(out)
-    text = re.sub(r"[ \t]+", " ", text)
-    text = re.sub(r" ?\n ?", "\n", text)
-    return re.sub(r"\n{2,}", "\n", text).strip()
+    return "".join(out)
 
 
 # ------------------------------------------------------------- public API

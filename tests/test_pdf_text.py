@@ -368,3 +368,138 @@ def test_pdf_text_frame_and_census(spark):
     # corrupt PDFs fold into census error rows, never kill the task
     bad = classify_media(b"%PDF-1.4\nbroken")
     assert bad["family"] == "error" and "startxref" in bad["detail"]
+
+
+def test_hybrid_xrefstm_takes_precedence_over_free_tombstones():
+    """ISO 32000 7.5.8.4 hybrid layout: objects living in an ObjStm are
+    marked FREE in the classic table and carried as type-2 entries in
+    the /XRefStm stream — the stream must win over the tombstones
+    (review finding: setdefault order made hybrids unreadable)."""
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    header = b""
+    body = b""
+    for num, ob in objs:
+        header += b"%d %d " % (num, len(body))
+        body += ob + b" "
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def add_stream(num, d, payload):
+        offsets[num] = len(out)
+        out.extend(
+            b"%d 0 obj\n<< " % num + d
+            + b" /Length %d >>\nstream\n" % len(payload)
+            + payload + b"\nendstream\nendobj\n"
+        )
+
+    add_stream(4, b"", _content(b"hybrid works"))
+    add_stream(
+        5, b"/Type /ObjStm /N 3 /First %d" % len(header), header + body
+    )
+    xstm_at = len(out)
+    rows = [(0, 0, 0), (2, 5, 0), (2, 5, 1), (2, 5, 2),
+            (1, offsets[4], 0), (1, offsets[5], 0), (1, xstm_at, 0)]
+    raw = b"".join(
+        bytes([t]) + a.to_bytes(2, "big") + bytes([c]) for t, a, c in rows
+    )
+    add_stream(
+        6, b"/Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R "
+           b"/Filter /FlateDecode", zlib.compress(raw),
+    )
+    # the CLASSIC table marks 1-3 free (they live in the ObjStm) and
+    # bridges to the stream via /XRefStm
+    table_at = len(out)
+    out.extend(b"xref\n0 7\n")
+    out.extend(b"0000000000 65535 f \n" * 4)  # 0 + objs 1-3 FREE
+    for n in (4, 5):
+        out.extend(b"%010d 00000 n \n" % offsets[n])
+    out.extend(b"%010d 00000 n \n" % xstm_at)
+    out.extend(
+        b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d >>\nstartxref\n%d"
+        b"\n%%%%EOF" % (xstm_at, table_at)
+    )
+    assert pdf_to_text(bytes(out)) == "hybrid works"
+
+
+def test_census_safe_error_types():
+    """Review findings: crafted structures must raise ValueError (the
+    census fold), never TypeError/RecursionError/IndexError."""
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    out = bytearray(b"%PDF-1.5\n")
+    # XRef stream missing /Size
+    at = len(out)
+    payload = zlib.compress(b"\x01\x00\x09\x00")
+    out.extend(
+        b"7 0 obj\n<< /Type /XRef /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(payload)
+        + payload + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF" % at
+    )
+    with pytest.raises(ValueError, match=r"/Size"):
+        pdf_meta(bytes(out))
+    assert classify_media(bytes(out))["family"] == "error"
+    # object stream claiming to live inside itself (xref cycle)
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [] /Count 0 >>")
+    data = b.finish(1)
+    doc = PdfDocument(data)
+    doc.xref[9] = ("s", 9, 0)
+    from hbase_observer_es_spark.operators.pdf_text import _Ref
+
+    with pytest.raises(ValueError, match=r"not a directly-stored"):
+        doc.obj(_Ref(9, 0))
+    # deep [[[[ nesting is a ValueError, not RecursionError
+    deep = _simple_pdf(b"BT " + b"[" * 300 + b"]" * 300 + b" ET")
+    with pytest.raises(ValueError, match=r"nesting deeper"):
+        pdf_to_text(deep)
+
+
+def test_truncated_flate_and_negative_length_are_loud():
+    text = _content(b"x")
+    z = zlib.compress(text)
+    data = _simple_pdf(
+        text, filters=b"/Filter /FlateDecode", payload=z[: len(z) - 4]
+    )
+    with pytest.raises(ValueError, match=r"FlateDecode stream truncated"):
+        pdf_to_text(data)
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.add(4, b"<<  /Length -5 >>\nstream\nBT ET\nendstream")
+    with pytest.raises(ValueError, match=r"/Length -5"):
+        pdf_to_text(b.finish(1))
+    # short /DecodeParms array must not silently drop filters
+    data = _simple_pdf(
+        text,
+        filters=b"/Filter [/ASCII85Decode /FlateDecode] "
+                b"/DecodeParms [null]",
+        payload=b"~>",
+    )
+    with pytest.raises(ValueError, match=r"1 entries for 2 filters"):
+        pdf_to_text(data)
+
+
+def test_form_xobject_text_recurses():
+    """Text living inside a Form XObject (the Do operator) extracts —
+    generators routinely put the whole page body in a form."""
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R >> >> "
+             b"/Contents 4 0 R >>")
+    b.add_stream(4, b"", b"BT /F1 9 Tf (before) Tj ET /Fm1 Do "
+                         b"BT /F1 9 Tf (after) Tj ET")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add_stream(
+        6, b"/Type /XObject /Subtype /Form "
+           b"/Resources << /Font << /F9 5 0 R >> >>",
+        b"BT /F9 9 Tf (inside the form) Tj ET",
+    )
+    assert pdf_to_text(b.finish(1)) == "before\ninside the form\nafter"
