@@ -1060,3 +1060,70 @@ def pdf_text_frame(df, payload_col: str = "payload", id_col: str = "doc_id"):
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(extract, PDF_TEXT_SCHEMA)
+
+
+# --------------------------------------------------------------- writer
+
+
+def write_pdf(pages: list, origin: str = "<write>") -> bytes:
+    """Minimal deterministic PDF writer: one Helvetica/WinAnsi text page
+    per input string, Flate-compressed content streams, classic xref
+    table. Exists for the same reason write_wav/encode_png do — the
+    round-trip closes the loop (``pdf_to_text(write_pdf(pages))``
+    recovers the text exactly for cp1252-expressible input) and the
+    corpus demo can synthesize real PDFs from the fixture corpus.
+    Same text in, same bytes out (zlib level pinned)."""
+    if not pages or not all(isinstance(p, str) for p in pages):
+        raise ValueError(f"pdf {origin}: write_pdf needs 1+ str pages")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+
+    def add(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    n = len(pages)
+    kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(n))
+    add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    add(2, b"<< /Type /Pages /Kids [%s] /Count %d /Resources "
+           b"<< /Font << /F1 %d 0 R >> >> >>" % (kids, n, 3 + 2 * n))
+    for i, text in enumerate(pages):
+        add(3 + i, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                   b"/Contents %d 0 R >>" % (3 + n + i))
+    for i, text in enumerate(pages):
+        try:
+            lines = [
+                ln.encode("cp1252") for ln in text.split("\n")
+            ]
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                f"pdf {origin}: page {i} has text outside WinAnsi "
+                f"({e.object[e.start:e.start + 1]!r}) — write_pdf is the "
+                "cp1252 subset by design"
+            ) from None
+        body = bytearray(b"BT /F1 11 Tf 72 720 Td 13 TL ")
+        for j, ln in enumerate(lines):
+            esc = ln.replace(b"\\", b"\\\\").replace(b"(", b"\\(") \
+                    .replace(b")", b"\\)")
+            if j:
+                body.extend(b"T* ")
+            body.extend(b"(" + esc + b") Tj ")
+        body.extend(b"ET")
+        payload = zlib.compress(bytes(body), 9)
+        add(
+            3 + n + i,
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(payload)
+            + payload + b"\nendstream",
+        )
+    add(3 + 2 * n, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                   b"/Encoding /WinAnsiEncoding >>")
+    nmax = 3 + 2 * n
+    xref_at = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % (nmax + 1))
+    for i in range(1, nmax + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[i])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (nmax + 1, xref_at)
+    )
+    return bytes(out)

@@ -27,8 +27,9 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert 0 < r["video_docs"] <= min(r["curated"], 64)
     assert r["video_frames"] == r["video_docs"] * 2
     # the census surveys every synthesized payload, none unknown; the
-    # fourth arm (r12) is a progressive-JPEG re-encode of every PNG
-    assert r["census_rows"] == 4 * r["media_samples"]
+    # r12 arms: a progressive-JPEG re-encode of every PNG, and every
+    # landed doc's text written as a real PDF (write_pdf → census pages)
+    assert r["census_rows"] == 5 * r["media_samples"]
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",

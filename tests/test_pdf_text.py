@@ -7,6 +7,8 @@ from __future__ import annotations
 import zlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from hbase_observer_es_spark.operators.pdf_text import (
     PdfDocument,
@@ -503,3 +505,50 @@ def test_form_xobject_text_recurses():
         b"BT /F9 9 Tf (inside the form) Tj ET",
     )
     assert pdf_to_text(b.finish(1)) == "before\ninside the form\nafter"
+
+
+def test_write_pdf_round_trip():
+    from hbase_observer_es_spark.operators.pdf_text import write_pdf
+
+    pages = [
+        "Hello world.\nLine with (parens) and \\backslash.",
+        "Page two — em-dash and “curly quotes”.",
+    ]
+    data = write_pdf(pages)
+    assert data == write_pdf(pages)  # deterministic bytes
+    assert pdf_meta(data) == {"version": "1.4", "n_pages": 2, "n_objects": 7}
+    assert pdf_to_text(data) == "\n\n".join(pages)
+    with pytest.raises(ValueError, match=r"outside WinAnsi"):
+        write_pdf(["日本語"])
+    with pytest.raises(ValueError, match=r"1\+ str pages"):
+        write_pdf([])
+
+
+@given(st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="cp1252", exclude_characters="\r\x85\x0c\x0b\xa0\x1c\x1d\x1e"
+        ),
+        max_size=200,
+    ),
+    min_size=1, max_size=4,
+))
+@settings(max_examples=30, deadline=None)
+def test_write_pdf_property(pages):
+    """Any cp1252-expressible text survives write→extract, modulo the
+    extractor's whitespace normalization (runs of spaces collapse, line
+    edges trim — the documented training-text convention)."""
+    import re as _re
+
+    from hbase_observer_es_spark.operators.pdf_text import write_pdf
+
+    def norm(t):
+        t = _re.sub(r"[ \t]+", " ", t)
+        t = "\n".join(ln.strip() for ln in t.split("\n"))
+        return _re.sub(r"\n{2,}", "\n", t).strip()
+
+    got = pdf_to_text(write_pdf([p or " " for p in pages]))
+    want = "\n\n".join(
+        n for n in (norm(p) for p in pages) if n
+    )
+    assert got == want

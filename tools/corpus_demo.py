@@ -489,6 +489,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
         from hbase_observer_es_spark.operators.media_census import (
             media_census_frame,
         )
+        from hbase_observer_es_spark.operators.pdf_text import write_pdf
         from hbase_observer_es_spark.operators.png import decode_png
 
         landed = spark.read.parquet(os.path.join(out, "media.parquet"))
@@ -499,7 +500,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
             for pdf in batches:
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"] * 4 + 3,
+                        "doc_id": pdf["doc_id"] * 5 + 3,
                         "payload": [
                             encode_jpeg_progressive(
                                 decode_png(bytes(p)), quality=85
@@ -509,18 +510,40 @@ def run(spark, sf_dir: str, out: str) -> dict:
                     }
                 )
 
+        def to_pdf(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"] * 5 + 4,
+                        # cp1252-expressible by construction: the fixture
+                        # corpus is ASCII (the q_mm_decode invariant)
+                        "payload": [
+                            write_pdf([t]) for t in pdf["text"]
+                        ],
+                    }
+                )
+
+        # the PDF arm writes each landed doc's TEXT as a real PDF (the
+        # join with landed doc_ids bounds it to the media fold)
+        texts = curated.select("doc_id", "text")
         mixed = (
-            landed.select((F.col("doc_id") * 4).alias("doc_id"),
+            landed.select((F.col("doc_id") * 5).alias("doc_id"),
                           F.col("png").alias("payload"))
             .unionByName(
-                landed.select((F.col("doc_id") * 4 + 1).alias("doc_id"),
+                landed.select((F.col("doc_id") * 5 + 1).alias("doc_id"),
                               F.col("thumb").alias("payload")))
             .unionByName(
-                landed.select((F.col("doc_id") * 4 + 2).alias("doc_id"),
+                landed.select((F.col("doc_id") * 5 + 2).alias("doc_id"),
                               F.col("wav").alias("payload")))
             .unionByName(
                 landed.select("doc_id", "png").mapInPandas(
                     to_pjpeg, "doc_id long, payload binary"))
+            .unionByName(
+                texts.join(
+                    landed.select("doc_id"), "doc_id"
+                ).mapInPandas(to_pdf, "doc_id long, payload binary"))
         )
         counts = {
             (r.family, r.format): r["count"]
@@ -534,9 +557,10 @@ def run(spark, sf_dir: str, out: str) -> dict:
             ("image", "png"): 2 * n,
             ("audio", "wav"): n,
             ("image", "jpeg"): n,
+            ("document", "pdf"): n,
         }, counts
-        rows["census_payloads"] = int(4 * n)
-        return 4 * n
+        rows["census_payloads"] = int(5 * n)
+        return 5 * n
 
     rows["census_rows"] = stage("media_census", census_leg)
 
