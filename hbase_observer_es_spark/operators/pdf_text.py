@@ -476,6 +476,7 @@ class PdfDocument:
         self.xref: dict = {}  # num -> ("n", offset) | ("s", objstm, idx)
         self.trailer: dict = {}
         self._cache: dict = {}
+        self._loading: set = set()
         self._load_xref()
         if "Encrypt" in self.trailer:
             raise NotImplementedError(
@@ -515,6 +516,11 @@ class PdfDocument:
                 # must win over those tombstones, so it merges FIRST
                 xstm = trailer.get("XRefStm")
                 if isinstance(xstm, int) and xstm not in seen:
+                    if not 0 <= xstm < len(data):
+                        raise ValueError(
+                            f"pdf {origin}: /XRefStm offset {xstm} "
+                            "outside the file"
+                        )
                     seen.add(xstm)
                     self._load_xref_stream(xstm)
                 for num, entry in entries.items():
@@ -525,6 +531,10 @@ class PdfDocument:
                 self.trailer.setdefault(k, v)
             prev = trailer.get("Prev")
             pos = prev if isinstance(prev, int) else 0
+            if pos < 0:
+                raise ValueError(
+                    f"pdf {origin}: /Prev offset {pos} is negative"
+                )
 
     def _load_xref_table(self, pos: int) -> tuple:
         """Classic table → (trailer, {num: entry}) — entries are LOCAL so
@@ -561,6 +571,14 @@ class PdfDocument:
                         f"pdf {origin}: xref entry {start + i} offset "
                         f"{entry[0:10]!r} is not numeric"
                     ) from None
+                if off < 0:
+                    # int() accepts "-000000005"; a negative offset would
+                    # index the file from the END and silently parse the
+                    # wrong object
+                    raise ValueError(
+                        f"pdf {origin}: xref entry {start + i} offset "
+                        f"{off} is negative"
+                    )
                 kind = entry[17:18]
                 if kind == b"n":
                     entries.setdefault(start + i, ("n", off))
@@ -666,11 +684,22 @@ class PdfDocument:
         entry = self.xref.get(key)
         if entry is None or entry[0] == "f":
             return None  # missing/free object reads as null, per spec
-        if entry[0] == "n":
-            _num, _gen, val = self._parse_indirect_at(entry[1])
-        else:  # in an object stream
-            _t, stm_num, idx = entry
-            val = self._objstm_object(stm_num, idx)
+        if key in self._loading:
+            # general load-cycle breaker: the ObjStm container check
+            # alone misses cycles THROUGH indirect dict values (e.g. an
+            # ObjStm whose /Length lives inside that same ObjStm)
+            raise ValueError(
+                f"pdf {self.origin}: circular load of object {key}"
+            )
+        self._loading.add(key)
+        try:
+            if entry[0] == "n":
+                _num, _gen, val = self._parse_indirect_at(entry[1])
+            else:  # in an object stream
+                _t, stm_num, idx = entry
+                val = self._objstm_object(stm_num, idx)
+        finally:
+            self._loading.discard(key)
         self._cache[key] = val
         return val
 
@@ -706,6 +735,13 @@ class PdfDocument:
         for _ in range(n):
             onum = lex.parse()
             ooff = lex.parse()
+            if not isinstance(onum, int) or not isinstance(ooff, int) \
+                    or onum < 0 or ooff < 0 \
+                    or first + ooff > len(payload):
+                raise ValueError(
+                    f"pdf {self.origin}: object stream {stm_num} header "
+                    f"pair ({onum!r}, {ooff!r}) invalid"
+                )
             pairs.append((onum, ooff))
         if idx >= len(pairs):
             raise ValueError(
@@ -750,6 +786,10 @@ class PdfDocument:
                     f"pdf {self.origin}: page-tree node is not a dict"
                 )
             res = self._resolve(node.get("Resources")) or inherited_res
+            if not isinstance(res, dict):
+                raise ValueError(
+                    f"pdf {self.origin}: /Resources is not a dict"
+                )
             t = str(self._resolve(node.get("Type", "")))
             if t == "Pages" or (t == "" and "Kids" in node):
                 for kid in self._resolve(node.get("Kids", [])):
@@ -915,6 +955,8 @@ def _content_text(doc: PdfDocument, payload: bytes, resources: dict,
             f"pdf {doc.origin}: form XObjects nested deeper than 16"
         )
     fonts = doc._resolve(resources.get("Font")) or {}
+    if not isinstance(fonts, dict):
+        raise ValueError(f"pdf {doc.origin}: /Font resource is not a dict")
     decoders: dict = {}
     lex = _Lexer(payload, 0, doc.origin)
     stack: list = []
@@ -995,6 +1037,10 @@ def _content_text(doc: PdfDocument, payload: bytes, resources: dict,
         elif op == b"Do":
             if stack and isinstance(stack[-1], _Name):
                 xobjs = doc._resolve(resources.get("XObject")) or {}
+                if not isinstance(xobjs, dict):
+                    raise ValueError(
+                        f"pdf {doc.origin}: /XObject resource is not a dict"
+                    )
                 xo = doc._resolve(xobjs.get(str(stack[-1])))
                 if isinstance(xo, _Stream):
                     sub = str(doc._resolve(xo.d.get("Subtype", "")))
@@ -1002,6 +1048,11 @@ def _content_text(doc: PdfDocument, payload: bytes, resources: dict,
                         sub_res = (
                             doc._resolve(xo.d.get("Resources")) or resources
                         )
+                        if not isinstance(sub_res, dict):
+                            raise ValueError(
+                                f"pdf {doc.origin}: form /Resources is "
+                                "not a dict"
+                            )
                         out.append("\n")
                         out.append(_content_text(
                             doc, doc.stream_data(xo), sub_res, depth + 1
@@ -1069,10 +1120,12 @@ def write_pdf(pages: list, origin: str = "<write>") -> bytes:
     """Minimal deterministic PDF writer: one Helvetica/WinAnsi text page
     per input string, Flate-compressed content streams, classic xref
     table. Exists for the same reason write_wav/encode_png do — the
-    round-trip closes the loop (``pdf_to_text(write_pdf(pages))``
-    recovers the text exactly for cp1252-expressible input) and the
-    corpus demo can synthesize real PDFs from the fixture corpus.
-    Same text in, same bytes out (zlib level pinned)."""
+    round trip closes the loop (``pdf_to_text(write_pdf(pages))``
+    recovers cp1252-expressible text MODULO the extractor's documented
+    whitespace normalization: runs of spaces/tabs collapse to one space,
+    line edges trim — single-spaced trimmed text round-trips exactly)
+    and the corpus demo can synthesize real PDFs from the fixture
+    corpus. Same text in, same bytes out (zlib level pinned)."""
     if not pages or not all(isinstance(p, str) for p in pages):
         raise ValueError(f"pdf {origin}: write_pdf needs 1+ str pages")
     out = bytearray(b"%PDF-1.4\n")

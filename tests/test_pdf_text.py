@@ -552,3 +552,56 @@ def test_write_pdf_property(pages):
         n for n in (norm(p) for p in pages) if n
     )
     assert got == want
+
+
+def test_more_census_safe_crafted_structures():
+    """Second review round: cycles through indirect dict values, bad
+    ObjStm header pairs, non-dict resources, and negative offsets all
+    raise ValueError (census-foldable), never
+    RecursionError/TypeError/AttributeError."""
+    from hbase_observer_es_spark.operators.pdf_text import _Ref
+
+    # ObjStm whose /Length is an indirect ref INTO the same ObjStm
+    out = bytearray(b"%PDF-1.5\n")
+    stm_at = len(out)
+    out.extend(b"5 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length 7 0 R >>"
+               b"\nstream\n7 0 42 \nendstream\nendobj\n")
+    xref_at = len(out)
+    raw = b"".join(
+        bytes([t]) + a.to_bytes(2, "big") + bytes([c])
+        for t, a, c in [(0, 0, 0), (1, stm_at, 0), (2, 5, 0)]
+    )
+    payload = zlib.compress(raw)
+    out.extend(
+        b"6 0 obj\n<< /Type /XRef /Size 3 /Index [0 1 5 1 7 1] /W [1 2 1] "
+        b"/Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(payload) + payload
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF" % xref_at
+    )
+    doc = PdfDocument(bytes(out))
+    with pytest.raises(ValueError, match=r"circular load"):
+        doc.obj(_Ref(7, 0))
+    # ObjStm header pair with a non-integer offset
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [] /Count 0 >>")
+    b.add_stream(5, b"/Type /ObjStm /N 1 /First 8", b"7 (bad) x")
+    doc = PdfDocument(b.finish(1))
+    doc.xref[7] = ("s", 5, 0)
+    with pytest.raises(ValueError, match=r"header pair"):
+        doc.obj(_Ref(7, 0))
+    # non-dict /Resources on a page
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources [1 2] "
+             b"/Contents 4 0 R >>")
+    b.add_stream(4, b"", b"BT ET")
+    with pytest.raises(ValueError, match=r"/Resources is not a dict"):
+        pdf_to_text(b.finish(1))
+    # negative classic-xref offset is loud, not a silent wrap-around read
+    good = _simple_pdf(_content(b"x"))
+    neg = good.replace(b"0000000009 00000 n", b"-000000009 00000 n")
+    assert neg != good
+    with pytest.raises(ValueError, match=r"offset -9 is negative"):
+        pdf_to_text(neg)
