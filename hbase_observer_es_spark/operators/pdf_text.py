@@ -47,7 +47,6 @@ Reference parity: none — builder-brief document-pipeline surface
 from __future__ import annotations
 
 import re
-import struct
 import zlib
 
 PDF_MAGIC = b"%PDF-"
