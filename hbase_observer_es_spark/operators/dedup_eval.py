@@ -8,11 +8,13 @@ the textbook S-curve. This operator runs BOTH sides over the same
 word-trigram shingle space ``q_dedup_minhash`` uses and reports exact
 integer counts:
 
-* **truth** — all-pairs exact shingle-Jaccard ≥ threshold, with the same
-  provably-lossless size-ratio prune the exact queries use. Quadratic BY
-  DESIGN, like ``q_dedup_jaccard`` and ``q_ann_recall``'s brute-force
-  side: the ground truth is the product here, and it shares the fenced
-  cost profile (never composed into any other query's closure).
+* **truth** — EXACT shingle-Jaccard ≥ threshold via the co-occurrence
+  identity (inverted-index equi-join on the shingle hash; r12 — the
+  all-pairs BNLJ form cost 216 s at sf0.1 for identical rows). Still
+  fenced: the ground truth is this module's product and no other
+  query's closure may reach it. The DuckDB oracle keeps the
+  independent ALL-PAIRS formulation, so the identity itself is
+  hash-checked.
 * **found** — ``q_dedup_minhash``'s output verbatim (its own exact verify
   makes precision 1 by construction; ``n_extra`` measuring 0 CHECKS that
   claim instead of restating it).
@@ -44,7 +46,6 @@ from ..io import persist_tracked
 from .dedup import (
     JACCARD_THRESHOLD,
     SQL_DEDUP_MINHASH,
-    _jaccard,
     _shingled_docs,
     _SQL_JACCARD,
     q_dedup_minhash,
@@ -61,30 +62,40 @@ assert _SHINGLE_CTES.lstrip().startswith("toksf AS") and _SHINGLE_CTES.rstrip().
 
 
 def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs exact shingle-Jaccard ≥ threshold — quadratic ground
-    truth (see module docstring), size-ratio pruned losslessly. The
-    shingle frame feeds BOTH sides of the self-join, so it persists
-    (dedup.py measured the unpersisted pipeline re-executing per branch)."""
+    """EXACT shingle-Jaccard ≥ threshold pairs via the co-occurrence
+    identity: |A∩B| comes from an inverted-index equi-self-join on the
+    shingle hash (a pair sharing NO shingle has J = 0 and can never
+    qualify, so the join loses nothing), |A∪B| = |A| + |B| − |A∩B| from
+    the per-doc distinct-set sizes carried through the explode. Replaces
+    the r10 all-pairs BNLJ form — 216 s at sf0.1, quadratic compute —
+    with one shuffle linear in shingle occurrences plus the co-occurring
+    pair count: the shape exact ground truth actually takes at 100 TB.
+    Near-unique trigram shingles keep join buckets tiny; a
+    boilerplate-heavy corpus would cap or salt hot shingles (the
+    q_dedup_substring skew discipline). Same rows, same doubles (the
+    intersection/union INTEGERS are identical), so the all-pairs DuckDB
+    oracle stays the independent mirror."""
     sh = persist_tracked(
         _shingled_docs(spark, sf_dir), "dedup_eval.truth.shingles"
     )
-    a = sh.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("hs").alias("a_hs"),
-        F.size("hs").alias("a_sz"),
+    ex = sh.select(
+        "doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h")
     )
-    b = sh.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("hs").alias("b_hs"),
-        F.size("hs").alias("b_sz"),
+    a = ex.select(
+        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"), "h"
     )
-    size_ok = (
-        F.least(F.col("a_sz"), F.col("b_sz")).cast("double")
-        >= F.lit(JACCARD_THRESHOLD) * F.greatest(F.col("a_sz"), F.col("b_sz"))
+    b = ex.select(
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"), "h"
     )
+    co = (
+        a.join(b, "h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = (F.col("a_sz") + F.col("b_sz") - F.col("inter")).cast("double")
     return (
-        a.join(b, (F.col("a_id") < F.col("b_id")) & size_ok)
-        .where(_jaccard(F.col("a_hs"), F.col("b_hs")) >= JACCARD_THRESHOLD)
+        co.where(F.col("inter").cast("double") / union >= JACCARD_THRESHOLD)
         .select("a_id", "b_id")
     )
 

@@ -1024,8 +1024,7 @@ def test_mm_decode_resize_python_stage_no_shuffle(spark):
 # — never data-sized — so the "nested loop" is one pass over the stream side.
 _BNLJ_BY_DESIGN = {
     "q_agg_autodatehist", "q_agg_itemsets", "q_agg_rare_terms", "q_ann_recall",
-    "q_cdc_field_missing", "q_dedup_jaccard", "q_dedup_lsh_recall",
-    "q_mixture_weights",
+    "q_cdc_field_missing", "q_dedup_jaccard", "q_mixture_weights",
     "q_search_bm25", "q_search_bm25_ln", "q_search_hybrid_rrf", "q_search_mlt",
     "q_search_mlt_ln", "q_search_rescore", "q_search_percolate",
     "q_search_suggest_term", "q_search_suggest_phrase",
