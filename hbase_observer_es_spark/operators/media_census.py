@@ -16,7 +16,10 @@ one mapInPandas pass, composing every real parser in the repo:
 * video: AVI (frame count from the movi walk, no decode needed for the
   census), MP4 per-movie facts, animated GIFs report their frame count;
 * documents: PDFs report version + page count from the real container
-  parse (``operators/pdf_text.py``, r12);
+  parse (``operators/pdf_text.py``, r12); DOCX/ODT/EPUB report their
+  paragraph/spine counts through the office sniff
+  (``operators/office_text.py``, r12); other ZIPs survey as
+  family="archive" with member counts;
 * containers/unknown: anything else is classified ``unknown`` with its
   magic preserved.
 
@@ -60,6 +63,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
     from .jpeg import decode_image, looks_like_jpeg
     from .mp3meta import looks_like_mp3, mp3_meta
     from .mp4meta import looks_like_mp4, mp4_meta
+    from .office_text import looks_like_zip, office_parts, sniff_office
     from .oggmeta import looks_like_ogg, ogg_meta
     from .pdf_text import looks_like_pdf, pdf_meta
     from .png import PNG_MAGIC
@@ -155,6 +159,25 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                 family="document", format="pdf", n_frames=m["n_pages"],
                 detail=f"pdf-{m['version']}",
             )
+        elif looks_like_zip(payload):
+            kind = sniff_office(payload, origin=origin)
+            if kind:
+                row.update(
+                    family="document", format=kind,
+                    n_frames=office_parts(payload, origin=origin),
+                )
+            else:
+                import io
+                import zipfile
+
+                try:
+                    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                        n = sum(1 for i in zf.infolist() if not i.is_dir())
+                except zipfile.BadZipFile as exc:
+                    raise ValueError(
+                        f"zip {origin}: not a readable ZIP archive: {exc}"
+                    ) from None
+                row.update(family="archive", format="zip", n_frames=n)
         else:
             row.update(
                 family="unknown", format="",
