@@ -63,7 +63,12 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
     from .jpeg import decode_image, looks_like_jpeg
     from .mp3meta import looks_like_mp3, mp3_meta
     from .mp4meta import looks_like_mp4, mp4_meta
-    from .office_text import looks_like_zip, office_parts, sniff_office
+    from .office_text import (
+        looks_like_zip,
+        office_parts,
+        sniff_office,
+        zip_member_count,
+    )
     from .oggmeta import looks_like_ogg, ogg_meta
     from .pdf_text import looks_like_pdf, pdf_meta
     from .png import PNG_MAGIC
@@ -164,20 +169,13 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             if kind:
                 row.update(
                     family="document", format=kind,
-                    n_frames=office_parts(payload, origin=origin),
+                    n_frames=office_parts(payload, origin=origin, kind=kind),
                 )
             else:
-                import io
-                import zipfile
-
-                try:
-                    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-                        n = sum(1 for i in zf.infolist() if not i.is_dir())
-                except zipfile.BadZipFile as exc:
-                    raise ValueError(
-                        f"zip {origin}: not a readable ZIP archive: {exc}"
-                    ) from None
-                row.update(family="archive", format="zip", n_frames=n)
+                row.update(
+                    family="archive", format="zip",
+                    n_frames=zip_member_count(payload, origin=origin),
+                )
         else:
             row.update(
                 family="unknown", format="",

@@ -1,9 +1,11 @@
 """DOCX / ODT / EPUB text extraction — the office-document corpus leg.
 
 Word-processor documents and ebooks are large, high-quality text sources,
-and all three formats are public: ZIP containers (walked by the
-CRC-verified, bomb-guarded member iterator in ``sources/zipsrc.py``)
-around published XML vocabularies —
+and all three formats are public: ZIP containers — read SELECTIVELY
+(only the structural XML members decompress, never a book's images or
+fonts) with the zipsrc guards applied per member (encryption refused,
+declared sizes bounded, CRCs verified by the stdlib read) — around
+published XML vocabularies —
 
 * **DOCX** (ECMA-376 WordprocessingML): ``word/document.xml``, paragraphs
   ``w:p`` with runs ``w:r``/``w:t``, explicit ``w:tab``/``w:br``; tables
@@ -54,18 +56,67 @@ def looks_like_zip(payload: bytes) -> bool:
     return payload[: len(ZIP_MAGIC)] == ZIP_MAGIC
 
 
-def _members(payload: bytes, origin: str) -> dict:
-    """All members via the shared CRC-verified, bomb-guarded walk."""
-    from ..sources.zipsrc import _iter_members
+def _open(payload: bytes, origin: str) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(
+            f"zip {origin}: not a readable ZIP archive: {exc}"
+        ) from exc
 
-    return dict(_iter_members(payload, origin, None))
+
+def _read_member(zf: zipfile.ZipFile, name: str, origin: str,
+                 required: bool = True) -> bytes | None:
+    """ONE member, selectively — an office extractor must not pay a full
+    decompression of every embedded image/font just to reach one XML
+    part. Same guards as zipsrc's walk: encryption refused, declared
+    size bounded and verified (zf.read CRC-checks)."""
+    from ..sources.zipsrc import MAX_MEMBER_BYTES
+
+    try:
+        info = zf.getinfo(name)
+    except KeyError:
+        if required:
+            raise ValueError(
+                f"office {origin}: member {name!r} missing from the archive"
+            ) from None
+        return None
+    if info.flag_bits & 0x1:
+        raise ValueError(
+            f"office {origin}: member {name!r} is encrypted — refusing"
+        )
+    if info.file_size > MAX_MEMBER_BYTES:
+        raise ValueError(
+            f"office {origin}: member {name!r} declares {info.file_size} "
+            f"bytes — over the {MAX_MEMBER_BYTES} member guard"
+        )
+    try:
+        data = zf.read(info)
+    except Exception as exc:
+        raise ValueError(
+            f"office {origin}: member {name!r} failed to extract: {exc}"
+        ) from exc
+    if len(data) != info.file_size:
+        raise ValueError(
+            f"office {origin}: member {name!r} extracted {len(data)} "
+            f"bytes but declared {info.file_size}"
+        )
+    return data
+
+
+def zip_member_count(payload: bytes, origin: str = "<bytes>") -> int:
+    """Non-directory member count from the central directory only — the
+    census's generic-archive row (no decompression)."""
+    with _open(payload, origin) as zf:
+        return sum(1 for i in zf.infolist() if not i.is_dir())
 
 
 def sniff_office(payload: bytes, origin: str = "<bytes>") -> str | None:
     """'docx' | 'odt' | 'epub' | None for a ZIP payload, from the member
-    directory only (no body parse). The EPUB/ODT ``mimetype`` member is
-    authoritative when present; DOCX is identified by its fixed document
-    part name."""
+    directory only (the EPUB/ODT ``mimetype`` member is authoritative
+    when present and read ONLY if plausibly sized — a signature member
+    that deflates to gigabytes is a bomb, not a mimetype; DOCX is
+    identified by its fixed document part name)."""
     if not looks_like_zip(payload):
         return None
     try:
@@ -77,8 +128,11 @@ def sniff_office(payload: bytes, origin: str = "<bytes>") -> str | None:
         mimetype = b""
         if "mimetype" in names:
             try:
-                mimetype = zf.read("mimetype").strip()
-            except Exception:
+                info = zf.getinfo("mimetype")
+                if info.file_size > 1024 or info.flag_bits & 0x1:
+                    return None  # not a plausible signature member
+                mimetype = zf.read(info).strip()
+            except (zipfile.BadZipFile, OSError, KeyError):
                 return None
         if mimetype == b"application/epub+zip" or (
             not mimetype and "META-INF/container.xml" in names
@@ -91,12 +145,24 @@ def sniff_office(payload: bytes, origin: str = "<bytes>") -> str | None:
     return None
 
 
+# the DOCTYPE refusal must see every encoding the parser would accept:
+# ASCII-compatible, UTF-16LE, and UTF-16BE spellings (a guard that scans
+# a byte prefix for one spelling is a guard an attacker routes around)
+_DOCTYPES = (
+    b"<!DOCTYPE",
+    "<!DOCTYPE".encode("utf-16-le"),
+    "<!DOCTYPE".encode("utf-16-be"),
+)
+
+
 def _parse_xml(data: bytes, origin: str, what: str):
     """stdlib etree behind the DOCTYPE refusal (entity-expansion guard:
-    none of the office vocabularies declares one)."""
+    none of the office vocabularies declares one). The scan covers the
+    WHOLE document in all three encodings etree would accept — prolog
+    comments must not be able to push a DOCTYPE past the guard."""
     import xml.etree.ElementTree as ET
 
-    if b"<!DOCTYPE" in data[:4096]:
+    if any(pat in data for pat in _DOCTYPES):
         raise ValueError(
             f"office {origin}: {what} carries a DOCTYPE declaration — "
             "refusing (internal entities are the expansion vector; the "
@@ -127,26 +193,50 @@ def _docx_paragraph(p) -> str:
     return "".join(parts)
 
 
+def _docx_top_paragraphs(root) -> list:
+    """w:p elements NOT nested inside another w:p. Text boxes
+    (w:txbxContent) put paragraphs inside a run of the enclosing
+    paragraph — _docx_paragraph's subtree walk already pulls their text
+    into that paragraph, so emitting the nested w:p as its own row would
+    DUPLICATE the text (silent corpus corruption in a dedup-sensitive
+    pipeline)."""
+    parent = {c: p for p in root.iter() for c in p}
+    out = []
+    for p in root.iter(_W_NS + "p"):
+        anc = parent.get(p)
+        nested = False
+        while anc is not None:
+            if anc.tag == _W_NS + "p":
+                nested = True
+                break
+            anc = parent.get(anc)
+        if not nested:
+            out.append(p)
+    return out
+
+
 def docx_to_text(payload: bytes, origin: str = "<bytes>") -> str:
-    """word/document.xml → text, one line per paragraph (tables flow in
-    document order — their cell paragraphs are w:p like any other)."""
-    members = _members(payload, origin)
-    doc = members.get("word/document.xml")
-    if doc is None:
-        raise ValueError(
-            f"office {origin}: no word/document.xml member — not a DOCX"
-        )
+    """word/document.xml → text, one line per top-level paragraph
+    (tables flow in document order — their cell paragraphs are w:p like
+    any other; text-box paragraphs extract once, inline)."""
+    with _open(payload, origin) as zf:
+        doc = _read_member(zf, "word/document.xml", origin)
     root = _parse_xml(doc, origin, "word/document.xml")
-    paras = [_docx_paragraph(p) for p in root.iter(_W_NS + "p")]
+    paras = [_docx_paragraph(p) for p in _docx_top_paragraphs(root)]
     return _normalize("\n".join(paras))
 
 
 # -------------------------------------------------------------------- odt
 
 
-def _odt_text(node) -> str:
+_MAX_ODT_SPACES = 1_000_000  # text:c is attacker data: a 200-byte file
+# must not command a gigabyte string (the zipsrc/gif/png guard rule)
+
+
+def _odt_text(node, origin: str) -> str:
     """Recursive ODF text: spans nest, text:tab/line-break/s are
-    elements (text:s carries a run length in @text:c, default 1)."""
+    elements (text:s carries a run length in @text:c, default 1 —
+    bounded and validated, it's header-declared size)."""
     parts: list = [node.text or ""]
     for child in node:
         tag = child.tag
@@ -155,42 +245,47 @@ def _odt_text(node) -> str:
         elif tag == _TEXT_NS + "line-break":
             parts.append("\n")
         elif tag == _TEXT_NS + "s":
-            parts.append(" " * int(child.get(_TEXT_NS + "c", "1")))
+            raw = child.get(_TEXT_NS + "c", "1")
+            try:
+                n = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"office {origin}: text:s run length {raw!r} is not "
+                    "an integer"
+                ) from None
+            if not 0 <= n <= _MAX_ODT_SPACES:
+                raise ValueError(
+                    f"office {origin}: text:s declares {n} spaces — "
+                    f"outside 0..{_MAX_ODT_SPACES}"
+                )
+            parts.append(" " * n)
         else:
-            parts.append(_odt_text(child))
+            parts.append(_odt_text(child, origin))
         parts.append(child.tail or "")
     return "".join(parts)
 
 
 def odt_to_text(payload: bytes, origin: str = "<bytes>") -> str:
-    members = _members(payload, origin)
-    doc = members.get("content.xml")
-    if doc is None:
-        raise ValueError(
-            f"office {origin}: no content.xml member — not an ODT"
-        )
+    with _open(payload, origin) as zf:
+        doc = _read_member(zf, "content.xml", origin)
     root = _parse_xml(doc, origin, "content.xml")
     paras = []
     for node in root.iter():
         if node.tag in (_TEXT_NS + "p", _TEXT_NS + "h"):
-            paras.append(_odt_text(node))
+            paras.append(_odt_text(node, origin))
     return _normalize("\n".join(paras))
 
 
 # ------------------------------------------------------------------- epub
 
 
-def epub_to_text(payload: bytes, origin: str = "<bytes>") -> str:
-    """container.xml → OPF → spine order → each XHTML chapter through
-    html_to_text; chapters joined with blank lines."""
-    from .html_text import html_to_text
+def _epub_spine(zf: zipfile.ZipFile, origin: str) -> list:
+    """SPINE member paths in reading order: container.xml → OPF →
+    manifest hrefs (PERCENT-DECODED — OPF hrefs are IRIs, so a chapter
+    named 'my ch.xhtml' is referenced as 'my%20ch.xhtml') → itemrefs."""
+    from urllib.parse import unquote
 
-    members = _members(payload, origin)
-    container = members.get("META-INF/container.xml")
-    if container is None:
-        raise ValueError(
-            f"office {origin}: no META-INF/container.xml — not an EPUB"
-        )
+    container = _read_member(zf, "META-INF/container.xml", origin)
     croot = _parse_xml(container, origin, "container.xml")
     rootfile = croot.find(
         f"{_CONTAINER_NS}rootfiles/{_CONTAINER_NS}rootfile"
@@ -200,22 +295,18 @@ def epub_to_text(payload: bytes, origin: str = "<bytes>") -> str:
             f"office {origin}: container.xml names no rootfile"
         )
     opf_path = rootfile.get("full-path")
-    opf = members.get(opf_path)
-    if opf is None:
-        raise ValueError(
-            f"office {origin}: rootfile {opf_path!r} missing from the "
-            "archive"
-        )
+    opf = _read_member(zf, opf_path, origin)
     oroot = _parse_xml(opf, origin, opf_path)
     base = posixpath.dirname(opf_path)
     hrefs = {}
     for item in oroot.iter(_OPF_NS + "item"):
         iid, href = item.get("id"), item.get("href")
         if iid and href:
+            href = unquote(href)
             hrefs[iid] = posixpath.normpath(
                 posixpath.join(base, href) if base else href
             )
-    chapters = []
+    spine = []
     for itemref in oroot.iter(_OPF_NS + "itemref"):
         idref = itemref.get("idref")
         path = hrefs.get(idref)
@@ -224,17 +315,25 @@ def epub_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                 f"office {origin}: spine idref {idref!r} has no manifest "
                 "item"
             )
-        body = members.get(path)
-        if body is None:
-            raise ValueError(
-                f"office {origin}: spine item {path!r} missing from the "
-                "archive"
-            )
-        # EPUB's default encoding is UTF-8; XHTML goes through the
-        # library-free HTML extractor (it owns entities + whitespace)
-        chapters.append(html_to_text(body.decode("utf-8", "replace")))
-    if not chapters:
+        spine.append(path)
+    if not spine:
         raise ValueError(f"office {origin}: OPF spine is empty")
+    return spine
+
+
+def epub_to_text(payload: bytes, origin: str = "<bytes>") -> str:
+    """container.xml → OPF → spine order → each XHTML chapter through
+    html_to_text; chapters joined with blank lines. Only the spine
+    members decompress — a book's images and fonts never do."""
+    from .html_text import html_to_text
+
+    chapters = []
+    with _open(payload, origin) as zf:
+        for path in _epub_spine(zf, origin):
+            body = _read_member(zf, path, origin)
+            # EPUB's default encoding is UTF-8; XHTML goes through the
+            # library-free HTML extractor (it owns entities + whitespace)
+            chapters.append(html_to_text(body.decode("utf-8", "replace")))
     return "\n\n".join(c for c in chapters if c).strip()
 
 
@@ -262,32 +361,29 @@ def office_to_text(payload: bytes, origin: str = "<bytes>") -> tuple:
     )
 
 
-def office_parts(payload: bytes, origin: str = "<bytes>") -> int:
-    """Part count for the census: paragraphs (docx/odt) or spine length
-    (epub) — cheap enough to ride the classification pass."""
-    kind = sniff_office(payload, origin)
-    members = _members(payload, origin)
+def office_parts(payload: bytes, origin: str = "<bytes>",
+                 kind: str | None = None) -> int:
+    """Part count for the census: TOP-LEVEL paragraphs (docx — same rule
+    as extraction), paragraphs/headings (odt), or spine length (epub).
+    Reads ONLY the structural member it needs — embedded images/fonts
+    never decompress. Pass ``kind`` when the caller already sniffed."""
+    kind = kind or sniff_office(payload, origin)
     if kind == "docx":
-        root = _parse_xml(
-            members["word/document.xml"], origin, "word/document.xml"
-        )
-        return sum(1 for _ in root.iter(_W_NS + "p"))
+        with _open(payload, origin) as zf:
+            doc = _read_member(zf, "word/document.xml", origin)
+        root = _parse_xml(doc, origin, "word/document.xml")
+        return len(_docx_top_paragraphs(root))
     if kind == "odt":
-        root = _parse_xml(members["content.xml"], origin, "content.xml")
+        with _open(payload, origin) as zf:
+            doc = _read_member(zf, "content.xml", origin)
+        root = _parse_xml(doc, origin, "content.xml")
         return sum(
             1 for node in root.iter()
             if node.tag in (_TEXT_NS + "p", _TEXT_NS + "h")
         )
     if kind == "epub":
-        croot = _parse_xml(
-            members["META-INF/container.xml"], origin, "container.xml"
-        )
-        rf = croot.find(f"{_CONTAINER_NS}rootfiles/{_CONTAINER_NS}rootfile")
-        opf = members.get(rf.get("full-path") if rf is not None else "")
-        if opf is None:
-            raise ValueError(f"office {origin}: rootfile missing")
-        oroot = _parse_xml(opf, origin, "package.opf")
-        return sum(1 for _ in oroot.iter(_OPF_NS + "itemref"))
+        with _open(payload, origin) as zf:
+            return len(_epub_spine(zf, origin))
     raise ValueError(f"office {origin}: not an office document")
 
 

@@ -181,3 +181,58 @@ def test_office_text_frame(spark):
         2: ("odt", "spark odt"),
         3: ("epub", "spark epub"),
     }
+
+
+def test_review_findings_census_safety_and_guards():
+    """Second-pass review regressions: zero-byte signature members,
+    full-document + UTF-16 DOCTYPE scan, bounded text:s, percent-encoded
+    EPUB hrefs, text-box dedup, bomb-sized mimetype."""
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    # zero-byte word/document.xml: ValueError (census-foldable), no KeyError
+    z = _zip({"word/document.xml": b""})
+    with pytest.raises(ValueError, match=r"not well-formed"):
+        docx_to_text(z)
+    assert classify_media(z)["family"] == "error"
+    # DOCTYPE beyond 4 KiB of prolog comment still refuses
+    pad = "<!-- " + "x" * 5000 + " -->"
+    doc = (f'<?xml version="1.0"?>{pad}<!DOCTYPE r [<!ENTITY a "b">]>'
+           f"<w:document {_W}><w:body/></w:document>")
+    with pytest.raises(ValueError, match=r"DOCTYPE"):
+        docx_to_text(_zip({"word/document.xml": doc}))
+    # UTF-16 spelling refuses too
+    doc16 = ('<?xml version="1.0" encoding="utf-16"?><!DOCTYPE r [<!ENTITY '
+             f'a "b">]><w:document {_W}><w:body/></w:document>'
+             ).encode("utf-16-le")
+    with pytest.raises(ValueError, match=r"DOCTYPE"):
+        docx_to_text(_zip({"word/document.xml": doc16}))
+    # text:s run length is attacker data: bounded and integer-validated
+    with pytest.raises(ValueError, match=r"outside 0\.\."):
+        odt_to_text(_odt('<text:p><text:s text:c="999999999"/></text:p>'))
+    with pytest.raises(ValueError, match=r"not an integer"):
+        odt_to_text(_odt('<text:p><text:s text:c="zz"/></text:p>'))
+
+
+def test_epub_percent_encoded_hrefs_resolve():
+    chapters = {"my ch.xhtml": "<p>spaced name</p>"}
+    data = _epub(chapters, spine=["my ch.xhtml"])
+    # the OPF must reference the member through its IRI form
+    data = data.replace(b'href="my ch.xhtml"', b'href="my%20ch.xhtml"')
+    assert epub_to_text(data) == "spaced name"
+
+
+def test_docx_textbox_extracts_once():
+    body = (
+        "<w:p><w:r><w:t>outer </w:t>"
+        "<w:pict><w:txbxContent>" + _para("boxed") + "</w:txbxContent></w:pict>"
+        "</w:r></w:p>"
+    )
+    data = _docx(body)
+    assert docx_to_text(data) == "outer boxed"
+    assert office_parts(data) == 1  # the nested w:p is not its own part
+
+
+def test_oversized_mimetype_is_not_an_office_signature():
+    big = _zip({"word/document.xml": "<x/>"}, mimetype=b"A" * 4096)
+    # mimetype > 1 KiB: not a plausible signature; sniff refuses to read it
+    assert sniff_office(big) is None
