@@ -88,6 +88,21 @@ def _read_subblocks(data: bytes, pos: int, origin: str) -> tuple:
         pos += n
 
 
+def _skip_subblocks(data: bytes, pos: int, origin: str) -> int:
+    """Position after a sub-block chain's terminator — the skip-only twin
+    of :func:`_read_subblocks` (no payload concatenation)."""
+    while True:
+        if pos >= len(data):
+            raise ValueError(f"gif {origin}: sub-blocks truncated (no terminator)")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        if pos + n > len(data):
+            raise ValueError(f"gif {origin}: sub-block of {n} bytes overruns the file")
+        pos += n
+
+
 def _lzw_decode(data: bytes, min_code_size: int, expected: int, origin: str) -> bytes:
     """GIF-flavor LZW: LSB-first bit packing, CLEAR = 2^min,
     END = CLEAR+1, code width min+1..12, dictionary cap 4096 (further
@@ -327,6 +342,71 @@ def decode_gif(data: bytes, origin: str = "<bytes>") -> PngImage:
     decoding after frame 0 (generator-backed): a thousand-frame
     animation costs one frame."""
     return next(iter_gif_frames(data, origin=origin)).image
+
+
+def count_gif_frames(
+    data: bytes, origin: str = "<bytes>", max_frames: int = 10000
+) -> int:
+    """Frames PRESENT, from the block-structure walk ALONE — no LZW
+    decode, no canvas: skipping a frame costs only its sub-block length
+    bytes, so the count is cheap enough for per-payload metadata on the
+    registered decode path (``multimodal.decode_image_real``).
+    Structural validation matches :func:`iter_gif_frames` (same loud
+    truncation / unknown-block / zero-frame / ``max_frames`` errors);
+    pixel-level corruption (bad LZW codes, palette overruns) is by
+    design NOT detected here — this counts what the container declares,
+    and the pixel decoders stay the authority on pixel data."""
+    if not looks_like_gif(data):
+        raise ValueError(
+            f"gif {origin}: not a GIF stream (bytes 0-5 {data[:6]!r})"
+        )
+    if len(data) < 13:
+        raise ValueError(f"gif {origin}: truncated logical screen descriptor")
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        end = pos + 3 * (2 << (packed & 0x07))
+        if end > len(data):
+            raise ValueError(f"gif {origin}: global color table truncated")
+        pos = end
+    n_frames = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError(f"gif {origin}: stream ends without trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            if pos >= len(data):
+                raise ValueError(f"gif {origin}: truncated extension header")
+            pos = _skip_subblocks(data, pos + 1, origin)
+            continue
+        if block != 0x2C:
+            raise ValueError(
+                f"gif {origin}: unknown block 0x{block:02X} at byte {pos - 1}"
+            )
+        if pos + 9 > len(data):
+            raise ValueError(f"gif {origin}: truncated image descriptor")
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            end = pos + 3 * (2 << (ipacked & 0x07))
+            if end > len(data):
+                raise ValueError(f"gif {origin}: local color table truncated")
+            pos = end
+        if pos >= len(data):
+            raise ValueError(f"gif {origin}: truncated before LZW data")
+        pos = _skip_subblocks(data, pos + 1, origin)  # +1: min-code byte
+        n_frames += 1
+        if n_frames > max_frames:
+            raise ValueError(
+                f"gif {origin}: more than {max_frames} frames — raise "
+                "max_frames if this is intentional"
+            )
+    if n_frames == 0:
+        raise ValueError(f"gif {origin}: no image data before the trailer")
+    return n_frames
 
 
 GIF_FRAME_SCHEMA = "frame_idx long, n_frames long, delay_cs long, frame_png binary"

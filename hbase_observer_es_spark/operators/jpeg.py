@@ -58,6 +58,7 @@ Reference parity: none — the reference has no media surface; builder-brief
 from __future__ import annotations
 
 import struct
+from array import array
 
 from .png import MAX_PIXELS as _MAX_PIXELS
 from .png import PngImage
@@ -588,7 +589,12 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
     frame = None
     restart_interval = 0
     n = len(data)
-    coefs: list = []  # per component: list of 64-int blocks (zigzag order)
+    # per component: ONE flat array("i") of 64*n_blocks coefficients in
+    # zigzag order (block b's band k lives at b*64+k). Flat int32 storage
+    # keeps the pre-entropy allocation at 256 B/block — the same order as
+    # the baseline path's plane bytearrays — where per-block Python lists
+    # would cost ~500+ B/block from a few-dozen-byte crafted SOF2 file.
+    coefs: list = []
     metas: list = []  # (h, v, bw_pad, bh_pad, bw_ni, bh_ni, tq)
     dc_al: list = []  # per component: None until first DC scan, else next Al
     ac_al: list = []  # per component: [None]*64 band approximation state
@@ -661,7 +667,7 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
                 ch = -(-height * v // vmax)
                 bw_ni, bh_ni = -(-cw // 8), -(-ch // 8)
                 metas.append((h, v, bw_pad, bh_pad, bw_ni, bh_ni, tq))
-                coefs.append([[0] * 64 for _ in range(bw_pad * bh_pad)])
+                coefs.append(array("i", (0,)) * (bw_pad * bh_pad * 64))
                 dc_al.append(None)
                 ac_al.append([None] * 64)
         elif marker == 0xDA:  # SOS: one scan
@@ -705,11 +711,12 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
         blocks = coefs[ci]
         for byi in range(bh_pad):
             for bxi in range(bw_pad):
-                cz = blocks[byi * bw_pad + bxi]
+                off = (byi * bw_pad + bxi) * 64
                 nat = [0] * 64
                 for k in range(64):
-                    if cz[k]:
-                        nat[ZIGZAG[k]] = cz[k] * qt[k]
+                    c = blocks[off + k]
+                    if c:
+                        nat[ZIGZAG[k]] = c * qt[k]
                 px = _idct_block(nat)
                 ox, oy = bxi * 8, byi * 8
                 for yy in range(8):
@@ -892,7 +899,7 @@ def _scan_dc(
     rst_n = 0
     since = 0
 
-    def one_block(ci: int, blk: list, td: int) -> None:
+    def one_block(ci: int, blocks, off: int, td: int) -> None:
         if ah == 0:
             t = reader.decode(dc_tables[td], "dc")
             if t > 11:
@@ -901,9 +908,18 @@ def _scan_dc(
                     "the limit 11"
                 )
             preds[ci] += _extend(reader.receive(t), t)
-            blk[0] = preds[ci] << al
+            # 8-bit precision bounds the quantized DC coefficient to 11
+            # bits (T.81 table F.1) — a predictor walking past ±2047 is
+            # corrupt entropy data, and int32 storage requires the loud
+            # refusal here rather than an OverflowError at assignment
+            if not -2048 <= preds[ci] <= 2047:
+                raise ValueError(
+                    f"jpeg {origin}: DC predictor {preds[ci]} outside the "
+                    "8-bit precision range — corrupt entropy data"
+                )
+            blocks[off] = preds[ci] << al
         elif reader.bit():
-            blk[0] |= 1 << al
+            blocks[off] |= 1 << al
 
     if interleaved:
         total = mcus_x * mcus_y
@@ -919,8 +935,8 @@ def _scan_dc(
                 blocks = coefs[ci]
                 for by in range(v):
                     for bx in range(h):
-                        blk = blocks[(my * v + by) * bw_pad + (mx * h + bx)]
-                        one_block(ci, blk, td)
+                        off = ((my * v + by) * bw_pad + (mx * h + bx)) * 64
+                        one_block(ci, blocks, off, td)
             since += 1
     else:
         ci, td, _ta = scan_comps[0]
@@ -933,7 +949,7 @@ def _scan_dc(
                 preds = {ci: 0}
                 since = 0
             byi, bxi = divmod(m, bw_ni)
-            one_block(ci, blocks[byi * bw_pad + bxi], td)
+            one_block(ci, blocks, (byi * bw_pad + bxi) * 64, td)
             since += 1
 
 
@@ -960,7 +976,7 @@ def _scan_ac(
             rst_n = (rst_n + 1) % 8
             since = 0
         byi, bxi = divmod(m, bw_ni)
-        coef = blocks[byi * bw_pad + bxi]
+        base = (byi * bw_pad + bxi) * 64
         if ah == 0:
             if eobrun:
                 eobrun -= 1
@@ -981,11 +997,11 @@ def _scan_ac(
                             f"jpeg {origin}: AC run overflows the band — "
                             "corrupt entropy data"
                         )
-                    coef[k] = _extend(reader.receive(s), s) << al
+                    blocks[base + k] = _extend(reader.receive(s), s) << al
                     k += 1
         else:
             eobrun = _refine_ac_block(
-                reader, origin, coef, act, ss, se, al, eobrun
+                reader, origin, blocks, base, act, ss, se, al, eobrun
             )
         since += 1
     if eobrun:
@@ -996,14 +1012,15 @@ def _scan_ac(
 
 
 def _refine_ac_block(
-    reader, origin: str, coef: list, act, ss: int, se: int, al: int,
+    reader, origin: str, coef, base: int, act, ss: int, se: int, al: int,
     eobrun: int,
 ) -> int:
     """One block of an AC refinement scan (G.1.2.3). Every nonzero-history
     coefficient passed over reads a correction bit; r counts ZERO-history
     positions only; a new coefficient lands as ±1<<Al in the (r+1)th
     zero-history slot. An EOB run still corrects the remainder of the
-    CURRENT block before skipping whole blocks."""
+    CURRENT block before skipping whole blocks. ``coef`` is the
+    component's flat coefficient array; ``base`` is this block's offset."""
     p1 = 1 << al
     k = ss
     if eobrun == 0:
@@ -1024,9 +1041,10 @@ def _refine_ac_block(
                     )
                 val = p1 if reader.bit() else -p1
             while k <= se:
-                if coef[k] != 0:
-                    if reader.bit() and (coef[k] & p1) == 0:
-                        coef[k] += p1 if coef[k] > 0 else -p1
+                c = coef[base + k]
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        coef[base + k] = c + (p1 if c > 0 else -p1)
                 else:
                     if r == 0:
                         break
@@ -1038,13 +1056,14 @@ def _refine_ac_block(
                         f"jpeg {origin}: refinement run overflows the band "
                         "— corrupt entropy data"
                     )
-                coef[k] = val
+                coef[base + k] = val
             k += 1
     if eobrun:
         while k <= se:
-            if coef[k] != 0:
-                if reader.bit() and (coef[k] & p1) == 0:
-                    coef[k] += p1 if coef[k] > 0 else -p1
+            c = coef[base + k]
+            if c != 0:
+                if reader.bit() and (c & p1) == 0:
+                    coef[base + k] = c + (p1 if c > 0 else -p1)
             k += 1
         eobrun -= 1
     return eobrun

@@ -91,12 +91,23 @@ def decode_image_real(payload: bytes) -> dict:
     — all FROM SPEC, stdlib-only, via the universal magic dispatch
     ``jpeg.decode_image``. Lossy-VP8 WebP and unknown magics raise
     NotImplementedError, loudly and per-format, rather than faking pixel
-    data."""
+    data. ``n_frames`` is the frame count PRESENT in the container: 1
+    for the single-image formats, the block-walk count for GIF
+    (``gif.count_gif_frames`` — no extra pixel decode, same number
+    media_census reports for the same payload). A GIF whose later frames
+    are structurally truncated is corrupt and raises ValueError even
+    though frame 0 decoded — corruption never downgrades to wrong
+    metadata."""
     fmt, img = _decode_real(payload)
+    n_frames = 1
+    if fmt == "gif":
+        from . import gif as _gif
+
+        n_frames = _gif.count_gif_frames(payload)
     return {
         "width": img.width,
         "height": img.height,
-        "n_frames": 1,
+        "n_frames": n_frames,
         "fmt": fmt,
         "bit_depth": img.bit_depth,
         "color_type": img.color_type,

@@ -231,12 +231,21 @@ def docx_to_text(payload: bytes, origin: str = "<bytes>") -> str:
 
 _MAX_ODT_SPACES = 1_000_000  # text:c is attacker data: a 200-byte file
 # must not command a gigabyte string (the zipsrc/gif/png guard rule)
+_MAX_ODT_DEPTH = 128  # matches the pdf_text.py lexer nesting cap
 
 
-def _odt_text(node, origin: str) -> str:
+def _odt_text(node, origin: str, depth: int = 0) -> str:
     """Recursive ODF text: spans nest, text:tab/line-break/s are
     elements (text:s carries a run length in @text:c, default 1 —
-    bounded and validated, it's header-declared size)."""
+    bounded and validated, it's header-declared size). Nesting depth is
+    attacker data too: a crafted content.xml with thousands of nested
+    text:span elements must raise the loud ValueError, not
+    RecursionError (same cap discipline as the pdf_text.py lexer)."""
+    if depth > _MAX_ODT_DEPTH:
+        raise ValueError(
+            f"office {origin}: ODF text nesting exceeds "
+            f"{_MAX_ODT_DEPTH} levels"
+        )
     parts: list = [node.text or ""]
     for child in node:
         tag = child.tag
@@ -260,7 +269,7 @@ def _odt_text(node, origin: str) -> str:
                 )
             parts.append(" " * n)
         else:
-            parts.append(_odt_text(child, origin))
+            parts.append(_odt_text(child, origin, depth + 1))
         parts.append(child.tail or "")
     return "".join(parts)
 

@@ -364,3 +364,55 @@ def test_iter_frames_is_lazy():
     assert _rgb(decode_gif(data), 0, 0) == _PALETTE4[1]
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_count_gif_frames_structure_only():
+    """count_gif_frames reports frames PRESENT from the block walk alone
+    — matches parse_gif on valid animations, and (by design) does not
+    detect pixel-level corruption it never decodes."""
+    from hbase_observer_es_spark.operators.gif import count_gif_frames
+
+    f1 = _image_desc(0, 0, 2, 2) + bytes([2]) + _subblocks(_lzw_literals([1] * 4, 2))
+    f2 = (
+        _gce(delay_cs=7, disposal=2)
+        + _image_desc(1, 1, 1, 1)
+        + bytes([2])
+        + _subblocks(_lzw_literals([2], 2))
+    )
+    data = _screen(2, 2, _PALETTE4) + f1 + f2 + b"\x3b"
+    assert count_gif_frames(data) == len(parse_gif(data)) == 2
+    assert count_gif_frames(_simple_gif([0, 1, 2, 3], 2, 2)) == 1
+    # pixel-level corruption is NOT this walk's job: bad LZW bytes with
+    # intact block structure still count
+    f2_badpixels = _image_desc(0, 0, 1, 1) + bytes([2]) + _subblocks(b"\xff\xff\xff")
+    assert count_gif_frames(_screen(1, 1, _PALETTE4) + f1 + f2_badpixels + b"\x3b") == 3 - 1
+    # structural truncation IS loud, same as the decoder
+    with pytest.raises(ValueError, match=r"ends without trailer"):
+        count_gif_frames(_screen(2, 2, _PALETTE4) + f1)
+    with pytest.raises(ValueError, match=r"no image data"):
+        count_gif_frames(_screen(2, 2, _PALETTE4) + b"\x3b")
+    with pytest.raises(ValueError, match=r"more than 1 frames"):
+        count_gif_frames(data, max_frames=1)
+
+
+def test_decode_image_real_reports_gif_frame_count():
+    """ADVICE r12: the registered metadata path must report the frames
+    PRESENT for an animated GIF (media_census reports the true count for
+    the same payload), while still decoding only the first composed
+    frame."""
+    from hbase_observer_es_spark.operators.multimodal import decode_image_real
+
+    f1 = _image_desc(0, 0, 2, 2) + bytes([2]) + _subblocks(_lzw_literals([1] * 4, 2))
+    f2 = (
+        _gce(delay_cs=7)
+        + _image_desc(0, 0, 2, 2)
+        + bytes([2])
+        + _subblocks(_lzw_literals([2] * 4, 2))
+    )
+    meta = decode_image_real(_screen(2, 2, _PALETTE4) + f1 + f2 + b"\x3b")
+    assert (meta["fmt"], meta["n_frames"]) == ("gif", 2)
+    # a GIF whose SECOND frame is structurally truncated is corrupt for
+    # metadata purposes even though frame 0 decodes (documented contract)
+    truncated = _screen(2, 2, _PALETTE4) + f1 + f2[:-3]
+    with pytest.raises(ValueError):
+        decode_image_real(truncated)

@@ -741,3 +741,16 @@ def test_encode_progressive_property(w, h, seed):
     base = decode_jpeg(encode_jpeg(img, quality=q))
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
     assert prog.raw == base.raw
+
+
+def test_dc_predictor_out_of_range_is_loud():
+    """A corrupt stream whose DC predictor accumulates past the 8-bit
+    precision coefficient range (T.81 table F.1: ±2047) must raise the
+    loud ValueError — never an int32 OverflowError from the flat
+    coefficient store (ADVICE r12 allocation refactor)."""
+    blocks = [_pad_blocks(2, {0: {0: 2000}, 1: {0: 4000}})]
+    data = build_progressive(
+        16, 8, _gray_comps(), {0: _QT1}, blocks, [([0], 0, 0, 0, 0)]
+    )
+    with pytest.raises(ValueError, match=r"DC predictor 4000 outside"):
+        decode_jpeg(data)

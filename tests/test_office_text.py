@@ -236,3 +236,14 @@ def test_oversized_mimetype_is_not_an_office_signature():
     big = _zip({"word/document.xml": "<x/>"}, mimetype=b"A" * 4096)
     # mimetype > 1 KiB: not a plausible signature; sniff refuses to read it
     assert sniff_office(big) is None
+
+
+def test_odt_nesting_depth_guard():
+    """ADVICE r12: thousands of nested text:span elements must raise the
+    loud ValueError, not RecursionError (pdf_text.py lexer discipline)."""
+    deep = "<text:p>" + "<text:span>" * 2000 + "x" + "</text:span>" * 2000 + "</text:p>"
+    with pytest.raises(ValueError, match=r"nesting exceeds 128 levels"):
+        odt_to_text(_odt(deep))
+    # 100 levels is legitimate nesting and still extracts
+    ok = "<text:p>" + "<text:span>" * 100 + "deep" + "</text:span>" * 100 + "</text:p>"
+    assert odt_to_text(_odt(ok)) == "deep"
