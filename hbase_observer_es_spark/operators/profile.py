@@ -266,3 +266,13 @@ FROM (
 )
 WHERE rnk <= {TOPVAL_K}
 """
+
+
+QUERIES = {
+    "q_profile_stats": q_profile_stats,
+    "q_profile_topvals": q_profile_topvals,
+}
+ORACLES = {
+    "q_profile_stats": SQL_PROFILE_STATS,
+    "q_profile_topvals": SQL_PROFILE_TOPVALS,
+}

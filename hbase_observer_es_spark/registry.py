@@ -69,6 +69,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.incremental",
     "hbase_observer_es_spark.operators.dedup_eval",
     "hbase_observer_es_spark.operators.zorder",
+    "hbase_observer_es_spark.operators.profile",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
@@ -79,73 +80,24 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 12 inputs: CORRECTNESS_r01-r11 + git round boundaries; edited-fn
-# q_dedup_lsh_recall,q_zorder_cells (the round's two registrations — held
-# twins from r10) + q_dedup_simhash_near (banding delegated to the shared
-# hammingband.hash_near_dups). The round's operator edits: dedup.py
-# (simhash banding consolidation, new hammingband import) + multimodal.py
-# (decode_image_real/resize_image_real now ride jpeg.decode_image — real
-# JPEG/GIF/BMP/TIFF on the registered surface) + jpeg.py/png.py/
-# markdown_text.py (ADVICE fixes) — closures surface as tiers 1.0-1.2
-# below (the new dedup->hammingband import edge marks importers affected).
-# Window head = 2 never-checked + 21 tier-1 rows; the r7 evidence band
-# (15 rows) rotates through the remaining window.
+# Round 13 inputs: CORRECTNESS_r01-r12 + git round boundaries; two new
+# registrations q_profile_stats,q_profile_topvals (held twins from r10,
+# operators/profile.py joins _MODULES). The round's registered-closure
+# edits: multimodal.py (decode_image_real reports real GIF frame counts
+# via gif.count_gif_frames) + jpeg.py (flat array('i') progressive
+# coefficient store + DC predictor range guard) + gif.py (count walk) —
+# the four q_mm_* rows surface as tier 1.1. The r8 evidence band (26
+# rows) rotates through the remaining window.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_dedup_lsh_recall",  # never checked
-    "q_zorder_cells",  # never checked
-    # tier 1.0: own fn edited after last green check
-    "q_dedup_simhash_near",  # green r11, hbase_observer_es_spark/operators/dedup.py fn edited r12
+    "q_profile_stats",  # never checked
+    "q_profile_topvals",  # never checked
     # tier 1.1: file edited after last green check (oldest green first)
-    "q_mm_decode",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
-    "q_mm_meta",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
-    "q_mm_framesample",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
-    "q_mm_resize",  # green r11, hbase_observer_es_spark/operators/multimodal.py file edited r12
-    "q_dedup_exact",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
-    "q_dedup_jaccard",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
-    "q_dedup_minhash",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
-    "q_dedup_simhash",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
-    "q_dedup_clusters",  # green r11, hbase_observer_es_spark/operators/dedup.py file edited r12
-    # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_pipeline_corpus",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_sample_stratified",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_decontaminate",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_mixture_weights",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_text_pack",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_sample_diversified",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_text_ngram_rep",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_text_unigram",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_text_boilerplate",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_text_pack_sharded",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
-    "q_incremental_unseen",  # green r11, hbase_observer_es_spark/operators/hammingband.py import edited r12
+    "q_mm_decode",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
+    "q_mm_meta",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
+    "q_mm_framesample",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
+    "q_mm_resize",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_win_lag",  # green r7
-    "q_topk_pergroup",  # green r7
-    "q_sort_limit",  # green r7
-    "q_union",  # green r7
-    "q_intersect",  # green r7
-    "q_except",  # green r7
-    "q_text_tokens",  # green r7
-    "q_text_lang",  # green r7
-    "q_text_langid",  # green r7
-    "q_text_quality",  # green r7
-    "q_text_tokcount",  # green r7
-    "q_text_fingerprint",  # green r7
-    "q_agg_ttest",  # green r7
-    "q_search_terms_set",  # green r7
-    "q_text_gopher",  # green r7
-    "q_search_bm25",  # green r8
-    "q_search_phrase",  # green r8
-    "q_search_fuzzy",  # green r8
-    "q_search_mlt",  # green r8
-    "q_search_sigterms",  # green r8
-    "q_scan_pruned",  # green r8
-    "s_win_tumbling",  # green r8
-    "s_win_sliding",  # green r8
-    "s_win_session",  # green r8
-    "q_agg_terms_other",  # green r8
-    "q_agg_range",  # green r8
-    "q_agg_tophits",  # green r8
     "q_agg_pctranks",  # green r8
     "q_agg_adjacency",  # green r8
     "q_agg_rare_terms",  # green r8
@@ -289,6 +241,52 @@ _PRIORITY = (
     "q_agg_geoline",  # green r11
     "q_graph_components",  # green r11
     "q_embed_pq",  # green r11
+    "q_search_bm25",  # green r12
+    "q_search_phrase",  # green r12
+    "q_search_fuzzy",  # green r12
+    "q_search_mlt",  # green r12
+    "q_search_sigterms",  # green r12
+    "q_scan_pruned",  # green r12
+    "q_pipeline_corpus",  # green r12
+    "q_sample_stratified",  # green r12
+    "q_decontaminate",  # green r12
+    "q_mixture_weights",  # green r12
+    "q_text_pack",  # green r12
+    "q_sample_diversified",  # green r12
+    "s_win_tumbling",  # green r12
+    "s_win_sliding",  # green r12
+    "s_win_session",  # green r12
+    "q_dedup_exact",  # green r12
+    "q_dedup_jaccard",  # green r12
+    "q_dedup_minhash",  # green r12
+    "q_dedup_simhash",  # green r12
+    "q_dedup_simhash_near",  # green r12
+    "q_dedup_clusters",  # green r12
+    "q_agg_terms_other",  # green r12
+    "q_agg_range",  # green r12
+    "q_agg_tophits",  # green r12
+    "q_win_lag",  # green r12
+    "q_topk_pergroup",  # green r12
+    "q_sort_limit",  # green r12
+    "q_union",  # green r12
+    "q_intersect",  # green r12
+    "q_except",  # green r12
+    "q_text_tokens",  # green r12
+    "q_text_lang",  # green r12
+    "q_text_langid",  # green r12
+    "q_text_quality",  # green r12
+    "q_text_tokcount",  # green r12
+    "q_text_fingerprint",  # green r12
+    "q_agg_ttest",  # green r12
+    "q_search_terms_set",  # green r12
+    "q_text_gopher",  # green r12
+    "q_text_ngram_rep",  # green r12
+    "q_text_unigram",  # green r12
+    "q_text_boilerplate",  # green r12
+    "q_text_pack_sharded",  # green r12
+    "q_incremental_unseen",  # green r12
+    "q_dedup_lsh_recall",  # green r12
+    "q_zorder_cells",  # green r12
 )
 
 
