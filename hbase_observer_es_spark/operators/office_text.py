@@ -1,15 +1,30 @@
-"""DOCX / ODT / EPUB text extraction — the office-document corpus leg.
+"""DOCX / XLSX / PPTX / ODT / EPUB text extraction — the office-document
+corpus leg.
 
-Word-processor documents and ebooks are large, high-quality text sources,
-and all three formats are public: ZIP containers — read SELECTIVELY
-(only the structural XML members decompress, never a book's images or
-fonts) with the zipsrc guards applied per member (encryption refused,
-declared sizes bounded, CRCs verified by the stdlib read) — around
-published XML vocabularies —
+Office documents and ebooks are large, high-quality text sources, and all
+five formats are public: ZIP containers — read SELECTIVELY (only the
+structural XML members decompress, never a book's images or fonts) with
+the zipsrc guards applied per member (encryption refused, declared sizes
+bounded, CRCs verified by the stdlib read) — around published XML
+vocabularies —
 
 * **DOCX** (ECMA-376 WordprocessingML): ``word/document.xml``, paragraphs
   ``w:p`` with runs ``w:r``/``w:t``, explicit ``w:tab``/``w:br``; tables
   flow in document order so their cell paragraphs extract naturally;
+* **XLSX** (ECMA-376 SpreadsheetML, r13): ``xl/workbook.xml`` sheet list
+  in workbook order resolved through the OPC relationship part, the
+  ``xl/sharedStrings.xml`` table (rich runs concatenated, phonetic
+  ``rPh`` guides skipped), then a per-sheet cell walk — shared-string
+  refs (``t="s"``, index validated against the table), inline strings
+  (``t="inlineStr"``), formula-result strings (``t="str"``); numeric /
+  boolean / error cells emit their RAW stored ``<v>`` value — number
+  FORMATTING (styles.xml numFmts) is deliberately not applied, a date is
+  its serial number;
+* **PPTX** (ECMA-376 PresentationML, r13): ``ppt/presentation.xml``
+  slide-id list in spine order through the relationship part, each
+  slide's DrawingML ``a:t`` runs per ``a:p`` paragraph in document
+  order, plus the slide's speaker notes (the ``notesSlide``
+  relationship) after its body;
 * **ODT** (OASIS OpenDocument): ``content.xml``, paragraphs ``text:p``
   and headings ``text:h`` with ``text:span`` nesting, ``text:tab``,
   ``text:line-break``, and the run-length space element ``text:s``;
@@ -27,10 +42,11 @@ treated as attacker data rather than expanded. ZIP-level hazards
 refused by the shared member iterator.
 
 ``sniff_office`` classifies a ZIP payload by its members (EPUB's
-``mimetype``, DOCX's ``word/document.xml``, ODT's OpenDocument
-mimetype); the media census routes ``PK`` payloads through it — office
-documents survey as family="document" with their part counts, other
-archives as family="archive" with member counts.
+``mimetype``, DOCX's ``word/document.xml``, XLSX's ``xl/workbook.xml``,
+PPTX's ``ppt/presentation.xml``, ODT's OpenDocument mimetype); the media
+census routes ``PK`` payloads through it — office documents survey as
+family="document" with their part counts (paragraphs / sheets / slides /
+spine chapters), other archives as family="archive" with member counts.
 
 Reference parity: none — builder-brief document-pipeline surface
 (SURVEY §2-D), beside ``pdf_text.py``/``html_text.py``/
@@ -142,6 +158,10 @@ def sniff_office(payload: bytes, origin: str = "<bytes>") -> str | None:
             return "odt"
         if "word/document.xml" in names:
             return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
     return None
 
 
@@ -224,6 +244,235 @@ def docx_to_text(payload: bytes, origin: str = "<bytes>") -> str:
     root = _parse_xml(doc, origin, "word/document.xml")
     paras = [_docx_paragraph(p) for p in _docx_top_paragraphs(root)]
     return _normalize("\n".join(paras))
+
+
+# ----------------------------------------------------- ooxml relationships
+
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_R_ID = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+_SML_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_PML_NS = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_NOTES_REL = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships/"
+    "notesSlide"
+)
+
+
+def _read_rels(
+    zf: zipfile.ZipFile, part_path: str, origin: str, required: bool = True
+) -> dict:
+    """rId → (archive path, relationship type) for one OOXML part: the
+    part's ``_rels/<name>.rels`` sibling (OPC §9.3), targets resolved
+    against the part's directory; a leading ``/`` resolves from the
+    archive root. ``TargetMode="External"`` entries are URLs, not
+    members — dropped. A target escaping the archive root is attacker
+    data and refuses loudly."""
+    base = posixpath.dirname(part_path)
+    rels_path = posixpath.join(
+        base, "_rels", posixpath.basename(part_path) + ".rels"
+    )
+    data = _read_member(zf, rels_path, origin, required=required)
+    if data is None:
+        return {}
+    root = _parse_xml(data, origin, rels_path)
+    out = {}
+    for rel in root.iter(_REL_NS + "Relationship"):
+        rid, target = rel.get("Id"), rel.get("Target")
+        if not rid or not target or rel.get("TargetMode") == "External":
+            continue
+        if target.startswith("/"):
+            path = posixpath.normpath(target.lstrip("/"))
+        else:
+            path = posixpath.normpath(posixpath.join(base, target))
+        if path.startswith(".."):
+            raise ValueError(
+                f"office {origin}: relationship {rid!r} target {target!r} "
+                "escapes the archive root"
+            )
+        out[rid] = (path, rel.get("Type") or "")
+    return out
+
+
+# ------------------------------------------------------------------- xlsx
+
+
+def _si_text(si) -> str:
+    """One shared-string item (or inline-string body): plain ``t``
+    children and rich runs ``r/t`` concatenate in order; phonetic
+    ``rPh`` reading guides are furigana, not cell text — skipped."""
+    parts: list = []
+    for child in si:
+        tag = child.tag
+        if tag == _SML_NS + "t":
+            parts.append(child.text or "")
+        elif tag == _SML_NS + "r":
+            t = child.find(_SML_NS + "t")
+            if t is not None:
+                parts.append(t.text or "")
+    return "".join(parts)
+
+
+def _xlsx_shared_strings(zf: zipfile.ZipFile, origin: str) -> list:
+    """The sharedStrings table in index order (absent = empty: a
+    workbook of pure numbers has no table at all)."""
+    data = _read_member(zf, "xl/sharedStrings.xml", origin, required=False)
+    if data is None:
+        return []
+    root = _parse_xml(data, origin, "xl/sharedStrings.xml")
+    return [_si_text(si) for si in root.iter(_SML_NS + "si")]
+
+
+def _xlsx_sheets(zf: zipfile.ZipFile, origin: str) -> list:
+    """(name, member path) per sheet in WORKBOOK order — the order the
+    tabs show, resolved through the workbook relationship part (sheet
+    file NAMES are not contractual; the r:id is)."""
+    wb = _read_member(zf, "xl/workbook.xml", origin)
+    root = _parse_xml(wb, origin, "xl/workbook.xml")
+    rels = _read_rels(zf, "xl/workbook.xml", origin)
+    sheets = []
+    for sheet in root.iter(_SML_NS + "sheet"):
+        name = sheet.get("name") or ""
+        rid = sheet.get(_R_ID)
+        if rid is None or rid not in rels:
+            raise ValueError(
+                f"office {origin}: sheet {name!r} names no readable "
+                "workbook relationship"
+            )
+        sheets.append((name, rels[rid][0]))
+    if not sheets:
+        raise ValueError(f"office {origin}: workbook declares no sheets")
+    return sheets
+
+
+def _xlsx_cell_text(c, sst: list, origin: str) -> str | None:
+    """One ``c`` element's text, or None for an empty cell. Shared-string
+    indices are attacker data — validated against the table. Number
+    FORMATTING is deliberately left unapplied: numeric/boolean/error/
+    formula-string cells emit the raw stored ``<v>`` (a date is its
+    serial number; applying styles.xml numFmt pictures would be a
+    locale-dependent rendering, not extraction)."""
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(_SML_NS + "is")
+        return _si_text(is_el) if is_el is not None else None
+    v = c.find(_SML_NS + "v")
+    if v is None:
+        return None
+    raw = v.text or ""
+    if t == "s":
+        try:
+            idx = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"office {origin}: shared-string ref {raw!r} is not an "
+                "integer"
+            ) from None
+        if not 0 <= idx < len(sst):
+            raise ValueError(
+                f"office {origin}: shared-string index {idx} outside the "
+                f"{len(sst)}-entry table"
+            )
+        return sst[idx]
+    return raw
+
+
+def xlsx_to_text(payload: bytes, origin: str = "<bytes>") -> str:
+    """Every sheet in workbook order: the sheet name, then one line per
+    non-empty row (cell values joined left-to-right), sheets separated
+    by blank lines. Only ``workbook.xml``/``sharedStrings.xml``/the
+    sheet parts decompress — embedded media and pivot caches never do."""
+    with _open(payload, origin) as zf:
+        sst = _xlsx_shared_strings(zf, origin)
+        blocks = []
+        for name, path in _xlsx_sheets(zf, origin):
+            data = _read_member(zf, path, origin)
+            root = _parse_xml(data, origin, path)
+            lines = [name]
+            for row in root.iter(_SML_NS + "row"):
+                cells = []
+                for c in row.iter(_SML_NS + "c"):
+                    txt = _xlsx_cell_text(c, sst, origin)
+                    if txt is not None and txt != "":
+                        cells.append(txt)
+                if cells:
+                    lines.append("\t".join(cells))
+            blocks.append("\n".join(lines))
+    return _normalize("\n\n".join(blocks))
+
+
+# ------------------------------------------------------------------- pptx
+
+
+def _pptx_slides(zf: zipfile.ZipFile, origin: str) -> list:
+    """Slide member paths in SPINE order (the sldIdLst sequence
+    resolved through the presentation relationship part)."""
+    pres = _read_member(zf, "ppt/presentation.xml", origin)
+    root = _parse_xml(pres, origin, "ppt/presentation.xml")
+    rels = _read_rels(zf, "ppt/presentation.xml", origin)
+    slides = []
+    for sld in root.iter(_PML_NS + "sldId"):
+        rid = sld.get(_R_ID)
+        if rid is None or rid not in rels:
+            raise ValueError(
+                f"office {origin}: slide id {sld.get('id')!r} names no "
+                "readable presentation relationship"
+            )
+        slides.append(rels[rid][0])
+    if not slides:
+        raise ValueError(f"office {origin}: presentation declares no slides")
+    return slides
+
+
+def _drawing_paragraphs(root) -> list:
+    """DrawingML text: one string per ``a:p`` paragraph — its ``a:t``
+    runs concatenated in document order, ``a:br`` as newline. ``a:fld``
+    subtrees are SKIPPED: field placeholders (slide numbers, datetimes)
+    render per view, and every PowerPoint-authored notes slide carries a
+    slide-number fld — emitting its digits would be silent corpus noise
+    (the docx nested-paragraph rule's cousin). Explicit-stack walk: no
+    recursion for a crafted deep tree to exhaust."""
+    paras = []
+    for p in root.iter(_A_NS + "p"):
+        parts: list = []
+        stack = list(reversed(list(p)))
+        while stack:
+            node = stack.pop()
+            tag = node.tag
+            if tag == _A_NS + "fld":
+                continue
+            if tag == _A_NS + "t":
+                parts.append(node.text or "")
+            elif tag == _A_NS + "br":
+                parts.append("\n")
+            else:
+                stack.extend(reversed(list(node)))
+        paras.append("".join(parts))
+    return paras
+
+
+def pptx_to_text(payload: bytes, origin: str = "<bytes>") -> str:
+    """Slides in spine order, each slide's paragraphs one per line, its
+    speaker notes (the notesSlide relationship) after the body; slides
+    separated by blank lines. Only the presentation/slide/notes XML
+    parts decompress — layouts, masters, and media never do."""
+    with _open(payload, origin) as zf:
+        blocks = []
+        for path in _pptx_slides(zf, origin):
+            data = _read_member(zf, path, origin)
+            root = _parse_xml(data, origin, path)
+            lines = [p for p in _drawing_paragraphs(root) if p]
+            # a hand-trimmed slide part may carry no rels sibling at all
+            rels = _read_rels(zf, path, origin, required=False)
+            for rpath, rtype in rels.values():
+                if rtype == _NOTES_REL:
+                    ndata = _read_member(zf, rpath, origin)
+                    nroot = _parse_xml(ndata, origin, rpath)
+                    lines += [p for p in _drawing_paragraphs(nroot) if p]
+            blocks.append("\n".join(lines))
+    return _normalize("\n\n".join(blocks))
 
 
 # -------------------------------------------------------------------- odt
@@ -360,12 +609,16 @@ def office_to_text(payload: bytes, origin: str = "<bytes>") -> tuple:
     kind = sniff_office(payload, origin)
     if kind == "docx":
         return kind, docx_to_text(payload, origin)
+    if kind == "xlsx":
+        return kind, xlsx_to_text(payload, origin)
+    if kind == "pptx":
+        return kind, pptx_to_text(payload, origin)
     if kind == "odt":
         return kind, odt_to_text(payload, origin)
     if kind == "epub":
         return kind, epub_to_text(payload, origin)
     raise ValueError(
-        f"office {origin}: ZIP payload is none of DOCX/ODT/EPUB "
+        f"office {origin}: ZIP payload is none of DOCX/XLSX/PPTX/ODT/EPUB "
         "(member sniff found no office signature)"
     )
 
@@ -373,10 +626,17 @@ def office_to_text(payload: bytes, origin: str = "<bytes>") -> tuple:
 def office_parts(payload: bytes, origin: str = "<bytes>",
                  kind: str | None = None) -> int:
     """Part count for the census: TOP-LEVEL paragraphs (docx — same rule
-    as extraction), paragraphs/headings (odt), or spine length (epub).
-    Reads ONLY the structural member it needs — embedded images/fonts
-    never decompress. Pass ``kind`` when the caller already sniffed."""
+    as extraction), SHEETS (xlsx), SLIDES (pptx), paragraphs/headings
+    (odt), or spine length (epub). Reads ONLY the structural member it
+    needs — embedded images/fonts never decompress. Pass ``kind`` when
+    the caller already sniffed."""
     kind = kind or sniff_office(payload, origin)
+    if kind == "xlsx":
+        with _open(payload, origin) as zf:
+            return len(_xlsx_sheets(zf, origin))
+    if kind == "pptx":
+        with _open(payload, origin) as zf:
+            return len(_pptx_slides(zf, origin))
     if kind == "docx":
         with _open(payload, origin) as zf:
             doc = _read_member(zf, "word/document.xml", origin)

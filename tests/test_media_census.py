@@ -84,3 +84,17 @@ def test_census_through_spark_one_row_each(spark):
         .collect()
     )
     assert sum(r["count"] for r in agg) == len(payloads)
+
+
+def test_xlsx_pptx_classify_as_documents():
+    """r13: SpreadsheetML/PresentationML archives survey as
+    family=document with sheet/slide counts — not family=archive."""
+    from tests.test_office_text import _pptx, _slide_xml, _xlsx
+
+    x = classify_media(
+        _xlsx([("A", "<row><c><v>1</v></c></row>"), ("B", "")]),
+        origin="x",
+    )
+    assert (x["family"], x["format"], x["n_frames"]) == ("document", "xlsx", 2)
+    p = classify_media(_pptx([_slide_xml("hello")]), origin="p")
+    assert (p["family"], p["format"], p["n_frames"]) == ("document", "pptx", 1)
