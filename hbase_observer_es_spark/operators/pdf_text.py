@@ -26,9 +26,13 @@ honest from-spec subset here:
   per-font byte→text decoding via /ToUnicode CMaps (bfchar + bfrange,
   1- and 2-byte codes — the exact mapping modern generators emit),
   /WinAnsiEncoding and /MacRomanEncoding via the stdlib cp1252 /
-  mac-roman codecs, unencoded simple fonts as ASCII; CID-keyed (Type0)
-  fonts WITHOUT a ToUnicode map refuse by name (no glyph-list oracle
-  in-container), as do encrypted documents (/Encrypt).
+  mac-roman codecs, unencoded simple fonts as ASCII; /Differences
+  encodings (r13 — every pdfTeX font carries one) resolve glyph names
+  through the AGL core subset in ``operators/agl.py``, whose every
+  entry is UCD-verified at import, with names outside it refusing BY
+  NAME; CID-keyed (Type0) fonts WITHOUT a ToUnicode map refuse by name
+  (no glyph-list oracle in-container), as do encrypted documents
+  (/Encrypt).
 
 Fail-loud discipline: offsets, lengths, and counts are attacker data —
 xref entries outside the file, looping /Prev chains, stream /Length
@@ -899,24 +903,80 @@ def _font_decoder(doc: PdfDocument, font: dict):
             "— no glyph-list oracle in-container"
         )
     enc = doc._resolve(font.get("Encoding"))
+    diffs = None
     if isinstance(enc, dict):
         base = str(doc._resolve(enc.get("BaseEncoding", ""))) or None
         if "Differences" in enc:
-            raise NotImplementedError(
-                f"pdf {doc.origin}: /Differences encoding without "
-                "/ToUnicode — glyph-name table not implemented"
-            )
+            diffs = doc._resolve(enc["Differences"])
+            if not isinstance(diffs, list):
+                raise ValueError(
+                    f"pdf {doc.origin}: /Differences is not an array"
+                )
         enc = base
     enc = str(enc) if enc else None
     if enc == "WinAnsiEncoding":
-        return lambda bs: bs.decode("cp1252", "replace")
-    if enc == "MacRomanEncoding":
-        return lambda bs: bs.decode("mac-roman", "replace")
-    if enc in (None, "StandardEncoding"):
-        return lambda bs: bs.decode("ascii", "replace")
-    raise NotImplementedError(
-        f"pdf {doc.origin}: font encoding /{enc} not implemented"
-    )
+        codec = "cp1252"
+    elif enc == "MacRomanEncoding":
+        codec = "mac-roman"
+    elif enc in (None, "StandardEncoding"):
+        codec = "ascii"
+    else:
+        raise NotImplementedError(
+            f"pdf {doc.origin}: font encoding /{enc} not implemented"
+        )
+    if diffs is None:
+        return lambda bs: bs.decode(codec, "replace")
+    return _differences_decoder(doc, diffs, codec)
+
+
+def _differences_decoder(doc: PdfDocument, diffs: list, codec: str):
+    """Per-byte decode table: the base encoding's 256 characters with
+    the /Differences overrides applied — ``[code /name /name …]``, each
+    integer resets the code, each glyph NAME assigns to consecutive
+    codes (ISO 32000 §9.6.6.1). Glyph names resolve through the AGL
+    core subset (``operators/agl.py`` — every entry UCD-verified at
+    import); a name outside it refuses BY NAME rather than guessing,
+    and codes are attacker data (bounded 0..255, names before any code
+    are structural errors). The common case this opens up: pdfTeX
+    output, where every font carries /Differences."""
+    from .agl import glyph_to_text
+
+    table = [bytes([i]).decode(codec, "replace") for i in range(256)]
+    code = None
+    for raw in diffs:
+        item = doc._resolve(raw)
+        if isinstance(item, _Name):
+            if code is None:
+                raise ValueError(
+                    f"pdf {doc.origin}: /Differences names /{item} before "
+                    "any code"
+                )
+            if code > 255:
+                raise ValueError(
+                    f"pdf {doc.origin}: /Differences run past code 255"
+                )
+            try:
+                table[code] = glyph_to_text(str(item))
+            except KeyError:
+                raise NotImplementedError(
+                    f"pdf {doc.origin}: /Differences glyph name /{item} "
+                    "outside the AGL core subset — refusing rather than "
+                    "guessing"
+                ) from None
+            code += 1
+        elif isinstance(item, int) and not isinstance(item, bool):
+            if not 0 <= item <= 255:
+                raise ValueError(
+                    f"pdf {doc.origin}: /Differences code {item} outside "
+                    "0..255"
+                )
+            code = item
+        else:
+            raise ValueError(
+                f"pdf {doc.origin}: /Differences entry {item!r} is "
+                "neither a code nor a glyph name"
+            )
+    return lambda bs: "".join(table[b] for b in bs)
 
 
 _OPER = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")

@@ -605,3 +605,49 @@ def test_more_census_safe_crafted_structures():
     assert neg != good
     with pytest.raises(ValueError, match=r"offset -9 is negative"):
         pdf_to_text(neg)
+
+
+def test_differences_encoding_extracts():
+    """r13: the /Differences override table over a base encoding — the
+    pdfTeX shape (every pdfTeX font carries one). Codes remap to glyph
+    names resolved through the AGL core subset."""
+    content = b"BT /F1 12 Tf (ab\xc8 x) Tj ET"
+    diffs = (b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [ 97 /aacute /endash 200 /fi ] >>")
+    data = _simple_pdf(content, font_extra=diffs)
+    assert pdf_to_text(data) == "á–ﬁ x"
+    # without BaseEncoding (pdfTeX's usual form) the rest stays ASCII
+    diffs2 = b"/Encoding << /Differences [ 98 /quoteright ] >>"
+    data2 = _simple_pdf(b"BT /F1 12 Tf (ab) Tj ET", font_extra=diffs2)
+    assert pdf_to_text(data2) == "a’"
+
+
+def test_differences_unknown_glyph_refuses_by_name():
+    diffs = b"/Encoding << /Differences [ 97 /g23 ] >>"
+    data = _simple_pdf(b"BT /F1 12 Tf (a) Tj ET", font_extra=diffs)
+    with pytest.raises(NotImplementedError, match=r"/g23 outside the AGL"):
+        pdf_to_text(data)
+
+
+def test_differences_structural_errors_are_loud():
+    # a name before any code
+    data = _simple_pdf(
+        b"BT /F1 12 Tf (a) Tj ET",
+        font_extra=b"/Encoding << /Differences [ /aacute ] >>",
+    )
+    with pytest.raises(ValueError, match=r"before any code"):
+        pdf_to_text(data)
+    # code outside 0..255
+    data = _simple_pdf(
+        b"BT /F1 12 Tf (a) Tj ET",
+        font_extra=b"/Encoding << /Differences [ 300 /aacute ] >>",
+    )
+    with pytest.raises(ValueError, match=r"outside\s+0..255"):
+        pdf_to_text(data)
+    # a run of names walking past code 255
+    data = _simple_pdf(
+        b"BT /F1 12 Tf (a) Tj ET",
+        font_extra=b"/Encoding << /Differences [ 255 /aacute /endash ] >>",
+    )
+    with pytest.raises(ValueError, match=r"past code 255"):
+        pdf_to_text(data)
