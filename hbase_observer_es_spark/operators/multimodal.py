@@ -93,17 +93,22 @@ def decode_image_real(payload: bytes) -> dict:
     NotImplementedError, loudly and per-format, rather than faking pixel
     data. ``n_frames`` is the frame count PRESENT in the container: 1
     for the single-image formats, the block-walk count for GIF
-    (``gif.count_gif_frames`` — no extra pixel decode, same number
-    media_census reports for the same payload). A GIF whose later frames
-    are structurally truncated is corrupt and raises ValueError even
-    though frame 0 decoded — corruption never downgrades to wrong
-    metadata."""
+    (``gif.count_gif_frames``) and the ANMF chunk count for animated
+    WebP (``webpmeta.webp_meta``) — header walks both, no extra pixel
+    decode, the same numbers media_census reports for the same payload.
+    A GIF whose later frames are structurally truncated is corrupt and
+    raises ValueError even though frame 0 decoded — corruption never
+    downgrades to wrong metadata."""
     fmt, img = _decode_real(payload)
     n_frames = 1
     if fmt == "gif":
         from . import gif as _gif
 
         n_frames = _gif.count_gif_frames(payload)
+    elif fmt == "webp":
+        from . import webpmeta as _webpmeta
+
+        n_frames = _webpmeta.webp_meta(payload)["n_frames"]
     return {
         "width": img.width,
         "height": img.height,

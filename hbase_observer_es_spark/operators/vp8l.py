@@ -517,11 +517,12 @@ def _inv_color_indexing(px: list, w: int, h: int, palette: list,
 # ------------------------------------------------------------- entry point
 
 
-def decode_vp8l(body: bytes, origin: str = "<bytes>"):
-    """VP8L chunk body → PngImage (RGB; decoded alpha dropped at the
-    boundary, the tiff.py corpus convention)."""
-    from .png import PngImage
-
+def decode_vp8l_argb(body: bytes, origin: str = "<bytes>"):
+    """VP8L chunk body → ``(width, height, pixels)`` with ``pixels`` a
+    row-major list of 32-bit ARGB ints — alpha PRESERVED. This is the
+    form animation composition needs (``operators/webpanim.py`` blends
+    per-frame alpha onto the canvas); :func:`decode_vp8l` is the
+    corpus-convention RGB wrapper."""
     if len(body) < 5:
         raise ValueError(f"vp8l {origin}: {len(body)}-byte body truncated")
     if body[0] != 0x2F:
@@ -584,6 +585,15 @@ def decode_vp8l(body: bytes, origin: str = "<bytes>"):
             _inv_color_transform(px, tw, h, payload, bits)
         else:
             _inv_predictor(px, tw, h, payload, bits, origin)
+    return w, h, px
+
+
+def decode_vp8l(body: bytes, origin: str = "<bytes>"):
+    """VP8L chunk body → PngImage (RGB; decoded alpha dropped at the
+    boundary, the tiff.py corpus convention)."""
+    from .png import PngImage
+
+    w, h, px = decode_vp8l_argb(body, origin)
     raw = bytearray(w * h * 3)
     o = 0
     for p in px:

@@ -2,12 +2,13 @@
 
 WebP is everywhere on the modern web. Since r12 the LOSSLESS half
 (VP8L) decodes its pixels for real (``operators/vp8l.py``, routed via
-:func:`decode_webp_pixels`); lossy VP8 (boolean arithmetic coder + loop
-filter — not stdlib-expressible) and animations keep the named-refusal
-convention, with the header walk as their real surface: a curation
-pipeline filters images on geometry and kind (lossy/lossless/alpha/
-animated) long before it decodes them. Extracted from the public
-layouts:
+:func:`decode_webp_pixels`), and since r13 animated lossless files
+compose their frames for real too (``operators/webpanim.py``); lossy
+VP8 (boolean arithmetic coder + loop filter — not stdlib-expressible)
+keeps the named-refusal convention, with the header walk as its real
+surface: a curation pipeline filters images on geometry and kind
+(lossy/lossless/alpha/animated) long before it decodes them. Extracted
+from the public layouts:
 
 * RIFF container: ``RIFF`` size ``WEBP``, chunk walk with even padding
   (the WAV/AVI sibling);
@@ -118,17 +119,18 @@ def webp_meta(data: bytes, origin: str = "<bytes>") -> dict:
 
 def decode_webp_pixels(payload: bytes, origin: str = "<bytes>"):
     """Lossless (VP8L) pixels decode FOR REAL from the public bitstream
-    spec (``operators/vp8l.py``, r12) → PngImage. Lossy VP8 pixels
-    (boolean arithmetic coder + loop filter — not stdlib-expressible)
-    and animations stay loud named refusals; the header walk
-    (:func:`webp_meta`) remains the surface for those."""
+    spec (``operators/vp8l.py``, r12) → PngImage. Animated files whose
+    frames are VP8L compose for real too (``operators/webpanim.py``,
+    r13) — this returns the FIRST composed frame, the ``decode_gif``
+    static-view contract. Lossy VP8 pixels (boolean arithmetic coder +
+    loop filter — not stdlib-expressible) stay a loud named refusal,
+    still or animated; the header walk (:func:`webp_meta`) remains the
+    surface for those."""
     meta = webp_meta(payload, origin)  # container validation first
     if meta["animated"]:
-        raise NotImplementedError(
-            f"webp {origin}: animated WebP decode not implemented "
-            "(frame composition over VP8/VP8L sub-images; webp_meta "
-            "reports the frame count)"
-        )
+        from .webpanim import iter_webp_frames
+
+        return next(iter_webp_frames(payload, origin)).image
     pos = 12
     while pos < len(payload):
         cc = payload[pos : pos + 4]

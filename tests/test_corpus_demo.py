@@ -28,8 +28,10 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert r["video_frames"] == r["video_docs"] * 2
     # the census surveys every synthesized payload, none unknown; the
     # r12 arms: a progressive-JPEG re-encode of every PNG, and every
-    # landed doc's text written as a real PDF (write_pdf → census pages)
-    assert r["census_rows"] == 5 * r["media_samples"]
+    # landed doc's text written as a real PDF (write_pdf → census pages);
+    # the r13 arm: a 2-frame animated lossless WebP per PNG
+    # (vp8l_enc.write_webp_anim → the census ANMF walk)
+    assert r["census_rows"] == 6 * r["media_samples"]
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",

@@ -475,14 +475,16 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     def census_leg():
         """The media census over the MIXED payload column this very run
-        produced (PNGs + thumbnails + WAV clips + PROGRESSIVE JPEGs
-        stacked into one binary column): one pass classifies every
-        payload by magic through the real parsers — the progressive arm
-        (r12) re-encodes each landed PNG through
-        encode_jpeg_progressive, so the census geometry comes from the
-        annex-G scan decoder, not a header peek. Family counts must
-        reconcile exactly with what the media stage synthesized —
-        nothing unknown, nothing erroring."""
+        produced (PNGs + thumbnails + WAV clips + PROGRESSIVE JPEGs +
+        PDFs + ANIMATED WEBPs stacked into one binary column): one pass
+        classifies every payload by magic through the real parsers —
+        the progressive arm (r12) re-encodes each landed PNG through
+        encode_jpeg_progressive, and the animation arm (r13) writes a
+        real 2-frame lossless WebP per PNG through the production VP8L
+        encoder, so census geometry and frame counts come from the
+        annex-G scan decoder and the ANMF walk, not a header peek.
+        Family counts must reconcile exactly with what the media stage
+        synthesized — nothing unknown, nothing erroring."""
         from hbase_observer_es_spark.operators.jpeg import (
             encode_jpeg_progressive,
         )
@@ -490,7 +492,8 @@ def run(spark, sf_dir: str, out: str) -> dict:
             media_census_frame,
         )
         from hbase_observer_es_spark.operators.pdf_text import write_pdf
-        from hbase_observer_es_spark.operators.png import decode_png
+        from hbase_observer_es_spark.operators.png import PngImage, decode_png
+        from hbase_observer_es_spark.operators.vp8l_enc import write_webp_anim
 
         landed = spark.read.parquet(os.path.join(out, "media.parquet"))
 
@@ -500,7 +503,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
             for pdf in batches:
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"] * 5 + 3,
+                        "doc_id": pdf["doc_id"] * 6 + 3,
                         "payload": [
                             encode_jpeg_progressive(
                                 decode_png(bytes(p)), quality=85
@@ -510,13 +513,37 @@ def run(spark, sf_dir: str, out: str) -> dict:
                     }
                 )
 
+        def to_anim_webp(batches):
+            """r13 arm: each landed PNG becomes a real 2-frame animated
+            lossless WebP (frame 1 = the raster, frame 2 = its mirror)
+            through the production encoder, so the census's animation
+            row comes from the ANMF walk over bytes this run wrote."""
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for p in pdf["png"]:
+                    img = decode_png(bytes(p))
+                    mirror = b"".join(
+                        img.raw[y * img.stride : y * img.stride + img.width][::-1]
+                        for y in range(img.height)
+                    )
+                    payloads.append(write_webp_anim([
+                        (40, img),
+                        (40, PngImage(img.width, img.height, 8, 0, 1,
+                                      img.width, mirror, None)),
+                    ]))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"] * 6 + 5, "payload": payloads}
+                )
+
         def to_pdf(batches):
             import pandas as pd
 
             for pdf in batches:
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"] * 5 + 4,
+                        "doc_id": pdf["doc_id"] * 6 + 4,
                         # cp1252-expressible by construction: the fixture
                         # corpus is ASCII (the q_mm_decode invariant)
                         "payload": [
@@ -529,13 +556,13 @@ def run(spark, sf_dir: str, out: str) -> dict:
         # join with landed doc_ids bounds it to the media fold)
         texts = curated.select("doc_id", "text")
         mixed = (
-            landed.select((F.col("doc_id") * 5).alias("doc_id"),
+            landed.select((F.col("doc_id") * 6).alias("doc_id"),
                           F.col("png").alias("payload"))
             .unionByName(
-                landed.select((F.col("doc_id") * 5 + 1).alias("doc_id"),
+                landed.select((F.col("doc_id") * 6 + 1).alias("doc_id"),
                               F.col("thumb").alias("payload")))
             .unionByName(
-                landed.select((F.col("doc_id") * 5 + 2).alias("doc_id"),
+                landed.select((F.col("doc_id") * 6 + 2).alias("doc_id"),
                               F.col("wav").alias("payload")))
             .unionByName(
                 landed.select("doc_id", "png").mapInPandas(
@@ -544,6 +571,9 @@ def run(spark, sf_dir: str, out: str) -> dict:
                 texts.join(
                     landed.select("doc_id"), "doc_id"
                 ).mapInPandas(to_pdf, "doc_id long, payload binary"))
+            .unionByName(
+                landed.select("doc_id", "png").mapInPandas(
+                    to_anim_webp, "doc_id long, payload binary"))
         )
         counts = {
             (r.family, r.format): r["count"]
@@ -558,9 +588,11 @@ def run(spark, sf_dir: str, out: str) -> dict:
             ("audio", "wav"): n,
             ("image", "jpeg"): n,
             ("document", "pdf"): n,
+            # VP8X container → kind "extended"; n_frames rides the row
+            ("image", "webp-extended"): n,
         }, counts
-        rows["census_payloads"] = int(5 * n)
-        return 5 * n
+        rows["census_payloads"] = int(6 * n)
+        return 6 * n
 
     rows["census_rows"] = stage("media_census", census_leg)
 
