@@ -6,11 +6,17 @@ grayscale (both photometric polarities) and RGB(A), strips uncompressed
 OR LZW-compressed (TIFF 6.0 §13: MSB-first, EarlyChange width growth,
 per-strip CLEAR; r12) with the §14 horizontal-differencing predictor —
 strip-assembled into a :class:`~.png.PngImage` so the whole pixel stack
-composes. PackBits RLE and Deflate strips decode too
-(stdlib zlib, bounded-inflate); the remaining compressed variants (CCITT
-fax, JPEG-in-TIFF) refuse BY NAME; ``tiff_meta`` still reports their
-geometry and compression so curation can filter without decoding.
-BigTIFF (magic 43) refuses by name.
+composes. PackBits RLE and Deflate strips decode too (stdlib zlib,
+bounded-inflate), and since r13 the bilevel fax family decodes for
+real — Modified Huffman (compression 2), Group 3 (compression 3, 1-D
+and the T4Options 2-D variant), and Group 4 (compression 4) through
+the from-spec ITU-T T.4/T.6 decoder (``operators/ccittfax.py``), with
+FillOrder 2 bit reversal and photometric polarity honored. New-style
+JPEG-in-TIFF (compression 7) decodes through the from-spec JPEG
+decoder with the JPEGTables-tag splice (r13); old-style JPEG
+(compression 6, deprecated since TTN2) refuses BY NAME. ``tiff_meta``
+still reports every variant's geometry and compression so curation can
+filter without decoding. BigTIFF (magic 43) refuses by name.
 
 Guards per the codec-family rule: IFD offsets and entry counts are
 attacker data — an offset outside the file, a strip that overruns, an
@@ -309,23 +315,189 @@ def _undo_predictor2(chunk: bytes, rows: int, width: int, spp: int) -> bytes:
     return bytes(out)
 
 
+def _decode_ccitt_tiff(
+    data: bytes, entries: dict, comp: int, origin: str
+) -> PngImage:
+    """Bilevel fax strips (compressions 2/3/4) through the ITU-T T.4 /
+    T.6 decoder (``operators/ccittfax.py``, r13). One bit per sample,
+    one sample per pixel; decoded white/black expands to 8-bit gray
+    through the photometric tag (0 = WhiteIsZero, the fax default)."""
+    from .ccittfax import decode_ccitt
+
+    w = _first(entries, 256, 0)
+    h = _first(entries, 257, 0)
+    if w < 1 or h < 1:
+        raise ValueError(f"tiff {origin}: geometry {w}x{h} invalid")
+    bits = entries.get(258, [1])
+    spp = _first(entries, 277, 1)
+    if bits != [1] or spp != 1:
+        raise ValueError(
+            f"tiff {origin}: CCITT fax requires 1 bit/sample, 1 "
+            f"sample/pixel — got bits {bits}, spp {spp}"
+        )
+    photometric = _first(entries, 262, 0)
+    if photometric not in (0, 1):
+        raise ValueError(
+            f"tiff {origin}: photometric {photometric} invalid for "
+            "bilevel fax (WhiteIsZero/BlackIsZero only)"
+        )
+    if _first(entries, 317, 1) != 1:
+        raise ValueError(
+            f"tiff {origin}: a predictor on CCITT strips is malformed"
+        )
+    if comp == 2:
+        mode = "mh"
+    elif comp == 3:
+        t4 = _first(entries, 292, 0)
+        if t4 & 2:
+            raise NotImplementedError(
+                f"tiff {origin}: T4Options declares UNCOMPRESSED mode "
+                "(bit 1) — the T.4 optional extension is not implemented"
+            )
+        mode = "g3-2d" if t4 & 1 else "g3"
+    else:
+        t6 = _first(entries, 293, 0)
+        if t6 & 2:
+            raise NotImplementedError(
+                f"tiff {origin}: T6Options declares UNCOMPRESSED mode "
+                "(bit 1) — the T.6 optional extension is not implemented"
+            )
+        mode = "g4"
+    fill_order = _first(entries, 266, 1)
+    offsets = entries.get(273)
+    counts = entries.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError(
+            f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
+        )
+    rows_per_strip = _first(entries, 278, h)
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError(
+                f"tiff {origin}: strip {si} at byte {off} overruns the file"
+            )
+        rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if rows_here <= 0:
+            raise ValueError(
+                f"tiff {origin}: strip {si} lies beyond the declared "
+                f"{h}-row geometry"
+            )
+        raw += decode_ccitt(
+            data[off : off + cnt], w, rows_here, mode, origin,
+            fill_order=fill_order, strip=si,
+        )
+    if len(raw) != w * h:
+        raise ValueError(
+            f"tiff {origin}: fax strips assemble {len(raw)} pixels, "
+            f"geometry needs {w * h}"
+        )
+    # bit 0 is the coded "white": photometric 0 (WhiteIsZero) shows it
+    # at full brightness, photometric 1 inverts
+    table = (
+        bytes([255, 0]) if photometric == 0 else bytes([0, 255])
+    ) + bytes(254)
+    return PngImage(w, h, 8, 0, 1, w, bytes(raw).translate(table), None)
+
+
+def _decode_jpeg_tiff(data: bytes, entries: dict, origin: str) -> PngImage:
+    """New-style JPEG-in-TIFF (compression 7, the TIFF-EP layout): each
+    strip is a complete JPEG stream, optionally relying on the shared
+    JPEGTables tag (347) — an abbreviated SOI…EOI stream whose segments
+    (DQT/DHT/DRI) splice in after every strip's SOI before the from-spec
+    JPEG decoder (``operators/jpeg.py``) runs. Old-style JPEG
+    (compression 6, the deprecated pre-TTN2 layout) stays refused."""
+    from .jpeg import JPEG_MAGIC, decode_jpeg
+
+    w = _first(entries, 256, 0)
+    h = _first(entries, 257, 0)
+    if w < 1 or h < 1:
+        raise ValueError(f"tiff {origin}: geometry {w}x{h} invalid")
+    photometric = _first(entries, 262, 1)
+    if photometric not in (1, 2, 6):
+        raise ValueError(
+            f"tiff {origin}: photometric {photometric} unsupported for "
+            "JPEG strips (grayscale/RGB/YCbCr only)"
+        )
+    tables_body = b""
+    tables = entries.get(347)
+    if tables:
+        tb = bytes(tables)
+        if tb[:2] != JPEG_MAGIC or tb[-2:] != b"\xff\xd9":
+            raise ValueError(
+                f"tiff {origin}: JPEGTables is not an SOI…EOI abbreviated "
+                f"stream (starts {tb[:2]!r}, ends {tb[-2:]!r})"
+            )
+        tables_body = tb[2:-2]
+    offsets = entries.get(273)
+    counts = entries.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError(
+            f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
+        )
+    rows_per_strip = _first(entries, 278, h)
+    raw = bytearray()
+    channels = None
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError(
+                f"tiff {origin}: strip {si} at byte {off} overruns the file"
+            )
+        rows_here = min(rows_per_strip, h - si * rows_per_strip)
+        if rows_here <= 0:
+            raise ValueError(
+                f"tiff {origin}: strip {si} lies beyond the declared "
+                f"{h}-row geometry"
+            )
+        seg = data[off : off + cnt]
+        if seg[:2] != JPEG_MAGIC:
+            raise ValueError(
+                f"tiff {origin}: JPEG strip {si} does not start with SOI"
+            )
+        img = decode_jpeg(
+            JPEG_MAGIC + tables_body + seg[2:], f"{origin} strip {si}"
+        )
+        if (img.width, img.height) != (w, rows_here):
+            raise ValueError(
+                f"tiff {origin}: JPEG strip {si} decodes {img.width}x"
+                f"{img.height}, the geometry needs {w}x{rows_here}"
+            )
+        if channels is None:
+            channels = img.channels
+        elif img.channels != channels:
+            raise ValueError(
+                f"tiff {origin}: JPEG strip {si} has {img.channels} "
+                f"channels, strip 0 had {channels}"
+            )
+        raw += img.raw
+    if channels == 3:
+        return PngImage(w, h, 8, 2, 3, w * 3, bytes(raw), None)
+    return PngImage(w, h, 8, 0, 1, w, bytes(raw), None)
+
+
 def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
     """Real decode of the baseline subset (first page): 8-bit grayscale
     (photometric 0 inverted per spec, 1 as-is) and 8-bit RGB(A, alpha
     dropped — the corpus convention, as in the perceptual hashes), strips
     uncompressed, LZW (with horizontal-differencing predictor 2),
-    PackBits RLE, or Deflate. Strips are validated against the declared
-    geometry; CCITT fax / JPEG-in-TIFF refuse by name."""
+    PackBits RLE, or Deflate; bilevel CCITT fax (MH/G3/G4) routes to
+    the T.4/T.6 decoder and new-style JPEG strips to the T.81 decoder.
+    Strips are validated against the declared geometry; old-style JPEG
+    (compression 6) refuses by name."""
     entries = next(_walk_ifds(data, origin), None)
     if entries is None:
         raise ValueError(f"tiff {origin}: no IFD in the chain")
     comp = _first(entries, 259, 1)
+    if comp in (2, 3, 4):
+        return _decode_ccitt_tiff(data, entries, comp, origin)
+    if comp == 7:
+        return _decode_jpeg_tiff(data, entries, origin)
     if comp not in (1, 5, 8, 32773, 32946):
         name = _COMPRESSION_NAMES.get(comp, f"tag {comp}")
         raise ValueError(
             f"tiff {origin}: {name} compression unsupported for decode "
-            "(uncompressed/LZW/deflate/packbits baseline only; tiff_meta "
-            "still reports geometry)"
+            "(uncompressed/LZW/deflate/packbits/CCITT/JPEG baseline "
+            "only; tiff_meta still reports geometry)"
         )
     predictor = _first(entries, 317, 1)
     if predictor not in (1, 2):

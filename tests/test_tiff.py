@@ -318,11 +318,19 @@ def test_lzw_corrupt_streams_fail_loudly():
         _lzw_decode_msb(good, 3, "t", 0)
 
 
-def test_ccitt_still_refused_by_name():
+def test_old_jpeg_still_refused_by_name():
+    """CCITT and new-style JPEG decode for real since r13
+    (tests/test_ccittfax.py, test_jpeg_in_tiff below) — an 8-bit IFD
+    claiming fax compression is now malformed, and the remaining named
+    refusal is the deprecated old-style JPEG (compression 6)."""
     data = _tiff(bytes(4), 2, 2, compression=3)
     assert tiff_meta(data)["compression"] == "ccitt-g3-fax"
-    with pytest.raises(ValueError, match=r"ccitt-g3-fax compression unsupported"):
+    with pytest.raises(ValueError, match=r"requires 1 bit/sample"):
         decode_tiff(data)
+    jp = _tiff(bytes(4), 2, 2, compression=6)
+    assert tiff_meta(jp)["compression"] == "old-jpeg"
+    with pytest.raises(ValueError, match=r"old-jpeg compression unsupported"):
+        decode_tiff(jp)
 
 
 def test_predictor_outside_lzw_refused():
@@ -387,7 +395,7 @@ def test_packbits_corrupt_streams_fail_loudly():
         decode_tiff(_tiff(zlib.compress(b"abc"), 2, 2, compression=8))
     with pytest.raises(ValueError, match=r"inflates past"):
         decode_tiff(_tiff(zlib.compress(b"abcde"), 2, 2, compression=8))
-    with pytest.raises(ValueError, match=r"ccitt-g4-fax compression unsupported"):
+    with pytest.raises(ValueError, match=r"requires 1 bit/sample"):
         decode_tiff(_tiff(bytes(4), 2, 2, compression=4))
 
 
@@ -418,3 +426,125 @@ def test_packbits_round_trip_property(data):
             out += bytes([k - i]) + data[i : k + 1]
             i = k + 1
     assert _packbits_decode(bytes(out), len(data), "t", 0) == data
+
+
+# ------------------------------------------------- JPEG-in-TIFF (comp 7)
+
+def _split_jpeg_tables(stream: bytes) -> tuple:
+    """Move DQT/DHT/DRI segments out of a complete JPEG stream into an
+    abbreviated SOI…EOI tables stream (what a JPEGTables writer does)."""
+    assert stream[:2] == b"\xff\xd8"
+    pos = 2
+    tables = b""
+    keep = b"\xff\xd8"
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
+            keep += stream[pos:]
+            break
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4, 0xDD):  # DQT / DHT / DRI
+            tables += seg
+        else:
+            keep += seg
+        pos += 2 + ln
+    return b"\xff\xd8" + tables + b"\xff\xd9", keep
+
+
+def _jpeg_tiff(strips: list, w, h, rows_per_strip=None, tables=None,
+               photometric=6) -> bytes:
+    """Compression-7 TIFF: JPEG strip payloads, optional JPEGTables."""
+    e = "<"
+    rps = rows_per_strip or h
+    pos = 8
+    offs, cnts, payload = [], [], b""
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        payload += s
+        pos += len(s)
+    ifd_at = pos
+    header = b"II*\x00" + struct.pack(e + "I", ifd_at)
+    n_entries = 9 + (1 if tables else 0)
+    blobs_at = ifd_at + 2 + n_entries * 12 + 4
+    blobs = b""
+
+    def arr_long(tag, vals):
+        nonlocal blobs
+        if len(vals) == 1:
+            return _entry(e, tag, 4, 1, struct.pack(e + "I", vals[0]))
+        at = blobs_at + len(blobs)
+        blobs += struct.pack(f"{e}{len(vals)}I", *vals)
+        return _entry(e, tag, 4, len(vals), struct.pack(e + "I", at))
+
+    entries = [
+        _short(e, 256, w), _short(e, 257, h), _short(e, 258, 8),
+        _short(e, 259, 7), _short(e, 262, photometric),
+        arr_long(273, offs), _short(e, 277, 1),
+        _long(e, 278, rps), arr_long(279, cnts),
+    ]
+    if tables:
+        at = blobs_at + len(blobs)
+        blobs += tables
+        entries.append(
+            _entry(e, 347, 7, len(tables), struct.pack(e + "I", at)))
+    entries.sort(key=lambda x: struct.unpack(e + "H", x[:2])[0])
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(e + "I", 0)
+    return header + payload + ifd + blobs
+
+
+def _gradient_img(w, h, channels=3, seed=0):
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    raw = bytes(
+        (x * 11 + y * 17 + c * 5 + seed) % 256
+        for y in range(h) for x in range(w) for c in range(channels)
+    )
+    ct = 2 if channels == 3 else 0
+    return PngImage(w, h, 8, ct, channels, w * channels, raw, None)
+
+
+def test_jpeg_in_tiff_single_strip_gray():
+    from hbase_observer_es_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    stream = encode_jpeg(_gradient_img(16, 8, channels=1), quality=90)
+    data = _jpeg_tiff([stream], 16, 8, photometric=1)
+    assert tiff_meta(data)["compression"] == "jpeg"
+    img = decode_tiff(data)
+    assert (img.width, img.height, img.color_type) == (16, 8, 0)
+    assert img.raw == decode_jpeg(stream).raw
+
+
+def test_jpeg_in_tiff_two_strips_with_shared_tables():
+    """The TIFF-EP layout: DQT/DHT live once in JPEGTables; each strip
+    is an abbreviated stream spliced back together before decode."""
+    from hbase_observer_es_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    top = encode_jpeg(_gradient_img(16, 8, seed=0), quality=90)
+    bot = encode_jpeg(_gradient_img(16, 8, seed=3), quality=90)
+    tables, top_bare = _split_jpeg_tables(top)
+    assert len(top_bare) < len(top)  # the split moved something
+    # strip 0 relies on the shared tables; strip 1 stays self-contained
+    # (its own DQT/DHT arrive after the splice and override — the spec's
+    # per-strip override rule)
+    data = _jpeg_tiff([top_bare, bot], 16, 16, rows_per_strip=8,
+                      tables=tables)
+    img = decode_tiff(data)
+    assert (img.width, img.height, img.channels) == (16, 16, 3)
+    assert img.raw == decode_jpeg(top).raw + decode_jpeg(bot).raw
+
+
+def test_jpeg_in_tiff_guards():
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+
+    stream = encode_jpeg(_gradient_img(16, 8), quality=90)
+    with pytest.raises(ValueError, match=r"JPEGTables is not an SOI"):
+        decode_tiff(_jpeg_tiff([stream], 16, 8, tables=b"\x00\x01\x02\x03"))
+    with pytest.raises(ValueError, match=r"strip 0 does not start with SOI"):
+        decode_tiff(_jpeg_tiff([b"\x00" + stream], 16, 8))
+    # geometry mismatch: strip decodes 8 rows, IFD claims 6
+    with pytest.raises(ValueError, match=r"decodes 16x8, the geometry needs 16x6"):
+        decode_tiff(_jpeg_tiff([stream], 16, 6))
