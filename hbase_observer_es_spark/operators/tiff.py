@@ -32,7 +32,10 @@ import struct
 
 from .png import PngImage
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
+}
 
 _COMPRESSION_NAMES = {
     2: "ccitt-rle", 3: "ccitt-g3-fax", 4: "ccitt-g4-fax", 5: "lzw",
@@ -41,32 +44,52 @@ _COMPRESSION_NAMES = {
 }
 
 
+_BIG_MAGICS = (b"II+\x00", b"MM\x00+")
+
+
 def looks_like_tiff(payload: bytes) -> bool:
-    return payload[:4] in (b"II*\x00", b"MM\x00*")
+    return payload[:4] in (b"II*\x00", b"MM\x00*") or payload[:4] in _BIG_MAGICS
 
 
-def _read_entries(data: bytes, ifd_at: int, endian: str, origin: str) -> dict:
-    if ifd_at + 2 > len(data):
+def _read_entries(
+    data: bytes, ifd_at: int, endian: str, origin: str, big: bool = False
+) -> dict:
+    """One IFD → ({tag: values}, next-IFD offset). Classic layout: 2-byte
+    entry count, 12-byte entries, 4-byte inline values and offsets.
+    BigTIFF (``big``): 8-byte count, 20-byte entries, 8-byte inline
+    values/offsets, plus the LONG8/SLONG8/IFD8 field types."""
+    head, esize, inline = (8, 20, 8) if big else (2, 12, 4)
+    if ifd_at + head > len(data):
         raise ValueError(f"tiff {origin}: IFD at byte {ifd_at} truncated")
-    (n,) = struct.unpack(endian + "H", data[ifd_at : ifd_at + 2])
-    end = ifd_at + 2 + n * 12
-    if end + 4 > len(data):
+    (n,) = struct.unpack(
+        endian + ("Q" if big else "H"), data[ifd_at : ifd_at + head]
+    )
+    end = ifd_at + head + n * esize
+    if end + inline > len(data):
         raise ValueError(
             f"tiff {origin}: IFD at byte {ifd_at} declares {n} entries, "
             "overrunning the file"
         )
     entries = {}
     for i in range(n):
-        e = ifd_at + 2 + i * 12
-        tag, typ, count = struct.unpack(endian + "HHI", data[e : e + 8])
+        e = ifd_at + head + i * esize
+        if big:
+            tag, typ, count = struct.unpack(endian + "HHQ", data[e : e + 12])
+            vstart = e + 12
+        else:
+            tag, typ, count = struct.unpack(endian + "HHI", data[e : e + 8])
+            vstart = e + 8
         size = _TYPE_SIZES.get(typ)
         if size is None:
             continue  # unknown field type: spec says skip
         total = size * count
-        if total <= 4:
-            raw = data[e + 8 : e + 8 + total]
+        if total <= inline:
+            raw = data[vstart : vstart + total]
         else:
-            (off,) = struct.unpack(endian + "I", data[e + 8 : e + 12])
+            (off,) = struct.unpack(
+                endian + ("Q" if big else "I"),
+                data[vstart : vstart + inline],
+            )
             if off + total > len(data):
                 raise ValueError(
                     f"tiff {origin}: tag {tag} value at byte {off} overruns "
@@ -77,30 +100,51 @@ def _read_entries(data: bytes, ifd_at: int, endian: str, origin: str) -> dict:
             vals = list(struct.unpack(f"{endian}{count}H", raw))
         elif typ in (4, 9):
             vals = list(struct.unpack(f"{endian}{count}I", raw))
+        elif typ in (16, 18):  # BigTIFF LONG8 / IFD8
+            vals = list(struct.unpack(f"{endian}{count}Q", raw))
+        elif typ == 17:  # BigTIFF SLONG8
+            vals = list(struct.unpack(f"{endian}{count}q", raw))
         elif typ in (1, 6, 7, 2):
             vals = list(raw)
         else:  # rationals: keep exact numerator/denominator pairs
             nums = struct.unpack(f"{endian}{2 * count}I", raw)
             vals = [(nums[2 * k], nums[2 * k + 1]) for k in range(count)]
         entries[tag] = vals
-    (next_ifd,) = struct.unpack(endian + "I", data[end : end + 4])
+    (next_ifd,) = struct.unpack(
+        endian + ("Q" if big else "I"), data[end : end + inline]
+    )
     return entries, next_ifd
 
 
 def _walk_ifds(data: bytes, origin: str):
     if not looks_like_tiff(data):
-        if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (b"+\x00", b"\x00+"):
-            raise ValueError(f"tiff {origin}: BigTIFF (magic 43) unsupported")
         raise ValueError(
             f"tiff {origin}: not a TIFF stream (bytes 0-3 {data[:4]!r})"
         )
-    if len(data) < 8:
-        raise ValueError(
-            f"tiff {origin}: {len(data)}-byte payload is too short for a "
-            "TIFF header"
-        )
+    big = data[:4] in _BIG_MAGICS
     endian = "<" if data[:2] == b"II" else ">"
-    (ifd_at,) = struct.unpack(endian + "I", data[4:8])
+    if big:
+        # BigTIFF header: magic 43, offset bytesize (8), a zero pad
+        # word, then the 8-byte first-IFD offset
+        if len(data) < 16:
+            raise ValueError(
+                f"tiff {origin}: {len(data)}-byte payload is too short "
+                "for a BigTIFF header"
+            )
+        osize, pad = struct.unpack(endian + "HH", data[4:8])
+        if osize != 8 or pad != 0:
+            raise ValueError(
+                f"tiff {origin}: BigTIFF offset size {osize}/pad {pad} "
+                "invalid (must be 8/0)"
+            )
+        (ifd_at,) = struct.unpack(endian + "Q", data[8:16])
+    else:
+        if len(data) < 8:
+            raise ValueError(
+                f"tiff {origin}: {len(data)}-byte payload is too short "
+                "for a TIFF header"
+            )
+        (ifd_at,) = struct.unpack(endian + "I", data[4:8])
     seen = set()
     while ifd_at:
         if ifd_at in seen:
@@ -108,7 +152,7 @@ def _walk_ifds(data: bytes, origin: str):
                 f"tiff {origin}: IFD chain loops back to byte {ifd_at}"
             )
         seen.add(ifd_at)
-        entries, ifd_at = _read_entries(data, ifd_at, endian, origin)
+        entries, ifd_at = _read_entries(data, ifd_at, endian, origin, big)
         yield entries
 
 
@@ -140,6 +184,7 @@ def tiff_meta(data: bytes, origin: str = "<bytes>") -> dict:
         "photometric": _first(first, 262, 0),
         "n_pages": pages,
         "big_endian": data[:2] == b"MM",
+        "bigtiff": data[:4] in _BIG_MAGICS,
     }
 
 
@@ -345,6 +390,11 @@ def _decode_ccitt_tiff(
         raise ValueError(
             f"tiff {origin}: a predictor on CCITT strips is malformed"
         )
+    if 322 in entries:
+        raise NotImplementedError(
+            f"tiff {origin}: tile-organized CCITT fax not implemented "
+            "(strip-organized fax and tiled baseline codecs both decode)"
+        )
     if comp == 2:
         mode = "mh"
     elif comp == 3:
@@ -429,6 +479,11 @@ def _decode_jpeg_tiff(data: bytes, entries: dict, origin: str) -> PngImage:
                 f"stream (starts {tb[:2]!r}, ends {tb[-2:]!r})"
             )
         tables_body = tb[2:-2]
+    if 322 in entries:
+        raise NotImplementedError(
+            f"tiff {origin}: tile-organized JPEG not implemented "
+            "(strip-organized JPEG and tiled baseline codecs both decode)"
+        )
     offsets = entries.get(273)
     counts = entries.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -473,6 +528,72 @@ def _decode_jpeg_tiff(data: bytes, entries: dict, origin: str) -> PngImage:
     if channels == 3:
         return PngImage(w, h, 8, 2, 3, w * 3, bytes(raw), None)
     return PngImage(w, h, 8, 0, 1, w, bytes(raw), None)
+
+
+def _assemble_tiles(
+    data: bytes, entries: dict, comp: int, predictor: int,
+    w: int, h: int, spp: int, origin: str,
+) -> bytearray:
+    """Tile-organized pixel data (tags 322/323/324/325, TIFF 6.0 §15):
+    the image is a grid of ``tile_w × tile_h`` tiles in row-major order,
+    every tile FULL-SIZED (edge tiles padded right/bottom) — decode each,
+    undo the predictor at tile width, then crop-copy into the raster.
+    Tiled files are how large scans ship (one tile decodes without the
+    whole row of strips), so the 100 TB read path wants them first-class,
+    not refused."""
+    tile_w = _first(entries, 322, 0)
+    tile_h = _first(entries, 323, 0)
+    if tile_w < 1 or tile_h < 1:
+        raise ValueError(
+            f"tiff {origin}: tile geometry {tile_w}x{tile_h} invalid"
+        )
+    offsets = entries.get(324)
+    counts = entries.get(325)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError(
+            f"tiff {origin}: tile offsets/byte-counts missing or mismatched"
+        )
+    across = -(-w // tile_w)
+    down = -(-h // tile_h)
+    if len(offsets) != across * down:
+        raise ValueError(
+            f"tiff {origin}: {len(offsets)} tiles declared, the "
+            f"{w}x{h}/{tile_w}x{tile_h} grid needs {across * down}"
+        )
+    tile_bytes = tile_w * tile_h * spp
+    tile_row = tile_w * spp
+    row_bytes = w * spp
+    raw = bytearray(h * row_bytes)
+    for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError(
+                f"tiff {origin}: tile {ti} at byte {off} overruns the file"
+            )
+        seg = data[off : off + cnt]
+        if comp == 1:
+            if cnt != tile_bytes:
+                raise ValueError(
+                    f"tiff {origin}: tile {ti} carries {cnt} bytes but a "
+                    f"full tile needs {tile_bytes}"
+                )
+            chunk = seg
+        elif comp == 5:
+            chunk = _lzw_decode_msb(seg, tile_bytes, origin, ti)
+        elif comp == 32773:
+            chunk = _packbits_decode(seg, tile_bytes, origin, ti)
+        else:  # 8 / 32946
+            chunk = _deflate_decode(seg, tile_bytes, origin, ti)
+        if predictor == 2:
+            chunk = _undo_predictor2(chunk, tile_h, tile_w, spp)
+        ty, tx = divmod(ti, across)
+        x0 = tx * tile_w * spp
+        rows_here = min(tile_h, h - ty * tile_h)
+        cols_bytes = min(tile_row, row_bytes - x0)
+        for r in range(rows_here):
+            dst = (ty * tile_h + r) * row_bytes + x0
+            src = r * tile_row
+            raw[dst : dst + cols_bytes] = chunk[src : src + cols_bytes]
+    return raw
 
 
 def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
@@ -532,48 +653,52 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
         raise ValueError(
             f"tiff {origin}: RGB with {spp} samples/pixel is malformed"
         )
-    offsets = entries.get(273)
-    counts = entries.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError(
-            f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
-        )
-    rows_per_strip = _first(entries, 278, h)
-    raw = bytearray()
     row_bytes = w * spp
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
+    if 322 in entries:
+        raw = _assemble_tiles(data, entries, comp, predictor, w, h, spp, origin)
+    else:
+        offsets = entries.get(273)
+        counts = entries.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError(
-                f"tiff {origin}: strip {si} at byte {off} overruns the file"
+                f"tiff {origin}: strip offsets/byte-counts missing or "
+                "mismatched"
             )
-        rows_here = min(rows_per_strip, h - si * rows_per_strip)
-        if rows_here <= 0:
-            # more strips declared than ceil(h / rows_per_strip): without
-            # this, a negative expected size leaks a bare zlib error out
-            # of the deflate path instead of an origin-prefixed refusal
-            raise ValueError(
-                f"tiff {origin}: strip {si} lies beyond the declared "
-                f"{h}-row geometry"
-            )
-        if comp != 1:
-            seg = data[off : off + cnt]
-            need = rows_here * row_bytes
-            if comp == 5:
-                chunk = _lzw_decode_msb(seg, need, origin, si)
-            elif comp == 32773:
-                chunk = _packbits_decode(seg, need, origin, si)
-            else:  # 8 / 32946
-                chunk = _deflate_decode(seg, need, origin, si)
-            if predictor == 2:
-                chunk = _undo_predictor2(chunk, rows_here, w, spp)
-            raw += chunk
-            continue
-        if cnt != rows_here * row_bytes:
-            raise ValueError(
-                f"tiff {origin}: strip {si} carries {cnt} bytes but the "
-                f"geometry needs {rows_here * row_bytes}"
-            )
-        raw += data[off : off + cnt]
+        rows_per_strip = _first(entries, 278, h)
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(
+                    f"tiff {origin}: strip {si} at byte {off} overruns the file"
+                )
+            rows_here = min(rows_per_strip, h - si * rows_per_strip)
+            if rows_here <= 0:
+                # more strips declared than ceil(h / rows_per_strip): without
+                # this, a negative expected size leaks a bare zlib error out
+                # of the deflate path instead of an origin-prefixed refusal
+                raise ValueError(
+                    f"tiff {origin}: strip {si} lies beyond the declared "
+                    f"{h}-row geometry"
+                )
+            if comp != 1:
+                seg = data[off : off + cnt]
+                need = rows_here * row_bytes
+                if comp == 5:
+                    chunk = _lzw_decode_msb(seg, need, origin, si)
+                elif comp == 32773:
+                    chunk = _packbits_decode(seg, need, origin, si)
+                else:  # 8 / 32946
+                    chunk = _deflate_decode(seg, need, origin, si)
+                if predictor == 2:
+                    chunk = _undo_predictor2(chunk, rows_here, w, spp)
+                raw += chunk
+                continue
+            if cnt != rows_here * row_bytes:
+                raise ValueError(
+                    f"tiff {origin}: strip {si} carries {cnt} bytes but the "
+                    f"geometry needs {rows_here * row_bytes}"
+                )
+            raw += data[off : off + cnt]
     if len(raw) != h * row_bytes:
         raise ValueError(
             f"tiff {origin}: strips assemble {len(raw)} bytes, geometry "

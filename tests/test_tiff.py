@@ -60,6 +60,7 @@ def test_meta_both_endians():
             "width": 3, "height": 2, "bits_per_sample": 8,
             "samples_per_pixel": 1, "compression": "none",
             "photometric": 1, "n_pages": 1, "big_endian": big,
+            "bigtiff": False,
         }
 
 
@@ -105,7 +106,9 @@ def test_refusals():
     assert not looks_like_tiff(b"BM\x00\x00")
     with pytest.raises(ValueError, match=r"not a TIFF stream"):
         tiff_meta(b"PK\x03\x04....")
-    with pytest.raises(ValueError, match=r"BigTIFF \(magic 43\) unsupported"):
+    # BigTIFF decodes since r13 (test_bigtiff_* below); a bad offset
+    # size in its header is loud
+    with pytest.raises(ValueError, match=r"BigTIFF offset size 0/pad 0"):
         tiff_meta(b"II+\x00" + b"\x00" * 12)
     lzw = _tiff(bytes(4), 2, 2, compression=5)
     assert tiff_meta(lzw)["compression"] == "lzw"
@@ -548,3 +551,173 @@ def test_jpeg_in_tiff_guards():
     # geometry mismatch: strip decodes 8 rows, IFD claims 6
     with pytest.raises(ValueError, match=r"decodes 16x8, the geometry needs 16x6"):
         decode_tiff(_jpeg_tiff([stream], 16, 6))
+
+
+# ------------------------------------------------ BigTIFF + tiles (r13)
+
+def _bigtiff(pixels: bytes, w, h, endian="<") -> bytes:
+    """Minimal BigTIFF: 16-byte header, one uncompressed strip, one IFD
+    with 20-byte entries; strip offset/count use LONG8 (type 16) to
+    exercise the 8-byte field types."""
+    header = (b"II+\x00" if endian == "<" else b"MM\x00+")
+    header += struct.pack(endian + "HH", 8, 0)
+    strip_at = 16
+    ifd_at = strip_at + len(pixels)
+    header += struct.pack(endian + "Q", ifd_at)
+
+    def e16(tag, typ, count, v8: bytes) -> bytes:
+        return struct.pack(endian + "HHQ", tag, typ, count) + v8.ljust(8, b"\x00")
+
+    def short(tag, v):
+        return e16(tag, 3, 1, struct.pack(endian + "H", v))
+
+    def long8(tag, v):
+        return e16(tag, 16, 1, struct.pack(endian + "Q", v))
+
+    entries = [
+        short(256, w), short(257, h), short(258, 8), short(259, 1),
+        short(262, 1), long8(273, strip_at), short(277, 1),
+        short(278, h), long8(279, len(pixels)),
+    ]
+    ifd = struct.pack(endian + "Q", len(entries)) + b"".join(entries)
+    ifd += struct.pack(endian + "Q", 0)
+    return header + pixels + ifd
+
+
+def test_bigtiff_meta_and_decode_both_endians():
+    px = bytes(range(12))
+    for endian in ("<", ">"):
+        data = _bigtiff(px, 4, 3, endian=endian)
+        m = tiff_meta(data)
+        assert (m["bigtiff"], m["width"], m["height"], m["n_pages"]) == (
+            True, 4, 3, 1)
+        img = decode_tiff(data)
+        assert (img.width, img.height, img.raw) == (4, 3, px)
+
+
+def test_bigtiff_through_dispatch_and_census():
+    from hbase_observer_es_spark.operators.jpeg import decode_image, sniff_format
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    data = _bigtiff(bytes(range(12)), 4, 3)
+    assert sniff_format(data) == "tiff"
+    assert decode_image(data).width == 4
+    assert classify_media(data)["format"] == "tiff-none"
+
+
+def _tiled_tiff(raster: bytes, w, h, tile_w, tile_h, spp=1, photometric=1,
+                compression=1, predictor=1) -> bytes:
+    """Tile-organized TIFF: full-size tiles (edge tiles zero-padded),
+    row-major, each independently compressed."""
+    import zlib
+
+    e = "<"
+    across = -(-w // tile_w)
+    down = -(-h // tile_h)
+    row_bytes = w * spp
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            t = bytearray(tile_w * tile_h * spp)
+            for r in range(min(tile_h, h - ty * tile_h)):
+                src = (ty * tile_h + r) * row_bytes + tx * tile_w * spp
+                n = min(tile_w * spp, row_bytes - tx * tile_w * spp)
+                t[r * tile_w * spp : r * tile_w * spp + n] = raster[src : src + n]
+            chunk = bytes(t)
+            if predictor == 2:
+                d = bytearray(chunk)
+                rb = tile_w * spp
+                for r in range(tile_h):
+                    base = r * rb
+                    for i in range(base + rb - 1, base + spp - 1, -1):
+                        d[i] = (d[i] - d[i - spp]) & 0xFF
+                chunk = bytes(d)
+            if compression == 8:
+                chunk = zlib.compress(chunk)
+            elif compression == 5:
+                chunk = _lzw_encode_msb(chunk)
+            tiles.append(chunk)
+    pos = 8
+    offs, cnts, payload = [], [], b""
+    for t in tiles:
+        offs.append(pos)
+        cnts.append(len(t))
+        payload += t
+        pos += len(t)
+    ifd_at = pos
+    header = b"II*\x00" + struct.pack(e + "I", ifd_at)
+    n_entries = 10 + (1 if predictor == 2 else 0)
+    blobs_at = ifd_at + 2 + n_entries * 12 + 4
+    blobs = b""
+
+    def arr_long(tag, vals):
+        nonlocal blobs
+        if len(vals) == 1:
+            return _entry(e, tag, 4, 1, struct.pack(e + "I", vals[0]))
+        at = blobs_at + len(blobs)
+        blobs += struct.pack(f"{e}{len(vals)}I", *vals)
+        return _entry(e, tag, 4, len(vals), struct.pack(e + "I", at))
+
+    entries = [
+        _short(e, 256, w), _short(e, 257, h), _short(e, 258, 8),
+        _short(e, 259, compression), _short(e, 262, photometric),
+        _short(e, 277, spp),
+        _long(e, 322, tile_w), _long(e, 323, tile_h),
+        arr_long(324, offs), arr_long(325, cnts),
+    ]
+    if predictor == 2:
+        entries.append(_short(e, 317, 2))
+    entries.sort(key=lambda x: struct.unpack(e + "H", x[:2])[0])
+    # recompute blob base: entry count may differ from the estimate
+    assert len(entries) == n_entries
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(e + "I", 0)
+    return header + payload + ifd + blobs
+
+
+def test_tiled_gray_uncompressed_with_edge_tiles():
+    """5x5 raster in 4x4 tiles: a 2x2 grid with right/bottom padding."""
+    raster = bytes(range(25))
+    data = _tiled_tiff(raster, 5, 5, 4, 4)
+    img = decode_tiff(data)
+    assert (img.width, img.height, img.raw) == (5, 5, raster)
+
+
+def test_tiled_rgb_deflate_with_predictor():
+    raster = bytes((i * 7) % 256 for i in range(6 * 4 * 3))
+    data = _tiled_tiff(raster, 6, 4, 4, 2, spp=3, photometric=2,
+                       compression=8, predictor=2)
+    img = decode_tiff(data)
+    assert (img.channels, img.raw) == (3, raster)
+
+
+def test_tiled_lzw():
+    raster = bytes((i * 3) % 251 for i in range(8 * 8))
+    data = _tiled_tiff(raster, 8, 8, 4, 4, compression=5)
+    assert decode_tiff(data).raw == raster
+
+
+def test_tiled_guards_and_named_refusals():
+    raster = bytes(range(25))
+    good = _tiled_tiff(raster, 5, 5, 4, 4)
+    # drop one tile from BOTH arrays: grid mismatch is loud
+    bad = bytearray(good)
+    for tag in (324, 325):
+        i = bad.find(struct.pack("<HH", tag, 4))
+        bad[i + 4 : i + 8] = struct.pack("<I", 3)  # count 4 -> 3
+    with pytest.raises(ValueError, match=r"3 tiles declared, .* needs 4"):
+        decode_tiff(bytes(bad))
+    from tests.test_ccittfax import _encode as _fax_encode  # noqa: PLC0415
+
+    # a tiled fax / tiled JPEG file refuses by name, not by crash
+    fax = bytearray(_tiled_tiff(raster, 5, 5, 4, 4))
+    j = fax.find(struct.pack("<HH", 259, 3))
+    fax[j + 8 : j + 10] = struct.pack("<H", 4)
+    k = fax.find(struct.pack("<HH", 258, 3))
+    fax[k + 8 : k + 10] = struct.pack("<H", 1)
+    with pytest.raises(NotImplementedError, match=r"tile-organized CCITT fax"):
+        decode_tiff(bytes(fax))
+    jp = bytearray(_tiled_tiff(raster, 5, 5, 4, 4))
+    jp[j + 8 : j + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match=r"tile-organized JPEG"):
+        decode_tiff(bytes(jp))
