@@ -32,6 +32,8 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     # the r13 arm: a 2-frame animated lossless WebP per PNG
     # (vp8l_enc.write_webp_anim → the census ANMF walk)
     assert r["census_rows"] == 6 * r["media_samples"]
+    # every 2-frame animation frame-samples through the ANMF compositor
+    assert r["webp_anim_frames"] == 2 * r["media_samples"]
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",

@@ -555,6 +555,8 @@ def run(spark, sf_dir: str, out: str) -> dict:
         # the PDF arm writes each landed doc's TEXT as a real PDF (the
         # join with landed doc_ids bounds it to the media fold)
         texts = curated.select("doc_id", "text")
+        anim_webp = landed.select("doc_id", "png").mapInPandas(
+            to_anim_webp, "doc_id long, payload binary")
         mixed = (
             landed.select((F.col("doc_id") * 6).alias("doc_id"),
                           F.col("png").alias("payload"))
@@ -571,9 +573,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
                 texts.join(
                     landed.select("doc_id"), "doc_id"
                 ).mapInPandas(to_pdf, "doc_id long, payload binary"))
-            .unionByName(
-                landed.select("doc_id", "png").mapInPandas(
-                    to_anim_webp, "doc_id long, payload binary"))
+            .unionByName(anim_webp)
         )
         counts = {
             (r.family, r.format): r["count"]
@@ -592,6 +592,16 @@ def run(spark, sf_dir: str, out: str) -> dict:
             ("image", "webp-extended"): n,
         }, counts
         rows["census_payloads"] = int(6 * n)
+        # the animations also frame-SAMPLE for real: every ANMF frame
+        # composes through webpanim and lands as a canvas-sized PNG row
+        from hbase_observer_es_spark.operators.webpanim import (
+            webp_frames_frame,
+        )
+
+        sampled = webp_frames_frame(anim_webp).groupBy("doc_id").count()
+        bad = sampled.where(F.col("count") != 2).count()
+        assert bad == 0, f"{bad} animations sampled != 2 frames"
+        rows["webp_anim_frames"] = int(2 * sampled.count())
         return 6 * n
 
     rows["census_rows"] = stage("media_census", census_leg)
