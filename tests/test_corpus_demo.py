@@ -13,6 +13,8 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     r = report["rows"]
     assert 0 < r["curated"] <= r["input"]
     assert 0 <= r["cls_positive"] <= r["curated"]
+    # the LM fluency gate: a trained vocab and a non-empty head bucket
+    assert r["lm_vocab"] > 0 and 0 < r["lm_head_bucket"] <= r["curated"]
     assert r["bpe_merges"] > 0 and r["sequences"] > 0
     assert r["train_tokens"] == r["sequences"] * report["params"]["seq_len"]
     assert r["mixed"] >= r["curated"] > 0  # the fixture recipe upsamples net
@@ -36,6 +38,7 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     assert r["webp_anim_frames"] == 2 * r["media_samples"]
     expected_stages = {
         "profile", "quality_gate", "exact_dedup", "classifier_train_score",
+        "lm_surprisal",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
         "wds_publish", "media_codecs", "audio_dedup_normalize",
         "video_framesample", "media_census",

@@ -121,6 +121,33 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     rows["cls_positive"] = stage("classifier_train_score", cls_gate)
 
+    def lm_gate():
+        """The CCNet-shaped fluency stage (r13): train the integer-exact
+        bigram LM on a deterministic reference slice (doc_id % 10 == 0 —
+        the 'clean reference corpus' stand-in), score EVERY curated doc
+        with the broadcast-join surprisal plan, and count the head
+        bucket (mean surprisal below the reference median)."""
+        from hbase_observer_es_spark.operators.ngramlm import (
+            surprisal_frame,
+            train_bigram_lm,
+        )
+
+        ref = curated.where(F.col("doc_id") % 10 == 0)
+        model = train_bigram_lm(ref)
+        scored = surprisal_frame(curated, model)
+        cut = (
+            surprisal_frame(ref, model)
+            .where(F.col("n_bigrams") > 0)
+            .agg(F.expr("percentile_approx(mean_surprisal_fp, 0.5, 100000)"))
+            .head()[0]
+        )
+        rows["lm_vocab"] = model.vocab_size
+        return scored.where(
+            (F.col("n_bigrams") > 0) & (F.col("mean_surprisal_fp") <= cut)
+        ).count()
+
+    rows["lm_head_bucket"] = stage("lm_surprisal", lm_gate)
+
     def mix():
         mixed = realize_mixture(curated, MIX_FACTORS)
         # repeats become distinct packable rows via a (doc, rep) composite id
