@@ -144,6 +144,106 @@ def surprisal_py(tokens: list, model: BigramLM) -> tuple:
     return n, total
 
 
+def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
+    """Registration-ready twin (held for a driver window): the COARSE
+    integer-bits surprisal, chosen because ``floor(log2 x)`` is exactly
+    ``length(bin(x)) - 1`` in BOTH engines — so training (reference
+    slice ``doc_id % 10 == 0``) AND scoring replay as one DuckDB SQL
+    statement (:data:`ORACLE_LM_SURPRISAL`) with no fixed-point model
+    export. The production scorer stays :func:`surprisal_frame`
+    (frac_bits=16); this twin is the oracle-checkable projection of the
+    same plan shape: bigram explode → two broadcast joins → one
+    aggregation, all Catalyst."""
+    from ..io import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.col("text")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    uni = (
+        ref.select(F.explode(tokens_col(text)).alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bi = (
+        ref.select(F.explode(_bigrams_col(text)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c12"))
+    )
+    ex = docs.select(
+        "doc_id", F.explode(_bigrams_col(text)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    bits = lambda c: F.length(F.bin(c)) - 1  # floor(log2 x), exactly
+    j = (
+        ex.join(F.broadcast(uni), "w1", "left")
+        .join(F.broadcast(bi), "bg", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                bits(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                - bits(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+            ).cast("long").alias("s"),
+        )
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("s").alias("surprisal_bits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal_bits", F.lit(0)).cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+
+
+ORACLE_LM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS b
+  FROM toks
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toks WHERE doc_id % 10 = 0)
+  GROUP BY w1
+),
+v AS (SELECT COUNT(*) AS v FROM uni),
+bi AS (
+  SELECT bg, COUNT(*) AS c12
+  FROM (SELECT unnest(b) AS bg FROM bgs WHERE doc_id % 10 = 0)
+  GROUP BY bg
+),
+ex AS (SELECT doc_id, unnest(b) AS bg FROM bgs),
+j AS (
+  SELECT ex.doc_id,
+         (length(bin(coalesce(uni.c1, 0) + v.v)) - 1)
+         - (length(bin(coalesce(bi.c12, 0) + 1)) - 1) AS s
+  FROM ex
+  CROSS JOIN v
+  LEFT JOIN uni ON split_part(ex.bg, ' ', 1) = uni.w1
+  LEFT JOIN bi ON ex.bg = bi.bg
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(s) AS surprisal_bits
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.surprisal_bits, 0) AS BIGINT) AS surprisal_bits
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def surprisal_frame(
     df: DataFrame,
     model: BigramLM,

@@ -141,3 +141,42 @@ def test_training_guards(spark):
     ref = spark.createDataFrame(_REF, "doc_id long, text string")
     with pytest.raises(ValueError, match=r"over the 5 broadcast guard"):
         train_bigram_lm(ref, max_entries=5)
+
+
+# --------------------------------------------- registration-ready twin
+
+def test_q_lm_surprisal_matches_duckdb_oracle(spark):
+    """The held twin's full registry-harness check: coarse integer-bits
+    surprisal — training AND scoring — hash-compared against the one
+    DuckDB SQL statement (floor(log2 x) = length(bin(x)) - 1 in both
+    engines, so no fixed-point export is needed)."""
+    from hbase_observer_es_spark.operators.ngramlm import (
+        ORACLE_LM_SURPRISAL,
+        q_lm_surprisal,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare, duckdb_con
+
+    con = duckdb_con(SF_ORACLE)
+    try:
+        r = compare(
+            "q_lm_surprisal", q_lm_surprisal(spark, SF_ORACLE), con,
+            ORACLE_LM_SURPRISAL,
+        )
+        assert r.ok, r.detail
+    finally:
+        con.close()
+
+
+def test_q_lm_surprisal_plan_is_broadcast_no_python(spark):
+    from hbase_observer_es_spark.operators.ngramlm import q_lm_surprisal
+    from tests.conftest import SF_ORACLE
+
+    plan = (
+        q_lm_surprisal(spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for bad in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython",
+                "CartesianProduct"):
+        assert bad not in plan
