@@ -262,7 +262,15 @@ def _decode_2d_row(r: _FaxBits, ref: list, width: int, row: int) -> list:
             a0 = a2
         else:  # vertical
             a1 = b1 + d
-            if a1 < 0 or a1 > width or (transitions and a1 < transitions[-1]):
+            # changing elements are strictly ordered along the line:
+            # a1 may not leave it, run behind an earlier element, or —
+            # after a pass advanced a0 beyond the last recorded element
+            # — land back inside the passed span
+            if (
+                a1 < 0 or a1 > width
+                or (transitions and a1 < transitions[-1])
+                or (a0 >= 0 and a1 < a0)
+            ):
                 raise ValueError(
                     f"ccitt {r.origin}: row {row} vertical move to {a1} "
                     "leaves the line or runs backwards"
