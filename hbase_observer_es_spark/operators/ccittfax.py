@@ -38,6 +38,8 @@ Reference parity: none — builder-brief multimodal surface, SURVEY §2-D.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 # ITU-T T.4 §2.2 run-length code tables, transcribed by hand:
 # {run: bit-string}. Terminating codes 0..63 and per-color makeups
 # 64..1728; _EXT_MAKEUP (T.4 §2.2.4) is color-shared for runs ≥ 1792.
@@ -219,8 +221,6 @@ def _b1_b2(ref: list, a0: int, color: int, width: int) -> tuple:
     of ``ref`` strictly right of ``a0`` whose run starts the color
     OPPOSITE the current one (even indices start black runs), ``b2``
     the next after it."""
-    from bisect import bisect_right
-
     i = bisect_right(ref, a0)
     if (i & 1) != color:
         i += 1

@@ -40,25 +40,35 @@ _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 class _BitWriter:
     """LSB-first bit accumulator (the VP8L orientation); prefix codes
-    enter MSB-first per the spec."""
+    enter MSB-first per the spec. Completed bytes flush into a
+    bytearray so the pending window stays a small int — an
+    all-in-one-big-int accumulator re-copies the whole stream on every
+    put and goes quadratic on real rasters."""
 
-    __slots__ = ("_bits", "_nbits")
+    __slots__ = ("_out", "_bits", "_nbits")
 
     def __init__(self) -> None:
+        self._out = bytearray()
         self._bits = 0
         self._nbits = 0
 
     def put(self, val: int, n: int) -> None:
         self._bits |= (val & ((1 << n) - 1)) << self._nbits
         self._nbits += n
+        while self._nbits >= 8:
+            self._out.append(self._bits & 0xFF)
+            self._bits >>= 8
+            self._nbits -= 8
 
     def put_code(self, code: int, length: int) -> None:
         for i in range(length - 1, -1, -1):
             self.put((code >> i) & 1, 1)
 
     def tobytes(self) -> bytes:
-        n = (self._nbits + 7) // 8
-        return self._bits.to_bytes(n, "little") if n else b""
+        out = bytes(self._out)
+        if self._nbits:
+            out += bytes([self._bits & 0xFF])
+        return out
 
 
 def _balanced_lengths(symbols: list) -> dict:
@@ -114,10 +124,15 @@ def _write_code(w: _BitWriter, alphabet: int, symbols: list) -> dict:
     sym_lengths = _balanced_lengths(used)
     lengths = [sym_lengths.get(s, 0) for s in range(alphabet)]
     cl_used = sorted(set(lengths))
+    if len(cl_used) == 1:
+        # every slot has the same length (a 256-symbol alphabet fully
+        # used): a one-symbol code-length code would be written as all
+        # zeros — an EMPTY prefix code the decoder rightly rejects. Pad
+        # the CLC alphabet with the unused 0 so both symbols get a
+        # 1-bit code and the table stays decodable.
+        cl_used = [0] + cl_used
     cl_lengths = _balanced_lengths(cl_used)
-    cl_codes = (
-        _canonical(cl_lengths) if len(cl_used) > 1 else {cl_used[0]: (0, 0)}
-    )
+    cl_codes = _canonical(cl_lengths)
     w.put(19 - 4, 4)  # announce all 19 code-length-code slots
     for s in _CLC_ORDER:
         w.put(cl_lengths.get(s, 0), 3)

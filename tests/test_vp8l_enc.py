@@ -55,6 +55,20 @@ def test_chunk_body_round_trip_single_color():
     assert img.raw == bytes([0x12, 0x34, 0x56])
 
 
+def test_full_range_channels_round_trip():
+    """Regression: a channel using ALL 256 byte values made every
+    balanced code length identical, and the one-symbol code-length code
+    was written as all zeros — an empty prefix code the decoder rejects.
+    A plain 16x16 grayscale ramp (all 256 gray levels) is the repro."""
+    ramp = PngImage(16, 16, 8, 0, 1, 16, bytes(range(256)), None)
+    out = decode_webp_pixels(write_webp(ramp))
+    assert out.raw == bytes(v for v in range(256) for _ in range(3))
+    # and per-channel full range through the RGB path
+    rgb = _rgb_img(16, 16, bytes(
+        b for i in range(256) for b in (i, 255 - i, (i * 7) % 256)))
+    assert decode_webp_pixels(write_webp(rgb)).raw == rgb.raw
+
+
 def test_grayscale_raster_replicates_to_rgb():
     img = PngImage(3, 2, 8, 0, 1, 3, bytes([0, 100, 255, 1, 2, 3]), None)
     out = decode_webp_pixels(write_webp(img))
