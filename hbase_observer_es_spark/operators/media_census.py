@@ -71,6 +71,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
     )
     from .oggmeta import looks_like_ogg, ogg_meta
     from .pdf_text import looks_like_pdf, pdf_meta
+    from .rtf_text import looks_like_rtf, rtf_to_text
     from .png import PNG_MAGIC
     from .tiff import looks_like_tiff, tiff_meta
     from .wav import looks_like_wav, parse_wav
@@ -163,6 +164,12 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             row.update(
                 family="document", format="pdf", n_frames=m["n_pages"],
                 detail=f"pdf-{m['version']}",
+            )
+        elif looks_like_rtf(payload):
+            text = rtf_to_text(payload, origin=origin)
+            row.update(
+                family="document", format="rtf",
+                detail=f"{len(text)} chars",
             )
         elif looks_like_zip(payload):
             kind = sniff_office(payload, origin=origin)

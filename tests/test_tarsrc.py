@@ -1,0 +1,114 @@
+"""Tar ingest: real archives in all stdlib compressions, member
+filtering/skipping, guards, the zip-schema union, and the strict UTF-8
+document path."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from hbase_observer_es_spark.sources.tarsrc import (
+    _iter_members,
+    read_tar_members,
+    tar_texts_to_documents,
+)
+
+
+def _tar(members: dict, mode: str = "w") -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, content in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def test_iter_members_all_compressions():
+    members = {"a.txt": b"alpha", "sub/b.txt": b"beta"}
+    for mode in ("w", "w:gz", "w:bz2", "w:xz"):
+        got = dict(_iter_members(_tar(members, mode), "t"))
+        assert got == members, mode
+
+
+def test_structure_members_skipped():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        link = tarfile.TarInfo("evil")
+        link.type = tarfile.SYMTYPE
+        link.linkname = "/etc/passwd"
+        tf.addfile(link)
+        empty = tarfile.TarInfo("placeholder")
+        empty.size = 0
+        tf.addfile(empty, io.BytesIO(b""))
+        real = tarfile.TarInfo("data.bin")
+        real.size = 3
+        tf.addfile(real, io.BytesIO(b"xyz"))
+    got = dict(_iter_members(buf.getvalue(), "t"))
+    assert got == {"data.bin": b"xyz"}
+
+
+def test_member_glob_filters_inside_walk():
+    data = _tar({"a.txt": b"keep", "b.jsonl": b"drop"})
+    assert dict(_iter_members(data, "t", "*.txt")) == {"a.txt": b"keep"}
+
+
+def test_guards_are_loud():
+    with pytest.raises(ValueError, match=r"not a readable tar archive"):
+        list(_iter_members(b"definitely not a tar file" + b"\x00" * 600, "t"))
+    import hbase_observer_es_spark.sources.tarsrc as mod
+
+    data = _tar({"big.bin": b"x" * 64})
+    old_member = mod.MAX_MEMBER_BYTES
+    mod.MAX_MEMBER_BYTES = 16
+    try:
+        with pytest.raises(ValueError, match=r"over the 16 member guard"):
+            list(_iter_members(data, "t"))
+    finally:
+        mod.MAX_MEMBER_BYTES = old_member
+    old_total = mod.MAX_ARCHIVE_BYTES
+    mod.MAX_ARCHIVE_BYTES = 100
+    try:
+        with pytest.raises(ValueError, match=r"past the 100-byte guard"):
+            list(_iter_members(_tar({f"f{i}": b"y" * 40 for i in range(4)}), "t"))
+    finally:
+        mod.MAX_ARCHIVE_BYTES = old_total
+
+
+def test_read_members_and_zip_union(spark, tmp_path):
+    import io as _io
+    import zipfile
+
+    (tmp_path / "d1.tar.gz").write_bytes(
+        _tar({"x.txt": b"tar text"}, "w:gz"))
+    zbuf = _io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("y.txt", b"zip text")
+    (tmp_path / "d2.zip").write_bytes(zbuf.getvalue())
+
+    from hbase_observer_es_spark.sources.zipsrc import read_zip_members
+
+    tars = read_tar_members(spark, str(tmp_path))
+    zips = read_zip_members(spark, str(tmp_path))
+    both = tars.unionByName(zips)  # same landing schema by design
+    got = {(r.member, bytes(r.content)) for r in both.collect()}
+    assert got == {("x.txt", b"tar text"), ("y.txt", b"zip text")}
+
+
+def test_texts_to_documents_strict_utf8(spark, tmp_path):
+    (tmp_path / "ok.tgz").write_bytes(
+        _tar({"doc.txt": "héllo".encode(), "skip.bin": b"\xff\xfe"}, "w:gz"))
+    docs = tar_texts_to_documents(spark, str(tmp_path), glob="*.tgz")
+    rows = docs.collect()
+    assert len(rows) == 1 and rows[0].text == "héllo"
+    assert rows[0].uri.endswith("!doc.txt") and rows[0].doc_uid is not None
+    # a non-UTF-8 .txt member dies loudly, naming itself
+    (tmp_path / "bad.tgz").write_bytes(
+        _tar({"bad.txt": b"\xff\xfe broken"}, "w:gz"))
+    with pytest.raises(Exception, match=r"not valid UTF-8"):
+        tar_texts_to_documents(spark, str(tmp_path), glob="bad.tgz").collect()
