@@ -10,27 +10,33 @@ via the ``binaryFile`` datasource, explode members inside
 touch the driver), parsed by the stdlib ``tarfile`` module (the
 ``sinks/wds.py`` precedent — stdlib container codecs are in-bounds).
 
-Same guarantees as zipsrc:
+Same guarantees as zipsrc, sharing its implementation where the
+containers agree (``zipsrc.explode_archive_members`` /
+``members_to_documents`` — one landing schema, one decode discipline):
 
 * fail-loud: a corrupt archive names itself and the failing member;
-  compression is sniffed by ``tarfile`` (``r:*``), an unreadable stream
-  is a loud ValueError, never a silent empty frame;
-* bomb-guarded: the SAME per-member and per-archive decompressed-byte
-  budgets (``zipsrc.MAX_MEMBER_BYTES`` / ``MAX_ARCHIVE_BYTES``) — tar
-  headers are attacker data and a gzip layer hides the true size;
-  a member whose stream yields a different size than its header
-  declares is loud;
+  compression is sniffed by ``tarfile`` (``r:*``), and a truncated or
+  corrupt COMPRESSION layer (gzip/bz2/xz raise EOFError/OSError, not
+  TarError) is caught and re-raised as the same named ValueError —
+  never a bare stream exception without the archive path;
+* bomb-guarded three ways: the zipsrc per-member and per-archive
+  decompressed-byte budgets, PLUS a member-HEADER count cap
+  (``MAX_MEMBERS``) — a tiny gzip of millions of zero-size headers
+  would otherwise pin an executor accumulating TarInfo objects while
+  both byte budgets read zero;
 * deterministic member order (archive order);
 * directories, zero-byte placeholders, and the non-file member kinds
   (symlinks/hardlinks/devices/FIFOs — escape vectors in an ingest, not
   data) are skipped;
-* sparse members materialize through tarfile's sparse handling and are
-  size-checked like every other member.
+* the default path glob covers the real extension zoo
+  (``.tar .tar.gz .tgz .tar.bz2 .tbz2 .tar.xz .txz``) via Hadoop glob
+  alternation, so a directory of ``.tgz`` shards is ingested, not
+  silently skipped.
 
 ``read_tar_members`` lands (archive, member, size, content) rows —
-byte-compatible with ``read_zip_members`` so downstream stages take
-either container; ``tar_texts_to_documents`` is the corpus-shaped
-convenience with the same strict-UTF-8 discipline.
+byte-compatible with ``read_zip_members`` so mixed dumps union into one
+frame; ``tar_texts_to_documents`` is the corpus-shaped convenience with
+the same strict-UTF-8 discipline.
 
 Scale posture: one task per archive is the right grain for the common
 many-shards layout (WebDataset-style); a single huge tar.gz does not
@@ -47,12 +53,26 @@ import io
 import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..session import apply_runtime_conf
-from .zipsrc import MAX_ARCHIVE_BYTES, MAX_MEMBER_BYTES, ZIP_MEMBER_SCHEMA
+from .zipsrc import (
+    MAX_ARCHIVE_BYTES,
+    MAX_MEMBER_BYTES,
+    ZIP_MEMBER_SCHEMA,
+    explode_archive_members,
+    members_to_documents,
+)
 
 TAR_MEMBER_SCHEMA = ZIP_MEMBER_SCHEMA  # same landing shape, by design
+
+TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz}"
+
+MAX_MEMBERS = 100_000  # header-count bomb guard (bytes budgets see 0)
+
+# what the gzip/bz2/lzma layers raise on truncated/corrupt streams —
+# none of them are TarError, so they must be caught explicitly or the
+# fail-loud contract leaks bare stream exceptions
+_STREAM_ERRORS = (tarfile.TarError, EOFError, OSError)
 
 
 def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):
@@ -60,21 +80,30 @@ def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):
 
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
-    except tarfile.TarError as exc:
+    except _STREAM_ERRORS as exc:
         raise ValueError(
             f"tar {origin}: not a readable tar archive: {exc}"
         ) from exc
     total = 0
+    n_headers = 0
     with tf:
         while True:
             try:
                 info = tf.next()
-            except tarfile.TarError as exc:
+            except _STREAM_ERRORS as exc:
                 raise ValueError(
-                    f"tar {origin}: corrupt member header: {exc}"
+                    f"tar {origin}: corrupt or truncated archive stream "
+                    f"after {n_headers} member(s): {exc}"
                 ) from exc
             if info is None:
                 break
+            n_headers += 1
+            if n_headers > MAX_MEMBERS:
+                raise ValueError(
+                    f"tar {origin}: more than {MAX_MEMBERS} member "
+                    "headers — refusing (header-count bomb); shard the "
+                    "archive or raise MAX_MEMBERS"
+                )
             if not info.isfile() or info.size == 0:
                 continue  # dirs, links, devices, placeholders: not data
             if member_glob and not fnmatch.fnmatchcase(info.name, member_glob):
@@ -113,7 +142,7 @@ def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):
 def read_tar_members(
     spark: SparkSession,
     path: str,
-    glob: str = "*.tar*",
+    glob: str = TAR_GLOB,
     member_glob: str | None = None,
 ) -> DataFrame:
     """(archive, member, size, content) per regular-file member, one
@@ -127,56 +156,17 @@ def read_tar_members(
         .load(path)
         .select("path", "content")
     )
-
-    def explode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"archive": [], "member": [], "size": [], "content": []}
-            for p, payload in zip(pdf["path"], pdf["content"]):
-                for name, content in _iter_members(bytes(payload), p, member_glob):
-                    rows["archive"].append(p)
-                    rows["member"].append(name)
-                    rows["size"].append(len(content))
-                    rows["content"].append(content)
-            yield pd.DataFrame(rows)
-
-    return binary.mapInPandas(explode, schema=TAR_MEMBER_SCHEMA)
+    return explode_archive_members(binary, _iter_members, member_glob)
 
 
 def tar_texts_to_documents(
     spark: SparkSession,
     path: str,
-    glob: str = "*.tar*",
+    glob: str = TAR_GLOB,
     member_glob: str = "*.txt",
 ) -> DataFrame:
     """Text members → (uri, doc_uid, text) with the rawtext.py id
-    convention and the zipsrc strict-UTF-8 discipline (mojibake is a
-    loud member-naming error, never silently folded in)."""
+    convention and the shared zipsrc strict-UTF-8 discipline (mojibake
+    is a loud member-naming error, never silently folded in)."""
     members = read_tar_members(spark, path, glob, member_glob)
-
-    def decode_strict(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"uri": [], "text": []}
-            for p, name, content in zip(
-                pdf["archive"], pdf["member"], pdf["content"]
-            ):
-                try:
-                    text = bytes(content).decode("utf-8")
-                except UnicodeDecodeError as exc:
-                    raise ValueError(
-                        f"tar {p}: member {name!r} is not valid UTF-8 "
-                        f"({exc}) — mojibake must be visible, not "
-                        "folded in"
-                    ) from exc
-                rows["uri"].append(f"{p}!{name}")
-                rows["text"].append(text)
-            yield pd.DataFrame(rows)
-
-    return members.mapInPandas(decode_strict, "uri string, text string").select(
-        "uri",
-        F.xxhash64(F.col("uri")).alias("doc_uid"),
-        "text",
-    )
+    return members_to_documents(members, "tar")

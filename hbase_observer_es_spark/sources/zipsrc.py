@@ -102,6 +102,62 @@ def _iter_members(payload: bytes, origin: str, member_glob: str | None):
             yield info.filename, content
 
 
+def explode_archive_members(binary, iter_fn, member_glob):
+    """Shared archive→member fan-out: a (path, content) binary frame and
+    a per-payload member iterator → the (archive, member, size, content)
+    landing frame. zipsrc and tarsrc ride the same implementation so the
+    landing schema and the member-row discipline cannot drift apart."""
+
+    def explode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"archive": [], "member": [], "size": [], "content": []}
+            for p, payload in zip(pdf["path"], pdf["content"]):
+                for name, content in iter_fn(bytes(payload), p, member_glob):
+                    rows["archive"].append(p)
+                    rows["member"].append(name)
+                    rows["size"].append(len(content))
+                    rows["content"].append(content)
+            yield pd.DataFrame(rows)
+
+    return binary.mapInPandas(explode, schema=ZIP_MEMBER_SCHEMA)
+
+
+def members_to_documents(members: DataFrame, container: str) -> DataFrame:
+    """Shared text landing: member rows → (uri, doc_uid, text) with the
+    rawtext.py id convention. UTF-8 decodes STRICT inside the walk — a
+    malformed member dies naming itself (Spark's ``decode`` silently
+    substitutes replacement chars under the default config, which is
+    exactly the mojibake-folding this refuses)."""
+
+    def decode_strict(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"uri": [], "text": []}
+            for p, name, content in zip(
+                pdf["archive"], pdf["member"], pdf["content"]
+            ):
+                try:
+                    text = bytes(content).decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        f"{container} {p}: member {name!r} is not valid "
+                        f"UTF-8 ({exc}) — mojibake must be visible, not "
+                        "folded in"
+                    ) from exc
+                rows["uri"].append(f"{p}!{name}")
+                rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return members.mapInPandas(decode_strict, "uri string, text string").select(
+        "uri",
+        F.xxhash64(F.col("uri")).alias("doc_uid"),
+        "text",
+    )
+
+
 def read_zip_members(
     spark: SparkSession,
     path: str,
@@ -118,21 +174,7 @@ def read_zip_members(
         .load(path)
         .select("path", "content")
     )
-
-    def explode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"archive": [], "member": [], "size": [], "content": []}
-            for p, payload in zip(pdf["path"], pdf["content"]):
-                for name, content in _iter_members(bytes(payload), p, member_glob):
-                    rows["archive"].append(p)
-                    rows["member"].append(name)
-                    rows["size"].append(len(content))
-                    rows["content"].append(content)
-            yield pd.DataFrame(rows)
-
-    return binary.mapInPandas(explode, schema=ZIP_MEMBER_SCHEMA)
+    return explode_archive_members(binary, _iter_members, member_glob)
 
 
 def zip_texts_to_documents(
@@ -150,29 +192,4 @@ def zip_texts_to_documents(
     read_zip_members — one loader, one member walk; this stage only
     decodes."""
     members = read_zip_members(spark, path, glob, member_glob)
-
-    def decode_strict(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"uri": [], "text": []}
-            for p, name, content in zip(
-                pdf["archive"], pdf["member"], pdf["content"]
-            ):
-                try:
-                    text = bytes(content).decode("utf-8")
-                except UnicodeDecodeError as exc:
-                    raise ValueError(
-                        f"zip {p}: member {name!r} is not valid UTF-8 "
-                        f"({exc}) — mojibake must be visible, not "
-                        "folded in"
-                    ) from exc
-                rows["uri"].append(f"{p}!{name}")
-                rows["text"].append(text)
-            yield pd.DataFrame(rows)
-
-    return members.mapInPandas(decode_strict, "uri string, text string").select(
-        "uri",
-        F.xxhash64(F.col("uri")).alias("doc_uid"),
-        "text",
-    )
+    return members_to_documents(members, "zip")

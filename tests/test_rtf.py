@@ -112,3 +112,56 @@ def test_rtf_through_census():
     # a corrupt RTF folds into an error row, message verbatim
     bad = classify_media(rb"{\rtf1 \'f")
     assert bad["family"] == "error" and "truncated" in bad["detail"]
+
+
+# ------------------------------------------------- r13 review hardening
+
+def test_double_byte_codepage_decodes_as_runs():
+    """cp932: あ is the DBCS pair 0x82 0xA0 — the two \\'xx escapes must
+    decode TOGETHER through the code page, not byte-at-a-time."""
+    doc = rb"{\rtf1\ansicpg932 \'82\'a0!\par}"
+    assert rtf_to_text(doc) == "あ!\n"
+
+
+def test_undecodable_bytes_refuse_by_name():
+    """A lone DBCS lead byte cannot decode — the promise is refusal,
+    never replacement garbage in the corpus."""
+    doc = rb"{\rtf1\ansicpg932 \'82\par}"
+    with pytest.raises(ValueError, match=r"does not decode as cp932"):
+        rtf_to_text(doc)
+
+
+def test_uc_fallback_counts_control_words_and_symbols():
+    """A control symbol or word consumed as the \\u fallback must use up
+    the skip budget — otherwise the NEXT real character is swallowed."""
+    # \~ is the one fallback unit; X must survive
+    doc = rb"{\rtf1\uc1 \u8364\~X\par}"
+    assert rtf_to_text(doc) == "€X\n"
+    # a formatting control word as the fallback unit
+    doc2 = rb"{\rtf1\uc1 \u8364\tab X\par}"
+    assert rtf_to_text(doc2) == "€X\n"
+
+
+def test_surrogate_pairs_combine():
+    """Word writes astral characters as UTF-16 \\u pairs (negative,
+    signed 16-bit) with fallbacks after each half."""
+    # U+1F600 = D83D DE00 = -10179 -8704
+    doc = rb"{\rtf1\uc1 \u-10179 ?\u-8704 ?!\par}"
+    assert rtf_to_text(doc) == "\U0001F600!\n"
+    with pytest.raises(ValueError, match=r"lone high surrogate"):
+        rtf_to_text(rb"{\rtf1\uc0 \u-10179 x\par}")
+    with pytest.raises(ValueError, match=r"lone low surrogate"):
+        rtf_to_text(rb"{\rtf1\uc0 \u-8704\par}")
+
+
+def test_malformed_parameters_are_named_errors():
+    with pytest.raises(ValueError, match=r"bare minus with no digits"):
+        rtf_to_text(rb"{\rtf1 \foo- x}")
+    with pytest.raises(ValueError, match=r"longer than 10 digits"):
+        rtf_to_text(rb"{\rtf1 \bin99999999999999 x}")
+    with pytest.raises(ValueError, match=r"outside the signed-16-bit"):
+        rtf_to_text(rb"{\rtf1 \u99999 ?\par}")
+    with pytest.raises(ValueError, match=r"bad \\' hex"):
+        rtf_to_text(b"{\\rtf1 \\'+f}")
+    with pytest.raises(ValueError, match=r"\\bin10 at byte .* overruns"):
+        rtf_to_text(rb"{\rtf1 \bin10 xy}")

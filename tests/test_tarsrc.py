@@ -112,3 +112,66 @@ def test_texts_to_documents_strict_utf8(spark, tmp_path):
         _tar({"bad.txt": b"\xff\xfe broken"}, "w:gz"))
     with pytest.raises(Exception, match=r"not valid UTF-8"):
         tar_texts_to_documents(spark, str(tmp_path), glob="bad.tgz").collect()
+
+
+# ------------------------------------------------- r13 review hardening
+
+def test_truncated_gzip_layer_is_a_named_valueerror():
+    """gzip/bz2/xz truncation raises EOFError/OSError, not TarError —
+    the walk must still die as a ValueError NAMING the archive, whether
+    the stream dies at open, at a later header, or inside a member."""
+    import random
+
+    named = r"tar t: (corrupt or truncated|not a readable|member .* failed)"
+    whole = _tar({"a.txt": b"x" * 4096}, "w:gz")
+    with pytest.raises(ValueError, match=named):
+        list(_iter_members(whole[: len(whole) // 2], "t"))
+    # incompressible payload cut near the end: open succeeds, the
+    # failure surfaces mid-walk instead
+    rng = random.Random(7)
+    big = bytes(rng.randrange(256) for _ in range(1 << 16))
+    whole2 = _tar({"a.bin": big, "b.bin": big}, "w:gz")
+    with pytest.raises(ValueError, match=named):
+        list(_iter_members(whole2[: int(len(whole2) * 0.9)], "t"))
+
+
+def test_header_count_bomb_guard():
+    import hbase_observer_es_spark.sources.tarsrc as mod
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(30):
+            e = tarfile.TarInfo(f"empty{i}")
+            e.size = 0
+            tf.addfile(e, io.BytesIO(b""))
+    old = mod.MAX_MEMBERS
+    mod.MAX_MEMBERS = 10
+    try:
+        with pytest.raises(ValueError, match=r"more than 10 member headers"):
+            list(_iter_members(buf.getvalue(), "t"))
+    finally:
+        mod.MAX_MEMBERS = old
+
+
+def test_default_glob_matches_tgz(spark, tmp_path):
+    """The advertised extension zoo must match under the DEFAULT glob —
+    a directory of .tgz shards must never return a silent empty frame."""
+    (tmp_path / "shard-000.tgz").write_bytes(_tar({"a.txt": b"A"}, "w:gz"))
+    (tmp_path / "shard-001.tar").write_bytes(_tar({"b.txt": b"B"}))
+    (tmp_path / "notes.txt").write_bytes(b"not an archive")  # not matched
+    got = {r.member for r in read_tar_members(spark, str(tmp_path)).collect()}
+    assert got == {"a.txt", "b.txt"}
+
+
+def test_mixed_codepage_error_names_container():
+    """The shared decode helper labels errors with the right container."""
+    import re
+
+    from hbase_observer_es_spark.sources.zipsrc import members_to_documents
+
+    # exercised end-to-end in test_texts_to_documents_strict_utf8; here
+    # just pin that the tar label rides the shared helper
+    assert members_to_documents.__doc__ and "Shared text landing" in (
+        members_to_documents.__doc__)
+    src = open("hbase_observer_es_spark/sources/tarsrc.py").read()
+    assert re.search(r'members_to_documents\(members, "tar"\)', src)
