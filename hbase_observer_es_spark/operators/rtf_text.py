@@ -144,6 +144,7 @@ def rtf_to_text(data: bytes, origin: str = "<bytes>") -> str:
         c = data[i]
         if c == 0x7B:  # {
             flush(i)
+            pending_uc_skip = 0  # fallback data never spans a brace
             if len(stack) >= _MAX_DEPTH:
                 raise ValueError(
                     f"rtf {origin}: group depth past {_MAX_DEPTH} at "
@@ -159,12 +160,16 @@ def rtf_to_text(data: bytes, origin: str = "<bytes>") -> str:
                     f"rtf {origin}: unbalanced '}}' at byte {i}"
                 )
             uc, skipping = stack.pop()
+            pending_uc_skip = 0  # fallback data never spans a brace
             i += 1
             continue
         if c != 0x5C:  # plain text byte
-            if pending_uc_skip > 0:
+            if c in (0x0D, 0x0A, 0x00):
+                pass  # line-wrap bytes are ignored ENTIRELY per spec:
+                # they are not text and not \uN fallback units either
+            elif pending_uc_skip > 0:
                 pending_uc_skip -= 1
-            elif not skipping and c not in (0x0D, 0x0A, 0x00):
+            elif not skipping:
                 if pending_high is not None:
                     raise ValueError(
                         f"rtf {origin}: lone high surrogate before "
@@ -205,6 +210,11 @@ def rtf_to_text(data: bytes, origin: str = "<bytes>") -> str:
                 pending_uc_skip -= 1  # one skippable fallback unit
             elif not skipping:
                 flush(i)
+                if pending_high is not None:
+                    raise ValueError(
+                        f"rtf {origin}: lone high surrogate before "
+                        f"byte {i} (corrupt \\u pair)"
+                    )
                 if sym == "~":
                     out.append(" ")
                 elif sym in "\\{}":

@@ -290,7 +290,6 @@ _PRIORITY = (
 )
 
 
-
 def _reorder(queries: dict, oracles: dict) -> tuple[dict, dict]:
     unknown = [n for n in _PRIORITY if n not in queries]
     if unknown:

@@ -16,9 +16,14 @@ containers agree (``zipsrc.explode_archive_members`` /
 
 * fail-loud: a corrupt archive names itself and the failing member;
   compression is sniffed by ``tarfile`` (``r:*``), and a truncated or
-  corrupt COMPRESSION layer (gzip/bz2/xz raise EOFError/OSError, not
-  TarError) is caught and re-raised as the same named ValueError —
-  never a bare stream exception without the archive path;
+  corrupt COMPRESSION layer (gzip/bz2 raise EOFError/OSError, xz raises
+  lzma.LZMAError — none of them TarError) is caught and re-raised as
+  the same named ValueError, never a bare stream exception without the
+  archive path. One honest limit: a bit-flip in compressed data whose
+  block checksum lies BEYOND the end-of-archive marker can go unseen,
+  because tarfile stops consuming the stream at the marker before the
+  final checksum is read — corruption detection is as strong as the
+  bytes actually consumed, not a whole-file integrity scan;
 * bomb-guarded three ways: the zipsrc per-member and per-archive
   decompressed-byte budgets, PLUS a member-HEADER count cap
   (``MAX_MEMBERS``) — a tiny gzip of millions of zero-size headers
@@ -50,6 +55,7 @@ source family).
 from __future__ import annotations
 
 import io
+import lzma
 import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,7 +78,7 @@ MAX_MEMBERS = 100_000  # header-count bomb guard (bytes budgets see 0)
 # what the gzip/bz2/lzma layers raise on truncated/corrupt streams —
 # none of them are TarError, so they must be caught explicitly or the
 # fail-loud contract leaks bare stream exceptions
-_STREAM_ERRORS = (tarfile.TarError, EOFError, OSError)
+_STREAM_ERRORS = (tarfile.TarError, EOFError, OSError, lzma.LZMAError)
 
 
 def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):

@@ -165,3 +165,21 @@ def test_malformed_parameters_are_named_errors():
         rtf_to_text(b"{\\rtf1 \\'+f}")
     with pytest.raises(ValueError, match=r"\\bin10 at byte .* overruns"):
         rtf_to_text(rb"{\rtf1 \bin10 xy}")
+
+
+def test_fallback_budget_never_crosses_a_brace():
+    r"""The \uc skip budget resets at { and } — fallback data never
+    spans a group boundary, so adjacent-group text survives."""
+    assert rtf_to_text(rb"{\rtf1 {\uc1\u228}X\par}") == "äX\n"
+    assert rtf_to_text(rb"{\rtf1 \uc1\u228{X}\par}") == "äX\n"
+
+
+def test_line_wrap_bytes_do_not_consume_fallback():
+    r"""CR/LF are ignored entirely per spec — a writer wrapping the
+    line between \uN and its fallback must not leak the fallback."""
+    assert rtf_to_text(b"{\\rtf1\\uc1 \\u8364\r\n?X\\par}") == "\u20acX\n"
+
+
+def test_symbol_between_surrogate_halves_is_loud():
+    with pytest.raises(ValueError, match=r"lone high surrogate"):
+        rtf_to_text(rb"{\rtf1\uc0 \u-10179\~\u-8704\par}")

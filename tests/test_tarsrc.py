@@ -163,15 +163,33 @@ def test_default_glob_matches_tgz(spark, tmp_path):
     assert got == {"a.txt", "b.txt"}
 
 
-def test_mixed_codepage_error_names_container():
-    """The shared decode helper labels errors with the right container."""
-    import re
+def test_tar_errors_name_the_tar_container(spark, tmp_path):
+    """The shared decode helper labels errors with the right container:
+    a bad member ingested through the TAR path says 'tar', not 'zip'."""
+    (tmp_path / "bad2.tgz").write_bytes(
+        _tar({"bad.txt": b"\xff\xfe nope"}, "w:gz"))
+    with pytest.raises(Exception, match=r"tar .*bad2\.tgz.*not valid UTF-8"):
+        tar_texts_to_documents(spark, str(tmp_path), glob="bad2.tgz").collect()
 
-    from hbase_observer_es_spark.sources.zipsrc import members_to_documents
 
-    # exercised end-to-end in test_texts_to_documents_strict_utf8; here
-    # just pin that the tar label rides the shared helper
-    assert members_to_documents.__doc__ and "Shared text landing" in (
-        members_to_documents.__doc__)
-    src = open("hbase_observer_es_spark/sources/tarsrc.py").read()
-    assert re.search(r'members_to_documents\(members, "tar"\)', src)
+def test_corrupt_xz_layer_is_a_named_valueerror():
+    """lzma.LZMAError subclasses Exception, not OSError — it must be in
+    the caught set or a corrupt .tar.xz leaks a bare stream error."""
+    import random
+
+    rng = random.Random(3)
+    big = bytes(rng.randrange(256) for _ in range(1 << 15))
+    whole = _tar({"a.bin": big, "b.bin": big}, "w:xz")
+    named = r"tar t: (corrupt or truncated|not a readable|member .* failed)"
+    seen_value_error = 0
+    for off in range(64, len(whole) - 64, max(1, len(whole) // 48)):
+        cut = bytearray(whole)
+        cut[off] ^= 0xFF
+        try:
+            list(_iter_members(bytes(cut), "t"))
+        except ValueError as exc:
+            assert "tar t:" in str(exc)
+            seen_value_error += 1
+        # silent acceptance is possible only when the flipped byte's
+        # checksum lies beyond the end-of-archive marker (documented)
+    assert seen_value_error > 0  # corruption does surface, and as ValueError
