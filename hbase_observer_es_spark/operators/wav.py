@@ -14,11 +14,16 @@ readers. Implemented subset:
   channels × bytes/sample, ``byte_rate`` = rate × block_align — a lying
   header dies loudly, never misframes samples);
 * sample formats: PCM unsigned 8-bit, signed little-endian 16/24/32-bit,
-  IEEE float32/float64 (format tag 3), and G.711 a-law/mu-law telephony
+  IEEE float32/float64 (format tag 3), G.711 a-law/mu-law telephony
   audio (tags 6/7 — expanded to 16-bit linear at the parse boundary by
   the classic segment formulas, bit-identical to the stdlib audioop
-  reference, so everything downstream sees plain PCM). Other
-  compressed/extensible tags (ADPCM, MP3, 0xFFFE) are refused by name;
+  reference, so everything downstream sees plain PCM), and IMA/DVI
+  ADPCM (tag 0x11, r13 — per-block predictor/step-index headers,
+  interleaved 4-byte channel words, low-nibble-first, the canonical
+  89-entry step table pinned bit-identical to audioop's adpcm2lin, fact
+  chunk trimming the final block; expanded to 16-bit PCM the same way).
+  The remaining compressed/extensible tags (MS-ADPCM tag 2, MP3,
+  0xFFFE) are refused by name;
 * per-sample access and integer-exact corpus features: peak amplitude,
   zero-crossing count, sum of absolute sample values — the cheap audio
   quality/filter signals, all integer arithmetic for PCM so a DuckDB or
@@ -68,6 +73,107 @@ def _g711_alaw(a: int) -> int:
 
 _MULAW = [_g711_mulaw(i) for i in range(256)]
 _ALAW = [_g711_alaw(i) for i in range(256)]
+
+# IMA/DVI ADPCM (WAV format tag 0x11): the canonical 89-entry step table
+# and 4-bit index-adjust table — pinned bit-identical against the stdlib
+# audioop reference in tests (the G.711 discipline)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _decode_ima_adpcm(
+    data: bytes, ch: int, rate: int, block_align: int, origin: str,
+    fact_frames: int | None,
+) -> "WavAudio":
+    """IMA ADPCM blocks → 16-bit linear PCM (the G.711 expand-at-the-
+    parse-boundary convention, so every downstream audio operator sees
+    plain PCM). Block layout per the public WAV-IMA framing: a 4-byte
+    per-channel header (int16 predictor — emitted as the first sample —
+    a step index, a reserved byte), then 4-byte data words interleaved
+    one per channel, nibbles LOW-first within each byte."""
+    header = 4 * ch
+    body = block_align - header
+    if block_align < header or body % (4 * ch):
+        raise ValueError(
+            f"wav {origin}: ima-adpcm block_align {block_align} does not "
+            f"frame {ch} channel(s) (4-byte header + 4-byte words per "
+            "channel)"
+        )
+    spb = body // (4 * ch) * 8 + 1  # samples per block per channel
+    n_blocks = len(data) // block_align
+    out: list = []
+    step_t, index_t = _IMA_STEP, _IMA_INDEX
+    for b in range(n_blocks):
+        base = b * block_align
+        preds, idxs, chans = [], [], []
+        for c in range(ch):
+            (p,) = struct.unpack_from("<h", data, base + 4 * c)
+            idx = data[base + 4 * c + 2]
+            if idx > 88:
+                raise ValueError(
+                    f"wav {origin}: ima-adpcm block {b} channel {c} step "
+                    f"index {idx} > 88 — corrupt stream"
+                )
+            preds.append(p)
+            idxs.append(idx)
+            chans.append([p])
+        pos = base + header
+        block_end = base + block_align
+        while pos < block_end:
+            for c in range(ch):
+                pred, idx, lst = preds[c], idxs[c], chans[c]
+                for byte in data[pos : pos + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = step_t[idx]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = pred - diff if nib & 8 else pred + diff
+                        if pred < -32768:
+                            pred = -32768
+                        elif pred > 32767:
+                            pred = 32767
+                        idx += index_t[nib & 7]
+                        if idx < 0:
+                            idx = 0
+                        elif idx > 88:
+                            idx = 88
+                        lst.append(pred)
+                preds[c], idxs[c] = pred, idx
+                pos += 4
+        for si in range(spb):
+            for c in range(ch):
+                out.append(chans[c][si])
+    total = n_blocks * spb
+    if fact_frames is not None and fact_frames != total:
+        if not (total - spb < fact_frames <= total):
+            raise ValueError(
+                f"wav {origin}: fact chunk declares {fact_frames} frames "
+                f"but the {n_blocks} block(s) decode {total} — only the "
+                "final block may be partial"
+            )
+        out = out[: fact_frames * ch]
+        total = fact_frames
+    return WavAudio(
+        fmt_tag=1,
+        channels=ch,
+        sample_rate=rate,
+        bit_depth=16,
+        n_frames=total,
+        data=struct.pack(f"<{len(out)}h", *out),
+    )
 
 
 def looks_like_wav(payload: bytes) -> bool:
@@ -150,6 +256,7 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
     pos = 12
     fmt = None
     frames_data = None
+    fact_frames = None
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError(f"wav {origin}: truncated chunk header at byte {pos}")
@@ -170,11 +277,17 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
             tag, ch, rate, byte_rate, block_align, depth = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
-            if tag not in (1, 3, 6, 7):
+            if tag not in (1, 3, 6, 7, 0x11):
                 name = _FORMAT_NAMES.get(tag, f"0x{tag:04x}")
                 raise ValueError(
                     f"wav {origin}: compressed/extensible format {name} "
-                    "unsupported (PCM, IEEE float, G.711 a-law/mu-law)"
+                    "unsupported (PCM, IEEE float, G.711 a-law/mu-law, "
+                    "IMA ADPCM)"
+                )
+            if tag == 0x11 and depth != 4:
+                raise ValueError(
+                    f"wav {origin}: ima-adpcm needs 4-bit samples, "
+                    f"got {depth}"
                 )
             if tag in (6, 7) and depth != 8:
                 raise ValueError(
@@ -195,18 +308,22 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
                 raise ValueError(
                     f"wav {origin}: zero channels ({ch}) or sample rate ({rate})"
                 )
-            if block_align != ch * (depth // 8):
+            if tag != 0x11 and block_align != ch * (depth // 8):
                 raise ValueError(
                     f"wav {origin}: block_align {block_align} != channels "
                     f"{ch} x {depth // 8} bytes/sample — refusing to guess "
                     "the frame layout"
                 )
-            if byte_rate != rate * block_align:
+            if tag != 0x11 and byte_rate != rate * block_align:
                 raise ValueError(
                     f"wav {origin}: byte_rate {byte_rate} != sample_rate "
                     f"{rate} x block_align {block_align}"
                 )
             fmt = (tag, ch, rate, block_align, depth)
+        elif ctype == b"fact":
+            if length < 4:
+                raise ValueError(f"wav {origin}: fact chunk length {length} < 4")
+            (fact_frames,) = struct.unpack("<I", payload[:4])
         elif ctype == b"data":
             if frames_data is not None:
                 raise ValueError(f"wav {origin}: duplicate data chunk")
@@ -222,6 +339,10 @@ def parse_wav(data: bytes, origin: str = "<bytes>") -> WavAudio:
         raise ValueError(
             f"wav {origin}: data length {len(frames_data)} not a multiple of "
             f"block_align {block_align} (torn final frame)"
+        )
+    if tag == 0x11:
+        return _decode_ima_adpcm(
+            frames_data, ch, rate, block_align, origin, fact_frames
         )
     if tag in (6, 7):
         # G.711 expands at the parse boundary: downstream sees plain
