@@ -39,15 +39,24 @@ Column expression over a literal weight array (whole-stage codegen;
 refused above ``_MAX_EXPR_DIM`` buckets of plan size) and an
 Arrow-vectorized pandas_udf with a per-batch token memo for real widths.
 
-Not registered (r10 window full); ``q_quality_classify`` over documents
-(text-derived token-presence label — the fixture's ``lang`` column is
-independent of its text, measured, so an en-vs-rest target would
-demonstrate nothing; deterministic doc_id-parity train/held-out split)
-is the registration-ready twin, DuckDB-checked in ``tests/
-test_classifier.py`` by replaying INFERENCE in SQL with the trained
-weights as literals — training itself is order-sensitive by definition
-and lives in the driver like k-means, pinned instead by an independent
-non-lazy mirror that recomputes the true averaged weights explicitly.
+REGISTERED round 14 with the literal-weights convention finalized:
+``q_quality_classify`` ships the TRAINED model as in-source literals
+(:data:`CLS_W_NONZERO`/:data:`CLS_B` — the production deployment shape:
+train offline, broadcast frozen weights) and is pure map-only inference
+over the held-out ``doc_id % 5 == 0`` split, so its DuckDB oracle is one
+static SQL string replaying the same literals. Training itself is
+order-sensitive by definition and lives in the driver like k-means; its
+correctness is pinned by an independent non-lazy mirror that recomputes
+the true averaged weights explicitly, and the frozen literals' PROVENANCE
+is pinned by ``tests/test_classifier.py::
+test_frozen_model_retrain_provenance`` — a full retrain on the sf0.01
+fixture train split must reproduce them bit-for-bit, so fixture or
+feature-map drift fails loudly.
+The label is text-derived (document contains the token ``join``) — NOT
+the fixture's ``lang`` column, which is statistically independent of its
+text (measured: training accuracy collapses to the class prior). The
+train-at-query-time form survives as
+:func:`q_quality_classify_trained` (unregistered).
 
 Reference parity: no analogue in the reference tree — beyond-reference
 pipeline surface (SURVEY §2-D).
@@ -266,39 +275,87 @@ def classify(
     return docs.withColumn(out_col, fn(F.col(text_col), model))
 
 
-# ------------------------------------------------- registration-ready twin
+# ----------------------------------------------------------- registered twin
 
 CLS_DIM = 512
 CLS_EPOCHS = 5
 CLS_HOLDOUT_MOD = 5  # doc_id % 5 == 0 -> held out
 CLS_TARGET_TOKEN = "join"
 
+# The FROZEN model — the averaged-perceptron weights trained on the sf0.01
+# fixture's train split (doc_id % 5 != 0, ordered by doc_id, dim=512,
+# epochs=5, token-presence label CLS_TARGET_TOKEN). Sparse storage: only 31
+# of 512 buckets are nonzero. Provenance is pinned by
+# tests/test_classifier.py::test_frozen_model_retrain_provenance, which
+# retrains from the fixture and asserts bit equality — so neither the
+# fixture, the feature map, nor the trainer can drift without a loud test
+# failure. Scaled-average convention: these are w·c − u (see module
+# docstring), exact integers with the same signs and ranking as the true
+# average.
+CLS_B = -15254
+CLS_W_NONZERO = {
+    1: -2922, 56: -640, 92: 1338, 95: 2112, 97: -2533, 113: 353,
+    124: 1975, 125: -1558, 127: 4381, 200: 1441, 221: 1549, 256: -187,
+    257: -2375, 263: -3753, 270: -988, 298: 40553, 302: 2493, 314: 2025,
+    328: -1110, 334: 770, 355: -105, 363: -3775, 369: -1299, 414: 2725,
+    426: -2230, 462: -4043, 474: 2024, 475: 1746, 499: 284, 500: -752,
+    511: -2307,
+}
+
+
+def frozen_model() -> dict:
+    """The frozen classifier expanded to the dense ``{"w", "b", "dim"}``
+    form every inference path takes."""
+    w = [0] * CLS_DIM
+    for i, v in CLS_W_NONZERO.items():
+        w[i] = v
+    return {"w": w, "b": CLS_B, "dim": CLS_DIM}
+
+
+def _label_col() -> Column:
+    return F.array_contains(tokens_col(F.col("text")), CLS_TARGET_TOKEN).cast(
+        "int"
+    )
+
 
 def q_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train on the doc_id-parity split of documents and emit the exact
-    integer margin for every HELD-OUT document: ``(doc_id, label, margin,
-    pred)``.
+    """REGISTERED: exact integer margin for every HELD-OUT document
+    (``doc_id % 5 == 0``) under the FROZEN literal-weights model:
+    ``(doc_id, label, margin, pred)``.
 
-    The label is text-derived (document contains the token ``join``) —
-    NOT the fixture's ``lang`` column, which is statistically independent
-    of the text (measured: training accuracy collapses to the class
-    prior), so an en-vs-rest twin would demonstrate nothing. A token-
-    presence target keeps the twin honest: held-out accuracy measures
-    that the trained weights actually recovered the rule from text. In
-    production the labels are the human/LLM quality ratings; the
-    machinery is identical.
-
-    The SQL oracle replays inference with the trained weights as literals
-    (see tests) — training is an ordered driver fold like k-means,
-    mirrored independently instead."""
+    Inference-only by design — the production deployment shape is train
+    offline, ship the weights, score the corpus map-side; freezing the
+    trained literals in-source is what makes the DuckDB oracle a static
+    SQL string (the registration contract). Training correctness is
+    pinned separately: the non-lazy mirror proves the lazy average, and
+    the retrain-provenance test proves these literals ARE the sf0.01
+    fixture's trained model. Held-out accuracy (≥0.9, beats majority) is
+    asserted in tests — the weights really recovered the token rule. In
+    production the labels are human/LLM quality ratings; the machinery is
+    identical."""
     from ..io import table
 
-    d = table(spark, sf_dir, "documents").withColumn(
-        "label",
-        F.array_contains(tokens_col(F.col("text")), CLS_TARGET_TOKEN).cast(
-            "int"
-        ),
+    held = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % CLS_HOLDOUT_MOD == 0)
+        .withColumn("label", _label_col())
     )
+    return classify(held, frozen_model()).select(
+        "doc_id",
+        "label",
+        "margin",
+        (F.col("margin") > 0).cast("int").alias("pred"),
+    )
+
+
+def q_quality_classify_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-at-query-time form (unregistered): fit on the parity
+    split of ``sf_dir`` itself, then score its held-out documents. Same
+    output shape as :func:`q_quality_classify`; used where the corpus at
+    hand IS the training set (and by the provenance tests)."""
+    from ..io import table
+
+    d = table(spark, sf_dir, "documents").withColumn("label", _label_col())
     train = d.where(F.col("doc_id") % CLS_HOLDOUT_MOD != 0)
     held = d.where(F.col("doc_id") % CLS_HOLDOUT_MOD == 0)
     model = train_text_classifier(train, "label", dim=CLS_DIM, epochs=CLS_EPOCHS)
@@ -348,3 +405,11 @@ scored AS (
 )
 SELECT doc_id, label, margin, CAST(margin > 0 AS INT) AS pred FROM scored
 """
+
+
+QUERIES = {"q_quality_classify": q_quality_classify}
+ORACLES = {
+    "q_quality_classify": sql_margin_replay(
+        frozen_model(), f"doc_id % {CLS_HOLDOUT_MOD} = 0"
+    ),
+}

@@ -32,8 +32,8 @@ combine, capped by a loud ``max_entries`` guard (a model too big to
 broadcast should be re-scoped, not silently spilled).
 
 Reference parity: none — builder-brief LLM-pipeline surface (SURVEY
-§2-D); the registered twin is held for a driver window (the
-classifier/profile convention).
+§2-D); ``q_lm_surprisal`` REGISTERED round 14 (held one driver window
+per the classifier/profile convention).
 """
 
 from __future__ import annotations
@@ -145,7 +145,7 @@ def surprisal_py(tokens: list, model: BigramLM) -> tuple:
 
 
 def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
-    """Registration-ready twin (held for a driver window): the COARSE
+    """REGISTERED (round 14): the COARSE
     integer-bits surprisal, chosen because ``floor(log2 x)`` is exactly
     ``length(bin(x)) - 1`` in BOTH engines — so training (reference
     slice ``doc_id % 10 == 0``) AND scoring replay as one DuckDB SQL
@@ -242,6 +242,10 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+QUERIES = {"q_lm_surprisal": q_lm_surprisal}
+ORACLES = {"q_lm_surprisal": ORACLE_LM_SURPRISAL}
 
 
 def surprisal_frame(

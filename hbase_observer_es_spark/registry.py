@@ -70,6 +70,8 @@ _MODULES = (
     "hbase_observer_es_spark.operators.dedup_eval",
     "hbase_observer_es_spark.operators.zorder",
     "hbase_observer_es_spark.operators.profile",
+    "hbase_observer_es_spark.operators.ngramlm",
+    "hbase_observer_es_spark.operators.classifier",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a

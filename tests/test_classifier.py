@@ -22,7 +22,9 @@ from hbase_observer_es_spark.operators.classifier import (
     doc_buckets_py,
     margin_expr,
     margin_pandas,
+    frozen_model,
     q_quality_classify,
+    q_quality_classify_trained,
     sql_margin_replay,
     tokens_col,
     train_perceptron,
@@ -56,12 +58,14 @@ def fixture_model(spark):
 
 
 def test_inference_matches_sql_replay(spark, fixture_model):
+    """The TRAINED form: fit at SF_ORACLE, replay inference in SQL with
+    the just-trained weights as literals."""
     model = fixture_model
     con = duckdb_con(SF_ORACLE)
     try:
         r = compare(
-            "q_quality_classify",
-            q_quality_classify(spark, SF_ORACLE),
+            "q_quality_classify_trained",
+            q_quality_classify_trained(spark, SF_ORACLE),
             con,
             sql_margin_replay(model, f"doc_id % {CLS_HOLDOUT_MOD} = 0"),
         )
@@ -70,8 +74,53 @@ def test_inference_matches_sql_replay(spark, fixture_model):
         con.close()
 
 
+def test_registered_query_matches_static_oracle(spark):
+    """The REGISTERED form: frozen literal weights, static ORACLES entry —
+    exactly what the driver compares (and at any sf, since both sides
+    carry the same literals)."""
+    from hbase_observer_es_spark.operators.classifier import ORACLES
+
+    con = duckdb_con(SF_ORACLE)
+    try:
+        r = compare(
+            "q_quality_classify",
+            q_quality_classify(spark, SF_ORACLE),
+            con,
+            ORACLES["q_quality_classify"],
+        )
+        assert r.ok, r.detail
+    finally:
+        con.close()
+
+
+def test_frozen_model_retrain_provenance(spark):
+    """The in-source literals ARE the sf0.01 fixture's trained model: a
+    full retrain (same split, order, dim, epochs) must reproduce
+    CLS_W_NONZERO/CLS_B bit-for-bit. Fails loudly if the fixture data,
+    the feature map, or the trainer drifts."""
+    d = _labeled_docs(spark, "/root/testdata/sf0.01")
+    retrained = train_text_classifier(
+        d.where(F.col("doc_id") % CLS_HOLDOUT_MOD != 0),
+        "label",
+        dim=CLS_DIM,
+        epochs=CLS_EPOCHS,
+    )
+    assert retrained == frozen_model()
+
+
 def test_heldout_accuracy_beats_majority(spark):
-    rows = q_quality_classify(spark, SF_ORACLE).collect()
+    rows = q_quality_classify_trained(spark, SF_ORACLE).collect()
+    n = len(rows)
+    acc = sum(1 for r in rows if r["pred"] == r["label"]) / n
+    pos = sum(r["label"] for r in rows) / n
+    majority = max(pos, 1 - pos)
+    assert acc >= 0.9 and acc > majority, (acc, majority)
+
+
+def test_frozen_heldout_accuracy_beats_majority(spark):
+    """The frozen literals really recovered the token rule: held-out
+    accuracy at the training scale (sf0.01) clears the same bar."""
+    rows = q_quality_classify(spark, "/root/testdata/sf0.01").collect()
     n = len(rows)
     acc = sum(1 for r in rows if r["pred"] == r["label"]) / n
     pos = sum(r["label"] for r in rows) / n
