@@ -262,14 +262,17 @@ def _decode_2d_row(r: _FaxBits, ref: list, width: int, row: int) -> list:
             a0 = a2
         else:  # vertical
             a1 = b1 + d
-            # changing elements are strictly ordered along the line:
-            # a1 may not leave it, run behind an earlier element, or —
-            # after a pass advanced a0 beyond the last recorded element
-            # — land back inside the passed span
+            # changing elements are STRICTLY ordered along the line
+            # (T.4 §4.2.1.3.1: a1 is to the RIGHT of a0): a1 may not
+            # leave the line, equal or run behind an earlier element, or
+            # — after a pass advanced a0 beyond the last recorded
+            # element — land back inside the passed span. Equality is
+            # rejected too (a zero-advance vertical move encodes a
+            # zero-length run no conforming encoder emits)
             if (
                 a1 < 0 or a1 > width
-                or (transitions and a1 < transitions[-1])
-                or (a0 >= 0 and a1 < a0)
+                or (transitions and a1 <= transitions[-1])
+                or (a0 >= 0 and a1 <= a0)
             ):
                 raise ValueError(
                     f"ccitt {r.origin}: row {row} vertical move to {a1} "

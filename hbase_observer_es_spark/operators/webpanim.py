@@ -160,6 +160,14 @@ def iter_webp_frames(
                 raise ValueError(
                     f"webp {origin}: ANMF frame before the ANIM chunk"
                 )
+            # cap checked BEFORE composing so it bounds work done, not
+            # just frames counted: an early-stopping consumer must never
+            # have decoded a frame past the budget
+            if n_frames >= max_frames:
+                raise ValueError(
+                    f"webp {origin}: more than {max_frames} frames — "
+                    "raise max_frames if this is intentional"
+                )
             if length < 16:
                 raise ValueError(
                     f"webp {origin}: ANMF header of {length} bytes (need 16)"
@@ -226,11 +234,6 @@ def iter_webp_frames(
                         canvas[o + x] = _blend_px(px[row + x], canvas[o + x])
             yield WebpFrame(n_frames, duration, _canvas_to_rgb(canvas, cw, ch))
             n_frames += 1
-            if n_frames > max_frames:
-                raise ValueError(
-                    f"webp {origin}: more than {max_frames} frames — "
-                    "raise max_frames if this is intentional"
-                )
             # disposal AFTER the frame is shown
             if dispose_bg:
                 for y in range(fh):

@@ -260,6 +260,16 @@ def test_guards_are_loud():
         decode_ccitt(b"\x00", 4, 1, "mh", fill_order=3)
 
 
+def test_zero_advance_vertical_refuses():
+    """Changing elements are STRICTLY ordered (T.4 §4.2.1.3.1): a
+    vertical move landing exactly ON the previous element (a1 == a0,
+    a zero-length run) must refuse, not decode. Row 1 is the pass-mode
+    golden's 2W 2B 4W → ref transitions [2, 4, 8]; row 2 places V0 at
+    2 then VL2 from b1=4 lands BACK at 2 — zero advance."""
+    with pytest.raises(ValueError, match=r"row 1 vertical move to 2 .*backwards"):
+        decode_ccitt(_packbits("001 0111 11 1" + "1 000010"), 8, 2, "g4")
+
+
 # ----------------------------------------------------- TIFF integration
 
 def _entry(endian, tag, typ, count, value4: bytes) -> bytes:

@@ -248,6 +248,16 @@ def test_frame_and_pixel_bomb_guards():
     )
     with pytest.raises(ValueError, match=r"more than 2 frames"):
         parse_webp_frames(data, max_frames=2)
+    # the cap bounds WORK, not just frames counted: the raise comes before
+    # the over-budget frame is composed, so an incremental consumer sees
+    # exactly max_frames frames and then the error — never a third frame
+    it = iter_webp_frames(data, max_frames=2)
+    assert next(it).index == 0
+    assert next(it).index == 1
+    with pytest.raises(ValueError, match=r"more than 2 frames"):
+        next(it)
+    # a file with EXACTLY max_frames frames is within budget
+    assert len(parse_webp_frames(data, max_frames=3)) == 3
     bomb = _webp(
         _vp8x(16000, 16000), _anim(), _chunk(b"ANMF", b"\x00" * 16))
     with pytest.raises(ValueError, match=r"pixel guard"):

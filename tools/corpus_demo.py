@@ -551,14 +551,33 @@ def run(spark, sf_dir: str, out: str) -> dict:
                 payloads = []
                 for p in pdf["png"]:
                     img = decode_png(bytes(p))
+                    # per-PIXEL mirror (channels-aware), not a byte
+                    # reverse: a byte reverse of an RGB row would scramble
+                    # the channel order and a width-byte slice would keep
+                    # only the first third of the raster
+                    if img.bit_depth != 8 or img.palette is not None:
+                        raise ValueError(
+                            "to_anim_webp: expected 8-bit non-palette "
+                            f"landed PNGs, got depth={img.bit_depth} "
+                            f"palette={img.palette is not None}"
+                        )
+                    n = img.channels
                     mirror = b"".join(
-                        img.raw[y * img.stride : y * img.stride + img.width][::-1]
+                        bytes(
+                            b
+                            for x in range(img.width - 1, -1, -1)
+                            for b in img.raw[
+                                y * img.stride + x * n
+                                : y * img.stride + (x + 1) * n
+                            ]
+                        )
                         for y in range(img.height)
                     )
                     payloads.append(write_webp_anim([
                         (40, img),
-                        (40, PngImage(img.width, img.height, 8, 0, 1,
-                                      img.width, mirror, None)),
+                        (40, PngImage(img.width, img.height, 8,
+                                      img.color_type, n,
+                                      img.width * n, mirror, None)),
                     ]))
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"] * 6 + 5, "payload": payloads}
