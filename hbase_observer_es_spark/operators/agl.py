@@ -26,8 +26,8 @@ Plus the AGL application algorithm: ``uniXXXX`` (one or more 4-hex-digit
 groups) and ``uXXXX[XX]`` map algorithmically (surrogates refused),
 ``.suffix`` variants strip to their base name, ``a_b`` ligature names
 map each component, and ``.notdef`` is empty. Anything else raises
-``KeyError`` — the PDF layer turns that into a by-name refusal rather
-than guessing (``pdf_text._font_decoder``).
+``KeyError`` — the PDF layer (``pdf_text._font_decoder``) turns that
+into its named /Differences refusal rather than guessing.
 
 Reference parity: none — document-pipeline support surface beside
 ``pdf_text.py`` (SURVEY §2-D).
@@ -225,7 +225,8 @@ def glyph_to_text(name: str) -> str:
     algorithm: strip the first ``.suffix`` (``.notdef`` → empty),
     map each ``_``-separated component through the table or the
     ``uniXXXX``/``uXXXXXX`` rules. Raises ``KeyError`` for any
-    component outside the core subset — callers refuse by name."""
+    component outside the core subset — callers turn that into their
+    own loud, glyph-named refusal."""
     if name.startswith("."):
         if name == ".notdef":
             return ""

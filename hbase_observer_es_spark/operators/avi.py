@@ -51,7 +51,9 @@ from .png import PngImage
 
 AVI_MAGIC = (b"RIFF", b"AVI ")  # bytes 0-3 and 8-11
 
-_KNOWN_FOURCC = {
+# the named REFUSED codec set: everything here is recognized, reported
+# by its human name, and deliberately not decoded (MJPG + raw DIB only)
+_REFUSED_FOURCC = {
     b"cvid": "cinepak",
     b"dvsd": "dv-video",
     b"H264": "h264",
@@ -163,7 +165,7 @@ def _parse_video_stream(data: bytes, hdrl_start: int, hdrl_end: int, origin: str
                 )
             codec = "dib"
         else:
-            name = _KNOWN_FOURCC.get(comp_cc, f"fourcc {comp_cc!r}")
+            name = _REFUSED_FOURCC.get(comp_cc, f"fourcc {comp_cc!r}")
             raise ValueError(
                 f"avi {origin}: video codec {name} unsupported "
                 "(MJPG and 24-bit BI_RGB only)"

@@ -18,7 +18,7 @@ container boxes nesting children. Extracted per file:
 * guards: box sizes are attacker data — a size that overruns its parent
   names its byte offset; size 0 ("to end of file") is honored only at
   top level; descent is explicit at fixed call sites (no recursion to
-  depth-bomb); a missing ``moov`` or ``mvhd`` refuses by name
+  depth-bomb); a missing ``moov`` or ``mvhd`` fails loudly naming the box
   (streaming-optimized files put ``moov`` first, but the walk finds it
   anywhere before EOF); an empty or truncated timing box dies as the
   module's ValueError, never an IndexError.

@@ -16,7 +16,10 @@ JPEG-in-TIFF (compression 7) decodes through the from-spec JPEG
 decoder with the JPEGTables-tag splice (r13); old-style JPEG
 (compression 6, deprecated since TTN2) refuses BY NAME. ``tiff_meta``
 still reports every variant's geometry and compression so curation can
-filter without decoding. BigTIFF (magic 43) refuses by name.
+filter without decoding. BigTIFF (magic 43, the 8-byte-offset layout)
+and tile-organized baseline codecs DECODE for real since r13
+(LONG8/SLONG8/IFD8 entry types, 16-byte header; ``_assemble_tiles``);
+tiled fax and tiled JPEG still refuse by name.
 
 Guards per the codec-family rule: IFD offsets and entry counts are
 attacker data — an offset outside the file, a strip that overruns, an
