@@ -36,7 +36,11 @@ containers agree (``zipsrc.explode_archive_members`` /
 * the default path glob covers the real extension zoo
   (``.tar .tar.gz .tgz .tar.bz2 .tbz2 .tar.xz .txz``) via Hadoop glob
   alternation, so a directory of ``.tgz`` shards is ingested, not
-  silently skipped.
+  silently skipped. ``.tar.zst``/``.tzst`` (increasingly the
+  dataset-dump default) is IN the glob but refuses by name on the RFC
+  8878 frame magic: Python 3.11 ships no zstd codec and installs are
+  out of bounds, and a loud refusal beats the silent glob-skip it would
+  otherwise be (DIVERGENCES.md D20).
 
 ``read_tar_members`` lands (archive, member, size, content) rows —
 byte-compatible with ``read_zip_members`` so mixed dumps union into one
@@ -71,7 +75,14 @@ from .zipsrc import (
 
 TAR_MEMBER_SCHEMA = ZIP_MEMBER_SCHEMA  # same landing shape, by design
 
-TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz}"
+TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz,tar.zst,tzst}"
+
+# RFC 8878 zstd frame magic. Python 3.11 has no stdlib zstd codec and
+# installs are out of bounds, so a .tar.zst shard cannot decode here —
+# but it must surface as a LOUD by-name refusal, not vanish from the
+# glob (the mp3meta convention; DIVERGENCES.md D20). The glob therefore
+# MATCHES zst extensions and the magic check below refuses them by name.
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 MAX_MEMBERS = 100_000  # header-count bomb guard (bytes budgets see 0)
 
@@ -84,6 +95,14 @@ _STREAM_ERRORS = (tarfile.TarError, EOFError, OSError, lzma.LZMAError)
 def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):
     import fnmatch
 
+    if payload[:4] == _ZSTD_MAGIC:
+        raise NotImplementedError(
+            f"tar {origin}: zstd-compressed archive (.tar.zst) not "
+            "implemented — no stdlib zstd codec in Python 3.11 and "
+            "installs are out of bounds; recompress the shard to "
+            "gz/bz2/xz upstream (refused by name per DIVERGENCES.md D20 "
+            "rather than silently skipped)"
+        )
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
     except _STREAM_ERRORS as exc:

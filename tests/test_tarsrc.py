@@ -193,3 +193,22 @@ def test_corrupt_xz_layer_is_a_named_valueerror():
         # silent acceptance is possible only when the flipped byte's
         # checksum lies beyond the end-of-archive marker (documented)
     assert seen_value_error > 0  # corruption does surface, and as ValueError
+
+
+def test_tar_zst_refuses_by_name(spark, tmp_path):
+    """A zstd-compressed shard (RFC 8878 frame magic) refuses BY NAME —
+    no stdlib zstd in Python 3.11 — instead of vanishing from the glob
+    (D20). The glob must MATCH .tar.zst so the refusal actually fires
+    through the Spark path, and the magic check must beat tarfile's
+    generic 'not readable' error."""
+    from hbase_observer_es_spark.sources.tarsrc import TAR_GLOB
+
+    assert "tar.zst" in TAR_GLOB and "tzst" in TAR_GLOB
+    fake = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match=r"zstd-compressed archive"):
+        list(_iter_members(fake, "t"))
+    # through Spark: the shard is SEEN (glob match) and the task dies
+    # with the named refusal, not an empty result
+    (tmp_path / "shard.tar.zst").write_bytes(fake)
+    with pytest.raises(Exception, match=r"zstd-compressed archive"):
+        read_tar_members(spark, str(tmp_path)).collect()
