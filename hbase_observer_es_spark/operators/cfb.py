@@ -1,0 +1,399 @@
+"""OLE2 / Compound File Binary (CFB) container walk — from the public
+MS-CFB Open Specification, stdlib-only.
+
+A legacy enterprise or crawl dump carries far more ``.doc``/``.xls``/
+``.ppt`` than RTF or ODT, and all of them share ONE container: the
+compound file (magic ``D0 CF 11 E0 A1 B1 1A E1``) — a miniature FAT
+filesystem inside a single payload. This module walks that filesystem:
+
+* header: major version 3 (512-byte sectors) or 4 (4096-byte sectors,
+  whose header still occupies one full sector), little-endian only (the
+  spec reserves big-endian but no writer ever shipped one — a byte-order
+  mark other than ``FFFE`` is rejected loudly as malformed);
+* DIFAT → FAT: the first 109 FAT sector locations live in the header,
+  the rest chain through DIFAT sectors (last slot = next DIFAT sector);
+* sector chains walk the FAT with an explicit visited-set loop guard —
+  chain loops, out-of-range sector ids, and chains that end before the
+  declared stream size all name their sector and byte offset;
+* directory: 128-byte entries in the directory chain, names UTF-16LE;
+  the per-storage red-black trees are traversed (left/right/child)
+  with a cycle guard to build full ``/``-joined paths — entry ORDER in
+  the directory stream is not significant, the tree is;
+* mini stream: streams smaller than the cutoff (4096) live in 64-byte
+  mini sectors inside the root entry's stream, chained through the
+  miniFAT — both layers get the same guards.
+
+Guards per the codec-family rule: every count/offset/id in the header
+and directory is attacker data. Sector counts are bounded by the
+payload size (a FAT/DIFAT/directory count claiming more sectors than
+the file holds refuses immediately — allocation happens AFTER the
+bound check, so a forged count cannot balloon memory), stream sizes are
+checked against their chain length, and v3 files mask the spec's
+quirk that bits 32+ of the 8-byte size field are undefined there.
+
+Consumers: ``doc_text.py`` (the MS-DOC text extraction), the media
+census (``D0 CF 11 E0`` → family="document" with a subformat from the
+stream names). ``.xls`` (BIFF records) and ``.ppt`` (PowerPoint record
+streams) are recognized by stream name but their text extraction is
+not implemented — refused by name in ``doc_text.py``, surveyed
+honestly by the census.
+
+Reference parity: none — builder-brief document-pipeline surface
+(SURVEY §2-D), beside ``office_text.py``/``rtf_text.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+# special FAT entry values (MS-CFB §2.1)
+_MAXREGSECT = 0xFFFFFFFA
+_DIFSECT = 0xFFFFFFFC
+_FATSECT = 0xFFFFFFFD
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+
+_MAX_DIR_ENTRIES = 1_000_000  # directory bomb guard (128 MB of entries)
+
+
+def looks_like_cfb(payload: bytes) -> bool:
+    return payload[: len(CFB_MAGIC)] == CFB_MAGIC
+
+
+@dataclass
+class CfbEntry:
+    """One directory entry reachable from the root tree."""
+
+    path: str  # "/"-joined storage path, root excluded
+    name: str
+    type: int  # 1 = storage, 2 = stream, 5 = root
+    size: int
+    start: int  # starting sector (FAT or miniFAT domain)
+
+
+class CfbFile:
+    """Parsed compound file: ``entries`` in tree order (root first),
+    ``read_stream(path)`` returns a stream's exact bytes."""
+
+    def __init__(self, data: bytes, origin: str = "<bytes>"):
+        self._data = data
+        self._origin = origin
+        if not looks_like_cfb(data):
+            raise ValueError(
+                f"cfb {origin}: not a compound file (magic {data[:8]!r})"
+            )
+        if len(data) < 512:
+            raise ValueError(
+                f"cfb {origin}: {len(data)}-byte payload is shorter than "
+                "the 512-byte header"
+            )
+        (major,) = struct.unpack_from("<H", data, 26)
+        (order,) = struct.unpack_from("<H", data, 28)
+        if order != 0xFFFE:
+            raise ValueError(
+                f"cfb {origin}: byte-order mark {order:#06x} is not the "
+                "little-endian FFFE every real writer emits"
+            )
+        if major not in (3, 4):
+            raise ValueError(
+                f"cfb {origin}: major version {major} unknown (3 or 4)"
+            )
+        (sshift,) = struct.unpack_from("<H", data, 30)
+        (mshift,) = struct.unpack_from("<H", data, 32)
+        if (major == 3 and sshift != 9) or (major == 4 and sshift != 12):
+            raise ValueError(
+                f"cfb {origin}: sector shift {sshift} inconsistent with "
+                f"major version {major}"
+            )
+        if mshift != 6:
+            raise ValueError(
+                f"cfb {origin}: mini sector shift {mshift} (must be 6)"
+            )
+        self.major = major
+        self.sector_size = 1 << sshift
+        self.mini_size = 1 << mshift
+        (self._n_fat,) = struct.unpack_from("<I", data, 44)
+        (self._dir_start,) = struct.unpack_from("<I", data, 48)
+        (self._cutoff,) = struct.unpack_from("<I", data, 56)
+        (self._minifat_start,) = struct.unpack_from("<I", data, 60)
+        (self._n_minifat,) = struct.unpack_from("<I", data, 64)
+        (self._difat_start,) = struct.unpack_from("<I", data, 68)
+        (self._n_difat,) = struct.unpack_from("<I", data, 72)
+        # every sector the payload can actually hold — the bound every
+        # header count is checked against BEFORE anything allocates
+        self._n_sectors = max(0, (len(data) - 512) // self.sector_size)
+        if self._n_fat > self._n_sectors:
+            raise ValueError(
+                f"cfb {origin}: header claims {self._n_fat} FAT sectors "
+                f"but the payload holds only {self._n_sectors} sectors"
+            )
+        if self._n_difat > self._n_sectors:
+            raise ValueError(
+                f"cfb {origin}: header claims {self._n_difat} DIFAT "
+                f"sectors but the payload holds only {self._n_sectors}"
+            )
+        self._fat = self._build_fat()
+        self.entries = self._read_directory()
+        self._by_path = {e.path: e for e in self.entries if e.type == 2}
+        self._root = self.entries[0]
+        self._minifat = self._build_minifat()
+        self._ministream = (
+            self._read_chain(self._root.start, self._root.size, "ministream")
+            if self._root.size
+            else b""
+        )
+
+    # ------------------------------------------------------------ sectors
+
+    def _sector(self, sid: int, what: str) -> bytes:
+        if sid > _MAXREGSECT or sid >= self._n_sectors:
+            raise ValueError(
+                f"cfb {self._origin}: {what} names sector {sid:#x}, "
+                f"outside the file's {self._n_sectors} sectors"
+            )
+        off = 512 + sid * self.sector_size
+        return self._data[off : off + self.sector_size]
+
+    def _build_fat(self) -> list:
+        data, origin = self._data, self._origin
+        fat_sectors = []
+        per = self.sector_size // 4
+        # 109 header DIFAT slots
+        header_difat = struct.unpack_from("<109I", data, 76)
+        for sid in header_difat:
+            if sid == _FREESECT:
+                continue
+            fat_sectors.append(sid)
+        # chained DIFAT sectors
+        sid = self._difat_start
+        seen = set()
+        while sid != _ENDOFCHAIN and sid != _FREESECT:
+            if sid in seen:
+                raise ValueError(
+                    f"cfb {origin}: DIFAT chain loops at sector {sid}"
+                )
+            seen.add(sid)
+            if len(seen) > self._n_difat:
+                raise ValueError(
+                    f"cfb {origin}: DIFAT chain longer than the declared "
+                    f"{self._n_difat} sectors"
+                )
+            sec = self._sector(sid, "DIFAT chain")
+            slots = struct.unpack(f"<{per}I", sec)
+            for s in slots[:-1]:
+                if s != _FREESECT:
+                    fat_sectors.append(s)
+            sid = slots[-1]
+        if len(fat_sectors) != self._n_fat:
+            raise ValueError(
+                f"cfb {origin}: DIFAT names {len(fat_sectors)} FAT "
+                f"sectors, header declares {self._n_fat}"
+            )
+        fat: list = []
+        for fsid in fat_sectors:
+            fat.extend(
+                struct.unpack(f"<{per}I", self._sector(fsid, "FAT sector"))
+            )
+        return fat
+
+    def _next(self, sid: int, what: str) -> int:
+        if sid >= len(self._fat):
+            raise ValueError(
+                f"cfb {self._origin}: {what} walks sector {sid}, past the "
+                f"{len(self._fat)}-entry FAT"
+            )
+        return self._fat[sid]
+
+    def _read_chain(self, start: int, size: int, what: str) -> bytes:
+        """FAT-domain chain → exactly ``size`` bytes (loud otherwise).
+        The visited set bounds the walk: a chain longer than the file's
+        sector count must contain a loop, so memory is capped at the
+        payload size."""
+        out = []
+        sid = start
+        seen = set()
+        while sid != _ENDOFCHAIN:
+            if sid in seen:
+                raise ValueError(
+                    f"cfb {self._origin}: {what} chain loops at sector {sid}"
+                )
+            seen.add(sid)
+            out.append(self._sector(sid, what))
+            sid = self._next(sid, what)
+        blob = b"".join(out)
+        if len(blob) < size:
+            raise ValueError(
+                f"cfb {self._origin}: {what} chain holds {len(blob)} "
+                f"bytes, stream declares {size}"
+            )
+        return blob[:size]
+
+    # ----------------------------------------------------------- miniFAT
+
+    def _build_minifat(self) -> list:
+        if self._n_minifat == 0:
+            return []
+        blob = self._read_chain(
+            self._minifat_start,
+            self._n_minifat * self.sector_size,
+            "miniFAT",
+        )
+        return list(struct.unpack(f"<{len(blob) // 4}I", blob))
+
+    def _read_mini_chain(self, start: int, size: int, what: str) -> bytes:
+        out = []
+        sid = start
+        seen = set()
+        n_mini = len(self._ministream) // self.mini_size
+        while sid != _ENDOFCHAIN and len(out) * self.mini_size < size:
+            if sid in seen:
+                raise ValueError(
+                    f"cfb {self._origin}: {what} mini chain loops at "
+                    f"mini sector {sid}"
+                )
+            seen.add(sid)
+            if sid >= n_mini or sid >= len(self._minifat):
+                raise ValueError(
+                    f"cfb {self._origin}: {what} names mini sector {sid}, "
+                    f"outside the {n_mini}-sector mini stream"
+                )
+            off = sid * self.mini_size
+            out.append(self._ministream[off : off + self.mini_size])
+            sid = self._minifat[sid]
+        blob = b"".join(out)
+        if len(blob) < size:
+            raise ValueError(
+                f"cfb {self._origin}: {what} mini chain holds "
+                f"{len(blob)} bytes, stream declares {size}"
+            )
+        return blob[:size]
+
+    # --------------------------------------------------------- directory
+
+    def _read_directory(self) -> list:
+        origin = self._origin
+        # directory size is not declared in v3 — walk the chain itself
+        raw = []
+        sid = self._dir_start
+        seen = set()
+        while sid != _ENDOFCHAIN:
+            if sid in seen:
+                raise ValueError(
+                    f"cfb {origin}: directory chain loops at sector {sid}"
+                )
+            seen.add(sid)
+            raw.append(self._sector(sid, "directory"))
+            if len(seen) * (self.sector_size // 128) > _MAX_DIR_ENTRIES:
+                raise ValueError(
+                    f"cfb {origin}: directory exceeds {_MAX_DIR_ENTRIES} "
+                    "entries — refusing (directory bomb)"
+                )
+            sid = self._next(sid, "directory")
+        blob = b"".join(raw)
+        n = len(blob) // 128
+        if n == 0:
+            raise ValueError(f"cfb {origin}: empty directory")
+
+        def entry(i: int):
+            e = blob[i * 128 : (i + 1) * 128]
+            (name_len,) = struct.unpack_from("<H", e, 64)
+            etype = e[66]
+            left, right, child = struct.unpack_from("<III", e, 68)
+            (start,) = struct.unpack_from("<I", e, 116)
+            (size,) = struct.unpack_from("<Q", e, 120)
+            if self.major == 3:
+                size &= 0xFFFFFFFF  # high dword undefined in v3 (spec)
+            if name_len > 64 or name_len % 2:
+                raise ValueError(
+                    f"cfb {origin}: directory entry {i} name length "
+                    f"{name_len} invalid"
+                )
+            name = e[: max(0, name_len - 2)].decode("utf-16-le")
+            return name, etype, left, right, child, start, size
+
+        _NOSTREAM = 0xFFFFFFFF
+        entries: list = []
+        visited: set = set()
+
+        def walk_tree(eid: int, prefix: str, depth: int) -> None:
+            """In-order red-black walk of one storage's sibling tree."""
+            if eid == _NOSTREAM:
+                return
+            if eid >= n:
+                raise ValueError(
+                    f"cfb {origin}: directory id {eid} out of range ({n})"
+                )
+            if eid in visited:
+                raise ValueError(
+                    f"cfb {origin}: directory tree loops at entry {eid}"
+                )
+            if depth > n:
+                raise ValueError(
+                    f"cfb {origin}: directory tree deeper than its "
+                    f"{n} entries — malformed siblings"
+                )
+            visited.add(eid)
+            name, etype, left, right, child, start, size = entry(eid)
+            walk_tree(left, prefix, depth + 1)
+            if etype in (1, 2):
+                path = prefix + name
+                entries.append(CfbEntry(path, name, etype, size, start))
+                if etype == 1 and child != _NOSTREAM:
+                    walk_tree(child, path + "/", depth + 1)
+            elif etype != 0:
+                raise ValueError(
+                    f"cfb {origin}: directory entry {eid} has object "
+                    f"type {etype} (storage/stream/unknown only here)"
+                )
+            walk_tree(right, prefix, depth + 1)
+
+        rname, rtype, _, _, rchild, rstart, rsize = entry(0)
+        if rtype != 5:
+            raise ValueError(
+                f"cfb {origin}: entry 0 is type {rtype}, not the root "
+                "storage (5)"
+            )
+        visited.add(0)
+        entries.append(CfbEntry("", rname, 5, rsize, rstart))
+        walk_tree(rchild, "", 1)
+        return entries
+
+    # ------------------------------------------------------------ public
+
+    def stream_paths(self) -> list:
+        return [e.path for e in self.entries if e.type == 2]
+
+    def read_stream(self, path: str) -> bytes:
+        e = self._by_path.get(path)
+        if e is None:
+            raise ValueError(
+                f"cfb {self._origin}: no stream {path!r} (has: "
+                f"{sorted(self._by_path)[:8]})"
+            )
+        if e.size == 0:
+            return b""
+        if e.size < self._cutoff:
+            return self._read_mini_chain(e.start, e.size, path)
+        return self._read_chain(e.start, e.size, path)
+
+
+def parse_cfb(payload: bytes, origin: str = "<bytes>") -> CfbFile:
+    return CfbFile(payload, origin)
+
+
+def cfb_subformat(cfb: CfbFile) -> str:
+    """Classify a compound file by its marker stream, the public
+    convention every Office writer follows: ``WordDocument`` → doc,
+    ``Workbook``/``Book`` → xls, ``PowerPoint Document`` → ppt;
+    anything else is a generic compound file."""
+    names = {e.name for e in cfb.entries if e.type == 2}
+    if "WordDocument" in names:
+        return "doc"
+    if "Workbook" in names or "Book" in names:
+        return "xls"
+    if "PowerPoint Document" in names:
+        return "ppt"
+    return "cfb"

@@ -18,7 +18,11 @@ one mapInPandas pass, composing every real parser in the repo:
 * documents: PDFs report version + page count from the real container
   parse (``operators/pdf_text.py``, r12); DOCX/ODT/EPUB report their
   paragraph/spine counts through the office sniff
-  (``operators/office_text.py``, r12); other ZIPs survey as
+  (``operators/office_text.py``, r12); legacy OLE compound files
+  (``D0 CF 11 E0``, r14) classify by their marker streams through the
+  real CFB walk — ``.doc`` extracts and reports its character count,
+  ``.xls``/``.ppt`` survey with their honest not-implemented detail,
+  anything else is a generic compound file; other ZIPs survey as
   family="archive" with member counts;
 * containers/unknown: anything else is classified ``unknown`` with its
   magic preserved.
@@ -69,6 +73,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
         sniff_office,
         zip_member_count,
     )
+    from .doc_text import doc_meta, looks_like_doc
     from .oggmeta import looks_like_ogg, ogg_meta
     from .pdf_text import looks_like_pdf, pdf_meta
     from .rtf_text import looks_like_rtf, rtf_to_text
@@ -170,6 +175,20 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             row.update(
                 family="document", format="rtf",
                 detail=f"{len(text)} chars",
+            )
+        elif looks_like_doc(payload):
+            m = doc_meta(payload, origin=origin)
+            sub = m["subformat"]
+            detail = (
+                f"{m['n_chars']} chars" if sub == "doc"
+                else "text extraction not implemented "
+                     "(BIFF/PowerPoint record streams)"
+                if sub in ("xls", "ppt")
+                else "generic OLE compound file"
+            )
+            row.update(
+                family="document", format=sub,
+                n_frames=m["n_streams"], detail=detail,
             )
         elif looks_like_zip(payload):
             kind = sniff_office(payload, origin=origin)

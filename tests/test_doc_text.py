@@ -1,0 +1,459 @@
+"""CFB container + legacy .doc extraction tests.
+
+Fixtures are REAL compound files built by an independent test-side
+encoder (`_make_cfb` below — header, DIFAT, FAT, directory red-black
+siblings, miniFAT + ministream), and real WordDocument/Table streams
+with hand-laid FIBs and piece tables — the decoder is pinned against
+bytes it never wrote, per the repo's codec discipline."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hbase_observer_es_spark.operators.cfb import (
+    CFB_MAGIC,
+    cfb_subformat,
+    looks_like_cfb,
+    parse_cfb,
+)
+from hbase_observer_es_spark.operators.doc_text import (
+    doc_meta,
+    doc_text_frame,
+    doc_to_text,
+)
+
+_FREE = 0xFFFFFFFF
+_EOC = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_NOSTREAM = 0xFFFFFFFF
+
+SS = 512  # v3 sector size
+MS = 64  # mini sector size
+
+
+def _pad(b: bytes, unit: int) -> bytes:
+    r = len(b) % unit
+    return b if r == 0 else b + b"\x00" * (unit - r)
+
+
+def _dir_entry(name, etype, start, size, left=_NOSTREAM, right=_NOSTREAM,
+               child=_NOSTREAM) -> bytes:
+    raw = name.encode("utf-16-le")
+    assert len(raw) <= 62
+    e = bytearray(128)
+    e[: len(raw)] = raw
+    struct.pack_into("<H", e, 64, len(raw) + 2)
+    e[66] = etype
+    e[67] = 1  # black
+    struct.pack_into("<III", e, 68, left, right, child)
+    struct.pack_into("<I", e, 116, start)
+    struct.pack_into("<Q", e, 120, size)
+    return bytes(e)
+
+
+def _make_cfb(streams: dict, cutoff: int = 4096) -> bytes:
+    """Flat (top-level streams only) v3 compound file. Streams smaller
+    than the cutoff land in the ministream; siblings form a
+    right-leaning chain off the root's child."""
+    names = list(streams)
+    mini = {n: v for n, v in streams.items() if len(v) < cutoff}
+    big = {n: v for n, v in streams.items() if len(v) >= cutoff}
+
+    # ministream + miniFAT
+    ministream = b""
+    mini_start: dict = {}
+    minifat: list = []
+    for n, v in mini.items():
+        chunks = _pad(v, MS)
+        first = len(minifat)
+        nsec = len(chunks) // MS
+        mini_start[n] = first if nsec else _EOC
+        for i in range(nsec):
+            minifat.append(first + i + 1 if i < nsec - 1 else _EOC)
+        ministream += chunks
+    minifat_blob = _pad(
+        b"".join(struct.pack("<I", x) for x in minifat), SS
+    )
+
+    # directory: root (0) then one entry per stream, right-sibling chain
+    entries = []
+    sector_payloads: list = []  # (kind, blob) in on-disk order
+    # plan sector ids AFTER the directory: we lay out
+    # [dir][minifat][ministream][big...][fat]
+    dir_count_placeholder = None  # filled below
+
+    # first pass: sizes
+    n_dir_entries = 1 + len(names)
+    dir_blob_len = ((n_dir_entries * 128 + SS - 1) // SS) * SS
+    n_dir = dir_blob_len // SS
+    n_minifat = len(minifat_blob) // SS if minifat else 0
+    ministream_blob = _pad(ministream, SS)
+    n_ministream = len(ministream_blob) // SS if ministream else 0
+    big_blobs = {n: _pad(v, SS) for n, v in big.items()}
+    n_big = sum(len(b) // SS for b in big_blobs.values())
+    n_data = n_dir + n_minifat + n_ministream + n_big
+    per = SS // 4
+    n_fat = 0
+    while n_fat * per < n_data + n_fat:
+        n_fat += 1
+
+    # sector id assignment
+    dir_first = 0
+    minifat_first = n_dir if n_minifat else _EOC
+    ministream_first = n_dir + n_minifat if n_ministream else _EOC
+    big_first: dict = {}
+    at = n_dir + n_minifat + n_ministream
+    for n, b in big_blobs.items():
+        big_first[n] = at
+        at += len(b) // SS
+    fat_first = at
+
+    fat = [_FREE] * (n_fat * per)
+
+    def chain(first, nsec):
+        for i in range(nsec):
+            fat[first + i] = first + i + 1 if i < nsec - 1 else _EOC
+
+    chain(dir_first, n_dir)
+    if n_minifat:
+        chain(minifat_first, n_minifat)
+    if n_ministream:
+        chain(ministream_first, n_ministream)
+    for n, b in big_blobs.items():
+        chain(big_first[n], len(b) // SS)
+    for i in range(n_fat):
+        fat[fat_first + i] = _FATSECT
+
+    # directory entries
+    root = _dir_entry(
+        "Root Entry", 5,
+        ministream_first if n_ministream else _EOC,
+        len(ministream),
+        child=1 if names else _NOSTREAM,
+    )
+    entries.append(root)
+    for i, n in enumerate(names):
+        right = i + 2 if i + 1 < len(names) else _NOSTREAM
+        if n in mini:
+            start = mini_start[n]
+        else:
+            start = big_first[n]
+        entries.append(_dir_entry(n, 2, start, len(streams[n]), right=right))
+    dir_blob = _pad(b"".join(entries), SS)
+
+    # header
+    h = bytearray(512)
+    h[:8] = CFB_MAGIC
+    struct.pack_into("<H", h, 24, 0x3E)  # minor
+    struct.pack_into("<H", h, 26, 3)  # major
+    struct.pack_into("<H", h, 28, 0xFFFE)
+    struct.pack_into("<H", h, 30, 9)
+    struct.pack_into("<H", h, 32, 6)
+    struct.pack_into("<I", h, 44, n_fat)
+    struct.pack_into("<I", h, 48, dir_first)
+    struct.pack_into("<I", h, 56, cutoff)
+    struct.pack_into("<I", h, 60, minifat_first)
+    struct.pack_into("<I", h, 64, n_minifat)
+    struct.pack_into("<I", h, 68, _EOC)  # no DIFAT chain
+    struct.pack_into("<I", h, 72, 0)
+    for i in range(109):
+        struct.pack_into(
+            "<I", h, 76 + 4 * i, fat_first + i if i < n_fat else _FREE
+        )
+
+    fat_blob = b"".join(struct.pack("<I", x) for x in fat)
+    body = dir_blob + minifat_blob + ministream_blob
+    for b in big_blobs.values():
+        body += b
+    body += fat_blob
+    return bytes(h) + body
+
+
+# ----------------------------------------------------------- doc builders
+
+
+def _fib(ccp_text, fc_clx, lcb_clx, nfib=0x00C1, flags=0x0200) -> bytearray:
+    fib = bytearray(1024)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 2, nfib)
+    struct.pack_into("<H", fib, 10, flags)
+    struct.pack_into("<i", fib, 0x4C, ccp_text)
+    struct.pack_into("<I", fib, 0x1A2, fc_clx)
+    struct.pack_into("<I", fib, 0x1A6, lcb_clx)
+    return fib
+
+
+def _make_doc(pieces, flags=0x0200, nfib=0x00C1, prc=b"",
+              extra_streams=None) -> bytes:
+    """pieces: list of (text, one_byte). Text bytes land after the FIB
+    in the WordDocument stream; the piece table goes in 1Table/0Table
+    per the flags bit."""
+    ccp = sum(len(t) for t, _ in pieces)
+    # fcClx = 0: the Clx (Prc blocks + Pcdt) starts the table stream
+    wd = _fib(ccp, 0, 0, nfib=nfib, flags=flags)
+    cps = [0]
+    pcds = []
+    for text, one_byte in pieces:
+        off = len(wd)
+        if one_byte:
+            wd += text.encode("cp1252")
+            fc_raw = 0x40000000 | (off * 2)
+        else:
+            wd += text.encode("utf-16-le")
+            fc_raw = off
+        cps.append(cps[-1] + len(text))
+        pcds.append(struct.pack("<HIH", 0, fc_raw, 0))
+    plc = b"".join(struct.pack("<i", c) for c in cps) + b"".join(pcds)
+    clx = prc + b"\x02" + struct.pack("<I", len(plc)) + plc
+    wd2 = bytes(wd)
+    # fix lcbClx now that we know it; fcClx points at the Clx start
+    wd2 = bytearray(wd2)
+    struct.pack_into("<I", wd2, 0x1A6, len(clx))
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    streams = {"WordDocument": bytes(wd2), table_name: clx}
+    streams.update(extra_streams or {})
+    return _make_cfb(streams)
+
+
+# ------------------------------------------------------------- container
+
+
+def test_cfb_round_trip_mini_and_big():
+    big = bytes(range(256)) * 32  # 8192 B -> FAT domain
+    streams = {"small": b"hello mini stream", "Large": big,
+               "empty?": b"", "ué": b"x" * 100}
+    data = _make_cfb(streams)
+    cfb = parse_cfb(data, "t")
+    got = {p: cfb.read_stream(p) for p in cfb.stream_paths()}
+    assert got == streams
+    assert looks_like_cfb(data)
+    assert not looks_like_cfb(b"PK\x03\x04")
+
+
+def test_cfb_guards_are_loud():
+    with pytest.raises(ValueError, match="not a compound file"):
+        parse_cfb(b"nope" * 200, "t")
+    with pytest.raises(ValueError, match="shorter than the 512-byte"):
+        parse_cfb(CFB_MAGIC + b"\x00" * 16, "t")
+    base = bytearray(_make_cfb({"s": b"x" * 5000}))
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 28, 0xFEFF)
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_cfb(bytes(bad), "t")
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 26, 7)
+    with pytest.raises(ValueError, match="major version 7"):
+        parse_cfb(bytes(bad), "t")
+    bad = bytearray(base)
+    struct.pack_into("<H", bad, 30, 12)  # v3 with v4 shift
+    with pytest.raises(ValueError, match="sector shift"):
+        parse_cfb(bytes(bad), "t")
+    # FAT-count bomb: claims more FAT sectors than the file holds
+    bad = bytearray(base)
+    struct.pack_into("<I", bad, 44, 1 << 30)
+    with pytest.raises(ValueError, match="FAT sectors"):
+        parse_cfb(bytes(bad), "t")
+
+
+def _fat_entry_offset(data: bytes, sid: int) -> int:
+    """Byte offset of FAT[sid] under the encoder's deterministic layout
+    (the single FAT sector is last)."""
+    n_sectors = (len(data) - 512) // SS
+    return 512 + (n_sectors - 1) * SS + 4 * sid
+
+
+def test_cfb_chain_loop_refuses():
+    data = bytearray(_make_cfb({"s": b"y" * 5000}))
+    entry = next(
+        e for e in parse_cfb(bytes(data), "t").entries if e.path == "s"
+    )
+    # point the stream's first FAT link back at itself
+    struct.pack_into(
+        "<I", data, _fat_entry_offset(data, entry.start), entry.start
+    )
+    with pytest.raises(ValueError, match="loops"):
+        parse_cfb(bytes(data), "t").read_stream("s")
+
+
+def test_cfb_short_chain_refuses():
+    data = bytearray(_make_cfb({"s": b"z" * 5000}))
+    entry = next(
+        e for e in parse_cfb(bytes(data), "t").entries if e.path == "s"
+    )
+    # truncate the chain: first sector -> ENDOFCHAIN, size still 5000
+    struct.pack_into("<I", data, _fat_entry_offset(data, entry.start), _EOC)
+    with pytest.raises(ValueError, match="holds .* stream declares"):
+        parse_cfb(bytes(data), "t").read_stream("s")
+
+
+def test_cfb_subformat_classification():
+    assert cfb_subformat(parse_cfb(
+        _make_cfb({"WordDocument": b"\x00" * 100}), "t")) == "doc"
+    assert cfb_subformat(parse_cfb(
+        _make_cfb({"Workbook": b"\x00" * 100}), "t")) == "xls"
+    assert cfb_subformat(parse_cfb(
+        _make_cfb({"Book": b"\x00"}), "t")) == "xls"
+    assert cfb_subformat(parse_cfb(
+        _make_cfb({"PowerPoint Document": b"\x00"}), "t")) == "ppt"
+    assert cfb_subformat(parse_cfb(
+        _make_cfb({"Contents": b"\x00"}), "t")) == "cfb"
+
+
+# ------------------------------------------------------------------- doc
+
+
+def test_doc_single_compressed_piece():
+    data = _make_doc([("Hello, legacy Word.\r", True)])
+    assert doc_to_text(data, "t") == "Hello, legacy Word.\n"
+
+
+def test_doc_multi_piece_mixed_encodings():
+    # a fastsaved-style document: cp1252 piece, then UTF-16 pieces with
+    # characters cp1252 cannot carry
+    # the cp1252 piece carries smart quotes — bytes 0x93/0x94 on disk,
+    # exactly the spec's one-byte mapping rows
+    pieces = [
+        ("First piece “quoted”.\r", True),
+        ("Unicode piece: 日本語.\r", False),
+        ("café — dash", False),
+    ]
+    data = _make_doc(pieces)
+    assert doc_to_text(data, "t") == (
+        "First piece “quoted”.\n"
+        "Unicode piece: 日本語.\ncafé — dash"
+    )
+
+
+def test_doc_0table_selection():
+    data = _make_doc([("zero table\r", True)], flags=0x0000)
+    assert doc_to_text(data, "t") == "zero table\n"
+
+
+def test_doc_prc_blocks_are_skipped():
+    prc = b"\x01" + struct.pack("<h", 4) + b"\xde\xad\xbe\xef"
+    data = _make_doc([("after a Prc\r", True)], prc=prc * 2)
+    assert doc_to_text(data, "t") == "after a Prc\n"
+
+
+def test_doc_field_instruction_skipped_result_kept():
+    # { HYPERLINK "http://x" } -> shown text only
+    text = "See \x13 HYPERLINK http://example.com \x14the site\x15 now.\r"
+    data = _make_doc([(text, True)])
+    assert doc_to_text(data, "t") == "See the site now.\n"
+
+
+def test_doc_table_cell_marks_and_breaks():
+    text = "a\x07b\x07\x07second row\x07\x07line\x0bbreak\x0cpage"
+    data = _make_doc([(text, True)])
+    assert doc_to_text(data, "t") == (
+        "a\tb\t\tsecond row\t\tline\nbreak\npage"
+    )
+
+
+def test_doc_ccp_text_bounds_main_document():
+    # footnote text lives past ccpText and must not extract
+    data = _make_doc([("main\r", True), ("footnote\r", True)])
+    # shrink ccpText to the first piece only
+    cfb = parse_cfb(data, "t")
+    wd = bytearray(cfb.read_stream("WordDocument"))
+    struct.pack_into("<i", wd, 0x4C, 5)
+    rebuilt = _make_cfb({
+        "WordDocument": bytes(wd), "1Table": cfb.read_stream("1Table")})
+    assert doc_to_text(rebuilt, "t") == "main\n"
+
+
+def test_doc_refusals_by_name():
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        doc_to_text(_make_doc([("x", True)], flags=0x0300), "t")
+    with pytest.raises(NotImplementedError, match="nFib"):
+        doc_to_text(_make_doc([("x", True)], nfib=0x0065), "t")
+    with pytest.raises(NotImplementedError, match="xls"):
+        doc_to_text(_make_cfb({"Workbook": b"\x00" * 64}), "t")
+    with pytest.raises(NotImplementedError, match="ppt"):
+        doc_to_text(_make_cfb({"PowerPoint Document": b"\x00"}), "t")
+    with pytest.raises(NotImplementedError, match="generic OLE|'cfb'"):
+        doc_to_text(_make_cfb({"Whatever": b"\x00"}), "t")
+
+
+def test_doc_malformed_structures_refuse_with_offsets():
+    good = _make_doc([("ok\r", True)])
+    cfb = parse_cfb(good, "t")
+    wd = bytearray(cfb.read_stream("WordDocument"))
+    tbl = cfb.read_stream("1Table")
+
+    bad_ident = bytearray(wd)
+    struct.pack_into("<H", bad_ident, 0, 0x1234)
+    with pytest.raises(ValueError, match="wIdent"):
+        doc_to_text(_make_cfb(
+            {"WordDocument": bytes(bad_ident), "1Table": tbl}), "t")
+
+    # lcbClx overrunning the table stream
+    bad_lcb = bytearray(wd)
+    struct.pack_into("<I", bad_lcb, 0x1A6, len(tbl) + 99)
+    with pytest.raises(ValueError, match="overruns the .*table stream"):
+        doc_to_text(_make_cfb(
+            {"WordDocument": bytes(bad_lcb), "1Table": tbl}), "t")
+
+    # PlcPcd length not 12n+4
+    bad_tbl = bytearray(tbl)
+    struct.pack_into("<I", bad_tbl, 1, 13)
+    with pytest.raises(ValueError, match="12n"):
+        doc_to_text(_make_cfb(
+            {"WordDocument": bytes(wd), "1Table": bytes(bad_tbl)}), "t")
+
+    # a byte cp1252 leaves undefined (0x81) inside a one-byte piece:
+    # patch it into the stream post-build (no encoder can produce it)
+    vic = parse_cfb(_make_doc([("bad X byte", True)]), "t")
+    wd_bad = vic.read_stream("WordDocument").replace(b"bad X", b"bad \x81")
+    with pytest.raises(ValueError, match="is not a valid one-byte"):
+        doc_to_text(_make_cfb(
+            {"WordDocument": wd_bad, "1Table": vic.read_stream("1Table")}),
+            "t")
+
+    # missing table stream
+    with pytest.raises(ValueError, match="1Table"):
+        doc_to_text(_make_cfb({"WordDocument": bytes(wd)}), "t")
+
+
+def test_doc_meta_and_census_routing():
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    doc = _make_doc([("census text\r", True)])
+    m = doc_meta(doc, "t")
+    assert m["subformat"] == "doc" and m["n_chars"] == len("census text\n")
+    assert m["n_streams"] == 2
+
+    row = classify_media(doc, "t")
+    assert (row["family"], row["format"]) == ("document", "doc")
+    assert "12 chars" in row["detail"]
+
+    xls = _make_cfb({"Workbook": b"\x00" * 64})
+    row = classify_media(xls, "t")
+    assert (row["family"], row["format"]) == ("document", "xls")
+    assert "not implemented" in row["detail"]
+
+    generic = _make_cfb({"Custom": b"\x00" * 64})
+    row = classify_media(generic, "t")
+    assert (row["family"], row["format"]) == ("document", "cfb")
+
+    # corrupt compound file folds into an error row, never raises
+    bad = bytearray(doc)
+    struct.pack_into("<H", bad, 28, 0xFEFF)
+    row = classify_media(bytes(bad), "t")
+    assert row["family"] == "error" and "byte-order" in row["detail"]
+
+
+def test_doc_text_frame_through_spark(spark):
+    payloads = [
+        (1, _make_doc([("spark doc one\r", True)])),
+        (2, _make_doc([("two — unicode", False)])),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["text"], r["n_chars"])
+           for r in doc_text_frame(df).collect()}
+    assert got == {
+        1: ("spark doc one\n", 14),
+        2: ("two — unicode", 13),
+    }

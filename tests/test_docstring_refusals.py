@@ -151,7 +151,16 @@ def test_every_by_name_refusal_claim_has_a_raiser():
         if not claims:
             continue
         corpus = list(_raiser_texts(tree))
-        for dep in _local_imports(tree, f):
+        deps = _local_imports(tree, f)
+        # a claim may attribute its refusal to a named module
+        # ("refused by name in ``doc_text.py``") — follow the pointer
+        for mod in re.findall(r"([a-z_0-9]+)\.py", doc):
+            for d in (os.path.dirname(f), PKG_DIR):
+                cand = os.path.join(d, mod + ".py")
+                if os.path.exists(cand):
+                    deps.append(cand)
+                    break
+        for dep in deps:
             if dep not in trees:
                 with open(dep) as fh:
                     trees[dep] = ast.parse(fh.read())
