@@ -24,6 +24,11 @@ one mapInPandas pass, composing every real parser in the repo:
   ``.xls``/``.ppt`` survey with their honest not-implemented detail,
   anything else is a generic compound file; other ZIPs survey as
   family="archive" with member counts;
+* messages (r14): MBOX (``From `` envelope magic) and EML (canonical
+  RFC 5322 opening header) survey as family="message" with message and
+  attachment counts through the strict mail parse
+  (``sources/mailsrc.py``) — checked LAST, after every strong binary
+  magic, because mail is text-shaped;
 * containers/unknown: anything else is classified ``unknown`` with its
   magic preserved.
 
@@ -72,6 +77,11 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
         office_parts,
         sniff_office,
         zip_member_count,
+    )
+    from ..sources.mailsrc import (
+        looks_like_eml,
+        looks_like_mbox,
+        parse_mailbox,
     )
     from .doc_text import doc_meta, looks_like_doc
     from .oggmeta import looks_like_ogg, ogg_meta
@@ -202,6 +212,16 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                     family="archive", format="zip",
                     n_frames=zip_member_count(payload, origin=origin),
                 )
+        elif looks_like_mbox(payload) or looks_like_eml(payload):
+            msgs = parse_mailbox(payload, origin=origin)
+            row.update(
+                family="message",
+                format="mbox" if looks_like_mbox(payload) else "eml",
+                n_frames=len(msgs),
+                detail=(
+                    f"{sum(m['n_attachments'] for m in msgs)} attachments"
+                ),
+            )
         else:
             row.update(
                 family="unknown", format="",
