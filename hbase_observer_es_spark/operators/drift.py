@@ -33,11 +33,11 @@ window sums over the vocab-sized join output. The top-k cut is a
 at real scale swap to an ORDER-BY-LIMIT (TakeOrdered) on the score.
 Empty corpora fail loudly (see ``_joined_counts``).
 
-Registration-ready twins (held for r11 window headroom, like
-``q_zorder_cells`` / ``q_profile_stats``): ``q_corpus_drift`` (top-k
-drift terms, en-vs-fr slices of documents) and ``q_corpus_drift_tv``
-(the exact TV numerator/denominator), DuckDB-hash-checked in
-``tests/test_drift.py``.
+REGISTERED round 14 (held since r11 for window headroom, the
+classifier/profile convention): ``q_corpus_drift`` (top-k drift terms,
+en-vs-fr slices of documents) and ``q_corpus_drift_tv`` (the exact TV
+numerator/denominator), DuckDB-hash-checked in ``tests/test_drift.py``
+and by the driver harness.
 
 Reference parity: no analogue in the reference tree — beyond-reference
 pipeline surface (SURVEY §2-D).
@@ -257,3 +257,13 @@ SELECT ANY_VALUE(n_a) AS n_tok_a,
 FROM j
 """
 )
+
+
+QUERIES = {
+    "q_corpus_drift": q_corpus_drift,
+    "q_corpus_drift_tv": q_corpus_drift_tv,
+}
+ORACLES = {
+    "q_corpus_drift": SQL_CORPUS_DRIFT,
+    "q_corpus_drift_tv": SQL_CORPUS_DRIFT_TV,
+}

@@ -72,6 +72,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.profile",
     "hbase_observer_es_spark.operators.ngramlm",
     "hbase_observer_es_spark.operators.classifier",
+    "hbase_observer_es_spark.operators.drift",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a
