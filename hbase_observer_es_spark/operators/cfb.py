@@ -209,13 +209,14 @@ class CfbFile:
 
     def _read_chain(self, start: int, size: int, what: str) -> bytes:
         """FAT-domain chain → exactly ``size`` bytes (loud otherwise).
-        The visited set bounds the walk: a chain longer than the file's
-        sector count must contain a loop, so memory is capped at the
-        payload size."""
+        The walk stops once the declared size is covered (like the mini
+        chain) so a small-size entry pointing at a file-spanning chain
+        costs O(size), not O(file) — and the visited set still bounds
+        looped chains at the payload size."""
         out = []
         sid = start
         seen = set()
-        while sid != _ENDOFCHAIN:
+        while sid != _ENDOFCHAIN and len(out) * self.sector_size < size:
             if sid in seen:
                 raise ValueError(
                     f"cfb {self._origin}: {what} chain loops at sector {sid}"
@@ -317,38 +318,49 @@ class CfbFile:
         _NOSTREAM = 0xFFFFFFFF
         entries: list = []
         visited: set = set()
+        parsed: dict = {}
 
-        def walk_tree(eid: int, prefix: str, depth: int) -> None:
-            """In-order red-black walk of one storage's sibling tree."""
-            if eid == _NOSTREAM:
-                return
+        def get(eid: int):
             if eid >= n:
                 raise ValueError(
                     f"cfb {origin}: directory id {eid} out of range ({n})"
                 )
+            if eid not in parsed:
+                parsed[eid] = entry(eid)
+            return parsed[eid]
+
+        def mark(eid: int) -> None:
             if eid in visited:
                 raise ValueError(
                     f"cfb {origin}: directory tree loops at entry {eid}"
                 )
-            if depth > n:
-                raise ValueError(
-                    f"cfb {origin}: directory tree deeper than its "
-                    f"{n} entries — malformed siblings"
-                )
             visited.add(eid)
-            name, etype, left, right, child, start, size = entry(eid)
-            walk_tree(left, prefix, depth + 1)
-            if etype in (1, 2):
-                path = prefix + name
-                entries.append(CfbEntry(path, name, etype, size, start))
-                if etype == 1 and child != _NOSTREAM:
-                    walk_tree(child, path + "/", depth + 1)
-            elif etype != 0:
-                raise ValueError(
-                    f"cfb {origin}: directory entry {eid} has object "
-                    f"type {etype} (storage/stream/unknown only here)"
-                )
-            walk_tree(right, prefix, depth + 1)
+
+        # ITERATIVE in-order walk of each storage's sibling tree (an
+        # explicit stack, not recursion: a degenerate 100k-entry sibling
+        # chain is attacker data and must refuse through this module's
+        # ValueErrors, never a RecursionError)
+        def walk_tree(tree_root: int, prefix: str) -> None:
+            stack: list = []
+            eid = tree_root
+            while stack or eid != _NOSTREAM:
+                while eid != _NOSTREAM:
+                    mark(eid)
+                    stack.append(eid)
+                    eid = get(eid)[2]  # left sibling
+                eid = stack.pop()
+                name, etype, _left, right, child, start, size = get(eid)
+                if etype in (1, 2):
+                    path = prefix + name
+                    entries.append(CfbEntry(path, name, etype, size, start))
+                    if etype == 1 and child != _NOSTREAM:
+                        subtrees.append((child, path + "/"))
+                elif etype != 0:
+                    raise ValueError(
+                        f"cfb {origin}: directory entry {eid} has object "
+                        f"type {etype} (storage/stream/unknown only here)"
+                    )
+                eid = right
 
         rname, rtype, _, _, rchild, rstart, rsize = entry(0)
         if rtype != 5:
@@ -358,7 +370,12 @@ class CfbFile:
             )
         visited.add(0)
         entries.append(CfbEntry("", rname, 5, rsize, rstart))
-        walk_tree(rchild, "", 1)
+        subtrees: list = []
+        if rchild != _NOSTREAM:
+            subtrees.append((rchild, ""))
+        while subtrees:
+            root_id, prefix = subtrees.pop()
+            walk_tree(root_id, prefix)
         return entries
 
     # ------------------------------------------------------------ public
@@ -382,6 +399,172 @@ class CfbFile:
 
 def parse_cfb(payload: bytes, origin: str = "<bytes>") -> CfbFile:
     return CfbFile(payload, origin)
+
+
+# --------------------------------------------------------------- writer
+
+
+def _collate(name: str) -> tuple:
+    """MS-CFB directory-name ordering: shorter first, then uppercase
+    code-point order."""
+    return (len(name), name.upper())
+
+
+def _balanced(ids: list) -> tuple:
+    """Sorted entry ids → (root, {id: (left, right)}) balanced BST."""
+    links: dict = {}
+
+    def build(lo: int, hi: int) -> int:
+        if lo > hi:
+            return 0xFFFFFFFF
+        mid = (lo + hi) // 2
+        links[ids[mid]] = (build(lo, mid - 1), build(mid + 1, hi))
+        return ids[mid]
+
+    return build(0, len(ids) - 1), links
+
+
+def write_cfb(streams: dict, cutoff: int = 4096) -> bytes:
+    """Deterministic v3 compound file from ``{name: bytes}`` top-level
+    streams — the production writer closing the container round trip
+    (``parse_cfb(write_cfb(s))`` recovers ``s`` exactly; pinned by
+    test). Directory siblings form a BALANCED name-collated BST per the
+    spec's ordering rule. Single-DIFAT-header files only: more than 109
+    FAT sectors (≈7 MB) refuses loudly — shard the payload upstream
+    (this writer exists for fixtures, demos, and small-document export,
+    not bulk archival)."""
+    for n in streams:
+        if not n or len(n.encode("utf-16-le")) > 62:
+            raise ValueError(f"cfb write: stream name {n!r} invalid")
+        if "/" in n:
+            raise ValueError(
+                f"cfb write: nested storage {n!r} not supported (flat "
+                "top-level streams only)"
+            )
+    ss = 512
+    ms = 64
+
+    def pad(b: bytes, unit: int) -> bytes:
+        r = len(b) % unit
+        return b if r == 0 else b + b"\x00" * (unit - r)
+
+    mini = {n: v for n, v in streams.items() if len(v) < cutoff}
+    big = {n: v for n, v in streams.items() if len(v) >= cutoff}
+
+    ministream = b""
+    mini_start: dict = {}
+    minifat: list = []
+    for n in sorted(mini, key=_collate):
+        v = mini[n]
+        chunks = pad(v, ms)
+        nsec = len(chunks) // ms
+        mini_start[n] = len(minifat) if nsec else _ENDOFCHAIN
+        base = len(minifat)
+        for i in range(nsec):
+            minifat.append(base + i + 1 if i < nsec - 1 else _ENDOFCHAIN)
+        ministream += chunks
+    minifat_blob = pad(
+        b"".join(struct.pack("<I", x) for x in minifat), ss
+    )
+
+    names = sorted(streams, key=_collate)
+    n_dir_entries = 1 + len(names)
+    n_dir = (n_dir_entries * 128 + ss - 1) // ss
+    n_minifat = len(minifat_blob) // ss if minifat else 0
+    ministream_blob = pad(ministream, ss)
+    n_ministream = len(ministream_blob) // ss if ministream else 0
+    big_blobs = {n: pad(big[n], ss) for n in names if n in big}
+    n_big = sum(len(b) // ss for b in big_blobs.values())
+    n_data = n_dir + n_minifat + n_ministream + n_big
+    per = ss // 4
+    n_fat = 0
+    while n_fat * per < n_data + n_fat:
+        n_fat += 1
+    if n_fat > 109:
+        raise ValueError(
+            f"cfb write: payload needs {n_fat} FAT sectors — over the "
+            "109 header-DIFAT cap (~7 MB); shard upstream"
+        )
+
+    dir_first = 0
+    minifat_first = n_dir if n_minifat else _ENDOFCHAIN
+    ministream_first = n_dir + n_minifat if n_ministream else _ENDOFCHAIN
+    big_first: dict = {}
+    at = n_dir + n_minifat + n_ministream
+    for n, b in big_blobs.items():
+        big_first[n] = at
+        at += len(b) // ss
+    fat_first = at
+
+    fat = [_FREESECT] * (n_fat * per)
+
+    def chain(first: int, nsec: int) -> None:
+        for i in range(nsec):
+            fat[first + i] = first + i + 1 if i < nsec - 1 else _ENDOFCHAIN
+
+    chain(dir_first, n_dir)
+    if n_minifat:
+        chain(minifat_first, n_minifat)
+    if n_ministream:
+        chain(ministream_first, n_ministream)
+    for n, b in big_blobs.items():
+        chain(big_first[n], len(b) // ss)
+    for i in range(n_fat):
+        fat[fat_first + i] = _FATSECT
+
+    def entry(name, etype, start, size, left, right, child) -> bytes:
+        raw = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[: len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw) + 2)
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, left, right, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    root_child, links = (
+        _balanced(list(range(1, len(names) + 1))) if names
+        else (0xFFFFFFFF, {})
+    )
+    entries = [entry(
+        "Root Entry", 5,
+        ministream_first if n_ministream else _ENDOFCHAIN,
+        len(ministream), 0xFFFFFFFF, 0xFFFFFFFF, root_child,
+    )]
+    for i, n in enumerate(names):
+        left, right = links[i + 1]
+        start = mini_start[n] if n in mini else big_first[n]
+        entries.append(
+            entry(n, 2, start, len(streams[n]), left, right, 0xFFFFFFFF)
+        )
+    dir_blob = pad(b"".join(entries), ss)
+
+    h = bytearray(512)
+    h[:8] = CFB_MAGIC
+    struct.pack_into("<H", h, 24, 0x3E)
+    struct.pack_into("<H", h, 26, 3)
+    struct.pack_into("<H", h, 28, 0xFFFE)
+    struct.pack_into("<H", h, 30, 9)
+    struct.pack_into("<H", h, 32, 6)
+    struct.pack_into("<I", h, 44, n_fat)
+    struct.pack_into("<I", h, 48, dir_first)
+    struct.pack_into("<I", h, 56, cutoff)
+    struct.pack_into("<I", h, 60, minifat_first)
+    struct.pack_into("<I", h, 64, n_minifat)
+    struct.pack_into("<I", h, 68, _ENDOFCHAIN)
+    struct.pack_into("<I", h, 72, 0)
+    for i in range(109):
+        struct.pack_into(
+            "<I", h, 76 + 4 * i, fat_first + i if i < n_fat else _FREESECT
+        )
+
+    fat_blob = b"".join(struct.pack("<I", x) for x in fat)
+    body = dir_blob + minifat_blob + ministream_blob
+    for b in big_blobs.values():
+        body += b
+    return bytes(h) + body + fat_blob
 
 
 def cfb_subformat(cfb: CfbFile) -> str:

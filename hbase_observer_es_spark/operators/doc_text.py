@@ -136,6 +136,11 @@ def _read_piece_table(table: bytes, fc: int, lcb: int, origin: str) -> list:
             f"doc {origin}: expected the Pcdt (clxt 0x02) at table byte "
             f"{pos}, got {got!r}"
         )
+    if pos + 5 > end:
+        raise ValueError(
+            f"doc {origin}: Clx ends inside the Pcdt header at table "
+            f"byte {pos} (need 5 bytes, have {end - pos})"
+        )
     (plc_len,) = struct.unpack_from("<I", table, pos + 1)
     pos += 5
     if pos + plc_len > end:
@@ -286,6 +291,56 @@ def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
     if sub == "doc":
         row["n_chars"] = len(_doc_text_from_cfb(cfb, origin))
     return row
+
+
+# --------------------------------------------------------------- writer
+
+
+def write_doc(paragraphs: list) -> bytes:
+    """Deterministic minimal Word-97 ``.doc`` from a paragraph list —
+    the production writer closing the round trip
+    (``doc_to_text(write_doc(ps)) == "\\n".join(ps) + "\\n"``; pinned by
+    test and exercised by the corpus demo's census arm). One text
+    piece: cp1252 (the compressed form) when every character fits,
+    UTF-16LE otherwise; paragraphs end with the spec's CR mark. Control
+    characters in the input would collide with the spec's in-band marks
+    and refuse."""
+    from .cfb import write_cfb
+
+    for p in paragraphs:
+        for ch in p:
+            if ord(ch) < 0x20 and ch != "\t":
+                raise ValueError(
+                    f"doc write: control character {ord(ch):#x} in "
+                    "paragraph text collides with the format's in-band "
+                    "marks"
+                )
+    chars = "".join(p + "\r" for p in paragraphs)
+    try:
+        body = chars.encode("cp1252")
+        one_byte = True
+        ccp = len(chars)
+    except UnicodeEncodeError:
+        body = chars.encode("utf-16-le")
+        one_byte = False
+        # CPs count 16-bit code UNITS (Word's UCS-2 heritage): an astral
+        # character is TWO CPs, so counting Python characters here would
+        # silently truncate the document tail
+        ccp = len(body) // 2
+    fib = bytearray(1024)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 2, 0x00C1)
+    struct.pack_into("<H", fib, 10, 0x0200)  # 1Table
+    struct.pack_into("<i", fib, _CCP_TEXT_AT, ccp)
+    off = len(fib)
+    fc_raw = (0x40000000 | (off * 2)) if one_byte else off
+    cps = struct.pack("<ii", 0, ccp)
+    pcd = struct.pack("<HIH", 0, fc_raw, 0)
+    plc = cps + pcd
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", fib, _FC_CLX_AT, 0)
+    struct.pack_into("<I", fib, _LCB_CLX_AT, len(clx))
+    return write_cfb({"WordDocument": bytes(fib) + body, "1Table": clx})
 
 
 DOC_TEXT_SCHEMA = "text string, n_chars long"

@@ -268,6 +268,110 @@ def parse_mailbox(payload: bytes, origin: str = "<bytes>") -> list:
     return [parse_eml(payload, origin)]
 
 
+# -------------------------------------------------------------- writers
+
+
+def _h_encode(value: str) -> str:
+    """Header value: ASCII stays raw, anything else becomes ONE RFC 2047
+    utf-8/base64 encoded word (deterministic)."""
+    import base64
+
+    try:
+        value.encode("ascii")
+        return value
+    except UnicodeEncodeError:
+        return "=?utf-8?B?" + base64.b64encode(value.encode()).decode() + "?="
+
+
+def write_eml(
+    sender: str,
+    to: str,
+    subject: str,
+    date_us: int,
+    text: str,
+    attachments: list | None = None,
+) -> bytes:
+    """Deterministic RFC 5322/MIME message — the production writer
+    closing the round trip (``parse_eml(write_eml(...))`` recovers
+    every field; pinned by test, exercised by the corpus demo's census
+    arm). ASCII bodies go 7bit text/plain; non-ASCII bodies go base64
+    utf-8; attachments force multipart/mixed with a content-derived
+    boundary (no RNG, no clock — the repo's determinism rule)."""
+    import base64
+    import email.utils
+    import hashlib
+
+    def body_part(in_multipart: bool) -> bytes:
+        try:
+            raw = text.encode("ascii")
+            # inside multipart the CRLF BEFORE a boundary belongs to the
+            # delimiter (RFC 2046), so the part needs its own terminator
+            # to keep the body's exact trailing bytes; at top level the
+            # body simply ends
+            return (
+                b"Content-Type: text/plain; charset=us-ascii\r\n"
+                b"Content-Transfer-Encoding: 7bit\r\n\r\n"
+                + raw + (b"\r\n" if in_multipart else b"")
+            )
+        except UnicodeEncodeError:
+            return (
+                b"Content-Type: text/plain; charset=utf-8\r\n"
+                b"Content-Transfer-Encoding: base64\r\n\r\n"
+                + base64.encodebytes(text.encode())
+            )
+
+    date = email.utils.formatdate(date_us / 1_000_000, usegmt=True)
+    head = (
+        f"From: {_h_encode(sender)}\r\n"
+        f"To: {_h_encode(to)}\r\n"
+        f"Subject: {_h_encode(subject)}\r\n"
+        f"Date: {date}\r\n"
+        "MIME-Version: 1.0\r\n"
+    ).encode("ascii")
+    if not attachments:
+        return head + body_part(False)
+    digest = hashlib.md5(
+        text.encode() + b"".join(raw for _, _, raw in attachments)
+    ).hexdigest()
+    boundary = f"=_b_{digest}"
+    out = head + (
+        f'Content-Type: multipart/mixed; boundary="{boundary}"\r\n\r\n'
+    ).encode("ascii")
+    out += f"--{boundary}\r\n".encode() + body_part(True)
+    for fname, ctype, raw in attachments:
+        out += f"--{boundary}\r\n".encode()
+        out += f"Content-Type: {ctype}\r\n".encode("ascii")
+        out += b"Content-Transfer-Encoding: base64\r\n"
+        out += (
+            "Content-Disposition: attachment; "
+            f'filename="{fname}"\r\n\r\n'
+        ).encode("ascii")
+        out += base64.encodebytes(raw)
+    out += f"--{boundary}--\r\n".encode()
+    return out
+
+
+def write_mbox(messages: list) -> bytes:
+    """MBOX from raw message bytes: ``From `` envelope lines (the fixed
+    deterministic timestamp the format requires but nothing reads) and
+    mboxrd ``>From`` escaping. Message BYTES are preserved — CRLF line
+    endings included — so ``split_mbox`` round-trips newline-terminated
+    messages exactly (the same bytes hash identically whether ingested
+    as .eml or from the mbox); a message without a final newline gains
+    one, the format's framing requirement."""
+    out = b""
+    for raw in messages:
+        out += b"From - Thu Jan  1 00:00:00 1970\n"
+        # mboxrd: EVERY ^(>*)From line gains one ">" so the unescape
+        # (strip one ">" from >+From) is an exact inverse
+        body = re.sub(rb"^(>*From )", rb">\1", raw, flags=re.M)
+        out += body
+        if not body.endswith(b"\n"):
+            out += b"\n"
+        out += b"\n"
+    return out
+
+
 def _binary_files(spark: SparkSession, path: str, glob: str):
     return (
         spark.read.format("binaryFile")

@@ -457,3 +457,106 @@ def test_doc_text_frame_through_spark(spark):
         1: ("spark doc one\n", 14),
         2: ("two — unicode", 13),
     }
+
+
+# ------------------------------------------------- production writers
+
+
+def test_write_cfb_round_trip():
+    from hbase_observer_es_spark.operators.cfb import write_cfb
+
+    streams = {
+        "tiny": b"t",
+        "WordDocument": b"\x01" * 5000,
+        "zz big": bytes(range(256)) * 64,
+        "Ünicode": "texte café".encode("utf-8"),
+        "empty": b"",
+        "a": b"x" * 63,
+        "bb": b"y" * 64,
+        "ccc": b"z" * 65,
+    }
+    data = write_cfb(streams)
+    cfb = parse_cfb(data, "t")
+    assert {p: cfb.read_stream(p) for p in cfb.stream_paths()} == streams
+    # deterministic: same input, same bytes
+    assert write_cfb(streams) == data
+
+
+def test_write_cfb_guards():
+    from hbase_observer_es_spark.operators.cfb import write_cfb
+
+    with pytest.raises(ValueError, match="invalid"):
+        write_cfb({"": b"x"})
+    with pytest.raises(ValueError, match="nested storage"):
+        write_cfb({"a/b": b"x"})
+    with pytest.raises(ValueError, match="109 header-DIFAT cap"):
+        write_cfb({"huge": b"\x00" * (8 << 20)})
+
+
+def test_write_doc_round_trip():
+    from hbase_observer_es_spark.operators.doc_text import write_doc
+
+    # cp1252 path (incl. the 0x93 mapping rows) and the utf-16 path
+    for paragraphs in (
+        ["Hello, legacy Word.", "Second paragraph with “quotes”."],
+        ["Unicode 日本語 paragraph", "plain one"],
+        ["tab\tseparated"],
+    ):
+        data = write_doc(paragraphs)
+        assert doc_to_text(data, "t") == "\n".join(paragraphs) + "\n"
+        m = doc_meta(data, "t")
+        assert m["subformat"] == "doc"
+    with pytest.raises(ValueError, match="control character"):
+        write_doc(["bad\x07mark"])
+
+
+def test_write_doc_astral_chars_round_trip():
+    """CPs count UTF-16 code units (Word's UCS-2 heritage): astral
+    characters are TWO CPs each, and the writer must count them so —
+    character counting silently truncated the document tail."""
+    from hbase_observer_es_spark.operators.doc_text import write_doc
+
+    paragraphs = ["\U0001F600\U0001F600 start", "tail paragraph"]
+    assert doc_to_text(write_doc(paragraphs), "t") == (
+        "\n".join(paragraphs) + "\n"
+    )
+
+
+def test_cfb_deep_sibling_chain_is_not_a_recursion_error():
+    """A degenerate right-sibling linked list (what simplistic CFB
+    writers emit) far deeper than Python's recursion limit must parse —
+    or refuse through this module's ValueErrors — never RecursionError,
+    which would escape the census error fold and kill the Spark task."""
+    streams = {f"s{i:04d}": bytes([i % 256]) * 4 for i in range(1500)}
+    data = _make_cfb(streams)  # the test encoder builds sibling CHAINS
+    cfb = parse_cfb(data, "t")
+    assert len(cfb.stream_paths()) == 1500
+    assert cfb.read_stream("s0007") == bytes([7]) * 4
+
+
+def test_doc_truncated_pcdt_header_is_a_valueerror():
+    """A Clx whose Pcdt marker sits within 4 bytes of the table end:
+    struct.error is NOT a ValueError and would escape the census fold."""
+    wd = bytes(_fib(1, 0, 2))
+    # table = Pcdt marker + ONE length byte, lcbClx covers exactly that
+    with pytest.raises(ValueError, match="inside the Pcdt header"):
+        doc_to_text(_make_cfb(
+            {"WordDocument": wd, "1Table": b"\x02\x0c"}), "t")
+
+
+def test_cfb_read_chain_cost_is_bounded_by_declared_size():
+    """A small-size entry pointing at a long chain reads O(size), not
+    O(chain): the walk must stop once the declared size is covered."""
+    data = bytearray(_make_cfb({"s": b"x" * 5000}))
+    cfb = parse_cfb(bytes(data), "t")
+    entry = next(e for e in cfb.entries if e.path == "s")
+    # shrink the declared size to the cutoff (stays FAT-domain); the
+    # chain still spans ten sectors but only eight may be read
+    for i in range(1, len(cfb.entries) + 1):
+        off = 512 + 128 * i
+        name_len = int.from_bytes(data[off + 64 : off + 66], "little")
+        if data[off : off + name_len - 2].decode("utf-16-le") == "s":
+            struct.pack_into("<Q", data, off + 120, 4096)
+            break
+    got = parse_cfb(bytes(data), "t").read_stream("s")
+    assert got == b"x" * 4096

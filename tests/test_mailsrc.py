@@ -230,3 +230,56 @@ def test_read_mail_through_spark(spark, tmp_path):
     assert len(att) == 1
     assert att[0]["filename"] == "résumé.bin"
     assert bytes(att[0]["content"]) == bytes(range(16))
+
+
+# ------------------------------------------------- production writers
+
+
+def test_write_eml_round_trip():
+    from hbase_observer_es_spark.sources.mailsrc import write_eml
+
+    date_us = 1_056_380_100_000_000  # 2003-06-23T15:15:00Z, µs
+    eml = write_eml(
+        "Alice <alice@example.com>", "bob@example.com", "Résumé 日本",
+        date_us, "corps café\nline two\n",
+        attachments=[("blob.bin", "application/octet-stream",
+                      bytes(range(32)))],
+    )
+    m = parse_eml(eml, "t")
+    assert m["sender"] == "Alice <alice@example.com>"
+    assert m["subject"] == "Résumé 日本"
+    assert m["date_utc_us"] == date_us
+    assert m["text"] == "corps café\nline two\n"
+    assert m["n_attachments"] == 1
+    _, fname, ctype, raw = m["attachments"][0]
+    assert (fname, ctype, raw) == (
+        "blob.bin", "application/octet-stream", bytes(range(32)))
+    # deterministic bytes
+    assert write_eml(
+        "Alice <alice@example.com>", "bob@example.com", "Résumé 日本",
+        date_us, "corps café\nline two\n",
+        attachments=[("blob.bin", "application/octet-stream",
+                      bytes(range(32)))],
+    ) == eml
+
+
+def test_write_mbox_round_trip_with_from_lines():
+    from hbase_observer_es_spark.sources.mailsrc import write_eml, write_mbox
+
+    body = "From the top.\n>From quoted.\nmid From ok.\n"
+    m1 = write_eml("a@x", "b@x", "one", 0, body)
+    m2 = write_eml("c@x", "d@x", "two", 0, "plain\n")
+    box = write_mbox([m1, m2])
+    msgs = parse_mailbox(box, "t")
+    assert [m["subject"] for m in msgs] == ["one", "two"]
+    assert msgs[0]["text"] == body
+
+
+def test_write_mbox_preserves_crlf_bytes():
+    """Message bytes survive the mbox round trip VERBATIM (CRLF
+    included) so the same message hashes identically whether ingested
+    as .eml or out of an mbox."""
+    from hbase_observer_es_spark.sources.mailsrc import write_mbox
+
+    raw = SIMPLE  # CRLF line endings throughout, ends with \r\n
+    assert split_mbox(write_mbox([raw, raw]), "t") == [raw, raw]

@@ -530,7 +530,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
             for pdf in batches:
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"] * 6 + 3,
+                        "doc_id": pdf["doc_id"] * 8 + 3,
                         "payload": [
                             encode_jpeg_progressive(
                                 decode_png(bytes(p)), quality=85
@@ -580,7 +580,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
                                       img.width * n, mirror, None)),
                     ]))
                 yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"] * 6 + 5, "payload": payloads}
+                    {"doc_id": pdf["doc_id"] * 8 + 5, "payload": payloads}
                 )
 
         def to_pdf(batches):
@@ -589,11 +589,60 @@ def run(spark, sf_dir: str, out: str) -> dict:
             for pdf in batches:
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"] * 6 + 4,
+                        "doc_id": pdf["doc_id"] * 8 + 4,
                         # cp1252-expressible by construction: the fixture
                         # corpus is ASCII (the q_mm_decode invariant)
                         "payload": [
                             write_pdf([t]) for t in pdf["text"]
+                        ],
+                    }
+                )
+
+        def to_doc(batches):
+            """r14 arm: each landed doc's text as a real legacy .doc —
+            FIB + piece table inside a real CFB container via the
+            production writers, so the census's family=document/doc row
+            comes from the full MS-CFB + MS-DOC parse over bytes this
+            run wrote."""
+            import pandas as pd
+
+            from hbase_observer_es_spark.operators.doc_text import write_doc
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"] * 8 + 6,
+                        "payload": [write_doc([t]) for t in pdf["text"]],
+                    }
+                )
+
+        def to_eml(batches):
+            """r14 arm: each landed doc becomes a real RFC 5322 message
+            carrying its own PNG as a MIME attachment — the census's
+            family=message row exercises header decode, MIME walk, and
+            the strict charset path end to end."""
+            import pandas as pd
+
+            from hbase_observer_es_spark.sources.mailsrc import write_eml
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"] * 8 + 7,
+                        "payload": [
+                            write_eml(
+                                "corpus@example.com",
+                                "census@example.com",
+                                f"doc {i}",
+                                int(i) * 1_000_000,
+                                t,
+                                attachments=[(
+                                    f"img{i}.png", "image/png", bytes(p)
+                                )],
+                            )
+                            for i, t, p in zip(
+                                pdf["doc_id"], pdf["text"], pdf["png"]
+                            )
                         ],
                     }
                 )
@@ -603,23 +652,27 @@ def run(spark, sf_dir: str, out: str) -> dict:
         texts = curated.select("doc_id", "text")
         anim_webp = landed.select("doc_id", "png").mapInPandas(
             to_anim_webp, "doc_id long, payload binary")
+        landed_texts = texts.join(landed.select("doc_id"), "doc_id")
         mixed = (
-            landed.select((F.col("doc_id") * 6).alias("doc_id"),
+            landed.select((F.col("doc_id") * 8).alias("doc_id"),
                           F.col("png").alias("payload"))
             .unionByName(
-                landed.select((F.col("doc_id") * 6 + 1).alias("doc_id"),
+                landed.select((F.col("doc_id") * 8 + 1).alias("doc_id"),
                               F.col("thumb").alias("payload")))
             .unionByName(
-                landed.select((F.col("doc_id") * 6 + 2).alias("doc_id"),
+                landed.select((F.col("doc_id") * 8 + 2).alias("doc_id"),
                               F.col("wav").alias("payload")))
             .unionByName(
                 landed.select("doc_id", "png").mapInPandas(
                     to_pjpeg, "doc_id long, payload binary"))
             .unionByName(
-                texts.join(
-                    landed.select("doc_id"), "doc_id"
-                ).mapInPandas(to_pdf, "doc_id long, payload binary"))
+                landed_texts.mapInPandas(to_pdf, "doc_id long, payload binary"))
             .unionByName(anim_webp)
+            .unionByName(
+                landed_texts.mapInPandas(to_doc, "doc_id long, payload binary"))
+            .unionByName(
+                texts.join(landed.select("doc_id", "png"), "doc_id")
+                .mapInPandas(to_eml, "doc_id long, payload binary"))
         )
         counts = {
             (r.family, r.format): r["count"]
@@ -636,8 +689,12 @@ def run(spark, sf_dir: str, out: str) -> dict:
             ("document", "pdf"): n,
             # VP8X container → kind "extended"; n_frames rides the row
             ("image", "webp-extended"): n,
+            # r14 arms: legacy .doc through the CFB walk, RFC 5322
+            # messages (each carrying its PNG as a MIME attachment)
+            ("document", "doc"): n,
+            ("message", "eml"): n,
         }, counts
-        rows["census_payloads"] = int(6 * n)
+        rows["census_payloads"] = int(8 * n)
         # the animations also frame-SAMPLE for real: every ANMF frame
         # composes through webpanim and lands as a canvas-sized PNG row
         from hbase_observer_es_spark.operators.webpanim import (
@@ -648,7 +705,7 @@ def run(spark, sf_dir: str, out: str) -> dict:
         bad = sampled.where(F.col("count") != 2).count()
         assert bad == 0, f"{bad} animations sampled != 2 frames"
         rows["webp_anim_frames"] = int(2 * sampled.count())
-        return 6 * n
+        return 8 * n
 
     rows["census_rows"] = stage("media_census", census_leg)
 
