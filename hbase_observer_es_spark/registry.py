@@ -83,68 +83,22 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 13 inputs: CORRECTNESS_r01-r12 + git round boundaries; two new
-# registrations q_profile_stats,q_profile_topvals (held twins from r10,
-# operators/profile.py joins _MODULES). The round's registered-closure
-# edits: multimodal.py (decode_image_real reports real GIF frame counts
-# via gif.count_gif_frames) + jpeg.py (flat array('i') progressive
-# coefficient store + DC predictor range guard) + gif.py (count walk) —
-# the four q_mm_* rows surface as tier 1.1. The r8 evidence band (26
-# rows) rotates through the remaining window.
+# Round 14 inputs: CORRECTNESS_r01-r13 + git round boundaries; four new
+# registrations lead as never-checked (q_lm_surprisal, q_quality_classify
+# with frozen literal weights, and the corpus-drift pair held since r11).
+# The round's registered-closure edits: webpanim.py (the frame-cap
+# advisory fix) puts q_mm_decode/q_mm_resize in tier 1.2. The r9
+# evidence band rotates through the remaining window.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_profile_stats",  # never checked
-    "q_profile_topvals",  # never checked
-    # tier 1.1: file edited after last green check (oldest green first)
-    "q_mm_decode",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
-    "q_mm_meta",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
-    "q_mm_framesample",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
-    "q_mm_resize",  # green r12, hbase_observer_es_spark/operators/multimodal.py file edited r13
+    "q_lm_surprisal",  # never checked
+    "q_quality_classify",  # never checked
+    "q_corpus_drift",  # never checked
+    "q_corpus_drift_tv",  # never checked
+    # tier 1.2: imported helper edited after last green check (oldest green first)
+    "q_mm_decode",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14
+    "q_mm_resize",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_agg_pctranks",  # green r8
-    "q_agg_adjacency",  # green r8
-    "q_agg_rare_terms",  # green r8
-    "q_agg_bucket_sel",  # green r8
-    "q_agg_weighted_avg",  # green r8
-    "q_agg_autodatehist",  # green r8
-    "q_str_funcs",  # green r8
-    "q_date_funcs",  # green r8
-    "q_math_case",  # green r8
-    "q_json_extract",  # green r8
-    "q_array_funcs",  # green r8
-    "q_cdc_snapshot",  # green r8
-    "q_cdc_tombstone",  # green r8
-    "q_cell_pivot",  # green r8
-    "q_cdc_doc_merge",  # green r8
-    "q_text_chunk",  # green r8
-    "q_text_topword",  # green r8
-    "q_search_bm25_ln",  # rows-only r8
-    "q_search_mlt_ln",  # rows-only r8
-    "q_join_has_child",  # green r8
-    "q_join_has_parent",  # green r8
-    "q_search_rescore",  # green r8
-    "q_search_suggest_term",  # green r8
-    "q_search_terms_lookup",  # green r8
-    "q_search_suggest_phrase",  # green r8
-    "q_search_range_relation",  # green r8
-    "s_watermark_dedup",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_upsert_sink",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_stateful_profile",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_win_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_session_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_join_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_terms_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py file edited r10, closure AST-unchanged
-    "s_pii_stream",  # green r9, hbase_observer_es_spark/streaming/stateful.py import edited r10, closure AST-unchanged
-    "q_sim_knn",  # green r9
-    "q_sim_pairs",  # green r9
-    "q_sim_ivf",  # green r9
-    "q_sim_ivf_trained",  # green r9
-    "q_embed_quant",  # green r9
-    "q_search_suggest",  # green r9
-    "q_search_highlight",  # green r9
-    "q_search_bool",  # green r9
-    "q_search_prefix",  # green r9
-    "q_get_by_key",  # green r9
     "q_udf_scalar",  # green r9
     "q_udf_grouped",  # green r9
     "q_agg_groupingsets",  # green r9
@@ -290,6 +244,54 @@ _PRIORITY = (
     "q_incremental_unseen",  # green r12
     "q_dedup_lsh_recall",  # green r12
     "q_zorder_cells",  # green r12
+    "q_mm_meta",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14, closure AST-unchanged
+    "q_mm_framesample",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14, closure AST-unchanged
+    "q_sim_knn",  # green r13
+    "q_sim_pairs",  # green r13
+    "q_sim_ivf",  # green r13
+    "q_sim_ivf_trained",  # green r13
+    "q_embed_quant",  # green r13
+    "q_search_suggest",  # green r13
+    "q_search_highlight",  # green r13
+    "q_search_bool",  # green r13
+    "q_search_prefix",  # green r13
+    "q_get_by_key",  # green r13
+    "s_watermark_dedup",  # green r13
+    "s_upsert_sink",  # green r13
+    "s_stateful_profile",  # green r13
+    "s_win_stream",  # green r13
+    "s_session_stream",  # green r13
+    "s_join_stream",  # green r13
+    "s_terms_stream",  # green r13
+    "q_agg_pctranks",  # green r13
+    "q_agg_adjacency",  # green r13
+    "q_agg_rare_terms",  # green r13
+    "q_agg_bucket_sel",  # green r13
+    "q_agg_weighted_avg",  # green r13
+    "q_agg_autodatehist",  # green r13
+    "q_str_funcs",  # green r13
+    "q_date_funcs",  # green r13
+    "q_math_case",  # green r13
+    "q_json_extract",  # green r13
+    "q_array_funcs",  # green r13
+    "q_cdc_snapshot",  # green r13
+    "q_cdc_tombstone",  # green r13
+    "q_cell_pivot",  # green r13
+    "q_cdc_doc_merge",  # green r13
+    "q_text_chunk",  # green r13
+    "q_text_topword",  # green r13
+    "s_pii_stream",  # green r13
+    "q_search_bm25_ln",  # rows-only r13
+    "q_search_mlt_ln",  # rows-only r13
+    "q_join_has_child",  # green r13
+    "q_join_has_parent",  # green r13
+    "q_search_rescore",  # green r13
+    "q_search_suggest_term",  # green r13
+    "q_search_terms_lookup",  # green r13
+    "q_search_suggest_phrase",  # green r13
+    "q_search_range_relation",  # green r13
+    "q_profile_stats",  # green r13
+    "q_profile_topvals",  # green r13
 )
 
 
