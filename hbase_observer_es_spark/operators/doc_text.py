@@ -32,9 +32,10 @@ Everything else in the format — styles, tables' grid, OLE objects,
 embedded images, fastsaved revision complexity beyond what the piece
 table already encodes — is out of scope for a text pipeline; malformed
 structures refuse with byte offsets rather than guessing. ``.xls``
-(BIFF) and ``.ppt`` (PowerPoint records) share the container but not
-the text layout; their extraction refuses BY NAME here while the media
-census still surveys them as family="document" with their subformat.
+(BIFF8) extracts through its own module (``xls_text.py``, r14);
+``.ppt`` (PowerPoint records) shares the container but not the text
+layout — its extraction refuses BY NAME here while the media census
+still surveys it as family="document" with its subformat.
 
 Scale posture: one payload per task inside ``mapInPandas``
 (``doc_text_frame``, the office_text.py shape); payloads never shuffle;
@@ -245,11 +246,16 @@ def doc_to_text(payload: bytes, origin: str = "<bytes>") -> str:
 
 def _doc_text_from_cfb(cfb: CfbFile, origin: str) -> str:
     sub = cfb_subformat(cfb)
+    if sub == "xls":
+        raise ValueError(
+            f"doc {origin}: compound file is an .xls workbook — route it "
+            "to xls_text.xls_to_text (the census does)"
+        )
     if sub != "doc":
         raise NotImplementedError(
             f"doc {origin}: compound file is {sub!r} — text extraction "
-            "for xls (BIFF records) / ppt (PowerPoint record streams) / "
-            "generic OLE storages is not implemented; .doc extracts"
+            "for ppt (PowerPoint record streams) / generic OLE storages "
+            "is not implemented; .doc and .xls extract"
         )
     wd = cfb.read_stream("WordDocument")
     fib = _read_fib(wd, origin)
@@ -281,15 +287,19 @@ def _doc_text_from_cfb(cfb: CfbFile, origin: str) -> str:
 
 
 def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
-    """Census facts for a compound file WITHOUT full extraction work
-    beyond the doc path: subformat, stream count, and (doc only)
-    main-document character count."""
+    """Census facts for a compound file: subformat, stream count, and —
+    for the subformats that extract (doc, and xls via ``xls_text``) —
+    the extracted character count."""
     cfb = parse_cfb(payload, origin)
     sub = cfb_subformat(cfb)
     n_streams = sum(1 for e in cfb.entries if e.type == 2)
     row = {"subformat": sub, "n_streams": n_streams, "n_chars": 0}
     if sub == "doc":
         row["n_chars"] = len(_doc_text_from_cfb(cfb, origin))
+    elif sub == "xls":
+        from .xls_text import xls_to_text
+
+        row["n_chars"] = len(xls_to_text(payload, origin))
     return row
 
 

@@ -190,10 +190,10 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             m = doc_meta(payload, origin=origin)
             sub = m["subformat"]
             detail = (
-                f"{m['n_chars']} chars" if sub == "doc"
+                f"{m['n_chars']} chars" if sub in ("doc", "xls")
                 else "text extraction not implemented "
-                     "(BIFF/PowerPoint record streams)"
-                if sub in ("xls", "ppt")
+                     "(PowerPoint record streams)"
+                if sub == "ppt"
                 else "generic OLE compound file"
             )
             row.update(

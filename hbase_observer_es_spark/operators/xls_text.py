@@ -1,0 +1,424 @@
+"""Legacy binary Excel (``.xls``, BIFF8) text extraction — from the
+public MS-XLS Open Specification, over the ``cfb.py`` container.
+
+The second legacy-Office leg (after ``doc_text.py``): the ``Workbook``
+stream is a BIFF8 record stream (2-byte id, 2-byte length, payload;
+payloads over 8224 bytes spill into CONTINUE records). The text path:
+
+* globals substream: ``BOF`` (version gate — BIFF8 ``0x0600`` only;
+  BIFF5/7 lay strings out differently and refuse by name), ``FILEPASS``
+  (encryption — refuses by name), ``BOUNDSHEET`` entries (sheet names
+  in tab order + each substream's offset; only worksheets extract,
+  chart/VB modules are skipped), and the ``SST`` shared-string table;
+* the SST is the format's notorious corner: ``XLUnicodeRichExtendedString``
+  entries whose CHARACTER data may split across CONTINUE boundaries, and
+  every continuation of character data re-specifies its own
+  high-byte flag — a string can switch between compressed (low-byte)
+  and UTF-16 encodings mid-string. ``_SstCursor`` models exactly that:
+  raw fields (counts, rich runs, ExtRst) cross boundaries byte-wise,
+  character runs re-read the flag byte at each boundary;
+* per-sheet substreams: ``LABELSST`` (SST ref, index validated),
+  ``LABEL`` (inline string), ``NUMBER`` (IEEE double), ``RK`` and
+  ``MULRK`` (the packed 30-bit/scaled encodings, decoded per spec),
+  ``BOOLERR`` (booleans and the seven error literals), and ``FORMULA``
+  cached results (number / bool / error inline; string results from the
+  following ``STRING`` record, with ``SHRFMLA``/``ARRAY``/``TABLE``
+  legitimately intervening);
+* output mirrors ``office_text.xlsx_to_text``: sheet name, one line per
+  non-empty row (cells tab-joined in column order), sheets separated by
+  blank lines, the same whitespace normalization — so the SAME workbook
+  saved as .xls and .xlsx extracts to the SAME text. Numbers print via
+  the raw-stored-value rule (integral doubles as integers, the xlsx
+  convention where the stored ``<v>`` carries no decimal point).
+
+Guards: record lengths are attacker data — a record overrunning the
+stream, an SST index out of range, an RK array not matching its column
+span, or a split mid-UTF-16-code-unit names its byte offset. Formats
+this module recognizes but does not decode (encrypted workbooks, BIFF5/7)
+refuse BY NAME.
+
+Scale posture: one payload per task via ``doc_text.doc_text_frame``'s
+shape (the census calls this in the same mapInPandas pass); work is
+linear in the record stream.
+
+Reference parity: none — builder-brief document-pipeline surface
+(SURVEY §2-D), beside ``doc_text.py``/``office_text.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .cfb import cfb_subformat, parse_cfb
+
+_BIFF8 = 0x0600
+_R_BOF = 0x0809
+_R_EOF = 0x000A
+_R_CONTINUE = 0x003C
+_R_FILEPASS = 0x002F
+_R_BOUNDSHEET = 0x0085
+_R_SST = 0x00FC
+_R_LABELSST = 0x00FD
+_R_LABEL = 0x0204
+_R_NUMBER = 0x0203
+_R_RK = 0x027E
+_R_MULRK = 0x00BD
+_R_BOOLERR = 0x0205
+_R_FORMULA = 0x0006
+_R_STRING = 0x0207
+_R_SHRFMLA = 0x04BC
+_R_ARRAY = 0x0221
+_R_TABLE = 0x0236
+
+_ERROR_NAMES = {
+    0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
+    0x1D: "#NAME?", 0x24: "#NUM!", 0x2A: "#N/A",
+}
+
+
+def _records(stream: bytes, origin: str, start: int = 0):
+    """(id, payload, offset) walk; CONTINUE records are yielded as-is —
+    the SST parser collects its own."""
+    pos = start
+    n = len(stream)
+    while pos + 4 <= n:
+        rid, ln = struct.unpack_from("<HH", stream, pos)
+        if pos + 4 + ln > n:
+            raise ValueError(
+                f"xls {origin}: record {rid:#06x} at byte {pos} declares "
+                f"{ln} bytes past the stream end"
+            )
+        yield rid, stream[pos + 4 : pos + 4 + ln], pos
+        pos += 4 + ln
+        if rid == _R_EOF:
+            return
+    if pos != n:
+        raise ValueError(
+            f"xls {origin}: truncated record header at byte {pos}"
+        )
+
+
+class _SstCursor:
+    """Reader over the SST record + its CONTINUE fragments implementing
+    the split rules (module docstring)."""
+
+    def __init__(self, fragments: list, origin: str):
+        self._frags = fragments
+        self._fi = 0
+        self._off = 0
+        self._origin = origin
+
+    def _advance(self) -> None:
+        while self._fi < len(self._frags) and self._off >= len(
+            self._frags[self._fi]
+        ):
+            self._fi += 1
+            self._off = 0
+
+    def read_raw(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            self._advance()
+            if self._fi >= len(self._frags):
+                raise ValueError(
+                    f"xls {self._origin}: SST ends {n} bytes early"
+                )
+            frag = self._frags[self._fi]
+            take = min(n, len(frag) - self._off)
+            out += frag[self._off : self._off + take]
+            self._off += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: int) -> str:
+        out = []
+        while cch > 0:
+            self._advance()
+            if self._fi >= len(self._frags):
+                raise ValueError(
+                    f"xls {self._origin}: SST string ends {cch} "
+                    "characters early"
+                )
+            frag = self._frags[self._fi]
+            if self._off == 0:
+                # character data continuing into a new fragment
+                # RE-SPECIFIES its high-byte flag (MS-XLS §2.5.293)
+                high = frag[0] & 1
+                self._off = 1
+            avail = len(frag) - self._off
+            unit = 2 if high else 1
+            take = min(cch, avail // unit)
+            if take == 0:
+                if avail:
+                    raise ValueError(
+                        f"xls {self._origin}: SST fragment splits a "
+                        "UTF-16 code unit"
+                    )
+                self._off = len(frag)
+                continue
+            raw = frag[self._off : self._off + take * unit]
+            out.append(
+                raw.decode("utf-16-le") if high else raw.decode("latin-1")
+            )
+            self._off += take * unit
+            cch -= take
+        return "".join(out)
+
+
+def _parse_sst(fragments: list, origin: str) -> list:
+    cur = _SstCursor(fragments, origin)
+    cur.read_raw(4)  # cstTotal (refs, unused here)
+    (unique,) = struct.unpack("<i", cur.read_raw(4))
+    if unique < 0:
+        raise ValueError(f"xls {origin}: SST declares {unique} strings")
+    out = []
+    for _ in range(unique):
+        (cch,) = struct.unpack("<H", cur.read_raw(2))
+        flags = cur.read_raw(1)[0]
+        high = flags & 0x01
+        ext = flags & 0x04
+        rich = flags & 0x08
+        crun = struct.unpack("<H", cur.read_raw(2))[0] if rich else 0
+        cbext = struct.unpack("<i", cur.read_raw(4))[0] if ext else 0
+        if cbext < 0:
+            raise ValueError(f"xls {origin}: SST ExtRst size {cbext}")
+        out.append(cur.read_chars(cch, high))
+        if crun:
+            cur.read_raw(4 * crun)
+        if cbext:
+            cur.read_raw(cbext)
+    return out
+
+
+def _short_string(data: bytes, at: int, origin: str) -> tuple:
+    """BOUNDSHEET's ShortXLUnicodeString: (text, bytes consumed)."""
+    cch = data[at]
+    flags = data[at + 1]
+    unit = 2 if flags & 1 else 1
+    raw = data[at + 2 : at + 2 + cch * unit]
+    if len(raw) != cch * unit:
+        raise ValueError(f"xls {origin}: sheet name truncated")
+    return (
+        raw.decode("utf-16-le") if flags & 1 else raw.decode("latin-1"),
+        2 + cch * unit,
+    )
+
+
+def _inline_string(data: bytes, at: int, origin: str, what: str) -> str:
+    """LABEL/STRING's XLUnicodeString (2-byte cch)."""
+    if at + 3 > len(data):
+        raise ValueError(f"xls {origin}: {what} string header truncated")
+    (cch,) = struct.unpack_from("<H", data, at)
+    flags = data[at + 2]
+    unit = 2 if flags & 1 else 1
+    raw = data[at + 3 : at + 3 + cch * unit]
+    if len(raw) != cch * unit:
+        raise ValueError(f"xls {origin}: {what} string truncated")
+    return raw.decode("utf-16-le") if flags & 1 else raw.decode("latin-1")
+
+
+def _fmt_num(x: float) -> str:
+    """The raw-stored-value convention: integral doubles print as
+    integers (xlsx's stored ``<v>`` carries no point for them)."""
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def _rk_value(rk: int) -> float:
+    val: float
+    if rk & 0x02:  # 30-bit signed integer
+        v = rk >> 2
+        if v & (1 << 29):
+            v -= 1 << 30
+        val = float(v)
+    else:  # high 30 bits of an IEEE double
+        val = struct.unpack(
+            "<d", struct.pack("<I", 0) + struct.pack("<I", rk & 0xFFFFFFFC)
+        )[0]
+    return val / 100.0 if rk & 0x01 else val
+
+
+def _bool_err(val: int, is_err: int, origin: str) -> str:
+    if is_err:
+        name = _ERROR_NAMES.get(val)
+        if name is None:
+            raise ValueError(f"xls {origin}: unknown error literal {val:#x}")
+        return name
+    return "TRUE" if val else "FALSE"
+
+
+def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
+    """Every worksheet in tab order: sheet name, one line per non-empty
+    row (cells tab-joined in column order), sheets separated by blank
+    lines — the ``xlsx_to_text`` shape, same normalization."""
+    from .office_text import _normalize
+
+    cfb = parse_cfb(payload, origin)
+    if cfb_subformat(cfb) != "xls":
+        raise ValueError(
+            f"xls {origin}: compound file has no Workbook/Book stream"
+        )
+    try:
+        wb = cfb.read_stream("Workbook")
+    except ValueError:
+        raise NotImplementedError(
+            f"xls {origin}: a Book stream without Workbook is BIFF5/7 — "
+            "the pre-BIFF8 string layout is not implemented"
+        ) from None
+
+    # ---- globals substream
+    sheets: list = []  # (name, offset)
+    sst: list = []
+    recs = _records(wb, origin)
+    rid, body, at = next(recs, (None, b"", 0))
+    if rid != _R_BOF:
+        raise ValueError(
+            f"xls {origin}: Workbook stream does not open with BOF "
+            f"(record {rid:#06x} at byte {at})" if rid is not None
+            else f"xls {origin}: empty Workbook stream"
+        )
+    (vers,) = struct.unpack_from("<H", body, 0)
+    if vers != _BIFF8:
+        raise NotImplementedError(
+            f"xls {origin}: BIFF version {vers:#06x} not implemented "
+            "(BIFF8 0x0600 only — BIFF5/7 strings are laid out "
+            "differently)"
+        )
+    pending_sst: list | None = None
+    for rid, body, at in recs:
+        if pending_sst is not None and rid != _R_CONTINUE:
+            sst = _parse_sst(pending_sst, origin)
+            pending_sst = None
+        if rid == _R_FILEPASS:
+            raise NotImplementedError(
+                f"xls {origin}: encrypted workbook (FILEPASS — "
+                "XOR/RC4/CryptoAPI) not implemented; decrypt upstream"
+            )
+        if rid == _R_BOUNDSHEET:
+            (pos,) = struct.unpack_from("<I", body, 0)
+            dt = body[5]
+            name, _ = _short_string(body, 6, origin)
+            if dt == 0:  # worksheet (charts/VB modules carry no cells)
+                sheets.append((name, pos))
+        elif rid == _R_SST:
+            pending_sst = [body]
+        elif rid == _R_CONTINUE and pending_sst is not None:
+            pending_sst.append(body)
+    if pending_sst is not None:
+        sst = _parse_sst(pending_sst, origin)
+
+    # ---- per-sheet substreams
+    blocks = []
+    for name, pos in sheets:
+        if pos >= len(wb):
+            raise ValueError(
+                f"xls {origin}: sheet {name!r} offset {pos} outside the "
+                f"{len(wb)}-byte Workbook stream"
+            )
+        cells: dict = {}
+
+        def put(rw: int, col: int, text: str) -> None:
+            cells[(rw, col)] = text
+
+        srecs = _records(wb, origin, start=pos)
+        rid, body, at = next(srecs, (None, b"", pos))
+        if rid != _R_BOF:
+            raise ValueError(
+                f"xls {origin}: sheet {name!r} substream at byte {pos} "
+                "does not open with BOF"
+            )
+        want_string_for: tuple | None = None
+        for rid, body, at in srecs:
+            if want_string_for is not None and rid not in (
+                _R_SHRFMLA, _R_ARRAY, _R_TABLE,
+            ):
+                if rid != _R_STRING:
+                    raise ValueError(
+                        f"xls {origin}: formula at {want_string_for} "
+                        "declares a string result but no STRING record "
+                        f"follows (got {rid:#06x} at byte {at})"
+                    )
+                put(*want_string_for, _inline_string(body, 0, origin, "STRING"))
+                want_string_for = None
+                continue
+            if rid == _R_LABELSST:
+                rw, col, _ixfe, isst = struct.unpack_from("<HHHI", body, 0)
+                if isst >= len(sst):
+                    raise ValueError(
+                        f"xls {origin}: LABELSST at byte {at} references "
+                        f"SST entry {isst} of {len(sst)}"
+                    )
+                put(rw, col, sst[isst])
+            elif rid == _R_LABEL:
+                rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+                put(rw, col, _inline_string(body, 6, origin, "LABEL"))
+            elif rid == _R_NUMBER:
+                rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+                (num,) = struct.unpack_from("<d", body, 6)
+                put(rw, col, _fmt_num(num))
+            elif rid == _R_RK:
+                rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+                (rk,) = struct.unpack_from("<I", body, 6)
+                put(rw, col, _fmt_num(_rk_value(rk)))
+            elif rid == _R_MULRK:
+                rw, col0 = struct.unpack_from("<HH", body, 0)
+                (col1,) = struct.unpack_from("<H", body, len(body) - 2)
+                span = col1 - col0 + 1
+                if span < 1 or 4 + 6 * span + 2 != len(body):
+                    raise ValueError(
+                        f"xls {origin}: MULRK at byte {at} spans "
+                        f"{col0}..{col1} but carries {len(body)} bytes"
+                    )
+                for i in range(span):
+                    (rk,) = struct.unpack_from("<I", body, 4 + 6 * i + 2)
+                    put(rw, col0 + i, _fmt_num(_rk_value(rk)))
+            elif rid == _R_BOOLERR:
+                rw, col, _ixfe, val, err = struct.unpack_from(
+                    "<HHHBB", body, 0
+                )
+                put(rw, col, _bool_err(val, err, origin))
+            elif rid == _R_FORMULA:
+                rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+                cached = body[6:14]
+                if cached[6:8] == b"\xff\xff":
+                    kind = cached[0]
+                    if kind == 0:  # string result in the STRING record
+                        want_string_for = (rw, col)
+                    elif kind == 1:
+                        put(rw, col, _bool_err(cached[2], 0, origin))
+                    elif kind == 2:
+                        put(rw, col, _bool_err(cached[2], 1, origin))
+                    elif kind == 3:
+                        put(rw, col, "")
+                    else:
+                        raise ValueError(
+                            f"xls {origin}: formula cached-result kind "
+                            f"{kind} at byte {at} unknown"
+                        )
+                else:
+                    (num,) = struct.unpack("<d", cached)
+                    put(rw, col, _fmt_num(num))
+        lines = [name]
+        rows: dict = {}
+        for (rw, col), text in cells.items():
+            if text != "":
+                rows.setdefault(rw, []).append((col, text))
+        for rw in sorted(rows):
+            lines.append(
+                "\t".join(t for _, t in sorted(rows[rw]))
+            )
+        blocks.append("\n".join(lines))
+    return _normalize("\n\n".join(blocks))
+
+
+def xls_meta(payload: bytes, origin: str = "<bytes>") -> dict:
+    """Census facts: worksheet count + extracted character count."""
+    text = xls_to_text(payload, origin)
+    cfb = parse_cfb(payload, origin)
+    wb = cfb.read_stream("Workbook")
+    n_sheets = 0
+    for rid, body, _at in _records(wb, origin):
+        if rid == _R_BOUNDSHEET and body[5] == 0:
+            n_sheets += 1
+    return {"n_sheets": n_sheets, "n_chars": len(text)}

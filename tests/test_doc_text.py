@@ -369,7 +369,7 @@ def test_doc_refusals_by_name():
         doc_to_text(_make_doc([("x", True)], flags=0x0300), "t")
     with pytest.raises(NotImplementedError, match="nFib"):
         doc_to_text(_make_doc([("x", True)], nfib=0x0065), "t")
-    with pytest.raises(NotImplementedError, match="xls"):
+    with pytest.raises(ValueError, match="route it to xls_text"):
         doc_to_text(_make_cfb({"Workbook": b"\x00" * 64}), "t")
     with pytest.raises(NotImplementedError, match="ppt"):
         doc_to_text(_make_cfb({"PowerPoint Document": b"\x00"}), "t")
@@ -429,9 +429,16 @@ def test_doc_meta_and_census_routing():
     assert (row["family"], row["format"]) == ("document", "doc")
     assert "12 chars" in row["detail"]
 
+    # a Workbook stream of garbage BIFF is recognized as xls and folds
+    # into an error row through the strict BIFF parse (census policy);
+    # real .xls extraction is covered in tests/test_xls_text.py
     xls = _make_cfb({"Workbook": b"\x00" * 64})
     row = classify_media(xls, "t")
-    assert (row["family"], row["format"]) == ("document", "xls")
+    assert row["family"] == "error" and "BOF" in row["detail"]
+
+    ppt = _make_cfb({"PowerPoint Document": b"\x00" * 64})
+    row = classify_media(ppt, "t")
+    assert (row["family"], row["format"]) == ("document", "ppt")
     assert "not implemented" in row["detail"]
 
     generic = _make_cfb({"Custom": b"\x00" * 64})

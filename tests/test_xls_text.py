@@ -1,0 +1,270 @@
+"""BIFF8 .xls extraction tests — Workbook streams hand-assembled record
+by record (an independent test-side encoder, never the parser's own
+bytes), wrapped in real CFB containers, including the SST CONTINUE split
+rules that make the format notorious."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hbase_observer_es_spark.operators.xls_text import (
+    _rk_value,
+    xls_meta,
+    xls_to_text,
+)
+from tests.test_doc_text import _make_cfb
+
+
+def _rec(rid: int, body: bytes) -> bytes:
+    return struct.pack("<HH", rid, len(body)) + body
+
+
+def _bof(dt: int) -> bytes:
+    return _rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0, 0, 0, 0))
+
+
+def _boundsheet(pos: int, dt: int, name: str) -> bytes:
+    raw = name.encode("latin-1")
+    return _rec(
+        0x0085,
+        struct.pack("<IBB", pos, 0, dt) + bytes([len(raw), 0]) + raw,
+    )
+
+
+def _sst_string(s: str, rich_runs: int = 0, ext_bytes: int = 0) -> bytes:
+    try:
+        raw = s.encode("latin-1")
+        flags = 0
+    except UnicodeEncodeError:
+        raw = s.encode("utf-16-le")
+        flags = 1
+    if rich_runs:
+        flags |= 0x08
+    if ext_bytes:
+        flags |= 0x04
+    out = struct.pack("<HB", len(s), flags)
+    if rich_runs:
+        out += struct.pack("<H", rich_runs)
+    if ext_bytes:
+        out += struct.pack("<i", ext_bytes)
+    out += raw
+    out += b"\x00" * (4 * rich_runs) + b"\xee" * ext_bytes
+    return out
+
+
+def _sst(strings: list, refs: int | None = None) -> bytes:
+    body = struct.pack("<ii", refs if refs is not None else len(strings),
+                       len(strings))
+    for s in strings:
+        body += _sst_string(s) if isinstance(s, str) else s
+    return _rec(0x00FC, body)
+
+
+def _labelsst(rw: int, col: int, isst: int) -> bytes:
+    return _rec(0x00FD, struct.pack("<HHHI", rw, col, 0, isst))
+
+
+def _number(rw: int, col: int, num: float) -> bytes:
+    return _rec(0x0203, struct.pack("<HHHd", rw, col, 0, num))
+
+
+def _rk(rw: int, col: int, rk: int) -> bytes:
+    return _rec(0x027E, struct.pack("<HHHI", rw, col, 0, rk))
+
+
+def _boolerr(rw: int, col: int, val: int, err: int) -> bytes:
+    return _rec(0x0205, struct.pack("<HHHBB", rw, col, 0, val, err))
+
+
+def _formula_num(rw: int, col: int, num: float) -> bytes:
+    return _rec(0x0006, struct.pack("<HHHd", rw, col, 0, num) + b"\x00" * 8)
+
+
+def _formula_str(rw: int, col: int) -> bytes:
+    cached = b"\x00" + b"\x00" * 5 + b"\xff\xff"
+    return _rec(0x0006, struct.pack("<HHH", rw, col, 0) + cached + b"\x00" * 8)
+
+
+def _string_rec(s: str) -> bytes:
+    raw = s.encode("latin-1")
+    return _rec(0x0207, struct.pack("<HB", len(s), 0) + raw)
+
+
+_EOF = _rec(0x000A, b"")
+
+
+def _workbook(globals_recs: list, sheets: list) -> bytes:
+    """sheets: list of (name, [cell records]). Returns the Workbook
+    stream with BOUNDSHEET offsets resolved."""
+    # assemble sheet substreams first to learn their sizes
+    subs = [_bof(0x0010) + b"".join(cells) + _EOF for _, cells in sheets]
+    # globals: BOF + boundsheets + extra + EOF
+    bs_len = sum(
+        len(_boundsheet(0, 0, name)) for name, _ in sheets
+    )
+    head_len = len(_bof(0x0005)) + bs_len + sum(map(len, globals_recs)) + len(_EOF)
+    offs = []
+    at = head_len
+    for sub in subs:
+        offs.append(at)
+        at += len(sub)
+    out = _bof(0x0005)
+    for (name, _), pos in zip(sheets, offs):
+        out += _boundsheet(pos, 0, name)
+    out += b"".join(globals_recs) + _EOF
+    for sub in subs:
+        out += sub
+    return out
+
+
+def _xls(globals_recs: list, sheets: list) -> bytes:
+    return _make_cfb({"Workbook": _workbook(globals_recs, sheets)})
+
+
+def test_basic_workbook_extracts_like_xlsx():
+    wb = _xls(
+        [_sst(["hello", "wörld"])],
+        [
+            ("Sheet1", [
+                _labelsst(0, 0, 0),
+                _labelsst(0, 1, 1),
+                _number(1, 0, 42.0),
+                _number(1, 1, 2.5),
+            ]),
+            ("Data", [_labelsst(0, 0, 0)]),
+        ],
+    )
+    assert xls_to_text(wb, "t") == (
+        "Sheet1\nhello wörld\n42 2.5\n\nData\nhello"
+    )
+    m = xls_meta(wb, "t")
+    assert m["n_sheets"] == 2 and m["n_chars"] > 0
+
+
+def test_rk_mulrk_boolerr_formula():
+    # RK encodings: int, int/100, double-high-bits, double/100
+    rk_int = (123 << 2) | 0x02
+    rk_int100 = ((-4567 & ((1 << 30) - 1)) << 2) | 0x03
+    d_bits = struct.unpack("<Q", struct.pack("<d", 1.5))[0]
+    rk_dbl = (d_bits >> 32) & 0xFFFFFFFC
+    assert _rk_value(rk_int) == 123.0
+    assert _rk_value(rk_int100) == -45.67
+    assert _rk_value(rk_dbl) == 1.5
+    mulrk = _rec(0x00BD, struct.pack("<HH", 2, 1)
+                 + struct.pack("<HI", 0, rk_int)
+                 + struct.pack("<HI", 0, rk_dbl)
+                 + struct.pack("<H", 2))
+    wb = _xls(
+        [_sst([])],
+        [("S", [
+            _rk(0, 0, rk_int100),
+            mulrk,
+            _boolerr(3, 0, 1, 0),
+            _boolerr(3, 1, 0x07, 1),
+            _formula_num(4, 0, 9.25),
+            _formula_str(5, 0),
+            _string_rec("cached result"),
+        ])],
+    )
+    assert xls_to_text(wb, "t") == (
+        "S\n-45.67\n123 1.5\nTRUE #DIV/0!\n9.25\ncached result"
+    )
+
+
+def test_sst_continue_split_respecifies_high_byte():
+    """A string whose character data crosses a CONTINUE boundary: the
+    continuation starts with its own flag byte and may switch encodings
+    mid-string (compressed tail after a UTF-16 head)."""
+    # entry: cch=6, flags=1 (utf-16); 3 chars in the SST record, then
+    # the CONTINUE re-specifies flags=0 and carries 3 compressed chars
+    part1 = struct.pack("<ii", 1, 1) + struct.pack("<HB", 6, 1) \
+        + "hél".encode("utf-16-le")
+    part2 = b"\x00" + b"lo!"
+    sst = _rec(0x00FC, part1) + _rec(0x003C, part2)
+    wb_stream = (
+        _bof(0x0005)
+        + _boundsheet(0, 0, "S")  # patched below
+        + sst + _EOF
+    )
+    sheet = _bof(0x0010) + _labelsst(0, 0, 0) + _EOF
+    # resolve the sheet offset (boundsheet body bytes 0-3)
+    full = wb_stream + sheet
+    at = full.index(_rec(0x0085, b"")[:2])  # first boundsheet record
+    patched = bytearray(full)
+    struct.pack_into("<I", patched, at + 4, len(wb_stream))
+    data = _make_cfb({"Workbook": bytes(patched)})
+    assert xls_to_text(data, "t") == "S\nhéllo!"
+
+
+def test_sst_split_between_strings_has_no_flag_byte():
+    """A boundary falling BETWEEN strings: the next string's cch starts
+    the CONTINUE directly (no flag byte)."""
+    s0 = _sst_string("first")
+    s1 = _sst_string("second")
+    part1 = struct.pack("<ii", 2, 2) + s0
+    sst = _rec(0x00FC, part1) + _rec(0x003C, s1)
+    wb_stream = _bof(0x0005) + _boundsheet(0, 0, "S") + sst + _EOF
+    sheet = _bof(0x0010) + _labelsst(0, 0, 1) + _EOF
+    full = bytearray(wb_stream + sheet)
+    at = full.index(_rec(0x0085, b"")[:2])
+    struct.pack_into("<I", full, at + 4, len(wb_stream))
+    data = _make_cfb({"Workbook": bytes(full)})
+    assert xls_to_text(data, "t") == "S\nsecond"
+
+
+def test_sst_rich_and_ext_payloads_are_skipped():
+    rich = _sst_string("styled", rich_runs=2, ext_bytes=5)
+    wb = _xls([_sst([rich, "plain"])],
+              [("S", [_labelsst(0, 0, 0), _labelsst(1, 0, 1)])])
+    assert xls_to_text(wb, "t") == "S\nstyled\nplain"
+
+
+def test_refusals_by_name():
+    # BIFF5 version word
+    old = _rec(0x0809, struct.pack("<HHHHII", 0x0500, 5, 0, 0, 0, 0)) + _EOF
+    with pytest.raises(NotImplementedError, match="BIFF version 0x0500"):
+        xls_to_text(_make_cfb({"Workbook": old}), "t")
+    # encrypted workbook
+    enc = _bof(0x0005) + _rec(0x002F, b"\x00\x00") + _EOF
+    with pytest.raises(NotImplementedError, match="encrypted workbook"):
+        xls_to_text(_make_cfb({"Workbook": enc}), "t")
+    # BIFF5/7 container shape: Book stream, no Workbook
+    with pytest.raises(NotImplementedError, match="BIFF5/7"):
+        xls_to_text(_make_cfb({"Book": _bof(0x0005) + _EOF}), "t")
+    # not an xls container at all
+    with pytest.raises(ValueError, match="no Workbook/Book"):
+        xls_to_text(_make_cfb({"Whatever": b"\x00"}), "t")
+
+
+def test_malformed_structures_refuse_with_offsets():
+    # record overruns the stream
+    bad = _bof(0x0005)[:-2]
+    with pytest.raises(ValueError, match="truncated record header|past the stream"):
+        xls_to_text(_make_cfb({"Workbook": bad + b"\x00"}), "t")
+    # LABELSST referencing a missing SST entry
+    wb = _xls([_sst(["only"])], [("S", [_labelsst(0, 0, 7)])])
+    with pytest.raises(ValueError, match="SST entry 7 of 1"):
+        xls_to_text(wb, "t")
+    # MULRK span/length mismatch
+    bad_mulrk = _rec(0x00BD, struct.pack("<HH", 0, 1)
+                     + struct.pack("<HI", 0, 0x02)
+                     + struct.pack("<H", 5))
+    wb = _xls([_sst([])], [("S", [bad_mulrk])])
+    with pytest.raises(ValueError, match="MULRK .* spans"):
+        xls_to_text(wb, "t")
+    # formula declares a string result but no STRING record follows
+    wb = _xls([_sst([])], [("S", [_formula_str(0, 0), _number(1, 0, 1.0)])])
+    with pytest.raises(ValueError, match="no STRING record"):
+        xls_to_text(wb, "t")
+
+
+def test_census_reports_xls_chars():
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    wb = _xls([_sst(["census cell"])], [("S", [_labelsst(0, 0, 0)])])
+    row = classify_media(wb, "t")
+    assert (row["family"], row["format"]) == ("document", "xls")
+    n = len(xls_to_text(wb, "t"))
+    assert row["detail"] == f"{n} chars"
