@@ -32,11 +32,10 @@ checked against their chain length, and v3 files mask the spec's
 quirk that bits 32+ of the 8-byte size field are undefined there.
 
 Consumers: ``doc_text.py`` (the MS-DOC text extraction), ``xls_text.py``
-(the BIFF8 workbook extraction), the media census (``D0 CF 11 E0`` →
-family="document" with a subformat from the stream names). ``.ppt``
-(PowerPoint record streams) is recognized by stream name but its text
-extraction is not implemented — refused by name in ``doc_text.py``,
-surveyed honestly by the census.
+(the BIFF8 workbook extraction), ``ppt_text.py`` (single-edit
+PowerPoint text; fast-saved edit chains refuse by name there), and the
+media census (``D0 CF 11 E0`` → family="document" with a subformat from
+the stream names).
 
 Reference parity: none — builder-brief document-pipeline surface
 (SURVEY §2-D), beside ``office_text.py``/``rtf_text.py``.

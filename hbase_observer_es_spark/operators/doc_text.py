@@ -251,11 +251,16 @@ def _doc_text_from_cfb(cfb: CfbFile, origin: str) -> str:
             f"doc {origin}: compound file is an .xls workbook — route it "
             "to xls_text.xls_to_text (the census does)"
         )
+    if sub == "ppt":
+        raise ValueError(
+            f"doc {origin}: compound file is a .ppt presentation — route "
+            "it to ppt_text.ppt_to_text (the census does)"
+        )
     if sub != "doc":
         raise NotImplementedError(
-            f"doc {origin}: compound file is {sub!r} — text extraction "
-            "for ppt (PowerPoint record streams) / generic OLE storages "
-            "is not implemented; .doc and .xls extract"
+            f"doc {origin}: compound file is a generic OLE storage "
+            f"({sub!r}) — no text layout to extract; .doc, .xls, and "
+            ".ppt extract through their own modules"
         )
     wd = cfb.read_stream("WordDocument")
     fib = _read_fib(wd, origin)
@@ -300,6 +305,10 @@ def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
         from .xls_text import xls_to_text
 
         row["n_chars"] = len(xls_to_text(payload, origin))
+    elif sub == "ppt":
+        from .ppt_text import ppt_to_text
+
+        row["n_chars"] = len(ppt_to_text(payload, origin))
     return row
 
 

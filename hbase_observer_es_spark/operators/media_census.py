@@ -190,10 +190,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             m = doc_meta(payload, origin=origin)
             sub = m["subformat"]
             detail = (
-                f"{m['n_chars']} chars" if sub in ("doc", "xls")
-                else "text extraction not implemented "
-                     "(PowerPoint record streams)"
-                if sub == "ppt"
+                f"{m['n_chars']} chars" if sub in ("doc", "xls", "ppt")
                 else "generic OLE compound file"
             )
             row.update(

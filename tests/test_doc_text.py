@@ -371,9 +371,9 @@ def test_doc_refusals_by_name():
         doc_to_text(_make_doc([("x", True)], nfib=0x0065), "t")
     with pytest.raises(ValueError, match="route it to xls_text"):
         doc_to_text(_make_cfb({"Workbook": b"\x00" * 64}), "t")
-    with pytest.raises(NotImplementedError, match="ppt"):
+    with pytest.raises(ValueError, match="route it to ppt_text"):
         doc_to_text(_make_cfb({"PowerPoint Document": b"\x00"}), "t")
-    with pytest.raises(NotImplementedError, match="generic OLE|'cfb'"):
+    with pytest.raises(NotImplementedError, match="generic OLE"):
         doc_to_text(_make_cfb({"Whatever": b"\x00"}), "t")
 
 
@@ -436,10 +436,12 @@ def test_doc_meta_and_census_routing():
     row = classify_media(xls, "t")
     assert row["family"] == "error" and "BOF" in row["detail"]
 
+    # garbage PowerPoint Document bytes fold into an error row through
+    # the strict ppt parse; real .ppt extraction is covered in
+    # tests/test_ppt_text.py
     ppt = _make_cfb({"PowerPoint Document": b"\x00" * 64})
     row = classify_media(ppt, "t")
-    assert (row["family"], row["format"]) == ("document", "ppt")
-    assert "not implemented" in row["detail"]
+    assert row["family"] == "error" and "Current User" in row["detail"]
 
     generic = _make_cfb({"Custom": b"\x00" * 64})
     row = classify_media(generic, "t")
