@@ -32,10 +32,10 @@ Everything else in the format — styles, tables' grid, OLE objects,
 embedded images, fastsaved revision complexity beyond what the piece
 table already encodes — is out of scope for a text pipeline; malformed
 structures refuse with byte offsets rather than guessing. ``.xls``
-(BIFF8) extracts through its own module (``xls_text.py``, r14);
-``.ppt`` (PowerPoint records) shares the container but not the text
-layout — its extraction refuses BY NAME here while the media census
-still surveys it as family="document" with its subformat.
+(BIFF8) and ``.ppt`` (single-edit record walks) extract through their
+own modules (``xls_text.py`` / ``ppt_text.py``, r14); only generic OLE
+storages remain refused by name here, and the media census surveys
+every compound file as family="document" with its subformat.
 
 Scale posture: one payload per task inside ``mapInPandas``
 (``doc_text_frame``, the office_text.py shape); payloads never shuffle;
@@ -302,13 +302,13 @@ def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
     if sub == "doc":
         row["n_chars"] = len(_doc_text_from_cfb(cfb, origin))
     elif sub == "xls":
-        from .xls_text import xls_to_text
+        from .xls_text import _extract as _xls_extract
 
-        row["n_chars"] = len(xls_to_text(payload, origin))
+        row["n_chars"] = len(_xls_extract(cfb, origin)[0])
     elif sub == "ppt":
-        from .ppt_text import ppt_to_text
+        from .ppt_text import _extract as _ppt_extract
 
-        row["n_chars"] = len(ppt_to_text(payload, origin))
+        row["n_chars"] = len(_ppt_extract(cfb, origin)[2])
     return row
 
 

@@ -163,7 +163,6 @@ def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
         ref.select(F.explode(tokens_col(text)).alias("w1"))
         .groupBy("w1").agg(F.count("*").alias("c1"))
     )
-    vocab = uni.agg(F.count("*").alias("v"))
     bi = (
         ref.select(F.explode(_bigrams_col(text)).alias("bg"))
         .groupBy("bg").agg(F.count("*").alias("c12"))
@@ -172,14 +171,33 @@ def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_bigrams_col(text)).alias("bg")
     ).withColumn("w1", F.split(F.col("bg"), " ")[0])
     bits = lambda c: F.length(F.bin(c)) - 1  # floor(log2 x), exactly
+    # per-w1 denominator LOOKUP instead of a 1-row vocab cross-attach (a
+    # 1-row join plans as the BroadcastNestedLoopJoin the registry-wide
+    # hygiene gate bans even for tiny builds): the corpus's distinct w1
+    # left-joins uni, and v is a window COUNT of the matched rows over
+    # the vocab-sized frame — exact because ref is a SLICE of docs, so
+    # every uni word occurs in the corpus vocabulary and count(c1) == v.
+    # The global window collapses only the vocab-sized lookup (the
+    # drift.py posture), never the exploded corpus.
+    from pyspark.sql import Window
+
+    lookup = (
+        ex.select("w1").distinct()
+        .join(F.broadcast(uni), "w1", "left")
+        .withColumn("v", F.count("c1").over(Window.partitionBy()))
+        .select(
+            "w1",
+            bits(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            .cast("long").alias("den_bits"),
+        )
+    )
     j = (
-        ex.join(F.broadcast(uni), "w1", "left")
+        ex.join(F.broadcast(lookup), "w1")
         .join(F.broadcast(bi), "bg", "left")
-        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             (
-                bits(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                F.col("den_bits")
                 - bits(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
             ).cast("long").alias("s"),
         )

@@ -95,10 +95,11 @@ def _current_edit_offset(cfb, origin: str) -> int:
         raise ValueError(
             f"ppt {origin}: no Current User stream: {exc}"
         ) from exc
-    if len(cu) < 16:
+    # RecordHeader(8) + size(4) + token(4) + offsetToCurrentEdit(4)
+    if len(cu) < 20:
         raise ValueError(
             f"ppt {origin}: Current User stream of {len(cu)} bytes is "
-            "shorter than the CurrentUserAtom"
+            "shorter than the CurrentUserAtom (need 20)"
         )
     # RecordHeader (8) then size(4), headerToken(4), offsetToCurrentEdit(4)
     token, offset = struct.unpack_from("<II", cu, 12)
@@ -118,9 +119,15 @@ def _current_edit_offset(cfb, origin: str) -> int:
 def ppt_to_text(payload: bytes, origin: str = "<bytes>") -> str:
     """All text atoms of a SINGLE-EDIT presentation in stream order,
     one line per atom (see module docstring for the fast-save refusal)."""
+    return _extract(parse_cfb(payload, origin), origin)[2]
+
+
+def _extract(cfb, origin: str) -> tuple:
+    """(texts, record-type counts, normalized text) — ONE parse, ONE
+    walk; ``ppt_to_text``/``ppt_meta``/``doc_text.doc_meta`` all ride
+    this so the census never parses a payload twice."""
     from .office_text import _normalize
 
-    cfb = parse_cfb(payload, origin)
     if cfb_subformat(cfb) != "ppt":
         raise ValueError(
             f"ppt {origin}: compound file has no PowerPoint Document "
@@ -133,33 +140,37 @@ def ppt_to_text(payload: bytes, origin: str = "<bytes>") -> str:
             f"ppt {origin}: offsetToCurrentEdit {edit_at} outside the "
             f"{len(doc)}-byte document stream"
         )
-    _ver, rtype, _rlen = _header(doc, edit_at, origin)
+    _ver, rtype, rlen = _header(doc, edit_at, origin)
     if rtype != _RT_USER_EDIT:
         raise ValueError(
             f"ppt {origin}: record at offsetToCurrentEdit {edit_at} is "
             f"{rtype:#06x}, not a UserEditAtom"
         )
+    # offsetLastEdit sits at body offset 8..12: bound BOTH the declared
+    # record length and the stream before unpacking (struct.error is not
+    # a ValueError and would escape the census fold)
+    if rlen < 12 or edit_at + 8 + 12 > len(doc):
+        raise ValueError(
+            f"ppt {origin}: UserEditAtom at byte {edit_at} truncated "
+            f"(record length {rlen}, stream {len(doc)} bytes)"
+        )
     (offset_last_edit,) = struct.unpack_from("<I", doc, edit_at + 8 + 8)
     if offset_last_edit != 0:
         raise NotImplementedError(
             f"ppt {origin}: fast-saved presentation (UserEditAtom edit "
-            "chain at byte {0}) — incremental-edit resolution via the "
-            "persist directory is not implemented, and walking stale "
-            "records would duplicate text; re-save without fast save "
-            "upstream".format(offset_last_edit)
+            f"chain at byte {offset_last_edit}) — incremental-edit "
+            "resolution via the persist directory is not implemented, "
+            "and walking stale records would duplicate text; re-save "
+            "without fast save upstream"
         )
     texts: list = []
     counts: dict = {}
     _walk(doc, 0, len(doc), origin, 0, texts, counts)
-    return _normalize("\n".join(texts))
+    return texts, counts, _normalize("\n".join(texts))
 
 
 def ppt_meta(payload: bytes, origin: str = "<bytes>") -> dict:
-    """Census facts: slide-container count + extracted character count."""
-    text = ppt_to_text(payload, origin)
-    cfb = parse_cfb(payload, origin)
-    doc = cfb.read_stream("PowerPoint Document")
-    texts: list = []
-    counts: dict = {}
-    _walk(doc, 0, len(doc), origin, 0, texts, counts)
+    """Census facts: slide-container count + extracted character count
+    (one parse, one walk)."""
+    _texts, counts, text = _extract(parse_cfb(payload, origin), origin)
     return {"n_slides": counts.get(_RT_SLIDE, 0), "n_chars": len(text)}

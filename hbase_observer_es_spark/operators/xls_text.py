@@ -217,9 +217,30 @@ def _inline_string(data: bytes, at: int, origin: str, what: str) -> str:
     return raw.decode("utf-16-le") if flags & 1 else raw.decode("latin-1")
 
 
-def _fmt_num(x: float) -> str:
+def _need(body: bytes, n: int, what: str, at: int, origin: str) -> None:
+    """Fixed-layout records are length-checked BEFORE any unpack — a
+    short body must raise this module's ValueError (struct.error and
+    IndexError are not ValueErrors and would escape the census fold,
+    killing the whole mapInPandas task on one malformed payload)."""
+    if len(body) < n:
+        raise ValueError(
+            f"xls {origin}: {what} record at byte {at} carries "
+            f"{len(body)} bytes (need {n})"
+        )
+
+
+def _fmt_num(x: float, origin: str, at: int) -> str:
     """The raw-stored-value convention: integral doubles print as
-    integers (xlsx's stored ``<v>`` carries no point for them)."""
+    integers (xlsx's stored ``<v>`` carries no point for them).
+    Non-finite payloads refuse — a conforming writer stores error codes
+    in BOOLERR, never NaN/Inf doubles (and int() on them would raise
+    the WRONG exception type)."""
+    import math
+
+    if math.isnan(x) or math.isinf(x):
+        raise ValueError(
+            f"xls {origin}: non-finite number cell at byte {at}"
+        )
     if x == int(x) and abs(x) < 1e15:
         return str(int(x))
     return repr(x)
@@ -252,9 +273,15 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
     """Every worksheet in tab order: sheet name, one line per non-empty
     row (cells tab-joined in column order), sheets separated by blank
     lines — the ``xlsx_to_text`` shape, same normalization."""
+    return _extract(parse_cfb(payload, origin), origin)[0]
+
+
+def _extract(cfb, origin: str) -> tuple:
+    """(normalized text, worksheet count) — ONE parse of the Workbook
+    stream; ``xls_to_text``/``xls_meta``/``doc_text.doc_meta`` all ride
+    this so the census never parses a payload twice."""
     from .office_text import _normalize
 
-    cfb = parse_cfb(payload, origin)
     if cfb_subformat(cfb) != "xls":
         raise ValueError(
             f"xls {origin}: compound file has no Workbook/Book stream"
@@ -278,6 +305,7 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
             f"(record {rid:#06x} at byte {at})" if rid is not None
             else f"xls {origin}: empty Workbook stream"
         )
+    _need(body, 2, "BOF", at, origin)
     (vers,) = struct.unpack_from("<H", body, 0)
     if vers != _BIFF8:
         raise NotImplementedError(
@@ -296,6 +324,7 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                 "XOR/RC4/CryptoAPI) not implemented; decrypt upstream"
             )
         if rid == _R_BOUNDSHEET:
+            _need(body, 8, "BOUNDSHEET", at, origin)
             (pos,) = struct.unpack_from("<I", body, 0)
             dt = body[5]
             name, _ = _short_string(body, 6, origin)
@@ -343,6 +372,7 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                 want_string_for = None
                 continue
             if rid == _R_LABELSST:
+                _need(body, 10, "LABELSST", at, origin)
                 rw, col, _ixfe, isst = struct.unpack_from("<HHHI", body, 0)
                 if isst >= len(sst):
                     raise ValueError(
@@ -351,17 +381,21 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                     )
                 put(rw, col, sst[isst])
             elif rid == _R_LABEL:
+                _need(body, 9, "LABEL", at, origin)
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
                 put(rw, col, _inline_string(body, 6, origin, "LABEL"))
             elif rid == _R_NUMBER:
+                _need(body, 14, "NUMBER", at, origin)
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
                 (num,) = struct.unpack_from("<d", body, 6)
-                put(rw, col, _fmt_num(num))
+                put(rw, col, _fmt_num(num, origin, at))
             elif rid == _R_RK:
+                _need(body, 10, "RK", at, origin)
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
                 (rk,) = struct.unpack_from("<I", body, 6)
-                put(rw, col, _fmt_num(_rk_value(rk)))
+                put(rw, col, _fmt_num(_rk_value(rk), origin, at))
             elif rid == _R_MULRK:
+                _need(body, 12, "MULRK", at, origin)
                 rw, col0 = struct.unpack_from("<HH", body, 0)
                 (col1,) = struct.unpack_from("<H", body, len(body) - 2)
                 span = col1 - col0 + 1
@@ -372,13 +406,15 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                     )
                 for i in range(span):
                     (rk,) = struct.unpack_from("<I", body, 4 + 6 * i + 2)
-                    put(rw, col0 + i, _fmt_num(_rk_value(rk)))
+                    put(rw, col0 + i, _fmt_num(_rk_value(rk), origin, at))
             elif rid == _R_BOOLERR:
+                _need(body, 8, "BOOLERR", at, origin)
                 rw, col, _ixfe, val, err = struct.unpack_from(
                     "<HHHBB", body, 0
                 )
                 put(rw, col, _bool_err(val, err, origin))
             elif rid == _R_FORMULA:
+                _need(body, 14, "FORMULA", at, origin)
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
                 cached = body[6:14]
                 if cached[6:8] == b"\xff\xff":
@@ -398,7 +434,7 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                         )
                 else:
                     (num,) = struct.unpack("<d", cached)
-                    put(rw, col, _fmt_num(num))
+                    put(rw, col, _fmt_num(num, origin, at))
         lines = [name]
         rows: dict = {}
         for (rw, col), text in cells.items():
@@ -409,16 +445,11 @@ def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
                 "\t".join(t for _, t in sorted(rows[rw]))
             )
         blocks.append("\n".join(lines))
-    return _normalize("\n\n".join(blocks))
+    return _normalize("\n\n".join(blocks)), len(sheets)
 
 
 def xls_meta(payload: bytes, origin: str = "<bytes>") -> dict:
-    """Census facts: worksheet count + extracted character count."""
-    text = xls_to_text(payload, origin)
-    cfb = parse_cfb(payload, origin)
-    wb = cfb.read_stream("Workbook")
-    n_sheets = 0
-    for rid, body, _at in _records(wb, origin):
-        if rid == _R_BOUNDSHEET and body[5] == 0:
-            n_sheets += 1
+    """Census facts: worksheet count + extracted character count (one
+    parse, one record walk)."""
+    text, n_sheets = _extract(parse_cfb(payload, origin), origin)
     return {"n_sheets": n_sheets, "n_chars": len(text)}

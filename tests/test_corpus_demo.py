@@ -32,8 +32,11 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
     # r12 arms: a progressive-JPEG re-encode of every PNG, and every
     # landed doc's text written as a real PDF (write_pdf → census pages);
     # the r13 arm: a 2-frame animated lossless WebP per PNG
-    # (vp8l_enc.write_webp_anim → the census ANMF walk)
-    assert r["census_rows"] == 6 * r["media_samples"]
+    # (vp8l_enc.write_webp_anim → the census ANMF walk); the r14 arms:
+    # every landed doc as a real legacy .doc (write_doc → the CFB+DOC
+    # parse) and as an RFC 5322 message with its PNG attached
+    # (write_eml → the strict mail parse)
+    assert r["census_rows"] == 8 * r["media_samples"]
     # every 2-frame animation frame-samples through the ANMF compositor
     assert r["webp_anim_frames"] == 2 * r["media_samples"]
     expected_stages = {
