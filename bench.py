@@ -123,6 +123,23 @@ def main() -> None:
         "spread": spread,
         "scale": scale,
     }
+    # Quiet-host absolute total (round-14 protocol): this host's
+    # contention moves identical code ±20-30% between sessions, so the
+    # committed artifact trail needs one absolute number that ISN'T
+    # weather — the MINIMUM total across the round's same-tree bench
+    # runs, recorded by the builder in QUIET_BENCH.json and passed
+    # through here verbatim (with its recording round, so a stale file
+    # is visible as such) into both the detail artifact and the stdout
+    # line the driver records.
+    quiet_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "QUIET_BENCH.json"
+    )
+    quiet = None
+    if os.path.exists(quiet_path):
+        with open(quiet_path) as f:
+            quiet = json.load(f)
+        detail["quiet_total_s"] = quiet.get("quiet_total_s")
+        detail["quiet_recorded_round"] = quiet.get("recorded_round")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -145,6 +162,9 @@ def main() -> None:
         "scale_flagged": len(scale.get("flagged", [])) if scale else None,
         "detail": "BENCH_DETAIL.json",
     }
+    if quiet is not None:
+        summary["quiet_total_s"] = quiet.get("quiet_total_s")
+        summary["quiet_recorded_round"] = quiet.get("recorded_round")
     for name in sorted(times, key=lambda n: -times[n]):
         shown[name] = times[name]
         summary["queries_omitted"] = len(times) - len(shown)
