@@ -334,7 +334,10 @@ def write_doc(paragraphs: list) -> bytes:
                     "paragraph text collides with the format's in-band "
                     "marks"
                 )
-    chars = "".join(p + "\r" for p in paragraphs)
+    # Word's floor: a document always carries at least its final
+    # paragraph mark (ccpText >= 1) — an empty input writes that minimal
+    # document rather than a zero-CP piece table no reader accepts
+    chars = "".join(p + "\r" for p in paragraphs) or "\r"
     try:
         body = chars.encode("cp1252")
         one_byte = True
