@@ -123,7 +123,13 @@ class CfbFile:
         (self._n_difat,) = struct.unpack_from("<I", data, 72)
         # every sector the payload can actually hold — the bound every
         # header count is checked against BEFORE anything allocates
-        self._n_sectors = max(0, (len(data) - 512) // self.sector_size)
+        # sector i starts at (i+1)*sector_size (MS-CFB §2.1): for v3 the
+        # header fills exactly sector -1's 512 bytes; for v4 the header's
+        # 512 bytes plus 3584 zero-fill occupy the whole first 4096-byte
+        # slot — so "512 + i*sector_size" would be WRONG for v4
+        self._n_sectors = max(
+            0, (len(data) - self.sector_size) // self.sector_size
+        )
         if self._n_fat > self._n_sectors:
             raise ValueError(
                 f"cfb {origin}: header claims {self._n_fat} FAT sectors "
@@ -153,7 +159,7 @@ class CfbFile:
                 f"cfb {self._origin}: {what} names sector {sid:#x}, "
                 f"outside the file's {self._n_sectors} sectors"
             )
-        off = 512 + sid * self.sector_size
+        off = (sid + 1) * self.sector_size
         return self._data[off : off + self.sector_size]
 
     def _build_fat(self) -> list:

@@ -569,3 +569,41 @@ def test_cfb_read_chain_cost_is_bounded_by_declared_size():
             break
     got = parse_cfb(bytes(data), "t").read_stream("s")
     assert got == b"x" * 4096
+
+
+def test_cfb_v4_4096_byte_sectors_decode():
+    """Version-4 compound files address sector i at (i+1)*4096 — the
+    header's 512 bytes plus zero fill occupy the WHOLE first 4096-byte
+    slot. A hand-built v4 container with a 2-sector FAT-domain stream
+    must round-trip (the v3-style '512 + i*sector' arithmetic would read
+    garbage)."""
+    ss = 4096
+    payload = bytes(range(256)) * 20  # 5120 B -> 2 sectors, >= cutoff
+    pay_pad = _pad(payload, ss)
+    # sectors: 0 = directory, 1-2 = stream, 3 = FAT
+    root = _dir_entry("Root Entry", 5, _EOC, 0, child=1)
+    entry = _dir_entry("S", 2, 1, len(payload))
+    dir_blob = _pad(root + entry, ss)
+    per = ss // 4
+    fat = [_EOC, 2, _EOC, _FATSECT] + [_FREE] * (per - 4)
+    fat_blob = b"".join(struct.pack("<I", x) for x in fat)
+    h = bytearray(512)
+    h[:8] = CFB_MAGIC
+    struct.pack_into("<H", h, 24, 0x3E)
+    struct.pack_into("<H", h, 26, 4)  # major version 4
+    struct.pack_into("<H", h, 28, 0xFFFE)
+    struct.pack_into("<H", h, 30, 12)  # 4096-byte sectors
+    struct.pack_into("<H", h, 32, 6)
+    struct.pack_into("<I", h, 40, 1)  # v4: directory sector count
+    struct.pack_into("<I", h, 44, 1)  # one FAT sector
+    struct.pack_into("<I", h, 48, 0)  # directory at sector 0
+    struct.pack_into("<I", h, 56, 4096)
+    struct.pack_into("<I", h, 60, _EOC)
+    struct.pack_into("<I", h, 68, _EOC)
+    struct.pack_into("<I", h, 76, 3)  # DIFAT[0] -> FAT sector 3
+    for i in range(1, 109):
+        struct.pack_into("<I", h, 76 + 4 * i, _FREE)
+    data = bytes(h) + b"\x00" * (ss - 512) + dir_blob + pay_pad + fat_blob
+    cfb = parse_cfb(data, "t")
+    assert cfb.sector_size == 4096 and cfb.major == 4
+    assert cfb.read_stream("S") == payload
