@@ -136,8 +136,17 @@ def main() -> None:
     )
     quiet = None
     if os.path.exists(quiet_path):
-        with open(quiet_path) as f:
-            quiet = json.load(f)
+        # a malformed protocol file must not discard the whole measured
+        # run at the very last step — degrade to omitting the fields
+        try:
+            with open(quiet_path) as f:
+                quiet = json.load(f)
+            if not isinstance(quiet, dict):
+                raise ValueError(f"QUIET_BENCH.json is {type(quiet).__name__}")
+        except (ValueError, OSError) as exc:
+            print(f"quiet-bench file unreadable, skipping: {exc}", file=sys.stderr)
+            quiet = None
+    if quiet is not None:
         detail["quiet_total_s"] = quiet.get("quiet_total_s")
         detail["quiet_recorded_round"] = quiet.get("recorded_round")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

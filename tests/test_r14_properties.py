@@ -16,6 +16,8 @@ from hbase_observer_es_spark.sources.mailsrc import (
     write_mbox,
 )
 
+# cap by ENCODED size, not character count: write_cfb's 62-byte limit
+# is on UTF-16LE bytes, and astral characters take 4 bytes each
 _names = st.text(
     alphabet=st.characters(
         codec="utf-16-le",
@@ -25,7 +27,7 @@ _names = st.text(
     ),
     min_size=1,
     max_size=20,
-)
+).filter(lambda n: len(n.encode("utf-16-le")) <= 62)
 
 
 @settings(max_examples=25, deadline=None)
@@ -43,12 +45,15 @@ def test_cfb_write_parse_round_trip(streams):
     assert {p: cfb.read_stream(p) for p in cfb.stream_paths()} == streams
 
 
-# printable text without the control chars write_doc refuses (they are
-# the format's in-band marks) — tab allowed
+# printable text plus TAB (the one control character write_doc accepts;
+# the rest are the format's in-band marks and refuse)
 _para = st.text(
-    alphabet=st.characters(min_codepoint=0x20, exclude_categories=("Cs",)),
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, exclude_categories=("Cs",)),
+        st.just("\t"),
+    ),
     max_size=80,
-).map(lambda s: s)
+)
 
 
 @settings(max_examples=25, deadline=None)
