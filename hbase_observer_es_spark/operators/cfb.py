@@ -410,9 +410,19 @@ def parse_cfb(payload: bytes, origin: str = "<bytes>") -> CfbFile:
 
 
 def _collate(name: str) -> tuple:
-    """MS-CFB directory-name ordering: shorter first, then uppercase
-    code-point order."""
-    return (len(name), name.upper())
+    """MS-CFB directory-name ordering: shorter first, then uppercase —
+    both measured in UTF-16 CODE UNITS, not Python code points (a
+    non-BMP character is two code units, and uppercase comparison runs
+    over the code-unit sequence), so strict external readers doing the
+    spec's tree binary-search agree with our ordering (ADVICE r14).
+    The comparison key is the BIG-endian encoding: UTF-16-BE byte order
+    IS code-unit lexicographic order, while comparing the file's own
+    little-endian bytes would rank by low byte first (U+0100 before
+    U+00FF — wrong)."""
+    return (
+        len(name.encode("utf-16-le")) // 2,
+        name.upper().encode("utf-16-be"),
+    )
 
 
 def _balanced(ids: list) -> tuple:

@@ -36,8 +36,19 @@ Empty corpora fail loudly (see ``_joined_counts``).
 REGISTERED round 14 (held since r11 for window headroom, the
 classifier/profile convention): ``q_corpus_drift`` (top-k drift terms,
 en-vs-fr slices of documents) and ``q_corpus_drift_tv`` (the exact TV
-numerator/denominator), DuckDB-hash-checked in ``tests/test_drift.py``
-and by the driver harness.
+numerator/denominator), DuckDB-hash-checked in ``tests/test_drift.py``.
+The round-14 DRIVER check came back hash-red with rows/schema green and
+every cell value-exact: these were the only registered queries emitting
+raw DECIMAL top-level columns, and the driver's pandas canonicalizer
+renders DuckDB DECIMAL as float64 while Spark keeps ``Decimal`` objects
+— the same coercion class as the HUGEINT trap. Round-15 fix: the
+REGISTERED projections (``q_corpus_drift``/``q_corpus_drift_tv`` and
+their oracle SQL) cast every DECIMAL output to BIGINT through a loud
+overflow guard (values fit bigint with ~4 orders of headroom at sf0.1;
+internal math stays DECIMAL-exact). The library functions
+(``unigram_drift``/``drift_summary``) keep their exact DECIMAL outputs
+for 100 TB callers. The oracle harness now rejects any top-level
+DECIMAL output so the class is unrepresentable (``oracle_harness.py``).
 
 Reference parity: no analogue in the reference tree — beyond-reference
 pipeline surface (SURVEY §2-D).
@@ -186,17 +197,57 @@ def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+_LONG_MAX = "9223372036854775807"
+
+
+def _long_exact(c, label: str):
+    """DECIMAL → BIGINT, loudly: raise instead of wrapping if the exact
+    value falls outside long range (the driver canonicalizes DECIMAL
+    asymmetrically — module docstring — so registered outputs must be
+    bigint; the no-silent-wraparound discipline still holds)."""
+    lim = F.lit(_LONG_MAX).cast("decimal(38,0)")
+    return F.when(
+        F.abs(c) > lim,
+        F.raise_error(F.lit(f"drift: {label} exceeds BIGINT range")).cast(
+            "long"
+        ),
+    ).otherwise(c.cast("long"))
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top drift terms between the en and fr slices of documents — the
-    corpus-version comparison a mixture re-cut runs, on fixture slices."""
+    corpus-version comparison a mixture re-cut runs, on fixture slices.
+    ``dshift`` is cast DECIMAL→BIGINT (exact, guarded) for the driver's
+    output contract; at sf0.1 |dshift| < 2·10^14, four orders inside."""
     a, b = _slices(spark, sf_dir)
-    return unigram_drift(a, b, DRIFT_TOP_K)
+    d = unigram_drift(a, b, DRIFT_TOP_K)
+    return d.select(
+        "rnk",
+        "term",
+        "c_a",
+        "c_b",
+        _long_exact(F.col("dshift"), "dshift").alias("dshift"),
+    )
 
 
 def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact total-variation numerator/denominator between the slices."""
+    """Exact total-variation numerator/denominator between the slices,
+    every DECIMAL cast to BIGINT (exact, guarded) per the driver contract:
+    tv_den = 2·N_a·N_b ≈ 8.8e9 at sf0.1 vs the 9.2e18 bigint ceiling."""
     a, b = _slices(spark, sf_dir)
-    return drift_summary(a, b)
+    s = drift_summary(a, b)
+    return s.select(
+        *[
+            _long_exact(F.col(c), c).alias(c)
+            for c in ("n_tok_a", "n_tok_b")
+        ],
+        "n_terms_a",
+        "n_terms_b",
+        *[
+            _long_exact(F.col(c), c).alias(c)
+            for c in ("tv_num", "tv_den")
+        ],
+    )
 
 
 _SQL_COUNTS = """
@@ -227,7 +278,7 @@ SQL_CORPUS_DRIFT = (
     "WITH "
     + _SQL_COUNTS.format(la=DRIFT_LANG_A, lb=DRIFT_LANG_B)
     + f"""
-SELECT rnk, term, c_a, c_b, dshift
+SELECT rnk, term, c_a, c_b, CAST(dshift AS BIGINT) AS dshift
 FROM (
     SELECT term, c_a, c_b,
            CAST(c_a AS DECIMAL(18,0)) * n_b
@@ -247,13 +298,13 @@ SQL_CORPUS_DRIFT_TV = (
     "WITH "
     + _SQL_COUNTS.format(la=DRIFT_LANG_A, lb=DRIFT_LANG_B)
     + """
-SELECT ANY_VALUE(n_a) AS n_tok_a,
-       ANY_VALUE(n_b) AS n_tok_b,
+SELECT CAST(ANY_VALUE(n_a) AS BIGINT) AS n_tok_a,
+       CAST(ANY_VALUE(n_b) AS BIGINT) AS n_tok_b,
        CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
        CAST(SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
-       SUM(ABS(CAST(c_a AS DECIMAL(18,0)) * n_b
-               - CAST(c_b AS DECIMAL(18,0)) * n_a)) AS tv_num,
-       ANY_VALUE(CAST(2 AS DECIMAL(18,0)) * n_a * n_b) AS tv_den
+       CAST(SUM(ABS(CAST(c_a AS DECIMAL(18,0)) * n_b
+               - CAST(c_b AS DECIMAL(18,0)) * n_a)) AS BIGINT) AS tv_num,
+       CAST(ANY_VALUE(CAST(2 AS DECIMAL(18,0)) * n_a * n_b) AS BIGINT) AS tv_den
 FROM j
 """
 )

@@ -20,10 +20,11 @@ one mapInPandas pass, composing every real parser in the repo:
   paragraph/spine counts through the office sniff
   (``operators/office_text.py``, r12); legacy OLE compound files
   (``D0 CF 11 E0``, r14) classify by their marker streams through the
-  real CFB walk — ``.doc`` extracts and reports its character count,
-  ``.xls``/``.ppt`` survey with their honest not-implemented detail,
-  anything else is a generic compound file; other ZIPs survey as
-  family="archive" with member counts;
+  real CFB walk — ``.doc``/``.xls``/``.ppt`` ALL extract and report
+  their character counts (``doc_text``/``xls_text``/``ppt_text``), with
+  encrypted/BIFF5/fast-saved payloads folding to family="error" per the
+  census error policy below; anything else is a generic compound file;
+  other ZIPs survey as family="archive" with member counts;
 * messages (r14): MBOX (``From `` envelope magic) and EML (canonical
   RFC 5322 opening header) survey as family="message" with message and
   attachment counts through the strict mail parse

@@ -31,8 +31,9 @@ exist to avoid; the ppm contract keeps every branch integer. Converting
 the mixture query's weights to ppm (one ``round`` at the boundary, off
 the oracle path) is the caller's single lossy step, stated explicitly.
 
-Registration-ready twins (held for r11 window headroom):
-``q_mix_select`` / ``q_mix_realize`` over documents, DuckDB-hash-checked
+REGISTERED round 15 (held r11–r14 for driver-window headroom — the last
+of the held queue): ``q_mix_select`` / ``q_mix_realize`` over documents,
+DuckDB-hash-checked
 in ``tests/test_mixture.py``.
 
 Reference parity: no analogue in the reference tree — beyond-reference
@@ -238,3 +239,13 @@ SELECT doc_id, lang, n_repeats, CAST(unnest(range(1, n_repeats + 1)) AS BIGINT) 
 FROM reps
 WHERE n_repeats > 0
 """
+
+
+QUERIES = {
+    "q_mix_select": q_mix_select,
+    "q_mix_realize": q_mix_realize,
+}
+ORACLES = {
+    "q_mix_select": SQL_MIX_SELECT,
+    "q_mix_realize": SQL_MIX_REALIZE,
+}

@@ -173,16 +173,20 @@ def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
     bits = lambda c: F.length(F.bin(c)) - 1  # floor(log2 x), exactly
     # per-w1 denominator LOOKUP instead of a 1-row vocab cross-attach (a
     # 1-row join plans as the BroadcastNestedLoopJoin the registry-wide
-    # hygiene gate bans even for tiny builds): the corpus's distinct w1
-    # left-joins uni, and v is a window COUNT of the matched rows over
-    # the vocab-sized frame — exact because ref is a SLICE of docs, so
-    # every uni word occurs in the corpus vocabulary and count(c1) == v.
-    # The global window collapses only the vocab-sized lookup (the
-    # drift.py posture), never the exploded corpus.
+    # hygiene gate bans even for tiny builds): the lookup KEY SET is the
+    # corpus's distinct w1 UNIONED with the uni words themselves, left-
+    # joined back to uni, so the global-window COUNT of matched (non-NULL
+    # c1) rows is |uni| EXACTLY — the oracle's v. The r14-round review
+    # version keyed on corpus w1 alone and counted matches, which
+    # undercounts when a uni word never occurs as any bigram's FIRST word
+    # (a token appearing only document-final, or a single-token reference
+    # doc — ADVICE r14, reproduced in tests/test_ngramlm.py). The union
+    # adds only vocab-sized rows; the global window still collapses only
+    # the vocab-sized lookup (the drift.py posture), never the corpus.
     from pyspark.sql import Window
 
     lookup = (
-        ex.select("w1").distinct()
+        ex.select("w1").union(uni.select("w1")).distinct()
         .join(F.broadcast(uni), "w1", "left")
         .withColumn("v", F.count("c1").over(Window.partitionBy()))
         .select(

@@ -435,6 +435,15 @@ def _extract(cfb, origin: str) -> tuple:
                 else:
                     (num,) = struct.unpack("<d", cached)
                     put(rw, col, _fmt_num(num, origin, at))
+        if want_string_for is not None:
+            # EOF twin of the mid-stream check above: a dangling string
+            # formula must refuse loudly, not silently drop the cell
+            # (ADVICE r14)
+            raise ValueError(
+                f"xls {origin}: formula at {want_string_for} declares a "
+                "string result but the sheet substream ends before its "
+                "STRING record"
+            )
         lines = [name]
         rows: dict = {}
         for (rw, col), text in cells.items():

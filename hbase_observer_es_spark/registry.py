@@ -73,6 +73,7 @@ _MODULES = (
     "hbase_observer_es_spark.operators.ngramlm",
     "hbase_observer_es_spark.operators.classifier",
     "hbase_observer_es_spark.operators.drift",
+    "hbase_observer_es_spark.operators.mixture",
 )
 
 # Registry ORDER is the driver-verification SCHEDULE: external harnesses check a

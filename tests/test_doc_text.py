@@ -607,3 +607,33 @@ def test_cfb_v4_4096_byte_sectors_decode():
     cfb = parse_cfb(data, "t")
     assert cfb.sector_size == 4096 and cfb.major == 4
     assert cfb.read_stream("S") == payload
+
+
+def test_cfb_collation_is_utf16_code_unit_order():
+    """ADVICE r14: MS-CFB orders directory names by UTF-16 CODE-UNIT
+    length then uppercased code-unit comparison. Three traps pinned:
+    (1) an astral char counts TWO units, so it sorts as longer than a
+    two-BMP-char name of equal Python len; (2) comparison must be
+    code-unit order, not the file's little-endian byte order (U+00FF
+    sorts before U+0100); (3) round trips still work with such names."""
+    from hbase_observer_es_spark.operators.cfb import _collate, parse_cfb, write_cfb
+
+    # (1) length in code units: '𐐷' (U+10437, one astral char) = 2 units,
+    # longer than the 1-unit 'z' and equal to 'zz'
+    assert _collate("\U00010437")[0] == 2
+    assert _collate("z")[0] == 1
+    assert sorted(["\U00010437", "z"], key=_collate) == ["z", "\U00010437"]
+    # (2) code-unit order, not LE byte order (caseless pair so upper()
+    # can't move them): U+00F7 '÷' (LE bytes F7 00) must sort before
+    # U+0100 'Ā' (LE bytes 00 01); little-endian byte comparison says
+    # the opposite
+    assert sorted(["Ā", "÷"], key=_collate) == ["÷", "Ā"]
+    # (3) the writer round-trips astral + ordering-sensitive names
+    streams = {
+        "\U00010437doc": b"astral",
+        "÷" + "x": b"f7",
+        "Ā" + "x": b"100",
+        "plain": b"p",
+    }
+    got = parse_cfb(write_cfb(streams))
+    assert {n: got.read_stream(n) for n in streams} == streams

@@ -130,3 +130,72 @@ def test_plan_audit_artifact_covers_whole_registry():
     )
     assert d["summary"]["streaming_skipped"] == []
     assert d["summary"]["errors"] == {}
+
+
+def test_decimal_guard_fires_on_spark_decimal_output(spark):
+    """Round-14 class: a Spark DECIMAL output column fails the comparison
+    outright — the driver's pandas canonicalizer keeps it as Decimal while
+    the oracle side coerces to float64 (the q_corpus_drift reds)."""
+    con = _tiny_con()
+    sdf = spark.sql("SELECT CAST(3963 AS DECIMAL(38,0)) AS s")
+    res = compare("decimal_probe", sdf, con, "SELECT CAST(3963 AS BIGINT) AS s FROM (VALUES (1)) v(x)")
+    assert not res.ok
+    assert "DECIMAL" in res.detail and "s" in res.detail
+
+
+def test_decimal_guard_fires_on_oracle_decimal_output(spark):
+    con = _tiny_con()
+    sdf = spark.createDataFrame([(3963,)], "s bigint")
+    res = compare(
+        "oracle_decimal_probe", sdf, con,
+        "SELECT CAST(3963 AS DECIMAL(38,0)) AS s FROM (VALUES (1)) v(x)",
+    )
+    assert not res.ok
+    assert "DECIMAL" in res.detail and "s" in res.detail
+
+
+def test_pandas_mode_catches_the_r14_decimal_asymmetry(spark):
+    """compare_pandas must go red on the exact r14 failure shape — Spark
+    DECIMAL vs oracle DECIMAL, value-identical — where the exact-tuple
+    comparison of the ROWS would pass (both sides Decimal('3963'))."""
+    from .oracle_harness import compare_pandas
+
+    con = _tiny_con()
+    sdf = spark.sql("SELECT CAST(3963 AS DECIMAL(38,0)) AS s")
+    res = compare_pandas(
+        "pandas_decimal_probe", sdf, con,
+        "SELECT CAST(3963 AS DECIMAL(38,0)) AS s FROM (VALUES (1)) v(x)",
+    )
+    assert not res.ok
+    assert "mismatch" in res.detail
+
+
+def test_pandas_mode_green_on_matching_bigint(spark):
+    from .oracle_harness import compare_pandas
+
+    con = _tiny_con()
+    sdf = spark.createDataFrame([(1941,), (2022,)], "x bigint")
+    res = compare_pandas("pandas_ok_probe", sdf, con, "SELECT x FROM tb")
+    assert res.ok, res.detail
+
+
+def test_pandas_mode_green_on_floats_dates_strings_nulls(spark):
+    """The pandas path must not fabricate mismatches on the common scalar
+    types registered queries emit (floats incl. NULL→NaN folding, dates,
+    strings)."""
+    from .oracle_harness import compare_pandas
+
+    con = _tiny_con()
+    sdf = spark.sql(
+        "SELECT * FROM VALUES "
+        "(0.5D, DATE'2024-01-02', 'a'), "
+        "(CAST(NULL AS DOUBLE), DATE'1999-12-31', NULL) "
+        "AS t(f, d, s)"
+    )
+    res = compare_pandas(
+        "pandas_mixed_probe", sdf, con,
+        "SELECT * FROM (VALUES "
+        "(0.5, DATE '2024-01-02', 'a'), "
+        "(CAST(NULL AS DOUBLE), DATE '1999-12-31', NULL)) t(f, d, s)",
+    )
+    assert res.ok, res.detail

@@ -180,3 +180,46 @@ def test_q_lm_surprisal_plan_is_broadcast_no_python(spark):
     for bad in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython",
                 "CartesianProduct"):
         assert bad not in plan
+
+
+def test_q_lm_surprisal_vocab_counts_final_only_tokens(spark):
+    """ADVICE r14 (high) regression: a reference token that only ever
+    appears DOCUMENT-FINAL is in uni but never as any bigram's first word,
+    so the old corpus-w1-keyed lookup undercounted v (count of MATCHED
+    w1 rows) vs the oracle's COUNT(*) FROM uni. Reproducer from the
+    advisory: docs [(0,'a a b'), (1,'a a a b')], ref = doc 0 → uni =
+    {a:2, b:1}, v must be 2; the buggy plan used v=1 and scored
+    surprisal_bits (0,0) vs the oracle's (2,3)."""
+    import duckdb
+
+    from hbase_observer_es_spark.operators.ngramlm import (
+        ORACLE_LM_SURPRISAL,
+        q_lm_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a a a b")], "doc_id long, text string"
+    )
+    # route the fixture through the same io.table entry the query uses
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"])
+            for r in q_lm_surprisal(spark, d).collect()
+        }
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')"
+            )
+            want = {
+                r[0]: (r[1], r[2])
+                for r in con.execute(ORACLE_LM_SURPRISAL).fetchall()
+            }
+        finally:
+            con.close()
+    assert got == want
+    assert got[0] == (2, 2) and got[1] == (3, 3)

@@ -21,27 +21,39 @@ import pytest
 from hbase_observer_es_spark.registry import all_queries
 
 from .conftest import SF_SMOKE
-from .oracle_harness import complex_columns  # ONE detector, shared with the harness
+from .oracle_harness import (  # ONE detector each, shared with the harness
+    complex_columns,
+    decimal_columns,
+)
 
 QUERIES = all_queries()
 
 
+def _bad_columns(df) -> list[str]:
+    """Both output-contract gates in one pass: complex types (driver
+    canonicalizer cannot sort numpy.ndarray cells — the round-6/7 reds) and
+    DECIMAL types (the canonicalizer coerces Spark/DuckDB DECIMAL
+    asymmetrically — the round-14 q_corpus_drift reds)."""
+    return complex_columns(df) + [f"decimal:{c}" for c in decimal_columns(df)]
+
+
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if not n.startswith("s_")))
 def test_batch_output_is_scalar(spark, name):
-    bad = complex_columns(QUERIES[name](spark, SF_SMOKE))
+    bad = _bad_columns(QUERIES[name](spark, SF_SMOKE))
     assert not bad, (
-        f"{name} emits complex-typed top-level columns {bad}; the driver "
-        "canonicalizer cannot sort these — array_join or explode them "
+        f"{name} emits contract-violating top-level columns {bad}; the driver "
+        "canonicalizer cannot sort complex cells and coerces DECIMAL "
+        "asymmetrically — array_join/explode or cast to BIGINT/DOUBLE "
         "(registry.py output-shape contract)"
     )
 
 
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n.startswith("s_")))
 def test_streaming_output_is_scalar(spark, name):
-    bad = complex_columns(QUERIES[name](spark, SF_SMOKE))
+    bad = _bad_columns(QUERIES[name](spark, SF_SMOKE))
     assert not bad, (
-        f"{name} emits complex-typed top-level columns {bad}; the driver "
-        "canonicalizer cannot sort these (registry.py output-shape contract)"
+        f"{name} emits contract-violating top-level columns {bad}; the driver "
+        "canonicalizer cannot handle these (registry.py output-shape contract)"
     )
 
 
@@ -49,6 +61,13 @@ def test_detector_rejects_array_column(spark):
     """The check itself must go red on an injected array-typed column."""
     df = spark.range(1).selectExpr("id", "array(1, 2) AS arr", "map('k', 1) AS m")
     assert complex_columns(df) == ["arr", "m"]
+
+
+def test_detector_rejects_decimal_column(spark):
+    """And on an injected DECIMAL column (the r14 drift-pair class)."""
+    df = spark.range(1).selectExpr("id", "CAST(1 AS DECIMAL(38,0)) AS d")
+    assert decimal_columns(df) == ["d"]
+    assert _bad_columns(df) == ["decimal:d"]
 
 
 def test_every_registered_query_has_a_survey_row():

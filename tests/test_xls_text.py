@@ -258,6 +258,20 @@ def test_malformed_structures_refuse_with_offsets():
     wb = _xls([_sst([])], [("S", [_formula_str(0, 0), _number(1, 0, 1.0)])])
     with pytest.raises(ValueError, match="no STRING record"):
         xls_to_text(wb, "t")
+    # ... and the stream-end twin (ADVICE r14): the substream runs out of
+    # BYTES (no EOF record) while the formula is still waiting — the record
+    # walk ends cleanly at pos == n, so without the post-loop check the
+    # cell was silently dropped. (A present EOF record is yielded and hits
+    # the mid-stream check above.)
+    head = _bof(0x0005)
+    bs_len = len(_boundsheet(0, 0, "S"))
+    head_len = len(head) + bs_len + len(_EOF)
+    wb_stream = (
+        head + _boundsheet(head_len, 0, "S") + _EOF
+        + _bof(0x0010) + _formula_str(0, 0)  # sheet substream, no EOF
+    )
+    with pytest.raises(ValueError, match="ends before its STRING record"):
+        xls_to_text(_make_cfb({"Workbook": wb_stream}), "t")
 
 
 def test_census_reports_xls_chars():

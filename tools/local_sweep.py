@@ -10,7 +10,10 @@ with wall time and the exact session config it ran under.
 
 Three passes by default:
 
-* ``standard``  — ``local[*]`` / 32 shuffle partitions (the bench config).
+* ``standard``  — ``local[*]`` / 32 shuffle partitions (the bench config),
+  with BOTH comparison modes per query: exact-tuple AND the pandas
+  driver-parity path (r15 — round 14 proved exact-green can be driver-red
+  on DECIMAL coercion; ``pandas_ok`` is recorded per query).
 * ``adversarial`` — ``local[4]`` / 3 shuffle partitions: hostile parallelism
   that surfaces any partition-count/order dependence (README "Partition
   independence, verified").
@@ -43,7 +46,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tests.oracle_harness import compare, duckdb_con  # noqa: E402
+from tests.oracle_harness import compare, compare_pandas, duckdb_con  # noqa: E402
 
 from hbase_observer_es_spark.registry import all_oracles, all_queries  # noqa: E402
 from hbase_observer_es_spark.session import get_spark  # noqa: E402
@@ -59,24 +62,40 @@ def infer_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def run_pass(spark, sf_dir: str, queries, oracles) -> dict:
+def run_pass(spark, sf_dir: str, queries, oracles, pandas_mode: bool = False) -> dict:
+    """One full-registry pass. ``pandas_mode`` additionally re-runs every
+    oracle comparison through :func:`compare_pandas` — the driver-parity
+    path (toPandas vs rel.df()) that round 14 proved can fail where the
+    exact-tuple mode passes (DECIMAL coercion asymmetry). A query is only
+    ``ok`` when BOTH modes agree; the artifact records ``pandas_ok`` so a
+    parity-only failure is distinguishable."""
     con = duckdb_con(sf_dir)
     out: dict[str, dict] = {}
     try:
         for name in sorted(queries):
             t0 = time.monotonic()
+            pandas_ok = None
             try:
                 df = queries[name](spark, sf_dir)
                 if name in oracles:
                     res = compare(name, df, con, oracles[name])
                     ok, detail, mode = res.ok, res.detail, "oracle"
                     rows = res.row_count_spark
+                    if pandas_mode and ok:
+                        res2 = compare_pandas(
+                            name, queries[name](spark, sf_dir), con, oracles[name]
+                        )
+                        pandas_ok = res2.ok
+                        if not res2.ok:
+                            ok, detail = False, f"pandas-parity: {res2.detail}"
                 else:
                     rows = df.count()  # executor-side; never pull rows to driver
                     ok, detail, mode = True, "", "rows-only"
             except Exception as e:  # noqa: BLE001 - artifact records the failure
                 ok, detail, mode, rows = False, f"{type(e).__name__}: {e}"[:300], "error", -1
             rec = {"ok": ok, "rows": rows, "sec": round(time.monotonic() - t0, 3), "mode": mode}
+            if pandas_ok is not None:
+                rec["pandas_ok"] = pandas_ok
             if detail:
                 rec["detail"] = detail
             out[name] = rec
@@ -139,8 +158,10 @@ def main() -> int:
         # "standard local[*]" pass into whatever the caller exported
         print(f"standard pass: {len(queries)} queries at {args.sf_dir}", flush=True)
         spark = get_spark("local-sweep")
+        # the standard pass carries the driver-parity pandas mode (r15): both
+        # comparison paths must agree for a query to count as passed
         artifact["standard"] = pass_record(
-            spark, run_pass(spark, args.sf_dir, queries, oracles)
+            spark, run_pass(spark, args.sf_dir, queries, oracles, pandas_mode=True)
         )
 
         if not args.skip_adversarial:
