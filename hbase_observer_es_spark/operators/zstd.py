@@ -1,0 +1,993 @@
+"""From-spec RFC 8878 (Zstandard) frame decoder — stdlib-only, exact.
+
+Closes the last *implementable* by-name refusal in the ingest surface
+(DIVERGENCES.md D20): ``.tar.zst`` / ``.tzst`` dataset shards, the
+increasingly-default WebDataset dump compression, previously refused
+because Python 3.11 ships no zstd codec. This module implements the
+decode side of RFC 8878 from the public specification: frame headers,
+raw/RLE/compressed blocks, FSE (tANS) table descriptions and decoding,
+Huffman-coded literals (direct and FSE-compressed weight descriptions,
+1- and 4-stream), sequence decoding with the three-slot repeated-offset
+history, overlapping match copy, and XXH64 content-checksum
+verification.
+
+What refuses BY NAME (NotImplementedError): dictionary-compressed
+frames (``Dictionary_ID != 0`` — no dictionary plumbing here) and
+skippable frames (``0x184D2A50``–``5F`` — multi-frame metadata wrappers;
+their presence in a dataset shard is a container-convention decision the
+caller should see, not skip). Everything structurally invalid raises
+``ValueError`` naming the byte offset (the repo refusal contract).
+
+Oracle discipline: the decoder is pinned by an INDEPENDENT real-world
+encoder — ``pyarrow``'s bundled libzstd — across compression levels 1,
+3, 9, 19 and input shapes chosen to force every section type
+(raw/RLE/compressed literals, predefined/RLE/FSE/repeat sequence
+tables, 1- and 4-stream Huffman, repeated offsets, treeless literals),
+plus hand-assembled frames for the paths a real encoder rarely emits
+and hypothesis round-trip properties (``tests/test_zstd.py``). The
+normative constant tables below (literal/match-length code baselines,
+predefined FSE distributions) are transcribed from RFC 8878 §3.1.1.3.2
+and verified empirically by those round trips — a misremembered entry
+fails the cross-encoder comparison loudly.
+
+Scale posture: decompression happens inside the same one-task-per-shard
+``mapInPandas`` walk as every other archive codec (``sources/tarsrc.py``)
+— a 100 TB ingest is embarrassingly parallel across shards, and the
+decoder is single-pass with output bounded by an explicit ``max_output``
+bomb budget (blocks are additionally bounded by the spec's 128 KiB
+block maximum), so attacker-controlled headers cannot allocate ahead of
+validation.
+
+Reference parity: none — the reference (HBase→ES CDC glue) has no
+archive ingest at all; this is builder-brief dataset-pipeline surface
+(SURVEY §2-D).
+"""
+
+from __future__ import annotations
+
+_MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+_BLOCK_MAX = 128 * 1024
+
+# ---- normative code tables (RFC 8878 §3.1.1.3.2.1) ----------------------
+# literal-length codes: value baseline + number of extra bits
+_LL_BASE = (
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+)
+_LL_BITS = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+)
+# match-length codes
+_ML_BASE = (
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+)
+_ML_BITS = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+)
+# predefined FSE distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = (
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+)
+_LL_DEFAULT_AL = 6
+_OF_DEFAULT = (
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+)
+_OF_DEFAULT_AL = 5
+_ML_DEFAULT = (
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1, -1, -1,
+)
+_ML_DEFAULT_AL = 6
+_LL_MAX_AL, _OF_MAX_AL, _ML_MAX_AL = 9, 8, 9
+_HUF_WEIGHT_MAX_AL = 6
+
+
+def _highbit(x: int) -> int:
+    return x.bit_length() - 1
+
+
+# ------------------------------------------------------------ bitstreams
+
+
+class _BackStream:
+    """Backward bitstream (RFC 8878 §4.2): bytes read last-to-first, the
+    last byte's highest set bit is a padding sentinel. Reads past the
+    start pad with ZEROS at the low end and drive ``remaining`` negative
+    — the FSE-weights termination condition."""
+
+    __slots__ = ("val", "remaining")
+
+    def __init__(self, data: bytes, origin: str, at: int):
+        if not data or data[-1] == 0:
+            raise ValueError(
+                f"zstd {origin}: bitstream at byte {at} has no padding "
+                "sentinel (empty or zero final byte)"
+            )
+        self.val = int.from_bytes(data, "little")
+        self.remaining = self.val.bit_length() - 1  # drop the sentinel bit
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.remaining -= n
+        r = self.remaining
+        if r >= 0:
+            return (self.val >> r) & ((1 << n) - 1)
+        have = n + r  # bits that actually exist (may be 0)
+        return (self.val & ((1 << have) - 1)) << (-r) if have > 0 else 0
+
+    def peek(self, n: int) -> int:
+        r = self.remaining - n
+        if r >= 0:
+            return (self.val >> r) & ((1 << n) - 1)
+        have = n + r
+        return (self.val & ((1 << have) - 1)) << (-r) if have > 0 else 0
+
+
+class _FwdBits:
+    """Forward little-endian bit reader for FSE table descriptions."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int, origin: str) -> int:
+        out = 0
+        got = 0
+        while got < n:
+            if self.pos >= len(self.data):
+                raise ValueError(
+                    f"zstd {origin}: FSE table description overruns the "
+                    f"section at byte {self.pos}"
+                )
+            take = min(8 - self.bit, n - got)
+            out |= ((self.data[self.pos] >> self.bit) & ((1 << take) - 1)) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def rewind(self, n: int) -> None:
+        total = self.pos * 8 + self.bit - n
+        self.pos, self.bit = total // 8, total % 8
+
+    def align(self) -> int:
+        """Byte-align and return the next byte position."""
+        if self.bit:
+            self.pos += 1
+            self.bit = 0
+        return self.pos
+
+
+# ------------------------------------------------------------------ FSE
+
+
+def _fse_build(probs, al: int, origin: str, at: int):
+    """Normalized probabilities -> decode table: list of
+    ``(symbol, nb_bits, baseline)`` of size ``1 << al`` (RFC 8878 §4.1)."""
+    size = 1 << al
+    table_sym = [0] * size
+    high = size - 1
+    nxt = {}
+    for s, p in enumerate(probs):
+        if p == -1:
+            table_sym[high] = s
+            high -= 1
+            nxt[s] = 1
+        elif p > 0:
+            nxt[s] = p
+        elif p < -1:
+            raise ValueError(
+                f"zstd {origin}: FSE probability {p} for symbol {s} at "
+                f"byte {at} invalid"
+            )
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            table_sym[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError(
+            f"zstd {origin}: FSE distribution at byte {at} does not fill "
+            f"its {size}-cell table (spread ended at {pos})"
+        )
+    table = [None] * size
+    for i in range(size):
+        s = table_sym[i]
+        state = nxt[s]
+        nxt[s] += 1
+        nb = al - _highbit(state)
+        table[i] = (s, nb, (state << nb) - size)
+    return table
+
+
+def _fse_read_dist(fwd: _FwdBits, max_al: int, max_syms: int, origin: str):
+    """Parse an FSE table description (RFC 8878 §4.1.1) starting at the
+    reader's position; returns ``(probs, accuracy_log)`` and leaves the
+    reader byte-aligned after the description."""
+    at = fwd.pos
+    al = fwd.read(4, origin) + 5
+    if al > max_al:
+        raise ValueError(
+            f"zstd {origin}: FSE accuracy log {al} at byte {at} exceeds "
+            f"the {max_al} maximum for this stream type"
+        )
+    # a probability p consumes |p| of the 1<<al budget; the encodable
+    # values at any point are -1..remaining (as val = p+1 in
+    # 0..remaining+1), so the field needs highbit(remaining+1)+1 bits
+    # with the low (2^bits - 2 - remaining) values using one bit fewer
+    remaining = 1 << al
+    probs = []
+    while remaining > 0:
+        if len(probs) > max_syms:
+            raise ValueError(
+                f"zstd {origin}: FSE description at byte {at} declares "
+                f"more than {max_syms + 1} symbols"
+            )
+        nbits = _highbit(remaining + 1) + 1
+        val = fwd.read(nbits, origin)
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - (remaining + 1)
+        if (val & lower_mask) < threshold:
+            fwd.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        p = val - 1
+        remaining -= -p if p < 0 else p
+        probs.append(p)
+        if p == 0:
+            while True:
+                rep = fwd.read(2, origin)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 0:
+        raise ValueError(
+            f"zstd {origin}: FSE distribution at byte {at} overshoots its "
+            f"probability budget by {-remaining}"
+        )
+    fwd.align()
+    return probs, al
+
+
+# -------------------------------------------------------------- Huffman
+
+
+def _huf_build(weights, origin: str, at: int):
+    """Weights (explicit list; the LAST symbol's weight is implicit) ->
+    ``(table, table_log)`` where table[peek] = (symbol, nb_bits)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError(
+            f"zstd {origin}: Huffman weights at byte {at} are all zero"
+        )
+    log = _highbit(total) + 1
+    left = (1 << log) - total
+    # the implicit last weight must complete an exact power of two
+    if left & (left - 1):
+        raise ValueError(
+            f"zstd {origin}: Huffman weights at byte {at} leave a "
+            f"non-power-of-two remainder {left}"
+        )
+    weights = list(weights) + [_highbit(left) + 1]
+    if log > 11:
+        raise ValueError(
+            f"zstd {origin}: Huffman table log {log} at byte {at} exceeds "
+            "the spec maximum 11"
+        )
+    size = 1 << log
+    table = [None] * size
+    pos = 0
+    for w in range(1, log + 1):
+        for sym, ws in enumerate(weights):
+            if ws != w:
+                continue
+            nb = log + 1 - w
+            span = 1 << (w - 1)
+            for _ in range(span):
+                table[pos] = (sym, nb)
+                pos += 1
+    if pos != size:
+        raise ValueError(
+            f"zstd {origin}: Huffman weights at byte {at} fill {pos} of "
+            f"{size} cells"
+        )
+    return table, log
+
+
+def _decode_huf_desc(data: bytes, pos: int, origin: str):
+    """Huffman tree description (RFC 8878 §4.2.1) -> (table, log, new_pos)."""
+    if pos >= len(data):
+        raise ValueError(
+            f"zstd {origin}: literals section ends before its Huffman "
+            f"tree description at byte {pos}"
+        )
+    hb = data[pos]
+    at = pos
+    pos += 1
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(data):
+            raise ValueError(
+                f"zstd {origin}: direct Huffman weights at byte {at} "
+                f"declare {nbytes} bytes past the section end"
+            )
+        raw = data[pos : pos + nbytes]
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        pos += nbytes
+    else:
+        if pos + hb > len(data):
+            raise ValueError(
+                f"zstd {origin}: FSE-compressed Huffman weights at byte "
+                f"{at} declare {hb} bytes past the section end"
+            )
+        seg = data[pos : pos + hb]
+        fwd = _FwdBits(seg, 0)
+        probs, al = _fse_read_dist(
+            fwd, _HUF_WEIGHT_MAX_AL, 255, origin
+        )
+        dtable = _fse_build(probs, al, origin, at)
+        back = _BackStream(seg[fwd.pos :], origin, at + fwd.pos)
+        s1 = back.read(al)
+        s2 = back.read(al)
+        if back.remaining < 0:
+            raise ValueError(
+                f"zstd {origin}: Huffman-weight bitstream at byte {at} too "
+                "short for its two initial FSE states"
+            )
+        weights = []
+        while True:
+            sym, nb, base = dtable[s1]
+            weights.append(sym)
+            s1 = base + back.read(nb)
+            if back.remaining < 0:
+                weights.append(dtable[s2][0])
+                break
+            sym, nb, base = dtable[s2]
+            weights.append(sym)
+            s2 = base + back.read(nb)
+            if back.remaining < 0:
+                weights.append(dtable[s1][0])
+                break
+            if len(weights) > 255:
+                raise ValueError(
+                    f"zstd {origin}: Huffman-weight stream at byte {at} "
+                    "emits more than 255 weights"
+                )
+        pos += hb
+    if len(weights) > 255:
+        raise ValueError(
+            f"zstd {origin}: {len(weights)} explicit Huffman weights at "
+            f"byte {at} (max 255)"
+        )
+    table, log = _huf_build(weights, origin, at)
+    return table, log, pos
+
+
+def _huf_decode_stream(
+    table, log: int, data: bytes, expected: int, origin: str, at: int
+) -> bytearray:
+    back = _BackStream(data, origin, at)
+    out = bytearray()
+    while back.remaining > 0:
+        sym, nb = table[back.peek(log)]
+        back.remaining -= nb
+        out.append(sym)
+        if len(out) > expected:
+            raise ValueError(
+                f"zstd {origin}: Huffman literal stream at byte {at} "
+                f"overruns its {expected}-byte regenerated size"
+            )
+    if len(out) != expected:
+        raise ValueError(
+            f"zstd {origin}: Huffman literal stream at byte {at} produced "
+            f"{len(out)} of {expected} bytes"
+        )
+    return out
+
+
+# ------------------------------------------------------------- literals
+
+
+def _decode_literals(block: bytes, pos: int, origin: str, at: int, state):
+    """Literals section (RFC 8878 §3.1.1.3.1) ->
+    ``(literals, new_pos)``; ``state.huf`` carries the table treeless
+    blocks repeat."""
+    if pos >= len(block):
+        raise ValueError(
+            f"zstd {origin}: compressed block at byte {at} has no "
+            "literals section"
+        )
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            regen, hlen = b0 >> 3, 1
+        elif sf == 1:
+            if pos + 2 > len(block):
+                raise ValueError(
+                    f"zstd {origin}: literals header at byte {at + pos} "
+                    "truncated"
+                )
+            regen, hlen = int.from_bytes(block[pos : pos + 2], "little") >> 4, 2
+        else:
+            if pos + 3 > len(block):
+                raise ValueError(
+                    f"zstd {origin}: literals header at byte {at + pos} "
+                    "truncated"
+                )
+            regen, hlen = int.from_bytes(block[pos : pos + 3], "little") >> 4, 3
+        pos += hlen
+        if ltype == 0:
+            if pos + regen > len(block):
+                raise ValueError(
+                    f"zstd {origin}: raw literals at byte {at + pos} "
+                    f"declare {regen} bytes past the block end"
+                )
+            lit = bytearray(block[pos : pos + regen])
+            pos += regen
+        else:
+            if pos >= len(block) and regen:
+                raise ValueError(
+                    f"zstd {origin}: RLE literals at byte {at + pos} "
+                    "missing their repeated byte"
+                )
+            lit = bytearray(block[pos : pos + 1] * regen)
+            pos += 1
+        return lit, pos
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        hlen, bits, streams = 3, 10, 1
+    elif sf == 1:
+        hlen, bits, streams = 3, 10, 4
+    elif sf == 2:
+        hlen, bits, streams = 4, 14, 4
+    else:
+        hlen, bits, streams = 5, 18, 4
+    if pos + hlen > len(block):
+        raise ValueError(
+            f"zstd {origin}: literals header at byte {at + pos} truncated"
+        )
+    le = int.from_bytes(block[pos : pos + hlen], "little")
+    regen = (le >> 4) & ((1 << bits) - 1)
+    comp = (le >> (4 + bits)) & ((1 << bits) - 1)
+    pos += hlen
+    if pos + comp > len(block):
+        raise ValueError(
+            f"zstd {origin}: compressed literals at byte {at + pos} "
+            f"declare {comp} bytes past the block end"
+        )
+    section = block[pos : pos + comp]
+    spos = 0
+    if ltype == 2:
+        table, log, spos = _decode_huf_desc(section, 0, origin)
+        state.huf = (table, log)
+    else:
+        if state.huf is None:
+            raise ValueError(
+                f"zstd {origin}: treeless literals at byte {at + pos} "
+                "with no previous Huffman table in this frame"
+            )
+        table, log = state.huf
+    body = section[spos:]
+    if streams == 1:
+        lit = _huf_decode_stream(table, log, body, regen, origin, at + pos + spos)
+    else:
+        if len(body) < 6:
+            raise ValueError(
+                f"zstd {origin}: 4-stream literals at byte {at + pos} "
+                "too short for the jump table"
+            )
+        s1 = int.from_bytes(body[0:2], "little")
+        s2 = int.from_bytes(body[2:4], "little")
+        s3 = int.from_bytes(body[4:6], "little")
+        s4 = len(body) - 6 - s1 - s2 - s3
+        if s4 <= 0:
+            raise ValueError(
+                f"zstd {origin}: 4-stream jump table at byte {at + pos} "
+                f"leaves {s4} bytes for the fourth stream"
+            )
+        r123 = (regen + 3) // 4
+        r4 = regen - 3 * r123
+        if r4 < 0:
+            raise ValueError(
+                f"zstd {origin}: 4-stream literals at byte {at + pos} "
+                f"regenerated size {regen} leaves stream 4 negative"
+            )
+        lit = bytearray()
+        off = 6
+        for sz, rg in ((s1, r123), (s2, r123), (s3, r123), (s4, r4)):
+            lit += _huf_decode_stream(
+                table, log, body[off : off + sz], rg, origin, at + pos + spos + off
+            )
+            off += sz
+    pos += comp
+    return lit, pos
+
+
+# ------------------------------------------------------------ sequences
+
+_SEQ_SPEC = {
+    # stream -> (predefined dist, predefined AL, max AL, max symbol)
+    "ll": (_LL_DEFAULT, _LL_DEFAULT_AL, _LL_MAX_AL, 35),
+    "of": (_OF_DEFAULT, _OF_DEFAULT_AL, _OF_MAX_AL, 31),
+    "ml": (_ML_DEFAULT, _ML_DEFAULT_AL, _ML_MAX_AL, 52),
+}
+
+
+def _seq_table(block, fwd, mode, stream, state, origin, at):
+    """One sequence-stream table per its compression mode; RLE tables are
+    ``(symbol,)`` singletons with zero-bit updates."""
+    dist, dal, max_al, max_sym = _SEQ_SPEC[stream]
+    prev = getattr(state, stream)
+    if mode == 0:
+        t = (_fse_build(dist, dal, origin, at), dal)
+    elif mode == 1:
+        p = fwd.align()
+        if p >= len(block):
+            raise ValueError(
+                f"zstd {origin}: RLE sequence table at byte {at} missing "
+                "its symbol byte"
+            )
+        sym = block[p]
+        if sym > max_sym:
+            raise ValueError(
+                f"zstd {origin}: RLE {stream} symbol {sym} at byte {at} "
+                f"exceeds the code maximum {max_sym}"
+            )
+        fwd.pos, fwd.bit = p + 1, 0
+        t = ([(sym, 0, 0)], 0)
+    elif mode == 2:
+        probs, al = _fse_read_dist(fwd, max_al, max_sym, origin)
+        t = (_fse_build(probs, al, origin, at), al)
+    else:
+        if prev is None:
+            raise ValueError(
+                f"zstd {origin}: Repeat_Mode {stream} table at byte {at} "
+                "with no previous table in this frame"
+            )
+        t = prev
+    setattr(state, stream, t)
+    return t
+
+
+def _decode_sequences(block, pos, origin, at, state):
+    """Sequences section (RFC 8878 §3.1.1.3.2) -> list of
+    ``(literal_len, match_len, offset_value)`` raw triples (offset_value
+    still carries the repeated-offset encoding, resolved at execution)."""
+    if pos >= len(block):
+        raise ValueError(
+            f"zstd {origin}: compressed block at byte {at} ends before "
+            "its sequences header"
+        )
+    b0 = block[pos]
+    if b0 == 0:
+        return [], pos + 1
+    if b0 < 128:
+        nseq, pos = b0, pos + 1
+    elif b0 < 255:
+        if pos + 2 > len(block):
+            raise ValueError(
+                f"zstd {origin}: sequence count at byte {at + pos} truncated"
+            )
+        nseq, pos = ((b0 - 128) << 8) + block[pos + 1], pos + 2
+    else:
+        if pos + 3 > len(block):
+            raise ValueError(
+                f"zstd {origin}: sequence count at byte {at + pos} truncated"
+            )
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if pos >= len(block):
+        raise ValueError(
+            f"zstd {origin}: sequences at byte {at + pos} missing the "
+            "compression-modes byte"
+        )
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError(
+            f"zstd {origin}: reserved sequence-mode bits set at byte "
+            f"{at + pos - 1}"
+        )
+    fwd = _FwdBits(block, pos)
+    ll_t, ll_al = _seq_table(block, fwd, modes >> 6, "ll", state, origin, at)
+    of_t, of_al = _seq_table(block, fwd, (modes >> 4) & 3, "of", state, origin, at)
+    ml_t, ml_al = _seq_table(block, fwd, (modes >> 2) & 3, "ml", state, origin, at)
+    pos = fwd.align()
+    back = _BackStream(block[pos:], origin, at + pos)
+    ll_s = back.read(ll_al)
+    of_s = back.read(of_al)
+    ml_s = back.read(ml_al)
+    if back.remaining < 0:
+        raise ValueError(
+            f"zstd {origin}: sequence bitstream at byte {at + pos} too "
+            "short for its initial states"
+        )
+    seqs = []
+    for i in range(nseq):
+        of_code = of_t[of_s][0]
+        if of_code > 31:
+            raise ValueError(
+                f"zstd {origin}: offset code {of_code} at byte {at + pos} "
+                "exceeds 31"
+            )
+        ofv = (1 << of_code) + back.read(of_code)
+        ml_code = ml_t[ml_s][0]
+        ml = _ML_BASE[ml_code] + back.read(_ML_BITS[ml_code])
+        ll_code = ll_t[ll_s][0]
+        ll = _LL_BASE[ll_code] + back.read(_LL_BITS[ll_code])
+        if back.remaining < 0:
+            raise ValueError(
+                f"zstd {origin}: sequence bitstream at byte {at + pos} "
+                f"exhausted at sequence {i} of {nseq}"
+            )
+        seqs.append((ll, ml, ofv))
+        if i != nseq - 1:
+            _, nb, base = ll_t[ll_s]
+            ll_s = base + back.read(nb)
+            _, nb, base = ml_t[ml_s]
+            ml_s = base + back.read(nb)
+            _, nb, base = of_t[of_s]
+            of_s = base + back.read(nb)
+            if back.remaining < 0:
+                raise ValueError(
+                    f"zstd {origin}: sequence bitstream at byte {at + pos} "
+                    f"exhausted updating states after sequence {i}"
+                )
+    if back.remaining != 0:
+        raise ValueError(
+            f"zstd {origin}: sequence bitstream at byte {at + pos} has "
+            f"{back.remaining} unconsumed bits"
+        )
+    return seqs, len(block)
+
+
+class _FrameState:
+    """Per-frame repeatable tables (RFC: tables repeat across blocks
+    WITHIN a frame only)."""
+
+    __slots__ = ("huf", "ll", "of", "ml")
+
+    def __init__(self):
+        self.huf = None
+        self.ll = None
+        self.of = None
+        self.ml = None
+
+
+def _execute(seqs, literals, out, origin, at, reps):
+    """Run the sequence list against the frame history (RFC 8878
+    §3.1.1.4): literal copy + repeated-offset resolution + overlapping
+    match copy. Returns the block's decoded byte count."""
+    lpos = 0
+    produced = 0
+    for ll, ml, ofv in seqs:
+        if lpos + ll > len(literals):
+            raise ValueError(
+                f"zstd {origin}: block at byte {at} consumes {lpos + ll} "
+                f"of {len(literals)} literals"
+            )
+        out += literals[lpos : lpos + ll]
+        lpos += ll
+        v = ofv + 1 if ll == 0 else ofv
+        if ofv > 3:
+            offset = ofv - 3
+            reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+        elif v == 1:
+            offset = reps[0]
+        elif v == 2:
+            offset = reps[1]
+            reps[1], reps[0] = reps[0], offset
+        elif v == 3:
+            offset = reps[2]
+            reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+        else:  # v == 4: previous offset minus one
+            offset = reps[0] - 1
+            if offset <= 0:
+                raise ValueError(
+                    f"zstd {origin}: repeated-offset-minus-one underflow "
+                    f"at byte {at}"
+                )
+            reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+        if ml:
+            if offset > len(out):
+                raise ValueError(
+                    f"zstd {origin}: match offset {offset} at byte {at} "
+                    f"reaches before the {len(out)}-byte history"
+                )
+            start = len(out) - offset
+            if offset >= ml:
+                out += out[start : start + ml]
+            else:
+                pattern = bytes(out[start:])
+                out += (pattern * (ml // offset + 1))[:ml]
+        produced += ll + ml
+    out += literals[lpos:]
+    return produced + len(literals) - lpos
+
+
+# ------------------------------------------------------------- XXH64
+
+
+def _xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (public algorithm; RFC 8878 uses its low 32 bits as the
+    frame content checksum)."""
+    P1, P2, P3, P4, P5 = (
+        11400714785074694791,
+        14029467366897019727,
+        1609587929392839161,
+        9650029242287828579,
+        2870177450012600261,
+    )
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (v + lane * P2) & M
+                v = (rotl(v, 31) * P1) & M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            v = (rotl((v * P2) & M, 31) * P1) & M
+            h = (((h ^ v) * P1) + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (rotl((lane * P2) & M, 31) * P1) & M
+        h = ((rotl(h, 27) * P1) + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * P1) & M
+        h = ((rotl(h, 23) * P2) + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+# -------------------------------------------------------------- frames
+
+
+def is_zstd(payload: bytes) -> bool:
+    return len(payload) >= 4 and int.from_bytes(payload[:4], "little") == _MAGIC
+
+
+def decompress_zstd(
+    payload: bytes, origin: str = "<bytes>", max_output: int = 1 << 28
+) -> bytes:
+    """Decode one-or-more concatenated zstd frames to their content.
+
+    ``max_output`` is the bomb budget: decoding stops with a loud
+    ValueError the moment cumulative output would exceed it (validated
+    incrementally, never pre-allocated from attacker-controlled
+    headers). Dictionary frames and skippable frames refuse BY NAME."""
+    pos = 0
+    out = bytearray()
+    n = len(payload)
+    if n < 4:
+        raise ValueError(f"zstd {origin}: {n}-byte payload has no frame header")
+    while pos < n:
+        magic = int.from_bytes(payload[pos : pos + 4], "little")
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            raise NotImplementedError(
+                f"zstd {origin}: skippable frame (magic {magic:#010x}) at "
+                "byte {0} not implemented — multi-frame metadata wrappers "
+                "are a container convention the caller must handle "
+                "(refused by name)".format(pos)
+            )
+        if magic != _MAGIC:
+            raise ValueError(
+                f"zstd {origin}: bad frame magic {magic:#010x} at byte {pos}"
+            )
+        pos = _decode_frame(payload, pos + 4, out, origin, max_output)
+    return bytes(out)
+
+
+def _decode_frame(payload, pos, out, origin, max_output):
+    n = len(payload)
+    if pos >= n:
+        raise ValueError(f"zstd {origin}: frame header missing at byte {pos}")
+    fhd = payload[pos]
+    at = pos
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError(
+            f"zstd {origin}: reserved frame-descriptor bit set at byte {at}"
+        )
+    single = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    did_flag = fhd & 3
+    fcs_flag = fhd >> 6
+    window_size = None
+    if not single:
+        if pos >= n:
+            raise ValueError(
+                f"zstd {origin}: window descriptor missing at byte {pos}"
+            )
+        wd = payload[pos]
+        pos += 1
+        wlog = 10 + (wd >> 3)
+        if wlog > 41:
+            raise ValueError(
+                f"zstd {origin}: window log {wlog} at byte {pos - 1} "
+                "exceeds the spec maximum 41"
+            )
+        base = 1 << wlog
+        window_size = base + (base // 8) * (wd & 7)
+    did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        if pos + did_len > n:
+            raise ValueError(
+                f"zstd {origin}: dictionary id truncated at byte {pos}"
+            )
+        did = int.from_bytes(payload[pos : pos + did_len], "little")
+        if did:
+            raise NotImplementedError(
+                f"zstd {origin}: dictionary-compressed frame (dictionary "
+                f"id {did}) at byte {pos} not implemented — no dictionary "
+                "plumbing (refused by name)"
+            )
+        pos += did_len
+    fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    content_size = None
+    if fcs_len:
+        if pos + fcs_len > n:
+            raise ValueError(
+                f"zstd {origin}: frame content size truncated at byte {pos}"
+            )
+        content_size = int.from_bytes(payload[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+        pos += fcs_len
+    if single:
+        window_size = content_size if content_size is not None else 0
+    block_max = min(window_size or _BLOCK_MAX, _BLOCK_MAX)
+    state = _FrameState()
+    reps = [1, 4, 8]
+    frame_start_len = len(out)
+    while True:
+        if pos + 3 > n:
+            raise ValueError(
+                f"zstd {origin}: block header truncated at byte {pos}"
+            )
+        bh = int.from_bytes(payload[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 3:
+            raise ValueError(
+                f"zstd {origin}: reserved block type at byte {pos - 3}"
+            )
+        if btype == 1:  # RLE: bsize is the REGENERATED count, payload 1 byte
+            if pos >= n:
+                raise ValueError(
+                    f"zstd {origin}: RLE block at byte {pos} missing its byte"
+                )
+            if bsize > block_max:
+                raise ValueError(
+                    f"zstd {origin}: RLE block at byte {pos} regenerates "
+                    f"{bsize} bytes over the {block_max} block maximum"
+                )
+            if len(out) + bsize > max_output:
+                raise ValueError(
+                    f"zstd {origin}: output exceeds the {max_output}-byte "
+                    f"budget at byte {pos}"
+                )
+            out += payload[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 0:  # raw
+            if pos + bsize > n:
+                raise ValueError(
+                    f"zstd {origin}: raw block at byte {pos} declares "
+                    f"{bsize} bytes past the payload end"
+                )
+            if len(out) + bsize > max_output:
+                raise ValueError(
+                    f"zstd {origin}: output exceeds the {max_output}-byte "
+                    f"budget at byte {pos}"
+                )
+            out += payload[pos : pos + bsize]
+            pos += bsize
+        else:  # compressed
+            if pos + bsize > n:
+                raise ValueError(
+                    f"zstd {origin}: compressed block at byte {pos} "
+                    f"declares {bsize} bytes past the payload end"
+                )
+            block = payload[pos : pos + bsize]
+            lits, bp = _decode_literals(block, 0, origin, pos, state)
+            seqs, _ = _decode_sequences(block, bp, origin, pos, state)
+            before = len(out)
+            produced = _execute(seqs, lits, out, origin, pos, reps)
+            if produced > block_max:
+                raise ValueError(
+                    f"zstd {origin}: block at byte {pos} regenerated "
+                    f"{produced} bytes over the {block_max} block maximum"
+                )
+            if len(out) > max_output:
+                raise ValueError(
+                    f"zstd {origin}: output exceeds the {max_output}-byte "
+                    f"budget at byte {pos}"
+                )
+            assert len(out) - before == produced
+            pos += bsize
+        if last:
+            break
+    frame_content = bytes(out[frame_start_len:])
+    if content_size is not None and len(frame_content) != content_size:
+        raise ValueError(
+            f"zstd {origin}: frame declared {content_size} content bytes "
+            f"but decoded {len(frame_content)}"
+        )
+    if checksum:
+        if pos + 4 > n:
+            raise ValueError(
+                f"zstd {origin}: content checksum truncated at byte {pos}"
+            )
+        want = int.from_bytes(payload[pos : pos + 4], "little")
+        got = _xxh64(frame_content) & 0xFFFFFFFF
+        if want != got:
+            raise ValueError(
+                f"zstd {origin}: content checksum mismatch at byte {pos} "
+                f"(frame says {want:#010x}, content hashes to {got:#010x})"
+            )
+        pos += 4
+    return pos

@@ -34,13 +34,13 @@ containers agree (``zipsrc.explode_archive_members`` /
   (symlinks/hardlinks/devices/FIFOs — escape vectors in an ingest, not
   data) are skipped;
 * the default path glob covers the real extension zoo
-  (``.tar .tar.gz .tgz .tar.bz2 .tbz2 .tar.xz .txz``) via Hadoop glob
-  alternation, so a directory of ``.tgz`` shards is ingested, not
-  silently skipped. ``.tar.zst``/``.tzst`` (increasingly the
-  dataset-dump default) is IN the glob but refuses by name on the RFC
-  8878 frame magic: Python 3.11 ships no zstd codec and installs are
-  out of bounds, and a loud refusal beats the silent glob-skip it would
-  otherwise be (DIVERGENCES.md D20).
+  (``.tar .tar.gz .tgz .tar.bz2 .tbz2 .tar.xz .txz .tar.zst .tzst``)
+  via Hadoop glob alternation, so a directory of ``.tgz`` shards is
+  ingested, not silently skipped. ``.tar.zst``/``.tzst`` (increasingly
+  the dataset-dump default) decodes for REAL since round 15 through the
+  repo's from-spec RFC 8878 decoder (``operators/zstd.py`` — Python
+  3.11 ships no zstd codec); dictionary/skippable frames refuse by name
+  inside the decoder (DIVERGENCES.md D20, now closed for plain frames).
 
 ``read_tar_members`` lands (archive, member, size, content) rows —
 byte-compatible with ``read_zip_members`` so mixed dumps union into one
@@ -77,11 +77,11 @@ TAR_MEMBER_SCHEMA = ZIP_MEMBER_SCHEMA  # same landing shape, by design
 
 TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz,tar.zst,tzst}"
 
-# RFC 8878 zstd frame magic. Python 3.11 has no stdlib zstd codec and
-# installs are out of bounds, so a .tar.zst shard cannot decode here —
-# but it must surface as a LOUD by-name refusal, not vanish from the
-# glob (the mp3meta convention; DIVERGENCES.md D20). The glob therefore
-# MATCHES zst extensions and the magic check below refuses them by name.
+# RFC 8878 zstd frame magic. Python 3.11 has no stdlib zstd codec, so
+# .tar.zst decodes through the repo's own from-spec frame decoder
+# (operators/zstd.py, round 15 — closing DIVERGENCES.md D20's refusal).
+# Dictionary-compressed and skippable frames still refuse by name inside
+# the decoder; corrupt frames raise with byte offsets like every codec.
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 MAX_MEMBERS = 100_000  # header-count bomb guard (bytes budgets see 0)
@@ -96,13 +96,12 @@ def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):
     import fnmatch
 
     if payload[:4] == _ZSTD_MAGIC:
-        raise NotImplementedError(
-            f"tar {origin}: zstd-compressed archive (.tar.zst) not "
-            "implemented — no stdlib zstd codec in Python 3.11 and "
-            "installs are out of bounds; recompress the shard to "
-            "gz/bz2/xz upstream (refused by name per DIVERGENCES.md D20 "
-            "rather than silently skipped)"
-        )
+        # from-spec zstd frame decode (round 15); the whole-archive byte
+        # budget applies to the DECOMPRESSED tar exactly as gz/bz2/xz
+        # members are budgeted downstream
+        from ..operators.zstd import decompress_zstd
+
+        payload = decompress_zstd(payload, origin, max_output=MAX_ARCHIVE_BYTES)
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
     except _STREAM_ERRORS as exc:

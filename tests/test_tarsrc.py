@@ -195,20 +195,33 @@ def test_corrupt_xz_layer_is_a_named_valueerror():
     assert seen_value_error > 0  # corruption does surface, and as ValueError
 
 
-def test_tar_zst_refuses_by_name(spark, tmp_path):
-    """A zstd-compressed shard (RFC 8878 frame magic) refuses BY NAME —
-    no stdlib zstd in Python 3.11 — instead of vanishing from the glob
-    (D20). The glob must MATCH .tar.zst so the refusal actually fires
-    through the Spark path, and the magic check must beat tarfile's
-    generic 'not readable' error."""
+def test_tar_zst_decodes_for_real(spark, tmp_path):
+    """Round 15 closes D20's refusal: a zstd-compressed shard (RFC 8878
+    frame magic) decodes through the from-spec decoder
+    (operators/zstd.py) — through _iter_members AND the Spark glob path
+    (the glob must MATCH .tar.zst so the shard is seen at all). The
+    independent encoder here is pyarrow's bundled libzstd."""
+    import pyarrow as pa
+
     from hbase_observer_es_spark.sources.tarsrc import TAR_GLOB
 
     assert "tar.zst" in TAR_GLOB and "tzst" in TAR_GLOB
+    members = {"a.txt": b"alpha " * 400, "sub/b.txt": b"beta"}
+    zst = pa.Codec("zstd", compression_level=9).compress(
+        _tar(members), asbytes=True
+    )
+    assert dict(_iter_members(zst, "t")) == members
+    (tmp_path / "shard.tar.zst").write_bytes(zst)
+    got = {
+        (r["member"], bytes(r["content"]))
+        for r in read_tar_members(spark, str(tmp_path)).collect()
+    }
+    assert got == {(n, c) for n, c in members.items()}
+
+
+def test_tar_zst_corrupt_frame_is_a_named_valueerror():
+    """A frame that IS zstd by magic but structurally corrupt raises the
+    decoder's offset-carrying ValueError, not tarfile's generic error."""
     fake = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
-    with pytest.raises(NotImplementedError, match=r"zstd-compressed archive"):
+    with pytest.raises(ValueError, match=r"zstd t:"):
         list(_iter_members(fake, "t"))
-    # through Spark: the shard is SEEN (glob match) and the task dies
-    # with the named refusal, not an empty result
-    (tmp_path / "shard.tar.zst").write_bytes(fake)
-    with pytest.raises(Exception, match=r"zstd-compressed archive"):
-        read_tar_members(spark, str(tmp_path)).collect()

@@ -1,0 +1,200 @@
+"""From-spec zstd decoder (operators/zstd.py) — RFC 8878.
+
+Pinning strategy per the repo codec discipline: an INDEPENDENT
+real-world encoder (pyarrow's bundled libzstd) round-trips the decoder
+across compression levels and input shapes chosen to force every
+section type (raw/RLE/compressed literals, 1- and 4-stream Huffman,
+direct and FSE-compressed weight descriptions, predefined/RLE/FSE/repeat
+sequence tables, repeated offsets, treeless literals, multi-block
+frames); hand-assembled frames pin the paths an encoder rarely emits
+(raw/RLE blocks, checksum, content-size declarations) byte-for-byte;
+refusal/corruption cases pin the by-name contract; hypothesis closes
+the loop on arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hbase_observer_es_spark.operators.zstd import (
+    _xxh64,
+    decompress_zstd,
+    is_zstd,
+)
+
+
+def _z(data: bytes, level: int = 3) -> bytes:
+    return pa.Codec("zstd", compression_level=level).compress(data, asbytes=True)
+
+
+# ------------------------------------------------------------ round trips
+
+_RNG = random.Random(42)
+_INPUTS = {
+    "empty": b"",
+    "one": b"x",
+    "rle": b"a" * 100_000,
+    "text": b"the quick brown fox jumps over the lazy dog. " * 5_000,
+    # short repeated runs at varying distances: repeated-offset codes
+    "structured": b"".join(bytes([i % 251]) * (i % 17 + 1) for i in range(20_000)),
+    # incompressible: raw blocks / raw literals
+    "random": bytes(_RNG.randrange(256) for _ in range(300_000)),
+    # low-entropy symbol soup: FSE-compressed tables, 4-stream Huffman
+    "semirandom": bytes(_RNG.randrange(16) for _ in range(200_000)),
+    # long-range matches across the 128 KiB block boundary: treeless
+    # literals + Repeat_Mode sequence tables in later blocks
+    "bigrepeat": bytes(range(256)) * 2_000,
+    "json_ish": b'{"key": "value", "arr": [1,2,3]} ' * 9_000,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_INPUTS))
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_round_trip_vs_real_encoder(name, level):
+    data = _INPUTS[name]
+    comp = _z(data, level)
+    assert is_zstd(comp)
+    assert decompress_zstd(comp, max_output=1 << 26) == data
+
+
+def test_concatenated_frames_decode_in_sequence():
+    a, b = b"first frame " * 100, b"second " * 257
+    assert decompress_zstd(_z(a) + _z(b, 19)) == a + b
+
+
+# ----------------------------------------------------- hand-built frames
+
+
+def _frame(fhd: int, body: bytes, magic: int = 0xFD2FB528) -> bytes:
+    return magic.to_bytes(4, "little") + bytes([fhd]) + body
+
+
+def test_hand_built_raw_block():
+    # single-segment (0x20): 1-byte FCS, no window descriptor
+    payload = _frame(0x20, bytes([5]) + bytes([1 | (5 << 3), 0, 0]) + b"hello")
+    assert decompress_zstd(payload) == b"hello"
+
+
+def test_hand_built_rle_block():
+    # RLE block: size field is the REGENERATED count, payload one byte
+    payload = _frame(0x20, bytes([7]) + bytes([1 | 2 | (7 << 3), 0, 0]) + b"a")
+    assert decompress_zstd(payload) == b"aaaaaaa"
+
+
+def test_hand_built_multi_block_and_window_descriptor():
+    # non-single-segment: window descriptor, no FCS (flag 0)
+    body = bytes([0x00])  # window log 10
+    body += bytes([0 | (3 << 3), 0, 0]) + b"abc"  # raw, not last
+    body += bytes([1 | 2 | (4 << 3), 0, 0]) + b"z"  # RLE, last
+    assert decompress_zstd(_frame(0x00, body)) == b"abczzzz"
+
+
+def test_content_checksum_verifies_and_mismatches_loudly():
+    content = b"checksummed content"
+    want = (_xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little")
+    body = (
+        bytes([len(content)])
+        + bytes([1 | (len(content) << 3), 0, 0])
+        + content
+    )
+    ok = _frame(0x20 | 0x04, body + want)
+    assert decompress_zstd(ok) == content
+    bad = bytearray(ok)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        decompress_zstd(bytes(bad))
+
+
+def test_declared_content_size_is_enforced():
+    payload = _frame(0x20, bytes([6]) + bytes([1 | (5 << 3), 0, 0]) + b"hello")
+    with pytest.raises(ValueError, match="declared 6 content bytes but decoded 5"):
+        decompress_zstd(payload)
+
+
+def test_truncated_real_frame_raises_with_offset():
+    # a real encoder frame cut short must die on a structural check
+    # (declared sizes past the payload end), never return partial output
+    comp = _z(b"the quick brown fox " * 500, 3)
+    with pytest.raises(ValueError, match=r"zstd .*byte \d+"):
+        decompress_zstd(comp[: len(comp) - 4])
+
+
+# ------------------------------------------------------------- refusals
+
+
+def test_dictionary_frame_refuses_by_name():
+    # dict-flag 1, window descriptor, nonzero 1-byte dictionary id
+    payload = _frame(0x01, bytes([0x00, 0x05]))
+    with pytest.raises(NotImplementedError, match="dictionary-compressed frame"):
+        decompress_zstd(payload)
+
+
+def test_skippable_frame_refuses_by_name():
+    payload = (0x184D2A53).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"meta"
+    with pytest.raises(NotImplementedError, match="skippable frame"):
+        decompress_zstd(payload)
+
+
+def test_corruption_raises_with_offsets():
+    with pytest.raises(ValueError, match="bad frame magic"):
+        decompress_zstd(b"\x00\x01\x02\x03rest")
+    with pytest.raises(ValueError, match="no frame header"):
+        decompress_zstd(b"\x28\xb5")
+    # reserved block type
+    payload = _frame(0x20, bytes([0]) + bytes([1 | (3 << 1), 0, 0]))
+    with pytest.raises(ValueError, match="reserved block type"):
+        decompress_zstd(payload)
+    # reserved frame-descriptor bit
+    with pytest.raises(ValueError, match="reserved frame-descriptor bit"):
+        decompress_zstd(_frame(0x20 | 0x08, bytes([0])))
+    # truncated block header
+    with pytest.raises(ValueError, match="block header truncated"):
+        decompress_zstd(_frame(0x20, bytes([9, 0x29])))
+    # raw block declaring bytes past the payload end
+    with pytest.raises(ValueError, match="past the payload end"):
+        decompress_zstd(_frame(0x20, bytes([5]) + bytes([1 | (5 << 3), 0, 0]) + b"he"))
+
+
+def test_output_budget_is_a_loud_guard():
+    comp = _z(b"a" * 1_000_000, 3)
+    with pytest.raises(ValueError, match="exceeds the 1024-byte budget"):
+        decompress_zstd(comp, max_output=1024)
+
+
+# --------------------------------------------------------------- XXH64
+
+
+def test_xxh64_known_vectors():
+    """Published XXH64 test vectors (seed 0)."""
+    assert _xxh64(b"") == 0xEF46DB3751D8E999
+    assert _xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert _xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert _xxh64(b"Hello, world!") == 0xF58336A78B6F9476
+
+
+# ----------------------------------------------------------- hypothesis
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_round_trip_property_arbitrary_bytes(data):
+    assert decompress_zstd(_z(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=1, max_size=8), st.integers(1, 400)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([1, 3, 19]),
+)
+def test_round_trip_property_compressible(runs, level):
+    data = b"".join(chunk * n for chunk, n in runs)
+    assert decompress_zstd(_z(data, level), max_output=1 << 22) == data
