@@ -19,7 +19,10 @@ still reports every variant's geometry and compression so curation can
 filter without decoding. BigTIFF (magic 43, the 8-byte-offset layout)
 and tile-organized baseline codecs DECODE for real since r13
 (LONG8/SLONG8/IFD8 entry types, 16-byte header; ``_assemble_tiles``);
-tiled fax and tiled JPEG still refuse by name.
+r15 extends the tile walk to fax AND JPEG tiles (each tile an
+independently coded full-sized image per TIFF 6.0 §15, crop-copied
+through the shared ``_tile_grid``/``_crop_copy_tile`` pair), so the
+whole compression zoo now decodes in both strip and tile organization.
 
 Guards per the codec-family rule: IFD offsets and entry counts are
 attacker data — an offset outside the file, a strip that overruns, an
@@ -393,11 +396,6 @@ def _decode_ccitt_tiff(
         raise ValueError(
             f"tiff {origin}: a predictor on CCITT strips is malformed"
         )
-    if 322 in entries:
-        raise NotImplementedError(
-            f"tiff {origin}: tile-organized CCITT fax not implemented "
-            "(strip-organized fax and tiled baseline codecs both decode)"
-        )
     if comp == 2:
         mode = "mh"
     elif comp == 3:
@@ -417,34 +415,54 @@ def _decode_ccitt_tiff(
             )
         mode = "g4"
     fill_order = _first(entries, 266, 1)
-    offsets = entries.get(273)
-    counts = entries.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError(
-            f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
+    if 322 in entries:
+        # tile-organized fax (r15 — previously refused by name): each
+        # tile is an INDEPENDENTLY coded full-sized tile_w x tile_h fax
+        # image (TIFF 6.0 §15); decode and crop-copy like the byte codecs
+        tile_w, tile_h, offsets, counts, across = _tile_grid(
+            entries, w, h, origin
         )
-    rows_per_strip = _first(entries, 278, h)
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise ValueError(
-                f"tiff {origin}: strip {si} at byte {off} overruns the file"
+        raw = bytearray(w * h)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(
+                    f"tiff {origin}: tile {ti} at byte {off} overruns "
+                    "the file"
+                )
+            chunk = decode_ccitt(
+                data[off : off + cnt], tile_w, tile_h, mode, origin,
+                fill_order=fill_order, strip=ti,
             )
-        rows_here = min(rows_per_strip, h - si * rows_per_strip)
-        if rows_here <= 0:
+            _crop_copy_tile(raw, chunk, ti, across, tile_w, tile_h, w, h, 1)
+    else:
+        offsets = entries.get(273)
+        counts = entries.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError(
-                f"tiff {origin}: strip {si} lies beyond the declared "
-                f"{h}-row geometry"
+                f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
             )
-        raw += decode_ccitt(
-            data[off : off + cnt], w, rows_here, mode, origin,
-            fill_order=fill_order, strip=si,
-        )
-    if len(raw) != w * h:
-        raise ValueError(
-            f"tiff {origin}: fax strips assemble {len(raw)} pixels, "
-            f"geometry needs {w * h}"
-        )
+        rows_per_strip = _first(entries, 278, h)
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(
+                    f"tiff {origin}: strip {si} at byte {off} overruns the file"
+                )
+            rows_here = min(rows_per_strip, h - si * rows_per_strip)
+            if rows_here <= 0:
+                raise ValueError(
+                    f"tiff {origin}: strip {si} lies beyond the declared "
+                    f"{h}-row geometry"
+                )
+            raw += decode_ccitt(
+                data[off : off + cnt], w, rows_here, mode, origin,
+                fill_order=fill_order, strip=si,
+            )
+        if len(raw) != w * h:
+            raise ValueError(
+                f"tiff {origin}: fax strips assemble {len(raw)} pixels, "
+                f"geometry needs {w * h}"
+            )
     # bit 0 is the coded "white": photometric 0 (WhiteIsZero) shows it
     # at full brightness, photometric 1 inverts
     table = (
@@ -482,68 +500,87 @@ def _decode_jpeg_tiff(data: bytes, entries: dict, origin: str) -> PngImage:
                 f"stream (starts {tb[:2]!r}, ends {tb[-2:]!r})"
             )
         tables_body = tb[2:-2]
-    if 322 in entries:
-        raise NotImplementedError(
-            f"tiff {origin}: tile-organized JPEG not implemented "
-            "(strip-organized JPEG and tiled baseline codecs both decode)"
-        )
-    offsets = entries.get(273)
-    counts = entries.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError(
-            f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
-        )
-    rows_per_strip = _first(entries, 278, h)
-    raw = bytearray()
-    channels = None
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise ValueError(
-                f"tiff {origin}: strip {si} at byte {off} overruns the file"
-            )
-        rows_here = min(rows_per_strip, h - si * rows_per_strip)
-        if rows_here <= 0:
-            raise ValueError(
-                f"tiff {origin}: strip {si} lies beyond the declared "
-                f"{h}-row geometry"
-            )
-        seg = data[off : off + cnt]
+    def _tile_jpeg(seg: bytes, ti: int, want_w: int, want_h: int):
         if seg[:2] != JPEG_MAGIC:
             raise ValueError(
-                f"tiff {origin}: JPEG strip {si} does not start with SOI"
+                f"tiff {origin}: JPEG segment {ti} does not start with SOI"
             )
         img = decode_jpeg(
-            JPEG_MAGIC + tables_body + seg[2:], f"{origin} strip {si}"
+            JPEG_MAGIC + tables_body + seg[2:], f"{origin} strip {ti}"
         )
-        if (img.width, img.height) != (w, rows_here):
+        if (img.width, img.height) != (want_w, want_h):
             raise ValueError(
-                f"tiff {origin}: JPEG strip {si} decodes {img.width}x"
-                f"{img.height}, the geometry needs {w}x{rows_here}"
+                f"tiff {origin}: JPEG segment {ti} decodes {img.width}x"
+                f"{img.height}, the geometry needs {want_w}x{want_h}"
             )
+        return img
+
+    channels = None
+
+    def _check_channels(img, ti: int) -> int:
+        nonlocal channels
         if channels is None:
             channels = img.channels
         elif img.channels != channels:
             raise ValueError(
-                f"tiff {origin}: JPEG strip {si} has {img.channels} "
-                f"channels, strip 0 had {channels}"
+                f"tiff {origin}: JPEG segment {ti} has {img.channels} "
+                f"channels, segment 0 had {channels}"
             )
-        raw += img.raw
+        return channels
+
+    if 322 in entries:
+        # tile-organized JPEG (r15 — previously refused by name): each
+        # tile is a complete tile_w x tile_h JPEG stream, optionally
+        # sharing the JPEGTables segments, crop-copied like the byte
+        # codecs
+        tile_w, tile_h, offsets, counts, across = _tile_grid(
+            entries, w, h, origin
+        )
+        raw = None
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(
+                    f"tiff {origin}: tile {ti} at byte {off} overruns "
+                    "the file"
+                )
+            img = _tile_jpeg(data[off : off + cnt], ti, tile_w, tile_h)
+            spp = _check_channels(img, ti)
+            if raw is None:
+                raw = bytearray(w * h * spp)
+            _crop_copy_tile(raw, img.raw, ti, across, tile_w, tile_h, w, h, spp)
+    else:
+        offsets = entries.get(273)
+        counts = entries.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(
+                f"tiff {origin}: strip offsets/byte-counts missing or mismatched"
+            )
+        rows_per_strip = _first(entries, 278, h)
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError(
+                    f"tiff {origin}: strip {si} at byte {off} overruns the file"
+                )
+            rows_here = min(rows_per_strip, h - si * rows_per_strip)
+            if rows_here <= 0:
+                raise ValueError(
+                    f"tiff {origin}: strip {si} lies beyond the declared "
+                    f"{h}-row geometry"
+                )
+            img = _tile_jpeg(data[off : off + cnt], si, w, rows_here)
+            _check_channels(img, si)
+            raw += img.raw
     if channels == 3:
         return PngImage(w, h, 8, 2, 3, w * 3, bytes(raw), None)
     return PngImage(w, h, 8, 0, 1, w, bytes(raw), None)
 
 
-def _assemble_tiles(
-    data: bytes, entries: dict, comp: int, predictor: int,
-    w: int, h: int, spp: int, origin: str,
-) -> bytearray:
-    """Tile-organized pixel data (tags 322/323/324/325, TIFF 6.0 §15):
-    the image is a grid of ``tile_w × tile_h`` tiles in row-major order,
-    every tile FULL-SIZED (edge tiles padded right/bottom) — decode each,
-    undo the predictor at tile width, then crop-copy into the raster.
-    Tiled files are how large scans ship (one tile decodes without the
-    whole row of strips), so the 100 TB read path wants them first-class,
-    not refused."""
+def _tile_grid(entries: dict, w: int, h: int, origin: str):
+    """Validated tile layout (tags 322/323/324/325): returns
+    ``(tile_w, tile_h, offsets, counts, across)``. Shared by the
+    byte-codec, fax, and JPEG tile paths so the grid arithmetic and its
+    error surface exist once."""
     tile_w = _first(entries, 322, 0)
     tile_h = _first(entries, 323, 0)
     if tile_w < 1 or tile_h < 1:
@@ -563,10 +600,41 @@ def _assemble_tiles(
             f"tiff {origin}: {len(offsets)} tiles declared, the "
             f"{w}x{h}/{tile_w}x{tile_h} grid needs {across * down}"
         )
-    tile_bytes = tile_w * tile_h * spp
+    return tile_w, tile_h, offsets, counts, across
+
+
+def _crop_copy_tile(
+    raw: bytearray, chunk, ti: int, across: int,
+    tile_w: int, tile_h: int, w: int, h: int, spp: int,
+) -> None:
+    """Paste one full-sized decoded tile into the raster, cropping the
+    right/bottom padding of edge tiles (TIFF 6.0 §15)."""
     tile_row = tile_w * spp
     row_bytes = w * spp
-    raw = bytearray(h * row_bytes)
+    ty, tx = divmod(ti, across)
+    x0 = tx * tile_row
+    rows_here = min(tile_h, h - ty * tile_h)
+    cols_bytes = min(tile_row, row_bytes - x0)
+    for r in range(rows_here):
+        dst = (ty * tile_h + r) * row_bytes + x0
+        src = r * tile_row
+        raw[dst : dst + cols_bytes] = chunk[src : src + cols_bytes]
+
+
+def _assemble_tiles(
+    data: bytes, entries: dict, comp: int, predictor: int,
+    w: int, h: int, spp: int, origin: str,
+) -> bytearray:
+    """Tile-organized pixel data (tags 322/323/324/325, TIFF 6.0 §15):
+    the image is a grid of ``tile_w × tile_h`` tiles in row-major order,
+    every tile FULL-SIZED (edge tiles padded right/bottom) — decode each,
+    undo the predictor at tile width, then crop-copy into the raster.
+    Tiled files are how large scans ship (one tile decodes without the
+    whole row of strips), so the 100 TB read path wants them first-class,
+    not refused."""
+    tile_w, tile_h, offsets, counts, across = _tile_grid(entries, w, h, origin)
+    tile_bytes = tile_w * tile_h * spp
+    raw = bytearray(h * w * spp)
     for ti, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(data):
             raise ValueError(
@@ -588,14 +656,7 @@ def _assemble_tiles(
             chunk = _deflate_decode(seg, tile_bytes, origin, ti)
         if predictor == 2:
             chunk = _undo_predictor2(chunk, tile_h, tile_w, spp)
-        ty, tx = divmod(ti, across)
-        x0 = tx * tile_w * spp
-        rows_here = min(tile_h, h - ty * tile_h)
-        cols_bytes = min(tile_row, row_bytes - x0)
-        for r in range(rows_here):
-            dst = (ty * tile_h + r) * row_bytes + x0
-            src = r * tile_row
-            raw[dst : dst + cols_bytes] = chunk[src : src + cols_bytes]
+        _crop_copy_tile(raw, chunk, ti, across, tile_w, tile_h, w, h, spp)
     return raw
 
 

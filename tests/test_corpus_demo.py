@@ -44,6 +44,6 @@ def test_corpus_demo_runs_at_smoke_scale(spark, tmp_path):
         "lm_surprisal",
         "mixture_realize", "bpe_train", "bpe_pack_export", "verify_export",
         "wds_publish", "media_codecs", "audio_dedup_normalize",
-        "video_framesample", "media_census",
+        "video_framesample", "media_census", "zst_reingest",
     }
     assert set(report["stages"]) == expected_stages

@@ -546,7 +546,7 @@ def test_jpeg_in_tiff_guards():
     stream = encode_jpeg(_gradient_img(16, 8), quality=90)
     with pytest.raises(ValueError, match=r"JPEGTables is not an SOI"):
         decode_tiff(_jpeg_tiff([stream], 16, 8, tables=b"\x00\x01\x02\x03"))
-    with pytest.raises(ValueError, match=r"strip 0 does not start with SOI"):
+    with pytest.raises(ValueError, match=r"segment 0 does not start with SOI"):
         decode_tiff(_jpeg_tiff([b"\x00" + stream], 16, 8))
     # geometry mismatch: strip decodes 8 rows, IFD claims 6
     with pytest.raises(ValueError, match=r"decodes 16x8, the geometry needs 16x6"):
@@ -697,7 +697,7 @@ def test_tiled_lzw():
     assert decode_tiff(data).raw == raster
 
 
-def test_tiled_guards_and_named_refusals():
+def test_tiled_guards_are_loud():
     raster = bytes(range(25))
     good = _tiled_tiff(raster, 5, 5, 4, 4)
     # drop one tile from BOTH arrays: grid mismatch is loud
@@ -707,17 +707,117 @@ def test_tiled_guards_and_named_refusals():
         bad[i + 4 : i + 8] = struct.pack("<I", 3)  # count 4 -> 3
     with pytest.raises(ValueError, match=r"3 tiles declared, .* needs 4"):
         decode_tiff(bytes(bad))
-    from tests.test_ccittfax import _encode as _fax_encode  # noqa: PLC0415
 
-    # a tiled fax / tiled JPEG file refuses by name, not by crash
-    fax = bytearray(_tiled_tiff(raster, 5, 5, 4, 4))
-    j = fax.find(struct.pack("<HH", 259, 3))
-    fax[j + 8 : j + 10] = struct.pack("<H", 4)
-    k = fax.find(struct.pack("<HH", 258, 3))
-    fax[k + 8 : k + 10] = struct.pack("<H", 1)
-    with pytest.raises(NotImplementedError, match=r"tile-organized CCITT fax"):
-        decode_tiff(bytes(fax))
-    jp = bytearray(_tiled_tiff(raster, 5, 5, 4, 4))
-    jp[j + 8 : j + 10] = struct.pack("<H", 7)
-    with pytest.raises(NotImplementedError, match=r"tile-organized JPEG"):
-        decode_tiff(bytes(jp))
+
+def _tiled_payload_tiff(tiles: list, w, h, tile_w, tile_h, compression,
+                        bits=8, spp=1, photometric=1, tables=None) -> bytes:
+    """Tile-organized TIFF from PRE-ENCODED tile payloads (fax/JPEG
+    tiles, where each tile is an independently coded stream)."""
+    e = "<"
+    pos = 8
+    offs, cnts, payload = [], [], b""
+    for t in tiles:
+        offs.append(pos)
+        cnts.append(len(t))
+        payload += t
+        pos += len(t)
+    ifd_at = pos
+    header = b"II*\x00" + struct.pack(e + "I", ifd_at)
+    n_entries = 10 + (1 if tables else 0)
+    blobs_at = ifd_at + 2 + n_entries * 12 + 4
+    blobs = b""
+
+    def arr_long(tag, vals):
+        nonlocal blobs
+        if len(vals) == 1:
+            return _entry(e, tag, 4, 1, struct.pack(e + "I", vals[0]))
+        at = blobs_at + len(blobs)
+        blobs += struct.pack(f"{e}{len(vals)}I", *vals)
+        return _entry(e, tag, 4, len(vals), struct.pack(e + "I", at))
+
+    entries = [
+        _short(e, 256, w), _short(e, 257, h), _short(e, 258, bits),
+        _short(e, 259, compression), _short(e, 262, photometric),
+        _short(e, 277, spp),
+        _long(e, 322, tile_w), _long(e, 323, tile_h),
+        arr_long(324, offs), arr_long(325, cnts),
+    ]
+    if tables:
+        at = blobs_at + len(blobs)
+        blobs += tables
+        entries.append(_entry(e, 347, 7, len(tables), struct.pack(e + "I", at)))
+    entries.sort(key=lambda x: struct.unpack(e + "H", x[:2])[0])
+    assert len(entries) == n_entries
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(e + "I", 0)
+    return header + payload + ifd + blobs
+
+
+def _fax_tiles(bitmap: list, w, h, tile_w, tile_h, mode: str) -> list:
+    """Split a 0/1 bitmap into full-sized tiles (white-padded) and encode
+    each independently with the test-side T.4/T.6 encoder."""
+    from tests.test_ccittfax import _encode as _fax_encode
+
+    tiles = []
+    for ty in range(-(-h // tile_h)):
+        for tx in range(-(-w // tile_w)):
+            rows = []
+            for r in range(tile_h):
+                y = ty * tile_h + r
+                src = bitmap[y][tx * tile_w : tx * tile_w + tile_w] if y < h else []
+                rows.append(src + [0] * (tile_w - len(src)))
+            tiles.append(_fax_encode(rows, tile_w, mode))
+    return tiles
+
+
+@pytest.mark.parametrize("mode,comp", [("g4", 4), ("g3", 3), ("mh", 2)])
+def test_tiled_fax_decodes_with_edge_tiles(mode, comp):
+    """r15: tile-organized CCITT fax (previously a by-name refusal) —
+    a 10x7 bilevel page in 4x4 tiles (3x2 grid, right/bottom padding),
+    every tile an independently coded full-sized fax image."""
+    w, h = 10, 7
+    bitmap = [[(x * 3 + y * y) % 4 == 0 and 1 or 0 for x in range(w)]
+              for y in range(h)]
+    data = _tiled_payload_tiff(
+        _fax_tiles(bitmap, w, h, 4, 4, mode), w, h, 4, 4,
+        compression=comp, bits=1, photometric=0,
+    )
+    img = decode_tiff(data)
+    assert (img.width, img.height, img.channels) == (w, h, 1)
+    # photometric 0 (WhiteIsZero): coded 0 renders 255
+    want = bytes(255 if not bitmap[y][x] else 0
+                 for y in range(h) for x in range(w))
+    assert img.raw == want
+
+
+def test_tiled_jpeg_decodes_with_shared_tables():
+    """r15: tile-organized JPEG (previously a by-name refusal) — each
+    tile a complete 8x8 stream, DQT/DHT shared through JPEGTables."""
+    from hbase_observer_es_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    tile_imgs = [_gradient_img(8, 8, channels=1, seed=s) for s in range(4)]
+    streams = [encode_jpeg(t, quality=90) for t in tile_imgs]
+    tables, abbreviated = zip(*(_split_jpeg_tables(s) for s in streams))
+    data = _tiled_payload_tiff(
+        list(abbreviated), 13, 11, 8, 8, compression=7,
+        photometric=1, tables=tables[0],
+    )
+    img = decode_tiff(data)
+    assert (img.width, img.height, img.channels) == (13, 11, 1)
+    # assembly check: every kept pixel equals its tile's own decode
+    for ti, s in enumerate(streams):
+        tile = decode_jpeg(s).raw
+        ty, tx = divmod(ti, 2)
+        for r in range(min(8, 11 - ty * 8)):
+            for c in range(min(8, 13 - tx * 8)):
+                assert img.raw[(ty * 8 + r) * 13 + tx * 8 + c] == tile[r * 8 + c]
+
+
+def test_tiled_jpeg_geometry_mismatch_is_loud():
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+
+    stream = encode_jpeg(_gradient_img(8, 4, channels=1), quality=90)
+    data = _tiled_payload_tiff([stream], 8, 8, 8, 8, compression=7,
+                               photometric=1)
+    with pytest.raises(ValueError, match=r"decodes 8x4, the geometry needs 8x8"):
+        decode_tiff(data)

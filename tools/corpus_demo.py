@@ -207,6 +207,48 @@ def run(spark, sf_dir: str, out: str) -> dict:
 
     rows["wds_samples"] = stage("wds_publish", wds_publish)
 
+    def zst_reingest():
+        """Round 15: re-compress the first published WDS shard as
+        .tar.zst with an INDEPENDENT encoder (pyarrow's libzstd, the
+        test-side-encoder convention) and ingest it back through
+        tarsrc's member walk — which now decodes zstd through the
+        repo's own from-spec RFC 8878 decoder. Pins 'the dataset-dump
+        default compression composes with the pipeline' as a measured
+        statement."""
+        import pyarrow as pa
+
+        from hbase_observer_es_spark.sources.tarsrc import read_tar_members
+
+        shard = sorted(
+            f for f in os.listdir(os.path.join(out, "wds")) if f.endswith(".tar")
+        )[0]
+        with open(os.path.join(out, "wds", shard), "rb") as f:
+            raw = f.read()
+        zp = os.path.join(out, "wds_zst")
+        os.makedirs(zp, exist_ok=True)
+        with open(os.path.join(zp, shard + ".zst"), "wb") as f:
+            f.write(
+                pa.Codec("zstd", compression_level=9).compress(raw, asbytes=True)
+            )
+        back = read_tar_members(spark, zp)
+        n = int(back.count())
+        # the shard's member bytes must survive the compress->decode trip
+        import tarfile as _tf
+        import io as _io
+
+        want = sum(
+            1
+            for m in _tf.open(fileobj=_io.BytesIO(raw)).getmembers()
+            if m.isfile() and m.size > 0
+        )
+        if n != want:
+            raise AssertionError(
+                f"zst re-ingest returned {n} members, shard holds {want}"
+            )
+        return n
+
+    rows["zst_reingest_members"] = stage("zst_reingest", zst_reingest)
+
     def media():
         """The multimodal leg, on the ROUND-11 REAL codecs: synthesize a
         PNG image and a WAV clip per doc from its content bytes
