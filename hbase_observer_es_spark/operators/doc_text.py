@@ -32,7 +32,7 @@ Everything else in the format — styles, tables' grid, OLE objects,
 embedded images, fastsaved revision complexity beyond what the piece
 table already encodes — is out of scope for a text pipeline; malformed
 structures refuse with byte offsets rather than guessing. ``.xls``
-(BIFF8) and ``.ppt`` (single-edit record walks) extract through their
+(BIFF8 and BIFF5/7, r15) and ``.ppt`` (single-edit record walks) extract through their
 own modules (``xls_text.py`` / ``ppt_text.py``, r14); only generic OLE
 storages remain refused by name here, and the media census surveys
 every compound file as family="document" with its subformat.

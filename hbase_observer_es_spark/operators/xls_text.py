@@ -1,15 +1,20 @@
-"""Legacy binary Excel (``.xls``, BIFF8) text extraction — from the
-public MS-XLS Open Specification, over the ``cfb.py`` container.
+"""Legacy binary Excel (``.xls``, BIFF8 and BIFF5/7) text extraction —
+from the public MS-XLS Open Specification, over the ``cfb.py`` container.
 
 The second legacy-Office leg (after ``doc_text.py``): the ``Workbook``
-stream is a BIFF8 record stream (2-byte id, 2-byte length, payload;
-payloads over 8224 bytes spill into CONTINUE records). The text path:
+stream (BIFF8) or ``Book`` stream (BIFF5/7, r15) is a BIFF record
+stream (2-byte id, 2-byte length, payload; payloads over 8224 bytes
+spill into CONTINUE records). The text path:
 
-* globals substream: ``BOF`` (version gate — BIFF8 ``0x0600`` only;
-  BIFF5/7 lay strings out differently and refuse by name), ``FILEPASS``
-  (encryption — refuses by name), ``BOUNDSHEET`` entries (sheet names
-  in tab order + each substream's offset; only worksheets extract,
-  chart/VB modules are skipped), and the ``SST`` shared-string table;
+* globals substream: ``BOF`` (version gate — BIFF8 ``0x0600`` and
+  BIFF5/7 ``0x0500`` decode; anything older refuses by name),
+  ``FILEPASS`` (encryption — refuses by name), ``CODEPAGE`` (BIFF5/7
+  byte strings decode STRICTLY in the declared codepage, cp1252 when
+  absent; a codepage with no decoder here refuses by name),
+  ``BOUNDSHEET`` entries (sheet names in tab order + each substream's
+  offset; only worksheets extract, chart/VB modules are skipped), and
+  the ``SST`` shared-string table (BIFF8; BIFF5/7 has none — labels are
+  inline LABEL/RSTRING byte strings);
 * the SST is the format's notorious corner: ``XLUnicodeRichExtendedString``
   entries whose CHARACTER data may split across CONTINUE boundaries, and
   every continuation of character data re-specifies its own
@@ -34,8 +39,9 @@ payloads over 8224 bytes spill into CONTINUE records). The text path:
 Guards: record lengths are attacker data — a record overrunning the
 stream, an SST index out of range, an RK array not matching its column
 span, or a split mid-UTF-16-code-unit names its byte offset. Formats
-this module recognizes but does not decode (encrypted workbooks, BIFF5/7)
-refuse BY NAME.
+this module recognizes but does not decode (encrypted workbooks,
+pre-BIFF5 streams, codepages without an in-stdlib decoder) refuse BY
+NAME.
 
 Scale posture: one payload per task via ``doc_text.doc_text_frame``'s
 shape (the census calls this in the same mapInPandas pass); work is
@@ -69,6 +75,52 @@ _R_STRING = 0x0207
 _R_SHRFMLA = 0x04BC
 _R_ARRAY = 0x0221
 _R_TABLE = 0x0236
+_R_CODEPAGE = 0x0042
+_R_RSTRING = 0x00D6
+_BIFF5 = 0x0500
+
+
+class _Fmt:
+    """Stream-level format state: BIFF8 strings are XLUnicode (flagged
+    compressed/UTF-16); BIFF5/7 strings are byte strings in the
+    workbook's declared CODEPAGE (record 0x0042; cp1252 when absent —
+    the Excel-for-Windows default the spec documents). Decoding is
+    STRICT per the repo contract: an undecodable byte names the
+    codepage instead of folding to U+FFFD."""
+
+    def __init__(self, biff5: bool, origin: str):
+        self.biff5 = biff5
+        self.origin = origin
+        self._codec = "cp1252"
+
+    def set_codepage(self, cp: int, at: int) -> None:
+        import codecs
+
+        if cp == 1200:  # UTF-16, the BIFF8 marker value: no byte codec
+            if self.biff5:
+                raise ValueError(
+                    f"xls {self.origin}: BIFF5 CODEPAGE 1200 at byte "
+                    f"{at} is malformed (byte strings cannot be UTF-16)"
+                )
+            return
+        name = f"cp{cp}"
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            raise NotImplementedError(
+                f"xls {self.origin}: CODEPAGE {cp} at byte {at} has no "
+                "decoder here — not implemented"
+            ) from None
+        self._codec = name
+
+    def decode_bytes(self, raw: bytes, what: str) -> str:
+        try:
+            return raw.decode(self._codec)
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                f"xls {self.origin}: {what} byte {exc.start} "
+                f"({raw[exc.start]:#04x}) not decodable as {self._codec}"
+            ) from None
 
 _ERROR_NAMES = {
     0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
@@ -190,9 +242,15 @@ def _parse_sst(fragments: list, origin: str) -> list:
     return out
 
 
-def _short_string(data: bytes, at: int, origin: str) -> tuple:
-    """BOUNDSHEET's ShortXLUnicodeString: (text, bytes consumed)."""
+def _short_string(data: bytes, at: int, origin: str, fmt: _Fmt) -> tuple:
+    """BOUNDSHEET name: BIFF8 ShortXLUnicodeString (1-byte cch + flag),
+    BIFF5 1-byte cch + codepage bytes. Returns (text, bytes consumed)."""
     cch = data[at]
+    if fmt.biff5:
+        raw = data[at + 1 : at + 1 + cch]
+        if len(raw) != cch:
+            raise ValueError(f"xls {origin}: sheet name truncated")
+        return fmt.decode_bytes(raw, "sheet name"), 1 + cch
     flags = data[at + 1]
     unit = 2 if flags & 1 else 1
     raw = data[at + 2 : at + 2 + cch * unit]
@@ -204,11 +262,20 @@ def _short_string(data: bytes, at: int, origin: str) -> tuple:
     )
 
 
-def _inline_string(data: bytes, at: int, origin: str, what: str) -> str:
-    """LABEL/STRING's XLUnicodeString (2-byte cch)."""
-    if at + 3 > len(data):
+def _inline_string(data: bytes, at: int, origin: str, what: str, fmt: _Fmt) -> str:
+    """LABEL/RSTRING/STRING body: BIFF8 XLUnicodeString (2-byte cch +
+    flag), BIFF5 2-byte cch + codepage bytes. Trailing bytes (RSTRING's
+    rich runs) are the caller's to ignore."""
+    if at + 2 > len(data):
         raise ValueError(f"xls {origin}: {what} string header truncated")
     (cch,) = struct.unpack_from("<H", data, at)
+    if fmt.biff5:
+        raw = data[at + 2 : at + 2 + cch]
+        if len(raw) != cch:
+            raise ValueError(f"xls {origin}: {what} string truncated")
+        return fmt.decode_bytes(raw, what)
+    if at + 3 > len(data):
+        raise ValueError(f"xls {origin}: {what} string header truncated")
     flags = data[at + 2]
     unit = 2 if flags & 1 else 1
     raw = data[at + 3 : at + 3 + cch * unit]
@@ -289,10 +356,9 @@ def _extract(cfb, origin: str) -> tuple:
     try:
         wb = cfb.read_stream("Workbook")
     except ValueError:
-        raise NotImplementedError(
-            f"xls {origin}: a Book stream without Workbook is BIFF5/7 — "
-            "the pre-BIFF8 string layout is not implemented"
-        ) from None
+        # BIFF5/7 workbooks live in a "Book" stream (r15: decoded for
+        # real — byte strings in the declared CODEPAGE, no SST)
+        wb = cfb.read_stream("Book")
 
     # ---- globals substream
     sheets: list = []  # (name, offset)
@@ -307,12 +373,13 @@ def _extract(cfb, origin: str) -> tuple:
         )
     _need(body, 2, "BOF", at, origin)
     (vers,) = struct.unpack_from("<H", body, 0)
-    if vers != _BIFF8:
+    if vers not in (_BIFF8, _BIFF5):
         raise NotImplementedError(
             f"xls {origin}: BIFF version {vers:#06x} not implemented "
-            "(BIFF8 0x0600 only — BIFF5/7 strings are laid out "
-            "differently)"
+            "(BIFF8 0x0600 and BIFF5/7 0x0500 decode; older streams "
+            "are laid out differently)"
         )
+    fmt = _Fmt(vers == _BIFF5, origin)
     pending_sst: list | None = None
     for rid, body, at in recs:
         if pending_sst is not None and rid != _R_CONTINUE:
@@ -323,11 +390,14 @@ def _extract(cfb, origin: str) -> tuple:
                 f"xls {origin}: encrypted workbook (FILEPASS — "
                 "XOR/RC4/CryptoAPI) not implemented; decrypt upstream"
             )
-        if rid == _R_BOUNDSHEET:
+        if rid == _R_CODEPAGE:
+            _need(body, 2, "CODEPAGE", at, origin)
+            fmt.set_codepage(struct.unpack_from("<H", body, 0)[0], at)
+        elif rid == _R_BOUNDSHEET:
             _need(body, 8, "BOUNDSHEET", at, origin)
             (pos,) = struct.unpack_from("<I", body, 0)
             dt = body[5]
-            name, _ = _short_string(body, 6, origin)
+            name, _ = _short_string(body, 6, origin, fmt)
             if dt == 0:  # worksheet (charts/VB modules carry no cells)
                 sheets.append((name, pos))
         elif rid == _R_SST:
@@ -368,7 +438,8 @@ def _extract(cfb, origin: str) -> tuple:
                         "declares a string result but no STRING record "
                         f"follows (got {rid:#06x} at byte {at})"
                     )
-                put(*want_string_for, _inline_string(body, 0, origin, "STRING"))
+                put(*want_string_for,
+                    _inline_string(body, 0, origin, "STRING", fmt))
                 want_string_for = None
                 continue
             if rid == _R_LABELSST:
@@ -383,7 +454,13 @@ def _extract(cfb, origin: str) -> tuple:
             elif rid == _R_LABEL:
                 _need(body, 9, "LABEL", at, origin)
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
-                put(rw, col, _inline_string(body, 6, origin, "LABEL"))
+                put(rw, col, _inline_string(body, 6, origin, "LABEL", fmt))
+            elif rid == _R_RSTRING:
+                # rich-text label (BIFF5's common rich form, legal in
+                # BIFF8 too): text like LABEL, trailing run data ignored
+                _need(body, 9, "RSTRING", at, origin)
+                rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+                put(rw, col, _inline_string(body, 6, origin, "RSTRING", fmt))
             elif rid == _R_NUMBER:
                 _need(body, 14, "NUMBER", at, origin)
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)

@@ -222,20 +222,109 @@ def test_sst_rich_and_ext_payloads_are_skipped():
 
 
 def test_refusals_by_name():
-    # BIFF5 version word
-    old = _rec(0x0809, struct.pack("<HHHHII", 0x0500, 5, 0, 0, 0, 0)) + _EOF
-    with pytest.raises(NotImplementedError, match="BIFF version 0x0500"):
+    # pre-BIFF5 version word
+    old = _rec(0x0809, struct.pack("<HHHHII", 0x0400, 5, 0, 0, 0, 0)) + _EOF
+    with pytest.raises(NotImplementedError, match="BIFF version 0x0400"):
         xls_to_text(_make_cfb({"Workbook": old}), "t")
     # encrypted workbook
     enc = _bof(0x0005) + _rec(0x002F, b"\x00\x00") + _EOF
     with pytest.raises(NotImplementedError, match="encrypted workbook"):
         xls_to_text(_make_cfb({"Workbook": enc}), "t")
-    # BIFF5/7 container shape: Book stream, no Workbook
-    with pytest.raises(NotImplementedError, match="BIFF5/7"):
-        xls_to_text(_make_cfb({"Book": _bof(0x0005) + _EOF}), "t")
     # not an xls container at all
     with pytest.raises(ValueError, match="no Workbook/Book"):
         xls_to_text(_make_cfb({"Whatever": b"\x00"}), "t")
+
+
+# ------------------------------------------------------- BIFF5/7 (r15)
+
+def _bof5(dt: int) -> bytes:
+    return _rec(0x0809, struct.pack("<HH", 0x0500, dt))
+
+
+def _boundsheet5(pos: int, dt: int, name: str, cp="cp1252") -> bytes:
+    raw = name.encode(cp)
+    return _rec(
+        0x0085,
+        struct.pack("<IBB", pos, 0, dt) + bytes([len(raw)]) + raw,
+    )
+
+
+def _label5(rw: int, col: int, s: str, cp="cp1252") -> bytes:
+    raw = s.encode(cp)
+    return _rec(
+        0x0204,
+        struct.pack("<HHH", rw, col, 0) + struct.pack("<H", len(raw)) + raw,
+    )
+
+
+def _rstring5(rw: int, col: int, s: str, runs: int = 2, cp="cp1252") -> bytes:
+    raw = s.encode(cp)
+    return _rec(
+        0x00D6,
+        struct.pack("<HHH", rw, col, 0)
+        + struct.pack("<H", len(raw)) + raw
+        + bytes([runs]) + b"\x00\x00" * runs,
+    )
+
+
+def _book5(globals_recs: list, sheets: list) -> bytes:
+    """BIFF5 twin of _workbook: Book stream, byte-string boundsheets."""
+    subs = [_bof5(0x0010) + b"".join(cells) + _EOF for _, cells in sheets]
+    bs_len = sum(len(_boundsheet5(0, 0, name)) for name, _ in sheets)
+    head_len = len(_bof5(0x0005)) + bs_len + sum(map(len, globals_recs)) + len(_EOF)
+    offs = []
+    at = head_len
+    for sub in subs:
+        offs.append(at)
+        at += len(sub)
+    out = _bof5(0x0005)
+    for (name, _), pos in zip(sheets, offs):
+        out += _boundsheet5(pos, 0, name)
+    out += b"".join(globals_recs) + _EOF
+    for sub in subs:
+        out += sub
+    return _make_cfb({"Book": out})
+
+
+def test_biff5_book_stream_extracts():
+    """BIFF5/7 decodes for real (r15): Book stream, inline cp1252 byte
+    strings (incl. the 0x93/0x94 curly quotes), numbers and RKs."""
+    wb = _book5(
+        [],
+        [("Hoja", [
+            _label5(0, 0, "“hola”"),   # cp1252 93/94
+            _number(0, 1, 2.5),
+            _rk(1, 0, (7 << 2) | 0x02),          # integer RK 7
+        ])],
+    )
+    assert xls_to_text(wb, "t") == "Hoja\n“hola” 2.5\n7"
+
+
+def test_biff5_codepage_record_switches_decoder():
+    wb = _book5(
+        [_rec(0x0042, struct.pack("<H", 866))],
+        [("S", [_label5(0, 0, "привет", cp="cp866")])],
+    )
+    assert xls_to_text(wb, "t") == "S\nпривет"
+
+
+def test_biff5_strict_decode_and_unknown_codepage():
+    # 0x81 is undefined in cp1252: strict decode refuses, names the codec
+    bad = _rec(0x0204, struct.pack("<HHH", 0, 0, 0) + struct.pack("<H", 1) + b"\x81")
+    wb = _book5([], [("S", [bad])])
+    with pytest.raises(ValueError, match="not decodable as cp1252"):
+        xls_to_text(wb, "t")
+    # a codepage with no stdlib decoder refuses by name
+    wb = _book5([_rec(0x0042, struct.pack("<H", 54321))], [("S", [])])
+    with pytest.raises(NotImplementedError, match="CODEPAGE 54321"):
+        xls_to_text(wb, "t")
+
+
+def test_biff5_rstring_and_formula_string():
+    frm = _formula_str(0, 0)
+    srec = _rec(0x0207, struct.pack("<H", 3) + b"sum")
+    wb = _book5([], [("S", [_rstring5(1, 0, "rich"), frm, srec])])
+    assert xls_to_text(wb, "t") == "S\nsum\nrich"
 
 
 def test_malformed_structures_refuse_with_offsets():
