@@ -32,8 +32,8 @@ checked against their chain length, and v3 files mask the spec's
 quirk that bits 32+ of the 8-byte size field are undefined there.
 
 Consumers: ``doc_text.py`` (the MS-DOC text extraction), ``xls_text.py``
-(the BIFF8 + BIFF5/7 workbook extraction), ``ppt_text.py`` (single-edit
-PowerPoint text; fast-saved edit chains refuse by name there), and the
+(the BIFF8 + BIFF5/7 workbook extraction), ``ppt_text.py`` (PowerPoint
+text incl. fast-save persist-directory resolution, r15), and the
 media census (``D0 CF 11 E0`` → family="document" with a subformat from
 the stream names).
 

@@ -22,7 +22,7 @@ one mapInPandas pass, composing every real parser in the repo:
   (``D0 CF 11 E0``, r14) classify by their marker streams through the
   real CFB walk — ``.doc``/``.xls``/``.ppt`` ALL extract and report
   their character counts (``doc_text``/``xls_text``/``ppt_text``), with
-  encrypted/pre-BIFF5/fast-saved payloads folding to family="error" per the
+  encrypted and pre-BIFF5 payloads folding to family="error" per the
   census error policy below; anything else is a generic compound file;
   other ZIPs survey as family="archive" with member counts;
 * messages (r14): MBOX (``From `` envelope magic) and EML (canonical

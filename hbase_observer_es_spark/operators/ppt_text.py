@@ -10,14 +10,19 @@ is a guarded depth-first walk collecting them in stream order.
 
 The catch is FAST-SAVED files: PowerPoint appends incremental edits,
 so a multi-edit stream carries STALE records whose text a naive walk
-would duplicate or resurrect. The honest subset: read the
-``Current User`` stream's ``CurrentUserAtom`` (plain-text header token
-required — the encrypted token refuses by name), follow
-``offsetToCurrentEdit`` to the ``UserEditAtom``, and REFUSE BY NAME
-when ``offsetLastEdit`` is nonzero (an edit chain exists); a
-single-edit stream's record order IS document order. Full fast-save
-resolution (persist directories, slide-id indirection) is out of
-scope for a text pipeline and refusing is the loud surface.
+would duplicate or resurrect. Since r15 the edit chain RESOLVES for
+real: the ``Current User`` stream's ``CurrentUserAtom`` (plain-text
+header token required — the encrypted token refuses by name) points at
+the newest ``UserEditAtom``; the chain walks backward through
+``offsetLastEdit`` (loop-guarded), each edit's
+``PersistDirectoryAtom`` merges into one persistId→offset map with
+NEWEST-edit precedence (MS-PPT §2.3.4 — the defining fast-save rule),
+and text is collected ONLY from the live persist objects, in stream
+(offset) order. A superseded slide's old record is simply absent from
+the merged map, so stale text can neither duplicate nor resurrect. A
+single-edit stream keeps the direct whole-stream walk (every record is
+live there, and real single-edit writers agree between the two
+orders).
 
 Guards: record lengths are attacker data — a record overrunning its
 container or the stream names its byte offset; container depth is
@@ -41,6 +46,9 @@ _RT_USER_EDIT = 0x0FF5
 _RT_TEXT_CHARS = 0x0FA0
 _RT_TEXT_BYTES = 0x0FA8
 _RT_SLIDE = 0x03EE
+_RT_PERSIST_DIR = 0x1772
+
+_MAX_EDITS = 100_000  # edit-chain bomb guard
 
 _PLAIN_TOKEN = 0xE391C05F
 _ENCRYPTED_TOKEN = 0xF3D1C4DF
@@ -117,8 +125,9 @@ def _current_edit_offset(cfb, origin: str) -> int:
 
 
 def ppt_to_text(payload: bytes, origin: str = "<bytes>") -> str:
-    """All text atoms of a SINGLE-EDIT presentation in stream order,
-    one line per atom (see module docstring for the fast-save refusal)."""
+    """All LIVE text atoms of the presentation in stream order, one
+    line per atom; fast-saved edit chains resolve per the module
+    docstring."""
     return _extract(parse_cfb(payload, origin), origin)[2]
 
 
@@ -155,18 +164,108 @@ def _extract(cfb, origin: str) -> tuple:
             f"(record length {rlen}, stream {len(doc)} bytes)"
         )
     (offset_last_edit,) = struct.unpack_from("<I", doc, edit_at + 8 + 8)
-    if offset_last_edit != 0:
-        raise NotImplementedError(
-            f"ppt {origin}: fast-saved presentation (UserEditAtom edit "
-            f"chain at byte {offset_last_edit}) — incremental-edit "
-            "resolution via the persist directory is not implemented, "
-            "and walking stale records would duplicate text; re-save "
-            "without fast save upstream"
-        )
     texts: list = []
     counts: dict = {}
-    _walk(doc, 0, len(doc), origin, 0, texts, counts)
+    if offset_last_edit == 0:
+        # single edit: every record is live, stream order IS document
+        # order (and fixtures without persist directories stay valid)
+        _walk(doc, 0, len(doc), origin, 0, texts, counts)
+    else:
+        # fast-saved: only the merged persist map knows which records
+        # are live (module docstring)
+        for off in _live_offsets(doc, edit_at, origin):
+            _ver, rtype, rlen = _header(doc, off, origin)
+            if off + 8 + rlen > len(doc):
+                raise ValueError(
+                    f"ppt {origin}: persist object at byte {off} declares "
+                    f"{rlen} bytes past the stream end"
+                )
+            _walk(doc, off, off + 8 + rlen, origin, 0, texts, counts)
     return texts, counts, _normalize("\n".join(texts))
+
+
+def _user_edit_fields(doc: bytes, at: int, origin: str) -> tuple:
+    """Validated UserEditAtom → (offsetLastEdit, offsetPersistDirectory)."""
+    _ver, rtype, rlen = _header(doc, at, origin)
+    if rtype != _RT_USER_EDIT:
+        raise ValueError(
+            f"ppt {origin}: edit-chain record at byte {at} is "
+            f"{rtype:#06x}, not a UserEditAtom"
+        )
+    if rlen < 20 or at + 8 + 20 > len(doc):
+        raise ValueError(
+            f"ppt {origin}: UserEditAtom at byte {at} truncated "
+            f"(record length {rlen}, stream {len(doc)} bytes)"
+        )
+    last_edit, persist_dir = struct.unpack_from("<II", doc, at + 8 + 8)
+    return last_edit, persist_dir
+
+
+def _live_offsets(doc: bytes, edit_at: int, origin: str) -> list:
+    """Resolve the fast-save edit chain: walk UserEditAtoms newest →
+    oldest, merge each edit's PersistDirectoryAtom into one
+    persistId→offset map with NEWEST precedence, return the live
+    objects' unique offsets in stream order."""
+    persist: dict = {}
+    seen: set = set()
+    at = edit_at
+    while True:
+        if at in seen:
+            raise ValueError(
+                f"ppt {origin}: UserEditAtom chain loops back to byte {at}"
+            )
+        seen.add(at)
+        if len(seen) > _MAX_EDITS:
+            raise ValueError(
+                f"ppt {origin}: more than {_MAX_EDITS} edits in the "
+                "chain — refusing (edit-chain bomb)"
+            )
+        last_edit, dir_at = _user_edit_fields(doc, at, origin)
+        if dir_at + 8 > len(doc):
+            raise ValueError(
+                f"ppt {origin}: offsetPersistDirectory {dir_at} outside "
+                f"the {len(doc)}-byte stream"
+            )
+        _ver, rtype, rlen = _header(doc, dir_at, origin)
+        if rtype != _RT_PERSIST_DIR:
+            raise ValueError(
+                f"ppt {origin}: record at offsetPersistDirectory "
+                f"{dir_at} is {rtype:#06x}, not a PersistDirectoryAtom"
+            )
+        pos, end = dir_at + 8, dir_at + 8 + rlen
+        if end > len(doc):
+            raise ValueError(
+                f"ppt {origin}: PersistDirectoryAtom at byte {dir_at} "
+                f"declares {rlen} bytes past the stream end"
+            )
+        while pos < end:
+            if pos + 4 > end:
+                raise ValueError(
+                    f"ppt {origin}: persist directory entry header at "
+                    f"byte {pos} truncated"
+                )
+            (word,) = struct.unpack_from("<I", doc, pos)
+            pid, cnt = word & 0xFFFFF, word >> 20
+            pos += 4
+            if pos + 4 * cnt > end:
+                raise ValueError(
+                    f"ppt {origin}: persist directory entry at byte "
+                    f"{pos - 4} declares {cnt} offsets past the atom end"
+                )
+            for i in range(cnt):
+                (off,) = struct.unpack_from("<I", doc, pos)
+                pos += 4
+                if off + 8 > len(doc):
+                    raise ValueError(
+                        f"ppt {origin}: persist id {pid + i} points at "
+                        f"byte {off}, outside the {len(doc)}-byte stream"
+                    )
+                # newest-first walk: an id already mapped stays mapped
+                persist.setdefault(pid + i, off)
+        if last_edit == 0:
+            break
+        at = last_edit
+    return sorted(set(persist.values()))
 
 
 def ppt_meta(payload: bytes, origin: str = "<bytes>") -> dict:

@@ -77,10 +77,83 @@ def test_census_reports_ppt_chars():
     assert row["detail"] == f"{len(ppt_to_text(data, 't'))} chars"
 
 
-def test_fastsave_refuses_by_name():
-    data = _ppt(_rec(0x03EE, _text_bytes("x"), container=True),
-                last_edit=1234)
-    with pytest.raises(NotImplementedError, match="fast-saved"):
+def _user_edit_at(offset_last_edit: int, persist_dir: int) -> bytes:
+    body = struct.pack(
+        "<IHBBIIIIHH", 256, 0, 0, 0, offset_last_edit, persist_dir,
+        1, 2, 0, 0,
+    )
+    return _rec(0x0FF5, body)
+
+
+def _persist_dir(entries: dict) -> bytes:
+    """PersistDirectoryAtom from {persistId: offset} (one id per entry)."""
+    body = b"".join(
+        struct.pack("<II", (1 << 20) | pid, off)
+        for pid, off in sorted(entries.items())
+    )
+    return _rec(0x1772, body)
+
+
+def _fastsave_ppt():
+    """Two-edit stream: edit 1 holds doc(pid1,'hello') + slide(pid2,'v1');
+    edit 2 supersedes pid2 with a new slide 'v2'. Live text must be
+    'hello' + 'v2'; 'v1' is stale and must neither appear nor duplicate."""
+    doc1 = _rec(0x03E8, _text_bytes("hello"), container=True)
+    slide1 = _rec(0x03EE, _text_bytes("v1"), container=True)
+    off_doc1, off_slide1 = 0, len(doc1)
+    pd1 = _persist_dir({1: off_doc1, 2: off_slide1})
+    off_pd1 = off_slide1 + len(slide1)
+    ue1 = _user_edit_at(0, off_pd1)
+    off_ue1 = off_pd1 + len(pd1)
+    slide2 = _rec(0x03EE, _text_bytes("v2"), container=True)
+    off_slide2 = off_ue1 + len(ue1)
+    pd2 = _persist_dir({2: off_slide2})
+    off_pd2 = off_slide2 + len(slide2)
+    ue2 = _user_edit_at(off_ue1, off_pd2)
+    off_ue2 = off_pd2 + len(pd2)
+    stream = doc1 + slide1 + pd1 + ue1 + slide2 + pd2 + ue2
+    return _make_cfb({
+        "PowerPoint Document": stream,
+        "Current User": _current_user(off_ue2),
+    }), off_ue1, off_ue2
+
+
+def test_fastsave_resolves_live_objects_only():
+    """r15: the edit chain resolves for real — newest persist directory
+    wins, stale records are skipped, live objects walk in stream order."""
+    data, _, _ = _fastsave_ppt()
+    assert ppt_to_text(data, "t") == "hello\nv2"
+    m = ppt_meta(data, "t")
+    assert m["n_slides"] == 1  # only the LIVE slide counts
+
+
+def test_fastsave_chain_guards():
+    # a chain that loops back refuses with the offset
+    doc1 = _rec(0x03E8, _text_bytes("hello"), container=True)
+    pd = _persist_dir({1: 0})
+    off_pd = len(doc1)
+    # ue1 points at ue2 (forward!) and ue2 points back at ue1: loop
+    off_ue1 = off_pd + len(pd)
+    ue1_len = len(_user_edit_at(0, off_pd))
+    off_ue2 = off_ue1 + ue1_len
+    ue1 = _user_edit_at(off_ue2, off_pd)
+    ue2 = _user_edit_at(off_ue1, off_pd)
+    stream = doc1 + pd + ue1 + ue2
+    data = _make_cfb({
+        "PowerPoint Document": stream,
+        "Current User": _current_user(off_ue1),
+    })
+    with pytest.raises(ValueError, match="chain loops back"):
+        ppt_to_text(data, "t")
+    # offsetPersistDirectory at a non-PersistDirectoryAtom refuses
+    doc1 = _rec(0x03E8, _text_bytes("hello"), container=True)
+    ue = _user_edit_at(1, 0)  # last_edit nonzero, persist dir -> doc1
+    stream = doc1 + ue
+    data = _make_cfb({
+        "PowerPoint Document": stream,
+        "Current User": _current_user(len(doc1)),
+    })
+    with pytest.raises(ValueError, match="not a PersistDirectoryAtom"):
         ppt_to_text(data, "t")
 
 
