@@ -100,12 +100,57 @@ GROUP BY cohort
 """
 
 
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position window functions (round 15): ``first_value`` /
+    ``last_value`` / ``nth_value`` over a FULLY-framed cohort window —
+    "who anchors this row's cohort" (richest / poorest / runner-up per
+    market segment), the last missing members of the window family.
+
+    The frame is pinned to ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING:
+    last_value under the default growing frame is the current row (the
+    classic window gotcha) and would differ between engines only by
+    accident of default — pinning the full frame makes the semantics the
+    ones the query names. Total order via the c_custkey tie-break, same
+    discipline as q_win_ntile; one hash exchange + in-partition sort,
+    all three functions on ONE Window operator. ``runner_up`` is NULL
+    for 1-row cohorts on both engines (nullable by design)."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_mktsegment",
+        "c_acctbal",
+        F.first("c_custkey").over(w).cast("bigint").alias("richest"),
+        F.last("c_custkey").over(w).cast("bigint").alias("poorest"),
+        F.nth_value("c_custkey", 2).over(w).cast("bigint").alias("runner_up"),
+    )
+
+
+SQL_WIN_FIRSTLAST = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_acctbal,
+       CAST(first_value(c_custkey) OVER w AS BIGINT) AS richest,
+       CAST(last_value(c_custkey) OVER w AS BIGINT) AS poorest,
+       CAST(nth_value(c_custkey, 2) OVER w AS BIGINT) AS runner_up
+FROM customer
+WINDOW w AS (
+    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
 QUERIES = {
     "q_win_ntile": q_win_ntile,
     "q_pivot": q_pivot,
+    "q_win_firstlast": q_win_firstlast,
 }
 
 ORACLES = {
     "q_win_ntile": SQL_WIN_NTILE,
     "q_pivot": SQL_PIVOT,
+    "q_win_firstlast": SQL_WIN_FIRSTLAST,
 }

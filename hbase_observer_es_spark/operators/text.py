@@ -346,8 +346,83 @@ FROM ranked WHERE rnk = 1
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-token ENTROPY proxy in exact integer bits —
+    the diversity/repetitiveness quality signal (a gibberish or
+    boilerplate page has low token entropy; CCNet/Gopher gate on the
+    float form). D10 discipline: true entropy is libm territory, but
+    the floor-log2 decomposition
+
+        ent_bits_floor = N·⌊log2 N⌋ − Σ_w c_w·⌊log2 c_w⌋
+                       = Σ_w c_w·(⌊log2 N⌋ − ⌊log2 c_w⌋)
+
+    is pure integer arithmetic (``⌊log2 x⌋ = length(bin(x)) − 1`` in
+    BOTH engines — the q_lm_surprisal trick), same ordering for gating.
+    Tokenizer: the corpus convention (split on space, drop empties).
+
+    Scale: one explode + two map-side-combinable aggregations keyed by
+    doc_id (never a global shuffle key), and a doc_id equi-join back to
+    documents so empty docs keep a zero row. REGISTERED round 15."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    bits = lambda c: F.length(F.bin(c)) - 1  # floor(log2 x), exactly
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("c") * bits(F.col("c"))).alias("s"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce(
+                F.col("n_tokens") * bits(F.col("n_tokens")) - F.col("s"),
+                F.lit(0),
+            ).cast("long").alias("ent_bits_floor"),
+        )
+    )
+
+
+SQL_TEXT_ENTROPY = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+per AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS s
+    FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(coalesce(
+           p.n_tokens * (length(bin(p.n_tokens)) - 1) - p.s, 0
+       ) AS BIGINT) AS ent_bits_floor
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "q_text_tokens": q_text_tokens,
+    "q_text_entropy": q_text_entropy,
     "q_text_lang": q_text_lang,
     "q_text_langid": q_text_langid,
     "q_text_quality": q_text_quality,
@@ -359,6 +434,7 @@ QUERIES = {
 
 ORACLES = {
     "q_text_tokens": SQL_TEXT_TOKENS,
+    "q_text_entropy": SQL_TEXT_ENTROPY,
     "q_text_lang": SQL_TEXT_LANG,
     "q_text_langid": SQL_TEXT_LANGID,
     "q_text_quality": SQL_TEXT_QUALITY,

@@ -79,3 +79,57 @@ def test_count_expr_still_uses_int_column(spark):
     df = spark.createDataFrame([(0, 0.0), (0, 2.0)], "grp int, v double")
     r = df.groupBy("grp").agg(lavg("v", "a", scale=2)).collect()[0]
     assert r.a == 1.0
+
+
+def test_text_entropy_matches_python_twin(spark, tmp_path):
+    """q_text_entropy's floor-log2 decomposition against the definitional
+    per-token sum on a corpus with an empty doc, a single-token doc, and
+    a repetitive doc (r15)."""
+    from hbase_observer_es_spark.operators.text import q_text_entropy
+
+    docs = [(0, "a a a a b"), (1, ""), (2, "x"), (3, None), (4, "w v u t")]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1) \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_unique"], r["ent_bits_floor"])
+        for r in q_text_entropy(spark, str(tmp_path)).collect()
+    }
+
+    def twin(text):
+        toks = [t for t in (text or "").split(" ") if t]
+        if not toks:
+            return (0, 0, 0)
+        from collections import Counter
+        c = Counter(toks)
+        n = len(toks)
+        flog2 = lambda x: x.bit_length() - 1
+        ent = sum(v * (flog2(n) - flog2(v)) for v in c.values())
+        return (n, len(c), ent)
+
+    assert got == {i: twin(t) for i, t in docs}
+    # spot-derive doc 0: N=5 flog2=2; c_a=4 flog2=2, c_b=1 flog2=0
+    # ent = 4*(2-2) + 1*(2-0) = 2
+    assert got[0] == (5, 2, 2)
+
+
+def test_win_firstlast_full_frame_semantics(spark, tmp_path):
+    """last_value must be the cohort's LAST row (pinned full frame), not
+    the running current row the default frame would give; runner_up is
+    NULL for a 1-row cohort."""
+    from hbase_observer_es_spark.operators.relational_more import q_win_firstlast
+
+    rows = [
+        (1, "A", 50.0), (2, "A", 30.0), (3, "A", 10.0),
+        (9, "B", 7.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_acctbal double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r["c_custkey"]: (r["richest"], r["poorest"], r["runner_up"])
+        for r in q_win_firstlast(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 3, 2)
+    assert got[2] == (1, 3, 2)  # NOT (1, 2, 2): the frame is pinned full
+    assert got[3] == (1, 3, 2)
+    assert got[9] == (9, 9, None)
