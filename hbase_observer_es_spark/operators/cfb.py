@@ -440,22 +440,37 @@ def _balanced(ids: list) -> tuple:
 
 
 def write_cfb(streams: dict, cutoff: int = 4096) -> bytes:
-    """Deterministic v3 compound file from ``{name: bytes}`` top-level
-    streams — the production writer closing the container round trip
+    """Deterministic v3 compound file from ``{path: bytes}`` streams —
+    the production writer closing the container round trip
     (``parse_cfb(write_cfb(s))`` recovers ``s`` exactly; pinned by
-    test). Directory siblings form a BALANCED name-collated BST per the
-    spec's ordering rule. Single-DIFAT-header files only: more than 109
-    FAT sectors (≈7 MB) refuses loudly — shard the payload upstream
-    (this writer exists for fixtures, demos, and small-document export,
-    not bulk archival)."""
-    for n in streams:
-        if not n or len(n.encode("utf-16-le")) > 62:
-            raise ValueError(f"cfb write: stream name {n!r} invalid")
-        if "/" in n:
+    test). Paths may be ``/``-separated (r15): intermediate STORAGES
+    are created implicitly, and every storage's children form their own
+    BALANCED name-collated BST per the spec's ordering rule (the same
+    collation the reader's tree walk assumes). Single-DIFAT-header
+    files only: more than 109 FAT sectors (≈7 MB) refuses loudly —
+    shard the payload upstream (this writer exists for fixtures, demos,
+    and small-document export, not bulk archival)."""
+    tree: dict = {}  # name -> ("stream", path) | ("storage", dict)
+    for path, v in streams.items():
+        segs = path.split("/")
+        for s in segs:
+            if not s or len(s.encode("utf-16-le")) > 62:
+                raise ValueError(f"cfb write: entry name {s!r} invalid")
+        node = tree
+        for s in segs[:-1]:
+            cur = node.get(s)
+            if cur is None:
+                cur = node[s] = ("storage", {})
+            elif cur[0] != "storage":
+                raise ValueError(
+                    f"cfb write: path {path!r} crosses the stream {s!r}"
+                )
+            node = cur[1]
+        if segs[-1] in node:
             raise ValueError(
-                f"cfb write: nested storage {n!r} not supported (flat "
-                "top-level streams only)"
+                f"cfb write: {path!r} collides with an existing entry"
             )
+        node[segs[-1]] = ("stream", path)
     ss = 512
     ms = 64
 
@@ -482,13 +497,35 @@ def write_cfb(streams: dict, cutoff: int = 4096) -> bytes:
         b"".join(struct.pack("<I", x) for x in minifat), ss
     )
 
-    names = sorted(streams, key=_collate)
-    n_dir_entries = 1 + len(names)
+    # directory: ids assigned sibling-group-first in collation order so
+    # each group's balanced BST gets collation-ordered ids; storages
+    # recurse, carrying their child BST root
+    entry_specs: list = [None]  # index 0 = Root Entry, filled last
+
+    def build(children: dict) -> int:
+        ordered = sorted(children, key=_collate)
+        ids = []
+        for nm in ordered:
+            ids.append(len(entry_specs))
+            entry_specs.append(None)
+        root, links = _balanced(ids) if ids else (0xFFFFFFFF, {})
+        for eid, nm in zip(ids, ordered):
+            kind, payload = children[nm]
+            left, right = links[eid]
+            if kind == "storage":
+                child = build(payload)
+                entry_specs[eid] = (nm, 1, None, left, right, child)
+            else:
+                entry_specs[eid] = (nm, 2, payload, left, right, 0xFFFFFFFF)
+        return root
+
+    root_child = build(tree)
+    n_dir_entries = len(entry_specs)
     n_dir = (n_dir_entries * 128 + ss - 1) // ss
     n_minifat = len(minifat_blob) // ss if minifat else 0
     ministream_blob = pad(ministream, ss)
     n_ministream = len(ministream_blob) // ss if ministream else 0
-    big_blobs = {n: pad(big[n], ss) for n in names if n in big}
+    big_blobs = {n: pad(big[n], ss) for n in sorted(big, key=_collate)}
     n_big = sum(len(b) // ss for b in big_blobs.values())
     n_data = n_dir + n_minifat + n_ministream + n_big
     per = ss // 4
@@ -539,21 +576,20 @@ def write_cfb(streams: dict, cutoff: int = 4096) -> bytes:
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
 
-    root_child, links = (
-        _balanced(list(range(1, len(names) + 1))) if names
-        else (0xFFFFFFFF, {})
-    )
     entries = [entry(
         "Root Entry", 5,
         ministream_first if n_ministream else _ENDOFCHAIN,
         len(ministream), 0xFFFFFFFF, 0xFFFFFFFF, root_child,
     )]
-    for i, n in enumerate(names):
-        left, right = links[i + 1]
-        start = mini_start[n] if n in mini else big_first[n]
-        entries.append(
-            entry(n, 2, start, len(streams[n]), left, right, 0xFFFFFFFF)
-        )
+    for spec in entry_specs[1:]:
+        nm, etype, path, left, right, child = spec
+        if etype == 1:  # storage: no stream payload
+            entries.append(entry(nm, 1, 0, 0, left, right, child))
+        else:
+            start = mini_start[path] if path in mini else big_first[path]
+            entries.append(
+                entry(nm, 2, start, len(streams[path]), left, right, child)
+            )
     dir_blob = pad(b"".join(entries), ss)
 
     h = bytearray(512)
@@ -585,7 +621,8 @@ def write_cfb(streams: dict, cutoff: int = 4096) -> bytes:
 def cfb_subformat(cfb: CfbFile) -> str:
     """Classify a compound file by its marker stream, the public
     convention every Office writer follows: ``WordDocument`` → doc,
-    ``Workbook``/``Book`` → xls, ``PowerPoint Document`` → ppt;
+    ``Workbook``/``Book`` → xls, ``PowerPoint Document`` → ppt,
+    ``__properties_version1.0`` → msg (Outlook message, r15);
     anything else is a generic compound file."""
     names = {e.name for e in cfb.entries if e.type == 2}
     if "WordDocument" in names:
@@ -594,4 +631,6 @@ def cfb_subformat(cfb: CfbFile) -> str:
         return "xls"
     if "PowerPoint Document" in names:
         return "ppt"
+    if "__properties_version1.0" in names:
+        return "msg"
     return "cfb"

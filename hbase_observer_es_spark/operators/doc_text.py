@@ -256,11 +256,16 @@ def _doc_text_from_cfb(cfb: CfbFile, origin: str) -> str:
             f"doc {origin}: compound file is a .ppt presentation — route "
             "it to ppt_text.ppt_to_text (the census does)"
         )
+    if sub == "msg":
+        raise ValueError(
+            f"doc {origin}: compound file is an Outlook .msg — route it "
+            "to msg_text.msg_to_text (the census does)"
+        )
     if sub != "doc":
         raise NotImplementedError(
             f"doc {origin}: compound file is a generic OLE storage "
-            f"({sub!r}) — no text layout to extract; .doc, .xls, and "
-            ".ppt extract through their own modules"
+            f"({sub!r}) — no text layout to extract; .doc/.xls/.ppt/.msg "
+            "extract through their own modules"
         )
     wd = cfb.read_stream("WordDocument")
     fib = _read_fib(wd, origin)
@@ -309,6 +314,13 @@ def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
         from .ppt_text import _extract as _ppt_extract
 
         row["n_chars"] = len(_ppt_extract(cfb, origin)[2])
+    elif sub == "msg":
+        from .msg_text import _extract as _msg_extract
+
+        text, n_recips, n_attach = _msg_extract(cfb, origin)
+        row["n_chars"] = len(text)
+        row["n_recipients"] = n_recips
+        row["n_attachments"] = n_attach
     return row
 
 

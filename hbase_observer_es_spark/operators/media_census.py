@@ -190,14 +190,26 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
         elif looks_like_doc(payload):
             m = doc_meta(payload, origin=origin)
             sub = m["subformat"]
-            detail = (
-                f"{m['n_chars']} chars" if sub in ("doc", "xls", "ppt")
-                else "generic OLE compound file"
-            )
-            row.update(
-                family="document", format=sub,
-                n_frames=m["n_streams"], detail=detail,
-            )
+            if sub == "msg":
+                # Outlook message (r15): family=message like EML/MBOX,
+                # one message per payload
+                row.update(
+                    family="message", format="msg", n_frames=1,
+                    detail=(
+                        f"{m['n_recipients']} recipients, "
+                        f"{m['n_attachments']} attachments, "
+                        f"{m['n_chars']} chars"
+                    ),
+                )
+            else:
+                detail = (
+                    f"{m['n_chars']} chars" if sub in ("doc", "xls", "ppt")
+                    else "generic OLE compound file"
+                )
+                row.update(
+                    family="document", format=sub,
+                    n_frames=m["n_streams"], detail=detail,
+                )
         elif looks_like_zip(payload):
             kind = sniff_office(payload, origin=origin)
             if kind:

@@ -1,0 +1,218 @@
+"""Outlook ``.msg`` (MS-OXMSG) text extraction over the ``cfb.py``
+container — from the public MS-OXMSG Open Specification.
+
+The fourth compound-file leg, and the one a crawled ENTERPRISE corpus
+carries in bulk: exported Outlook messages. An ``.msg`` is a compound
+file whose root holds property streams named
+``__substg1.0_PPPPTTTT`` (``PPPP`` = property id, ``TTTT`` = property
+type, both uppercase hex), a fixed-width ``__properties_version1.0``
+stream, one ``__recip_version1.0_#XXXXXXXX`` storage per recipient and
+one ``__attach_version1.0_#XXXXXXXX`` storage per attachment (each with
+its own property streams inside).
+
+Text path (the fields a curation pipeline wants):
+
+* subject  — property ``0x0037``,
+* sender   — ``0x0C1A`` (display name),
+* recipients — ``0x3001`` (display name) inside each recipient storage,
+  in storage-index order,
+* body     — ``0x1000`` (plain-text body),
+* attachment long filenames — ``0x3707`` — surface in the META counts,
+  not the text.
+
+String properties decode from type ``001F`` (UTF-16LE, strict — odd
+lengths and unpaired surrogates name their offset). Type ``001E``
+(PtypString8, the ANSI form whose codepage hides in the property
+stream's store-level properties) REFUSES BY NAME — modern Outlook
+stores write unicode, and guessing a codepage would violate the strict-
+decode contract. RTF-compressed bodies (``0x1009``, the LZFu format)
+also refuse by name when no plain-text body accompanies them.
+
+Guards: stream names and sizes are attacker data (the CFB layer already
+bounds sectors); this layer validates UTF-16 parity and surfaces
+missing-field messages with the property id.
+
+Scale posture: one payload per task via the census's mapInPandas pass;
+the walk touches only the property streams it names.
+
+Reference parity: none — builder-brief document-pipeline surface
+(SURVEY §2-D), beside ``doc_text.py``/``xls_text.py``/``ppt_text.py``
+and the RFC 5322 ingest (``sources/mailsrc.py``).
+"""
+
+from __future__ import annotations
+
+from .cfb import CfbFile, parse_cfb
+
+_T_UNICODE = "001F"
+_T_STRING8 = "001E"
+
+_P_SUBJECT = "0037"
+_P_SENDER_NAME = "0C1A"
+_P_BODY = "1000"
+_P_RTF_BODY = "1009"
+_P_DISPLAY_NAME = "3001"
+_P_ATTACH_LONG_NAME = "3707"
+
+_RECIP_PREFIX = "__recip_version1.0_#"
+_ATTACH_PREFIX = "__attach_version1.0_#"
+
+
+def looks_like_msg(cfb: CfbFile) -> bool:
+    """MS-OXMSG marker: the fixed-width property stream at the root (the
+    one stream every .msg writer emits)."""
+    return any(
+        e.type == 2 and e.path == "__properties_version1.0"
+        for e in cfb.entries
+    )
+
+
+def _read_unicode(cfb: CfbFile, base: str, prop: str, origin: str) -> str | None:
+    """Property ``prop`` under ``base`` (empty = root): the ``001F``
+    stream decoded strictly; None when absent; the ``001E`` twin refuses
+    by name (module docstring)."""
+    prefix = f"{base}/" if base else ""
+    name8 = f"{prefix}__substg1.0_{prop}{_T_STRING8}"
+    try:
+        cfb.read_stream(name8)
+    except ValueError:
+        pass
+    else:
+        raise NotImplementedError(
+            f"msg {origin}: property {prop} is an ANSI string "
+            "(PtypString8) — codepage resolution is not implemented; "
+            "unicode .msg files decode (refused by name)"
+        )
+    name = f"{prefix}__substg1.0_{prop}{_T_UNICODE}"
+    try:
+        raw = cfb.read_stream(name)
+    except ValueError:
+        return None
+    if len(raw) % 2:
+        raise ValueError(
+            f"msg {origin}: unicode property {prop} has odd byte "
+            f"length {len(raw)}"
+        )
+    try:
+        return raw.decode("utf-16-le").rstrip("\x00")
+    except UnicodeDecodeError as exc:
+        raise ValueError(
+            f"msg {origin}: unicode property {prop} byte {exc.start} is "
+            "not valid UTF-16LE"
+        ) from None
+
+
+def _substorages(cfb: CfbFile, prefix: str) -> list:
+    """Top-level storages with the given prefix, in index order (the
+    ``#XXXXXXXX`` suffix is uppercase hex by spec — sorted lexically ==
+    sorted numerically at fixed width)."""
+    return sorted(
+        e.path
+        for e in cfb.entries
+        if e.type == 1 and "/" not in e.path and e.path.startswith(prefix)
+    )
+
+
+def msg_to_text(payload: bytes, origin: str = "<bytes>") -> str:
+    """Subject / sender / recipients / body as normalized lines."""
+    return _extract(parse_cfb(payload, origin), origin)[0]
+
+
+def _extract(cfb: CfbFile, origin: str) -> tuple:
+    """(normalized text, n_recipients, n_attachments) — ONE parse; the
+    census rides this so a payload is never parsed twice."""
+    from .office_text import _normalize
+
+    if not looks_like_msg(cfb):
+        raise ValueError(
+            f"msg {origin}: compound file has no __properties_version1.0 "
+            "stream (not an MS-OXMSG message)"
+        )
+    lines = []
+    subject = _read_unicode(cfb, "", _P_SUBJECT, origin)
+    if subject:
+        lines.append(subject)
+    sender = _read_unicode(cfb, "", _P_SENDER_NAME, origin)
+    if sender:
+        lines.append(sender)
+    recips = _substorages(cfb, _RECIP_PREFIX)
+    for r in recips:
+        dn = _read_unicode(cfb, r, _P_DISPLAY_NAME, origin)
+        if dn:
+            lines.append(dn)
+    body = _read_unicode(cfb, "", _P_BODY, origin)
+    if body is None:
+        # an RTF-only body must be loud, not silently empty
+        has_rtf = any(
+            e.type == 2
+            and e.path == f"__substg1.0_{_P_RTF_BODY}0102"
+            for e in cfb.entries
+        )
+        if has_rtf:
+            raise NotImplementedError(
+                f"msg {origin}: body is RTF-compressed only (property "
+                f"{_P_RTF_BODY}, the LZFu format) — decompression is not "
+                "implemented and there is no plain-text body to extract "
+                "(refused by name)"
+            )
+    else:
+        lines.append(body)
+    n_attach = len(_substorages(cfb, _ATTACH_PREFIX))
+    return _normalize("\n".join(lines)), len(recips), n_attach
+
+
+def msg_meta(payload: bytes, origin: str = "<bytes>") -> dict:
+    """Census facts: recipient/attachment counts + extracted chars."""
+    text, n_recips, n_attach = _extract(parse_cfb(payload, origin), origin)
+    return {
+        "n_recipients": n_recips,
+        "n_attachments": n_attach,
+        "n_chars": len(text),
+    }
+
+
+# --------------------------------------------------------------- writer
+
+
+def write_msg(
+    subject: str,
+    sender: str,
+    recipients: list,
+    body: str,
+    attachments: int = 0,
+) -> bytes:
+    """Deterministic minimal unicode ``.msg`` — the production writer
+    closing the round trip (``msg_to_text(write_msg(...))`` recovers the
+    fields; pinned by test). Property streams carry exactly the fields
+    the extractor reads; the fixed-width property stream is a minimal
+    valid header (counts only — enough for every reader that, like this
+    module, walks the named streams)."""
+    import struct
+
+    from .cfb import write_cfb
+
+    def u(prop: str, s: str) -> tuple:
+        return f"__substg1.0_{prop}{_T_UNICODE}", s.encode("utf-16-le")
+
+    streams: dict = dict(
+        [u(_P_SUBJECT, subject), u(_P_SENDER_NAME, sender), u(_P_BODY, body)]
+    )
+    # top-level fixed header: reserved(8) + nextRecipId + nextAttachId +
+    # recipCount + attachCount + reserved(8) (MS-OXMSG §2.4.1)
+    streams["__properties_version1.0"] = (
+        b"\x00" * 8
+        + struct.pack("<IIII", len(recipients), attachments,
+                      len(recipients), attachments)
+        + b"\x00" * 8
+    )
+    for i, name in enumerate(recipients):
+        base = f"{_RECIP_PREFIX}{i:08X}"
+        k, v = u(_P_DISPLAY_NAME, name)
+        streams[f"{base}/{k}"] = v
+        streams[f"{base}/__properties_version1.0"] = b"\x00" * 8
+    for i in range(attachments):
+        base = f"{_ATTACH_PREFIX}{i:08X}"
+        k, v = u(_P_ATTACH_LONG_NAME, f"att{i}.bin")
+        streams[f"{base}/{k}"] = v
+        streams[f"{base}/__properties_version1.0"] = b"\x00" * 8
+    return write_cfb(streams)

@@ -496,10 +496,34 @@ def test_write_cfb_guards():
 
     with pytest.raises(ValueError, match="invalid"):
         write_cfb({"": b"x"})
-    with pytest.raises(ValueError, match="nested storage"):
-        write_cfb({"a/b": b"x"})
+    # r15: nested paths are supported; their GUARDS are new — an empty
+    # segment, a path through a stream, and a storage/stream collision
+    with pytest.raises(ValueError, match="invalid"):
+        write_cfb({"a//b": b"x"})
+    with pytest.raises(ValueError, match="crosses the stream"):
+        write_cfb({"a": b"x", "a/b": b"y"})
+    with pytest.raises(ValueError, match="collides"):
+        write_cfb({"a/b": b"x", "a": b"y"})
     with pytest.raises(ValueError, match="109 header-DIFAT cap"):
         write_cfb({"huge": b"\x00" * (8 << 20)})
+
+
+def test_write_cfb_nested_storages_round_trip():
+    """r15: '/'-separated paths create real storages; the reader's tree
+    walk recovers every stream byte-exactly and the storages exist."""
+    from hbase_observer_es_spark.operators.cfb import parse_cfb, write_cfb
+
+    streams = {
+        "top": b"hello" * 300,
+        "stor/leaf1": b"a" * 10,
+        "stor/leaf2": b"b" * 5000,  # big stream inside a storage
+        "a/b/c": b"deep",
+    }
+    cfb = parse_cfb(write_cfb(streams))
+    got = {e.path: cfb.read_stream(e.path) for e in cfb.entries if e.type == 2}
+    assert got == streams
+    assert {e.path for e in cfb.entries if e.type == 1} == {"stor", "a", "a/b"}
+    assert write_cfb(streams) == write_cfb(streams)  # deterministic
 
 
 def test_write_doc_round_trip():

@@ -1,0 +1,98 @@
+"""MS-OXMSG (.msg) extraction — fixtures are real compound files built
+with the production nested-storage writer (and, for the refusal cases,
+hand-tweaked streams), per the codec pinning discipline."""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_observer_es_spark.operators.cfb import parse_cfb, write_cfb
+from hbase_observer_es_spark.operators.msg_text import (
+    msg_meta,
+    msg_to_text,
+    write_msg,
+)
+
+
+def test_round_trip_fields():
+    data = write_msg(
+        "Quarterly numbers",
+        "Ana Ruiz",
+        ["Bob Lee", "Cécile D."],
+        "Hi all,\nnumbers attached.",
+        attachments=2,
+    )
+    text = msg_to_text(data, "t")
+    assert text == (
+        "Quarterly numbers\nAna Ruiz\nBob Lee\nCécile D.\n"
+        "Hi all,\nnumbers attached."
+    )
+    m = msg_meta(data, "t")
+    assert (m["n_recipients"], m["n_attachments"]) == (2, 2)
+    assert m["n_chars"] == len(text)
+    assert write_msg("a", "b", ["c"], "d") == write_msg("a", "b", ["c"], "d")
+
+
+def test_recipients_keep_index_order():
+    data = write_msg("s", "me", [f"r{i}" for i in range(12)], "b")
+    lines = msg_to_text(data, "t").split("\n")
+    assert lines[2:14] == [f"r{i}" for i in range(12)]
+
+
+def test_census_routes_msg_as_message():
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    data = write_msg("subj", "me", ["you"], "body", attachments=1)
+    row = classify_media(data, "t")
+    assert (row["family"], row["format"], row["n_frames"]) == (
+        "message", "msg", 1,
+    )
+    assert "1 recipients, 1 attachments" in row["detail"]
+
+
+def test_ansi_string8_refuses_by_name():
+    streams = {
+        "__properties_version1.0": b"\x00" * 24,
+        "__substg1.0_1000001E": b"ansi body",
+    }
+    with pytest.raises(NotImplementedError, match="PtypString8"):
+        msg_to_text(write_cfb(streams), "t")
+
+
+def test_rtf_only_body_refuses_by_name():
+    streams = {
+        "__properties_version1.0": b"\x00" * 24,
+        "__substg1.0_0037001F": "s".encode("utf-16-le"),
+        "__substg1.0_10090102": b"\x01\x02\x03",
+    }
+    with pytest.raises(NotImplementedError, match="RTF-compressed"):
+        msg_to_text(write_cfb(streams), "t")
+
+
+def test_malformed_unicode_refuses_with_offsets():
+    # odd-length UTF-16 property
+    streams = {
+        "__properties_version1.0": b"\x00" * 24,
+        "__substg1.0_0037001F": b"abc",
+    }
+    with pytest.raises(ValueError, match="odd byte length 3"):
+        msg_to_text(write_cfb(streams), "t")
+    # unpaired surrogate
+    streams["__substg1.0_0037001F"] = b"\x00\xd8"
+    with pytest.raises(ValueError, match="not valid UTF-16LE"):
+        msg_to_text(write_cfb(streams), "t")
+    # not a .msg at all
+    with pytest.raises(ValueError, match="not an MS-OXMSG"):
+        msg_to_text(write_cfb({"whatever": b"x"}), "t")
+
+
+def test_doc_meta_and_subformat_route_msg():
+    from hbase_observer_es_spark.operators.cfb import cfb_subformat
+    from hbase_observer_es_spark.operators.doc_text import doc_meta, doc_to_text
+
+    data = write_msg("subj", "me", ["you"], "body")
+    assert cfb_subformat(parse_cfb(data)) == "msg"
+    m = doc_meta(data, "t")
+    assert m["subformat"] == "msg" and m["n_chars"] > 0
+    with pytest.raises(ValueError, match="route it\nto msg_text|route it"):
+        doc_to_text(data, "t")
