@@ -415,14 +415,24 @@ def _collate(name: str) -> tuple:
     non-BMP character is two code units, and uppercase comparison runs
     over the code-unit sequence), so strict external readers doing the
     spec's tree binary-search agree with our ordering (ADVICE r14).
-    The comparison key is the BIG-endian encoding: UTF-16-BE byte order
-    IS code-unit lexicographic order, while comparing the file's own
-    little-endian bytes would rank by low byte first (U+0100 before
-    U+00FF — wrong)."""
-    return (
-        len(name.encode("utf-16-le")) // 2,
-        name.upper().encode("utf-16-be"),
-    )
+    Uppercasing is PER CODE UNIT (the spec's mapping is a per-character
+    table): Python's full case mapping would expand e.g. U+00DF to "SS"
+    and change the unit sequence AND length, so a unit whose uppercase
+    is not a single BMP unit keeps its own value; surrogate halves pass
+    through. The comparison key is the BIG-endian encoding: UTF-16-BE
+    byte order IS code-unit lexicographic order, while comparing the
+    file's own little-endian bytes would rank by low byte first
+    (U+0100 before U+00FF — wrong)."""
+    le = name.encode("utf-16-le")
+    key = bytearray()
+    for i in range(0, len(le), 2):
+        u = le[i] | (le[i + 1] << 8)
+        if not 0xD800 <= u <= 0xDFFF:
+            up = chr(u).upper()
+            if len(up) == 1 and ord(up) < 0x10000:
+                u = ord(up)
+        key += u.to_bytes(2, "big")
+    return (len(le) // 2, bytes(key))
 
 
 def _balanced(ids: list) -> tuple:
@@ -631,6 +641,12 @@ def cfb_subformat(cfb: CfbFile) -> str:
         return "xls"
     if "PowerPoint Document" in names:
         return "ppt"
-    if "__properties_version1.0" in names:
+    # ROOT-level marker only: an embedded Outlook item nested inside a
+    # generic container is not extractable as the container's subformat
+    # (msg_text.looks_like_msg applies the same root check)
+    if any(
+        e.type == 2 and e.path == "__properties_version1.0"
+        for e in cfb.entries
+    ):
         return "msg"
     return "cfb"

@@ -661,3 +661,34 @@ def test_cfb_collation_is_utf16_code_unit_order():
     }
     got = parse_cfb(write_cfb(streams))
     assert {n: got.read_stream(n) for n in streams} == streams
+
+
+def test_cfb_collation_is_per_code_unit_uppercase():
+    """Review r15: Python's FULL case mapping ('ß' -> 'SS') would change
+    the unit sequence and length; MS-CFB uppercases PER CODE UNIT, so a
+    unit whose uppercase is not one BMP unit keeps its value."""
+    from hbase_observer_es_spark.operators.cfb import _collate, parse_cfb, write_cfb
+
+    lw, key = _collate("ß")
+    assert lw == 1 and key == (0x00DF).to_bytes(2, "big")  # NOT b'\x00S\x00S'
+    # 'a' uppercases to 'A' (0x41) < 'ß' (0xDF): per-unit order holds
+    assert sorted(["ß", "a"], key=_collate) == ["a", "ß"]
+    streams = {"ß": b"sharp", "a": b"plain"}
+    got = parse_cfb(write_cfb(streams))
+    assert {n: got.read_stream(n) for n in streams} == streams
+
+
+def test_cfb_subformat_msg_marker_is_root_only():
+    """Review r15: an embedded Outlook item nested in a generic container
+    must NOT classify the container as msg — the extractor requires the
+    root marker, and the census would fold the mismatch to error."""
+    from hbase_observer_es_spark.operators.cfb import cfb_subformat, parse_cfb, write_cfb
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    data = write_cfb({
+        "SomeData": b"x" * 40,
+        "embedded/__properties_version1.0": b"\x00" * 24,
+    })
+    assert cfb_subformat(parse_cfb(data)) == "cfb"
+    row = classify_media(data, "t")
+    assert (row["family"], row["format"]) == ("document", "cfb")

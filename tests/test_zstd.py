@@ -198,3 +198,89 @@ def test_round_trip_property_arbitrary_bytes(data):
 def test_round_trip_property_compressible(runs, level):
     data = b"".join(chunk * n for chunk, n in runs)
     assert decompress_zstd(_z(data, level), max_output=1 << 22) == data
+
+
+# ------------------------------------------- review-batch regressions (r15)
+
+def _backstream(bits: str) -> bytes:
+    """Backward bitstream: sentinel 1 then `bits` read MSB-first."""
+    v = int("1" + bits, 2)
+    return v.to_bytes((v.bit_length() + 7) // 8, "little")
+
+
+def test_sequence_expansion_budget_checked_before_copy():
+    """A block whose SEQUENCES expand to far beyond the block maximum
+    must raise from the pre-copy closed-form check (sum of match
+    lengths), never materialize gigabytes first. RLE tables: ll=0,
+    of_code=3 (+3 bits -> offset 8), ml_code=52 (+16 bits -> ~131KB per
+    sequence), 200 sequences ~ 26 MB >> the 1 KiB window block max."""
+    nseq = 200
+    seq_bits = ("011" + "1" * 16) * nseq  # of extra=0b011, ml extra=0xFFFF
+    bitstream = _backstream(seq_bits)
+    body = (
+        b"\x00"  # literals: raw, regenerated size 0
+        + bytes([0x80 + (nseq >> 8), nseq & 0xFF])  # 2-byte sequence count
+        + bytes([0x54])  # LL/OF/ML all RLE mode
+        + bytes([0, 3, 52])  # RLE symbols
+        + bitstream
+    )
+    payload = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x00, 0x00])  # fhd: window descriptor follows; wlog 10
+        + bytes([0 | (8 << 3), 0, 0]) + b"abcdefgh"  # raw block: history
+        + (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        + body
+    )
+    with pytest.raises(ValueError, match="block maximum"):
+        decompress_zstd(payload, max_output=1 << 26)
+
+
+def test_match_cannot_reach_into_previous_frame():
+    """Frames are independent: a second frame whose first sequence's
+    offset reaches into frame 1's output is corrupt, not history."""
+    frame1 = _frame(0x20, bytes([4]) + bytes([1 | (4 << 3), 0, 0]) + b"ABCD")
+    seq_bits = "11"  # of extra bits for of_code=2 -> ofv=4+3=7 -> offset 4
+    bitstream = _backstream(seq_bits)
+    body = (
+        b"\x00"  # literals: raw, 0 bytes
+        + bytes([1])  # one sequence
+        + bytes([0x54])  # all RLE
+        + bytes([0, 2, 0])  # ll=0, of_code=2, ml_code=0 (ml=3)
+        + bitstream
+    )
+    frame2 = _frame(
+        0x00,
+        bytes([0x00])
+        + (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        + body,
+    )
+    with pytest.raises(ValueError, match="frame history"):
+        decompress_zstd(frame1 + frame2)
+
+
+def test_fse_zero_run_is_capped_inside_the_repeat_loop():
+    """A 64 KiB run of 0b11 repeat groups must raise at the symbol cap,
+    not build a multi-million-entry list first."""
+    from hbase_observer_es_spark.operators.zstd import _FwdBits, _fse_read_dist
+
+    # LSB-first: 4 bits AL=0 (-> 5), 5-bit probability value 1 (-> p=0),
+    # then endless 0b11 repeat groups
+    data = b"\x10\xfe" + b"\xff" * 65536
+    with pytest.raises(ValueError, match="more than 36 symbols"):
+        _fse_read_dist(_FwdBits(data, 0), 9, 35, "t")
+
+
+def test_huffman_stream_with_phantom_padding_bits_refuses():
+    """A final symbol that consumed past the sentinel (zero-padded
+    phantom bits) is corrupt even when the symbol count matches."""
+    from hbase_observer_es_spark.operators.zstd import (
+        _huf_build,
+        _huf_decode_stream,
+    )
+
+    table, log = _huf_build([2, 1], "t", 0)  # implicit third weight 1
+    assert log == 2
+    # stream b'\x02': sentinel at bit 1, ONE real bit (0); peeking 2 bits
+    # pads a phantom zero and selects a 2-bit symbol
+    with pytest.raises(ValueError, match="phantom bits"):
+        _huf_decode_stream(table, log, b"\x02", 1, "t", 0)

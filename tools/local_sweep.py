@@ -82,9 +82,9 @@ def run_pass(spark, sf_dir: str, queries, oracles, pandas_mode: bool = False) ->
                     ok, detail, mode = res.ok, res.detail, "oracle"
                     rows = res.row_count_spark
                     if pandas_mode and ok:
-                        res2 = compare_pandas(
-                            name, queries[name](spark, sf_dir), con, oracles[name]
-                        )
+                        # reuse the SAME DataFrame: toPandas re-executes
+                        # the job (unavoidable) but not a rebuilt plan
+                        res2 = compare_pandas(name, df, con, oracles[name])
                         pandas_ok = res2.ok
                         if not res2.ok:
                             ok, detail = False, f"pandas-parity: {res2.detail}"
