@@ -41,6 +41,12 @@ validation. Throughput MEASURED on this host: ~265 MB/s decompressed
 slower than the bundled native libzstd — acceptable for a per-shard
 ingest stage and not worth a dual code path.
 
+The round trip closes from BOTH sides (the repo codec convention):
+the decoder is pinned by pyarrow's libzstd as the independent encoder,
+and :func:`compress_zstd` — a deterministic STORE/RLE-mode encoder —
+is pinned by pyarrow's libzstd as the independent DECODER, so either
+direction's drift from the spec fails a cross-implementation test.
+
 Reference parity: none — the reference (HBase→ES CDC glue) has no
 archive ingest at all; this is builder-brief dataset-pipeline surface
 (SURVEY §2-D).
@@ -1019,3 +1025,77 @@ def _decode_frame(payload, pos, out, origin, max_output):
             )
         pos += 4
     return pos
+
+
+# -------------------------------------------------------------- encoder
+
+
+def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
+    """Deterministic STORE-mode zstd frame — the production writer
+    closing the round trip from the other side (the decoder above is
+    pinned by an independent encoder; this encoder is pinned by an
+    independent DECODER, pyarrow's libzstd, plus our own).
+
+    Spec-valid by construction, no entropy coding: the payload is cut
+    into raw blocks (≤128 KiB) with maximal single-byte runs (≥32 bytes)
+    emitted as RLE blocks — the dataset-export use case is "make this
+    tar shard a legal .tar.zst", not ratio. Single-segment frame with
+    the exact Frame_Content_Size and (by default) the XXH64 content
+    checksum, so readers get end-to-end integrity."""
+    n = len(data)
+    if n < 256:
+        fhd, fcs = 0x20, bytes([n])
+    elif n <= 65535 + 256:
+        fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fhd, fcs = 0xA0, n.to_bytes(4, "little")
+    else:
+        fhd, fcs = 0xE0, n.to_bytes(8, "little")
+    if checksum:
+        fhd |= 0x04
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += fcs
+
+    def block(btype: int, size: int, last: bool) -> bytes:
+        return ((1 if last else 0) | (btype << 1) | (size << 3)).to_bytes(
+            3, "little"
+        )
+
+    blocks = []
+    i = 0
+    while i < n:
+        b = data[i]
+        run = 1
+        cap = min(n - i, _BLOCK_MAX)
+        while run < cap and data[i + run] == b:
+            run += 1
+        if run >= 32:
+            blocks.append(("rle", i, run))
+            i += run
+        else:
+            # extend a raw block to the next long run or the cap
+            j = i + run
+            while j < i + cap:
+                b = data[j]
+                r = 1
+                while j + r < i + cap and r < 32 and data[j + r] == b:
+                    r += 1
+                if r >= 32:
+                    break
+                j += r
+            blocks.append(("raw", i, j - i))
+            i = j
+    if not blocks:
+        blocks.append(("raw", 0, 0))
+    for k, (kind, off, sz) in enumerate(blocks):
+        last = k == len(blocks) - 1
+        if kind == "rle":
+            out += block(1, sz, last)
+            out.append(data[off])
+        else:
+            out += block(0, sz, last)
+            out += data[off : off + sz]
+    if checksum:
+        out += (_xxh64(bytes(data)) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -284,3 +284,43 @@ def test_huffman_stream_with_phantom_padding_bits_refuses():
     # pads a phantom zero and selects a 2-bit symbol
     with pytest.raises(ValueError, match="phantom bits"):
         _huf_decode_stream(table, log, b"\x02", 1, "t", 0)
+
+
+# ------------------------------------------------------- encoder (r15)
+
+def test_store_encoder_round_trips_both_decoders():
+    """compress_zstd is pinned by an INDEPENDENT decoder (pyarrow's
+    libzstd) and by our own; deterministic; checksum verified."""
+    from hbase_observer_es_spark.operators.zstd import compress_zstd
+
+    cases = [
+        b"", b"x", b"a" * 100_000,
+        bytes(_RNG.randrange(256) for _ in range(300_000)),
+        b"ab" + b"z" * 500 + b"tail",
+        b"run" * 10 + bytes(200),
+        b"q" * 300,  # 256..65791 FCS form
+    ]
+    for data in cases:
+        c = compress_zstd(data)
+        assert decompress_zstd(c, max_output=1 << 22) == data
+        assert pa.Codec("zstd").decompress(
+            c, decompressed_size=len(data), asbytes=True
+        ) == data
+        assert compress_zstd(data) == c
+    # checksum is real: flip a content byte in a raw block
+    c = bytearray(compress_zstd(b"hello world, checked"))
+    c[-6] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        decompress_zstd(bytes(c))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=300_000))
+def test_store_encoder_round_trip_property(data):
+    from hbase_observer_es_spark.operators.zstd import compress_zstd
+
+    c = compress_zstd(data)
+    assert decompress_zstd(c, max_output=1 << 20) == data
+    assert pa.Codec("zstd").decompress(
+        c, decompressed_size=len(data), asbytes=True
+    ) == data
