@@ -183,6 +183,10 @@ def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
     # doc — ADVICE r14, reproduced in tests/test_ngramlm.py). The union
     # adds only vocab-sized rows; the global window still collapses only
     # the vocab-sized lookup (the drift.py posture), never the corpus.
+    # PLAN_DIFF r15 flags this plan "exchanges_up 9->10": the extra
+    # exchange is the uni re-computation feeding the union — VOCAB-sized,
+    # the deliberate price of the correctness fix; every corpus-sized
+    # stage is unchanged.
     from pyspark.sql import Window
 
     lookup = (

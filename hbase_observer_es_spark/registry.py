@@ -84,66 +84,29 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 14 inputs: CORRECTNESS_r01-r13 + git round boundaries; four new
-# registrations lead as never-checked (q_lm_surprisal, q_quality_classify
-# with frozen literal weights, and the corpus-drift pair held since r11).
-# The round's registered-closure edits: webpanim.py (the frame-cap
-# advisory fix) puts q_mm_decode/q_mm_resize in tier 1.2. The r9
-# evidence band rotates through the remaining window.
+# Round 15 inputs: CORRECTNESS_r01-r14 + git round boundaries. Tier 0:
+# the four r15 registrations (q_text_entropy, q_win_firstlast, and the
+# mixture pair — the held queue is now EMPTY) plus the corpus-drift pair,
+# which the rotation treats as never-green (their r14 driver check was
+# hash-RED on the DECIMAL canonicalization; the BIGINT fix lands this
+# round and needs fresh driver evidence). Tier 1: q_lm_surprisal (the
+# ADVICE vocab fix edited its own fn) and q_mm_decode/q_mm_resize
+# (tiff.py gained tiled fax/JPEG in their import closure). The r10
+# evidence band (26 queries) heads the low-risk window behind them.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_lm_surprisal",  # never checked
-    "q_quality_classify",  # never checked
+    "q_text_entropy",  # never checked
+    "q_win_firstlast",  # never checked
     "q_corpus_drift",  # never checked
     "q_corpus_drift_tv",  # never checked
+    "q_mix_select",  # never checked
+    "q_mix_realize",  # never checked
+    # tier 1.0: own fn edited after last green check
+    "q_lm_surprisal",  # green r14, hbase_observer_es_spark/operators/ngramlm.py fn edited r15
     # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_mm_decode",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14
-    "q_mm_resize",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14
+    "q_mm_decode",  # green r14, hbase_observer_es_spark/operators/tiff.py import edited r15
+    "q_mm_resize",  # green r14, hbase_observer_es_spark/operators/tiff.py import edited r15
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_udf_scalar",  # green r9
-    "q_udf_grouped",  # green r9
-    "q_agg_groupingsets",  # green r9
-    "q_agg_percentile",  # green r9
-    "q_subquery_scalar",  # green r9
-    "q_win_rangeframe",  # green r9
-    "q_page_keyset",  # green r9
-    "q_agg_histogram",  # green r9
-    "q_agg_stats",  # green r9
-    "q_geo_shape_relation",  # green r9
-    "q_scan_project",  # green r9
-    "q_filter_pred",  # green r9
-    "q_join_inner",  # green r9
-    "q_agg_multiterms",  # green r9
-    "q_agg_stringstats",  # green r9
-    "q_agg_matrixstats",  # green r9
-    "q_agg_geocentroid",  # green r9
-    "q_agg_bucketstats",  # green r9
-    "q_agg_scripted",  # green r9
-    "q_agg_bucket_script",  # green r9
-    "q_agg_boxplot",  # green r9
-    "q_search_querystring",  # green r9
-    "q_win_ntile",  # green r9
-    "q_pivot",  # green r9
-    "q_ann_recall",  # green r9
-    "q_graph_pagerank",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11, closure AST-unchanged
-    "q_graph_copurchase",  # green r10, hbase_observer_es_spark/operators/graph.py file edited r11, closure AST-unchanged
-    "q_search_phrase_prefix",  # green r10
-    "q_search_wildcard",  # green r10
-    "q_search_regexp",  # green r10
-    "q_join_bucketed",  # green r10
-    "q_agg_pct_sketch",  # green r10
-    "q_agg_datehist",  # green r10
-    "q_agg_composite",  # green r10
-    "q_agg_filters",  # green r10
-    "q_nested_exists",  # green r10
-    "q_agg_sampler",  # green r10
-    "q_agg_normalize",  # green r10
-    "q_agg_geobounds",  # green r10
-    "q_agg_topmetrics",  # green r10
-    "q_agg_serialdiff",  # green r10
-    "q_agg_cumcard",  # green r10
-    "q_agg_pctbucket",  # green r10
-    "q_agg_mad",  # green r10
     "q_agg_rate",  # green r10
     "q_agg_daterange",  # green r10
     "q_agg_movfn",  # green r10
@@ -199,27 +162,39 @@ _PRIORITY = (
     "q_agg_geoline",  # green r11
     "q_graph_components",  # green r11
     "q_embed_pq",  # green r11
+    "q_text_tokens",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_text_lang",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_text_langid",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_text_quality",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_text_tokcount",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_text_fingerprint",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_pipeline_corpus",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_sample_stratified",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_decontaminate",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_mixture_weights",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_text_pack",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_sample_diversified",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_exact",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_jaccard",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_minhash",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_simhash",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_simhash_near",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_clusters",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_text_ngram_rep",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_text_unigram",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_text_boilerplate",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_text_pack_sharded",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_incremental_unseen",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_dedup_lsh_recall",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
     "q_search_bm25",  # green r12
     "q_search_phrase",  # green r12
     "q_search_fuzzy",  # green r12
     "q_search_mlt",  # green r12
     "q_search_sigterms",  # green r12
     "q_scan_pruned",  # green r12
-    "q_pipeline_corpus",  # green r12
-    "q_sample_stratified",  # green r12
-    "q_decontaminate",  # green r12
-    "q_mixture_weights",  # green r12
-    "q_text_pack",  # green r12
-    "q_sample_diversified",  # green r12
     "s_win_tumbling",  # green r12
     "s_win_sliding",  # green r12
     "s_win_session",  # green r12
-    "q_dedup_exact",  # green r12
-    "q_dedup_jaccard",  # green r12
-    "q_dedup_minhash",  # green r12
-    "q_dedup_simhash",  # green r12
-    "q_dedup_simhash_near",  # green r12
-    "q_dedup_clusters",  # green r12
     "q_agg_terms_other",  # green r12
     "q_agg_range",  # green r12
     "q_agg_tophits",  # green r12
@@ -229,24 +204,14 @@ _PRIORITY = (
     "q_union",  # green r12
     "q_intersect",  # green r12
     "q_except",  # green r12
-    "q_text_tokens",  # green r12
-    "q_text_lang",  # green r12
-    "q_text_langid",  # green r12
-    "q_text_quality",  # green r12
-    "q_text_tokcount",  # green r12
-    "q_text_fingerprint",  # green r12
     "q_agg_ttest",  # green r12
     "q_search_terms_set",  # green r12
     "q_text_gopher",  # green r12
-    "q_text_ngram_rep",  # green r12
-    "q_text_unigram",  # green r12
-    "q_text_boilerplate",  # green r12
-    "q_text_pack_sharded",  # green r12
-    "q_incremental_unseen",  # green r12
-    "q_dedup_lsh_recall",  # green r12
     "q_zorder_cells",  # green r12
-    "q_mm_meta",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14, closure AST-unchanged
-    "q_mm_framesample",  # green r13, hbase_observer_es_spark/operators/webpanim.py import edited r14, closure AST-unchanged
+    "q_text_chunk",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_text_topword",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
+    "q_mm_meta",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r15, closure AST-unchanged
+    "q_mm_framesample",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r15, closure AST-unchanged
     "q_sim_knn",  # green r13
     "q_sim_pairs",  # green r13
     "q_sim_ivf",  # green r13
@@ -279,8 +244,6 @@ _PRIORITY = (
     "q_cdc_tombstone",  # green r13
     "q_cell_pivot",  # green r13
     "q_cdc_doc_merge",  # green r13
-    "q_text_chunk",  # green r13
-    "q_text_topword",  # green r13
     "s_pii_stream",  # green r13
     "q_search_bm25_ln",  # rows-only r13
     "q_search_mlt_ln",  # rows-only r13
@@ -293,6 +256,51 @@ _PRIORITY = (
     "q_search_range_relation",  # green r13
     "q_profile_stats",  # green r13
     "q_profile_topvals",  # green r13
+    "q_win_ntile",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15, closure AST-unchanged
+    "q_pivot",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15, closure AST-unchanged
+    "q_quality_classify",  # green r14, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
+    "q_search_phrase_prefix",  # green r14
+    "q_search_wildcard",  # green r14
+    "q_search_regexp",  # green r14
+    "q_join_bucketed",  # green r14
+    "q_udf_scalar",  # green r14
+    "q_udf_grouped",  # green r14
+    "q_agg_groupingsets",  # green r14
+    "q_agg_percentile",  # green r14
+    "q_agg_pct_sketch",  # green r14
+    "q_agg_datehist",  # green r14
+    "q_agg_composite",  # green r14
+    "q_agg_filters",  # green r14
+    "q_subquery_scalar",  # green r14
+    "q_win_rangeframe",  # green r14
+    "q_page_keyset",  # green r14
+    "q_agg_histogram",  # green r14
+    "q_agg_stats",  # green r14
+    "q_nested_exists",  # green r14
+    "q_geo_shape_relation",  # green r14
+    "q_scan_project",  # green r14
+    "q_filter_pred",  # green r14
+    "q_join_inner",  # green r14
+    "q_agg_multiterms",  # green r14
+    "q_agg_stringstats",  # green r14
+    "q_agg_matrixstats",  # green r14
+    "q_agg_geocentroid",  # green r14
+    "q_agg_bucketstats",  # green r14
+    "q_agg_scripted",  # green r14
+    "q_agg_sampler",  # green r14
+    "q_agg_normalize",  # green r14
+    "q_agg_bucket_script",  # green r14
+    "q_agg_geobounds",  # green r14
+    "q_agg_topmetrics",  # green r14
+    "q_agg_serialdiff",  # green r14
+    "q_agg_cumcard",  # green r14
+    "q_agg_pctbucket",  # green r14
+    "q_agg_boxplot",  # green r14
+    "q_agg_mad",  # green r14
+    "q_search_querystring",  # green r14
+    "q_ann_recall",  # green r14
+    "q_graph_pagerank",  # green r14
+    "q_graph_copurchase",  # green r14
 )
 
 
