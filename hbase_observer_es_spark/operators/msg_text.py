@@ -22,11 +22,15 @@ Text path (the fields a curation pipeline wants):
 
 String properties decode from type ``001F`` (UTF-16LE, strict — odd
 lengths and unpaired surrogates name their offset). Type ``001E``
-(PtypString8, the ANSI form whose codepage hides in the property
-stream's store-level properties) REFUSES BY NAME — modern Outlook
-stores write unicode, and guessing a codepage would violate the strict-
-decode contract. RTF-compressed bodies (``0x1009``, the LZFu format)
-also refuse by name when no plain-text body accompanies them.
+(PtypString8, the ANSI form) decodes since the r15 review pass WHEN the
+top-level fixed-width ``__properties_version1.0`` stream declares the
+codepage — ``PidTagMessageCodepage`` (``0x3FFD``, PtypInteger32) or
+``PidTagInternetCodepage`` (``0x3FDE``) — strictly in that codepage
+(the xls_text discipline: unknown codepages and undecodable bytes
+refuse naming the codec). An ANSI string with NO declared codepage
+still REFUSES BY NAME — guessing would violate the strict-decode
+contract. RTF-compressed bodies (``0x1009``, the LZFu format) also
+refuse by name when no plain-text body accompanies them.
 
 Guards: stream names and sizes are attacker data (the CFB layer already
 bounds sectors); this layer validates UTF-16 parity and surfaces
@@ -57,6 +61,44 @@ _P_ATTACH_LONG_NAME = "3707"
 _RECIP_PREFIX = "__recip_version1.0_#"
 _ATTACH_PREFIX = "__attach_version1.0_#"
 
+# PtypInteger32 property tags that declare the ANSI-string codepage
+# (MS-OXPROPS): PidTagMessageCodepage wins over PidTagInternetCodepage
+_TAG_MESSAGE_CP = 0x3FFD0003
+_TAG_INTERNET_CP = 0x3FDE0003
+
+
+def _declared_codepage(cfb: CfbFile, origin: str) -> str | None:
+    """Codec name from the top-level fixed-width property stream, or
+    None. The stream is a 32-byte header (top level) then 16-byte
+    entries: tag(4) + flags(4) + value(8) — PtypInteger32 values sit in
+    the low 4 bytes (MS-OXMSG §2.4)."""
+    import codecs
+    import struct
+
+    try:
+        raw = cfb.read_stream("__properties_version1.0")
+    except ValueError:
+        return None
+    cp = None
+    for off in range(32, len(raw) - 15, 16):
+        (tag,) = struct.unpack_from("<I", raw, off)
+        if tag == _TAG_MESSAGE_CP:
+            (cp,) = struct.unpack_from("<I", raw, off + 8)
+            break  # the message codepage is authoritative
+        if tag == _TAG_INTERNET_CP and cp is None:
+            (cp,) = struct.unpack_from("<I", raw, off + 8)
+    if not cp:
+        return None
+    name = f"cp{cp}"
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        raise NotImplementedError(
+            f"msg {origin}: declared codepage {cp} has no decoder here — "
+            "not implemented"
+        ) from None
+    return name
+
 
 def looks_like_msg(cfb: CfbFile) -> bool:
     """MS-OXMSG marker: the fixed-width property stream at the root (the
@@ -67,22 +109,34 @@ def looks_like_msg(cfb: CfbFile) -> bool:
     )
 
 
-def _read_unicode(cfb: CfbFile, base: str, prop: str, origin: str) -> str | None:
+def _read_unicode(
+    cfb: CfbFile, base: str, prop: str, origin: str, codec: str | None = None
+) -> str | None:
     """Property ``prop`` under ``base`` (empty = root): the ``001F``
-    stream decoded strictly; None when absent; the ``001E`` twin refuses
-    by name (module docstring)."""
+    stream decoded strictly; None when absent. A ``001E`` (ANSI) twin
+    decodes strictly in the message's DECLARED codepage when the
+    property stream carries one (``codec``), else refuses by name."""
     prefix = f"{base}/" if base else ""
     name8 = f"{prefix}__substg1.0_{prop}{_T_STRING8}"
     try:
-        cfb.read_stream(name8)
+        raw8 = cfb.read_stream(name8)
     except ValueError:
-        pass
-    else:
-        raise NotImplementedError(
-            f"msg {origin}: property {prop} is an ANSI string "
-            "(PtypString8) — codepage resolution is not implemented; "
-            "unicode .msg files decode (refused by name)"
-        )
+        raw8 = None
+    if raw8 is not None:
+        if codec is None:
+            raise NotImplementedError(
+                f"msg {origin}: property {prop} is an ANSI string "
+                "(PtypString8) and the property stream declares no "
+                "codepage (PidTagMessageCodepage/PidTagInternetCodepage)"
+                " — refusing rather than guessing"
+            )
+        try:
+            return raw8.decode(codec).rstrip("\x00")
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                f"msg {origin}: ANSI property {prop} byte {exc.start} "
+                f"({raw8[exc.start]:#04x}) not decodable as {codec}"
+            ) from None
     name = f"{prefix}__substg1.0_{prop}{_T_UNICODE}"
     try:
         raw = cfb.read_stream(name)
@@ -128,19 +182,20 @@ def _extract(cfb: CfbFile, origin: str) -> tuple:
             f"msg {origin}: compound file has no __properties_version1.0 "
             "stream (not an MS-OXMSG message)"
         )
+    codec = _declared_codepage(cfb, origin)
     lines = []
-    subject = _read_unicode(cfb, "", _P_SUBJECT, origin)
+    subject = _read_unicode(cfb, "", _P_SUBJECT, origin, codec)
     if subject:
         lines.append(subject)
-    sender = _read_unicode(cfb, "", _P_SENDER_NAME, origin)
+    sender = _read_unicode(cfb, "", _P_SENDER_NAME, origin, codec)
     if sender:
         lines.append(sender)
     recips = _substorages(cfb, _RECIP_PREFIX)
     for r in recips:
-        dn = _read_unicode(cfb, r, _P_DISPLAY_NAME, origin)
+        dn = _read_unicode(cfb, r, _P_DISPLAY_NAME, origin, codec)
         if dn:
             lines.append(dn)
-    body = _read_unicode(cfb, "", _P_BODY, origin)
+    body = _read_unicode(cfb, "", _P_BODY, origin, codec)
     if body is None:
         # an RTF-only body must be loud, not silently empty
         has_rtf = any(

@@ -692,3 +692,39 @@ def test_cfb_subformat_msg_marker_is_root_only():
     assert cfb_subformat(parse_cfb(data)) == "cfb"
     row = classify_media(data, "t")
     assert (row["family"], row["format"]) == ("document", "cfb")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_seg = st.text(
+    alphabet=st.characters(min_codepoint=48, max_codepoint=122), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.lists(_seg, min_size=1, max_size=3).map(lambda p: "/".join(p)),
+        st.binary(min_size=0, max_size=6000),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_write_cfb_nested_round_trip_property(streams):
+    """r15 writer property: arbitrary path trees round-trip byte-exactly
+    through write_cfb/parse_cfb (prefix-collision inputs are rejected by
+    the writer's own guards and skipped here)."""
+    from hbase_observer_es_spark.operators.cfb import parse_cfb, write_cfb
+
+    # drop inputs where one path is a prefix-storage of another's stream
+    paths = set(streams)
+    for p in paths:
+        parts = p.split("/")
+        for i in range(1, len(parts)):
+            if "/".join(parts[:i]) in paths:
+                return  # writer rejects these loudly; guard-tested elsewhere
+    cfb = parse_cfb(write_cfb(streams))
+    got = {e.path: cfb.read_stream(e.path) for e in cfb.entries if e.type == 2}
+    assert got == streams

@@ -96,3 +96,39 @@ def test_doc_meta_and_subformat_route_msg():
     assert m["subformat"] == "msg" and m["n_chars"] > 0
     with pytest.raises(ValueError, match="route it\nto msg_text|route it"):
         doc_to_text(data, "t")
+
+
+def _props_with_cp(cp: int, tag: int = 0x3FFD0003) -> bytes:
+    import struct
+
+    return b"\x00" * 32 + struct.pack("<IIQ", tag, 0, cp)
+
+
+def test_ansi_strings_decode_with_declared_codepage():
+    """r15 review pass: PtypString8 decodes strictly in the codepage the
+    property stream declares (PidTagMessageCodepage here)."""
+    streams = {
+        "__properties_version1.0": _props_with_cp(1251),
+        "__substg1.0_0037001E": "тема".encode("cp1251"),
+        "__substg1.0_1000001E": "привет мир".encode("cp1251"),
+    }
+    assert msg_to_text(write_cfb(streams), "t") == "тема\nпривет мир"
+    # PidTagInternetCodepage is honored when the message codepage is absent
+    streams["__properties_version1.0"] = _props_with_cp(1251, tag=0x3FDE0003)
+    assert msg_to_text(write_cfb(streams), "t") == "тема\nпривет мир"
+
+
+def test_ansi_strict_decode_and_unknown_codepage():
+    import pytest as _pytest
+
+    # 0x81 is undefined in cp1252: strict decode names the codec
+    streams = {
+        "__properties_version1.0": _props_with_cp(1252),
+        "__substg1.0_0037001E": b"\x81",
+    }
+    with _pytest.raises(ValueError, match="not decodable as cp1252"):
+        msg_to_text(write_cfb(streams), "t")
+    # declared codepage with no decoder refuses by name
+    streams["__properties_version1.0"] = _props_with_cp(54321)
+    with _pytest.raises(NotImplementedError, match="codepage 54321"):
+        msg_to_text(write_cfb(streams), "t")
