@@ -30,6 +30,9 @@ one mapInPandas pass, composing every real parser in the repo:
   attachment counts through the strict mail parse
   (``sources/mailsrc.py``) — checked LAST, after every strong binary
   magic, because mail is text-shaped;
+* bare compressed blobs (r15): zstd frames classify with header-walk
+  facts (declared content size, frame count, checksum flag — no block
+  decode), gzip/bzip2/xz by magic, all family="archive";
 * containers/unknown: anything else is classified ``unknown`` with its
   magic preserved.
 
@@ -232,6 +235,30 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                     f"{sum(m['n_attachments'] for m in msgs)} attachments"
                 ),
             )
+        elif payload[:4] == b"\x28\xb5\x2f\xfd":
+            # zstd frame (r15): header-walk facts only, no block decode
+            from .zstd import zstd_meta
+
+            zm = zstd_meta(payload, origin=origin)
+            cs = zm["content_size"]
+            row.update(
+                family="archive", format="zstd", n_frames=zm["n_frames"],
+                detail=(
+                    f"{cs} bytes declared" if cs is not None
+                    else "no declared content size"
+                ) + (", checksummed" if zm["checksum"] else ""),
+            )
+        elif payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or (
+            payload[:6] == b"\xfd7zXZ\x00"
+        ):
+            # bare compressed blobs (r15): a mixed dump carries these
+            # beside the tars/zips — classify, don't decode (the census
+            # reports what IS there; ingest goes through the sources)
+            fmt = (
+                "gzip" if payload[:2] == b"\x1f\x8b"
+                else "bzip2" if payload[:3] == b"BZh" else "xz"
+            )
+            row.update(family="archive", format=fmt)
         else:
             row.update(
                 family="unknown", format="",

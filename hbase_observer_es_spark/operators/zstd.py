@@ -1099,3 +1099,85 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
     if checksum:
         out += (_xxh64(bytes(data)) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
+    """Frame-header facts WITHOUT decoding blocks (census use):
+    ``{"content_size": int|None, "checksum": bool, "n_frames": int}``.
+    Walks frame headers only — skippable frames are SKIPPED here (they
+    are metadata wrappers and a survey should report past them; the
+    full decoder still refuses them by name), but sizes can only be
+    summed when every regular frame declares its content size."""
+    pos, n = 0, len(payload)
+    n_frames = 0
+    checksum = False
+    total: int | None = 0
+    if n < 4:
+        raise ValueError(f"zstd {origin}: {n}-byte payload has no frame header")
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError(f"zstd {origin}: trailing {n - pos} bytes at {pos}")
+        magic = int.from_bytes(payload[pos : pos + 4], "little")
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            if pos + 8 > n:
+                raise ValueError(
+                    f"zstd {origin}: skippable frame header truncated at {pos}"
+                )
+            sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            pos += 8 + sz
+            continue
+        if magic != _MAGIC:
+            raise ValueError(
+                f"zstd {origin}: bad frame magic {magic:#010x} at byte {pos}"
+            )
+        n_frames += 1
+        fhd = payload[pos + 4]
+        p = pos + 5
+        if fhd & 0x08:
+            raise ValueError(
+                f"zstd {origin}: reserved frame-descriptor bit set at {pos + 4}"
+            )
+        single = bool(fhd & 0x20)
+        checksum = checksum or bool(fhd & 0x04)
+        if not single:
+            p += 1
+        p += (0, 1, 2, 4)[fhd & 3]
+        fcs_len = (1 if single else 0, 2, 4, 8)[fhd >> 6]
+        if fcs_len:
+            if p + fcs_len > n:
+                raise ValueError(
+                    f"zstd {origin}: frame content size truncated at {p}"
+                )
+            cs = int.from_bytes(payload[p : p + fcs_len], "little")
+            if fcs_len == 2:
+                cs += 256
+            if total is not None:
+                total += cs
+            p += fcs_len
+        else:
+            total = None
+        # skip blocks without decoding: walk the 3-byte headers
+        while True:
+            if p + 3 > n:
+                raise ValueError(
+                    f"zstd {origin}: block header truncated at byte {p}"
+                )
+            bh = int.from_bytes(payload[p : p + 3], "little")
+            p += 3
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 3:
+                raise ValueError(
+                    f"zstd {origin}: reserved block type at byte {p - 3}"
+                )
+            p += 1 if btype == 1 else bsize
+            if bh & 1:
+                break
+        if p > n:
+            raise ValueError(
+                f"zstd {origin}: blocks at byte {pos} overrun the payload"
+            )
+        if fhd & 0x04:
+            p += 4
+        pos = p
+    return {"content_size": total, "checksum": checksum, "n_frames": n_frames}

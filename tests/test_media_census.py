@@ -98,3 +98,30 @@ def test_xlsx_pptx_classify_as_documents():
     assert (x["family"], x["format"], x["n_frames"]) == ("document", "xlsx", 2)
     p = classify_media(_pptx([_slide_xml("hello")]), origin="p")
     assert (p["family"], p["format"], p["n_frames"]) == ("document", "pptx", 1)
+
+
+def test_census_classifies_bare_compressed_blobs():
+    """r15: zstd/gzip/bzip2/xz blobs in a mixed dump classify as
+    family=archive (zstd with header-walk facts), corrupt zstd folds to
+    the error row with the decoder's loud message."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pyarrow as pa
+
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    data = b"payload " * 4000
+    z = classify_media(pa.Codec("zstd", compression_level=3).compress(data, asbytes=True), "t")
+    assert (z["family"], z["format"], z["n_frames"]) == ("archive", "zstd", 1)
+    assert f"{len(data)} bytes declared" in z["detail"]
+    for blob, fmt in (
+        (gzip.compress(data), "gzip"),
+        (bz2.compress(data), "bzip2"),
+        (lzma.compress(data), "xz"),
+    ):
+        r = classify_media(blob, "t")
+        assert (r["family"], r["format"]) == ("archive", fmt), fmt
+    bad = classify_media(b"\x28\xb5\x2f\xfd" + b"\x00" * 10, "t")
+    assert bad["family"] == "error" and "zstd t:" in bad["detail"]
