@@ -371,3 +371,45 @@ def test_census_reports_xls_chars():
     assert (row["family"], row["format"]) == ("document", "xls")
     n = len(xls_to_text(wb, "t"))
     assert row["detail"] == f"{n} chars"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cp1252_ok = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x7E
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 20), st.integers(0, 8), _cp1252_ok
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_biff5_label_grid_round_trip_property(cells):
+    """r15 property: arbitrary LABEL grids through the test-side BIFF5
+    encoder extract exactly the row-major tab-joined (then normalized)
+    text the cell map dictates."""
+    from hbase_observer_es_spark.operators.office_text import _normalize
+
+    recs = [_label5(rw, col, s) for rw, col, s in cells]
+    wb = _book5([], [("S", recs)])
+    got = xls_to_text(wb, "t")
+    grid: dict = {}
+    for rw, col, s in cells:
+        grid.setdefault(rw, {})[col] = s
+    lines = ["S"]
+    for rw in sorted(grid):
+        row = grid[rw]
+        lines.append("\t".join(row[c] for c in sorted(row)))
+    assert got == _normalize("\n".join(lines))
