@@ -26,10 +26,14 @@ lengths and unpaired surrogates name their offset). Type ``001E``
 top-level fixed-width ``__properties_version1.0`` stream declares the
 codepage — ``PidTagMessageCodepage`` (``0x3FFD``, PtypInteger32) or
 ``PidTagInternetCodepage`` (``0x3FDE``) — strictly in that codepage
-(the xls_text discipline: unknown codepages and undecodable bytes
-refuse naming the codec). An ANSI string with NO declared codepage
-still REFUSES BY NAME — guessing would violate the strict-decode
-contract. RTF-compressed bodies (``0x1009``, the LZFu format) also
+(the shared ``textcodec`` discipline: unknown codepages and
+undecodable bytes refuse naming the codec — resolved LAZILY at the
+first ANSI stream that needs it, so a pure-unicode message with an
+exotic declared codepage keeps decoding). When a property carries BOTH
+forms, the ``001F`` unicode stream is authoritative (dual-write ANSI
+copies are lossy transcodings). An ANSI string with NO declared
+codepage still REFUSES BY NAME — guessing would violate the
+strict-decode contract. RTF-compressed bodies (``0x1009``, the LZFu format) also
 refuse by name when no plain-text body accompanies them.
 
 Guards: stream names and sizes are attacker data (the CFB layer already
@@ -67,12 +71,14 @@ _TAG_MESSAGE_CP = 0x3FFD0003
 _TAG_INTERNET_CP = 0x3FDE0003
 
 
-def _declared_codepage(cfb: CfbFile, origin: str) -> str | None:
-    """Codec name from the top-level fixed-width property stream, or
-    None. The stream is a 32-byte header (top level) then 16-byte
+def _declared_codepage(cfb: CfbFile, origin: str) -> int | None:
+    """Codepage NUMBER from the top-level fixed-width property stream,
+    or None. The stream is a 32-byte header (top level) then 16-byte
     entries: tag(4) + flags(4) + value(8) — PtypInteger32 values sit in
-    the low 4 bytes (MS-OXMSG §2.4)."""
-    import codecs
+    the low 4 bytes (MS-OXMSG §2.4). Resolution to a codec happens
+    LAZILY at the first ANSI stream that needs it — a pure-unicode
+    message with an exotic declared codepage must keep decoding (the
+    r15 review regression)."""
     import struct
 
     try:
@@ -87,17 +93,7 @@ def _declared_codepage(cfb: CfbFile, origin: str) -> str | None:
             break  # the message codepage is authoritative
         if tag == _TAG_INTERNET_CP and cp is None:
             (cp,) = struct.unpack_from("<I", raw, off + 8)
-    if not cp:
-        return None
-    name = f"cp{cp}"
-    try:
-        codecs.lookup(name)
-    except LookupError:
-        raise NotImplementedError(
-            f"msg {origin}: declared codepage {cp} has no decoder here — "
-            "not implemented"
-        ) from None
-    return name
+    return cp or None
 
 
 def looks_like_msg(cfb: CfbFile) -> bool:
@@ -117,12 +113,20 @@ def _read_unicode(
     decodes strictly in the message's DECLARED codepage when the
     property stream carries one (``codec``), else refuses by name."""
     prefix = f"{base}/" if base else ""
-    name8 = f"{prefix}__substg1.0_{prop}{_T_STRING8}"
+    name = f"{prefix}__substg1.0_{prop}{_T_UNICODE}"
     try:
-        raw8 = cfb.read_stream(name8)
+        raw = cfb.read_stream(name)
     except ValueError:
-        raw8 = None
-    if raw8 is not None:
+        raw = None
+    if raw is None:
+        # only when NO unicode stream exists does the ANSI twin speak —
+        # a dual-write's 001E copy is the lossy transcoding, 001F is
+        # authoritative (r15 review)
+        name8 = f"{prefix}__substg1.0_{prop}{_T_STRING8}"
+        try:
+            raw8 = cfb.read_stream(name8)
+        except ValueError:
+            return None
         if codec is None:
             raise NotImplementedError(
                 f"msg {origin}: property {prop} is an ANSI string "
@@ -130,18 +134,14 @@ def _read_unicode(
                 "codepage (PidTagMessageCodepage/PidTagInternetCodepage)"
                 " — refusing rather than guessing"
             )
-        try:
-            return raw8.decode(codec).rstrip("\x00")
-        except UnicodeDecodeError as exc:
-            raise ValueError(
-                f"msg {origin}: ANSI property {prop} byte {exc.start} "
-                f"({raw8[exc.start]:#04x}) not decodable as {codec}"
-            ) from None
-    name = f"{prefix}__substg1.0_{prop}{_T_UNICODE}"
-    try:
-        raw = cfb.read_stream(name)
-    except ValueError:
-        return None
+        from .textcodec import codepage_codec, strict_decode
+
+        # codec is the raw declared codepage NUMBER; resolve it only
+        # here, at the first ANSI stream that needs it
+        name = codepage_codec(codec, origin, "msg")
+        return strict_decode(
+            raw8, name, origin, f"ANSI property {prop}", "msg"
+        ).rstrip("\x00")
     if len(raw) % 2:
         raise ValueError(
             f"msg {origin}: unicode property {prop} has odd byte "

@@ -94,7 +94,7 @@ class _Fmt:
         self._codec = "cp1252"
 
     def set_codepage(self, cp: int, at: int) -> None:
-        import codecs
+        from .textcodec import codepage_codec
 
         if cp == 1200:  # UTF-16, the BIFF8 marker value: no byte codec
             if self.biff5:
@@ -103,24 +103,12 @@ class _Fmt:
                     f"{at} is malformed (byte strings cannot be UTF-16)"
                 )
             return
-        name = f"cp{cp}"
-        try:
-            codecs.lookup(name)
-        except LookupError:
-            raise NotImplementedError(
-                f"xls {self.origin}: CODEPAGE {cp} at byte {at} has no "
-                "decoder here — not implemented"
-            ) from None
-        self._codec = name
+        self._codec = codepage_codec(cp, self.origin, "xls")
 
     def decode_bytes(self, raw: bytes, what: str) -> str:
-        try:
-            return raw.decode(self._codec)
-        except UnicodeDecodeError as exc:
-            raise ValueError(
-                f"xls {self.origin}: {what} byte {exc.start} "
-                f"({raw[exc.start]:#04x}) not decodable as {self._codec}"
-            ) from None
+        from .textcodec import strict_decode
+
+        return strict_decode(raw, self._codec, self.origin, what, "xls")
 
 _ERROR_NAMES = {
     0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",

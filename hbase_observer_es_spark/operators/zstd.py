@@ -1043,18 +1043,30 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
     the exact Frame_Content_Size and (by default) the XXH64 content
     checksum, so readers get end-to-end integrity."""
     n = len(data)
-    if n < 256:
-        fhd, fcs = 0x20, bytes([n])
-    elif n <= 65535 + 256:
-        fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
-    elif n < 1 << 32:
-        fhd, fcs = 0xA0, n.to_bytes(4, "little")
+    window = b""
+    if n <= 8 << 20:
+        # single-segment (window = content size) stays inside RFC 8878's
+        # 8 MiB interoperability bound; larger single-segment frames are
+        # REFUSED by default-configured streaming decoders ("window size
+        # larger than maximum"), so big payloads declare a 128 KiB window
+        # instead — raw/RLE blocks never back-reference, any window works
+        if n < 256:
+            fhd, fcs = 0x20, bytes([n])
+        elif n <= 65535 + 256:
+            fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
+        else:
+            fhd, fcs = 0xA0, n.to_bytes(4, "little")
     else:
-        fhd, fcs = 0xE0, n.to_bytes(8, "little")
+        window = bytes([0x38])  # window log 17 = 128 KiB, mantissa 0
+        if n < 1 << 32:
+            fhd, fcs = 0x80, n.to_bytes(4, "little")
+        else:
+            fhd, fcs = 0xC0, n.to_bytes(8, "little")
     if checksum:
         fhd |= 0x04
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     out.append(fhd)
+    out += window
     out += fcs
 
     def block(btype: int, size: int, last: bool) -> bytes:
@@ -1097,7 +1109,7 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
             out += block(0, sz, last)
             out += data[off : off + sz]
     if checksum:
-        out += (_xxh64(bytes(data)) & 0xFFFFFFFF).to_bytes(4, "little")
+        out += (_xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
 
 
@@ -1124,11 +1136,20 @@ def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
                     f"zstd {origin}: skippable frame header truncated at {pos}"
                 )
             sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if pos + 8 + sz > n:
+                raise ValueError(
+                    f"zstd {origin}: skippable frame at byte {pos} declares "
+                    f"{sz} bytes past the payload end"
+                )
             pos += 8 + sz
             continue
         if magic != _MAGIC:
             raise ValueError(
                 f"zstd {origin}: bad frame magic {magic:#010x} at byte {pos}"
+            )
+        if pos + 5 > n:
+            raise ValueError(
+                f"zstd {origin}: frame header truncated at byte {pos + 4}"
             )
         n_frames += 1
         fhd = payload[pos + 4]
@@ -1179,5 +1200,10 @@ def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
             )
         if fhd & 0x04:
             p += 4
+            if p > n:
+                raise ValueError(
+                    f"zstd {origin}: content checksum truncated at byte "
+                    f"{p - 4}"
+                )
         pos = p
     return {"content_size": total, "checksum": checksum, "n_frames": n_frames}

@@ -132,3 +132,31 @@ def test_ansi_strict_decode_and_unknown_codepage():
     streams["__properties_version1.0"] = _props_with_cp(54321)
     with _pytest.raises(NotImplementedError, match="codepage 54321"):
         msg_to_text(write_cfb(streams), "t")
+
+
+def test_unicode_msg_with_exotic_declared_codepage_still_decodes():
+    """r15 review regression: a pure-unicode message whose property
+    stream declares a codepage Python has no cpNNNN alias for (e.g.
+    28591 iso-8859-1) must keep decoding — the codec resolves lazily,
+    only when an ANSI stream actually needs it."""
+    streams = {
+        "__properties_version1.0": _props_with_cp(28591),
+        "__substg1.0_0037001F": "s".encode("utf-16-le"),
+        "__substg1.0_1000001F": "unicode body".encode("utf-16-le"),
+    }
+    assert msg_to_text(write_cfb(streams), "t") == "s\nunicode body"
+    # ...but an ANSI stream under that codepage refuses by name
+    streams["__substg1.0_0C1A001E"] = b"sender"
+    with pytest.raises(NotImplementedError, match="codepage 28591"):
+        msg_to_text(write_cfb(streams), "t")
+
+
+def test_unicode_stream_beats_ansi_twin():
+    """Dual-write messages: 001F is authoritative; the 001E copy (often
+    a lossy '?'-substituted transcoding) must not shadow it."""
+    streams = {
+        "__properties_version1.0": _props_with_cp(1252),
+        "__substg1.0_0037001F": "résumé".encode("utf-16-le"),
+        "__substg1.0_0037001E": b"r?sum?",
+    }
+    assert msg_to_text(write_cfb(streams), "t") == "résumé"

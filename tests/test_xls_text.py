@@ -316,7 +316,7 @@ def test_biff5_strict_decode_and_unknown_codepage():
         xls_to_text(wb, "t")
     # a codepage with no stdlib decoder refuses by name
     wb = _book5([_rec(0x0042, struct.pack("<H", 54321))], [("S", [])])
-    with pytest.raises(NotImplementedError, match="CODEPAGE 54321"):
+    with pytest.raises(NotImplementedError, match="codepage 54321"):
         xls_to_text(wb, "t")
 
 

@@ -324,3 +324,46 @@ def test_store_encoder_round_trip_property(data):
     assert pa.Codec("zstd").decompress(
         c, decompressed_size=len(data), asbytes=True
     ) == data
+
+
+def test_store_encoder_frames_decode_with_the_system_cli():
+    """Third independent implementation: the system zstd CLI must accept
+    our frames — incl. a >8 MiB payload, which must NOT be emitted as a
+    single-segment frame (streaming decoders cap the window at 128 MiB
+    and RFC 8878 interop at 8 MiB; r15 review finding)."""
+    import shutil
+    import subprocess
+    import tempfile, os
+
+    from hbase_observer_es_spark.operators.zstd import compress_zstd
+
+    if not shutil.which("zstd"):
+        pytest.skip("no system zstd CLI on this host")
+    big = bytes(_RNG.randrange(256) for _ in range(1 << 20)) * 10  # 10 MiB
+    for data in (b"hello world " * 300, big):
+        with tempfile.TemporaryDirectory() as d:
+            f = os.path.join(d, "x.zst")
+            with open(f, "wb") as fh:
+                fh.write(compress_zstd(data))
+            r = subprocess.run(["zstd", "-d", "-c", f], capture_output=True)
+            assert r.returncode == 0, r.stderr[:200]
+            assert r.stdout == data
+
+
+def test_zstd_meta_truncation_is_loud():
+    """r15 review: zstd_meta must refuse truncated checksums, truncated
+    frame headers, and skippable frames declaring bytes past the end —
+    the census would otherwise report a truncated blob as clean."""
+    from hbase_observer_es_spark.operators.zstd import compress_zstd, zstd_meta
+
+    with pytest.raises(ValueError, match="content checksum truncated"):
+        zstd_meta(compress_zstd(b"hello world")[:-2])
+    with pytest.raises(ValueError, match="frame header truncated"):
+        zstd_meta(b"\x28\xb5\x2f\xfd")
+    sk = (0x184D2A50).to_bytes(4, "little") + (100).to_bytes(4, "little") + b"x"
+    with pytest.raises(ValueError, match="past the payload end"):
+        zstd_meta(compress_zstd(b"x") + sk)
+    # a VALID skippable frame is stepped over (survey semantics)
+    ok = (0x184D2A50).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"meta"
+    m = zstd_meta(ok + compress_zstd(b"xy"))
+    assert (m["n_frames"], m["content_size"]) == (1, 2)
