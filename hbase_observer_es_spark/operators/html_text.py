@@ -56,6 +56,22 @@ import codecs
 import re
 from html.parser import HTMLParser
 
+
+class _TotalParser(HTMLParser):
+    """HTMLParser that is TOTAL on adversarial markup: the stdlib
+    ``_markupbase`` raises a bare AssertionError on a malformed marked
+    section like ``<![0`` (hypothesis-found). WHATWG treats such input
+    as a bogus comment — skip to the closing ``>`` (emitting nothing)
+    or, unterminated, leave it buffered for the eof-in-tag drop the
+    callers already do."""
+
+    def parse_marked_section(self, i, report=1):
+        try:
+            return super().parse_marked_section(i, report)
+        except AssertionError:
+            j = self.rawdata.find(">", i)
+            return -1 if j < 0 else j + 1
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -92,7 +108,7 @@ _CELL = frozenset("td th".split())
 _VOID = frozenset("br hr".split())
 
 
-class _TextExtractor(HTMLParser):
+class _TextExtractor(_TotalParser):
     """Tolerant tag-strip tokenizer: stdlib html.parser drives tag/data/
     charref events; we keep data outside skip subtrees and inject the
     block/cell separators."""
@@ -344,7 +360,7 @@ QUERIES = {"q_html_extract": q_html_extract}
 ORACLES = {"q_html_extract": SQL_HTML_EXTRACT}
 
 
-class _LinkExtractor(HTMLParser):
+class _LinkExtractor(_TotalParser):
     """Collect (href, anchor text) from ``<a>`` tags plus the ``<base
     href>`` override; rel=nofollow links are skipped (the publisher's
     per-link opt-out, same standing as the robots meta)."""

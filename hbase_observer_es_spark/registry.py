@@ -90,9 +90,11 @@ _MODULES = (
 # which the rotation treats as never-green (their r14 driver check was
 # hash-RED on the DECIMAL canonicalization; the BIGINT fix lands this
 # round and needs fresh driver evidence). Tier 1: q_lm_surprisal (the
-# ADVICE vocab fix edited its own fn) and q_mm_decode/q_mm_resize
-# (tiff.py gained tiled fax/JPEG in their import closure). The r10
-# evidence band (26 queries) heads the low-risk window behind them.
+# ADVICE vocab fix edited its own fn), q_html_extract (html_text.py
+# gained the _TotalParser marked-section totality fix late in the
+# round), and q_mm_decode/q_mm_resize (tiff.py gained tiled fax/JPEG
+# in their import closure). The r10 evidence band (26 queries) heads
+# the low-risk window behind them.
 _PRIORITY = (
     # tier 0.0: never driver-checked
     "q_text_entropy",  # never checked
@@ -103,6 +105,8 @@ _PRIORITY = (
     "q_mix_realize",  # never checked
     # tier 1.0: own fn edited after last green check
     "q_lm_surprisal",  # green r14, hbase_observer_es_spark/operators/ngramlm.py fn edited r15
+    # tier 1.1: file edited after last green check (oldest green first)
+    "q_html_extract",  # green r10, hbase_observer_es_spark/operators/html_text.py file edited r15
     # tier 1.2: imported helper edited after last green check (oldest green first)
     "q_mm_decode",  # green r14, hbase_observer_es_spark/operators/tiff.py import edited r15
     "q_mm_resize",  # green r14, hbase_observer_es_spark/operators/tiff.py import edited r15
@@ -130,7 +134,6 @@ _PRIORITY = (
     "q_cdc_field_missing",  # green r10
     "q_split_assign",  # green r10
     "q_search_percolate",  # green r10
-    "q_html_extract",  # green r10
     "q_dedup_substring",  # green r10
     "q_dedup_substring_top",  # green r10
     "q_sim_ivf_batch",  # green r11
