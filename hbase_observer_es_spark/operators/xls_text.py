@@ -92,10 +92,9 @@ class _Fmt:
         self.biff5 = biff5
         self.origin = origin
         self._codec = "cp1252"
+        self._cp = None  # declared number, resolved lazily (below)
 
     def set_codepage(self, cp: int, at: int) -> None:
-        from .textcodec import codepage_codec
-
         if cp == 1200:  # UTF-16, the BIFF8 marker value: no byte codec
             if self.biff5:
                 raise ValueError(
@@ -103,11 +102,19 @@ class _Fmt:
                     f"{at} is malformed (byte strings cannot be UTF-16)"
                 )
             return
-        self._codec = codepage_codec(cp, self.origin, "xls")
+        # resolution to a codec happens at the FIRST byte string that
+        # needs it: a pure-unicode BIFF8 workbook declaring a codepage
+        # Python has no cp{N} codec for (Excel-for-Mac 10000, 20127, …)
+        # must keep decoding — XLUnicode strings never touch the byte
+        # codec (same laziness as msg_text's _declared_codepage)
+        self._cp = cp
 
     def decode_bytes(self, raw: bytes, what: str) -> str:
-        from .textcodec import strict_decode
+        from .textcodec import codepage_codec, strict_decode
 
+        if self._cp is not None:
+            self._codec = codepage_codec(self._cp, self.origin, "xls")
+            self._cp = None
         return strict_decode(raw, self._codec, self.origin, what, "xls")
 
 _ERROR_NAMES = {

@@ -12,11 +12,13 @@ history, overlapping match copy, and XXH64 content-checksum
 verification.
 
 What refuses BY NAME (NotImplementedError): dictionary-compressed
-frames (``Dictionary_ID != 0`` — no dictionary plumbing here) and
-skippable frames (``0x184D2A50``–``5F`` — multi-frame metadata wrappers;
-their presence in a dataset shard is a container-convention decision the
-caller should see, not skip). Everything structurally invalid raises
-``ValueError`` naming the byte offset (the repo refusal contract).
+frames (``Dictionary_ID != 0`` — no dictionary plumbing here).
+Skippable frames (``0x184D2A50``–``5F``) are SKIPPED, as RFC 8878 §3.1.2
+requires of every conforming decoder — pzstd and seekable-zstd writers
+emit them routinely, and ``zstd_meta`` already walked past them, so the
+census and the ingest path now agree (r15 ADVICE). Everything
+structurally invalid raises ``ValueError`` naming the byte offset (the
+repo refusal contract).
 
 Oracle discipline: the decoder is pinned by an INDEPENDENT real-world
 encoder — ``pyarrow``'s bundled libzstd — across compression levels 1,
@@ -716,7 +718,9 @@ def _execute(seqs, literals, out, origin, at, reps, frame_start, budget):
     expand to gigabytes raises without materializing a byte. Matches may
     only reach back to ``frame_start`` — frames are independent per the
     RFC, and an offset reaching into a previous frame's output is
-    corrupt, not history."""
+    corrupt, not history — and never further than the frame's declared
+    ``Window_Size`` (``budget[2]``; RFC 8878 §3.1.1.4 match-offset
+    bound, libzstd-strict per the r15 ADVICE)."""
     total = len(literals) + sum(ml for _, ml, _ in seqs)
     if total > budget[0]:
         raise ValueError(
@@ -764,6 +768,11 @@ def _execute(seqs, literals, out, origin, at, reps, frame_start, budget):
                     f"zstd {origin}: match offset {offset} at byte {at} "
                     f"reaches before the {len(out) - frame_start}-byte "
                     "frame history"
+                )
+            if budget[2] and offset > budget[2]:
+                raise ValueError(
+                    f"zstd {origin}: match offset {offset} at byte {at} "
+                    f"exceeds the declared {budget[2]}-byte window"
                 )
             start = len(out) - offset
             if offset >= ml:
@@ -858,21 +867,34 @@ def decompress_zstd(
     ``max_output`` is the bomb budget: decoding stops with a loud
     ValueError the moment cumulative output would exceed it (validated
     incrementally, never pre-allocated from attacker-controlled
-    headers). Dictionary frames and skippable frames refuse BY NAME."""
+    headers). Dictionary frames refuse BY NAME; skippable frames are
+    skipped per RFC 8878 §3.1.2 (so ingest agrees with ``zstd_meta``'s
+    census walk — the r15 ADVICE alignment)."""
     pos = 0
     out = bytearray()
     n = len(payload)
     if n < 4:
         raise ValueError(f"zstd {origin}: {n}-byte payload has no frame header")
     while pos < n:
+        if pos + 4 > n:
+            raise ValueError(
+                f"zstd {origin}: trailing {n - pos} bytes at byte {pos}"
+            )
         magic = int.from_bytes(payload[pos : pos + 4], "little")
         if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
-            raise NotImplementedError(
-                f"zstd {origin}: skippable frame (magic {magic:#010x}) at "
-                "byte {0} not implemented — multi-frame metadata wrappers "
-                "are a container convention the caller must handle "
-                "(refused by name)".format(pos)
-            )
+            if pos + 8 > n:
+                raise ValueError(
+                    f"zstd {origin}: skippable frame header truncated at "
+                    f"byte {pos}"
+                )
+            sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if pos + 8 + sz > n:
+                raise ValueError(
+                    f"zstd {origin}: skippable frame at byte {pos} declares "
+                    f"{sz} bytes past the payload end"
+                )
+            pos += 8 + sz
+            continue
         if magic != _MAGIC:
             raise ValueError(
                 f"zstd {origin}: bad frame magic {magic:#010x} at byte {pos}"
@@ -975,6 +997,11 @@ def _decode_frame(payload, pos, out, origin, max_output):
             out += payload[pos : pos + 1] * bsize
             pos += 1
         elif btype == 0:  # raw
+            if bsize > block_max:
+                raise ValueError(
+                    f"zstd {origin}: raw block at byte {pos} declares "
+                    f"{bsize} bytes over the {block_max} block maximum"
+                )
             if pos + bsize > n:
                 raise ValueError(
                     f"zstd {origin}: raw block at byte {pos} declares "
@@ -988,6 +1015,15 @@ def _decode_frame(payload, pos, out, origin, max_output):
             out += payload[pos : pos + bsize]
             pos += bsize
         else:  # compressed
+            if bsize > block_max:
+                # RFC 8878 §3.1.1.2: Block_Size may not exceed
+                # Block_Maximum_Size = min(Window_Size, 128 KiB) —
+                # libzstd-strict (r15 ADVICE)
+                raise ValueError(
+                    f"zstd {origin}: compressed block at byte {pos} "
+                    f"declares {bsize} bytes over the {block_max} block "
+                    "maximum"
+                )
             if pos + bsize > n:
                 raise ValueError(
                     f"zstd {origin}: compressed block at byte {pos} "
@@ -999,7 +1035,7 @@ def _decode_frame(payload, pos, out, origin, max_output):
             before = len(out)
             produced = _execute(
                 seqs, lits, out, origin, pos, reps,
-                frame_start_len, (block_max, max_output),
+                frame_start_len, (block_max, max_output, window_size),
             )
             assert len(out) - before == produced
             pos += bsize
@@ -1117,9 +1153,10 @@ def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
     """Frame-header facts WITHOUT decoding blocks (census use):
     ``{"content_size": int|None, "checksum": bool, "n_frames": int}``.
     Walks frame headers only — skippable frames are SKIPPED here (they
-    are metadata wrappers and a survey should report past them; the
-    full decoder still refuses them by name), but sizes can only be
-    summed when every regular frame declares its content size."""
+    are metadata wrappers and a survey should report past them; since
+    r16 the full decoder skips them too, per RFC 8878 §3.1.2, so census
+    and ingest agree), but sizes can only be summed when every regular
+    frame declares its content size."""
     pos, n = 0, len(payload)
     n_frames = 0
     checksum = False

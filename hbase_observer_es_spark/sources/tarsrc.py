@@ -39,8 +39,9 @@ containers agree (``zipsrc.explode_archive_members`` /
   ingested, not silently skipped. ``.tar.zst``/``.tzst`` (increasingly
   the dataset-dump default) decodes for REAL since round 15 through the
   repo's from-spec RFC 8878 decoder (``operators/zstd.py`` — Python
-  3.11 ships no zstd codec); dictionary/skippable frames refuse by name
-  inside the decoder (DIVERGENCES.md D20, now closed for plain frames).
+  3.11 ships no zstd codec); dictionary frames refuse by name inside
+  the decoder, skippable frames are skipped per RFC 8878 §3.1.2 since
+  r16 (DIVERGENCES.md D20, now closed for plain frames).
 
 ``read_tar_members`` lands (archive, member, size, content) rows —
 byte-compatible with ``read_zip_members`` so mixed dumps union into one
@@ -80,8 +81,9 @@ TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz,tar.zst,tzst}"
 # RFC 8878 zstd frame magic. Python 3.11 has no stdlib zstd codec, so
 # .tar.zst decodes through the repo's own from-spec frame decoder
 # (operators/zstd.py, round 15 — closing DIVERGENCES.md D20's refusal).
-# Dictionary-compressed and skippable frames still refuse by name inside
-# the decoder; corrupt frames raise with byte offsets like every codec.
+# Dictionary-compressed frames still refuse by name inside the decoder
+# (skippable frames are skipped per RFC 8878 §3.1.2 since r16); corrupt
+# frames raise with byte offsets like every codec.
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 MAX_MEMBERS = 100_000  # header-count bomb guard (bytes budgets see 0)

@@ -314,10 +314,34 @@ def test_biff5_strict_decode_and_unknown_codepage():
     wb = _book5([], [("S", [bad])])
     with pytest.raises(ValueError, match="not decodable as cp1252"):
         xls_to_text(wb, "t")
-    # a codepage with no stdlib decoder refuses by name
-    wb = _book5([_rec(0x0042, struct.pack("<H", 54321))], [("S", [])])
+    # a codepage with no stdlib decoder refuses by name at the first
+    # byte string that needs it (resolution is LAZY since r16 — a
+    # workbook that never decodes a byte string keeps extracting)
+    wb = _book5(
+        [_rec(0x0042, struct.pack("<H", 54321))],
+        [("S", [_label5(0, 0, "hi")])],
+    )
     with pytest.raises(NotImplementedError, match="codepage 54321"):
         xls_to_text(wb, "t")
+
+
+def test_biff8_exotic_codepage_is_lazy_when_unicode_only():
+    """r16 ADVICE: BIFF8 XLUnicode strings never touch the byte codec,
+    so a pure-unicode workbook declaring a codepage Python has no cp{N}
+    decoder for (Excel-for-Mac 10000) must keep extracting — resolution
+    happens lazily at the first BYTE string that needs it (BIFF5)."""
+    wb = _xls(
+        [_rec(0x0042, struct.pack("<H", 10000)), _sst(["hello", "wörld"])],
+        [("Sheet1", [_labelsst(0, 0, 0), _labelsst(0, 1, 1)])],
+    )
+    assert xls_to_text(wb, "t") == "Sheet1\nhello wörld"
+    # BIFF5, same exotic codepage: the first byte string refuses by name
+    wb5 = _book5(
+        [_rec(0x0042, struct.pack("<H", 10000))],
+        [("S", [_label5(0, 0, "hi")])],
+    )
+    with pytest.raises(NotImplementedError, match="codepage 10000"):
+        xls_to_text(wb5, "t")
 
 
 def test_biff5_rstring_and_formula_string():

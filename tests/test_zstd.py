@@ -134,10 +134,19 @@ def test_dictionary_frame_refuses_by_name():
         decompress_zstd(payload)
 
 
-def test_skippable_frame_refuses_by_name():
-    payload = (0x184D2A53).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"meta"
-    with pytest.raises(NotImplementedError, match="skippable frame"):
-        decompress_zstd(payload)
+def test_skippable_frames_are_skipped():
+    """RFC 8878 §3.1.2: conforming decoders skip skippable frames —
+    pzstd/seekable-zstd shards carry them, and ingest must agree with
+    zstd_meta's census walk (r15 ADVICE). Truncated ones stay loud."""
+    sk = (0x184D2A53).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"meta"
+    real = _z(b"payload after the metadata frame")
+    assert decompress_zstd(sk + real) == b"payload after the metadata frame"
+    assert decompress_zstd(real + sk) == b"payload after the metadata frame"
+    assert decompress_zstd(sk) == b""  # only-metadata: empty content
+    with pytest.raises(ValueError, match="skippable frame header truncated"):
+        decompress_zstd(sk[:6])
+    with pytest.raises(ValueError, match="past the payload end"):
+        decompress_zstd(sk[:-2])
 
 
 def test_corruption_raises_with_offsets():
@@ -256,6 +265,58 @@ def test_match_cannot_reach_into_previous_frame():
     )
     with pytest.raises(ValueError, match="frame history"):
         decompress_zstd(frame1 + frame2)
+
+
+def test_match_offset_bounded_by_declared_window():
+    """RFC 8878 §3.1.1.4: a match may not reach further back than the
+    frame's declared Window_Size even when enough frame history exists
+    (libzstd-strict, r15 ADVICE). Window log 10 = 1024; two 600-byte
+    raw blocks give 1200 bytes of history; offset 1103 is inside the
+    history but over the window — must refuse by the window, not the
+    history, check."""
+    ofv = 1103 + 3  # offset + 3
+    of_code = ofv.bit_length() - 1  # 10
+    extra = ofv - (1 << of_code)
+    seq_bits = format(extra, f"0{of_code}b")
+    body = (
+        b"\x00"  # literals: raw, regenerated size 0
+        + bytes([1])  # one sequence
+        + bytes([0x54])  # LL/OF/ML all RLE mode
+        + bytes([0, of_code, 0])  # ll=0, of extra bits, ml_code=0 (ml=3)
+        + _backstream(seq_bits)
+    )
+    payload = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x00, 0x00])  # fhd: window descriptor follows; wlog 10
+        + (0 | (600 << 3)).to_bytes(3, "little") + b"a" * 600
+        + (0 | (600 << 3)).to_bytes(3, "little") + b"b" * 600
+        + (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+        + body
+    )
+    with pytest.raises(ValueError, match="declared 1024-byte window"):
+        decompress_zstd(payload)
+
+
+def test_block_size_bounded_by_block_maximum():
+    """Block_Size may not exceed Block_Maximum_Size = min(window,
+    128 KiB) for raw and compressed blocks alike (RFC 8878 §3.1.1.2;
+    libzstd-strict, r15 ADVICE). Window log 10 -> block max 1024."""
+    # raw block declaring 2000 regenerated bytes
+    payload = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x00, 0x00])
+        + (1 | (2000 << 3)).to_bytes(3, "little") + b"x" * 2000
+    )
+    with pytest.raises(ValueError, match="over the 1024 block maximum"):
+        decompress_zstd(payload)
+    # compressed block declaring 2000 wire bytes — refused BEFORE parsing
+    payload = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x00, 0x00])
+        + (1 | (2 << 1) | (2000 << 3)).to_bytes(3, "little") + b"\xff" * 2000
+    )
+    with pytest.raises(ValueError, match="over the 1024 block maximum"):
+        decompress_zstd(payload)
 
 
 def test_fse_zero_run_is_capped_inside_the_repeat_loop():
