@@ -283,12 +283,141 @@ WHERE lat_lo <= {GSHAPE_COARSE[1]} AND lat_hi >= {GSHAPE_COARSE[0]}
 """
 
 
+# --- geo_polygon (round 16) --------------------------------------------------
+#
+# ES 6.3 `geo_polygon` filter: points inside an arbitrary polygon — the last
+# query-DSL member with neither analogue nor documented exclusion (r15 VERDICT
+# "What's missing" #1). Same integer-centidegree discipline as the envelope
+# relations above: the point is the derived center (lat_c, lon_c) and the
+# polygon's vertices are integer centidegrees, so the crossing-number ray cast
+# is PURE int64 arithmetic — the PNPOLY x-intersection comparison
+# ``px < ax + (bx-ax)·(py-ay)/(by-ay)`` is rearranged into a division-free
+# cross-product sign test, bit-identical in Spark and DuckDB by construction.
+#
+# Boundary convention (fixed once, identical in both engines): the y-straddle
+# is HALF-OPEN (min(ay,by) <= py < max(ay,by) — a vertex at py toggles only
+# the edge rising through it, so shared vertices never double-count) and the
+# x comparison is STRICT, so points exactly on a right-going boundary are
+# outside while left-edge points are inside — the classic PNPOLY convention.
+GEO_POLYGON = (
+    (-4000, -8000),
+    (2000, -12000),
+    (8000, -4000),
+    (1000, 0),
+    (6000, 8000),
+    (-2000, 4000),
+    (-7000, 9000),
+    (-3000, -1000),
+)  # (lat, lon) centidegrees; non-convex (two reflex vertices)
+
+
+def _polygon_edges(poly) -> list:
+    """The polygon's per-edge crossing terms, the ONE algebra both the
+    Spark columns and the oracle SQL are generated from (pinned against
+    an exact-rational PNPOLY reference by hypothesis in
+    tests/test_geo_polygon_properties.py). An edge (a→b) toggles the
+    crossing parity of point (py, px) iff
+
+        y_lo <= py < y_hi  AND  sign · ((py-ay)·dx − (px-ax)·dy) > 0
+
+    with dx = bx−ax, dy = by−ay, sign = +1 when the edge rises (by>ay)
+    else −1 — the division-free form of the PNPOLY ray cast. Horizontal
+    edges never straddle the half-open rule and are dropped here."""
+    n = len(poly)
+    edges = []
+    for i in range(n):
+        ay, ax = poly[i]
+        by, bx = poly[(i + 1) % n]
+        if ay == by:
+            continue
+        sign = 1 if by > ay else -1
+        edges.append(
+            (min(ay, by), max(ay, by), ax, ay, bx - ax, by - ay, sign)
+        )
+    return edges
+
+
+def point_in_polygon(py: int, px: int, poly=GEO_POLYGON) -> bool:
+    """Pure-Python twin of the generated predicates (even-odd rule)."""
+    c = 0
+    for y_lo, y_hi, ax, ay, dx, dy, sign in _polygon_edges(poly):
+        if y_lo <= py < y_hi and sign * ((py - ay) * dx - (px - ax) * dy) > 0:
+            c ^= 1
+    return bool(c)
+
+
+def q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 6.3 `geo_polygon` filter: events whose derived point lies inside
+    a fixed non-convex polygon, by integer-exact crossing-number ray cast
+    (comment block above; reference tether: the ES 6.3 dependency at
+    pom.xml:35-46 whose query DSL the end users run). The unrolled
+    per-edge terms are scan-side codegen int64 arithmetic — map-only, no
+    shuffle, no FP in any predicate, the q_geo_bbox posture; at 100 TB a
+    geo-sorted layout first prunes row groups on the polygon's bounding
+    box exactly like any range predicate, and the per-row cost is
+    |edges| fused multiply-compares inside whole-stage codegen."""
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") * _KNUTH % 18000 - 9000).alias("py"),
+        (
+            (F.col("user_id") * _KNUTH + F.col("event_id") * 40503) % 36000
+            - 18000
+        ).alias("px"),
+    )
+    py, px = F.col("py"), F.col("px")
+    parity = F.lit(0)
+    for y_lo, y_hi, ax, ay, dx, dy, sign in _polygon_edges(GEO_POLYGON):
+        d = (py - ay) * F.lit(dx) - (px - ax) * F.lit(dy)
+        hit = (py >= y_lo) & (py < y_hi) & (d * sign > 0)
+        parity = parity + F.when(hit, 1).otherwise(0)
+    return (
+        pts.filter(parity % 2 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            (py.cast("double") / 100.0).alias("lat"),
+            (px.cast("double") / 100.0).alias("lon"),
+        )
+    )
+
+
+def _sql_pip_terms() -> str:
+    """The same per-edge terms as SQL — generated from _polygon_edges so
+    the Spark predicate and the oracle cannot drift."""
+    terms = []
+    for y_lo, y_hi, ax, ay, dx, dy, sign in _polygon_edges(GEO_POLYGON):
+        terms.append(
+            f"CASE WHEN py >= ({y_lo}) AND py < ({y_hi}) "
+            f"AND ((py - ({ay})) * ({dx}) - (px - ({ax})) * ({dy}))"
+            f" * ({sign}) > 0 THEN 1 ELSE 0 END"
+        )
+    return "\n     + ".join(terms)
+
+
+SQL_GEO_POLYGON = f"""
+WITH pts AS (
+  SELECT event_id, user_id,
+         user_id * {_KNUTH} % 18000 - 9000 AS py,
+         (user_id * {_KNUTH} + event_id * 40503) % 36000 - 18000 AS px
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(py AS DOUBLE) / 100.0 AS lat,
+       CAST(px AS DOUBLE) / 100.0 AS lon
+FROM pts
+WHERE ({_sql_pip_terms()}) % 2 = 1
+"""
+
+
 QUERIES = {
     "q_nested_exists": q_nested_exists,
     "q_geo_bbox": q_geo_bbox,
     "q_geo_grid": q_geo_grid,
     "q_geo_distance": q_geo_distance,
     "q_geo_shape_relation": q_geo_shape_relation,
+    "q_geo_polygon": q_geo_polygon,
 }
 
 ORACLES = {
@@ -297,4 +426,5 @@ ORACLES = {
     "q_geo_grid": SQL_GEO_GRID,
     "q_geo_distance": SQL_GEO_DISTANCE,
     "q_geo_shape_relation": SQL_GEO_SHAPE_RELATION,
+    "q_geo_polygon": SQL_GEO_POLYGON,
 }

@@ -491,6 +491,18 @@ def test_geo_shape_relation_map_only(spark):
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan, plan
 
 
+def test_geo_polygon_map_only(spark):
+    """geo_polygon's crossing-number parity is a scan-side int64 predicate:
+    one scan reading only the two id columns, no Exchange, no Python eval —
+    the q_geo_bbox posture with the unrolled per-edge terms folded into the
+    filter condition."""
+    plan = plan_of(spark, "q_geo_polygon")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan, plan
+
+
 def test_geo_grid_partial_agg(spark):
     """The grid agg must combine map-side over cell ids."""
     plan = plan_of(spark, "q_geo_grid")
