@@ -33,8 +33,11 @@ exotic declared codepage keeps decoding). When a property carries BOTH
 forms, the ``001F`` unicode stream is authoritative (dual-write ANSI
 copies are lossy transcodings). An ANSI string with NO declared
 codepage still REFUSES BY NAME — guessing would violate the
-strict-decode contract. RTF-compressed bodies (``0x1009``, the LZFu format) also
-refuse by name when no plain-text body accompanies them.
+strict-decode contract. RTF-only bodies (``0x1009``, the LZFu
+compressed-RTF format) DECODE FOR REAL since r16 through the from-spec
+MS-OXRTFCP decoder (``lzfu.py``) routed into the ``rtf_text.py``
+extractor — closing the r15 by-name refusal; a plain-text ``0x1000``
+body, when present, stays authoritative.
 
 Guards: stream names and sizes are attacker data (the CFB layer already
 bounds sectors); this layer validates UTF-16 parity and surfaces
@@ -197,19 +200,20 @@ def _extract(cfb: CfbFile, origin: str) -> tuple:
             lines.append(dn)
     body = _read_unicode(cfb, "", _P_BODY, origin, codec)
     if body is None:
-        # an RTF-only body must be loud, not silently empty
-        has_rtf = any(
-            e.type == 2
-            and e.path == f"__substg1.0_{_P_RTF_BODY}0102"
-            for e in cfb.entries
-        )
-        if has_rtf:
-            raise NotImplementedError(
-                f"msg {origin}: body is RTF-compressed only (property "
-                f"{_P_RTF_BODY}, the LZFu format) — decompression is not "
-                "implemented and there is no plain-text body to extract "
-                "(refused by name)"
-            )
+        # RTF-only body (no plain-text 0x1000 twin): decompress the
+        # LZFu stream (MS-OXRTFCP, operators/lzfu.py — r16, closing the
+        # r15 by-name refusal) and extract through the RTF extractor
+        rtf_name = f"__substg1.0_{_P_RTF_BODY}0102"
+        try:
+            raw_rtf = cfb.read_stream(rtf_name)
+        except ValueError:
+            raw_rtf = None
+        if raw_rtf is not None:
+            from .lzfu import decompress_lzfu
+            from .rtf_text import rtf_to_text
+
+            body = rtf_to_text(decompress_lzfu(raw_rtf, origin), origin)
+            lines.append(body)
     else:
         lines.append(body)
     n_attach = len(_substorages(cfb, _ATTACH_PREFIX))
@@ -235,13 +239,18 @@ def write_msg(
     recipients: list,
     body: str,
     attachments: int = 0,
+    rtf_only: bool = False,
 ) -> bytes:
     """Deterministic minimal unicode ``.msg`` — the production writer
     closing the round trip (``msg_to_text(write_msg(...))`` recovers the
     fields; pinned by test). Property streams carry exactly the fields
     the extractor reads; the fixed-width property stream is a minimal
     valid header (counts only — enough for every reader that, like this
-    module, walks the named streams)."""
+    module, walks the named streams). ``rtf_only=True`` stores the body
+    as a PidTagRtfCompressed LZFu stream (``lzfu.compress_lzfu`` over a
+    minimal RTF wrapper) with NO plain-text twin — the Outlook
+    internal-mail shape, closing the r16 round trip from the writer
+    side (the body must round-trip RTF escaping: ``\\ { }``)."""
     import struct
 
     from .cfb import write_cfb
@@ -249,9 +258,29 @@ def write_msg(
     def u(prop: str, s: str) -> tuple:
         return f"__substg1.0_{prop}{_T_UNICODE}", s.encode("utf-16-le")
 
-    streams: dict = dict(
-        [u(_P_SUBJECT, subject), u(_P_SENDER_NAME, sender), u(_P_BODY, body)]
-    )
+    streams: dict = dict([u(_P_SUBJECT, subject), u(_P_SENDER_NAME, sender)])
+    if rtf_only:
+        from .lzfu import compress_lzfu
+
+        parts = []
+        for ch in body:
+            cp = ord(ch)
+            if ch in "\\{}":
+                parts.append("\\" + ch)
+            elif ch == "\n":
+                parts.append("\\par ")
+            elif cp < 128:
+                parts.append(ch)
+            elif cp <= 0xFFFF:  # \uN is SIGNED 16-bit per the RTF spec
+                parts.append(f"\\u{cp - 0x10000 if cp > 0x7FFF else cp}?")
+            else:  # astral: UTF-16 surrogate pair, each half signed
+                v = cp - 0x10000
+                hi, lo = 0xD800 + (v >> 10), 0xDC00 + (v & 0x3FF)
+                parts.append(f"\\u{hi - 0x10000}?\\u{lo - 0x10000}?")
+        rtf = ("{\\rtf1\\ansi " + "".join(parts) + "}").encode("ascii")
+        streams[f"__substg1.0_{_P_RTF_BODY}0102"] = compress_lzfu(rtf)
+    else:
+        streams.update([u(_P_BODY, body)])
     # top-level fixed header: reserved(8) + nextRecipId + nextAttachId +
     # recipCount + attachCount + reserved(8) (MS-OXMSG §2.4.1)
     streams["__properties_version1.0"] = (

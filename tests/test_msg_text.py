@@ -59,13 +59,33 @@ def test_ansi_string8_refuses_by_name():
         msg_to_text(write_cfb(streams), "t")
 
 
-def test_rtf_only_body_refuses_by_name():
+def test_rtf_only_body_extracts_like_its_plain_twin():
+    """r16: an RTF-only body (PidTagRtfCompressed, LZFu) decompresses
+    through operators/lzfu.py and extracts the SAME text as the
+    plain-body twin — closing the r15 by-name refusal. Census msg rows
+    carry its char count."""
+    body = "Hi all,\nthe café numbers are attached — 100% done."
+    plain = write_msg("Subj", "Ana", ["Bob"], body)
+    rtf = write_msg("Subj", "Ana", ["Bob"], body, rtf_only=True)
+    assert msg_to_text(rtf, "t") == msg_to_text(plain, "t")
+    assert msg_meta(rtf, "t")["n_chars"] == msg_meta(plain, "t")["n_chars"]
+    # a plain-text 0x1000 body stays authoritative over a dual-write
+    cfb = parse_cfb(rtf, "t")
+    streams = {e.path: cfb.read_stream(e.path)
+               for e in cfb.entries if e.type == 2}
+    streams["__substg1.0_1000001F"] = "plain wins".encode("utf-16-le")
+    dual = write_cfb(streams)
+    assert "plain wins" in msg_to_text(dual, "t")
+    assert "café" not in msg_to_text(dual, "t")
+
+
+def test_rtf_only_body_with_corrupt_lzfu_is_loud():
     streams = {
         "__properties_version1.0": b"\x00" * 24,
         "__substg1.0_0037001F": "s".encode("utf-16-le"),
         "__substg1.0_10090102": b"\x01\x02\x03",
     }
-    with pytest.raises(NotImplementedError, match="RTF-compressed"):
+    with pytest.raises(ValueError, match="lzfu .*16-byte header"):
         msg_to_text(write_cfb(streams), "t")
 
 
