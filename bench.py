@@ -123,14 +123,15 @@ def main() -> None:
         "spread": spread,
         "scale": scale,
     }
-    # Quiet-host absolute total (round-14 protocol): this host's
-    # contention moves identical code ±20-30% between sessions, so the
-    # committed artifact trail needs one absolute number that ISN'T
-    # weather — the MINIMUM total across the round's same-tree bench
-    # runs, recorded by the builder in QUIET_BENCH.json and passed
-    # through here verbatim (with its recording round, so a stale file
-    # is visible as such) into both the detail artifact and the stdout
-    # line the driver records.
+    # Quiet-host absolute totals (round-14 protocol, hardened r16):
+    # this host's contention moves identical code ±20-30% between
+    # sessions, so the committed artifact trail needs absolute numbers
+    # that AREN'T weather — min-of-run-totals (quiet_total_s, kept for
+    # continuity) and the outlier-robust sum-of-per-query-min
+    # (quiet_total_v2_s), both recorded by tools/quiet_bench.py into
+    # QUIET_BENCH.json and passed through here verbatim (with the
+    # recording round, so a stale file is visible as such) into both
+    # the detail artifact and the stdout line the driver records.
     quiet_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "QUIET_BENCH.json"
     )
@@ -148,6 +149,7 @@ def main() -> None:
             quiet = None
     if quiet is not None:
         detail["quiet_total_s"] = quiet.get("quiet_total_s")
+        detail["quiet_total_v2_s"] = quiet.get("quiet_total_v2_s")
         detail["quiet_recorded_round"] = quiet.get("recorded_round")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -173,6 +175,7 @@ def main() -> None:
     }
     if quiet is not None:
         summary["quiet_total_s"] = quiet.get("quiet_total_s")
+        summary["quiet_total_v2_s"] = quiet.get("quiet_total_v2_s")
         summary["quiet_recorded_round"] = quiet.get("recorded_round")
     for name in sorted(times, key=lambda n: -times[n]):
         shown[name] = times[name]
