@@ -31,8 +31,14 @@ honest from-spec subset here:
   through the AGL core subset in ``operators/agl.py``, whose every
   entry is UCD-verified at import, with names outside it refusing BY
   NAME; CID-keyed (Type0) fonts WITHOUT a ToUnicode map refuse by name
-  (no glyph-list oracle in-container), as do encrypted documents
-  (/Encrypt).
+  (no glyph-list oracle in-container);
+* **encryption** (r16): standard-security RC4 with an EMPTY user
+  password — the dominant "owner-locked" case (V 1/2, R 2/3, ISO
+  32000-1 §7.6.3: MD5 key derivation over the padded password + /O +
+  /P + /ID, the R3 50-round strengthening, per-object keys, U-entry
+  verification) decrypts strings and streams transparently; AES /
+  crypt-filter documents (V ≥ 4) and NON-empty user passwords refuse
+  BY NAME (no password oracle here).
 
 Fail-loud discipline: offsets, lengths, and counts are attacker data —
 xref entries outside the file, looping /Prev chains, stream /Length
@@ -461,6 +467,71 @@ def _apply_filters(raw: bytes, d: dict, resolve, origin: str) -> bytes:
     return data
 
 
+# ------------------------------------------------------------ encryption
+#
+# ISO 32000-1 §7.6.2-7.6.3 standard security handler, RC4 + empty user
+# password (the "owner-locked" PDFs a crawl is full of). AES (V≥4) and
+# real passwords refuse by name in _setup_decryption.
+
+# §7.6.3.3 Algorithm 2 padding string (32 bytes, normative)
+_CRYPT_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm; fine for DECRYPTING legacy PDFs —
+    nothing here encrypts new content)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+    """§7.6.3.3 Algorithm 2 with the EMPTY user password: the file
+    encryption key (n bytes)."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5()
+    h.update(_CRYPT_PAD)  # empty password pads to the full pad string
+    h.update(o)
+    h.update(struct.pack("<i", p))  # /P as SIGNED 32-bit little-endian
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """The /U value the empty user password produces (§7.6.3.4
+    Algorithms 4/5) — compared against the file's /U to verify."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _CRYPT_PAD)
+    digest = hashlib.md5(_CRYPT_PAD + id0).digest()
+    step = _rc4(key, digest)
+    for i in range(1, 20):
+        step = _rc4(bytes(b ^ i for b in key), step)
+    return step  # R3 comparison uses the first 16 bytes
+
+
 # --------------------------------------------------------------- document
 
 
@@ -480,12 +551,99 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict = {}
         self._loading: set = set()
+        self._crypt_key: bytes | None = None
+        self._crypt_exempt: int = -1  # the /Encrypt object's number
         self._load_xref()
         if "Encrypt" in self.trailer:
+            self._setup_decryption()
+
+    def _setup_decryption(self) -> None:
+        """Standard-security RC4 with the empty user password (module
+        docstring); everything else refuses by name. Runs BEFORE
+        self._crypt_key is set, so the /Encrypt dictionary's own strings
+        (/O, /U) parse raw — they are not encrypted, per spec."""
+        origin = self.origin
+        ref = self.trailer["Encrypt"]
+        if isinstance(ref, _Ref):
+            self._crypt_exempt = ref.num
+        enc = self._resolve(ref)
+        if not isinstance(enc, dict):
+            raise ValueError(f"pdf {origin}: /Encrypt is not a dictionary")
+        filt = str(self._resolve(enc.get("Filter", "")))
+        if filt != "Standard":
             raise NotImplementedError(
-                f"pdf {origin}: encrypted document (/Encrypt) — RC4/AES "
-                "decryption not implemented"
+                f"pdf {origin}: encrypted with security handler "
+                f"/{filt or '?'} — only the Standard handler is "
+                "implemented"
             )
+        v = self._resolve(enc.get("V", 0))
+        r = self._resolve(enc.get("R", 0))
+        if v not in (1, 2) or r not in (2, 3):
+            raise NotImplementedError(
+                f"pdf {origin}: encrypted with /V {v!r} /R {r!r} — only "
+                "RC4 standard security (V 1/2, R 2/3) is implemented; "
+                "AES / crypt-filter documents (V>=4) are not"
+            )
+        length = self._resolve(enc.get("Length", 40)) if v == 2 else 40
+        if not isinstance(length, int) or not 40 <= length <= 128 \
+                or length % 8:
+            raise ValueError(
+                f"pdf {origin}: /Encrypt /Length {length!r} invalid"
+            )
+        o = self._resolve(enc.get("O"))
+        u = self._resolve(enc.get("U"))
+        p = self._resolve(enc.get("P"))
+        if not isinstance(o, bytes) or len(o) != 32 \
+                or not isinstance(u, bytes) or len(u) != 32 \
+                or not isinstance(p, int):
+            raise ValueError(
+                f"pdf {origin}: /Encrypt /O and /U must be 32-byte "
+                "strings and /P an integer"
+            )
+        ident = self.trailer.get("ID")
+        if not isinstance(ident, list) or not ident \
+                or not isinstance(ident[0], bytes):
+            raise ValueError(
+                f"pdf {origin}: encrypted document without a trailer /ID "
+                "(required by the standard security handler)"
+            )
+        key = _std_file_key(o, p, ident[0], r, length // 8)
+        want = _std_user_check(key, ident[0], r)
+        cmp_len = 32 if r == 2 else 16
+        if want[:cmp_len] != u[:cmp_len]:
+            raise NotImplementedError(
+                f"pdf {origin}: encrypted with a NON-EMPTY user password "
+                "— password-based decryption beyond the empty-password "
+                "standard case is not implemented"
+            )
+        self._crypt_key = key
+
+    def _decrypt_value(self, v, okey: bytes):
+        """Recursively decrypt an indirect object's strings and stream
+        bytes with its per-object key (names/numbers untouched)."""
+        if isinstance(v, bytes):
+            return _rc4(okey, v)
+        if isinstance(v, list):
+            return [self._decrypt_value(x, okey) for x in v]
+        if isinstance(v, _Stream):
+            v.d = self._decrypt_value(v.d, okey)
+            v.raw = _rc4(okey, v.raw)
+            return v
+        if isinstance(v, dict):
+            return {k: self._decrypt_value(x, okey) for k, x in v.items()}
+        return v
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        """§7.6.2 Algorithm 1: the per-object RC4 key."""
+        import hashlib
+        import struct
+
+        h = hashlib.md5(
+            self._crypt_key
+            + struct.pack("<I", num)[:3]
+            + struct.pack("<I", gen)[:2]
+        )
+        return h.digest()[: min(len(self._crypt_key) + 5, 16)]
 
     # -- xref loading
 
@@ -698,6 +856,15 @@ class PdfDocument:
         try:
             if entry[0] == "n":
                 _num, _gen, val = self._parse_indirect_at(entry[1])
+                # directly-stored objects decrypt with their per-object
+                # key (the /Encrypt dict itself is exempt, per spec);
+                # object-stream members are NOT separately encrypted —
+                # their container's stream bytes already were
+                if self._crypt_key is not None \
+                        and key != self._crypt_exempt:
+                    val = self._decrypt_value(
+                        val, self._object_key(_num, _gen)
+                    )
             else:  # in an object stream
                 _t, stm_num, idx = entry
                 val = self._objstm_object(stm_num, idx)

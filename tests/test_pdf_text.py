@@ -303,10 +303,6 @@ def test_incremental_update_prev_chain():
 
 
 def test_refusals_by_name():
-    with pytest.raises(NotImplementedError, match=r"encrypted document"):
-        data = _simple_pdf(_content(b"x"))
-        # splice an /Encrypt key into the trailer
-        PdfDocument(data.replace(b"/Root 1 0 R ", b"/Root 1 0 R /Encrypt 9 0 R "))
     with pytest.raises(NotImplementedError, match=r"CID-keyed \(Type0\)"):
         b = _Builder()
         b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -651,3 +647,168 @@ def test_differences_structural_errors_are_loud():
     )
     with pytest.raises(ValueError, match=r"past code 255"):
         pdf_to_text(data)
+
+
+# ---------------------------------------------------- encryption (r16)
+#
+# The RC4 standard-security fixtures are built by an INDEPENDENT
+# test-side implementation of ISO 32000-1 §7.6.3 Algorithms 2/3/4/5
+# (including Algorithm 3, which the module never implements — it only
+# consumes /O), so a derivation mistake on either side fails the
+# extraction loudly. The 32-byte padding constant is necessarily shared
+# spec material (disclosed).
+
+_T_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _t_rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    i = j = 0
+    out = []
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _t_pad(pw: bytes) -> bytes:
+    return (pw + _T_PAD)[:32]
+
+
+def _t_alg3_O(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(_t_pad(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    o = _t_rc4(key, _t_pad(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _t_rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _t_alg2_key(user_pw: bytes, o: bytes, p: int, id0: bytes,
+                r: int, n: int) -> bytes:
+    import hashlib
+    import struct
+
+    h = hashlib.md5(_t_pad(user_pw) + o + struct.pack("<i", p) + id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _t_alg45_U(key: bytes, id0: bytes, r: int) -> bytes:
+    import hashlib
+
+    if r == 2:
+        return _t_rc4(key, _T_PAD)
+    u = _t_rc4(key, hashlib.md5(_T_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _t_rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _t_objkey(fkey: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+    import struct
+
+    h = hashlib.md5(
+        fkey + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    )
+    return h.digest()[: min(len(fkey) + 5, 16)]
+
+
+def _hexs(b: bytes) -> bytes:
+    return b"<" + b.hex().encode() + b">"
+
+
+def _encrypted_pdf(r: int = 3, user_pw: bytes = b"",
+                   enc_extra: bytes = b"") -> bytes:
+    """Owner-locked PDF (owner password set, user password usually
+    empty) with the content stream and an /Info title RC4-encrypted."""
+    v, length = (2, 128) if r == 3 else (1, 40)
+    n = length // 8
+    id0 = bytes(range(16))
+    p = -44
+    o = _t_alg3_O(b"owner-secret", user_pw, r, n)
+    fkey = _t_alg2_key(user_pw, o, p, id0, r, n)
+    u = _t_alg45_U(fkey, id0, r)
+    content = _content(b"Locked but readable.")
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    b.add_stream(4, b"", _t_rc4(_t_objkey(fkey, 4, 0), content))
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    lenkey = b" /Length %d" % length if v == 2 else b""
+    b.add(6, b"<< /Filter /Standard /V %d /R %d%s /O " % (v, r, lenkey)
+             + _hexs(o) + b" /U " + _hexs(u) + b" /P %d" % p
+             + enc_extra + b" >>")
+    b.add(7, b"<< /Title "
+             + _hexs(_t_rc4(_t_objkey(fkey, 7, 0), b"Secret title"))
+             + b" >>")
+    return b.finish(
+        1,
+        extra_trailer=b"/Encrypt 6 0 R /Info 7 0 R /ID ["
+        + _hexs(id0) + b" " + _hexs(id0) + b"] ",
+    )
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_rc4_empty_user_password_decrypts(r):
+    data = _encrypted_pdf(r=r)
+    assert pdf_to_text(data) == "Locked but readable."
+    m = pdf_meta(data)
+    assert m["n_pages"] == 1
+
+
+def test_rc4_object_level_strings_decrypt():
+    from hbase_observer_es_spark.operators.pdf_text import _Ref
+
+    doc = PdfDocument(_encrypted_pdf(r=3))
+    info = doc._resolve(doc.trailer["Info"])
+    assert info["Title"] == b"Secret title"
+    # the /Encrypt dictionary's own strings stay RAW (exempt per spec)
+    enc = doc._resolve(doc.trailer["Encrypt"])
+    assert len(enc["O"]) == 32 and len(enc["U"]) == 32
+
+
+def test_nonempty_user_password_refuses_by_name():
+    data = _encrypted_pdf(r=3, user_pw=b"hunter2")
+    with pytest.raises(NotImplementedError, match="NON-EMPTY user password"):
+        pdf_to_text(data)
+
+
+def test_aes_and_foreign_handlers_refuse_by_name():
+    data = _encrypted_pdf(r=3)
+    with pytest.raises(NotImplementedError, match=r"/V 4"):
+        PdfDocument(data.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    with pytest.raises(NotImplementedError, match="security handler"):
+        # same length so the xref offsets stay valid
+        PdfDocument(data.replace(b"/Filter /Standard", b"/Filter /Standarx"))
+
+
+def test_encrypted_without_id_is_loud():
+    data = _encrypted_pdf(r=3)
+    i = data.rindex(b"/ID [")
+    j = data.index(b"]", i) + 1
+    with pytest.raises(ValueError, match="without a trailer /ID"):
+        PdfDocument(data[:i] + data[j:])
