@@ -167,11 +167,122 @@ FROM hits WHERE n_pairs > 0
 """
 
 
+# --- span_or / span_first (round 16) -----------------------------------------
+
+SPAN_FIRST_END = 10  # ES span_first `end`: spans ending within the first 10
+
+
+def q_search_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_or` (clauses=[span_term {SPAN_FIRST!r}, span_term
+    {SPAN_SECOND!r}]): the UNION of the clause spans per document — span
+    count plus the first/last matching position (the span envelope a
+    wrapping span_near/span_first consumes). Single-token spans of
+    different terms can never coincide, so the union is the merged
+    ascending position list; one tokenization, one Generate barrier
+    (the q_search_span_near discipline), map-only integer math."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    s1 = d.select("doc_id", F.explode(F.array(toks)).alias("tk"))
+    tk = F.col("tk")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)))
+    pu = F.filter(
+        idx,
+        lambda i: (F.try_element_at(tk, i) == SPAN_FIRST)
+        | (F.try_element_at(tk, i) == SPAN_SECOND),
+    )
+    s2 = s1.select("doc_id", F.explode(F.array(pu)).alias("pu"))
+    puc = F.col("pu")
+    return (
+        s2.select(
+            "doc_id",
+            F.size(puc).cast("bigint").alias("n_spans"),
+            F.try_element_at(puc, F.lit(1)).cast("bigint").alias("first_pos"),
+            F.try_element_at(puc, F.size(puc)).cast("bigint").alias("last_pos"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+
+
+SQL_SEARCH_SPAN_OR = f"""
+WITH tks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents
+),
+pos AS (
+    SELECT doc_id,
+           list_filter(generate_series(1, greatest(len(tk), 1)),
+                       i -> tk[i] = '{SPAN_FIRST}'
+                            OR tk[i] = '{SPAN_SECOND}') AS pu
+    FROM tks
+)
+SELECT doc_id,
+       CAST(len(pu) AS BIGINT) AS n_spans,
+       CAST(pu[1] AS BIGINT) AS first_pos,
+       CAST(pu[len(pu)] AS BIGINT) AS last_pos
+FROM pos
+WHERE len(pu) > 0
+"""
+
+
+def q_search_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `span_first` (match=span_term {SPAN_FIRST!r},
+    end={SPAN_FIRST_END}): the wrapped span must END within the first
+    `end` positions — for a single-token span at 1-based position i the
+    span end is i, so the condition is i <= end (convention fixed
+    identically in both engines). Emits the in-boundary occurrence
+    count and the earliest position; same one-barrier map-only shape as
+    q_search_span_or."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    s1 = d.select("doc_id", F.explode(F.array(toks)).alias("tk"))
+    tk = F.col("tk")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)))
+    pf = F.filter(
+        idx,
+        lambda i: (F.try_element_at(tk, i) == SPAN_FIRST)
+        & (i <= F.lit(SPAN_FIRST_END)),
+    )
+    s2 = s1.select("doc_id", F.explode(F.array(pf)).alias("pf"))
+    pfc = F.col("pf")
+    return (
+        s2.select(
+            "doc_id",
+            F.size(pfc).cast("bigint").alias("n_first"),
+            F.try_element_at(pfc, F.lit(1)).cast("bigint").alias("first_pos"),
+        )
+        .filter(F.col("n_first") > 0)
+    )
+
+
+SQL_SEARCH_SPAN_FIRST = f"""
+WITH tks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents
+),
+pos AS (
+    SELECT doc_id,
+           list_filter(generate_series(1, greatest(len(tk), 1)),
+                       i -> tk[i] = '{SPAN_FIRST}'
+                            AND i <= {SPAN_FIRST_END}) AS pf
+    FROM tks
+)
+SELECT doc_id,
+       CAST(len(pf) AS BIGINT) AS n_first,
+       CAST(pf[1] AS BIGINT) AS first_pos
+FROM pos
+WHERE len(pf) > 0
+"""
+
+
 QUERIES = {
     "q_search_span_near": q_search_span_near,
     "q_search_intervals": q_search_intervals,
+    "q_search_span_or": q_search_span_or,
+    "q_search_span_first": q_search_span_first,
 }
 ORACLES = {
     "q_search_span_near": SQL_SEARCH_SPAN_NEAR,
     "q_search_intervals": SQL_SEARCH_INTERVALS,
+    "q_search_span_or": SQL_SEARCH_SPAN_OR,
+    "q_search_span_first": SQL_SEARCH_SPAN_FIRST,
 }
