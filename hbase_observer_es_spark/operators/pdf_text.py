@@ -482,22 +482,7 @@ _CRYPT_PAD = bytes([
 ])
 
 
-def _rc4(key: bytes, data: bytes) -> bytes:
-    """Plain RC4 (public algorithm; fine for DECRYPTING legacy PDFs —
-    nothing here encrypts new content)."""
-    s = list(range(256))
-    j = 0
-    for i in range(256):
-        j = (j + s[i] + key[i % len(key)]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-    out = bytearray(len(data))
-    i = j = 0
-    for k, b in enumerate(data):
-        i = (i + 1) & 0xFF
-        j = (j + s[i]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
-    return bytes(out)
+from .rc4 import rc4 as _rc4  # the shared legacy-decryption primitive
 
 
 def _std_file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:

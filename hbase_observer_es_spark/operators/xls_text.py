@@ -8,9 +8,16 @@ spill into CONTINUE records). The text path:
 
 * globals substream: ``BOF`` (version gate — BIFF8 ``0x0600`` and
   BIFF5/7 ``0x0500`` decode; anything older refuses by name),
-  ``FILEPASS`` (encryption — refuses by name), ``CODEPAGE`` (BIFF5/7
-  byte strings decode STRICTLY in the declared codepage, cp1252 when
-  absent; a codepage with no decoder here refuses by name),
+  ``FILEPASS`` — r16: BIFF8 RC4 standard encryption (MS-OFFCRYPTO
+  §2.3.6) DECRYPTS when the workbook verifies against the documented
+  default ``VelvetSweatshop`` password (Excel's transparent
+  "no-password" encryption, bulk-common in crawled corpora): MD5 block
+  keys over 1024-byte absolute offsets, §2.2.10 plaintext-record
+  exemptions incl. BoundSheet8's ``lbPlyPos``; XOR obfuscation, RC4
+  CryptoAPI, and REAL passwords refuse by name — ``CODEPAGE``
+  (BIFF5/7 byte strings decode STRICTLY in the declared codepage,
+  cp1252 when absent; a codepage with no decoder here refuses by
+  name),
   ``BOUNDSHEET`` entries (sheet names in tab order + each substream's
   offset; only worksheets extract, chart/VB modules are skipped), and
   the ``SST`` shared-string table (BIFF8; BIFF5/7 has none — labels are
@@ -39,9 +46,9 @@ spill into CONTINUE records). The text path:
 Guards: record lengths are attacker data — a record overrunning the
 stream, an SST index out of range, an RK array not matching its column
 span, or a split mid-UTF-16-code-unit names its byte offset. Formats
-this module recognizes but does not decode (encrypted workbooks,
-pre-BIFF5 streams, codepages without an in-stdlib decoder) refuse BY
-NAME.
+this module recognizes but does not decode (password-protected and
+XOR/CryptoAPI-encrypted workbooks, pre-BIFF5 streams, codepages
+without an in-stdlib decoder) refuse BY NAME.
 
 Scale posture: one payload per task via ``doc_text.doc_text_frame``'s
 shape (the census calls this in the same mapInPandas pass); work is
@@ -331,6 +338,131 @@ def _bool_err(val: int, is_err: int, origin: str) -> str:
     return "TRUE" if val else "FALSE"
 
 
+# --- FILEPASS RC4 decryption (r16) -------------------------------------------
+#
+# MS-OFFCRYPTO §2.3.6 "Office Binary Document RC4 Encryption" — the BIFF8
+# standard encryption, tried with the DOCUMENTED default password
+# "VelvetSweatshop": Excel applies it transparently when the user sets no
+# open-password ("encrypt contents" without a password), so crawled
+# corpora are full of such workbooks that open everywhere without a
+# prompt. Real passwords are refused by name — no guessing beyond the
+# published default (the pdf_text empty-user-password posture). XOR
+# obfuscation (§2.3.7) and RC4 CryptoAPI (§2.3.5) refuse by name.
+
+_XLS_DEFAULT_PW = "VelvetSweatshop"  # MS-OFFCRYPTO documented default
+_RC4_BLOCK = 1024  # stream re-keys every 1024 bytes (absolute offsets)
+# payloads that stay PLAINTEXT in an encrypted stream (MS-XLS §2.2.10):
+# BOF, FilePass, UsrExcl, FileLock, InterfaceHdr, RRDInfo, RRDHead —
+# plus every record HEADER and BoundSheet8's 4-byte lbPlyPos field.
+# Keystream is still CONSUMED over plaintext bytes (absolute-offset
+# discipline), which the full-keystream XOR below gets for free.
+_PLAINTEXT_RECS = frozenset(
+    {0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138}
+)
+
+
+def _rc4_base(password: str, salt: bytes) -> bytes:
+    """§2.3.6.2: the 5 key-derivation bytes every block key hashes."""
+    import hashlib
+
+    h0 = hashlib.md5(password.encode("utf-16-le")).digest()
+    return hashlib.md5((h0[:5] + salt) * 16).digest()[:5]
+
+
+def _rc4_block_key(base5: bytes, block: int) -> bytes:
+    import hashlib
+
+    return hashlib.md5(base5 + struct.pack("<I", block)).digest()
+
+
+def _decrypt_filepass(
+    wb: bytes, body: bytes, at: int, biff5: bool, origin: str
+) -> bytes:
+    """FILEPASS dispatch: verify the default password and decrypt, or
+    refuse by name."""
+    import hashlib
+
+    from .rc4 import rc4
+
+    if biff5:
+        raise NotImplementedError(
+            f"xls {origin}: BIFF5 encrypted workbook (FILEPASS XOR "
+            "obfuscation) not implemented"
+        )
+    _need(body, 2, "FILEPASS", at, origin)
+    (wtype,) = struct.unpack_from("<H", body, 0)
+    if wtype == 0:
+        raise NotImplementedError(
+            f"xls {origin}: XOR-obfuscated workbook (FILEPASS type 0) "
+            "not implemented"
+        )
+    if wtype != 1:
+        raise ValueError(
+            f"xls {origin}: FILEPASS encryption type {wtype:#06x} at "
+            f"byte {at} is not XOR (0) or RC4 (1)"
+        )
+    _need(body, 6, "FILEPASS", at, origin)
+    vmaj, vmin = struct.unpack_from("<HH", body, 2)
+    if (vmaj, vmin) != (1, 1):
+        raise NotImplementedError(
+            f"xls {origin}: RC4 CryptoAPI encryption (version {vmaj}."
+            f"{vmin}) not implemented — only the binary-document RC4 "
+            "header (1.1) decrypts here"
+        )
+    _need(body, 54, "FILEPASS", at, origin)
+    salt = body[6:22]
+    base5 = _rc4_base(_XLS_DEFAULT_PW, salt)
+    # verifier check: ONE cipher state across both 16-byte fields
+    plain = rc4(_rc4_block_key(base5, 0), body[22:54])
+    if hashlib.md5(plain[:16]).digest() != plain[16:32]:
+        raise NotImplementedError(
+            f"xls {origin}: RC4-encrypted workbook is password-protected "
+            f"beyond the default {_XLS_DEFAULT_PW!r} password — "
+            "password-based decryption is not implemented"
+        )
+    return _decrypt_rc4_stream(wb, base5, origin)
+
+
+def _decrypt_rc4_stream(wb: bytes, base5: bytes, origin: str) -> bytes:
+    """XOR the whole stream's keystream (re-keyed per 1024-byte block at
+    absolute offsets) into every encrypted payload byte; headers and the
+    §2.2.10 plaintext records pass through with their keystream spent."""
+    from .rc4 import rc4_keystream
+
+    n = len(wb)
+    ks = bytearray()
+    for b in range((n + _RC4_BLOCK - 1) // _RC4_BLOCK):
+        ks += rc4_keystream(
+            _rc4_block_key(base5, b), min(_RC4_BLOCK, n - b * _RC4_BLOCK)
+        )
+    out = bytearray(wb)
+    pos = 0
+    while pos + 4 <= n:
+        rid, ln = struct.unpack_from("<HH", wb, pos)
+        if pos + 4 + ln > n:
+            raise ValueError(
+                f"xls {origin}: record {rid:#06x} at byte {pos} declares "
+                f"{ln} bytes past the stream end"
+            )
+        if rid not in _PLAINTEXT_RECS and ln:
+            start = pos + 4
+            if rid == _R_BOUNDSHEET:
+                start += 4  # lbPlyPos stays plaintext
+            out[start : pos + 4 + ln] = bytes(
+                a ^ b
+                for a, b in zip(
+                    wb[start : pos + 4 + ln], ks[start : pos + 4 + ln]
+                )
+            )
+        pos += 4 + ln
+    if pos != n:
+        raise ValueError(
+            f"xls {origin}: truncated record header at byte {pos} in the "
+            "encrypted stream"
+        )
+    return bytes(out)
+
+
 def xls_to_text(payload: bytes, origin: str = "<bytes>") -> str:
     """Every worksheet in tab order: sheet name, one line per non-empty
     row (cells tab-joined in column order), sheets separated by blank
@@ -342,8 +474,6 @@ def _extract(cfb, origin: str) -> tuple:
     """(normalized text, worksheet count) — ONE parse of the Workbook
     stream; ``xls_to_text``/``xls_meta``/``doc_text.doc_meta`` all ride
     this so the census never parses a payload twice."""
-    from .office_text import _normalize
-
     if cfb_subformat(cfb) != "xls":
         raise ValueError(
             f"xls {origin}: compound file has no Workbook/Book stream"
@@ -354,6 +484,11 @@ def _extract(cfb, origin: str) -> tuple:
         # BIFF5/7 workbooks live in a "Book" stream (r15: decoded for
         # real — byte strings in the declared CODEPAGE, no SST)
         wb = cfb.read_stream("Book")
+    return _extract_wb(wb, origin)
+
+
+def _extract_wb(wb: bytes, origin: str, decrypted: bool = False) -> tuple:
+    from .office_text import _normalize
 
     # ---- globals substream
     sheets: list = []  # (name, offset)
@@ -381,9 +516,16 @@ def _extract(cfb, origin: str) -> tuple:
             sst = _parse_sst(pending_sst, origin)
             pending_sst = None
         if rid == _R_FILEPASS:
-            raise NotImplementedError(
-                f"xls {origin}: encrypted workbook (FILEPASS — "
-                "XOR/RC4/CryptoAPI) not implemented; decrypt upstream"
+            if decrypted:
+                continue  # spent: its payload stays plaintext by spec
+            # RC4 standard encryption (MS-OFFCRYPTO §2.3.6) with the
+            # documented default password decrypts for real (r16);
+            # XOR obfuscation / CryptoAPI / real passwords refuse by
+            # name inside _decrypt_filepass
+            return _extract_wb(
+                _decrypt_filepass(wb, body, at, fmt.biff5, origin),
+                origin,
+                decrypted=True,
             )
         if rid == _R_CODEPAGE:
             _need(body, 2, "CODEPAGE", at, origin)

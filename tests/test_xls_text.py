@@ -226,9 +226,10 @@ def test_refusals_by_name():
     old = _rec(0x0809, struct.pack("<HHHHII", 0x0400, 5, 0, 0, 0, 0)) + _EOF
     with pytest.raises(NotImplementedError, match="BIFF version 0x0400"):
         xls_to_text(_make_cfb({"Workbook": old}), "t")
-    # encrypted workbook
+    # XOR-obfuscated workbook (RC4 with the default password decrypts
+    # since r16 — see the FILEPASS section below)
     enc = _bof(0x0005) + _rec(0x002F, b"\x00\x00") + _EOF
-    with pytest.raises(NotImplementedError, match="encrypted workbook"):
+    with pytest.raises(NotImplementedError, match="XOR-obfuscated"):
         xls_to_text(_make_cfb({"Workbook": enc}), "t")
     # not an xls container at all
     with pytest.raises(ValueError, match="no Workbook/Book"):
@@ -437,3 +438,140 @@ def test_biff5_label_grid_round_trip_property(cells):
         row = grid[rw]
         lines.append("\t".join(row[c] for c in sorted(row)))
     assert got == _normalize("\n".join(lines))
+
+
+# ------------------------------------------------- FILEPASS RC4 (r16)
+#
+# The encrypted fixtures are built by an INDEPENDENT test-side
+# implementation of MS-OFFCRYPTO §2.3.6 (key derivation, verifier,
+# 1024-byte-block stream cipher, §2.2.10 plaintext exemptions) — a
+# derivation or exemption mistake on either side breaks the
+# equal-to-plain-twin assertion loudly.
+
+
+def _t_rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    i = j = 0
+    out = []
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _t_base5(password: str, salt: bytes) -> bytes:
+    import hashlib
+
+    h0 = hashlib.md5(password.encode("utf-16-le")).digest()
+    return hashlib.md5((h0[:5] + salt) * 16).digest()[:5]
+
+
+def _t_bkey(base5: bytes, block: int) -> bytes:
+    import hashlib
+
+    return hashlib.md5(base5 + struct.pack("<I", block)).digest()
+
+
+_T_EXEMPT = {0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138}
+
+
+def _encrypt_xls(plain_wb: bytes, password: str = "VelvetSweatshop",
+                 filepass: bytes | None = None) -> bytes:
+    """Splice a FILEPASS after the globals BOF (fixing lbPlyPos) and
+    RC4-encrypt per spec; `filepass` overrides the record body for the
+    refusal fixtures."""
+    import hashlib
+
+    salt = bytes(range(16))
+    verifier = b"0123456789abcdef"
+    base5 = _t_base5(password, salt)
+    if filepass is None:
+        ev = _t_rc4(_t_bkey(base5, 0),
+                    verifier + hashlib.md5(verifier).digest())
+        filepass = struct.pack("<HHH", 1, 1, 1) + salt + ev
+    fp = _rec(0x002F, filepass)
+    _, ln = struct.unpack_from("<HH", plain_wb, 0)
+    bof_end = 4 + ln
+    wb = bytearray(plain_wb[:bof_end] + fp + plain_wb[bof_end:])
+    n = len(wb)
+    recs = []
+    pos = 0
+    while pos + 4 <= n:
+        rid, ln = struct.unpack_from("<HH", wb, pos)
+        if rid == 0x0085:  # BoundSheet8: shift lbPlyPos by the splice
+            (p,) = struct.unpack_from("<I", wb, pos + 4)
+            struct.pack_into("<I", wb, pos + 4, p + len(fp))
+        recs.append((rid, pos, ln))
+        pos += 4 + ln
+    assert pos == n
+    ks = bytearray()
+    for b in range((n + 1023) // 1024):
+        ks += _t_rc4(_t_bkey(base5, b), bytes(min(1024, n - b * 1024)))
+    for rid, pos, ln in recs:
+        if rid in _T_EXEMPT or ln == 0:
+            continue
+        s = pos + 4 + (4 if rid == 0x0085 else 0)
+        e = pos + 4 + ln
+        wb[s:e] = bytes(a ^ b for a, b in zip(wb[s:e], ks[s:e]))
+    return _make_cfb({"Workbook": bytes(wb)})
+
+
+def test_filepass_rc4_default_password_decrypts():
+    """A VelvetSweatshop-encrypted workbook (Excel's transparent
+    no-password encryption) extracts EXACTLY like its plain twin —
+    SST + labels + numbers across two sheets, enough payload to cross
+    the 1024-byte re-key boundary."""
+    sst_strings = [f"cell text {i} with some padding" for i in range(40)]
+    sheets = [
+        ("Alpha", [_labelsst(r, 0, r % 40) for r in range(30)]
+                  + [_number(r, 1, r + 0.5) for r in range(30)]),
+        ("Beta", [_labelsst(0, 0, 7)]),
+    ]
+    plain_wb = _workbook([_sst(sst_strings)], sheets)
+    assert len(plain_wb) > 2048  # multi-block keystream is exercised
+    plain = _make_cfb({"Workbook": plain_wb})
+    enc = _encrypt_xls(plain_wb)
+    assert xls_to_text(enc, "t") == xls_to_text(plain, "t")
+    assert xls_meta(enc, "t") == xls_meta(plain, "t")
+
+
+def test_filepass_refusals_by_name():
+    plain_wb = _workbook([_sst(["x"])], [("S", [_labelsst(0, 0, 0)])])
+    # a REAL password refuses by name (no guessing beyond the default)
+    with pytest.raises(NotImplementedError, match="VelvetSweatshop"):
+        xls_to_text(_encrypt_xls(plain_wb, password="hunter2"), "t")
+    # XOR obfuscation
+    with pytest.raises(NotImplementedError, match="XOR-obfuscated"):
+        xls_to_text(
+            _encrypt_xls(plain_wb, filepass=struct.pack("<HHH", 0, 1, 1)),
+            "t",
+        )
+    # RC4 CryptoAPI header versions
+    with pytest.raises(NotImplementedError, match="CryptoAPI"):
+        xls_to_text(
+            _encrypt_xls(
+                plain_wb,
+                filepass=struct.pack("<HHH", 1, 4, 2) + bytes(48),
+            ),
+            "t",
+        )
+    # BIFF5 FILEPASS (XOR-era)
+    wb5 = _book5([_rec(0x002F, bytes(4))], [("S", [])])
+    with pytest.raises(NotImplementedError, match="BIFF5 encrypted"):
+        xls_to_text(wb5, "t")
+
+
+def test_filepass_truncated_header_is_loud():
+    plain_wb = _workbook([_sst(["x"])], [("S", [_labelsst(0, 0, 0)])])
+    with pytest.raises(ValueError, match="FILEPASS"):
+        xls_to_text(
+            _encrypt_xls(plain_wb, filepass=struct.pack("<HHH", 1, 1, 1)
+                         + bytes(10)),
+            "t",
+        )
