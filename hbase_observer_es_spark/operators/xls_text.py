@@ -13,8 +13,10 @@ spill into CONTINUE records). The text path:
   default ``VelvetSweatshop`` password (Excel's transparent
   "no-password" encryption, bulk-common in crawled corpora): MD5 block
   keys over 1024-byte absolute offsets, §2.2.10 plaintext-record
-  exemptions incl. BoundSheet8's ``lbPlyPos``; XOR obfuscation, RC4
-  CryptoAPI, and REAL passwords refuse by name — ``CODEPAGE``
+  exemptions incl. BoundSheet8's ``lbPlyPos``; RC4 CryptoAPI (§2.3.5,
+  what Excel 2002+ writes — SHA1 block keys, the 40-bit zero-extension)
+  decrypts under the same default password; XOR obfuscation, CryptoAPI
+  AES, and REAL passwords refuse by name — ``CODEPAGE``
   (BIFF5/7 byte strings decode STRICTLY in the declared codepage,
   cp1252 when absent; a codepage with no decoder here refuses by
   name),
@@ -46,9 +48,9 @@ spill into CONTINUE records). The text path:
 Guards: record lengths are attacker data — a record overrunning the
 stream, an SST index out of range, an RK array not matching its column
 span, or a split mid-UTF-16-code-unit names its byte offset. Formats
-this module recognizes but does not decode (password-protected and
-XOR/CryptoAPI-encrypted workbooks, pre-BIFF5 streams, codepages
-without an in-stdlib decoder) refuse BY NAME.
+this module recognizes but does not decode (password-protected,
+XOR-obfuscated, and CryptoAPI-AES workbooks, pre-BIFF5 streams,
+codepages without an in-stdlib decoder) refuse BY NAME.
 
 Scale posture: one payload per task via ``doc_text.doc_text_frame``'s
 shape (the census calls this in the same mapInPandas pass); work is
@@ -346,8 +348,10 @@ def _bool_err(val: int, is_err: int, origin: str) -> str:
 # open-password ("encrypt contents" without a password), so crawled
 # corpora are full of such workbooks that open everywhere without a
 # prompt. Real passwords are refused by name — no guessing beyond the
-# published default (the pdf_text empty-user-password posture). XOR
-# obfuscation (§2.3.7) and RC4 CryptoAPI (§2.3.5) refuse by name.
+# published default (the pdf_text empty-user-password posture). Both
+# RC4 headers decrypt: binary-document (§2.3.6, MD5 block keys) and
+# CryptoAPI (§2.3.5, SHA1 block keys — Excel 2002+). XOR obfuscation
+# (§2.3.7) and CryptoAPI AES refuse by name.
 
 _XLS_DEFAULT_PW = "VelvetSweatshop"  # MS-OFFCRYPTO documented default
 _RC4_BLOCK = 1024  # stream re-keys every 1024 bytes (absolute offsets)
@@ -403,11 +407,15 @@ def _decrypt_filepass(
         )
     _need(body, 6, "FILEPASS", at, origin)
     vmaj, vmin = struct.unpack_from("<HH", body, 2)
+    if vmaj in (2, 3, 4) and vmin == 2:
+        # RC4 CryptoAPI (§2.3.5) — what Excel 2002+ writes; the default
+        # password applies here too
+        return _decrypt_filepass_cryptoapi(wb, body, at, origin)
     if (vmaj, vmin) != (1, 1):
         raise NotImplementedError(
-            f"xls {origin}: RC4 CryptoAPI encryption (version {vmaj}."
-            f"{vmin}) not implemented — only the binary-document RC4 "
-            "header (1.1) decrypts here"
+            f"xls {origin}: FILEPASS RC4 header version {vmaj}.{vmin} "
+            "not implemented — binary-document RC4 (1.1) and CryptoAPI "
+            "(2.2/3.2/4.2) decrypt here"
         )
     _need(body, 54, "FILEPASS", at, origin)
     salt = body[6:22]
@@ -420,20 +428,107 @@ def _decrypt_filepass(
             f"beyond the default {_XLS_DEFAULT_PW!r} password — "
             "password-based decryption is not implemented"
         )
-    return _decrypt_rc4_stream(wb, base5, origin)
+    return _decrypt_rc4_stream(
+        wb, lambda b: _rc4_block_key(base5, b), origin
+    )
 
 
-def _decrypt_rc4_stream(wb: bytes, base5: bytes, origin: str) -> bytes:
+def _capi_block_key(h0: bytes, block: int, keybits: int) -> bytes:
+    """§2.3.5.2: SHA1(H0 + LE32(block)) truncated to the key size; the
+    infamous 40-bit case zero-extends to 128 bits of RC4 key material."""
+    import hashlib
+
+    hfinal = hashlib.sha1(h0 + struct.pack("<I", block)).digest()
+    key = hfinal[: keybits // 8]
+    if keybits == 40:
+        key += b"\x00" * 11
+    return key
+
+
+def _decrypt_filepass_cryptoapi(
+    wb: bytes, body: bytes, at: int, origin: str
+) -> bytes:
+    """FILEPASS RC4 CryptoAPI (MS-OFFCRYPTO §2.3.5, MS-XLS FilePass):
+    EncryptionHeader + EncryptionVerifier, SHA1 key derivation, the same
+    1024-byte-block stream cipher and §2.2.10 plaintext exemptions."""
+    import hashlib
+
+    from .rc4 import rc4
+
+    _need(body, 14, "FILEPASS", at, origin)
+    (hdr_size,) = struct.unpack_from("<I", body, 10)
+    if 14 + hdr_size > len(body):
+        raise ValueError(
+            f"xls {origin}: FILEPASS CryptoAPI header declares "
+            f"{hdr_size} bytes past the record end at byte {at}"
+        )
+    hdr = body[14 : 14 + hdr_size]
+    if len(hdr) < 24:
+        raise ValueError(
+            f"xls {origin}: FILEPASS CryptoAPI header of {len(hdr)} "
+            "bytes is shorter than its fixed fields"
+        )
+    alg_id, _alg_hash, key_size = struct.unpack_from("<III", hdr, 8)
+    if alg_id not in (0x6801, 0):  # CALG_RC4 (0 = context default)
+        raise NotImplementedError(
+            f"xls {origin}: CryptoAPI cipher AlgID {alg_id:#x} not "
+            "implemented — only RC4 (0x6801) decrypts here (AES "
+            "FILEPASS workbooks need CSP plumbing)"
+        )
+    keybits = key_size or 40  # 0 means the 40-bit default
+    if keybits % 8 or not 40 <= keybits <= 128:
+        raise ValueError(
+            f"xls {origin}: CryptoAPI RC4 key size {keybits} bits "
+            "invalid (spec range 40-128)"
+        )
+    ver = body[14 + hdr_size :]
+    if len(ver) < 60:
+        raise ValueError(
+            f"xls {origin}: FILEPASS CryptoAPI verifier of {len(ver)} "
+            "bytes is shorter than its fixed fields"
+        )
+    (salt_size,) = struct.unpack_from("<I", ver, 0)
+    if salt_size != 16:
+        raise ValueError(
+            f"xls {origin}: CryptoAPI salt size {salt_size} is not 16"
+        )
+    salt = ver[4:20]
+    everifier = ver[20:36]
+    (vhash_size,) = struct.unpack_from("<I", ver, 36)
+    if vhash_size != 20:  # SHA1
+        raise ValueError(
+            f"xls {origin}: CryptoAPI verifier-hash size {vhash_size} "
+            "is not 20 (SHA1)"
+        )
+    evhash = ver[40:60]
+    h0 = hashlib.sha1(
+        salt + _XLS_DEFAULT_PW.encode("utf-16-le")
+    ).digest()
+    # ONE cipher state across verifier + hash, block 0
+    plain = rc4(_capi_block_key(h0, 0, keybits), everifier + evhash)
+    if hashlib.sha1(plain[:16]).digest() != plain[16:36]:
+        raise NotImplementedError(
+            f"xls {origin}: CryptoAPI RC4-encrypted workbook is "
+            f"password-protected beyond the default {_XLS_DEFAULT_PW!r} "
+            "password — password-based decryption is not implemented"
+        )
+    return _decrypt_rc4_stream(
+        wb, lambda b: _capi_block_key(h0, b, keybits), origin
+    )
+
+
+def _decrypt_rc4_stream(wb: bytes, block_key, origin: str) -> bytes:
     """XOR the whole stream's keystream (re-keyed per 1024-byte block at
-    absolute offsets) into every encrypted payload byte; headers and the
-    §2.2.10 plaintext records pass through with their keystream spent."""
+    absolute offsets — ``block_key(b)`` supplies the MD5 or SHA1 block
+    key) into every encrypted payload byte; headers and the §2.2.10
+    plaintext records pass through with their keystream spent."""
     from .rc4 import rc4_keystream
 
     n = len(wb)
     ks = bytearray()
     for b in range((n + _RC4_BLOCK - 1) // _RC4_BLOCK):
         ks += rc4_keystream(
-            _rc4_block_key(base5, b), min(_RC4_BLOCK, n - b * _RC4_BLOCK)
+            block_key(b), min(_RC4_BLOCK, n - b * _RC4_BLOCK)
         )
     out = bytearray(wb)
     pos = 0

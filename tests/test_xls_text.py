@@ -481,21 +481,13 @@ def _t_bkey(base5: bytes, block: int) -> bytes:
 _T_EXEMPT = {0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138}
 
 
-def _encrypt_xls(plain_wb: bytes, password: str = "VelvetSweatshop",
-                 filepass: bytes | None = None) -> bytes:
+def _splice_and_encrypt(plain_wb: bytes, fpbody: bytes,
+                        block_key) -> bytes:
     """Splice a FILEPASS after the globals BOF (fixing lbPlyPos) and
-    RC4-encrypt per spec; `filepass` overrides the record body for the
-    refusal fixtures."""
-    import hashlib
-
-    salt = bytes(range(16))
-    verifier = b"0123456789abcdef"
-    base5 = _t_base5(password, salt)
-    if filepass is None:
-        ev = _t_rc4(_t_bkey(base5, 0),
-                    verifier + hashlib.md5(verifier).digest())
-        filepass = struct.pack("<HHH", 1, 1, 1) + salt + ev
-    fp = _rec(0x002F, filepass)
+    encrypt every non-exempt payload with the per-1024-block keystream
+    from ``block_key(b)`` (None = leave plaintext, for refusal
+    fixtures)."""
+    fp = _rec(0x002F, fpbody)
     _, ln = struct.unpack_from("<HH", plain_wb, 0)
     bof_end = 4 + ln
     wb = bytearray(plain_wb[:bof_end] + fp + plain_wb[bof_end:])
@@ -510,16 +502,70 @@ def _encrypt_xls(plain_wb: bytes, password: str = "VelvetSweatshop",
         recs.append((rid, pos, ln))
         pos += 4 + ln
     assert pos == n
-    ks = bytearray()
-    for b in range((n + 1023) // 1024):
-        ks += _t_rc4(_t_bkey(base5, b), bytes(min(1024, n - b * 1024)))
-    for rid, pos, ln in recs:
-        if rid in _T_EXEMPT or ln == 0:
-            continue
-        s = pos + 4 + (4 if rid == 0x0085 else 0)
-        e = pos + 4 + ln
-        wb[s:e] = bytes(a ^ b for a, b in zip(wb[s:e], ks[s:e]))
+    if block_key is not None:
+        ks = bytearray()
+        for b in range((n + 1023) // 1024):
+            ks += _t_rc4(block_key(b), bytes(min(1024, n - b * 1024)))
+        for rid, pos, ln in recs:
+            if rid in _T_EXEMPT or ln == 0:
+                continue
+            s = pos + 4 + (4 if rid == 0x0085 else 0)
+            e = pos + 4 + ln
+            wb[s:e] = bytes(a ^ b for a, b in zip(wb[s:e], ks[s:e]))
     return _make_cfb({"Workbook": bytes(wb)})
+
+
+def _encrypt_xls(plain_wb: bytes, password: str = "VelvetSweatshop",
+                 filepass: bytes | None = None) -> bytes:
+    """Binary-document RC4 (MD5) fixture; `filepass` overrides the
+    record body for the refusal fixtures (left plaintext)."""
+    import hashlib
+
+    salt = bytes(range(16))
+    verifier = b"0123456789abcdef"
+    base5 = _t_base5(password, salt)
+    if filepass is not None:
+        return _splice_and_encrypt(plain_wb, filepass, None)
+    ev = _t_rc4(_t_bkey(base5, 0),
+                verifier + hashlib.md5(verifier).digest())
+    fpbody = struct.pack("<HHH", 1, 1, 1) + salt + ev
+    return _splice_and_encrypt(plain_wb, fpbody,
+                               lambda b: _t_bkey(base5, b))
+
+
+def _t_capi_key(h0: bytes, block: int, keybits: int) -> bytes:
+    import hashlib
+
+    hf = hashlib.sha1(h0 + struct.pack("<I", block)).digest()
+    k = hf[: keybits // 8]
+    if keybits == 40:
+        k += b"\x00" * 11
+    return k
+
+
+def _encrypt_xls_capi(plain_wb: bytes, password: str = "VelvetSweatshop",
+                      keybits: int = 40, alg_id: int = 0x6801) -> bytes:
+    """RC4 CryptoAPI (SHA1) fixture — MS-OFFCRYPTO §2.3.5 header +
+    verifier built independently."""
+    import hashlib
+
+    salt = bytes(range(16, 32))
+    verifier = b"abcdefghijklmnop"
+    h0 = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    ev = _t_rc4(_t_capi_key(h0, 0, keybits),
+                verifier + hashlib.sha1(verifier).digest())
+    csp = "Microsoft Base Cryptographic Provider v1.0\x00".encode(
+        "utf-16-le"
+    )
+    hdr = struct.pack("<IIIIIIII", 0, 0, alg_id, 0x8004, keybits,
+                      1, 0, 0) + csp
+    ver = (struct.pack("<I", 16) + salt + ev[:16]
+           + struct.pack("<I", 20) + ev[16:36])
+    fpbody = struct.pack("<HHHII", 1, 3, 2, 0, len(hdr)) + hdr + ver
+    if alg_id != 0x6801:  # refusal fixture: leave payloads plaintext
+        return _splice_and_encrypt(plain_wb, fpbody, None)
+    return _splice_and_encrypt(plain_wb, fpbody,
+                               lambda b: _t_capi_key(h0, b, keybits))
 
 
 def test_filepass_rc4_default_password_decrypts():
@@ -552,19 +598,44 @@ def test_filepass_refusals_by_name():
             _encrypt_xls(plain_wb, filepass=struct.pack("<HHH", 0, 1, 1)),
             "t",
         )
-    # RC4 CryptoAPI header versions
-    with pytest.raises(NotImplementedError, match="CryptoAPI"):
+    # an unknown RC4 header version
+    with pytest.raises(NotImplementedError, match="header version 5.1"):
         xls_to_text(
             _encrypt_xls(
                 plain_wb,
-                filepass=struct.pack("<HHH", 1, 4, 2) + bytes(48),
+                filepass=struct.pack("<HHH", 1, 5, 1) + bytes(48),
             ),
             "t",
         )
+    # CryptoAPI with a non-RC4 cipher (AES AlgID) refuses by name
+    with pytest.raises(NotImplementedError, match="AlgID 0x660e"):
+        xls_to_text(_encrypt_xls_capi(plain_wb, alg_id=0x660E), "t")
+    # CryptoAPI with a real password
+    with pytest.raises(NotImplementedError, match="VelvetSweatshop"):
+        xls_to_text(_encrypt_xls_capi(plain_wb, password="hunter2"), "t")
     # BIFF5 FILEPASS (XOR-era)
     wb5 = _book5([_rec(0x002F, bytes(4))], [("S", [])])
     with pytest.raises(NotImplementedError, match="BIFF5 encrypted"):
         xls_to_text(wb5, "t")
+
+
+@pytest.mark.parametrize("keybits", [40, 128])
+def test_filepass_cryptoapi_default_password_decrypts(keybits):
+    """RC4 CryptoAPI (Excel 2002+): SHA1 block keys, the 40-bit
+    zero-extension, same stream discipline — default-password workbooks
+    extract exactly like their plain twins."""
+    sst_strings = [f"capi cell {i} with padding bytes" for i in range(40)]
+    sheets = [
+        ("Uno", [_labelsst(r, 0, r % 40) for r in range(30)]
+                + [_number(r, 1, r * 1.5) for r in range(30)]),
+        ("Dos", [_labelsst(0, 0, 3)]),
+    ]
+    plain_wb = _workbook([_sst(sst_strings)], sheets)
+    assert len(plain_wb) > 2048
+    plain = _make_cfb({"Workbook": plain_wb})
+    enc = _encrypt_xls_capi(plain_wb, keybits=keybits)
+    assert xls_to_text(enc, "t") == xls_to_text(plain, "t")
+    assert xls_meta(enc, "t") == xls_meta(plain, "t")
 
 
 def test_filepass_truncated_header_is_loud():
