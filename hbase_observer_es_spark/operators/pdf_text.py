@@ -32,13 +32,18 @@ honest from-spec subset here:
   entry is UCD-verified at import, with names outside it refusing BY
   NAME; CID-keyed (Type0) fonts WITHOUT a ToUnicode map refuse by name
   (no glyph-list oracle in-container);
-* **encryption** (r16): standard-security RC4 with an EMPTY user
-  password — the dominant "owner-locked" case (V 1/2, R 2/3, ISO
-  32000-1 §7.6.3: MD5 key derivation over the padded password + /O +
-  /P + /ID, the R3 50-round strengthening, per-object keys, U-entry
-  verification) decrypts strings and streams transparently; AES /
-  crypt-filter documents (V ≥ 4) and NON-empty user passwords refuse
-  BY NAME (no password oracle here).
+* **encryption** (r16): the standard security handler with an EMPTY
+  user password — the dominant "owner-locked" case — decrypts strings
+  and streams transparently across every published revision: RC4
+  (V 1/2, R 2/3 — ISO 32000-1 §7.6.3 MD5 key derivation, R3 50-round
+  strengthening, per-object keys, /U verification), crypt filters
+  (V4/R4 — /V2 RC4-128 and /AESV2 AES-128-CBC with the 'sAlT'
+  extension and the EncryptMetadata marker), and AES-256 (V5, R5 and
+  R6 — the ISO 32000-2 Algorithm 2.A/2.B SHA-2 KDF, /UE file-key
+  unwrap, /Perms integrity check) over the from-spec FIPS-197 cipher
+  in ``operators/aes.py`` (computed S-box, known-answer-vector
+  pinned). NON-empty user passwords, split /StmF-/StrF filters, and
+  unknown /CFM methods refuse BY NAME (no password oracle here).
 
 Fail-loud discipline: offsets, lengths, and counts are attacker data —
 xref entries outside the file, looping /Prev chains, stream /Length
@@ -485,9 +490,12 @@ _CRYPT_PAD = bytes([
 from .rc4 import rc4 as _rc4  # the shared legacy-decryption primitive
 
 
-def _std_file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+def _std_file_key(
+    o: bytes, p: int, id0: bytes, r: int, n: int, extra: bytes = b""
+) -> bytes:
     """§7.6.3.3 Algorithm 2 with the EMPTY user password: the file
-    encryption key (n bytes)."""
+    encryption key (n bytes). ``extra`` is the R4
+    EncryptMetadata-false marker (step f)."""
     import hashlib
     import struct
 
@@ -496,6 +504,7 @@ def _std_file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
     h.update(o)
     h.update(struct.pack("<i", p))  # /P as SIGNED 32-bit little-endian
     h.update(id0)
+    h.update(extra)
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -514,7 +523,42 @@ def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     step = _rc4(key, digest)
     for i in range(1, 20):
         step = _rc4(bytes(b ^ i for b in key), step)
-    return step  # R3 comparison uses the first 16 bytes
+    return step  # R3/R4 comparison uses the first 16 bytes
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 iterated SHA-2/AES KDF."""
+    import hashlib
+
+    from .aes import aes_cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        digest = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ]
+        k = digest(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _strip_pkcs5(data: bytes, origin: str, what: str) -> bytes:
+    """AES plaintexts carry PKCS#5 padding; a malformed pad is corrupt
+    ciphertext (or the wrong key) and must be loud."""
+    if not data:
+        raise ValueError(
+            f"pdf {origin}: {what}: empty AES plaintext (missing padding)"
+        )
+    p = data[-1]
+    if not 1 <= p <= 16 or p > len(data) or data[-p:] != bytes([p]) * p:
+        raise ValueError(
+            f"pdf {origin}: {what}: invalid PKCS#5 padding byte {p:#04x}"
+        )
+    return data[:-p]
 
 
 # --------------------------------------------------------------- document
@@ -538,6 +582,8 @@ class PdfDocument:
         self._loading: set = set()
         self._crypt_key: bytes | None = None
         self._crypt_exempt: int = -1  # the /Encrypt object's number
+        self._crypt_aes: bool = False  # AESV2/AESV3 vs RC4
+        self._crypt_v5: bool = False  # V5: the file key IS the object key
         self._load_xref()
         if "Encrypt" in self.trailer:
             self._setup_decryption()
@@ -563,13 +609,34 @@ class PdfDocument:
             )
         v = self._resolve(enc.get("V", 0))
         r = self._resolve(enc.get("R", 0))
-        if v not in (1, 2) or r not in (2, 3):
+        if v == 5:
+            return self._setup_v5(enc, r)
+        if v not in (1, 2, 4) or r not in (2, 3, 4) or (v == 4) != (r == 4):
             raise NotImplementedError(
-                f"pdf {origin}: encrypted with /V {v!r} /R {r!r} — only "
-                "RC4 standard security (V 1/2, R 2/3) is implemented; "
-                "AES / crypt-filter documents (V>=4) are not"
+                f"pdf {origin}: encrypted with /V {v!r} /R {r!r} — RC4 "
+                "standard security (V 1/2, R 2/3), crypt filters "
+                "(V4/R4: /V2 RC4 + /AESV2), and AES-256 (V5 R5/R6) are "
+                "implemented; this combination is not"
             )
-        length = self._resolve(enc.get("Length", 40)) if v == 2 else 40
+        length = self._resolve(enc.get("Length", 40)) if v >= 2 else 40
+        extra_md5 = b""
+        if v == 4:
+            cfm = self._crypt_filter_cfm(enc)
+            if cfm == "Identity":
+                return  # passthrough filter: nothing is encrypted
+            if cfm == "AESV2":
+                self._crypt_aes = True
+            elif cfm != "V2":
+                raise NotImplementedError(
+                    f"pdf {origin}: crypt filter /CFM /{cfm} not "
+                    "implemented — /V2 (RC4) and /AESV2 decrypt here"
+                )
+            cf_len = self._cf_length(enc)
+            if cf_len:
+                length = cf_len
+            em = self._resolve(enc.get("EncryptMetadata", True))
+            if em is False:  # Algorithm 2 step f
+                extra_md5 = b"\xff\xff\xff\xff"
         if not isinstance(length, int) or not 40 <= length <= 128 \
                 or length % 8:
             raise ValueError(
@@ -592,7 +659,7 @@ class PdfDocument:
                 f"pdf {origin}: encrypted document without a trailer /ID "
                 "(required by the standard security handler)"
             )
-        key = _std_file_key(o, p, ident[0], r, length // 8)
+        key = _std_file_key(o, p, ident[0], r, length // 8, extra_md5)
         want = _std_user_check(key, ident[0], r)
         cmp_len = 32 if r == 2 else 16
         if want[:cmp_len] != u[:cmp_len]:
@@ -603,30 +670,139 @@ class PdfDocument:
             )
         self._crypt_key = key
 
+    def _crypt_filter_cfm(self, enc: dict) -> str:
+        """The ONE crypt-filter method this document uses for strings
+        AND streams — per-class filter mixes refuse by name."""
+        origin = self.origin
+        stmf = str(self._resolve(enc.get("StmF", "Identity")))
+        strf = str(self._resolve(enc.get("StrF", "Identity")))
+        if stmf != strf:
+            raise NotImplementedError(
+                f"pdf {origin}: split crypt filters (/StmF /{stmf} vs "
+                f"/StrF /{strf}) not implemented — one method for both "
+                "classes decrypts here"
+            )
+        if stmf == "Identity":
+            return "Identity"
+        cf = self._resolve(enc.get("CF"))
+        cfd = self._resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+        if not isinstance(cfd, dict):
+            raise ValueError(
+                f"pdf {origin}: crypt filter /{stmf} named by /StmF is "
+                "missing from /CF"
+            )
+        self._cfd = cfd
+        return str(self._resolve(cfd.get("CFM", "")))
+
+    def _cf_length(self, enc: dict) -> int:
+        """Crypt-filter /Length normalized to BITS (the spec says bytes
+        there, but real writers emit either; 40..128 disambiguates)."""
+        cfd = getattr(self, "_cfd", None)
+        ln = self._resolve(cfd.get("Length")) if cfd else None
+        if not isinstance(ln, int):
+            return 0
+        return ln * 8 if ln <= 32 else ln
+
+    def _setup_v5(self, enc: dict, r: int) -> None:
+        """AES-256 (V5, R5/R6 — ISO 32000-2 §7.6.4): validate the EMPTY
+        user password against /U, unwrap the file key from /UE, check
+        /Perms integrity. The file key is used DIRECTLY (no per-object
+        derivation in V5)."""
+        import hashlib
+
+        from .aes import aes_cbc_decrypt, aes_decrypt_block
+
+        origin = self.origin
+        if r not in (5, 6):
+            raise NotImplementedError(
+                f"pdf {origin}: /V 5 with /R {r!r} not implemented — "
+                "R5 and R6 (AES-256) decrypt here"
+            )
+        cfm = self._crypt_filter_cfm(enc)
+        if cfm == "Identity":
+            return
+        if cfm != "AESV3":
+            raise NotImplementedError(
+                f"pdf {origin}: V5 crypt filter /CFM /{cfm} not "
+                "implemented — /AESV3 decrypts here"
+            )
+        u = self._resolve(enc.get("U"))
+        ue = self._resolve(enc.get("UE"))
+        if not isinstance(u, bytes) or len(u) != 48 \
+                or not isinstance(ue, bytes) or len(ue) != 32:
+            raise ValueError(
+                f"pdf {origin}: /U must be 48 and /UE 32 bytes for V5"
+            )
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            want = _hash_2b(b"", vsalt, b"")
+            ikey = _hash_2b(b"", ksalt, b"")
+        else:  # R5 (deprecated Acrobat 9 scheme): single SHA-256
+            want = hashlib.sha256(vsalt).digest()
+            ikey = hashlib.sha256(ksalt).digest()
+        if want != u[:32]:
+            raise NotImplementedError(
+                f"pdf {origin}: encrypted with a NON-EMPTY user password "
+                "— password-based decryption beyond the empty-password "
+                "standard case is not implemented"
+            )
+        key = aes_cbc_decrypt(ikey, b"\x00" * 16, ue)
+        perms = self._resolve(enc.get("Perms"))
+        if isinstance(perms, bytes) and len(perms) == 16:
+            dec = aes_decrypt_block(key, perms)
+            if dec[9:12] != b"adb":
+                raise ValueError(
+                    f"pdf {origin}: /Perms does not decrypt to the "
+                    "'adb' marker — wrong file key or corrupt entry"
+                )
+        self._crypt_key = key
+        self._crypt_aes = True
+        self._crypt_v5 = True
+
     def _decrypt_value(self, v, okey: bytes):
         """Recursively decrypt an indirect object's strings and stream
         bytes with its per-object key (names/numbers untouched)."""
         if isinstance(v, bytes):
-            return _rc4(okey, v)
+            return self._decrypt_bytes(v, okey, "string")
         if isinstance(v, list):
             return [self._decrypt_value(x, okey) for x in v]
         if isinstance(v, _Stream):
             v.d = self._decrypt_value(v.d, okey)
-            v.raw = _rc4(okey, v.raw)
+            v.raw = self._decrypt_bytes(v.raw, okey, "stream")
             return v
         if isinstance(v, dict):
             return {k: self._decrypt_value(x, okey) for k, x in v.items()}
         return v
 
+    def _decrypt_bytes(self, raw: bytes, okey: bytes, what: str) -> bytes:
+        if not self._crypt_aes:
+            return _rc4(okey, raw)
+        from .aes import aes_cbc_decrypt
+
+        if not raw:
+            return raw  # writers store empty strings unwrapped
+        if len(raw) < 32 or (len(raw) - 16) % 16:
+            raise ValueError(
+                f"pdf {self.origin}: AES-encrypted {what} of {len(raw)} "
+                "bytes is not IV + whole ciphertext blocks"
+            )
+        plain = aes_cbc_decrypt(okey, raw[:16], raw[16:])
+        return _strip_pkcs5(plain, self.origin, f"AES {what}")
+
     def _object_key(self, num: int, gen: int) -> bytes:
-        """§7.6.2 Algorithm 1: the per-object RC4 key."""
+        """§7.6.2 Algorithm 1: the per-object key — MD5 over the file
+        key + object number/generation (+ the AESV2 'sAlT' marker). V5
+        skips derivation entirely: the file key is used directly."""
         import hashlib
         import struct
 
+        if self._crypt_v5:
+            return self._crypt_key
         h = hashlib.md5(
             self._crypt_key
             + struct.pack("<I", num)[:3]
             + struct.pack("<I", gen)[:2]
+            + (b"sAlT" if self._crypt_aes else b"")
         )
         return h.digest()[: min(len(self._crypt_key) + 5, 16)]
 

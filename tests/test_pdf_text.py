@@ -797,12 +797,13 @@ def test_nonempty_user_password_refuses_by_name():
         pdf_to_text(data)
 
 
-def test_aes_and_foreign_handlers_refuse_by_name():
+def test_unknown_versions_and_foreign_handlers_refuse_by_name():
     data = _encrypted_pdf(r=3)
-    with pytest.raises(NotImplementedError, match=r"/V 4"):
-        PdfDocument(data.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    # an unpublished V/R combination (V4/V5 decrypt since r16; V6 does
+    # not exist) — replacements keep the length so xref offsets hold
+    with pytest.raises(NotImplementedError, match=r"/V 6"):
+        PdfDocument(data.replace(b"/V 2 /R 3", b"/V 6 /R 3"))
     with pytest.raises(NotImplementedError, match="security handler"):
-        # same length so the xref offsets stay valid
         PdfDocument(data.replace(b"/Filter /Standard", b"/Filter /Standarx"))
 
 
@@ -812,3 +813,204 @@ def test_encrypted_without_id_is_loud():
     j = data.index(b"]", i) + 1
     with pytest.raises(ValueError, match="without a trailer /ID"):
         PdfDocument(data[:i] + data[j:])
+
+
+# ------------------------------------------- V4 / V5 encryption (r16)
+#
+# Fixture derivations (Algorithms 2/3/4/5, the 2.B KDF, per-object
+# keys incl. the AESV2 'sAlT' extension) are test-side transcriptions;
+# the AES primitive itself comes from operators/aes.py, whose FIPS-197
+# known-answer pins are independent of anything PDF (tests/test_aes.py).
+
+
+def _t_objkey_aes(fkey: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+    import struct
+
+    h = hashlib.md5(fkey + struct.pack("<I", num)[:3]
+                    + struct.pack("<I", gen)[:2] + b"sAlT")
+    return h.digest()[: min(len(fkey) + 5, 16)]
+
+
+def _t_aes_wrap(okey: bytes, num: int, data: bytes) -> bytes:
+    """IV + CBC + PKCS#5, deterministic per-object IV."""
+    import hashlib
+
+    from hbase_observer_es_spark.operators.aes import aes_cbc_encrypt
+
+    iv = hashlib.md5(b"iv%d" % num).digest()
+    pad = 16 - len(data) % 16
+    return iv + aes_cbc_encrypt(okey, iv, data + bytes([pad]) * pad)
+
+
+def _encrypted_pdf_v4(cfm: bytes = b"V2", user_pw: bytes = b"",
+                      stmf: bytes = b"/StdCF", strf: bytes = b"/StdCF",
+                      encrypt_metadata: bool = True) -> bytes:
+    """V4/R4 crypt-filter document: RC4-128 (/V2) or AES-128 (/AESV2)."""
+    id0 = bytes(range(16))
+    p = -3904
+    n = 16  # 128-bit
+    o = _t_alg3_O(b"owner-secret", user_pw, 4, n)
+    extra = b"" if encrypt_metadata else b"\xff\xff\xff\xff"
+    import hashlib
+    import struct as _s
+
+    h = hashlib.md5(_t_pad(user_pw) + o + _s.pack("<i", p) + id0 + extra)
+    fkey = h.digest()
+    for _ in range(50):
+        fkey = hashlib.md5(fkey[:n]).digest()
+    fkey = fkey[:n]
+    u = _t_alg45_U(fkey, id0, 4)
+    content = _content(b"Filtered but readable.")
+    if cfm == b"V2":
+        enc_content = _t_rc4(_t_objkey(fkey, 4, 0), content)
+        title = _t_rc4(_t_objkey(fkey, 7, 0), b"V4 title")
+    else:
+        enc_content = _t_aes_wrap(_t_objkey_aes(fkey, 4, 0), 4, content)
+        title = _t_aes_wrap(_t_objkey_aes(fkey, 7, 0), 7, b"V4 title")
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    b.add_stream(4, b"", enc_content)
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    em = b"" if encrypt_metadata else b" /EncryptMetadata false"
+    b.add(6, b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+             b" /CF << /StdCF << /CFM /" + cfm + b" /Length 16 >> >>"
+             b" /StmF " + stmf + b" /StrF " + strf + em
+             + b" /O " + _hexs(o) + b" /U " + _hexs(u)
+             + b" /P %d >>" % p)
+    b.add(7, b"<< /Title " + _hexs(title) + b" >>")
+    return b.finish(
+        1,
+        extra_trailer=b"/Encrypt 6 0 R /Info 7 0 R /ID ["
+        + _hexs(id0) + b" " + _hexs(id0) + b"] ",
+    )
+
+
+def _t_hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    import hashlib
+
+    from hbase_observer_es_spark.operators.aes import aes_cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _encrypted_pdf_v5(r: int = 6, user_pw: bytes = b"",
+                      corrupt_perms: bool = False) -> bytes:
+    """V5 AES-256 document (R5 = single-SHA256, R6 = the 2.B KDF)."""
+    import hashlib
+
+    from hbase_observer_es_spark.operators.aes import (
+        aes_cbc_encrypt,
+        aes_encrypt_block,
+    )
+
+    vsalt, ksalt = bytes(range(8)), bytes(range(8, 16))
+    fkey = hashlib.sha256(b"fixture file key").digest()  # 32 bytes
+    if r == 6:
+        uhash = _t_hash_2b(user_pw, vsalt, b"")
+        ikey = _t_hash_2b(user_pw, ksalt, b"")
+    else:
+        uhash = hashlib.sha256(user_pw + vsalt).digest()
+        ikey = hashlib.sha256(user_pw + ksalt).digest()
+    u = uhash + vsalt + ksalt
+    ue = aes_cbc_encrypt(ikey, bytes(16), fkey)
+    p = -3904
+    perms_plain = (p & 0xFFFFFFFF).to_bytes(4, "little") \
+        + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"mtwo"
+    if corrupt_perms:
+        perms_plain = perms_plain[:9] + b"xyz" + perms_plain[12:]
+    perms = aes_encrypt_block(fkey, perms_plain)
+    content = _content(b"AES-256 but readable.")
+    enc_content = _t_aes_wrap(fkey, 4, content)
+    title = _t_aes_wrap(fkey, 7, b"V5 title")
+    b = _Builder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Resources "
+             b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    b.add_stream(4, b"", enc_content)
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(6, b"<< /Filter /Standard /V 5 /R %d /Length 256" % r
+             + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+             b" /StmF /StdCF /StrF /StdCF"
+             b" /O " + _hexs(bytes(48)) + b" /OE " + _hexs(bytes(32))
+             + b" /U " + _hexs(u) + b" /UE " + _hexs(ue)
+             + b" /Perms " + _hexs(perms) + b" /P %d >>" % p)
+    b.add(7, b"<< /Title " + _hexs(title) + b" >>")
+    return b.finish(
+        1, extra_trailer=b"/Encrypt 6 0 R /Info 7 0 R ",
+    )
+
+
+@pytest.mark.parametrize("cfm", [b"V2", b"AESV2"])
+def test_v4_crypt_filters_decrypt(cfm):
+    data = _encrypted_pdf_v4(cfm=cfm)
+    assert pdf_to_text(data) == "Filtered but readable."
+    from hbase_observer_es_spark.operators.pdf_text import _Ref
+
+    doc = PdfDocument(data)
+    assert doc._resolve(doc.trailer["Info"])["Title"] == b"V4 title"
+
+
+def test_v4_encrypt_metadata_false_marker():
+    """EncryptMetadata=false appends FFFFFFFF to the Algorithm-2 MD5
+    input (step f) — both sides must agree or the U check fails."""
+    data = _encrypted_pdf_v4(cfm=b"AESV2", encrypt_metadata=False)
+    assert pdf_to_text(data) == "Filtered but readable."
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_v5_aes256_decrypts(r):
+    data = _encrypted_pdf_v5(r=r)
+    assert pdf_to_text(data) == "AES-256 but readable."
+    doc = PdfDocument(data)
+    assert doc._resolve(doc.trailer["Info"])["Title"] == b"V5 title"
+
+
+def test_v5_refusals_and_integrity():
+    with pytest.raises(NotImplementedError, match="NON-EMPTY user password"):
+        pdf_to_text(_encrypted_pdf_v5(r=6, user_pw=b"hunter2"))
+    with pytest.raises(ValueError, match="'adb' marker"):
+        pdf_to_text(_encrypted_pdf_v5(r=6, corrupt_perms=True))
+    data = _encrypted_pdf_v5(r=6)
+    with pytest.raises(NotImplementedError, match=r"/R 7"):
+        PdfDocument(data.replace(b"/V 5 /R 6", b"/V 5 /R 7"))
+
+
+def test_v4_refusals_by_name():
+    # unknown crypt-filter method (same length as AESV2)
+    data = _encrypted_pdf_v4(cfm=b"AESV2")
+    with pytest.raises(NotImplementedError, match="/CFM /AESVX"):
+        PdfDocument(data.replace(b"/CFM /AESV2", b"/CFM /AESVX"))
+    # split string/stream filters
+    data = _encrypted_pdf_v4(cfm=b"V2", strf=b"/Identity")
+    with pytest.raises(NotImplementedError, match="split crypt filters"):
+        PdfDocument(data)
+
+
+def test_v4_aes_corrupt_padding_is_loud():
+    data = _encrypted_pdf_v4(cfm=b"AESV2")
+    doc = PdfDocument(data)
+    import hashlib
+
+    # flip a byte inside the Info title's last ciphertext block
+    iv = hashlib.md5(b"iv7").digest()
+    at = data.index(iv.hex().encode())
+    bad = bytearray(data)
+    bad[at + 40] = ord("0") if bad[at + 40] != ord("0") else ord("1")
+    doc = PdfDocument(bytes(bad))
+    with pytest.raises(ValueError, match="PKCS#5|AES"):
+        doc._resolve(doc.trailer["Info"])
