@@ -632,9 +632,13 @@ def cfb_subformat(cfb: CfbFile) -> str:
     """Classify a compound file by its marker stream, the public
     convention every Office writer follows: ``WordDocument`` → doc,
     ``Workbook``/``Book`` → xls, ``PowerPoint Document`` → ppt,
-    ``__properties_version1.0`` → msg (Outlook message, r15);
+    ``__properties_version1.0`` → msg (Outlook message, r15),
+    ``EncryptionInfo`` + ``EncryptedPackage`` → ooxml-enc (an
+    ECMA-376-encrypted .docx/.xlsx/.pptx riding the CFB wrapper, r16);
     anything else is a generic compound file."""
     names = {e.name for e in cfb.entries if e.type == 2}
+    if "EncryptionInfo" in names and "EncryptedPackage" in names:
+        return "ooxml-enc"
     if "WordDocument" in names:
         return "doc"
     if "Workbook" in names or "Book" in names:

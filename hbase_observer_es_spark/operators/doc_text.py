@@ -261,6 +261,12 @@ def _doc_text_from_cfb(cfb: CfbFile, origin: str) -> str:
             f"doc {origin}: compound file is an Outlook .msg — route it "
             "to msg_text.msg_to_text (the census does)"
         )
+    if sub == "ooxml-enc":
+        # ECMA-376-encrypted OOXML riding the CFB wrapper (r16):
+        # decrypt with the default password, then extract as the inner
+        # zip format
+        text, _kind = _ooxml_enc_text(cfb, origin)
+        return text
     if sub != "doc":
         raise NotImplementedError(
             f"doc {origin}: compound file is a generic OLE storage "
@@ -296,6 +302,30 @@ def _doc_text_from_cfb(cfb: CfbFile, origin: str) -> str:
     return _normalize("".join(parts))
 
 
+def _ooxml_enc_text(cfb: CfbFile, origin: str) -> tuple:
+    """Decrypted encrypted-OOXML wrapper → (text, inner kind)."""
+    from .office_text import (
+        docx_to_text,
+        pptx_to_text,
+        sniff_office,
+        xlsx_to_text,
+    )
+    from .ooxml_crypto import decrypt_ooxml_cfb
+
+    plain = decrypt_ooxml_cfb(cfb, origin)
+    kind = sniff_office(plain, origin)
+    extract = {
+        "docx": docx_to_text, "xlsx": xlsx_to_text, "pptx": pptx_to_text,
+    }.get(kind or "")
+    if extract is None:
+        raise ValueError(
+            f"doc {origin}: decrypted OOXML package is not a "
+            f"docx/xlsx/pptx (sniffed {kind!r}) — wrong key would have "
+            "refused earlier, so the package member layout is unexpected"
+        )
+    return extract(plain, origin), kind
+
+
 def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
     """Census facts for a compound file: subformat, stream count, and —
     for the subformats that extract (doc, and xls via ``xls_text``) —
@@ -321,6 +351,10 @@ def doc_meta(payload: bytes, origin: str = "<bytes>") -> dict:
         row["n_chars"] = len(text)
         row["n_recipients"] = n_recips
         row["n_attachments"] = n_attach
+    elif sub == "ooxml-enc":
+        text, kind = _ooxml_enc_text(cfb, origin)
+        row["n_chars"] = len(text)
+        row["inner"] = kind
     return row
 
 

@@ -205,10 +205,14 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                     ),
                 )
             else:
-                detail = (
-                    f"{m['n_chars']} chars" if sub in ("doc", "xls", "ppt")
-                    else "generic OLE compound file"
-                )
+                if sub in ("doc", "xls", "ppt"):
+                    detail = f"{m['n_chars']} chars"
+                elif sub == "ooxml-enc":
+                    # decrypted-through ECMA-376 wrapper (r16): name the
+                    # inner format so the census shows what it holds
+                    detail = f"{m['inner']}, {m['n_chars']} chars"
+                else:
+                    detail = "generic OLE compound file"
                 row.update(
                     family="document", format=sub,
                     n_frames=m["n_streams"], detail=detail,
