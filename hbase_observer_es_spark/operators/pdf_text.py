@@ -16,7 +16,8 @@ honest from-spec subset here:
   strings, numbers, booleans, null, indirect references, streams with
   indirect /Length;
 * **filters**: FlateDecode (stdlib zlib, bounded inflate) with the PNG
-  row predictors (/Predictor ≥ 10 — Sub/Up/Average/Paeth over /Columns),
+  row predictors (/Predictor ≥ 10 — Sub/Up/Average/Paeth over /Columns)
+  and TIFF horizontal differencing (/Predictor 2, 8-bit, r16),
   LZWDecode (THE shared MSB-first/EarlyChange loop in ``tiff.py``,
   /EarlyChange 0 honored), ASCIIHexDecode, ASCII85Decode (stdlib),
   RunLengthDecode; DCTDecode and the crypt filters refuse by name;
@@ -310,6 +311,32 @@ class _Lexer:
 # --------------------------------------------------------------- filters
 
 
+def _tiff_predictor(data: bytes, columns: int, colors: int, bpc: int,
+                    origin: str) -> bytes:
+    """TIFF /Predictor 2: per-row horizontal differencing, one running
+    sum per color component (the tiff.py rule; 8-bit components only —
+    sub-byte differencing is a TIFF-internal exotic no PDF writer
+    emits, refused by name)."""
+    if bpc != 8:
+        raise NotImplementedError(
+            f"pdf {origin}: TIFF predictor 2 with {bpc}-bit components "
+            "not implemented (8-bit rows decode)"
+        )
+    stride = columns * colors
+    if stride <= 0:
+        raise ValueError(f"pdf {origin}: predictor columns {columns} invalid")
+    if len(data) % stride:
+        raise ValueError(
+            f"pdf {origin}: predictor data of {len(data)} bytes is not "
+            f"whole {stride}-byte rows"
+        )
+    out = bytearray(data)
+    for row in range(0, len(out), stride):
+        for i in range(row + colors, row + stride):
+            out[i] = (out[i] + out[i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _png_predictor(data: bytes, columns: int, colors: int, bpc: int,
                    origin: str) -> bytes:
     """PNG row predictors over filter-tagged rows (the xref-stream
@@ -458,6 +485,14 @@ def _apply_filters(raw: bytes, d: dict, resolve, origin: str) -> bytes:
         pred = resolve(pm.get("Predictor", 1))
         if pred and pred >= 10:
             data = _png_predictor(
+                data,
+                resolve(pm.get("Columns", 1)),
+                resolve(pm.get("Colors", 1)),
+                resolve(pm.get("BitsPerComponent", 8)),
+                origin,
+            )
+        elif pred == 2:  # TIFF horizontal differencing (r16)
+            data = _tiff_predictor(
                 data,
                 resolve(pm.get("Columns", 1)),
                 resolve(pm.get("Colors", 1)),

@@ -1014,3 +1014,33 @@ def test_v4_aes_corrupt_padding_is_loud():
     doc = PdfDocument(bytes(bad))
     with pytest.raises(ValueError, match="PKCS#5|AES"):
         doc._resolve(doc.trailer["Info"])
+
+
+def test_tiff_predictor_2_rows_decode():
+    """/Predictor 2 (TIFF horizontal differencing): per-row component
+    running sums — encoded test-side by the inverse (differencing)."""
+    text = _content(b"differenced rows decode")
+    cols = 16
+    pad = (-len(text)) % cols
+    plain = text + b" " * pad
+    diff = bytearray(plain)
+    for row in range(0, len(diff), cols):
+        for i in range(row + cols - 1, row, -1):
+            diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+    data = _simple_pdf(
+        text,
+        filters=(b"/Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor 2 /Columns %d >>" % cols),
+        payload=zlib.compress(bytes(diff)),
+    )
+    assert pdf_to_text(data) == "differenced rows decode"
+    # sub-byte components refuse by name
+    data = _simple_pdf(
+        text,
+        filters=(b"/Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor 2 /Columns %d /BitsPerComponent 4 >>"
+                 % cols),
+        payload=zlib.compress(bytes(diff)),
+    )
+    with pytest.raises(NotImplementedError, match="4-bit components"):
+        pdf_to_text(data)
