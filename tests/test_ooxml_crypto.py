@@ -106,7 +106,7 @@ def _wrap_agile(zip_bytes: bytes, password: str = _PW,
     import base64
 
     hash_fn = {"SHA1": hashlib.sha1, "SHA256": hashlib.sha256,
-               "SHA512": hashlib.sha512}[hash_name]
+               "SHA384": hashlib.sha384, "SHA512": hashlib.sha512}[hash_name]
     kb = keybits // 8
     pk_salt, kd_salt = bytes(range(16)), bytes(range(16, 32))
     file_key = hashlib.sha256(b"agile fixture key").digest()[:kb]
@@ -170,10 +170,13 @@ def test_standard_encryption_decrypts(alg_id):
     assert m["n_chars"] == len(docx_to_text(plain, "t"))
 
 
-@pytest.mark.parametrize("hash_name", ["SHA1", "SHA512"])
-def test_agile_encryption_decrypts(hash_name):
+@pytest.mark.parametrize(
+    "hash_name,keybits",
+    [("SHA1", 128), ("SHA384", 256), ("SHA512", 128), ("SHA512", 256)],
+)
+def test_agile_encryption_decrypts(hash_name, keybits):
     plain = _xlsx([("Hoja", [[("s", 0), ("n", "42")]])], shared=["agiles"])
-    enc = _wrap_agile(plain, hash_name=hash_name)
+    enc = _wrap_agile(plain, hash_name=hash_name, keybits=keybits)
     assert decrypt_ooxml(enc, "t") == plain
     assert doc_to_text(enc, "t") == xlsx_to_text(plain, "t")
     assert doc_meta(enc, "t")["inner"] == "xlsx"
