@@ -141,6 +141,20 @@ def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
     return _decrypt_block(block, _expand_key(key), len(key) // 4 + 6)
 
 
+def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    """Whole-buffer ECB decrypt with ONE key expansion (the ECMA-376
+    Standard-encryption package path — per-block aes_decrypt_block
+    calls would re-expand the schedule every 16 bytes)."""
+    if len(data) % 16:
+        raise ValueError(f"aes: ECB input of {len(data)} bytes not block-aligned")
+    words = _expand_key(key)
+    nr = len(key) // 4 + 6
+    return b"".join(
+        _decrypt_block(data[i : i + 16], words, nr)
+        for i in range(0, len(data), 16)
+    )
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC, NO padding (the R6 KDF form): len(data) % 16 must be 0."""
     if len(data) % 16:

@@ -204,14 +204,17 @@ def _extract(cfb: CfbFile, origin: str) -> tuple:
         # LZFu stream (MS-OXRTFCP, operators/lzfu.py — r16, closing the
         # r15 by-name refusal) and extract through the RTF extractor
         rtf_name = f"__substg1.0_{_P_RTF_BODY}0102"
-        try:
-            raw_rtf = cfb.read_stream(rtf_name)
-        except ValueError:
-            raw_rtf = None
-        if raw_rtf is not None:
+        # existence from the directory, NOT a swallowed read error — a
+        # present-but-corrupt stream (truncated FAT chain) must stay
+        # loud, not read as "no RTF body" (r16 review)
+        has_rtf = any(
+            e.type == 2 and e.path == rtf_name for e in cfb.entries
+        )
+        if has_rtf:
             from .lzfu import decompress_lzfu
             from .rtf_text import rtf_to_text
 
+            raw_rtf = cfb.read_stream(rtf_name)
             body = rtf_to_text(decompress_lzfu(raw_rtf, origin), origin)
             lines.append(body)
     else:

@@ -39,7 +39,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
-from .aes import aes_cbc_decrypt, aes_decrypt_block
+from .aes import aes_cbc_decrypt, aes_ecb_decrypt
 from .cfb import CfbFile, parse_cfb
 
 OOXML_DEFAULT_PW = "VelvetSweatshop"  # the documented Office default
@@ -152,8 +152,8 @@ def _decrypt_standard(info: bytes, package: bytes, origin: str) -> bytes:
         )
     evhash = ver[40:72]  # 32 bytes: SHA1 hash AES-block-padded
     key = _std_key(OOXML_DEFAULT_PW, salt, keybytes)
-    verifier = _ecb_decrypt(key, everifier)
-    vhash = _ecb_decrypt(key, evhash)
+    verifier = aes_ecb_decrypt(key, everifier)
+    vhash = aes_ecb_decrypt(key, evhash)
     if hashlib.sha1(verifier).digest() != vhash[:20]:
         raise NotImplementedError(
             f"ooxml {origin}: password-protected beyond the default "
@@ -161,16 +161,7 @@ def _decrypt_standard(info: bytes, package: bytes, origin: str) -> bytes:
             "is not implemented"
         )
     return _unwrap_package(
-        package, origin, lambda seg, data: _ecb_decrypt(key, data)
-    )
-
-
-def _ecb_decrypt(key: bytes, data: bytes) -> bytes:
-    if len(data) % 16:
-        raise ValueError(f"ooxml: ECB input of {len(data)} bytes not aligned")
-    return b"".join(
-        aes_decrypt_block(key, data[i : i + 16])
-        for i in range(0, len(data), 16)
+        package, origin, lambda seg, data: aes_ecb_decrypt(key, data)
     )
 
 
@@ -185,13 +176,20 @@ _AGILE_HASHES = {
 }
 
 
-def _agile_key(hash_fn, pw: str, salt: bytes, spin: int, block: bytes,
-               keybytes: int) -> bytes:
-    """§2.3.4.11: iterated hash spin, then one block-key round."""
+def _agile_spin(hash_fn, pw: str, salt: bytes, spin: int) -> bytes:
+    """§2.3.4.11 first half: the spinCount-iterated password hash —
+    block-INDEPENDENT, so callers spin once and derive per-block keys
+    from the result."""
     h = hash_fn(salt + pw.encode("utf-16-le")).digest()
     for i in range(spin):
         h = hash_fn(struct.pack("<I", i) + h).digest()
-    h = hash_fn(h + block).digest()
+    return h
+
+
+def _agile_block_key(hash_fn, spun: bytes, block: bytes,
+                     keybytes: int) -> bytes:
+    """§2.3.4.11 second half: one final hash round per block constant."""
+    h = hash_fn(spun + block).digest()
     if len(h) < keybytes:  # §2.3.4.11: pad with 0x36 to the key length
         h += b"\x36" * (keybytes - len(h))
     return h[:keybytes]
@@ -207,20 +205,12 @@ def _iv_for(hash_fn, salt: bytes, block: bytes | None) -> bytes:
 
 
 def _decrypt_agile(info: bytes, package: bytes, origin: str) -> bytes:
-    from xml.etree import ElementTree
+    # the shared office guard scans the WHOLE document for a DOCTYPE in
+    # every encoding etree accepts — a prefix scan is routable-around
+    # with prolog comments (the office_text._parse_xml lesson)
+    from .office_text import _parse_xml
 
-    xml = info[8:]  # version (4) + reserved flags (4)
-    if b"<!DOCTYPE" in xml[:256].upper():
-        raise ValueError(
-            f"ooxml {origin}: EncryptionInfo XML carries a DOCTYPE "
-            "(entity expansion refused)"
-        )
-    try:
-        root = ElementTree.fromstring(xml.decode("utf-8"))
-    except (ElementTree.ParseError, UnicodeDecodeError) as exc:
-        raise ValueError(
-            f"ooxml {origin}: agile EncryptionInfo XML unparseable: {exc}"
-        ) from None
+    root = _parse_xml(info[8:], origin, "agile EncryptionInfo")
 
     def local(tag: str) -> str:
         return tag.rsplit("}", 1)[-1]
@@ -257,29 +247,52 @@ def _decrypt_agile(info: bytes, package: bytes, origin: str) -> bytes:
                 f"ooxml {origin}: agile {what} hash {halg!r} not "
                 "implemented — SHA1/SHA256/SHA384/SHA512 decrypt here"
             )
-        import base64
-
         return (
             _AGILE_HASHES[halg],
-            int(attrs["keyBits"]) // 8,
-            base64.b64decode(attrs["saltValue"]),
+            int(_attr(attrs, "keyBits", what)) // 8,
+            _b64(attrs, "saltValue", what),
         )
+
+    def _attr(attrs: dict, name: str, what: str) -> str:
+        # malformed descriptors must refuse as ValueError, not KeyError
+        # (the census's refusal fold catches only ValueError/
+        # NotImplementedError — a KeyError would kill the whole task)
+        v = attrs.get(name)
+        if v is None:
+            raise ValueError(
+                f"ooxml {origin}: agile {what} element lacks the "
+                f"required {name} attribute"
+            )
+        return v
+
+    def _b64(attrs: dict, name: str, what: str) -> bytes:
+        import base64
+        import binascii
+
+        try:
+            return base64.b64decode(_attr(attrs, name, what), validate=True)
+        except binascii.Error as exc:
+            raise ValueError(
+                f"ooxml {origin}: agile {what} attribute {name} is not "
+                f"base64: {exc}"
+            ) from None
 
     pk_hash, pk_bytes, pk_salt = check(enc_key, "password-key")
     kd_hash, kd_bytes, kd_salt = check(key_data, "keyData")
     spin = int(enc_key.get("spinCount", "100000"))
     if not 0 < spin <= 10_000_000:
         raise ValueError(f"ooxml {origin}: spinCount {spin} out of range")
-    import base64
+    ev_input = _b64(enc_key, "encryptedVerifierHashInput", "password-key")
+    ev_value = _b64(enc_key, "encryptedVerifierHashValue", "password-key")
+    ekey_value = _b64(enc_key, "encryptedKeyValue", "password-key")
 
-    ev_input = base64.b64decode(enc_key["encryptedVerifierHashInput"])
-    ev_value = base64.b64decode(enc_key["encryptedVerifierHashValue"])
-    ekey_value = base64.b64decode(enc_key["encryptedKeyValue"])
+    # the spinCount iterations are block-independent: spin ONCE, then
+    # one final hash round per block-key constant (3x KDF waste
+    # otherwise — the r16 review finding)
+    spun = _agile_spin(pk_hash, OOXML_DEFAULT_PW, pk_salt, spin)
 
     def pw_decrypt(block_const: bytes, data: bytes) -> bytes:
-        key = _agile_key(
-            pk_hash, OOXML_DEFAULT_PW, pk_salt, spin, block_const, pk_bytes
-        )
+        key = _agile_block_key(pk_hash, spun, block_const, pk_bytes)
         return aes_cbc_decrypt(key, _iv_for(pk_hash, pk_salt, None), data)
 
     verifier = pw_decrypt(_BK_VERIFIER_INPUT, ev_input)[:16]

@@ -537,7 +537,11 @@ def _std_file_key(
     h = hashlib.md5()
     h.update(_CRYPT_PAD)  # empty password pads to the full pad string
     h.update(o)
-    h.update(struct.pack("<i", p))  # /P as SIGNED 32-bit little-endian
+    # /P as 32-bit little-endian; ISO 32000 says treat it as signed but
+    # real writers emit the unsigned spelling too (4294967292 for -4) —
+    # masking gives the identical four bytes for both and avoids a
+    # struct.error that would escape the census's refusal fold
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     h.update(extra)
     key = h.digest()

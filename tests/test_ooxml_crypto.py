@@ -237,3 +237,45 @@ def test_census_routes_encrypted_ooxml():
     row = classify_media(_wrap_standard(_docx(_DOCX_XML)), "t")
     assert (row["family"], row["format"]) == ("document", "ooxml-enc")
     assert "docx" in row["detail"] and "chars" in row["detail"]
+
+
+def test_doctype_guard_covers_whole_descriptor():
+    """r16 review: a prefix-window DOCTYPE scan is routable-around with
+    prolog comments — the shared office guard scans the whole document."""
+    plain = _docx(_DOCX_XML)
+    enc = _wrap_agile(plain)
+    from hbase_observer_es_spark.operators.cfb import parse_cfb
+
+    cfb = parse_cfb(enc, "t")
+    info = cfb.read_stream("EncryptionInfo")
+    pad = b"<!-- " + b"x" * 300 + b" -->"
+    evil = info[:8] + pad + b"<!DOCTYPE r [<!ENTITY a 'b'>]>" + info[8:]
+    bad = write_cfb({
+        "EncryptionInfo": evil,
+        "EncryptedPackage": cfb.read_stream("EncryptedPackage"),
+    })
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        decrypt_ooxml(bad, "t")
+
+
+def test_agile_missing_attribute_is_valueerror():
+    """r16 review: malformed descriptors must refuse as ValueError (the
+    census fold), never KeyError."""
+    plain = _docx(_DOCX_XML)
+    enc = _wrap_agile(plain)
+    from hbase_observer_es_spark.operators.cfb import parse_cfb
+
+    cfb = parse_cfb(enc, "t")
+    info = cfb.read_stream("EncryptionInfo")
+    # drop the required encryptedKeyValue attribute (keep length-free:
+    # XML is parsed, not offset-addressed)
+    import re
+
+    evil = re.sub(rb'encryptedKeyValue="[^"]*"', b"", info, count=1)
+    assert evil != info
+    bad = write_cfb({
+        "EncryptionInfo": evil,
+        "EncryptedPackage": cfb.read_stream("EncryptedPackage"),
+    })
+    with pytest.raises(ValueError, match="encryptedKeyValue"):
+        decrypt_ooxml(bad, "t")

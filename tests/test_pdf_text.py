@@ -740,9 +740,13 @@ def _hexs(b: bytes) -> bytes:
 
 
 def _encrypted_pdf(r: int = 3, user_pw: bytes = b"",
-                   enc_extra: bytes = b"") -> bytes:
+                   enc_extra: bytes = b"",
+                   p_text: bytes | None = None) -> bytes:
     """Owner-locked PDF (owner password set, user password usually
-    empty) with the content stream and an /Info title RC4-encrypted."""
+    empty) with the content stream and an /Info title RC4-encrypted.
+    ``p_text`` overrides how /P is SPELLED in the dictionary (the
+    unsigned-32-bit writer variant) — key derivation uses the same
+    masked bytes either way."""
     v, length = (2, 128) if r == 3 else (1, 40)
     n = length // 8
     id0 = bytes(range(16))
@@ -760,7 +764,8 @@ def _encrypted_pdf(r: int = 3, user_pw: bytes = b"",
     b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     lenkey = b" /Length %d" % length if v == 2 else b""
     b.add(6, b"<< /Filter /Standard /V %d /R %d%s /O " % (v, r, lenkey)
-             + _hexs(o) + b" /U " + _hexs(u) + b" /P %d" % p
+             + _hexs(o) + b" /U " + _hexs(u) + b" /P "
+             + (p_text if p_text is not None else b"%d" % p)
              + enc_extra + b" >>")
     b.add(7, b"<< /Title "
              + _hexs(_t_rc4(_t_objkey(fkey, 7, 0), b"Secret title"))
@@ -1044,3 +1049,12 @@ def test_tiff_predictor_2_rows_decode():
     )
     with pytest.raises(NotImplementedError, match="4-bit components"):
         pdf_to_text(data)
+
+
+def test_unsigned_p_spelling_decrypts():
+    """r16 review: several real writers serialize /P as its unsigned
+    32-bit spelling (4294967252 for -44); the MD5 input bytes are
+    identical, and a struct.error must never escape the refusal fold."""
+    data = _encrypted_pdf(r=3, p_text=str(-44 & 0xFFFFFFFF).encode())
+    assert b"/P 4294967252" in data
+    assert pdf_to_text(data) == "Locked but readable."
