@@ -250,7 +250,12 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                 detail=(
                     f"{cs} bytes declared" if cs is not None
                     else "no declared content size"
-                ) + (", checksummed" if zm["checksum"] else ""),
+                ) + (", checksummed" if zm["checksum"] else "") + (
+                    ", dictionary id(s) "
+                    + ",".join(str(d) for d in zm["dictionary_ids"])
+                    + " required"
+                    if zm["dictionary_ids"] else ""
+                ),
             )
         elif payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or (
             payload[:6] == b"\xfd7zXZ\x00"

@@ -1,9 +1,9 @@
 """From-spec RFC 8878 (Zstandard) frame decoder — stdlib-only, exact.
 
-Closes the last *implementable* by-name refusal in the ingest surface
-(DIVERGENCES.md D20): ``.tar.zst`` / ``.tzst`` dataset shards, the
-increasingly-default WebDataset dump compression, previously refused
-because Python 3.11 ships no zstd codec. This module implements the
+Closes the last *implementable* ingest-surface gap (DIVERGENCES.md
+D20): ``.tar.zst`` / ``.tzst`` dataset shards, the increasingly-default
+WebDataset dump compression, previously undecodable here because
+Python 3.11 ships no zstd codec. This module implements the
 decode side of RFC 8878 from the public specification: frame headers,
 raw/RLE/compressed blocks, FSE (tANS) table descriptions and decoding,
 Huffman-coded literals (direct and FSE-compressed weight descriptions,
@@ -11,14 +11,21 @@ Huffman-coded literals (direct and FSE-compressed weight descriptions,
 history, overlapping match copy, and XXH64 content-checksum
 verification.
 
-What refuses BY NAME (NotImplementedError): dictionary-compressed
-frames (``Dictionary_ID != 0`` — no dictionary plumbing here).
-Skippable frames (``0x184D2A50``–``5F``) are SKIPPED, as RFC 8878 §3.1.2
-requires of every conforming decoder — pzstd and seekable-zstd writers
-emit them routinely, and ``zstd_meta`` already walked past them, so the
-census and the ingest path now agree (r15 ADVICE). Everything
-structurally invalid raises ``ValueError`` naming the byte offset (the
-repo refusal contract).
+Dictionary-compressed frames (RFC 8878 §5) DECODE since round 16 when
+the caller supplies the dictionary: :func:`parse_zstd_dict` parses both
+the formatted layout (magic ``0xEC30A437``, Dictionary_ID, Huffman +
+OF/ML/LL FSE entropy tables seeding the frame's Repeat/Treeless modes,
+three initial repeat offsets, content-as-prefix history) and raw-content
+dictionaries (any payload without the magic — libzstd's raw-content
+convention). A frame that DECLARES a nonzero ``Dictionary_ID`` with no
+dictionary supplied raises ``ValueError`` naming the id — that is
+missing input, not a missing feature. Skippable frames
+(``0x184D2A50``–``5F``) are SKIPPED, as RFC 8878 §3.1.2 requires of
+every conforming decoder — pzstd and seekable-zstd writers emit them
+routinely, and ``zstd_meta`` already walked past them, so the census and
+the ingest path agree (r15 ADVICE). Everything structurally invalid
+raises ``ValueError`` naming the byte offset (the repo refusal
+contract).
 
 Oracle discipline: the decoder is pinned by an INDEPENDENT real-world
 encoder — ``pyarrow``'s bundled libzstd — across compression levels 1,
@@ -57,6 +64,7 @@ archive ingest at all; this is builder-brief dataset-pipeline surface
 from __future__ import annotations
 
 _MAGIC = 0xFD2FB528
+_DICT_MAGIC = 0xEC30A437
 _SKIPPABLE_LO = 0x184D2A50
 _SKIPPABLE_HI = 0x184D2A5F
 _BLOCK_MAX = 128 * 1024
@@ -707,7 +715,10 @@ class _FrameState:
         self.ml = None
 
 
-def _execute(seqs, literals, out, origin, at, reps, frame_start, budget):
+def _execute(
+    seqs, literals, out, origin, at, reps, frame_start, budget,
+    dict_content=b"",
+):
     """Run the sequence list against the frame history (RFC 8878
     §3.1.1.4): literal copy + repeated-offset resolution + overlapping
     match copy. Returns the block's decoded byte count.
@@ -718,9 +729,11 @@ def _execute(seqs, literals, out, origin, at, reps, frame_start, budget):
     expand to gigabytes raises without materializing a byte. Matches may
     only reach back to ``frame_start`` — frames are independent per the
     RFC, and an offset reaching into a previous frame's output is
-    corrupt, not history — and never further than the frame's declared
-    ``Window_Size`` (``budget[2]``; RFC 8878 §3.1.1.4 match-offset
-    bound, libzstd-strict per the r15 ADVICE)."""
+    corrupt, not history — EXCEPT that when a dictionary is active its
+    ``dict_content`` extends the reachable history as a virtual prefix
+    in front of the frame (RFC 8878 §5). No match may reach further
+    than the frame's declared ``Window_Size`` (``budget[2]``; RFC 8878
+    §3.1.1.4 match-offset bound, libzstd-strict per the r15 ADVICE)."""
     total = len(literals) + sum(ml for _, ml, _ in seqs)
     if total > budget[0]:
         raise ValueError(
@@ -763,23 +776,43 @@ def _execute(seqs, literals, out, origin, at, reps, frame_start, budget):
                 )
             reps[2], reps[1], reps[0] = reps[1], reps[0], offset
         if ml:
-            if offset > len(out) - frame_start:
+            hist = len(out) - frame_start
+            if offset > hist + len(dict_content):
                 raise ValueError(
                     f"zstd {origin}: match offset {offset} at byte {at} "
-                    f"reaches before the {len(out) - frame_start}-byte "
-                    "frame history"
+                    f"reaches before the {hist}-byte frame history"
+                    + (
+                        f" plus {len(dict_content)}-byte dictionary"
+                        if dict_content
+                        else ""
+                    )
                 )
             if budget[2] and offset > budget[2]:
                 raise ValueError(
                     f"zstd {origin}: match offset {offset} at byte {at} "
                     f"exceeds the declared {budget[2]}-byte window"
                 )
-            start = len(out) - offset
-            if offset >= ml:
-                out += out[start : start + ml]
+            if offset > hist:
+                # the match starts inside the dictionary prefix and may
+                # run across the boundary into the frame's own output;
+                # byte-at-a-time keeps the RFC's sequential-copy overlap
+                # semantics exact (bounded by the 128 KiB block maximum,
+                # and only the first dict-reaching matches of a frame
+                # ever take this path)
+                dlen = len(dict_content)
+                for _ in range(ml):
+                    src = len(out) - offset
+                    if src >= frame_start:
+                        out.append(out[src])
+                    else:
+                        out.append(dict_content[dlen + src - frame_start])
             else:
-                pattern = bytes(out[start:])
-                out += (pattern * (ml // offset + 1))[:ml]
+                start = len(out) - offset
+                if offset >= ml:
+                    out += out[start : start + ml]
+                else:
+                    pattern = bytes(out[start:])
+                    out += (pattern * (ml // offset + 1))[:ml]
         produced += ll + ml
     out += literals[lpos:]
     return produced + len(literals) - lpos
@@ -852,6 +885,79 @@ def _xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
+# -------------------------------------------------------- dictionaries
+
+
+class ZstdDict:
+    """A parsed zstd dictionary (RFC 8878 §5): ``content`` is the
+    virtual history prefix, ``huf``/``ll``/``of``/``ml`` seed the
+    frame's Treeless/Repeat entropy modes (``None`` for raw-content
+    dictionaries), ``reps`` the initial repeated-offset slots."""
+
+    __slots__ = ("dict_id", "content", "huf", "ll", "of", "ml", "reps")
+
+    def __init__(self, dict_id, content, huf=None, ll=None, of=None,
+                 ml=None, reps=None):
+        self.dict_id = dict_id
+        self.content = content
+        self.huf = huf
+        self.ll = ll
+        self.of = of
+        self.ml = ml
+        self.reps = reps
+
+
+def parse_zstd_dict(data: bytes, origin: str = "<dict>") -> ZstdDict:
+    """Parse a zstd dictionary payload (RFC 8878 §5).
+
+    A payload beginning with the dictionary magic ``0xEC30A437`` is the
+    formatted layout: Dictionary_ID, then entropy tables in the
+    normative order (Huffman tree description for literals, FSE table
+    descriptions for Offsets, Match_Lengths, Literal_Lengths — the same
+    wire formats as inside compressed blocks), then the three initial
+    repeated offsets (4-byte little-endian each, each nonzero and no
+    larger than the content), then the content. Any other payload is a
+    RAW-CONTENT dictionary (libzstd's convention): the whole payload is
+    history, no entropy seeding, id 0."""
+    if len(data) < 4 or int.from_bytes(data[:4], "little") != _DICT_MAGIC:
+        return ZstdDict(0, bytes(data))
+    if len(data) < 8:
+        raise ValueError(
+            f"zstd {origin}: formatted dictionary id truncated at byte 4"
+        )
+    dict_id = int.from_bytes(data[4:8], "little")
+    huf_table, huf_log, pos = _decode_huf_desc(data, 8, origin)
+    tables = {}
+    for stream in ("of", "ml", "ll"):
+        dist, dal, max_al, max_sym = _SEQ_SPEC[stream]
+        at = pos
+        fwd = _FwdBits(data, pos)
+        probs, al = _fse_read_dist(fwd, max_al, max_sym, origin)
+        tables[stream] = (_fse_build(probs, al, origin, at), al)
+        pos = fwd.pos
+    if pos + 12 > len(data):
+        raise ValueError(
+            f"zstd {origin}: dictionary repeated offsets truncated at "
+            f"byte {pos}"
+        )
+    reps = [
+        int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4], "little")
+        for i in range(3)
+    ]
+    pos += 12
+    content = bytes(data[pos:])
+    for i, r in enumerate(reps):
+        if r == 0 or r > len(content):
+            raise ValueError(
+                f"zstd {origin}: dictionary repeated offset {i + 1} is "
+                f"{r} (must be 1..{len(content)}, the content size)"
+            )
+    return ZstdDict(
+        dict_id, content, huf=(huf_table, huf_log),
+        ll=tables["ll"], of=tables["of"], ml=tables["ml"], reps=reps,
+    )
+
+
 # -------------------------------------------------------------- frames
 
 
@@ -860,16 +966,27 @@ def is_zstd(payload: bytes) -> bool:
 
 
 def decompress_zstd(
-    payload: bytes, origin: str = "<bytes>", max_output: int = 1 << 28
+    payload: bytes,
+    origin: str = "<bytes>",
+    max_output: int = 1 << 28,
+    dictionary: "bytes | ZstdDict | None" = None,
 ) -> bytes:
     """Decode one-or-more concatenated zstd frames to their content.
 
     ``max_output`` is the bomb budget: decoding stops with a loud
     ValueError the moment cumulative output would exceed it (validated
     incrementally, never pre-allocated from attacker-controlled
-    headers). Dictionary frames refuse BY NAME; skippable frames are
-    skipped per RFC 8878 §3.1.2 (so ingest agrees with ``zstd_meta``'s
-    census walk — the r15 ADVICE alignment)."""
+    headers). ``dictionary`` (raw bytes, parsed via
+    :func:`parse_zstd_dict`, or an already-parsed :class:`ZstdDict`)
+    is applied to every regular frame when supplied — libzstd's
+    semantics: the frame's ``Dictionary_ID`` is a consistency check,
+    enforced only when both sides carry a nonzero id. A frame that
+    declares a nonzero id with NO dictionary supplied raises a
+    ValueError naming the id (missing input, not a missing feature).
+    Skippable frames are skipped per RFC 8878 §3.1.2 (so ingest agrees
+    with ``zstd_meta``'s census walk — the r15 ADVICE alignment)."""
+    if dictionary is not None and not isinstance(dictionary, ZstdDict):
+        dictionary = parse_zstd_dict(dictionary, origin=f"{origin} dictionary")
     pos = 0
     out = bytearray()
     n = len(payload)
@@ -899,11 +1016,12 @@ def decompress_zstd(
             raise ValueError(
                 f"zstd {origin}: bad frame magic {magic:#010x} at byte {pos}"
             )
-        pos = _decode_frame(payload, pos + 4, out, origin, max_output)
+        pos = _decode_frame(payload, pos + 4, out, origin, max_output,
+                            zdict=dictionary)
     return bytes(out)
 
 
-def _decode_frame(payload, pos, out, origin, max_output):
+def _decode_frame(payload, pos, out, origin, max_output, zdict=None):
     n = len(payload)
     if pos >= n:
         raise ValueError(f"zstd {origin}: frame header missing at byte {pos}")
@@ -941,11 +1059,16 @@ def _decode_frame(payload, pos, out, origin, max_output):
                 f"zstd {origin}: dictionary id truncated at byte {pos}"
             )
         did = int.from_bytes(payload[pos : pos + did_len], "little")
-        if did:
-            raise NotImplementedError(
-                f"zstd {origin}: dictionary-compressed frame (dictionary "
-                f"id {did}) at byte {pos} not implemented — no dictionary "
-                "plumbing (refused by name)"
+        if did and zdict is None:
+            raise ValueError(
+                f"zstd {origin}: frame at byte {pos} requires dictionary "
+                f"id {did} but no dictionary was provided"
+            )
+        if did and zdict.dict_id and zdict.dict_id != did:
+            raise ValueError(
+                f"zstd {origin}: frame at byte {pos} requires dictionary "
+                f"id {did} but the supplied dictionary has id "
+                f"{zdict.dict_id}"
             )
         pos += did_len
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
@@ -964,6 +1087,18 @@ def _decode_frame(payload, pos, out, origin, max_output):
     block_max = min(window_size or _BLOCK_MAX, _BLOCK_MAX)
     state = _FrameState()
     reps = [1, 4, 8]
+    dict_content = b""
+    if zdict is not None:
+        # RFC 8878 §5: the dictionary's entropy tables are the frame's
+        # initial "previous" tables (Treeless literals / Repeat_Mode in
+        # the FIRST block), its repeated offsets replace {1,4,8}, and
+        # its content is reachable history in front of the frame
+        state.huf, state.ll, state.of, state.ml = (
+            zdict.huf, zdict.ll, zdict.of, zdict.ml
+        )
+        if zdict.reps is not None:
+            reps = list(zdict.reps)
+        dict_content = zdict.content
     frame_start_len = len(out)
     while True:
         if pos + 3 > n:
@@ -1036,6 +1171,7 @@ def _decode_frame(payload, pos, out, origin, max_output):
             produced = _execute(
                 seqs, lits, out, origin, pos, reps,
                 frame_start_len, (block_max, max_output, window_size),
+                dict_content,
             )
             assert len(out) - before == produced
             pos += bsize
@@ -1151,16 +1287,21 @@ def compress_zstd(data: bytes, checksum: bool = True) -> bytes:
 
 def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
     """Frame-header facts WITHOUT decoding blocks (census use):
-    ``{"content_size": int|None, "checksum": bool, "n_frames": int}``.
+    ``{"content_size": int|None, "checksum": bool, "n_frames": int,
+    "dictionary_ids": [int, ...]}``.
     Walks frame headers only — skippable frames are SKIPPED here (they
     are metadata wrappers and a survey should report past them; since
     r16 the full decoder skips them too, per RFC 8878 §3.1.2, so census
     and ingest agree), but sizes can only be summed when every regular
-    frame declares its content size."""
+    frame declares its content size. ``dictionary_ids`` lists the
+    distinct nonzero ids frames declare (sorted) — a nonempty list
+    means ingest needs the matching dictionary passed to
+    :func:`decompress_zstd`."""
     pos, n = 0, len(payload)
     n_frames = 0
     checksum = False
     total: int | None = 0
+    dict_ids: set[int] = set()
     if n < 4:
         raise ValueError(f"zstd {origin}: {n}-byte payload has no frame header")
     while pos < n:
@@ -1199,7 +1340,16 @@ def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
         checksum = checksum or bool(fhd & 0x04)
         if not single:
             p += 1
-        p += (0, 1, 2, 4)[fhd & 3]
+        did_len = (0, 1, 2, 4)[fhd & 3]
+        if did_len:
+            if p + did_len > n:
+                raise ValueError(
+                    f"zstd {origin}: dictionary id truncated at byte {p}"
+                )
+            did = int.from_bytes(payload[p : p + did_len], "little")
+            if did:
+                dict_ids.add(did)
+            p += did_len
         fcs_len = (1 if single else 0, 2, 4, 8)[fhd >> 6]
         if fcs_len:
             if p + fcs_len > n:
@@ -1243,4 +1393,9 @@ def zstd_meta(payload: bytes, origin: str = "<bytes>") -> dict:
                     f"{p - 4}"
                 )
         pos = p
-    return {"content_size": total, "checksum": checksum, "n_frames": n_frames}
+    return {
+        "content_size": total,
+        "checksum": checksum,
+        "n_frames": n_frames,
+        "dictionary_ids": sorted(dict_ids),
+    }

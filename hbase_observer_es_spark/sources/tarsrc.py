@@ -39,9 +39,12 @@ containers agree (``zipsrc.explode_archive_members`` /
   ingested, not silently skipped. ``.tar.zst``/``.tzst`` (increasingly
   the dataset-dump default) decodes for REAL since round 15 through the
   repo's from-spec RFC 8878 decoder (``operators/zstd.py`` — Python
-  3.11 ships no zstd codec); dictionary frames refuse by name inside
-  the decoder, skippable frames are skipped per RFC 8878 §3.1.2 since
-  r16 (DIVERGENCES.md D20, now closed for plain frames).
+  3.11 ships no zstd codec); skippable frames are skipped per RFC 8878
+  §3.1.2 since r16, and dictionary frames decode when the dictionary
+  is supplied to ``decompress_zstd`` — a shard requiring an EXTERNAL
+  dictionary this ingest path cannot resolve from inside the tar still
+  raises a loud ValueError naming the dictionary id (DIVERGENCES.md
+  D20, closed).
 
 ``read_tar_members`` lands (archive, member, size, content) rows —
 byte-compatible with ``read_zip_members`` so mixed dumps union into one
