@@ -6,14 +6,18 @@ same from-spec discipline: no codec library, every byte handled per the
 published standard, corruption dies loudly with ``origin`` context.
 Implemented subset — baseline sequential DCT (SOF0/SOF1) AND progressive
 DCT (SOF2: spectral selection + successive approximation, T.81 annex G),
-Huffman entropy coding, 8-bit precision (together the overwhelming
-majority of JPEGs in a scraped corpus):
+Huffman entropy coding, 8-bit AND 12-bit sample precision (together the
+overwhelming majority of JPEGs in a scraped corpus; 12-bit — legal in
+SOF1/SOF2 per T.81 table B.2, medical/scientific exports — decodes at
+full precision through dequantization and the IDCT, then renders to the
+8-bit PngImage surface by the deterministic high-nibble map
+``sample >> 4``, so the whole downstream pixel stack stays 8-bit):
 
 * marker stream walk: SOI, APPn/COM skipped, DQT (8- and 16-bit element
   precision, zigzag order), DHT (canonical code reconstruction via the
   spec's BITS/HUFFVAL algorithm, F.2.2.3 decode), SOF0/SOF1/SOF2, DRI,
-  SOS, EOI; arithmetic-coded, hierarchical, lossless, and 12-bit frames
-  are refused BY NAME — never mis-decoded;
+  SOS, EOI; arithmetic-coded, hierarchical, and lossless frames are
+  refused BY NAME — never mis-decoded;
 * progressive scan scripts: interleaved/non-interleaved DC scans,
   single-component AC band scans with EOB runs, refinement scans
   (G.1.2.2/G.1.2.3 — correction bits over nonzero history), per-band
@@ -266,14 +270,15 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _idct_block(coef: list) -> list:
+def _idct_block(coef: list, level: int = 128, maxv: int = 255) -> list:
     """Fixed-point separable 2-D inverse DCT of one dequantized block
-    (natural order), +128 level shift, clamped 0..255. Accumulation is
-    exact (unbounded ints); the one rounding is the final >> 28 with
+    (natural order), +``level`` level shift (2^(P-1): 128 for 8-bit,
+    2048 for 12-bit), clamped 0..``maxv``. Accumulation is exact
+    (unbounded ints); the one rounding is the final >> 28 with
     add-half. DC-only blocks take the flat fast path."""
     if not any(coef[1:]):
-        v = ((coef[0] * 5793 * 5793 + (1 << 27)) >> 28) + 128
-        v = 0 if v < 0 else 255 if v > 255 else v
+        v = ((coef[0] * 5793 * 5793 + (1 << 27)) >> 28) + level
+        v = 0 if v < 0 else maxv if v > maxv else v
         return [v] * 64
     # natural index r*8+c: r = vertical frequency (couples with y),
     # c = horizontal (couples with x) — the spec's row-major layout.
@@ -301,8 +306,8 @@ def _idct_block(coef: list) -> list:
                 tv = col[r]
                 if tv:
                     s += tv * _A[r][y]
-            p = ((s + (1 << 27)) >> 28) + 128
-            out[y * 8 + x] = 0 if p < 0 else 255 if p > 255 else p
+            p = ((s + (1 << 27)) >> 28) + level
+            out[y * 8 + x] = 0 if p < 0 else maxv if p > maxv else p
     return out
 
 
@@ -415,7 +420,7 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
             if frame is not None:
                 raise ValueError(f"jpeg {origin}: duplicate frame header")
-            frame = _parse_sof_body(seg, origin)
+            frame = _parse_sof_body(seg, origin, marker)
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError(
@@ -427,7 +432,13 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
                 raise ValueError(f"jpeg {origin}: SOS before SOF")
             break
         # APPn (0xE0-0xEF), COM (0xFE), others with a body: skipped
-    height, width, comps = frame
+    height, width, comps, prec = frame
+    # 12-bit samples decode at full precision through dequantization and
+    # the IDCT, then render to the 8-bit PngImage surface by the
+    # deterministic high-nibble map (sample >> 4) at block placement —
+    # every downstream consumer (resize, hashes, PNG re-encode) is 8-bit
+    dc_cat_max = prec + 3  # T.81 table F.1: 11 for 8-bit, 15 for 12-bit
+    level, maxv = 1 << (prec - 1), (1 << prec) - 1
     if not seg:
         raise ValueError(f"jpeg {origin}: SOS segment body truncated")
     ns = seg[0]
@@ -492,10 +503,10 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
                     for bx in range(h):
                         coef = [0] * 64
                         t = reader.decode(dct, "dc")
-                        if t > 11:
+                        if t > dc_cat_max:
                             raise ValueError(
                                 f"jpeg {origin}: DC magnitude category {t} "
-                                "exceeds the baseline limit 11"
+                                f"exceeds the {prec}-bit limit {dc_cat_max}"
                             )
                         preds[ci] += _extend(reader.receive(t), t)
                         coef[0] = preds[ci] * qt[0]
@@ -516,13 +527,17 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
                                 )
                             coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * qt[k]
                             k += 1
-                        px = _idct_block(coef)
+                        px = _idct_block(coef, level, maxv)
                         ox = (mx * h + bx) * 8
                         oy = (my * v + by) * 8
                         plane = planes[ci]
                         for yy in range(8):
                             row = (oy + yy) * pw + ox
-                            plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+                            seg8 = px[yy * 8 : yy * 8 + 8]
+                            plane[row : row + 8] = (
+                                bytes(seg8) if prec == 8
+                                else bytes(p >> 4 for p in seg8)
+                            )
             since_restart += 1
     return _assemble_image(width, height, [m[:3] for m in metas], planes,
                            hmax, vmax)
@@ -644,12 +659,12 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
         elif marker == 0xC2:  # SOF2
             if frame is not None:
                 raise ValueError(f"jpeg {origin}: duplicate frame header")
-            frame = _parse_sof_body(seg, origin)
-            height, width, comps = frame
+            frame = _parse_sof_body(seg, origin, marker)
+            height, width, comps, prec = frame
             if len(comps) == 1:
                 cid, _, _, tq = comps[0]
                 comps = [(cid, 1, 1, tq)]
-                frame = (height, width, comps)
+                frame = (height, width, comps, prec)
             hmax = max(h for _, h, _, _ in comps)
             vmax = max(v for _, _, v, _ in comps)
             mcus_x = -(-width // (8 * hmax))
@@ -681,7 +696,8 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
         # APPn / COM / others with a body: skipped
     if frame is None:
         raise ValueError(f"jpeg {origin}: EOI before any frame header")
-    height, width, comps = frame
+    height, width, comps, prec = frame
+    level, maxv = 1 << (prec - 1), (1 << prec) - 1
     for ci, (cid, h, v, tq) in enumerate(comps):
         if dc_al[ci] != 0:
             raise ValueError(
@@ -717,27 +733,41 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
                     c = blocks[off + k]
                     if c:
                         nat[ZIGZAG[k]] = c * qt[k]
-                px = _idct_block(nat)
+                px = _idct_block(nat, level, maxv)
                 ox, oy = bxi * 8, byi * 8
                 for yy in range(8):
                     row = (oy + yy) * pw + ox
-                    plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+                    seg8 = px[yy * 8 : yy * 8 + 8]
+                    plane[row : row + 8] = (
+                        bytes(seg8) if prec == 8
+                        else bytes(p >> 4 for p in seg8)
+                    )
         planes.append(plane)
         geom.append((h, v, pw))
     return _assemble_image(width, height, geom, planes, hmax, vmax)
 
 
-def _parse_sof_body(seg: bytes, origin: str) -> tuple:
-    """SOF segment body → (height, width, [(cid, h, v, tq)]) with the
-    same constraint set the baseline path enforces."""
+def _parse_sof_body(seg: bytes, origin: str, marker: int = 0xC0) -> tuple:
+    """SOF segment body → (height, width, [(cid, h, v, tq)], precision)
+    with the same constraint set the baseline path enforces. 12-bit
+    sample precision is legal only for extended sequential (SOF1) and
+    progressive (SOF2) frames — T.81 table B.2 fixes baseline SOF0 at
+    8 bits, so a 12-bit SOF0 is structurally corrupt, not a variant."""
     if len(seg) < 6:
         raise ValueError(
             f"jpeg {origin}: SOF segment body truncated ({len(seg)} bytes)"
         )
     prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
-    if prec != 8:
+    if prec == 12 and marker == 0xC0:
         raise ValueError(
-            f"jpeg {origin}: {prec}-bit precision unsupported (8-bit only)"
+            f"jpeg {origin}: 12-bit precision is invalid in a baseline "
+            "SOF0 frame (T.81 table B.2 — extended sequential SOF1 or "
+            "progressive SOF2 only)"
+        )
+    if prec not in (8, 12):
+        raise ValueError(
+            f"jpeg {origin}: {prec}-bit precision unsupported "
+            "(8- and 12-bit only)"
         )
     if height == 0 or width == 0:
         raise ValueError(
@@ -775,7 +805,7 @@ def _parse_sof_body(seg: bytes, origin: str) -> tuple:
             f"jpeg {origin}: declared geometry {width}x{height} pads to "
             f"{pw}x{ph}, past the {_MAX_PIXELS}-pixel guard"
         )
-    return height, width, comps
+    return height, width, comps, prec
 
 
 def _decode_progressive_scan(
@@ -845,7 +875,7 @@ def _decode_progressive_scan(
             dc_al[ci] = al
         _scan_dc(
             reader, origin, scan_comps, metas, coefs, dc_tables, ah, al,
-            restart_interval, mcus_x, mcus_y,
+            restart_interval, mcus_x, mcus_y, frame[3],
         )
     else:
         if ns != 1:
@@ -889,7 +919,7 @@ def _decode_progressive_scan(
 def _scan_dc(
     reader, origin: str, scan_comps: list, metas: list, coefs: list,
     dc_tables: dict, ah: int, al: int, restart_interval: int,
-    mcus_x: int, mcus_y: int,
+    mcus_x: int, mcus_y: int, prec: int = 8,
 ) -> None:
     """DC scan body: interleaved (MCU walk over every scan component) or
     single-component (block raster). First pass decodes predictor
@@ -898,24 +928,27 @@ def _scan_dc(
     preds = {ci: 0 for ci, _, _ in scan_comps}
     rst_n = 0
     since = 0
+    dc_cat_max = prec + 3
+    pred_hi = 1 << dc_cat_max  # ±2048 at 8-bit, ±32768 at 12-bit
 
     def one_block(ci: int, blocks, off: int, td: int) -> None:
         if ah == 0:
             t = reader.decode(dc_tables[td], "dc")
-            if t > 11:
+            if t > dc_cat_max:
                 raise ValueError(
                     f"jpeg {origin}: DC magnitude category {t} exceeds "
-                    "the limit 11"
+                    f"the {prec}-bit limit {dc_cat_max}"
                 )
             preds[ci] += _extend(reader.receive(t), t)
-            # 8-bit precision bounds the quantized DC coefficient to 11
-            # bits (T.81 table F.1) — a predictor walking past ±2047 is
-            # corrupt entropy data, and int32 storage requires the loud
-            # refusal here rather than an OverflowError at assignment
-            if not -2048 <= preds[ci] <= 2047:
+            # sample precision bounds the quantized DC coefficient to
+            # P+3 bits (T.81 table F.1) — a predictor walking past that
+            # is corrupt entropy data, and int32 storage requires the
+            # loud refusal here rather than an OverflowError at
+            # assignment
+            if not -pred_hi <= preds[ci] < pred_hi:
                 raise ValueError(
                     f"jpeg {origin}: DC predictor {preds[ci]} outside the "
-                    "8-bit precision range — corrupt entropy data"
+                    f"{prec}-bit precision range — corrupt entropy data"
                 )
             blocks[off] = preds[ci] << al
         elif reader.bit():

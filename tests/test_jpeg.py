@@ -449,3 +449,88 @@ def test_sniff_format_guards_ascii_magics():
     assert sniff_format(good_webp) == "webp"
     assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None
     assert sniff_format(b"\x00\x01\x02\x03 mystery") is None
+
+
+# -------------------------------------------------------------- 12-bit
+
+
+def _sof12(marker: int, width: int = 8, height: int = 8) -> bytes:
+    return _seg(
+        marker, struct.pack(">BHHB", 12, height, width, 1) + bytes([1, 0x11, 0])
+    )
+
+
+def test_12bit_sof1_dc_only_exact():
+    """12-bit extended sequential (SOF1), one block, DC diff +5, q=16:
+    coefficient 80, 12-bit flat sample ((80·5793² + 2^27) >> 28) + 2048
+    = 2058, rendered 2058 >> 4 = 128 — fully hand-derived."""
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    entropy = bytes([0b01010111])  # DC '0' + '101', EOB '0', pad 111
+    data = (
+        b"\xff\xd8" + _dqt_all16() + _sof12(0xC1)
+        + _DHT_DC3 + _DHT_EOB + sos + entropy + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert (img.width, img.height, img.channels) == (8, 8, 1)
+    assert set(img.raw) == {128}
+
+
+def test_12bit_dc_category_13_clamps_at_12bit_range():
+    """DC category 13 (invalid at 8-bit, legal at 12): diff +4096, q=16
+    → coefficient 65536 → IDCT 8193+2048 clamps to 4095 → renders 255.
+    The SAME entropy stream at 8-bit precision refuses on the category
+    limit — the precision-dependent bound, both directions."""
+    dht_dc13 = _dht(0, 0, [(1, 1)], bytes([13]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # DC '0' + 13 magnitude bits 1000000000000 + EOB '0' + pad '1'
+    entropy = bytes([0b01000000, 0b00000001])
+    tail = dht_dc13 + _DHT_EOB + sos + entropy + b"\xff\xd9"
+    img = decode_jpeg(b"\xff\xd8" + _dqt_all16() + _sof12(0xC1) + tail)
+    assert set(img.raw) == {255}
+    sof8 = _seg(0xC1, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match=r"category 13 exceeds the 8-bit limit 11"):
+        decode_jpeg(b"\xff\xd8" + _dqt_all16() + sof8 + tail)
+
+
+def test_12bit_single_ac_coefficient_matches_float_idct():
+    """The 12-bit non-DC path against the independent float IDCT: level
+    shift 2048, clamp 4095, then the documented >>4 render map."""
+    dht_dc = _dht(0, 0, [(1, 1), (2, 1)], bytes([0, 3]))
+    dht_ac = _dht(1, 0, [(1, 1), (2, 1)], bytes([0x03, 0x00]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    entropy = bytes([0b00100101])
+    data = (
+        b"\xff\xd8" + _dqt_all16() + _sof12(0xC1)
+        + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    for y in range(8):
+        for x in range(8):
+            want = (
+                0.25 * (1 / math.sqrt(2)) * 64
+                * math.cos((2 * x + 1) * math.pi / 16)
+            )
+            got = img.raw[y * 8 + x]
+            assert abs(got - (2048 + want) / 16) <= 1.1, (x, y, got)
+
+
+def test_12bit_progressive_scan_script():
+    """12-bit progressive (SOF2 is the other frame type T.81 allows at
+    12 bits): DC scan then the 1..63 AC band via one EOB — the same
+    hand-derived flat 128 as the sequential twin."""
+    dc_scan = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes([0b01011111])
+    ac_scan = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes([0b01111111])
+    data = (
+        b"\xff\xd8" + _dqt_all16() + _sof12(0xC2)
+        + _DHT_DC3 + _DHT_EOB + dc_scan + ac_scan + b"\xff\xd9"
+    )
+    img = decode_jpeg(data)
+    assert set(img.raw) == {128}
+
+
+def test_12bit_sof0_is_structurally_invalid():
+    """T.81 table B.2: baseline SOF0 is 8-bit only — a 12-bit SOF0 must
+    refuse as corrupt structure, not decode as extended sequential."""
+    data = b"\xff\xd8" + _dqt_all16() + _sof12(0xC0) + b"\xff\xd9"
+    with pytest.raises(ValueError, match=r"12-bit precision is invalid in a baseline"):
+        decode_jpeg(data)
