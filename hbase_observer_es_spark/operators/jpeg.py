@@ -16,8 +16,10 @@ full precision through dequantization and the IDCT, then renders to the
 * marker stream walk: SOI, APPn/COM skipped, DQT (8- and 16-bit element
   precision, zigzag order), DHT (canonical code reconstruction via the
   spec's BITS/HUFFVAL algorithm, F.2.2.3 decode), SOF0/SOF1/SOF2, DRI,
-  SOS, EOI; arithmetic-coded, hierarchical, and lossless frames are
-  refused BY NAME — never mis-decoded;
+  SOS, EOI; arithmetic-coded SEQUENTIAL (SOF9) decodes for real via the
+  Annex D QM decoder in :mod:`.jpeg_arith` (r16); arithmetic-coded
+  progressive/lossless, hierarchical, and lossless frames are refused
+  BY NAME — never mis-decoded;
 * progressive scan scripts: interleaved/non-interleaved DC scans,
   single-component AC band scans with EOB runs, refinement scans
   (G.1.2.2/G.1.2.3 — correction bits over nonzero history), per-band
@@ -91,7 +93,6 @@ _REFUSED_SOF = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
-    0xC9: "arithmetic-coded sequential (SOF9)",
     0xCA: "arithmetic-coded progressive (SOF10)",
     0xCB: "arithmetic-coded lossless (SOF11)",
     0xCD: "differential arithmetic sequential (SOF13)",
@@ -407,6 +408,10 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
         pos += seglen
         if marker == 0xC2:  # SOF2: hand the whole stream to annex G
             return _decode_progressive(data, origin)
+        if marker == 0xC9:  # SOF9: arithmetic sequential (annex D + F.2.4)
+            from .jpeg_arith import decode_jpeg_arith
+
+            return decode_jpeg_arith(data, origin)
         if marker in _REFUSED_SOF:
             raise ValueError(
                 f"jpeg {origin}: {_REFUSED_SOF[marker]} coding process "
@@ -643,7 +648,7 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
             )
         seg = data[pos + 2 : pos + seglen]
         pos += seglen
-        if marker in _REFUSED_SOF or marker in (0xC0, 0xC1):
+        if marker in _REFUSED_SOF or marker in (0xC0, 0xC1, 0xC9):
             raise ValueError(
                 f"jpeg {origin}: second frame header 0xFF{marker:02X} in a "
                 "progressive stream"

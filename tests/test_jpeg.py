@@ -191,7 +191,10 @@ def test_looks_like_jpeg():
         # progressive frame violates the annex-G DC-scan constraint
         (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2"),
          r"progressive DC scan must have Se=0"),
-        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc9"), r"arithmetic-coded sequential"),
+        # SOF9 decodes for real since r16 (tests/test_jpeg_arith.py);
+        # the differential arithmetic processes keep refusing by name
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xcd"),
+         r"differential arithmetic sequential"),
         (lambda d: d.replace(b"\xff\xc0", b"\xff\xc3"), r"lossless \(SOF3\)"),
         (lambda d: d[: d.index(b"\xff\xda")] + b"\xff\xd9", r"EOI before any scan"),
         (lambda d: d[:-3], r"entropy data exhausted"),
