@@ -16,10 +16,10 @@ full precision through dequantization and the IDCT, then renders to the
 * marker stream walk: SOI, APPn/COM skipped, DQT (8- and 16-bit element
   precision, zigzag order), DHT (canonical code reconstruction via the
   spec's BITS/HUFFVAL algorithm, F.2.2.3 decode), SOF0/SOF1/SOF2, DRI,
-  SOS, EOI; arithmetic-coded SEQUENTIAL (SOF9) decodes for real via the
-  Annex D QM decoder in :mod:`.jpeg_arith` (r16); arithmetic-coded
-  progressive/lossless, hierarchical, and lossless frames are refused
-  BY NAME — never mis-decoded;
+  SOS, EOI; arithmetic-coded sequential (SOF9) AND progressive (SOF10)
+  decode for real via the Annex D QM decoder in :mod:`.jpeg_arith`
+  (r16); arithmetic-coded lossless, hierarchical, and lossless frames
+  are refused BY NAME — never mis-decoded;
 * progressive scan scripts: interleaved/non-interleaved DC scans,
   single-component AC band scans with EOB runs, refinement scans
   (G.1.2.2/G.1.2.3 — correction bits over nonzero history), per-band
@@ -93,7 +93,6 @@ _REFUSED_SOF = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
-    0xCA: "arithmetic-coded progressive (SOF10)",
     0xCB: "arithmetic-coded lossless (SOF11)",
     0xCD: "differential arithmetic sequential (SOF13)",
     0xCE: "differential arithmetic progressive (SOF14)",
@@ -412,6 +411,10 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
             from .jpeg_arith import decode_jpeg_arith
 
             return decode_jpeg_arith(data, origin)
+        if marker == 0xCA:  # SOF10: arithmetic progressive (annex D + G.2)
+            from .jpeg_arith import decode_jpeg_arith_progressive
+
+            return decode_jpeg_arith_progressive(data, origin)
         if marker in _REFUSED_SOF:
             raise ValueError(
                 f"jpeg {origin}: {_REFUSED_SOF[marker]} coding process "

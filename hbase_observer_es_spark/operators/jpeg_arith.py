@@ -1,7 +1,8 @@
 """Arithmetic-coded JPEG entropy decoding (ITU-T T.81 Annex D + §F.2.4).
 
-Closes the SOF9 (arithmetic-coded extended sequential) member of the
-JPEG refusal set: the QM arithmetic decoder of Annex D (DECODE /
+Closes the SOF9 (arithmetic-coded extended sequential) AND SOF10
+(arithmetic-coded progressive) members of the JPEG refusal set: the QM
+arithmetic decoder of Annex D (DECODE /
 MPS_EXCHANGE / LPS_EXCHANGE / RENORMD / BYTEIN / INITDEC, software
 conventions of §D.4) driving the DC and AC statistical models of
 §F.2.4.1/.2 — conditioning contexts, the shared magnitude-category
@@ -25,9 +26,13 @@ produce BIT-IDENTICAL pixels through this package's shared IDCT, so a
 single wrong table entry, context offset, or register operation fails
 the cross-implementation comparison loudly (``tests/test_jpeg_arith.py``).
 
-What still refuses BY NAME: arithmetic-coded progressive (SOF10) and
-the differential/hierarchical arithmetic processes (SOF13-15) — the
-refusals stay in :mod:`.jpeg`'s ``_REFUSED_SOF`` dispatch.
+Progressive arithmetic (SOF10) rides the same decoder through the
+G.2 scan models — DC/AC bands and bit planes with the Huffman path's
+fail-loud scan-script state machine, statistics reset per scan and
+per restart. What still refuses BY NAME: arithmetic-coded lossless
+(SOF11) and the differential/hierarchical arithmetic processes
+(SOF13-15) — the refusals stay in :mod:`.jpeg`'s ``_REFUSED_SOF``
+dispatch.
 
 Scale posture: identical to the Huffman path — entropy decode runs
 inside the per-payload ``mapInPandas`` stages, pixels never cross a
@@ -495,3 +500,496 @@ def decode_jpeg_arith(data: bytes, origin: str):
             since += 1
     return _assemble_image(width, height, [m[:3] for m in metas], planes,
                            hmax, vmax)
+
+
+# ------------------------------------------------ progressive (G.2)
+
+
+def decode_jpeg_arith_progressive(data: bytes, origin: str):
+    """Decode one SOF10 (arithmetic-coded progressive) JPEG: the scan
+    script delivers coefficients in DC/AC bands and bit planes exactly
+    as the Huffman progressive path (T.81 annex G scan-script rules,
+    validated with the same fail-loud state tracking), but each scan's
+    entropy data is the Annex D QM decoder over the G.2 statistical
+    models — DC first scans reuse the sequential DC model shifted by
+    Al, DC refinements read one fixed-state bit per block, AC first
+    scans reuse the sequential AC model over the band, AC refinements
+    follow G.2.3's EOBx (``kex``) walk with fixed-state signs for
+    newly nonzero coefficients. Statistics reset at every scan start
+    and at every restart marker, per the spec."""
+    from array import array
+
+    from .jpeg import (
+        ZIGZAG,
+        _assemble_image,
+        _idct_block,
+        _parse_dqt,
+        _parse_sof_body,
+    )
+
+    pos = 2
+    qtables: dict = {}
+    dc_cond: dict = {}
+    ac_cond: dict = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    coefs: list = []
+    metas: list = []  # (h, v, bw_pad, bh_pad, bw_ni, bh_ni, tq)
+    dc_al: list = []
+    ac_al: list = []
+    preds: list = []
+    mcus_x = mcus_y = hmax = vmax = 0
+    cid_index: dict = {}
+    while True:
+        if pos + 2 > n:
+            raise ValueError(f"jpeg {origin}: truncated before EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"jpeg {origin}: expected marker at byte {pos}, found "
+                f"0x{data[pos]:02X}"
+            )
+        while pos < n and data[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise ValueError(f"jpeg {origin}: truncated marker at stream end")
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError(f"jpeg {origin}: truncated segment header")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError(
+                f"jpeg {origin}: segment 0xFF{marker:02X} length {seglen} "
+                "overruns the stream"
+            )
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xCA, 0xCC):
+            raise ValueError(
+                f"jpeg {origin}: second frame header 0xFF{marker:02X} in a "
+                "progressive stream"
+            )
+        if marker == 0xDB:
+            _parse_dqt(seg, qtables, origin)
+        elif marker == 0xCC:
+            _parse_dac(seg, dc_cond, ac_cond, origin)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError(f"jpeg {origin}: DRI segment body truncated")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xCA:  # SOF10
+            if frame is not None:
+                raise ValueError(f"jpeg {origin}: duplicate frame header")
+            frame = _parse_sof_body(seg, origin, marker)
+            height, width, comps, prec = frame
+            if len(comps) == 1:
+                cid, _, _, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
+                frame = (height, width, comps, prec)
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                if cid in cid_index:
+                    raise ValueError(
+                        f"jpeg {origin}: duplicate component id {cid}"
+                    )
+                cid_index[cid] = ci
+                bw_pad, bh_pad = mcus_x * h, mcus_y * v
+                cw = -(-width * h // hmax)
+                ch = -(-height * v // vmax)
+                metas.append(
+                    (h, v, bw_pad, bh_pad, -(-cw // 8), -(-ch // 8), tq)
+                )
+                coefs.append(array("i", (0,)) * (bw_pad * bh_pad * 64))
+                dc_al.append(None)
+                ac_al.append([None] * 64)
+                preds.append(0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError(f"jpeg {origin}: SOS before SOF")
+            pos = _arith_progressive_scan(
+                data, pos, seg, origin, frame, metas, coefs, dc_al, ac_al,
+                preds, cid_index, dc_cond, ac_cond, restart_interval,
+                mcus_x, mcus_y,
+            )
+        # APPn / COM / DHT: skipped
+    if frame is None:
+        raise ValueError(f"jpeg {origin}: EOI before any frame header")
+    height, width, comps, prec = frame
+    level, maxv = 1 << (prec - 1), (1 << prec) - 1
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        if dc_al[ci] != 0:
+            raise ValueError(
+                f"jpeg {origin}: progressive scan script incomplete — "
+                f"component {cid} DC "
+                + ("never scanned" if dc_al[ci] is None
+                   else f"stops at bit plane {dc_al[ci]}")
+            )
+        bad = [k for k in range(1, 64) if ac_al[ci][k] != 0]
+        if bad:
+            raise ValueError(
+                f"jpeg {origin}: progressive scan script incomplete — "
+                f"component {cid} AC coefficients {bad[0]}..{bad[-1]} "
+                "missing or above bit plane 0"
+            )
+        if tq not in qtables:
+            raise ValueError(
+                f"jpeg {origin}: component quant table {tq} undefined"
+            )
+    planes = []
+    geom = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        _, _, bw_pad, bh_pad, _, _, _ = metas[ci]
+        qt = qtables[tq]
+        pw, ph = bw_pad * 8, bh_pad * 8
+        plane = bytearray(pw * ph)
+        blocks = coefs[ci]
+        for byi in range(bh_pad):
+            for bxi in range(bw_pad):
+                off = (byi * bw_pad + bxi) * 64
+                nat = [0] * 64
+                for k in range(64):
+                    c = blocks[off + k]
+                    if c:
+                        nat[ZIGZAG[k]] = c * qt[k]
+                px = _idct_block(nat, level, maxv)
+                ox, oy = bxi * 8, byi * 8
+                for yy in range(8):
+                    row = (oy + yy) * pw + ox
+                    seg8 = px[yy * 8 : yy * 8 + 8]
+                    plane[row : row + 8] = (
+                        bytes(seg8) if prec == 8
+                        else bytes(p >> 4 for p in seg8)
+                    )
+        planes.append(plane)
+        geom.append((h, v, pw))
+    return _assemble_image(width, height, geom, planes, hmax, vmax)
+
+
+def _next_marker(data: bytes, start: int, origin: str) -> int:
+    """Position of the next marker's 0xFF from ``start`` (inside
+    arithmetic entropy data every 0xFF is followed by a stuffed 0x00,
+    so the first 0xFF with a nonzero successor is the marker)."""
+    n = len(data)
+    p = start
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError(
+        f"jpeg {origin}: entropy data runs past the stream end at byte {p}"
+    )
+
+
+def _arith_progressive_scan(
+    data, pos, seg, origin, frame, metas, coefs, dc_al, ac_al, preds,
+    cid_index, dc_cond, ac_cond, restart_interval, mcus_x, mcus_y,
+):
+    """One progressive scan: header validation (same scan-script state
+    machine as the Huffman path) + the G.2 arithmetic entropy body.
+    Returns the stream position of the marker following the scan."""
+    n = len(data)
+    prec = frame[3]
+    if not seg:
+        raise ValueError(f"jpeg {origin}: SOS segment body truncated")
+    ns = seg[0]
+    if not 1 <= ns <= 4:
+        raise ValueError(
+            f"jpeg {origin}: scan component count {ns} outside the "
+            "spec's 1..4"
+        )
+    if len(seg) < 1 + ns * 2 + 3:
+        raise ValueError(f"jpeg {origin}: SOS header truncated")
+    scan_comps = []  # (ci, td, ta)
+    for i in range(ns):
+        cs, tdta = seg[1 + i * 2 : 3 + i * 2]
+        if cs not in cid_index:
+            raise ValueError(
+                f"jpeg {origin}: scan names component id {cs} the frame "
+                "does not have"
+            )
+        td, ta = tdta >> 4, tdta & 0x0F
+        if td > 3 or ta > 3:
+            raise ValueError(
+                f"jpeg {origin}: arithmetic table ids dc{td}/ac{ta} "
+                "outside 0..3"
+            )
+        scan_comps.append((cid_index[cs], td, ta))
+    ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if al > 13 or (ah and ah > 13):
+        raise ValueError(
+            f"jpeg {origin}: successive approximation {ah}/{al} outside "
+            "the spec's 0..13"
+        )
+    if ah and al != ah - 1:
+        raise ValueError(
+            f"jpeg {origin}: refinement must lower one bit plane "
+            f"(Ah={ah}, Al={al})"
+        )
+    dec = _ArithDecoder(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                f"jpeg {origin}: progressive DC scan must have Se=0 "
+                f"(Ss=0, Se={se})"
+            )
+        for ci, _td, _ta in scan_comps:
+            if ah == 0:
+                if dc_al[ci] is not None:
+                    raise ValueError(
+                        f"jpeg {origin}: duplicate first DC scan for "
+                        f"component index {ci}"
+                    )
+            elif dc_al[ci] != ah:
+                raise ValueError(
+                    f"jpeg {origin}: DC refinement at Ah={ah} but "
+                    f"component index {ci} is at bit plane {dc_al[ci]}"
+                )
+            dc_al[ci] = al
+        dec = _arith_scan_dc(
+            dec, data, origin, scan_comps, metas, coefs, preds, dc_cond,
+            ah, al, prec, restart_interval, mcus_x, mcus_y,
+        )
+    else:
+        if ns != 1:
+            raise ValueError(
+                f"jpeg {origin}: progressive AC scan must be "
+                f"single-component (Ss={ss}, {ns} components)"
+            )
+        if not (ss <= se <= 63):
+            raise ValueError(
+                f"jpeg {origin}: spectral band {ss}..{se} invalid"
+            )
+        ci, _td, ta = scan_comps[0]
+        if dc_al[ci] is None:
+            raise ValueError(
+                f"jpeg {origin}: AC scan before the component's first DC "
+                "scan"
+            )
+        band_state = {ac_al[ci][k] for k in range(ss, se + 1)}
+        if ah == 0:
+            if band_state != {None}:
+                raise ValueError(
+                    f"jpeg {origin}: first AC scan over band {ss}..{se} "
+                    "overlaps an already-scanned band"
+                )
+        elif band_state != {ah}:
+            raise ValueError(
+                f"jpeg {origin}: AC refinement at Ah={ah} over band "
+                f"{ss}..{se} whose state is {sorted(band_state, key=str)}"
+            )
+        for k in range(ss, se + 1):
+            ac_al[ci][k] = al
+        dec = _arith_scan_ac(
+            dec, data, origin, ci, metas[ci], coefs[ci],
+            ac_cond.get(ta, 5), ss, se, ah, al, prec, restart_interval,
+        )
+    return _next_marker(data, dec.bp, origin) if dec.bp < n else n
+
+
+def _arith_restart(data, dec, origin, rst_n):
+    """Locate and verify the expected RSTn past the decoder's read
+    point; returns a fresh decoder positioned after the marker."""
+    n = len(data)
+    p = _next_marker(data, dec.bp, origin)
+    while p < n and data[p] == 0xFF:
+        p += 1
+    if p >= n:
+        raise ValueError(
+            f"jpeg {origin}: expected restart marker near byte {p}, "
+            "stream ends"
+        )
+    if data[p] != 0xD0 + rst_n:
+        raise ValueError(
+            f"jpeg {origin}: expected RST{rst_n} at byte {p - 1}, found "
+            f"0xFF{data[p]:02X}"
+        )
+    return _ArithDecoder(data, p + 1)
+
+
+def _arith_scan_dc(
+    dec, data, origin, scan_comps, metas, coefs, preds, dc_cond, ah, al,
+    prec, restart_interval, mcus_x, mcus_y,
+):
+    """Progressive DC scan (G.2.1/G.2.2): first pass is the sequential
+    DC model with the decoded diff accumulating into the per-component
+    prediction and the value landing shifted by Al; refinement reads
+    one fixed-state bit per block."""
+    interleaved = len(scan_comps) > 1
+    stats = {td: bytearray(_DC_BINS) for _, td, _ in scan_comps}
+    fixed = bytearray([_FIXED])
+    dc_ctx = {ci: 0 for ci, _, _ in scan_comps}
+    for ci, _, _ in scan_comps:
+        preds[ci] = 0
+    pred_hi = 1 << (prec + 3)
+    rst_n = 0
+    since = 0
+
+    def one_block(ci, td, blocks, off):
+        if ah == 0:
+            diff = _decode_dc_diff(
+                dec, stats[td], dc_ctx, ci, dc_cond.get(td, (0, 1)),
+                prec, origin,
+            )
+            preds[ci] += diff
+            if not -pred_hi <= preds[ci] < pred_hi:
+                raise ValueError(
+                    f"jpeg {origin}: DC predictor {preds[ci]} outside "
+                    f"the {prec}-bit precision range — corrupt entropy "
+                    "data"
+                )
+            blocks[off] = preds[ci] << al
+        elif dec.decode(fixed, 0):
+            blocks[off] |= 1 << al
+
+    if interleaved:
+        total = mcus_x * mcus_y
+        for m in range(total):
+            if restart_interval and since == restart_interval:
+                dec = _arith_restart(data, dec, origin, rst_n)
+                rst_n = (rst_n + 1) % 8
+                since = 0
+                for td in stats:
+                    stats[td] = bytearray(_DC_BINS)
+                fixed = bytearray([_FIXED])
+                dc_ctx = {ci: 0 for ci in dc_ctx}
+                for ci, _, _ in scan_comps:
+                    preds[ci] = 0
+            my, mx = divmod(m, mcus_x)
+            for ci, td, _ta in scan_comps:
+                h, v, bw_pad = metas[ci][0], metas[ci][1], metas[ci][2]
+                blocks = coefs[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        off = (
+                            (my * v + by) * bw_pad + (mx * h + bx)
+                        ) * 64
+                        one_block(ci, td, blocks, off)
+            since += 1
+    else:
+        ci, td, _ta = scan_comps[0]
+        _h, _v, bw_pad, _bh_pad, bw_ni, bh_ni, _tq = metas[ci]
+        blocks = coefs[ci]
+        for m in range(bw_ni * bh_ni):
+            if restart_interval and since == restart_interval:
+                dec = _arith_restart(data, dec, origin, rst_n)
+                rst_n = (rst_n + 1) % 8
+                since = 0
+                stats[td] = bytearray(_DC_BINS)
+                fixed = bytearray([_FIXED])
+                dc_ctx = {ci: 0}
+                preds[ci] = 0
+            byi, bxi = divmod(m, bw_ni)
+            one_block(ci, td, blocks, (byi * bw_pad + bxi) * 64)
+            since += 1
+    return dec
+
+
+def _arith_scan_ac(
+    dec, data, origin, ci, meta, blocks, kx, ss, se, ah, al, prec,
+    restart_interval,
+):
+    """Progressive AC band scan (G.2.3, always non-interleaved). First
+    pass is the sequential AC model confined to the band with values
+    shifted by Al; refinement walks the band with the EOBx (``kex``)
+    rule — correction bits for nonzero-history coefficients, fixed-
+    state signs for newly nonzero ones."""
+    _h, _v, bw_pad, _bh_pad, bw_ni, bh_ni, _tq = meta
+    stats = bytearray(_AC_BINS)
+    fixed = bytearray([_FIXED])
+    rst_n = 0
+    since = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    for m in range(bw_ni * bh_ni):
+        if restart_interval and since == restart_interval:
+            dec = _arith_restart(data, dec, origin, rst_n)
+            rst_n = (rst_n + 1) % 8
+            since = 0
+            stats = bytearray(_AC_BINS)
+            fixed = bytearray([_FIXED])
+        byi, bxi = divmod(m, bw_ni)
+        base = (byi * bw_pad + bxi) * 64
+        if ah == 0:
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if dec.decode(stats, st):  # EOB decision
+                    break
+                while dec.decode(stats, st + 1) == 0:
+                    st += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError(
+                            f"jpeg {origin}: arithmetic AC zero run "
+                            f"passes the band end {se} — corrupt "
+                            "entropy data"
+                        )
+                sign = dec.decode(fixed, 0)
+                st += 2
+                mm = dec.decode(stats, st)
+                if mm:
+                    if dec.decode(stats, st):
+                        mm = 2
+                        st = 189 if k <= kx else 217
+                        while dec.decode(stats, st):
+                            mm <<= 1
+                            if mm > 1 << (prec + 1):
+                                raise ValueError(
+                                    f"jpeg {origin}: arithmetic AC "
+                                    "magnitude category exceeds the "
+                                    f"{prec}-bit range — corrupt "
+                                    "entropy data"
+                                )
+                            st += 1
+                v = mm
+                st += 14
+                while mm := mm >> 1:
+                    if dec.decode(stats, st):
+                        v |= mm
+                v += 1
+                blocks[base + k] = (-v if sign else v) << al
+                k += 1
+        else:
+            # G.2.3 refinement: kex is the highest band index with
+            # nonzero history; EOB decisions only apply above it
+            kex = se
+            while kex >= ss and blocks[base + kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if k > kex:
+                    if dec.decode(stats, st):  # EOB flag
+                        break
+                while True:
+                    cur = blocks[base + k]
+                    if cur:
+                        if dec.decode(stats, st + 2):
+                            blocks[base + k] = (
+                                cur + m1 if cur < 0 else cur + p1
+                            )
+                        break
+                    if dec.decode(stats, st + 1):
+                        blocks[base + k] = (
+                            m1 if dec.decode(fixed, 0) else p1
+                        )
+                        break
+                    st += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError(
+                            f"jpeg {origin}: AC refinement runs past "
+                            f"the band end {se} — corrupt entropy data"
+                        )
+                k += 1
+        since += 1
+    return dec

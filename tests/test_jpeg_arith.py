@@ -49,10 +49,10 @@ def _pnm(path, w, h, ch, px: bytes) -> None:
         f.write(magic + f"{w} {h}\n255\n".encode() + px)
 
 
-def _enc(helper, pnm, out, quality, arith, *extra) -> bytes:
+def _enc(helper, pnm, out, quality, arith, prog=0, *extra) -> bytes:
     subprocess.run(
         [helper, "enc", str(pnm), str(out), str(quality),
-         "1" if arith else "0", "0", *map(str, extra)],
+         "1" if arith else "0", str(prog), *map(str, extra)],
         check=True,
     )
     with open(out, "rb") as f:
@@ -104,8 +104,8 @@ def test_restart_intervals_and_dac_conditioning(tmp_path_factory):
     _pnm(pnm, w, h, 3, px)
     for rst in (1, 2, 5):
         for cond in ((), ("1,3", "20"), ("0,2", "1")):
-            a = _enc(helper, pnm, tmp / "a.jpg", 85, True, rst, *cond)
-            hf = _enc(helper, pnm, tmp / "h.jpg", 85, False, rst)
+            a = _enc(helper, pnm, tmp / "a.jpg", 85, True, 0, rst, *cond)
+            hf = _enc(helper, pnm, tmp / "h.jpg", 85, False, 0, rst)
             assert decode_jpeg(a, "a").raw == decode_jpeg(hf, "h").raw, (
                 rst, cond,
             )
@@ -141,12 +141,59 @@ def test_flat_golden_matches_live_encoder(tmp_path_factory):
     assert live == _FLAT_ARITH
 
 
-def test_sof10_progressive_arithmetic_still_refuses():
+@pytest.mark.parametrize("quality", [40, 85])
+def test_progressive_arith_bit_identical_to_huffman_progressive(
+    tmp_path_factory, quality
+):
+    """SOF10 vs progressive Huffman of the same source: identical
+    coefficients through libjpeg's standard scan script (DC
+    first/refine + AC bands with successive approximation), so our two
+    decodes must match byte for byte — pinning every G.2 scan model."""
+    helper = _helper(tmp_path_factory)
+    tmp = tmp_path_factory.mktemp("prog")
+    rng = random.Random(5 + quality)
+    for name, w, h, ch in [("g", 32, 24, 1), ("c", 48, 40, 3),
+                           ("co", 61, 37, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        pnm = tmp / f"{name}.pnm"
+        _pnm(pnm, w, h, ch, px)
+        a = _enc(helper, pnm, tmp / "pa.jpg", quality, True, 1)
+        hf = _enc(helper, pnm, tmp / "ph.jpg", quality, False, 1)
+        assert decode_jpeg(a, "pa").raw == decode_jpeg(hf, "ph").raw, (
+            name, quality,
+        )
+
+
+def test_progressive_arith_restarts(tmp_path_factory):
+    helper = _helper(tmp_path_factory)
+    tmp = tmp_path_factory.mktemp("prst")
+    rng = random.Random(9)
+    w, h = 64, 48
+    pnm = tmp / "pr.pnm"
+    _pnm(pnm, w, h, 3, bytes(rng.randrange(256) for _ in range(w * h * 3)))
+    for rst in (1, 3):
+        a = _enc(helper, pnm, tmp / "pa.jpg", 80, True, 1, rst)
+        hf = _enc(helper, pnm, tmp / "ph.jpg", 80, False, 1, rst)
+        assert decode_jpeg(a, "pa").raw == decode_jpeg(hf, "ph").raw, rst
+
+
+def test_sof11_arith_lossless_still_refuses():
+    data = bytearray(_FLAT_ARITH)
+    i = data.find(b"\xff\xc9")
+    data[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="arithmetic-coded lossless"):
+        decode_jpeg(bytes(data), "sof11")
+
+
+def test_sof10_incomplete_scan_script_is_loud():
+    """A SOF10 stream whose only scan is the sequential full scan
+    violates the annex-G DC-scan constraint — same fail-loud scan
+    script discipline as the Huffman progressive path."""
     data = bytearray(_FLAT_ARITH)
     i = data.find(b"\xff\xc9")
     data[i + 1] = 0xCA
-    with pytest.raises(ValueError, match="arithmetic-coded progressive"):
-        decode_jpeg(bytes(data), "sof10")
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
+        decode_jpeg(bytes(data), "sof10-script")
 
 
 def test_dac_refusals():
