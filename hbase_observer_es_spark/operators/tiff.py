@@ -14,7 +14,10 @@ the from-spec ITU-T T.4/T.6 decoder (``operators/ccittfax.py``), with
 FillOrder 2 bit reversal and photometric polarity honored. New-style
 JPEG-in-TIFF (compression 7) decodes through the from-spec JPEG
 decoder with the JPEGTables-tag splice (r13); old-style JPEG
-(compression 6, deprecated since TTN2) refuses BY NAME. ``tiff_meta``
+(compression 6, deprecated since TTN2) decodes since r16 when it
+carries the JPEGInterchangeFormat stream (tags 513/514 — the one form
+TTN2 blessed), while the unimplementable-as-specified bare-entropy
+strip layout (tags 519-521) refuses BY NAME. ``tiff_meta``
 still reports every variant's geometry and compression so curation can
 filter without decoding. BigTIFF (magic 43, the 8-byte-offset layout)
 and tile-organized baseline codecs DECODE for real since r13
@@ -471,13 +474,66 @@ def _decode_ccitt_tiff(
     return PngImage(w, h, 8, 0, 1, w, bytes(raw).translate(table), None)
 
 
+def _decode_oldjpeg_tiff(data: bytes, entries: dict, origin: str) -> PngImage:
+    """Old-style JPEG-in-TIFF (compression 6, deprecated since TTN2).
+
+    The form that exists in the wild — and the only one TTN2 §3
+    retroactively blessed — frames ONE complete interchange JPEG
+    stream for the whole image via JPEGInterchangeFormat (tag 513) +
+    JPEGInterchangeFormatLength (tag 514); it decodes here through the
+    from-spec T.81 decoder with the image geometry cross-checked
+    against the IFD. The fragment form that scatters bare entropy
+    segments across strips with JPEGQTables/JPEGDCTables/JPEGACTables
+    (tags 519-521) and no SOI/SOS framing is the part TTN2 §2 declares
+    unimplementable-as-specified — it refuses BY NAME rather than
+    guess at the undefined strip framing."""
+    from .jpeg import JPEG_MAGIC, decode_jpeg
+
+    w = _first(entries, 256, 0)
+    h = _first(entries, 257, 0)
+    if w < 1 or h < 1:
+        raise ValueError(f"tiff {origin}: geometry {w}x{h} invalid")
+    off = _first(entries, 513)
+    if off is None:
+        raise NotImplementedError(
+            f"tiff {origin}: old-style JPEG (compression 6) without a "
+            "JPEGInterchangeFormat stream — the per-strip bare-entropy "
+            "layout (tags 519-521) is unimplementable as specified "
+            "(TTN2 §2) and not supported (refused by name)"
+        )
+    length = _first(entries, 514)
+    if length is None:
+        # TTN2 notes writers that omitted the length; the stream runs
+        # to the file end and the JPEG decoder's own EOI framing bounds
+        # it
+        length = len(data) - off
+    if off + length > len(data) or length < 4:
+        raise ValueError(
+            f"tiff {origin}: JPEGInterchangeFormat at byte {off} declares "
+            f"{length} bytes past the file end"
+        )
+    seg = bytes(data[off : off + length])
+    if seg[:2] != JPEG_MAGIC:
+        raise ValueError(
+            f"tiff {origin}: JPEGInterchangeFormat at byte {off} does "
+            "not start with SOI"
+        )
+    img = decode_jpeg(seg, f"{origin} interchange stream")
+    if (img.width, img.height) != (w, h):
+        raise ValueError(
+            f"tiff {origin}: interchange JPEG decodes {img.width}x"
+            f"{img.height}, the IFD declares {w}x{h}"
+        )
+    return img
+
+
 def _decode_jpeg_tiff(data: bytes, entries: dict, origin: str) -> PngImage:
     """New-style JPEG-in-TIFF (compression 7, the TIFF-EP layout): each
     strip is a complete JPEG stream, optionally relying on the shared
     JPEGTables tag (347) — an abbreviated SOI…EOI stream whose segments
     (DQT/DHT/DRI) splice in after every strip's SOI before the from-spec
     JPEG decoder (``operators/jpeg.py``) runs. Old-style JPEG
-    (compression 6, the deprecated pre-TTN2 layout) stays refused."""
+    (compression 6) routes through ``_decode_oldjpeg_tiff``."""
     from .jpeg import JPEG_MAGIC, decode_jpeg
 
     w = _first(entries, 256, 0)
@@ -668,13 +724,16 @@ def decode_tiff(data: bytes, origin: str = "<bytes>") -> PngImage:
     PackBits RLE, or Deflate; bilevel CCITT fax (MH/G3/G4) routes to
     the T.4/T.6 decoder and new-style JPEG strips to the T.81 decoder.
     Strips are validated against the declared geometry; old-style JPEG
-    (compression 6) refuses by name."""
+    (compression 6) decodes via its JPEGInterchangeFormat stream, with
+    the bare-entropy strip layout refusing by name."""
     entries = next(_walk_ifds(data, origin), None)
     if entries is None:
         raise ValueError(f"tiff {origin}: no IFD in the chain")
     comp = _first(entries, 259, 1)
     if comp in (2, 3, 4):
         return _decode_ccitt_tiff(data, entries, comp, origin)
+    if comp == 6:
+        return _decode_oldjpeg_tiff(data, entries, origin)
     if comp == 7:
         return _decode_jpeg_tiff(data, entries, origin)
     if comp not in (1, 5, 8, 32773, 32946):

@@ -321,18 +321,20 @@ def test_lzw_corrupt_streams_fail_loudly():
         _lzw_decode_msb(good, 3, "t", 0)
 
 
-def test_old_jpeg_still_refused_by_name():
+def test_fax_bits_mismatch_is_malformed():
     """CCITT and new-style JPEG decode for real since r13
     (tests/test_ccittfax.py, test_jpeg_in_tiff below) — an 8-bit IFD
-    claiming fax compression is now malformed, and the remaining named
-    refusal is the deprecated old-style JPEG (compression 6)."""
+    claiming fax compression is malformed. Old-style JPEG (compression
+    6) decodes since r16 via tags 513/514 (tests below); a compression-6
+    IFD WITHOUT the interchange stream is the TTN2-unimplementable
+    strip layout and refuses by name."""
     data = _tiff(bytes(4), 2, 2, compression=3)
     assert tiff_meta(data)["compression"] == "ccitt-g3-fax"
     with pytest.raises(ValueError, match=r"requires 1 bit/sample"):
         decode_tiff(data)
     jp = _tiff(bytes(4), 2, 2, compression=6)
     assert tiff_meta(jp)["compression"] == "old-jpeg"
-    with pytest.raises(ValueError, match=r"old-jpeg compression unsupported"):
+    with pytest.raises(NotImplementedError, match=r"unimplementable as specified"):
         decode_tiff(jp)
 
 
@@ -821,3 +823,92 @@ def test_tiled_jpeg_geometry_mismatch_is_loud():
                                photometric=1)
     with pytest.raises(ValueError, match=r"decodes 8x4, the geometry needs 8x8"):
         decode_tiff(data)
+
+
+# ------------------------------------------- old-style JPEG (comp 6)
+
+
+def _oldjpeg_tiff(jpeg: bytes, w, h, with_length=True, comp=6) -> bytes:
+    """Header + embedded interchange JPEG + one IFD using tags 513/514
+    (the TTN2-blessed old-style layout)."""
+    endian = "<"
+    header = b"II*\x00"
+    jpeg_at = 8
+    ifd_at = jpeg_at + len(jpeg)
+    header += struct.pack(endian + "I", ifd_at)
+    entries = [
+        _short(endian, 256, w),
+        _short(endian, 257, h),
+        _short(endian, 258, 8),
+        _short(endian, 259, comp),
+        _short(endian, 262, 1),
+        _long(endian, 513, jpeg_at),
+    ]
+    if with_length:
+        entries.append(_long(endian, 514, len(jpeg)))
+    ifd = struct.pack(endian + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(endian + "I", 0)
+    return header + jpeg + ifd
+
+
+def test_oldstyle_jpeg_interchange_decodes():
+    """Compression 6 with JPEGInterchangeFormat(Length): the embedded
+    stream decodes through the shared T.81 decoder, geometry checked
+    against the IFD — with and without the optional length tag."""
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    px = bytes((x * 16 + y) % 256 for y in range(16) for x in range(16))
+    src = PngImage(16, 16, 8, 0, 1, 16, px, None)
+    jpeg = encode_jpeg(src, quality=100)
+    want = decode_tiff(_oldjpeg_tiff(jpeg, 16, 16)).raw
+    assert want == decode_tiff(_oldjpeg_tiff(jpeg, 16, 16,
+                                             with_length=False)).raw
+    # same pixels as decoding the embedded stream directly
+    from hbase_observer_es_spark.operators.jpeg import decode_jpeg
+
+    assert want == decode_jpeg(jpeg).raw
+
+
+def test_oldstyle_jpeg_refusals():
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    px = bytes(range(256))
+    jpeg = encode_jpeg(PngImage(16, 16, 8, 0, 1, 16, px, None), quality=90)
+    # geometry mismatch between the IFD and the embedded stream
+    with pytest.raises(ValueError, match=r"decodes 16x16, the IFD declares 8x8"):
+        decode_tiff(_oldjpeg_tiff(jpeg, 8, 8))
+    # no 513: the bare-entropy strip layout refuses by name
+    data = bytearray(_oldjpeg_tiff(jpeg, 16, 16))
+    import re as _re
+
+    # rebuild without tags 513/514: easiest is a fresh IFD
+    endian = "<"
+    header = b"II*\x00" + struct.pack(endian + "I", 8)
+    entries = [
+        _short(endian, 256, 16), _short(endian, 257, 16),
+        _short(endian, 258, 8), _short(endian, 259, 6),
+        _short(endian, 262, 1),
+    ]
+    ifd = struct.pack(endian + "H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(endian + "I", 0)
+    with pytest.raises(NotImplementedError, match="unimplementable as specified"):
+        decode_tiff(header + ifd)
+    # declared length past the file end
+    bad = _oldjpeg_tiff(jpeg, 16, 16)
+    i = bad.find(struct.pack("<HHI", 514, 4, 1))
+    truncated = bytearray(bad)
+    truncated[i + 8 : i + 12] = struct.pack("<I", len(bad) + 100)
+    with pytest.raises(ValueError, match="past the file end"):
+        decode_tiff(bytes(truncated))
+
+
+def test_oldstyle_jpeg_meta_still_reports():
+    from hbase_observer_es_spark.operators.jpeg import encode_jpeg
+    from hbase_observer_es_spark.operators.png import PngImage
+
+    jpeg = encode_jpeg(PngImage(16, 16, 8, 0, 1, 16, bytes(256), None))
+    m = tiff_meta(_oldjpeg_tiff(jpeg, 16, 16))
+    assert m["compression"] == "old-jpeg"
+    assert (m["width"], m["height"]) == (16, 16)
