@@ -191,13 +191,16 @@ def http_message(payload: bytes) -> tuple[dict[str, str], bytes] | None:
     * Transfer codings unwrap before content codings (RFC 7230 layering),
       each header's token list processed last-applied-first: ``chunked``
       de-frames, ``gzip``/``x-gzip``/``deflate`` inflate via stdlib zlib
-      (all three stream wrappings auto-detected), ``identity`` is the legal
-      no-op. Everything is BEST-EFFORT per record: malformed framing or a
-      corrupt stream stops the unwrap and keeps the raw bytes
-      (container-level structure stays fail-loud; page-level sloppiness
-      must not kill a 100 TB job). Tokens NOT successfully undone — a
-      corrupt layer, or a coding with no decoder here (``br``) — remain in
-      the header, so the caller can see the body is still coded.
+      (all three stream wrappings auto-detected), ``br`` decodes via
+      pyarrow's bundled brotli codec and ``zstd`` via the repo's own
+      from-spec RFC 8878 decoder (r16 — modern crawls are majority
+      brotli), ``identity`` is the legal no-op. Everything is BEST-EFFORT
+      per record: malformed framing or a corrupt stream stops the unwrap
+      and keeps the raw bytes (container-level structure stays fail-loud;
+      page-level sloppiness must not kill a 100 TB job). Tokens NOT
+      successfully undone — a corrupt layer, or a coding with no decoder
+      here (LZW ``compress``) — remain in the header, so the caller
+      can see the body is still coded.
     * Returns None when the payload carries no HTTP envelope.
     """
     if not payload.startswith(b"HTTP/"):
@@ -233,6 +236,29 @@ def _inflate(data: bytes) -> bytes | None:
     return None
 
 
+_BR_BUDGET = 1 << 28  # same bomb bound as the archive sources
+
+
+def _unbrotli(data: bytes) -> bytes | None:
+    """RFC 7932 brotli via pyarrow's bundled codec (the one compression
+    library in the environment contract, used the way stdlib zlib backs
+    gzip/deflate — brotli's 122 KB static dictionary and context-map
+    machinery are library territory, not a from-spec rebuild). Streaming
+    read so no decompressed size needs declaring; ``None`` on a corrupt
+    stream or a body that inflates past the archive bomb budget, leaving
+    the ``br`` token visible per the best-effort contract."""
+    try:
+        import pyarrow as pa
+
+        stream = pa.CompressedInputStream(pa.BufferReader(data), "brotli")
+        out = stream.read(_BR_BUDGET + 1)
+    except Exception:
+        return None
+    if len(out) > _BR_BUDGET:
+        return None
+    return bytes(out)
+
+
 def _decode_codings(
     body: bytes, headers: dict[str, str], header: str
 ) -> tuple[bytes, dict[str, str]]:
@@ -262,6 +288,24 @@ def _decode_codings(
             if inflated is None:
                 break
             body = inflated
+            tokens.pop()
+        elif tok == "br" and header == "content-encoding":
+            debr = _unbrotli(body)
+            if debr is None:
+                break
+            body = debr
+            tokens.pop()
+        elif tok == "zstd" and header == "content-encoding":
+            # RFC 8878 content coding (Chrome ships it since 2024) —
+            # through the repo's own from-spec decoder, best-effort
+            try:
+                from ..operators.zstd import decompress_zstd
+
+                body = decompress_zstd(
+                    body, "content-encoding", max_output=_BR_BUDGET
+                )
+            except Exception:
+                break
             tokens.pop()
         else:
             break

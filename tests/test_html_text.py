@@ -307,11 +307,56 @@ def test_chunked_then_gzip_layering():
 
 
 def test_undecodable_content_encoding_yields_no_document():
+    # LZW `compress` is the remaining coding with no decoder; a corrupt
+    # brotli body behaves the same way (the br token stays visible)
+    for token, noise in ((b"compress", b"\x1f\x9d\x90abc"),
+                         (b"br", b"\x1b\x2c\x00\x10")):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: " + token + b"\r\n\r\n" + noise
+        )
+        assert decode_http_html(payload) is None  # never extract noise
+
+
+def test_brotli_content_encoding_decodes():
+    """`Content-Encoding: br` decodes via pyarrow's bundled brotli codec
+    (r16) — modern crawls are majority brotli."""
+    import pyarrow as pa
+
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    html = b"<html><body><p>brotli page body</p></body></html>"
+    comp = pa.Codec("brotli").compress(html, asbytes=True)
     payload = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-        b"Content-Encoding: br\r\n\r\n\x1b\x2c\x00\x10"
+        b"Content-Encoding: br\r\n\r\n" + comp
     )
-    assert decode_http_html(payload) is None  # never extract noise as text
+    headers, body = http_message(payload)
+    assert body == html
+    assert "content-encoding" not in headers
+    assert "brotli page body" in decode_http_html(payload)
+
+
+def test_zstd_content_encoding_decodes():
+    """`Content-Encoding: zstd` decodes through the repo's own RFC 8878
+    decoder; a corrupt frame leaves the token visible."""
+    from hbase_observer_es_spark.operators.zstd import compress_zstd
+    from hbase_observer_es_spark.sources.warc import http_message
+
+    html = b"<html><body><p>zstd page body</p></body></html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: zstd\r\n\r\n" + compress_zstd(html)
+    )
+    headers, body = http_message(payload)
+    assert body == html
+    assert "content-encoding" not in headers
+    bad = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: zstd\r\n\r\nnot zstd"
+    )
+    headers, body = http_message(bad)
+    assert headers["content-encoding"] == "zstd" and body == b"not zstd"
 
 
 def test_corrupt_gzip_body_stays_raw_and_yields_no_document():
