@@ -75,6 +75,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
     from .gif import looks_like_gif, parse_gif
     from .jpeg import decode_image, looks_like_jpeg
     from .mp3meta import looks_like_mp3, mp3_meta
+    from .heifmeta import heif_meta, looks_like_heif
     from .mp4meta import looks_like_mp4, mp4_meta
     from .office_text import (
         looks_like_zip,
@@ -165,6 +166,21 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                 family="video", format=f"avi-{stream.codec}",
                 width=stream.width, height=stream.height, n_frames=n,
                 duration_us=n * stream.frame_duration_us,
+            )
+        elif looks_like_heif(payload):
+            # MUST sort before the mp4 branch: HEIC/AVIF share the ftyp
+            # container and previously error-rowed there on the missing
+            # moov (r16)
+            m = heif_meta(payload, origin=origin)
+            row.update(
+                family="image", format=m["format"],
+                width=m["width"] or 0, height=m["height"] or 0,
+                detail=(
+                    f"brand {m['brand']}, {m['n_items']} items"
+                    + (f", rotation {m['rotation']}"
+                       if m["rotation"] else "")
+                    + " — pixel decode refused by name"
+                ),
             )
         elif looks_like_mp4(payload):
             m = mp4_meta(payload, origin=origin)
