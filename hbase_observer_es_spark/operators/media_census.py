@@ -114,9 +114,23 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                 "png" if payload[: len(PNG_MAGIC)] == PNG_MAGIC
                 else "jpeg" if looks_like_jpeg(payload) else "bmp"
             )
+            detail = ""
+            if fmt == "jpeg":
+                from .exif import jpeg_exif
+
+                ex = jpeg_exif(payload, origin=origin)
+                if ex is not None:
+                    bits = [
+                        f"orientation {ex['orientation']}"
+                        if ex["orientation"] else "",
+                        ex["make"] or "",
+                        ex["datetime_original"] or ex["datetime"] or "",
+                        "GPS" if ex["gps_lat_micro"] is not None else "",
+                    ]
+                    detail = "exif: " + ", ".join(b for b in bits if b)
             row.update(
                 family="image", format=fmt, width=img.width,
-                height=img.height, n_frames=1,
+                height=img.height, n_frames=1, detail=detail,
             )
         elif looks_like_tiff(payload):
             m = tiff_meta(payload, origin=origin)
