@@ -32,24 +32,38 @@ from __future__ import annotations
 
 import struct
 
-from .tiff import _first, _read_entries
+from .tiff import _read_entries
 
 _EXIF_IFD = 34665
 _GPS_IFD = 34853
 
 
 def _ascii(entries: dict, tag: int) -> "str | None":
+    """Tag value as text, or None — tolerant of MIS-TYPED tags (a
+    rational where ASCII belongs must yield None, never a TypeError
+    that escapes the census's error fold)."""
     v = entries.get(tag)
-    if not v:
+    if not v or not all(isinstance(b, int) and 0 <= b <= 255 for b in v):
         return None
     return bytes(b for b in v if b).decode("ascii", "replace").strip() or None
+
+
+def _int(entries: dict, tag: int) -> "int | None":
+    v = entries.get(tag)
+    if not v or not isinstance(v[0], int):
+        return None
+    return v[0]
 
 
 def _micro_degrees(dms, ref: "str | None", origin: str) -> "int | None":
     """Exact rational (deg, min, sec) → signed integer micro-degrees.
     ``dms`` is the GPS tag's rational list [(n,d) x3]; S/W refs negate."""
-    if not dms or len(dms) != 3:
-        return None
+    if (
+        not dms
+        or len(dms) != 3
+        or not all(isinstance(p, tuple) and len(p) == 2 for p in dms)
+    ):
+        return None  # absent or mis-typed (non-RATIONAL) tag
     total_num = 0
     total_den = 1
     for (num, den), scale in zip(dms, (3600, 60, 1)):
@@ -85,6 +99,12 @@ def jpeg_exif(data: bytes, origin: str = "<bytes>") -> "dict | None":
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             break
+        # legal 0xFF fill bytes before a marker (T.81 B.1.1.2) — the
+        # pixel decoder skips them, so the Exif walk must too
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -112,7 +132,7 @@ def jpeg_exif(data: bytes, origin: str = "<bytes>") -> "dict | None":
     (ifd_at,) = struct.unpack(endian + "I", tiff_data[4:8])
     ifd0, _next = _read_entries(tiff_data, ifd_at, endian, origin)
     out = {
-        "orientation": _first(ifd0, 274),
+        "orientation": _int(ifd0, 274),
         "make": _ascii(ifd0, 271),
         "model": _ascii(ifd0, 272),
         "datetime": _ascii(ifd0, 306),
@@ -122,13 +142,13 @@ def jpeg_exif(data: bytes, origin: str = "<bytes>") -> "dict | None":
         "gps_lat_micro": None,
         "gps_lon_micro": None,
     }
-    exif_at = _first(ifd0, _EXIF_IFD)
+    exif_at = _int(ifd0, _EXIF_IFD)
     if exif_at is not None:
         sub, _n = _read_entries(tiff_data, exif_at, endian, origin)
         out["datetime_original"] = _ascii(sub, 36867)
-        out["pixel_width"] = _first(sub, 40962)
-        out["pixel_height"] = _first(sub, 40963)
-    gps_at = _first(ifd0, _GPS_IFD)
+        out["pixel_width"] = _int(sub, 40962)
+        out["pixel_height"] = _int(sub, 40963)
+    gps_at = _int(ifd0, _GPS_IFD)
     if gps_at is not None:
         gps, _n = _read_entries(tiff_data, gps_at, endian, origin)
         out["gps_lat_micro"] = _micro_degrees(

@@ -311,6 +311,14 @@ def _idct_block(coef: list, level: int = 128, maxv: int = 255) -> list:
     return out
 
 
+def _render_row(px: list, yy: int, prec: int) -> bytes:
+    """One 8-pixel block row rendered to the 8-bit plane surface — the
+    single definition of the 12-bit high-nibble map (sample >> 4) so no
+    decode path can drift from another."""
+    seg8 = px[yy * 8 : yy * 8 + 8]
+    return bytes(seg8) if prec == 8 else bytes(p >> 4 for p in seg8)
+
+
 def _parse_dqt(seg: bytes, qtables: dict, origin: str) -> None:
     """DQT segment body → zigzag-order quant tables (8- or 16-bit
     elements); zero quantizers refused. Shared by both coding processes."""
@@ -541,11 +549,7 @@ def decode_jpeg(data: bytes, origin: str = "<bytes>") -> PngImage:
                         plane = planes[ci]
                         for yy in range(8):
                             row = (oy + yy) * pw + ox
-                            seg8 = px[yy * 8 : yy * 8 + 8]
-                            plane[row : row + 8] = (
-                                bytes(seg8) if prec == 8
-                                else bytes(p >> 4 for p in seg8)
-                            )
+                            plane[row : row + 8] = _render_row(px, yy, prec)
             since_restart += 1
     return _assemble_image(width, height, [m[:3] for m in metas], planes,
                            hmax, vmax)
@@ -651,7 +655,11 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
             )
         seg = data[pos + 2 : pos + seglen]
         pos += seglen
-        if marker in _REFUSED_SOF or marker in (0xC0, 0xC1, 0xC9):
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC2, 0xC8, 0xCC):
+            # every SOF flavor (incl. the r16-decodable SOF9/SOF10) is a
+            # SECOND frame header here; C4/CC are DHT/DAC, C8 is JPG
+            # (reserved, no SOF semantics), and a duplicate C2 raises in
+            # its own branch below
             raise ValueError(
                 f"jpeg {origin}: second frame header 0xFF{marker:02X} in a "
                 "progressive stream"
@@ -745,11 +753,7 @@ def _decode_progressive(data: bytes, origin: str) -> PngImage:
                 ox, oy = bxi * 8, byi * 8
                 for yy in range(8):
                     row = (oy + yy) * pw + ox
-                    seg8 = px[yy * 8 : yy * 8 + 8]
-                    plane[row : row + 8] = (
-                        bytes(seg8) if prec == 8
-                        else bytes(p >> 4 for p in seg8)
-                    )
+                    plane[row : row + 8] = _render_row(px, yy, prec)
         planes.append(plane)
         geom.append((h, v, pw))
     return _assemble_image(width, height, geom, planes, hmax, vmax)

@@ -312,6 +312,7 @@ def decode_jpeg_arith(data: bytes, origin: str):
         _idct_block,
         _parse_dqt,
         _parse_sof_body,
+        _render_row,
     )
 
     pos = 2
@@ -349,6 +350,14 @@ def decode_jpeg_arith(data: bytes, origin: str):
             )
         seg = data[pos + 2 : pos + seglen]
         pos += seglen
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xC9, 0xCC):
+            # any OTHER SOF flavor inside an arithmetic-sequential
+            # stream is a second frame header (r16 review: the pre-r16
+            # by-name refusal must not regress into a silent skip)
+            raise ValueError(
+                f"jpeg {origin}: second frame header 0xFF{marker:02X} in "
+                "an arithmetic sequential stream"
+            )
         if marker == 0xDB:
             _parse_dqt(seg, qtables, origin)
         elif marker == 0xCC:
@@ -436,32 +445,10 @@ def decode_jpeg_arith(data: bytes, origin: str):
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and since == restart_interval:
-                # locate the RST marker: inside arithmetic entropy data
-                # every 0xFF is followed by a stuffed 0x00 (§B.1.1.5),
-                # so the first 0xFF whose successor is nonzero IS the
-                # marker (fill 0xFFs allowed)
-                p = dec.bp
-                while p + 1 < n and not (
-                    data[p] == 0xFF and data[p + 1] != 0x00
-                ):
-                    p += 1
-                while p < n and data[p] == 0xFF:
-                    p += 1
-                # p now sits on the marker byte (0xFF run consumed)
-                if p >= n:
-                    raise ValueError(
-                        f"jpeg {origin}: expected restart marker near "
-                        f"byte {p}, stream ends"
-                    )
-                if data[p] != 0xD0 + rst_n:
-                    raise ValueError(
-                        f"jpeg {origin}: expected RST{rst_n} at byte "
-                        f"{p - 1}, found 0xFF{data[p]:02X}"
-                    )
+                dec = _arith_restart(data, dec, origin, rst_n)
                 rst_n = (rst_n + 1) % 8
                 since = 0
                 dc_stats, ac_stats, fixed = fresh_stats()
-                dec = _ArithDecoder(data, p + 1)
                 preds = [0] * len(comps)
                 dc_ctx = [0] * len(comps)
             for ci, (h, v, pw, td, ta, qt) in enumerate(metas):
@@ -492,11 +479,7 @@ def decode_jpeg_arith(data: bytes, origin: str):
                         plane = planes[ci]
                         for yy in range(8):
                             row = (oy + yy) * pw + ox
-                            seg8 = px[yy * 8 : yy * 8 + 8]
-                            plane[row : row + 8] = (
-                                bytes(seg8) if prec == 8
-                                else bytes(p >> 4 for p in seg8)
-                            )
+                            plane[row : row + 8] = _render_row(px, yy, prec)
             since += 1
     return _assemble_image(width, height, [m[:3] for m in metas], planes,
                            hmax, vmax)
@@ -525,6 +508,7 @@ def decode_jpeg_arith_progressive(data: bytes, origin: str):
         _idct_block,
         _parse_dqt,
         _parse_sof_body,
+        _render_row,
     )
 
     pos = 2
@@ -569,7 +553,7 @@ def decode_jpeg_arith_progressive(data: bytes, origin: str):
             )
         seg = data[pos + 2 : pos + seglen]
         pos += seglen
-        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xCA, 0xCC):
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCA, 0xCC):
             raise ValueError(
                 f"jpeg {origin}: second frame header 0xFF{marker:02X} in a "
                 "progressive stream"
@@ -663,11 +647,7 @@ def decode_jpeg_arith_progressive(data: bytes, origin: str):
                 ox, oy = bxi * 8, byi * 8
                 for yy in range(8):
                     row = (oy + yy) * pw + ox
-                    seg8 = px[yy * 8 : yy * 8 + 8]
-                    plane[row : row + 8] = (
-                        bytes(seg8) if prec == 8
-                        else bytes(p >> 4 for p in seg8)
-                    )
+                    plane[row : row + 8] = _render_row(px, yy, prec)
         planes.append(plane)
         geom.append((h, v, pw))
     return _assemble_image(width, height, geom, planes, hmax, vmax)

@@ -189,6 +189,7 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
             row.update(
                 family="image", format=m["format"],
                 width=m["width"] or 0, height=m["height"] or 0,
+                n_frames=1, channels=m["channels"] or 0,
                 detail=(
                     f"brand {m['brand']}, {m['n_items']} items"
                     + (f", rotation {m['rotation']}"

@@ -787,10 +787,20 @@ def _execute(
                         else ""
                     )
                 )
-            if budget[2] and offset > budget[2]:
+            if budget[2] and offset > budget[2] + len(dict_content):
+                # the declared window bounds how far back into the
+                # FRAME a match may reach; an active dictionary extends
+                # the reachable span by its full content (libzstd
+                # decodes dictionary references beyond the window —
+                # single-segment dictionary frames rely on it)
                 raise ValueError(
                     f"zstd {origin}: match offset {offset} at byte {at} "
                     f"exceeds the declared {budget[2]}-byte window"
+                    + (
+                        f" plus {len(dict_content)}-byte dictionary"
+                        if dict_content
+                        else ""
+                    )
                 )
             if offset > hist:
                 # the match starts inside the dictionary prefix and may

@@ -175,3 +175,39 @@ def test_census_jpeg_rows_carry_exif_detail():
     assert "orientation 6" in row["detail"]
     assert "TestCam" in row["detail"] and "GPS" in row["detail"]
     assert classify_media(plain, origin="p.jpg")["detail"] == ""
+
+
+def test_mistyped_tags_degrade_to_none_not_typeerror():
+    """r16 review: a tag with the WRONG TIFF field type (a SHORT where
+    GPS wants RATIONAL, a RATIONAL where Make wants ASCII) must yield
+    None fields or a census-foldable ValueError — never a TypeError
+    that kills the whole mapInPandas partition."""
+    # GPS latitude typed SHORT instead of RATIONAL
+    data = _exif_jpeg().replace(
+        struct.pack("<HHI", 2, 5, 3),
+        struct.pack("<HHI", 2, 3, 3),
+    )
+    m = jpeg_exif(data)
+    assert m["gps_lat_micro"] is None and m["gps_lon_micro"] == -122_416_666
+    # Make typed RATIONAL instead of ASCII
+    data2 = _exif_jpeg().replace(
+        struct.pack("<HHI", 271, 2, 8),
+        struct.pack("<HHI", 271, 5, 1),
+    )
+    m2 = jpeg_exif(data2)
+    assert m2["make"] is None and m2["model"] == "X1"
+    # orientation typed RATIONAL
+    data3 = _exif_jpeg().replace(
+        struct.pack("<HHI", 274, 3, 1),
+        struct.pack("<HHI", 274, 5, 0),
+    )
+    assert jpeg_exif(data3)["orientation"] is None
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 fill bytes — the pixel decoder accepts them, so the
+    Exif walk must not error-row an image that decodes fine."""
+    data = _exif_jpeg()
+    filled = data[:2] + b"\xff" + data[2:]  # FF D8 FF FF E1 ...
+    m = jpeg_exif(filled)
+    assert m is not None and m["orientation"] == 6

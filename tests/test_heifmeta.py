@@ -117,6 +117,9 @@ def test_census_routes_heif_as_image_not_video():
     row = classify_media(_heic(), origin="a.heic")
     assert row["family"] == "image" and row["format"] == "heic"
     assert (row["width"], row["height"]) == (4032, 3024)
+    # r16 review: still-image rows carry n_frames=1 like png/jpeg/bmp,
+    # and the ipma-resolved pixi channel count lands in the row
+    assert row["n_frames"] == 1 and row["channels"] == 3
     assert "rotation 90" in row["detail"]
     assert "refused by name" in row["detail"]
     assert classify_media(_heic(b"avif"), origin="b.avif")["format"] == "avif"

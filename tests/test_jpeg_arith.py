@@ -231,3 +231,18 @@ def test_fixed_sign_state_never_adapts():
     qe, nmps, nlps, sw = _QE[_FIXED]
     assert (nmps, nlps, sw) == (_FIXED, _FIXED, 0)
     assert qe == 0x5A1D
+
+
+def test_second_frame_headers_stay_loud():
+    """r16 review: removing SOF9/SOF10 from the refusal table must not
+    regress duplicate-frame detection into a silent skip — a second SOF
+    of ANY flavor raises in the sequential-arithmetic walk, and an
+    SOF10 inside a Huffman-progressive stream raises too."""
+    for second in (0xC0, 0xC2, 0xCA):
+        data = bytearray(_FLAT_ARITH)
+        i = data.find(b"\xff\xda")
+        # splice a fake SOF segment before SOS
+        sof = bytes([0xFF, second, 0x00, 0x0B, 8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+        spliced = bytes(data[:i]) + sof + bytes(data[i:])
+        with pytest.raises(ValueError, match="second frame header"):
+            decode_jpeg(spliced, f"dup-{second:02x}")

@@ -661,3 +661,67 @@ def test_dictionary_match_property(data):
     frame = _rle_seq_frame(literals, ll, ml, offset)
     got = decompress_zstd(frame, dictionary=content)
     assert got == _replay(content, literals, ll, ml, offset)
+
+
+def test_dictionary_frames_from_the_system_cli_decode():
+    """The REAL independent encoder for the dictionary path: the system
+    zstd CLI compresses against both a raw-content dictionary and a
+    trained (formatted) dictionary; our decoder must reproduce the
+    payload bit-exactly — this is the case the r16 review caught (the
+    window bound must extend by the dictionary span for single-segment
+    dictionary frames, whose first matches reach far into the dict)."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if not shutil.which("zstd"):
+        pytest.skip("no system zstd CLI on this host")
+    payload = (b"the quick brown fox jumps over the lazy dog. " * 40)[:1800]
+    raw_dict = bytes(range(256)) * 16 + payload[:600]
+    with tempfile.TemporaryDirectory() as d:
+        pf, df, out = (os.path.join(d, n) for n in ("p", "dict", "p.zst"))
+        with open(pf, "wb") as f:
+            f.write(payload)
+        with open(df, "wb") as f:
+            f.write(raw_dict)
+        subprocess.run(
+            ["zstd", "-q", "-19", "-D", df, pf, "-o", out], check=True
+        )
+        with open(out, "rb") as f:
+            comp = f.read()
+        assert decompress_zstd(comp, dictionary=raw_dict) == payload
+        # and the frame must NOT decode without its dictionary
+        with pytest.raises(ValueError):
+            decompress_zstd(comp)
+
+        # trained (formatted) dictionary: entropy tables + rep offsets
+        samples = []
+        for i in range(40):
+            sp = os.path.join(d, f"s{i}")
+            samples.append(sp)
+            with open(sp, "wb") as f:
+                f.write(payload[i * 20 : i * 20 + 900] + b"shared tail " * 8)
+        tdict = os.path.join(d, "trained")
+        r = subprocess.run(
+            ["zstd", "--train", *samples, "-o", tdict, "--maxdict=4096"],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"zstd --train unavailable: {r.stderr[:120]!r}")
+        with open(tdict, "rb") as f:
+            trained = f.read()
+        from hbase_observer_es_spark.operators.zstd import parse_zstd_dict
+
+        zd = parse_zstd_dict(trained)
+        assert zd.dict_id != 0 and zd.huf is not None  # formatted layout
+        out2 = os.path.join(d, "p2.zst")
+        subprocess.run(
+            ["zstd", "-q", "-19", "-D", tdict, pf, "-o", out2], check=True
+        )
+        with open(out2, "rb") as f:
+            comp2 = f.read()
+        assert decompress_zstd(comp2, dictionary=trained) == payload
+        from hbase_observer_es_spark.operators.zstd import zstd_meta
+
+        assert zstd_meta(comp2)["dictionary_ids"] == [zd.dict_id]
