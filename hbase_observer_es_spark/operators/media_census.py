@@ -288,6 +288,19 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                     if zm["dictionary_ids"] else ""
                 ),
             )
+        elif payload[:16] == b"SQLite format 3\x00":
+            # dataset-file family (r16): app exports and annotation
+            # dumps ship as SQLite; the census reports the table map
+            from ..sources.sqlitesrc import sqlite_meta
+
+            sm = sqlite_meta(payload, origin=origin)
+            row.update(
+                family="dataset", format="sqlite",
+                n_frames=sm["n_tables"],
+                detail=", ".join(
+                    f"{t['name']}({t['rows']})" for t in sm["tables"]
+                ) + (", wal snapshot" if sm["wal"] else ""),
+            )
         elif payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or (
             payload[:6] == b"\xfd7zXZ\x00"
         ):
