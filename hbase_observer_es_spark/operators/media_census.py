@@ -288,6 +288,57 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                     if zm["dictionary_ids"] else ""
                 ),
             )
+        elif (
+            (payload[:4] == b"PAR1" and payload[-4:] == b"PAR1")
+            or payload[:4] == b"ORC\x01"
+            or payload[:4] == b"ORC\n"
+            or payload[:8] == b"ARROW1\x00\x00"
+        ):
+            # columnar dataset files (r16): a mixed dump census must
+            # recognize parquet/ORC/Arrow-IPC payloads as datasets, not
+            # unknowns — facts via pyarrow (the environment-contract
+            # library that also backs the Spark ingest of these formats)
+            import pyarrow as pa
+
+            try:
+                if payload[:4] == b"PAR1":
+                    import pyarrow.parquet as pq
+
+                    pf = pq.ParquetFile(pa.BufferReader(payload))
+                    fmt, nrows, ncols = (
+                        "parquet", pf.metadata.num_rows,
+                        pf.metadata.num_columns,
+                    )
+                    names = pf.schema_arrow.names
+                elif payload[:8] == b"ARROW1\x00\x00":
+                    f = pa.ipc.open_file(pa.BufferReader(payload))
+                    nrows = sum(
+                        f.get_batch(i).num_rows
+                        for i in range(f.num_record_batches)
+                    )
+                    fmt, ncols, names = (
+                        "arrow-ipc", len(f.schema), f.schema.names,
+                    )
+                else:
+                    import pyarrow.orc as orc_mod
+
+                    o = orc_mod.ORCFile(pa.BufferReader(payload))
+                    fmt, nrows, ncols = "orc", o.nrows, len(o.schema)
+                    names = o.schema.names
+            except (pa.ArrowException, OSError) as e:
+                # ArrowIOError subclasses OSError, not ValueError — a
+                # corrupt columnar payload must fold into an error row,
+                # never kill the partition
+                raise ValueError(
+                    f"columnar {origin}: corrupt "
+                    f"{payload[:4]!r}-magic payload: {e}"
+                ) from None
+            row.update(
+                family="dataset", format=fmt, n_frames=int(nrows),
+                detail=f"{ncols} columns: "
+                + ", ".join(names[:8])
+                + ("…" if len(names) > 8 else ""),
+            )
         elif payload[:16] == b"SQLite format 3\x00":
             # dataset-file family (r16): app exports and annotation
             # dumps ship as SQLite; the census reports the table map

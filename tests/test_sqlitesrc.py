@@ -140,3 +140,49 @@ def test_documents_landing(spark, tmp_path):
         sqlite_to_documents(
             spark, str(p), table="docs", id_col="id", text_col="missing"
         ).collect()
+
+
+# -------------------------------------------- columnar census (r16)
+
+
+def test_census_classifies_columnar_dataset_payloads():
+    """Parquet / ORC / Arrow-IPC payloads inside a mixed dump census as
+    family=dataset with row counts and the column list; corrupt ones
+    fold into error rows instead of killing the partition."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    from hbase_observer_es_spark.operators.media_census import classify_media
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    row = classify_media(buf.getvalue(), origin="d.parquet")
+    assert (row["family"], row["format"], row["n_frames"]) == (
+        "dataset", "parquet", 3,
+    )
+    assert "doc_id" in row["detail"] and "2 columns" in row["detail"]
+
+    buf2 = io.BytesIO()
+    orc.write_table(t, buf2)
+    row2 = classify_media(buf2.getvalue(), origin="d.orc")
+    assert (row2["family"], row2["format"], row2["n_frames"]) == (
+        "dataset", "orc", 3,
+    )
+
+    sink = pa.BufferOutputStream()
+    w = pa.ipc.new_file(sink, t.schema)
+    w.write_table(t)
+    w.close()
+    row3 = classify_media(sink.getvalue().to_pybytes(), origin="d.arrow")
+    assert (row3["family"], row3["format"], row3["n_frames"]) == (
+        "dataset", "arrow-ipc", 3,
+    )
+
+    # corrupt parquet: magic at both ends, garbage between
+    bad = b"PAR1" + b"\x00" * 64 + b"PAR1"
+    err = classify_media(bad, origin="bad.parquet")
+    assert err["family"] == "error" and "corrupt" in err["detail"]
