@@ -97,60 +97,17 @@ _MODULES = (
 # the low-risk window behind them.
 _PRIORITY = (
     # tier 0.0: never driver-checked
-    "q_text_entropy",  # never checked
-    "q_win_firstlast",  # never checked
-    "q_corpus_drift",  # never checked
-    "q_corpus_drift_tv",  # never checked
-    "q_mix_select",  # never checked
-    "q_mix_realize",  # never checked
-    # tier 1.0: own fn edited after last green check
-    "q_lm_surprisal",  # green r14, hbase_observer_es_spark/operators/ngramlm.py fn edited r15
-    # tier 1.1: file edited after last green check (oldest green first)
-    "q_html_extract",  # green r10, hbase_observer_es_spark/operators/html_text.py file edited r15
+    "q_geo_polygon",  # never checked
+    "q_search_span_or",  # never checked
+    "q_search_span_first",  # never checked
     # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_mm_decode",  # green r14, hbase_observer_es_spark/operators/tiff.py import edited r15
-    "q_mm_resize",  # green r14, hbase_observer_es_spark/operators/tiff.py import edited r15
+    "q_mm_meta",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r16
+    "q_mm_framesample",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r16
+    "q_mm_decode",  # green r15, hbase_observer_es_spark/operators/tiff.py import edited r16
+    "q_mm_resize",  # green r15, hbase_observer_es_spark/operators/tiff.py import edited r16
+    "q_html_extract",  # green r15, hbase_observer_es_spark/sources/warc.py import edited r16
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_agg_rate",  # green r10
-    "q_agg_daterange",  # green r10
-    "q_agg_movfn",  # green r10
-    "q_agg_bucketsort",  # green r10
-    "q_agg_derivative",  # green r10
-    "q_agg_varwidth",  # green r10
-    "q_agg_itemsets",  # green r10
-    "q_search_collapse",  # green r10
-    "q_search_function_score",  # green r10
-    "q_search_rank_feature",  # green r10
-    "q_text_pii",  # green r10
-    "q_search_dismax",  # green r10
-    "q_search_boosting",  # green r10
-    "q_search_pinned",  # green r10
-    "q_search_multimatch",  # green r10
-    "q_search_hybrid_rrf",  # green r10
-    "q_search_span_near",  # green r10
-    "q_search_intervals",  # green r10
-    "q_sim_triplet_mine",  # green r10
-    "q_sim_knn_filtered",  # green r10
-    "q_cdc_field_missing",  # green r10
-    "q_split_assign",  # green r10
-    "q_search_percolate",  # green r10
-    "q_dedup_substring",  # green r10
-    "q_dedup_substring_top",  # green r10
-    "q_sim_ivf_batch",  # green r11
-    "q_sim_lsh",  # green r11
-    "q_sim_lsh_batch",  # green r11
-    "q_dedup_embed",  # green r11
-    "q_sim_knn_pudf",  # green r11
-    "q_sim_range",  # green r11
-    "q_join_salted",  # green r11
-    "q_agg_pipeline",  # green r11
-    "q_geo_bbox",  # green r11
-    "q_geo_grid",  # green r11
-    "q_geo_distance",  # green r11
-    "q_join_broadcast",  # green r11
-    "q_join_left",  # green r11
-    "q_join_semi",  # green r11
-    "q_join_anti",  # green r11
+    "q_agg_geoline",  # green r11, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
     "q_join_star",  # green r11
     "q_join_range",  # green r11
     "q_join_asof",  # green r11
@@ -162,7 +119,6 @@ _PRIORITY = (
     "q_agg_cube",  # green r11
     "q_win_rank",  # green r11
     "q_win_running",  # green r11
-    "q_agg_geoline",  # green r11
     "q_graph_components",  # green r11
     "q_embed_pq",  # green r11
     "q_text_tokens",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
@@ -213,8 +169,6 @@ _PRIORITY = (
     "q_zorder_cells",  # green r12
     "q_text_chunk",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
     "q_text_topword",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_mm_meta",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r15, closure AST-unchanged
-    "q_mm_framesample",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r15, closure AST-unchanged
     "q_sim_knn",  # green r13
     "q_sim_pairs",  # green r13
     "q_sim_ivf",  # green r13
@@ -259,8 +213,24 @@ _PRIORITY = (
     "q_search_range_relation",  # green r13
     "q_profile_stats",  # green r13
     "q_profile_topvals",  # green r13
+    "q_nested_exists",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
+    "q_geo_shape_relation",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
     "q_win_ntile",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15, closure AST-unchanged
     "q_pivot",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15, closure AST-unchanged
+    "q_agg_multiterms",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_stringstats",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_matrixstats",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_geocentroid",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_bucketstats",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_scripted",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_sampler",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_normalize",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_bucket_script",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_geobounds",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_topmetrics",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_serialdiff",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_cumcard",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
+    "q_agg_pctbucket",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
     "q_quality_classify",  # green r14, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
     "q_search_phrase_prefix",  # green r14
     "q_search_wildcard",  # green r14
@@ -279,31 +249,62 @@ _PRIORITY = (
     "q_page_keyset",  # green r14
     "q_agg_histogram",  # green r14
     "q_agg_stats",  # green r14
-    "q_nested_exists",  # green r14
-    "q_geo_shape_relation",  # green r14
     "q_scan_project",  # green r14
     "q_filter_pred",  # green r14
     "q_join_inner",  # green r14
-    "q_agg_multiterms",  # green r14
-    "q_agg_stringstats",  # green r14
-    "q_agg_matrixstats",  # green r14
-    "q_agg_geocentroid",  # green r14
-    "q_agg_bucketstats",  # green r14
-    "q_agg_scripted",  # green r14
-    "q_agg_sampler",  # green r14
-    "q_agg_normalize",  # green r14
-    "q_agg_bucket_script",  # green r14
-    "q_agg_geobounds",  # green r14
-    "q_agg_topmetrics",  # green r14
-    "q_agg_serialdiff",  # green r14
-    "q_agg_cumcard",  # green r14
-    "q_agg_pctbucket",  # green r14
     "q_agg_boxplot",  # green r14
     "q_agg_mad",  # green r14
     "q_search_querystring",  # green r14
     "q_ann_recall",  # green r14
     "q_graph_pagerank",  # green r14
     "q_graph_copurchase",  # green r14
+    "q_geo_bbox",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
+    "q_geo_grid",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
+    "q_geo_distance",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
+    "q_search_span_near",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16, closure AST-unchanged
+    "q_search_intervals",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16, closure AST-unchanged
+    "q_sim_ivf_batch",  # green r15
+    "q_sim_lsh",  # green r15
+    "q_sim_lsh_batch",  # green r15
+    "q_dedup_embed",  # green r15
+    "q_sim_knn_pudf",  # green r15
+    "q_sim_range",  # green r15
+    "q_join_salted",  # green r15
+    "q_agg_pipeline",  # green r15
+    "q_join_broadcast",  # green r15
+    "q_join_left",  # green r15
+    "q_join_semi",  # green r15
+    "q_join_anti",  # green r15
+    "q_text_entropy",  # green r15
+    "q_agg_rate",  # green r15
+    "q_agg_daterange",  # green r15
+    "q_agg_movfn",  # green r15
+    "q_agg_bucketsort",  # green r15
+    "q_agg_derivative",  # green r15
+    "q_agg_varwidth",  # green r15
+    "q_agg_itemsets",  # green r15
+    "q_search_collapse",  # green r15
+    "q_search_function_score",  # green r15
+    "q_search_rank_feature",  # green r15
+    "q_text_pii",  # green r15
+    "q_search_dismax",  # green r15
+    "q_search_boosting",  # green r15
+    "q_search_pinned",  # green r15
+    "q_search_multimatch",  # green r15
+    "q_search_hybrid_rrf",  # green r15
+    "q_sim_triplet_mine",  # green r15
+    "q_sim_knn_filtered",  # green r15
+    "q_cdc_field_missing",  # green r15
+    "q_split_assign",  # green r15
+    "q_search_percolate",  # green r15
+    "q_win_firstlast",  # green r15
+    "q_dedup_substring",  # green r15
+    "q_dedup_substring_top",  # green r15
+    "q_lm_surprisal",  # green r15
+    "q_corpus_drift",  # green r15
+    "q_corpus_drift_tv",  # green r15
+    "q_mix_select",  # green r15
+    "q_mix_realize",  # green r15
 )
 
 
