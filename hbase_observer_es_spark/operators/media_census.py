@@ -270,6 +270,19 @@ def classify_media(payload: bytes, origin: str = "<bytes>") -> dict:
                     f"{sum(m['n_attachments'] for m in msgs)} attachments"
                 ),
             )
+        elif payload[:4] in (b"\x04\x22\x4d\x18", b"\x02\x21\x4c\x18"):
+            # LZ4 frames (r16): header-walk facts only, like zstd
+            from .lz4 import lz4_meta
+
+            lm = lz4_meta(payload, origin=origin)
+            cs = lm["content_size"]
+            row.update(
+                family="archive", format="lz4", n_frames=lm["n_frames"],
+                detail=(
+                    f"{cs} bytes declared" if cs is not None
+                    else "no declared content size"
+                ) + (", checksummed" if lm["checksum"] else ""),
+            )
         elif payload[:4] == b"\x28\xb5\x2f\xfd":
             # zstd frame (r15): header-walk facts only, no block decode
             from .zstd import zstd_meta

@@ -34,7 +34,7 @@ containers agree (``zipsrc.explode_archive_members`` /
   (symlinks/hardlinks/devices/FIFOs — escape vectors in an ingest, not
   data) are skipped;
 * the default path glob covers the real extension zoo
-  (``.tar .tar.gz .tgz .tar.bz2 .tbz2 .tar.xz .txz .tar.zst .tzst``)
+  (``.tar .tar.gz .tgz .tar.bz2 .tbz2 .tar.xz .txz .tar.zst .tzst .tar.lz4 .tlz4``)
   via Hadoop glob alternation, so a directory of ``.tgz`` shards is
   ingested, not silently skipped. ``.tar.zst``/``.tzst`` (increasingly
   the dataset-dump default) decodes for REAL since round 15 through the
@@ -79,7 +79,7 @@ from .zipsrc import (
 
 TAR_MEMBER_SCHEMA = ZIP_MEMBER_SCHEMA  # same landing shape, by design
 
-TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz,tar.zst,tzst}"
+TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz,tar.zst,tzst,tar.lz4,tlz4}"
 
 # RFC 8878 zstd frame magic. Python 3.11 has no stdlib zstd codec, so
 # .tar.zst decodes through the repo's own from-spec frame decoder
@@ -88,6 +88,11 @@ TAR_GLOB = "*.{tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz,tar.zst,tzst}"
 # (skippable frames are skipped per RFC 8878 §3.1.2 since r16); corrupt
 # frames raise with byte offsets like every codec.
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+# LZ4 frame magics (modern + legacy) — .tar.lz4 decodes through the
+# repo's from-spec frame decoder (operators/lz4.py, r16), pinned by
+# pyarrow's bundled lz4 AND the system CLI
+_LZ4_MAGICS = (b"\x04\x22\x4d\x18", b"\x02\x21\x4c\x18")
 
 MAX_MEMBERS = 100_000  # header-count bomb guard (bytes budgets see 0)
 
@@ -107,6 +112,10 @@ def _iter_members(payload: bytes, origin: str, member_glob: str | None = None):
         from ..operators.zstd import decompress_zstd
 
         payload = decompress_zstd(payload, origin, max_output=MAX_ARCHIVE_BYTES)
+    elif payload[:4] in _LZ4_MAGICS:
+        from ..operators.lz4 import decompress_lz4
+
+        payload = decompress_lz4(payload, origin, max_output=MAX_ARCHIVE_BYTES)
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
     except _STREAM_ERRORS as exc:
