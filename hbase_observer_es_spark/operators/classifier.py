@@ -217,7 +217,11 @@ def margin_expr(text: Column, model: dict) -> Column:
             f"dim {dim} too large for the literal-array margin "
             f"(cap {_MAX_EXPR_DIM}) — use margin_pandas"
         )
-    arr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    # one-expr literal array: the former F.lit(..).cast("long") per weight
+    # paid 2·dim py4j round trips per plan build (~1.3 s at dim=512, r16
+    # measurement); `<w>L` BIGINT literal text folds to the same Literal
+    # values, one driver call total
+    arr = F.expr("array(" + ", ".join(f"{int(x)}L" for x in w) + ")")
     return F.aggregate(
         doc_buckets_col(text, dim),
         F.lit(int(model["b"])).cast("long"),

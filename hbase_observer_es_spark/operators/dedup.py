@@ -238,15 +238,14 @@ WHERE {_SQL_JACCARD.format(a='a.tk', b='b.tk')} >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 
-def _perm_lambda(pa: int, pb: int):
-    # closure factory: PySpark inspects lambda arity, so the permutation constants
-    # must be captured by closure, not by default args
-    return lambda h: (F.lit(pa) * h + F.lit(pb)) % F.lit(MOD)
-
-
 def _minhash_cols() -> list[Column]:
+    # one F.expr per permutation instead of per-literal Column composition:
+    # same array_min(transform(...)) Catalyst tree (integer math, exact), a
+    # dozen py4j round trips instead of ~250 per plan build (r16, guide §5)
     return [
-        F.array_min(F.transform(F.col("hs"), _perm_lambda(pa, pb))).alias(f"mh{i}")
+        F.expr(
+            f"array_min(transform(hs, h -> ({pa} * h + {pb}) % {MOD}))"
+        ).alias(f"mh{i}")
         for i, (pa, pb) in enumerate(zip(PERM_A, PERM_B))
     ]
 
@@ -416,17 +415,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).filter(F.col("t") != "")
     hashed = tok.select("doc_id", _rollhash(F.col("t")).alias("h"))
+    # expr-text vote/fingerprint builders: identical sum(CASE)/CASE chains to
+    # the former per-bit Column composition, built in 16+1 py4j calls instead
+    # of ~500 (r16 plan-build measurement, guide §5)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = hashed.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(SIMHASH_BITS)
+        )
+    )
     return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
@@ -482,19 +486,21 @@ def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = tok.select("doc_id", _rollhash(F.col("t")).alias("h1")).withColumn(
         "h2", (F.lit(_H2_A) * F.col("h1") + F.lit(_H2_B)) % F.lit(MOD)
     )
-    def bit(b: int) -> Column:
+    # expr-text vote/fingerprint builders (see q_dedup_simhash): identical
+    # trees, 60+1 py4j calls instead of ~1 700 per plan build (r16, guide §5)
+    def _vote(b: int) -> Column:
         src, off = ("h1", b) if b < 30 else ("h2", b - 30)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        return F.expr(
+            f"sum(CASE WHEN (shiftright({src}, {off}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"v{b}")
 
-    votes = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
-        for b in range(NEAR_BITS)
-    ]
-    agg = hashed.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(NEAR_BITS):
-        c = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = c if fp is None else fp + c
+    agg = hashed.groupBy("doc_id").agg(*[_vote(b) for b in range(NEAR_BITS)])
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(NEAR_BITS)
+        )
+    )
     return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 

@@ -156,7 +156,11 @@ def min_label_fixpoint(
     join+agg per loop, and the convergence test is one count per round —
     a driver-side scalar, never a collect of data rows. The update frame
     carries ``old_label`` so that count is a filter over the frame just
-    built — no second full node-set join per round.
+    built — no second full node-set join per round. (r16 A/B: LAZY
+    checkpoints here measured SLOWER — each round's frame is referenced
+    twice by the next round's joins, and a lazily-checkpointed frame
+    materializing inside a job that references it in two branches computes
+    the lineage twice before the cache exists; eager stays.)
 
     ``loop_parts``: optional explicit shuffle width for every loop
     exchange (``hashpartitioning(key, loop_parts)``) — near-dup pair
@@ -233,17 +237,25 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank, K=3 fixed iterations (module docstring)."""
-    ed, nodes = _edges_with_deg(spark, sf_dir)
-    # Materialize the edge and node frames ONCE before the loop (the
+    ed, _ = _edges_with_deg(spark, sf_dir)
+    # Materialize the edge frame ONCE before the loop (the
     # q_dedup_clusters lineage discipline): without the cut, every
     # iteration's plan re-derives the orders⋈lineitem edge set from the
     # base scans, tripling scan work at K=3 and growing multiplicatively
     # with K. The iteration then joins against in-memory blocks. (The
     # undirected doubling makes every node a src, so the node set comes
     # from outdeg directly — one exchange fewer than the generic
-    # pagerank_over_edges src∪dst union.)
-    ed = ed.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
+    # pagerank_over_edges src∪dst union.) The node frame is then derived
+    # from the CHECKPOINTED edges (distinct src — the same set, since ed
+    # carries one row per edge and every node occurs as src), so its
+    # materialization is one agg over in-memory blocks instead of a second
+    # full orders⋈lineitem→distinct→double→degree computation from the
+    # base scans (r16 measurement: the two eager checkpoints each paid the
+    # whole edge derivation — half the query's wall — for identical rows).
+    # ed's checkpoint is lazy: the eager nodes materialization runs ed's RDD
+    # (nodes derives from it), so ONE action stores both frames.
+    ed = ed.localCheckpoint(eager=False)
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     return _pagerank_iterations(ed, nodes, N_ITER)
 
 

@@ -30,12 +30,25 @@ RUNTIME_CONF = {
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable conf to an existing session (e.g. the driver's)."""
+    """Apply runtime-settable conf to an existing session (e.g. the driver's).
+
+    Memoized per session object: ``io.table`` calls this on EVERY table read,
+    so in a long bench/sweep session the conf.set round trips (6 py4j calls
+    each) repeat thousands of times for values that never change (r16
+    measurement: ~1-2 ms per call, seconds over a full bench). Nothing else
+    in this engine mutates these keys mid-session; a session wrapper seen for
+    the first time still gets the full set."""
+    if getattr(spark, "_hoes_runtime_conf_applied", False):
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some harnesses
             pass
+    try:
+        spark._hoes_runtime_conf_applied = True
+    except Exception:  # pragma: no cover - exotic session proxies
+        pass
     return spark
 
 

@@ -106,7 +106,7 @@ def test_lsh_spark_bands_match_python_mirror(spark):
 
     e = table(spark, SF_ORACLE, "embeddings").orderBy("vec_id").limit(20)
     rows = e.select(
-        "vec_id", "embedding", *_lsh_band_cols(F.col("embedding"))
+        "vec_id", "embedding", *_lsh_band_cols("embedding")
     ).collect()
     assert rows
     for r in rows:
