@@ -150,7 +150,12 @@ def s_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = e.unionByName(e)
     stream_dir = stage_cached(doubled, "2x-" + source_fingerprint(sf_dir, "events"), out, N_BATCHES)
 
-    sub = _streaming_session(spark)
+    # no-data batch off (r16): streaming dropDuplicates EMITS each kept row in
+    # the micro-batch it arrives in (append semantics); the trailing no-data
+    # batch only advances the watermark for state EVICTION, which after the
+    # final availableNow batch is pure commit-cycle overhead — measured
+    # ~0.35 s/query at sf0.1, output rows identical (oracle re-checked).
+    sub = _streaming_session(spark, nodata=False)
     stream = read_stream(sub, stream_dir, e.schema)
     deduped = stream.withWatermark("ts", "90 days").dropDuplicates(["event_id"])
     qname = f"dedup_{uuid.uuid4().hex[:8]}"
