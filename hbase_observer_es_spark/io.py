@@ -43,7 +43,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
 
     Plain ``spark.read.parquet`` keeps predicate pushdown / column pruning intact —
-    wrapping or caching here would defeat Catalyst's scan pruning.
+    caching the *data* here would defeat Catalyst's scan pruning, so nothing is
+    ever persisted. The lazy base FRAME, however, is memoized per
+    (session, sf_dir, name): ``spark.read.parquet`` pays driver-side file
+    listing + parquet footer schema inference + ~10 py4j round trips on every
+    call, repeated for every query in a bench/sweep session over the same
+    static fixture directory (r16 measurement: ~20-40 ms/call, thousands of
+    calls/session). Reusing the unresolved logical plan is exactly what
+    ``spark.table()`` on a catalog view does — each query still applies its
+    own filters/projection and Catalyst re-optimizes per query, so pushdown,
+    pruning and the executed scan are unchanged, and every execution still
+    reads the parquet files. The memo holds plan metadata only (never rows)
+    and lives for the session's lifetime, matching Spark's own per-session
+    file-status caching; fixture directories are immutable per run.
 
     ``events.ts`` has shipped in two physical encodings across fixture versions:
     parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read nanos
@@ -59,13 +71,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The NTZ->timestamp cast below is wall-preserving only under UTC, and
         # apply_runtime_conf silently skips conf keys a harness made static — so
         # a non-UTC session must fail loudly here, not shift every ts value
-        # relative to the DuckDB oracle.
+        # relative to the DuckDB oracle. Checked on EVERY call (not just cache
+        # miss): the cast resolves against the session TZ at execution time,
+        # so a mid-session TZ change must fail even on a memoized frame.
         tz = spark.conf.get("spark.sql.session.timeZone")
         if tz not in _UTC_ZONE_IDS:
             raise RuntimeError(
                 f"events.ts requires a UTC session timezone, got {tz!r}; "
                 "the session was created with a static non-UTC timezone"
             )
+    cache: dict[tuple[str, str], DataFrame]
+    cache = getattr(spark, "_hoes_table_cache", None)  # type: ignore[assignment]
+    if cache is None:
+        cache = {}
+        try:
+            spark._hoes_table_cache = cache  # type: ignore[attr-defined]
+        except Exception:  # pragma: no cover - exotic session proxies
+            pass
+    hit = cache.get((sf_dir, name))
+    if hit is not None:
+        return hit
+    df = _read_table(spark, sf_dir, name)
+    cache[(sf_dir, name)] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The uncached read path (one py4j read + the events-ts normalization).
+    The UTC-session guard for events runs in ``table()`` (every call)."""
+    if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
