@@ -218,38 +218,67 @@ def pq_train(
         dims = assigned.select(
             "sub", "code", F.posexplode(F.col("subvec")).alias("dim", "val")
         )
-        means = (
-            dims.groupBy("sub", "code", "dim")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mv")
-            )
-            .groupBy("sub", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                    lambda s: s["mv"],
-                ).alias("codeword")
-            )
+        means = dims.groupBy("sub", "code", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
         )
-        rows = means.collect()  # M·K rows: bounded by the parameters
+        # M·K·(D/M) rows — the same doubles the nested codeword form
+        # carried, just unnested: the driver re-nests them (sort by dim,
+        # exactly the old array_sort(collect_list(struct(dim,mv)))
+        # projection), which drops the re-nesting groupBy's exchange +
+        # stage from every iteration (r16 optimization, the
+        # similarity._cell_dim_means move).
+        rows = means.collect()
+        by_code: dict[tuple[int, int], list] = {}
+        for r in rows:
+            by_code.setdefault((int(r["sub"]), int(r["code"])), []).append(
+                (int(r["dim"]), float(r["mv"]))
+            )
         codebook = spark.createDataFrame(
             [
-                (int(r["sub"]), int(r["code"]), [float(x) for x in r["codeword"]])
-                for r in rows
+                (sub, code, [mv for _, mv in sorted(dims_)])
+                for (sub, code), dims_ in sorted(by_code.items())
             ],
             "sub int, code int, codeword array<double>",
         )
+        # The rows are already on the driver — run the subspace-coverage
+        # check HERE in Python and tag the literal frame, so pq_encode's
+        # _check_codebook can skip its Spark job (~0.55 s of pure job-launch
+        # overhead for a 64-row local relation, r16 measurement). Same check,
+        # same failure wording, zero extra cost.
+        subs_seen = {int(r["sub"]) for r in rows}
+        _raise_unless_covers(subs_seen, m)
+        try:
+            codebook._hoes_codebook_checked_m = m  # type: ignore[attr-defined]
+        except Exception:  # pragma: no cover - exotic frame proxies
+            pass
     return codebook
+
+
+def _raise_unless_covers(subs_seen: set[int], m: int) -> None:
+    """Shared coverage predicate for the driver-side and Spark-side checks:
+    the codebook must cover exactly subspaces 0..m-1."""
+    if subs_seen != set(range(m)):
+        mn = min(subs_seen) if subs_seen else None
+        mx = max(subs_seen) if subs_seen else None
+        raise ValueError(
+            f"PQ: codebook covers {len(subs_seen)} subspaces "
+            f"[{mn}..{mx}], but m={m} needs exactly 0..{m - 1}"
+        )
 
 
 def _check_codebook(codebook: DataFrame, m: int) -> None:
     """The codebook must cover exactly subspaces 0..m-1 — an inner join
     against a mismatched codebook would silently DROP the uncovered
     subspaces from every code (review finding). One bounded action over the
-    M·K-row codebook."""
+    M·K-row codebook — skipped when ``pq_train`` already validated THIS
+    frame's rows on the driver (the tag carries the m it was checked
+    against, so reusing a trained codebook under a different m still pays
+    the real check)."""
+    if getattr(codebook, "_hoes_codebook_checked_m", None) == m:
+        return
     row = codebook.agg(
         F.count_distinct("sub").alias("n"),
         F.min("sub").alias("mn"),

@@ -400,25 +400,35 @@ def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _cell_means(assigned: DataFrame) -> DataFrame:
-    """(cell, centroid): element-wise member means, decimal-exact like
-    _centroids so every engine lands on bit-identical centroids."""
+def _cell_dim_means(assigned: DataFrame) -> DataFrame:
+    """(cell, dim, m): element-wise member means, decimal-exact like
+    _centroids so every engine lands on bit-identical centroids. The
+    train loop collects THIS frame (k·D rows — the same k·D doubles the
+    old array form carried, just unnested) and assembles the per-cell
+    arrays on the driver: the second groupBy's exchange + stage existed
+    only to re-nest rows the driver was about to flatten anyway
+    (r16 optimization; ~1 stage + 1 exchange per Lloyd iteration)."""
     dims = assigned.select("cell", F.posexplode(F.col("embedding")).alias("dim", "val"))
-    return (
-        dims.groupBy("cell", "dim")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
+    return dims.groupBy("cell", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
     )
+
+
+def _assemble_means(rows) -> list[tuple[int, list[float]]]:
+    """Driver-side re-nest of collected (cell, dim, m) rows into
+    (cell, [m_0..m_D-1]) — exactly ``array_sort(collect_list(struct(dim,m)))``
+    followed by the field projection, so the assembled arrays are
+    bit-identical to the old Spark-side form."""
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell"]), []).append((int(r["dim"]), float(r["m"])))
+    return [
+        (cell, [m for _, m in sorted(dims)])
+        for cell, dims in sorted(by_cell.items())
+    ]
 
 
 def train_centroids(
@@ -460,9 +470,11 @@ def train_centroids(
     ).select("cell", F.col("embedding").alias("centroid"))
     spark = e.sparkSession
     for _ in range(iters):
-        rows = _cell_means(_assign_cells(e, cent)).collect()  # k rows
+        # k·D rows — the same k·D doubles the nested form collected, minus
+        # the re-nesting groupBy's exchange (see _cell_dim_means)
+        rows = _cell_dim_means(_assign_cells(e, cent)).collect()
         cent = spark.createDataFrame(
-            [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows],
+            _assemble_means(rows),
             "cell int, centroid array<double>",
         )
     return cent

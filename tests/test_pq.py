@@ -267,6 +267,32 @@ def test_q_embed_pq_matches_duckdb_oracle(spark):
     assert r.ok, r.detail
 
 
+def test_trained_codebook_check_fast_path(spark, emb, codebook):
+    """r16 optimization: pq_train validates coverage on the driver (the rows
+    are already collected) and tags the literal frame, so pq_encode skips
+    the 64-row Spark-job check. The tag must be m-specific and absent from
+    foreign frames — the real check still guards both."""
+    from hbase_observer_es_spark.operators.pq import _check_codebook
+
+    # trained codebook carries the m it was validated against
+    assert getattr(codebook, "_hoes_codebook_checked_m", None) == PQ_M
+    _check_codebook(codebook, PQ_M)  # fast path: must not raise
+    # the tag does NOT satisfy a different m — the real check fires and rejects
+    with pytest.raises(ValueError, match="needs exactly 0..1"):
+        _check_codebook(codebook, 2)
+    # a hand-built (foreign, untagged) frame with a coverage hole fails loud
+    holey = spark.createDataFrame(
+        [(0, 0, [1.0, 2.0]), (2, 0, [3.0, 4.0])],
+        "sub int, code int, codeword array<double>",
+    )
+    with pytest.raises(ValueError, match="covers 2 subspaces"):
+        _check_codebook(holey, 3)
+    # degenerate training input: the driver-side check raises at TRAIN time
+    empty = emb.filter(F.col("vec_id") < 0).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="covers 0 subspaces"):
+        pq_train(empty)
+
+
 def test_validation_fails_loud(spark, emb, codebook):
     with pytest.raises(ValueError, match="m must be"):
         pq_train(emb, m=9)

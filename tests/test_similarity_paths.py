@@ -37,6 +37,26 @@ def test_kmeans_trainer_deterministic_and_bounded(spark):
     )
 
 
+def test_assemble_means_renests_exactly(spark):
+    """r16 optimization: the train loop collects (cell, dim, m) rows and
+    re-nests on the driver. _assemble_means must reproduce the old
+    array_sort(collect_list(struct(dim, m))) semantics exactly: dim order
+    within a cell, independent of collect order."""
+    from hbase_observer_es_spark.operators.similarity import _assemble_means
+
+    rows = [
+        {"cell": 1, "dim": 2, "m": 0.3},
+        {"cell": 0, "dim": 1, "m": -2.5},
+        {"cell": 1, "dim": 0, "m": 1.25},
+        {"cell": 0, "dim": 0, "m": 7.0},
+        {"cell": 1, "dim": 1, "m": 0.5},
+    ]
+    out = _assemble_means(rows)
+    assert out == [(0, [7.0, -2.5]), (1, [1.25, 0.5, 0.3])]
+    # shuffled input, same result (collect order is partition-dependent)
+    assert _assemble_means(rows[::-1]) == out
+
+
 def test_trained_ivf_reads_no_label(spark):
     """The trained-IVF path must work on UNLABELED corpora: every parquet scan
     in its physical plan prunes to (vec_id, embedding) — the label column is
