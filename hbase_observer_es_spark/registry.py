@@ -100,211 +100,213 @@ _PRIORITY = (
     "q_geo_polygon",  # never checked
     "q_search_span_or",  # never checked
     "q_search_span_first",  # never checked
+    # tier 1.0: own fn edited after last green check
+    "q_dedup_simhash",  # green r12, hbase_observer_es_spark/operators/dedup.py fn edited r16
+    "s_watermark_dedup",  # green r13, hbase_observer_es_spark/streaming/stateful.py fn edited r16
+    "q_graph_pagerank",  # green r14, hbase_observer_es_spark/operators/graph.py fn edited r16
+    "q_sim_lsh",  # green r15, hbase_observer_es_spark/operators/similarity.py fn edited r16
+    "q_sim_lsh_batch",  # green r15, hbase_observer_es_spark/operators/similarity.py fn edited r16
+    # tier 1.1: file edited after last green check (oldest green first)
+    "q_graph_components",  # green r11, hbase_observer_es_spark/operators/graph.py file edited r16
+    "q_embed_pq",  # green r11, hbase_observer_es_spark/operators/pq.py file edited r16
+    "q_dedup_exact",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
+    "q_dedup_jaccard",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
+    "q_dedup_minhash",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
+    "q_dedup_simhash_near",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
+    "q_dedup_clusters",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
+    "q_text_tokens",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_text_lang",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_text_langid",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_text_quality",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_text_tokcount",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_text_fingerprint",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_dedup_lsh_recall",  # green r12, hbase_observer_es_spark/operators/dedup_eval.py file edited r16
+    "q_sim_knn",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_sim_pairs",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_sim_ivf",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_sim_ivf_trained",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_embed_quant",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "s_upsert_sink",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
+    "s_stateful_profile",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
+    "s_win_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
+    "s_session_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
+    "s_join_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
+    "s_terms_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
+    "q_text_chunk",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_text_topword",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15
+    "q_nested_exists",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16
+    "q_geo_shape_relation",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16
+    "q_win_ntile",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15
+    "q_pivot",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15
+    "q_graph_copurchase",  # green r14, hbase_observer_es_spark/operators/graph.py file edited r16
+    "q_quality_classify",  # green r14, hbase_observer_es_spark/operators/classifier.py file edited r16
+    "q_sim_ivf_batch",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_dedup_embed",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_sim_knn_pudf",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_sim_range",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
+    "q_geo_bbox",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16
+    "q_geo_grid",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16
+    "q_geo_distance",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16
+    "q_search_span_near",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16
+    "q_search_intervals",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16
     # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_mm_meta",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r16
-    "q_mm_framesample",  # green r13, hbase_observer_es_spark/operators/tiff.py import edited r16
-    "q_mm_decode",  # green r15, hbase_observer_es_spark/operators/tiff.py import edited r16
-    "q_mm_resize",  # green r15, hbase_observer_es_spark/operators/tiff.py import edited r16
+    "q_join_star",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_join_range",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_join_asof",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_global",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_group",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_distinct",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_approx",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_rollup",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_cube",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_win_rank",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_win_running",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_geoline",  # green r11, hbase_observer_es_spark/session.py import edited r16
+    "q_search_bm25",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_search_phrase",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_search_fuzzy",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_search_mlt",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_search_sigterms",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_scan_pruned",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_pipeline_corpus",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_sample_stratified",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_decontaminate",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_mixture_weights",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_text_pack",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_sample_diversified",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "s_win_tumbling",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "s_win_sliding",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "s_win_session",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_terms_other",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_range",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_tophits",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_win_lag",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_topk_pergroup",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_sort_limit",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_union",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_intersect",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_except",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_ttest",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_search_terms_set",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_text_gopher",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_text_ngram_rep",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_text_unigram",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_text_boilerplate",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_text_pack_sharded",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_incremental_unseen",  # green r12, hbase_observer_es_spark/session.py import edited r16
+    "q_search_suggest",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_highlight",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_bool",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_prefix",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_get_by_key",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_mm_meta",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_mm_framesample",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_pctranks",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_adjacency",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_rare_terms",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_bucket_sel",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_weighted_avg",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_autodatehist",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_str_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_date_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_math_case",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_json_extract",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_array_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_cdc_snapshot",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_cdc_tombstone",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_cell_pivot",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_cdc_doc_merge",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "s_pii_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py import edited r16
+    "q_search_bm25_ln",  # rows-only r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_mlt_ln",  # rows-only r13, hbase_observer_es_spark/session.py import edited r16
+    "q_join_has_child",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_join_has_parent",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_rescore",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_suggest_term",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_terms_lookup",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_suggest_phrase",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_range_relation",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_profile_stats",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_profile_topvals",  # green r13, hbase_observer_es_spark/session.py import edited r16
+    "q_search_phrase_prefix",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_search_wildcard",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_search_regexp",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_join_bucketed",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_udf_scalar",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_udf_grouped",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_groupingsets",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_percentile",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_pct_sketch",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_datehist",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_composite",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_filters",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_subquery_scalar",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_win_rangeframe",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_page_keyset",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_histogram",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_stats",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_scan_project",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_filter_pred",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_join_inner",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_multiterms",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_stringstats",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_matrixstats",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_geocentroid",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_bucketstats",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_scripted",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_sampler",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_normalize",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_bucket_script",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_geobounds",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_topmetrics",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_serialdiff",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_cumcard",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_pctbucket",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_boxplot",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_mad",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_search_querystring",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_ann_recall",  # green r14, hbase_observer_es_spark/session.py import edited r16
+    "q_join_salted",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_mm_decode",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_mm_resize",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_pipeline",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_join_broadcast",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_join_left",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_join_semi",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_join_anti",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_text_entropy",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_rate",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_daterange",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_movfn",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_bucketsort",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_derivative",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_varwidth",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_itemsets",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_collapse",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_function_score",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_rank_feature",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_text_pii",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_dismax",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_boosting",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_pinned",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_multimatch",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_hybrid_rrf",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_sim_triplet_mine",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_sim_knn_filtered",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_cdc_field_missing",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_split_assign",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_search_percolate",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_win_firstlast",  # green r15, hbase_observer_es_spark/session.py import edited r16
     "q_html_extract",  # green r15, hbase_observer_es_spark/sources/warc.py import edited r16
+    "q_dedup_substring",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_dedup_substring_top",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_lm_surprisal",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_corpus_drift",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_corpus_drift_tv",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_mix_select",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_mix_realize",  # green r15, hbase_observer_es_spark/session.py import edited r16
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
-    "q_agg_geoline",  # green r11, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_join_star",  # green r11
-    "q_join_range",  # green r11
-    "q_join_asof",  # green r11
-    "q_agg_global",  # green r11
-    "q_agg_group",  # green r11
-    "q_agg_distinct",  # green r11
-    "q_agg_approx",  # green r11
-    "q_agg_rollup",  # green r11
-    "q_agg_cube",  # green r11
-    "q_win_rank",  # green r11
-    "q_win_running",  # green r11
-    "q_graph_components",  # green r11
-    "q_embed_pq",  # green r11
-    "q_text_tokens",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_text_lang",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_text_langid",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_text_quality",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_text_tokcount",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_text_fingerprint",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_pipeline_corpus",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_sample_stratified",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_decontaminate",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_mixture_weights",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_text_pack",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_sample_diversified",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_exact",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_jaccard",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_minhash",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_simhash",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_simhash_near",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_clusters",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_text_ngram_rep",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_text_unigram",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_text_boilerplate",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_text_pack_sharded",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_incremental_unseen",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_dedup_lsh_recall",  # green r12, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_search_bm25",  # green r12
-    "q_search_phrase",  # green r12
-    "q_search_fuzzy",  # green r12
-    "q_search_mlt",  # green r12
-    "q_search_sigterms",  # green r12
-    "q_scan_pruned",  # green r12
-    "s_win_tumbling",  # green r12
-    "s_win_sliding",  # green r12
-    "s_win_session",  # green r12
-    "q_agg_terms_other",  # green r12
-    "q_agg_range",  # green r12
-    "q_agg_tophits",  # green r12
-    "q_win_lag",  # green r12
-    "q_topk_pergroup",  # green r12
-    "q_sort_limit",  # green r12
-    "q_union",  # green r12
-    "q_intersect",  # green r12
-    "q_except",  # green r12
-    "q_agg_ttest",  # green r12
-    "q_search_terms_set",  # green r12
-    "q_text_gopher",  # green r12
     "q_zorder_cells",  # green r12
-    "q_text_chunk",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_text_topword",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15, closure AST-unchanged
-    "q_sim_knn",  # green r13
-    "q_sim_pairs",  # green r13
-    "q_sim_ivf",  # green r13
-    "q_sim_ivf_trained",  # green r13
-    "q_embed_quant",  # green r13
-    "q_search_suggest",  # green r13
-    "q_search_highlight",  # green r13
-    "q_search_bool",  # green r13
-    "q_search_prefix",  # green r13
-    "q_get_by_key",  # green r13
-    "s_watermark_dedup",  # green r13
-    "s_upsert_sink",  # green r13
-    "s_stateful_profile",  # green r13
-    "s_win_stream",  # green r13
-    "s_session_stream",  # green r13
-    "s_join_stream",  # green r13
-    "s_terms_stream",  # green r13
-    "q_agg_pctranks",  # green r13
-    "q_agg_adjacency",  # green r13
-    "q_agg_rare_terms",  # green r13
-    "q_agg_bucket_sel",  # green r13
-    "q_agg_weighted_avg",  # green r13
-    "q_agg_autodatehist",  # green r13
-    "q_str_funcs",  # green r13
-    "q_date_funcs",  # green r13
-    "q_math_case",  # green r13
-    "q_json_extract",  # green r13
-    "q_array_funcs",  # green r13
-    "q_cdc_snapshot",  # green r13
-    "q_cdc_tombstone",  # green r13
-    "q_cell_pivot",  # green r13
-    "q_cdc_doc_merge",  # green r13
-    "s_pii_stream",  # green r13
-    "q_search_bm25_ln",  # rows-only r13
-    "q_search_mlt_ln",  # rows-only r13
-    "q_join_has_child",  # green r13
-    "q_join_has_parent",  # green r13
-    "q_search_rescore",  # green r13
-    "q_search_suggest_term",  # green r13
-    "q_search_terms_lookup",  # green r13
-    "q_search_suggest_phrase",  # green r13
-    "q_search_range_relation",  # green r13
-    "q_profile_stats",  # green r13
-    "q_profile_topvals",  # green r13
-    "q_nested_exists",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
-    "q_geo_shape_relation",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
-    "q_win_ntile",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15, closure AST-unchanged
-    "q_pivot",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15, closure AST-unchanged
-    "q_agg_multiterms",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_stringstats",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_matrixstats",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_geocentroid",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_bucketstats",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_scripted",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_sampler",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_normalize",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_bucket_script",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_geobounds",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_topmetrics",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_serialdiff",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_cumcard",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_agg_pctbucket",  # green r14, hbase_observer_es_spark/operators/nested_geo.py import edited r16, closure AST-unchanged
-    "q_quality_classify",  # green r14, hbase_observer_es_spark/operators/text.py import edited r15, closure AST-unchanged
-    "q_search_phrase_prefix",  # green r14
-    "q_search_wildcard",  # green r14
-    "q_search_regexp",  # green r14
-    "q_join_bucketed",  # green r14
-    "q_udf_scalar",  # green r14
-    "q_udf_grouped",  # green r14
-    "q_agg_groupingsets",  # green r14
-    "q_agg_percentile",  # green r14
-    "q_agg_pct_sketch",  # green r14
-    "q_agg_datehist",  # green r14
-    "q_agg_composite",  # green r14
-    "q_agg_filters",  # green r14
-    "q_subquery_scalar",  # green r14
-    "q_win_rangeframe",  # green r14
-    "q_page_keyset",  # green r14
-    "q_agg_histogram",  # green r14
-    "q_agg_stats",  # green r14
-    "q_scan_project",  # green r14
-    "q_filter_pred",  # green r14
-    "q_join_inner",  # green r14
-    "q_agg_boxplot",  # green r14
-    "q_agg_mad",  # green r14
-    "q_search_querystring",  # green r14
-    "q_ann_recall",  # green r14
-    "q_graph_pagerank",  # green r14
-    "q_graph_copurchase",  # green r14
-    "q_geo_bbox",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
-    "q_geo_grid",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
-    "q_geo_distance",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16, closure AST-unchanged
-    "q_search_span_near",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16, closure AST-unchanged
-    "q_search_intervals",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16, closure AST-unchanged
-    "q_sim_ivf_batch",  # green r15
-    "q_sim_lsh",  # green r15
-    "q_sim_lsh_batch",  # green r15
-    "q_dedup_embed",  # green r15
-    "q_sim_knn_pudf",  # green r15
-    "q_sim_range",  # green r15
-    "q_join_salted",  # green r15
-    "q_agg_pipeline",  # green r15
-    "q_join_broadcast",  # green r15
-    "q_join_left",  # green r15
-    "q_join_semi",  # green r15
-    "q_join_anti",  # green r15
-    "q_text_entropy",  # green r15
-    "q_agg_rate",  # green r15
-    "q_agg_daterange",  # green r15
-    "q_agg_movfn",  # green r15
-    "q_agg_bucketsort",  # green r15
-    "q_agg_derivative",  # green r15
-    "q_agg_varwidth",  # green r15
-    "q_agg_itemsets",  # green r15
-    "q_search_collapse",  # green r15
-    "q_search_function_score",  # green r15
-    "q_search_rank_feature",  # green r15
-    "q_text_pii",  # green r15
-    "q_search_dismax",  # green r15
-    "q_search_boosting",  # green r15
-    "q_search_pinned",  # green r15
-    "q_search_multimatch",  # green r15
-    "q_search_hybrid_rrf",  # green r15
-    "q_sim_triplet_mine",  # green r15
-    "q_sim_knn_filtered",  # green r15
-    "q_cdc_field_missing",  # green r15
-    "q_split_assign",  # green r15
-    "q_search_percolate",  # green r15
-    "q_win_firstlast",  # green r15
-    "q_dedup_substring",  # green r15
-    "q_dedup_substring_top",  # green r15
-    "q_lm_surprisal",  # green r15
-    "q_corpus_drift",  # green r15
-    "q_corpus_drift_tv",  # green r15
-    "q_mix_select",  # green r15
-    "q_mix_realize",  # green r15
 )
 
 
