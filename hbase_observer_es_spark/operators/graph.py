@@ -151,16 +151,22 @@ def min_label_fixpoint(
     labels; convergence when a round changes nothing. Rounds needed =
     graph diameter (a path graph needs its length) — ``max_iter`` is a
     fail-LOUD bound, not a silent truncation: an unconverged labeling
-    would be wrong, so it raises. Each round's label frame is eagerly
+    would be wrong, so it raises. Each round's label frame is
     localCheckpoint-ed so plan depth stays O(1) instead of nesting one
     join+agg per loop, and the convergence test is one count per round —
     a driver-side scalar, never a collect of data rows. The update frame
     carries ``old_label`` so that count is a filter over the frame just
-    built — no second full node-set join per round. (r16 A/B: LAZY
-    checkpoints here measured SLOWER — each round's frame is referenced
-    twice by the next round's joins, and a lazily-checkpointed frame
-    materializing inside a job that references it in two branches computes
-    the lineage twice before the cache exists; eager stays.)
+    built — no second full node-set join per round. The checkpoint is
+    LAZY and the convergence count is its materializing action (r17,
+    guide §1.2/§2.4): ONE job per round computes the round's plan, stores
+    the blocks, and returns the changed-row count; the next round's two
+    join references then read those blocks. (The r16 negative A/B on
+    "lazy checkpoints here" hit a different shape — a lazily-checkpointed
+    frame whose FIRST computation happens inside a job that references it
+    in two branches pays the lineage twice; here the count materializes
+    the frame before any double reference, so the r17 interleaved A/B
+    measured ~13-17% off both q_graph_components and q_dedup_clusters
+    with bit-identical labels every rep.)
 
     ``loop_parts``: optional explicit shuffle width for every loop
     exchange (``hashpartitioning(key, loop_parts)``) — near-dup pair
@@ -196,8 +202,10 @@ def min_label_fixpoint(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # this count is the checkpoint's materializing action: one job
+        # computes the round, stores the blocks, and yields the scalar
         changed = new_labels.filter(
             F.col("label") != F.col("old_label")
         ).count()
