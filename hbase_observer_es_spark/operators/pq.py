@@ -65,6 +65,7 @@ has no vector surface at all — this is LLM-pipeline capability.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,43 +176,101 @@ def _nearest_code(
     return out.select(*cols)
 
 
+def _make_code_assigner(cb_local: dict):
+    """Vectorized twin of ``_nearest_code`` for the TRAINING loop (r17,
+    guide §4): a pandas UDF closing over the current codebook (M·K·(D/M)
+    doubles — the same parameter-bounded rows the loop already collects to
+    the driver) that reproduces the JVM fold-exact squared-L2 argmin
+    BIT-FOR-BIT:
+
+    * every accumulation runs in DIM ORDER (``acc = acc + (x_d−y_d)²``),
+      one IEEE-754 double subtract/multiply/add per step — the exact op
+      sequence of the ``zip_with`` + ``F.aggregate`` left fold, vectorized
+      ACROSS rows and codewords, never across dims;
+    * ``np.argmin`` returns the FIRST minimum, which with codeword rows
+      sorted by code id is exactly the ``min(struct(sqdist, code))``
+      ties-to-lowest-code rule.
+
+    Bit-equality against the JVM path is pinned by
+    ``tests/test_pq.py::test_pandas_code_assigner_matches_jvm``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    per_sub: dict[int, tuple] = {}
+    for s in sorted({s for s, _ in cb_local}):
+        codes = sorted(c for s2, c in cb_local if s2 == s)
+        C = np.array([cb_local[(s, c)] for c in codes], dtype=np.float64)
+        per_sub[s] = (np.array(codes, dtype=np.int64), C)
+
+    @F.pandas_udf("int")
+    def assign(sub: pd.Series, subvec: pd.Series) -> pd.Series:
+        out = np.empty(len(sub), dtype=np.int64)
+        sub_np = sub.to_numpy()
+        for s, (codes, C) in per_sub.items():
+            mask = sub_np == s
+            if not mask.any():
+                continue
+            E = np.array(list(subvec[mask]), dtype=np.float64)
+            acc = np.zeros((E.shape[0], C.shape[0]))
+            for d in range(C.shape[1]):
+                diff = E[:, d][:, None] - C[None, :, d]
+                acc = acc + diff * diff
+            out[mask] = codes[np.argmin(acc, axis=1)]
+        return pd.Series(out).astype("int32")
+
+    return assign
+
+
 def pq_train(
     e: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
 ) -> DataFrame:
     """Learn the per-subspace codebooks: (sub, code, codeword). Zero-RNG
     (module docstring); per iteration the collect is the M·K codebook rows
     — bounded by the parameters, the ``train_centroids`` acceptable-collect
-    class. Train on a SAMPLE at corpus scale; encode scales separately."""
+    class. Train on a SAMPLE at corpus scale; encode scales separately.
+
+    r17: the loop keeps the codebook as a plain Python dict (the literal
+    frame is created once at the end) and runs the per-iteration ASSIGNMENT
+    through ``_make_code_assigner``'s vectorized pandas UDF over those
+    driver-resident codewords instead of the broadcast-join + interpreted
+    ``F.aggregate`` fold of ``_nearest_code`` — bit-identical codes (see
+    the assigner's docstring and its pinning test), so the decimal-exact
+    mean update downstream is unchanged and the trained codebook stays
+    bit-identical to the DuckDB mirror. ``_nearest_code`` itself (the
+    encode/serving path that is part of returned query PLANS) is
+    untouched."""
     _check_mk(m, k)
     subs = _subvectors(e, m)
     # seed: the k vectors whose vec_id ranks smallest under the Knuth hash,
     # sliced into their m subvectors. The hash depends only on vec_id, so
-    # every subspace's seed set is the SAME k vectors — pick them ONCE with
-    # orderBy().limit(k) (the train_centroids move) and run the code-number
-    # window over k rows, bounded by the parameter. (A per-sub window over
-    # the full training frame sorted all N·M rows in m tasks and its
-    # 'bounded' comment was false — review finding.)
+    # every subspace's seed set is the SAME k vectors — collect them ONCE
+    # in (h, vec_id) rank order (TakeOrdered preserves it; row i is the old
+    # row_number()-1 == i code) and slice driver-side: the float→double
+    # widening and the contiguous slice match ``_subvectors`` exactly.
     h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
-    seeds = (
+    seed_rows = (
         e.select("vec_id", "embedding", h.alias("h"))
         .orderBy("h", "vec_id")
         .limit(k)
+        .collect()
     )
-    w_seed = Window.orderBy("h", "vec_id")  # k rows: bounded by the parameter
-    seed_codes = seeds.withColumn(
-        "code", (F.row_number().over(w_seed) - 1).cast("int")
-    ).select("vec_id", "code")
-    codebook = (
-        _subvectors(seeds.select("vec_id", "embedding"), m)
-        .join(seed_codes, "vec_id")
-        .select("sub", "code", F.col("subvec").alias("codeword"))
-    )
+    cb_local: dict[tuple[int, int], list[float]] = {}
+    for code, r in enumerate(seed_rows):
+        emb = [float(x) for x in r["embedding"]]
+        if len(emb) % m != 0:
+            raise ValueError(
+                f"PQ: embedding dimension {len(emb)} not divisible by m={m}"
+            )
+        sl = len(emb) // m
+        for s in range(m):
+            cb_local[(s, code)] = emb[s * sl : (s + 1) * sl]
     spark = e.sparkSession
     for _ in range(iters):
-        # carry_subvec: the assignment agg hands the mean update its member
-        # subvectors directly — no re-join against the exploded corpus and
-        # no second _subvectors scan per iteration (review finding)
-        assigned = _nearest_code(subs, codebook, carry_subvec=True)
+        assign = _make_code_assigner(cb_local)
+        assigned = subs.select(
+            "sub", assign(F.col("sub"), F.col("subvec")).alias("code"), "subvec"
+        )
         # element-wise member means, decimal-exact like similarity._cell_means
         # so the result is independent of aggregation order (a double sum
         # would drift with partitioning and break rerun determinism)
@@ -227,33 +286,33 @@ def pq_train(
         # M·K·(D/M) rows — the same doubles the nested codeword form
         # carried, just unnested: the driver re-nests them (sort by dim,
         # exactly the old array_sort(collect_list(struct(dim,mv)))
-        # projection), which drops the re-nesting groupBy's exchange +
-        # stage from every iteration (r16 optimization, the
-        # similarity._cell_dim_means move).
+        # projection, see similarity._assemble_means).
         rows = means.collect()
         by_code: dict[tuple[int, int], list] = {}
         for r in rows:
             by_code.setdefault((int(r["sub"]), int(r["code"])), []).append(
                 (int(r["dim"]), float(r["mv"]))
             )
-        codebook = spark.createDataFrame(
-            [
-                (sub, code, [mv for _, mv in sorted(dims_)])
-                for (sub, code), dims_ in sorted(by_code.items())
-            ],
-            "sub int, code int, codeword array<double>",
-        )
+        cb_local = {
+            sc: [mv for _, mv in sorted(dims_)]
+            for sc, dims_ in by_code.items()
+        }
         # The rows are already on the driver — run the subspace-coverage
-        # check HERE in Python and tag the literal frame, so pq_encode's
-        # _check_codebook can skip its Spark job (~0.55 s of pure job-launch
-        # overhead for a 64-row local relation, r16 measurement). Same check,
-        # same failure wording, zero extra cost.
+        # check HERE in Python (r16; same check, same failure wording).
         subs_seen = {int(r["sub"]) for r in rows}
         _raise_unless_covers(subs_seen, m)
-        try:
-            codebook._hoes_codebook_checked_m = m  # type: ignore[attr-defined]
-        except Exception:  # pragma: no cover - exotic frame proxies
-            pass
+    codebook = spark.createDataFrame(
+        sorted((s, c, v) for (s, c), v in cb_local.items()),
+        "sub int, code int, codeword array<double>",
+    )
+    # tag the literal frame so pq_encode's _check_codebook can skip its
+    # Spark job (~0.55 s of pure job-launch overhead for a 64-row local
+    # relation, r16 measurement); reusing a trained codebook under a
+    # different m still pays the real check
+    try:
+        codebook._hoes_codebook_checked_m = m  # type: ignore[attr-defined]
+    except Exception:  # pragma: no cover - exotic frame proxies
+        pass
     return codebook
 
 

@@ -417,6 +417,55 @@ def _cell_dim_means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _make_cell_assigner(cent_rows: list[tuple[int, list[float]]]):
+    """Vectorized twin of ``_assign_cells`` for the TRAINING loop (r17,
+    guide §4): a pandas UDF closing over the current centroid list (k·D
+    doubles — the same parameter-bounded rows the loop already collects to
+    the driver) that reproduces the JVM fold-exact cosine argmax
+    BIT-FOR-BIT:
+
+    * every accumulation runs in DIM ORDER (``acc = acc + x_d·y_d``), one
+      IEEE-754 double add/multiply per step — the exact op sequence of the
+      ``F.aggregate`` left fold, vectorized ACROSS rows, never across dims;
+    * norms are hoisted once per vector/centroid and the cosine is
+      ``dot / (vnorm · cnorm)`` with the same association;
+    * ``np.argmax`` returns the FIRST maximum, which with centroid rows
+      sorted by cell id is exactly the ``max(struct(c, -cell, cell))``
+      ties-to-lowest-cell rule (and for the no-NaN inputs this engine
+      feeds it — finite embeddings, non-zero norms — the orderings agree
+      everywhere).
+
+    Bit-equality against the JVM path is pinned by
+    ``tests/test_similarity_paths.py::test_pandas_cell_assigner_matches_jvm``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(cent_rows, key=lambda t: t[0])
+    cells = np.array([c for c, _ in ordered], dtype=np.int64)
+    C = np.array([v for _, v in ordered], dtype=np.float64)  # (k, D)
+    k, D = C.shape if C.size else (0, 0)
+    cn = np.zeros(k)
+    for d in range(D):
+        cn = cn + C[:, d] * C[:, d]
+    cn = np.sqrt(cn)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        E = np.array(list(emb), dtype=np.float64)  # float32→double: exact
+        n = E.shape[0]
+        dots = np.zeros((n, k))
+        vn = np.zeros(n)
+        for d in range(D):
+            ed = E[:, d]
+            dots = dots + ed[:, None] * C[None, :, d]
+            vn = vn + ed * ed
+        c = dots / (np.sqrt(vn)[:, None] * cn[None, :])
+        return pd.Series(cells[np.argmax(c, axis=1)]).astype("int32")
+
+    return assign
+
+
 def _assemble_means(rows) -> list[tuple[int, list[float]]]:
     """Driver-side re-nest of collected (cell, dim, m) rows into
     (cell, [m_0..m_D-1]) — exactly ``array_sort(collect_list(struct(dim,m)))``
@@ -451,33 +500,44 @@ def train_centroids(
     broadcastable dim throughout. A cell that loses every member drops out
     (standard Lloyd's degeneracy; mirrored by the SQL twin).
 
-    Each iteration MATERIALIZES its k centroid rows and re-emits them as a
-    literal frame (the q_dedup_clusters localCheckpoint move, in model-sized
-    form): iteration N's plan is one broadcast join + two aggs over the raw
-    vectors, never the recompiled lineage of every earlier iteration. The
-    collect is k·dim doubles — bounded by the parameters, the same
-    acceptable-collect class as the trained-index deploy in
-    q_sim_ivf_trained. Exactness is unchanged: collected doubles round-trip
-    bit-identically through the literal frame.
+    Each iteration MATERIALIZES its k centroid rows — bounded by the
+    parameters, the same acceptable-collect class as the trained-index
+    deploy in q_sim_ivf_trained — and the loop keeps them as a plain
+    Python list (r17): the literal frame is created ONCE at the end.
+    The per-iteration ASSIGNMENT runs through ``_make_cell_assigner``'s
+    vectorized pandas UDF over those driver-resident centroids instead of
+    the broadcast-join + interpreted ``F.aggregate`` fold of
+    ``_assign_cells`` — bit-identical cells (see the assigner's docstring
+    and its pinning test), so the decimal-exact mean update downstream is
+    unchanged and the trained centroids stay bit-identical to the DuckDB
+    mirror. ``_assign_cells`` itself (the serving/membership path that is
+    part of returned query PLANS) is untouched.
     """
     h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
-    seeds = (
-        e.select("vec_id", "embedding", h.alias("h")).orderBy("h", "vec_id").limit(k)
+    # k seed rows, collected in (h, vec_id) rank order: row i is exactly the
+    # old row_number()-1 == i cell assignment (TakeOrdered preserves order)
+    seed_rows = (
+        e.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
     )
-    w_seed = Window.orderBy("h", "vec_id")  # k-row frame: bounded by the parameter
-    cent = seeds.withColumn(
-        "cell", (F.row_number().over(w_seed) - 1).cast("int")
-    ).select("cell", F.col("embedding").alias("centroid"))
+    cent_local = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seed_rows)
+    ]
     spark = e.sparkSession
     for _ in range(iters):
+        assign = _make_cell_assigner(cent_local)
+        assigned = e.select(
+            assign(F.col("embedding")).alias("cell"), "embedding"
+        )
         # k·D rows — the same k·D doubles the nested form collected, minus
         # the re-nesting groupBy's exchange (see _cell_dim_means)
-        rows = _cell_dim_means(_assign_cells(e, cent)).collect()
-        cent = spark.createDataFrame(
-            _assemble_means(rows),
-            "cell int, centroid array<double>",
-        )
-    return cent
+        rows = _cell_dim_means(assigned).collect()
+        cent_local = _assemble_means(rows)
+    return spark.createDataFrame(
+        cent_local, "cell int, centroid array<double>"
+    )
 
 
 def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -302,3 +302,29 @@ def test_validation_fails_loud(spark, emb, codebook):
         pq_train(emb, m=3).collect()
     with pytest.raises(ValueError, match="probe dimension"):
         pq_adc_topk([1.0, 2.0, 3.0], pq_encode(emb, codebook), codebook, m=2)
+
+def test_pandas_code_assigner_matches_jvm(spark, emb, codebook):
+    """r17 optimization: the train loop's assignment runs through the
+    vectorized pandas assigner. It must agree with the JVM fold argmin
+    (_nearest_code) on every (vec, sub) — BIT-exact distances, same
+    ties-to-lowest-code rule — or training would drift from the DuckDB
+    codebook-replay oracle."""
+    from hbase_observer_es_spark.operators.pq import (
+        _make_code_assigner,
+        _nearest_code,
+        _subvectors,
+    )
+
+    subs = _subvectors(emb, PQ_M)
+    jvm = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in _nearest_code(subs, codebook).collect()
+    }
+    assign = _make_code_assigner(_cb_dict(codebook))
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in subs.select(
+            "vec_id", "sub", assign(F.col("sub"), F.col("subvec")).alias("code")
+        ).collect()
+    }
+    assert jvm == got

@@ -71,3 +71,62 @@ def test_trained_ivf_reads_no_label(spark):
         m.group(1) for m in re.finditer(r"FileScan parquet [^\[]*\[([^\]]*)\]", plan)
     ]
     assert scans and all("label" not in s for s in scans), scans
+
+
+def test_pandas_cell_assigner_matches_jvm(spark):
+    """r17 optimization: the k-means train loop's assignment runs through the
+    vectorized pandas assigner. It must agree with the JVM fold argmax
+    (_assign_cells) on every vector — BIT-exact cosines, same
+    ties-to-lowest-cell rule — for both centroid dtypes the loop sees:
+    float32 seed embeddings (iteration 1) and double means (iteration 2+)."""
+    from pyspark.sql import functions as F
+
+    from hbase_observer_es_spark.io import table
+    from hbase_observer_es_spark.operators.similarity import (
+        KMEANS_K,
+        SEED_MOD,
+        SEED_MULT,
+        _assign_cells,
+        _make_cell_assigner,
+        train_centroids,
+    )
+
+    e = table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+
+    # double-mean centroids (what iterations >= 2 assign against)
+    cent = train_centroids(e)
+    cent_rows = [(r["cell"], [float(x) for x in r["centroid"]]) for r in cent.collect()]
+    jvm = {r["vec_id"]: r["cell"] for r in _assign_cells(e, cent).collect()}
+    assign = _make_cell_assigner(cent_rows)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in e.select("vec_id", assign(F.col("embedding")).alias("cell")).collect()
+    }
+    assert jvm == got
+
+    # float32 seed centroids (what iteration 1 assigns against): the JVM path
+    # casts float->double per element inside the fold; the local path widens
+    # on collect — both exact, so cells must still agree
+    h = (F.col("vec_id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
+    seed_rows = (
+        e.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    seed_local = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seed_rows)
+    ]
+    seed_cent = spark.createDataFrame(
+        [(i, r["embedding"]) for i, r in enumerate(seed_rows)],
+        "cell int, centroid array<float>",
+    )
+    jvm_seed = {r["vec_id"]: r["cell"] for r in _assign_cells(e, seed_cent).collect()}
+    assign_seed = _make_cell_assigner(seed_local)
+    got_seed = {
+        r["vec_id"]: r["cell"]
+        for r in e.select(
+            "vec_id", assign_seed(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    assert jvm_seed == got_seed
