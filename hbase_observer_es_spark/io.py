@@ -112,6 +112,57 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# fan_out: skip the spread when the scan already has cluster-scale input.
+# 64 MB = half a default scan split: below it the whole table reaches one
+# scan task, so the repartition costs at most one small-table shuffle.
+_FAN_OUT_MAX_BYTES = 64 << 20
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a SMALL scan to the session's core count,
+    so a compute-heavy per-row pipeline (tokenize/shingle/explode/UDF)
+    parallelizes instead of serializing inside the scan stage.
+
+    Why: a parquet input smaller than one scan split
+    (``spark.sql.files.maxPartitionBytes``, default 128 MB) arrives as ONE
+    task, and everything Catalyst collapses into the scan stage — span
+    explosion, rolling hashes, Python evaluation — runs on one core while
+    the rest of the cluster idles (r17 measurement: the span pipeline over
+    the 584 KB fixture documents table ran 2.6× faster with the spread;
+    guide §2.5 "input skew … repartition immediately after the read").
+
+    Scale-adaptive gate (guide §2: never a constant tuned for one mode):
+    the spread happens ONLY when the frame's total input is under
+    ``_FAN_OUT_MAX_BYTES`` — i.e. exactly when the scan cannot parallelize
+    itself. A cluster-scale input already produces ≥ cores splits, and
+    round-robin-shuffling it would be a pure pessimization, so it is left
+    alone; the shuffle this helper CAN introduce is bounded by the gate.
+    Any frame whose input cannot be sized locally (non-file sources,
+    non-scan frames) is returned unchanged. Results are partitioning-
+    independent by the engine's adversarial-sweep invariant, so the spread
+    never changes what a query computes — only where it runs.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    total = 0
+    from urllib.parse import urlparse
+
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return df
+        try:
+            total += os.path.getsize(parsed.path or uri)
+        except OSError:
+            return df
+    if total >= _FAN_OUT_MAX_BYTES:
+        return df
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # call-site key -> the live persisted frame from that site's LAST invocation
 _TRACKED_CACHE: dict[str, DataFrame] = {}
 

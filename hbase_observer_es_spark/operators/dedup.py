@@ -264,8 +264,15 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-referenced named column, CollapseProject keeps it computed once per row.
     slice() clips at the sequence end, so docs shorter than SHINGLE_N tokens
     degrade to one shorter shingle instead of erroring — mirrored in SQL.
+
+    fan_out (r17): the tokenize+rollhash+shingle fold is this frame's
+    compute, and over the sub-split fixture scan it ran in ONE task; the
+    gated spread parallelizes the materialization for every consumer
+    (minhash, clusters, jaccard-eval truth).
     """
-    d = table(spark, sf_dir, "documents")
+    from ..io import fan_out
+
+    d = fan_out(table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     th_df = d.select("doc_id", F.transform(toks, _rollhash).alias("th"))
     th = F.col("th")

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 
 K_SPAN = 8  # tokens per span; Lee et al. use 50 on real web text
 
@@ -65,7 +65,9 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Docs shorter than K tokens surface with zero spans (explode_outer keeps
     them as a NULL span row; the NULL never counts as a duplicate)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the span explosion is the query's compute; over the sub-split
+    # fixture scan it ran in ONE task (r17: 2.0 -> 0.79 s with the spread)
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     # materialize the span array ONCE: naming it in a prior projection lets
     # both consumers (size and the Generate) share the expression — inlining
     # _spans() twice would re-tokenize and re-join every window per row
@@ -141,7 +143,8 @@ def q_dedup_substring_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties cannot make the cut nondeterministic). This is the triage view a
     pipeline operator reads before choosing what to strip: the head of this
     list IS the boilerplate."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: same serial-scan spread as q_dedup_substring (2.2 -> 0.77 s)
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.select("doc_id", F.explode(_spans()).alias("span"))
         .groupBy("span")

@@ -383,8 +383,11 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     here. Only documents with at least one shared span surface (the
     graph's node set); isolated docs are not rows."""
     from .dedup_substring import _spans
+    from ..io import fan_out
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the span explosion feeding the self-join otherwise runs in
+    # the single sub-split scan task (the q_dedup_substring r17 measurement)
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     spans = d.select("doc_id", F.explode(_spans()).alias("span"))
     a, b = spans.alias("a"), spans.alias("b")
     pairs = (
