@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from .similarity import (
     K,
     PROBE_MOD,
@@ -43,7 +43,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair fan-out otherwise re-folds both norms per pair, 3 folds where 1
     suffices; measured 4.7 → ~2.5 s at sf0.1). Same values, same fold — the
     oracle's inline cosine computes the identical norm either way."""
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"))  # r17: spread the exact folds
     v = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     probes = v.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import persist_tracked, table
+from ..io import fan_out, persist_tracked, table
 from .graph import min_label_fixpoint
 from .text import MOD
 
@@ -132,6 +132,9 @@ def _bitset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (the dict is a broadcastable dim; huge vocabs would shard it or
     fall back to MinHash).
     """
+    # fan_out measured SLOWER here (r17 gate A/B: 2.31 -> 2.76 s median) —
+    # the encode pipeline's branches each pay the spread shuffle while the
+    # head() cache already bounds the serial part; left unspread.
     d = table(spark, sf_dir, "documents").select("doc_id", _tok_set().alias("tk"))
     toks = d.select(F.explode("tk").alias("t")).filter(F.col("t") != "").distinct()
     tb = toks.withColumn(
@@ -270,8 +273,6 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated spread parallelizes the materialization for every consumer
     (minhash, clusters, jaccard-eval truth).
     """
-    from ..io import fan_out
-
     d = fan_out(table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     th_df = d.select("doc_id", F.transform(toks, _rollhash).alias("th"))
@@ -417,6 +418,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency; fingerprint bit b = 1 iff the vote sum is positive. Near-dup docs
     land on fingerprints within small Hamming distance; equal fingerprints form
     dedup buckets directly. One explode + one groupBy — linear, map-side combined."""
+    # fan_out measured NEUTRAL here (r17 gate A/B 0.99 vs 1.02 s) and the
+    # single-exchange shape is pinned (test_simhash_is_one_explode_one_agg)
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
@@ -486,7 +489,7 @@ def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = (a·h1 + b) mod M — independent in the same sense as the MinHash
     permutation family above.
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))  # r17: spread the tokenize
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).filter(F.col("t") != "")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from .similarity import _cosine, _sql_cosine
 
 N_ANCHORS = 5  # anchors = vec_id 0..4 (deterministic, label-diverse in fixture)
@@ -44,7 +44,7 @@ def q_sim_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (best cos, then lowest id) rule; nulls (rows of the other cell) are
     ignored by MAX on both engines.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"))  # r17: spread the folds
     anchors = e.filter(F.col("vec_id") < N_ANCHORS).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),

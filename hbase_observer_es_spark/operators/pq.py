@@ -659,6 +659,9 @@ def q_embed_pq(spark, sf_dir: str):
     the replayed computation, not an external artifact)."""
     from ..io import table
 
+    # fan_out measured SLOWER here (r17 gate A/B: 2.99 -> 3.31 s median) —
+    # like q_sim_ivf_trained, the training costs are collect-side and each
+    # iteration's re-derivation would re-pay the spread shuffle. Unspread.
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebook = pq_train(e)
     return pq_encode(e, codebook).orderBy("vec_id")

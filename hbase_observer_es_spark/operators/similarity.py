@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import persist_tracked, table
+from ..io import fan_out, persist_tracked, table
 
 PROBE_VEC_ID = 0
 PAIR_COS_THRESHOLD = 0.3  # fixture labels are loose clusters (within-label p99 ≈ .3)
@@ -199,6 +199,9 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: route the probe to its nearest cell centroid, then exact
     top-k inside that cell only — the linear-scan cost drops to |cell|.
     """
+    # fan_out measured SLOWER here (r17 gate A/B: 1.03 -> 1.20 s median):
+    # every branch (centroid means, probe, cell scan) re-pays the spread
+    # shuffle and the per-branch compute is too small to amortize it.
     e = table(spark, sf_dir, "embeddings")
     cent = _centroids(e)
     probe = e.filter(F.col("vec_id") == PROBE_VEC_ID).select(
@@ -260,7 +263,7 @@ def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     * per-probe top-k is one window over the cell-scored rows (cells bound the
       rows per probe, so the window partitions stay small).
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"))  # r17: spread the folds
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
@@ -560,6 +563,9 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the PRUNED projection — caching the raw table would bake the
     # label column into the cached relation and defeat the unlabeled-corpus
     # scan-pruning property (pinned by test_trained_ivf_reads_no_label)
+    # fan_out measured SLOWER here (r17 gate A/B: 2.86 -> 3.20 s median);
+    # the training actions' costs are collect-side, not scan-side, and the
+    # spread shuffle taxes every cache materialization. Left unspread.
     e = persist_tracked(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         "similarity.q_sim_ivf_trained.e",
@@ -781,7 +787,7 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bucketing, so correctness is checked exactly while the operator stays
     honestly approximate (like ES ANN / FAISS-LSH).
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"))  # r17: spread the band folds
     sigs = e.select("vec_id", "label", "embedding", *_lsh_band_cols("embedding"))
     probe = sigs.filter(F.col("vec_id") == PROBE_VEC_ID).select(
         F.col("embedding").alias("probe_emb"),
@@ -839,7 +845,7 @@ def q_sim_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; with millions of probes the same plan degrades gracefully to a
     co-partitioned shuffle join on the bucket key.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"))  # r17: spread the band folds
     # hoist the L2 norm to a per-VECTOR column: the candidate join fans each
     # vector out to many pairs, and recomputing the norm fold per pair tripled
     # the scoring cost (measured 17s -> ~6s at sf0.1). Same value, same fold —
