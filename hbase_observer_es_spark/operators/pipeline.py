@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from .dedup import SIMHASH_BITS, _rollhash, _SQL_ROLLHASH
 from .text import MOD
 
@@ -221,7 +221,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs contaminated by the eval slice (`source = 'src0'`): per
     contaminated doc, how many distinct eval docs and distinct shingles collide.
     """
-    sh = _decon_shingles(table(spark, sf_dir, "documents"))
+    # fan_out (r17 gate A/B: 1.21 -> 0.91 s median): spread the shingle build
+    sh = _decon_shingles(fan_out(table(spark, sf_dir, "documents")))
     ev = (
         sh.filter(F.col("source") == DECON_EVAL_SRC)
         .select("h", F.col("doc_id").alias("eval_id"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import davg, dsum, lavg, lsum, sql_davg, sql_dsum, sql_lavg, sql_lsum
-from ..io import table
+from ..io import fan_out, table
 
 # ---------------------------------------------------------------------------
 # scan / filter
@@ -284,7 +284,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-join row yields a null-fielded struct, preserving the nulls.
     (Reference analogue: ES-side "latest doc for key" lookups after CDC sync.)
     """
-    e = table(spark, sf_dir, "events")
+    # fan_out on the probe side (r17 gate A/B: 1.21 -> 0.89 s median): the
+    # band join's per-row work otherwise serializes in the sub-split scan task
+    e = fan_out(table(spark, sf_dir, "events"))
     o = table(spark, sf_dir, "orders")
     j = e.join(
         o,

@@ -27,7 +27,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 
 # Fixed query: three mid-frequency fixture-vocabulary terms (TESTDATA.md documents).
 QUERY_TERMS = ("vector", "merge", "stream")
@@ -50,7 +50,9 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(d) = Σ_t idf_t · cnt_t·(k1+1) / (cnt_t + k1·(1−b + b·dl/avgdl))
     with idf_t = (N − df_t + 0.5)/(df_t + 0.5); k1=1.2, b=0.75.
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", _toks().alias("tk"))
+    # fan_out (r17 gate A/B: 1.13 -> 0.78 s median): the per-term counting
+    # otherwise runs in the single sub-split scan task
+    d = fan_out(table(spark, sf_dir, "documents")).select("doc_id", _toks().alias("tk"))
 
     def cnt(w: str) -> Column:
         # nested def, not a default-arg lambda: a 2-param lambda would be treated

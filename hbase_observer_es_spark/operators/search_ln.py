@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 from .search import (
     B,
     K1,
@@ -54,7 +54,8 @@ def q_search_bm25_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(d) = Σ_t ln(1+(N−df_t+0.5)/(df_t+0.5)) · cnt_t·(k1+1)
                / (cnt_t + k1·(1−b + b·dl/avgdl)); k1=1.2, b=0.75, top-10.
     """
-    d = table(spark, sf_dir, "documents").select("doc_id", _toks().alias("tk"))
+    # fan_out (r17 gate A/B: 1.16 -> 0.76 s median, the q_search_bm25 spread)
+    d = fan_out(table(spark, sf_dir, "documents")).select("doc_id", _toks().alias("tk"))
 
     def cnt(w: str) -> Column:
         return F.size(F.filter(F.col("tk"), lambda t: t == w))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import fan_out, table
 
 # Tiny public stopword seeds per language — enough for a deterministic heuristic.
 STOPWORDS = {
@@ -96,7 +96,8 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately simple and fully deterministic — the point is the shape (per-doc
     vectorized scoring + tie-broken argmax), which is how a real n-gram LID model
     runs at scale. A model-backed scorer would swap in as a pandas UDF."""
-    d = table(spark, sf_dir, "documents")
+    # fan_out (r17 gate A/B: 0.53 -> 0.35 s median): spread the stopword scans
+    d = fan_out(table(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id",
         "lang",
