@@ -154,11 +154,13 @@ def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
     (frac_bits=16); this twin is the oracle-checkable projection of the
     same plan shape: bigram explode → two broadcast joins → one
     aggregation, all Catalyst."""
-    from ..io import fan_out, table
+    from ..io import table
 
-    # fan_out (r17): all four branches (ref/uni/bi/ex) tokenize inside the
-    # sub-split scan's single task without the gated spread
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # fan_out A/B'd AMBIGUOUS here (r17: phase-split said faster, two gate
+    # A/Bs and a full bench said flat-to-slower) — the four branches
+    # (ref/uni/bi/ex) each re-pay the spread shuffle with no exchange reuse
+    # on this Spark build, cancelling the parallel tokenize. Left unspread.
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     text = F.col("text")
     ref = docs.where(F.col("doc_id") % 10 == 0)
     uni = (
