@@ -30,14 +30,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hbase_observer_es_spark.registry import all_queries  # noqa: E402
 from hbase_observer_es_spark.session import get_spark  # noqa: E402
 
-def run_one(spark, fn, name: str, sf_dir: str) -> float:
-    """Wall-clock of building + fully executing the plan into the noop sink.
-    Streaming queries (s_*) execute their own micro-batch pipeline inside fn;
-    their final-result read is included the same way."""
+def run_one(spark, fn, name: str, sf_dir: str) -> tuple[float, float]:
+    """(total, build) wall-clock of building + fully executing the plan into
+    the noop sink. Streaming queries (s_*) execute their own micro-batch
+    pipeline inside fn; their final-result read is included the same way.
+
+    The TOTAL is timed exactly as in every prior round (one timer around
+    fn + the noop write); the build component (fn() return — driver-side
+    plan construction, plus any actions a query runs inside fn) is split
+    out ADDITIONALLY (r17) so the driver can separate driver-side overhead
+    from plan execution — the sf0.1 fixture makes per-query fixed cost
+    dominate wall clock, which made the r16 core-scaling probe read ~1
+    everywhere."""
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
+    t1 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    t2 = time.perf_counter()
+    return t2 - t0, t1 - t0
 
 
 def main() -> None:
@@ -56,21 +66,27 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in sorted(queries):
         samples: list[float] = []
+        build_samples: list[float] = []
         for _ in range(runs):
             try:
-                samples.append(run_one(spark, queries[name], name, sf_dir))
+                t, b = run_one(spark, queries[name], name, sf_dir)
+                samples.append(t)
+                build_samples.append(b)
             except Exception as exc:  # a failing query must not hide the others
                 print(f"bench error {name}: {exc}", file=sys.stderr)
                 break  # a query that errors once will error again
         if samples:
             times[name] = round(statistics.median(samples), 3)
             spread[name] = round(max(samples) - min(samples), 3)
+            builds[name] = round(statistics.median(build_samples), 3)
         else:
             times[name] = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    build_total = round(sum(b for b in builds.values() if b >= 0), 3)
 
     # Scale-shape probe: one extra pass at a smaller SF and the per-query wall
     # ratio. Plan tests pin shuffle/broadcast/pushdown structure; this is the
@@ -89,7 +105,9 @@ def main() -> None:
         flagged: list[str] = []
         for name in sorted(queries):
             try:
-                small_times[name] = round(run_one(spark, queries[name], name, ratio_dir), 3)
+                small_times[name] = round(
+                    run_one(spark, queries[name], name, ratio_dir)[0], 3
+                )
             except Exception as exc:
                 print(f"bench ratio error {name}: {exc}", file=sys.stderr)
         for name, small in small_times.items():
@@ -122,6 +140,13 @@ def main() -> None:
         "runs": runs,
         "spread": spread,
         "scale": scale,
+        # r17 additions (timing methodology unchanged — the split reuses the
+        # same timer endpoints): per-query driver-side build phase (fn()
+        # return) and the build/exec totals, so the driver can separate
+        # driver overhead from plan execution at this fixed-cost-dominated SF
+        "build": builds,
+        "build_total_s": build_total,
+        "exec_total_s": round(total - build_total, 3),
     }
     # Quiet-host absolute totals (round-14 protocol, hardened r16):
     # this host's contention moves identical code ±20-30% between
@@ -172,13 +197,19 @@ def main() -> None:
         "queries_omitted": len(times),
         "scale_flagged": len(scale.get("flagged", [])) if scale else None,
         "detail": "BENCH_DETAIL.json",
+        "build_total_s": build_total,
+        "exec_total_s": round(total - build_total, 3),
     }
     if quiet is not None:
         summary["quiet_total_s"] = quiet.get("quiet_total_s")
         summary["quiet_total_v2_s"] = quiet.get("quiet_total_v2_s")
         summary["quiet_recorded_round"] = quiet.get("recorded_round")
+    # stdout entries are rounded to 2 decimals (the full 3-decimal medians
+    # stay in BENCH_DETAIL.json) — every character saved lets more of the
+    # fast tail fit the budget instead of surfacing as phantom
+    # "dropped_from_bench" rows in the driver's diff (r16 VERDICT item 5)
     for name in sorted(times, key=lambda n: -times[n]):
-        shown[name] = times[name]
+        shown[name] = round(times[name], 2)
         summary["queries_omitted"] = len(times) - len(shown)
         if len(json.dumps(summary, separators=(",", ":"))) > budget:
             del shown[name]
