@@ -88,11 +88,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark._hoes_table_cache = cache  # type: ignore[attr-defined]
         except Exception:  # pragma: no cover - exotic session proxies
             pass
-    hit = cache.get((sf_dir, name))
+    # realpath-normalized key (r17, ADVICE): path aliases (trailing slash,
+    # relative vs absolute, symlinks) must hit one entry, not silently
+    # duplicate the listing work the memo exists to remove
+    key = (os.path.realpath(sf_dir), name)
+    hit = cache.get(key)
     if hit is not None:
         return hit
     df = _read_table(spark, sf_dir, name)
-    cache[(sf_dir, name)] = df
+    cache[key] = df
     return df
 
 

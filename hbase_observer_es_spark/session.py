@@ -40,15 +40,21 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     the first time still gets the full set."""
     if getattr(spark, "_hoes_runtime_conf_applied", False):
         return spark
+    any_ok = False
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
+            any_ok = True
         except Exception:  # pragma: no cover - conf may be static in some harnesses
             pass
-    try:
-        spark._hoes_runtime_conf_applied = True
-    except Exception:  # pragma: no cover - exotic session proxies
-        pass
+    # r17 (ADVICE): only memoize when at least one set succeeded — a session
+    # whose every conf.set throws (fully static conf) keeps retrying, so a
+    # later unfreezing of the conf is still healed on the next table() call.
+    if any_ok:
+        try:
+            spark._hoes_runtime_conf_applied = True
+        except Exception:  # pragma: no cover - exotic session proxies
+            pass
     return spark
 
 

@@ -50,6 +50,7 @@ def main() -> int:
 
     stateful.LAST_PLANS = {}
     n_ok = 0
+    failed: list[str] = []
     for name in names:
         fn = queries[name]
         try:
@@ -65,16 +66,20 @@ def main() -> int:
                 with contextlib.redirect_stdout(buf):
                     df.explain("formatted")
                 text = buf.getvalue()
+            n_ok += 1
         except Exception as exc:  # noqa: BLE001 - record the failure, keep going
             text = f"<plan capture failed: {type(exc).__name__}: {exc}>"
+            failed.append(name)
         path = os.path.join(out_dir, f"{name}_{args.suffix}.txt")
         with open(path, "w") as f:
             f.write(text)
-        n_ok += 1
     stateful.LAST_PLANS = None
-    print(f"wrote {n_ok} plans to {out_dir}")
+    # r17 (ADVICE): failures are counted apart and fail the exit code — a
+    # silently-broken query must not look like full plan coverage
+    print(f"wrote {n_ok} plans to {out_dir}"
+          + (f", {len(failed)} FAILED: {failed}" if failed else ""))
     spark.stop()
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
