@@ -361,8 +361,13 @@ FROM lineitem
 
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical hash aggregate."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    # fan_out (r17 gate A/B: 1.65 -> 1.14 s median): the decimal partial
+    # aggregation otherwise runs inside the single sub-split scan task; the
+    # shipdate filter stays below the spread, so scan pushdown is unchanged
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        )
     )
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc * (F.lit(1.0) + F.col("l_tax"))
