@@ -84,227 +84,228 @@ _MODULES = (
 # > the age-ordered low-risk band — untouched rows AND rows whose edit is
 # PROVEN AST-unchanged (astdeps.py) interleaved by last-green age, since the
 # proof certifies identical risk; round-9 refinement, see rotation.py).
-# Round 15 inputs: CORRECTNESS_r01-r14 + git round boundaries. Tier 0:
-# the four r15 registrations (q_text_entropy, q_win_firstlast, and the
-# mixture pair — the held queue is now EMPTY) plus the corpus-drift pair,
-# which the rotation treats as never-green (their r14 driver check was
-# hash-RED on the DECIMAL canonicalization; the BIGINT fix lands this
-# round and needs fresh driver evidence). Tier 1: q_lm_surprisal (the
-# ADVICE vocab fix edited its own fn), q_html_extract (html_text.py
-# gained the _TotalParser marked-section totality fix late in the
-# round), and q_mm_decode/q_mm_resize (tiff.py gained tiled fax/JPEG
-# in their import closure). The r10 evidence band (26 queries) heads
-# the low-risk window behind them.
+# Round 17 inputs: CORRECTNESS_r01-r16 + git round boundaries. Tier 1.0
+# front-loads every query whose own fn the r17 optimization touched (the
+# fan_out call sites, the fixpoint consumers, the search/text spreads),
+# plus an explicit inherited-change supplement (q_text_boilerplate,
+# q_dedup_lsh_recall — they consume dedup._shingled_docs, whose r17
+# spread changes their executed pipeline as much as an own-fn edit; the
+# r16 VERDICT item the supplement answers). Tier 1.1 carries the rest of
+# the edited files oldest-green-first; the io.py/session.py edits put
+# nearly everything in some edited tier, so the order is what allocates
+# the driver's ~50-row window.
 _PRIORITY = (
-    # tier 0.0: never driver-checked
-    "q_geo_polygon",  # never checked
-    "q_search_span_or",  # never checked
-    "q_search_span_first",  # never checked
     # tier 1.0: own fn edited after last green check
-    "q_dedup_simhash",  # green r12, hbase_observer_es_spark/operators/dedup.py fn edited r16
-    "s_watermark_dedup",  # green r13, hbase_observer_es_spark/streaming/stateful.py fn edited r16
-    "q_graph_pagerank",  # green r14, hbase_observer_es_spark/operators/graph.py fn edited r16
-    "q_sim_lsh",  # green r15, hbase_observer_es_spark/operators/similarity.py fn edited r16
-    "q_sim_lsh_batch",  # green r15, hbase_observer_es_spark/operators/similarity.py fn edited r16
+    "q_join_asof",  # green r11, hbase_observer_es_spark/operators/relational.py fn edited r17
+    "q_agg_group",  # green r11, hbase_observer_es_spark/operators/relational.py fn edited r17
+    "q_search_bm25",  # green r12, hbase_observer_es_spark/operators/search.py fn edited r17
+    "q_decontaminate",  # green r12, hbase_observer_es_spark/operators/pipeline.py fn edited r17
+    "q_search_bm25_ln",  # rows-only r13, hbase_observer_es_spark/operators/search_ln.py fn edited r17
+    "q_search_rescore",  # green r13, hbase_observer_es_spark/operators/rescore.py fn edited r17
+    "q_ann_recall",  # green r14, hbase_observer_es_spark/operators/ann_eval.py fn edited r17
+    "q_sim_triplet_mine",  # green r15, hbase_observer_es_spark/operators/mining.py fn edited r17
+    "q_search_percolate",  # green r15, hbase_observer_es_spark/operators/percolate.py fn edited r17
+    "q_dedup_substring",  # green r15, hbase_observer_es_spark/operators/dedup_substring.py fn edited r17
+    "q_dedup_substring_top",  # green r15, hbase_observer_es_spark/operators/dedup_substring.py fn edited r17
+    "q_sim_ivf_batch",  # green r16, hbase_observer_es_spark/operators/similarity.py fn edited r17
+    "q_sim_lsh",  # green r16, hbase_observer_es_spark/operators/similarity.py fn edited r17
+    "q_sim_lsh_batch",  # green r16, hbase_observer_es_spark/operators/similarity.py fn edited r17
+    "q_text_langid",  # green r16, hbase_observer_es_spark/operators/text.py fn edited r17
+    "q_graph_components",  # green r16, hbase_observer_es_spark/operators/graph.py fn edited r17
+    # inherited-change supplement (r17, VERDICT r16 item 4/8): these two
+    # consume dedup._shingled_docs, whose r17 fan_out spread changes their
+    # executed pipeline as much as an own-fn edit would
+    "q_text_boilerplate",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_dedup_lsh_recall",  # green r16, hbase_observer_es_spark/session.py import edited r17
     # tier 1.1: file edited after last green check (oldest green first)
-    "q_graph_components",  # green r11, hbase_observer_es_spark/operators/graph.py file edited r16
-    "q_embed_pq",  # green r11, hbase_observer_es_spark/operators/pq.py file edited r16
-    "q_dedup_exact",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
-    "q_dedup_jaccard",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
-    "q_dedup_minhash",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
-    "q_dedup_simhash_near",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
-    "q_dedup_clusters",  # green r12, hbase_observer_es_spark/operators/dedup.py file edited r16
-    "q_text_tokens",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_text_lang",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_text_langid",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_text_quality",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_text_tokcount",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_text_fingerprint",  # green r12, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_dedup_lsh_recall",  # green r12, hbase_observer_es_spark/operators/dedup_eval.py file edited r16
-    "q_sim_knn",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_sim_pairs",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_sim_ivf",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_sim_ivf_trained",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_embed_quant",  # green r13, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "s_upsert_sink",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
-    "s_stateful_profile",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
-    "s_win_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
-    "s_session_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
-    "s_join_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
-    "s_terms_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py file edited r16
-    "q_text_chunk",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_text_topword",  # green r13, hbase_observer_es_spark/operators/text.py file edited r15
-    "q_nested_exists",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16
-    "q_geo_shape_relation",  # green r14, hbase_observer_es_spark/operators/nested_geo.py file edited r16
-    "q_win_ntile",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15
-    "q_pivot",  # green r14, hbase_observer_es_spark/operators/relational_more.py file edited r15
-    "q_graph_copurchase",  # green r14, hbase_observer_es_spark/operators/graph.py file edited r16
-    "q_quality_classify",  # green r14, hbase_observer_es_spark/operators/classifier.py file edited r16
-    "q_sim_ivf_batch",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_dedup_embed",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_sim_knn_pudf",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_sim_range",  # green r15, hbase_observer_es_spark/operators/similarity.py file edited r16
-    "q_geo_bbox",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16
-    "q_geo_grid",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16
-    "q_geo_distance",  # green r15, hbase_observer_es_spark/operators/nested_geo.py file edited r16
-    "q_search_span_near",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16
-    "q_search_intervals",  # green r15, hbase_observer_es_spark/operators/span.py file edited r16
+    "q_join_star",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_join_range",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_agg_global",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_agg_distinct",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_agg_approx",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_agg_rollup",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_agg_cube",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_win_rank",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_win_running",  # green r11, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_search_phrase",  # green r12, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_fuzzy",  # green r12, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_mlt",  # green r12, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_sigterms",  # green r12, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_pipeline_corpus",  # green r12, hbase_observer_es_spark/operators/pipeline.py file edited r17
+    "q_sample_stratified",  # green r12, hbase_observer_es_spark/operators/pipeline.py file edited r17
+    "q_mixture_weights",  # green r12, hbase_observer_es_spark/operators/pipeline.py file edited r17
+    "q_text_pack",  # green r12, hbase_observer_es_spark/operators/pipeline.py file edited r17
+    "q_sample_diversified",  # green r12, hbase_observer_es_spark/operators/pipeline.py file edited r17
+    "q_win_lag",  # green r12, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_topk_pergroup",  # green r12, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_sort_limit",  # green r12, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_union",  # green r12, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_intersect",  # green r12, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_except",  # green r12, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_search_suggest",  # green r13, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_highlight",  # green r13, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_bool",  # green r13, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_prefix",  # green r13, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_get_by_key",  # green r13, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_mlt_ln",  # rows-only r13, hbase_observer_es_spark/operators/search_ln.py file edited r17
+    "q_search_phrase_prefix",  # green r14, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_wildcard",  # green r14, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_search_regexp",  # green r14, hbase_observer_es_spark/operators/search.py file edited r17
+    "q_scan_project",  # green r14, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_filter_pred",  # green r14, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_join_inner",  # green r14, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_join_broadcast",  # green r15, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_join_left",  # green r15, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_join_semi",  # green r15, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_join_anti",  # green r15, hbase_observer_es_spark/operators/relational.py file edited r17
+    "q_text_entropy",  # green r15, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_sim_knn_filtered",  # green r15, hbase_observer_es_spark/operators/mining.py file edited r17
+    "q_lm_surprisal",  # green r15, hbase_observer_es_spark/operators/ngramlm.py file edited r17
+    "q_sim_knn",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_sim_pairs",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_sim_ivf",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_sim_ivf_trained",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_dedup_embed",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_sim_knn_pudf",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_embed_quant",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_sim_range",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
+    "q_dedup_exact",  # green r16, hbase_observer_es_spark/operators/dedup.py file edited r17
+    "q_dedup_jaccard",  # green r16, hbase_observer_es_spark/operators/dedup.py file edited r17
+    "q_dedup_minhash",  # green r16, hbase_observer_es_spark/operators/dedup.py file edited r17
+    "q_dedup_simhash",  # green r16, hbase_observer_es_spark/operators/dedup.py file edited r17
+    "q_dedup_simhash_near",  # green r16, hbase_observer_es_spark/operators/dedup.py file edited r17
+    "q_dedup_clusters",  # green r16, hbase_observer_es_spark/operators/dedup.py file edited r17
+    "q_text_tokens",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_text_lang",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_text_quality",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_text_tokcount",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_text_fingerprint",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_text_chunk",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_text_topword",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
+    "q_graph_pagerank",  # green r16, hbase_observer_es_spark/operators/graph.py file edited r17
+    "q_graph_copurchase",  # green r16, hbase_observer_es_spark/operators/graph.py file edited r17
+    "q_embed_pq",  # green r16, hbase_observer_es_spark/operators/pq.py file edited r17
     # tier 1.2: imported helper edited after last green check (oldest green first)
-    "q_join_star",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_join_range",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_join_asof",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_global",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_group",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_distinct",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_approx",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_rollup",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_cube",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_win_rank",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_win_running",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_geoline",  # green r11, hbase_observer_es_spark/session.py import edited r16
-    "q_search_bm25",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_search_phrase",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_search_fuzzy",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_search_mlt",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_search_sigterms",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_scan_pruned",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_pipeline_corpus",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_sample_stratified",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_decontaminate",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_mixture_weights",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_text_pack",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_sample_diversified",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "s_win_tumbling",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "s_win_sliding",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "s_win_session",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_terms_other",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_range",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_tophits",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_win_lag",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_topk_pergroup",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_sort_limit",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_union",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_intersect",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_except",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_ttest",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_search_terms_set",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_text_gopher",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_text_ngram_rep",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_text_unigram",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_text_boilerplate",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_text_pack_sharded",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_incremental_unseen",  # green r12, hbase_observer_es_spark/session.py import edited r16
-    "q_search_suggest",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_highlight",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_bool",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_prefix",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_get_by_key",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_mm_meta",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_mm_framesample",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_pctranks",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_adjacency",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_rare_terms",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_bucket_sel",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_weighted_avg",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_autodatehist",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_str_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_date_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_math_case",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_json_extract",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_array_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_cdc_snapshot",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_cdc_tombstone",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_cell_pivot",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_cdc_doc_merge",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "s_pii_stream",  # green r13, hbase_observer_es_spark/streaming/stateful.py import edited r16
-    "q_search_bm25_ln",  # rows-only r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_mlt_ln",  # rows-only r13, hbase_observer_es_spark/session.py import edited r16
-    "q_join_has_child",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_join_has_parent",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_rescore",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_suggest_term",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_terms_lookup",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_suggest_phrase",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_range_relation",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_profile_stats",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_profile_topvals",  # green r13, hbase_observer_es_spark/session.py import edited r16
-    "q_search_phrase_prefix",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_search_wildcard",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_search_regexp",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_join_bucketed",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_udf_scalar",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_udf_grouped",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_groupingsets",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_percentile",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_pct_sketch",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_datehist",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_composite",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_filters",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_subquery_scalar",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_win_rangeframe",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_page_keyset",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_histogram",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_stats",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_scan_project",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_filter_pred",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_join_inner",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_multiterms",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_stringstats",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_matrixstats",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_geocentroid",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_bucketstats",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_scripted",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_sampler",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_normalize",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_bucket_script",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_geobounds",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_topmetrics",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_serialdiff",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_cumcard",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_pctbucket",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_boxplot",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_mad",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_search_querystring",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_ann_recall",  # green r14, hbase_observer_es_spark/session.py import edited r16
-    "q_join_salted",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_mm_decode",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_mm_resize",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_pipeline",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_join_broadcast",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_join_left",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_join_semi",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_join_anti",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_text_entropy",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_rate",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_daterange",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_movfn",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_bucketsort",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_derivative",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_varwidth",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_agg_itemsets",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_collapse",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_function_score",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_rank_feature",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_text_pii",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_dismax",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_boosting",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_pinned",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_multimatch",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_hybrid_rrf",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_sim_triplet_mine",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_sim_knn_filtered",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_cdc_field_missing",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_split_assign",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_search_percolate",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_win_firstlast",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_html_extract",  # green r15, hbase_observer_es_spark/sources/warc.py import edited r16
-    "q_dedup_substring",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_dedup_substring_top",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_lm_surprisal",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_corpus_drift",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_corpus_drift_tv",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_mix_select",  # green r15, hbase_observer_es_spark/session.py import edited r16
-    "q_mix_realize",  # green r15, hbase_observer_es_spark/session.py import edited r16
+    "q_agg_geoline",  # green r11, hbase_observer_es_spark/session.py import edited r17
+    "q_scan_pruned",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "s_win_tumbling",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "s_win_sliding",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "s_win_session",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_terms_other",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_range",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_tophits",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_ttest",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_search_terms_set",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_text_gopher",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_text_ngram_rep",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_text_unigram",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_text_pack_sharded",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_incremental_unseen",  # green r12, hbase_observer_es_spark/session.py import edited r17
+    "q_mm_meta",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_mm_framesample",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_pctranks",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_adjacency",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_rare_terms",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_bucket_sel",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_weighted_avg",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_autodatehist",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_str_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_date_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_math_case",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_json_extract",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_array_funcs",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_cdc_snapshot",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_cdc_tombstone",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_cell_pivot",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_cdc_doc_merge",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "s_pii_stream",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_join_has_child",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_join_has_parent",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_search_suggest_term",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_search_terms_lookup",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_search_suggest_phrase",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_search_range_relation",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_profile_stats",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_profile_topvals",  # green r13, hbase_observer_es_spark/session.py import edited r17
+    "q_join_bucketed",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_udf_scalar",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_udf_grouped",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_groupingsets",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_percentile",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_pct_sketch",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_datehist",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_composite",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_filters",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_subquery_scalar",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_win_rangeframe",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_page_keyset",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_histogram",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_stats",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_multiterms",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_stringstats",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_matrixstats",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_geocentroid",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_bucketstats",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_scripted",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_sampler",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_normalize",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_bucket_script",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_geobounds",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_topmetrics",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_serialdiff",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_cumcard",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_pctbucket",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_boxplot",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_mad",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_search_querystring",  # green r14, hbase_observer_es_spark/session.py import edited r17
+    "q_join_salted",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_mm_decode",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_mm_resize",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_pipeline",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_rate",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_daterange",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_movfn",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_bucketsort",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_derivative",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_varwidth",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_agg_itemsets",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_collapse",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_function_score",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_rank_feature",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_text_pii",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_dismax",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_boosting",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_pinned",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_multimatch",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_search_hybrid_rrf",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_cdc_field_missing",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_split_assign",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_win_firstlast",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_html_extract",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_corpus_drift",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_corpus_drift_tv",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_mix_select",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "q_mix_realize",  # green r15, hbase_observer_es_spark/session.py import edited r17
+    "s_watermark_dedup",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "s_upsert_sink",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "s_stateful_profile",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "s_win_stream",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "s_session_stream",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "s_join_stream",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "s_terms_stream",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_nested_exists",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_geo_bbox",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_geo_grid",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_geo_distance",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_geo_shape_relation",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_geo_polygon",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_search_span_near",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_search_intervals",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_search_span_or",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_search_span_first",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_win_ntile",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_pivot",  # green r16, hbase_observer_es_spark/session.py import edited r17
+    "q_quality_classify",  # green r16, hbase_observer_es_spark/session.py import edited r17
     # tier 2.0: age-ordered low-risk band: untouched, or edit with closure proven AST-unchanged (oldest green first)
     "q_zorder_cells",  # green r12
 )
