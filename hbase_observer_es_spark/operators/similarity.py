@@ -263,7 +263,10 @@ def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     * per-probe top-k is one window over the cell-scored rows (cells bound the
       rows per probe, so the window partitions stay small).
     """
-    e = fan_out(table(spark, sf_dir, "embeddings"))  # r17: spread the folds
+    # fan_out A/B'd NEUTRAL here (r17 gate A/B 1.55 vs 1.47 s median with a
+    # full-bench run flagging the spread) — like q_sim_ivf, the _centroids
+    # branches re-pay the spread shuffle; left unspread.
+    e = table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
