@@ -175,41 +175,27 @@ def q_lm_surprisal(spark, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_bigrams_col(text)).alias("bg")
     ).withColumn("w1", F.split(F.col("bg"), " ")[0])
     bits = lambda c: F.length(F.bin(c)) - 1  # floor(log2 x), exactly
-    # per-w1 denominator LOOKUP instead of a 1-row vocab cross-attach (a
-    # 1-row join plans as the BroadcastNestedLoopJoin the registry-wide
-    # hygiene gate bans even for tiny builds): the lookup KEY SET is the
-    # corpus's distinct w1 UNIONED with the uni words themselves, left-
-    # joined back to uni, so the global-window COUNT of matched (non-NULL
-    # c1) rows is |uni| EXACTLY — the oracle's v. The r14-round review
-    # version keyed on corpus w1 alone and counted matches, which
-    # undercounts when a uni word never occurs as any bigram's FIRST word
-    # (a token appearing only document-final, or a single-token reference
-    # doc — ADVICE r14, reproduced in tests/test_ngramlm.py). The union
-    # adds only vocab-sized rows; the global window still collapses only
-    # the vocab-sized lookup (the drift.py posture), never the corpus.
-    # PLAN_DIFF r15 flags this plan "exchanges_up 9->10": the extra
-    # exchange is the uni re-computation feeding the union — VOCAB-sized,
-    # the deliberate price of the correctness fix; every corpus-sized
-    # stage is unchanged.
-    from pyspark.sql import Window
-
-    lookup = (
-        ex.select("w1").union(uni.select("w1")).distinct()
-        .join(F.broadcast(uni), "w1", "left")
-        .withColumn("v", F.count("c1").over(Window.partitionBy()))
-        .select(
-            "w1",
-            bits(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
-            .cast("long").alias("den_bits"),
-        )
-    )
+    # The vocab size v = COUNT(*) FROM uni is fetched as a driver-side
+    # SCALAR, the same posture as train_bigram_lm (the model's parameters
+    # are driver-resident by design; uni is vocab-sized, never corpus-
+    # sized). v = |uni| by definition, so the r14 ADVICE undercount (a uni
+    # word that never opens a bigram — document-final-only tokens — must
+    # still count toward v; reproduced in tests/test_ngramlm.py) cannot
+    # occur. This replaced the r14-r16 per-w1 denominator-lookup frame
+    # (corpus-w1 ∪ vocab, left-join back to uni, global window counting
+    # matches): same v, but that shape re-computed the corpus bigram
+    # explode AND uni a second time and paid a distinct + window + third
+    # broadcast for it (r17 interleaved A/B: 3.38 -> 3.04 s median, and
+    # the 1-row-join BroadcastNestedLoopJoin the lookup existed to avoid
+    # stays avoided — v is a literal, not a joined column).
+    v = uni.count()
     j = (
-        ex.join(F.broadcast(lookup), "w1")
+        ex.join(F.broadcast(uni), "w1", "left")
         .join(F.broadcast(bi), "bg", "left")
         .select(
             "doc_id",
             (
-                F.col("den_bits")
+                bits(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v))
                 - bits(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
             ).cast("long").alias("s"),
         )
