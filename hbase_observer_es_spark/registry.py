@@ -96,6 +96,7 @@ _MODULES = (
 # the driver's ~50-row window.
 _PRIORITY = (
     # tier 1.0: own fn edited after last green check
+    "q_lm_surprisal",  # green r15, hbase_observer_es_spark/operators/ngramlm.py fn edited r17 (v-scalar rewrite)
     "q_join_asof",  # green r11, hbase_observer_es_spark/operators/relational.py fn edited r17
     "q_agg_group",  # green r11, hbase_observer_es_spark/operators/relational.py fn edited r17
     "q_search_bm25",  # green r12, hbase_observer_es_spark/operators/search.py fn edited r17
@@ -160,7 +161,6 @@ _PRIORITY = (
     "q_join_anti",  # green r15, hbase_observer_es_spark/operators/relational.py file edited r17
     "q_text_entropy",  # green r15, hbase_observer_es_spark/operators/text.py file edited r17
     "q_sim_knn_filtered",  # green r15, hbase_observer_es_spark/operators/mining.py file edited r17
-    "q_lm_surprisal",  # green r15, hbase_observer_es_spark/operators/ngramlm.py file edited r17
     "q_sim_knn",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
     "q_sim_pairs",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
     "q_sim_ivf",  # green r16, hbase_observer_es_spark/operators/similarity.py file edited r17
