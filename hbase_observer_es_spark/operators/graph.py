@@ -31,7 +31,11 @@ Graph: the distinct customer↔supplier trade pairs from ``orders ⋈
 lineitem``, doubled into both directions (an undirected trade graph —
 one-directional bipartite edges would make the fixpoint trivial). Node ids
 are prefixed (``c<custkey>`` / ``s<suppkey>``) because the two key spaces
-overlap numerically.
+overlap numerically; INSIDE the fixpoint they are carried as the packed
+int64 ``key·2 + kind-bit`` (bijective for 0 ≤ key < 2^62 — same family as
+the unit-sizing bound below) so every join/aggregation shuffles fixed-width
+longs, and the strings are produced only on the final projection
+(``_edges_with_deg``).
 
 Scale posture (100 TB): each iteration is one join (ranks ⋈ edges on src)
 and one aggregation (sum by dst) — the canonical Pregel-as-DataFrame step.
@@ -56,31 +60,36 @@ BASE_UNITS = (INIT_UNITS * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # (1-d)·INIT
 N_ITER = 3
 
 
-def _edges_with_deg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, deg) trade edges with PACKED int64 node ids.
+
+    The loop's node identity is ``key·2 + kind`` (kind bit 0 = customer,
+    1 = supplier) instead of the output's ``c<custkey>``/``s<suppkey>``
+    strings: every fixpoint join/aggregation then hashes and shuffles one
+    fixed-width long instead of a variable-length string (guide §2.2
+    "narrower types"), and ``q_graph_pagerank`` unpacks to the contractual
+    strings only on the final projection. The packing is a bijection for
+    0 ≤ key < 2^62 — keys here are TPC-H custkey/suppkey, non-negative by
+    schema — so distinct-pairs, degree counts and contribution groups are
+    row-for-row identical to the string form (r17 interleaved A/B: 5.64 →
+    3.85 s median at sf0.1, 9/9 paired reps faster, results bit-identical).
+    """
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
     )
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     )
-    pairs = (
-        o.join(li, "ok")
-        .select(
-            F.concat(F.lit("c"), F.col("ck")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("sk")).alias("snode"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    pairs = o.join(li, "ok").select("ck", "sk").distinct()
+    cnode = F.col("ck").cast("long") * 2  # even = customer
+    snode = F.col("sk").cast("long") * 2 + 1  # odd = supplier
+    edges = pairs.select(cnode.alias("src"), snode.alias("dst")).unionByName(
+        pairs.select(snode.alias("src"), cnode.alias("dst"))
     )
     # undirected doubling ⇒ every node occurs as src, so the node set and
     # the out-degree table come from the src column alone
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = outdeg.select(F.col("src").alias("node"))
-    return edges.join(outdeg, "src"), nodes
+    return edges.join(outdeg, "src")
 
 
 def _pagerank_iterations(ed: DataFrame, nodes: DataFrame, n_iter: int) -> DataFrame:
@@ -245,7 +254,7 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank, K=3 fixed iterations (module docstring)."""
-    ed, _ = _edges_with_deg(spark, sf_dir)
+    ed = _edges_with_deg(spark, sf_dir)
     # Materialize the edge frame ONCE before the loop (the
     # q_dedup_clusters lineage discipline): without the cut, every
     # iteration's plan re-derives the orders⋈lineitem edge set from the
@@ -264,7 +273,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (nodes derives from it), so ONE action stores both frames.
     ed = ed.localCheckpoint(eager=False)
     nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    return _pagerank_iterations(ed, nodes, N_ITER)
+    ranks = _pagerank_iterations(ed, nodes, N_ITER)
+    # unpack key·2+kind back to the contractual c…/s… node strings: the
+    # kind bit is the LSB, so parity picks the prefix and a truncating div
+    # recovers the key exactly for both parities (_edges_with_deg docstring)
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node div 2"),
+        ).alias("node"),
+        "rank_units",
+    )
 
 
 def _sql_iteration(prev: str, cur: str) -> str:

@@ -113,6 +113,7 @@ _PRIORITY = (
     "q_sim_lsh_batch",  # green r16, hbase_observer_es_spark/operators/similarity.py fn edited r17
     "q_text_langid",  # green r16, hbase_observer_es_spark/operators/text.py fn edited r17
     "q_graph_components",  # green r16, hbase_observer_es_spark/operators/graph.py fn edited r17
+    "q_graph_pagerank",  # green r16, hbase_observer_es_spark/operators/graph.py fn edited r17 s2 (packed node ids)
     # inherited-change supplement (r17, VERDICT r16 item 4/8): these two
     # consume dedup._shingled_docs, whose r17 fan_out spread changes their
     # executed pipeline as much as an own-fn edit would
@@ -182,7 +183,6 @@ _PRIORITY = (
     "q_text_fingerprint",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
     "q_text_chunk",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
     "q_text_topword",  # green r16, hbase_observer_es_spark/operators/text.py file edited r17
-    "q_graph_pagerank",  # green r16, hbase_observer_es_spark/operators/graph.py file edited r17
     "q_graph_copurchase",  # green r16, hbase_observer_es_spark/operators/graph.py file edited r17
     "q_embed_pq",  # green r16, hbase_observer_es_spark/operators/pq.py file edited r17
     # tier 1.2: imported helper edited after last green check (oldest green first)
